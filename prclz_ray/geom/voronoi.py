@@ -1,0 +1,155 @@
+"""Bowyer–Watson Delaunay triangulation → Voronoi cells (pure NumPy).
+
+Replaces pytess.voronoi in the reference's s0 approximation
+(``_complexity.py:27``): Voronoi decomposition of building centroids whose
+cells are fed into the complexity planar graph. Cells are bounded by adding
+four distant sentinel points; callers clip cells to the block polygon.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer–Watson triangulation. Returns triangles as index triples into
+    ``points``. O(n²) — fine for per-block building counts (10²-10³)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle containing all points
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-9) * 100.0
+    sup = np.array([[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]])
+    allp = np.vstack([pts, sup])
+    tris = [(n, n + 1, n + 2)]
+
+    def circum(t):
+        a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
+        d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        if abs(d) < 1e-30:
+            return (np.inf, np.inf, np.inf)
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        return (ux, uy, r2)
+
+    cc = {tris[0]: circum(tris[0])}
+    for i in range(n):
+        p = allp[i]
+        bad = []
+        for t in tris:
+            ux, uy, r2 = cc[t]
+            if (p[0] - ux) ** 2 + (p[1] - uy) ** 2 <= r2 + 1e-12:
+                bad.append(t)
+        # boundary polygon of the cavity
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+        for t in bad:
+            tris.remove(t)
+            del cc[t]
+        for (u, v) in boundary:
+            t = (u, v, i)
+            tris.append(t)
+            cc[t] = circum(t)
+    # drop triangles touching the super-triangle
+    return [t for t in tris if all(v < n for v in t)]
+
+
+def voronoi_cells(points: np.ndarray) -> dict[int, np.ndarray]:
+    """Voronoi cell polygon (closed CCW ring) per input-point index.
+
+    Bounded via four sentinel points far outside the data bbox — cells of
+    real points are finite; sentinel cells are dropped. Mirrors the
+    reference's use of pytess.voronoi (anchor, vertices) pairs."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    n = len(pts)
+    if n == 0:
+        return {}
+    if n == 1:
+        return {}  # a single anchor has an unbounded cell; caller handles
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-9) * 50.0
+    sent = np.array([[cx - span, cy - span], [cx + span, cy - span],
+                     [cx + span, cy + span], [cx - span, cy + span]])
+    allp = np.vstack([pts, sent])
+    tris = delaunay(allp)
+
+    def circumcenter(t):
+        a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
+        d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
+        return np.array([ux, uy])
+
+    centers = {t: circumcenter(t) for t in tris}
+    cells: dict[int, np.ndarray] = {}
+    for i in range(n):
+        incident = [t for t in tris if i in t]
+        if len(incident) < 3:
+            continue
+        vs = np.array([centers[t] for t in incident])
+        # order circumcenters CCW around the anchor
+        ang = np.arctan2(vs[:, 1] - pts[i, 1], vs[:, 0] - pts[i, 0])
+        vs = vs[np.argsort(ang)]
+        cells[i] = np.vstack([vs, vs[:1]])
+    return cells
+
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip an arbitrary subject ring against a CONVEX
+    CCW clip ring. Returns a closed ring (possibly empty).
+
+    Used as block ∩ voronoi-cell (cells are convex; pass the cell as
+    ``clip`` and the block as ``subject``), matching
+    ``Polygon(vs).intersection(block)`` in ``_complexity.py:33``."""
+    from .core import ensure_closed, shoelace_area
+    subj = ensure_closed(np.asarray(subject, dtype=np.float64))[:-1]
+    clipr = ensure_closed(np.asarray(clip, dtype=np.float64))
+    if shoelace_area(clipr) < 0:
+        clipr = clipr[::-1]
+    out = list(map(tuple, subj))
+    for k in range(len(clipr) - 1):
+        if not out:
+            break
+        a, b = clipr[k], clipr[k + 1]
+        nx_, ny_ = b[0] - a[0], b[1] - a[1]
+
+        def inside(p):
+            return nx_ * (p[1] - a[1]) - ny_ * (p[0] - a[0]) >= -1e-12
+
+        def intersect(p, q):
+            # line a-b vs segment p-q
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            denom = nx_ * dy - ny_ * dx
+            if abs(denom) < 1e-30:
+                return q
+            t = (ny_ * (p[0] - a[0]) - nx_ * (p[1] - a[1])) / denom
+            return (p[0] + t * dx, p[1] + t * dy)
+
+        res = []
+        for i in range(len(out)):
+            cur, nxt = out[i], out[(i + 1) % len(out)]
+            if inside(cur):
+                res.append(cur)
+                if not inside(nxt):
+                    res.append(intersect(cur, nxt))
+            elif inside(nxt):
+                res.append(intersect(cur, nxt))
+        out = res
+    if len(out) < 3:
+        return np.empty((0, 2))
+    ring = np.array(out + [out[0]])
+    # drop consecutive duplicates
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = np.any(np.abs(np.diff(ring, axis=0)) > 1e-12, axis=1)
+    ring = ring[keep]
+    if len(ring) < 4:
+        return np.empty((0, 2))
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ring

@@ -1,0 +1,161 @@
+"""The four Steiner golden tests ported from the reference semantics
+(``tests/test_reblock.py:72-308``) — exact answer sets, tie-tolerant where
+the reference is. Pure kernel tests: no Ray session needed."""
+import numpy as np
+import pytest
+
+from prclz_ray.geom.lines import canonical_segments, lines_equal
+from prclz_ray.graph.reblock_graph import ReblockGraph
+
+
+def make_square(ll, w=1.0):
+    x, y = ll
+    return np.array([(x, y), (x + w, y), (x + w, y + w), (x, y + w), (x, y)])
+
+
+def create_test_grid(n):
+    lines = []
+    for i in range(n):
+        for j in range(n):
+            if i == 0 and j == 1:
+                lines.append(np.array([(0, 1), (1, 1), (1, 2), (0, 1)], dtype=float))
+            else:
+                lines.append(make_square((i, j), 1.0))
+    return ReblockGraph.from_lines(lines)
+
+
+POINTS = [(2, 2), (0, 0.2), (1.8, 1), (0.8, 2)]
+
+
+def grid_with_terminals(k):
+    g = create_test_grid(2)
+    for pt in POINTS[:k]:
+        g.add_node_to_closest_edge(pt, terminal=True)
+    return g
+
+
+def wkt_set(lines):
+    out = set()
+    for seg in lines:
+        def f(v):
+            return str(int(v)) if v == int(v) else repr(float(v))
+        out.add("LINESTRING ({} {}, {} {})".format(
+            f(seg[0][0]), f(seg[0][1]), f(seg[1][0]), f(seg[1][1])))
+    return out
+
+
+class TestBasicSteinerApprox:
+    def test_basic2pt(self):
+        g = grid_with_terminals(2)
+        g.steiner_tree_approx()
+        new, existing = g.get_steiner_linestrings()
+        assert canonical_segments(new) == canonical_segments(
+            [[(0, 1), (1, 2)], [(0, 1), (0, 0.2)], [(1, 2), (2, 2)]])
+        assert existing == []
+
+    def test_basic3pt(self):
+        g = grid_with_terminals(3)
+        g.steiner_tree_approx()
+        new, _ = g.get_steiner_linestrings()
+        assert canonical_segments(new) == canonical_segments(
+            [[(1, 1), (0, 1)], [(2, 1), (2, 2)], [(0, 1), (0, 0.2)],
+             [(1, 1), (1.8, 1)], [(2, 1), (1.8, 1)]])
+
+    def test_basic4pt(self):
+        g = grid_with_terminals(4)
+        g.steiner_tree_approx()
+        new, _ = g.get_steiner_linestrings()
+        assert canonical_segments(new) == canonical_segments(
+            [[(2, 1), (2, 2)], [(1, 2), (2, 2)], [(0, 1), (0, 0.2)],
+             [(2, 1), (1.8, 1)], [(0, 1), (0.9, 1.9)], [(1, 2), (0.9, 1.9)]])
+
+
+def square_with_diagonal():
+    lines = [
+        np.array([(0, 0), (1, 0), (1, 1), (0, 0)], dtype=float),
+        np.array([(0, 0), (1, 1), (0, 1), (0, 0)], dtype=float),
+    ]
+    g = ReblockGraph.from_lines(lines)
+    g.add_node_to_closest_edge((0, 0), terminal=True)
+    g.add_node_to_closest_edge((1, 1), terminal=True)
+    return g
+
+
+class TestExistingSteinerApprox:
+    def test_no_block(self):
+        g = square_with_diagonal()
+        g.steiner_tree_approx()
+        new, existing = g.get_steiner_linestrings()
+        assert lines_equal(new, [[(0, 0), (1, 1)]])
+        assert existing == []
+
+    def test_w_block(self):
+        g = square_with_diagonal()
+        block = make_square((0, 0), 1.0)
+        missing, total = g.update_edge_types(block, check=True)
+        assert missing == 0
+        g.steiner_tree_approx()
+        new, existing = g.get_steiner_linestrings()
+        assert new == []
+        ok = (lines_equal(existing, [[(0, 0), (0, 1)], [(0, 1), (1, 1)]]) or
+              lines_equal(existing, [[(0, 0), (1, 0)], [(1, 0), (1, 1)]]))
+        assert ok
+
+
+class TestWidthSteinerApprox:
+    def test_w_width(self):
+        lines = [
+            np.array([(0, 0), (1, 0), (1, 1), (0.5, 0.5), (0, 0)], dtype=float),
+            np.array([(0, 0), (0.5, 0.5), (1, 1), (0, 1), (0, 0)], dtype=float),
+        ]
+        g = ReblockGraph.from_lines(lines)
+        g.add_node_to_closest_edge((0, 0), terminal=True)
+        g.add_node_to_closest_edge((1, 1), terminal=True)
+        eps = 0.00001
+        house = np.array([(0.5, 0.5 + eps), (0.55, 0.55 + eps),
+                          (0.55, 0.55 + 2 * eps), (0.5, 0.5 + 2 * eps),
+                          (0.5, 0.5 + eps)])
+        g.set_edge_width([house], simplify=True)
+        g.calc_edge_weight()
+        g.steiner_tree_approx()
+        new, existing = g.get_steiner_linestrings()
+        ok = (lines_equal(new, [[(0, 0), (0, 1)], [(0, 1), (1, 1)]]) or
+              lines_equal(new, [[(0, 0), (1, 0)], [(1, 0), (1, 1)]]))
+        assert ok
+        assert existing == []
+
+
+class TestAddingThruStreets:
+    def _make(self):
+        lines = [
+            make_square((0, 0), 3.0),
+            np.array([(0, 0), (0.9, 0.9)]),
+            np.array([(2.1, 2.1), (3, 3)]),
+            np.array([(0.9, 0.9), (2.1, 2.1)]),
+        ]
+        g = ReblockGraph.from_lines(lines)
+        g.add_node_to_closest_edge((0.9, 0.9), terminal=True)
+        g.add_node_to_closest_edge((2.1, 2.1), terminal=True)
+        g.add_node_to_closest_edge((0, 1), terminal=True)
+        return g, make_square((0, 0), 3.0)
+
+    def test_no_thru(self):
+        g, block = self._make()
+        g.update_edge_types(block, check=True)
+        g.steiner_tree_approx()
+        new, existing = g.get_steiner_linestrings()
+        assert lines_equal(new, [[(0, 0), (0.9, 0.9)], [(2.1, 2.1), (3, 3)]])
+        ok = (lines_equal(existing, [[(0, 0), (0, 3)], [(0, 3), (3, 3)]]) or
+              lines_equal(existing, [[(3, 3), (3, 0)], [(3, 0), (0, 0)]]))
+        assert ok
+
+    def test_add_thru(self):
+        g, block = self._make()
+        g.update_edge_types(block, check=True)
+        g.steiner_tree_approx()
+        g.add_through_lines(ratio_cutoff=2)
+        new, existing = g.get_steiner_linestrings()
+        assert lines_equal(new, [[(0, 0), (3, 3)]])
+        ok = (lines_equal(existing, [[(0, 0), (0, 3)], [(0, 3), (3, 3)]]) or
+              lines_equal(existing, [[(3, 3), (3, 0)], [(3, 0), (0, 0)]]))
+        assert ok
