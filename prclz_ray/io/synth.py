@@ -35,8 +35,8 @@ COUNTRIES = {
 }
 REGIONS_PER_SIDE = 2        # 2x2 regions per country
 GRID_N = 4                  # n x n street-grid cells per region
-GRID_W = 0.02               # grid cell width in degrees
-GRID_MARGIN = 0.05          # grid offset inside the region
+GRID_W = 0.5 / GRID_N       # grid cell width: the grid spans the region, so
+GRID_MARGIN = 0.0           # region polygonization yields exactly n² blocks
 LANGS = ["en", "fr", "ar", "sw"]
 EPOCH = _dt.datetime(2026, 1, 1)
 HOT_CELL_FRAC = 0.3

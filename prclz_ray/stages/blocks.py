@@ -1,0 +1,130 @@
+"""Street-block extraction stage (reference: prclz ``blocks/``).
+
+Semantics (SURVEY §3.1): regions ⋈ road linestrings, grouped per region;
+per region the road arrangement is polygonized into faces = street blocks;
+ids minted deterministically. The reference's default method buffers lines
+by ε and differences (``blocks/_methods.py:17-40``); its documented-equal
+alternative polygonizes the segment arrangement (``:43-106``). The engine's
+primary method is the polygonization (robust without GEOS buffering); the
+strategy interface is preserved (``:11-14`` ABC).
+
+Stable ids: the reference enumerates polygons in library order
+(``_extract_blocks.py:36``) which is not stable under re-execution
+(SURVEY §7.5.5); the engine sorts faces by (minx, miny, maxx, maxy) before
+minting ``{gadm}_{i}`` so ids survive retries/parallelism.
+"""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import wkb
+from ..geom.core import bbox, shoelace_area
+from ..graph.planar import node_segments, polygonize
+from ..index import s2
+
+
+class BlockExtractionMethod(ABC):
+    @abstractmethod
+    def extract(self, region_ring: np.ndarray, lines: list[np.ndarray]) -> list[np.ndarray]:
+        """region exterior ring + road polylines → block rings."""
+
+
+class IntersectionPolygonization(BlockExtractionMethod):
+    """Primary method: node the segment arrangement (roads + region
+    boundary as constraint, per ``blocks/_methods.py:101-106``) and emit
+    its inner faces."""
+
+    def extract(self, region_ring, lines):
+        segs = []
+        for ln in lines:
+            arr = np.asarray(ln, dtype=np.float64)
+            for a, b in zip(arr, arr[1:]):
+                segs.append((tuple(a), tuple(b)))
+        rr = np.asarray(region_ring, dtype=np.float64)
+        for a, b in zip(rr, rr[1:]):
+            segs.append((tuple(a), tuple(b)))
+        noded = node_segments(segs)
+        faces = polygonize(noded)
+        return [f for f in faces if abs(shoelace_area(f)) > 1e-12]
+
+
+class BufferedLineDifference(BlockExtractionMethod):
+    """The reference's default (buffer-ε + difference,
+    ``blocks/_methods.py:17-40``) needs polygon offsetting; the engine
+    treats polygonization as the equal primary (the reference documents
+    them as interchangeable strategies). Provided for API parity."""
+
+    def __init__(self, epsilon: float = 5e-6):
+        self.epsilon = epsilon
+
+    def extract(self, region_ring, lines):
+        raise NotImplementedError(
+            "BufferedLineDifference requires polygon offsetting; use "
+            "IntersectionPolygonization (documented-equal strategy)")
+
+
+DEFAULT_EXTRACTION_METHOD = IntersectionPolygonization
+
+
+def extract_blocks(regions_ds, lines_ds, method: BlockExtractionMethod | None = None,
+                   level: int = s2.DEFAULT_LEVEL):
+    """Ray pipeline: groupby(gadm_code) over the union of regions and their
+    lines → per-region polygonize → blocks table
+    (block_id, gadm_code, cell, geometry)."""
+    method = method or DEFAULT_EXTRACTION_METHOD()
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return fn
+
+    r = regions_ds.map_batches(tag(1), batch_format="pyarrow") \
+        .select_columns(["gadm_code", "geometry", "_side"])
+    l = lines_ds.map_batches(tag(0), batch_format="pyarrow") \
+        .select_columns(["gadm_code", "geometry", "_side"])
+    unioned = r.union(l)
+
+    def per_region(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        gadm = group["gadm_code"][0].as_py()
+        regions = group.filter(pc.equal(group["_side"], 1))
+        lines = group.filter(pc.equal(group["_side"], 0))
+        if regions.num_rows == 0:
+            return _empty_blocks()
+        t, v = wkb.decode(regions["geometry"][0].as_py())
+        region_ring = v[0] if t == wkb.POLYGON else v[0][0]
+        line_coords = []
+        for buf in lines["geometry"]:
+            lt, lv = wkb.decode(buf.as_py())
+            if lt == wkb.LINESTRING:
+                line_coords.append(lv)
+            elif lt == wkb.MULTILINESTRING:
+                line_coords.extend(lv)
+        faces = method.extract(region_ring, line_coords)
+        faces.sort(key=lambda f: bbox(f))
+        ids, cells, geoms = [], [], []
+        for i, f in enumerate(faces):
+            ids.append(f"{gadm}_{i}")
+            cx, cy = f[:-1, 0].mean(), f[:-1, 1].mean()
+            cells.append(int(s2.lnglat_to_cellid(np.array([cx]), np.array([cy]), level)[0]))
+            geoms.append(wkb.polygon(f))
+        return pa.table({
+            "block_id": ids,
+            "gadm_code": [gadm] * len(ids),
+            "cell": pa.array(np.array(cells, dtype=np.uint64)),
+            "geometry": pa.array(geoms, type=pa.binary()),
+        })
+
+    return unioned.groupby("gadm_code").map_groups(per_region, batch_format="pyarrow")
+
+
+def _empty_blocks() -> pa.Table:
+    return pa.table({
+        "block_id": pa.array([], type=pa.string()),
+        "gadm_code": pa.array([], type=pa.string()),
+        "cell": pa.array([], type=pa.uint64()),
+        "geometry": pa.array([], type=pa.binary()),
+    })
