@@ -68,6 +68,17 @@ def block_complexity(block_ring: np.ndarray, centroids: np.ndarray) -> int:
     return weak_dual_sequence_depth(s0_approximation(block_ring, centroids))
 
 
+def _blocks_pack(blocks):
+    """Materialize the (small) blocks side and broadcast block_id → WKB.
+    Returns (pa.Table, ray.ObjectRef of the id→geometry dict)."""
+    import ray
+    if not isinstance(blocks, pa.Table):
+        blocks = pa.Table.from_pylist(blocks.take_all())
+    block_geom = {bid: g for bid, g in zip(blocks["block_id"].to_pylist(),
+                                           blocks["geometry"].to_pylist())}
+    return blocks, ray.put(block_geom)
+
+
 def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 2000):
     """blocks: pa.Table or Dataset (block_id, geometry[, cell]);
     buildings_ds: Dataset with WKB geometry. Output: COMPLEXITY schema.
@@ -76,14 +87,11 @@ def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 200
     (broadcast) blocks, then grouped per block for the CPU-heavy kernel —
     the group stage caps pathological groups (reference precedent: unbounded
     weak-dual loops, SURVEY §7.5.7) via ``max_buildings_per_block``."""
+    import ray
+
     from .joins import pip_join
 
-    if not isinstance(blocks, pa.Table):
-        blocks = pa.Table.from_pylist(blocks.take_all())
-    block_geom = {bid: g for bid, g in zip(blocks["block_id"].to_pylist(),
-                                           blocks["geometry"].to_pylist())}
-    import ray
-    geom_ref = ray.put(block_geom)
+    blocks, geom_ref = _blocks_pack(blocks)
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
         xs, ys = [], []

@@ -1,0 +1,177 @@
+"""Reblock stage: Steiner least-cost street networks per block.
+
+Reference lifecycle (SURVEY §3.3, prclz ``_reblock.py:135-219``): per block
+— parcel boundaries → graph, building centroids → terminals projected onto
+nearest edges, block boundary → zero-weight existing roads, optional
+width-aware weights, largest component, Steiner approximation, optional
+through-streets — emitted as (block_id, road_type ∈ {new, existing},
+geometry) rows plus the reblock_summary counters the fixtures pin down
+(``example_data/reblock/Africa/DJI/reblock_summary_DJI.1.1_1.csv:1``).
+
+Ray shape: three tables co-grouped by block_id; the graph kernel runs
+inside ``map_groups`` (per-block state never crosses tasks).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geom import wkb
+from ..graph.reblock_graph import ReblockGraph
+
+
+def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
+                  centroids: np.ndarray, use_width: bool = False,
+                  building_rings: list[np.ndarray] | None = None,
+                  through_ratio: float | None = None,
+                  simplify: bool = False) -> dict:
+    """Single-block kernel → {new, existing, summary}."""
+    t0 = time.time()
+    g = ReblockGraph.from_polygons(parcel_rings)
+    node_pre, edge_pre = g.g.number_of_nodes(), g.g.number_of_edges()
+    g.add_buildings(np.asarray(centroids, dtype=np.float64).reshape(-1, 2))
+    bldg_time = time.time() - t0
+
+    missing, total = g.update_edge_types(block_ring, check=True)
+    if use_width and building_rings:
+        g.set_edge_width(building_rings, simplify=True)
+        g.calc_edge_weight()
+    ncomps = g.clean_graph()
+
+    t1 = time.time()
+    g.steiner_tree_approx()
+    if through_ratio is not None:
+        g.add_through_lines(ratio_cutoff=through_ratio)
+    steiner_time = time.time() - t1
+
+    t2 = time.time()
+    if simplify:
+        g.simplify()
+    simplify_time = time.time() - t2
+
+    new, existing = g.get_steiner_linestrings()
+    return {
+        "new": new,
+        "existing": existing,
+        "terminals": g.get_terminal_points(),
+        "summary": {
+            "bldg_time": bldg_time,
+            "simplify_time": simplify_time,
+            "steiner_time": steiner_time,
+            "num_graph_comps": ncomps,
+            "node_count_pre": node_pre,
+            "node_count_post": g.g.number_of_nodes(),
+            "edge_count_pre": edge_pre,
+            "edge_count_post": g.g.number_of_edges(),
+            "bldg_count": int(len(np.asarray(centroids).reshape(-1, 2))),
+            "num_block_coords": int(total or 0),
+            "num_block_coords_unmatched": int(missing or 0),
+        },
+    }
+
+
+def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
+                     through_ratio: float | None = None,
+                     min_buildings: int = 2):
+    """blocks: small table (block_id, geometry) broadcast; parcels_ds and
+    buildings_ds co-grouped by block_id. Output rows: REBLOCK schema +
+    summary columns (road rows carry nulls in summary cols; one summary row
+    per block carries road_type='summary')."""
+    import ray
+
+    from .complexity import _blocks_pack
+    from .joins import pip_join
+
+    blocks_tbl, geom_ref = _blocks_pack(blocks)
+
+    def centroid_batch(batch: pa.Table) -> pa.Table:
+        from ..geom.core import ring_centroid
+        xs, ys = [], []
+        for buf in batch["geometry"]:
+            t, v = wkb.decode(buf.as_py())
+            ring = v[0] if t == wkb.POLYGON else v[0][0]
+            cx, cy = ring_centroid(ring)
+            xs.append(cx)
+            ys.append(cy)
+        out = batch.append_column("cx", pa.array(np.array(xs)))
+        return out.append_column("cy", pa.array(np.array(ys)))
+
+    cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
+    joined_bldgs = pip_join(cents.select_columns(["bldg_id", "cx", "cy", "geometry"]),
+                            blocks_tbl.select(["block_id", "geometry"]),
+                            id_col="block_id", x_col="cx", y_col="cy",
+                            how="inner", out_id_col="block_id")
+
+    b = joined_bldgs.map_batches(
+        lambda t: t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow").select_columns(
+            ["block_id", "geometry", "cx", "cy", "_side"])
+    p = parcels_ds.map_batches(
+        lambda t: t.append_column("_side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+                   .append_column("cx", pa.array(np.full(t.num_rows, np.nan)))
+                   .append_column("cy", pa.array(np.full(t.num_rows, np.nan))),
+        batch_format="pyarrow").select_columns(
+            ["block_id", "geometry", "cx", "cy", "_side"])
+
+    def per_block(group: pa.Table) -> pa.Table:
+        bid = group["block_id"][0].as_py()
+        bldgs = group.filter(pc.equal(group["_side"], 0))
+        parcels = group.filter(pc.equal(group["_side"], 1))
+        if bldgs.num_rows < min_buildings or parcels.num_rows == 0:
+            return _empty_reblock()  # reference skips ≤1-building blocks (:347)
+        block_ring = wkb.decode(ray.get(geom_ref)[bid])[1][0]
+        parcel_rings = []
+        for buf in parcels["geometry"]:
+            t, v = wkb.decode(buf.as_py())
+            parcel_rings.append(v[0] if t == wkb.POLYGON else v[0][0])
+        centroids = np.stack([bldgs["cx"].to_numpy(zero_copy_only=False),
+                              bldgs["cy"].to_numpy(zero_copy_only=False)], axis=1)
+        bldg_rings = []
+        for buf in bldgs["geometry"]:
+            t, v = wkb.decode(buf.as_py())
+            bldg_rings.append(v[0] if t == wkb.POLYGON else v[0][0])
+        res = reblock_block(block_ring, parcel_rings, centroids,
+                            use_width=use_width, building_rings=bldg_rings,
+                            through_ratio=through_ratio)
+        rows_id, rows_type, rows_geom = [], [], []
+        if res["new"]:
+            rows_id.append(bid); rows_type.append("new")
+            rows_geom.append(wkb.multilinestring(res["new"]))
+        if res["existing"]:
+            rows_id.append(bid); rows_type.append("existing")
+            rows_geom.append(wkb.multilinestring(res["existing"]))
+        rows_id.append(bid); rows_type.append("summary")
+        rows_geom.append(wkb.multipoint(res["terminals"]))
+        s = res["summary"]
+        n = len(rows_id)
+        cols = {
+            "block_id": rows_id, "road_type": rows_type,
+            "geometry": pa.array(rows_geom, type=pa.binary()),
+        }
+        for key in ("bldg_time", "simplify_time", "steiner_time"):
+            cols[key] = pa.array([None] * (n - 1) + [float(s[key])], type=pa.float64())
+        for key in ("num_graph_comps", "node_count_pre", "node_count_post",
+                    "edge_count_pre", "edge_count_post", "bldg_count",
+                    "num_block_coords", "num_block_coords_unmatched"):
+            cols[key] = pa.array([None] * (n - 1) + [int(s[key])], type=pa.int32())
+        return pa.table(cols)
+
+    return b.union(p).groupby("block_id").map_groups(per_block, batch_format="pyarrow")
+
+
+def _empty_reblock() -> pa.Table:
+    cols = {
+        "block_id": pa.array([], type=pa.string()),
+        "road_type": pa.array([], type=pa.string()),
+        "geometry": pa.array([], type=pa.binary()),
+    }
+    for key in ("bldg_time", "simplify_time", "steiner_time"):
+        cols[key] = pa.array([], type=pa.float64())
+    for key in ("num_graph_comps", "node_count_pre", "node_count_post",
+                "edge_count_pre", "edge_count_post", "bldg_count",
+                "num_block_coords", "num_block_coords_unmatched"):
+        cols[key] = pa.array([], type=pa.int32())
+    return pa.table(cols)
