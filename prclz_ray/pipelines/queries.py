@@ -1,0 +1,727 @@
+"""Driver-facing query registry: every operator family from SURVEY §2 (plus
+the training-data operator suite) as a named pipeline over the driver's
+testdata tables, each with a DuckDB oracle where SQL can express it.
+
+Conventions (driver compare contract):
+  - every computed/aggregate column is NAMED IDENTICALLY in the Ray
+    pipeline and the oracle SQL
+  - money aggregates are ROUND(x, 2) on both sides (parallel-sum float
+    fuzz is far below the rounding grain)
+  - synthetic geometry derives from integer columns with half-open-cell
+    placement (coords are k + 0.5, cell edges are integers) so PIP
+    boundary semantics can never disagree with the SQL half-open ranges
+
+Geometry derivation (shared by the geo queries + their oracles):
+  point(key)  = ((key*7919) % 1000 + 0.5, (key*104729) % 1000 + 0.5)
+  nation rect = [ (n%5)*200, (n%5+1)*200 ) × ( rows via n//5 )   — 5×5 grid
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..geom import wkb
+from ..stages import dedup as dd
+from ..stages import joins, relational, similarity, text
+from ..stages.text import token_count_batch
+
+# ----------------------------------------------------------------- helpers
+
+PX = "((%(k)s * 7919) %% 1000 + 0.5)"
+PY = "((%(k)s * 104729) %% 1000 + 0.5)"
+
+
+def _points_batch(batch: pa.Table, key: str) -> pa.Table:
+    k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    px = (k * 7919) % 1000 + 0.5
+    py = (k * 104729) % 1000 + 0.5
+    out = batch.append_column("px", pa.array(px.astype(np.float64)))
+    return out.append_column("py", pa.array(py.astype(np.float64)))
+
+
+def _nation_rects(nation_tbl: pa.Table, max_key: int = 25) -> pa.Table:
+    keys = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False)
+    keep = keys < max_key
+    keys = keys[keep]
+    geoms = []
+    for n in keys:
+        col, row = int(n) % 5, int(n) // 5
+        x0, y0 = col * 200.0, row * 200.0
+        geoms.append(wkb.polygon(np.array(
+            [(x0, y0), (x0 + 200, y0), (x0 + 200, y0 + 200), (x0, y0 + 200), (x0, y0)])))
+    return pa.table({"n_nationkey": pa.array(keys),
+                     "geometry": pa.array(geoms, type=pa.binary())})
+
+
+def _round2(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(2)
+    return df
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# -------------------------------------------------------------- geo queries
+
+def q_pip_points_nations(sf_dir: str):
+    """PIP join (J1/J3 semantics): customer points × 25 nation rects."""
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
+    nations = _nation_rects(pa.table(
+        {"n_nationkey": pa.array(np.arange(25, dtype=np.int32))}))
+    out = joins.pip_join(pts, nations, id_col="n_nationkey",
+                         x_col="px", y_col="py", how="inner")
+    return out.select_columns(["c_custkey", "n_nationkey"])
+
+
+SQL_PIP = """
+SELECT c_custkey, n_nationkey FROM customer, nation
+WHERE CAST(FLOOR(((c_custkey * 7919) % 1000 + 0.5) / 200) AS INT) = n_nationkey % 5
+  AND CAST(FLOOR(((c_custkey * 104729) % 1000 + 0.5) / 200) AS INT) = CAST(FLOOR(n_nationkey / 5) AS INT)
+"""
+
+
+def q_pip_left_unmatched(sf_dir: str):
+    """LEFT PIP join (J2 'keep empty' semantics): only 20 rects → 20% of
+    points carry a null nation."""
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
+    nations = _nation_rects(pa.table(
+        {"n_nationkey": pa.array(np.arange(25, dtype=np.int32))}), max_key=20)
+    out = joins.pip_join(pts, nations, id_col="n_nationkey",
+                         x_col="px", y_col="py", how="left")
+    return out.select_columns(["c_custkey", "n_nationkey"])
+
+
+SQL_PIP_LEFT = """
+SELECT c_custkey, n_nationkey FROM customer LEFT JOIN nation
+ON  n_nationkey < 20
+AND CAST(FLOOR(((c_custkey * 7919) % 1000 + 0.5) / 200) AS INT) = n_nationkey % 5
+AND CAST(FLOOR(((c_custkey * 104729) % 1000 + 0.5) / 200) AS INT) = CAST(FLOOR(n_nationkey / 5) AS INT)
+"""
+
+
+def q_knn_customer_supplier(sf_dir: str):
+    """kNN join (J7 pattern): nearest supplier point per customer point,
+    integer squared distance."""
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
+    sup = pa.Table.from_pylist(_read(sf_dir, "supplier", ["s_suppkey"]).take_all())
+    sup = _points_batch(sup, "s_suppkey")
+    out = joins.knn_join(pts, sup, k=1, id_col="s_suppkey",
+                         x_col="px", y_col="py", tx_col="px", ty_col="py",
+                         out_prefix="nn")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["nn_dist"].to_numpy(zero_copy_only=False)
+        d2 = np.rint(d * d).astype(np.int64)
+        out = batch.select(["c_custkey"])
+        out = out.append_column("nn_suppkey", pc.cast(batch["nn_id"], pa.int64()))
+        return out.append_column("nn_dist2", pa.array(d2))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_KNN = """
+WITH cp AS (SELECT c_custkey, (c_custkey*7919)%1000 + 0.5 AS px, (c_custkey*104729)%1000 + 0.5 AS py FROM customer),
+     sp AS (SELECT s_suppkey, (s_suppkey*7919)%1000 + 0.5 AS sx, (s_suppkey*104729)%1000 + 0.5 AS sy FROM supplier),
+     d AS (SELECT c_custkey, s_suppkey,
+                  CAST((px-sx)*(px-sx) + (py-sy)*(py-sy) AS BIGINT) AS dist2,
+                  ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY (px-sx)*(px-sx)+(py-sy)*(py-sy), s_suppkey) AS rn
+           FROM cp, sp)
+SELECT c_custkey, s_suppkey AS nn_suppkey, dist2 AS nn_dist2 FROM d WHERE rn = 1
+"""
+
+
+def q_zonal_acctbal_nation(sf_dir: str):
+    """Zonal aggregate (raster↔vector family): per nation rect, point count
+    + acctbal sum."""
+    pts = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
+    nations = _nation_rects(pa.table(
+        {"n_nationkey": pa.array(np.arange(25, dtype=np.int32))}))
+    z = joins.zonal_stats(pts, nations, id_col="n_nationkey",
+                          value_col="c_acctbal", x_col="px", y_col="py")
+    df = z.to_pandas()[["n_nationkey", "n", "sum_value"]]
+    df = df.rename(columns={"n": "n_points", "sum_value": "sum_acctbal"})
+    return _round2(df, ["sum_acctbal"])
+
+
+SQL_ZONAL = """
+SELECT n_nationkey, COUNT(*) AS n_points, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer, nation
+WHERE CAST(FLOOR(((c_custkey * 7919) % 1000 + 0.5) / 200) AS INT) = n_nationkey % 5
+  AND CAST(FLOOR(((c_custkey * 104729) % 1000 + 0.5) / 200) AS INT) = CAST(FLOOR(n_nationkey / 5) AS INT)
+GROUP BY n_nationkey
+"""
+
+
+def q_raster_grid_counts(sf_dir: str):
+    """Vector→raster: rasterize customer points onto a 50-unit grid."""
+    pts = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
+    r = joins.rasterize_points(pts, x_col="px", y_col="py",
+                               value_col="c_acctbal", res=50.0)
+    df = r.to_pandas()[["px", "py", "n", "value"]]
+    df = df.rename(columns={"n": "n_points", "value": "sum_acctbal"})
+    return _round2(df, ["sum_acctbal"])
+
+
+SQL_RASTER = """
+SELECT CAST(FLOOR(((c_custkey*7919)%1000 + 0.5)/50) AS BIGINT) AS px,
+       CAST(FLOOR(((c_custkey*104729)%1000 + 0.5)/50) AS BIGINT) AS py,
+       COUNT(*) AS n_points, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer GROUP BY 1, 2
+"""
+
+
+def q_raster_zonal_nation(sf_dir: str):
+    """Raster→vector zonal: pixel aggregates joined back to nation rects."""
+    pts = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
+    raster = joins.rasterize_points(pts, x_col="px", y_col="py",
+                                    value_col="c_acctbal", res=50.0)
+    nations = _nation_rects(pa.table(
+        {"n_nationkey": pa.array(np.arange(25, dtype=np.int32))}))
+    z = joins.raster_zonal(raster, nations, id_col="n_nationkey", res=50.0)
+    df = z.to_pandas()[["n_nationkey", "zone_value", "zone_points", "zone_pixels"]]
+    return _round2(df, ["zone_value"])
+
+
+SQL_RASTER_ZONAL = """
+WITH px AS (
+  SELECT CAST(FLOOR(((c_custkey*7919)%1000 + 0.5)/50) AS BIGINT) AS gx,
+         CAST(FLOOR(((c_custkey*104729)%1000 + 0.5)/50) AS BIGINT) AS gy,
+         COUNT(*) AS n, SUM(c_acctbal) AS v
+  FROM customer GROUP BY 1, 2)
+SELECT n_nationkey, ROUND(SUM(v), 2) AS zone_value, SUM(n) AS zone_points,
+       COUNT(*) AS zone_pixels
+FROM px, nation
+WHERE CAST(FLOOR((gx*50 + 25.0) / 200) AS INT) = n_nationkey % 5
+  AND CAST(FLOOR((gy*50 + 25.0) / 200) AS INT) = CAST(FLOOR(n_nationkey / 5) AS INT)
+GROUP BY n_nationkey
+"""
+
+
+# ------------------------------------------------- flagship (derived pages)
+
+def _derived_pages(sf_dir: str, parallelism: int = 8):
+    """Deterministic pages corpus derived from the documents table: url,
+    warc_ts, html (geo meta + body from doc text), lang; 1% stale dups."""
+    import datetime as _dt
+    EPOCH = _dt.datetime(2026, 1, 1)
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        urls, ts, htmls, lg = [], [], [], []
+        for i, t, lang in zip(ids, texts, langs):
+            i = int(i)
+            country = i % 3
+            a = (i * 7919) % 1000
+            b = (i * 104729) % 1000
+            lng = (10 + 2 * country) + (a + 0.5) / 1000.0
+            lat = 10 + (b + 0.5) / 1000.0
+            html = (f'<html><head><meta name="geo" content="{lat:.6f};{lng:.6f}">'
+                    f"</head><body><p>{t[:200]}</p></body></html>").encode()
+            urls.append(f"https://example.org/doc/{i}")
+            ts.append(EPOCH + _dt.timedelta(seconds=i))
+            htmls.append(html)
+            lg.append(lang)
+            if i % 100 == 7:
+                urls.append(f"https://example.org/doc/{i}")
+                ts.append(EPOCH + _dt.timedelta(seconds=i) - _dt.timedelta(days=30))
+                htmls.append(html.replace(b"<p>", b"<p>STALE "))
+                lg.append(lang)
+        return pa.table({"url": urls,
+                         "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+                         "html": pa.array(htmls, type=pa.binary()),
+                         "lang": lg})
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(build, batch_format="pyarrow")
+
+
+def _synth_region_rects() -> pa.Table:
+    from ..io import synth
+    return synth.regions_table()
+
+
+def q_flagship_region_counts(sf_dir: str):
+    """Headline pipeline: derived pages → parse (actor pool) → url dedup
+    (latest wins) → S2 cells → PIP join vs regions → counts per region."""
+    from .flagship import run_flagship
+    joined, _ = run_flagship(_derived_pages(sf_dir), _synth_region_rects())
+    out = joined.groupby("gadm_code").count().to_pandas()
+    out = out.rename(columns={"count()": "n_pages"})
+    return out[["gadm_code", "n_pages"]]
+
+
+SQL_FLAGSHIP = """
+WITH p AS (SELECT doc_id, doc_id % 3 AS country,
+                  (doc_id*7919) % 1000 AS a, (doc_id*104729) % 1000 AS b
+           FROM documents)
+SELECT 'SYN' || CASE country WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END
+       || '.' || CAST(CASE WHEN a < 500 THEN 1 ELSE 2 END AS VARCHAR)
+       || '.' || CAST(CASE WHEN b < 500 THEN 1 ELSE 2 END AS VARCHAR)
+       || '_1' AS gadm_code,
+       COUNT(*) AS n_pages
+FROM p GROUP BY 1
+"""
+
+
+def q_dedup_url_latest(sf_dir: str):
+    """url-exact dedup, latest warc_ts wins (D6) over the derived pages
+    (with their 1% stale duplicates)."""
+    from .flagship import PageParser, dedup_latest_by_url
+    pages = _derived_pages(sf_dir)
+    parsed = pages.map_batches(PageParser, batch_format="pyarrow",
+                               batch_size=2048, concurrency=2,
+                               zero_copy_batch=True)
+    out = dedup_latest_by_url(parsed)
+    return out.select_columns(["url", "warc_ts"])
+
+
+SQL_DEDUP_URL = """
+WITH base AS (
+  SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         TIMESTAMP '2026-01-01' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+         doc_id FROM documents),
+ stale AS (
+  SELECT url, warc_ts - INTERVAL 30 DAY AS warc_ts, doc_id FROM base
+  WHERE doc_id % 100 = 7)
+SELECT url, MAX(warc_ts) AS warc_ts
+FROM (SELECT url, warc_ts FROM base UNION ALL SELECT url, warc_ts FROM stale)
+GROUP BY url
+"""
+
+
+# ------------------------------------------------------- relational queries
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: partial per-batch aggregation before the groupby
+    shuffle (guide §Aggregation at scale)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch["l_shipdate"],
+                                       pa.scalar(np.datetime64("1998-09-01", "us"))))
+        df = t.to_pandas()
+        df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"), p_base=("l_extendedprice", "sum"),
+            p_disc=("disc_price", "sum"), p_n=("l_quantity", "count"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    out = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_n", alias_name="count_order"))
+    df = out.to_pandas()
+    df["count_order"] = df["count_order"].astype("int64")
+    return _round2(df, ["sum_qty", "sum_base_price", "sum_disc_price"])
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_by_revenue(sf_dir: str):
+    """Top-k (O2 analogue): top 10 orders by lineitem revenue."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev"] = df.l_extendedprice * (1 - df.l_discount)
+        agg = df.groupby("l_orderkey", as_index=False).agg(p_rev=("rev", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    per_order = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("p_rev", alias_name="revenue"))
+    top = per_order.sort("revenue", descending=True).limit(10).to_pandas()
+    return _round2(top[["l_orderkey", "revenue"]], ["revenue"])
+
+
+SQL_TOP_ORDERS = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_orderkey
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_nation_order_totals(sf_dir: str):
+    """Broadcast dimension join chain: customer ⋈ nation (broadcast) ⋈
+    orders, totals per nation."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = pa.Table.from_pylist(_read(sf_dir, "nation",
+                                        ["n_nationkey", "n_name"]).take_all())
+    nation = nation.rename_columns(["c_nationkey", "n_name"])
+    enriched = relational.broadcast_join(cust, nation, on="c_nationkey")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust_small = pa.Table.from_pylist(enriched.take_all()) \
+        .rename_columns(["o_custkey", "c_nationkey", "n_name"])
+    joined = relational.broadcast_join(orders, cust_small.select(["o_custkey", "n_name"]),
+                                       on="o_custkey")
+    from ray.data.aggregate import Count, Sum
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    df = out.to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return _round2(df[["n_name", "n_orders", "total"]], ["total"])
+
+
+SQL_NATION_TOTALS = """
+SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_bucketed_join_segment_totals(sf_dir: str):
+    """Large×large partitioned hash join (explicit bucket shuffle)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+                     batch_format="pyarrow")
+    joined = relational.bucketed_hash_join(orders, cust, on="o_custkey",
+                                           num_buckets=16)
+    from ray.data.aggregate import Count, Sum
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    df = out.to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return _round2(df[["c_mktsegment", "n_orders", "total"]], ["total"])
+
+
+SQL_SEGMENT_TOTALS = """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_orders_status_counts(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    from ray.data.aggregate import Count, Sum
+    out = orders.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return _round2(df[["o_orderstatus", "n", "total"]], ["total"])
+
+
+SQL_STATUS = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_topk_parts_by_price(sf_dir: str):
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    top = parts.sort(["p_retailprice", "p_partkey"],
+                     descending=[True, False]).limit(20)
+    return top.to_pandas()
+
+
+SQL_TOPK_PARTS = """
+SELECT p_partkey, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+"""
+
+
+def q_distinct_event_types(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type"])
+    out = ev.groupby("event_type").count().to_pandas()
+    out = out.rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "n"]]
+
+
+SQL_EVENT_TYPES = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+def q_semi_customers_with_orders(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    keys = {r["o_custkey"] for r in _read(sf_dir, "orders", ["o_custkey"]).take_all()}
+    return relational.semi_join(cust, keys, on="c_custkey")
+
+
+SQL_SEMI = """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_anti_customers_without_orders(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    keys = {r["o_custkey"] for r in _read(sf_dir, "orders", ["o_custkey"]).take_all()}
+    df = relational.semi_join(cust, keys, on="c_custkey", anti=True).to_pandas()
+    if df.empty:  # keep the schema on an empty result
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df
+
+
+SQL_ANTI = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_window_user_activity(sf_dir: str):
+    """Tumbling 1-hour windows per user over the events stream table
+    (streaming-shaped workload; guide §Streaming-shaped)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = relational.windowed_aggregate(ev, "user_id", "ts", "value", 3600)
+    df = out.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df = df.rename(columns={"window": "win"})
+    return _round2(df[["user_id", "win", "sum_value", "n_events", "max_value"]],
+                   ["sum_value", "max_value"])
+
+
+SQL_WINDOW = """
+SELECT user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS win,
+       ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n_events,
+       ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ text / dedup / sim
+
+def q_exact_dedup_documents(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.exact_dedup(docs, text_col="text", key_col="doc_id") \
+        .select_columns(["doc_id"])
+
+
+SQL_EXACT_DEDUP = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_token_counts_by_lang(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    counted = docs.map_batches(token_count_batch, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+    out = counted.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("tokens_ws", alias_name="sum_tokens_ws"),
+        Sum("tokens_re", alias_name="sum_tokens_re"))
+    df = out.to_pandas()
+    for c in ("n_docs", "sum_tokens_ws", "sum_tokens_re"):
+        df[c] = df[c].astype("int64")
+    return df[["lang", "n_docs", "sum_tokens_ws", "sum_tokens_re"]]
+
+
+SQL_TOKENS = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS sum_tokens_ws,
+       SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS sum_tokens_re
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_stats_by_lang(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = docs.map_batches(text.QualityScorer, batch_format="pandas",
+                              concurrency=2)
+    from ray.data.aggregate import Count, Sum
+    out = scored.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("q_chars", alias_name="sum_chars"),
+        Sum("q_words", alias_name="sum_words"))
+    df = out.to_pandas()
+    for c in ("n_docs", "sum_chars", "sum_words"):
+        df[c] = df[c].astype("int64")
+    return df[["lang", "n_docs", "sum_chars", "sum_words"]]
+
+
+SQL_QUALITY = r"""
+SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS sum_chars,
+       SUM(len(regexp_extract_all(text, '\w+'))) AS sum_words
+FROM documents GROUP BY lang
+"""
+
+
+def q_ann_topk_cosine(sf_dir: str):
+    """Brute-force exact top-5 cosine for 3 query vectors (the ANN
+    baseline; float64 end-to-end so ordering matches the SQL oracle)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = [r for r in emb.take_all() if r["vec_id"] < 3]
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    out = similarity.ann_bruteforce(emb, queries, qids, k=5)
+    return out.select_columns(["query_id", "match_id"])
+
+
+SQL_ANN = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+     s AS (SELECT q.qid, e.vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                               e.vec_id) AS rnk
+           FROM q, embeddings e)
+SELECT qid AS query_id, vec_id AS match_id FROM s WHERE rnk <= 5
+"""
+
+
+def q_minhash_dedup_documents(sf_dir: str):
+    """MinHash+LSH near-dup (rows-only check: non-SQL-expressible)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept, _ = dd.minhash_lsh_dedup(docs, key_col="doc_id", text_col="text",
+                                   jaccard_threshold=0.8)
+    return kept.select_columns(["doc_id"])
+
+
+def q_simhash_candidate_pairs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_dedup(docs, key_col="doc_id", text_col="text",
+                            hamming_radius=3)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dd.embedding_dedup_pairs(emb, cosine_threshold=0.95)
+
+
+def q_langid_documents(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(text.LangId, batch_format="pandas", concurrency=2)
+    counts = out.groupby("lang_pred").count().to_pandas()
+    counts = counts.rename(columns={"count()": "n"})
+    return counts[["lang_pred", "n"]]
+
+
+def q_fingerprint_documents(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(text.fingerprint_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint", "content_hash"])
+
+
+def q_ann_ivf(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = [r for r in emb.take_all() if r["vec_id"] < 3]
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    C = similarity.train_centroids(emb, n_centroids=8)
+    return similarity.ann_ivf(emb, queries, qids, C, k=5, nprobe=3)
+
+
+# --------------------------------------------- geospatial fixture pipelines
+
+def q_blocks_fixture(sf_dir: str):
+    from ..io import synth
+    from ..stages.blocks import extract_blocks
+    ds = extract_blocks(rd.from_arrow(synth.regions_table()),
+                        rd.from_arrow(synth.lines_table()))
+    return ds.select_columns(["block_id", "gadm_code"])
+
+
+def q_complexity_fixture(sf_dir: str):
+    import pyarrow as _pa
+
+    from ..io import synth
+    from ..stages.blocks import extract_blocks
+    from ..stages.complexity import complexity_pipeline
+    blocks = _pa.Table.from_pylist(
+        extract_blocks(rd.from_arrow(synth.regions_table()),
+                       rd.from_arrow(synth.lines_table())).take_all())
+    out = complexity_pipeline(blocks, rd.from_arrow(synth.buildings_table()))
+    return out.select_columns(["block_id", "complexity"])
+
+
+def q_parcels_fixture(sf_dir: str):
+    import pyarrow as _pa
+
+    from ..io import synth
+    from ..stages.blocks import extract_blocks
+    from ..stages.parcels import parcels_pipeline
+    blocks = _pa.Table.from_pylist(
+        extract_blocks(rd.from_arrow(synth.regions_table()),
+                       rd.from_arrow(synth.lines_table())).take_all())
+    out = parcels_pipeline(blocks, rd.from_arrow(synth.buildings_table()))
+    return out.select_columns(["block_id", "parcel_id", "bldg_id"])
+
+
+def q_reblock_fixture(sf_dir: str):
+    import pyarrow as _pa
+
+    from ..io import synth
+    from ..stages.blocks import extract_blocks
+    from ..stages.parcels import parcels_pipeline
+    from ..stages.reblock import reblock_pipeline
+    blocks = _pa.Table.from_pylist(
+        extract_blocks(rd.from_arrow(synth.regions_table()),
+                       rd.from_arrow(synth.lines_table())).take_all())
+    parcels = _pa.Table.from_pylist(parcels_pipeline(
+        blocks, rd.from_arrow(synth.buildings_table())).take_all())
+    out = reblock_pipeline(blocks, rd.from_arrow(parcels),
+                           rd.from_arrow(synth.buildings_table()))
+    return out.select_columns(["block_id", "road_type"])
+
+
+def q_multimodal_decode(sf_dir: str):
+    from ..stages.multimodal import decode_pipeline, synth_media_table
+    ds = rd.from_arrow(synth_media_table(64))
+    return decode_pipeline(ds)
+
+
+# ------------------------------------------------------------------ registry
+
+def registry():
+    """name → (ray_callable, oracle_sql | None)"""
+    return {
+        "pip_points_nations": (q_pip_points_nations, SQL_PIP),
+        "pip_left_unmatched": (q_pip_left_unmatched, SQL_PIP_LEFT),
+        "knn_customer_supplier": (q_knn_customer_supplier, SQL_KNN),
+        "zonal_acctbal_nation": (q_zonal_acctbal_nation, SQL_ZONAL),
+        "raster_grid_counts": (q_raster_grid_counts, SQL_RASTER),
+        "raster_zonal_nation": (q_raster_zonal_nation, SQL_RASTER_ZONAL),
+        "flagship_region_counts": (q_flagship_region_counts, SQL_FLAGSHIP),
+        "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL),
+        "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+        "top_orders_by_revenue": (q_top_orders_by_revenue, SQL_TOP_ORDERS),
+        "nation_order_totals": (q_nation_order_totals, SQL_NATION_TOTALS),
+        "bucketed_join_segment_totals": (q_bucketed_join_segment_totals, SQL_SEGMENT_TOTALS),
+        "orders_status_counts": (q_orders_status_counts, SQL_STATUS),
+        "topk_parts_by_price": (q_topk_parts_by_price, SQL_TOPK_PARTS),
+        "distinct_event_types": (q_distinct_event_types, SQL_EVENT_TYPES),
+        "semi_customers_with_orders": (q_semi_customers_with_orders, SQL_SEMI),
+        "anti_customers_without_orders": (q_anti_customers_without_orders, SQL_ANTI),
+        "window_user_activity": (q_window_user_activity, SQL_WINDOW),
+        "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP),
+        "token_counts_by_lang": (q_token_counts_by_lang, SQL_TOKENS),
+        "quality_stats_by_lang": (q_quality_stats_by_lang, SQL_QUALITY),
+        "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
+        "minhash_dedup_documents": (q_minhash_dedup_documents, None),
+        "simhash_candidate_pairs": (q_simhash_candidate_pairs, None),
+        "embedding_dup_pairs": (q_embedding_dup_pairs, None),
+        "langid_documents": (q_langid_documents, None),
+        "fingerprint_documents": (q_fingerprint_documents, None),
+        "ann_ivf_topk": (q_ann_ivf, None),
+        "blocks_fixture": (q_blocks_fixture, None),
+        "complexity_fixture": (q_complexity_fixture, None),
+        "parcels_fixture": (q_parcels_fixture, None),
+        "reblock_fixture": (q_reblock_fixture, None),
+        "multimodal_decode": (q_multimodal_decode, None),
+    }

@@ -261,7 +261,10 @@ class _GridIndex:
                 best_idx.extend(cand.tolist())
                 best_d.extend(d.tolist())
             if len(best_d) >= k:
-                order = np.argsort(np.asarray(best_d), kind="stable")[:k]
+                # order by (distance, target id): exact-tie behavior matches
+                # an ORDER BY dist, id oracle
+                tie = np.asarray([self.ids[i] for i in best_idx])
+                order = np.lexsort((tie, np.asarray(best_d)))[:k]
                 kth = np.asarray(best_d)[order[-1]]
                 # lower bound of ring r+1: r * cell (points at least this far)
                 if kth <= r * self.cell:
