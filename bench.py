@@ -1,0 +1,209 @@
+"""Benchmark driver for the prclz_ray engine.
+
+Default mode: ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32),
+run the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+plus the flagship spatial-join + tile-assignment workload over a
+deterministic synthetic pages corpus ($GRAFT_BENCH_PAGES rows, default
+200_000, materialized once to /tmp), and print ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "flagship": {"rows": n, "sec": s, "rows_per_sec": r}}
+
+Scaling mode (BASELINE.json north rule; sandbox protocol per BASELINE.md):
+  python bench.py --scaling
+runs the identical flagship job in FRESH subprocesses at num_cpus=8 and
+num_cpus=32 on the same materialized input and reports throughput at both
+plus efficiency = (T32/T8)/4.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "200000"))
+
+# headline subset of the full registry (scripts/check_queries.py runs all)
+BENCH_QUERIES = [
+    "flagship_region_counts",
+    "pip_points_nations",
+    "knn_customer_supplier",
+    "zonal_acctbal_nation",
+    "dedup_url_latest",
+    "q1_pricing_summary",
+    "nation_order_totals",
+    "window_user_activity",
+    "exact_dedup_documents",
+    "minhash_dedup_documents",
+    "token_counts_by_lang",
+    "ann_topk_cosine",
+]
+
+
+def _init(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Force execution; return row count without pulling rows to driver."""
+    import pandas as pd
+    import pyarrow as pa
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return res.count()
+
+
+BODY_PARAS = int(os.environ.get("GRAFT_BENCH_BODY_PARAS", "10"))
+
+
+def pages_path(n: int = N_PAGES, body_paras: int = BODY_PARAS) -> str:
+    """Materialize the deterministic pages corpus once (shared across runs
+    and CPU counts so scaling compares identical input). body_paras=10
+    ≈ 8 KB of html per page — Common-Crawl-like page weight."""
+    path = f"/tmp/prclz_ray_bench/pages_{n}_p{body_paras}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from prclz_ray.io import synth
+        # row groups sized to ~45 MB decoded: tiny groups cripple the Ray
+        # parquet read (per-group decode overhead), huge groups cause
+        # hundreds of MB of transient allocation per read task (kernel
+        # page-zeroing dominates wall time at high concurrency)
+        row_bytes = 600 + 1080 * body_paras
+        rg = max(4096, min(262144, (45 << 20) // row_bytes))
+        synth.pages_dataset(n, parallelism=32, body_paras=body_paras) \
+            .map_batches(lambda t: t.combine_chunks(),
+                         batch_format="pyarrow") \
+            .write_parquet(path, row_group_size=rg)
+        with open(done, "w") as f:
+            f.write(str(n))
+    return path
+
+
+def run_flagship_bench(n: int = N_PAGES) -> dict:
+    """The BASELINE.json metric workload: read pages parquet → parse
+    (actor pool, html dropped immediately) → url dedup (latest warc_ts)
+    → S2 cell assign → PIP join vs regions → per-region counts."""
+    import ray.data as rd
+    from prclz_ray.io import synth
+    from prclz_ray.pipelines.flagship import region_counts, run_flagship
+
+    path = pages_path(n)
+    t0 = time.time()
+    pages = rd.read_parquet(path, columns=["url", "warc_ts", "html"])
+    narrow = rd.read_parquet(path, columns=["url", "warc_ts"])
+    joined, _ = run_flagship(pages, synth.regions_table(),
+                             narrow_pages_ds=narrow)
+    counts = region_counts(joined)
+    dt = time.time() - t0
+    n_out = int(counts["n_pages"].sum())
+    return {"rows": n, "rows_out": n_out, "sec": round(dt, 3),
+            "rows_per_sec": round(n / dt, 1)}
+
+
+def main() -> None:
+    _init(NUM_CPUS)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    flagship = run_flagship_bench()
+    total = round(sum(timings.values()) + flagship["sec"], 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(json.dumps({
+        "metric": "spatial-join + tile-assignment throughput (rows/sec)",
+        "value": total, "unit": "sec", "queries": timings,
+        "sf": sf, "num_cpus": NUM_CPUS, "flagship": flagship,
+    }))
+    import ray
+    ray.shutdown()
+
+
+def worker(num_cpus: int, n: int) -> None:
+    """Fresh-process scaling probe: flagship only, at the given CPU count.
+    A small warmup run spawns the Ray worker processes first so the timed
+    run measures steady-state throughput, not process cold-start."""
+    import ray.data as rd
+
+    from prclz_ray.io import synth
+    from prclz_ray.pipelines.flagship import region_counts, run_flagship
+
+    _init(num_cpus)
+    path = pages_path(n)
+    warm = rd.read_parquet(path, columns=["url", "warc_ts", "html"]) \
+        .limit(8192).repartition(num_cpus)
+    region_counts(run_flagship(warm, synth.regions_table())[0])
+
+    res = run_flagship_bench(n)
+    res["num_cpus"] = num_cpus
+    print("WORKER_RESULT " + json.dumps(res))
+    import ray
+    ray.shutdown()
+
+
+N_SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "2000000"))
+
+
+def scaling(n: int = N_SCALING_PAGES, low: int = 8, high: int = 32) -> None:
+    # materialize input once (own short-lived ray session), then probe both
+    # CPU counts in fresh processes
+    _init(low)
+    pages_path(n)
+    import ray
+    ray.shutdown()
+
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_worker",
+             str(cpus), str(n)],
+            capture_output=True, text=True, env=env, check=True)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("WORKER_RESULT ")][-1]
+        results[cpus] = json.loads(line[len("WORKER_RESULT "):])
+
+    t_low = results[low]["rows_per_sec"]
+    t_high = results[high]["rows_per_sec"]
+    eff = (t_high / t_low) / (high / low)
+    print(json.dumps({
+        "metric": "scaling efficiency (flagship rows/sec, "
+                  f"num_cpus {low} -> {high})",
+        "value": round(eff, 3), "unit": "efficiency",
+        "rows": n,
+        "low": {"num_cpus": low, "rows_per_sec": t_low,
+                "sec": results[low]["sec"]},
+        "high": {"num_cpus": high, "rows_per_sec": t_high,
+                 "sec": results[high]["sec"]},
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--_worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

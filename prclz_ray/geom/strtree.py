@@ -81,13 +81,49 @@ class STRtree:
 
     def query_points(self, px: np.ndarray, py: np.ndarray):
         """For each point, candidate item indices (bbox contains point).
-        Returns (point_idx, item_idx) candidate pair arrays."""
-        pis, iis = [], []
-        for i in range(len(px)):
-            cands = self.query_box(px[i], py[i], px[i], py[i])
-            if len(cands):
-                pis.append(np.full(len(cands), i, dtype=np.int64))
-                iis.append(cands)
-        if not pis:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        return np.concatenate(pis), np.concatenate(iis)
+        Returns (point_idx, item_idx) candidate pair arrays.
+
+        Fully vectorized: all points descend the tree together as a
+        (point, node) pair frontier — no per-point Python loop."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if self.n == 0 or len(px) == 0:
+            return empty
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        if not self.levels:
+            item = self.order[0]
+            b = self.boxes[item]
+            pi = np.flatnonzero((px >= b[0]) & (px <= b[2]) &
+                                (py >= b[1]) & (py <= b[3]))
+            return pi, np.full(len(pi), item, dtype=np.int64)
+
+        def _expand(P: np.ndarray, N: np.ndarray, limit: int):
+            """(pairs) -> child pairs, bounded by `limit` children."""
+            C = (N[:, None] * self.leaf_size +
+                 np.arange(self.leaf_size)[None, :]).ravel()
+            P2 = np.repeat(P, self.leaf_size)
+            valid = C < limit
+            return P2[valid], C[valid]
+
+        root = self.levels[-1]
+        P = np.repeat(np.arange(len(px), dtype=np.int64), len(root))
+        N = np.tile(np.arange(len(root), dtype=np.int64), len(px))
+        b = root[N]
+        m = (px[P] >= b[:, 0]) & (px[P] <= b[:, 2]) & \
+            (py[P] >= b[:, 1]) & (py[P] <= b[:, 3])
+        P, N = P[m], N[m]
+        for depth in range(len(self.levels) - 1, 0, -1):
+            child = self.levels[depth - 1]
+            P, N = _expand(P, N, len(child))
+            b = child[N]
+            m = (px[P] >= b[:, 0]) & (px[P] <= b[:, 2]) & \
+                (py[P] >= b[:, 1]) & (py[P] <= b[:, 3])
+            P, N = P[m], N[m]
+            if len(P) == 0:
+                return empty
+        P, C = _expand(P, N, self.n)
+        items = self.order[C]
+        b = self.boxes[items]
+        m = (px[P] >= b[:, 0]) & (px[P] <= b[:, 2]) & \
+            (py[P] >= b[:, 1]) & (py[P] <= b[:, 3])
+        return P[m], items[m]

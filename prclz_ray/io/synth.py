@@ -154,10 +154,19 @@ _FILLER = ("lorem ipsum dolor", "vestibulum ante ipsum", "quis nostrud exercitat
 
 
 def _page_html(i: int, lat: float, lng: float, ring: np.ndarray | None,
-               stale: bool = False) -> bytes:
+               stale: bool = False, body_paras: int = 1) -> bytes:
+    """body_paras sizes the page: 1 ≈ 600 B (test fixtures); ~10 ≈ 8 KB
+    (bench corpora at Common-Crawl-like page weight)."""
     title = f"Page {i} of country survey"
-    body = " ".join(_FILLER[(i + k) % len(_FILLER)] for k in range(3 + i % 4))
     marker = "STALE-REVISION" if stale else f"rev-{i % 7}"
+    paras = []
+    for p in range(body_paras):
+        words = " ".join(_FILLER[(i + k + p * 13) % len(_FILLER)]
+                         for k in range(3 + i % 4 if body_paras == 1 else 38))
+        if p % 3 == 1:
+            words = f'<span class="s{p}">{words}</span> &lt;{p}&gt; {words}'
+        paras.append(f'<p id="p{p}">{words}</p>')
+    body = "".join(paras)
     ring_attr = ""
     if ring is not None:
         ring_attr = ('<div id="footprint" data-ring="'
@@ -167,12 +176,13 @@ def _page_html(i: int, lat: float, lng: float, ring: np.ndarray | None,
         f'<html><head><meta name="geo" content="{lat:.6f};{lng:.6f}">'
         f"<title>{title}</title><style>p {{margin: 0}}</style></head>"
         f"<body><h1>{title}</h1><script>var x = {i};</script>"
-        f"<p>{body} &amp; more [{marker}]</p>{ring_attr}</body></html>"
+        f"{body}<p>&amp; more [{marker}]</p>{ring_attr}</body></html>"
     )
     return html.encode("utf-8")
 
 
-def pages_batch(indices: np.ndarray, n_total: int, seed: int = 42) -> pa.Table:
+def pages_batch(indices: np.ndarray, n_total: int, seed: int = 42,
+                body_paras: int = 1) -> pa.Table:
     """Generate the pages rows for the given global indices — deterministic
     per-row (safe to call from parallel map_batches tasks)."""
     regions = region_boxes()
@@ -207,7 +217,7 @@ def pages_batch(indices: np.ndarray, n_total: int, seed: int = 42) -> pa.Table:
                 lat = rng.uniform(r[3], r[5])
             url = f"https://example.org/{r[1]}/{int(idx):08d}"
             ring_out = None
-        html = _page_html(int(idx), lat, lng, ring_out)
+        html = _page_html(int(idx), lat, lng, ring_out, body_paras=body_paras)
         urls.append(url)
         ts.append(EPOCH + _dt.timedelta(seconds=int(idx)))
         htmls.append(html)
@@ -215,7 +225,8 @@ def pages_batch(indices: np.ndarray, n_total: int, seed: int = 42) -> pa.Table:
         langs.append(LANGS[int(idx) % len(LANGS)])
         # 1% duplicated url with OLDER warc_ts and stale payload (latest wins)
         if int(idx) % 100 == 7:
-            stale_html = _page_html(int(idx), lat, lng, ring_out, stale=True)
+            stale_html = _page_html(int(idx), lat, lng, ring_out, stale=True,
+                                    body_paras=body_paras)
             urls.append(url)
             ts.append(EPOCH + _dt.timedelta(seconds=int(idx)) - _dt.timedelta(days=30))
             htmls.append(stale_html)
@@ -231,15 +242,16 @@ def pages_batch(indices: np.ndarray, n_total: int, seed: int = 42) -> pa.Table:
     })
 
 
-def pages_dataset(n: int, seed: int = 42, parallelism: int = 8):
+def pages_dataset(n: int, seed: int = 42, parallelism: int = 8,
+                  body_paras: int = 1):
     """Distributed deterministic generation: ray.data.range → map_batches."""
     import ray.data as rd
 
     def gen(batch):
-        return pages_batch(batch["id"], n, seed)
+        return pages_batch(batch["id"], n, seed, body_paras=body_paras)
 
     return rd.range(n, override_num_blocks=parallelism).map_batches(
-        gen, batch_format="pyarrow", batch_size=4096)
+        gen, batch_format="pyarrow", batch_size=16384)
 
 
 def write_fixture_tables(out_dir: str, n_pages: int = 2000, seed: int = 42) -> dict:

@@ -43,14 +43,14 @@ class PageParser:
         self.keep_footprint = keep_footprint
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch["html"]
+        htmls = batch["html"].to_pylist()
         n = len(htmls)
         texts = [""] * n
         lat = np.full(n, np.nan)
         lng = np.full(n, np.nan)
         rings: list = [None] * n
         for i in range(n):
-            h = htmls[i].as_py()
+            h = htmls[i]
             s = self.script.sub(b" ", h)
             s = self.tag.sub(b" ", s)
             for ent, ch in _ENTITIES:
@@ -74,15 +74,169 @@ class PageParser:
         return out
 
 
-def dedup_latest_by_url(ds):
+def dedup_latest_by_url(ds, num_buckets: int = 64):
     """Exact url dedup, latest ``warc_ts`` wins (SURVEY §2.7 D6; the
     ``warc_ts`` tie-break rule of §2.10). Hash-partition groupby on the
-    narrow post-extraction table."""
-    def latest(group: pa.Table) -> pa.Table:
-        i = pc.index(group["warc_ts"], pc.max(group["warc_ts"])).as_py()
-        return group.slice(i, 1)
+    narrow post-extraction table.
 
-    return ds.groupby("url").map_groups(latest, batch_format="pyarrow")
+    Scale note: grouping by raw ``url`` would cost one Python call per
+    distinct url; instead urls hash into ``num_buckets`` coarse buckets
+    (all rows of a url land in one bucket), and each bucket dedups
+    vectorized (stable sort + drop_duplicates). At cluster scale raise
+    ``num_buckets`` ≈ total cores so the shuffle stays balanced."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["url"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_bucket", pa.array((h % num_buckets).astype(np.int32)))
+
+    def dedup_bucket(df):
+        df = df.sort_values(["url", "warc_ts"], ascending=[True, False],
+                            kind="stable")
+        return df.drop_duplicates("url", keep="first").drop(
+            columns=["_bucket"])
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("_bucket").map_groups(
+        dedup_bucket, batch_format="pandas")
+
+
+_HASH_KEY_1 = "0123456789abcdef"
+_HASH_KEY_2 = "fedcba9876543210"
+
+
+def _url_hash_cols(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append two independent u64 url hashes (=128-bit key, collision-safe
+    at 10^12 rows) — vectorized, no string shuffling downstream."""
+    import pandas as pd
+    urls = batch[url_col].to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(urls, hash_key=_HASH_KEY_1)
+    h2 = pd.util.hash_array(urls, hash_key=_HASH_KEY_2)
+    out = batch.append_column("_h1", pa.array(h1))
+    return out.append_column("_h2", pa.array(h2))
+
+
+def duplicate_url_map(pages_ds, num_buckets: int = 64):
+    """Narrow pre-pass for dedup: over (url, warc_ts) ONLY — column-pruned
+    at the parquet read — find urls appearing more than once and their max
+    warc_ts. Returns (dup_map: dict[(h1, h2), max_ts], ties: bool).
+
+    Scale rationale: exact dedup needs one shuffle keyed by url, but it only
+    ever needs the KEY columns — and not even the strings: urls become a
+    128-bit hash pair, so the shuffle moves fixed-width ints. The groupby
+    key is a COARSE bucket (all rows of a url share a bucket), because Ray's
+    per-group machinery is pathological at per-url cardinality; inside each
+    bucket one vectorized pandas groupby finds dup urls, their max warc_ts
+    and whether that max is tied. The dup map (dup_rate × n rows) is
+    broadcast via ray.put; at cluster scale raise num_buckets ≈ total
+    cores."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _url_hash_cols(batch.select(["url", "warc_ts"]))
+        t = t.select(["_h1", "_h2", "warc_ts"])
+        bucket = (t["_h1"].to_numpy(zero_copy_only=False) %
+                  np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_bucket", pa.array(bucket))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["_h1", "_h2"], sort=False)["warc_ts"] \
+            .agg(n="size", max_ts="max").reset_index()
+        g = g[g["n"] > 1]
+        if g.empty:
+            return pd.DataFrame({"_h1": pd.Series(dtype=np.uint64),
+                                 "_h2": pd.Series(dtype=np.uint64),
+                                 "max_ts": pd.Series(dtype="datetime64[us]"),
+                                 "n_at_max": pd.Series(dtype=np.int64)})
+        d = df.merge(g[["_h1", "_h2", "max_ts"]], on=["_h1", "_h2"])
+        d = d[d["warc_ts"] == d["max_ts"]]
+        nm = d.groupby(["_h1", "_h2"], sort=False).size().rename("n_at_max")
+        out = g.merge(nm.reset_index(), on=["_h1", "_h2"])
+        return out[["_h1", "_h2", "max_ts", "n_at_max"]]
+
+    res = pages_ds.select_columns(["url", "warc_ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(combine, batch_format="pandas") \
+        .to_pandas()
+    # values as int64 epoch-us so the filter compares numpy ints, not
+    # python datetimes
+    dup_map = dict(zip(zip(res["_h1"].astype(np.uint64),
+                           res["_h2"].astype(np.uint64)),
+                       res["max_ts"].astype("int64")))
+    ties = bool((res["n_at_max"] > 1).any())
+    return dup_map, ties
+
+
+def _dup_state(ref):
+    """Worker-cached broadcast state: the dup map + a u64 probe array for
+    the vectorized prefilter."""
+    import ray
+    dmap = ray.get(ref)
+    h1arr = np.fromiter((k[0] for k in dmap), dtype=np.uint64,
+                        count=len(dmap))
+    return dmap, h1arr
+
+
+def _filter_latest(batch: pa.Table, dmap: dict, h1arr: np.ndarray,
+                   dups_only: bool = False) -> pa.Table:
+    """Keep rows that are not duplicated, or are at their url's max warc_ts
+    (dups_only=True keeps only the dup rows at max — the contested set)."""
+    h1 = batch["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h2 = batch["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ts = batch["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    mask = np.zeros(len(h1), dtype=bool) if dups_only \
+        else np.ones(len(h1), dtype=bool)
+    # vectorized prefilter: only probe the dict for plausible dups
+    for i in np.flatnonzero(np.isin(h1, h1arr)):
+        m = dmap.get((h1[i], h2[i]))
+        if m is not None:
+            mask[i] = ts[i] == m
+    return batch.filter(pa.array(mask))
+
+
+def dedup_latest_by_url_broadcast(parsed_ds, dup_map: dict, ties: bool):
+    """Streaming url dedup: rows of a non-duplicated url (the vast
+    majority) pass straight through; rows of a dup url survive only at the
+    max warc_ts. No shuffle of the wide parsed payload. If exact (url,
+    max_ts) ties exist, fall back to the grouped dedup for a deterministic
+    tie-break (rare; empty on CC-style corpora)."""
+    import ray
+
+    if ties:
+        return dedup_latest_by_url(parsed_ds)
+    if not dup_map:
+        return parsed_ds
+    ref = ray.put(dup_map)
+
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        dmap, h1arr = _cached(("dup", ref.hex()), lambda: _dup_state(ref))
+        batch = _url_hash_cols(batch)
+        out = _filter_latest(batch, dmap, h1arr)
+        return out.drop_columns(["_h1", "_h2"])
+
+    return parsed_ds.map_batches(keep_latest, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def region_counts(joined, key: str = "gadm_code",
+                  out_col: str = "n_pages"):
+    """Per-region page counts: partial value_counts inside map_batches, then
+    a tiny driver-side reduce — the combiner-before-groupby pattern (SURVEY
+    §2.5 A8). The shuffled payload is (distinct keys × blocks), not rows."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch[key].to_pandas()).value_counts(dropna=False)
+        keys = [None if pd.isna(k) else k for k in vc.index]
+        return pa.table({key: pa.array(keys, type=pa.string()),
+                         out_col: pa.array(vc.values.astype(np.int64))})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(key, dropna=False, as_index=False)[out_col].sum()
+    return out
 
 
 def assign_cells(ds, level: int = s2.DEFAULT_LEVEL):
@@ -91,21 +245,114 @@ def assign_cells(ds, level: int = s2.DEFAULT_LEVEL):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Per-worker-process state cache for task-based stages. Ray Data actors are
+# (re)spawned per dataset execution, so an actor pool pays actor startup +
+# state build on the critical path of EVERY run — for cheap state (compiled
+# regexes, a broadcast STRtree pack) that cost dominates the work. Plain
+# map_batches tasks run in long-lived worker processes; caching the stage
+# object in a module global gives actor-pool semantics (build once per
+# worker, reuse per batch) with zero pool-scheduling overhead. Use real
+# actor pools (use_actors=True) only when state is genuinely expensive
+# (models, big indexes) or must not be shared across concurrent stages.
+_WORKER_STATE: dict = {}
+
+
+def _cached(key, build):
+    obj = _WORKER_STATE.get(key)
+    if obj is None:
+        obj = _WORKER_STATE[key] = build()
+    return obj
+
+
 def run_flagship(pages_ds, regions_tbl: pa.Table, level: int = s2.DEFAULT_LEVEL,
                  out_dir: str | None = None, concurrency=(2, 8),
-                 salt_threshold: int = 50_000):
+                 salt_threshold: int = 50_000, use_actors: bool = False,
+                 dedup: str = "broadcast", batch_size: int | None = None,
+                 narrow_pages_ds=None):
     """Returns (joined_ds, info dict). joined_ds streams; nothing is
     materialized except the small per-cell histogram (and the optional
-    resumable write consumes the stream)."""
-    from ..stages.joins import pip_join
+    resumable write consumes the stream).
 
-    parsed = pages_ds.map_batches(
-        PageParser, batch_format="pyarrow", batch_size=2048,
-        concurrency=concurrency, zero_copy_batch=True)
-    deduped = dedup_latest_by_url(parsed)
-    tiled = assign_cells(deduped, level)
-    joined = pip_join(tiled, regions_tbl, id_col="gadm_code",
-                      x_col="lng", y_col="lat", how="left")
+    dedup="broadcast" (default) runs the narrow url pre-pass +
+    broadcast-filter (wide stream never shuffles); "grouped" forces the
+    one-shuffle grouped dedup.
+
+    The default path hand-fuses parse → dedup-filter → cell-assign → PIP
+    into ONE map_batches function: every stage is per-row, so splitting
+    them into separate operators would only add object-store round-trips
+    of the wide text column between them. Stage state (compiled parser,
+    broadcast dup map, broadcast STRtree pack) is built once per worker
+    process via the module-level cache. use_actors=True keeps the
+    composable actor-pool variant (one pool per stage) for stages with
+    genuinely expensive state.
+
+    batch_size=None is deliberate: an explicit batch_size blocks Ray's
+    read→map operator fusion, and unfused the raw ``html`` blocks (10-100×
+    the useful payload) transit the object store — at corpus scale that
+    spills. Fused, html lives only inside the read+parse task."""
+    import ray
+
+    from ..stages.joins import PIPJoiner, _polygon_pack, pip_join
+
+    if dedup == "broadcast":
+        # narrow_pages_ds: a (url, warc_ts)-only read of the same corpus.
+        # Ray does not push select_columns into the parquet scan, so without
+        # it the pre-pass would decode the html column just to drop it.
+        dup_map, ties = duplicate_url_map(
+            pages_ds if narrow_pages_ds is None else narrow_pages_ds)
+    else:
+        dup_map, ties = None, True  # force grouped path
+
+    if use_actors or ties:
+        if use_actors:
+            parsed = pages_ds.map_batches(
+                PageParser, batch_format="pyarrow", batch_size=batch_size,
+                concurrency=concurrency, zero_copy_batch=True)
+        else:
+            parsed = pages_ds.map_batches(
+                lambda b: _cached("page_parser", PageParser)(b),
+                batch_format="pyarrow", batch_size=batch_size,
+                zero_copy_batch=True)
+        if ties:
+            deduped = dedup_latest_by_url(parsed)
+        else:
+            deduped = dedup_latest_by_url_broadcast(parsed, dup_map, ties)
+        tiled = assign_cells(deduped, level)
+        if use_actors:
+            joined = pip_join(tiled, regions_tbl, id_col="gadm_code",
+                              x_col="lng", y_col="lat", how="left",
+                              concurrency=concurrency)
+        else:
+            ref = ray.put(_polygon_pack(regions_tbl, "gadm_code"))
+
+            def pip_task(batch: pa.Table) -> pa.Table:
+                joiner = _cached(("pip", ref.hex()), lambda: PIPJoiner(
+                    ref, "lng", "lat", "gadm_code", "left"))
+                return joiner(batch)
+
+            joined = tiled.map_batches(pip_task, batch_format="pyarrow",
+                                       batch_size=batch_size,
+                                       zero_copy_batch=True)
+    else:
+        ref = ray.put(_polygon_pack(regions_tbl, "gadm_code"))
+        dref = ray.put(dup_map) if dup_map else None
+
+        def fused(batch: pa.Table) -> pa.Table:
+            out = _cached("page_parser", PageParser)(batch)
+            if dref is not None:
+                dmap, h1arr = _cached(("dup", dref.hex()),
+                                      lambda: _dup_state(dref))
+                out = _url_hash_cols(out)
+                out = _filter_latest(out, dmap, h1arr)
+                out = out.drop_columns(["_h1", "_h2"])
+            out = tiling.assign_cells_batch(out, "lng", "lat", level)
+            joiner = _cached(("pip", ref.hex()), lambda: PIPJoiner(
+                ref, "lng", "lat", "gadm_code", "left"))
+            return joiner(out)
+
+        joined = pages_ds.map_batches(fused, batch_format="pyarrow",
+                                      batch_size=batch_size,
+                                      zero_copy_batch=True)
 
     info: dict = {"level": level}
     if out_dir is not None:

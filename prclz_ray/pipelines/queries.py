@@ -111,7 +111,7 @@ def q_knn_customer_supplier(sf_dir: str):
     integer squared distance."""
     pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
-    sup = pa.Table.from_pylist(_read(sf_dir, "supplier", ["s_suppkey"]).take_all())
+    sup = relational.ds_to_table(_read(sf_dir, "supplier", ["s_suppkey"]))
     sup = _points_batch(sup, "s_suppkey")
     out = joins.knn_join(pts, sup, k=1, id_col="s_suppkey",
                          x_col="px", y_col="py", tx_col="px", ty_col="py",
@@ -257,11 +257,9 @@ def _synth_region_rects() -> pa.Table:
 def q_flagship_region_counts(sf_dir: str):
     """Headline pipeline: derived pages → parse (actor pool) → url dedup
     (latest wins) → S2 cells → PIP join vs regions → counts per region."""
-    from .flagship import run_flagship
+    from .flagship import region_counts, run_flagship
     joined, _ = run_flagship(_derived_pages(sf_dir), _synth_region_rects())
-    out = joined.groupby("gadm_code").count().to_pandas()
-    out = out.rename(columns={"count()": "n_pages"})
-    return out[["gadm_code", "n_pages"]]
+    return region_counts(joined)[["gadm_code", "n_pages"]]
 
 
 SQL_FLAGSHIP = """
@@ -373,12 +371,12 @@ def q_nation_order_totals(sf_dir: str):
     """Broadcast dimension join chain: customer ⋈ nation (broadcast) ⋈
     orders, totals per nation."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation = pa.Table.from_pylist(_read(sf_dir, "nation",
-                                        ["n_nationkey", "n_name"]).take_all())
+    nation = relational.ds_to_table(_read(sf_dir, "nation",
+                                          ["n_nationkey", "n_name"]))
     nation = nation.rename_columns(["c_nationkey", "n_name"])
     enriched = relational.broadcast_join(cust, nation, on="c_nationkey")
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust_small = pa.Table.from_pylist(enriched.take_all()) \
+    cust_small = relational.ds_to_table(enriched) \
         .rename_columns(["o_custkey", "c_nationkey", "n_name"])
     joined = relational.broadcast_join(orders, cust_small.select(["o_custkey", "n_name"]),
                                        on="o_custkey")
@@ -463,7 +461,8 @@ SQL_EVENT_TYPES = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_t
 
 def q_semi_customers_with_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    keys = {r["o_custkey"] for r in _read(sf_dir, "orders", ["o_custkey"]).take_all()}
+    keys = set(relational.ds_to_table(
+        _read(sf_dir, "orders", ["o_custkey"]))["o_custkey"].to_pylist())
     return relational.semi_join(cust, keys, on="c_custkey")
 
 
@@ -475,7 +474,8 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 def q_anti_customers_without_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    keys = {r["o_custkey"] for r in _read(sf_dir, "orders", ["o_custkey"]).take_all()}
+    keys = set(relational.ds_to_table(
+        _read(sf_dir, "orders", ["o_custkey"]))["o_custkey"].to_pylist())
     df = relational.semi_join(cust, keys, on="c_custkey", anti=True).to_pandas()
     if df.empty:  # keep the schema on an empty result
         df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})

@@ -73,7 +73,8 @@ def _blocks_pack(blocks):
     Returns (pa.Table, ray.ObjectRef of the id→geometry dict)."""
     import ray
     if not isinstance(blocks, pa.Table):
-        blocks = pa.Table.from_pylist(blocks.take_all())
+        from .relational import ds_to_table
+        blocks = ds_to_table(blocks)
     block_geom = {bid: g for bid, g in zip(blocks["block_id"].to_pylist(),
                                            blocks["geometry"].to_pylist())}
     return blocks, ray.put(block_geom)

@@ -64,14 +64,23 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
-        t = text.encode()
+        # vectorized k-shingle hashing: FNV-style rolling polynomial over
+        # the byte array (k shifted vector ops), then unique shingles
+        t = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
         if len(t) < self.k:
-            shingles = {t}
+            hs = np.array([int.from_bytes(
+                hashlib.blake2b(t.astype(np.uint8).tobytes(),
+                                digest_size=8).digest(), "big")],
+                dtype=np.uint64)
         else:
-            shingles = {t[i:i + self.k] for i in range(len(t) - self.k + 1)}
-        hs = np.array([int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big")
-                       for s in shingles], dtype=np.uint64) & np.uint64((1 << 61) - 1)
-        # universal hashing: (a*h + b) mod p, min over shingles per perm
+            n = len(t) - self.k + 1
+            hs = np.zeros(n, dtype=np.uint64)
+            prime = np.uint64(1099511628211)
+            for j in range(self.k):
+                hs = hs * prime + t[j:j + n]
+            hs = np.unique(hs)
+        hs &= np.uint64((1 << 61) - 1)
+        # universal-style mixing: (a*h + b) mod p, min over shingles per perm
         vals = (self.a[None, :] * hs[:, None] + self.b[None, :]) % np.uint64(_MERSENNE)
         return vals.min(axis=0)
 
@@ -82,7 +91,7 @@ class MinHasher:
 
 
 def minhash_candidates(ds, key_col="doc_id", num_bands=16, num_perm=64,
-                       text_col="text", concurrency=4):
+                       text_col="text", concurrency=(1, 4)):
     """LSH banding: explode (band_id, band_hash, key) and group — rows
     sharing a band bucket are candidate duplicate pairs."""
     rows_per_band = num_perm // num_bands
@@ -138,8 +147,8 @@ def minhash_lsh_dedup(ds, key_col="doc_id", text_col="text", num_perm=64,
     import ray
 
     cands = minhash_candidates(ds, key_col, num_bands, num_perm, text_col)
-    texts_tbl = pa.Table.from_pylist(
-        ds.select_columns([key_col, text_col]).take_all())
+    from .relational import ds_to_table
+    texts_tbl = ds_to_table(ds.select_columns([key_col, text_col]))
     text_map = dict(zip(texts_tbl[key_col].to_pylist(),
                         texts_tbl[text_col].to_pylist()))
     tref = ray.put(text_map)
@@ -214,7 +223,7 @@ class SimHasher:
 
 
 def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
-                  concurrency=4):
+                  concurrency=(1, 4)):
     """SimHash near-dup: 4 16-bit bands (any exact band match is a
     candidate at radius ≤ 3 by pigeonhole), hamming-verified in-group."""
     hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(text_col=text_col),

@@ -42,7 +42,8 @@ from ..geom.strtree import STRtree
 def _polygon_pack(polygons, id_col: str, geom_col: str = "geometry"):
     """Materialize the small polygon side into (ids, rings_list, bboxes)."""
     if hasattr(polygons, "to_arrow_refs") or hasattr(polygons, "take_all"):
-        tbl = pa.Table.from_pylist(polygons.take_all())
+        from .relational import ds_to_table
+        tbl = ds_to_table(polygons)
     elif isinstance(polygons, pa.Table):
         tbl = polygons
     else:
@@ -123,7 +124,7 @@ class PIPJoiner:
 
 def pip_join(points_ds, polygons, id_col: str, x_col: str = "lng",
              y_col: str = "lat", how: str = "inner",
-             out_id_col: Optional[str] = None, concurrency: int = 4,
+             out_id_col: Optional[str] = None, concurrency=(1, 4),
              batch_size: int = 8192):
     """Broadcast PIP join: big point Dataset × small polygon table.
     The polygon pack is put in the object store ONCE and read by each actor
@@ -196,20 +197,25 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
     unioned = pts.map_batches(align, batch_format="pyarrow").union(
         polys.map_batches(align, batch_format="pyarrow"))
 
+    # output keeps EVERY point-side column (plus cell + the joined id)
+    point_out = [n for n in pts.schema().names if n != "_side"]
+    out_types = {n: col_types[n] for n in point_out}
+
     def join_tile(group: pa.Table) -> pa.Table:
         pts_t = group.filter(pc.equal(group["_side"], 0))
         pol_t = group.filter(pc.equal(group["_side"], 1))
         if pts_t.num_rows == 0 or pol_t.num_rows == 0:
-            return pa.table({x_col: pa.array([], type=pa.float64()),
-                             y_col: pa.array([], type=pa.float64()),
-                             out_id: pa.array([], type=pa.string())})
+            empty = {n: pa.array([], type=out_types[n]) for n in point_out}
+            empty[out_id] = pa.array([], type=pa.string())
+            return pa.table(empty)
         packed = _polygon_pack(pol_t.select([id_col, "geometry"]), id_col)
         joiner = PIPJoiner(packed, x_col, y_col, id_col, "inner", out_id)
         px = pts_t[x_col].to_numpy(zero_copy_only=False)
         py = pts_t[y_col].to_numpy(zero_copy_only=False)
         pi, gi = joiner.match(px, py)
-        out = pts_t.select([x_col, y_col]).take(pa.array(pi))
-        return out.append_column(out_id, pa.array([packed[0][g] for g in gi]))
+        out = pts_t.select(point_out).take(pa.array(pi))
+        return out.append_column(out_id, pa.array([packed[0][g] for g in gi],
+                                                  type=pa.string()))
 
     joined = unioned.groupby("cell").map_groups(join_tile, batch_format="pyarrow")
     # polygons were replicated across cells → a point on a tile edge can
@@ -305,13 +311,14 @@ class KNNJoiner:
 def knn_join(points_ds, targets, k: int, id_col: str, x_col: str = "lng",
              y_col: str = "lat", tx_col: str = "lng", ty_col: str = "lat",
              cell_size: Optional[float] = None, out_prefix: str = "nn",
-             concurrency: int = 4, batch_size: int = 8192):
+             concurrency=(1, 4), batch_size: int = 8192):
     """kNN join: each point gets its k nearest targets (broadcast target
     side, grid-bucket ring expansion + exact refinement)."""
     if isinstance(targets, pa.Table):
         tbl = targets
     else:
-        tbl = pa.Table.from_pylist(targets.take_all())
+        from .relational import ds_to_table
+        tbl = ds_to_table(targets)
     tx = tbl[tx_col].to_numpy(zero_copy_only=False).astype(np.float64)
     ty = tbl[ty_col].to_numpy(zero_copy_only=False).astype(np.float64)
     ids = tbl[id_col].to_pylist()

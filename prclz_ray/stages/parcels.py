@@ -97,7 +97,8 @@ def check_parcels_qc(parcels_ds, buildings_ds):
     pass) — engine QC stage per SURVEY §2.4."""
     import ray
 
-    parcels_tbl = pa.Table.from_pylist(parcels_ds.take_all()) \
+    from .relational import ds_to_table
+    parcels_tbl = ds_to_table(parcels_ds) \
         if not isinstance(parcels_ds, pa.Table) else parcels_ds
     packed = [(pid, wkb.decode(g)[1])
               for pid, g in zip(parcels_tbl["parcel_id"].to_pylist(),

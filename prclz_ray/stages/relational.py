@@ -16,12 +16,25 @@ import pyarrow as pa
 import ray
 
 
+def ds_to_table(ds) -> pa.Table:
+    """Materialize a (small!) Dataset into one Arrow table WITHOUT the
+    row-wise take_all()/from_pylist path: fetch the block refs and concat
+    zero-copy."""
+    if isinstance(ds, pa.Table):
+        return ds
+    tables = ray.get(ds.to_arrow_refs())
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return ray.get(ds.to_arrow_refs()[0])
+    return pa.concat_tables(tables, promote_options="default")
+
+
 def broadcast_join(big_ds, small, on: str, how: str = "inner",
                    suffix: str = "_r"):
     """Hash-join a big Dataset against a SMALL table: the small side is
     ray.put once and merged per batch (no shuffle)."""
     if not isinstance(small, (pa.Table, pd.DataFrame)):
-        small = pa.Table.from_pylist(small.take_all())
+        small = ds_to_table(small)
     sdf = small.to_pandas() if isinstance(small, pa.Table) else small
     ref = ray.put(sdf)
 
@@ -36,10 +49,10 @@ def semi_join(big_ds, keys, on: str, anti: bool = False):
     """Semi/anti join: broadcast the key set, filter inside map_batches
     (guide pattern; reference analogue J5 ``_parcels.py:91-93``)."""
     if not isinstance(keys, (set, frozenset)):
+        if hasattr(keys, "take_all"):
+            keys = ds_to_table(keys.select_columns([on]))
         if isinstance(keys, pa.Table):
             keys = set(keys[on].to_pylist())
-        elif hasattr(keys, "take_all"):
-            keys = {r[on] for r in keys.take_all()}
         else:
             keys = set(keys)
     ref = ray.put(keys)

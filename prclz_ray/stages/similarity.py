@@ -50,7 +50,7 @@ class BruteForceScorer:
 
 def ann_bruteforce(ds, queries: np.ndarray, query_ids: list, k: int = 10,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   concurrency: int = 4):
+                   concurrency=(1, 4)):
     """Exact top-k cosine: per-batch partials → global top-k per query via
     a small sort/groupby (only nq×k×nbatches rows shuffle)."""
     ref = ray.put((list(query_ids), np.asarray(queries, dtype=np.float32)))
@@ -91,7 +91,7 @@ def train_centroids(ds, vec_col="embedding", n_centroids=16, iters=5, seed=3,
 
 def ann_ivf(ds, queries: np.ndarray, query_ids: list, centroids: np.ndarray,
             k: int = 10, nprobe: int = 4, vec_col="embedding",
-            id_col="vec_id", concurrency: int = 4):
+            id_col="vec_id", concurrency=(1, 4)):
     """IVF path: rows assigned to their nearest centroid list inside
     map_batches; each batch scores only rows whose list is probed by some
     query. Same output shape as ann_bruteforce (approximate)."""

@@ -1,0 +1,129 @@
+"""Spatial joins vs brute-force NumPy oracles: PIP (broadcast + tiled),
+kNN with refinement, zonal stats, raster grid."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from prclz_ray.geom import wkb
+from prclz_ray.stages import joins
+
+RNG = np.random.default_rng(11)
+
+
+def _polys():
+    # 3x3 grid of unit squares with ids p0..p8
+    ids, geoms = [], []
+    for r in range(3):
+        for c in range(3):
+            ids.append(f"p{r * 3 + c}")
+            x0, y0 = float(c), float(r)
+            geoms.append(wkb.polygon(np.array(
+                [(x0, y0), (x0 + 1, y0), (x0 + 1, y0 + 1), (x0, y0 + 1),
+                 (x0, y0)])))
+    return pa.table({"poly_id": ids,
+                     "geometry": pa.array(geoms, type=pa.binary())})
+
+
+def _points(n=500):
+    # interior points only (offset off the grid lines) + some outside
+    px = RNG.uniform(0.01, 2.99, n)
+    py = RNG.uniform(0.01, 2.99, n)
+    px[:20] = RNG.uniform(5, 6, 20)  # unmatched
+    return pa.table({"pt_id": np.arange(n, dtype=np.int64),
+                     "lng": px, "lat": py})
+
+
+def _oracle_pip(pts: pa.Table):
+    px = pts["lng"].to_numpy()
+    py = pts["lat"].to_numpy()
+    out = []
+    for x, y in zip(px, py):
+        if 0 <= x < 3 and 0 <= y < 3:
+            out.append(f"p{int(y) * 3 + int(x)}")
+        else:
+            out.append(None)
+    return out
+
+
+def test_pip_join_inner_and_left():
+    pts = _points()
+    oracle = _oracle_pip(pts)
+    n_match = sum(o is not None for o in oracle)
+
+    inner = joins.pip_join(rd.from_arrow(pts).repartition(4), _polys(),
+                           id_col="poly_id", how="inner").to_pandas()
+    assert len(inner) == n_match
+    got = inner.set_index("pt_id")["poly_id"].to_dict()
+    for pid, o in zip(pts["pt_id"].to_pylist(), oracle):
+        if o is not None:
+            assert got[pid] == o
+
+    left = joins.pip_join(rd.from_arrow(pts).repartition(4), _polys(),
+                          id_col="poly_id", how="left").to_pandas()
+    assert len(left) == len(pts)
+    assert left["poly_id"].isna().sum() == len(pts) - n_match
+
+
+def test_pip_join_tiled_matches_broadcast():
+    pts = _points(300)
+    bc = joins.pip_join(rd.from_arrow(pts), _polys(), id_col="poly_id",
+                        how="inner").to_pandas()
+    tiled = joins.pip_join_tiled(rd.from_arrow(pts).repartition(3),
+                                 rd.from_arrow(_polys()),
+                                 id_col="poly_id").to_pandas()
+    a = bc.sort_values("pt_id")[["pt_id", "poly_id"]].reset_index(drop=True)
+    b = tiled.sort_values("pt_id")[["pt_id", "poly_id"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_join_matches_bruteforce():
+    n_t = 40
+    targets = pa.table({
+        "t_id": [f"t{i}" for i in range(n_t)],
+        "lng": RNG.uniform(0, 10, n_t),
+        "lat": RNG.uniform(0, 10, n_t),
+    })
+    pts = pa.table({"pt_id": np.arange(60, dtype=np.int64),
+                    "lng": RNG.uniform(0, 10, 60),
+                    "lat": RNG.uniform(0, 10, 60)})
+    k = 3
+    out = joins.knn_join(rd.from_arrow(pts).repartition(4), targets, k=k,
+                         id_col="t_id").to_pandas()
+    assert len(out) == 60 * k
+
+    tx = targets["lng"].to_numpy()
+    ty = targets["lat"].to_numpy()
+    px = pts["lng"].to_numpy()
+    py = pts["lat"].to_numpy()
+    for pid in range(60):
+        rows = out[out["pt_id"] == pid].sort_values("nn_rank")
+        d2 = (tx - px[pid]) ** 2 + (ty - py[pid]) ** 2
+        # oracle orders by (dist, id) like the engine's tie-break
+        order = np.lexsort((np.array([f"t{i}" for i in range(len(tx))]),
+                            np.sqrt(d2)))[:k]
+        assert list(rows["nn_id"]) == [f"t{i}" for i in order]
+        assert np.allclose(rows["nn_dist"], np.sqrt(d2[order]))
+
+
+def test_zonal_and_raster():
+    pts = _points(400)
+    vals = RNG.uniform(0, 100, 400)
+    pts = pts.append_column("v", pa.array(vals))
+    oracle = _oracle_pip(pts)
+
+    z = joins.zonal_stats(rd.from_arrow(pts).repartition(4), _polys(),
+                          id_col="poly_id", value_col="v").to_pandas()
+    df = pd.DataFrame({"poly_id": oracle, "v": vals}).dropna()
+    expect = df.groupby("poly_id")["v"].agg(["count", "sum", "mean"])
+    z = z.set_index("poly_id")
+    for pid, row in expect.iterrows():
+        assert z.loc[pid, "n"] == row["count"]
+        assert np.isclose(z.loc[pid, "sum_value"], row["sum"])
+        assert np.isclose(z.loc[pid, "mean_value"], row["mean"])
+
+    # raster grid counts: res=1.0 over the same points == zonal counts
+    r = joins.rasterize_points(rd.from_arrow(pts).repartition(4),
+                               res=1.0).to_pandas()
+    grid_total = r["n"].sum()
+    assert grid_total == 400
