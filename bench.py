@@ -84,7 +84,10 @@ def pages_path(n: int = N_PAGES, body_paras: int = BODY_PARAS) -> str:
         # page-zeroing dominates wall time at high concurrency)
         row_bytes = 600 + 1080 * body_paras
         rg = max(4096, min(262144, (45 << 20) // row_bytes))
-        synth.pages_dataset(n, parallelism=32, body_paras=body_paras) \
+        # many small-ish files: with read→map fusion the task granularity
+        # IS the file, so file count must comfortably exceed total cores
+        nfiles = max(32, min(512, n // max(1, rg)))
+        synth.pages_dataset(n, parallelism=nfiles, body_paras=body_paras) \
             .map_batches(lambda t: t.combine_chunks(),
                          batch_format="pyarrow") \
             .write_parquet(path, row_group_size=rg)
@@ -101,13 +104,12 @@ def run_flagship_bench(n: int = N_PAGES) -> dict:
     from prclz_ray.io import synth
     from prclz_ray.pipelines.flagship import region_counts, run_flagship
 
+    from prclz_ray.pipelines.flagship import flagship_region_counts_streaming
+
     path = pages_path(n)
     t0 = time.time()
     pages = rd.read_parquet(path, columns=["url", "warc_ts", "html"])
-    narrow = rd.read_parquet(path, columns=["url", "warc_ts"])
-    joined, _ = run_flagship(pages, synth.regions_table(),
-                             narrow_pages_ds=narrow)
-    counts = region_counts(joined)
+    counts = flagship_region_counts_streaming(pages, synth.regions_table())
     dt = time.time() - t0
     n_out = int(counts["n_pages"].sum())
     return {"rows": n, "rows_out": n_out, "sec": round(dt, 3),
@@ -148,13 +150,13 @@ def worker(num_cpus: int, n: int) -> None:
     import ray.data as rd
 
     from prclz_ray.io import synth
-    from prclz_ray.pipelines.flagship import region_counts, run_flagship
+    from prclz_ray.pipelines.flagship import flagship_region_counts_streaming
 
     _init(num_cpus)
     path = pages_path(n)
     warm = rd.read_parquet(path, columns=["url", "warc_ts", "html"]) \
         .limit(8192).repartition(num_cpus)
-    region_counts(run_flagship(warm, synth.regions_table())[0])
+    flagship_region_counts_streaming(warm, synth.regions_table())
 
     res = run_flagship_bench(n)
     res["num_cpus"] = num_cpus

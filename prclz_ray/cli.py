@@ -1,0 +1,229 @@
+"""CLI entry points — `python -m prclz_ray <cmd>` / `ray job submit -- python -m prclz_ray <cmd>`.
+
+Reference parity (SURVEY §2.9, prclz ``cli.py:13-127``): the reference's
+seven click subcommands map as
+
+  download / extract      → `synth` (no network in-engine: the deterministic
+                            corpus generator replaces the GADM/Geofabrik
+                            fetch+ogr2ogr steps, FIXTURES.md)
+  split-buildings         → `split-buildings` (PIP join + partitioned write)
+  blocks / parcels /
+  complexity / reblock    → same names, parquet-in → parquet-out
+  (new)                   → `flagship` (pages corpus → extract → dedup →
+                            tile → PIP join → resumable partitioned write)
+
+Knob parity: `--gadm-level`, `--overwrite`, `--use-width`, `--simplify`
+(reblock `--connect-n` → `--through-ratio`), `--blocks` subset = predicate
+pushdown on the partition key (``cli.py:94``).
+
+Each command owns its Ray session (guarded init; the driver/library never
+calls ray.init).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def _read(path: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(path, columns=columns)
+
+
+def _write(ds, out: str, overwrite: bool):
+    import pandas as pd
+    import pyarrow as pa
+    if os.path.exists(out) and not overwrite:
+        print(f"skip: {out} exists (use --overwrite)", file=sys.stderr)
+        return
+    if isinstance(ds, (pd.DataFrame, pa.Table)):
+        import pyarrow.parquet as pq
+        tbl = pa.Table.from_pandas(ds) if isinstance(ds, pd.DataFrame) else ds
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(tbl, os.path.join(out, "data.parquet"))
+    else:
+        ds.write_parquet(out)
+    print(f"wrote {out}")
+
+
+def _filter_blocks(ds, subset):
+    if not subset:
+        return ds
+    wanted = set(subset.split(","))
+
+    def f(batch):
+        import pyarrow as pa
+        mask = [b in wanted for b in batch["block_id"].to_pylist()]
+        return batch.filter(pa.array(mask))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cmd_synth(a):
+    from .io import synth
+    _init_ray()
+    paths = synth.write_fixture_tables(a.out, n_pages=a.n_pages)
+    print(paths)
+
+
+def cmd_split_buildings(a):
+    """J3: buildings ⋈ regions (PIP on centroid) → parquet partitioned by
+    gadm_code — the reference's file-shard step as one shuffle-partitioned
+    write (``etl/_split_buildings.py:58-70``)."""
+    from .stages.joins import pip_join
+    from .stages.relational import ds_to_table
+    _init_ray()
+    import pyarrow as pa
+
+    from .geom.core import ring_centroid
+    from .geom import wkb as _wkb
+
+    bldgs = _read(a.buildings)
+
+    def centroid(batch: pa.Table) -> pa.Table:
+        xs, ys = [], []
+        for buf in batch["geometry"].to_pylist():
+            t, v = _wkb.decode(buf)
+            ring = v[0] if t == _wkb.POLYGON else v[0][0]
+            cx, cy = ring_centroid(ring)
+            xs.append(cx)
+            ys.append(cy)
+        out = batch.append_column("cx", pa.array(xs))
+        return out.append_column("cy", pa.array(ys))
+
+    pts = bldgs.map_batches(centroid, batch_format="pyarrow")
+    regions = ds_to_table(_read(a.regions))
+    joined = pip_join(pts, regions.select(["gadm_code", "geometry"]),
+                      id_col="gadm_code", x_col="cx", y_col="cy",
+                      how="left", out_id_col="gadm_assigned")
+    if os.path.exists(a.out) and not a.overwrite:
+        print(f"skip: {a.out} exists", file=sys.stderr)
+        return
+    joined.write_parquet(a.out, partition_cols=["gadm_assigned"])
+    print(f"wrote {a.out}")
+
+
+def cmd_blocks(a):
+    from .stages.blocks import (BufferedLineDifference,
+                                IntersectionPolygonization, extract_blocks)
+    _init_ray()
+    method = (BufferedLineDifference(a.epsilon) if a.method == "buffered"
+              else IntersectionPolygonization())
+    out = extract_blocks(_read(a.regions), _read(a.lines), method=method)
+    _write(out, a.out, a.overwrite)
+
+
+def cmd_parcels(a):
+    from .stages.parcels import parcels_pipeline
+    _init_ray()
+    out = parcels_pipeline(_filter_blocks(_read(a.blocks), a.blocks_subset),
+                           _read(a.buildings))
+    _write(out, a.out, a.overwrite)
+
+
+def cmd_complexity(a):
+    from .stages.complexity import complexity_pipeline
+    _init_ray()
+    out = complexity_pipeline(
+        _filter_blocks(_read(a.blocks), a.blocks_subset), _read(a.buildings))
+    _write(out, a.out, a.overwrite)
+
+
+def cmd_reblock(a):
+    from .stages.reblock import reblock_pipeline
+    _init_ray()
+    out = reblock_pipeline(
+        _filter_blocks(_read(a.blocks), a.blocks_subset),
+        _read(a.parcels), _read(a.buildings),
+        use_width=a.use_width, through_ratio=a.through_ratio)
+    _write(out, a.out, a.overwrite)
+
+
+def cmd_flagship(a):
+    from .io import synth
+    from .pipelines.flagship import run_flagship
+    _init_ray()
+    import ray.data as rd
+    pages = _read(a.pages, columns=["url", "warc_ts", "html"])
+    narrow = _read(a.pages, columns=["url", "warc_ts"])
+    regions = (synth.regions_table() if a.regions is None
+               else __import__("pyarrow").concat_tables(
+                   __import__("ray").get(_read(a.regions).to_arrow_refs())))
+    joined, info = run_flagship(pages, regions, out_dir=a.out,
+                                narrow_pages_ds=narrow)
+    if a.out is None:
+        print(joined.count())
+    else:
+        print(info.get("write"))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="prclz_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="write deterministic fixture tables")
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-pages", type=int, default=2000)
+    s.set_defaults(fn=cmd_synth)
+
+    s = sub.add_parser("split-buildings")
+    s.add_argument("--buildings", required=True)
+    s.add_argument("--regions", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--overwrite", action="store_true")
+    s.set_defaults(fn=cmd_split_buildings)
+
+    s = sub.add_parser("blocks")
+    s.add_argument("--regions", required=True)
+    s.add_argument("--lines", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--method", choices=["polygonize", "buffered"],
+                   default="polygonize")
+    s.add_argument("--epsilon", type=float, default=5e-6)
+    s.add_argument("--overwrite", action="store_true")
+    s.set_defaults(fn=cmd_blocks)
+
+    for name, fn in [("parcels", cmd_parcels), ("complexity", cmd_complexity)]:
+        s = sub.add_parser(name)
+        s.add_argument("--blocks", required=True)
+        s.add_argument("--buildings", required=True)
+        s.add_argument("--out", required=True)
+        s.add_argument("--blocks-subset", default=None,
+                       help="comma-separated block_id predicate pushdown")
+        s.add_argument("--overwrite", action="store_true")
+        s.set_defaults(fn=fn)
+
+    s = sub.add_parser("reblock")
+    s.add_argument("--blocks", required=True)
+    s.add_argument("--parcels", required=True)
+    s.add_argument("--buildings", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--blocks-subset", default=None)
+    s.add_argument("--use-width", action="store_true")
+    s.add_argument("--through-ratio", type=float, default=None)
+    s.add_argument("--overwrite", action="store_true")
+    s.set_defaults(fn=cmd_reblock)
+
+    s = sub.add_parser("flagship")
+    s.add_argument("--pages", required=True)
+    s.add_argument("--regions", default=None)
+    s.add_argument("--out", default=None,
+                   help="resumable partitioned output dir (with manifest)")
+    s.set_defaults(fn=cmd_flagship)
+
+    a = p.parse_args(argv)
+    a.fn(a)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -192,31 +192,36 @@ def _face_uv_to_xyz(face, u, v):
 
 def cover_bbox(minx: float, miny: float, maxx: float, maxy: float,
                level=DEFAULT_LEVEL, margin: int = 1) -> np.ndarray:
-    """Cell ids covering a lon/lat bbox (same-face assumption, exact on the
-    ij-rectangle spanned by the corner/edge-midpoint samples, expanded by
-    ``margin`` cells for projection curvature). Used to replicate polygons
-    into every tile their bbox touches (pip_join_tiled)."""
-    xs = np.array([minx, maxx, minx, maxx, (minx + maxx) / 2, minx, maxx,
-                   (minx + maxx) / 2, (minx + maxx) / 2])
-    ys = np.array([miny, miny, maxy, maxy, (miny + maxy) / 2,
-                   (miny + maxy) / 2, (miny + maxy) / 2, miny, maxy])
-    x, y, z = lnglat_to_xyz(xs, ys)
-    face, u, v = xyz_to_face_uv(np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z))
+    """Cell ids covering a lon/lat bbox. Dense grid sampling at sub-cell
+    spacing (every level-``level`` cell intersecting the box contains or
+    adjoins a sample), then a ``margin``-ring dilation — exact across face
+    boundaries, which cut diagonally through mid-latitudes.
+
+    Sampling count scales with (box span / cell size); boxes beyond 256
+    cells per side are rejected — pip_join_tiled's contract is polygons
+    small relative to the tile level (SURVEY custom-operator rule); pick a
+    coarser level for bigger geometries."""
+    cell_deg = 90.0 / (1 << level)  # conservative min cell extent in degrees
+    kx = int(np.ceil((maxx - minx) / cell_deg * 1.5)) + 1
+    ky = int(np.ceil((maxy - miny) / cell_deg * 1.5)) + 1
+    if max(kx, ky) > 384:
+        raise ValueError(
+            f"cover_bbox: box spans ~{max(kx, ky)} level-{level} cells per "
+            "side; use a coarser level for geometries this large")
+    gx = np.linspace(minx, maxx, max(kx, 2))
+    gy = np.linspace(miny, maxy, max(ky, 2))
+    xs, ys = np.meshgrid(gx, gy)
+    x, y, z = lnglat_to_xyz(xs.ravel(), ys.ravel())
+    face, u, v = xyz_to_face_uv(np.atleast_1d(x), np.atleast_1d(y),
+                                np.atleast_1d(z))
     shift = MAX_LEVEL - level
-    i = st_to_ij(uv_to_st(u)) >> shift
-    j = st_to_ij(uv_to_st(v)) >> shift
-    if len(np.unique(face)) > 1:
-        # cross-face bbox: fall back to the sample cells + neighbor rings
-        cids = face_ij_to_cellid(face, i << shift, j << shift, level)
-        return np.unique(np.concatenate(
-            [cell_neighbors_same_face(np.array([c]), level, ring=margin) for c in cids]))
-    lim = (1 << level) - 1
-    i0 = max(0, int(i.min()) - margin); i1 = min(lim, int(i.max()) + margin)
-    j0 = max(0, int(j.min()) - margin); j1 = min(lim, int(j.max()) + margin)
-    ii, jj = np.meshgrid(np.arange(i0, i1 + 1), np.arange(j0, j1 + 1))
-    ii = ii.ravel(); jj = jj.ravel()
-    ff = np.full(len(ii), int(face[0]))
-    return np.unique(face_ij_to_cellid(ff, ii << shift, jj << shift, level))
+    i = (st_to_ij(uv_to_st(u)) >> shift) << shift
+    j = (st_to_ij(uv_to_st(v)) >> shift) << shift
+    cids = np.unique(face_ij_to_cellid(face, i, j, level))
+    if margin > 0:
+        cids = np.unique(
+            cell_neighbors_same_face(cids, level, ring=margin).ravel())
+    return cids
 
 
 def cell_neighbors_same_face(cid, level=DEFAULT_LEVEL, ring=1) -> np.ndarray:
@@ -225,13 +230,17 @@ def cell_neighbors_same_face(cid, level=DEFAULT_LEVEL, ring=1) -> np.ndarray:
     synthetic corpora, documented limitation)."""
     face, i, j = cellid_to_face_ij(cid)
     shift = MAX_LEVEL - level
-    ci, cj = i >> shift, j >> shift
+    ci = np.atleast_1d(i >> shift).astype(np.int64)
+    cj = np.atleast_1d(j >> shift).astype(np.int64)
+    face = np.atleast_1d(face)
     out = []
     lim = 1 << level
     for di in range(-ring, ring + 1):
         for dj in range(-ring, ring + 1):
             ni, nj = ci + di, cj + dj
-            if 0 <= ni < lim and 0 <= nj < lim:
-                out.append(face_ij_to_cellid(np.asarray(face), np.asarray(ni << shift),
-                                             np.asarray(nj << shift), level))
+            ok = (ni >= 0) & (ni < lim) & (nj >= 0) & (nj < lim)
+            if ok.any():
+                out.append(face_ij_to_cellid(
+                    face[ok], (ni[ok] << shift).astype(np.uint64),
+                    (nj[ok] << shift).astype(np.uint64), level))
     return np.unique(np.concatenate([np.atleast_1d(o) for o in out]))

@@ -53,9 +53,11 @@ def apply_salt_batch(batch: pa.Table, plan: dict[int, int],
     salt = np.zeros(len(cells), dtype=np.uint64)
     if plan:
         if key_col is not None:
-            keys = batch[key_col]
-            hashes = np.array([hash(k) & 0xFFFFFFFF for k in keys.to_pylist()],
-                              dtype=np.uint64)
+            # stable across worker processes (python hash() is per-process
+            # randomized — it would split a group across salt shards)
+            import pandas as pd
+            hashes = pd.util.hash_array(
+                batch[key_col].to_numpy(zero_copy_only=False))
         else:
             hashes = np.arange(len(cells), dtype=np.uint64)
         for c, k in plan.items():

@@ -1,0 +1,166 @@
+"""Import/export codecs: CSV-with-WKT and GeoJSON ↔ the engine's
+WKB-in-Parquet tables.
+
+Reference parity (SURVEY §2.1):
+  S4  CSV-with-WKT reader  — prclz ``utils.py:45-62`` ``csv_to_geo`` (pandas
+      read_csv + shapely.wkt.loads per row; asserts block_id unique, derives
+      gadm_code from the filename)
+  S5  GeoJSON reader       — ``gpd.read_file`` call sites (``_parcels.py:194``,
+      ``_reblock.py:332-333``)
+  S7  CSV writer           — ``blocks/_extract_blocks.py:39``,
+      ``_complexity.py:120-122`` (WKT geometry column)
+  S8  GeoJSON writer       — ``_parcels.py:212``, ``_reblock.py:373``
+
+All four are thin Ray Data stages: the cluster-side representation is
+always WKB binary; WKT/GeoJSON exist only at the boundary.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import wkb
+
+
+# ------------------------------------------------------------- CSV + WKT
+
+def read_csv_wkt(paths, geometry_col: str = "geometry",
+                 add_file_col: bool = False, unique_col: str | None = None):
+    """S4: ray.data.read_csv → per-batch WKT→WKB decode. With
+    ``add_file_col`` the source filename's stem is attached as ``gadm_code``
+    (the reference's filename-derived region key, ``utils.py:58-61``).
+    ``unique_col`` replicates the ``block_id`` uniqueness assert
+    (``utils.py:53``) as a distributed check."""
+    import ray.data as rd
+
+    ds = rd.read_csv(paths, include_paths=add_file_col)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        out = batch.set_column(
+            batch.schema.get_field_index(geometry_col), geometry_col,
+            pa.array([wkb.from_wkt(s) for s in batch[geometry_col].to_pylist()],
+                     type=pa.binary()))
+        if add_file_col:
+            codes = [os.path.splitext(os.path.basename(p))[0].split("_")[-1]
+                     for p in batch["path"].to_pylist()]
+            out = out.drop_columns(["path"]).append_column(
+                "gadm_code", pa.array(codes, type=pa.string()))
+        return out
+
+    out = ds.map_batches(decode, batch_format="pyarrow")
+    if unique_col is not None:
+        agg = out.groupby(unique_col).count().map_batches(
+            lambda t: t.rename_columns([unique_col, "cnt"]),
+            batch_format="pyarrow")
+        dup = agg.filter(expr="cnt > 1").count()
+        if dup:
+            raise ValueError(
+                f"read_csv_wkt: {dup} duplicate values in '{unique_col}'")
+    return out
+
+
+def write_csv_wkt(ds, path: str, geometry_cols=("geometry",)):
+    """S7: WKB→WKT encode then partitioned CSV write."""
+    def encode(batch: pa.Table) -> pa.Table:
+        for col in geometry_cols:
+            if col in batch.column_names:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(col), col,
+                    pa.array([None if b is None else wkb.to_wkt(b)
+                              for b in batch[col].to_pylist()],
+                             type=pa.string()))
+        return batch
+
+    ds.map_batches(encode, batch_format="pyarrow").write_csv(path)
+    return path
+
+
+# --------------------------------------------------------------- GeoJSON
+
+_GEOM_DECODERS = {
+    "Point": lambda c: wkb.point(float(c[0]), float(c[1])),
+    "LineString": lambda c: wkb.linestring(np.asarray(c, dtype=np.float64)),
+    "Polygon": lambda c: wkb.polygon(
+        [np.asarray(r, dtype=np.float64) for r in c]),
+    "MultiPolygon": lambda c: wkb.multipolygon(
+        [[np.asarray(r, dtype=np.float64) for r in poly] for poly in c]),
+    "MultiLineString": lambda c: wkb.multilinestring(
+        [np.asarray(ln, dtype=np.float64) for ln in c]),
+}
+
+
+def feature_to_row(feature: dict) -> dict:
+    """One GeoJSON feature → flat row dict with WKB geometry."""
+    geom = feature.get("geometry") or {}
+    row = dict(feature.get("properties") or {})
+    typ = geom.get("type")
+    if typ in _GEOM_DECODERS:
+        row["geometry"] = _GEOM_DECODERS[typ](geom.get("coordinates"))
+    else:
+        row["geometry"] = None
+    return row
+
+
+def read_geojson(paths):
+    """S5: GeoJSON FeatureCollection file(s) → Dataset (one row per
+    feature, WKB geometry). File-per-task distributed parse."""
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files = rd.from_items([{"path": p} for p in paths])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            with open(p) as f:
+                fc = json.load(f)
+            rows.extend(feature_to_row(ft) for ft in fc.get("features", []))
+        return pa.Table.from_pylist(rows)
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def row_to_feature(row: dict, geometry_col: str = "geometry") -> dict:
+    props = {k: v for k, v in row.items() if k != geometry_col}
+    buf = row.get(geometry_col)
+    geom = None
+    if buf is not None:
+        t, v = wkb.decode(buf)
+        if t == wkb.POINT:
+            geom = {"type": "Point", "coordinates": list(v)}
+        elif t == wkb.LINESTRING:
+            geom = {"type": "LineString", "coordinates": v.tolist()}
+        elif t == wkb.POLYGON:
+            geom = {"type": "Polygon", "coordinates": [r.tolist() for r in v]}
+        elif t == wkb.MULTILINESTRING:
+            geom = {"type": "MultiLineString",
+                    "coordinates": [ln.tolist() for ln in v]}
+        elif t == wkb.MULTIPOLYGON:
+            geom = {"type": "MultiPolygon",
+                    "coordinates": [[r.tolist() for r in poly] for poly in v]}
+    return {"type": "Feature", "properties": props, "geometry": geom}
+
+
+def write_geojson(ds, path: str, geometry_col: str = "geometry",
+                  append_merge: bool = True):
+    """S8: Dataset → one GeoJSON FeatureCollection. The reference
+    append-merges when the file exists (``split_buildings.py:145-152``);
+    replicated here with idempotent rewrite. Small outputs only — for
+    corpus-scale results use ``write_parquet`` partitioned by cell."""
+    import pandas as pd
+
+    df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
+    feats = [row_to_feature(r, geometry_col) for r in df.to_dict("records")]
+    if append_merge and os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f).get("features", [])
+        feats = existing + feats
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    os.replace(tmp, path)
+    return path

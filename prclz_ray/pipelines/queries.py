@@ -86,6 +86,36 @@ WHERE CAST(FLOOR(((c_custkey * 7919) % 1000 + 0.5) / 200) AS INT) = n_nationkey 
 """
 
 
+def q_pip_tiled_points_nations(sf_dir: str):
+    """Both-sides-large PIP join co-partitioned by S2 cell (the
+    one-shuffle tiled variant; same semantics + oracle as the broadcast
+    join). Coordinates scaled /20 into valid lng/lat range; level 6 tiles
+    keep the per-rect replication factor small."""
+    def scaled_points(b: pa.Table) -> pa.Table:
+        b = _points_batch(b, "c_custkey")
+        b = b.set_column(b.schema.get_field_index("px"), "px",
+                         pc.divide(b["px"], 20.0))
+        return b.set_column(b.schema.get_field_index("py"), "py",
+                            pc.divide(b["py"], 20.0))
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        scaled_points, batch_format="pyarrow")
+    keys = np.arange(25, dtype=np.int32)
+    geoms = []
+    for n in keys:
+        col, row = int(n) % 5, int(n) // 5
+        x0, y0 = col * 10.0, row * 10.0
+        geoms.append(wkb.polygon(np.array(
+            [(x0, y0), (x0 + 10, y0), (x0 + 10, y0 + 10), (x0, y0 + 10),
+             (x0, y0)])))
+    nations = pa.table({"n_nationkey": pa.array(keys),
+                        "geometry": pa.array(geoms, type=pa.binary())})
+    out = joins.pip_join_tiled(pts, rd.from_arrow(nations),
+                               id_col="n_nationkey", x_col="px", y_col="py",
+                               level=6)
+    return out.select_columns(["c_custkey", "n_nationkey"])
+
+
 def q_pip_left_unmatched(sf_dir: str):
     """LEFT PIP join (J2 'keep empty' semantics): only 20 rects → 20% of
     points carry a null nation."""
@@ -273,6 +303,16 @@ SELECT 'SYN' || CASE country WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END
        COUNT(*) AS n_pages
 FROM p GROUP BY 1
 """
+
+
+def q_flagship_counts_streaming(sf_dir: str):
+    """Single-execution flagship variant (the bench.py headline path):
+    fused parse→tile→PIP emitting narrow columns, dedup-after-join +
+    count in one bucketed groupby."""
+    from .flagship import flagship_region_counts_streaming
+    out = flagship_region_counts_streaming(_derived_pages(sf_dir),
+                                           _synth_region_rects())
+    return out[["gadm_code", "n_pages"]]
 
 
 def q_dedup_url_latest(sf_dir: str):
@@ -692,12 +732,14 @@ def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
         "pip_points_nations": (q_pip_points_nations, SQL_PIP),
+        "pip_tiled_points_nations": (q_pip_tiled_points_nations, SQL_PIP),
         "pip_left_unmatched": (q_pip_left_unmatched, SQL_PIP_LEFT),
         "knn_customer_supplier": (q_knn_customer_supplier, SQL_KNN),
         "zonal_acctbal_nation": (q_zonal_acctbal_nation, SQL_ZONAL),
         "raster_grid_counts": (q_raster_grid_counts, SQL_RASTER),
         "raster_zonal_nation": (q_raster_zonal_nation, SQL_RASTER_ZONAL),
         "flagship_region_counts": (q_flagship_region_counts, SQL_FLAGSHIP),
+        "flagship_counts_streaming": (q_flagship_counts_streaming, SQL_FLAGSHIP),
         "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL),
         "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
         "top_orders_by_revenue": (q_top_orders_by_revenue, SQL_TOP_ORDERS),

@@ -27,7 +27,9 @@ _ENTITIES = [
 
 def extract_text_bytes(html: bytes) -> str:
     """Pure html→text: drop script/style, strip tags, decode the five basic
-    entities, collapse whitespace. Deterministic byte-for-byte."""
+    entities, collapse whitespace. Deterministic byte-for-byte. All passes
+    are C-level constant substitutions (measured faster than a fused
+    callable-replacement regex despite the extra copies)."""
     s = _SCRIPT.sub(b" ", html)
     s = _TAG.sub(b" ", s)
     for ent, ch in _ENTITIES:
@@ -44,23 +46,11 @@ class TextExtractor:
     per-batch function."""
 
     def __init__(self, drop_html: bool = True):
-        # re-compile in the actor process (amortized across batches)
-        self.script = re.compile(rb"<(script|style)\b.*?</\1>", re.S | re.I)
-        self.tag = re.compile(rb"<[^>]*>")
-        self.ws = re.compile(rb"\s+")
         self.drop_html = drop_html
 
-    def _extract_one(self, html: bytes) -> str:
-        s = self.script.sub(b" ", html)
-        s = self.tag.sub(b" ", s)
-        for ent, ch in _ENTITIES:
-            s = s.replace(ent, ch)
-        s = self.ws.sub(b" ", s).strip()
-        return s.decode("utf-8", errors="replace")
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch["html"]
-        texts = pa.array([self._extract_one(h.as_py()) for h in htmls],
+        texts = pa.array([extract_text_bytes(h)
+                          for h in batch["html"].to_pylist()],
                          type=pa.string())
         out = batch.append_column("text_extracted", texts)
         if self.drop_html:

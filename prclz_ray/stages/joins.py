@@ -200,13 +200,14 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
     # output keeps EVERY point-side column (plus cell + the joined id)
     point_out = [n for n in pts.schema().names if n != "_side"]
     out_types = {n: col_types[n] for n in point_out}
+    id_type = col_types[id_col]
 
     def join_tile(group: pa.Table) -> pa.Table:
         pts_t = group.filter(pc.equal(group["_side"], 0))
         pol_t = group.filter(pc.equal(group["_side"], 1))
         if pts_t.num_rows == 0 or pol_t.num_rows == 0:
             empty = {n: pa.array([], type=out_types[n]) for n in point_out}
-            empty[out_id] = pa.array([], type=pa.string())
+            empty[out_id] = pa.array([], type=id_type)
             return pa.table(empty)
         packed = _polygon_pack(pol_t.select([id_col, "geometry"]), id_col)
         joiner = PIPJoiner(packed, x_col, y_col, id_col, "inner", out_id)
@@ -215,7 +216,7 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
         pi, gi = joiner.match(px, py)
         out = pts_t.select(point_out).take(pa.array(pi))
         return out.append_column(out_id, pa.array([packed[0][g] for g in gi],
-                                                  type=pa.string()))
+                                                  type=id_type))
 
     joined = unioned.groupby("cell").map_groups(join_tile, batch_format="pyarrow")
     # polygons were replicated across cells → a point on a tile edge can

@@ -1,0 +1,118 @@
+"""Codecs (CSV-with-WKT, GeoJSON), CRS reproject, normalizers."""
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from prclz_ray.geom import crs, wkb
+from prclz_ray.io import codecs
+from prclz_ray.stages import normalize
+
+TMP = "/tmp/prclz_ray_test_codecs"
+
+
+def setup_module():
+    os.makedirs(TMP, exist_ok=True)
+
+
+def test_csv_wkt_roundtrip():
+    import ray.data as rd
+    ring = np.array([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)], dtype=float)
+    tbl = pa.table({
+        "block_id": ["b1", "b2"],
+        "geometry": pa.array([wkb.polygon(ring), wkb.point(1.5, 2.5)],
+                             type=pa.binary()),
+    })
+    out_dir = f"{TMP}/csv_out"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    codecs.write_csv_wkt(rd.from_arrow(tbl), out_dir)
+
+    back = codecs.read_csv_wkt(out_dir, unique_col="block_id").to_pandas()
+    back = back.sort_values("block_id").reset_index(drop=True)
+    t, v = wkb.decode(back["geometry"][0])
+    assert t == wkb.POLYGON
+    np.testing.assert_allclose(v[0], ring)
+    t2, v2 = wkb.decode(back["geometry"][1])
+    assert t2 == wkb.POINT and tuple(v2) == (1.5, 2.5)
+
+
+def test_csv_wkt_uniqueness_check():
+    import ray.data as rd
+    tbl = pa.table({"block_id": ["b1", "b1"],
+                    "geometry": pa.array([wkb.point(0, 0)] * 2,
+                                         type=pa.binary())})
+    out_dir = f"{TMP}/csv_dup"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    codecs.write_csv_wkt(rd.from_arrow(tbl), out_dir)
+    with pytest.raises(ValueError, match="duplicate"):
+        codecs.read_csv_wkt(out_dir, unique_col="block_id").to_pandas()
+
+
+def test_geojson_roundtrip():
+    path = f"{TMP}/x.geojson"
+    if os.path.exists(path):
+        os.remove(path)
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"name": "sq"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}},
+        {"type": "Feature", "properties": {"name": "pt"},
+         "geometry": {"type": "Point", "coordinates": [3.0, 4.0]}},
+    ]}
+    with open(path, "w") as f:
+        json.dump(fc, f)
+    ds = codecs.read_geojson(path)
+    df = ds.to_pandas().sort_values("name").reset_index(drop=True)
+    assert list(df["name"]) == ["pt", "sq"]
+    t, v = wkb.decode(df["geometry"][0])
+    assert t == wkb.POINT and tuple(v) == (3.0, 4.0)
+
+    out = f"{TMP}/y.geojson"
+    if os.path.exists(out):
+        os.remove(out)
+    codecs.write_geojson(ds, out)
+    codecs.write_geojson(ds, out)  # append-merge
+    with open(out) as f:
+        merged = json.load(f)
+    assert len(merged["features"]) == 4
+
+
+def test_mercator_roundtrip():
+    lng = np.array([-120.0, 0.0, 15.5, 179.0])
+    lat = np.array([-60.0, 0.0, 45.0, 80.0])
+    x, y = crs.lnglat_to_mercator(lng, lat)
+    # EPSG:3395 reference value for (0°, 45°): y ≈ 5591295.9 m
+    assert abs(x[1]) < 1e-6 and abs(y[1]) < 1e-6
+    assert abs(y[2] - 5591295.9) < 200
+    lng2, lat2 = crs.mercator_to_lnglat(x, y)
+    np.testing.assert_allclose(lng2, lng, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_parse_ona_text():
+    txt = "10.0 20.0 0 5; 10.0 21.0 0 5; 11.0 21.0 0 5; 10.0 20.0 0 5"
+    buf = normalize.parse_ona_text(txt)
+    t, rings = wkb.decode(buf)
+    assert t == wkb.POLYGON
+    # lng = second field, lat = first
+    np.testing.assert_allclose(rings[0][0], [20.0, 10.0])
+    assert normalize.parse_ona_text("1 2") is None
+
+
+def test_clean_gadm_cols():
+    batch = pa.table({
+        "GID_0": ["DJI", "DJI"],
+        "GID_1": ["DJI.1_1", "DJI.2_1"],
+        "GID_2": ["DJI.1.1_1", "DJI.2.1_1"],
+        "geometry": pa.array([wkb.point(0, 0)] * 2, type=pa.binary()),
+    })
+    out = normalize.clean_gadm_cols(batch)
+    assert out.column_names == ["geometry", "gadm_code", "gadm"]
+    assert out["gadm_code"].to_pylist() == ["DJI.1.1_1", "DJI.2.1_1"]
+    assert out["gadm"].to_pylist() == ["DJI", "DJI"]
+    out1 = normalize.clean_gadm_cols(batch, target_level=1)
+    assert out1["gadm_code"].to_pylist() == ["DJI.1_1", "DJI.2_1"]
