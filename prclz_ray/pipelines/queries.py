@@ -627,21 +627,26 @@ SELECT qid AS query_id, vec_id AS match_id FROM s WHERE rnk <= 5
 
 def q_minhash_dedup_documents(sf_dir: str):
     """MinHash+LSH near-dup (rows-only check: non-SQL-expressible)."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
     kept, _ = dd.minhash_lsh_dedup(docs, key_col="doc_id", text_col="text",
                                    jaccard_threshold=0.8)
     return kept.select_columns(["doc_id"])
 
 
 def q_simhash_candidate_pairs(sf_dir: str):
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
     return dd.simhash_dedup(docs, key_col="doc_id", text_col="text",
                             hamming_radius=3)
 
 
 def q_embedding_dup_pairs(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return dd.embedding_dedup_pairs(emb, cosine_threshold=0.95)
+    df = dd.embedding_dedup_pairs(emb, cosine_threshold=0.95).to_pandas()
+    if df.empty:  # keep a stable schema on an empty result
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df
 
 
 def q_langid_documents(sf_dir: str):

@@ -96,9 +96,10 @@ def minhash_candidates(ds, key_col="doc_id", num_bands=16, num_perm=64,
     sharing a band bucket are candidate duplicate pairs."""
     rows_per_band = num_perm // num_bands
 
-    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(text_col=text_col,
-                                                                num_perm=num_perm),
-                          batch_format="pyarrow", concurrency=concurrency)
+    from .util import cached_callable
+    sigs = ds.map_batches(
+        cached_callable(MinHasher, text_col=text_col, num_perm=num_perm),
+        batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_pylist()
@@ -127,8 +128,20 @@ def minhash_candidates(ds, key_col="doc_id", num_bands=16, num_perm=64,
                 out_b.append(ks[j])
         return pd.DataFrame({"a": out_a, "b": out_b})
 
-    return exploded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas") \
-        .groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    cand = exploded.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pandas")
+    # cross-band duplicate pairs: coarse-bucket by hash(a), then one
+    # vectorized drop_duplicates per bucket (NOT a per-pair groupby — that
+    # costs a python call per candidate pair)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_pb"] = (pd.util.hash_pandas_object(df["a"], index=False)
+                     % 16).astype("int32")
+        return df
+
+    return cand.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_pb").map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pb"]),
+            batch_format="pandas")
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -153,11 +166,25 @@ def minhash_lsh_dedup(ds, key_col="doc_id", text_col="text", num_perm=64,
                         texts_tbl[text_col].to_pylist()))
     tref = ray.put(text_map)
 
+    _shingle_cache: dict = {}
+
+    def _shingles(tm, key, k=5):
+        s = _shingle_cache.get(key)
+        if s is None:
+            t = tm[key]
+            s = {t[i:i + k] for i in range(max(1, len(t) - k + 1))}
+            _shingle_cache[key] = s
+        return s
+
     def verify(batch: pa.Table) -> pa.Table:
         tm = ray.get(tref)
         keep_a, keep_b = [], []
         for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            if ngram_jaccard(tm[a], tm[b]) >= jaccard_threshold:
+            # shingle sets memoized per worker: a doc in many candidate
+            # pairs is shingled once, not once per pair
+            sa, sb = _shingles(tm, a), _shingles(tm, b)
+            jac = (len(sa & sb) / max(1, len(sa | sb))) if (sa or sb) else 1.0
+            if jac >= jaccard_threshold:
                 keep_a.append(a)
                 keep_b.append(b)
         return pa.table({"a": keep_a, "b": keep_b})
@@ -226,8 +253,9 @@ def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
                   concurrency=(1, 4)):
     """SimHash near-dup: 4 16-bit bands (any exact band match is a
     candidate at radius ≤ 3 by pigeonhole), hamming-verified in-group."""
-    hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(text_col=text_col),
-                            batch_format="pyarrow", concurrency=concurrency)
+    from .util import cached_callable
+    hashed = ds.map_batches(cached_callable(SimHasher, text_col=text_col),
+                            batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_pylist()
@@ -254,9 +282,18 @@ def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
                     out_b.append(ks[j])
         return pd.DataFrame({"a": out_a, "b": out_b})
 
-    return hashed.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas") \
-        .groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    cand = hashed.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_pb"] = (pd.util.hash_pandas_object(df["a"], index=False)
+                     % 16).astype("int32")
+        return df
+
+    return cand.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_pb").map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pb"]),
+            batch_format="pandas")
 
 
 # ------------------------------------------------------------- embeddings
