@@ -26,11 +26,16 @@ import os
 import sys
 
 
+_OWNS_RAY = False
+
+
 def _init_ray():
+    global _OWNS_RAY
     import ray
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR")
+        _OWNS_RAY = True
 
 
 def _read(path: str, columns=None):
@@ -220,8 +225,10 @@ def main(argv=None):
 
     a = p.parse_args(argv)
     a.fn(a)
+    # shut down only a session this CLI created (library callers and tests
+    # own theirs)
     import ray
-    if ray.is_initialized():
+    if _OWNS_RAY and ray.is_initialized():
         ray.shutdown()
 
 
