@@ -60,50 +60,64 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     return [t for t in tris if all(v < n for v in t)]
 
 
-def voronoi_cells(points: np.ndarray) -> dict[int, np.ndarray]:
-    """Voronoi cell polygon (closed CCW ring) per input-point index.
+def _clip_halfplane(poly: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Keep the part of (open) polygon ``poly`` closer to ``a`` than ``b``."""
+    mid = (a + b) * 0.5
+    nvec = b - a
+    s = (poly - mid) @ nvec  # > 0 → strictly closer to b → cut away
+    m = len(poly)
+    out = []
+    for k in range(m):
+        k2 = (k + 1) % m
+        sp, sq = s[k], s[k2]
+        in_p, in_q = sp <= 0, sq <= 0
+        if in_p:
+            out.append(poly[k])
+        if in_p != in_q:
+            t = sp / (sp - sq)
+            out.append(poly[k] + t * (poly[k2] - poly[k]))
+    return np.asarray(out) if out else np.empty((0, 2))
 
-    Bounded via four sentinel points far outside the data bbox — cells of
-    real points are finite; sentinel cells are dropped. Mirrors the
-    reference's use of pytess.voronoi (anchor, vertices) pairs."""
+
+def voronoi_cells(points: np.ndarray, buffer_frac: float = 1.0) -> dict[int, np.ndarray]:
+    """Voronoi cell polygon (closed ring) per input-point index, computed
+    as exact half-plane intersections clipped to the points' bounding box
+    expanded by ``buffer_frac`` on every side — the clipping behavior of
+    pytess.voronoi (reference ``_complexity.py:27``), whose border cells
+    extend to a buffered rect before the caller intersects with the block.
+
+    n ≤ 2 yields no cells (pytess: no Delaunay triangles → no voronoi
+    polygons → empty s0 → k = 0), matching the reference's golden outputs
+    for 1–2-building blocks.
+
+    Nearest-first clipping with the standard radius prune keeps it near
+    O(n·k) per cell despite the O(n²) worst case."""
     pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
     n = len(pts)
-    if n == 0:
+    if n <= 2:
         return {}
-    if n == 1:
-        return {}  # a single anchor has an unbounded cell; caller handles
-    # bounding sentinels: four fake sites on a diamond at ±100% of the point
-    # extent (matches the reference's voronoi library behavior — cells of
-    # real anchors are bounded roughly one extent away, which the reference
-    # then intersects with the block)
     xmin, ymin = pts.min(axis=0)
     xmax, ymax = pts.max(axis=0)
-    xbuff = max(xmax - xmin, 1e-9)
-    ybuff = max(ymax - ymin, 1e-9)
-    midx, midy = (xmax + xmin) / 2.0, (ymax + ymin) / 2.0
-    sent = np.array([[midx, ymin - ybuff], [xmax + xbuff, midy],
-                     [midx, ymax + ybuff], [xmin - xbuff, midy]])
-    allp = np.vstack([pts, sent])
-    tris = delaunay(allp)
-
-    def circumcenter(t):
-        a, b, c = allp[t[0]], allp[t[1]], allp[t[2]]
-        d = 2.0 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
-        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
-        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
-        return np.array([ux, uy])
-
-    centers = {t: circumcenter(t) for t in tris}
+    w = max(xmax - xmin, 1e-9) * buffer_frac
+    h = max(ymax - ymin, 1e-9) * buffer_frac
+    rect = np.array([[xmin - w, ymin - h], [xmax + w, ymin - h],
+                     [xmax + w, ymax + h], [xmin - w, ymax + h]])
     cells: dict[int, np.ndarray] = {}
     for i in range(n):
-        incident = [t for t in tris if i in t]
-        if len(incident) < 3:
-            continue
-        vs = np.array([centers[t] for t in incident])
-        # order circumcenters CCW around the anchor
-        ang = np.arctan2(vs[:, 1] - pts[i, 1], vs[:, 0] - pts[i, 0])
-        vs = vs[np.argsort(ang)]
-        cells[i] = np.vstack([vs, vs[:1]])
+        d2 = ((pts - pts[i]) ** 2).sum(axis=1)
+        order = np.argsort(d2, kind="stable")
+        cell = rect.copy()
+        alive = True
+        for j in order[1:]:
+            r2 = ((cell - pts[i]) ** 2).sum(axis=1).max()
+            if d2[j] > 4.0 * r2:
+                break  # bisector cannot reach the current cell
+            cell = _clip_halfplane(cell, pts[i], pts[j])
+            if len(cell) < 3:
+                alive = False
+                break
+        if alive and len(cell) >= 3:
+            cells[i] = np.vstack([cell, cell[:1]])
     return cells
 
 

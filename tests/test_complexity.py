@@ -25,8 +25,10 @@ def test_structural_goldens():
     assert block_complexity(block, np.array([[5.0, 5.0]])) == 0
     ang = np.linspace(0, 2 * np.pi, 9)[:-1]
     ring1 = np.stack([5 + 3 * np.cos(ang), 5 + 3 * np.sin(ang)], axis=1)
-    # one ring of buildings around the center: dual is a cycle -> k = 1
-    assert block_complexity(block, ring1) == 1
+    # one ring of buildings: dual is an 8-cycle, whose single inner face
+    # survives one more level as an isolated dual node (the reference's
+    # self-match self-loop, ``topology.py:367-373``) -> k = 2
+    assert block_complexity(block, ring1) == 2
 
 
 def test_boundary_anchor_excluded():
@@ -49,6 +51,6 @@ def test_dji_golden_conformance():
         k = block_complexity(ring, np.asarray(vc).reshape(-1, 2))
         diffs.append(abs(k - row.complexity))
         ok += k == row.complexity
-    assert ok >= 135, f"exact k matches regressed: {ok}/196"
+    assert ok >= 144, f"exact k matches regressed: {ok}/196"
     assert max(diffs) <= 2
-    assert float(np.mean(diffs)) <= 0.35
+    assert float(np.mean(diffs)) <= 0.31
