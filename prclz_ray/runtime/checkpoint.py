@@ -105,3 +105,32 @@ def read_resumable(out_dir: str):
     import ray.data as rd
     files = sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
     return rd.read_parquet(files)
+
+
+def pending_keys(candidate_keys, out_dir: str) -> list:
+    """Resume work-list (SURVEY §2.1 S6): anti-join candidate partition keys
+    against the committed manifest — the split-buildings progress-ledger
+    pattern (``split_buildings.py:87-118``) as one set difference."""
+    done = committed_keys(out_dir)
+    return [k for k in candidate_keys if str(k) not in done]
+
+
+def filter_uncommitted(ds, out_dir: str, key_col: str):
+    """Drop input rows whose partition is already committed — applied BEFORE
+    the expensive stages so a resumed run never recomputes upstream work for
+    finished partitions (north rule: "resumes from the last committed tile
+    without recomputing upstream extraction")."""
+    import ray
+
+    done = committed_keys(out_dir)
+    if not done:
+        return ds
+    ref = ray.put(done)
+
+    def f(batch: pa.Table) -> pa.Table:
+        committed = ray.get(ref)
+        keys = batch[key_col].to_pylist()
+        mask = [str(k) not in committed for k in keys]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

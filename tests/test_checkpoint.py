@@ -53,3 +53,20 @@ def test_manifest_records_lineage():
         assert r["rows"] == 25
         assert r["fingerprint"] == "fixture-v1"
         assert "ts" in r and "wall_sec" in r
+
+
+def test_pending_keys_and_filter_uncommitted():
+    shutil.rmtree(OUT, ignore_errors=True)
+    checkpoint.write_partitioned_resumable(_ds(), OUT, "part_key")
+    assert checkpoint.pending_keys(["a", "b", "c", "d", "e"], OUT) == ["e"]
+
+    filtered = checkpoint.filter_uncommitted(_ds(), OUT, "part_key")
+    assert filtered.count() == 0  # everything committed → nothing pending
+
+    # uncommit 'b': only its rows survive the input filter
+    lines = open(checkpoint.manifest_path(OUT)).read().strip().splitlines()
+    keep = [l for l in lines if '"key": "b"' not in l]
+    with open(checkpoint.manifest_path(OUT), "w") as f:
+        f.write("\n".join(keep) + "\n")
+    back = checkpoint.filter_uncommitted(_ds(), OUT, "part_key").to_pandas()
+    assert set(back["part_key"]) == {"b"} and len(back) == 25

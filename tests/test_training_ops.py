@@ -1,0 +1,119 @@
+"""Training-data operator suite: dedup family, ANN, text analysis,
+multimodal plumbing — small deterministic corpora with exact expectations."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from prclz_ray.stages import dedup as dd
+from prclz_ray.stages import multimodal, similarity, text
+
+
+def _docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today",
+        "sphinx of black quartz judge my vow said the old man",
+        "a completely different document about graph theory and duals",
+    ]
+    rows = []
+    for i in range(40):
+        t = base[i % 4] + f" filler{i % 4}"
+        rows.append({"doc_id": i, "text": t})
+    # two exact dups of doc 0's text and one near-dup
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})
+    rows.append({"doc_id": 102, "text": rows[0]["text"] + "!"})
+    return rows
+
+
+def test_exact_dedup_keeps_min_key():
+    ds = rd.from_items(_docs()).repartition(4)
+    out = dd.exact_dedup(ds).to_pandas()
+    # 4 distinct templates × filler variants: texts repeat every 4 ids
+    kept = set(out["doc_id"])
+    assert 0 in kept and 100 not in kept and 101 not in kept
+    # near-dup text (102) differs → survives exact dedup
+    assert 102 in kept
+    texts = list(out["text"])
+    assert len(texts) == len(set(texts))
+
+
+def test_minhash_lsh_dedup_collapses_near_dups():
+    ds = rd.from_items(_docs()).repartition(4)
+    kept, comp = dd.minhash_lsh_dedup(ds, jaccard_threshold=0.8)
+    ids = set(kept.to_pandas()["doc_id"])
+    # exact + near dups of doc 0 collapse to the min key
+    assert 0 in ids
+    assert not {100, 101, 102} & ids
+
+
+def test_simhash_finds_exact_dup_pairs():
+    ds = rd.from_items(_docs()).repartition(4)
+    pairs = dd.simhash_dedup(ds).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+    assert (0, 100) in got and (0, 101) in got
+
+
+def test_ann_bruteforce_vs_ivf_top1():
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    tbl = pa.table({"vec_id": np.arange(300, dtype=np.int64),
+                    "embedding": [v.tolist() for v in vecs]})
+    queries = vecs[[5, 50, 200]] + 0.001  # near-copies of known rows
+    qids = [0, 1, 2]
+    ds = rd.from_arrow(tbl).repartition(4)
+    bf = similarity.ann_bruteforce(ds, queries, qids, k=3).to_pandas()
+    top1 = bf[bf["rank"] == 1].set_index("query_id")["match_id"]
+    assert dict(top1) == {0: 5, 1: 50, 2: 200}
+
+    cents = similarity.train_centroids(rd.from_arrow(tbl), n_centroids=8)
+    ivf = similarity.ann_ivf(rd.from_arrow(tbl).repartition(4), queries,
+                             qids, cents, k=3, nprobe=4).to_pandas()
+    ivf1 = ivf[ivf["rank"] == 1].set_index("query_id")["match_id"]
+    # IVF with nprobe=half the lists must still find the near-copies
+    assert dict(ivf1) == {0: 5, 1: 50, 2: 200}
+
+
+def test_langid_and_quality_and_tokens():
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox and the lazy dog"},
+        {"doc_id": 1, "text": "le renard brun et le chien paresseux de la ville"},
+        {"doc_id": 2, "text": "short"},
+    ]
+    ds = rd.from_items(rows)
+    lang = ds.map_batches(text.LangId, batch_format="pandas",
+                          concurrency=1).to_pandas()
+    pred = lang.set_index("doc_id")["lang_pred"]
+    assert pred[0] == "en"
+    assert pred[1] == "fr"
+
+    q = ds.map_batches(text.QualityScorer, batch_format="pandas",
+                       concurrency=1).to_pandas()
+    assert (q["q_score"] >= 0).all() and (q["q_score"] <= 1.4).all()
+    assert q.set_index("doc_id")["q_score"][2] < q.set_index("doc_id")["q_score"][0]
+
+    tok = ds.map_batches(lambda b: text.token_count_batch(b),
+                         batch_format="pyarrow").to_pandas()
+    assert tok.set_index("doc_id")["tokens_ws"][0] == 8
+
+    fp = ds.map_batches(lambda b: text.fingerprint_batch(b),
+                        batch_format="pyarrow").to_pandas()
+    assert fp["fingerprint"].nunique() == 3
+
+
+def test_multimodal_decode_plumbing():
+    tbl = multimodal.synth_media_table(48)
+    out = multimodal.decode_pipeline(rd.from_arrow(tbl),
+                                     batch_size=16).to_pandas()
+    assert len(out) == 48
+    assert "features" in out.columns
+    # deterministic fake features: same payload → same features
+    f0 = np.asarray(out["features"][0])
+    assert f0.shape == (16,)
+    out2 = multimodal.decode_pipeline(rd.from_arrow(tbl),
+                                      batch_size=16).to_pandas()
+    m0 = out.set_index("media_id")["features"]
+    m2 = out2.set_index("media_id")["features"]
+    for mid in out["media_id"][:5]:
+        assert np.allclose(np.asarray(m0[mid]), np.asarray(m2[mid]))
