@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 
 
@@ -46,9 +47,13 @@ def _read(path: str, columns=None):
 def _write(ds, out: str, overwrite: bool):
     import pandas as pd
     import pyarrow as pa
-    if os.path.exists(out) and not overwrite:
-        print(f"skip: {out} exists (use --overwrite)", file=sys.stderr)
-        return
+    if os.path.exists(out):
+        if not overwrite:
+            print(f"skip: {out} exists (use --overwrite)", file=sys.stderr)
+            return
+        # Ray's write_parquet appends uuid-named files; an --overwrite
+        # rerun must not leave stale files mixed with new ones
+        shutil.rmtree(out)
     if isinstance(ds, (pd.DataFrame, pa.Table)):
         import pyarrow.parquet as pq
         tbl = pa.Table.from_pandas(ds) if isinstance(ds, pd.DataFrame) else ds
@@ -108,9 +113,11 @@ def cmd_split_buildings(a):
     joined = pip_join(pts, regions.select(["gadm_code", "geometry"]),
                       id_col="gadm_code", x_col="cx", y_col="cy",
                       how="left", out_id_col="gadm_assigned")
-    if os.path.exists(a.out) and not a.overwrite:
-        print(f"skip: {a.out} exists", file=sys.stderr)
-        return
+    if os.path.exists(a.out):
+        if not a.overwrite:
+            print(f"skip: {a.out} exists", file=sys.stderr)
+            return
+        shutil.rmtree(a.out)
     joined.write_parquet(a.out, partition_cols=["gadm_assigned"])
     print(f"wrote {a.out}")
 

@@ -131,6 +131,10 @@ def duplicate_url_map(pages_ds, num_buckets: int = 64):
     def partial(batch: pa.Table) -> pa.Table:
         t = _url_hash_cols(batch.select(["url", "warc_ts"]))
         t = t.select(["_h1", "_h2", "warc_ts"])
+        # epoch-us int64 ARROW-side so the pandas groupby below operates on
+        # plain ints regardless of the stack's timestamp-unit coercions
+        t = t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts",
+                         t["warc_ts"].cast(pa.timestamp("us")).cast(pa.int64()))
         bucket = (t["_h1"].to_numpy(zero_copy_only=False) %
                   np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("_bucket", pa.array(bucket))
@@ -142,7 +146,7 @@ def duplicate_url_map(pages_ds, num_buckets: int = 64):
         if g.empty:
             return pd.DataFrame({"_h1": pd.Series(dtype=np.uint64),
                                  "_h2": pd.Series(dtype=np.uint64),
-                                 "max_ts": pd.Series(dtype="datetime64[us]"),
+                                 "max_ts": pd.Series(dtype=np.int64),
                                  "n_at_max": pd.Series(dtype=np.int64)})
         d = df.merge(g[["_h1", "_h2", "max_ts"]], on=["_h1", "_h2"])
         d = d[d["warc_ts"] == d["max_ts"]]
@@ -319,6 +323,13 @@ _WORKER_STATE: dict = {}
 def _cached(key, build):
     obj = _WORKER_STATE.get(key)
     if obj is None:
+        # keep only the newest state per stage kind (key[0]): broadcast
+        # packs are keyed by per-run ObjectRef, so without eviction a
+        # long-lived worker accumulates one pack per pipeline run
+        kind = key[0] if isinstance(key, tuple) else key
+        for k in [k for k in _WORKER_STATE
+                  if (k[0] if isinstance(k, tuple) else k) == kind]:
+            del _WORKER_STATE[k]
         obj = _WORKER_STATE[key] = build()
     return obj
 

@@ -230,7 +230,8 @@ WITH px AS (
          CAST(FLOOR(((c_custkey*104729)%1000 + 0.5)/50) AS BIGINT) AS gy,
          COUNT(*) AS n, SUM(c_acctbal) AS v
   FROM customer GROUP BY 1, 2)
-SELECT n_nationkey, ROUND(SUM(v), 2) AS zone_value, SUM(n) AS zone_points,
+SELECT n_nationkey, ROUND(SUM(v), 2) AS zone_value,
+       CAST(SUM(n) AS BIGINT) AS zone_points,
        COUNT(*) AS zone_pixels
 FROM px, nation
 WHERE CAST(FLOOR((gx*50 + 25.0) / 200) AS INT) = n_nationkey % 5
@@ -416,10 +417,14 @@ def q_nation_order_totals(sf_dir: str):
     nation = nation.rename_columns(["c_nationkey", "n_name"])
     enriched = relational.broadcast_join(cust, nation, on="c_nationkey")
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust_small = relational.ds_to_table(enriched) \
-        .rename_columns(["o_custkey", "c_nationkey", "n_name"])
-    joined = relational.broadcast_join(orders, cust_small.select(["o_custkey", "n_name"]),
-                                       on="o_custkey")
+    # chain the second (large×large at scale) join lazily through the
+    # bucketed shuffle join — no driver-side materialize between the joins
+    cust_keyed = enriched.map_batches(
+        lambda t: t.select(["c_custkey", "n_name"])
+                   .rename_columns(["o_custkey", "n_name"]),
+        batch_format="pyarrow")
+    joined = relational.bucketed_hash_join(orders, cust_keyed, on="o_custkey",
+                                           num_buckets=16)
     from ray.data.aggregate import Count, Sum
     out = joined.groupby("n_name").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
@@ -455,6 +460,41 @@ def q_bucketed_join_segment_totals(sf_dir: str):
 SQL_SEGMENT_TOTALS = """
 SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_bucketed_join_string_key(sf_dir: str):
+    """Large×large bucketed join on a STRING key — pins down bucket-hash
+    process stability (a per-process-seeded hash would silently drop rows
+    here because the two sides bucket in different worker processes)."""
+    import pyarrow.compute as pc
+
+    def add_skey(col):
+        def f(t: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                "C", pc.cast(t[col], pa.string()), "-")
+            return t.append_column("skey", s).drop_columns([col])
+        return f
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(add_skey("o_custkey"), batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(add_skey("c_custkey"), batch_format="pyarrow")
+    joined = relational.bucketed_hash_join(orders, cust, on="skey",
+                                           num_buckets=16)
+    from ray.data.aggregate import Count, Sum
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    df = out.to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return _round2(df[["c_mktsegment", "n_orders", "total"]], ["total"])
+
+
+SQL_SEGMENT_TOTALS_STR = """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN customer
+  ON ('C-' || CAST(o_custkey AS VARCHAR)) = ('C-' || CAST(c_custkey AS VARCHAR))
 GROUP BY c_mktsegment
 """
 
@@ -501,8 +541,8 @@ SQL_EVENT_TYPES = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_t
 
 def q_semi_customers_with_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    keys = set(relational.ds_to_table(
-        _read(sf_dir, "orders", ["o_custkey"]))["o_custkey"].to_pylist())
+    keys = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
     return relational.semi_join(cust, keys, on="c_custkey")
 
 
@@ -513,10 +553,13 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 def q_anti_customers_without_orders(sf_dir: str):
+    """Anti join via the SHUFFLE semi-join path (key side too large to
+    broadcast at scale) — also oracle coverage for bucketed_semi_join."""
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    keys = set(relational.ds_to_table(
-        _read(sf_dir, "orders", ["o_custkey"]))["o_custkey"].to_pylist())
-    df = relational.semi_join(cust, keys, on="c_custkey", anti=True).to_pandas()
+    keys = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    df = relational.bucketed_semi_join(cust, keys, on="c_custkey",
+                                       anti=True).to_pandas()
     if df.empty:  # keep the schema on an empty result
         df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
     return df
@@ -575,8 +618,9 @@ def q_token_counts_by_lang(sf_dir: str):
 
 SQL_TOKENS = r"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS sum_tokens_ws,
-       SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS sum_tokens_re
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens_ws,
+       CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+         AS sum_tokens_re
 FROM documents GROUP BY lang
 """
 
@@ -597,8 +641,9 @@ def q_quality_stats_by_lang(sf_dir: str):
 
 
 SQL_QUALITY = r"""
-SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS sum_chars,
-       SUM(len(regexp_extract_all(text, '\w+'))) AS sum_words
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(regexp_extract_all(text, '\w+'))) AS BIGINT) AS sum_words
 FROM documents GROUP BY lang
 """
 
@@ -607,7 +652,8 @@ def q_ann_topk_cosine(sf_dir: str):
     """Brute-force exact top-5 cosine for 3 query vectors (the ANN
     baseline; float64 end-to-end so ordering matches the SQL oracle)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = [r for r in emb.take_all() if r["vec_id"] < 3]
+    qrows = sorted(emb.filter(expr="vec_id < 3").take_all(),
+                   key=lambda r: r["vec_id"])
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [int(r["vec_id"]) for r in qrows]
     out = similarity.ann_bruteforce(emb, queries, qids, k=5)
@@ -665,7 +711,8 @@ def q_fingerprint_documents(sf_dir: str):
 
 def q_ann_ivf(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = [r for r in emb.take_all() if r["vec_id"] < 3]
+    qrows = sorted(emb.filter(expr="vec_id < 3").take_all(),
+                   key=lambda r: r["vec_id"])
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [int(r["vec_id"]) for r in qrows]
     C = similarity.train_centroids(emb, n_centroids=8)
@@ -750,6 +797,7 @@ def registry():
         "top_orders_by_revenue": (q_top_orders_by_revenue, SQL_TOP_ORDERS),
         "nation_order_totals": (q_nation_order_totals, SQL_NATION_TOTALS),
         "bucketed_join_segment_totals": (q_bucketed_join_segment_totals, SQL_SEGMENT_TOTALS),
+        "bucketed_join_string_key": (q_bucketed_join_string_key, SQL_SEGMENT_TOTALS_STR),
         "orders_status_counts": (q_orders_status_counts, SQL_STATUS),
         "topk_parts_by_price": (q_topk_parts_by_price, SQL_TOPK_PARTS),
         "distinct_event_types": (q_distinct_event_types, SQL_EVENT_TYPES),

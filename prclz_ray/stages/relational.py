@@ -22,11 +22,30 @@ def ds_to_table(ds) -> pa.Table:
     zero-copy."""
     if isinstance(ds, pa.Table):
         return ds
-    tables = ray.get(ds.to_arrow_refs())
-    tables = [t for t in tables if t.num_rows]
+    all_tables = ray.get(ds.to_arrow_refs())
+    tables = [t for t in all_tables if t.num_rows]
     if not tables:
-        return ray.get(ds.to_arrow_refs()[0])
+        if all_tables:
+            return all_tables[0]
+        return pa.schema([]).empty_table() if ds.schema() is None else \
+            pa.Table.from_pylist([], schema=pa.schema(
+                [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]))
     return pa.concat_tables(tables, promote_options="default")
+
+
+def stable_bucket(col, num_buckets: int) -> np.ndarray:
+    """Process-stable bucket assignment for an Arrow column.  Python's
+    builtin ``hash(str)`` is randomized per process (PYTHONHASHSEED), so it
+    must NEVER be used to co-partition two sides that hash in different
+    worker processes — same key, different bucket, silently dropped rows.
+    ``pd.util.hash_array`` is seed-stable across processes."""
+    vals = col.to_numpy(zero_copy_only=False) if hasattr(col, "to_numpy") \
+        else np.asarray(col)
+    if vals.dtype == object or vals.dtype.kind in ("U", "S"):
+        h = pd.util.hash_array(vals.astype(object))
+    else:
+        h = pd.util.hash_array(np.ascontiguousarray(vals))
+    return (h % num_buckets).astype(np.int32)
 
 
 def broadcast_join(big_ds, small, on: str, how: str = "inner",
@@ -46,26 +65,76 @@ def broadcast_join(big_ds, small, on: str, how: str = "inner",
 
 
 def semi_join(big_ds, keys, on: str, anti: bool = False):
-    """Semi/anti join: broadcast the key set, filter inside map_batches
-    (guide pattern; reference analogue J5 ``_parcels.py:91-93``)."""
-    if not isinstance(keys, (set, frozenset)):
-        if hasattr(keys, "take_all"):
-            keys = ds_to_table(keys.select_columns([on]))
-        if isinstance(keys, pa.Table):
-            keys = set(keys[on].to_pylist())
-        else:
-            keys = set(keys)
-    ref = ray.put(keys)
+    """Semi/anti join: broadcast the DEDUPED key column as an Arrow array,
+    probe vectorized with ``pc.is_in`` per batch (reference analogue J5
+    ``_parcels.py:91-93``).  The broadcast side is the narrow unique-key
+    array only — ``ray.put`` once, read zero-copy in every task.  For a
+    key side too large to broadcast use ``bucketed_semi_join``."""
+    import pyarrow.compute as pc
+
+    if hasattr(keys, "take_all"):          # a Dataset: pull ONLY the key col
+        keys = ds_to_table(keys.select_columns([on]))
+    if isinstance(keys, pa.Table):
+        arr = pc.unique(keys[on].combine_chunks())
+    elif isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        arr = pc.unique(keys)
+    else:
+        arr = pa.array(sorted(set(keys)))
+    ref = ray.put(arr)
 
     def f(batch: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        col = batch[on].to_pylist()
-        mask = np.array([c in ks for c in col])
+        mask = pc.is_in(batch[on], value_set=ks)
         if anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, False))
 
     return big_ds.map_batches(f, batch_format="pyarrow")
+
+
+def bucketed_semi_join(big_ds, keys_ds, on: str, anti: bool = False,
+                       num_buckets: int = 32):
+    """Shuffle semi/anti join for a key side too large to broadcast: both
+    sides bucket on a stable key hash, co-group per bucket, vectorized
+    isin within the bucket.  One all-to-all exchange on narrow columns."""
+    import pyarrow.compute as pc
+
+    keys_only = keys_ds.select_columns([on]) if hasattr(keys_ds, "select_columns") \
+        else keys_ds
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            b = stable_bucket(batch[on], num_buckets)
+            out = batch.append_column("_bucket", pa.array(b))
+            return out.append_column("_bside", pa.array(
+                np.full(batch.num_rows, side, dtype=np.int8)))
+        return f
+
+    l = big_ds.map_batches(tag(0), batch_format="pyarrow")
+    r = keys_only.map_batches(tag(1), batch_format="pyarrow")
+
+    types: dict[str, pa.DataType] = {}
+    for sch in (l.schema(), r.schema()):
+        for n, t in zip(sch.names, sch.types):
+            types.setdefault(n, t)
+
+    def align(t: pa.Table) -> pa.Table:
+        for n in types:
+            if n not in t.column_names:
+                t = t.append_column(n, pa.nulls(t.num_rows, type=types[n]))
+        return t.select(list(types))
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group._bside == 0]
+        ks = group.loc[group._bside == 1, on].unique()
+        mask = lg[on].isin(ks)
+        if anti:
+            mask = ~mask
+        return lg[mask].drop(columns=["_bucket", "_bside"])
+
+    unioned = l.map_batches(align, batch_format="pyarrow").union(
+        r.map_batches(align, batch_format="pyarrow"))
+    return unioned.groupby("_bucket").map_groups(probe, batch_format="pandas")
 
 
 def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
@@ -75,8 +144,7 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     bucket (guide's portable pattern; salt hot keys upstream if skewed)."""
     def add_bucket(side):
         def f(batch: pa.Table) -> pa.Table:
-            keys = batch[on].to_pylist()
-            b = np.array([hash(k) % num_buckets for k in keys], dtype=np.int32)
+            b = stable_bucket(batch[on], num_buckets)
             out = batch.append_column("_bucket", pa.array(b))
             return out.append_column("_bside", pa.array(
                 np.full(batch.num_rows, side, dtype=np.int8)))
