@@ -169,3 +169,53 @@ def segments_intersect(p1, p2, q1, q2) -> bool:
     if d4 == 0 and on_seg(p1, p2, q2):
         return True
     return False
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns the hull CCW, first point NOT
+    repeated.  Degenerate inputs (<3 distinct points, collinear) return
+    the distinct points sorted."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) < 3:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        h: list = []
+        for p in seq:
+            while len(h) >= 2 and _orient(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return hull if len(hull) >= 3 else pts
+
+
+def min_rotated_rect(points: np.ndarray) -> np.ndarray:
+    """Minimum-area rotated bounding rectangle via rotating calipers over
+    the convex hull: one candidate rectangle per hull edge direction.
+    Returns the 4 corners (4, 2), CCW (shapely's
+    ``minimum_rotated_rectangle`` analogue for the outside-node step)."""
+    hull = convex_hull(points)
+    if len(hull) < 3:  # degenerate: axis-aligned bbox of the points
+        x0, y0, x1, y1 = bbox(np.asarray(points, dtype=np.float64))
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    best = None
+    for i in range(len(hull)):
+        e = hull[(i + 1) % len(hull)] - hull[i]
+        n = np.hypot(*e)
+        if n == 0:
+            continue
+        ux, uy = e / n
+        R = np.array([[ux, uy], [-uy, ux]])      # rotate edge onto +x
+        rot = hull @ R.T
+        x0, y0 = rot.min(axis=0)
+        x1, y1 = rot.max(axis=0)
+        area = (x1 - x0) * (y1 - y0)
+        if best is None or area < best[0]:
+            corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]) @ R
+            best = (area, corners)
+    return best[1]

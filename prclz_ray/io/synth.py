@@ -118,13 +118,19 @@ def expected_blocks() -> list[tuple[str, str, np.ndarray]]:
 
 
 def _building_spots(block_ring: np.ndarray, count: int) -> np.ndarray:
-    """Deterministic interior centroids: a ring of ``count`` positions at
-    40% radius around the block center."""
+    """Deterministic interior centroids: one at the block center (its
+    Voronoi parcel is interior — the reblock prep M8 keeps it as a
+    terminal) plus a ring of ``count-1`` positions at 40% radius (their
+    parcels touch the block boundary — M8 drops them as already
+    street-connected)."""
     x0, y0 = block_ring[0]
     c = np.array([x0 + GRID_W / 2, y0 + GRID_W / 2])
-    ang = 2 * np.pi * np.arange(count) / max(count, 1)
+    if count <= 1:
+        return c[None, :]
+    ang = 2 * np.pi * np.arange(count - 1) / (count - 1)
     r = 0.4 * GRID_W
-    return c + r * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    ring = c + r * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    return np.vstack([c[None, :], ring])
 
 
 def buildings_table(per_block: int = 5) -> pa.Table:

@@ -20,22 +20,133 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..geom import wkb
+from ..geom.core import (convex_hull, ensure_closed, min_rotated_rect,
+                         point_segments_distance, project_point_to_segment,
+                         segments_intersect)
+from ..geom.predicates import point_in_ring
 from ..graph.reblock_graph import ReblockGraph
+
+
+def drop_buildings_intersecting_block(parcel_rings: list[np.ndarray],
+                                      centroids: np.ndarray,
+                                      block_ring: np.ndarray,
+                                      eps: float = 1e-7):
+    """M8 (ref ``_reblock.py:21-69``): a building whose parcel shares
+    boundary with the block already has street access — drop it from the
+    reblocking terminals.  Touch test: any parcel vertex within ``eps`` of
+    the block boundary (parcels tessellate the block, so boundary cells
+    carry boundary vertices), with a segment-crossing fallback.  Buildings
+    matched to no parcel are dropped with a counter (reference warns and
+    drops, ``:55-57``).
+
+    Returns (kept_centroids (k,2), n_unmatched)."""
+    block = ensure_closed(np.asarray(block_ring, dtype=np.float64))
+    bs_a, bs_b = block[:-1], block[1:]
+
+    touches: list[bool] = []
+    rings = []
+    for ring in parcel_rings:
+        r = ensure_closed(np.asarray(ring, dtype=np.float64))
+        rings.append(r)
+        t = bool(min(point_segments_distance(v, bs_a, bs_b).min()
+                     for v in r[:-1]) <= eps)
+        if not t:  # fallback: proper segment crossing without a near vertex
+            for pa_, pb_ in zip(r[:-1], r[1:]):
+                if any(segments_intersect(pa_, pb_, qa, qb)
+                       for qa, qb in zip(bs_a, bs_b)):
+                    t = True
+                    break
+        touches.append(t)
+
+    cents = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
+    keep, unmatched = [], 0
+    for (x, y) in cents:
+        owners = [j for j, r in enumerate(rings) if point_in_ring(x, y, r)]
+        if not owners:
+            unmatched += 1
+            continue
+        if any(not touches[j] for j in owners):
+            keep.append((x, y))
+    return np.array(keep, dtype=np.float64).reshape(-1, 2), unmatched
+
+
+def add_outside_node(block_ring: np.ndarray,
+                     centroids: np.ndarray) -> np.ndarray:
+    """M9 (ref ``_reblock.py:71-91``): append a dummy terminal OUTSIDE the
+    block (inside its min rotated rect, outside its convex hull) so the
+    Steiner tree connects to the broader street network.  The reference
+    takes ``representative_point(rect - hull)``; any point of that region
+    is semantically equivalent — we take the midpoint between the rect
+    corner farthest from the hull and its nearest hull point
+    (deterministic, strictly inside rect, strictly outside hull)."""
+    ring = ensure_closed(np.asarray(block_ring, dtype=np.float64))[:-1]
+    hull = ensure_closed(convex_hull(ring))
+    ha, hb = hull[:-1], hull[1:]
+    rect = min_rotated_rect(ring)
+    dists = [point_segments_distance(c, ha, hb).min() for c in rect]
+    i = int(np.argmax(dists))
+    corner = rect[i]
+    if dists[i] > 1e-12:
+        best = None
+        for a, b in zip(ha, hb):
+            x, y, d = project_point_to_segment((corner[0], corner[1]), a, b)
+            if best is None or d < best[0]:
+                best = (d, (x, y))
+        q = np.asarray(best[1])
+        out = (corner + q) / 2.0
+    else:
+        # block IS its rotated rect (hull == rect): nudge just outside a
+        # corner, away from the centroid
+        c = ring.mean(axis=0)
+        v = corner - c
+        n = float(np.hypot(*v)) or 1.0
+        out = corner + v / n * max(1e-8, 1e-4 * n)
+    cents = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
+    return np.vstack([cents, out[None, :]])
+
+
+def snap_block(block_ring: np.ndarray,
+               parcel_rings: list[np.ndarray]) -> np.ndarray:
+    """M10 (ref ``_reblock.py:93-132``): the parcelization introduces a
+    small eps shift between block-boundary coords and parcel vertices;
+    downstream edge-type marking matches graph NODES, so map every block
+    vertex to its nearest parcel vertex (vectorized argmin)."""
+    P = np.vstack([ensure_closed(np.asarray(r, dtype=np.float64))[:-1]
+                   for r in parcel_rings])
+    B = ensure_closed(np.asarray(block_ring, dtype=np.float64))
+    d2 = ((B[:, None, :] - P[None, :, :]) ** 2).sum(axis=2)
+    return P[d2.argmin(axis=1)]
 
 
 def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
                   centroids: np.ndarray, use_width: bool = False,
                   building_rings: list[np.ndarray] | None = None,
                   through_ratio: float | None = None,
-                  simplify: bool = False) -> dict:
-    """Single-block kernel → {new, existing, summary}."""
+                  simplify: bool = False) -> dict | None:
+    """Single-block kernel → {new, existing, summary}; None when every
+    building already has street access (reference skips the block,
+    ``_reblock.py:174-176``).
+
+    Mirrors the reference lifecycle ``_reblock.py:165-195``: drop
+    street-connected buildings (M8) → add outside terminal (M9) → build
+    parcel graph → add terminals → snap block coords to parcel vertices
+    (M10) → mark existing streets → Steiner."""
     t0 = time.time()
+    centroids = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
+    n_input_bldgs = len(centroids)
+    centroids, n_unmatched = drop_buildings_intersecting_block(
+        parcel_rings, centroids, block_ring)
+    if len(centroids) == 0:
+        return None
+    centroids = add_outside_node(block_ring, centroids)
+
     g = ReblockGraph.from_polygons(parcel_rings)
     node_pre, edge_pre = g.g.number_of_nodes(), g.g.number_of_edges()
-    g.add_buildings(np.asarray(centroids, dtype=np.float64).reshape(-1, 2))
+    g.add_buildings(centroids)
     bldg_time = time.time() - t0
 
-    missing, total = g.update_edge_types(block_ring, check=True)
+    snapped = snap_block(block_ring, parcel_rings)
+    missing, total = g.update_edge_types(snapped, check=True)
     if use_width and building_rings:
         g.set_edge_width(building_rings, simplify=True)
         g.calc_edge_weight()
@@ -66,7 +177,10 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
             "node_count_post": g.g.number_of_nodes(),
             "edge_count_pre": edge_pre,
             "edge_count_post": g.g.number_of_edges(),
-            "bldg_count": int(len(np.asarray(centroids).reshape(-1, 2))),
+            "bldg_count": int(len(centroids) - 1),  # excl. outside terminal
+            "bldg_dropped": int(n_input_bldgs - n_unmatched
+                                - (len(centroids) - 1)),
+            "bldg_unmatched": int(n_unmatched),
             "num_block_coords": int(total or 0),
             "num_block_coords_unmatched": int(missing or 0),
         },
@@ -136,6 +250,8 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
         res = reblock_block(block_ring, parcel_rings, centroids,
                             use_width=use_width, building_rings=bldg_rings,
                             through_ratio=through_ratio)
+        if res is None:  # every building already street-connected
+            return _empty_reblock()  # reference skips the block (:174-176)
         rows_id, rows_type, rows_geom = [], [], []
         if res["new"]:
             rows_id.append(bid); rows_type.append("new")
@@ -155,6 +271,7 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
             cols[key] = pa.array([None] * (n - 1) + [float(s[key])], type=pa.float64())
         for key in ("num_graph_comps", "node_count_pre", "node_count_post",
                     "edge_count_pre", "edge_count_post", "bldg_count",
+                    "bldg_dropped", "bldg_unmatched",
                     "num_block_coords", "num_block_coords_unmatched"):
             cols[key] = pa.array([None] * (n - 1) + [int(s[key])], type=pa.int32())
         return pa.table(cols)
@@ -172,6 +289,7 @@ def _empty_reblock() -> pa.Table:
         cols[key] = pa.array([], type=pa.float64())
     for key in ("num_graph_comps", "node_count_pre", "node_count_post",
                 "edge_count_pre", "edge_count_post", "bldg_count",
+                "bldg_dropped", "bldg_unmatched",
                 "num_block_coords", "num_block_coords_unmatched"):
         cols[key] = pa.array([], type=pa.int32())
     return pa.table(cols)
