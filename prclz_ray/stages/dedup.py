@@ -102,18 +102,25 @@ def minhash_candidates(ds, key_col="doc_id", num_bands=16, num_perm=64,
         batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_pylist()
-        sig_list = batch["minhash"].to_pylist()
-        out_k, out_b, out_h = [], [], []
-        for key, sig in zip(keys, sig_list):
-            s = np.asarray(sig, dtype=np.uint64)
-            for b in range(num_bands):
-                band = s[b * rows_per_band:(b + 1) * rows_per_band]
-                h = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
-                out_k.append(key)
-                out_b.append(b)
-                out_h.append(h)
-        return pa.table({key_col: out_k, "band": out_b, "bucket": out_h})
+        # vectorized band hashing: (n, num_perm) → (n, num_bands) via a
+        # polynomial mix over each band's rows (wrapping uint64 mul) — no
+        # per-doc/per-band python hashing calls
+        n = batch.num_rows
+        flat = np.asarray(
+            batch["minhash"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False), dtype=np.uint64)
+        sigs = flat.reshape(n, num_bands, rows_per_band)
+        prime = np.uint64(1099511628211)
+        h = np.full((n, num_bands), np.uint64(0xcbf29ce484222325))
+        with np.errstate(over="ignore"):
+            for j in range(rows_per_band):
+                h = h * prime + sigs[:, :, j]
+        keys = batch[key_col]
+        return pa.table({
+            key_col: keys.take(pa.array(np.repeat(np.arange(n), num_bands))),
+            "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "bucket": pa.array(h.reshape(-1)),
+        })
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
@@ -152,71 +159,204 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def minhash_lsh_dedup(ds, key_col="doc_id", text_col="text", num_perm=64,
-                      num_bands=16, jaccard_threshold=0.8, max_rounds=10):
-    """Full near-dup pipeline: candidates → verify true Jaccard → connected
-    components (min-label propagation, bounded rounds) → keep min key per
-    component. Returns (kept_ds, components_df)."""
-    import ray
+def jaccard_verify_pairs(cands, texts_ds, key_col="doc_id", text_col="text",
+                         jaccard_threshold=0.8, shingle_k=5,
+                         num_buckets=16):
+    """Distributed candidate verification: NO driver-side text map.  Texts
+    are first restricted to candidate docs (semi-join on the pairs' key
+    set), then attached to each pair side by two bucketed shuffle joins —
+    the text payload that moves is proportional to the CANDIDATE set, not
+    the corpus.  Jaccard computed per pair with a per-worker shingle memo
+    keyed by doc key (a doc in many pairs is shingled once per task)."""
+    from .relational import bucketed_hash_join, semi_join
 
-    cands = minhash_candidates(ds, key_col, num_bands, num_perm, text_col)
-    from .relational import ds_to_table
-    texts_tbl = ds_to_table(ds.select_columns([key_col, text_col]))
-    text_map = dict(zip(texts_tbl[key_col].to_pylist(),
-                        texts_tbl[text_col].to_pylist()))
-    tref = ray.put(text_map)
+    # pin the candidate pairs: they feed BOTH the key-set semi-join and
+    # the text joins — without this the shingle+band pipeline re-executes
+    # per consumer.  Narrow (a, b) rows, candidate-sized.
+    if hasattr(cands, "materialize"):
+        cands = cands.materialize()
+    # candidate key set (narrow): both pair sides
+    pair_keys = cands.map_batches(
+        lambda t: pa.table({key_col: pa.concat_arrays(
+            [t["a"].combine_chunks().cast(t.schema.field("a").type),
+             t["b"].combine_chunks().cast(t.schema.field("b").type)])}),
+        batch_format="pyarrow")
+    # candidate texts only (duplicate suspects — small vs the corpus);
+    # pinned because both join sides read it
+    cand_texts = semi_join(texts_ds.select_columns([key_col, text_col]),
+                           pair_keys, on=key_col).materialize()
 
-    _shingle_cache: dict = {}
+    texts_a = cand_texts.map_batches(
+        lambda t: t.rename_columns(["a", "_text_a"]), batch_format="pyarrow")
+    texts_b = cand_texts.map_batches(
+        lambda t: t.rename_columns(["b", "_text_b"]), batch_format="pyarrow")
+    joined = bucketed_hash_join(cands, texts_a, on="a",
+                                num_buckets=num_buckets)
+    joined = bucketed_hash_join(joined, texts_b, on="b",
+                                num_buckets=num_buckets)
 
-    def _shingles(tm, key, k=5):
-        s = _shingle_cache.get(key)
+    _memo: dict = {}
+
+    def _shingles(key, t):
+        s = _memo.get(key)
         if s is None:
-            t = tm[key]
-            s = {t[i:i + k] for i in range(max(1, len(t) - k + 1))}
-            _shingle_cache[key] = s
+            s = {t[i:i + shingle_k]
+                 for i in range(max(1, len(t) - shingle_k + 1))}
+            if len(_memo) > 100_000:  # bound worker memory
+                _memo.clear()
+            _memo[key] = s
         return s
 
-    def verify(batch: pa.Table) -> pa.Table:
-        tm = ray.get(tref)
-        keep_a, keep_b = [], []
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            # shingle sets memoized per worker: a doc in many candidate
-            # pairs is shingled once, not once per pair
-            sa, sb = _shingles(tm, a), _shingles(tm, b)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for a, b, ta, tb in zip(df["a"], df["b"], df["_text_a"], df["_text_b"]):
+            sa, sb = _shingles(a, ta), _shingles(b, tb)
             jac = (len(sa & sb) / max(1, len(sa | sb))) if (sa or sb) else 1.0
-            if jac >= jaccard_threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pa.table({"a": keep_a, "b": keep_b})
+            keep.append(jac >= jaccard_threshold)
+        return df.loc[keep, ["a", "b"]]
 
-    edges = cands.map_batches(verify, batch_format="pyarrow").to_pandas()
+    # restore the key dtype: the null-padded union inside the bucketed
+    # join coerces int keys to float in pandas
+    sch = texts_ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[key_col]
+    return joined.map_batches(verify, batch_format="pandas").map_batches(
+        lambda t: pa.table({"a": t["a"].cast(key_type),
+                            "b": t["b"].cast(key_type)}),
+        batch_format="pyarrow")
 
-    # connected components via union-find on the (small) verified edge set;
-    # at 10^12 scale this becomes iterated min-label propagation — the edge
-    # set after verification is tiny relative to the corpus either way
-    parent: dict = {}
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+def connected_components(edges_ds, max_rounds: int = 20,
+                         single_task_edges: int = 2_000_000):
+    """Connected components over a verified-duplicate edge Dataset →
+    Dataset (node, label).  The edge set is orders of magnitude smaller
+    than the corpus (only near-dup pairs survive verification), so when it
+    fits one task comfortably we run union-find INSIDE a single Ray task
+    (no driver materialization); past ``single_task_edges`` we switch to
+    the fully-sharded min-label propagation rounds."""
+    n = edges_ds.count()
+    if n <= single_task_edges:
+        def uf(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # typed empty result
+                return pa.table({"node": t["a"], "label": t["a"]})
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            parent: dict = {}
 
-    for a, b in zip(edges["a"], edges["b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    comp = {k: find(k) for k in parent}
-    cref = ray.put(comp)
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
 
-    def keep(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
-        keys = batch[key_col].to_pylist()
-        mask = [cm.get(k, k) == k for k in keys]
-        return batch.filter(pa.array(mask))
+            for x, y in zip(a, b):
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+            keys = list(parent)
+            return pa.table({"node": keys, "label": [find(k) for k in keys]})
 
-    kept = ds.map_batches(keep, batch_format="pyarrow")
-    comp_df = pd.DataFrame({"key": list(comp), "component": [comp[k] for k in comp]})
+        return edges_ds.repartition(1).map_batches(
+            uf, batch_format="pyarrow", batch_size=None)
+    return connected_components_min_label(edges_ds, max_rounds=max_rounds)
+
+
+def connected_components_min_label(edges_ds, max_rounds: int = 20,
+                                   key_type=None):
+    """Distributed connected components by iterated min-label propagation:
+    each round every node takes the min label over itself and its
+    neighbors (two groupbys per round, narrow (node,label) rows — no
+    driver-side union-find, no corpus-sized broadcast).  Labels decrease
+    monotonically; converged when the label sum is unchanged.  Rounds
+    needed ≈ component diameter (near-dup components are shallow).
+
+    Returns a Dataset (key, label) over every node that appears in an
+    edge; label == min key of the node's component."""
+    # symmetric edge list (u→v and v→u), one narrow table
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a.cast(a.type), b.cast(b.type)]),
+                         "v": pa.concat_arrays([b.cast(b.type), a.cast(a.type)])})
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    labels = edges.map_batches(
+        lambda t: pa.table({"node": t["u"], "label": t["u"]}),
+        batch_format="pyarrow").groupby("node").min("label") \
+        .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                     batch_format="pyarrow").materialize()
+
+    def spread(group: pd.DataFrame) -> pd.DataFrame:
+        # group = one node's label row(s) + its outgoing edges: push the
+        # min label to the node itself and every neighbor
+        lbl = group["label"].min()
+        nbrs = group["v"].dropna()
+        nodes = pd.concat([pd.Series([group["node"].iloc[0]]), nbrs])
+        return pd.DataFrame({"node": nodes, "label": lbl})
+
+    def digest(lab) -> int:
+        # type-agnostic convergence fingerprint: sum of stable u64 hashes
+        # of (node,label) rows, computed distributed (tiny aggregate)
+        def h(t: pa.Table) -> pa.Table:
+            hn = pd.util.hash_array(
+                t["node"].to_numpy(zero_copy_only=False).astype(object))
+            hl = pd.util.hash_array(
+                t["label"].to_numpy(zero_copy_only=False).astype(object))
+            return pa.table({"d": pa.array((hn ^ hl).astype(np.float64))})
+        return lab.map_batches(h, batch_format="pyarrow").sum("d")
+
+    prev = None
+    for _ in range(max_rounds):
+        lab_side = labels.map_batches(
+            lambda t: t.append_column("v", pa.nulls(t.num_rows,
+                                                    t.schema.field("node").type)),
+            batch_format="pyarrow")
+        # edge rows carry label = own key (never below the node's true
+        # label, so it can't win the min) — keeps the column typed instead
+        # of null-promoted to double
+        edge_side = edges.map_batches(
+            lambda t: pa.table({"node": t["u"], "label": t["u"],
+                                "v": t["v"]}),
+            batch_format="pyarrow")
+        msgs = lab_side.union(edge_side).groupby("node").map_groups(
+            spread, batch_format="pandas")
+        labels = msgs.groupby("node").min("label").map_batches(
+            lambda t: t.rename_columns(["node", "label"]),
+            batch_format="pyarrow").materialize()
+        s = digest(labels)
+        if s == prev:
+            break
+        prev = s
+    return labels
+
+
+def minhash_lsh_dedup(ds, key_col="doc_id", text_col="text", num_perm=64,
+                      num_bands=16, jaccard_threshold=0.8, max_rounds=10):
+    """Full near-dup pipeline: candidates → verify true Jaccard
+    (distributed pair↔text joins) → connected components (iterated
+    min-label propagation) → keep min key per component.  Nothing
+    corpus-sized ever lands on the driver or in a broadcast object.
+    Returns (kept_ds, components_df — the small duplicate set only)."""
+    from .relational import semi_join
+
+    cands = minhash_candidates(ds, key_col, num_bands, num_perm, text_col)
+    edges = jaccard_verify_pairs(cands, ds, key_col=key_col,
+                                 text_col=text_col,
+                                 jaccard_threshold=jaccard_threshold) \
+        .materialize()  # narrow verified pairs, candidate-sized
+    labels = connected_components(edges, max_rounds=max_rounds)
+    if hasattr(labels, "materialize"):
+        labels = labels.materialize()  # tiny; read by dups + components df
+
+    # duplicates = nodes whose component label is not their own key; the
+    # dup-key table is small (duplicate docs only) → broadcast anti-join
+    dups = labels.map_batches(
+        lambda t: pa.table({key_col: t.filter(
+            pc.invert(pc.equal(t["node"], t["label"])))["node"]}),
+        batch_format="pyarrow")
+    kept = semi_join(ds, dups, on=key_col, anti=True)
+    comp_df = labels.to_pandas().rename(columns={"node": "key",
+                                                 "label": "component"})
     return kept, comp_df
 
 

@@ -23,6 +23,9 @@ def ds_to_table(ds) -> pa.Table:
     if isinstance(ds, pa.Table):
         return ds
     all_tables = ray.get(ds.to_arrow_refs())
+    # pandas-format blocks pass through to_arrow_refs unconverted
+    all_tables = [pa.Table.from_pandas(t, preserve_index=False)
+                  if isinstance(t, pd.DataFrame) else t for t in all_tables]
     tables = [t for t in all_tables if t.num_rows]
     if not tables:
         if all_tables:
@@ -41,8 +44,14 @@ def stable_bucket(col, num_buckets: int) -> np.ndarray:
     ``pd.util.hash_array`` is seed-stable across processes."""
     vals = col.to_numpy(zero_copy_only=False) if hasattr(col, "to_numpy") \
         else np.asarray(col)
+    # normalize width so e.g. int32 and int64 keys of equal value hash
+    # identically (the two join sides may carry different widths)
     if vals.dtype == object or vals.dtype.kind in ("U", "S"):
         h = pd.util.hash_array(vals.astype(object))
+    elif vals.dtype.kind in ("i", "u"):
+        h = pd.util.hash_array(vals.astype(np.int64, copy=False))
+    elif vals.dtype.kind == "f":
+        h = pd.util.hash_array(vals.astype(np.float64, copy=False))
     else:
         h = pd.util.hash_array(np.ascontiguousarray(vals))
     return (h % num_buckets).astype(np.int32)
@@ -142,8 +151,19 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     """Large×large partitioned hash join: both sides get
     bucket = hash(key) % B, co-grouped by bucket, pairwise pandas merge per
     bucket (guide's portable pattern; salt hot keys upstream if skewed)."""
+    # unify the key type across sides BEFORE bucketing: the bucket hash is
+    # dtype-sensitive, so int64 on one side vs float64 (e.g. null-promoted
+    # by an upstream outer join) on the other would land the SAME key in
+    # different buckets and silently drop matches
+    lt = dict(zip(left_ds.schema().names, left_ds.schema().types))[on]
+    rt = dict(zip(right_ds.schema().names, right_ds.schema().types))[on]
+    key_t = pa.unify_schemas([pa.schema([(on, lt)]), pa.schema([(on, rt)])],
+                             promote_options="permissive").field(on).type
+
     def add_bucket(side):
         def f(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index(on)
+            batch = batch.set_column(i, on, batch[on].cast(key_t))
             b = stable_bucket(batch[on], num_buckets)
             out = batch.append_column("_bucket", pa.array(b))
             return out.append_column("_bside", pa.array(
@@ -153,11 +173,14 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     l = left_ds.map_batches(add_bucket(0), batch_format="pyarrow")
     r = right_ds.map_batches(add_bucket(1), batch_format="pyarrow")
 
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group._bside == 0].dropna(axis=1, how="all")
-        rg = group[group._bside == 1].dropna(axis=1, how="all")
-        lg = lg.drop(columns=["_bucket", "_bside"], errors="ignore")
-        rg = rg.drop(columns=["_bucket", "_bside"], errors="ignore")
+        # select each side's OWN schema columns (a bucket may hold only one
+        # side; inferring columns from non-null values would drop the key)
+        lg = group.loc[group._bside == 0, lcols]
+        rg = group.loc[group._bside == 1, rcols]
         merged = lg.merge(rg, on=on, how=how, suffixes=("", "_r"))
         return merged
 

@@ -117,3 +117,29 @@ def test_multimodal_decode_plumbing():
     m2 = out2.set_index("media_id")["features"]
     for mid in out["media_id"][:5]:
         assert np.allclose(np.asarray(m0[mid]), np.asarray(m2[mid]))
+
+
+def test_minhash_dedup_deterministic_across_parallelism():
+    """Same kept set at 2 and 8 partitions (the driver's correctness gate
+    compares value hashes, so partitioning must not leak into results)."""
+    ids = []
+    for parts in (2, 8):
+        ds = rd.from_items(_docs()).repartition(parts)
+        kept, _ = dd.minhash_lsh_dedup(ds, jaccard_threshold=0.8)
+        ids.append(tuple(sorted(kept.to_pandas()["doc_id"])))
+    assert ids[0] == ids[1]
+
+
+def test_connected_components_min_label_matches_union_find():
+    """The sharded min-label path and the single-task union-find path agree
+    (chain, pair, self-loop singleton)."""
+    edges = [{"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 3, "b": 4},
+             {"a": 10, "b": 11}, {"a": 20, "b": 20}]
+    eds = rd.from_items(edges).repartition(3).map_batches(
+        lambda t: t, batch_format="pyarrow")
+    lab_prop = dd.connected_components_min_label(eds).to_pandas()
+    lab_uf = dd.connected_components(eds, single_task_edges=10**9).to_pandas()
+    a = {int(r.node): int(r.label) for r in lab_prop.itertuples()}
+    b = {int(r.node): int(r.label) for r in lab_uf.itertuples()}
+    assert a == b
+    assert a[4] == 1 and a[11] == 10 and a[20] == 20
