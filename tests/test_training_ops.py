@@ -143,3 +143,25 @@ def test_connected_components_min_label_matches_union_find():
     b = {int(r.node): int(r.label) for r in lab_uf.itertuples()}
     assert a == b
     assert a[4] == 1 and a[11] == 10 and a[20] == 20
+
+
+def test_embedding_banded_lsh_finds_seeded_copies():
+    """Banded hyperplane LSH: exact vector copies share every band bucket
+    (recall 1 on copies); no false pairs among random 64-dim vectors at a
+    0.95 threshold."""
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 64)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i]} for i in range(200)]
+    rows += [{"vec_id": 1000 + i, "embedding": vecs[i]} for i in range(5)]
+    ds = rd.from_items(rows).repartition(4)
+    out = dd.embedding_dedup_pairs(ds, cosine_threshold=0.95).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(out["a"], out["b"])}
+    assert got == {(i, 1000 + i) for i in range(5)}
+    assert (out["cosine"] >= 0.95).all()
+
+
+def test_ann_ivf_recall_floor():
+    from prclz_ray.pipelines.queries import q_ann_ivf_recall
+    df = q_ann_ivf_recall("/root/testdata/sf0.001")
+    assert len(df) == 3
+    assert df["recall_at_5"].mean() >= 0.8 - 1e-9
