@@ -96,12 +96,26 @@ def voronoi_cells(points: np.ndarray, buffer_frac: float = 1.0) -> dict[int, np.
     n = len(pts)
     if n <= 2:
         return {}
-    xmin, ymin = pts.min(axis=0)
-    xmax, ymax = pts.max(axis=0)
-    w = max(xmax - xmin, 1e-9) * buffer_frac
-    h = max(ymax - ymin, 1e-9) * buffer_frac
-    rect = np.array([[xmin - w, ymin - h], [xmax + w, ymin - h],
-                     [xmax + w, ymax + h], [xmin - w, ymax + h]])
+    return halfplane_cells(pts, buffer_frac)
+
+
+def halfplane_cells(points: np.ndarray, buffer_frac: float = 1.0,
+                    bounds: np.ndarray | None = None) -> dict[int, np.ndarray]:
+    """Half-plane Voronoi cells for ANY n ≥ 1 (no pytess n ≤ 2 special
+    case — the tessellation path needs real cells for 2 buildings).
+    ``bounds`` (4,2 rect) overrides the buffered point-bbox clip rect so
+    cells can be guaranteed to cover an enclosing block polygon."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    n = len(pts)
+    if bounds is not None:
+        rect = np.asarray(bounds, dtype=np.float64).reshape(4, 2)
+    else:
+        xmin, ymin = pts.min(axis=0)
+        xmax, ymax = pts.max(axis=0)
+        w = max(xmax - xmin, 1e-9) * buffer_frac
+        h = max(ymax - ymin, 1e-9) * buffer_frac
+        rect = np.array([[xmin - w, ymin - h], [xmax + w, ymin - h],
+                         [xmax + w, ymax + h], [xmin - w, ymax + h]])
     cells: dict[int, np.ndarray] = {}
     for i in range(n):
         d2 = ((pts - pts[i]) ** 2).sum(axis=1)

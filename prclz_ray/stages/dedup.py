@@ -363,26 +363,25 @@ def minhash_lsh_dedup(ds, key_col="doc_id", text_col="text", num_perm=64,
 # ------------------------------------------------------------------ simhash
 
 class SimHasher:
-    """64-bit simhash over word tokens (stateful: token regex per actor)."""
+    """64-bit simhash over word tokens (stateful: token regex per actor).
+    Word hashing is ONE ``pd.util.hash_array`` call per doc (process-stable,
+    vectorized) and the bit-vote accumulate is a (words × 64) numpy op —
+    no per-word python hashing."""
 
     def __init__(self, text_col="text"):
         import re
         self.tok = re.compile(r"\w+")
         self.text_col = text_col
+        self.shifts = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in self.tok.findall(text.lower()):
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+        words = self.tok.findall(text.lower())
+        if not words:
+            return 0
+        hs = pd.util.hash_array(np.asarray(words, dtype=object))
+        bits = (hs[:, None] >> self.shifts[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        return int(((acc > 0).astype(np.uint64) << self.shifts).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hs = [self.simhash(t) for t in batch[self.text_col].to_pylist()]

@@ -156,18 +156,20 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
     out_id = out_id_col or id_col
 
     def poly_cells(batch: pa.Table) -> pa.Table:
-        rows = {name: [] for name in batch.column_names}
-        cells = []
+        # replicate each polygon row once per covered cell with ONE
+        # arrow-level take over repeated indices (no per-row .as_py())
         boxes = wkb.bboxes(batch["geometry"].to_pylist())
+        counts = np.empty(batch.num_rows, dtype=np.int64)
+        cells: list[np.ndarray] = []
         for i in range(batch.num_rows):
             minx, miny, maxx, maxy = boxes[i]
             cids = s2.cover_bbox(minx, miny, maxx, maxy, level)
-            for c in cids:
-                for name in batch.column_names:
-                    rows[name].append(batch[name][i].as_py())
-                cells.append(int(c))
-        out = pa.table({name: rows[name] for name in batch.column_names})
-        return out.append_column("cell", pa.array(np.array(cells, dtype=np.uint64)))
+            counts[i] = len(cids)
+            cells.append(np.asarray(cids, dtype=np.uint64))
+        idx = np.repeat(np.arange(batch.num_rows), counts)
+        out = batch.take(pa.array(idx))
+        flat = np.concatenate(cells) if cells else np.empty(0, dtype=np.uint64)
+        return out.append_column("cell", pa.array(flat))
 
     def point_cells(batch: pa.Table) -> pa.Table:
         cid = s2.lnglat_to_cellid(batch[x_col].to_numpy(zero_copy_only=False),
@@ -215,8 +217,10 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
         py = pts_t[y_col].to_numpy(zero_copy_only=False)
         pi, gi = joiner.match(px, py)
         out = pts_t.select(point_out).take(pa.array(pi))
-        return out.append_column(out_id, pa.array([packed[0][g] for g in gi],
-                                                  type=id_type))
+        ids_arr = np.asarray(packed[0])
+        return out.append_column(
+            out_id, pa.array(ids_arr[np.asarray(gi, dtype=np.int64)],
+                             type=id_type))
 
     joined = unioned.groupby("cell").map_groups(join_tile, batch_format="pyarrow")
     # polygons were replicated across cells → a point on a tile edge can
@@ -231,9 +235,16 @@ class _GridIndex:
     """Uniform-grid bucket index over target points (broadcast state)."""
 
     def __init__(self, tx: np.ndarray, ty: np.ndarray, ids: list, cell: float):
-        self.tx, self.ty, self.ids, self.cell = tx, ty, ids, cell
-        gx = np.floor(tx / cell).astype(np.int64)
-        gy = np.floor(ty / cell).astype(np.int64)
+        # pre-sort targets by id so that ascending INDEX order == ascending
+        # id order: stable distance sorts then break exact-distance ties by
+        # id for free (matches the ORDER BY dist, id oracle)
+        ids_arr = np.asarray(ids)
+        ord0 = np.argsort(ids_arr, kind="stable")
+        self.tx, self.ty = tx[ord0], ty[ord0]
+        self.ids = ids_arr[ord0].tolist()
+        self.cell = cell
+        gx = np.floor(self.tx / cell).astype(np.int64)
+        gy = np.floor(self.ty / cell).astype(np.int64)
         self.buckets: dict[tuple[int, int], np.ndarray] = {}
         order = np.lexsort((gy, gx))
         keys = np.stack([gx[order], gy[order]], axis=1)
@@ -241,7 +252,8 @@ class _GridIndex:
             change = np.any(np.diff(keys, axis=0) != 0, axis=1)
             starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(order)]])
             for s, e in zip(starts, starts[1:]):
-                self.buckets[(int(keys[s, 0]), int(keys[s, 1]))] = order[s:e]
+                self.buckets[(int(keys[s, 0]), int(keys[s, 1]))] = \
+                    np.sort(order[s:e])
 
     def knn(self, px: float, py: float, k: int):
         """Ring expansion with distance refinement: grow rings until the
@@ -292,20 +304,71 @@ class KNNJoiner:
         self.out_prefix = out_prefix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch[self.x_col].to_numpy(zero_copy_only=False)
-        py = batch[self.y_col].to_numpy(zero_copy_only=False)
-        rows, nn_ids, ranks, dists = [], [], [], []
-        for i in range(len(px)):
-            bi, bd = self.index.knn(float(px[i]), float(py[i]), self.k)
-            for rank, (j, d) in enumerate(zip(bi, bd)):
-                rows.append(i)
-                nn_ids.append(self.index.ids[int(j)])
-                ranks.append(rank + 1)
-                dists.append(float(d))
-        out = batch.take(pa.array(np.asarray(rows, dtype=np.int64)))
-        out = out.append_column(f"{self.out_prefix}_id", pa.array(nn_ids))
-        out = out.append_column(f"{self.out_prefix}_rank", pa.array(ranks, type=pa.int32()))
-        out = out.append_column(f"{self.out_prefix}_dist", pa.array(dists, type=pa.float64()))
+        """Vectorized common case: query points grouped by grid cell, one
+        distance matrix per distinct cell against the 3×3-neighborhood
+        candidates, stable top-k (tie-break by id via index pre-sort).
+        Safe when the kth distance ≤ cell (ring-2 lower bound); points
+        failing that bound fall back to per-point ring expansion."""
+        ix = self.index
+        k = self.k
+        px = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(px)
+        res_idx = np.full((n, k), -1, dtype=np.int64)
+        res_d = np.full((n, k), np.inf)
+        res_cnt = np.zeros(n, dtype=np.int64)
+
+        gx = np.floor(px / ix.cell).astype(np.int64)
+        gy = np.floor(py / ix.cell).astype(np.int64)
+        order = np.lexsort((gy, gx))
+        fallback: list[int] = []
+        s = 0
+        while s < n:
+            e = s
+            cx, cy = gx[order[s]], gy[order[s]]
+            while e < n and gx[order[e]] == cx and gy[order[e]] == cy:
+                e += 1
+            grp = order[s:e]
+            s = e
+            cand_parts = [ix.buckets.get((cx + dx, cy + dy))
+                          for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+            cand_parts = [c for c in cand_parts if c is not None]
+            cand = np.concatenate(cand_parts) if cand_parts else \
+                np.empty(0, dtype=np.int64)
+            if len(cand) < k:
+                fallback.extend(grp.tolist())
+                continue
+            d = np.sqrt((px[grp][:, None] - ix.tx[cand][None, :]) ** 2 +
+                        (py[grp][:, None] - ix.ty[cand][None, :]) ** 2)
+            # candidates ascend by id (index pre-sort) → stable sort ties
+            sel = np.argsort(d, axis=1, kind="stable")[:, :k]
+            kd = np.take_along_axis(d, sel, axis=1)
+            ok = kd[:, k - 1] <= ix.cell  # ring-2 points are ≥ cell away
+            good = grp[ok]
+            res_idx[good] = cand[sel[ok]]
+            res_d[good] = kd[ok]
+            res_cnt[good] = k
+            fallback.extend(grp[~ok].tolist())
+
+        for i in fallback:
+            bi, bd = ix.knn(float(px[i]), float(py[i]), k)
+            m = len(bi)
+            res_idx[i, :m] = bi
+            res_d[i, :m] = bd
+            res_cnt[i] = m
+
+        rows = np.repeat(np.arange(n), res_cnt)
+        flat_mask = (np.arange(k)[None, :] < res_cnt[:, None]).reshape(-1)
+        flat_idx = res_idx.reshape(-1)[flat_mask]
+        flat_d = res_d.reshape(-1)[flat_mask]
+        ranks = (np.tile(np.arange(1, k + 1), n)[flat_mask]).astype(np.int32)
+        ids_arr = np.asarray(ix.ids)
+        out = batch.take(pa.array(rows))
+        out = out.append_column(f"{self.out_prefix}_id",
+                                pa.array(ids_arr[flat_idx]))
+        out = out.append_column(f"{self.out_prefix}_rank", pa.array(ranks))
+        out = out.append_column(f"{self.out_prefix}_dist",
+                                pa.array(flat_d, type=pa.float64()))
         return out
 
 

@@ -19,26 +19,93 @@ import numpy as np
 import pyarrow as pa
 
 from ..geom import wkb
-from ..geom.core import ensure_closed
-from ..geom.predicates import points_in_ring
+from ..geom.core import (ensure_closed, point_segments_distance,
+                         shoelace_area)
+from ..geom.predicates import point_in_ring
 from ..geom.voronoi import clip_convex, voronoi_cells
 
 
 def tessellate_block(block_ring: np.ndarray, centroids: np.ndarray
-                     ) -> list[tuple[int, np.ndarray]]:
-    """(building_index, parcel_ring) per building; single building → whole
-    block."""
+                     ) -> list[tuple[int, list[np.ndarray]]]:
+    """(building_index, [parcel_rings]) per building; single building →
+    whole block.
+
+    Orphan handling (reference ``_parcels.py:65-168``): on a NON-convex
+    block a Voronoi cell ∩ block can be disconnected — Sutherland–Hodgman
+    emits it as a pinched ring, split here into simple pieces.  The piece
+    containing the building centroid is the parent parcel; every other
+    piece is an ORPHAN, reunited with the parcel of the nearest building
+    whose parent piece it touches (``find_parent_parcel_id`` walk,
+    ``:105-149``), then geometrically dissolved into it (A5 ``dissolve``,
+    ``:165``).  Orphans touching no parent are dropped, as the reference's
+    NaN-uID dissolve does (``:143-147,165``)."""
+    from ..geom.dissolve import dissolve_rings
+    from ..geom.voronoi import split_pinched_ring
+
     block_ring = ensure_closed(np.asarray(block_ring, dtype=np.float64))
     pts = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
     if len(pts) == 0:
         return []
     if len(pts) == 1:
-        return [(0, block_ring)]
-    out = []
-    for i, cell in voronoi_cells(pts).items():
+        return [(0, [block_ring])]
+
+    # cells clipped to a rect covering the whole BLOCK (not just the point
+    # bbox) so tessellation never loses outlying block area
+    from ..geom.core import bbox as _bbox
+    from ..geom.voronoi import halfplane_cells
+    x0, y0, x1, y1 = _bbox(block_ring)
+    m = 0.5 * max(x1 - x0, y1 - y0, 1e-9)
+    rect = np.array([[x0 - m, y0 - m], [x1 + m, y0 - m],
+                     [x1 + m, y1 + m], [x0 - m, y1 + m]])
+
+    parents: dict[int, np.ndarray] = {}
+    orphans: list[np.ndarray] = []
+    for i, cell in halfplane_cells(pts, bounds=rect).items():
         clipped = clip_convex(block_ring, cell)
-        if len(clipped):
-            out.append((i, clipped))
+        if not len(clipped):
+            continue
+        pieces = split_pinched_ring(clipped)
+        if len(pieces) <= 1:
+            parents[i] = clipped
+            continue
+        own = None
+        for p in pieces:
+            if own is None and point_in_ring(pts[i, 0], pts[i, 1], p):
+                own = p
+            else:
+                orphans.append(p)
+        if own is None:          # centroid on a pinch vertex: keep largest
+            areas = [abs(shoelace_area(p)) for p in pieces]
+            own = pieces[int(np.argmax(areas))]
+            orphans.remove(own) if own in orphans else None
+        parents[i] = own
+
+    groups: dict[int, list[np.ndarray]] = {i: [r] for i, r in parents.items()}
+    eps = 1e-9
+    for orph in orphans:
+        o = ensure_closed(orph)
+        oc = o[:-1].mean(axis=0)
+        order = np.argsort(((pts - oc) ** 2).sum(axis=1), kind="stable")
+        for i in order:
+            if i not in parents:
+                continue
+            pr = ensure_closed(parents[i])
+            touch = min(point_segments_distance(v, pr[:-1], pr[1:]).min()
+                        for v in o[:-1]) <= eps
+            if touch:
+                groups[i].append(orph)
+                break
+        # else: orphan with no touching parent — dropped (reference :143)
+
+    out: list[tuple[int, list[np.ndarray]]] = []
+    for i in sorted(groups):
+        rings = groups[i]
+        if len(rings) > 1:
+            rings = dissolve_rings(rings)
+            # outer shells only (holes can't arise from reuniting
+            # same-cell fragments; defensive filter)
+            rings = [r for r in rings if shoelace_area(r) > 0] or rings
+        out.append((i, rings))
     return out
 
 
@@ -77,9 +144,10 @@ def parcels_pipeline(blocks, buildings_ds):
         order = np.lexsort((pts[:, 1], pts[:, 0]))
         parcels = tessellate_block(ring, pts[order])
         ids, geoms, bldgs = [], [], []
-        for seq, (bi, pring) in enumerate(parcels):
+        for seq, (bi, prings) in enumerate(parcels):
             ids.append(f"{bid}_p{seq}")
-            geoms.append(wkb.polygon(pring))
+            geoms.append(wkb.polygon(prings[0]) if len(prings) == 1
+                         else wkb.multipolygon([[r] for r in prings]))
             bldgs.append(group["bldg_id"][int(order[bi])].as_py())
         return pa.table({
             "block_id": [bid] * len(ids),
@@ -95,19 +163,14 @@ def check_parcels_qc(parcels_ds, buildings_ds):
     """J6 QC invariant (``_parcels.py:218-237``): every parcel contains at
     most one building centroid. Returns a Dataset of violations (empty =
     pass) — engine QC stage per SURVEY §2.4."""
-    import ray
-
+    from .joins import pip_join
     from .relational import ds_to_table
+
     parcels_tbl = ds_to_table(parcels_ds) \
         if not isinstance(parcels_ds, pa.Table) else parcels_ds
-    packed = [(pid, wkb.decode(g)[1])
-              for pid, g in zip(parcels_tbl["parcel_id"].to_pylist(),
-                                parcels_tbl["geometry"].to_pylist())]
-    ref = ray.put(packed)
 
-    def count_batch(batch: pa.Table) -> pa.Table:
+    def centroid_batch(batch: pa.Table) -> pa.Table:
         from ..geom.core import ring_centroid
-        parcels = ray.get(ref)
         xs, ys = [], []
         for buf in batch["geometry"]:
             t, v = wkb.decode(buf.as_py())
@@ -115,19 +178,20 @@ def check_parcels_qc(parcels_ds, buildings_ds):
             cx, cy = ring_centroid(ring)
             xs.append(cx)
             ys.append(cy)
-        px = np.array(xs)
-        py = np.array(ys)
-        pids, counts = [], []
-        for pid, rings in parcels:
-            inside = points_in_ring(px, py, rings[0], boundary=False)
-            pids.append(pid)
-            counts.append(int(inside.sum()))
-        return pa.table({"parcel_id": pids, "n_bldgs": counts})
+        out = batch.append_column("cx", pa.array(np.array(xs)))
+        return out.append_column("cy", pa.array(np.array(ys)))
 
-    counts = buildings_ds.map_batches(count_batch, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-    total = counts.groupby("parcel_id").aggregate(Sum("n_bldgs", alias_name="n"))
-    return total.filter(lambda r: r["n"] > 1)
+    # STRtree-probed PIP (broadcast pack built once per actor) instead of
+    # scanning every parcel per batch: O(points · log parcels)
+    cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
+    joined = pip_join(cents.select_columns(["bldg_id", "cx", "cy"]),
+                      parcels_tbl.select(["parcel_id", "geometry"]),
+                      id_col="parcel_id", x_col="cx", y_col="cy",
+                      how="inner")
+    total = joined.groupby("parcel_id").count() \
+        .map_batches(lambda t: t.rename_columns(["parcel_id", "n"]),
+                     batch_format="pyarrow")
+    return total.filter(expr="n > 1")
 
 
 def find_parent_parcel(orphan_centroid, parcel_rings: list[np.ndarray],

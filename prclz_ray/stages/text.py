@@ -88,26 +88,27 @@ def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table, text_col="text", window: int = 8) -> pa.Table:
-    """Rolling-hash (Rabin-Karp style) document fingerprint: min-sampled
-    winnowing digest over byte windows + full-content blake2b."""
+    """Rolling-hash document fingerprint: min-sampled winnowing digest
+    over sliding byte windows + full-content blake2b.  Window hashes are
+    a wrapping-uint64 polynomial computed as ``window`` shifted VECTOR ops
+    over the whole byte array (no per-byte python loop — at corpus scale
+    the per-byte interpreter path is the bottleneck)."""
     texts = batch[text_col].to_pylist()
     fps, full = [], []
-    B, M = 257, (1 << 61) - 1
+    prime = np.uint64(1099511628211)
     for t in texts:
         data = t.encode()
         full.append(hashlib.blake2b(data, digest_size=16).hexdigest())
         if len(data) < window:
-            fps.append(int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big") % M)
+            fps.append(int.from_bytes(
+                hashlib.blake2b(data, digest_size=8).digest(), "big"))
             continue
-        h = 0
-        for c in data[:window]:
-            h = (h * B + c) % M
-        mn = h
-        bw = pow(B, window - 1, M)
-        for i in range(window, len(data)):
-            h = ((h - data[i - window] * bw) * B + data[i]) % M
-            if h < mn:
-                mn = h
-        fps.append(mn)
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        n = len(b) - window + 1
+        hs = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(window):
+                hs = hs * prime + b[j:j + n]
+        fps.append(int(hs.min()))
     out = batch.append_column("fingerprint", pa.array(np.array(fps, dtype=np.uint64)))
     return out.append_column("content_hash", pa.array(full))
