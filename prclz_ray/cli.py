@@ -154,7 +154,8 @@ def cmd_reblock(a):
     out = reblock_pipeline(
         _filter_blocks(_read(a.blocks), a.blocks_subset),
         _read(a.parcels), _read(a.buildings),
-        use_width=a.use_width, through_ratio=a.through_ratio)
+        use_width=a.use_width, through_ratio=a.through_ratio,
+        simplify=a.simplify)
     _write(out, a.out, a.overwrite)
 
 
@@ -220,6 +221,7 @@ def main(argv=None):
     s.add_argument("--blocks-subset", default=None)
     s.add_argument("--use-width", action="store_true")
     s.add_argument("--through-ratio", type=float, default=None)
+    s.add_argument("--simplify", action="store_true")
     s.add_argument("--overwrite", action="store_true")
     s.set_defaults(fn=cmd_reblock)
 

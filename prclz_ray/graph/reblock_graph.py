@@ -308,6 +308,85 @@ class ReblockGraph:
         return np.array(self.terminals(), dtype=np.float64).reshape(-1, 2)
 
     # ------------------------------------------------------- simplification
+    def _new_road_chains(self) -> list[tuple[list[Coord], float]]:
+        """Maximal chains of NEW (non-highway) steiner/through edges,
+        split at junctions (degree ≠ 2 within the subgraph) — the engine's
+        ``to_pieces`` (ref ``_reblock_graph.py:1141-1152``).  Each chain
+        carries its corridor half-width (min edge width along it)."""
+        sub = nx.Graph()
+        for a, b, d in self.g.edges(data=True):
+            if (d.get("steiner") or d.get("is_through_line")) and d["weight"] != 0:
+                sub.add_edge(a, b, width=d.get("width", 1.0))
+        chains: list[tuple[list[Coord], float]] = []
+        seen = set()
+        junctions = [n for n in sub if sub.degree(n) != 2]
+        starts = junctions if junctions else (list(sub)[:1] if len(sub) else [])
+        for s in starts:
+            for nbr in sub.neighbors(s):
+                if (s, nbr) in seen:
+                    continue
+                path = [s, nbr]
+                seen.add((s, nbr)); seen.add((nbr, s))
+                while sub.degree(path[-1]) == 2:
+                    nxts = [x for x in sub.neighbors(path[-1]) if x != path[-2]]
+                    if not nxts or (path[-1], nxts[0]) in seen:
+                        break
+                    seen.add((path[-1], nxts[0])); seen.add((nxts[0], path[-1]))
+                    path.append(nxts[0])
+                w = min(sub.edges[e].get("width", 1.0)
+                        for e in zip(path, path[1:]))
+                chains.append((path, w))
+        return chains
+
+    @staticmethod
+    def _simplify_chain(coords: np.ndarray, half_width: float,
+                        samples_per_seg: int = 8) -> np.ndarray:
+        """Corridor Douglas–Peucker (ref ``simplify_linestring``,
+        ``_reblock_graph.py:41-74``): start from the endpoints; while the
+        candidate line leaves the corridor (any sampled candidate point
+        farther than ``half_width`` from the ORIGINAL line), insert the
+        original vertex farthest from the candidate."""
+        from ..geom.core import point_segments_distance
+        pts = np.asarray(coords, dtype=np.float64)
+        n = len(pts)
+        if n <= 2:
+            return pts
+        oa, ob = pts[:-1], pts[1:]
+        idxs = [0, n - 1]
+
+        def dist_to_orig(p):
+            return point_segments_distance(p, oa, ob).min()
+
+        for _ in range(n):
+            cand = pts[idxs]
+            ca, cb = cand[:-1], cand[1:]
+            # does the candidate stay inside the corridor?
+            t = np.linspace(0.0, 1.0, samples_per_seg)[None, :, None]
+            samples = (ca[:, None, :] * (1 - t) + cb[:, None, :] * t
+                       ).reshape(-1, 2)
+            if max(dist_to_orig(p) for p in samples) <= half_width:
+                break
+            # insert the original vertex farthest from the candidate
+            d = [point_segments_distance(p, ca, cb).min() for p in pts]
+            far = int(np.argmax(d))
+            if far in idxs:
+                break
+            idxs.append(far)
+            idxs.sort()
+        return pts[idxs]
+
+    def simplify_streets(self) -> list[np.ndarray]:
+        """G10 street straightening (ref ``simplify_streets`` /
+        ``simplify_reblocked_graph``, ``_reblock.py:256-270``,
+        ``_reblock_graph.py:1141-1166``): per new-road chain, the simplest
+        polyline between its junction endpoints that stays inside the
+        chain's width corridor.  Returns simplified coordinate polylines;
+        the graph itself is untouched (output-only, as the reference)."""
+        out = []
+        for path, w in self._new_road_chains():
+            out.append(self._simplify_chain(np.asarray(path), max(w, 1e-9)))
+        return out
+
     def simplify(self) -> None:
         """Collapse degree-2 non-terminal nodes; edge 'path' accumulates the
         removed chain (``:923-983``)."""

@@ -52,18 +52,68 @@ class IntersectionPolygonization(BlockExtractionMethod):
 
 
 class BufferedLineDifference(BlockExtractionMethod):
-    """The reference's default (buffer-ε + difference,
-    ``blocks/_methods.py:17-40``) needs polygon offsetting; the engine
-    treats polygonization as the equal primary (the reference documents
-    them as interchangeable strategies). Provided for API parity."""
+    """The reference's DEFAULT strategy (buffer lines by ε, difference
+    against the region, ``blocks/_methods.py:17-40``; suggested ε 5e-6).
+
+    Engine formulation without GEOS offsetting: build the arrangement of
+    the ±ε parallel offsets of every road segment (plus flat end caps and
+    the region boundary), polygonize it, and keep the faces lying OUTSIDE
+    the ε-tube of every road and inside the region.  Those faces are
+    exactly the connected components of region − buffer(lines, ε) with
+    flat caps / miter-style joins (GEOS default uses round caps; the
+    difference is confined to ε-scale corner fillets)."""
 
     def __init__(self, epsilon: float = 5e-6):
         self.epsilon = epsilon
 
     def extract(self, region_ring, lines):
-        raise NotImplementedError(
-            "BufferedLineDifference requires polygon offsetting; use "
-            "IntersectionPolygonization (documented-equal strategy)")
+        from ..geom.core import point_segments_distance, ring_centroid
+        from ..geom.predicates import point_in_ring
+
+        eps = float(self.epsilon)
+        segs = []
+        seg_a, seg_b = [], []          # original road segments for the tube test
+        for ln in lines:
+            arr = np.asarray(ln, dtype=np.float64)
+            for a, b in zip(arr, arr[1:]):
+                d = b - a
+                n = np.hypot(*d)
+                if n == 0:
+                    continue
+                seg_a.append(a)
+                seg_b.append(b)
+                u = np.array([-d[1], d[0]]) / n * eps
+                segs.append((tuple(a + u), tuple(b + u)))   # left offset
+                segs.append((tuple(a - u), tuple(b - u)))   # right offset
+                segs.append((tuple(a + u), tuple(a - u)))   # flat caps
+                segs.append((tuple(b + u), tuple(b - u)))
+        rr = np.asarray(region_ring, dtype=np.float64)
+        for a, b in zip(rr, rr[1:]):
+            segs.append((tuple(a), tuple(b)))
+        if not seg_a:
+            return [np.asarray(region_ring, dtype=np.float64)]
+        sa = np.asarray(seg_a)
+        sb = np.asarray(seg_b)
+
+        noded = node_segments(segs)
+        faces = polygonize(noded)
+
+        out = []
+        for f in faces:
+            if abs(shoelace_area(f)) <= 1e-12:
+                continue
+            cx, cy = ring_centroid(f)
+            if not point_in_ring(cx, cy, f):
+                cx, cy = f[:-1].mean(axis=0)          # concave fallback
+                if not point_in_ring(cx, cy, f):
+                    continue
+            p = np.array([cx, cy])
+            if point_segments_distance(p, sa, sb).min() <= eps:
+                continue                               # road-strip face
+            if not point_in_ring(cx, cy, np.asarray(region_ring)):
+                continue
+            out.append(f)
+        return out
 
 
 DEFAULT_EXTRACTION_METHOD = IntersectionPolygonization

@@ -159,11 +159,17 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
     steiner_time = time.time() - t1
 
     t2 = time.time()
+    new_override = None
     if simplify:
-        g.simplify()
+        # corridor DP straightening (output-only, ref _reblock.py:215-217)
+        if use_width is False and building_rings:
+            g.set_edge_width(building_rings, simplify=True)
+        new_override = g.simplify_streets()
     simplify_time = time.time() - t2
 
     new, existing = g.get_steiner_linestrings()
+    if new_override is not None:
+        new = new_override
     return {
         "new": new,
         "existing": existing,
@@ -189,7 +195,7 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
 
 def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
                      through_ratio: float | None = None,
-                     min_buildings: int = 2):
+                     min_buildings: int = 2, simplify: bool = False):
     """blocks: small table (block_id, geometry) broadcast; parcels_ds and
     buildings_ds co-grouped by block_id. Output rows: REBLOCK schema +
     summary columns (road rows carry nulls in summary cols; one summary row
@@ -249,7 +255,7 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
             bldg_rings.append(v[0] if t == wkb.POLYGON else v[0][0])
         res = reblock_block(block_ring, parcel_rings, centroids,
                             use_width=use_width, building_rings=bldg_rings,
-                            through_ratio=through_ratio)
+                            through_ratio=through_ratio, simplify=simplify)
         if res is None:  # every building already street-connected
             return _empty_reblock()  # reference skips the block (:174-176)
         rows_id, rows_type, rows_geom = [], [], []

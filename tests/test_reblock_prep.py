@@ -124,3 +124,34 @@ class TestKernelEndToEnd:
         rings = grid_parcels(2)
         cents = np.array([[0.25, 0.25], [0.75, 0.75]])
         assert reblock_block(BLOCK, rings, cents) is None
+
+
+class TestCorridorSimplify:
+    def test_wide_corridor_collapses_to_endpoints(self):
+        from prclz_ray.graph.reblock_graph import ReblockGraph
+        zig = np.array([[0, 0], [1, 0.1], [2, -0.1], [3, 0.05], [4, 0]])
+        out = ReblockGraph._simplify_chain(zig, half_width=0.5)
+        assert len(out) == 2
+        assert np.allclose(out, [[0, 0], [4, 0]])
+
+    def test_narrow_corridor_keeps_detour(self):
+        from prclz_ray.graph.reblock_graph import ReblockGraph
+        detour = np.array([[0, 0], [1, 0], [2, 1.0], [3, 0], [4, 0]])
+        out = ReblockGraph._simplify_chain(detour, half_width=0.05)
+        # the 1-unit bump cannot be cut with a 0.05 corridor
+        assert len(out) > 2
+        assert any(np.allclose(p, [2, 1.0]) for p in out)
+
+    def test_graph_chains_and_streets(self):
+        """A steiner path of 4 jittered collinear edges simplifies to one
+        straight segment inside a generous corridor."""
+        from prclz_ray.graph.reblock_graph import ReblockGraph
+        g = ReblockGraph()
+        pts = [(0.0, 0.0), (1.0, 0.05), (2.0, -0.05), (3.0, 0.02), (4.0, 0.0)]
+        for a, b in zip(pts, pts[1:]):
+            g.add_edge(a, b, steiner=True)
+            g.g.edges[a, b]["width"] = 1.0
+        lines = g.simplify_streets()
+        assert len(lines) == 1
+        assert len(lines[0]) == 2
+        assert np.allclose(lines[0], [[0, 0], [4, 0]])
