@@ -53,9 +53,23 @@ def _init(num_cpus: int) -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
+    import logging
+    # harmless Ray-internal "Failed to hash the schemas" noise on mixed
+    # arrow/pandas block schemas (ray-project/ray transform_pyarrow.py:181)
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(
+        logging.ERROR)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # scaling-protocol experiment knobs (BASELINE.md): operator resource
+    # reservation keeps CPUs parked on trailing all-to-all ops
+    rr = os.environ.get("GRAFT_RESERVATION_RATIO")
+    if rr is not None:
+        if float(rr) <= 0:
+            ctx.op_resource_reservation_enabled = False
+        else:
+            ctx.op_resource_reservation_ratio = float(rr)
 
 
 def _consume(res) -> int:

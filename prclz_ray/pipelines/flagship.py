@@ -264,7 +264,11 @@ def flagship_region_counts_streaming(pages_ds, regions_tbl: pa.Table,
     # shuffle — measured 2.9/8 busy cores. Materializing ~40 B/row splits
     # the work into two full-width executions; at cluster scale this is the
     # shuffle's input spill, not a driver copy.
-    narrow = narrow.materialize()
+    # GRAFT_FLAGSHIP_BARRIER=none streams straight into the groupby
+    # (for reservation-tuning experiments, BASELINE.md scaling protocol).
+    import os
+    if os.environ.get("GRAFT_FLAGSHIP_BARRIER", "materialize") != "none":
+        narrow = narrow.materialize()
 
     def dedup_count(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["_h1", "_h2", "_ts", "gadm_code", "cell"],

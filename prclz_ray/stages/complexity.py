@@ -65,16 +65,15 @@ def block_complexity(block_ring: np.ndarray, centroids: np.ndarray) -> int:
     return weak_dual_sequence_depth(s0_approximation(block_ring, centroids))
 
 
-def _blocks_pack(blocks):
-    """Materialize the (small) blocks side and broadcast block_id → WKB.
-    Returns (pa.Table, ray.ObjectRef of the id→geometry dict)."""
-    import ray
+def _blocks_table(blocks) -> pa.Table:
+    """Materialize the blocks side (joined into the point stream via the
+    PIP pack; the per-block geometry travels WITH the grouped rows —
+    ``attach_geom_col`` — so there is no second driver broadcast to outgrow
+    at 100× the blocks)."""
     if not isinstance(blocks, pa.Table):
         from .relational import ds_to_table
         blocks = ds_to_table(blocks)
-    block_geom = {bid: g for bid, g in zip(blocks["block_id"].to_pylist(),
-                                           blocks["geometry"].to_pylist())}
-    return blocks, ray.put(block_geom)
+    return blocks
 
 
 def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 2000):
@@ -85,11 +84,9 @@ def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 200
     (broadcast) blocks, then grouped per block for the CPU-heavy kernel —
     the group stage caps pathological groups (reference precedent: unbounded
     weak-dual loops, SURVEY §7.5.7) via ``max_buildings_per_block``."""
-    import ray
-
     from .joins import pip_join
 
-    blocks, geom_ref = _blocks_pack(blocks)
+    blocks = _blocks_table(blocks)
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
         xs, ys = [], []
@@ -108,11 +105,12 @@ def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 200
     cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
     joined = pip_join(cents.select_columns(["bldg_id", "cx", "cy"]),
                       blocks.select(["block_id", "geometry"]),
-                      id_col="block_id", x_col="cx", y_col="cy", how="inner")
+                      id_col="block_id", x_col="cx", y_col="cy", how="inner",
+                      attach_geom_col="block_geom")
 
     def per_block(group: pa.Table) -> pa.Table:
         bid = group["block_id"][0].as_py()
-        ring = wkb.decode(ray.get(geom_ref)[bid])[1][0]
+        ring = wkb.decode(group["block_geom"][0].as_py())[1][0]
         pts = np.stack([group["cx"].to_numpy(zero_copy_only=False),
                         group["cy"].to_numpy(zero_copy_only=False)], axis=1)
         status = "ok"

@@ -39,8 +39,13 @@ from ..geom.strtree import STRtree
 
 # ------------------------------------------------------------------ helpers
 
-def _polygon_pack(polygons, id_col: str, geom_col: str = "geometry"):
-    """Materialize the small polygon side into (ids, rings_list, bboxes)."""
+def _polygon_pack(polygons, id_col: str, geom_col: str = "geometry",
+                  keep_wkb: bool = False):
+    """Materialize the small polygon side into (ids, rings_list, bboxes,
+    wkbs-or-None).  ``keep_wkb`` retains the raw WKB so the join can
+    attach the matched polygon geometry as an output column (per-block
+    pipelines co-shuffle the geometry with the rows instead of a second
+    driver broadcast)."""
     if hasattr(polygons, "to_arrow_refs") or hasattr(polygons, "take_all"):
         from .relational import ds_to_table
         tbl = ds_to_table(polygons)
@@ -49,17 +54,18 @@ def _polygon_pack(polygons, id_col: str, geom_col: str = "geometry"):
     else:
         tbl = pa.Table.from_pandas(polygons)
     ids = tbl[id_col].to_pylist()
+    wkbs = tbl[geom_col].to_pylist()
     rings = []
-    for buf in tbl[geom_col]:
-        t, v = wkb.decode(buf.as_py())
+    for buf in wkbs:
+        t, v = wkb.decode(buf)
         if t == wkb.POLYGON:
             rings.append([v])          # single polygon: list of one rings-set
         elif t == wkb.MULTIPOLYGON:
             rings.append(v)
         else:
             raise ValueError("pip_join: geometry must be (Multi)Polygon")
-    boxes = wkb.bboxes(tbl[geom_col].to_pylist())
-    return ids, rings, boxes
+    boxes = wkb.bboxes(wkbs)
+    return ids, rings, boxes, (wkbs if keep_wkb else None)
 
 
 class PIPJoiner:
@@ -68,15 +74,19 @@ class PIPJoiner:
     how='left' unmatched points carry a null polygon id."""
 
     def __init__(self, packed_ref, x_col: str, y_col: str, id_col: str,
-                 how: str = "inner", out_id_col: Optional[str] = None):
-        ids, rings, boxes = ray.get(packed_ref) if isinstance(
+                 how: str = "inner", out_id_col: Optional[str] = None,
+                 attach_geom_col: Optional[str] = None):
+        packed = ray.get(packed_ref) if isinstance(
             packed_ref, ray.ObjectRef) else packed_ref
+        ids, rings, boxes, wkbs = packed
         self.ids = ids
         self.rings = rings
+        self.wkbs = wkbs
         self.tree = STRtree(boxes)
         self.x_col, self.y_col = x_col, y_col
         self.how = how
         self.out_id = out_id_col or id_col
+        self.attach_geom_col = attach_geom_col
 
     def match(self, px: np.ndarray, py: np.ndarray):
         """Returns (point_idx, poly_idx) match pairs."""
@@ -105,6 +115,10 @@ class PIPJoiner:
         if self.how == "inner":
             out = batch.take(pa.array(pi))
             out = out.append_column(self.out_id, pa.array([self.ids[g] for g in gi]))
+            if self.attach_geom_col:
+                out = out.append_column(
+                    self.attach_geom_col,
+                    pa.array([self.wkbs[g] for g in gi], type=pa.binary()))
             return out
         if self.how == "left":
             matched = np.zeros(n, dtype=bool)
@@ -125,16 +139,22 @@ class PIPJoiner:
 def pip_join(points_ds, polygons, id_col: str, x_col: str = "lng",
              y_col: str = "lat", how: str = "inner",
              out_id_col: Optional[str] = None, concurrency=(1, 4),
-             batch_size: int = 8192):
+             batch_size: int = 8192, attach_geom_col: Optional[str] = None):
     """Broadcast PIP join: big point Dataset × small polygon table.
     The polygon pack is put in the object store ONCE and read by each actor
-    in ``__init__`` — never re-shipped per batch."""
-    packed = _polygon_pack(polygons, id_col)
+    in ``__init__`` — never re-shipped per batch.  ``attach_geom_col``
+    additionally emits the matched polygon's WKB per output row (lets a
+    downstream groupby co-shuffle the geometry instead of re-broadcasting
+    the polygon table)."""
+    packed = _polygon_pack(polygons, id_col,
+                           keep_wkb=attach_geom_col is not None)
     ref = ray.put(packed)
     return points_ds.map_batches(
         PIPJoiner,
         fn_constructor_kwargs=dict(packed_ref=ref, x_col=x_col, y_col=y_col,
-                                   id_col=id_col, how=how, out_id_col=out_id_col),
+                                   id_col=id_col, how=how,
+                                   out_id_col=out_id_col,
+                                   attach_geom_col=attach_geom_col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, zero_copy_batch=True)
 

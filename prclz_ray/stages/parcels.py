@@ -112,12 +112,10 @@ def tessellate_block(block_ring: np.ndarray, centroids: np.ndarray
 def parcels_pipeline(blocks, buildings_ds):
     """blocks: pa.Table/Dataset (block_id, geometry); buildings_ds: Dataset
     (bldg_id, geometry WKB). → PARCELS rows (block_id, parcel_id, geometry)."""
-    import ray
-
-    from .complexity import _blocks_pack
+    from .complexity import _blocks_table
     from .joins import pip_join
 
-    blocks_tbl, geom_ref = _blocks_pack(blocks)
+    blocks_tbl = _blocks_table(blocks)
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
         from ..geom.core import ring_centroid
@@ -134,11 +132,12 @@ def parcels_pipeline(blocks, buildings_ds):
     cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
     joined = pip_join(cents.select_columns(["bldg_id", "cx", "cy"]),
                       blocks_tbl.select(["block_id", "geometry"]),
-                      id_col="block_id", x_col="cx", y_col="cy", how="inner")
+                      id_col="block_id", x_col="cx", y_col="cy", how="inner",
+                      attach_geom_col="block_geom")
 
     def per_block(group: pa.Table) -> pa.Table:
         bid = group["block_id"][0].as_py()
-        ring = wkb.decode(ray.get(geom_ref)[bid])[1][0]
+        ring = wkb.decode(group["block_geom"][0].as_py())[1][0]
         pts = np.stack([group["cx"].to_numpy(zero_copy_only=False),
                         group["cy"].to_numpy(zero_copy_only=False)], axis=1)
         order = np.lexsort((pts[:, 1], pts[:, 0]))

@@ -200,12 +200,10 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
     buildings_ds co-grouped by block_id. Output rows: REBLOCK schema +
     summary columns (road rows carry nulls in summary cols; one summary row
     per block carries road_type='summary')."""
-    import ray
-
-    from .complexity import _blocks_pack
+    from .complexity import _blocks_table
     from .joins import pip_join
 
-    blocks_tbl, geom_ref = _blocks_pack(blocks)
+    blocks_tbl = _blocks_table(blocks)
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
         from ..geom.core import ring_centroid
@@ -223,18 +221,20 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
     joined_bldgs = pip_join(cents.select_columns(["bldg_id", "cx", "cy", "geometry"]),
                             blocks_tbl.select(["block_id", "geometry"]),
                             id_col="block_id", x_col="cx", y_col="cy",
-                            how="inner", out_id_col="block_id")
+                            how="inner", out_id_col="block_id",
+                            attach_geom_col="block_geom")
 
     b = joined_bldgs.map_batches(
         lambda t: t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
         batch_format="pyarrow").select_columns(
-            ["block_id", "geometry", "cx", "cy", "_side"])
+            ["block_id", "geometry", "block_geom", "cx", "cy", "_side"])
     p = parcels_ds.map_batches(
         lambda t: t.append_column("_side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+                   .append_column("block_geom", pa.nulls(t.num_rows, pa.binary()))
                    .append_column("cx", pa.array(np.full(t.num_rows, np.nan)))
                    .append_column("cy", pa.array(np.full(t.num_rows, np.nan))),
         batch_format="pyarrow").select_columns(
-            ["block_id", "geometry", "cx", "cy", "_side"])
+            ["block_id", "geometry", "block_geom", "cx", "cy", "_side"])
 
     def per_block(group: pa.Table) -> pa.Table:
         bid = group["block_id"][0].as_py()
@@ -242,7 +242,7 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
         parcels = group.filter(pc.equal(group["_side"], 1))
         if bldgs.num_rows < min_buildings or parcels.num_rows == 0:
             return _empty_reblock()  # reference skips ≤1-building blocks (:347)
-        block_ring = wkb.decode(ray.get(geom_ref)[bid])[1][0]
+        block_ring = wkb.decode(bldgs["block_geom"][0].as_py())[1][0]
         parcel_rings = []
         for buf in parcels["geometry"]:
             t, v = wkb.decode(buf.as_py())
