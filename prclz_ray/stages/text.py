@@ -30,21 +30,23 @@ class LangId:
     """Heuristic language id: stopword-profile vote; 'und' when no vote."""
 
     def __init__(self, text_col="text"):
-        self.word = re.compile(r"\w+", re.U)
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
         self.text_col = text_col
+        # one alternation regex per language: the vote becomes 6 vectorized
+        # str.count passes + an argmax, not a per-row python loop
+        self.lang_res = {
+            lang: re.compile(r"\b(?:" + "|".join(
+                sorted(prof, key=len, reverse=True)) + r")\b")
+            for lang, prof in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[self.text_col].str.lower().str.findall(self.word)
-        def vote(ws):
-            best, best_n = "und", 0
-            wset = ws if isinstance(ws, list) else []
-            for lang, prof in self.profiles.items():
-                n = sum(1 for w in wset if w in prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
-        batch["lang_pred"] = toks.map(vote)
+        low = batch[self.text_col].str.lower()
+        langs = list(self.lang_res)
+        counts = np.stack([low.str.count(self.lang_res[lg]).to_numpy()
+                           for lg in langs], axis=1)
+        best = counts.argmax(axis=1)
+        pred = np.array(langs, dtype=object)[best]
+        pred[counts.max(axis=1) == 0] = "und"
+        batch["lang_pred"] = pred
         return batch
 
 
@@ -55,21 +57,26 @@ class QualityScorer:
     def __init__(self, text_col="text"):
         self.text_col = text_col
         self.word = re.compile(r"\w+")
-        self.stop = frozenset().union(*_LANG_PROFILES.values())
+        stop = frozenset().union(*_LANG_PROFILES.values())
+        # one alternation regex: stopword hits counted in a single
+        # vectorized str.count pass instead of a per-word python loop
+        self.stop_re = re.compile(
+            r"\b(?:" + "|".join(sorted(stop, key=len, reverse=True)) + r")\b")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col]
-        batch["q_chars"] = s.str.len().astype("int64")
-        words = s.str.findall(self.word)
-        batch["q_words"] = words.map(len).astype("int64")
-        batch["q_mean_word_len"] = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        batch["q_punct_ratio"] = s.map(
-            lambda t: sum(not c.isalnum() and not c.isspace() for c in t) / max(1, len(t)))
-        batch["q_stop_ratio"] = words.map(
-            lambda ws: sum(w.lower() in self.stop for w in ws) / max(1, len(ws)))
-        batch["q_digit_ratio"] = s.map(
-            lambda t: sum(c.isdigit() for c in t) / max(1, len(t)))
+        n = s.str.len().astype("int64")
+        batch["q_chars"] = n
+        words = s.str.count(self.word).astype("int64")
+        batch["q_words"] = words
+        wchars = s.str.count(r"\w")
+        batch["q_mean_word_len"] = (wchars / words.clip(lower=1)) \
+            .where(words > 0, 0.0)
+        punct = s.str.count(r"[^\w\s]") + s.str.count("_")
+        batch["q_punct_ratio"] = punct / n.clip(lower=1)
+        stops = s.str.lower().str.count(self.stop_re)
+        batch["q_stop_ratio"] = stops / words.clip(lower=1)
+        batch["q_digit_ratio"] = s.str.count(r"\d") / n.clip(lower=1)
         batch["q_score"] = (
             (batch["q_words"].clip(0, 500) / 500.0) * 0.4
             + batch["q_stop_ratio"].clip(0, 0.5) * 0.8
