@@ -280,6 +280,9 @@ def flagship_region_counts_streaming(pages_ds, regions_tbl: pa.Table,
         return pd.DataFrame({"gadm_code": pd.array(keys, dtype="string"),
                              "n_pages": vc.values.astype(np.int64)})
 
+    # cross-bucket combine: the grouped stage emits ≤ num_buckets × regions
+    # rows (64 × |regions| here) — bounded by construction, NOT by input
+    # size, so the driver-side sum stays O(regions) at any corpus scale
     parts = narrow.groupby("_bucket").map_groups(
         dedup_count, batch_format="pandas").to_pandas()
     out = parts.groupby("gadm_code", dropna=False, as_index=False)[

@@ -722,6 +722,52 @@ WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
 """
 
 
+def q_ngram_jaccard_sampled(sf_dir: str):
+    """Exact 5-gram Jaccard over a deterministic pair sample
+    (doc_id i ↔ i+250): the n-gram-Jaccard dedup primitive with a full
+    DuckDB oracle (shingle explode + set sizes).  Distributed shape = the
+    same candidate-pair↔text bucketed joins the minhash verify uses."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = docs.filter(expr="doc_id < 250").map_batches(
+        lambda t: pa.table({"a": t["doc_id"],
+                            "b": pc.add(t["doc_id"], 250)}),
+        batch_format="pyarrow")
+    out = dd.jaccard_verify_pairs(pairs, docs, key_col="doc_id",
+                                  text_col="text", shingle_k=5,
+                                  emit_score=True).to_pandas()
+    out["jaccard"] = out["jaccard"].round(4)
+    return out[["a", "b", "jaccard"]]
+
+
+SQL_NGRAM_JACCARD = """
+WITH pairs AS (
+  SELECT doc_id AS a, doc_id + 250 AS b FROM documents WHERE doc_id < 250
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+    FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, COUNT(*) AS ni
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.a
+  JOIN sh y ON y.doc_id = p.b AND y.g = x.g
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b,
+       ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.ni, 0)), 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+
 def q_langid_documents(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = docs.map_batches(text.LangId, batch_format="pandas", concurrency=2)
@@ -860,6 +906,7 @@ def registry():
         "simhash_candidate_pairs": (q_simhash_candidate_pairs, None),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMB_DUP),
         "langid_documents": (q_langid_documents, None),
+        "ngram_jaccard_sampled": (q_ngram_jaccard_sampled, SQL_NGRAM_JACCARD),
         "fingerprint_documents": (q_fingerprint_documents, None),
         "ann_ivf_topk": (q_ann_ivf, None),
         "ann_ivf_recall": (q_ann_ivf_recall, None),

@@ -161,7 +161,7 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 def jaccard_verify_pairs(cands, texts_ds, key_col="doc_id", text_col="text",
                          jaccard_threshold=0.8, shingle_k=5,
-                         num_buckets=16):
+                         num_buckets=16, emit_score: bool = False):
     """Distributed candidate verification: NO driver-side text map.  Texts
     are first restricted to candidate docs (semi-join on the pairs' key
     set), then attached to each pair side by two bucketed shuffle joins —
@@ -208,21 +208,29 @@ def jaccard_verify_pairs(cands, texts_ds, key_col="doc_id", text_col="text",
         return s
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        keep = []
+        keep, scores = [], []
         for a, b, ta, tb in zip(df["a"], df["b"], df["_text_a"], df["_text_b"]):
             sa, sb = _shingles(a, ta), _shingles(b, tb)
             jac = (len(sa & sb) / max(1, len(sa | sb))) if (sa or sb) else 1.0
-            keep.append(jac >= jaccard_threshold)
-        return df.loc[keep, ["a", "b"]]
+            keep.append(emit_score or jac >= jaccard_threshold)
+            scores.append(jac)
+        out = df.assign(jaccard=scores).loc[keep]
+        cols = ["a", "b"] + (["jaccard"] if emit_score else [])
+        return out[cols]
 
     # restore the key dtype: the null-padded union inside the bucketed
     # join coerces int keys to float in pandas
     sch = texts_ds.schema()
     key_type = dict(zip(sch.names, sch.types))[key_col]
+
+    def cast_back(t: pa.Table) -> pa.Table:
+        cols = {"a": t["a"].cast(key_type), "b": t["b"].cast(key_type)}
+        if emit_score:
+            cols["jaccard"] = t["jaccard"]
+        return pa.table(cols)
+
     return joined.map_batches(verify, batch_format="pandas").map_batches(
-        lambda t: pa.table({"a": t["a"].cast(key_type),
-                            "b": t["b"].cast(key_type)}),
-        batch_format="pyarrow")
+        cast_back, batch_format="pyarrow")
 
 
 def connected_components(edges_ds, max_rounds: int = 20,
