@@ -79,17 +79,21 @@ class FrameSampler:
         self.every_ms = every_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, kinds, frames = [], [], []
-        for i in range(batch.num_rows):
-            if batch["kind"][i].as_py() != "video":
-                continue
-            dur = batch["duration_ms"][i].as_py()
-            for t in range(0, dur, self.every_ms):
-                ids.append(batch["media_id"][i].as_py())
-                kinds.append("frame")
-                frames.append(t)
-        return pa.table({"media_id": ids, "kind": kinds,
-                         "frame_ms": pa.array(frames, type=pa.int32())})
+        import pyarrow.compute as pc
+        vids = batch.filter(pc.equal(batch["kind"], "video"))
+        dur = vids["duration_ms"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = np.maximum((dur + self.every_ms - 1) // self.every_ms, 0)
+        idx = np.repeat(np.arange(len(dur)), counts)
+        # per-row frame offsets: global arange minus each row's start
+        starts = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                           counts)
+        frames = (np.arange(len(idx)) - starts) * self.every_ms
+        out = vids.select(["media_id"]).take(pa.array(idx))
+        out = out.append_column(
+            "kind", pa.array(np.full(len(idx), "frame", dtype=object)))
+        return out.append_column("frame_ms",
+                                 pa.array(frames.astype(np.int32)))
 
 
 def decode_pipeline(media_ds, concurrency=2, batch_size=32):
