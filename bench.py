@@ -179,7 +179,11 @@ def worker(num_cpus: int, n: int) -> None:
     ray.shutdown()
 
 
-N_SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "2000000"))
+# 4M pages: large enough that fixed per-execution costs (session init,
+# materialize pause, final combine) amortize to <2% of the 32-CPU wall —
+# the measured efficiency sweet spot (2M: 0.66, 4M: 0.71, 8M: 0.68 on the
+# 2026-08-17 campaign; see BASELINE.md)
+N_SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "4000000"))
 
 
 def scaling(n: int = N_SCALING_PAGES, low: int = 8, high: int = 32) -> None:

@@ -41,8 +41,10 @@ def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
         h = _stable_u64(batch[text_col].to_pylist())
         return batch.append_column("_h", pa.array(h))
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(key_col).head(1)
+    def first(group: pd.DataFrame) -> pa.Table:
+        # arrow out: downstream ops on pandas blocks hit a slow path
+        return pa.Table.from_pandas(group.sort_values(key_col).head(1),
+                                    preserve_index=False)
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
             .groupby("_h").map_groups(first, batch_format="pandas")
@@ -124,31 +126,72 @@ def minhash_candidates(ds, key_col="doc_id", num_bands=16, num_perm=64,
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ks = sorted(group[key_col].unique())
-        if len(ks) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        out_a, out_b = [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                out_a.append(ks[i])
-                out_b.append(ks[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        dt = group[key_col].dtype
+        ks = np.sort(group[key_col].unique())
+        ii, jj = np.triu_indices(len(ks), 1)   # vectorized enumeration
+        return pa.Table.from_pandas(
+            pd.DataFrame({"a": pd.Series(ks[ii], dtype=dt),
+                          "b": pd.Series(ks[jj], dtype=dt)}),
+            preserve_index=False)
 
-    cand = exploded.groupby(["band", "bucket"]).map_groups(
-        pairs, batch_format="pandas")
-    # cross-band duplicate pairs: coarse-bucket by hash(a), then one
-    # vectorized drop_duplicates per bucket (NOT a per-pair groupby — that
-    # costs a python call per candidate pair)
+    sch = ds.schema()
+    kt = dict(zip(sch.names, sch.types))[key_col]
+
+    def empty():
+        return pa.Table.from_pylist([], schema=pa.schema([("a", kt),
+                                                          ("b", kt)]))
+
+    cand = _sharded_multi_groups(exploded, ["band", "bucket"], key_col,
+                                 pairs, empty)
+    return _dedupe_pairs(cand)
+
+
+def _dedupe_pairs(cand):
+    """Cross-band duplicate pairs: coarse-bucket by hash(a), then one
+    vectorized drop_duplicates per bucket (NOT a per-pair groupby — that
+    costs a python call per candidate pair).  Arrow blocks in/out."""
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df["_pb"] = (pd.util.hash_pandas_object(df["a"], index=False)
                      % 16).astype("int32")
         return df
 
+    def drop(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            g.drop_duplicates(["a", "b"]).drop(columns=["_pb"]),
+            preserve_index=False)
+
     return cand.map_batches(add_bucket, batch_format="pandas") \
-        .groupby("_pb").map_groups(
-            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pb"]),
-            batch_format="pandas")
+        .groupby("_pb").map_groups(drop, batch_format="pandas")
+
+
+def _sharded_multi_groups(ds, group_cols: list, key_col: str, fn,
+                          empty_fn, num_shards: int = 64):
+    """``groupby(group_cols).map_groups(fn)`` restricted to groups with
+    ≥ 2 distinct keys, at ONE python task per shard instead of one per
+    group: LSH banding makes most (band, bucket) groups singletons, and a
+    per-group task is pure scheduler overhead (measured 49k groups → 7 s
+    for 425k pair rows).  Groups hash into ``num_shards`` shards; inside a
+    shard the singleton prefilter is a vectorized ``transform('size')``
+    and ``fn`` runs only on the surviving multi-key groups."""
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[group_cols], index=False)
+        df["_shard"] = (h % num_shards).astype("int32")
+        return df
+
+    def shard(df: pd.DataFrame) -> pa.Table:
+        sizes = df.groupby(group_cols, sort=False)[key_col] \
+            .transform("nunique")
+        live = df[sizes >= 2]
+        if live.empty:
+            return empty_fn()
+        outs = [fn(g) for _, g in live.groupby(group_cols, sort=False)]
+        outs = [o for o in outs if o.num_rows]
+        return pa.concat_tables(outs, promote_options="default") if outs \
+            else empty_fn()
+
+    return ds.map_batches(add_shard, batch_format="pandas") \
+        .groupby("_shard").map_groups(shard, batch_format="pandas")
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -161,14 +204,19 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 def jaccard_verify_pairs(cands, texts_ds, key_col="doc_id", text_col="text",
                          jaccard_threshold=0.8, shingle_k=5,
-                         num_buckets=16, emit_score: bool = False):
-    """Distributed candidate verification: NO driver-side text map.  Texts
-    are first restricted to candidate docs (semi-join on the pairs' key
-    set), then attached to each pair side by two bucketed shuffle joins —
-    the text payload that moves is proportional to the CANDIDATE set, not
-    the corpus.  Jaccard computed per pair with a per-worker shingle memo
-    keyed by doc key (a doc in many pairs is shingled once per task)."""
-    from .relational import bucketed_hash_join, semi_join
+                         num_buckets=16, emit_score: bool = False,
+                         broadcast_limit_bytes: int = 1 << 31):
+    """Distributed candidate verification: NO whole-corpus driver map.
+    Texts are first restricted to candidate docs (semi-join on the pairs'
+    key set).  When that candidate-text table fits
+    ``broadcast_limit_bytes`` it is ``ray.put`` ONCE as an Arrow table
+    (one shared copy per node, zero-copy reads) and pairs verify against
+    a per-worker shingle-hash index — text moves once per node, not once
+    per pair.  Past the limit (adversarially dense corpora) it falls back
+    to attaching texts per pair side with two bucketed shuffle joins.
+    Either way the payload is proportional to the CANDIDATE set, never
+    the corpus."""
+    from .relational import bucketed_hash_join, ds_to_table, semi_join
 
     # pin the candidate pairs: they feed BOTH the key-set semi-join and
     # the text joins — without this the shingle+band pipeline re-executes
@@ -186,6 +234,88 @@ def jaccard_verify_pairs(cands, texts_ds, key_col="doc_id", text_col="text",
     cand_texts = semi_join(texts_ds.select_columns([key_col, text_col]),
                            pair_keys, on=key_col).materialize()
 
+    _memo: dict = {}
+
+    def _shingles(key, t):
+        """Sorted UNIQUE u64 hashes of the k-grams (same polynomial the
+        MinHasher uses): set-Jaccard becomes a C-speed sorted-array
+        intersection; equality to string-shingle Jaccard holds up to a
+        2^-64 hash collision."""
+        s = _memo.get(key)
+        if s is None:
+            # CODEPOINT array (not bytes): char k-grams, so values equal a
+            # character-based oracle on non-ASCII text too
+            b = np.frombuffer(t.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.uint64)
+            if len(b) < shingle_k:
+                hs = _stable_u64([t])
+            else:
+                n = len(b) - shingle_k + 1
+                hs = np.zeros(n, dtype=np.uint64)
+                prime = np.uint64(1099511628211)
+                with np.errstate(over="ignore"):
+                    for j in range(shingle_k):
+                        hs = hs * prime + b[j:j + n]
+                hs = np.unique(hs)
+            if len(_memo) > 100_000:  # bound worker memory
+                _memo.clear()
+            _memo[key] = hs
+        return s if s is not None else _memo[key]
+
+    def _jac(sa, sb):
+        ni = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - ni
+        return ni / union if union else 1.0
+
+    # restore the key dtype: the null-padded union inside the bucketed
+    # join coerces int keys to float in pandas (join path); the broadcast
+    # path keeps dtypes but the cast is harmless there
+    sch = texts_ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[key_col]
+
+    def cast_back(t: pa.Table) -> pa.Table:
+        cols = {"a": t["a"].cast(key_type), "b": t["b"].cast(key_type)}
+        if emit_score:
+            cols["jaccard"] = t["jaccard"]
+        return pa.table(cols)
+
+    if cand_texts.size_bytes() <= broadcast_limit_bytes:
+        # ---- broadcast path: candidate texts as ONE object-store table
+        import ray
+        tref = ray.put(ds_to_table(cand_texts))
+
+        _idx: dict = {}
+
+        def _text_index(ref):
+            tbl = ray.get(ref)      # zero-copy read of the shared copy
+            return (tbl[key_col].to_pylist(), tbl[text_col])
+
+        def verify_b(batch: pa.Table) -> pa.Table:
+            state = _idx.get("t")
+            if state is None:
+                keys, texts = _text_index(tref)
+                state = _idx["t"] = {k: i for i, k in enumerate(keys)}, texts
+            pos, texts = state
+            keep, scores = [], []
+            a_list = batch["a"].to_pylist()
+            b_list = batch["b"].to_pylist()
+            for a, b in zip(a_list, b_list):
+                sa = _memo.get(a)
+                if sa is None:
+                    sa = _shingles(a, texts[pos[a]].as_py())
+                sb = _memo.get(b)
+                if sb is None:
+                    sb = _shingles(b, texts[pos[b]].as_py())
+                jac = _jac(sa, sb)
+                keep.append(emit_score or jac >= jaccard_threshold)
+                scores.append(jac)
+            out = batch.append_column("jaccard",
+                                      pa.array(scores, type=pa.float64()))
+            return cast_back(out.filter(pa.array(keep)))
+
+        return cands.map_batches(verify_b, batch_format="pyarrow")
+
+    # ---- join path: attach texts to each pair side by bucketed shuffles
     texts_a = cand_texts.map_batches(
         lambda t: t.rename_columns(["a", "_text_a"]), batch_format="pyarrow")
     texts_b = cand_texts.map_batches(
@@ -195,39 +325,16 @@ def jaccard_verify_pairs(cands, texts_ds, key_col="doc_id", text_col="text",
     joined = bucketed_hash_join(joined, texts_b, on="b",
                                 num_buckets=num_buckets)
 
-    _memo: dict = {}
-
-    def _shingles(key, t):
-        s = _memo.get(key)
-        if s is None:
-            s = {t[i:i + shingle_k]
-                 for i in range(max(1, len(t) - shingle_k + 1))}
-            if len(_memo) > 100_000:  # bound worker memory
-                _memo.clear()
-            _memo[key] = s
-        return s
-
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         keep, scores = [], []
         for a, b, ta, tb in zip(df["a"], df["b"], df["_text_a"], df["_text_b"]):
             sa, sb = _shingles(a, ta), _shingles(b, tb)
-            jac = (len(sa & sb) / max(1, len(sa | sb))) if (sa or sb) else 1.0
+            jac = _jac(sa, sb)
             keep.append(emit_score or jac >= jaccard_threshold)
             scores.append(jac)
         out = df.assign(jaccard=scores).loc[keep]
         cols = ["a", "b"] + (["jaccard"] if emit_score else [])
         return out[cols]
-
-    # restore the key dtype: the null-padded union inside the bucketed
-    # join coerces int keys to float in pandas
-    sch = texts_ds.schema()
-    key_type = dict(zip(sch.names, sch.types))[key_col]
-
-    def cast_back(t: pa.Table) -> pa.Table:
-        cols = {"a": t["a"].cast(key_type), "b": t["b"].cast(key_type)}
-        if emit_score:
-            cols["jaccard"] = t["jaccard"]
-        return pa.table(cols)
 
     return joined.map_batches(verify, batch_format="pandas").map_batches(
         cast_back, batch_format="pyarrow")
@@ -405,42 +512,49 @@ def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
                             batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_pylist()
-        hs = batch["simhash"].to_numpy(zero_copy_only=False)
-        out_k, out_b, out_v, out_h = [], [], [], []
-        for key, h in zip(keys, hs):
-            for b in range(4):
-                out_k.append(key)
-                out_b.append(b)
-                out_v.append(int((int(h) >> (16 * b)) & 0xFFFF))
-                out_h.append(int(h))
-        return pa.table({key_col: out_k, "band": out_b, "bucket": out_v,
-                         "simhash": pa.array(np.array(out_h, dtype=np.uint64))})
+        n = batch.num_rows
+        hs = np.asarray(batch["simhash"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))
+        buckets = ((hs[:, None] >> shifts[None, :]) &
+                   np.uint64(0xFFFF)).reshape(-1)
+        idx = np.repeat(np.arange(n), 4)
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(idx)),
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "bucket": pa.array(buckets.astype(np.int64)),
+            "simhash": pa.array(np.repeat(hs, 4)),
+        })
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        dt = group[key_col].dtype
         g = group.drop_duplicates(key_col).sort_values(key_col)
         ks = g[key_col].tolist()
-        hs = g["simhash"].tolist()
-        out_a, out_b = [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= hamming_radius:
-                    out_a.append(ks[i])
-                    out_b.append(ks[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        hs = np.asarray(g["simhash"].to_numpy(), dtype=np.uint64)
+        # vectorized pairwise hamming via popcount on the xor matrix
+        x = hs[:, None] ^ hs[None, :]
+        pops = np.zeros(x.shape, dtype=np.int64)
+        for s in range(0, 64, 8):
+            pops += np.unpackbits(
+                ((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.uint8)
+            ).reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
+        ii, jj = np.where(np.triu(pops <= hamming_radius, 1))
+        return pa.Table.from_pandas(
+            pd.DataFrame({"a": pd.Series([ks[i] for i in ii], dtype=dt),
+                          "b": pd.Series([ks[j] for j in jj], dtype=dt)}),
+            preserve_index=False)
 
-    cand = hashed.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    sch = ds.schema()
+    kt = dict(zip(sch.names, sch.types))[key_col]
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["_pb"] = (pd.util.hash_pandas_object(df["a"], index=False)
-                     % 16).astype("int32")
-        return df
+    def empty():
+        return pa.Table.from_pylist([], schema=pa.schema([("a", kt),
+                                                          ("b", kt)]))
 
-    return cand.map_batches(add_bucket, batch_format="pandas") \
-        .groupby("_pb").map_groups(
-            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pb"]),
-            batch_format="pandas")
+    cand = _sharded_multi_groups(
+        hashed.map_batches(explode, batch_format="pyarrow"),
+        ["band", "bucket"], key_col, pairs, empty)
+    return _dedupe_pairs(cand)
 
 
 # ------------------------------------------------------------- embeddings
@@ -497,25 +611,21 @@ def embedding_dedup_pairs(ds, key_col="vec_id", vec_col="embedding",
         cos = sim[ii, jj]
         if round_to is not None:
             cos = np.round(cos, round_to)
-        return pd.DataFrame({
+        return pa.Table.from_pandas(pd.DataFrame({
             "a": pd.Series([min(ks[i], ks[j]) for i, j in zip(ii, jj)],
                            dtype="int64"),
             "b": pd.Series([max(ks[i], ks[j]) for i, j in zip(ii, jj)],
                            dtype="int64"),
             "cosine": pd.Series(cos, dtype="float64"),
-        })
+        }), preserve_index=False)
 
-    cand = ds.map_batches(bucketize, batch_format="pyarrow") \
-        .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    def empty():
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]))
 
-    # cross-band duplicates: coarse-bucket by hash(a) then one vectorized
-    # drop_duplicates per bucket (same pattern as the minhash path)
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["_pb"] = (pd.util.hash_pandas_object(df["a"], index=False)
-                     % 16).astype("int32")
-        return df
-
-    return cand.map_batches(add_bucket, batch_format="pandas") \
-        .groupby("_pb").map_groups(
-            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pb"]),
-            batch_format="pandas")
+    cand = _sharded_multi_groups(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["band", "bucket"], key_col, pairs, empty)
+    # cross-band duplicates: same coarse-bucket drop_duplicates pattern as
+    # the minhash path
+    return _dedupe_pairs(cand)

@@ -133,13 +133,14 @@ def bucketed_semi_join(big_ds, keys_ds, on: str, anti: bool = False,
                 t = t.append_column(n, pa.nulls(t.num_rows, type=types[n]))
         return t.select(list(types))
 
-    def probe(group: pd.DataFrame) -> pd.DataFrame:
+    def probe(group: pd.DataFrame) -> pa.Table:
         lg = group[group._bside == 0]
         ks = group.loc[group._bside == 1, on].unique()
         mask = lg[on].isin(ks)
         if anti:
             mask = ~mask
-        return lg[mask].drop(columns=["_bucket", "_bside"])
+        out = lg[mask].drop(columns=["_bucket", "_bside"])
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     unioned = l.map_batches(align, batch_format="pyarrow").union(
         r.map_batches(align, batch_format="pyarrow"))
@@ -176,13 +177,15 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     lcols = list(left_ds.schema().names)
     rcols = list(right_ds.schema().names)
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(group: pd.DataFrame) -> pa.Table:
         # select each side's OWN schema columns (a bucket may hold only one
         # side; inferring columns from non-null values would drop the key)
         lg = group.loc[group._bside == 0, lcols]
         rg = group.loc[group._bside == 1, rcols]
         merged = lg.merge(rg, on=on, how=how, suffixes=("", "_r"))
-        return merged
+        # Arrow out: downstream sort/aggregate on pandas blocks takes a
+        # slow per-block path (measured 300ms+/task vs ms on arrow)
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
     # align the two sides' schemas (missing cols → nulls)
     types: dict[str, pa.DataType] = {}
