@@ -128,6 +128,31 @@ class ReblockGraph:
         for c in centroids:
             self.add_node_to_closest_edge(c, terminal=True)
 
+    # ------------------------------------------------------- serialization
+    def to_bytes(self) -> bytes:
+        """S10 graph persistence (ref ``topology.py:259-267,395-401``
+        pickles the PlanarGraph): a stable tuple payload — nodes with
+        attrs, edges with attrs, insertion order — so a reblock graph can
+        checkpoint to a binary column and resume in another worker."""
+        import pickle
+        nodes = [(n, dict(d)) for n, d in self.g.nodes(data=True)]
+        edges = [(a, b, dict(d)) for a, b, d in self.g.edges(data=True)]
+        return pickle.dumps((nodes, edges, list(self._edge_order)),
+                            protocol=pickle.HIGHEST_PROTOCOL)
+
+    @staticmethod
+    def from_bytes(buf: bytes) -> "ReblockGraph":
+        import pickle
+        nodes, edges, order = pickle.loads(buf)
+        rg = ReblockGraph()
+        for n, d in nodes:
+            rg.g.add_node(n, **d)
+        for a, b, d in edges:
+            rg.g.add_edge(a, b, **d)
+        rg._edge_order = [tuple(map(tuple, e)) if isinstance(e, list) else e
+                          for e in order]
+        return rg
+
     # ---------------------------------------------------------- analysis
     def terminals(self) -> list[Coord]:
         return [n for n, d in self.g.nodes(data=True) if d.get("terminal")]

@@ -155,3 +155,24 @@ class TestCorridorSimplify:
         assert len(lines) == 1
         assert len(lines[0]) == 2
         assert np.allclose(lines[0], [[0, 0], [4, 0]])
+
+
+class TestGraphPickle:
+    def test_roundtrip_preserves_steiner_output(self):
+        """S10 (ref ``topology.py:259-267,395-401``): serialize → restore →
+        identical steiner linestrings and edge order."""
+        from prclz_ray.stages.reblock import reblock_block
+        from prclz_ray.graph.reblock_graph import ReblockGraph
+        g = ReblockGraph.from_polygons(grid_parcels(3))
+        g.add_buildings(np.array([[0.5, 0.5], [0.2, 0.9]]))
+        g.update_edge_types(BLOCK, check=False)
+        g.steiner_tree_approx()
+        buf = g.to_bytes()
+        g2 = ReblockGraph.from_bytes(buf)
+        n1, e1 = g.get_steiner_linestrings()
+        n2, e2 = g2.get_steiner_linestrings()
+        assert len(n1) == len(n2) and len(e1) == len(e2)
+        for a, b in zip(n1, n2):
+            assert np.array_equal(a, b)
+        assert g2.g.number_of_nodes() == g.g.number_of_nodes()
+        assert g2.terminals() == g.terminals()
