@@ -165,3 +165,37 @@ def test_ann_ivf_recall_floor():
     df = q_ann_ivf_recall("/root/testdata/sf0.001")
     assert len(df) == 3
     assert df["recall_at_5"].mean() >= 0.8 - 1e-9
+
+
+def test_multimodal_real_decode():
+    """BMP/WAV/PNG decode is REAL (stdlib + numpy): roundtrips exact, the
+    decode stage flags codec-bound payloads (video) as fallback."""
+    from prclz_ray.stages import multimodal as M
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(px)), px)
+    s = np.sin(2 * np.pi * 200 * np.arange(1600) / 8000)
+    dec, rate = M.decode_wav(M.encode_wav(s))
+    assert rate == 8000 and np.abs(dec - s).max() < 1e-3
+    import struct, zlib
+    w, h = 6, 3
+    px2 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + px2[y].tobytes() for y in range(h))
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(M.decode_png(png), px2)
+
+    out = M.decode_pipeline(rd.from_arrow(M.synth_media_table(24)),
+                            batch_size=8).to_pandas()
+    by_kind = out.groupby("kind")["decoded"].all()
+    assert bool(by_kind["image"]) and bool(by_kind["audio"])
+    assert not out.loc[out["kind"] == "video", "decoded"].any()
+    # image resize kernel
+    big = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    small = M.resize_nearest(big, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert np.array_equal(small[0, 0], big[0, 0])
