@@ -577,7 +577,8 @@ def embedding_dedup_pairs(ds, key_col="vec_id", vec_col="embedding",
     nbits = num_bands * bits_per_band
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+        from .similarity import _as_matrix
+        vecs = _as_matrix(batch[vec_col])
         n = len(vecs)
         if n == 0:
             return pa.table({key_col: batch[key_col],

@@ -14,6 +14,18 @@ import ray
 
 
 def _as_matrix(col) -> np.ndarray:
+    """(n, dim) float32 from a list<float> column — zero-copy flatten when
+    the lists are uniform length (the embedding-table invariant), pylist
+    fallback otherwise."""
+    try:
+        arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        offs = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        if len(offs) and (offs == offs[0]).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(offs), offs[0]).astype(np.float32,
+                                                           copy=False)
+    except (AttributeError, ValueError):
+        pass
     return np.asarray(col.to_pylist(), dtype=np.float32)
 
 
@@ -53,18 +65,21 @@ def ann_bruteforce(ds, queries: np.ndarray, query_ids: list, k: int = 10,
                    concurrency=(1, 4)):
     """Exact top-k cosine: per-batch partials → global top-k per query via
     a small sort/groupby (only nq×k×nbatches rows shuffle)."""
+    from .util import cached_callable
     ref = ray.put((list(query_ids), np.asarray(queries, dtype=np.float32)))
+    # task-based with per-worker state cache: an actor pool would respawn
+    # per execution and cap the stage at the pool size (query state is
+    # cheap; the matmul wants full width)
     partials = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col,
-                                   id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        cached_callable(BruteForceScorer, queries_ref=ref, k=k,
+                        vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow")
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
+    def topk(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["cosine", "match_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     return partials.groupby("query_id").map_groups(topk, batch_format="pandas")
 
@@ -89,6 +104,34 @@ def train_centroids(ds, vec_col="embedding", n_centroids=16, iters=5, seed=3,
     return C
 
 
+class IVFScorer:
+    """Task-cached stage: rows assigned to their nearest centroid list;
+    each batch scores only rows whose list is probed by some query."""
+
+    def __init__(self, state_ref, k, vec_col, id_col):
+        self.qids, self.qm, self.C, self.probe = ray.get(state_ref)
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        lists = np.argmax(m @ self.C.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.qm)):
+            mask = np.isin(lists, self.probe[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ self.qm[qi]
+            sel = np.argsort(-sims)[: self.k]
+            sub_ids = ids[mask]
+            for j in sel:
+                out_q.append(self.qids[qi])
+                out_id.append(int(sub_ids[j]))
+                out_s.append(float(sims[j]))
+        return pa.table({"query_id": out_q, "match_id": out_id,
+                         "cosine": pa.array(out_s, type=pa.float64())})
+
+
 def ann_ivf(ds, queries: np.ndarray, query_ids: list, centroids: np.ndarray,
             k: int = 10, nprobe: int = 4, vec_col="embedding",
             id_col="vec_id", concurrency=(1, 4)):
@@ -100,36 +143,16 @@ def ann_ivf(ds, queries: np.ndarray, query_ids: list, centroids: np.ndarray,
     probe = np.argsort(-(qm @ C.T), axis=1)[:, :nprobe]
     ref = ray.put((list(query_ids), qm, C, probe))
 
-    class Scorer:
-        def __init__(self):
-            self.qids, self.qm, self.C, self.probe = ray.get(ref)
+    from .util import cached_callable
+    partials = ds.map_batches(
+        cached_callable(IVFScorer, state_ref=ref, k=k, vec_col=vec_col,
+                        id_col=id_col),
+        batch_format="pyarrow")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            lists = np.argmax(m @ self.C.T, axis=1)
-            out_q, out_id, out_s = [], [], []
-            for qi in range(len(self.qm)):
-                mask = np.isin(lists, self.probe[qi])
-                if not mask.any():
-                    continue
-                sims = m[mask] @ self.qm[qi]
-                sel = np.argsort(-sims)[:k]
-                sub_ids = ids[mask]
-                for j in sel:
-                    out_q.append(self.qids[qi])
-                    out_id.append(int(sub_ids[j]))
-                    out_s.append(float(sims[j]))
-            return pa.table({"query_id": out_q, "match_id": out_id,
-                             "cosine": pa.array(out_s, type=pa.float64())})
-
-    partials = ds.map_batches(Scorer, batch_format="pyarrow",
-                              concurrency=concurrency)
-
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
+    def topk(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["cosine", "match_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     return partials.groupby("query_id").map_groups(topk, batch_format="pandas")

@@ -16,12 +16,17 @@ _CACHE: dict = {}
 
 def cached_callable(cls, **kwargs):
     """A pickleable function for map_batches that constructs ``cls(**kwargs)``
-    once per worker process and applies it per batch."""
-    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+    once per worker process and applies it per batch.  Only the NEWEST
+    state per class is kept (per-run ObjectRef kwargs would otherwise
+    accumulate one entry per pipeline run in long-lived workers)."""
+    kind = (cls.__module__, cls.__qualname__)
+    key = (kind, tuple(sorted((k, repr(v)) for k, v in kwargs.items())))
 
     def fn(batch):
         obj = _CACHE.get(key)
         if obj is None:
+            for k in [k for k in _CACHE if k[0] == kind]:
+                del _CACHE[k]
             obj = _CACHE[key] = cls(**kwargs)
         return obj(batch)
 
