@@ -133,11 +133,19 @@ def cmd_blocks(a):
 
 
 def cmd_parcels(a):
-    from .stages.parcels import parcels_pipeline
+    from .stages.parcels import check_parcels_qc, parcels_pipeline
     _init_ray()
     out = parcels_pipeline(_filter_blocks(_read(a.blocks), a.blocks_subset),
                            _read(a.buildings))
     _write(out, a.out, a.overwrite)
+    if getattr(a, "qc", False):
+        # J6/A4 QC invariant (ref _parcels.py:218-237): ≤1 building/parcel
+        bad = check_parcels_qc(_read(a.out), _read(a.buildings)).to_pandas()
+        if len(bad):
+            print(f"QC FAIL: {len(bad)} parcels contain >1 building",
+                  file=sys.stderr)
+            sys.exit(3)
+        print("QC pass: every parcel contains ≤1 building")
 
 
 def cmd_complexity(a):
@@ -211,6 +219,9 @@ def main(argv=None):
         s.add_argument("--blocks-subset", default=None,
                        help="comma-separated block_id predicate pushdown")
         s.add_argument("--overwrite", action="store_true")
+        if name == "parcels":
+            s.add_argument("--qc", action="store_true",
+                           help="verify ≤1 building per parcel after write")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("reblock")

@@ -246,7 +246,11 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
         parcel_rings = []
         for buf in parcels["geometry"]:
             t, v = wkb.decode(buf.as_py())
-            parcel_rings.append(v[0] if t == wkb.POLYGON else v[0][0])
+            if t == wkb.POLYGON:
+                parcel_rings.append(v[0])
+            else:           # MultiPolygon parcel (orphan reunion): every
+                parcel_rings.extend(p[0] for p in v)   # outer ring
+
         centroids = np.stack([bldgs["cx"].to_numpy(zero_copy_only=False),
                               bldgs["cy"].to_numpy(zero_copy_only=False)], axis=1)
         bldg_rings = []
