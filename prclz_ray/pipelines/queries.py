@@ -672,11 +672,47 @@ SELECT qid AS query_id, vec_id AS match_id FROM s WHERE rnk <= 5
 
 
 def q_minhash_dedup_documents(sf_dir: str):
-    """MinHash+LSH near-dup (rows-only check: non-SQL-expressible)."""
+    """MinHash+LSH near-dup, checked against an EXHAUSTIVE SQL oracle:
+    DuckDB computes the full 5-gram-Jaccard duplicate graph (shingle
+    self-join) and its connected components (recursive-CTE transitive
+    closure), keeping each component's min doc_id — the same keep rule.
+    LSH banding is probabilistic in general; at 16 bands × 4 rows the
+    miss probability for a pair at j=0.8 is ≈2e-4 and the fixtures' dup
+    pairs sit far above threshold, so the LSH answer equals the
+    exhaustive one (verified set-exact at sf0.001 and sf0.01)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
     kept, _ = dd.minhash_lsh_dedup(docs, key_col="doc_id", text_col="text",
                                    jaccard_threshold=0.8)
     return kept.select_columns(["doc_id"])
+
+
+SQL_MINHASH_DEDUP = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+        FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+reach(node, anc) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.anc
+)
+SELECT doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM reach r
+                  WHERE r.node = d.doc_id AND r.anc < d.doc_id)
+"""
 
 
 def q_simhash_candidate_pairs(sf_dir: str):
@@ -902,7 +938,8 @@ def registry():
         "token_counts_by_lang": (q_token_counts_by_lang, SQL_TOKENS),
         "quality_stats_by_lang": (q_quality_stats_by_lang, SQL_QUALITY),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
-        "minhash_dedup_documents": (q_minhash_dedup_documents, None),
+        "minhash_dedup_documents": (q_minhash_dedup_documents,
+                                    SQL_MINHASH_DEDUP),
         "simhash_candidate_pairs": (q_simhash_candidate_pairs, None),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMB_DUP),
         "langid_documents": (q_langid_documents, None),
