@@ -51,6 +51,6 @@ def test_dji_golden_conformance():
         k = block_complexity(ring, np.asarray(vc).reshape(-1, 2))
         diffs.append(abs(k - row.complexity))
         ok += k == row.complexity
-    assert ok >= 144, f"exact k matches regressed: {ok}/196"
+    assert ok >= 150, f"exact k matches regressed: {ok}/196"
     assert max(diffs) <= 2
-    assert float(np.mean(diffs)) <= 0.31
+    assert float(np.mean(diffs)) <= 0.27

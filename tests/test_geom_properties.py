@@ -24,7 +24,9 @@ def test_convex_hull_contains_all_points(pts):
     if len(hull) < 3:        # collinear/degenerate input
         return
     ring = ensure_closed(hull)
-    assert shoelace_area(ring) >= 0          # CCW orientation
+    scale = max(1.0, float(np.abs(P).max()))
+    # CCW orientation up to float noise on near-collinear hulls
+    assert shoelace_area(ring) >= -1e-12 * scale * scale
     inside = points_in_ring(P[:, 0], P[:, 1], ring, boundary=True)
     # boundary-inclusive containment with float tolerance: any point the
     # ray-cast calls outside must still be within eps of the hull boundary
