@@ -812,10 +812,98 @@ def q_langid_documents(sf_dir: str):
     return counts[["lang_pred", "n"]]
 
 
+def _langid_sql() -> str:
+    """SQL twin of stages.text.LangId: one regexp count per language profile,
+    argmax with first-in-profile-order tie-breaking (the CASE chain mirrors
+    numpy argmax's first-max semantics), 'und' when every count is zero.
+    Alternation patterns are built from the SAME _LANG_PROFILES dict so the
+    two sides cannot drift."""
+    langs = list(text._LANG_PROFILES)
+    pats = {
+        lg: r"\b(?:" + "|".join(sorted(prof, key=len, reverse=True)) + r")\b"
+        for lg, prof in text._LANG_PROFILES.items()}
+    counts = ",\n    ".join(
+        f"length(regexp_extract_all(lower(text), '{pats[lg]}')) AS c_{lg}"
+        for lg in langs)
+    all_c = ", ".join(f"c_{lg}" for lg in langs)
+    branches = []
+    for i, lg in enumerate(langs):
+        conds = " AND ".join(f"c_{lg} >= c_{other}" for other in langs[i + 1:])
+        branches.append(f"WHEN {conds or 'TRUE'} THEN '{lg}'")
+    case = "\n      ".join(branches)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+    {counts}
+  FROM documents
+),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN GREATEST({all_c}) = 0 THEN 'und'
+      {case}
+    END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY lang_pred
+"""
+
+
+SQL_LANGID = _langid_sql()
+
+
 def q_fingerprint_documents(sf_dir: str):
+    """Winnowing fingerprint per doc (min rolling-hash over 8-byte windows),
+    emitted as int64 (two's-complement view of the u64 hash) so the DuckDB
+    oracle — which computes the identical polynomial mod 2^64 in HUGEINT —
+    lands on the same wire type.  The blake2b content_hash column stays on
+    the stage output (exact dedup pins that path via SQL_EXACT_DEDUP) but is
+    not SQL-expressible, so this query selects only the rolling fingerprint."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(text.fingerprint_batch, batch_format="pyarrow") \
-        .select_columns(["doc_id", "fingerprint", "content_hash"])
+        .select_columns(["doc_id", "fingerprint"])
+
+
+def _fingerprint_sql(window: int = 8) -> str:
+    """SQL twin of stages.text.fingerprint_batch: the rolling hash
+    h(i) = fold(h*p + byte) mod 2^64 equals sum(byte_j * p^(w-1-j)) mod 2^64
+    (mod is a ring hom), so each window is 8 lead() taps dotted with the
+    precomputed powers p^(w-1-j) mod 2^64 — each term reduced before the sum
+    so everything fits HUGEINT.  Bytes come from hex(encode(text)) pairs
+    (UTF-8 bytes, same as Python .encode())."""
+    M = 1 << 64
+    prime = 1099511628211
+    pows = [pow(prime, window - 1 - j, M) for j in range(window)]
+    terms = [f"(CAST(byte AS HUGEINT) * {pows[0]}) % {M}"] + [
+        f"(CAST(lead(byte, {j}) OVER win AS HUGEINT) * {pows[j]}) % {M}"
+        for j in range(1, window)]
+    terms_sql = "\n      + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         octet_length(encode(text)) AS n,
+         CAST('0x' || substr(hex(encode(text)), 2*CAST(i AS INT)-1, 2) AS INT) AS byte
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, octet_length(encode(text)))) AS i
+        FROM documents)
+),
+w AS (
+  SELECT doc_id, i, n,
+    ( {terms_sql}
+    ) % {M} AS h
+  FROM b
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+m AS (
+  SELECT doc_id, MIN(h) AS mh FROM w WHERE i <= n - {window - 1} GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN mh >= {1 << 63} THEN mh - {M} ELSE mh END AS BIGINT)
+         AS fingerprint
+FROM m
+"""
+
+
+SQL_FINGERPRINT = _fingerprint_sql()
 
 
 def q_ann_ivf_recall(sf_dir: str):
@@ -942,9 +1030,9 @@ def registry():
                                     SQL_MINHASH_DEDUP),
         "simhash_candidate_pairs": (q_simhash_candidate_pairs, None),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMB_DUP),
-        "langid_documents": (q_langid_documents, None),
+        "langid_documents": (q_langid_documents, SQL_LANGID),
         "ngram_jaccard_sampled": (q_ngram_jaccard_sampled, SQL_NGRAM_JACCARD),
-        "fingerprint_documents": (q_fingerprint_documents, None),
+        "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT),
         "ann_ivf_topk": (q_ann_ivf, None),
         "ann_ivf_recall": (q_ann_ivf_recall, None),
         "blocks_fixture": (q_blocks_fixture, None),

@@ -117,5 +117,8 @@ def fingerprint_batch(batch: pa.Table, text_col="text", window: int = 8) -> pa.T
             for j in range(window):
                 hs = hs * prime + b[j:j + n]
         fps.append(int(hs.min()))
-    out = batch.append_column("fingerprint", pa.array(np.array(fps, dtype=np.uint64)))
+    # int64 two's-complement view of the u64 hash: keeps the wire type
+    # oracle-comparable (DuckDB BIGINT) without losing bits
+    fp_i64 = np.array(fps, dtype=np.uint64).view(np.int64)
+    out = batch.append_column("fingerprint", pa.array(fp_i64))
     return out.append_column("content_hash", pa.array(full))
