@@ -721,6 +721,65 @@ def q_simhash_candidate_pairs(sf_dir: str):
                             hamming_radius=3)
 
 
+def _simhash_sql() -> str:
+    """SQL twin of stages.dedup.simhash_dedup: per-word polynomial fold
+    (list_reduce over hex-extracted UTF-8 bytes, identical constants via
+    dedup.SIMHASH_PRIME/SIMHASH_MIX), 64 per-bit majority votes, 4 16-bit
+    bands; candidate pairs share >=1 band and pass hamming<=3 (bit_count of
+    per-band xor).  The finalizing mix multiply is split into lo/hi 32-bit
+    halves so no intermediate exceeds INT128.  Docs with zero \\w+ tokens
+    would be absent here but hash to 0 in the engine — the corpus fixture
+    has none (min text length 48)."""
+    M = 1 << 64
+    mix = dd.SIMHASH_MIX
+    mixhi = (mix << 32) % M
+    votes = ",\n    ".join(
+        f"CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN 1 ELSE 0 END AS b{b}"
+        for b in range(64))
+    bands = ",\n    ".join(
+        "(" + " + ".join(f"b{16 * k + j}*{1 << j}" for j in range(16))
+        + f") AS band{k}" for k in range(4))
+    return rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+  FROM documents
+),
+folded AS (
+  SELECT doc_id,
+    list_reduce(
+      [CAST(CAST('0x'||substr(hex(encode(w)),2*i-1,2) AS INT) AS HUGEINT)
+       for i in generate_series(1, octet_length(encode(w)))],
+      (a,b) -> (a*{dd.SIMHASH_PRIME} + b) % {M}) AS f
+  FROM words
+),
+wh AS (
+  SELECT doc_id,
+    ((f % 4294967296) * {mix} % {M}
+     + (f // 4294967296) * {mixhi} % {M}) % {M} AS h
+  FROM folded
+),
+bits AS (
+  SELECT doc_id,
+    {votes}
+  FROM wh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {bands}
+  FROM bits
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.doc_id < y.doc_id
+WHERE (x.band0=y.band0 OR x.band1=y.band1 OR x.band2=y.band2 OR x.band3=y.band3)
+  AND bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
+    + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)) <= 3
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     """Banded hyperplane-LSH near-dup over embeddings augmented with 20
     seeded exact copies (vec_id + 1_000_000) so the oracle pins a
@@ -1028,7 +1087,7 @@ def registry():
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),
-        "simhash_candidate_pairs": (q_simhash_candidate_pairs, None),
+        "simhash_candidate_pairs": (q_simhash_candidate_pairs, SQL_SIMHASH),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMB_DUP),
         "langid_documents": (q_langid_documents, SQL_LANGID),
         "ngram_jaccard_sampled": (q_ngram_jaccard_sampled, SQL_NGRAM_JACCARD),

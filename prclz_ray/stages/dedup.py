@@ -477,11 +477,21 @@ def minhash_lsh_dedup(ds, key_col="doc_id", text_col="text", num_perm=64,
 
 # ------------------------------------------------------------------ simhash
 
+#: word-hash constants shared with the DuckDB oracle (_simhash_sql): a
+#: polynomial fold h = h*P + byte (mod 2^64) over the word's UTF-8 bytes,
+#: finalized by one multiply with the 64-bit golden-ratio constant so short
+#: words (whose raw fold only occupies low bits) still vote on every bit.
+SIMHASH_PRIME = 1099511628211
+SIMHASH_MIX = 0x9E3779B97F4A7C15
+
+
 class SimHasher:
     """64-bit simhash over word tokens (stateful: token regex per actor).
-    Word hashing is ONE ``pd.util.hash_array`` call per doc (process-stable,
-    vectorized) and the bit-vote accumulate is a (words × 64) numpy op —
-    no per-word python hashing."""
+    Word hashing is a column-wise numpy fold over a padded byte matrix
+    (max-word-len vectorized steps per doc, no per-word python hashing);
+    the fold is SQL-expressible (DuckDB list_reduce computes the identical
+    value), which is what makes simhash_candidate_pairs oracle-checkable.
+    The bit-vote accumulate is a (words × 64) numpy op."""
 
     def __init__(self, text_col="text"):
         import re
@@ -489,11 +499,27 @@ class SimHasher:
         self.text_col = text_col
         self.shifts = np.arange(64, dtype=np.uint64)
 
+    def _word_hashes(self, words) -> np.ndarray:
+        # pad UTF-8 words into an (n, maxlen) uint8 matrix; \x00 never
+        # occurs inside a word, so zero bytes mark padding and the fold
+        # skips them — per word this equals fold(h*P + b) over its bytes
+        wb = np.array([w.encode() for w in words], dtype=bytes)
+        mat = np.frombuffer(wb.tobytes(), dtype=np.uint8) \
+            .reshape(len(words), -1)
+        h = np.zeros(len(words), dtype=np.uint64)
+        p = np.uint64(SIMHASH_PRIME)
+        with np.errstate(over="ignore"):
+            for j in range(mat.shape[1]):
+                col = mat[:, j].astype(np.uint64)
+                h = np.where(col != 0, h * p + col, h)
+            h = h * np.uint64(SIMHASH_MIX)
+        return h
+
     def simhash(self, text: str) -> int:
         words = self.tok.findall(text.lower())
         if not words:
             return 0
-        hs = pd.util.hash_array(np.asarray(words, dtype=object))
+        hs = self._word_hashes(words)
         bits = (hs[:, None] >> self.shifts[None, :]) & np.uint64(1)
         acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         return int(((acc > 0).astype(np.uint64) << self.shifts).sum())
