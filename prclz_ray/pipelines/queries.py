@@ -425,9 +425,20 @@ def q_nation_order_totals(sf_dir: str):
         batch_format="pyarrow")
     joined = relational.bucketed_hash_join(orders, cust_keyed, on="o_custkey",
                                            num_buckets=16)
-    from ray.data.aggregate import Count, Sum
-    out = joined.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        # pre-aggregate per bucket block so the final groupby shuffle moves
+        # <=25 rows per block instead of every joined order row
+        agg = t.group_by("n_name").aggregate(
+            [("o_totalprice", "count"), ("o_totalprice", "sum")])
+        return pa.table({"n_name": agg["n_name"],
+                         "p_n": agg["o_totalprice_count"],
+                         "p_total": agg["o_totalprice_sum"]})
+
+    from ray.data.aggregate import Sum
+    out = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("p_n", alias_name="n_orders"),
+                                     Sum("p_total", alias_name="total"))
     df = out.to_pandas()
     df["n_orders"] = df["n_orders"].astype("int64")
     return _round2(df[["n_name", "n_orders", "total"]], ["total"])
@@ -592,6 +603,39 @@ FROM events GROUP BY 1, 2
 
 
 # ------------------------------------------------------ text / dedup / sim
+
+def q_asof_last_purchase(sf_dir: str):
+    """As-of join: every click matched to the SAME user's latest prior
+    purchase (inner semantics).  The right side's join timestamp is carried
+    through as a plain int64 epoch-us column computed arrow-side before any
+    pandas conversion, so no datetime-unit coercion can touch it."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = t.append_column("purchase_ts_us", t["ts"].cast(pa.int64()))
+        t = t.append_column("purchase_value", t["value"])
+        return t.select(["user_id", "ts", "purchase_ts_us", "purchase_value"])
+
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .map_batches(prep_right, batch_format="pyarrow")
+    out = relational.asof_join(clicks, purchases, on="ts", by="user_id",
+                               num_buckets=16)
+    return out.select_columns(["event_id", "user_id", "purchase_ts_us",
+                               "purchase_value"])
+
+
+SQL_ASOF = """
+SELECT c.event_id, c.user_id,
+       epoch_us(p.ts) AS purchase_ts_us, p.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
 
 def q_exact_dedup_documents(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1081,6 +1125,7 @@ def registry():
         "semi_customers_with_orders": (q_semi_customers_with_orders, SQL_SEMI),
         "anti_customers_without_orders": (q_anti_customers_without_orders, SQL_ANTI),
         "window_user_activity": (q_window_user_activity, SQL_WINDOW),
+        "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
         "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP),
         "token_counts_by_lang": (q_token_counts_by_lang, SQL_TOKENS),
         "quality_stats_by_lang": (q_quality_stats_by_lang, SQL_QUALITY),

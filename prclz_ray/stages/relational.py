@@ -204,6 +204,81 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
+              direction: str = "backward", suffix: str = "_r"):
+    """Distributed as-of join: each left row matches the nearest right row
+    with right.on <= left.on (direction='backward'; 'forward' flips it)
+    within the same `by` key — the streaming-log "latest state at event
+    time" join Ray Data has no primitive for.
+
+    Scale shape: both sides hash-bucket on `by` (process-stable hash),
+    co-group per bucket through ONE sort shuffle, pandas merge_asof per
+    bucket group (sides sorted by `on` inside the task).  Partitioning
+    assumption: a `by` key's full history fits one bucket group — at 100 TB
+    salt the time axis instead (bucket by (key, time-range) and replicate
+    right-side boundary rows one range forward).  Unmatched left rows are
+    dropped (inner semantics, mirrors DuckDB ASOF JOIN).
+    """
+    lt = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    rt = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    lcols, rcols = list(lt), list(rt)
+    # merge_asof emits the join keys once (from the left): right-side value
+    # columns only.  A right column whose `on`/`by` values matter in the
+    # output must be duplicated under another name before the join.
+    out_rcols = {c: (c if c not in lt else c + suffix)
+                 for c in rcols if c not in (by, on)}
+
+    def add_bucket(side):
+        def f(batch: pa.Table) -> pa.Table:
+            b = stable_bucket(batch[by], num_buckets)
+            out = batch.append_column("_bucket", pa.array(b))
+            return out.append_column("_bside", pa.array(
+                np.full(batch.num_rows, side, dtype=np.int8)))
+        return f
+
+    l = left_ds.map_batches(add_bucket(0), batch_format="pyarrow")
+    r = right_ds.map_batches(add_bucket(1), batch_format="pyarrow")
+
+    types: dict[str, pa.DataType] = {}
+    for sch in (l.schema(), r.schema()):
+        for n, t in zip(sch.names, sch.types):
+            types.setdefault(n, t)
+
+    def align(t: pa.Table) -> pa.Table:
+        for n in types:
+            if n not in t.column_names:
+                t = t.append_column(n, pa.nulls(t.num_rows, type=types[n]))
+        return t.select(list(types))
+
+    def join_bucket(group: pd.DataFrame) -> pa.Table:
+        lg = group.loc[group._bside == 0, lcols].sort_values(on, kind="stable")
+        rg = group.loc[group._bside == 1, rcols].sort_values(on, kind="stable")
+        if not len(lg) or not len(rg):
+            return _empty_asof()
+        # sentinel marks matched rows (a right VALUE column may be null
+        # legitimately); NaN-promoted int columns cast back via the schema
+        rg = rg.assign(_rmatch=np.int8(1))
+        merged = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,
+                               suffixes=("", suffix))
+        matched = merged[merged["_rmatch"].notna()].drop(columns=["_rmatch"])
+        out = matched[[c for c in lcols] + list(out_rcols.values())]
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .cast(_asof_schema())
+
+    def _asof_schema() -> pa.Schema:
+        fields = [(c, lt[c]) for c in lcols]
+        fields += [(out_rcols[c], rt[c]) for c in rcols if c in out_rcols]
+        return pa.schema(fields)
+
+    def _empty_asof() -> pa.Table:
+        return _asof_schema().empty_table()
+
+    unioned = l.map_batches(align, batch_format="pyarrow").union(
+        r.map_batches(align, batch_format="pyarrow"))
+    return unioned.groupby("_bucket").map_groups(join_bucket,
+                                                 batch_format="pandas")
+
+
 def windowed_aggregate(events_ds, key_col: str, ts_col: str, value_col: str,
                        window_sec: int):
     """Tumbling-window aggregate: window id computed vectorized per batch

@@ -127,3 +127,30 @@ def test_zonal_and_raster():
                                res=1.0).to_pandas()
     grid_total = r["n"].sum()
     assert grid_total == 400
+
+
+def test_asof_join_semantics():
+    """Constructed as-of: exact-tie timestamps match (<=), unmatched left
+    rows drop (inner), a legitimately-null right VALUE survives, keys land
+    across buckets."""
+    from prclz_ray.stages import relational
+    left = pa.table({
+        "eid": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "k": pa.array([10, 10, 10, 20, 30], type=pa.int64()),
+        "t": pa.array([100, 205, 300, 150, 50], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([10, 10, 20, 20], type=pa.int64()),
+        "t": pa.array([90, 205, 100, 160], type=pa.int64()),
+        "val": pa.array([1.0, None, 3.0, 4.0], type=pa.float64()),
+    })
+    out = relational.asof_join(rd.from_arrow(left).repartition(3),
+                               rd.from_arrow(right).repartition(2),
+                               on="t", by="k", num_buckets=4).to_pandas()
+    got = {int(r.eid): (None if pd.isna(r.val) else float(r.val))
+           for r in out.itertuples()}
+    # eid1: t=100 -> right t=90 val 1.0; eid2: exact tie t=205 -> null val
+    # kept; eid3: t=300 -> latest t=205; eid4: t=150 -> right t=100 (160 is
+    # future); eid5: k=30 has no right rows -> dropped
+    assert got == {1: 1.0, 2: None, 3: None, 4: 3.0}
+    assert out["eid"].dtype == np.int64 and out["t"].dtype == np.int64
