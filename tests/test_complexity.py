@@ -4,8 +4,9 @@ reference's own DJI golden fixture
 
 The DJI check runs the kernel on the exact golden inputs (block polygon +
 centroids_multipoint from the fixture) and compares k. The engine's own
-Voronoi (vs the reference's pytess) yields 137/196 exact matches with all
-diffs within ±2; the thresholds below pin that floor so regressions fail.
+Voronoi (vs the reference's pytess) yields 158/196 exact matches with all
+diffs within ±2 (152 before the 2-site aspect gate in voronoi_cells, 137
+before the 7-decimal snap); the thresholds below pin that floor.
 No Ray session needed (pure kernel)."""
 import os
 
@@ -51,6 +52,6 @@ def test_dji_golden_conformance():
         k = block_complexity(ring, np.asarray(vc).reshape(-1, 2))
         diffs.append(abs(k - row.complexity))
         ok += k == row.complexity
-    assert ok >= 150, f"exact k matches regressed: {ok}/196"
+    assert ok >= 156, f"exact k matches regressed: {ok}/196"
     assert max(diffs) <= 2
-    assert float(np.mean(diffs)) <= 0.27
+    assert float(np.mean(diffs)) <= 0.24
