@@ -637,6 +637,44 @@ ASOF JOIN (SELECT user_id, ts, value FROM events
 """
 
 
+def q_band_join_click_purchase(sf_dir: str):
+    """Range (band) join: every click × purchase pair within ±15 minutes,
+    across all users — exercises the neighbor-bucket replication path
+    (bucket width == radius) that makes a non-equi join shuffle-safe."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def prep(name):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.append_column("ts_us", t["ts"].cast(pa.int64()))
+            return t.select(["event_id", "ts_us"]) \
+                .rename_columns([name, "ts_us"])
+        return f
+
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .map_batches(prep("click_id"), batch_format="pyarrow")
+    purch = ev.filter(expr="event_type == 'purchase'") \
+        .map_batches(prep("purchase_id"), batch_format="pyarrow")
+    out = relational.band_join(clicks, purch, on="ts_us",
+                               radius=900_000_000)
+
+    def finish(t: pa.Table) -> pa.Table:
+        dt = pc.subtract(t["ts_us_r"], t["ts_us"])
+        return pa.table({"click_id": t["click_id"],
+                         "purchase_id": t["purchase_id"],
+                         "dt_us": dt})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BAND = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS dt_us
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 900000000
+"""
+
+
 def q_exact_dedup_documents(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.exact_dedup(docs, text_col="text", key_col="doc_id") \
@@ -1126,6 +1164,7 @@ def registry():
         "anti_customers_without_orders": (q_anti_customers_without_orders, SQL_ANTI),
         "window_user_activity": (q_window_user_activity, SQL_WINDOW),
         "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
+        "band_join_click_purchase": (q_band_join_click_purchase, SQL_BAND),
         "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP),
         "token_counts_by_lang": (q_token_counts_by_lang, SQL_TOKENS),
         "quality_stats_by_lang": (q_quality_stats_by_lang, SQL_QUALITY),

@@ -154,3 +154,24 @@ def test_asof_join_semantics():
     # future); eid5: k=30 has no right rows -> dropped
     assert got == {1: 1.0, 2: None, 3: None, 4: 3.0}
     assert out["eid"].dtype == np.int64 and out["t"].dtype == np.int64
+
+
+def test_band_join_semantics():
+    """Pairs straddling a bucket boundary are found once (replication, no
+    dupes), |diff| == radius is inclusive, out-of-band excluded."""
+    from prclz_ray.stages import relational
+    left = pa.table({"lid": pa.array([1, 2, 3], type=pa.int64()),
+                     "v": pa.array([10, 95, 200], type=pa.int64())})
+    right = pa.table({"rid": pa.array([7, 8, 9, 10], type=pa.int64()),
+                      "v": pa.array([110, 104, 300, 11], type=pa.int64())})
+    out = relational.band_join(rd.from_arrow(left).repartition(2),
+                               rd.from_arrow(right).repartition(3),
+                               on="v", radius=100).to_pandas()
+    pairs = sorted(zip(out["lid"], out["rid"]))
+    # lid1(v10): rid7(110,d100 inclusive), rid8(104,d94), rid10(11,d1)
+    # lid2(v95): rid7(d15), rid8(d9), rid10(d84)
+    # lid3(v200): rid7(d90), rid8(d96), rid9(d100 inclusive)
+    assert pairs == [(1, 7), (1, 8), (1, 10), (2, 7), (2, 8), (2, 10),
+                     (3, 7), (3, 8), (3, 9)]
+    assert len(out) == len(out.drop_duplicates(["lid", "rid"]))
+    assert out["v_r"].dtype == np.int64
