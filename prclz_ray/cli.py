@@ -163,7 +163,7 @@ def cmd_reblock(a):
         _filter_blocks(_read(a.blocks), a.blocks_subset),
         _read(a.parcels), _read(a.buildings),
         use_width=a.use_width, through_ratio=a.through_ratio,
-        simplify=a.simplify)
+        connect_n=a.connect_n, simplify=a.simplify)
     _write(out, a.out, a.overwrite)
 
 
@@ -232,6 +232,9 @@ def main(argv=None):
     s.add_argument("--blocks-subset", default=None)
     s.add_argument("--use-width", action="store_true")
     s.add_argument("--through-ratio", type=float, default=None)
+    s.add_argument("--connect-n", type=int, default=None,
+                   help="add the top-k worst-detour through streets "
+                        "(reference --connect_n, _reblock.py:221-254)")
     s.add_argument("--simplify", action="store_true")
     s.add_argument("--overwrite", action="store_true")
     s.set_defaults(fn=cmd_reblock)

@@ -675,6 +675,21 @@ JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q_sample_documents(sf_dir: str):
+    """Deterministic 5% hash sample of the corpus — reproducible, shuffle-free
+    subsampling (rate in ppm so the arithmetic is exact on both sides)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return relational.deterministic_sample(docs, key_col="doc_id",
+                                           rate_ppm=50_000, seed=1)
+
+
+SQL_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+       % 18446744073709551616) % 1000000 < 50000
+"""
+
+
 def q_exact_dedup_documents(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.exact_dedup(docs, text_col="text", key_col="doc_id") \
@@ -1165,6 +1180,7 @@ def registry():
         "window_user_activity": (q_window_user_activity, SQL_WINDOW),
         "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF),
         "band_join_click_purchase": (q_band_join_click_purchase, SQL_BAND),
+        "sample_documents": (q_sample_documents, SQL_SAMPLE),
         "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP),
         "token_counts_by_lang": (q_token_counts_by_lang, SQL_TOKENS),
         "quality_stats_by_lang": (q_quality_stats_by_lang, SQL_QUALITY),

@@ -122,6 +122,7 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
                   centroids: np.ndarray, use_width: bool = False,
                   building_rings: list[np.ndarray] | None = None,
                   through_ratio: float | None = None,
+                  connect_n: int | None = None,
                   simplify: bool = False) -> dict | None:
     """Single-block kernel → {new, existing, summary}; None when every
     building already has street access (reference skips the block,
@@ -154,7 +155,10 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
 
     t1 = time.time()
     g.steiner_tree_approx()
-    if through_ratio is not None:
+    if connect_n is not None:
+        # reference --connect_n: top-k worst detour pairs (_reblock.py:221-254)
+        g.add_through_lines(top_k=connect_n)
+    elif through_ratio is not None:
         g.add_through_lines(ratio_cutoff=through_ratio)
     steiner_time = time.time() - t1
 
@@ -195,6 +199,7 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
 
 def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
                      through_ratio: float | None = None,
+                     connect_n: int | None = None,
                      min_buildings: int = 2, simplify: bool = False):
     """blocks: small table (block_id, geometry) broadcast; parcels_ds and
     buildings_ds co-grouped by block_id. Output rows: REBLOCK schema +
@@ -259,7 +264,8 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
             bldg_rings.append(v[0] if t == wkb.POLYGON else v[0][0])
         res = reblock_block(block_ring, parcel_rings, centroids,
                             use_width=use_width, building_rings=bldg_rings,
-                            through_ratio=through_ratio, simplify=simplify)
+                            through_ratio=through_ratio, connect_n=connect_n,
+                            simplify=simplify)
         if res is None:  # every building already street-connected
             return _empty_reblock()  # reference skips the block (:174-176)
         rows_id, rows_type, rows_geom = [], [], []

@@ -387,3 +387,29 @@ def windowed_aggregate(events_ds, key_col: str, ts_col: str, value_col: str,
         Sum("part_n", alias_name="n_events"),
         Max("part_max", alias_name="max_value"),
     )
+
+
+SAMPLE_MIX = 0x9E3779B97F4A7C15  # golden-ratio 64-bit mix (shared with SQL twin)
+
+
+def deterministic_sample(ds, key_col: str, rate_ppm: int, seed: int = 1):
+    """Reproducible hash-based subsample: keep rows where
+    ``((key + seed) * SAMPLE_MIX mod 2^64) % 1e6 < rate_ppm``.
+
+    Training-data staple with no reference analogue (SURVEY §2.6 notes the
+    reference has no sampling): the sample is a pure per-row filter — no
+    shuffle, no RNG state, stable under re-execution/resume and across
+    cluster sizes, and the identical arithmetic is expressible in DuckDB
+    HUGEINT so an oracle can hash-match the selected rows.
+    """
+    mix = np.uint64(SAMPLE_MIX)
+    s = np.uint64(seed)
+    ppm = np.uint64(rate_ppm)
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k + s) * mix  # wraps mod 2^64
+        return t.filter(pa.array(h % np.uint64(1_000_000) < ppm))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -175,3 +175,25 @@ def test_band_join_semantics():
                      (3, 7), (3, 8), (3, 9)]
     assert len(out) == len(out.drop_duplicates(["lid", "rid"]))
     assert out["v_r"].dtype == np.int64
+
+
+def test_deterministic_sample():
+    from prclz_ray.stages import relational
+    tbl = pa.table({"k": pa.array(range(10000), pa.int64()),
+                    "v": pa.array(range(10000), pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = relational.deterministic_sample(ds, "k", rate_ppm=50_000, seed=1) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    # reproducible: identical selection on re-run and at other parallelism
+    out2 = relational.deterministic_sample(
+        rd.from_arrow(tbl).repartition(11), "k", 50_000, seed=1) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.equals(out2)
+    # ~5% rate, exact arithmetic
+    k = np.arange(10000, dtype=np.uint64)
+    h = (k + np.uint64(1)) * np.uint64(relational.SAMPLE_MIX)
+    expect = k[(h % np.uint64(1_000_000)) < np.uint64(50_000)]
+    assert np.array_equal(out["k"].to_numpy(np.uint64), expect)
+    # different seed → different sample
+    out3 = relational.deterministic_sample(ds, "k", 50_000, seed=7).to_pandas()
+    assert set(out3["k"]) != set(out["k"])

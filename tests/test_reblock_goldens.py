@@ -159,3 +159,30 @@ class TestAddingThruStreets:
         ok = (lines_equal(existing, [[(0, 0), (0, 3)], [(0, 3), (3, 3)]]) or
               lines_equal(existing, [[(3, 3), (3, 0)], [(3, 0), (0, 0)]]))
         assert ok
+
+
+class TestConnectNTopK:
+    """--connect_n parity: top-k through streets (ref _reblock.py:221-254)."""
+
+    def test_top_k_matches_cutoff_choice(self):
+        base = TestAddingThruStreets()
+        g, block = base._make()
+        g.update_edge_types(block, check=True)
+        g.steiner_tree_approx()
+        g.add_through_lines(top_k=1)
+        new_k, _ = g.get_steiner_linestrings()
+        g2, block2 = base._make()
+        g2.update_edge_types(block2, check=True)
+        g2.steiner_tree_approx()
+        g2.add_through_lines(ratio_cutoff=2)
+        new_c, _ = g2.get_steiner_linestrings()
+        assert lines_equal(new_k, new_c)
+
+    def test_top_zero_adds_nothing(self):
+        base = TestAddingThruStreets()
+        g, block = base._make()
+        g.update_edge_types(block, check=True)
+        g.steiner_tree_approx()
+        g.add_through_lines(top_k=0)
+        new, _ = g.get_steiner_linestrings()
+        assert lines_equal(new, [[(0, 0), (0.9, 0.9)], [(2.1, 2.1), (3, 3)]])
