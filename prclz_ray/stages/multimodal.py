@@ -291,7 +291,7 @@ class FrameSampler:
                                  pa.array(frames.astype(np.int32)))
 
 
-def decode_pipeline(media_ds, concurrency=2, batch_size=32):
+def decode_pipeline(media_ds, concurrency=(1, 2), batch_size=32):
     return media_ds.map_batches(MediaDecoder, batch_format="pyarrow",
                                 batch_size=batch_size, concurrency=concurrency,
                                 zero_copy_batch=True)
