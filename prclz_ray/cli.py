@@ -64,6 +64,25 @@ def _write(ds, out: str, overwrite: bool):
     print(f"wrote {out}")
 
 
+def _resume_filter(a, blocks):
+    """--resume (reference --progress ledger, split_buildings.py:87-118):
+    drop blocks already committed in the output manifest before any compute."""
+    if getattr(a, "resume", False):
+        from .runtime import checkpoint
+        return checkpoint.filter_uncommitted(blocks, a.out, "block_id")
+    return blocks
+
+
+def _write_stage(a, out_ds):
+    if getattr(a, "resume", False):
+        from .runtime import checkpoint
+        info = checkpoint.write_partitioned_resumable(out_ds, a.out, "block_id")
+        print(f"resume write: {info['written']} partitions written, "
+              f"{info['skipped']} skipped, {info['rows']} rows")
+    else:
+        _write(out_ds, a.out, a.overwrite)
+
+
 def _filter_blocks(ds, subset):
     if not subset:
         return ds
@@ -135,12 +154,17 @@ def cmd_blocks(a):
 def cmd_parcels(a):
     from .stages.parcels import check_parcels_qc, parcels_pipeline
     _init_ray()
-    out = parcels_pipeline(_filter_blocks(_read(a.blocks), a.blocks_subset),
-                           _read(a.buildings))
-    _write(out, a.out, a.overwrite)
+    blocks = _resume_filter(a, _filter_blocks(_read(a.blocks), a.blocks_subset))
+    out = parcels_pipeline(blocks, _read(a.buildings))
+    _write_stage(a, out)
     if getattr(a, "qc", False):
         # J6/A4 QC invariant (ref _parcels.py:218-237): ≤1 building/parcel
-        bad = check_parcels_qc(_read(a.out), _read(a.buildings)).to_pandas()
+        if getattr(a, "resume", False):
+            from .runtime import checkpoint
+            written = checkpoint.read_resumable(a.out)
+        else:
+            written = _read(a.out)
+        bad = check_parcels_qc(written, _read(a.buildings)).to_pandas()
         if len(bad):
             print(f"QC FAIL: {len(bad)} parcels contain >1 building",
                   file=sys.stderr)
@@ -151,20 +175,20 @@ def cmd_parcels(a):
 def cmd_complexity(a):
     from .stages.complexity import complexity_pipeline
     _init_ray()
-    out = complexity_pipeline(
-        _filter_blocks(_read(a.blocks), a.blocks_subset), _read(a.buildings))
-    _write(out, a.out, a.overwrite)
+    blocks = _resume_filter(a, _filter_blocks(_read(a.blocks), a.blocks_subset))
+    out = complexity_pipeline(blocks, _read(a.buildings))
+    _write_stage(a, out)
 
 
 def cmd_reblock(a):
     from .stages.reblock import reblock_pipeline
     _init_ray()
     out = reblock_pipeline(
-        _filter_blocks(_read(a.blocks), a.blocks_subset),
+        _resume_filter(a, _filter_blocks(_read(a.blocks), a.blocks_subset)),
         _read(a.parcels), _read(a.buildings),
         use_width=a.use_width, through_ratio=a.through_ratio,
         connect_n=a.connect_n, simplify=a.simplify)
-    _write(out, a.out, a.overwrite)
+    _write_stage(a, out)
 
 
 def cmd_flagship(a):
@@ -219,6 +243,10 @@ def main(argv=None):
         s.add_argument("--blocks-subset", default=None,
                        help="comma-separated block_id predicate pushdown")
         s.add_argument("--overwrite", action="store_true")
+        s.add_argument("--resume", action="store_true",
+                       help="manifest-checkpointed per-block output: skip "
+                            "blocks already committed (reference --progress "
+                            "ledger); ignores --overwrite")
         if name == "parcels":
             s.add_argument("--qc", action="store_true",
                            help="verify ≤1 building per parcel after write")
@@ -237,6 +265,9 @@ def main(argv=None):
                         "(reference --connect_n, _reblock.py:221-254)")
     s.add_argument("--simplify", action="store_true")
     s.add_argument("--overwrite", action="store_true")
+    s.add_argument("--resume", action="store_true",
+                   help="manifest-checkpointed per-block output: skip blocks "
+                        "already committed (reference --progress ledger)")
     s.set_defaults(fn=cmd_reblock)
 
     s = sub.add_parser("flagship")

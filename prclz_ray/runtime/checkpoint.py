@@ -91,6 +91,8 @@ def write_partitioned_resumable(ds, out_dir: str, key_col: str,
         return pa.table({"key": [key], "rows": [group.num_rows], "skipped": [False]})
 
     res = ds.groupby(key_col).map_groups(write_group, batch_format="pyarrow").to_pandas()
+    if res.empty:  # nothing left to write (e.g. a fully-resumed rerun)
+        return {"written": 0, "skipped": 0, "rows": 0}
     return {
         "written": int((~res.skipped).sum()),
         "skipped": int(res.skipped.sum()),

@@ -28,8 +28,11 @@ def ds_to_table(ds) -> pa.Table:
                   if isinstance(t, pd.DataFrame) else t for t in all_tables]
     tables = [t for t in all_tables if t.num_rows]
     if not tables:
-        if all_tables:
-            return all_tables[0]
+        # a fully-filtered stream can emit schema-LESS empty blocks alongside
+        # schema-carrying ones; any block that kept its fields wins
+        for t in all_tables:
+            if t.schema.names:
+                return t
         return pa.schema([]).empty_table() if ds.schema() is None else \
             pa.Table.from_pylist([], schema=pa.schema(
                 [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]))

@@ -34,3 +34,39 @@ def test_synth_blocks_complexity_roundtrip():
     # --overwrite guard: second run without it skips (no exception)
     cli.main(["blocks", "--regions", f"{TMP}/regions.parquet",
               "--lines", f"{TMP}/lines.parquet", "--out", f"{TMP}/blocks"])
+
+
+def test_complexity_resume(capsys):
+    """--resume: second run skips every committed block; a cleared manifest
+    entry is the only thing that triggers recompute."""
+    import json
+    import os
+    shutil.rmtree(TMP + "_res", ignore_errors=True)
+    t = TMP + "_res"
+    cli.main(["synth", "--out", t, "--n-pages", "200"])
+    args = ["complexity", "--blocks", f"{t}/blocks_in",
+            "--buildings", f"{t}/buildings.parquet",
+            "--out", f"{t}/complexity", "--resume",
+            "--blocks-subset", "SYNA.1.1_1_0,SYNA.1.1_1_3"]
+    cli.main(["blocks", "--regions", f"{t}/regions.parquet",
+              "--lines", f"{t}/lines.parquet", "--out", f"{t}/blocks_in"])
+    capsys.readouterr()
+    cli.main(args)
+    first = capsys.readouterr().out
+    assert "2 partitions written, 0 skipped" in first
+    cli.main(args)  # identical rerun: everything committed already
+    second = capsys.readouterr().out
+    assert "0 partitions written" in second and "0 rows" in second
+    from prclz_ray.runtime import checkpoint
+    out = checkpoint.read_resumable(f"{t}/complexity").to_pandas()
+    assert set(out["block_id"]) == {"SYNA.1.1_1_0", "SYNA.1.1_1_3"}
+    # dropping one manifest entry resurrects exactly that block
+    mp = checkpoint.manifest_path(f"{t}/complexity")
+    lines = [json.loads(l) for l in open(mp)]
+    with open(mp, "w") as f:
+        for rec in lines:
+            if rec["key"] != "SYNA.1.1_1_0":
+                f.write(json.dumps(rec) + "\n")
+    cli.main(args)
+    third = capsys.readouterr().out
+    assert "1 partitions written" in third
