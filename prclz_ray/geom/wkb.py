@@ -133,6 +133,49 @@ def points_xy(wkb_col) -> tuple[np.ndarray, np.ndarray]:
     return xs, ys
 
 
+_POLY1_HDR = _HDR.pack(1, POLYGON) + _U32.pack(1)  # LE single-ring polygon
+
+
+def polygon_centroids(wkb_col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shoelace centroids for a column of WKB buffers
+    (ref M2, ``_complexity.py:104``: ``geometry.centroid`` over buildings).
+
+    Fast path: every buffer a single-ring closed Polygon with the SAME
+    vertex count (the common case for footprint tables) → one frombuffer +
+    batched shoelace, no per-row Python. Mixed columns fall back to the
+    scalar decode per row. Identical output to ``ring_centroid`` per row."""
+    from .core import ring_centroid
+    bufs = [b if isinstance(b, bytes) else b.as_py() for b in wkb_col]
+    n = len(bufs)
+    L = len(bufs[0]) if n else 0
+    k = (L - 13) // 16
+    if (n and k >= 3 and L == 13 + 16 * k
+            and all(len(b) == L and b[:9] == _POLY1_HDR for b in bufs)):
+        raw = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(n, L)
+        r = raw[:, 13:].copy().view("<f8").reshape(n, k, 2)
+        if np.array_equal(r[:, 0], r[:, -1]):  # closed rings → pure numpy
+            x, y = r[:, :-1, 0], r[:, :-1, 1]
+            x1, y1 = r[:, 1:, 0], r[:, 1:, 1]
+            cross = x * y1 - x1 * y
+            a2 = cross.sum(axis=1)
+            good = np.abs(a2) >= 1e-12
+            denom = np.where(good, 3.0 * a2, 1.0)
+            cx = ((x + x1) * cross).sum(axis=1) / denom
+            cy = ((y + y1) * cross).sum(axis=1) / denom
+            if not good.all():  # degenerate rings: vertex mean
+                cx = np.where(good, cx, r[:, :-1, 0].mean(axis=1))
+                cy = np.where(good, cy, r[:, :-1, 1].mean(axis=1))
+            return cx, cy
+    xs = np.empty(n)
+    ys = np.empty(n)
+    for i, b in enumerate(bufs):
+        t, v = decode(b)
+        ring = (v[0] if t == POLYGON
+                else v[0][0] if t == MULTIPOLYGON else _all_coords(t, v))
+        xs[i], ys[i] = ring_centroid(np.asarray(ring, dtype=np.float64))
+    return xs, ys
+
+
 def bboxes(wkb_col) -> np.ndarray:
     """Per-row bbox (minx, miny, maxx, maxy) for a column of WKB buffers."""
     out = np.empty((len(wkb_col), 4))

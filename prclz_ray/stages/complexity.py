@@ -93,18 +93,11 @@ def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 200
     blocks = _blocks_table(blocks)
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
-        xs, ys = [], []
-        for buf in batch["geometry"]:
-            c = wkb.coords(buf.as_py())
-            # polygon ring centroid-of-vertices matches the reference's
-            # building.centroid usage closely enough for squares; use
-            # shoelace for exactness
-            from ..geom.core import ring_centroid
-            cx, cy = ring_centroid(c)
-            xs.append(cx)
-            ys.append(cy)
-        out = batch.append_column("cx", pa.array(np.array(xs)))
-        return out.append_column("cy", pa.array(np.array(ys)))
+        # M2 vectorized: batched shoelace over uniform WKB (ref
+        # _complexity.py:104 geometry.centroid), no per-row decode
+        xs, ys = wkb.polygon_centroids(batch["geometry"])
+        out = batch.append_column("cx", pa.array(xs))
+        return out.append_column("cy", pa.array(ys))
 
     cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
     joined = pip_join(cents.select_columns(["bldg_id", "cx", "cy"]),

@@ -211,16 +211,11 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
     blocks_tbl = _blocks_table(blocks)
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
-        from ..geom.core import ring_centroid
-        xs, ys = [], []
-        for buf in batch["geometry"]:
-            t, v = wkb.decode(buf.as_py())
-            ring = v[0] if t == wkb.POLYGON else v[0][0]
-            cx, cy = ring_centroid(ring)
-            xs.append(cx)
-            ys.append(cy)
-        out = batch.append_column("cx", pa.array(np.array(xs)))
-        return out.append_column("cy", pa.array(np.array(ys)))
+        # M2 vectorized: batched shoelace over uniform WKB (ref
+        # _reblock.py:166 geometry.centroid), no per-row decode
+        xs, ys = wkb.polygon_centroids(batch["geometry"])
+        out = batch.append_column("cx", pa.array(xs))
+        return out.append_column("cy", pa.array(ys))
 
     cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
     joined_bldgs = pip_join(cents.select_columns(["bldg_id", "cx", "cy", "geometry"]),

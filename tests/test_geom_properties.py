@@ -88,3 +88,41 @@ def test_stable_bucket_deterministic_and_width_invariant(vals, nb):
     # repeated calls agree (process-stable by construction)
     assert (stable_bucket(i64, nb) == b64).all()
     assert ((b64 >= 0) & (b64 < nb)).all()
+
+
+def test_polygon_centroids_fast_path_parity():
+    """Vectorized WKB centroid kernel == scalar ring_centroid per row, on
+    uniform (fast path), mixed-size (fallback), degenerate, and multipolygon
+    inputs."""
+    import numpy as np
+    from prclz_ray.geom import wkb
+    from prclz_ray.geom.core import ring_centroid
+
+    def sq(x, y, s):
+        return np.array([(x, y), (x + s, y), (x + s, y + s), (x, y + s),
+                         (x, y)], dtype=np.float64)
+
+    uniform = [wkb.polygon(sq(i, 2 * i, 1 + 0.1 * i)) for i in range(50)]
+    xs, ys = wkb.polygon_centroids(uniform)
+    for i, b in enumerate(uniform):
+        ex, ey = ring_centroid(wkb.decode(b)[1][0])
+        assert abs(xs[i] - ex) < 1e-12 and abs(ys[i] - ey) < 1e-12
+
+    tri = np.array([(0, 0), (4, 0), (0, 3), (0, 0)], dtype=np.float64)
+    degen = np.array([(0, 0), (1, 1), (2, 2), (0, 0)], dtype=np.float64)
+    mixed = [wkb.polygon(sq(0, 0, 2)), wkb.polygon(tri), wkb.polygon(degen),
+             wkb.multipolygon([[sq(5, 5, 1)]])]
+    xs, ys = wkb.polygon_centroids(mixed)
+    expect = [ring_centroid(sq(0, 0, 2)), ring_centroid(tri),
+              ring_centroid(degen), ring_centroid(sq(5, 5, 1))]
+    for i, (ex, ey) in enumerate(expect):
+        assert abs(xs[i] - ex) < 1e-12 and abs(ys[i] - ey) < 1e-12
+
+    # uniform-length degenerate among uniform squares still exact
+    uni_deg = [wkb.polygon(sq(0, 0, 1)),
+               wkb.polygon(np.array([(0, 0), (1, 1), (2, 2), (3, 3), (0, 0)],
+                                    dtype=np.float64))]
+    xs, ys = wkb.polygon_centroids(uni_deg)
+    ex, ey = ring_centroid(np.array([(0, 0), (1, 1), (2, 2), (3, 3)],
+                                    dtype=np.float64))
+    assert abs(xs[1] - ex) < 1e-12 and abs(ys[1] - ey) < 1e-12
