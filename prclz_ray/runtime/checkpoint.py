@@ -27,6 +27,7 @@ import time
 import uuid
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 MANIFEST = "MANIFEST.jsonl"
@@ -127,12 +128,11 @@ def filter_uncommitted(ds, out_dir: str, key_col: str):
     done = committed_keys(out_dir)
     if not done:
         return ds
-    ref = ray.put(done)
+    ref = ray.put(pa.array(sorted(done), type=pa.string()))
 
     def f(batch: pa.Table) -> pa.Table:
         committed = ray.get(ref)
-        keys = batch[key_col].to_pylist()
-        mask = [str(k) not in committed for k in keys]
-        return batch.filter(pa.array(mask))
+        keys = pc.cast(batch[key_col], pa.string())
+        return batch.filter(pc.invert(pc.is_in(keys, value_set=committed)))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

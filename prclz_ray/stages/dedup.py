@@ -409,16 +409,26 @@ def connected_components_min_label(edges_ds, max_rounds: int = 20,
         nodes = pd.concat([pd.Series([group["node"].iloc[0]]), nbrs])
         return pd.DataFrame({"node": nodes, "label": lbl})
 
-    def digest(lab) -> int:
-        # type-agnostic convergence fingerprint: sum of stable u64 hashes
-        # of (node,label) rows, computed distributed (tiny aggregate)
+    def digest(lab) -> tuple:
+        # type-agnostic convergence fingerprint: exact int64 sums of the
+        # low/high 32-bit halves of stable u64 row hashes (distributed tiny
+        # aggregate).  Split keeps every partial sum < 2^63 for up to 2^31
+        # rows — no float64 rounding, so distinct label states can't alias
+        # through lost precision (a float64 sum saturates above 2^53)
         def h(t: pa.Table) -> pa.Table:
             hn = pd.util.hash_array(
                 t["node"].to_numpy(zero_copy_only=False).astype(object))
             hl = pd.util.hash_array(
                 t["label"].to_numpy(zero_copy_only=False).astype(object))
-            return pa.table({"d": pa.array((hn ^ hl).astype(np.float64))})
-        return lab.map_batches(h, batch_format="pyarrow").sum("d")
+            hx = hn ^ hl
+            return pa.table({
+                "d_lo": pa.array((hx & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "d_hi": pa.array((hx >> np.uint64(32)).astype(np.int64)),
+            })
+        from ray.data.aggregate import Sum
+        agg = lab.map_batches(h, batch_format="pyarrow") \
+            .aggregate(Sum("d_lo"), Sum("d_hi"))
+        return (agg["sum(d_lo)"], agg["sum(d_hi)"])
 
     prev = None
     for _ in range(max_rounds):
@@ -585,25 +595,31 @@ def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
 
 # ------------------------------------------------------------- embeddings
 
-def embedding_dedup_pairs(ds, key_col="vec_id", vec_col="embedding",
-                          cosine_threshold=0.98, num_bands=8,
-                          bits_per_band=16, max_bucket=10_000, seed=11,
-                          round_to: int | None = 4):
-    """Embedding near-dup: MULTI-BAND random-hyperplane LSH (num_bands
-    bands × bits_per_band sign bits each, minhash-banding style) → per
-    (band, bucket) exact cosine verify → cross-band pair dedup.
+class _HyperplaneBucketizer:
+    """Random-hyperplane LSH band bucketizer.  Hyperplanes depend only on
+    (dim, nbits, seed) and are generated ONCE per worker process via
+    ``cached_callable`` (per-batch RNG setup is pure waste at high dim);
+    dim is discovered from the first batch and cached per dim."""
 
-    Scale shape: a vector lands in ``num_bands`` buckets; within-bucket
-    work is O(bucket²) so buckets over ``max_bucket`` rows are truncated
-    (deterministically by key, logged via the ``truncated`` column of the
-    emitted stats — at 16 bits/band real corpora spread ~evenly across 64k
-    buckets/band).  Exact-duplicate vectors share every band bucket, so
-    recall on exact copies is 1; near-dups are found with the usual LSH
-    band OR-probability.  Identical-sign ties broken by exact verify."""
-    nbits = num_bands * bits_per_band
+    def __init__(self, key_col, vec_col, num_bands, bits_per_band, seed):
+        self.key_col, self.vec_col = key_col, vec_col
+        self.num_bands, self.bits_per_band = num_bands, bits_per_band
+        self.nbits = num_bands * bits_per_band
+        self.seed = seed
+        self._planes_by_dim: dict[int, np.ndarray] = {}
 
-    def bucketize(batch: pa.Table) -> pa.Table:
+    def _planes(self, dim: int) -> np.ndarray:
+        p = self._planes_by_dim.get(dim)
+        if p is None:
+            p = np.random.default_rng(self.seed).standard_normal(
+                (dim, self.nbits))
+            self._planes_by_dim[dim] = p
+        return p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         from .similarity import _as_matrix
+        key_col, vec_col = self.key_col, self.vec_col
+        num_bands, bits_per_band = self.num_bands, self.bits_per_band
         vecs = _as_matrix(batch[vec_col])
         n = len(vecs)
         if n == 0:
@@ -611,9 +627,7 @@ def embedding_dedup_pairs(ds, key_col="vec_id", vec_col="embedding",
                              vec_col: batch[vec_col],
                              "band": pa.array([], type=pa.int32()),
                              "bucket": pa.array([], type=pa.uint64())})
-        dim = vecs.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((dim, nbits))
-        signs = (vecs @ planes) > 0                    # (n, nbits)
+        signs = (vecs @ self._planes(vecs.shape[1])) > 0   # (n, nbits)
         bands = signs.reshape(n, num_bands, bits_per_band)
         weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
         buckets = (bands.astype(np.uint64) * weights).sum(axis=2)  # (n, bands)
@@ -625,9 +639,35 @@ def embedding_dedup_pairs(ds, key_col="vec_id", vec_col="embedding",
             "bucket": pa.array(buckets.reshape(-1)),
         })
 
+
+def embedding_dedup_pairs(ds, key_col="vec_id", vec_col="embedding",
+                          cosine_threshold=0.98, num_bands=8,
+                          bits_per_band=16, max_bucket=10_000, seed=11,
+                          round_to: int | None = 4):
+    """Embedding near-dup: MULTI-BAND random-hyperplane LSH (num_bands
+    bands × bits_per_band sign bits each, minhash-banding style) → per
+    (band, bucket) exact cosine verify → cross-band pair dedup.
+
+    Scale shape: a vector lands in ``num_bands`` buckets; within-bucket
+    work is O(bucket²) so buckets over ``max_bucket`` rows are truncated
+    deterministically by key (a worker-side warning is logged with the
+    dropped count — at 16 bits/band real corpora spread ~evenly across 64k
+    buckets/band).  Exact-duplicate vectors share every band bucket, so
+    recall on exact copies is 1; near-dups are found with the usual LSH
+    band OR-probability.  Identical-sign ties broken by exact verify."""
+    from .util import cached_callable
+    bucketize = cached_callable(
+        _HyperplaneBucketizer, key_col=key_col, vec_col=vec_col,
+        num_bands=num_bands, bits_per_band=bits_per_band, seed=seed)
+
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(key_col).sort_values(key_col)
         if len(g) > max_bucket:  # deterministic cap on degenerate buckets
+            import logging
+            logging.getLogger(__name__).warning(
+                "embedding_dedup_pairs: bucket (band=%s) truncated "
+                "%d -> %d rows", group["band"].iloc[0] if len(group) else "?",
+                len(g), max_bucket)
             g = g.head(max_bucket)
         vecs = np.array(g[vec_col].tolist(), dtype=np.float64)
         norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),

@@ -353,8 +353,12 @@ class KNNJoiner:
             cand_parts = [ix.buckets.get((cx + dx, cy + dy))
                           for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
             cand_parts = [c for c in cand_parts if c is not None]
-            cand = np.concatenate(cand_parts) if cand_parts else \
+            cand = np.sort(np.concatenate(cand_parts)) if cand_parts else \
                 np.empty(0, dtype=np.int64)
+            # sorted so ascending candidate POSITION == ascending id (index
+            # order == id order after the constructor pre-sort): without it,
+            # exact-distance ties across neighboring grid cells would break
+            # by bucket iteration order, diverging from ORDER BY dist, id
             if len(cand) < k:
                 fallback.extend(grp.tolist())
                 continue

@@ -77,7 +77,9 @@ def tessellate_block(block_ring: np.ndarray, centroids: np.ndarray
         if own is None:          # centroid on a pinch vertex: keep largest
             areas = [abs(shoelace_area(p)) for p in pieces]
             own = pieces[int(np.argmax(areas))]
-            orphans.remove(own) if own in orphans else None
+            # identity filter: `own in orphans` would compare numpy arrays
+            # element-wise and raise on non-identical rings
+            orphans = [o for o in orphans if o is not own]
         parents[i] = own
 
     groups: dict[int, list[np.ndarray]] = {i: [r] for i, r in parents.items()}

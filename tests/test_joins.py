@@ -106,6 +106,21 @@ def test_knn_join_matches_bruteforce():
         assert np.allclose(rows["nn_dist"], np.sqrt(d2[order]))
 
 
+def test_knn_tiebreak_across_grid_cells():
+    """Exact-distance ties where the tied targets sit in DIFFERENT grid
+    cells must still break by id (ORDER BY dist, id): the vectorized path
+    concatenates 3x3-neighborhood buckets in dx/dy order, so without the
+    post-concat index sort the tie would resolve by bucket order ("b")."""
+    targets = pa.table({"t_id": ["a", "b"],
+                        "lng": [1.0, -1.0], "lat": [0.0, 0.0]})
+    pts = pa.table({"pt_id": np.array([0], dtype=np.int64),
+                    "lng": [0.0], "lat": [0.0]})
+    out = joins.knn_join(rd.from_arrow(pts), targets, k=1, id_col="t_id",
+                         cell_size=1.5).to_pandas()
+    assert list(out["nn_id"]) == ["a"]
+    assert np.allclose(out["nn_dist"], [1.0])
+
+
 def test_zonal_and_raster():
     pts = _points(400)
     vals = RNG.uniform(0, 100, 400)

@@ -56,6 +56,34 @@ class TestOrphanReunion:
         # the reunion dissolved the orphan: each parcel is ONE simple ring
         assert all(len(rings) == 1 for _, rings in parcels)
 
+    def test_pinch_vertex_centroid_no_crash(self):
+        """Pinched-cell split on an hourglass block (centroid on the pinch
+        vertex) must not crash and must conserve area."""
+        block = np.array([[0, 0], [4, 0], [2, 1], [4, 2], [0, 2], [2, 1],
+                          [0, 0]], float)
+        cents = np.array([[2.0, 1.0], [2.0, 1.8]])
+        parcels = tessellate_block(block, cents)
+        assert 1 <= len(parcels) <= 2
+        total = sum(abs(shoelace_area(r)) for _, rs in parcels for r in rs)
+        assert total <= 4.0 + 1e-9      # never exceeds the block area
+
+    def test_degenerate_no_containing_piece(self, monkeypatch):
+        """Regression (ADVICE r2): when NO split piece contains the
+        centroid (centroid on a pinch vertex / outside-block edge case),
+        the largest piece is kept as the parent.  The old code did
+        ``own in orphans`` — numpy elementwise comparison inside ``in``
+        raises ValueError — so this path crashed whenever reached."""
+        from prclz_ray.stages import parcels as pmod
+        monkeypatch.setattr(pmod, "point_in_ring",
+                            lambda x, y, ring: False)
+        block = np.array([[0, 0], [4, 0], [2, 1], [4, 2], [0, 2], [2, 1],
+                          [0, 0]], float)
+        cents = np.array([[2.0, 1.0], [2.0, 1.8]])
+        parcels = pmod.tessellate_block(block, cents)
+        assert len(parcels) >= 1
+        total = sum(abs(shoelace_area(r)) for _, rs in parcels for r in rs)
+        assert total <= 4.0 + 1e-9
+
     def test_convex_block_unchanged(self):
         block = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
         cents = np.array([[0.5, 1.0], [1.5, 1.0]])
