@@ -155,7 +155,8 @@ def cmd_parcels(a):
     from .stages.parcels import check_parcels_qc, parcels_pipeline
     _init_ray()
     blocks = _resume_filter(a, _filter_blocks(_read(a.blocks), a.blocks_subset))
-    out = parcels_pipeline(blocks, _read(a.buildings))
+    out = parcels_pipeline(blocks, _read(a.buildings),
+                           method=getattr(a, "tessellation", "footprint"))
     _write_stage(a, out)
     if getattr(a, "qc", False):
         # J6/A4 QC invariant (ref _parcels.py:218-237): ≤1 building/parcel
@@ -250,6 +251,12 @@ def main(argv=None):
         if name == "parcels":
             s.add_argument("--qc", action="store_true",
                            help="verify ≤1 building per parcel after write")
+            s.add_argument("--tessellation",
+                           choices=["footprint", "centroid"],
+                           default="footprint",
+                           help="footprint = momepy-style edge-anchored "
+                                "Voronoi (reference semantics); centroid = "
+                                "one-point-per-building approximation")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("reblock")

@@ -38,11 +38,46 @@ def _norm_ring(ring: np.ndarray, decimals: int) -> np.ndarray:
     return r
 
 
+def _node_edges(directed: list[tuple[tuple, tuple]], decimals: int
+                ) -> list[tuple[tuple, tuple]]:
+    """Node the segment arrangement: split every edge at any OTHER edge's
+    vertex lying on it.  Required for cancellation when two rings share a
+    collinear boundary but subdivide it differently (e.g. Voronoi cells of
+    adjacent samples clipped against a notched block — one cell's bisector
+    edge crosses the notch walls and picks up split vertices, its
+    neighbor's does not).  Interior split points reuse the EXISTING vertex
+    coordinates so subdivided edges match their twins key-exactly."""
+    verts = np.array(sorted({p for e in directed for p in e}))
+    tol = 5.0 * 10.0 ** (-decimals)
+    out: list[tuple[tuple, tuple]] = []
+    for ka, kb in directed:
+        a = np.asarray(ka)
+        b = np.asarray(kb)
+        d = b - a
+        L2 = float(d @ d)
+        lo = np.minimum(a, b) - tol
+        hi = np.maximum(a, b) + tol
+        m = np.all((verts >= lo) & (verts <= hi), axis=1)
+        cand = verts[m]
+        pts = [ka, kb]
+        if len(cand) and L2 > 0:
+            t = ((cand - a) @ d) / L2
+            cross = np.abs((cand[:, 0] - a[0]) * d[1]
+                           - (cand[:, 1] - a[1]) * d[0])
+            on = (cross <= tol * np.sqrt(L2)) & (t > 1e-12) & (t < 1 - 1e-12)
+            if on.any():
+                mid = cand[on][np.argsort(t[on], kind="stable")]
+                pts = [ka] + [(float(x), float(y)) for x, y in mid] + [kb]
+        for p, q in zip(pts, pts[1:]):
+            if p != q:
+                out.append((p, q))
+    return out
+
+
 def dissolve_rings(rings: list[np.ndarray], decimals: int = 9
                    ) -> list[np.ndarray]:
     """Union of edge-sharing rings → list of boundary rings (CCW outer
     shells; CW rings are holes of the union)."""
-    edge_count: dict[tuple, int] = {}
     directed: list[tuple[tuple, tuple]] = []
     for ring in rings:
         r = _norm_ring(ring, decimals)
@@ -52,9 +87,12 @@ def dissolve_rings(rings: list[np.ndarray], decimals: int = 9
             ka, kb = (a[0], a[1]), (b[0], b[1])
             if ka == kb:
                 continue
-            und = (ka, kb) if ka <= kb else (kb, ka)
-            edge_count[und] = edge_count.get(und, 0) + 1
             directed.append((ka, kb))
+    directed = _node_edges(directed, decimals)
+    edge_count: dict[tuple, int] = {}
+    for ka, kb in directed:
+        und = (ka, kb) if ka <= kb else (kb, ka)
+        edge_count[und] = edge_count.get(und, 0) + 1
 
     boundary = [(a, b) for (a, b) in directed
                 if edge_count[(a, b) if a <= b else (b, a)] == 1]

@@ -61,22 +61,33 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
 
 
 def _clip_halfplane(poly: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Keep the part of (open) polygon ``poly`` closer to ``a`` than ``b``."""
+    """Keep the part of (open) polygon ``poly`` closer to ``a`` than ``b``.
+    Fully vectorized (no per-vertex Python loop): emit kept vertices and
+    edge-crossing intersections into their interleaved slots in one pass."""
     mid = (a + b) * 0.5
     nvec = b - a
     s = (poly - mid) @ nvec  # > 0 → strictly closer to b → cut away
-    m = len(poly)
-    out = []
-    for k in range(m):
-        k2 = (k + 1) % m
-        sp, sq = s[k], s[k2]
-        in_p, in_q = sp <= 0, sq <= 0
-        if in_p:
-            out.append(poly[k])
-        if in_p != in_q:
-            t = sp / (sp - sq)
-            out.append(poly[k] + t * (poly[k2] - poly[k]))
-    return np.asarray(out) if out else np.empty((0, 2))
+    inside = s <= 0
+    if inside.all():
+        return poly
+    if not inside.any():
+        return np.empty((0, 2))
+    s_n = np.empty_like(s)
+    s_n[:-1], s_n[-1] = s[1:], s[0]
+    poly_n = np.empty_like(poly)
+    poly_n[:-1], poly_n[-1] = poly[1:], poly[0]
+    inside_n = np.empty_like(inside)
+    inside_n[:-1], inside_n[-1] = inside[1:], inside[0]
+    cross = inside != inside_n
+    t = np.where(cross, s / np.where(cross, s - s_n, 1.0), 0.0)
+    ipts = poly + t[:, None] * (poly_n - poly)
+    cnt = inside.astype(np.int64) + cross.astype(np.int64)
+    end = np.cumsum(cnt)
+    out = np.empty((end[-1], 2))
+    start = end - cnt
+    out[start[inside]] = poly[inside]
+    out[(start + inside)[cross]] = ipts[cross]
+    return out
 
 
 def voronoi_cells(points: np.ndarray, buffer_frac: float = 1.0) -> dict[int, np.ndarray]:

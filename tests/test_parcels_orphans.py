@@ -94,6 +94,81 @@ class TestOrphanReunion:
         assert abs(total - 4.0) < 1e-9
 
 
+class TestFootprintTessellation:
+    """Reference parity (momepy Tessellation over building POLYGONS,
+    ``_parcels.py:52-63``): parcel boundaries run equidistant between
+    footprint EDGES, not centroids."""
+    BLOCK = np.array([[0, 0], [10, 0], [10, 4], [0, 4], [0, 0]], float)
+    # A: elongated vertical rectangle; B: small square far right
+    A = np.array([[1, 0.5], [2, 0.5], [2, 3.5], [1, 3.5], [1, 0.5]], float)
+    B = np.array([[7, 1.75], [7.5, 1.75], [7.5, 2.25], [7, 2.25],
+                  [7, 1.75]], float)
+
+    def _parcel_of(self, parcels, bi):
+        return dict(parcels)[bi]
+
+    def test_boundary_follows_edges_not_centroids(self):
+        from prclz_ray.stages.parcels import tessellate_block_footprints
+        parcels = tessellate_block_footprints(self.BLOCK, [self.A, self.B])
+        assert sorted(i for i, _ in parcels) == [0, 1]
+        total = sum(shoelace_area(r) for _, rs in parcels for r in rs)
+        assert abs(total - 40.0) < 1e-5
+        # probe points between the centroid bisector (x=4.375) and the
+        # edge bisector (x=4.5): footprint mode assigns them to A
+        pa_rings = self._parcel_of(parcels, 0)
+        pb_rings = self._parcel_of(parcels, 1)
+        for (x, y) in [(4.45, 2.0), (4.6, 0.6)]:
+            assert any(point_in_ring(x, y, r) for r in pa_rings), (x, y)
+            assert not any(point_in_ring(x, y, r) for r in pb_rings), (x, y)
+        # centroid mode puts the same probes in B — semantics differ
+        cents = np.array([[1.5, 2.0], [7.25, 2.0]])
+        cpar = tessellate_block(self.BLOCK, cents)
+        cb = self._parcel_of(cpar, 1)
+        for (x, y) in [(4.45, 2.0), (4.6, 0.6)]:
+            assert any(point_in_ring(x, y, r) for r in cb), (x, y)
+        # each parcel contains its own footprint
+        assert any(point_in_ring(1.5, 2.0, r) for r in pa_rings)
+        assert any(point_in_ring(7.25, 2.0, r) for r in pb_rings)
+
+    def test_single_and_empty(self):
+        from prclz_ray.stages.parcels import tessellate_block_footprints
+        assert tessellate_block_footprints(self.BLOCK, []) == []
+        one = tessellate_block_footprints(self.BLOCK, [self.A])
+        assert len(one) == 1 and len(one[0][1]) == 1
+        assert abs(shoelace_area(one[0][1][0]) - 40.0) < 1e-9
+
+    def test_touching_buildings_share_wall(self):
+        """Row-house pair sharing a wall at x=2: the parcel boundary runs
+        along the shared wall (symmetric split via the inward nudge)."""
+        from prclz_ray.stages.parcels import tessellate_block_footprints
+        block = np.array([[0, 0], [4, 0], [4, 2], [0, 2], [0, 0]], float)
+        h1 = np.array([[1, 0.5], [2, 0.5], [2, 1.5], [1, 1.5], [1, 0.5]], float)
+        h2 = np.array([[2, 0.5], [3, 0.5], [3, 1.5], [2, 1.5], [2, 0.5]], float)
+        parcels = tessellate_block_footprints(block, [h1, h2])
+        assert sorted(i for i, _ in parcels) == [0, 1]
+        total = sum(shoelace_area(r) for _, rs in parcels for r in rs)
+        assert abs(total - 8.0) < 1e-5
+        a0 = sum(shoelace_area(r) for r in dict(parcels)[0])
+        a1 = sum(shoelace_area(r) for r in dict(parcels)[1])
+        assert abs(a0 - a1) < 0.1       # symmetric split
+        # probes on either side of the wall
+        assert any(point_in_ring(1.9, 1.0, r) for r in dict(parcels)[0])
+        assert any(point_in_ring(2.1, 1.0, r) for r in dict(parcels)[1])
+
+    def test_u_block_footprint_orphan_reunited(self):
+        """Non-convex block: stranded fragments reunite exactly as in the
+        centroid path."""
+        from prclz_ray.stages.parcels import tessellate_block_footprints
+        sq = lambda cx, cy, w: np.array(
+            [[cx - w, cy - w], [cx + w, cy - w], [cx + w, cy + w],
+             [cx - w, cy + w], [cx - w, cy - w]], float)
+        parcels = tessellate_block_footprints(
+            U_BLOCK, [sq(0.5, 2.5, 0.2), sq(2.5, 0.5, 0.2)])
+        assert sorted(i for i, _ in parcels) == [0, 1]
+        total = sum(shoelace_area(r) for _, rs in parcels for r in rs)
+        assert abs(total - U_AREA) < 1e-4
+
+
 class TestParcelsQC:
     def test_qc_flags_multibuilding_parcel(self):
         from prclz_ray.geom import wkb
