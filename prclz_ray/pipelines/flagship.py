@@ -112,7 +112,8 @@ def _url_hash_cols(batch: pa.Table, url_col: str = "url") -> pa.Table:
     return out.append_column("_h2", pa.array(h2))
 
 
-def duplicate_url_map(pages_ds, num_buckets: int = 64):
+def duplicate_url_map(pages_ds, num_buckets: int = 64,
+                      broadcast_limit_bytes: int | None = None):
     """Narrow pre-pass for dedup: over (url, warc_ts) ONLY — column-pruned
     at the parquet read — find urls appearing more than once and their max
     warc_ts. Returns (dup_map: dict[(h1, h2), max_ts], ties: bool).
@@ -125,7 +126,15 @@ def duplicate_url_map(pages_ds, num_buckets: int = 64):
     bucket one vectorized pandas groupby finds dup urls, their max warc_ts
     and whether that max is tied. The dup map (dup_rate × n rows) is
     broadcast via ray.put; at cluster scale raise num_buckets ≈ total
-    cores."""
+    cores.
+
+    ``broadcast_limit_bytes`` guards the DRIVER-side dict: the grouped dup
+    table is counted distributed (object-store materialize, spillable)
+    BEFORE anything lands on the driver, and if the estimated dict size
+    exceeds the budget the function returns ``(None, True)`` — the caller
+    must fall back to the one-shuffle grouped dedup.  At 10¹² pages with
+    tens-of-% duplication the dup map is billions of entries; without the
+    guard the driver OOMs."""
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -154,10 +163,15 @@ def duplicate_url_map(pages_ds, num_buckets: int = 64):
         out = g.merge(nm.reset_index(), on=["_h1", "_h2"])
         return out[["_h1", "_h2", "max_ts", "n_at_max"]]
 
-    res = pages_ds.select_columns(["url", "warc_ts"]) \
+    grouped = pages_ds.select_columns(["url", "warc_ts"]) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(combine, batch_format="pandas") \
-        .to_pandas()
+        .groupby("_bucket").map_groups(combine, batch_format="pandas")
+    if broadcast_limit_bytes is not None:
+        grouped = grouped.materialize()   # dup-key-sized, spillable
+        # ~200 B per python dict entry (tuple key of two u64 + int value)
+        if grouped.count() * 200 > broadcast_limit_bytes:
+            return None, True
+    res = grouped.to_pandas()
     # values as int64 epoch-us so the filter compares numpy ints, not
     # python datetimes
     dup_map = dict(zip(zip(res["_h1"].astype(np.uint64),
@@ -345,14 +359,21 @@ def run_flagship(pages_ds, regions_tbl: pa.Table, level: int = s2.DEFAULT_LEVEL,
                  out_dir: str | None = None, concurrency=(2, 8),
                  salt_threshold: int = 50_000, use_actors: bool = False,
                  dedup: str = "broadcast", batch_size: int | None = None,
-                 narrow_pages_ds=None):
+                 narrow_pages_ds=None,
+                 dedup_broadcast_limit_bytes: int = 256 << 20):
     """Returns (joined_ds, info dict). joined_ds streams; nothing is
     materialized except the small per-cell histogram (and the optional
     resumable write consumes the stream).
 
     dedup="broadcast" (default) runs the narrow url pre-pass +
     broadcast-filter (wide stream never shuffles); "grouped" forces the
-    one-shuffle grouped dedup.
+    one-shuffle grouped dedup.  The broadcast dup map is size-guarded by
+    ``dedup_broadcast_limit_bytes`` (counted distributed in the pre-pass,
+    BEFORE anything driver-sized exists): past the budget the pipeline
+    falls back to the grouped dedup automatically — at CC-realistic
+    duplication rates on 10¹² pages the dup map would be a
+    tens-of-billions-entry driver dict.  ``info["dedup_path"]`` records
+    which path ran.
 
     The default path hand-fuses parse → dedup-filter → cell-assign → PIP
     into ONE map_batches function: every stage is per-row, so splitting
@@ -376,7 +397,8 @@ def run_flagship(pages_ds, regions_tbl: pa.Table, level: int = s2.DEFAULT_LEVEL,
         # Ray does not push select_columns into the parquet scan, so without
         # it the pre-pass would decode the html column just to drop it.
         dup_map, ties = duplicate_url_map(
-            pages_ds if narrow_pages_ds is None else narrow_pages_ds)
+            pages_ds if narrow_pages_ds is None else narrow_pages_ds,
+            broadcast_limit_bytes=dedup_broadcast_limit_bytes)
     else:
         dup_map, ties = None, True  # force grouped path
 
@@ -431,7 +453,8 @@ def run_flagship(pages_ds, regions_tbl: pa.Table, level: int = s2.DEFAULT_LEVEL,
                                       batch_size=batch_size,
                                       zero_copy_batch=True)
 
-    info: dict = {"level": level}
+    info: dict = {"level": level,
+                  "dedup_path": "grouped" if ties else "broadcast"}
     if out_dir is not None:
         from ..runtime import checkpoint
         hist = tiling.cell_histogram(joined).to_pandas()

@@ -69,28 +69,19 @@ def block_complexity(block_ring: np.ndarray, centroids: np.ndarray) -> int:
     return weak_dual_sequence_depth(s0_approximation(block_ring, centroids))
 
 
-def _blocks_table(blocks) -> pa.Table:
-    """Materialize the blocks side (joined into the point stream via the
-    PIP pack; the per-block geometry travels WITH the grouped rows —
-    ``attach_geom_col`` — so there is no second driver broadcast to outgrow
-    at 100× the blocks)."""
-    if not isinstance(blocks, pa.Table):
-        from .relational import ds_to_table
-        blocks = ds_to_table(blocks)
-    return blocks
-
-
-def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 2000):
+def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 2000,
+                        pip_broadcast_limit_bytes: int = 64 << 20):
     """blocks: pa.Table or Dataset (block_id, geometry[, cell]);
     buildings_ds: Dataset with WKB geometry. Output: COMPLEXITY schema.
 
     Buildings are centroided in a vectorized batch stage, PIP-joined to the
-    (broadcast) blocks, then grouped per block for the CPU-heavy kernel —
-    the group stage caps pathological groups (reference precedent: unbounded
-    weak-dual loops, SURVEY §7.5.7) via ``max_buildings_per_block``."""
-    from .joins import pip_join
-
-    blocks = _blocks_table(blocks)
+    blocks (broadcast while the blocks side fits
+    ``pip_broadcast_limit_bytes``, co-partitioned tiled join past it —
+    the 100× guard for continental blocks tables), then grouped per block
+    for the CPU-heavy kernel — the group stage caps pathological groups
+    (reference precedent: unbounded weak-dual loops, SURVEY §7.5.7) via
+    ``max_buildings_per_block``."""
+    from .joins import pip_join_auto
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
         # M2 vectorized: batched shoelace over uniform WKB (ref
@@ -99,11 +90,15 @@ def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 200
         out = batch.append_column("cx", pa.array(xs))
         return out.append_column("cy", pa.array(ys))
 
+    blocks_sel = blocks.select(["block_id", "geometry"]) \
+        if isinstance(blocks, pa.Table) \
+        else blocks.select_columns(["block_id", "geometry"])
     cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
-    joined = pip_join(cents.select_columns(["bldg_id", "cx", "cy"]),
-                      blocks.select(["block_id", "geometry"]),
-                      id_col="block_id", x_col="cx", y_col="cy", how="inner",
-                      attach_geom_col="block_geom")
+    joined = pip_join_auto(cents.select_columns(["bldg_id", "cx", "cy"]),
+                           blocks_sel,
+                           id_col="block_id", x_col="cx", y_col="cy",
+                           how="inner", attach_geom_col="block_geom",
+                           broadcast_limit_bytes=pip_broadcast_limit_bytes)
 
     def per_block(group: pa.Table) -> pa.Table:
         bid = group["block_id"][0].as_py()

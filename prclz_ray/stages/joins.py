@@ -163,7 +163,8 @@ def pip_join(points_ds, polygons, id_col: str, x_col: str = "lng",
 
 def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
                    y_col: str = "lat", level: int = 12,
-                   out_id_col: Optional[str] = None):
+                   out_id_col: Optional[str] = None,
+                   attach_geom_col: Optional[str] = None):
     """Both-sides-large PIP join, co-partitioned by S2 cell.
 
     polygons are replicated to every level-``level`` cell their bbox covers
@@ -230,6 +231,8 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
         if pts_t.num_rows == 0 or pol_t.num_rows == 0:
             empty = {n: pa.array([], type=out_types[n]) for n in point_out}
             empty[out_id] = pa.array([], type=id_type)
+            if attach_geom_col:
+                empty[attach_geom_col] = pa.array([], type=pa.binary())
             return pa.table(empty)
         packed = _polygon_pack(pol_t.select([id_col, "geometry"]), id_col)
         joiner = PIPJoiner(packed, x_col, y_col, id_col, "inner", out_id)
@@ -238,15 +241,63 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
         pi, gi = joiner.match(px, py)
         out = pts_t.select(point_out).take(pa.array(pi))
         ids_arr = np.asarray(packed[0])
-        return out.append_column(
+        out = out.append_column(
             out_id, pa.array(ids_arr[np.asarray(gi, dtype=np.int64)],
                              type=id_type))
+        if attach_geom_col:
+            gi_arr = pa.array(np.asarray(gi, dtype=np.int64))
+            out = out.append_column(
+                attach_geom_col,
+                pol_t["geometry"].combine_chunks().take(gi_arr))
+        return out
 
     joined = unioned.groupby("cell").map_groups(join_tile, batch_format="pyarrow")
     # polygons were replicated across cells → a point on a tile edge can
     # match the same polygon once only (its own cell), so no dedup needed:
     # each point row lives in exactly one cell group.
     return joined
+
+
+def pip_join_auto(points_ds, polygons, id_col: str, x_col: str = "lng",
+                  y_col: str = "lat", how: str = "inner",
+                  out_id_col: Optional[str] = None,
+                  attach_geom_col: Optional[str] = None,
+                  broadcast_limit_bytes: int = 64 << 20,
+                  level: int = 12, **kw):
+    """Size-routed PIP join: broadcast ``pip_join`` while the polygon side
+    fits the per-actor budget, co-partitioned ``pip_join_tiled`` past it.
+
+    This is the 100×-scale guard for the per-block geo pipelines: at
+    continental coverage the blocks table is 10⁶-10⁷ polygons (GBs) — a
+    broadcast pack per actor would exhaust worker heaps, so the join
+    switches to the one-shuffle tiled shape instead.  Dataset polygon sides
+    are materialized to the OBJECT STORE (spillable) to measure size; only
+    the broadcast path ever driver-materializes them."""
+    import ray.data as rd
+
+    if isinstance(polygons, pa.Table):
+        size = polygons.nbytes
+        tbl, ds = polygons, None
+    else:
+        polygons = polygons.materialize()
+        size = polygons.size_bytes() or 0
+        tbl, ds = None, polygons
+    if size <= broadcast_limit_bytes:
+        if tbl is None:
+            from .relational import ds_to_table
+            tbl = ds_to_table(ds)
+        return pip_join(points_ds, tbl, id_col=id_col, x_col=x_col,
+                        y_col=y_col, how=how, out_id_col=out_id_col,
+                        attach_geom_col=attach_geom_col, **kw)
+    if how != "inner":
+        raise NotImplementedError(
+            "tiled PIP join supports how='inner' only; lower "
+            "broadcast_limit_bytes routing requires inner semantics")
+    if ds is None:
+        ds = rd.from_arrow(tbl)
+    return pip_join_tiled(points_ds, ds, id_col=id_col, x_col=x_col,
+                          y_col=y_col, level=level, out_id_col=out_id_col,
+                          attach_geom_col=attach_geom_col)
 
 
 # ------------------------------------------------------------------ kNN

@@ -231,7 +231,8 @@ def tessellate_block_footprints(block_ring: np.ndarray,
     return _reunite_orphans(parents, orphans, anchors)
 
 
-def parcels_pipeline(blocks, buildings_ds, method: str = "footprint"):
+def parcels_pipeline(blocks, buildings_ds, method: str = "footprint",
+                     pip_broadcast_limit_bytes: int = 64 << 20):
     """blocks: pa.Table/Dataset (block_id, geometry); buildings_ds: Dataset
     (bldg_id, geometry WKB). → PARCELS rows (block_id, parcel_id, geometry).
 
@@ -239,13 +240,12 @@ def parcels_pipeline(blocks, buildings_ds, method: str = "footprint"):
     Tessellation over building polygons, ``_parcels.py:52-63``) anchors the
     Voronoi decomposition on boundary samples of each footprint;
     ``method="centroid"`` uses the one-point-per-building approximation
-    (coincides for point-like buildings, cheaper)."""
-    from .complexity import _blocks_table
-    from .joins import pip_join
+    (coincides for point-like buildings, cheaper).  The blocks join routes
+    broadcast → tiled past ``pip_broadcast_limit_bytes`` (100× guard)."""
+    from .joins import pip_join_auto
 
     if method not in ("footprint", "centroid"):
         raise ValueError(f"unknown tessellation method: {method}")
-    blocks_tbl = _blocks_table(blocks)
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
         # M2 vectorized: batched shoelace over uniform WKB, no per-row decode
@@ -256,11 +256,14 @@ def parcels_pipeline(blocks, buildings_ds, method: str = "footprint"):
     point_cols = ["bldg_id", "cx", "cy"]
     if method == "footprint":
         point_cols.append("geometry")   # footprint WKB co-shuffles with rows
+    blocks_sel = blocks.select(["block_id", "geometry"]) \
+        if isinstance(blocks, pa.Table) \
+        else blocks.select_columns(["block_id", "geometry"])
     cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
-    joined = pip_join(cents.select_columns(point_cols),
-                      blocks_tbl.select(["block_id", "geometry"]),
-                      id_col="block_id", x_col="cx", y_col="cy", how="inner",
-                      attach_geom_col="block_geom")
+    joined = pip_join_auto(cents.select_columns(point_cols), blocks_sel,
+                           id_col="block_id", x_col="cx", y_col="cy",
+                           how="inner", attach_geom_col="block_geom",
+                           broadcast_limit_bytes=pip_broadcast_limit_bytes)
 
     def per_block(group: pa.Table) -> pa.Table:
         bid = group["block_id"][0].as_py()

@@ -200,15 +200,14 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
 def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
                      through_ratio: float | None = None,
                      connect_n: int | None = None,
-                     min_buildings: int = 2, simplify: bool = False):
-    """blocks: small table (block_id, geometry) broadcast; parcels_ds and
-    buildings_ds co-grouped by block_id. Output rows: REBLOCK schema +
-    summary columns (road rows carry nulls in summary cols; one summary row
-    per block carries road_type='summary')."""
-    from .complexity import _blocks_table
-    from .joins import pip_join
-
-    blocks_tbl = _blocks_table(blocks)
+                     min_buildings: int = 2, simplify: bool = False,
+                     pip_broadcast_limit_bytes: int = 64 << 20):
+    """blocks: (block_id, geometry) table or Dataset — broadcast while it
+    fits ``pip_broadcast_limit_bytes``, tiled PIP join past it (100×
+    guard); parcels_ds and buildings_ds co-grouped by block_id. Output
+    rows: REBLOCK schema + summary columns (road rows carry nulls in
+    summary cols; one summary row per block carries road_type='summary')."""
+    from .joins import pip_join_auto
 
     def centroid_batch(batch: pa.Table) -> pa.Table:
         # M2 vectorized: batched shoelace over uniform WKB (ref
@@ -217,12 +216,15 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
         out = batch.append_column("cx", pa.array(xs))
         return out.append_column("cy", pa.array(ys))
 
+    blocks_sel = blocks.select(["block_id", "geometry"]) \
+        if isinstance(blocks, pa.Table) \
+        else blocks.select_columns(["block_id", "geometry"])
     cents = buildings_ds.map_batches(centroid_batch, batch_format="pyarrow")
-    joined_bldgs = pip_join(cents.select_columns(["bldg_id", "cx", "cy", "geometry"]),
-                            blocks_tbl.select(["block_id", "geometry"]),
-                            id_col="block_id", x_col="cx", y_col="cy",
-                            how="inner", out_id_col="block_id",
-                            attach_geom_col="block_geom")
+    joined_bldgs = pip_join_auto(
+        cents.select_columns(["bldg_id", "cx", "cy", "geometry"]),
+        blocks_sel, id_col="block_id", x_col="cx", y_col="cy",
+        how="inner", out_id_col="block_id", attach_geom_col="block_geom",
+        broadcast_limit_bytes=pip_broadcast_limit_bytes)
 
     b = joined_bldgs.map_batches(
         lambda t: t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),

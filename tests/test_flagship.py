@@ -66,6 +66,24 @@ def test_cell_assignment_matches_scalar_encoder(pages_tbl):
     assert vc.iloc[0] > 10 * vc.median()
 
 
+def test_dedup_broadcast_size_guard(pages_tbl):
+    """A dup-map budget too small for even one entry must reroute
+    run_flagship onto the grouped (one-shuffle) dedup path — and the
+    result must be identical to the broadcast path's."""
+    ds = rd.from_arrow(pages_tbl).repartition(4)
+    regions = synth.regions_table()
+    j_guard, info_guard = run_flagship(ds, regions, concurrency=2,
+                                       dedup_broadcast_limit_bytes=1)
+    assert info_guard["dedup_path"] == "grouped"
+    j_bcast, info_bcast = run_flagship(ds, regions, concurrency=2)
+    assert info_bcast["dedup_path"] == "broadcast"
+    a = j_guard.groupby("gadm_code").count().to_pandas() \
+        .sort_values("gadm_code").reset_index(drop=True)
+    b = j_bcast.groupby("gadm_code").count().to_pandas() \
+        .sort_values("gadm_code").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_flagship_region_counts_match_bruteforce(pages_tbl):
     joined, _ = run_flagship(rd.from_arrow(pages_tbl).repartition(4),
                              synth.regions_table(), concurrency=2)

@@ -212,3 +212,35 @@ def test_deterministic_sample():
     # different seed → different sample
     out3 = relational.deterministic_sample(ds, "k", 50_000, seed=7).to_pandas()
     assert set(out3["k"]) != set(out["k"])
+
+
+def test_pip_auto_tiled_matches_broadcast_in_geo_pipelines():
+    """100x guard e2e: forcing broadcast_limit_bytes=0 routes the
+    complexity/parcels pipelines through the tiled PIP join; outputs must
+    match the broadcast path exactly."""
+    import pyarrow as _pa
+
+    from prclz_ray.io import synth
+    from prclz_ray.stages.blocks import extract_blocks
+    from prclz_ray.stages.complexity import complexity_pipeline
+    from prclz_ray.stages.parcels import parcels_pipeline
+
+    blocks = _pa.Table.from_pylist(
+        extract_blocks(rd.from_arrow(synth.regions_table()),
+                       rd.from_arrow(synth.lines_table())).take_all())
+    bldgs = synth.buildings_table()
+
+    def norm(ds, cols):
+        return ds.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+
+    cols_c = ["block_id", "complexity"]
+    a = norm(complexity_pipeline(blocks, rd.from_arrow(bldgs)), cols_c)
+    b = norm(complexity_pipeline(blocks, rd.from_arrow(bldgs),
+                                 pip_broadcast_limit_bytes=0), cols_c)
+    pd.testing.assert_frame_equal(a, b)
+
+    cols_p = ["block_id", "parcel_id", "bldg_id"]
+    a = norm(parcels_pipeline(blocks, rd.from_arrow(bldgs)), cols_p)
+    b = norm(parcels_pipeline(blocks, rd.from_arrow(bldgs),
+                              pip_broadcast_limit_bytes=0), cols_p)
+    pd.testing.assert_frame_equal(a, b)
