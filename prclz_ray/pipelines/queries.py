@@ -1095,6 +1095,41 @@ def q_ann_ivf(sf_dir: str):
 
 # --------------------------------------------- geospatial fixture pipelines
 
+# The synth grid is closed-form (io/synth.py: 3 countries × 2×2 regions ×
+# 4×4 grid cells, 5 buildings per block, every block the identical
+# layout), so block extraction, the constant k, and the
+# one-parcel-per-building invariant are all SQL-expressible without any
+# input table — the oracle derives the expected rows from the same
+# constants the generator uses.
+_SQL_SYNTH_BLOCKS = """
+WITH countries(country) AS (VALUES ('SYNA'), ('SYNB'), ('SYNC')),
+regions AS (
+  SELECT country || '.' || CAST(a AS VARCHAR) || '.' || CAST(b AS VARCHAR)
+         || '_1' AS gadm_code
+  FROM countries, generate_series(1, 2) t1(a), generate_series(1, 2) t2(b)
+),
+blocks AS (
+  SELECT gadm_code || '_' || CAST(i AS VARCHAR) AS block_id, gadm_code
+  FROM regions, generate_series(0, 15) t3(i)
+)
+"""
+
+SQL_BLOCKS_FIXTURE = _SQL_SYNTH_BLOCKS + \
+    "SELECT block_id, gadm_code FROM blocks"
+
+# every fixture block holds the same 5-building layout (1 center + ring of
+# 4 at 40% radius) whose weak-dual sequence depth is 2
+SQL_COMPLEXITY_FIXTURE = _SQL_SYNTH_BLOCKS + \
+    "SELECT block_id, CAST(2 AS INTEGER) AS complexity FROM blocks"
+
+# tessellation invariant: exactly one parcel per building, assigned to the
+# building's own block
+SQL_PARCELS_FIXTURE = _SQL_SYNTH_BLOCKS + """
+SELECT block_id, block_id || '_b' || CAST(j AS VARCHAR) AS bldg_id
+FROM blocks, generate_series(0, 4) t4(j)
+"""
+
+
 def q_blocks_fixture(sf_dir: str):
     from ..io import synth
     from ..stages.blocks import extract_blocks
@@ -1126,7 +1161,10 @@ def q_parcels_fixture(sf_dir: str):
         extract_blocks(rd.from_arrow(synth.regions_table()),
                        rd.from_arrow(synth.lines_table())).take_all())
     out = parcels_pipeline(blocks, rd.from_arrow(synth.buildings_table()))
-    return out.select_columns(["block_id", "parcel_id", "bldg_id"])
+    # parcel seq numbering depends on a float-noise-level centroid sort tie
+    # between the three x-aligned ring buildings, so the hashable contract
+    # is the (block, building) assignment — exactly one parcel per building
+    return out.select_columns(["block_id", "bldg_id"])
 
 
 def q_reblock_fixture(sf_dir: str):
@@ -1194,9 +1232,9 @@ def registry():
         "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT),
         "ann_ivf_topk": (q_ann_ivf, None),
         "ann_ivf_recall": (q_ann_ivf_recall, None),
-        "blocks_fixture": (q_blocks_fixture, None),
-        "complexity_fixture": (q_complexity_fixture, None),
-        "parcels_fixture": (q_parcels_fixture, None),
+        "blocks_fixture": (q_blocks_fixture, SQL_BLOCKS_FIXTURE),
+        "complexity_fixture": (q_complexity_fixture, SQL_COMPLEXITY_FIXTURE),
+        "parcels_fixture": (q_parcels_fixture, SQL_PARCELS_FIXTURE),
         "reblock_fixture": (q_reblock_fixture, None),
         "multimodal_decode": (q_multimodal_decode, None),
     }
