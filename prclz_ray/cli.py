@@ -188,7 +188,8 @@ def cmd_reblock(a):
         _resume_filter(a, _filter_blocks(_read(a.blocks), a.blocks_subset)),
         _read(a.parcels), _read(a.buildings),
         use_width=a.use_width, through_ratio=a.through_ratio,
-        connect_n=a.connect_n, simplify=a.simplify)
+        connect_n=a.connect_n, simplify=a.simplify,
+        to_corridors=getattr(a, "to_corridors", False))
     _write_stage(a, out)
 
 
@@ -271,6 +272,10 @@ def main(argv=None):
                    help="add the top-k worst-detour through streets "
                         "(reference --connect_n, _reblock.py:221-254)")
     s.add_argument("--simplify", action="store_true")
+    s.add_argument("--to-corridors", action="store_true",
+                   help="also emit width-corridor polygon rows "
+                        "(road_type corridor_new/corridor_existing; "
+                        "reference get_steiner_linestrings return_polys)")
     s.add_argument("--overwrite", action="store_true")
     s.add_argument("--resume", action="store_true",
                    help="manifest-checkpointed per-block output: skip blocks "

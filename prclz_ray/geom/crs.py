@@ -59,3 +59,20 @@ def reproject_batch(batch: pa.Table, x_col: str, y_col: str,
                              pa.array(nx))
     return batch.set_column(batch.schema.get_field_index(y_col), y_col,
                             pa.array(ny))
+
+
+def haversine_m(lng0, lat0, lng1, lat1):
+    """Great-circle distance in metres (vectorized haversine on the WGS84
+    mean sphere).  Engine twin of the reference's geodesic
+    ``distance_meters`` (``_reblock_graph.py:76-82``, geopy): used only as
+    a DIAGNOSTIC (terminal projection distance, ref ``:552``), never in
+    graph weights — the reference also weights in raw degrees — so the
+    ≤0.5% spherical-vs-ellipsoidal divergence is immaterial."""
+    r = 6371008.8  # IUGG mean earth radius
+    la0 = np.radians(np.asarray(lat0, dtype=np.float64))
+    la1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    dla = la1 - la0
+    dlo = np.radians(np.asarray(lng1, dtype=np.float64)) - \
+        np.radians(np.asarray(lng0, dtype=np.float64))
+    a = np.sin(dla / 2) ** 2 + np.cos(la0) * np.cos(la1) * np.sin(dlo / 2) ** 2
+    return 2 * r * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))

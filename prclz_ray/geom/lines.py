@@ -67,3 +67,54 @@ def lines_equal(lines_a, lines_b) -> bool:
     _, pb = _collect(lines_b)
     allp = pa | pb
     return canonical_segments(lines_a, allp) == canonical_segments(lines_b, allp)
+
+
+def offset_polyline(pts: np.ndarray, dist: float,
+                    miter_limit: float = 4.0) -> np.ndarray:
+    """Offset a polyline by ``dist`` on BOTH sides and close the ends →
+    corridor polygon ring (the engine's ``parallel_offset``-pair, ref
+    ``_reblock_graph.py:855-858``: left offset + right offset joined into
+    a Polygon).  Miter joins at interior vertices, clamped to
+    ``miter_limit × dist`` so near-reversals don't emit spikes.
+
+    Returns a closed (n,2) ring: left-offset path forward, then
+    right-offset path reversed."""
+    p = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    if len(p) < 2:
+        raise ValueError("offset_polyline needs >= 2 points")
+    seg = p[1:] - p[:-1]
+    L = np.hypot(seg[:, 0], seg[:, 1])
+    keep = L > 0
+    # drop zero-length segments (repeated vertices)
+    if not keep.all():
+        p = np.vstack([p[:1], p[1:][keep]])
+        seg = p[1:] - p[:-1]
+        L = np.hypot(seg[:, 0], seg[:, 1])
+    d = seg / L[:, None]                      # unit directions per segment
+    nrm = np.stack([-d[:, 1], d[:, 0]], axis=1)   # left normals
+
+    def side(sign: float) -> np.ndarray:
+        out = [p[0] + sign * dist * nrm[0]]
+        for i in range(1, len(p) - 1):
+            n0, n1 = nrm[i - 1], nrm[i]
+            b = n0 + n1
+            bl = np.hypot(b[0], b[1])
+            if bl < 1e-12:                    # 180° reversal → bevel
+                out.append(p[i] + sign * dist * n0)
+                out.append(p[i] + sign * dist * n1)
+                continue
+            b = b / bl
+            # miter length: dist / cos(theta/2) where cos = b·n0
+            cosh = float(b @ n0)
+            ml = dist / max(cosh, 1.0 / miter_limit)
+            out.append(p[i] + sign * ml * b)
+        out.append(p[-1] + sign * dist * nrm[-1])
+        return np.asarray(out)
+
+    left = side(+1.0)
+    right = side(-1.0)[::-1]
+    ring = np.vstack([left, right, left[:1]])
+    from .core import shoelace_area
+    if shoelace_area(ring) < 0:               # normalize to CCW shell
+        ring = ring[::-1]
+    return ring

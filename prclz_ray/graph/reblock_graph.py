@@ -110,7 +110,15 @@ class ReblockGraph:
             if "edge_type" in attrs:
                 self.g.edges[e]["edge_type"] = attrs["edge_type"]
 
-    def add_node_to_closest_edge(self, coords, terminal: bool = False) -> None:
+    def add_node_to_closest_edge(self, coords, terminal: bool = False,
+                                 get_edge: bool = False):
+        """Project ``coords`` onto the nearest edge and split it there
+        (ref ``_reblock_graph.py:504-556``).  Returns the geodesic
+        projection distance in metres (haversine twin of the reference's
+        geopy ``distance_meters``, ``:76-82,552``) — a diagnostic only,
+        never a graph weight.  ``get_edge=True`` returns ``(edge,
+        dist_m)`` WITHOUT modifying the graph (ref ``get_edge`` path)."""
+        from ..geom.crs import haversine_m
         p = (float(coords[0]), float(coords[1]))
         best = None
         for a, b in self._edges_in_order():
@@ -119,14 +127,25 @@ class ReblockGraph:
                 best = (d, (a, b), (x, y))
         if best is None:
             self.add_node(p, terminal)
-            return
+            return None
         _, edge, q = best
         q = (float(q[0]), float(q[1]))
+        dist_m = float(haversine_m(p[0], p[1], q[0], q[1]))
+        if get_edge:
+            return edge, dist_m
         self.split_edge_by_node(edge, q, terminal=terminal)
+        return dist_m
 
-    def add_buildings(self, centroids) -> None:
+    def add_buildings(self, centroids) -> list[float]:
+        """Insert each centroid as a terminal; returns the per-terminal
+        geodesic projection distances (metres) for the summary
+        diagnostic."""
+        out = []
         for c in centroids:
-            self.add_node_to_closest_edge(c, terminal=True)
+            d = self.add_node_to_closest_edge(c, terminal=True)
+            if d is not None:
+                out.append(d)
+        return out
 
     # ------------------------------------------------------- serialization
     def to_bytes(self) -> bytes:
@@ -332,15 +351,40 @@ class ReblockGraph:
     def get_terminal_points(self) -> np.ndarray:
         return np.array(self.terminals(), dtype=np.float64).reshape(-1, 2)
 
+    def get_steiner_corridors(self) -> tuple[list[np.ndarray], list[np.ndarray]]:
+        """Width-corridor polygons for the optimal paths (ref
+        ``get_steiner_linestrings(return_polys=True)``,
+        ``_reblock_graph.py:855-858``: parallel_offset left+right per edge
+        path, joined into polygons).  The engine offsets each maximal road
+        CHAIN by its corridor width (min edge width along the chain — the
+        same width the DP simplifier uses), one CCW ring per chain, so
+        junction coverage comes from chains meeting at shared vertices
+        rather than the reference's per-vertex patch rectangles.
+        Returns (new_polys, existing_polys)."""
+        from ..geom.lines import offset_polyline
+        out: list[list[np.ndarray]] = []
+        for new in (True, False):
+            polys = []
+            for path, w in self._road_chains(new=new):
+                polys.append(offset_polyline(
+                    np.asarray(path, dtype=np.float64), float(w)))
+            out.append(polys)
+        return out[0], out[1]
+
     # ------------------------------------------------------- simplification
     def _new_road_chains(self) -> list[tuple[list[Coord], float]]:
-        """Maximal chains of NEW (non-highway) steiner/through edges,
+        return self._road_chains(new=True)
+
+    def _road_chains(self, new: bool = True) -> list[tuple[list[Coord], float]]:
+        """Maximal chains of steiner/through edges (``new=True``: weight≠0
+        non-highway roads; ``new=False``: weight-0 existing streets),
         split at junctions (degree ≠ 2 within the subgraph) — the engine's
         ``to_pieces`` (ref ``_reblock_graph.py:1141-1152``).  Each chain
         carries its corridor half-width (min edge width along it)."""
         sub = nx.Graph()
         for a, b, d in self.g.edges(data=True):
-            if (d.get("steiner") or d.get("is_through_line")) and d["weight"] != 0:
+            if (d.get("steiner") or d.get("is_through_line")) \
+                    and (d["weight"] != 0) == new:
                 sub.add_edge(a, b, width=d.get("width", 1.0))
         chains: list[tuple[list[Coord], float]] = []
         seen = set()

@@ -123,7 +123,8 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
                   building_rings: list[np.ndarray] | None = None,
                   through_ratio: float | None = None,
                   connect_n: int | None = None,
-                  simplify: bool = False) -> dict | None:
+                  simplify: bool = False,
+                  to_corridors: bool = False) -> dict | None:
     """Single-block kernel → {new, existing, summary}; None when every
     building already has street access (reference skips the block,
     ``_reblock.py:174-176``).
@@ -143,7 +144,7 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
 
     g = ReblockGraph.from_polygons(parcel_rings)
     node_pre, edge_pre = g.g.number_of_nodes(), g.g.number_of_edges()
-    g.add_buildings(centroids)
+    proj_dists_m = g.add_buildings(centroids)
     bldg_time = time.time() - t0
 
     snapped = snap_block(block_ring, parcel_rings)
@@ -174,9 +175,13 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
     new, existing = g.get_steiner_linestrings()
     if new_override is not None:
         new = new_override
+    corr_new, corr_existing = g.get_steiner_corridors() if to_corridors \
+        else ([], [])
     return {
         "new": new,
         "existing": existing,
+        "corridor_new": corr_new,
+        "corridor_existing": corr_existing,
         "terminals": g.get_terminal_points(),
         "summary": {
             "bldg_time": bldg_time,
@@ -193,6 +198,10 @@ def reblock_block(block_ring: np.ndarray, parcel_rings: list[np.ndarray],
             "bldg_unmatched": int(n_unmatched),
             "num_block_coords": int(total or 0),
             "num_block_coords_unmatched": int(missing or 0),
+            # geodesic diagnostic (ref _reblock_graph.py:552): how far the
+            # farthest building centroid was projected onto the graph
+            "terminal_proj_m_max": float(max(proj_dists_m))
+            if proj_dists_m else 0.0,
         },
     }
 
@@ -201,7 +210,8 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
                      through_ratio: float | None = None,
                      connect_n: int | None = None,
                      min_buildings: int = 2, simplify: bool = False,
-                     pip_broadcast_limit_bytes: int = 64 << 20):
+                     pip_broadcast_limit_bytes: int = 64 << 20,
+                     to_corridors: bool = False):
     """blocks: (block_id, geometry) table or Dataset — broadcast while it
     fits ``pip_broadcast_limit_bytes``, tiled PIP join past it (100×
     guard); parcels_ds and buildings_ds co-grouped by block_id. Output
@@ -262,7 +272,7 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
         res = reblock_block(block_ring, parcel_rings, centroids,
                             use_width=use_width, building_rings=bldg_rings,
                             through_ratio=through_ratio, connect_n=connect_n,
-                            simplify=simplify)
+                            simplify=simplify, to_corridors=to_corridors)
         if res is None:  # every building already street-connected
             return _empty_reblock()  # reference skips the block (:174-176)
         rows_id, rows_type, rows_geom = [], [], []
@@ -272,6 +282,11 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
         if res["existing"]:
             rows_id.append(bid); rows_type.append("existing")
             rows_geom.append(wkb.multilinestring(res["existing"]))
+        for kind in ("corridor_new", "corridor_existing"):
+            if res.get(kind):
+                rows_id.append(bid); rows_type.append(kind)
+                rows_geom.append(wkb.multipolygon(
+                    [[r] for r in res[kind]]))
         rows_id.append(bid); rows_type.append("summary")
         rows_geom.append(wkb.multipoint(res["terminals"]))
         s = res["summary"]
@@ -280,7 +295,8 @@ def reblock_pipeline(blocks, parcels_ds, buildings_ds, use_width: bool = False,
             "block_id": rows_id, "road_type": rows_type,
             "geometry": pa.array(rows_geom, type=pa.binary()),
         }
-        for key in ("bldg_time", "simplify_time", "steiner_time"):
+        for key in ("bldg_time", "simplify_time", "steiner_time",
+                    "terminal_proj_m_max"):
             cols[key] = pa.array([None] * (n - 1) + [float(s[key])], type=pa.float64())
         for key in ("num_graph_comps", "node_count_pre", "node_count_post",
                     "edge_count_pre", "edge_count_post", "bldg_count",
@@ -298,7 +314,8 @@ def _empty_reblock() -> pa.Table:
         "road_type": pa.array([], type=pa.string()),
         "geometry": pa.array([], type=pa.binary()),
     }
-    for key in ("bldg_time", "simplify_time", "steiner_time"):
+    for key in ("bldg_time", "simplify_time", "steiner_time",
+                "terminal_proj_m_max"):
         cols[key] = pa.array([], type=pa.float64())
     for key in ("num_graph_comps", "node_count_pre", "node_count_post",
                 "edge_count_pre", "edge_count_post", "bldg_count",

@@ -186,3 +186,53 @@ class TestConnectNTopK:
         g.add_through_lines(top_k=0)
         new, _ = g.get_steiner_linestrings()
         assert lines_equal(new, [[(0, 0), (0.9, 0.9)], [(2.1, 2.1), (3, 3)]])
+
+
+class TestCorridorsAndGeodesic:
+    def test_corridor_golden_2x2(self):
+        """Width-corridor output (ref get_steiner_linestrings return_polys,
+        _reblock_graph.py:855-858) on the 2-terminal 2x2-grid golden: the
+        new-road chains offset by width w tile into CCW polygons whose
+        total area matches sum(chain_len x 2w) up to miter-corner terms."""
+        from prclz_ray.geom.core import shoelace_area
+        g = grid_with_terminals(2)
+        g.steiner_tree_approx()
+        w = 0.05
+        for e in g.g.edges:
+            g.g.edges[e]["width"] = w
+        new_polys, ex_polys = g.get_steiner_corridors()
+        assert ex_polys == []
+        assert len(new_polys) >= 1
+        total = sum(shoelace_area(r) for r in new_polys)
+        # chain length: (0,0.2)-(0,1)-(1,2)-(2,2) = 0.8 + sqrt2 + 1
+        L = 0.8 + np.sqrt(2.0) + 1.0
+        assert all(shoelace_area(r) > 0 for r in new_polys)  # CCW shells
+        assert abs(total - L * 2 * w) < 4 * w * w + 1e-9     # miter slack
+
+    def test_offset_polyline_straight_and_bend(self):
+        from prclz_ray.geom.core import shoelace_area
+        from prclz_ray.geom.lines import offset_polyline
+        r = offset_polyline(np.array([[0.0, 0.0], [3.0, 0.0]]), 0.25)
+        assert abs(shoelace_area(r) - 3.0 * 0.5) < 1e-12
+        # right-angle bend: area = L*2d exactly for miter joins
+        r = offset_polyline(np.array([[0, 0], [1, 0], [1, 1]], float), 0.1)
+        assert abs(abs(shoelace_area(r)) - 2 * 0.2) < 1e-9
+
+    def test_geodesic_projection_distance(self):
+        """add_node_to_closest_edge reports the haversine projection
+        distance in metres (ref distance_meters, _reblock_graph.py:76-82,
+        552): a point 0.001 deg latitude off an equatorial edge projects
+        ~111.2 m."""
+        from prclz_ray.geom.crs import haversine_m
+        g = ReblockGraph()
+        g.add_edge((0.0, 0.0), (0.01, 0.0))
+        edge, dist_m = g.add_node_to_closest_edge((0.005, 0.001),
+                                                  get_edge=True)
+        assert edge == ((0.0, 0.0), (0.01, 0.0))
+        assert abs(dist_m - 111.2) < 0.3
+        assert g.g.number_of_nodes() == 2      # get_edge does not modify
+        d = g.add_node_to_closest_edge((0.005, 0.001), terminal=True)
+        assert abs(d - dist_m) < 1e-9
+        assert g.g.number_of_nodes() == 3      # split happened
+        # kernel sanity: one degree of longitude at the equator
+        assert abs(float(haversine_m(0, 0, 1, 0)) - 111195.08) < 1.0
