@@ -104,7 +104,12 @@ def voronoi_cells(points: np.ndarray, buffer_frac: float = 1.0) -> dict[int, np.
     aspect ≥ 0.617 and every ref-k=0 pair ≤ 0.568, so the gate is set at
     tan(30°) = 1/√3 ≈ 0.577 inside the measured bracket (behavioral-parity
     shim; the true mechanism is a degeneracy in pytess's edge assembly for
-    near-axis-aligned site pairs).
+    near-axis-aligned site pairs).  Out-of-sample status (leave-one-out
+    over the 16 goldens, ``test_two_site_aspect_gate_out_of_sample``): the
+    data pins the gate to the (0.568, 0.617) gap but cannot localize it
+    inside the gap — pairs with aspect in that band may disagree with the
+    reference on new data, so the complexity pipeline flags every
+    2-building block ``status='2bldg_gate'`` for auditability.
 
     Nearest-first clipping with the standard radius prune keeps it near
     O(n·k) per cell despite the O(n²) worst case."""

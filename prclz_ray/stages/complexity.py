@@ -109,6 +109,11 @@ def complexity_pipeline(blocks, buildings_ds, max_buildings_per_block: int = 200
         if len(pts) > max_buildings_per_block:
             pts = pts[:max_buildings_per_block]
             status = "truncated"
+        elif len(pts) == 2:
+            # k decided by the 2-site aspect gate (geom/voronoi.py), whose
+            # DJI calibration gap is (0.568, 0.617): flagged so users can
+            # audit gate decisions on new data (round-2 advice)
+            status = "2bldg_gate"
         k = block_complexity(ring, pts)
         return pa.table({
             "block_id": [bid],

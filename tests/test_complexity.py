@@ -55,3 +55,48 @@ def test_dji_golden_conformance():
     assert ok >= 156, f"exact k matches regressed: {ok}/196"
     assert max(diffs) <= 2
     assert float(np.mean(diffs)) <= 0.24
+
+
+def test_two_site_aspect_gate_out_of_sample():
+    """De-overfit check for the n==2 aspect gate (voronoi_cells), honest
+    version: leave-one-out over the 16 two-building DJI goldens.  For each
+    pair, a threshold calibrated on the OTHER 15 (midpoint of their
+    k=0/k=1 aspect bracket) must classify it correctly — except the single
+    boundary point (aspect 0.568, the largest k=0), which the other 15
+    place 0.001 above their midpoint: the data pins the gate to the
+    (0.568, 0.617) gap but cannot localize it inside the gap.  The
+    production gate tan(30 deg) = 0.5774 sits mid-gap and classifies all
+    16; 2-building blocks are additionally flagged status='2bldg_gate' in
+    the pipeline so users can audit the gate's decisions on new data."""
+    import re
+
+    if not os.path.exists(DJI):
+        pytest.skip("reference DJI fixture not available")
+    df = pd.read_csv(DJI)
+    pairs = []
+    for _, r in df.iterrows():
+        pts = re.findall(r"(-?\d+\.?\d*(?:e-?\d+)?) (-?\d+\.?\d*(?:e-?\d+)?)",
+                         r["centroids_multipoint"])
+        if len(pts) == 2:
+            p = np.array(pts, dtype=float)
+            d = np.abs(p[1] - p[0])
+            lo, hi = float(d.min()), float(d.max())
+            pairs.append((int(r["complexity"]), lo / hi if hi > 0 else 0.0))
+    assert len(pairs) == 16
+    misses = []
+    for i, (k, a) in enumerate(pairs):
+        rest = pairs[:i] + pairs[i + 1:]
+        k0 = max(x for kk, x in rest if kk == 0)
+        k1 = min(x for kk, x in rest if kk == 1)
+        assert k0 < k1
+        thr = (k0 + k1) / 2.0
+        if (a >= thr) != (k == 1):
+            misses.append((k, a))
+    # only the boundary point may miss, and only by a hair
+    assert len(misses) <= 1
+    if misses:
+        k, a = misses[0]
+        assert k == 0 and abs(a - 0.568) < 1e-3
+    gate = 1.0 / np.sqrt(3.0)           # the production tan(30 deg) gate
+    for k, a in pairs:
+        assert (a >= gate) == (k == 1), (k, a)
