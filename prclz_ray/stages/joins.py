@@ -164,16 +164,21 @@ def pip_join(points_ds, polygons, id_col: str, x_col: str = "lng",
 def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
                    y_col: str = "lat", level: int = 12,
                    out_id_col: Optional[str] = None,
-                   attach_geom_col: Optional[str] = None):
+                   attach_geom_col: Optional[str] = None,
+                   how: str = "inner"):
     """Both-sides-large PIP join, co-partitioned by S2 cell.
 
     polygons are replicated to every level-``level`` cell their bbox covers
     (flat_map), points carry their own cell; one groupby(cell) shuffle, then
-    a per-tile STRtree join inside map_groups. Partitioning assumption:
-    polygon bboxes are small relative to the tile size (documented per
-    SURVEY custom-operator rule)."""
+    a per-tile STRtree join inside map_groups. Left semantics are exact
+    per-tile: a point lives in exactly one cell group, so "unmatched in my
+    tile" == "unmatched globally". Partitioning assumption: polygon bboxes
+    are small relative to the tile size (documented per SURVEY
+    custom-operator rule)."""
     from ..index import s2
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"pip_join_tiled: how must be inner|left, got {how}")
     out_id = out_id_col or id_col
 
     def poly_cells(batch: pa.Table) -> pa.Table:
@@ -228,27 +233,46 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
     def join_tile(group: pa.Table) -> pa.Table:
         pts_t = group.filter(pc.equal(group["_side"], 0))
         pol_t = group.filter(pc.equal(group["_side"], 1))
-        if pts_t.num_rows == 0 or pol_t.num_rows == 0:
+        if pts_t.num_rows == 0 or (pol_t.num_rows == 0 and how == "inner"):
             empty = {n: pa.array([], type=out_types[n]) for n in point_out}
             empty[out_id] = pa.array([], type=id_type)
             if attach_geom_col:
                 empty[attach_geom_col] = pa.array([], type=pa.binary())
             return pa.table(empty)
+        if pol_t.num_rows == 0:            # left: all points unmatched
+            out = pts_t.select(point_out)
+            out = out.append_column(out_id,
+                                    pa.nulls(out.num_rows, type=id_type))
+            if attach_geom_col:
+                out = out.append_column(
+                    attach_geom_col, pa.nulls(out.num_rows, pa.binary()))
+            return out
         packed = _polygon_pack(pol_t.select([id_col, "geometry"]), id_col)
         joiner = PIPJoiner(packed, x_col, y_col, id_col, "inner", out_id)
         px = pts_t[x_col].to_numpy(zero_copy_only=False)
         py = pts_t[y_col].to_numpy(zero_copy_only=False)
         pi, gi = joiner.match(px, py)
+        gi = np.asarray(gi, dtype=np.int64)
+        if how == "left":
+            matched = np.zeros(pts_t.num_rows, dtype=bool)
+            matched[np.asarray(pi, dtype=np.int64)] = True
+            un = np.flatnonzero(~matched)
+            pi = np.concatenate([np.asarray(pi, dtype=np.int64), un])
+            gi = np.concatenate([gi, np.full(len(un), -1, dtype=np.int64)])
         out = pts_t.select(point_out).take(pa.array(pi))
-        ids_arr = np.asarray(packed[0])
-        out = out.append_column(
-            out_id, pa.array(ids_arr[np.asarray(gi, dtype=np.int64)],
-                             type=id_type))
+        ids_arr = np.asarray(packed[0], dtype=object)
+        id_vals = [None if g < 0 else ids_arr[g] for g in gi] \
+            if how == "left" else ids_arr[gi]
+        out = out.append_column(out_id, pa.array(id_vals, type=id_type))
         if attach_geom_col:
-            gi_arr = pa.array(np.asarray(gi, dtype=np.int64))
-            out = out.append_column(
-                attach_geom_col,
-                pol_t["geometry"].combine_chunks().take(gi_arr))
+            geom = pol_t["geometry"].combine_chunks()
+            if how == "left":
+                gvals = [None if g < 0 else geom[int(g)].as_py() for g in gi]
+                out = out.append_column(attach_geom_col,
+                                        pa.array(gvals, type=pa.binary()))
+            else:
+                out = out.append_column(attach_geom_col,
+                                        geom.take(pa.array(gi)))
         return out
 
     joined = unioned.groupby("cell").map_groups(join_tile, batch_format="pyarrow")
@@ -289,15 +313,15 @@ def pip_join_auto(points_ds, polygons, id_col: str, x_col: str = "lng",
         return pip_join(points_ds, tbl, id_col=id_col, x_col=x_col,
                         y_col=y_col, how=how, out_id_col=out_id_col,
                         attach_geom_col=attach_geom_col, **kw)
-    if how != "inner":
+    if how not in ("inner", "left"):
         raise NotImplementedError(
-            "tiled PIP join supports how='inner' only; lower "
-            "broadcast_limit_bytes routing requires inner semantics")
+            "tiled PIP join supports how='inner'/'left'; semi/anti past "
+            "the broadcast budget need a dedicated shuffle plan")
     if ds is None:
         ds = rd.from_arrow(tbl)
     return pip_join_tiled(points_ds, ds, id_col=id_col, x_col=x_col,
                           y_col=y_col, level=level, out_id_col=out_id_col,
-                          attach_geom_col=attach_geom_col)
+                          attach_geom_col=attach_geom_col, how=how)
 
 
 # ------------------------------------------------------------------ kNN

@@ -244,3 +244,26 @@ def test_pip_auto_tiled_matches_broadcast_in_geo_pipelines():
     b = norm(parcels_pipeline(blocks, rd.from_arrow(bldgs),
                               pip_broadcast_limit_bytes=0), cols_p)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pip_tiled_left_matches_broadcast_left():
+    """Tiled left join: unmatched points carry null ids, exactly as the
+    broadcast left join does (a point lives in exactly one tile, so
+    per-tile unmatched == globally unmatched)."""
+    pts = pa.table({
+        "pt_id": np.arange(40, dtype=np.int64),
+        "lng": np.concatenate([RNG.uniform(0, 10, 30),
+                               RNG.uniform(50, 60, 10)]),  # 10 far outside
+        "lat": np.concatenate([RNG.uniform(0, 10, 30),
+                               RNG.uniform(50, 60, 10)]),
+    })
+    bc = joins.pip_join(rd.from_arrow(pts), _polys(), id_col="poly_id",
+                        how="left").to_pandas()
+    tiled = joins.pip_join_tiled(rd.from_arrow(pts).repartition(3),
+                                 rd.from_arrow(_polys()),
+                                 id_col="poly_id", how="left").to_pandas()
+    cols = ["pt_id", "poly_id"]
+    a = bc[cols].sort_values(cols).reset_index(drop=True)
+    b = tiled[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert b["poly_id"].isna().sum() >= 10
