@@ -1129,6 +1129,36 @@ SELECT block_id, block_id || '_b' || CAST(j AS VARCHAR) AS bldg_id
 FROM blocks, generate_series(0, 4) t4(j)
 """
 
+# reblock: every fixture block emits one 'new' and one 'summary' row; the
+# 58-block set that ALSO emits 'existing' rows (steiner path touching
+# zero-weight perimeter edges) is a RUN-PINNED GOLDEN, not closed-form —
+# it depends on float-level snap geometry per block position. Verified
+# deterministic across parallelism (identical at num_cpus 3 and 8) before
+# committing; regenerate via q_reblock_fixture if the reblock kernel's
+# semantics intentionally change.
+SQL_REBLOCK_FIXTURE = _SQL_SYNTH_BLOCKS + """
+, existing_ids(block_id) AS (VALUES
+  ('SYNA.1.1_1_0'), ('SYNA.1.1_1_10'), ('SYNA.1.1_1_15'), ('SYNA.1.1_1_5'),
+  ('SYNA.1.2_1_1'), ('SYNA.1.2_1_11'), ('SYNA.1.2_1_6'), ('SYNA.2.1_1_14'),
+  ('SYNA.2.1_1_4'), ('SYNA.2.1_1_9'), ('SYNA.2.2_1_0'), ('SYNA.2.2_1_10'),
+  ('SYNA.2.2_1_15'), ('SYNA.2.2_1_5'), ('SYNB.1.1_1_0'), ('SYNB.1.1_1_1'),
+  ('SYNB.1.1_1_14'), ('SYNB.1.1_1_6'), ('SYNB.1.2_1_1'), ('SYNB.1.2_1_13'),
+  ('SYNB.1.2_1_3'), ('SYNB.1.2_1_6'), ('SYNB.2.1_1_1'), ('SYNB.2.1_1_13'),
+  ('SYNB.2.1_1_3'), ('SYNB.2.1_1_4'), ('SYNB.2.1_1_6'), ('SYNB.2.1_1_9'),
+  ('SYNB.2.2_1_0'), ('SYNB.2.2_1_10'), ('SYNB.2.2_1_14'), ('SYNB.2.2_1_2'),
+  ('SYNB.2.2_1_5'), ('SYNB.2.2_1_7'), ('SYNC.1.1_1_1'), ('SYNC.1.1_1_10'),
+  ('SYNC.1.1_1_13'), ('SYNC.1.1_1_15'), ('SYNC.1.1_1_5'), ('SYNC.1.1_1_8'),
+  ('SYNC.1.2_1_11'), ('SYNC.1.2_1_12'), ('SYNC.1.2_1_14'), ('SYNC.1.2_1_2'),
+  ('SYNC.1.2_1_6'), ('SYNC.1.2_1_9'), ('SYNC.2.1_1_0'), ('SYNC.2.1_1_12'),
+  ('SYNC.2.1_1_14'), ('SYNC.2.1_1_2'), ('SYNC.2.1_1_5'), ('SYNC.2.1_1_9'),
+  ('SYNC.2.2_1_1'), ('SYNC.2.2_1_10'), ('SYNC.2.2_1_13'), ('SYNC.2.2_1_15'),
+  ('SYNC.2.2_1_3'), ('SYNC.2.2_1_6')
+)
+SELECT block_id, 'new' AS road_type FROM blocks
+UNION ALL SELECT block_id, 'summary' AS road_type FROM blocks
+UNION ALL SELECT block_id, 'existing' AS road_type FROM existing_ids
+"""
+
 
 def q_blocks_fixture(sf_dir: str):
     from ..io import synth
@@ -1235,6 +1265,6 @@ def registry():
         "blocks_fixture": (q_blocks_fixture, SQL_BLOCKS_FIXTURE),
         "complexity_fixture": (q_complexity_fixture, SQL_COMPLEXITY_FIXTURE),
         "parcels_fixture": (q_parcels_fixture, SQL_PARCELS_FIXTURE),
-        "reblock_fixture": (q_reblock_fixture, None),
+        "reblock_fixture": (q_reblock_fixture, SQL_REBLOCK_FIXTURE),
         "multimodal_decode": (q_multimodal_decode, None),
     }
