@@ -745,6 +745,129 @@ FROM documents GROUP BY lang
 """
 
 
+def q_pii_redaction(sf_dir: str):
+    """PII redaction (emails / phones / IPv4 → typed placeholders, with
+    per-doc counts).  The raw word-salad corpus carries no PII, so each
+    doc is first seeded with deterministic synthetic PII derived from
+    doc_id — the same derivation the SQL oracle performs — making the
+    replacement semantics hash-checkable end to end.  Redaction itself is
+    ``redact_pii_batch``: chained RE2 count+replace, arrow-native."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        idn = ids.to_numpy(zero_copy_only=False)
+        j = pc.binary_join_element_wise
+        email = j(" contact user", pc.cast(ids, pa.string()),
+                  "@mail.example.com now", "")
+        phone = j(" call 415-555-",
+                  pc.utf8_lpad(pc.cast(pa.array(idn % 10000), pa.string()),
+                               4, padding="0"), "")
+        ip = j(" from 10.0.", pc.cast(pa.array(idn % 256), pa.string()),
+               ".25", "")
+        z = pa.scalar("")
+        t0 = j(batch["text"],
+               pc.if_else(pa.array(idn % 3 == 0), email, z),
+               pc.if_else(pa.array(idn % 5 == 0), phone, z),
+               pc.if_else(pa.array(idn % 7 == 0), ip, z), "")
+        return pa.table({"doc_id": ids, "text": t0})
+
+    out = docs.map_batches(enrich, batch_format="pyarrow") \
+        .map_batches(text.redact_pii_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_email", "n_phone", "n_ipv4", "text_redacted"])
+
+
+SQL_PII = r"""
+WITH e AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END AS t0
+  FROM documents),
+ s1 AS (SELECT doc_id,
+        len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM e),
+ s2 AS (SELECT *, len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t2 FROM s1),
+ s3 AS (SELECT *, len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3 FROM s2)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4, t3 AS text_redacted
+FROM s3
+"""
+
+
+def q_url_canonical_dedup(sf_dir: str):
+    """URL canonicalization + variant-collapse report: each group of 4
+    docs yields 4 raw-URL variants of one logical page (tracking params,
+    fragment, uppercase host + trailing slash); canonicalization must
+    collapse them to a single key with n_variants=4."""
+    from ..stages import urls as us
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth_urls(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        base = ids // 4
+        v = ids % 4
+        b_str = pc.cast(pa.array(base), pa.string())
+        j = pc.binary_join_element_wise
+        plain = j("https://example.org/doc/", b_str, "")
+        track = j("https://example.org/doc/", b_str,
+                  "/?utm_source=feed&utm_campaign=x", "")
+        frag = j("https://example.org/doc/", b_str, "#section-2", "")
+        upper = j("HTTPS://EXAMPLE.org/doc/", b_str, "/", "")
+        u = pc.if_else(pa.array(v == 1), track,
+                       pc.if_else(pa.array(v == 2), frag,
+                                  pc.if_else(pa.array(v == 3), upper, plain)))
+        return pa.table({"doc_id": batch["doc_id"], "url": u})
+
+    out = docs.map_batches(synth_urls, batch_format="pyarrow")
+    df = us.canonical_url_groups(out, url_col="url", id_col="doc_id") \
+        .to_pandas()
+    df["n_variants"] = df["n_variants"].astype("int64")
+    return df[["canonical_url", "n_variants", "min_doc_id"]]
+
+
+SQL_URL_CANON = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 1 THEN 'https://example.org/doc/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '/?utm_source=feed&utm_campaign=x'
+           WHEN 2 THEN 'https://example.org/doc/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '#section-2'
+           WHEN 3 THEN 'HTTPS://EXAMPLE.org/doc/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+           ELSE 'https://example.org/doc/' || CAST(doc_id // 4 AS VARCHAR)
+         END AS url
+  FROM documents),
+ canon AS (
+  SELECT doc_id,
+   regexp_replace(
+    regexp_replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+             THEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 1)) || '://'
+                  || lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2))
+                  || regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+             ELSE url END,
+        '#.*$', ''),
+       '[?&]utm_[A-Za-z_]*=[^&#]*', '', 'g'),
+      '^([^?]*)&', '\1?'),
+     '[?&]$', ''),
+    '(://[^/?#]*/[^?#]*?)/+$', '\1') AS canonical_url
+  FROM raw)
+SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS min_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
 def q_ann_topk_cosine(sf_dir: str):
     """Brute-force exact top-5 cosine for 3 query vectors (the ANN
     baseline; float64 end-to-end so ordering matches the SQL oracle)."""
@@ -1252,6 +1375,8 @@ def registry():
         "exact_dedup_documents": (q_exact_dedup_documents, SQL_EXACT_DEDUP),
         "token_counts_by_lang": (q_token_counts_by_lang, SQL_TOKENS),
         "quality_stats_by_lang": (q_quality_stats_by_lang, SQL_QUALITY),
+        "pii_redaction": (q_pii_redaction, SQL_PII),
+        "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

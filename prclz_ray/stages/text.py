@@ -97,6 +97,38 @@ def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
     return out.append_column("tokens_re", bpe)
 
 
+# PII redaction patterns, applied IN ORDER on the progressively redacted
+# string (each count is taken on the text as it stands before that
+# pattern's replacement — the SQL oracle twin chains identically).
+# RE2 on both sides (pyarrow.compute and DuckDB), so leftmost/greedy
+# semantics agree.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, text_col="text",
+                     out_col="text_redacted") -> pa.Table:
+    """PII redaction: emails, NANP-style phone numbers and IPv4 literals
+    replaced with typed placeholder tokens, with a per-doc count of each.
+    Fully arrow-native — one C++ ``count_substring_regex`` +
+    ``replace_substring_regex`` pass per pattern, no per-row Python.
+
+    Scale shape: pure per-batch map (no shuffle, no state); at 100 TB this
+    pipelines at read speed.  Training-data analogue of the reference's
+    per-record normalization stages (prclz/etl normalize semantics)."""
+    import pyarrow.compute as pc
+    arr = batch[text_col]
+    out = batch
+    for name, pat, repl in _PII_PATTERNS:
+        n = pc.count_substring_regex(arr, pattern=pat).cast(pa.int64())
+        out = out.append_column(f"n_{name}", n)
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    return out.append_column(out_col, arr)
+
+
 def fingerprint_batch(batch: pa.Table, text_col="text", window: int = 8) -> pa.Table:
     """Rolling-hash document fingerprint: min-sampled winnowing digest
     over sliding byte windows + full-content blake2b.  Window hashes are

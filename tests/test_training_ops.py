@@ -199,3 +199,40 @@ def test_multimodal_real_decode():
     small = M.resize_nearest(big, 8, 8)
     assert small.shape == (8, 8, 3)
     assert np.array_equal(small[0, 0], big[0, 0])
+
+
+def test_redact_pii_chain():
+    t = pa.table({"text": pa.array([
+        "mail a@b.co and c.d@e.org, call 415-555-0042, from 10.0.3.25",
+        "no pii here",
+    ])})
+    out = text.redact_pii_batch(t)
+    assert out.column("n_email").to_pylist() == [2, 0]
+    assert out.column("n_phone").to_pylist() == [1, 0]
+    assert out.column("n_ipv4").to_pylist() == [1, 0]
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail <EMAIL> and <EMAIL>, call <PHONE>, from <IP>"
+    assert red[1] == "no pii here"
+
+
+def test_canonicalize_urls_edge_cases():
+    from prclz_ray.stages.urls import canonicalize_urls
+    raw = pa.array([
+        "HTTPS://EXAMPLE.org/doc/1/",                       # host case + slash
+        "https://example.org/doc/1?utm_source=a&utm_med=b",  # utm-only query
+        "https://example.org/doc/1?utm_source=a&id=7",       # utm first, keep id
+        "https://example.org/doc/1#frag",                    # fragment
+        "https://example.org/",                              # root slash: kept
+        "no-scheme/path/",                                   # passthrough host step
+        "https://example.org/doc/1?id=7&utm_source=a",       # utm last
+    ])
+    got = canonicalize_urls(raw).to_pylist()
+    assert got == [
+        "https://example.org/doc/1",
+        "https://example.org/doc/1",
+        "https://example.org/doc/1?id=7",
+        "https://example.org/doc/1",
+        "https://example.org/",
+        "no-scheme/path/",   # no authority: slash rule doesn't apply
+        "https://example.org/doc/1?id=7",
+    ]
