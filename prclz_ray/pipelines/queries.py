@@ -868,6 +868,89 @@ FROM canon GROUP BY canonical_url
 """
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Paragraph-level duplication profile (CCNet semantics): docs are
+    given 0-2 deterministic boilerplate paragraphs (social-share on
+    doc_id%3, subscribe on doc_id%5) so corpus-wide duplicate paragraphs
+    exist; the operator must flag exactly those and leave each doc's
+    unique body paragraph unflagged."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        idn = ids.to_numpy(zero_copy_only=False)
+        j = pc.binary_join_element_wise
+        z = pa.scalar("")
+        share = pa.scalar("\n\nShare this article on social media")
+        subsc = pa.scalar("\n\nSubscribe to our newsletter today")
+        t0 = j(batch["text"],
+               pc.if_else(pa.array(idn % 3 == 0), share, z),
+               pc.if_else(pa.array(idn % 5 == 0), subsc, z), "")
+        return pa.table({"doc_id": ids, "text": t0})
+
+    out = dd.paragraph_dedup_stats(
+        docs.map_batches(enrich, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "n_paras", "n_dup_paras",
+                               "dup_frac"])
+
+
+SQL_PARA_DEDUP = """
+WITH e AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || chr(10) || 'Share this article on social media'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || chr(10) || 'Subscribe to our newsletter today'
+            ELSE '' END AS t0
+  FROM documents),
+ paras AS (
+  SELECT doc_id, unnest(string_split(t0, chr(10) || chr(10))) AS para FROM e),
+ cnt AS (
+  SELECT para, COUNT(*) AS c FROM paras GROUP BY para)
+SELECT p.doc_id, COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       ROUND(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+FROM paras p JOIN cnt c ON p.para = c.para
+GROUP BY p.doc_id
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filters over the raw corpus: the
+    word-salad documents carry natural repetition (small vocabulary), so
+    no enrichment is needed — per-doc top-word / top-bigram dominance is a
+    direct measure, hash-checked against the string-counting SQL twin."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(text.repetition_stats_batch,
+                           batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words", "top_word_n",
+                               "top_bigram_n", "top_word_frac",
+                               "top_bigram_frac"])
+
+
+SQL_REPETITION = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+ wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+ tw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(MAX(c) AS BIGINT) AS top_word_n FROM wc GROUP BY doc_id),
+ lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ bg AS (SELECT doc_id, l[k] || ' ' || l[k+1] AS b
+        FROM lists, unnest(generate_series(1, len(l)-1)) AS t(k)),
+ bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+ tb AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        FROM bc GROUP BY doc_id)
+SELECT tw.doc_id, tw.n_words, tw.top_word_n,
+       COALESCE(tb.top_bigram_n, 0) AS top_bigram_n,
+       FLOOR(tw.top_word_n * 10000.0 / GREATEST(tw.n_words, 1)) / 10000
+         AS top_word_frac,
+       FLOOR(COALESCE(tb.top_bigram_n, 0) * 10000.0
+             / GREATEST(tw.n_words - 1, 1)) / 10000 AS top_bigram_frac
+FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
+"""
+
+
 def q_ann_topk_cosine(sf_dir: str):
     """Brute-force exact top-5 cosine for 3 query vectors (the ANN
     baseline; float64 end-to-end so ordering matches the SQL oracle)."""
@@ -1377,6 +1460,8 @@ def registry():
         "quality_stats_by_lang": (q_quality_stats_by_lang, SQL_QUALITY),
         "pii_redaction": (q_pii_redaction, SQL_PII),
         "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
+        "paragraph_dedup": (q_paragraph_dedup, SQL_PARA_DEDUP),
+        "repetition_stats": (q_repetition_stats, SQL_REPETITION),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

@@ -51,6 +51,76 @@ def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
             .drop_columns(["_h"]))
 
 
+def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
+                          sep: str = "\n\n", min_count: int = 2,
+                          num_buckets: int = 32):
+    """CCNet-style paragraph-duplication profile: split each doc into
+    paragraphs on ``sep``, find paragraphs repeated >= ``min_count`` times
+    corpus-wide, and report per doc the paragraph count, the number of
+    paragraphs belonging to a corpus-wide duplicate group, and the
+    duplicated fraction (the standard boilerplate-removal signal).
+
+    Scale shape (nothing corpus-sized on the driver, no giant groups):
+      1. arrow-native explode (split_pattern + list_parent_indices) to
+         narrow (key, hash64) rows — paragraph TEXT never shuffles;
+      2. per-batch partial counts then a tiny groupby-sum per hash
+         (hot boilerplate paragraphs collapse inside each batch first,
+         so the per-hash group holds at most one row per batch);
+      3. duplicate hashes (cnt >= min_count) rejoin via the bucketed
+         semi join — no broadcast assumption on the dup-hash side;
+      4. per-doc totals come straight off the split lengths and a
+         bucketed left join stitches the report.
+
+    The SQL oracle twin groups by the paragraph STRING itself (identical
+    semantics absent blake2b collisions, same contract as exact_dedup)."""
+    from ray.data.aggregate import Count, Sum
+    from .relational import bucketed_hash_join, bucketed_semi_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=sep)
+        flat = pc.list_flatten(parts)
+        idx = pc.list_parent_indices(parts)
+        h = _stable_u64(flat.to_pylist()).view(np.int64)
+        return pa.table({key_col: batch[key_col].take(idx),
+                         "_h": pa.array(h)})
+
+    paras = ds.map_batches(explode, batch_format="pyarrow")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("_h").aggregate([("_h", "count")])
+        return pa.table({"_h": t["_h"],
+                         "pcnt": t["_h_count"].cast(pa.int64())})
+
+    counts = paras.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("_h").aggregate(Sum("pcnt", alias_name="cnt"))
+    dup_hashes = counts.filter(expr=f"cnt >= {int(min_count)}")
+
+    dup_paras = bucketed_semi_join(paras, dup_hashes, on="_h",
+                                   num_buckets=num_buckets)
+    dups_per_doc = dup_paras.groupby(key_col).aggregate(
+        Count(alias_name="n_dup_paras"))
+
+    def totals(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=sep)
+        n = pc.list_value_length(parts).cast(pa.int64())
+        return pa.table({key_col: batch[key_col], "n_paras": n})
+
+    per_doc = ds.map_batches(totals, batch_format="pyarrow")
+    joined = bucketed_hash_join(per_doc, dups_per_doc, on=key_col,
+                                num_buckets=num_buckets, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_dup_paras"].to_numpy(zero_copy_only=False)
+        nd = np.nan_to_num(nd.astype(np.float64), nan=0.0).astype(np.int64)
+        n = batch["n_paras"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = np.round(nd / np.maximum(n, 1), 4)
+        return pa.table({key_col: batch[key_col], "n_paras": pa.array(n),
+                         "n_dup_paras": pa.array(nd),
+                         "dup_frac": pa.array(frac)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ minhash
 
 class MinHasher:

@@ -97,6 +97,68 @@ def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
     return out.append_column("tokens_re", bpe)
 
 
+def repetition_stats_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Gopher-style repetition signals per doc: word count, the count of
+    the most frequent word and word-bigram, and their fractions (quality
+    filters drop docs whose top n-gram dominates — boilerplate / spam).
+
+    Vectorized across the whole batch, no per-doc Python: words explode
+    arrow-natively (split_pattern + list_parent_indices), one global
+    np.unique assigns integer codes, and per-(doc, code) counts come from
+    a lexsort + run-length pass with np.maximum.at for the per-doc max.
+    Bigrams are code pairs restricted to within-doc adjacency.
+
+    Fractions are FLOOR-truncated at 4 decimals (not rounded): numpy
+    rounds half-to-even, DuckDB half-away — truncation is the one
+    convention both engines compute identically.  The SQL twin counts the
+    actual strings; results agree exactly (codes are just a compression).
+    """
+    import pyarrow.compute as pc
+    n = batch.num_rows
+    if n == 0:
+        empty = pa.array([], type=pa.int64())
+        emptyf = pa.array([], type=pa.float64())
+        return (batch.append_column("n_words", empty)
+                .append_column("top_word_n", empty)
+                .append_column("top_bigram_n", empty)
+                .append_column("top_word_frac", emptyf)
+                .append_column("top_bigram_frac", emptyf))
+    parts = pc.split_pattern(batch[text_col], pattern=" ")
+    nw = pc.list_value_length(parts).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    idx = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = np.asarray(pc.list_flatten(parts))
+    uw, codes = np.unique(flat, return_inverse=True)
+
+    def _top_per_doc(doc_idx, keys):
+        order = np.lexsort((keys, doc_idx))
+        si, sk = doc_idx[order], keys[order]
+        top = np.zeros(n, dtype=np.int64)
+        if len(si) == 0:
+            return top
+        bnd = np.r_[True, (si[1:] != si[:-1]) | (sk[1:] != sk[:-1])]
+        starts = np.flatnonzero(bnd)
+        runlen = np.diff(np.r_[starts, len(si)])
+        np.maximum.at(top, si[starts], runlen)
+        return top
+
+    top_w = _top_per_doc(idx, codes.astype(np.uint64))
+    adj = idx[1:] == idx[:-1]
+    K = np.uint64(len(uw) + 1)
+    bc = codes[:-1].astype(np.uint64)[adj] * K \
+        + codes[1:].astype(np.uint64)[adj]
+    top_b = _top_per_doc(idx[:-1][adj], bc)
+    nb = np.maximum(nw - 1, 0)
+    twf = np.floor(top_w * 10000.0 / np.maximum(nw, 1)) / 10000
+    tbf = np.floor(top_b * 10000.0 / np.maximum(nb, 1)) / 10000
+    return (batch.append_column("n_words", pa.array(nw))
+            .append_column("top_word_n", pa.array(top_w))
+            .append_column("top_bigram_n", pa.array(top_b))
+            .append_column("top_word_frac", pa.array(twf))
+            .append_column("top_bigram_frac", pa.array(tbf)))
+
+
 # PII redaction patterns, applied IN ORDER on the progressively redacted
 # string (each count is taken on the text as it stands before that
 # pattern's replacement — the SQL oracle twin chains identically).

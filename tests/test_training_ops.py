@@ -236,3 +236,29 @@ def test_canonicalize_urls_edge_cases():
         "no-scheme/path/",   # no authority: slash rule doesn't apply
         "https://example.org/doc/1?id=7",
     ]
+
+
+def test_paragraph_dedup_stats():
+    rows = [
+        {"doc_id": 0, "text": "unique zero\n\nBOILER\n\nBOILER"},
+        {"doc_id": 1, "text": "unique one\n\nBOILER"},
+        {"doc_id": 2, "text": "unique two"},
+    ]
+    out = dd.paragraph_dedup_stats(rd.from_items(rows).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.n_paras) == [3, 2, 1]
+    # BOILER appears 3x corpus-wide -> both of doc 0's copies and doc 1's
+    # single copy are flagged; unique body paragraphs never are
+    assert list(out.n_dup_paras) == [2, 1, 0]
+    assert list(out.dup_frac) == [0.6667, 0.5, 0.0]
+
+
+def test_repetition_stats_batch():
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": pa.array(["a b a b a c", "x", "q r s t"])})
+    out = text.repetition_stats_batch(t).to_pandas()
+    assert list(out.n_words) == [6, 1, 4]
+    assert list(out.top_word_n) == [3, 1, 1]      # 'a' x3
+    assert list(out.top_bigram_n) == [2, 0, 1]    # 'a b' x2
+    assert list(out.top_word_frac) == [0.5, 1.0, 0.25]
+    assert list(out.top_bigram_frac) == [0.4, 0.0, 0.3333]
