@@ -917,6 +917,28 @@ GROUP BY p.doc_id
 """
 
 
+def q_acctbal_quantiles(sf_dir: str):
+    """Exact per-nation acctbal quartiles via the two-pass histogram
+    selection operator (no per-group full sort; see
+    ``grouped_quantile_disc``).  quantile_disc semantics — the oracle's
+    native aggregate."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    df = relational.grouped_quantile_disc(
+        cust, key_col="c_nationkey", val_col="c_acctbal",
+        qs=[0.25, 0.5, 0.75])
+    df["c_nationkey"] = df["c_nationkey"].astype("int32")
+    return df[["c_nationkey", "p25", "p50", "p75"]]
+
+
+SQL_QUANTILES = """
+SELECT c_nationkey,
+       quantile_disc(c_acctbal, 0.25) AS p25,
+       quantile_disc(c_acctbal, 0.5)  AS p50,
+       quantile_disc(c_acctbal, 0.75) AS p75
+FROM customer GROUP BY c_nationkey
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filters over the raw corpus: the
     word-salad documents carry natural repetition (small vocabulary), so
@@ -1462,6 +1484,7 @@ def registry():
         "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARA_DEDUP),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION),
+        "acctbal_quantiles_nation": (q_acctbal_quantiles, SQL_QUANTILES),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

@@ -412,6 +412,146 @@ def windowed_aggregate(events_ds, key_col: str, ts_col: str, value_col: str,
                                                   batch_format="pyarrow")
 
 
+def grouped_quantile_disc(ds, key_col: str, val_col: str, qs: list[float],
+                          bins: int = 2048):
+    """EXACT per-group discrete quantiles (``quantile_disc`` semantics:
+    the ceil(q*n)-th smallest element, 1-indexed) computed in two
+    streaming passes — no per-group sort of the full data, no group ever
+    materialized whole:
+
+      A. per-batch partial (count, min, max) per key → tiny per-key stats
+         groupby.  Target rank k_q = ceil(q*n) - 1 per (key, q).
+      B. per-batch histogram partials over ``bins`` equal-width bins of
+         [min, max] per key → per-key cumulative counts locate the one
+         bin containing each target rank (and the residual rank inside
+         that bin).
+      C. one filtered pass keeps ONLY rows in a target (key, bin) —
+         expected n/bins of the data per group — and a per-key sort of
+         that small remainder selects the exact element.
+
+    Bin assignment is the same float expression in passes B and C, so
+    boundary placement is consistent and the selection is exact no matter
+    how float rounding buckets edge values.  Known caveat: a point-mass
+    bin (one value repeated ≥ rank-depth) cannot be range-refined, but
+    then the repeated value IS the answer whenever the run covers the
+    rank, which pass C's in-bin sort returns correctly; pathological
+    non-equal mass inside one bin degrades pass C to an n_bin·log sort.
+
+    Scale assumptions (documented): the per-key stats and target-bin maps
+    are GROUP-cardinality-sized and broadcast via ``ray.put`` — right for
+    dashboard-style group counts (nations, languages, domains).  Use
+    exactly-representable q (0.25/0.5/0.75…) so ceil(q*n) has no float
+    ambiguity (matches DuckDB ``quantile_disc``).
+
+    Returns a pandas DataFrame: one row per key, one ``p{q}`` column per
+    q (e.g. p25, p50, p75), keys ascending."""
+    import ray
+
+    qs = list(qs)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({key_col: t[key_col], "v": t[val_col]}) \
+            .group_by(key_col).aggregate(
+                [("v", "count"), ("v", "min"), ("v", "max")])
+        return pa.table({key_col: g[key_col],
+                         "n": g["v_count"].cast(pa.int64()),
+                         "mn": g["v_min"], "mx": g["v_max"]})
+
+    from ray.data.aggregate import Max, Min, Sum
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(
+            Sum("n", alias_name="n"), Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx")).to_pandas()
+
+    # per-key: (min, range, n, {q: target rank k})
+    key_info: dict = {}
+    for r in stats.itertuples(index=False):
+        ranks = {q: int(np.ceil(q * r.n)) - 1 for q in qs}
+        key_info[r[0]] = (float(r.mn), float(r.mx), int(r.n), ranks)
+    info_ref = ray.put(key_info)
+    B = bins
+
+    def assign_bins(keys: np.ndarray, vals: np.ndarray, info) -> np.ndarray:
+        out = np.zeros(len(vals), dtype=np.int32)
+        # vectorize per key present in the batch (group cardinality per
+        # batch is small; the inner op is full-numpy)
+        for k in np.unique(keys):
+            mn, mx, _, _ = info[k]
+            m = keys == k
+            if mx > mn:
+                b = np.floor((vals[m] - mn) / (mx - mn) * B)
+                out[m] = np.clip(b, 0, B - 1).astype(np.int32)
+        return out
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        info = ray.get(info_ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bn = assign_bins(keys, vals, info)
+        g = pa.table({key_col: pa.array(keys), "bin": pa.array(bn)}) \
+            .group_by([key_col, "bin"]).aggregate([("bin", "count")])
+        return pa.table({key_col: g[key_col], "bin": g["bin"],
+                         "cnt": g["bin_count"].cast(pa.int64())})
+
+    def locate(group: pd.DataFrame) -> pd.DataFrame:
+        info = ray.get(info_ref)
+        g = group.groupby("bin", as_index=False)["cnt"].sum() \
+            .sort_values("bin")
+        key = group[key_col].iloc[0]
+        cum = g["cnt"].cumsum().to_numpy()
+        below = cum - g["cnt"].to_numpy()
+        rows = []
+        for q, k in info[key][3].items():
+            i = int(np.searchsorted(cum, k + 1))
+            rows.append({key_col: key, "q": q,
+                         "bin": int(g["bin"].iloc[i]),
+                         "rank_in_bin": int(k - below[i])})
+        return pd.DataFrame(rows)
+
+    targets = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(locate, batch_format="pandas") \
+        .to_pandas()
+    # {(key, bin): [(q, rank_in_bin), ...]}
+    tmap: dict = {}
+    for r in targets.itertuples(index=False):
+        tmap.setdefault((r[0], r.bin), []).append((r.q, r.rank_in_bin))
+    tmap_ref = ray.put(tmap)
+
+    def keep_targets(t: pa.Table) -> pa.Table:
+        info = ray.get(info_ref)
+        tm = ray.get(tmap_ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bn = assign_bins(keys, vals, info)
+        mask = np.zeros(len(keys), dtype=bool)
+        for k in np.unique(keys):
+            tbins = np.array([b for (kk, b) in tm if kk == k], dtype=np.int32)
+            if len(tbins):
+                m = keys == k
+                mask[m] = np.isin(bn[m], tbins)
+        return pa.table({key_col: pa.array(keys[mask]),
+                         "v": pa.array(vals[mask]),
+                         "bin": pa.array(bn[mask])})
+
+    def select(group: pd.DataFrame) -> pd.DataFrame:
+        tm = ray.get(tmap_ref)
+        key = group[key_col].iloc[0]
+        rows = []
+        for b, sub in group.groupby("bin"):
+            v = np.sort(sub["v"].to_numpy())
+            for q, rib in tm[(key, b)]:
+                rows.append({key_col: key, "q": q, "val": float(v[rib])})
+        return pd.DataFrame(rows)
+
+    picked = ds.map_batches(keep_targets, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(select, batch_format="pandas") \
+        .to_pandas()
+    wide = picked.pivot(index=key_col, columns="q", values="val")
+    wide = wide.rename(columns={q: f"p{int(q * 100)}" for q in qs})
+    wide.columns.name = None
+    return wide.reset_index().sort_values(key_col).reset_index(drop=True)
+
+
 SAMPLE_MIX = 0x9E3779B97F4A7C15  # golden-ratio 64-bit mix (shared with SQL twin)
 
 

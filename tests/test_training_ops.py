@@ -262,3 +262,30 @@ def test_repetition_stats_batch():
     assert list(out.top_bigram_n) == [2, 0, 1]    # 'a b' x2
     assert list(out.top_word_frac) == [0.5, 1.0, 0.25]
     assert list(out.top_bigram_frac) == [0.4, 0.0, 0.3333]
+
+
+def test_grouped_quantile_disc_exact_vs_duckdb():
+    """Histogram-selection quantiles equal DuckDB quantile_disc exactly,
+    including point-mass groups, singletons, and skewed distributions."""
+    import duckdb
+    from prclz_ray.stages import relational
+    rng = np.random.default_rng(9)
+    keys, vals = [], []
+    # group 0: lognormal skew; group 1: point mass; group 2: singleton;
+    # group 3: two values; group 4: integers with heavy ties
+    keys += [0] * 500; vals += list(rng.lognormal(0, 2, 500))
+    keys += [1] * 100; vals += [3.25] * 100
+    keys += [2]; vals += [7.0]
+    keys += [3, 3]; vals += [1.0, 2.0]
+    keys += [4] * 200; vals += list(rng.integers(0, 5, 200).astype(float))
+    tbl = pa.table({"k": pa.array(keys, type=pa.int64()),
+                    "v": pa.array(vals, type=pa.float64())})
+    ds = rd.from_arrow(tbl).repartition(6)
+    got = relational.grouped_quantile_disc(ds, "k", "v",
+                                           qs=[0.25, 0.5, 0.75], bins=32)
+    want = duckdb.connect().execute(
+        "SELECT k, quantile_disc(v, 0.25) p25, quantile_disc(v, 0.5) p50, "
+        "quantile_disc(v, 0.75) p75 FROM tbl GROUP BY k ORDER BY k") \
+        .fetchdf()
+    assert np.allclose(got[["p25", "p50", "p75"]].to_numpy(),
+                       want[["p25", "p50", "p75"]].to_numpy(), rtol=0, atol=0)
