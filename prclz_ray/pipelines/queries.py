@@ -939,6 +939,36 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+def q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization of the event stream (8 h inactivity gap):
+    one row per (user, session ordinal) with event count, bounds and
+    duration — single-shuffle operator, oracle = the classic
+    LAG/SUM-OVER window-function sessionization."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    out = relational.sessionize(ev, user_col="user_id", ts_col="ts",
+                                gap_sec=28800)
+    return out.select_columns(["user_id", "session_idx", "n_events",
+                               "start_ts", "end_ts", "duration_sec"])
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 28800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+ s AS (SELECT user_id, ts,
+              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+       FROM o)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(FLOOR(epoch(MAX(ts) - MIN(ts))) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, sess
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filters over the raw corpus: the
     word-salad documents carry natural repetition (small vocabulary), so
@@ -1485,6 +1515,7 @@ def registry():
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARA_DEDUP),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION),
         "acctbal_quantiles_nation": (q_acctbal_quantiles, SQL_QUANTILES),
+        "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

@@ -552,6 +552,62 @@ def grouped_quantile_disc(ds, key_col: str, val_col: str, qs: list[float],
     return wide.reset_index().sort_values(key_col).reset_index(drop=True)
 
 
+def sessionize(events_ds, user_col: str, ts_col: str, gap_sec: int,
+               num_buckets: int = 64):
+    """Gap-based sessionization: consecutive events of a user belong to
+    one session while the inter-event gap stays ≤ ``gap_sec``; a larger
+    gap starts a new session.  Emits one row per session with
+    ``session_idx`` (per-user ordinal from 1, identical to the SQL
+    ``SUM(new_session) OVER (PARTITION BY user ORDER BY ts)`` convention),
+    event count, start/end timestamps and duration in seconds.
+
+    Scale shape: ONE shuffle — users hash into ``num_buckets`` coarse
+    buckets, and each bucket does a vectorized sort + diff + cumsum pass
+    that both assigns sessions and aggregates them (a user's rows are
+    fully contained in its bucket, so no second exchange).  Equal
+    timestamps within a user are order-independent (gap 0 either way), so
+    results are deterministic under any shuffle order.  At cluster scale
+    raise ``num_buckets`` ≈ total cores; salt only if one user dominates
+    a bucket (that user's rows still fit the sort)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch[user_col], num_buckets)
+        t = pa.table({user_col: batch[user_col], ts_col: batch[ts_col]})
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([user_col, ts_col])
+        u = df[user_col].to_numpy()
+        ts = df[ts_col].to_numpy()
+        ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        same_user = np.r_[False, u[1:] == u[:-1]]
+        gap = np.r_[0, np.diff(ts_i)]
+        new_sess = (~same_user) | (gap > gap_sec * 1_000_000)
+        g = np.cumsum(new_sess)  # global session id within bucket
+        # aggregate per session run (sessions are contiguous after sort)
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(g)] - 1
+        n_events = ends - starts + 1
+        sess_user = u[starts]
+        # per-user ordinal: sessions of a user are contiguous in `starts`
+        first_of_user = np.r_[True, sess_user[1:] != sess_user[:-1]]
+        user_start = np.maximum.accumulate(
+            np.where(first_of_user, np.arange(len(starts)), 0))
+        session_idx = np.arange(len(starts)) - user_start + 1
+        return pa.table({
+            user_col: pa.array(sess_user),
+            "session_idx": pa.array(session_idx.astype(np.int64)),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "start_ts": pa.array(ts_i[starts].astype("datetime64[us]")),
+            "end_ts": pa.array(ts_i[ends].astype("datetime64[us]")),
+            "duration_sec": pa.array(
+                (ts_i[ends] - ts_i[starts]) // 1_000_000),
+        })
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+
+
 SAMPLE_MIX = 0x9E3779B97F4A7C15  # golden-ratio 64-bit mix (shared with SQL twin)
 
 

@@ -289,3 +289,30 @@ def test_grouped_quantile_disc_exact_vs_duckdb():
         .fetchdf()
     assert np.allclose(got[["p25", "p50", "p75"]].to_numpy(),
                        want[["p25", "p50", "p75"]].to_numpy(), rtol=0, atol=0)
+
+
+def test_sessionize_gap_semantics():
+    from prclz_ray.stages import relational
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    rows = [
+        # user 1: 3 events close, gap, 1 event  -> sessions of 3 and 1
+        {"user_id": 1, "ts": base},
+        {"user_id": 1, "ts": base + 5 * m},
+        {"user_id": 1, "ts": base + 9 * m},
+        {"user_id": 1, "ts": base + 100 * m},
+        # user 2: single event
+        {"user_id": 2, "ts": base + 2 * m},
+        # user 3: two events exactly at the gap boundary (gap == 600s:
+        # NOT > gap -> same session)
+        {"user_id": 3, "ts": base},
+        {"user_id": 3, "ts": base + 10 * m},
+    ]
+    out = relational.sessionize(rd.from_items(rows).repartition(3),
+                                "user_id", "ts", gap_sec=600) \
+        .to_pandas().sort_values(["user_id", "session_idx"]) \
+        .reset_index(drop=True)
+    assert list(out.user_id) == [1, 1, 2, 3]
+    assert list(out.session_idx) == [1, 2, 1, 1]
+    assert list(out.n_events) == [3, 1, 1, 2]
+    assert list(out.duration_sec) == [540, 0, 0, 600]
