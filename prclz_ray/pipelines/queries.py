@@ -969,6 +969,63 @@ FROM s GROUP BY user_id, sess
 """
 
 
+#: decomposed-unicode + messy-whitespace suffix appended to even doc_ids so
+#: normalization has real work (NFC composition, case fold, run collapse,
+#: trim); embedded verbatim into the SQL literal too
+_NORM_SUFFIX = "   Cafe\u0301  NAI\u0308VE\t"  # decomposed accents: NFC composes them
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode/whitespace normalization profile: NFC, lowercase, collapse
+    whitespace runs, trim — with a per-doc changed flag.  Even doc_ids get
+    a decomposed-accent messy-whitespace suffix so the kernels are
+    exercised; odd docs must come back unchanged (changed=0)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        idn = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t0 = pc.binary_join_element_wise(
+            batch["text"],
+            pc.if_else(pa.array(idn % 2 == 0), pa.scalar(_NORM_SUFFIX),
+                       pa.scalar("")), "")
+        return pa.table({"doc_id": batch["doc_id"], "text": t0})
+
+    out = docs.map_batches(enrich, batch_format="pyarrow") \
+        .map_batches(text.normalize_text_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text_norm", "changed"])
+
+
+SQL_NORMALIZE = r"""
+WITH e AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id %% 2 = 0 THEN '%s' ELSE '' END AS t0
+  FROM documents),
+ n AS (
+  SELECT doc_id, t0,
+         regexp_replace(
+           regexp_replace(lower(nfc_normalize(t0)), '\s+', ' ', 'g'),
+           '^ +| +$', '', 'g') AS text_norm
+  FROM e)
+SELECT doc_id, text_norm,
+       CASE WHEN t0 <> text_norm THEN 1 ELSE 0 END AS changed
+FROM n
+""" % _NORM_SUFFIX
+
+
+def q_top_words(sf_dir: str):
+    """Corpus heavy hitters: global top-20 words (partial counts →
+    vocab groupby → per-block prune → tiny sort)."""
+    docs = _read(sf_dir, "documents", ["text"])
+    return text.top_k_words(docs, k=20).select(["word", "n"])
+
+
+SQL_TOP_WORDS = """
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filters over the raw corpus: the
     word-salad documents carry natural repetition (small vocabulary), so
@@ -1516,6 +1573,8 @@ def registry():
         "repetition_stats": (q_repetition_stats, SQL_REPETITION),
         "acctbal_quantiles_nation": (q_acctbal_quantiles, SQL_QUANTILES),
         "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+        "normalize_text": (q_normalize_text, SQL_NORMALIZE),
+        "top_words": (q_top_words, SQL_TOP_WORDS),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

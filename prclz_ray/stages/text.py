@@ -97,6 +97,73 @@ def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
     return out.append_column("tokens_re", bpe)
 
 
+def normalize_text_batch(batch: pa.Table, text_col="text",
+                         out_col="text_norm") -> pa.Table:
+    """CCNet-style text normalization, all arrow C++ kernels: unicode NFC
+    → lowercase → collapse whitespace runs to one space → trim spaces.
+    Emits the normalized column plus ``changed`` (1 when normalization
+    altered the text — the usual corpus-hygiene metric).
+
+    RE2 ``\\s`` is ASCII-only, so exotic unicode spaces survive — the
+    DuckDB twin (nfc_normalize/lower/regexp_replace) shares exactly that
+    behavior, which is what makes the op oracle-checkable.
+
+    NFC runs through ``unicodedata`` on the NON-ASCII rows only (pure
+    C per string; ASCII batches skip the pass entirely): pyarrow 16.1's
+    ``utf8_normalize(form="NFC")`` actually emits the DECOMPOSED form
+    (measured: U+00E9 → U+0065 U+0301 under every form), so the arrow
+    kernel cannot match DuckDB's nfc_normalize."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+    arr = batch[text_col]
+    nonascii = pc.match_substring_regex(arr, pattern=r"[^\x00-\x7F]")
+    if pc.any(nonascii).as_py():
+        m = nonascii.to_numpy(zero_copy_only=False)
+        lst = arr.to_pylist()
+        n = pa.array([unicodedata.normalize("NFC", t) if f else t
+                      for t, f in zip(lst, m)], type=pa.string())
+    else:
+        n = arr
+    n = pc.utf8_lower(n)
+    n = pc.replace_substring_regex(n, pattern=r"\s+", replacement=" ")
+    n = pc.replace_substring_regex(n, pattern=r"^ +| +$", replacement="")
+    changed = pc.cast(pc.not_equal(arr, n), pa.int64())
+    return batch.append_column(out_col, n).append_column("changed", changed)
+
+
+def top_k_words(ds, text_col="text", k: int = 20):
+    """Corpus heavy hitters: global top-k words by count.  Per-batch
+    partial counts (arrow group_by) → one groupby-sum per distinct word →
+    per-block top-k prune → driver-side merge of the k×num_blocks
+    candidates (no second all-to-all: after the groupby each word lives in
+    exactly one block, so the global top-k is a subset of the per-block
+    top-ks).  Ties at the k boundary break by word ascending (matches
+    ``ORDER BY n DESC, word`` exactly)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        g = pa.table({"word": pc.list_flatten(parts)}) \
+            .group_by("word").aggregate([("word", "count")])
+        return pa.table({"word": g["word"],
+                         "pcnt": g["word_count"].cast(pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("pcnt", alias_name="n"))
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = pa.table({"word": t["word"], "n": t["n"].cast(pa.int64())})
+        return t.sort_by([("n", "descending"), ("word", "ascending")]) \
+            .slice(0, k)
+
+    from .relational import ds_to_table
+    cand = ds_to_table(counts.map_batches(prune, batch_format="pyarrow"))
+    return cand.sort_by([("n", "descending"), ("word", "ascending")]) \
+        .slice(0, k)
+
+
 def repetition_stats_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Gopher-style repetition signals per doc: word count, the count of
     the most frequent word and word-bigram, and their fractions (quality

@@ -316,3 +316,15 @@ def test_sessionize_gap_semantics():
     assert list(out.session_idx) == [1, 2, 1, 1]
     assert list(out.n_events) == [3, 1, 1, 2]
     assert list(out.duration_sec) == [540, 0, 0, 600]
+
+
+def test_normalize_and_top_words():
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["  Café\t du  Monde ", "plain"])})
+    out = text.normalize_text_batch(t)
+    assert out.column("text_norm").to_pylist() == ["café du monde", "plain"]
+    assert out.column("changed").to_pylist() == [1, 0]
+
+    rows = [{"doc_id": i, "text": "b a a c b a"} for i in range(3)]
+    top = text.top_k_words(rd.from_items(rows).repartition(2), k=2).to_pandas()
+    assert list(top.word) == ["a", "b"] and list(top.n) == [9, 6]
