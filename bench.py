@@ -45,6 +45,12 @@ BENCH_QUERIES = [
     "minhash_dedup_documents",
     "token_counts_by_lang",
     "ann_topk_cosine",
+    # round-3 additions: paragraph dedup profile, sessionization, exact
+    # grouped quantiles, repetition filters
+    "paragraph_dedup",
+    "sessionize_events",
+    "acctbal_quantiles_nation",
+    "repetition_stats",
 ]
 
 

@@ -53,7 +53,8 @@ def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
 
 def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
                           sep: str = "\n\n", min_count: int = 2,
-                          num_buckets: int = 32):
+                          num_buckets: int = 32,
+                          broadcast_limit_bytes: int = 64 << 20):
     """CCNet-style paragraph-duplication profile: split each doc into
     paragraphs on ``sep``, find paragraphs repeated >= ``min_count`` times
     corpus-wide, and report per doc the paragraph count, the number of
@@ -62,27 +63,35 @@ def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
 
     Scale shape (nothing corpus-sized on the driver, no giant groups):
       1. arrow-native explode (split_pattern + list_parent_indices) to
-         narrow (key, hash64) rows — paragraph TEXT never shuffles;
+         narrow (key, hash64, n_paras) rows — paragraph TEXT never
+         shuffles, and every doc appears (split always yields ≥1 part)
+         so no outer join is needed later;
       2. per-batch partial counts then a tiny groupby-sum per hash
          (hot boilerplate paragraphs collapse inside each batch first,
          so the per-hash group holds at most one row per batch);
-      3. duplicate hashes (cnt >= min_count) rejoin via the bucketed
-         semi join — no broadcast assumption on the dup-hash side;
-      4. per-doc totals come straight off the split lengths and a
-         bucketed left join stitches the report.
+      3. duplicate hashes (cnt >= min_count) flag the para rows: the
+         dup-hash set broadcasts via ray.put when it fits
+         ``broadcast_limit_bytes`` (vectorized pc.is_in per batch — the
+         common case: dup paragraphs are a small fraction of distinct
+         ones), else a bucketed left join marks them (one exchange, no
+         broadcast assumption — same guarded pattern as
+         jaccard_verify_pairs);
+      4. one groupby per doc sums the flags: 2 total shuffles on the
+         broadcast path.
 
     The SQL oracle twin groups by the paragraph STRING itself (identical
     semantics absent blake2b collisions, same contract as exact_dedup)."""
-    from ray.data.aggregate import Count, Sum
-    from .relational import bucketed_hash_join, bucketed_semi_join
+    from ray.data.aggregate import Max, Sum
 
     def explode(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch[text_col], pattern=sep)
         flat = pc.list_flatten(parts)
         idx = pc.list_parent_indices(parts)
         h = _stable_u64(flat.to_pylist()).view(np.int64)
+        npar = pc.list_value_length(parts).cast(pa.int64())
         return pa.table({key_col: batch[key_col].take(idx),
-                         "_h": pa.array(h)})
+                         "_h": pa.array(h),
+                         "n_paras": npar.take(idx)})
 
     paras = ds.map_batches(explode, batch_format="pyarrow")
 
@@ -93,32 +102,58 @@ def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
 
     counts = paras.map_batches(partial_counts, batch_format="pyarrow") \
         .groupby("_h").aggregate(Sum("pcnt", alias_name="cnt"))
-    dup_hashes = counts.filter(expr=f"cnt >= {int(min_count)}")
+    dup_hashes = counts.filter(expr=f"cnt >= {int(min_count)}") \
+        .materialize()  # distinct-dup-hash-sized: needed twice below
 
-    dup_paras = bucketed_semi_join(paras, dup_hashes, on="_h",
-                                   num_buckets=num_buckets)
-    dups_per_doc = dup_paras.groupby(key_col).aggregate(
-        Count(alias_name="n_dup_paras"))
+    n_dup_hashes = dup_hashes.count()
+    if n_dup_hashes * 8 <= broadcast_limit_bytes:
+        import ray
+        dup_arr = np.sort(np.concatenate(
+            [b["_h"].to_numpy(zero_copy_only=False)
+             for b in dup_hashes.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        dup_ref = ray.put(pa.array(dup_arr, type=pa.int64()))
 
-    def totals(batch: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(batch[text_col], pattern=sep)
-        n = pc.list_value_length(parts).cast(pa.int64())
-        return pa.table({key_col: batch[key_col], "n_paras": n})
+        def flag(batch: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            isdup = pc.cast(pc.is_in(batch["_h"], value_set=dup), pa.int64())
+            return pa.table({key_col: batch[key_col],
+                             "n_paras": batch["n_paras"], "_dup": isdup})
 
-    per_doc = ds.map_batches(totals, batch_format="pyarrow")
-    joined = bucketed_hash_join(per_doc, dups_per_doc, on=key_col,
-                                num_buckets=num_buckets, how="left")
+        flagged = paras.map_batches(flag, batch_format="pyarrow")
+    else:
+        from .relational import bucketed_hash_join
+        marked = bucketed_hash_join(
+            paras, dup_hashes.map_batches(
+                lambda t: pa.table({"_h": t["_h"],
+                                    "_dup": pa.array(
+                                        np.ones(t.num_rows, dtype=np.int64))}),
+                batch_format="pyarrow"),
+            on="_h", num_buckets=num_buckets, how="left")
+
+        def fill(batch: pa.Table) -> pa.Table:
+            d = batch["_dup"].to_numpy(zero_copy_only=False)
+            d = np.nan_to_num(d.astype(np.float64), nan=0.0).astype(np.int64)
+            return pa.table({key_col: batch[key_col],
+                             "n_paras": batch["n_paras"].cast(pa.int64()),
+                             "_dup": pa.array(d)})
+
+        flagged = marked.map_batches(fill, batch_format="pyarrow")
+
+    per_doc = flagged.groupby(key_col).aggregate(
+        Sum("_dup", alias_name="n_dup_paras"),
+        Max("n_paras", alias_name="n_paras"))
 
     def finish(batch: pa.Table) -> pa.Table:
-        nd = batch["n_dup_paras"].to_numpy(zero_copy_only=False)
-        nd = np.nan_to_num(nd.astype(np.float64), nan=0.0).astype(np.int64)
+        nd = batch["n_dup_paras"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         n = batch["n_paras"].to_numpy(zero_copy_only=False).astype(np.int64)
         frac = np.round(nd / np.maximum(n, 1), 4)
         return pa.table({key_col: batch[key_col], "n_paras": pa.array(n),
                          "n_dup_paras": pa.array(nd),
                          "dup_frac": pa.array(frac)})
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ minhash

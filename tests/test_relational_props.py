@@ -1,0 +1,96 @@
+"""Randomized reference-comparison tests for the round-3 relational /
+text operators: distributed results must equal a straightforward
+single-process pandas/numpy reference on arbitrary inputs."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from prclz_ray.stages import dedup as dd
+from prclz_ray.stages import relational
+
+
+def _ref_sessions(df: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
+    rows = []
+    for uid, g in df.sort_values("ts").groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        gaps = np.diff(ts.astype("datetime64[us]").astype(np.int64))
+        new = np.r_[True, gaps > gap_sec * 1_000_000]
+        sess = np.cumsum(new)
+        for s in np.unique(sess):
+            m = sess == s
+            rows.append({
+                "user_id": uid, "session_idx": int(s),
+                "n_events": int(m.sum()),
+                "start_ts": ts[m].min(), "end_ts": ts[m].max(),
+            })
+    return pd.DataFrame(rows)
+
+
+def test_sessionize_matches_reference_on_random_stream():
+    rng = np.random.default_rng(17)
+    n = 3000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": base + rng.integers(0, 86_400_000_000 * 5, n)
+        .astype("timedelta64[us]"),
+    })
+    got = relational.sessionize(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(7),
+        "user_id", "ts", gap_sec=1800).to_pandas()
+    want = _ref_sessions(df, 1800)
+    key = ["user_id", "session_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got[key + ["n_events"]].to_numpy()
+            == want[key + ["n_events"]].to_numpy()).all()
+    assert (got["start_ts"].to_numpy() == want["start_ts"].to_numpy()).all()
+    assert (got["end_ts"].to_numpy() == want["end_ts"].to_numpy()).all()
+
+
+def test_paragraph_dedup_matches_reference_on_random_corpus():
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    boiler = ["SHARE ME", "SUBSCRIBE"]
+    docs = []
+    for i in range(120):
+        paras = [" ".join(rng.choice(vocab, 8))]  # unique-ish body
+        if i % 4 == 0:
+            paras.append(boiler[0])
+        if i % 7 == 0:
+            paras.append(boiler[1])
+        if i % 11 == 0:
+            paras.append(paras[0])  # self-duplicate body
+        docs.append({"doc_id": i, "text": "\n\n".join(paras)})
+    got = dd.paragraph_dedup_stats(rd.from_items(docs).repartition(5)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # reference
+    from collections import Counter
+    allp = Counter()
+    for d in docs:
+        allp.update(d["text"].split("\n\n"))
+    ref = []
+    for d in docs:
+        ps = d["text"].split("\n\n")
+        nd = sum(1 for p in ps if allp[p] >= 2)
+        ref.append((d["doc_id"], len(ps), nd))
+    assert [(int(r.doc_id), int(r.n_paras), int(r.n_dup_paras))
+            for r in got.itertuples()] == ref
+
+
+def test_grouped_quantile_random_uniform_keys():
+    import duckdb
+    rng = np.random.default_rng(31)
+    n = 5000
+    tbl = pa.table({"k": pa.array(rng.integers(0, 12, n), type=pa.int64()),
+                    "v": pa.array(rng.standard_normal(n) * 100)})
+    got = relational.grouped_quantile_disc(
+        rd.from_arrow(tbl).repartition(9), "k", "v",
+        qs=[0.25, 0.5, 0.75], bins=64)
+    want = duckdb.connect().execute(
+        "SELECT k, quantile_disc(v, 0.25) p25, quantile_disc(v, 0.5) p50, "
+        "quantile_disc(v, 0.75) p75 FROM tbl GROUP BY k ORDER BY k").fetchdf()
+    assert np.array_equal(got[["p25", "p50", "p75"]].to_numpy(),
+                          want[["p25", "p50", "p75"]].to_numpy())

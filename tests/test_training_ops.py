@@ -328,3 +328,19 @@ def test_normalize_and_top_words():
     rows = [{"doc_id": i, "text": "b a a c b a"} for i in range(3)]
     top = text.top_k_words(rd.from_items(rows).repartition(2), k=2).to_pandas()
     assert list(top.word) == ["a", "b"] and list(top.n) == [9, 6]
+
+
+def test_paragraph_dedup_bucketed_fallback_path():
+    """broadcast_limit_bytes=0 forces the bucketed-join marking path; it
+    must agree with the broadcast path exactly."""
+    rows = [
+        {"doc_id": 0, "text": "unique zero\n\nBOILER\n\nBOILER"},
+        {"doc_id": 1, "text": "unique one\n\nBOILER"},
+        {"doc_id": 2, "text": "unique two"},
+    ]
+    out = dd.paragraph_dedup_stats(rd.from_items(rows).repartition(2),
+                                   broadcast_limit_bytes=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.n_paras) == [3, 2, 1]
+    assert list(out.n_dup_paras) == [2, 1, 0]
+    assert list(out.dup_frac) == [0.6667, 0.5, 0.0]
