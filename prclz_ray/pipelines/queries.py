@@ -1026,6 +1026,18 @@ GROUP BY w ORDER BY n DESC, word ASC LIMIT 20
 """
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users over the event stream —
+    the COUNT(DISTINCT) scale path (16 KiB sketch per block, max-merge;
+    no key shuffle).  Deterministic across parallelism (register merge is
+    partitioning-invariant) but approximate by construction, so
+    rows-only: the error bound and determinism are pinned by pytest
+    instead of a SQL oracle."""
+    from ..stages import sketches
+    ev = _read(sf_dir, "events", ["user_id"])
+    return sketches.approx_distinct(ev, key_col="user_id")
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filters over the raw corpus: the
     word-salad documents carry natural repetition (small vocabulary), so
@@ -1575,6 +1587,7 @@ def registry():
         "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE),
         "top_words": (q_top_words, SQL_TOP_WORDS),
+        "approx_distinct_users": (q_approx_distinct_users, None),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

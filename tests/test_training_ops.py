@@ -344,3 +344,24 @@ def test_paragraph_dedup_bucketed_fallback_path():
     assert list(out.n_paras) == [3, 2, 1]
     assert list(out.n_dup_paras) == [2, 1, 0]
     assert list(out.dup_frac) == [0.6667, 0.5, 0.0]
+
+
+def test_hll_approx_distinct_error_and_determinism():
+    from prclz_ray.stages import sketches
+    rng = np.random.default_rng(41)
+    keys = rng.integers(0, 80_000, 200_000)  # ~73k distinct expected
+    exact = len(np.unique(keys))
+    tbl = pa.table({"k": pa.array(keys, type=pa.int64())})
+    ests = []
+    for parts in (2, 9):
+        out = sketches.approx_distinct(rd.from_arrow(tbl).repartition(parts),
+                                       "k")
+        ests.append(out.column("approx_distinct")[0].as_py())
+    # max-merge of registers is partitioning-invariant
+    assert ests[0] == ests[1]
+    assert abs(ests[0] - exact) / exact < 0.02
+    # small-cardinality linear-counting regime is near-exact
+    small = pa.table({"k": pa.array(np.arange(150), type=pa.int64())})
+    est = sketches.approx_distinct(rd.from_arrow(small), "k") \
+        .column("approx_distinct")[0].as_py()
+    assert abs(est - 150) <= 2
