@@ -1038,6 +1038,23 @@ def q_approx_distinct_users(sf_dir: str):
     return sketches.approx_distinct(ev, key_col="user_id")
 
 
+def q_corr_qty_price(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    from mergeable sufficient statistics (one narrow shuffle)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    df = relational.grouped_corr(li, "l_returnflag", "l_quantity",
+                                 "l_extendedprice")
+    return df[["l_returnflag", "n", "corr"]]
+
+
+SQL_CORR = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filters over the raw corpus: the
     word-salad documents carry natural repetition (small vocabulary), so
@@ -1588,6 +1605,7 @@ def registry():
         "normalize_text": (q_normalize_text, SQL_NORMALIZE),
         "top_words": (q_top_words, SQL_TOP_WORDS),
         "approx_distinct_users": (q_approx_distinct_users, None),
+        "corr_qty_price": (q_corr_qty_price, SQL_CORR),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

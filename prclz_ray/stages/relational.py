@@ -552,6 +552,51 @@ def grouped_quantile_disc(ds, key_col: str, val_col: str, qs: list[float],
     return wide.reset_index().sort_values(key_col).reset_index(drop=True)
 
 
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
+                 round_to: int = 4) -> pd.DataFrame:
+    """Per-group Pearson correlation from MERGEABLE sufficient statistics:
+    each batch contributes (n, Σx, Σy, Σx², Σy², Σxy) per key via one
+    arrow group_by, a single small groupby-sum merges them, and the
+    driver finishes with the textbook formula on group-cardinality rows.
+    ONE narrow shuffle regardless of data size — the streaming shape for
+    any moment-based statistic (cov/corr/regression slope/variance).
+
+    Rounded to ``round_to`` decimals: double sums keep ~1e-12 relative
+    precision at these magnitudes, far below the rounding grain, so the
+    result hash-matches DuckDB's ``corr`` exactly."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({key_col: batch[key_col],
+                      "n": pa.array(np.ones(len(x))),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "syy": pa.array(y * y),
+                      "sxy": pa.array(x * y)})
+        g = t.group_by(key_col).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(
+            [key_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]) \
+        .to_pandas()
+    n = merged["n"]
+    cov = merged["sxy"] - merged["sx"] * merged["sy"] / n
+    vx = merged["sxx"] - merged["sx"] ** 2 / n
+    vy = merged["syy"] - merged["sy"] ** 2 / n
+    out = pd.DataFrame({
+        key_col: merged[key_col],
+        "n": n.astype("int64"),
+        "corr": (cov / np.sqrt(vx * vy)).round(round_to),
+    })
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
 def sessionize(events_ds, user_col: str, ts_col: str, gap_sec: int,
                num_buckets: int = 64):
     """Gap-based sessionization: consecutive events of a user belong to

@@ -94,3 +94,21 @@ def test_grouped_quantile_random_uniform_keys():
         "quantile_disc(v, 0.75) p75 FROM tbl GROUP BY k ORDER BY k").fetchdf()
     assert np.array_equal(got[["p25", "p50", "p75"]].to_numpy(),
                           want[["p25", "p50", "p75"]].to_numpy())
+
+
+def test_grouped_corr_matches_duckdb_on_random():
+    import duckdb
+    rng = np.random.default_rng(7)
+    n = 20000
+    k = rng.integers(0, 6, n)
+    x = rng.standard_normal(n) * 10 + 50
+    y = 3 * x + rng.standard_normal(n) * 25
+    tbl = pa.table({"k": pa.array(k, type=pa.int64()),
+                    "x": pa.array(x), "y": pa.array(y)})
+    got = relational.grouped_corr(rd.from_arrow(tbl).repartition(8),
+                                  "k", "x", "y")
+    want = duckdb.connect().execute(
+        "SELECT k, COUNT(*) n, ROUND(corr(x,y),4) c FROM tbl "
+        "GROUP BY k ORDER BY k").fetchdf()
+    assert list(got["n"]) == list(want["n"])
+    assert list(got["corr"]) == list(want["c"])
