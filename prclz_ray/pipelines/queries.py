@@ -1055,6 +1055,47 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_top_orders_per_priority(sf_dir: str):
+    """Top-3 orders per order-priority by total price (ROW_NUMBER <= n
+    window pattern; per-batch prune keeps the shuffle at n*groups rows
+    per batch)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = relational.grouped_top_n(orders, key_col="o_orderpriority",
+                                   order_col="o_totalprice", n=3,
+                                   id_col="o_orderkey")
+    df = out.to_pandas()
+    return df[["o_orderpriority", "rnk", "o_orderkey", "o_totalprice"]]
+
+
+SQL_TOP_PER_PRIORITY = """
+SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_semi_customers_bloom(sf_dir: str):
+    """Same semantics as semi_customers_with_orders, executed through the
+    Bloom-prefiltered semi join: the keys side folds to a fixed bitmap,
+    non-matching customers drop BEFORE the shuffle, the exact bucketed
+    semi join removes Bloom false positives."""
+    from ..stages import sketches
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(lambda t: t.rename_columns(["c_custkey"]),
+                     batch_format="pyarrow")
+    return sketches.bloom_semi_join(cust, orders, on="c_custkey")
+
+
+SQL_SEMI_BLOOM = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filters over the raw corpus: the
     word-salad documents carry natural repetition (small vocabulary), so
@@ -1606,6 +1647,8 @@ def registry():
         "top_words": (q_top_words, SQL_TOP_WORDS),
         "approx_distinct_users": (q_approx_distinct_users, None),
         "corr_qty_price": (q_corr_qty_price, SQL_CORR),
+        "top_orders_per_priority": (q_top_orders_per_priority, SQL_TOP_PER_PRIORITY),
+        "semi_customers_bloom": (q_semi_customers_bloom, SQL_SEMI_BLOOM),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

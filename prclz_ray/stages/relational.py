@@ -552,6 +552,33 @@ def grouped_quantile_disc(ds, key_col: str, val_col: str, qs: list[float],
     return wide.reset_index().sort_values(key_col).reset_index(drop=True)
 
 
+def grouped_top_n(ds, key_col: str, order_col: str, n: int, id_col: str,
+                  descending: bool = True):
+    """Top-n rows PER GROUP (the ROW_NUMBER() ≤ n window pattern), with
+    the deterministic tie-break ``ORDER BY order_col [DESC], id_col``.
+
+    Scale shape: each batch first prunes itself to its own per-key top-n
+    (vectorized sort + groupby-head), so the shuffle carries at most
+    n·groups rows per BATCH rather than the full table; one groupby then
+    finishes each key.  Emits the selected rows plus ``rnk`` (1-based)."""
+    asc = [True, not descending, True]
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            [key_col, order_col, id_col], ascending=asc)
+        return pa.Table.from_pandas(df.groupby(key_col, sort=False).head(n),
+                                    preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([order_col, id_col],
+                              ascending=[not descending, True]).head(n)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(final, batch_format="pandas")
+
+
 def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
                  round_to: int = 4) -> pd.DataFrame:
     """Per-group Pearson correlation from MERGEABLE sufficient statistics:

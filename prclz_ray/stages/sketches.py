@@ -52,6 +52,72 @@ def _estimate(regs: np.ndarray, p: int) -> float:
     return float(est)
 
 
+def build_bloom(keys_ds, on: str, n_keys: int, bits_per_key: int = 10,
+                num_hashes: int = 7) -> tuple[np.ndarray, int]:
+    """Mergeable Bloom filter of a key column: each block ORs its keys
+    into a fixed bitmap (double hashing h1 + i·h2 over the process-stable
+    siphash), the driver ORs the per-block rows.  Bitmap size is the next
+    power of two ≥ n_keys·bits_per_key (~1 % false positives at 10/7).
+    Returns (packed uint8 bitmap, bit count m)."""
+    m = 1 << max(10, int(np.ceil(np.log2(max(1, n_keys) * bits_per_key))))
+    mask = np.uint64(m - 1)
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        h1 = _hash_u64(batch[on])
+        with np.errstate(over="ignore"):
+            h2 = h1 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        bits = np.zeros(m, dtype=bool)
+        for i in range(num_hashes):
+            with np.errstate(over="ignore"):
+                bits[((h1 + np.uint64(i) * h2) & mask).astype(np.int64)] = True
+        return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()],
+                                           type=pa.binary())})
+
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    parts = keys_ds.map_batches(block_bloom, batch_format="pyarrow",
+                                batch_size=None)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for buf in b["bloom"].to_pylist():
+            np.bitwise_or(merged, np.frombuffer(buf, dtype=np.uint8),
+                          out=merged)
+    return merged, m
+
+
+def bloom_semi_join(big_ds, keys_ds, on: str, num_buckets: int = 32,
+                    bits_per_key: int = 10, num_hashes: int = 7):
+    """EXACT semi join with a Bloom pre-filter: the keys side folds to a
+    fixed-size bitmap (no broadcast of the keys themselves), every big-
+    side batch drops rows that can't match BEFORE the shuffle, and the
+    surviving ~|matches|·(1+fp) rows go through the exact bucketed semi
+    join.  Same result as ``bucketed_semi_join`` (the exact pass removes
+    Bloom false positives); the win is shuffle volume — when the semi
+    join is selective, the exchange shrinks by the selectivity factor at
+    the cost of one fixed-size bitmap broadcast."""
+    import ray
+
+    from .relational import bucketed_semi_join
+    n_keys = keys_ds.count()
+    bitmap, m = build_bloom(keys_ds, on, n_keys, bits_per_key, num_hashes)
+    bm_ref = ray.put(bitmap)
+    mask = np.uint64(m - 1)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bm = np.unpackbits(ray.get(bm_ref)).astype(bool)
+        h1 = _hash_u64(batch[on])
+        with np.errstate(over="ignore"):
+            h2 = h1 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        keep = np.ones(len(h1), dtype=bool)
+        for i in range(num_hashes):
+            with np.errstate(over="ignore"):
+                keep &= bm[((h1 + np.uint64(i) * h2) & mask)
+                           .astype(np.int64)]
+        return batch.filter(pa.array(keep))
+
+    survivors = big_ds.map_batches(prefilter, batch_format="pyarrow")
+    return bucketed_semi_join(survivors, keys_ds, on,
+                              num_buckets=num_buckets)
+
+
 def approx_distinct(ds, key_col: str, p: int = 14) -> pa.Table:
     """Approximate COUNT(DISTINCT key_col) over a Dataset.
 

@@ -112,3 +112,35 @@ def test_grouped_corr_matches_duckdb_on_random():
         "GROUP BY k ORDER BY k").fetchdf()
     assert list(got["n"]) == list(want["n"])
     assert list(got["corr"]) == list(want["c"])
+
+
+def test_bloom_semi_join_selective_and_exact():
+    """Bloom prefilter must drop non-matching rows pre-shuffle and the
+    final result must equal the exact semi join (false positives gone)."""
+    from prclz_ray.stages import sketches
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(5000), type=pa.int64()),
+        "v": pa.array(np.arange(5000) * 2)})).repartition(6)
+    keys = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, 5000, 100), type=pa.int64())}))
+    got = sketches.bloom_semi_join(big, keys, on="k").to_pandas()
+    assert sorted(got["k"]) == list(range(0, 5000, 100))
+    assert (got.sort_values("k")["v"].to_numpy()
+            == np.arange(0, 5000, 100) * 2).all()
+
+
+def test_grouped_top_n_ties_and_small_groups():
+    from prclz_ray.stages import relational
+    rows = [
+        {"g": "a", "id": 1, "x": 10.0}, {"g": "a", "id": 2, "x": 10.0},
+        {"g": "a", "id": 3, "x": 5.0}, {"g": "a", "id": 4, "x": 20.0},
+        {"g": "b", "id": 5, "x": 1.0},
+    ]
+    out = relational.grouped_top_n(
+        rd.from_items(rows).repartition(3), key_col="g", order_col="x",
+        n=2, id_col="id").to_pandas().sort_values(["g", "rnk"]) \
+        .reset_index(drop=True)
+    # a: 20 (id4) then the x=10 tie resolves to min id (id1); b: singleton
+    assert list(out.g) == ["a", "a", "b"]
+    assert list(out.id) == [4, 1, 5]
+    assert list(out.rnk) == [1, 2, 1]
