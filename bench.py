@@ -149,6 +149,10 @@ def main() -> None:
 
     flagship = run_flagship_bench()
     total = round(sum(timings.values()) + flagship["sec"], 3)
+    # cross-round comparability: rounds 1-2 benched the first 12 queries;
+    # report that subtotal alongside the grown headline set
+    legacy = round(sum(timings[q] for q in BENCH_QUERIES[:12])
+                   + flagship["sec"], 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)
@@ -157,6 +161,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "spatial-join + tile-assignment throughput (rows/sec)",
         "value": total, "unit": "sec", "queries": timings,
+        "legacy_12q_total": legacy,
         "sf": sf, "num_cpus": NUM_CPUS, "flagship": flagship,
     }))
     import ray

@@ -211,6 +211,51 @@ def cmd_flagship(a):
         print(info.get("write"))
 
 
+_CORPUS_STAGES = ("normalize", "langid", "quality", "tokens", "repetition",
+                  "pii", "fingerprint")
+
+
+def cmd_corpus(a):
+    """Corpus-hygiene pipeline over a documents parquet: the per-batch
+    stages fuse into one streaming operator (no intermediate
+    materialization), an optional dedup shuffles at the end, and the
+    enriched corpus writes back to parquet."""
+    from .stages import dedup as D
+    from .stages import text as T
+    _init_ray()
+    docs = _read(a.docs)
+    stages = (_CORPUS_STAGES if a.stages == "all"
+              else tuple(s.strip() for s in a.stages.split(",")))
+    unknown = set(stages) - set(_CORPUS_STAGES)
+    if unknown:
+        raise SystemExit(f"unknown corpus stages: {sorted(unknown)}")
+    if "normalize" in stages:
+        docs = docs.map_batches(T.normalize_text_batch,
+                                batch_format="pyarrow")
+    if "langid" in stages:
+        docs = docs.map_batches(T.LangId, batch_format="pandas",
+                                concurrency=(1, 4))
+    if "quality" in stages:
+        docs = docs.map_batches(T.QualityScorer, batch_format="pandas",
+                                concurrency=(1, 4))
+    if "tokens" in stages:
+        docs = docs.map_batches(T.token_count_batch, batch_format="pyarrow")
+    if "repetition" in stages:
+        docs = docs.map_batches(T.repetition_stats_batch,
+                                batch_format="pyarrow")
+    if "pii" in stages:
+        docs = docs.map_batches(T.redact_pii_batch, batch_format="pyarrow")
+    if "fingerprint" in stages:
+        docs = docs.map_batches(T.fingerprint_batch, batch_format="pyarrow")
+    if a.dedup == "exact":
+        docs = D.exact_dedup(docs, text_col=a.text_col, key_col=a.key_col)
+    elif a.dedup == "minhash":
+        docs, _ = D.minhash_lsh_dedup(docs, key_col=a.key_col,
+                                      text_col=a.text_col)
+    docs.write_parquet(a.out)
+    print(a.out)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="prclz_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -281,6 +326,21 @@ def main(argv=None):
                    help="manifest-checkpointed per-block output: skip blocks "
                         "already committed (reference --progress ledger)")
     s.set_defaults(fn=cmd_reblock)
+
+    s = sub.add_parser("corpus", help="training-data corpus hygiene: "
+                       "normalize/langid/quality/tokens/repetition/pii/"
+                       "fingerprint stages (fused streaming maps) + "
+                       "optional dedup, parquet out")
+    s.add_argument("--docs", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--stages", default="all",
+                   help=f"comma list from {','.join(_CORPUS_STAGES)} "
+                        "(default all)")
+    s.add_argument("--dedup", choices=["none", "exact", "minhash"],
+                   default="none")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--key-col", default="doc_id")
+    s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser("flagship")
     s.add_argument("--pages", required=True)

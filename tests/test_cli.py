@@ -70,3 +70,28 @@ def test_complexity_resume(capsys):
     cli.main(args)
     third = capsys.readouterr().out
     assert "1 partitions written" in third
+
+
+def test_cli_corpus_pipeline(tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from prclz_ray.cli import main
+    docs = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array(["the quick brown fox jumps high"] * 3
+                         + ["le chien brun dort", "x y z", "a b c d"]),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, src)
+    out = tmp_path / "corpus_out"
+    main(["corpus", "--docs", str(src), "--out", str(out),
+          "--dedup", "exact"])
+    got = pq.read_table(str(out))
+    # exact dedup: 3 identical texts collapse to min doc_id
+    assert got.num_rows == 4
+    cols = set(got.column_names)
+    for c in ("text_norm", "lang_pred", "q_score", "tokens_ws",
+              "top_word_frac", "n_email", "text_redacted", "fingerprint"):
+        assert c in cols, c
+    kept = sorted(got.column("doc_id").to_pylist())
+    assert kept == [0, 3, 4, 5]
