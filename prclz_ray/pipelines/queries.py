@@ -1096,6 +1096,33 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 
+def q_sliding_window_activity(sf_dir: str):
+    """Sliding 1-hour windows every 15 minutes per user: each event lands
+    in 4 windows via a vectorized membership explode collapsed by
+    in-batch partial aggregation before the shuffle."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = relational.sliding_window_aggregate(ev, "user_id", "ts", "value",
+                                              window_sec=3600,
+                                              slide_sec=900)
+    df = out.to_pandas()
+    return _round2(df[["user_id", "window_start", "sum_value", "n_events"]],
+                   ["sum_value"])
+
+
+SQL_SLIDING = """
+WITH e AS (
+  SELECT user_id, value,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900 AS tidx
+  FROM events),
+ m AS (
+  SELECT user_id, value, (tidx - j) * 900 AS window_start
+  FROM e, unnest(generate_series(0, 3)) AS t(j))
+SELECT user_id, window_start, ROUND(SUM(value), 2) AS sum_value,
+       COUNT(*) AS n_events
+FROM m GROUP BY user_id, window_start
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filters over the raw corpus: the
     word-salad documents carry natural repetition (small vocabulary), so
@@ -1649,6 +1676,7 @@ def registry():
         "corr_qty_price": (q_corr_qty_price, SQL_CORR),
         "top_orders_per_priority": (q_top_orders_per_priority, SQL_TOP_PER_PRIORITY),
         "semi_customers_bloom": (q_semi_customers_bloom, SQL_SEMI_BLOOM),
+        "sliding_window_activity": (q_sliding_window_activity, SQL_SLIDING),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

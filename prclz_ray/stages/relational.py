@@ -680,6 +680,59 @@ def sessionize(events_ds, user_col: str, ts_col: str, gap_sec: int,
                                                 batch_format="pandas")
 
 
+def sliding_window_aggregate(events_ds, key_col: str, ts_col: str,
+                             value_col: str, window_sec: int, slide_sec: int,
+                             num_buckets: int = 64):
+    """SLIDING-window aggregate (window W, slide S, W a multiple of S):
+    an event at t belongs to every window starting in
+    (t - W, t] on the slide grid — exactly W/S windows.  Per batch the
+    membership explode is one vectorized repeat (rows × W/S), immediately
+    collapsed by the same in-batch partial aggregation as the tumbling
+    ``windowed_aggregate``, so the shuffle carries (key, window) partials,
+    not the exploded rows.  Emits one row per (key, window_start_epoch_s)
+    with n_events / sum_value.
+
+    The SQL twin is the generate_series membership join — identical
+    window-id arithmetic on integer epochs, no float boundary hazard."""
+    if window_sec % slide_sec:
+        raise ValueError("window_sec must be a multiple of slide_sec")
+    r = window_sec // slide_sec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[ts_col]
+        fac = _TS_UNIT_FACTOR[arr.type.unit]
+        t = (arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // (fac * slide_sec))  # slide-grid index of the event
+        n = len(t)
+        # windows w with w*S <= t' < w*S + W  ⇔  w in [t_idx - r + 1, t_idx]
+        w = (np.repeat(t, r) - np.tile(np.arange(r, dtype=np.int64), n))
+        keys = batch[key_col].take(pa.array(np.repeat(np.arange(n), r)))
+        vals = batch[value_col].take(pa.array(np.repeat(np.arange(n), r)))
+        tt = pa.table({key_col: keys, "window": pa.array(w * slide_sec),
+                       "v": vals})
+        g = tt.group_by([key_col, "window"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        h = pd.util.hash_array(g[key_col].to_numpy(zero_copy_only=False))
+        return pa.table({
+            key_col: g[key_col], "window": g["window"],
+            "part_sum": g["v_sum"], "part_n": g["v_count"],
+            "_bucket": pa.array((h % num_buckets).astype(np.int32)),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, "window"]).aggregate(
+            [("part_sum", "sum"), ("part_n", "sum")])
+        return pa.table({
+            key_col: g[key_col], "window_start": g["window"],
+            "sum_value": g["part_sum_sum"],
+            "n_events": g["part_n_sum"].cast(pa.int64()),
+        })
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("_bucket").map_groups(combine,
+                                                  batch_format="pyarrow")
+
+
 SAMPLE_MIX = 0x9E3779B97F4A7C15  # golden-ratio 64-bit mix (shared with SQL twin)
 
 

@@ -144,3 +144,21 @@ def test_grouped_top_n_ties_and_small_groups():
     assert list(out.g) == ["a", "a", "b"]
     assert list(out.id) == [4, 1, 5]
     assert list(out.rnk) == [1, 2, 1]
+
+
+def test_sliding_window_contains_each_event_r_times():
+    from prclz_ray.stages import relational
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [{"user_id": 1, "ts": base + np.timedelta64(i * 613, "s"),
+             "value": 1.0} for i in range(50)]
+    out = relational.sliding_window_aggregate(
+        rd.from_items(rows).repartition(4), "user_id", "ts", "value",
+        window_sec=3600, slide_sec=900).to_pandas()
+    # every event appears in exactly window/slide = 4 windows
+    assert out["n_events"].sum() == 50 * 4
+    # window membership is correct: event at t is inside [w, w+3600)
+    epochs = np.array([(r["ts"] - np.datetime64(0, "s"))
+                       / np.timedelta64(1, "s") for r in rows])
+    for w, cnt in zip(out["window_start"], out["n_events"]):
+        inside = ((epochs >= w) & (epochs < w + 3600)).sum()
+        assert cnt == inside
