@@ -1123,6 +1123,47 @@ FROM m GROUP BY user_id, window_start
 """
 
 
+def q_rare_word_stats(sf_dir: str):
+    """Hapax/low-DF word-type density per doc.  The tiny natural
+    vocabulary makes every raw word common, so each doc gains one
+    df=2 'duo' token (shared with its pair doc) and even docs gain one
+    df=1 'uq' hapax - exercising both rarity classes while the common
+    head flags through the broadcast path."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        idn = ids.to_numpy(zero_copy_only=False)
+        j = pc.binary_join_element_wise
+        duo = j(" duo", pc.cast(pa.array(idn // 2), pa.string()), "")
+        uq = j(" uq", pc.cast(ids, pa.string()), "")
+        t0 = j(batch["text"], duo,
+               pc.if_else(pa.array(idn % 2 == 0), uq, pa.scalar("")), "")
+        return pa.table({"doc_id": ids, "text": t0})
+
+    out = text.rare_word_stats(
+        docs.map_batches(enrich, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "n_types", "n_rare_types",
+                               "rare_frac"])
+
+
+SQL_RARE_WORDS = """
+WITH e AS (
+  SELECT doc_id, text || ' duo' || CAST(doc_id // 2 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' uq' || CAST(doc_id AS VARCHAR) ELSE '' END AS t0
+  FROM documents),
+ w AS (SELECT DISTINCT doc_id, unnest(string_split(t0, ' ')) AS w FROM e),
+ df AS (SELECT w, COUNT(*) AS df FROM w GROUP BY w),
+ j AS (SELECT doc_id, CASE WHEN df.df <= 2 THEN 1 ELSE 0 END AS rare
+       FROM w JOIN df ON w.w = df.w)
+SELECT doc_id, COUNT(*) AS n_types,
+       CAST(SUM(rare) AS BIGINT) AS n_rare_types,
+       FLOOR(SUM(rare) * 10000.0 / COUNT(*)) / 10000 AS rare_frac
+FROM j GROUP BY doc_id
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filters over the raw corpus: the
     word-salad documents carry natural repetition (small vocabulary), so
@@ -1677,6 +1718,7 @@ def registry():
         "top_orders_per_priority": (q_top_orders_per_priority, SQL_TOP_PER_PRIORITY),
         "semi_customers_bloom": (q_semi_customers_bloom, SQL_SEMI_BLOOM),
         "sliding_window_activity": (q_sliding_window_activity, SQL_SLIDING),
+        "rare_word_stats": (q_rare_word_stats, SQL_RARE_WORDS),
         "ann_topk_cosine": (q_ann_topk_cosine, SQL_ANN),
         "minhash_dedup_documents": (q_minhash_dedup_documents,
                                     SQL_MINHASH_DEDUP),

@@ -164,6 +164,110 @@ def top_k_words(ds, text_col="text", k: int = 20):
         .slice(0, k)
 
 
+def rare_word_stats(ds, key_col: str = "doc_id", text_col: str = "text",
+                    max_df: int = 2, num_buckets: int = 32,
+                    broadcast_limit_bytes: int = 64 << 20):
+    """Rare-word density per doc: the count and fraction of word TYPES
+    whose corpus-wide document frequency is ≤ ``max_df`` (hapax-heavy
+    docs are a classic spam/garbage signal; the inverse of stopword
+    density).
+
+    Scale shape mirrors paragraph_dedup_stats:
+      1. per-doc DISTINCT (key, word-hash) pairs explode arrow-native,
+         each carrying the doc's type count — word strings never shuffle;
+      2. per-batch partial df counts → one groupby-sum per distinct word;
+      3. COMMON words (df > max_df — the Zipf head) flag the pairs via a
+         size-guarded ray.put broadcast + pc.is_in, falling back to a
+         bucketed left join;  n_rare = n_types − n_common needs no
+         rare-side set at all;
+      4. one per-doc groupby.
+    Fraction floor-truncated at 4 decimals (numpy/DuckDB-identical)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+    from .dedup import _stable_u64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        idx = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = np.asarray(pc.list_flatten(parts))
+        h = _stable_u64([w for w in flat]).view(np.int64)
+        # distinct (doc, word) within the batch == global distinct
+        # (each doc is one row, fully contained in its batch)
+        order = np.lexsort((h, idx))
+        si, sh = idx[order], h[order]
+        keep = np.r_[True, (si[1:] != si[:-1]) | (sh[1:] != sh[:-1])] \
+            if len(si) else np.array([], bool)
+        di, dh = si[keep], sh[keep]
+        n_types = np.bincount(di, minlength=batch.num_rows).astype(np.int64)
+        return pa.table({key_col: batch[key_col].take(pa.array(di)),
+                         "_h": pa.array(dh),
+                         "n_types": pa.array(n_types[di])})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("_h").aggregate([("_h", "count")])
+        return pa.table({"_h": g["_h"],
+                         "pdf": g["_h_count"].cast(pa.int64())})
+
+    dfreq = pairs.map_batches(partial_df, batch_format="pyarrow") \
+        .groupby("_h").aggregate(Sum("pdf", alias_name="df"))
+    common = dfreq.filter(expr=f"df > {int(max_df)}").materialize()
+
+    n_common = common.count()
+    if n_common * 8 <= broadcast_limit_bytes:
+        import ray
+        arr = np.sort(np.concatenate(
+            [b["_h"].to_numpy(zero_copy_only=False)
+             for b in common.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        ref = ray.put(pa.array(arr, type=pa.int64()))
+
+        def flag(batch: pa.Table) -> pa.Table:
+            iscom = pc.cast(pc.is_in(batch["_h"], value_set=ray.get(ref)),
+                            pa.int64())
+            return pa.table({key_col: batch[key_col],
+                             "n_types": batch["n_types"], "_com": iscom})
+
+        flagged = pairs.map_batches(flag, batch_format="pyarrow")
+    else:
+        from .relational import bucketed_hash_join
+        marked = bucketed_hash_join(
+            pairs, common.map_batches(
+                lambda t: pa.table({"_h": t["_h"],
+                                    "_com": pa.array(np.ones(t.num_rows,
+                                                             dtype=np.int64))}),
+                batch_format="pyarrow"),
+            on="_h", num_buckets=num_buckets, how="left")
+
+        def fill(batch: pa.Table) -> pa.Table:
+            c = batch["_com"].to_numpy(zero_copy_only=False)
+            c = np.nan_to_num(c.astype(np.float64), nan=0.0).astype(np.int64)
+            return pa.table({key_col: batch[key_col],
+                             "n_types": batch["n_types"].cast(pa.int64()),
+                             "_com": pa.array(c)})
+
+        flagged = marked.map_batches(fill, batch_format="pyarrow")
+
+    per_doc = flagged.groupby(key_col).aggregate(
+        Sum("_com", alias_name="n_common"),
+        Max("n_types", alias_name="n_types"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch["n_types"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch["n_common"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nr = nt - nc
+        frac = np.floor(nr * 10000.0 / np.maximum(nt, 1)) / 10000
+        return pa.table({key_col: batch[key_col], "n_types": pa.array(nt),
+                         "n_rare_types": pa.array(nr),
+                         "rare_frac": pa.array(frac)})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def repetition_stats_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Gopher-style repetition signals per doc: word count, the count of
     the most frequent word and word-bigram, and their fractions (quality

@@ -365,3 +365,20 @@ def test_hll_approx_distinct_error_and_determinism():
     est = sketches.approx_distinct(rd.from_arrow(small), "k") \
         .column("approx_distinct")[0].as_py()
     assert abs(est - 150) <= 2
+
+
+def test_rare_word_stats_both_paths():
+    rows = [
+        {"doc_id": 0, "text": "common common unique0"},
+        {"doc_id": 1, "text": "common unique1 unique1"},  # types: common, unique1
+        {"doc_id": 2, "text": "common shared"},
+        {"doc_id": 3, "text": "shared common"},
+    ]
+    # df: common=4 (>2 common-head), unique0=1, unique1=1, shared=2
+    for limit in (64 << 20, 0):  # broadcast path, then bucketed fallback
+        out = text.rare_word_stats(rd.from_items(rows).repartition(2),
+                                   max_df=2, broadcast_limit_bytes=limit) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out.n_types) == [2, 2, 2, 2]
+        assert list(out.n_rare_types) == [1, 1, 1, 1]
+        assert list(out.rare_frac) == [0.5] * 4
