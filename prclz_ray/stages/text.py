@@ -185,14 +185,15 @@ def rare_word_stats(ds, key_col: str = "doc_id", text_col: str = "text",
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Max, Sum
-    from .dedup import _stable_u64
 
     def explode(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch[text_col], pattern=" ")
         idx = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         flat = np.asarray(pc.list_flatten(parts))
-        h = _stable_u64([w for w in flat]).view(np.int64)
+        # process-stable C-vectorized siphash (same primitive as
+        # stable_bucket) — no per-word python hashing in this hot path
+        h = pd.util.hash_array(flat.astype(object)).view(np.int64)
         # distinct (doc, word) within the batch == global distinct
         # (each doc is one row, fully contained in its batch)
         order = np.lexsort((h, idx))
