@@ -87,7 +87,9 @@ def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
         parts = pc.split_pattern(batch[text_col], pattern=sep)
         flat = pc.list_flatten(parts)
         idx = pc.list_parent_indices(parts)
-        h = _stable_u64(flat.to_pylist()).view(np.int64)
+        # C-vectorized process-stable siphash over the paragraph strings
+        h = pd.util.hash_array(np.asarray(flat, dtype=object)) \
+            .view(np.int64)
         npar = pc.list_value_length(parts).cast(pa.int64())
         return pa.table({key_col: batch[key_col].take(idx),
                          "_h": pa.array(h),
