@@ -1367,6 +1367,162 @@ WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
 """
 
 
+_SEM_K, _SEM_DIM, _SEM_SEED = 8, 64, 7
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Distributed cluster assignment (argmax cosine to a broadcast
+    centroid matrix) — the map half of k-means / SemDeDup.  Centroids are
+    fixed seeded unit vectors shared with the SQL twin as exact-repr
+    literals, so the oracle pins every row's cluster id (no floats in the
+    output)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = similarity.fixed_centroids(_SEM_K, _SEM_DIM, _SEM_SEED)
+    out = similarity.kmeans_assign(emb, C).to_pandas()
+    return out.astype({"vec_id": "int64", "cluster": "int64"})
+
+
+def _kmeans_assign_sql() -> str:
+    from ..stages.similarity import centroid_sql_values, fixed_centroids
+    vals = centroid_sql_values(fixed_centroids(_SEM_K, _SEM_DIM, _SEM_SEED))
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {vals}),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding, c.c) AS s
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+FROM (SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cid) AS rn
+      FROM sims)
+WHERE rn = 1
+"""
+
+
+SQL_KMEANS_ASSIGN = _kmeans_assign_sql()
+
+
+def q_semantic_dup_pairs(sf_dir: str):
+    """SemDeDup over embeddings augmented with 20 seeded exact copies
+    (vec_id + 1_000_000): cluster-partition by fixed centroids, exact
+    within-cluster cosine ≥ 0.95.  Exact copies share their original's
+    cluster by construction, so within-cluster recall on them is 1 and the
+    oracle's cluster-restricted exhaustive scan is set-equal."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeded = emb.filter(expr="vec_id < 20").map_batches(
+        lambda t: pa.table({"vec_id": pc.add(t["vec_id"], 1_000_000),
+                            "embedding": t["embedding"]}),
+        batch_format="pyarrow")
+    C = similarity.fixed_centroids(_SEM_K, _SEM_DIM, _SEM_SEED)
+    df = dd.semantic_dup_pairs(emb.union(seeded), C,
+                               cosine_threshold=0.95).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "cluster": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df[["a", "b", "cluster", "cosine"]]
+
+
+def _semantic_dup_sql() -> str:
+    from ..stages.similarity import centroid_sql_values, fixed_centroids
+    vals = centroid_sql_values(fixed_centroids(_SEM_K, _SEM_DIM, _SEM_SEED))
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 20
+),
+cents(cid, c) AS (VALUES
+    {vals}),
+sims AS (
+  SELECT a.vec_id, c.cid,
+         list_cosine_similarity(a.embedding, c.c) AS s
+  FROM aug a CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cid) AS rn
+        FROM sims)
+  WHERE rn = 1
+)
+SELECT x.vec_id AS a, y.vec_id AS b, CAST(ax.cid AS BIGINT) AS cluster,
+       CAST(ROUND(list_cosine_similarity(x.embedding, y.embedding), 4)
+            AS DOUBLE) AS cosine
+FROM aug x
+JOIN aug y ON x.vec_id < y.vec_id
+JOIN assign ax ON ax.vec_id = x.vec_id
+JOIN assign ay ON ay.vec_id = y.vec_id AND ay.cid = ax.cid
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+"""
+
+
+SQL_SEMANTIC_DUP = _semantic_dup_sql()
+
+
+def q_running_total_user(sf_dir: str):
+    """Cumulative window — per-user running event count and running value
+    total ordered by (ts, event_id).  The sum runs on integer cents so the
+    result is accumulation-order-exact on both engines; the output divides
+    back to currency (same integer numerator ⇒ identical doubles)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "cents": cents})
+
+    out = relational.running_aggregate(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+        value_col="cents").to_pandas()
+    out["running_value"] = out["running_sum"] / 100.0
+    out = out.drop(columns=["ts", "running_sum"])
+    return out[["event_id", "user_id", "running_n",
+                "running_value"]].astype({"running_n": "int64"})
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS running_n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_pivot_orders(sf_dir: str):
+    """Pivot / wide conditional aggregation: order counts per priority
+    spread across one column per order status."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    out = relational.pivot_counts(orders, row_col="o_orderpriority",
+                                  col_col="o_orderstatus",
+                                  col_values=["F", "O", "P"]).to_pandas()
+    cols = ["o_orderpriority", "n_F", "n_O", "n_P", "n_total"]
+    return out[cols].astype({c: "int64" for c in cols[1:]})
+
+
+SQL_PIVOT_ORDERS = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P,
+       COUNT(*) AS n_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q_ngram_jaccard_sampled(sf_dir: str):
     """Exact 5-gram Jaccard over a deterministic pair sample
     (doc_id i ↔ i+250): the n-gram-Jaccard dedup primitive with a full
@@ -1724,6 +1880,10 @@ def registry():
                                     SQL_MINHASH_DEDUP),
         "simhash_candidate_pairs": (q_simhash_candidate_pairs, SQL_SIMHASH),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMB_DUP),
+        "kmeans_assign_embeddings": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+        "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP),
+        "running_total_user": (q_running_total_user, SQL_RUNNING_TOTAL),
+        "pivot_orders_status": (q_pivot_orders, SQL_PIVOT_ORDERS),
         "langid_documents": (q_langid_documents, SQL_LANGID),
         "ngram_jaccard_sampled": (q_ngram_jaccard_sampled, SQL_NGRAM_JACCARD),
         "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT),

@@ -747,6 +747,88 @@ class _HyperplaneBucketizer:
         })
 
 
+def semantic_dup_pairs(ds, centroids, key_col="vec_id", vec_col="embedding",
+                       cosine_threshold=0.95, max_cluster=100_000,
+                       round_to: int | None = 4):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-partitioned
+    semantic dedup.  Each vector is assigned to its argmax-cosine centroid
+    (k-means-trained via ``similarity.kmeans_fit``, or any fixed matrix),
+    then duplicates are found by EXACT pairwise cosine WITHIN each cluster
+    — pairs ≥ τ are semantic duplicates (keep the min-id representative,
+    i.e. the drop list is the ``b`` column, the exact-dedup convention).
+
+    Scale shape: one assignment map (centroids broadcast once per worker)
+    + ONE groupby(cluster) shuffle; within-cluster work is O(c²), bounded
+    by choosing k ∝ N/target_cluster_size (the SemDeDup recipe — clusters
+    of ~10⁴ at any corpus size) plus a deterministic ``max_cluster`` cap
+    (truncation logged).  Compared to ``embedding_dedup_pairs`` (banded
+    sign-LSH) this trades the per-band recall curve for exhaustive recall
+    inside semantically-coherent partitions — the published method for
+    LAION/web-scale embedding dedup."""
+    import ray
+
+    from .util import cached_callable
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    assign = cached_callable(_ClusterAssigner, c_ref=c_ref,
+                             key_col=key_col, vec_col=vec_col)
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.drop_duplicates(key_col).sort_values(key_col)
+        if len(g) > max_cluster:
+            import logging
+            logging.getLogger(__name__).warning(
+                "semantic_dup_pairs: cluster %s truncated %d -> %d rows",
+                g["cluster"].iloc[0], len(g), max_cluster)
+            g = g.head(max_cluster)
+        vecs = np.array(g[vec_col].tolist(), dtype=np.float64)
+        norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                                 1e-300)
+        sim = norm @ norm.T
+        ks = g[key_col].to_numpy()
+        ii, jj = np.where(np.triu(sim, 1) >= cosine_threshold)
+        cos = sim[ii, jj]
+        if round_to is not None:
+            cos = np.round(cos, round_to)
+        return pa.table({
+            "a": pa.array(np.minimum(ks[ii], ks[jj]).astype(np.int64)),
+            "b": pa.array(np.maximum(ks[ii], ks[jj]).astype(np.int64)),
+            "cluster": pa.array(
+                np.full(len(ii), g["cluster"].iloc[0], dtype=np.int64)),
+            "cosine": pa.array(cos, type=pa.float64()),
+        })
+
+    def empty():
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("cluster", pa.int64()), ("cosine", pa.float64())]))
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    return _sharded_multi_groups(tagged, ["cluster"], key_col, pairs, empty)
+
+
+class _ClusterAssigner:
+    """Broadcast-centroid argmax-cosine tagger (centroids ``ray.put`` once,
+    fetched per worker via ``cached_callable``); float64 dot/(|a||b|) so
+    the SQL ``list_cosine_similarity`` twin computes the same doubles."""
+
+    def __init__(self, c_ref, key_col, vec_col):
+        import ray
+        self.C = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else \
+            np.asarray(c_ref, dtype=np.float64)
+        self.Cn = np.linalg.norm(self.C, axis=1)
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _as_matrix
+        m = _as_matrix(batch[self.vec_col]).astype(np.float64)
+        en = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        sims = (m @ self.C.T) / (en[:, None] * self.Cn[None, :])
+        a = np.argmax(sims, axis=1).astype(np.int64)
+        return pa.table({self.key_col: batch[self.key_col],
+                         self.vec_col: batch[self.vec_col],
+                         "cluster": pa.array(a)})
+
+
 def embedding_dedup_pairs(ds, key_col="vec_id", vec_col="embedding",
                           cosine_threshold=0.98, num_bands=8,
                           bits_per_band=16, max_bucket=10_000, seed=11,

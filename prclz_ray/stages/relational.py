@@ -757,3 +757,72 @@ def deterministic_sample(ds, key_col: str, rate_ppm: int, seed: int = 1):
         return t.filter(pa.array(h % np.uint64(1_000_000) < ppm))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+def running_aggregate(events_ds, key_col: str, ts_col: str, order_col: str,
+                      value_col: str, num_buckets: int = 64):
+    """Cumulative (running) window: for every event, the running count and
+    running sum of ``value_col`` over the key's events ordered by
+    (ts, order_col) — ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS UNBOUNDED PRECEDING)``.
+
+    Scale shape: ONE shuffle — keys hash into coarse buckets, each bucket
+    does a vectorized sort + per-key C cumsum (pandas groupby cumsum), no
+    per-row Python.  (ts, order_col) is a total order when ``order_col``
+    is unique, so the result is deterministic under any shuffle order.
+    Exactness: pass an INTEGER value column (e.g. cents) when the oracle
+    must hash-match — integer running sums are accumulation-order-proof,
+    float ones are only reproducible, not portable across engines.
+    """
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch[key_col], num_buckets)
+        t = pa.table({key_col: batch[key_col], ts_col: batch[ts_col],
+                      order_col: batch[order_col],
+                      value_col: batch[value_col]})
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([key_col, ts_col, order_col])
+        g = df.groupby(key_col, sort=False)
+        df = df.assign(
+            running_n=g.cumcount().to_numpy() + 1,
+            running_sum=g[value_col].cumsum().to_numpy(),
+        ).drop(columns=["_bucket", value_col])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+
+
+def pivot_counts(ds, row_col: str, col_col: str, col_values: list,
+                 num_buckets: int = 16):
+    """Pivot / wide conditional aggregation: one output row per ``row_col``
+    value with a count column per entry of ``col_values`` plus ``n_total``
+    (unlisted column values count toward the total only).
+
+    Scale shape: per-batch arrow group_by partials (≤ rows×cols rows per
+    batch), ONE coarse shuffle on the row key, per-bucket wide layout via
+    a vectorized pivot.  Output is inherently small (distinct row keys),
+    so the wide step never sees raw rows."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({row_col: batch[row_col], col_col: batch[col_col]}) \
+            .group_by([row_col, col_col]).aggregate([([], "count_all")])
+        b = stable_bucket(g[row_col], num_buckets)
+        return g.append_column("_bucket", pa.array(b))
+
+    def widen(group: pd.DataFrame) -> pa.Table:
+        w = group.pivot_table(index=row_col, columns=col_col,
+                              values="count_all", aggfunc="sum",
+                              fill_value=0)
+        out = pd.DataFrame({row_col: w.index})
+        for v in col_values:
+            c = w[v].to_numpy(dtype=np.int64) if v in w.columns \
+                else np.zeros(len(w), dtype=np.int64)
+            out[f"n_{v}"] = c
+        total = w.sum(axis=1).to_numpy(dtype=np.int64)
+        out["n_total"] = total
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("_bucket").map_groups(widen,
+                                                  batch_format="pandas")

@@ -104,6 +104,116 @@ def train_centroids(ds, vec_col="embedding", n_centroids=16, iters=5, seed=3,
     return C
 
 
+def kmeans_fit(ds, n_clusters: int = 8, iters: int = 10, seed: int = 3,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               sample_limit: int = 4096):
+    """Distributed spherical k-means (Lloyd's) over the full dataset.
+
+    Init: seeded choice from a driver-side sample (tiny).  Each iteration
+    is ONE streaming pass: per batch, rows are assigned to their
+    argmax-cosine centroid and the batch emits k partial rows
+    (cluster, sum-vector, count, objective) — so the driver only ever sees
+    k × n_batches tiny partials, never the data.  Partials are summed in a
+    canonical order (sorted by their min-id batch key) so the float64
+    accumulation is reproducible for a fixed block layout; across
+    different parallelism levels centroids agree to ~1e-12 (asserted in
+    tests with a tolerance, not a hash).
+
+    Returns ``(centroids, objective_history)`` — centroids are unit-norm
+    float64 ``(k, dim)``; the objective (mean max-cosine) is
+    non-decreasing per Lloyd's guarantee.
+    """
+    sample = ds.limit(sample_limit).take_all()
+    X = _normalize(np.asarray([r[vec_col] for r in sample],
+                              dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    k = len(C)
+    history: list[float] = []
+
+    for _ in range(iters):
+        Cf = C  # captured per-iteration (small: k×dim float64)
+
+        def partial(batch: pa.Table, C=Cf) -> pa.Table:
+            m = _as_matrix(batch[vec_col]).astype(np.float64)
+            m = _normalize(m)
+            sims = m @ C.T
+            a = np.argmax(sims, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(C)).astype(np.int64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            bkey = int(ids.min()) if len(ids) else 0
+            return pa.table({
+                "cluster": pa.array(np.arange(len(C), dtype=np.int64)),
+                "vsum": pa.array(list(sums)),
+                "n": pa.array(counts),
+                "obj": pa.array([float(sims.max(axis=1).sum())]
+                                + [0.0] * (len(C) - 1)),
+                "batch_key": pa.array([bkey] * len(C), type=pa.int64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        parts.sort(key=lambda r: (r["batch_key"], r["cluster"]))
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        obj = 0.0
+        total = 0
+        for r in parts:
+            c = r["cluster"]
+            sums[c] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[c] += r["n"]
+            obj += r["obj"]
+            total += r["n"]
+        live = counts > 0
+        C = C.copy()
+        C[live] = sums[live] / counts[live, None]
+        C = _normalize(C)
+        history.append(obj / max(total, 1))
+    return C, history
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Cluster assignment: per batch, argmax cosine(embedding, centroid)
+    against the broadcast float64 centroid matrix (ties → lowest cluster
+    id, matching the SQL ``ORDER BY sim DESC, cid`` twin).  Pure map — no
+    shuffle; math in float64 with the explicit dot/(|a||b|) formula so the
+    DuckDB ``list_cosine_similarity`` oracle computes the same doubles."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        en = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        sims = (m @ C.T) / (en[:, None] * Cn[None, :])
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(np.argmax(sims, axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def fixed_centroids(n_clusters: int = 8, dim: int = 16, seed: int = 7) \
+        -> np.ndarray:
+    """Deterministic unit-norm pseudo-random centroids shared between the
+    engine and the SQL oracle (embedded there as exact ``repr`` literals —
+    repr round-trips float64, and DuckDB's parser yields the identical
+    double)."""
+    C = np.random.default_rng(seed).standard_normal((n_clusters, dim))
+    return _normalize(C)
+
+
+def centroid_sql_values(C: np.ndarray) -> str:
+    """``(cid, [..])`` VALUES rows for a DuckDB CTE, exact-repr floats."""
+    rows = []
+    for i, row in enumerate(C):
+        lit = ", ".join(repr(float(v)) for v in row)
+        rows.append(f"({i}, [{lit}]::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
 class IVFScorer:
     """Task-cached stage: rows assigned to their nearest centroid list;
     each batch scores only rows whose list is probed by some query."""

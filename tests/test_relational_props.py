@@ -162,3 +162,57 @@ def test_sliding_window_contains_each_event_r_times():
     for w, cnt in zip(out["window_start"], out["n_events"]):
         inside = ((epochs >= w) & (epochs < w + 3600)).sum()
         assert cnt == inside
+
+
+def test_running_aggregate_matches_pandas_window():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+        "cents": rng.integers(1, 5_000, n).astype(np.int64),
+    })
+    out = relational.running_aggregate(
+        rd.from_pandas(df).repartition(6), key_col="user_id",
+        ts_col="ts", order_col="event_id", value_col="cents",
+        num_buckets=4).to_pandas().sort_values("event_id")
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    g = ref.groupby("user_id", sort=False)
+    ref["running_n"] = g.cumcount() + 1
+    ref["running_sum"] = g["cents"].cumsum()
+    ref = ref.sort_values("event_id")
+    assert (out["running_n"].to_numpy()
+            == ref["running_n"].to_numpy()).all()
+    assert (out["running_sum"].to_numpy()
+            == ref["running_sum"].to_numpy()).all()
+
+
+def test_pivot_counts_matches_crosstab():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "prio": rng.choice(["hi", "mid", "lo"], 400),
+        "status": rng.choice(["A", "B", "C", "D"], 400),
+    })
+    out = relational.pivot_counts(
+        rd.from_pandas(df).repartition(5), row_col="prio",
+        col_col="status", col_values=["A", "B", "Z"]).to_pandas() \
+        .sort_values("prio").reset_index(drop=True)
+    ct = pd.crosstab(df["prio"], df["status"])
+    for _, r in out.iterrows():
+        assert r["n_A"] == ct.loc[r["prio"], "A"]
+        assert r["n_B"] == ct.loc[r["prio"], "B"]
+        assert r["n_Z"] == 0  # listed but absent column -> zeros
+        assert r["n_total"] == ct.loc[r["prio"]].sum()

@@ -382,3 +382,54 @@ def test_rare_word_stats_both_paths():
         assert list(out.n_types) == [2, 2, 2, 2]
         assert list(out.n_rare_types) == [1, 1, 1, 1]
         assert list(out.rare_frac) == [0.5] * 4
+
+
+def _clustered_vecs(n_per=30, k=4, dim=8, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dim)) * 4
+    rows = []
+    for i in range(n_per * k):
+        v = centers[i % k] + rng.standard_normal(dim) * 0.1
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist()})
+    return rows
+
+
+def test_kmeans_fit_objective_and_partition_invariance():
+    rows = _clustered_vecs()
+    ds2 = rd.from_items(rows).repartition(2)
+    ds8 = rd.from_items(rows).repartition(8)
+    C2, hist = similarity.kmeans_fit(ds2, n_clusters=4, iters=6, seed=3)
+    # spherical k-means objective (mean max-cosine) is non-decreasing
+    assert all(b >= a - 1e-12 for a, b in zip(hist, hist[1:]))
+    assert np.allclose(np.linalg.norm(C2, axis=1), 1.0)
+    # block layout changes the fp summation grouping only: centroids agree
+    C8, _ = similarity.kmeans_fit(ds8, n_clusters=4, iters=6, seed=3)
+    assert np.allclose(C2, C8, atol=1e-9)
+    # with well-separated synthetic clusters the assignment recovers them
+    a = similarity.kmeans_assign(rd.from_items(rows), C2).to_pandas()
+    a["true"] = a["vec_id"] % 4
+    # each true cluster maps to exactly one learned cluster
+    g = a.groupby("true")["cluster"].nunique()
+    assert (g == 1).all()
+    assert a["cluster"].nunique() == 4
+
+
+def test_semantic_dup_pairs_finds_copies_within_cluster():
+    rows = _clustered_vecs()
+    # exact copies of vec 0 and 1; a scaled copy of 2 (cosine 1 too)
+    rows.append({"vec_id": 500, "embedding": rows[0]["embedding"]})
+    rows.append({"vec_id": 501, "embedding": rows[1]["embedding"]})
+    rows.append({"vec_id": 502,
+                 "embedding": [2 * x for x in rows[2]["embedding"]]})
+    ds = rd.from_items(rows).repartition(4)
+    C = similarity.fixed_centroids(4, 8, seed=7)
+    out = dd.semantic_dup_pairs(ds, C, cosine_threshold=0.999).to_pandas()
+    got = {(r.a, r.b) for r in out.itertuples()}
+    assert {(0, 500), (1, 501), (2, 502)} <= got
+    assert (out["a"] < out["b"]).all()
+    assert (out["cosine"] >= 0.999).all()
+    # cluster column matches the assigner for the a-side
+    assign = similarity.kmeans_assign(rd.from_items(rows), C).to_pandas() \
+        .set_index("vec_id")["cluster"]
+    for r in out.itertuples():
+        assert r.cluster == assign[r.a] == assign[r.b]
