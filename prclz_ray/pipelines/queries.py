@@ -1501,6 +1501,70 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_lag_user_events(sf_dir: str):
+    """LAG window — for every event, the previous event id of the same
+    user and the exact microsecond gap since it (NULL on each user's first
+    event)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = relational.grouped_lag(ev, key_col="user_id", ts_col="ts",
+                                 order_col="event_id",
+                                 lag_cols=["event_id"]).to_pandas()
+    out = out[["event_id", "user_id", "prev_event_id", "gap_us"]]
+    # float64-with-NaN nullables: the driver compare normalizes NaN→NULL
+    # and integral floats→ints, pd.NA it cannot
+    return out.astype({"prev_event_id": "float64", "gap_us": "float64"})
+
+
+SQL_LAG_EVENTS = """
+SELECT event_id, user_id,
+       LAG(event_id) OVER w AS prev_event_id,
+       date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_full_outer_click_purchase(sf_dir: str):
+    """FULL OUTER join — per-user click counts vs purchase counts, keeping
+    users present on either side only (nulls on the missing side).
+    Exercises the bucketed hash join's outer mode: both sides co-shuffle
+    on the key, per-bucket outer merge, key coalesced."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def counts(etype, name):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], etype))
+            return pa.table({"user_id": t["user_id"]}) \
+                .group_by("user_id").aggregate([([], "count_all")]) \
+                .rename_columns(["user_id", name])
+        # partial counts per batch, tiny final groupby to merge partials
+        part = ev.map_batches(f, batch_format="pyarrow")
+        g = part.groupby("user_id").sum(name)
+        return g.map_batches(
+            lambda t, n=name: pa.table(
+                {"user_id": t["user_id"],
+                 n: t[f"sum({n})"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    clicks = counts("click", "n_clicks")
+    purch = counts("purchase", "n_purchases")
+    out = relational.bucketed_hash_join(clicks, purch, on="user_id",
+                                        how="outer").to_pandas()
+    out = out[["user_id", "n_clicks", "n_purchases"]]
+    return out.astype({"user_id": "int64", "n_clicks": "float64",
+                       "n_purchases": "float64"})
+
+
+SQL_FULL_OUTER = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id, n_clicks, n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
 def q_pivot_orders(sf_dir: str):
     """Pivot / wide conditional aggregation: order counts per priority
     spread across one column per order status."""
@@ -1883,6 +1947,9 @@ def registry():
         "kmeans_assign_embeddings": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
         "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP),
         "running_total_user": (q_running_total_user, SQL_RUNNING_TOTAL),
+        "lag_user_events": (q_lag_user_events, SQL_LAG_EVENTS),
+        "full_outer_click_purchase": (q_full_outer_click_purchase,
+                                      SQL_FULL_OUTER),
         "pivot_orders_status": (q_pivot_orders, SQL_PIVOT_ORDERS),
         "langid_documents": (q_langid_documents, SQL_LANGID),
         "ngram_jaccard_sampled": (q_ngram_jaccard_sampled, SQL_NGRAM_JACCARD),

@@ -826,3 +826,38 @@ def pivot_counts(ds, row_col: str, col_col: str, col_values: list,
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("_bucket").map_groups(widen,
                                                   batch_format="pandas")
+
+
+def grouped_lag(events_ds, key_col: str, ts_col: str, order_col: str,
+                lag_cols: list[str], num_buckets: int = 64):
+    """LAG window: for every row, the PREVIOUS row's values per key in
+    (ts, order_col) order — ``LAG(col) OVER (PARTITION BY key ORDER BY
+    ts, id)``.  Emits ``prev_<col>`` (null on each key's first row) for
+    every requested column plus ``gap_us`` (microseconds since the
+    previous row, exact integer — no truncation semantics to disagree on).
+
+    Scale shape: identical to ``running_aggregate`` — ONE coarse-bucket
+    shuffle, per-bucket vectorized sort + C groupby shift."""
+    keep = {key_col, ts_col, order_col, *lag_cols}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([c for c in batch.column_names if c in keep])
+        b = stable_bucket(batch[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([key_col, ts_col, order_col])
+        g = df.groupby(key_col, sort=False)
+        ts_i = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        prev_ts = pd.Series(ts_i, index=df.index).groupby(
+            df[key_col], sort=False).shift(1)
+        out = df.drop(columns=["_bucket"]).copy()
+        for c in lag_cols:
+            out[f"prev_{c}"] = g[c].shift(1).convert_dtypes()
+        gap = ts_i - prev_ts.to_numpy()
+        out["gap_us"] = pd.array(gap, dtype="Int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")

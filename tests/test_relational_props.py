@@ -216,3 +216,44 @@ def test_pivot_counts_matches_crosstab():
         assert r["n_B"] == ct.loc[r["prio"], "B"]
         assert r["n_Z"] == 0  # listed but absent column -> zeros
         assert r["n_total"] == ct.loc[r["prio"]].sum()
+
+
+def test_grouped_lag_first_row_null_and_gaps():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [7, 7, 7, 9, 9, 9],
+        "ts": pd.to_datetime([10, 25, 25, 5, 6, 100], unit="s"),
+    })
+    out = relational.grouped_lag(
+        rd.from_pandas(df).repartition(3), key_col="user_id",
+        ts_col="ts", order_col="event_id", lag_cols=["event_id"],
+        num_buckets=2).to_pandas().sort_values("event_id")
+    # each user's first event has no predecessor
+    assert out["prev_event_id"].isna().tolist() == [True, False, False,
+                                                    True, False, False]
+    # equal timestamps order by event_id (2 precedes 3)
+    assert out.loc[out.event_id == 3, "prev_event_id"].iloc[0] == 2
+    assert out.loc[out.event_id == 3, "gap_us"].iloc[0] == 0
+    assert out.loc[out.event_id == 6, "gap_us"].iloc[0] == 94_000_000
+
+
+def test_bucketed_hash_join_outer_keeps_unmatched_sides():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [2, 3, 4], "b": [200, 300, 400]}))
+    out = relational.bucketed_hash_join(left, right, on="k", how="outer",
+                                        num_buckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]  # key coalesced across sides
+    assert out["a"].isna().tolist() == [False, False, False, True]
+    assert out["b"].isna().tolist() == [True, False, False, False]
