@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "sessionize_events",
     "acctbal_quantiles_nation",
     "repetition_stats",
+    # round-3 additions: semantic (cluster-partitioned) dedup, cumulative
+    # and LAG windows
+    "semantic_dup_pairs",
+    "running_total_user",
+    "lag_user_events",
 ]
 
 
