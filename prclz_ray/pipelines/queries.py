@@ -1501,6 +1501,110 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_top_bigrams(sf_dir: str):
+    """Corpus top-20 word bigrams (LM n-gram statistics) — heavy-hitter
+    shape: partial counts, one vocab groupby, per-block prune."""
+    docs = _read(sf_dir, "documents", ["text"])
+    t = text.top_k_ngrams(docs, text_col="text", n=2, k=20)
+    return t.to_pandas().rename(columns={"gram": "bigram"})
+
+
+SQL_TOP_BIGRAMS = """
+SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram,
+       COUNT(*) AS n
+FROM (
+  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 2)
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords: inverted-index double shuffle
+    (tf explode → df groupby → bucketed word join → per-doc top-n)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.tfidf_top_terms(docs, key_col="doc_id", text_col="text",
+                               top_n=3).to_pandas()
+    return out[["doc_id", "rank", "word", "score"]] \
+        .astype({"rank": "int64"})
+
+
+SQL_TFIDF = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w AS word, COUNT(*) AS tf
+  FROM words WHERE w <> '' GROUP BY doc_id, w
+),
+df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.word,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                                     DESC, tf.word) AS rank
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, word,
+       CAST(ROUND(score, 4) AS DOUBLE) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_posting_lists(sf_dir: str):
+    """Inverted index: per-word document frequency + sorted posting list
+    over the doc_id < 100 slice (the synthetic vocab is tiny and
+    stopword-like — the slice keeps every posting string bounded while
+    still pinning ~30 exact sorted lists); 2 ≤ df ≤ 100."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr="doc_id < 100")
+    out = text.posting_lists(docs, key_col="doc_id", text_col="text",
+                             min_df=2, max_df=100).to_pandas()
+    return out[["word", "df", "postings"]].astype({"df": "int64"})
+
+
+SQL_POSTINGS = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 100)
+  WHERE w <> ''
+)
+SELECT word, COUNT(*) AS df,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY word HAVING COUNT(*) BETWEEN 2 AND 100
+"""
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Stratified deterministic sample: rebalance the corpus by language —
+    downsample English to 10 %, keep 50 % of the rest (zh dropped
+    entirely via the default rate)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = relational.stratified_sample(
+        docs, key_col="doc_id", strata_col="lang",
+        rates_ppm={"en": 100_000, "de": 500_000, "es": 500_000,
+                   "fr": 500_000}, default_ppm=0, seed=1)
+    return out.to_pandas()
+
+
+SQL_STRATIFIED = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+       % 18446744073709551616) % 1000000
+      < CASE lang WHEN 'en' THEN 100000
+                  WHEN 'de' THEN 500000
+                  WHEN 'es' THEN 500000
+                  WHEN 'fr' THEN 500000
+                  ELSE 0 END
+"""
+
+
 def q_lag_user_events(sf_dir: str):
     """LAG window — for every event, the previous event id of the same
     user and the exact microsecond gap since it (NULL on each user's first
@@ -1948,6 +2052,11 @@ def registry():
         "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP),
         "running_total_user": (q_running_total_user, SQL_RUNNING_TOTAL),
         "lag_user_events": (q_lag_user_events, SQL_LAG_EVENTS),
+        "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
+        "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+        "posting_lists": (q_posting_lists, SQL_POSTINGS),
+        "stratified_sample_docs": (q_stratified_sample_docs,
+                                   SQL_STRATIFIED),
         "full_outer_click_purchase": (q_full_outer_click_purchase,
                                       SQL_FULL_OUTER),
         "pivot_orders_status": (q_pivot_orders, SQL_PIVOT_ORDERS),

@@ -861,3 +861,27 @@ def grouped_lag(events_ds, key_col: str, ts_col: str, order_col: str,
     tagged = events_ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                 batch_format="pandas")
+
+
+def stratified_sample(ds, key_col: str, strata_col: str,
+                      rates_ppm: dict, default_ppm: int = 0, seed: int = 1):
+    """Per-stratum deterministic hash sample: each row keeps with its
+    stratum's rate (parts-per-million), using the same golden-ratio-mix
+    key hash as ``deterministic_sample`` — a pure per-row filter with no
+    shuffle or RNG state, stable across parallelism and resume, and
+    SQL-expressible (CASE over the stratum + identical HUGEINT
+    arithmetic).  The standard shape for rebalancing a corpus (e.g.
+    downsample English, keep all low-resource languages)."""
+    mix = np.uint64(SAMPLE_MIX)
+    s = np.uint64(seed)
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k + s) * mix  # wraps mod 2^64
+        strata = t[strata_col].to_pandas()
+        rates = strata.map(rates_ppm).fillna(default_ppm) \
+            .to_numpy(dtype=np.uint64)
+        return t.filter(pa.array(h % np.uint64(1_000_000) < rates))
+
+    return ds.map_batches(f, batch_format="pyarrow")

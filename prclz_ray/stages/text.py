@@ -391,3 +391,178 @@ def fingerprint_batch(batch: pa.Table, text_col="text", window: int = 8) -> pa.T
     fp_i64 = np.array(fps, dtype=np.uint64).view(np.int64)
     out = batch.append_column("fingerprint", pa.array(fp_i64))
     return out.append_column("content_hash", pa.array(full))
+
+
+def top_k_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
+    """Corpus top-k word n-grams (LM n-gram statistics): same shape as
+    ``top_k_words`` — per-batch partial counts, one groupby-sum per
+    distinct n-gram, per-block prune, k×blocks driver merge.  N-grams are
+    formed by joining ``n`` consecutive space-split words WITHIN a
+    document (the vectorized shift-and-join never crosses doc boundaries).
+    Ties at the k boundary break by n-gram ascending."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        flat = pc.list_flatten(parts).combine_chunks()
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        if len(flat) < n:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "pcnt": pa.array([], type=pa.int64())})
+        shifted = [flat.slice(i, len(flat) - n + 1) for i in range(n)]
+        joined = shifted[0]
+        for s in shifted[1:]:
+            joined = pc.binary_join_element_wise(joined, s, " ")
+        same_doc = parent[: len(parent) - n + 1] == parent[n - 1:]
+        g = pa.table({"gram": joined.filter(pa.array(same_doc))}) \
+            .group_by("gram").aggregate([("gram", "count")])
+        return pa.table({"gram": g["gram"],
+                         "pcnt": g["gram_count"].cast(pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("pcnt", alias_name="n"))
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = pa.table({"gram": t["gram"], "n": t["n"].cast(pa.int64())})
+        return t.sort_by([("n", "descending"), ("gram", "ascending")]) \
+            .slice(0, k)
+
+    from .relational import ds_to_table
+    cand = ds_to_table(counts.map_batches(prune, batch_format="pyarrow"))
+    return cand.sort_by([("n", "descending"), ("gram", "ascending")]) \
+        .slice(0, k)
+
+
+def tfidf_top_terms(ds, key_col: str = "doc_id", text_col: str = "text",
+                    top_n: int = 3, num_buckets: int = 32):
+    """Per-document top-N TF-IDF terms (keyword extraction):
+    score = tf × ln(N / df), rank per doc by (score DESC, word ASC).
+
+    Scale shape — the inverted-index double shuffle, fully streaming:
+      1. per-batch explode → per-doc term frequencies (docs are rows, so
+         a doc never spans batches; empty tokens dropped);
+      2. document frequency: per-batch DISTINCT (doc, word) partials →
+         one groupby-sum per distinct word;
+      3. tf rows join df rows via the bucketed hash join on the word
+         (both sides large → co-shuffle, no broadcast vocabulary);
+      4. per-doc top-N: per-batch prune to ≤ top_n rows per doc, then one
+         groupby(doc) exact select — the grouped_top_n pattern with a
+         (score, word) composite order.
+    ``n_docs`` must be supplied-or-counted once (a count() pass)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import bucketed_hash_join
+
+    n_docs = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        idx = pc.list_parent_indices(parts)
+        flat = pc.list_flatten(parts)
+        keys = batch[key_col].take(idx)
+        t = pa.table({key_col: keys, "word": flat})
+        t = t.filter(pc.not_equal(t["word"], ""))
+        g = t.group_by([key_col, "word"]).aggregate([([], "count_all")])
+        return pa.table({key_col: g[key_col], "word": g["word"],
+                         "tf": g["count_all"].cast(pa.int64())})
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # tf rows are already distinct (doc, word) pairs: df partial =
+        # count per word
+        g = batch.group_by("word").aggregate([([], "count_all")])
+        return pa.table({"word": g["word"],
+                         "pdf": g["count_all"].cast(pa.int64())})
+
+    df = tf.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("pdf", alias_name="df"))
+
+    joined = bucketed_hash_join(tf, df, on="word",
+                                num_buckets=num_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64) \
+            * np.log(n_docs / batch["df"].to_numpy(
+                zero_copy_only=False).astype(np.float64))
+        t = pa.table({key_col: batch[key_col], "word": batch["word"],
+                      "score": pa.array(s, type=pa.float64())})
+        # per-batch prune: keep ≤ top_n rows per doc (order score DESC,
+        # word ASC) so the final shuffle carries n·docs rows, not all terms
+        d = t.to_pandas().sort_values(
+            ["score", "word"], ascending=[False, True], kind="mergesort")
+        d = d.groupby(key_col, sort=False).head(top_n)
+        from .relational import stable_bucket
+        out = pa.Table.from_pandas(d, preserve_index=False)
+        b = stable_bucket(out[key_col], num_buckets)
+        return out.append_column("_bucket", pa.array(b))
+
+    pruned = joined.map_batches(score, batch_format="pyarrow")
+
+    def final(group: pd.DataFrame) -> pa.Table:
+        # one coarse bucket = many docs: vectorized per-doc exact top-n
+        g = group.sort_values(["score", "word"],
+                              ascending=[False, True], kind="mergesort") \
+            .groupby(key_col, sort=False).head(top_n)
+        g = g.sort_values([key_col, "score", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby(key_col, sort=False).cumcount() + 1
+        g["score"] = g["score"].round(4)
+        return pa.Table.from_pandas(g.drop(columns=["_bucket"]),
+                                    preserve_index=False)
+
+    return pruned.groupby("_bucket").map_groups(final,
+                                                batch_format="pandas")
+
+
+def posting_lists(ds, key_col: str = "doc_id", text_col: str = "text",
+                  min_df: int = 2, max_df: int = 10**9,
+                  num_buckets: int = 32):
+    """Inverted index: one row per word with its document frequency and
+    the comma-joined SORTED posting list of doc ids.
+
+    Scale shape: distinct (doc, word) pairs explode per batch, ONE
+    coarse shuffle on the word-hash bucket, per-bucket vectorized sort +
+    df filter; the string join is per surviving word, bounded by
+    ``max_df`` (cap postings for stopword-like terms BEFORE building
+    strings)."""
+    import pyarrow.compute as pc
+
+    from .relational import stable_bucket
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        idx = pc.list_parent_indices(parts)
+        flat = pc.list_flatten(parts)
+        keys = batch[key_col].take(idx)
+        t = pa.table({key_col: keys, "word": flat})
+        t = t.filter(pc.not_equal(t["word"], ""))
+        g = t.group_by([key_col, "word"]).aggregate([])
+        b = stable_bucket(g["word"], num_buckets)
+        return g.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df_ = group.groupby("word", sort=False)[key_col].transform("size")
+        live = group[(df_ >= min_df) & (df_ <= max_df)]
+        if live.empty:
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [("word", pa.string()), ("df", pa.int64()),
+                 ("postings", pa.string())]))
+        live = live.sort_values(["word", key_col])
+        g = live.groupby("word", sort=False)[key_col]
+        out = pd.DataFrame({
+            "word": g.size().index,
+            "df": g.size().to_numpy(dtype=np.int64),
+            "postings": g.agg(
+                lambda s: ",".join(map(str, s.to_numpy()))).to_numpy(),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")

@@ -433,3 +433,73 @@ def test_semantic_dup_pairs_finds_copies_within_cluster():
         .set_index("vec_id")["cluster"]
     for r in out.itertuples():
         assert r.cluster == assign[r.a] == assign[r.b]
+
+
+def test_top_k_ngrams_counts_and_boundaries():
+    rows = [{"doc_id": 0, "text": "a b c"},
+            {"doc_id": 1, "text": "a b"},
+            {"doc_id": 2, "text": "b"},
+            {"doc_id": 3, "text": "c a b"}]
+    out = text.top_k_ngrams(rd.from_items(rows).repartition(3),
+                            n=2, k=10).to_pandas()
+    got = dict(zip(out["gram"], out["n"]))
+    # "a b" appears in docs 0,1,3; "b c" only doc 0; no cross-doc "b a"
+    assert got == {"a b": 3, "b c": 1, "c a": 1}
+    tri = text.top_k_ngrams(rd.from_items(rows), n=3, k=10).to_pandas()
+    assert dict(zip(tri["gram"], tri["n"])) == {"a b c": 1, "c a b": 1}
+
+
+def test_tfidf_top_terms_matches_reference():
+    rows = [{"doc_id": 0, "text": "x x y common"},
+            {"doc_id": 1, "text": "y z common"},
+            {"doc_id": 2, "text": "z z z common"},
+            {"doc_id": 3, "text": "w common"}]
+    out = text.tfidf_top_terms(rd.from_items(rows).repartition(2),
+                               top_n=2).to_pandas()
+    n = 4
+    import math
+    # doc 0: x tf=2 df=1 -> 2*ln(4); y tf=1 df=2 -> ln(2); common ln(1)=0
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    assert list(d0["word"]) == ["x", "y"]
+    assert abs(d0["score"].iloc[0] - round(2 * math.log(4), 4)) < 1e-9
+    # doc 3: w tf=1 df=1 -> ln(4); common 0 but still rank 2 (tie w/ none)
+    d3 = out[out.doc_id == 3].sort_values("rank")
+    assert list(d3["word"]) == ["w", "common"]
+    # every doc emits exactly top_n rows (enough terms exist)
+    assert (out.groupby("doc_id").size() == 2).all()
+
+
+def test_posting_lists_exact_and_bounded():
+    rows = [{"doc_id": 3, "text": "q r"},
+            {"doc_id": 1, "text": "q r r"},
+            {"doc_id": 2, "text": "q only2"},
+            {"doc_id": 4, "text": "q"}]
+    out = text.posting_lists(rd.from_items(rows).repartition(2),
+                             min_df=2, max_df=3).to_pandas()
+    got = {r.word: (r.df, r.postings) for r in out.itertuples()}
+    # q has df=4 > max_df -> excluded; only2/r as expected
+    assert "q" not in got and "only2" not in got
+    assert got["r"] == (2, "1,3")
+
+
+def test_stratified_sample_rates_and_determinism():
+    import pandas as pd
+
+    from prclz_ray.stages import relational
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                       "s": ["a" if i % 2 else "b" for i in range(1000)]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = relational.stratified_sample(
+        ds, key_col="k", strata_col="s",
+        rates_ppm={"a": 1_000_000}, default_ppm=0).to_pandas()
+    # stratum a fully kept, stratum b (default 0) fully dropped
+    assert set(out["s"]) == {"a"} and len(out) == 500
+    # intermediate rate equals deterministic_sample restricted to stratum
+    mid = relational.stratified_sample(
+        ds, key_col="k", strata_col="s",
+        rates_ppm={"a": 200_000}, default_ppm=0).to_pandas()
+    ref = relational.deterministic_sample(
+        ds.filter(expr="s == 'a'"), key_col="k",
+        rate_ppm=200_000).to_pandas()
+    assert sorted(mid["k"]) == sorted(ref["k"])
