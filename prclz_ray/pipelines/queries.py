@@ -1605,6 +1605,54 @@ WHERE ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
 """
 
 
+def q_rollup_orders(sf_dir: str):
+    """ROLLUP multi-granularity aggregate: order counts + totals at
+    (status, priority), per status, and grand total — one pass over the
+    raw rows, coarser levels derived from the finest partials."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    t = relational.rollup_aggregate(
+        orders, key_cols=["o_orderstatus", "o_orderpriority"],
+        value_col="o_totalprice", round_to=2)
+    return t.to_pandas()
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_value
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_window_distinct_users(sf_dir: str):
+    """Tumbling-window COUNT(DISTINCT user): distinct pairs collapse
+    per batch BEFORE the shuffle."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    t = relational.windowed_distinct(ev, key_col="user_id", ts_col="ts",
+                                     window_sec=3600)
+    return t.to_pandas()
+
+
+SQL_WINDOW_DISTINCT = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY window_start
+"""
+
+
+def q_approx_quantiles_price(sf_dir: str):
+    """Approximate quantiles of order totals via the one-pass log-binned
+    histogram sketch (rows-only: approximate by construction — the ≤ 2 %
+    relative error bound and partitioning invariance are pytest-pinned,
+    like the HLL sketch)."""
+    from ..stages import sketches
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return sketches.approx_quantiles(orders, "o_totalprice",
+                                     qs=[0.25, 0.5, 0.9, 0.99],
+                                     rel_err=0.01).to_pandas()
+
+
 def q_lag_user_events(sf_dir: str):
     """LAG window — for every event, the previous event id of the same
     user and the exact microsecond gap since it (NULL on each user's first
@@ -2057,6 +2105,10 @@ def registry():
         "posting_lists": (q_posting_lists, SQL_POSTINGS),
         "stratified_sample_docs": (q_stratified_sample_docs,
                                    SQL_STRATIFIED),
+        "rollup_orders": (q_rollup_orders, SQL_ROLLUP),
+        "window_distinct_users": (q_window_distinct_users,
+                                  SQL_WINDOW_DISTINCT),
+        "approx_quantiles_price": (q_approx_quantiles_price, None),
         "full_outer_click_purchase": (q_full_outer_click_purchase,
                                       SQL_FULL_OUTER),
         "pivot_orders_status": (q_pivot_orders, SQL_PIVOT_ORDERS),

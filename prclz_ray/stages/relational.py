@@ -885,3 +885,85 @@ def stratified_sample(ds, key_col: str, strata_col: str,
         return t.filter(pa.array(h % np.uint64(1_000_000) < rates))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def rollup_aggregate(ds, key_cols: list[str], value_col: str,
+                     round_to: int = 2):
+    """ROLLUP multi-granularity aggregate in ONE pass: per-batch partials
+    at the finest (k₁…kₙ) granularity, one tiny groupby, then each
+    coarser level (k₁…kᵢ, NULL, …) plus the grand total derives from the
+    finest partials arrow-side — the raw rows are read once and never
+    re-shuffled per level.  Emits ``n`` and ``sum_value`` (ROUND'ed: the
+    coarser sums re-accumulate float partials, so the usual money-grain
+    rounding applies) with NULL key columns marking rolled-up levels,
+    exactly like SQL ``GROUP BY ROLLUP``."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([*key_cols, value_col])
+        g = t.group_by(key_cols).aggregate([(value_col, "sum"),
+                                            ([], "count_all")])
+        return pa.table({**{k: g[k] for k in key_cols},
+                         "psum": g[f"{value_col}_sum"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_cols).sum(["psum", "pn"])
+
+    def levels(t: pa.Table) -> pa.Table:
+        t = pa.table({**{k: t[k] for k in key_cols},
+                      "psum": t["sum(psum)"], "pn": t["sum(pn)"]})
+        outs = [t]
+        for i in range(len(key_cols) - 1, -1, -1):
+            keep = key_cols[:i]
+            g = (t.group_by(keep).aggregate([("psum", "sum"),
+                                             ("pn", "sum")])
+                 if keep else
+                 pa.table({"psum_sum": pa.array(
+                     [pc.sum(t["psum"]).as_py()]),
+                     "pn_sum": pa.array([pc.sum(t["pn"]).as_py()],
+                                        type=pa.int64())}))
+            cols = {}
+            for k in key_cols:
+                cols[k] = g[k] if k in keep else \
+                    pa.nulls(g.num_rows, type=t.schema.field(k).type)
+            cols["psum"] = g["psum_sum"]
+            cols["pn"] = g["pn_sum"]
+            outs.append(pa.table(cols))
+        u = pa.concat_tables(outs)
+        return pa.table({**{k: u[k] for k in key_cols},
+                         "n": u["pn"],
+                         "sum_value": pc.round(u["psum"], round_to)})
+
+    return levels(ds_to_table(finest))
+
+
+def windowed_distinct(events_ds, key_col: str, ts_col: str,
+                      window_sec: int):
+    """Tumbling-window COUNT(DISTINCT key): per batch the (window, key)
+    pairs deduplicate arrow-side BEFORE the shuffle (the exchange carries
+    distinct pairs, not events), then one groupby counts per window."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[ts_col]
+        fac = _TS_UNIT_FACTOR[arr.type.unit]
+        w = (arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // (fac * window_sec)) * window_sec
+        t = pa.table({"window_start": pa.array(w),
+                      key_col: batch[key_col]})
+        return t.group_by(["window_start", key_col]).aggregate([])
+
+    pairs = events_ds.map_batches(partial, batch_format="pyarrow")
+    # distinct pairs shuffle once; count per window
+    uniq = pairs.groupby(["window_start", key_col]).count()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("window_start").aggregate([([], "count_all")])
+        return pa.table({"window_start": g["window_start"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    counts = uniq.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("window_start").sum("pn")
+    return counts.map_batches(
+        lambda t: pa.table({"window_start": t["window_start"],
+                            "n_distinct": t["sum(pn)"].cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -144,3 +144,53 @@ def approx_distinct(ds, key_col: str, p: int = 14) -> pa.Table:
         "registers_nonzero": pa.array(
             [int(np.count_nonzero(merged))], type=pa.int64()),
     })
+
+
+def approx_quantiles(ds, val_col: str, qs: list[float],
+                     rel_err: float = 0.01, v_min: float = 1e-6,
+                     v_max: float = 1e12) -> pa.Table:
+    """One-pass approximate quantiles via a fixed LOG-SPACED histogram
+    (HDR-histogram style): every block folds its positive values into the
+    same ~log(v_max/v_min)/log(1+2·rel_err) bins, per-block counts
+    sum-merge associatively, and quantiles read off the cumulative counts
+    as bin LOWER BOUNDS — so any partitioning yields the identical answer
+    (rows-only determinism across parallelism, like the HLL sketch) and
+    the value error is bounded by the bin's relative width (≤ 2·rel_err).
+
+    The scale path when ``grouped_quantile_disc``'s exact two-pass
+    selection is too expensive: one streaming pass, a few-KB sketch per
+    block, no re-scan.  Values outside [v_min, v_max] clamp into the edge
+    bins (documented saturation, counted not dropped)."""
+    base = 1.0 + 2.0 * rel_err
+    nbins = int(np.ceil(np.log(v_max / v_min) / np.log(base))) + 2
+    lo = np.log(v_min)
+    lb = np.log(base)
+
+    def block_hist(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((np.log(np.maximum(v, v_min)) - lo) / lb) + 1,
+                      1, nbins - 1).astype(np.int64)
+        idx[v < v_min] = 0
+        counts = np.bincount(idx, minlength=nbins)
+        return pa.table({"hist": pa.array([counts]),
+                         "n": pa.array([len(v)], type=pa.int64())})
+
+    parts = ds.map_batches(block_hist, batch_format="pyarrow").take_all()
+    hist = np.zeros(nbins, dtype=np.int64)
+    total = 0
+    for r in parts:
+        hist += np.asarray(r["hist"], dtype=np.int64)
+        total += r["n"]
+    cum = np.cumsum(hist)
+    out_q, out_v = [], []
+    for q in qs:
+        target = max(1, int(np.ceil(q * total)))
+        b = int(np.searchsorted(cum, target))
+        # bin lower bound (bin 0 = saturated-below, reports v_min)
+        val = v_min if b == 0 else float(np.exp(lo + (b - 1) * lb))
+        out_q.append(float(q))
+        out_v.append(val)
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.float64()),
+                     "n": pa.array([total] * len(qs), type=pa.int64())})

@@ -257,3 +257,73 @@ def test_bucketed_hash_join_outer_keeps_unmatched_sides():
     assert out["k"].tolist() == [1, 2, 3, 4]  # key coalesced across sides
     assert out["a"].isna().tolist() == [False, False, False, True]
     assert out["b"].isna().tolist() == [True, False, False, False]
+
+
+def test_approx_quantiles_error_bound_and_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import sketches
+
+    rng = np.random.default_rng(9)
+    vals = np.exp(rng.normal(4, 1.5, 20_000))  # lognormal, heavy tail
+    df = pd.DataFrame({"v": vals})
+    qs = [0.25, 0.5, 0.9, 0.99]
+    out3 = sketches.approx_quantiles(rd.from_pandas(df).repartition(3),
+                                     "v", qs, rel_err=0.01).to_pandas()
+    out11 = sketches.approx_quantiles(rd.from_pandas(df).repartition(11),
+                                      "v", qs, rel_err=0.01).to_pandas()
+    # partitioning-invariant: identical sketch -> identical values
+    assert out3["value"].tolist() == out11["value"].tolist()
+    exact = np.quantile(vals, qs, method="inverted_cdf")
+    rel = np.abs(out3["value"].to_numpy() - exact) / exact
+    assert (rel <= 0.021).all()  # bin width bound: <= 2*rel_err (+eps)
+    assert (out3["n"] == len(vals)).all()
+
+
+def test_rollup_aggregate_levels():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    out = relational.rollup_aggregate(
+        rd.from_pandas(df).repartition(3), key_cols=["a", "b"],
+        value_col="v").to_pandas()
+    def row(a, b):
+        ma = out["a"].isna() if a is None else (out["a"] == a)
+        mb = out["b"].isna() if b is None else (out["b"] == b)
+        m = out[ma & mb]
+        assert len(m) == 1
+        return m.iloc[0]
+    assert row("x", "p")["sum_value"] == 1 and row("x", "p")["n"] == 1
+    assert row("y", "p")["sum_value"] == 12 and row("y", "p")["n"] == 2
+    assert row("x", None)["sum_value"] == 3
+    assert row("y", None)["sum_value"] == 28
+    assert row(None, None)["sum_value"] == 31 and row(None, None)["n"] == 5
+    assert len(out) == 4 + 2 + 1  # finest + per-a + grand total
+
+
+def test_windowed_distinct_counts():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 3, 1, 1],
+        "ts": pd.to_datetime([10, 20, 30, 3610, 3620, 7300], unit="s"),
+    })
+    out = relational.windowed_distinct(
+        rd.from_pandas(df).repartition(3), key_col="user_id",
+        ts_col="ts", window_sec=3600).to_pandas().sort_values(
+        "window_start").reset_index(drop=True)
+    assert out["window_start"].tolist() == [0, 3600, 7200]
+    assert out["n_distinct"].tolist() == [2, 2, 1]
