@@ -1605,6 +1605,42 @@ WHERE ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
 """
 
 
+def q_json_field_stats(sf_dir: str):
+    """Structured-field extraction from the semi-structured ``props``
+    JSON column (one arrow RE2 extract pass, no per-row json.loads),
+    aggregated per event type."""
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    ext = text.extract_regex_field(ev, col="props",
+                                   pattern=r'"k":\s*(?P<k>\d+)',
+                                   out_col="k", cast_to=pa.int64())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "max"), ([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "ps": g["k_sum"], "pm": g["k_max"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    from ray.data.aggregate import Max, Sum
+    agg = ext.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("ps", alias_name="sum_k"), Max("pm", alias_name="max_k"),
+            Sum("pn", alias_name="n"))
+    out = agg.to_pandas()
+    return out[["event_type", "n", "sum_k", "max_k"]] \
+        .astype({"n": "int64", "sum_k": "int64", "max_k": "int64"})
+
+
+SQL_JSON_FIELD = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+         AS sum_k,
+       MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+         AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_rollup_orders(sf_dir: str):
     """ROLLUP multi-granularity aggregate: order counts + totals at
     (status, priority), per status, and grand total — one pass over the
@@ -2106,6 +2142,7 @@ def registry():
         "stratified_sample_docs": (q_stratified_sample_docs,
                                    SQL_STRATIFIED),
         "rollup_orders": (q_rollup_orders, SQL_ROLLUP),
+        "json_field_stats": (q_json_field_stats, SQL_JSON_FIELD),
         "window_distinct_users": (q_window_distinct_users,
                                   SQL_WINDOW_DISTINCT),
         "approx_quantiles_price": (q_approx_quantiles_price, None),

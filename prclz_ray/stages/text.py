@@ -566,3 +566,22 @@ def posting_lists(ds, key_col: str = "doc_id", text_col: str = "text",
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return exploded.groupby("_bucket").map_groups(per_bucket,
                                                   batch_format="pandas")
+
+
+def extract_regex_field(ds, col: str, pattern: str, out_col: str,
+                        cast_to: "pa.DataType | None" = None):
+    """Structured-field extraction from a semi-structured string column
+    (JSON-ish props, logfmt, k=v blobs): ONE arrow C++ RE2
+    ``extract_regex`` pass per batch — no per-row json.loads loop in the
+    hot path.  ``pattern`` must contain a single named group matching
+    ``out_col``; non-matching rows yield null."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch[col], pattern=pattern)
+        v = pc.struct_field(m, out_col)
+        if cast_to is not None:
+            v = v.cast(cast_to)
+        return batch.append_column(out_col, v)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -503,3 +503,14 @@ def test_stratified_sample_rates_and_determinism():
         ds.filter(expr="s == 'a'"), key_col="k",
         rate_ppm=200_000).to_pandas()
     assert sorted(mid["k"]) == sorted(ref["k"])
+
+
+def test_extract_regex_field_nulls_and_types():
+    rows = [{"id": 0, "props": '{"k": 42}'},
+            {"id": 1, "props": '{"k":7}'},
+            {"id": 2, "props": '{"other": 1}'}]
+    out = text.extract_regex_field(
+        rd.from_items(rows), col="props", pattern=r'"k":\s*(?P<k>\d+)',
+        out_col="k", cast_to=pa.int64()).to_pandas().sort_values("id")
+    assert out["k"].tolist()[:2] == [42, 7]
+    assert pd.isna(out["k"].iloc[2])  # non-matching row -> null, not error
