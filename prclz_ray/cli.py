@@ -229,6 +229,11 @@ def cmd_corpus(a):
     unknown = set(stages) - set(_CORPUS_STAGES)
     if unknown:
         raise SystemExit(f"unknown corpus stages: {sorted(unknown)}")
+    if getattr(a, "sample_ppm", 0):
+        # subsample FIRST: every downstream stage sees only kept rows
+        from .stages.relational import deterministic_sample
+        docs = deterministic_sample(docs, key_col=a.key_col,
+                                    rate_ppm=a.sample_ppm)
     if "normalize" in stages:
         docs = docs.map_batches(T.normalize_text_batch,
                                 batch_format="pyarrow")
@@ -340,6 +345,9 @@ def main(argv=None):
                    default="none")
     s.add_argument("--text-col", default="text")
     s.add_argument("--key-col", default="doc_id")
+    s.add_argument("--sample-ppm", type=int, default=0,
+                   help="deterministic key-hash subsample rate in ppm, "
+                        "applied BEFORE any compute (0 = keep all)")
     s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser("flagship")

@@ -95,3 +95,24 @@ def test_cli_corpus_pipeline(tmp_path):
         assert c in cols, c
     kept = sorted(got.column("doc_id").to_pylist())
     assert kept == [0, 3, 4, 5]
+
+
+def test_cli_corpus_sample_ppm(tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from prclz_ray.cli import main
+    from prclz_ray.stages.relational import SAMPLE_MIX
+    docs = pa.table({
+        "doc_id": pa.array(range(200), type=pa.int64()),
+        "text": pa.array([f"doc number {i} words here" for i in range(200)]),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, src)
+    out = tmp_path / "sampled_out"
+    main(["corpus", "--docs", str(src), "--out", str(out),
+          "--stages", "tokens", "--sample-ppm", "300000"])
+    got = pq.read_table(str(out))
+    kept = set(got["doc_id"].to_pylist())
+    expect = {i for i in range(200)
+              if ((i + 1) * SAMPLE_MIX % (1 << 64)) % 1_000_000 < 300_000}
+    assert kept == expect and 0 < len(kept) < 200
