@@ -1641,6 +1641,37 @@ FROM events GROUP BY event_type
 """
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Exact substring-duplication profile (Lee et al. 2022): 32-char
+    windows at stride 8, per-doc duplicated-window counts.  The oracle
+    groups by the window substring itself; the engine groups by a
+    vectorized codepoint-polynomial hash (identical semantics absent a
+    2^-64 collision)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dd.duplicate_span_stats(docs, key_col="doc_id", text_col="text",
+                                  k=32, stride=8).to_pandas()
+    return out[["doc_id", "n_spans", "n_dup_spans", "dup_frac"]] \
+        .astype({"n_spans": "int64", "n_dup_spans": "int64"})
+
+
+SQL_DUP_SPANS = """
+WITH spans AS (
+  SELECT doc_id, substr(text, CAST(p AS INT), 32) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, GREATEST(length(text) - 31, 1),
+                                      8)) AS p
+        FROM documents)
+),
+cnt AS (SELECT g, COUNT(*) AS c FROM spans GROUP BY g)
+SELECT s.doc_id, COUNT(*) AS n_spans,
+       SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+       ROUND(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+FROM spans s JOIN cnt ON cnt.g = s.g
+GROUP BY s.doc_id
+"""
+
+
 def q_rollup_orders(sf_dir: str):
     """ROLLUP multi-granularity aggregate: order counts + totals at
     (status, priority), per status, and grand total — one pass over the
@@ -2143,6 +2174,7 @@ def registry():
                                    SQL_STRATIFIED),
         "rollup_orders": (q_rollup_orders, SQL_ROLLUP),
         "json_field_stats": (q_json_field_stats, SQL_JSON_FIELD),
+        "duplicate_spans": (q_duplicate_spans, SQL_DUP_SPANS),
         "window_distinct_users": (q_window_distinct_users,
                                   SQL_WINDOW_DISTINCT),
         "approx_quantiles_price": (q_approx_quantiles_price, None),

@@ -81,8 +81,6 @@ def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
 
     The SQL oracle twin groups by the paragraph STRING itself (identical
     semantics absent blake2b collisions, same contract as exact_dedup)."""
-    from ray.data.aggregate import Max, Sum
-
     def explode(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch[text_col], pattern=sep)
         flat = pc.list_flatten(parts)
@@ -96,13 +94,28 @@ def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
                          "n_paras": npar.take(idx)})
 
     paras = ds.map_batches(explode, batch_format="pyarrow")
+    return _dup_profile(paras, key_col, n_col="n_paras",
+                        dup_alias="n_dup_paras", min_count=min_count,
+                        num_buckets=num_buckets,
+                        broadcast_limit_bytes=broadcast_limit_bytes)
+
+
+def _dup_profile(rows, key_col: str, n_col: str, dup_alias: str,
+                 min_count: int, num_buckets: int,
+                 broadcast_limit_bytes: int):
+    """Shared dup-profile tail over narrow (key, _h, n_col) rows: partial
+    hash counts → tiny per-hash groupby → duplicate-hash set flags the
+    rows (size-guarded ``ray.put`` broadcast + ``pc.is_in``, bucketed left
+    join past the byte budget) → one per-key groupby sums the flags.
+    2 total shuffles on the broadcast path."""
+    from ray.data.aggregate import Max, Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         t = batch.group_by("_h").aggregate([("_h", "count")])
         return pa.table({"_h": t["_h"],
                          "pcnt": t["_h_count"].cast(pa.int64())})
 
-    counts = paras.map_batches(partial_counts, batch_format="pyarrow") \
+    counts = rows.map_batches(partial_counts, batch_format="pyarrow") \
         .groupby("_h").aggregate(Sum("pcnt", alias_name="cnt"))
     dup_hashes = counts.filter(expr=f"cnt >= {int(min_count)}") \
         .materialize()  # distinct-dup-hash-sized: needed twice below
@@ -120,13 +133,13 @@ def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
             dup = ray.get(dup_ref)
             isdup = pc.cast(pc.is_in(batch["_h"], value_set=dup), pa.int64())
             return pa.table({key_col: batch[key_col],
-                             "n_paras": batch["n_paras"], "_dup": isdup})
+                             n_col: batch[n_col], "_dup": isdup})
 
-        flagged = paras.map_batches(flag, batch_format="pyarrow")
+        flagged = rows.map_batches(flag, batch_format="pyarrow")
     else:
         from .relational import bucketed_hash_join
         marked = bucketed_hash_join(
-            paras, dup_hashes.map_batches(
+            rows, dup_hashes.map_batches(
                 lambda t: pa.table({"_h": t["_h"],
                                     "_dup": pa.array(
                                         np.ones(t.num_rows, dtype=np.int64))}),
@@ -137,25 +150,106 @@ def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
             d = batch["_dup"].to_numpy(zero_copy_only=False)
             d = np.nan_to_num(d.astype(np.float64), nan=0.0).astype(np.int64)
             return pa.table({key_col: batch[key_col],
-                             "n_paras": batch["n_paras"].cast(pa.int64()),
+                             n_col: batch[n_col].cast(pa.int64()),
                              "_dup": pa.array(d)})
 
         flagged = marked.map_batches(fill, batch_format="pyarrow")
 
     per_doc = flagged.groupby(key_col).aggregate(
-        Sum("_dup", alias_name="n_dup_paras"),
-        Max("n_paras", alias_name="n_paras"))
+        Sum("_dup", alias_name=dup_alias),
+        Max(n_col, alias_name=n_col))
 
     def finish(batch: pa.Table) -> pa.Table:
-        nd = batch["n_dup_paras"].to_numpy(zero_copy_only=False) \
+        nd = batch[dup_alias].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        n = batch["n_paras"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
         frac = np.round(nd / np.maximum(n, 1), 4)
-        return pa.table({key_col: batch[key_col], "n_paras": pa.array(n),
-                         "n_dup_paras": pa.array(nd),
+        return pa.table({key_col: batch[key_col], n_col: pa.array(n),
+                         dup_alias: pa.array(nd),
                          "dup_frac": pa.array(frac)})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def duplicate_span_stats(ds, key_col: str = "doc_id",
+                         text_col: str = "text", k: int = 32,
+                         stride: int = 8, min_count: int = 2,
+                         num_buckets: int = 32,
+                         broadcast_limit_bytes: int = 64 << 20):
+    """Exact substring-duplication profile (Lee et al. 2022,
+    arXiv:2107.06499 'Deduplicating Training Data Makes Language Models
+    Better'): slide a ``k``-char window at ``stride`` over every doc and
+    report, per doc, how many window positions hold text that occurs
+    ≥ ``min_count`` times corpus-wide — the substring-level dup signal
+    that catches partial/boilerplate overlap exact- and paragraph-dedup
+    miss.  Docs shorter than ``k`` contribute one whole-text window.
+
+    Scale shape: per batch, ALL texts' codepoints concatenate into one
+    array and a single vectorized polynomial pass hashes every window
+    (k multiply-adds over the flat array — no per-window or per-doc
+    Python); the shuffle carries narrow (key, hash64, n_spans) rows —
+    window TEXT never moves.  The count → size-guarded-broadcast-flag →
+    per-doc-sum tail is shared with ``paragraph_dedup_stats``
+    (2 shuffles on the broadcast path).
+
+    The SQL oracle twin groups by the window SUBSTRING itself (identical
+    semantics absent a 2⁻⁶⁴ hash collision); windows are CHARACTER-based
+    (codepoints, not bytes) so non-ASCII rows agree with SQL substr."""
+    prime = np.uint64(1099511628211)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        keys = batch[key_col]
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        if not len(texts):
+            return pa.table({key_col: keys,
+                             "_h": pa.array([], type=pa.int64()),
+                             "n_spans": pa.array([], type=pa.int64())})
+        flat = np.frombuffer(
+            b"".join(t.encode("utf-32-le") for t in texts),
+            dtype=np.uint32).astype(np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        # one rolling-polynomial pass over the concatenated codepoints
+        nall = max(len(flat) - k + 1, 0)
+        hs_all = np.zeros(nall, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                hs_all = hs_all * prime + flat[j:j + nall]
+        # per-doc window starts: 0, stride, … ≤ len-k  (≥1 window when
+        # len ≥ k); short docs fall back to one whole-text hash
+        n_win = np.where(lens >= k, (np.maximum(lens - k, 0) // stride) + 1,
+                         0).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(texts)), n_win)
+        within = (np.arange(n_win.sum(), dtype=np.int64)
+                  - np.repeat(np.cumsum(n_win) - n_win, n_win))
+        pos = starts[doc_idx] + within * stride
+        h_long = hs_all[pos] if len(pos) else np.array([], dtype=np.uint64)
+        # short docs: polynomial over the whole (padded-to-none) text
+        short = np.flatnonzero(lens < k)
+        sh_keys, sh_h = [], []
+        for i in short:
+            seg = flat[starts[i]: starts[i] + lens[i]]
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for v in seg:
+                    h = h * prime + v
+            sh_keys.append(i)
+            sh_h.append(h)
+        all_doc = np.concatenate([doc_idx, np.array(sh_keys, dtype=np.int64)])
+        all_h = np.concatenate([h_long,
+                                np.array(sh_h, dtype=np.uint64)])
+        nsp = np.maximum(n_win, 1)
+        return pa.table({
+            key_col: keys.take(pa.array(all_doc)),
+            "_h": pa.array(all_h.view(np.int64)),
+            "n_spans": pa.array(nsp[all_doc]),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    return _dup_profile(rows, key_col, n_col="n_spans",
+                        dup_alias="n_dup_spans", min_count=min_count,
+                        num_buckets=num_buckets,
+                        broadcast_limit_bytes=broadcast_limit_bytes)
 
 
 # ------------------------------------------------------------------ minhash

@@ -514,3 +514,34 @@ def test_extract_regex_field_nulls_and_types():
         out_col="k", cast_to=pa.int64()).to_pandas().sort_values("id")
     assert out["k"].tolist()[:2] == [42, 7]
     assert pd.isna(out["k"].iloc[2])  # non-matching row -> null, not error
+
+
+def test_duplicate_span_stats_seeded_overlap():
+    boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED PLEASE DO NOT COPY"
+    rows = [
+        {"doc_id": 0, "text": "unique prose alpha " * 5 + boiler},
+        {"doc_id": 1, "text": "different words beta " * 5 + boiler},
+        {"doc_id": 2, "text": "totally fresh gamma content nothing shared here at all ok"},
+        {"doc_id": 3, "text": "tiny"},  # shorter than k -> 1 whole-text span
+        {"doc_id": 4, "text": "tiny"},  # exact short dup of doc 3
+    ]
+    # stride 1 = every position (the exact Lee-et-al semantics; larger
+    # strides only see same-phase matches)
+    out = dd.duplicate_span_stats(
+        rd.from_items(rows).repartition(3), k=32, stride=1) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # docs 0/1 share the boilerplate tail: both have dup spans; doc 2 none
+    assert out.loc[0, "n_dup_spans"] >= 24  # 55-char shared tail, k=32
+    assert out.loc[1, "n_dup_spans"] >= 24
+    assert out.loc[2, "n_dup_spans"] == 0
+    # short docs: exactly one whole-text span, duplicated across 3 & 4
+    assert out.loc[3, "n_spans"] == 1 and out.loc[3, "dup_frac"] == 1.0
+    assert out.loc[4, "n_spans"] == 1 and out.loc[4, "dup_frac"] == 1.0
+    # span-count arithmetic at stride 8: floor((len-k)/stride)+1
+    ln = len(rows[2]["text"])
+    out8 = dd.duplicate_span_stats(rd.from_items(rows), k=32, stride=8) \
+        .to_pandas().set_index("doc_id")
+    assert out8.loc[2, "n_spans"] == (ln - 32) // 8 + 1
+    # the repeated prefix of doc 0 ("unique prose alpha " x5) duplicates
+    # within the doc itself at stride 1
+    assert out.loc[0, "n_dup_spans"] > 24
