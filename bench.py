@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "semantic_dup_pairs",
     "running_total_user",
     "lag_user_events",
+    "duplicate_spans",
 ]
 
 
