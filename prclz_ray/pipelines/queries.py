@@ -1692,6 +1692,25 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE — all four grouping sets of (status, priority) from
+    one pass of finest partials."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    t = relational.cube_aggregate(
+        orders, key_cols=["o_orderstatus", "o_orderpriority"],
+        value_col="o_totalprice", round_to=2)
+    return t.to_pandas()
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_value
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def q_window_distinct_users(sf_dir: str):
     """Tumbling-window COUNT(DISTINCT user): distinct pairs collapse
     per batch BEFORE the shuffle."""
@@ -2173,6 +2192,7 @@ def registry():
         "stratified_sample_docs": (q_stratified_sample_docs,
                                    SQL_STRATIFIED),
         "rollup_orders": (q_rollup_orders, SQL_ROLLUP),
+        "cube_orders": (q_cube_orders, SQL_CUBE),
         "json_field_stats": (q_json_field_stats, SQL_JSON_FIELD),
         "duplicate_spans": (q_duplicate_spans, SQL_DUP_SPANS),
         "window_distinct_users": (q_window_distinct_users,

@@ -887,16 +887,17 @@ def stratified_sample(ds, key_col: str, strata_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def rollup_aggregate(ds, key_cols: list[str], value_col: str,
-                     round_to: int = 2):
-    """ROLLUP multi-granularity aggregate in ONE pass: per-batch partials
-    at the finest (k₁…kₙ) granularity, one tiny groupby, then each
-    coarser level (k₁…kᵢ, NULL, …) plus the grand total derives from the
-    finest partials arrow-side — the raw rows are read once and never
-    re-shuffled per level.  Emits ``n`` and ``sum_value`` (ROUND'ed: the
-    coarser sums re-accumulate float partials, so the usual money-grain
-    rounding applies) with NULL key columns marking rolled-up levels,
-    exactly like SQL ``GROUP BY ROLLUP``."""
+def grouping_sets_aggregate(ds, key_cols: list[str], value_col: str,
+                            sets: list[tuple], round_to: int = 2):
+    """GROUPING SETS multi-granularity aggregate in ONE pass: per-batch
+    partials at the finest (k₁…kₙ) granularity, one tiny groupby, then
+    every requested grouping set derives from the finest partials
+    arrow-side — the raw rows are read once and never re-shuffled per
+    level.  Emits ``n`` and ``sum_value`` (ROUND'ed: the coarser sums
+    re-accumulate float partials, so the usual money-grain rounding
+    applies) with NULL key columns marking rolled-up positions, exactly
+    like SQL.  ``sets`` must include the full ``tuple(key_cols)`` set or
+    a coarser subset of it; each entry is a tuple of column names."""
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([*key_cols, value_col])
         g = t.group_by(key_cols).aggregate([(value_col, "sum"),
@@ -911,9 +912,12 @@ def rollup_aggregate(ds, key_cols: list[str], value_col: str,
     def levels(t: pa.Table) -> pa.Table:
         t = pa.table({**{k: t[k] for k in key_cols},
                       "psum": t["sum(psum)"], "pn": t["sum(pn)"]})
-        outs = [t]
-        for i in range(len(key_cols) - 1, -1, -1):
-            keep = key_cols[:i]
+        outs = []
+        for keep in sets:
+            keep = list(keep)
+            if keep == key_cols:
+                outs.append(t)
+                continue
             g = (t.group_by(keep).aggregate([("psum", "sum"),
                                              ("pn", "sum")])
                  if keep else
@@ -934,6 +938,24 @@ def rollup_aggregate(ds, key_cols: list[str], value_col: str,
                          "sum_value": pc.round(u["psum"], round_to)})
 
     return levels(ds_to_table(finest))
+
+
+def rollup_aggregate(ds, key_cols: list[str], value_col: str,
+                     round_to: int = 2):
+    """SQL ``GROUP BY ROLLUP``: the prefix grouping sets
+    (k₁…kₙ), (k₁…kₙ₋₁), …, () — see ``grouping_sets_aggregate``."""
+    sets = [tuple(key_cols[:i]) for i in range(len(key_cols), -1, -1)]
+    return grouping_sets_aggregate(ds, key_cols, value_col, sets, round_to)
+
+
+def cube_aggregate(ds, key_cols: list[str], value_col: str,
+                   round_to: int = 2):
+    """SQL ``GROUP BY CUBE``: every subset of ``key_cols`` (order-
+    preserving) — see ``grouping_sets_aggregate``."""
+    from itertools import combinations
+    sets = [tuple(c) for r in range(len(key_cols), -1, -1)
+            for c in combinations(key_cols, r)]
+    return grouping_sets_aggregate(ds, key_cols, value_col, sets, round_to)
 
 
 def windowed_distinct(events_ds, key_col: str, ts_col: str,

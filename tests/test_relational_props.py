@@ -327,3 +327,26 @@ def test_windowed_distinct_counts():
         "window_start").reset_index(drop=True)
     assert out["window_start"].tolist() == [0, 3600, 7200]
     assert out["n_distinct"].tolist() == [2, 2, 1]
+
+
+def test_cube_aggregate_all_subsets():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y"],
+        "b": ["p", "q", "p"],
+        "v": [1.0, 2.0, 4.0],
+    })
+    out = relational.cube_aggregate(
+        rd.from_pandas(df).repartition(2), key_cols=["a", "b"],
+        value_col="v").to_pandas()
+    # 3 finest + 2 per-a + 2 per-b + 1 total = 8 rows
+    assert len(out) == 8
+    per_b = out[out["a"].isna() & out["b"].notna()].set_index("b")
+    assert per_b.loc["p", "sum_value"] == 5 and per_b.loc["p", "n"] == 2
+    assert per_b.loc["q", "sum_value"] == 2
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert total["sum_value"].iloc[0] == 7 and total["n"].iloc[0] == 3
