@@ -1692,6 +1692,32 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_ngram_diversity(sf_dir: str):
+    """Within-doc character-8-gram diversity (Gopher repetition signal):
+    pure map, no shuffle.  Oracle counts distinct substr windows."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.ngram_diversity_stats(docs, key_col="doc_id",
+                                     text_col="text", k=8).to_pandas()
+    return out[["doc_id", "n_grams", "n_distinct", "distinct_frac"]] \
+        .astype({"n_grams": "int64", "n_distinct": "int64"})
+
+
+SQL_NGRAM_DIVERSITY = """
+WITH grams AS (
+  SELECT doc_id, substr(text, CAST(p AS INT), 8) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, GREATEST(length(text) - 7, 1),
+                                      1)) AS p
+        FROM documents)
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       COUNT(DISTINCT g) AS n_distinct,
+       FLOOR(COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE) * 10000)
+         / 10000 AS distinct_frac
+FROM grams GROUP BY doc_id
+"""
+
+
 def q_cube_orders(sf_dir: str):
     """GROUP BY CUBE — all four grouping sets of (status, priority) from
     one pass of finest partials."""
@@ -2193,6 +2219,7 @@ def registry():
                                    SQL_STRATIFIED),
         "rollup_orders": (q_rollup_orders, SQL_ROLLUP),
         "cube_orders": (q_cube_orders, SQL_CUBE),
+        "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
         "json_field_stats": (q_json_field_stats, SQL_JSON_FIELD),
         "duplicate_spans": (q_duplicate_spans, SQL_DUP_SPANS),
         "window_distinct_users": (q_window_distinct_users,

@@ -585,3 +585,64 @@ def extract_regex_field(ds, col: str, pattern: str, out_col: str,
         return batch.append_column(out_col, v)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ngram_diversity_stats(ds, key_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8):
+    """Within-doc n-gram diversity (the Gopher duplicate-n-gram signal,
+    inverted): per doc, the number of character ``k``-gram positions, the
+    distinct count, and the distinct fraction — low diversity flags
+    templated/repetitive text.  Docs shorter than ``k`` count one
+    whole-text gram.
+
+    Pure per-batch map, NO shuffle: one vectorized codepoint-polynomial
+    pass hashes every position across the batch's concatenated texts
+    (same kernel as ``duplicate_span_stats``), then a per-doc unique
+    count via one lexsort over (doc, hash).  Fraction floor-truncated at
+    4 decimals (numpy/DuckDB-identical)."""
+    prime = np.uint64(1099511628211)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        if not texts:
+            return pa.table({key_col: batch[key_col],
+                             "n_grams": pa.array([], type=pa.int64()),
+                             "n_distinct": pa.array([], type=pa.int64()),
+                             "distinct_frac": pa.array([],
+                                                       type=pa.float64())})
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        flat = np.frombuffer(
+            b"".join(t.encode("utf-32-le") for t in texts),
+            dtype=np.uint32).astype(np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        nall = max(len(flat) - k + 1, 0)
+        hs_all = np.zeros(nall, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                hs_all = hs_all * prime + flat[j:j + nall]
+        n_win = np.where(lens >= k, lens - k + 1, 0).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(texts)), n_win)
+        within = (np.arange(n_win.sum(), dtype=np.int64)
+                  - np.repeat(np.cumsum(n_win) - n_win, n_win))
+        pos = starts[doc_idx] + within
+        h = hs_all[pos] if len(pos) else np.array([], dtype=np.uint64)
+        # distinct per doc: one lexsort, then count (doc, hash) changes
+        order = np.lexsort((h, doc_idx))
+        d_s, h_s = doc_idx[order], h[order]
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])] \
+            if len(d_s) else np.array([], dtype=bool)
+        n_distinct = np.bincount(d_s[new], minlength=len(texts)) \
+            if len(d_s) else np.zeros(len(texts), dtype=np.int64)
+        # short docs: 1 gram, 1 distinct
+        short = lens < k
+        n_grams = np.where(short, 1, n_win)
+        n_distinct = np.where(short, 1, n_distinct).astype(np.int64)
+        frac = np.floor(n_distinct / np.maximum(n_grams, 1) * 10_000) \
+            / 10_000
+        return pa.table({key_col: batch[key_col],
+                         "n_grams": pa.array(n_grams),
+                         "n_distinct": pa.array(n_distinct),
+                         "distinct_frac": pa.array(frac,
+                                                   type=pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")

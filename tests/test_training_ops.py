@@ -545,3 +545,18 @@ def test_duplicate_span_stats_seeded_overlap():
     # the repeated prefix of doc 0 ("unique prose alpha " x5) duplicates
     # within the doc itself at stride 1
     assert out.loc[0, "n_dup_spans"] > 24
+
+
+def test_ngram_diversity_repetitive_vs_diverse():
+    rows = [
+        {"doc_id": 0, "text": "abababababab"},      # period 2: 2 distinct 4-grams
+        {"doc_id": 1, "text": "abcdefghijkl"},      # all distinct
+        {"doc_id": 2, "text": "xy"},                # shorter than k
+    ]
+    out = text.ngram_diversity_stats(
+        rd.from_items(rows).repartition(2), k=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "n_grams"] == 9 and out.loc[0, "n_distinct"] == 2
+    assert out.loc[1, "n_grams"] == 9 and out.loc[1, "n_distinct"] == 9
+    assert out.loc[1, "distinct_frac"] == 1.0
+    assert out.loc[2, "n_grams"] == 1 and out.loc[2, "distinct_frac"] == 1.0
