@@ -350,3 +350,62 @@ def test_cube_aggregate_all_subsets():
     assert per_b.loc["q", "sum_value"] == 2
     total = out[out["a"].isna() & out["b"].isna()]
     assert total["sum_value"].iloc[0] == 7 and total["n"].iloc[0] == 3
+
+
+def test_new_ops_partition_invariance():
+    """Round-3 additions must produce identical results at 2 vs 8 input
+    partitions — the property the driver's value-hash gate relies on."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import dedup as dd
+    from prclz_ray.stages import relational, text
+
+    rng = np.random.default_rng(42)
+    n = 600
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 50_000, n), unit="s"),
+        "cents": rng.integers(1, 999, n).astype(np.int64),
+        "cat": rng.choice(["u", "v", "w"], n),
+    })
+    docs = pd.DataFrame({
+        "doc_id": np.arange(80, dtype=np.int64),
+        "text": [" ".join(rng.choice(
+            ["alpha", "beta", "gamma", "delta", "repeat repeat"], 12))
+            for _ in range(80)],
+    })
+
+    def norm(df, sort_cols):
+        return df.sort_values(sort_cols).reset_index(drop=True)
+
+    def eq(fn, src, sort_cols):
+        a = fn(rd.from_pandas(src).repartition(2)).to_pandas()
+        b = fn(rd.from_pandas(src).repartition(8)).to_pandas()
+        a, b = norm(a, sort_cols), norm(b, sort_cols)
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av = ["<null>" if pd.isna(v) else v for v in a[c].tolist()]
+            bv = ["<null>" if pd.isna(v) else v for v in b[c].tolist()]
+            assert av == bv, c
+
+    eq(lambda d: relational.running_aggregate(
+        d, "user_id", "ts", "event_id", "cents"), ev, ["event_id"])
+    eq(lambda d: relational.grouped_lag(
+        d, "user_id", "ts", "event_id", ["event_id"]), ev, ["event_id"])
+    eq(lambda d: relational.pivot_counts(
+        d, "cat", "user_id", [0, 1, 2]), ev, ["cat"])
+    eq(lambda d: relational.rollup_aggregate(
+        d, ["cat", "user_id"], "cents", round_to=0), ev,
+       ["cat", "user_id", "n"])
+    eq(lambda d: relational.windowed_distinct(
+        d, "user_id", "ts", 3600), ev, ["window_start"])
+    eq(lambda d: text.posting_lists(d, min_df=2, max_df=100), docs,
+       ["word"])
+    eq(lambda d: text.tfidf_top_terms(d, top_n=2), docs,
+       ["doc_id", "rank"])
+    eq(lambda d: dd.duplicate_span_stats(d, k=10, stride=3), docs,
+       ["doc_id"])
+    eq(lambda d: text.ngram_diversity_stats(d, k=6), docs, ["doc_id"])
