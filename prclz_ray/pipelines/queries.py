@@ -1718,6 +1718,26 @@ FROM grams GROUP BY doc_id
 """
 
 
+def q_ntile_user_value(sf_dir: str):
+    """NTILE(4) window — quartile assignment of each user's events by
+    value (ties broken by event_id, SQL's ORDER BY value, event_id)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = relational.grouped_ntile(ev, key_col="user_id",
+                                   order_col="value",
+                                   tiebreak_col="event_id",
+                                   n_tiles=4).to_pandas()
+    out = out[["event_id", "user_id", "tile"]]
+    return out.astype({"tile": "int64"})
+
+
+SQL_NTILE = """
+SELECT event_id, user_id,
+       NTILE(4) OVER (PARTITION BY user_id
+                      ORDER BY value, event_id) AS tile
+FROM events
+"""
+
+
 def q_cube_orders(sf_dir: str):
     """GROUP BY CUBE — all four grouping sets of (status, priority) from
     one pass of finest partials."""
@@ -2220,6 +2240,7 @@ def registry():
         "rollup_orders": (q_rollup_orders, SQL_ROLLUP),
         "cube_orders": (q_cube_orders, SQL_CUBE),
         "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
+        "ntile_user_value": (q_ntile_user_value, SQL_NTILE),
         "json_field_stats": (q_json_field_stats, SQL_JSON_FIELD),
         "duplicate_spans": (q_duplicate_spans, SQL_DUP_SPANS),
         "window_distinct_users": (q_window_distinct_users,

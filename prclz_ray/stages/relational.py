@@ -989,3 +989,40 @@ def windowed_distinct(events_ds, key_col: str, ts_col: str,
         lambda t: pa.table({"window_start": t["window_start"],
                             "n_distinct": t["sum(pn)"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def grouped_ntile(ds, key_col: str, order_col: str, tiebreak_col: str,
+                  n_tiles: int, num_buckets: int = 64):
+    """NTILE window: rows of each key, ordered by (order_col, tiebreak),
+    split into ``n_tiles`` near-equal tiles, larger tiles first —
+    ``NTILE(k) OVER (PARTITION BY key ORDER BY v, id)`` exactly: with
+    base = n//k and rem = n%k, the first ``rem`` tiles hold base+1 rows
+    and the rest hold base (the SQL front-loaded-remainder rule — NOT
+    the interleaving floor(rank·k/n) quantile formula).  Same
+    one-coarse-bucket-shuffle shape as the other window operators."""
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch[key_col],
+                      order_col: batch[order_col],
+                      tiebreak_col: batch[tiebreak_col]})
+        b = stable_bucket(batch[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([key_col, order_col, tiebreak_col])
+        g = df.groupby(key_col, sort=False)
+        rank = g.cumcount().to_numpy()
+        n = g[order_col].transform("size").to_numpy()
+        base = n // n_tiles
+        rem = n % n_tiles
+        cutoff = rem * (base + 1)
+        tile = np.where(
+            rank < cutoff,
+            rank // np.maximum(base + 1, 1),
+            rem + (rank - cutoff) // np.maximum(base, 1)) + 1
+        df = df.assign(tile=tile.astype(np.int64)) \
+            .drop(columns=["_bucket"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")

@@ -409,3 +409,24 @@ def test_new_ops_partition_invariance():
     eq(lambda d: dd.duplicate_span_stats(d, k=10, stride=3), docs,
        ["doc_id"])
     eq(lambda d: text.ngram_diversity_stats(d, k=6), docs, ["doc_id"])
+
+
+def test_grouped_ntile_tile_sizes():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    # n=7, k=3 -> sizes 3,2,2 (front-loaded remainder); n=2, k=4 -> 1,2
+    df = pd.DataFrame({
+        "k": [1] * 7 + [2] * 2,
+        "v": [10, 20, 30, 40, 50, 60, 70, 5, 6],
+        "id": list(range(9)),
+    })
+    out = relational.grouped_ntile(
+        rd.from_pandas(df).repartition(3), key_col="k", order_col="v",
+        tiebreak_col="id", n_tiles=3).to_pandas()
+    g1 = out[out.k == 1].sort_values("v")["tile"].tolist()
+    assert g1 == [1, 1, 1, 2, 2, 3, 3]
+    g2 = out[out.k == 2].sort_values("v")["tile"].tolist()
+    assert g2 == [1, 2]  # n < k: one row per tile
