@@ -1718,6 +1718,46 @@ FROM grams GROUP BY doc_id
 """
 
 
+def q_salted_join_hot_key(sf_dir: str):
+    """Skew-safe salted join: 80 % of left rows share one scorching key
+    (derived: k = user_id when event_id % 5 = 0 else 0); the hot key's
+    rows spread across 8 salt sub-buckets while the right side's hot row
+    replicates into each — identical results to a plain join (the SQL
+    twin), without the single-reducer hot spot."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        k = np.where(eid % 5 == 0, uid, 0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "k": pa.array(k)})
+
+    left = ev.map_batches(derive, batch_format="pyarrow")
+
+    def users(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["user_id"]}).group_by("k").aggregate([])
+
+    right = ev.map_batches(users, batch_format="pyarrow") \
+        .groupby("k").count().map_batches(
+            lambda t: pa.table({"k": t["k"],
+                                "label": pc.multiply(t["k"], 7)}),
+            batch_format="pyarrow")
+    out = relational.salted_join(left, right, on="k", hot_keys=[0],
+                                 salt=8).to_pandas()
+    return out[["event_id", "k", "label"]].astype({"label": "int64"})
+
+
+SQL_SALTED = """
+WITH l AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN user_id ELSE 0 END AS k
+  FROM events
+),
+r AS (SELECT DISTINCT user_id AS k, user_id * 7 AS label FROM events)
+SELECT l.event_id, l.k, r.label FROM l JOIN r ON l.k = r.k
+"""
+
+
 def q_ntile_user_value(sf_dir: str):
     """NTILE(4) window — quartile assignment of each user's events by
     value (ties broken by event_id, SQL's ORDER BY value, event_id)."""
@@ -2241,6 +2281,7 @@ def registry():
         "cube_orders": (q_cube_orders, SQL_CUBE),
         "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
         "ntile_user_value": (q_ntile_user_value, SQL_NTILE),
+        "salted_join_hot_key": (q_salted_join_hot_key, SQL_SALTED),
         "json_field_stats": (q_json_field_stats, SQL_JSON_FIELD),
         "duplicate_spans": (q_duplicate_spans, SQL_DUP_SPANS),
         "window_distinct_users": (q_window_distinct_users,

@@ -1026,3 +1026,76 @@ def grouped_ntile(ds, key_col: str, order_col: str, tiebreak_col: str,
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                 batch_format="pandas")
+
+
+def salted_join(left_ds, right_ds, on: str, hot_keys,
+                num_buckets: int = 32, salt: int = 8, how: str = "inner"):
+    """Skew-safe large×large join: rows of HOT keys (a known/detected
+    list — e.g. from ``top_k_words``-style heavy-hitter counts) spread
+    across ``salt`` sub-buckets on the left, while the right side's hot
+    rows REPLICATE into every sub-bucket, so one scorching key fans out
+    over ``salt`` tasks instead of melting a single reducer.  Non-hot
+    keys take the plain one-sub-bucket path; results are identical to
+    ``bucketed_hash_join`` (asserted in tests).
+
+    The left row's sub-bucket is its position hash — any assignment
+    works, the replicated right side meets it everywhere; output is
+    independent of the assignment."""
+    hot = pa.array(sorted(set(hot_keys)))
+    nb = num_buckets * salt
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        base = stable_bucket(batch[on], num_buckets).astype(np.int64)
+        ishot = pc.is_in(batch[on], value_set=hot).to_numpy(
+            zero_copy_only=False)
+        # per-row deterministic spread for hot keys (row content hash)
+        spread = pd.util.hash_array(
+            np.arange(batch.num_rows, dtype=np.int64)) % salt
+        sub = np.where(ishot, spread.astype(np.int64), 0)
+        b = base * salt + sub
+        out = batch.append_column("_bucket", pa.array(b.astype(np.int32)))
+        return out.append_column("_bside", pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        base = stable_bucket(batch[on], num_buckets).astype(np.int64)
+        ishot = pc.is_in(batch[on], value_set=hot).to_numpy(
+            zero_copy_only=False)
+        reps = np.where(ishot, salt, 1).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        sub = (np.arange(len(idx), dtype=np.int64)
+               - np.repeat(np.cumsum(reps) - reps, reps))
+        rep = batch.take(pa.array(idx))
+        b = base[idx] * salt + sub
+        out = rep.append_column("_bucket", pa.array(b.astype(np.int32)))
+        return out.append_column("_bside", pa.array(
+            np.ones(rep.num_rows, dtype=np.int8)))
+
+    l = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    r = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+
+    types: dict = {}
+    for sch in (l.schema(), r.schema()):
+        for n_, t_ in zip(sch.names, sch.types):
+            types.setdefault(n_, t_)
+
+    def align(t: pa.Table) -> pa.Table:
+        for n_ in types:
+            if n_ not in t.column_names:
+                t = t.append_column(n_, pa.nulls(t.num_rows,
+                                                 type=types[n_]))
+        return t.select(list(types))
+
+    def join_bucket(group: pd.DataFrame) -> pa.Table:
+        lg = group.loc[group._bside == 0, lcols]
+        rg = group.loc[group._bside == 1, rcols]
+        merged = lg.merge(rg, on=on, how=how, suffixes=("", "_r"))
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    unioned = l.map_batches(align, batch_format="pyarrow").union(
+        r.map_batches(align, batch_format="pyarrow"))
+    return unioned.groupby("_bucket").map_groups(join_bucket,
+                                                 batch_format="pandas")

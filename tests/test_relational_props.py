@@ -430,3 +430,41 @@ def test_grouped_ntile_tile_sizes():
     assert g1 == [1, 1, 1, 2, 2, 3, 3]
     g2 = out[out.k == 2].sort_values("v")["tile"].tolist()
     assert g2 == [1, 2]  # n < k: one row per tile
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    k = np.where(rng.random(n) < 0.85, 0, rng.integers(1, 50, n))
+    left = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                         "k": k.astype(np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                          "label": np.arange(50, dtype=np.int64) * 3})
+    a = relational.salted_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(2), on="k", hot_keys=[0],
+        salt=8).to_pandas().sort_values("id").reset_index(drop=True)
+    b = relational.bucketed_hash_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(2), on="k") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert a[["id", "k", "label"]].to_numpy().tolist() \
+        == b[["id", "k", "label"]].to_numpy().tolist()
+    # left outer rows with unmatched keys also agree
+    ao = relational.salted_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right.head(10)).repartition(2), on="k",
+        hot_keys=[0], salt=4, how="left").to_pandas()
+    bo = relational.bucketed_hash_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right.head(10)).repartition(2), on="k",
+        how="left").to_pandas()
+    key = ["id"]
+    assert ao.sort_values(key)["label"].fillna(-1).tolist() \
+        == bo.sort_values(key)["label"].fillna(-1).tolist()
