@@ -1405,6 +1405,20 @@ WHERE rn = 1
 SQL_KMEANS_ASSIGN = _kmeans_assign_sql()
 
 
+def q_kmeans_fit_sizes(sf_dir: str):
+    """Distributed spherical k-means TRAINING (Lloyd's over the full
+    dataset, per-batch partial sums) followed by assignment — emits
+    (cluster, n_vecs) sizes.  Rows-only: trained centroids are
+    float-iterative (no SQL twin); determinism and partition invariance
+    are pytest-pinned, objective monotonicity asserted here too."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C, hist = similarity.kmeans_fit(emb, n_clusters=8, iters=5, seed=3)
+    assert all(b >= a - 1e-12 for a, b in zip(hist, hist[1:]))
+    out = similarity.kmeans_assign(emb, C).to_pandas()
+    sizes = out.groupby("cluster").size().reset_index(name="n_vecs")
+    return sizes.astype({"cluster": "int64", "n_vecs": "int64"})
+
+
 def q_semantic_dup_pairs(sf_dir: str):
     """SemDeDup over embeddings augmented with 20 seeded exact copies
     (vec_id + 1_000_000): cluster-partition by fixed centroids, exact
@@ -2269,6 +2283,7 @@ def registry():
         "simhash_candidate_pairs": (q_simhash_candidate_pairs, SQL_SIMHASH),
         "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMB_DUP),
         "kmeans_assign_embeddings": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+        "kmeans_fit_sizes": (q_kmeans_fit_sizes, None),
         "semantic_dup_pairs": (q_semantic_dup_pairs, SQL_SEMANTIC_DUP),
         "running_total_user": (q_running_total_user, SQL_RUNNING_TOTAL),
         "lag_user_events": (q_lag_user_events, SQL_LAG_EVENTS),
