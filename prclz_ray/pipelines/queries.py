@@ -2231,6 +2231,37 @@ def q_multimodal_decode(sf_dir: str):
     return decode_pipeline(ds)
 
 
+def q_media_dup_pairs(sf_dir: str):
+    """Multimodal near-dup: decode (real BMP/WAV, digest-fallback video)
+    → feature vectors → banded hyperplane-LSH dup pairs over the decoded
+    features, with 10 seeded exact payload copies (media i ↔ i+1000).
+    Rows-only (binary source, no SQL twin); the expected pair set is
+    pytest-pinned.  The end-to-end composition a media-dedup user runs:
+    actor-pool decode feeding the embedding dedup shuffle."""
+    from ..stages.multimodal import decode_pipeline, synth_media_table
+    base = synth_media_table(60)
+    dup = base.slice(0, 10)
+    dup = dup.set_column(
+        dup.schema.get_field_index("media_id"), "media_id",
+        pa.array([f"m{1000 + i:05d}" for i in range(10)]))
+    ds = rd.from_arrow(pa.concat_tables([base, dup]))
+    feats = decode_pipeline(ds)
+
+    def to_vec(t: pa.Table) -> pa.Table:
+        ids = [int(m[1:]) for m in t["media_id"].to_pylist()]
+        return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                         "embedding": t["features"]})
+
+    vecs = feats.map_batches(to_vec, batch_format="pyarrow")
+    out = dd.embedding_dedup_pairs(vecs, cosine_threshold=0.9999) \
+        .to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                            "b": pd.Series(dtype="int64"),
+                            "cosine": pd.Series(dtype="float64")})
+    return out[["a", "b", "cosine"]]
+
+
 # ------------------------------------------------------------------ registry
 
 def registry():
@@ -2315,4 +2346,5 @@ def registry():
         "parcels_fixture": (q_parcels_fixture, SQL_PARCELS_FIXTURE),
         "reblock_fixture": (q_reblock_fixture, SQL_REBLOCK_FIXTURE),
         "multimodal_decode": (q_multimodal_decode, None),
+        "media_dup_pairs": (q_media_dup_pairs, None),
     }

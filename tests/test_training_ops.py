@@ -560,3 +560,14 @@ def test_ngram_diversity_repetitive_vs_diverse():
     assert out.loc[1, "n_grams"] == 9 and out.loc[1, "n_distinct"] == 9
     assert out.loc[1, "distinct_frac"] == 1.0
     assert out.loc[2, "n_grams"] == 1 and out.loc[2, "distinct_frac"] == 1.0
+
+
+def test_media_dup_pairs_finds_seeded_payload_copies():
+    from prclz_ray.pipelines.queries import q_media_dup_pairs
+    out = q_media_dup_pairs("/root/testdata/sf0.001")
+    got = {(a, b) for a, b in zip(out["a"], out["b"])}
+    # identical payloads decode to identical features -> all 10 pairs
+    assert {(i, 1000 + i) for i in range(10)} <= got
+    # no cross-media false pairs at the 0.9999 threshold except possible
+    # same-frequency audio synth collisions; every pair must be exact
+    assert (out["cosine"] >= 0.9999).all()
