@@ -234,6 +234,27 @@ def cmd_corpus(a):
         from .stages.relational import deterministic_sample
         docs = deterministic_sample(docs, key_col=a.key_col,
                                     rate_ppm=a.sample_ppm)
+    resume = getattr(a, "resume", False)
+    if resume:
+        # partition-resumable output is only sound for per-row stages: a
+        # global dedup's keep-decision may depend on rows in partitions a
+        # resumed run would skip, silently changing results
+        if a.dedup != "none":
+            raise SystemExit("--resume requires --dedup none "
+                             "(dedup is a global operator)")
+        from .runtime.checkpoint import filter_uncommitted
+        from .stages.relational import stable_bucket
+        n_parts = getattr(a, "resume_parts", 64)
+
+        def add_part(batch):
+            import pyarrow as _pa
+            b = stable_bucket(batch[a.key_col], n_parts)
+            return batch.append_column(
+                "_part", _pa.array(b.astype("U"), type=_pa.string()))
+
+        docs = docs.map_batches(add_part, batch_format="pyarrow")
+        # committed partitions drop BEFORE any compute
+        docs = filter_uncommitted(docs, a.out, "_part")
     if "normalize" in stages:
         docs = docs.map_batches(T.normalize_text_batch,
                                 batch_format="pyarrow")
@@ -257,8 +278,13 @@ def cmd_corpus(a):
     elif a.dedup == "minhash":
         docs, _ = D.minhash_lsh_dedup(docs, key_col=a.key_col,
                                       text_col=a.text_col)
-    docs.write_parquet(a.out)
-    print(a.out)
+    if resume:
+        from .runtime.checkpoint import write_partitioned_resumable
+        res = write_partitioned_resumable(docs, a.out, "_part")
+        print(f"{a.out} written={res['written']} skipped={res['skipped']}")
+    else:
+        docs.write_parquet(a.out)
+        print(a.out)
 
 
 def main(argv=None):
@@ -348,6 +374,12 @@ def main(argv=None):
     s.add_argument("--sample-ppm", type=int, default=0,
                    help="deterministic key-hash subsample rate in ppm, "
                         "applied BEFORE any compute (0 = keep all)")
+    s.add_argument("--resume", action="store_true",
+                   help="manifest-checkpointed key-hash partitions: a "
+                        "rerun skips committed partitions BEFORE any "
+                        "compute (per-row stages only: needs --dedup none)")
+    s.add_argument("--resume-parts", type=int, default=64,
+                   help="number of key-hash output partitions for --resume")
     s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser("flagship")

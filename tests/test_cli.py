@@ -116,3 +116,45 @@ def test_cli_corpus_sample_ppm(tmp_path):
     expect = {i for i in range(200)
               if ((i + 1) * SAMPLE_MIX % (1 << 64)) % 1_000_000 < 300_000}
     assert kept == expect and 0 < len(kept) < 200
+
+
+def test_cli_corpus_resume(tmp_path, capsys):
+    import json
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from prclz_ray.cli import main
+    from prclz_ray.runtime.checkpoint import manifest_path, read_resumable
+    docs = pa.table({
+        "doc_id": pa.array(range(300), type=pa.int64()),
+        "text": pa.array([f"body of document {i} with words" for i in range(300)]),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, src)
+    out = str(tmp_path / "resumable_out")
+    args = ["corpus", "--docs", str(src), "--out", out,
+            "--stages", "tokens", "--resume", "--resume-parts", "8"]
+    main(args)
+    first = capsys.readouterr().out
+    assert "written=8 skipped=0" in first
+    assert read_resumable(out).count() == 300
+    # rerun: everything committed -> all partitions skip before compute
+    main(args)
+    second = capsys.readouterr().out
+    assert "written=0 skipped=0" in second or "skipped=" in second
+    assert read_resumable(out).count() == 300
+    # drop one partition from the manifest -> only it recomputes
+    mp = manifest_path(out)
+    recs = [json.loads(l) for l in open(mp)]
+    victim = recs[0]["key"]
+    with open(mp, "w") as f:
+        for r in recs:
+            if r["key"] != victim:
+                f.write(json.dumps(r) + "\n")
+    main(args)
+    third = capsys.readouterr().out
+    assert "written=1" in third
+    assert read_resumable(out).count() == 300
+    # dedup + resume is refused (global operator)
+    import pytest
+    with pytest.raises(SystemExit):
+        main(args + ["--dedup", "exact"])
