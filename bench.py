@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "running_total_user",
     "lag_user_events",
     "duplicate_spans",
+    "tfidf_top_terms",
 ]
 
 

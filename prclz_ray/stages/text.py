@@ -437,26 +437,30 @@ def top_k_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20):
 
 
 def tfidf_top_terms(ds, key_col: str = "doc_id", text_col: str = "text",
-                    top_n: int = 3, num_buckets: int = 32):
+                    top_n: int = 3, num_buckets: int = 32,
+                    broadcast_limit_bytes: int = 64 << 20):
     """Per-document top-N TF-IDF terms (keyword extraction):
     score = tf × ln(N / df), rank per doc by (score DESC, word ASC).
 
-    Scale shape — the inverted-index double shuffle, fully streaming:
+    Scale shape — the inverted-index pattern, fully streaming:
       1. per-batch explode → per-doc term frequencies (docs are rows, so
          a doc never spans batches; empty tokens dropped);
       2. document frequency: per-batch DISTINCT (doc, word) partials →
          one groupby-sum per distinct word;
-      3. tf rows join df rows via the bucketed hash join on the word
-         (both sides large → co-shuffle, no broadcast vocabulary);
+      3. the (word, df) vocabulary attaches to the tf rows via a
+         size-guarded ``ray.put`` broadcast merge (Zipf vocabularies are
+         ~MBs even for web corpora) with a bucketed co-shuffle join
+         fallback past the byte budget — the same guarded pattern as
+         ``jaccard_verify_pairs``;
       4. per-doc top-N: per-batch prune to ≤ top_n rows per doc, then one
-         groupby(doc) exact select — the grouped_top_n pattern with a
-         (score, word) composite order.
+         groupby(doc-bucket) exact select — the grouped_top_n pattern
+         with a (score, word) composite order.
     ``n_docs`` must be supplied-or-counted once (a count() pass)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
-    from .relational import bucketed_hash_join
+    from .relational import broadcast_join, bucketed_hash_join, ds_to_table
 
     n_docs = ds.count()
 
@@ -481,10 +485,15 @@ def tfidf_top_terms(ds, key_col: str = "doc_id", text_col: str = "text",
                          "pdf": g["count_all"].cast(pa.int64())})
 
     df = tf.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("word").aggregate(Sum("pdf", alias_name="df"))
+        .groupby("word").aggregate(Sum("pdf", alias_name="df")) \
+        .materialize()  # vocabulary-sized; probed for the broadcast guard
 
-    joined = bucketed_hash_join(tf, df, on="word",
-                                num_buckets=num_buckets)
+    vocab_bytes = df.size_bytes() or 0
+    if vocab_bytes <= broadcast_limit_bytes:
+        joined = broadcast_join(tf, ds_to_table(df), on="word")
+    else:
+        joined = bucketed_hash_join(tf, df, on="word",
+                                    num_buckets=num_buckets)
 
     def score(batch: pa.Table) -> pa.Table:
         s = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64) \
