@@ -1198,6 +1198,100 @@ FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
 """
 
 
+_FILT_MIN_TOKENS, _FILT_MAX_TWF = 20, 0.13
+
+
+def q_corpus_filter_decision(sf_dir: str):
+    """The capstone corpus-hygiene decision (C4/Gopher-style): language
+    known, document long enough, not top-word-dominated — one fused map
+    chaining LangId → token counts → repetition stats → a vectorized
+    keep/reason verdict per doc (reason is a bitmask: 1 = too short,
+    2 = repetitive, 4 = language unknown).  Every heuristic reuses an
+    already-oracled kernel, and the SQL twin reassembles the identical
+    expressions, so the final DECISION is hash-checked end to end."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = docs.map_batches(text.LangId, batch_format="pandas",
+                          concurrency=(1, 4))
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    ds = ds.map_batches(text.repetition_stats_batch,
+                        batch_format="pyarrow")
+
+    def decide(t: pa.Table) -> pa.Table:
+        toks = t["tokens_ws"].to_numpy(zero_copy_only=False)
+        twf = t["top_word_frac"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(t["lang_pred"].to_pylist(), dtype=object)
+        short = toks < _FILT_MIN_TOKENS
+        rep = twf > _FILT_MAX_TWF
+        und = lang == "und"
+        reason = (short.astype(np.int64) + 2 * rep.astype(np.int64)
+                  + 4 * und.astype(np.int64))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_pred": t["lang_pred"],
+            "tokens_ws": t["tokens_ws"],
+            "top_word_frac": t["top_word_frac"],
+            "keep": pa.array((reason == 0).astype(np.int64)),
+            "reason": pa.array(reason),
+        })
+
+    out = ds.map_batches(decide, batch_format="pyarrow").to_pandas()
+    return out.astype({"tokens_ws": "int64", "keep": "int64",
+                       "reason": "int64"})
+
+
+def _corpus_filter_sql() -> str:
+    langs = list(text._LANG_PROFILES)
+    pats = {
+        lg: r"\b(?:" + "|".join(sorted(prof, key=len, reverse=True)) + r")\b"
+        for lg, prof in text._LANG_PROFILES.items()}
+    counts = ",\n    ".join(
+        f"length(regexp_extract_all(lower(text), '{pats[lg]}')) AS c_{lg}"
+        for lg in langs)
+    all_c = ", ".join(f"c_{lg}" for lg in langs)
+    branches = []
+    for i, lg in enumerate(langs):
+        conds = " AND ".join(f"c_{lg} >= c_{other}" for other in langs[i + 1:])
+        branches.append(f"WHEN {conds or 'TRUE'} THEN '{lg}'")
+    case = "\n      ".join(branches)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+    {counts}
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, text,
+    CASE WHEN GREATEST({all_c}) = 0 THEN 'und'
+      {case}
+    END AS lang_pred,
+    len(string_split(text, ' ')) AS tokens_ws
+  FROM scored
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) GROUP BY doc_id, w),
+tw AS (SELECT doc_id,
+              FLOOR(MAX(c) * 10000.0 / GREATEST(SUM(c), 1)) / 10000
+                AS top_word_frac
+       FROM wc GROUP BY doc_id),
+j AS (
+  SELECT p.doc_id, p.lang_pred, p.tokens_ws, tw.top_word_frac,
+         (CASE WHEN p.tokens_ws < {_FILT_MIN_TOKENS} THEN 1 ELSE 0 END
+          + CASE WHEN tw.top_word_frac > {_FILT_MAX_TWF} THEN 2 ELSE 0 END
+          + CASE WHEN p.lang_pred = 'und' THEN 4 ELSE 0 END) AS reason
+  FROM pred p JOIN tw ON tw.doc_id = p.doc_id
+)
+SELECT doc_id, lang_pred, CAST(tokens_ws AS BIGINT) AS tokens_ws,
+       top_word_frac,
+       CAST(CASE WHEN reason = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(reason AS BIGINT) AS reason
+FROM j
+"""
+
+
+SQL_CORPUS_FILTER = _corpus_filter_sql()
+
+
 def q_ann_topk_cosine(sf_dir: str):
     """Brute-force exact top-5 cosine for 3 query vectors (the ANN
     baseline; float64 end-to-end so ordering matches the SQL oracle)."""
@@ -2298,6 +2392,8 @@ def registry():
         "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARA_DEDUP),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION),
+        "corpus_filter_decision": (q_corpus_filter_decision,
+                                   SQL_CORPUS_FILTER),
         "acctbal_quantiles_nation": (q_acctbal_quantiles, SQL_QUANTILES),
         "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE),

@@ -571,3 +571,18 @@ def test_media_dup_pairs_finds_seeded_payload_copies():
     # no cross-media false pairs at the 0.9999 threshold except possible
     # same-frequency audio synth collisions; every pair must be exact
     assert (out["cosine"] >= 0.9999).all()
+
+
+def test_corpus_filter_decision_mixes_and_reasons():
+    from prclz_ray.pipelines.queries import q_corpus_filter_decision
+    out = q_corpus_filter_decision("/root/testdata/sf0.001")
+    assert set(out.columns) == {"doc_id", "lang_pred", "tokens_ws",
+                                "top_word_frac", "keep", "reason"}
+    # the decision is non-trivial on the synthetic corpus: both kept and
+    # dropped docs exist, and every dropped doc carries a reason bit
+    assert 0 < out["keep"].sum() < len(out)
+    dropped = out[out["keep"] == 0]
+    assert (dropped["reason"] > 0).all()
+    kept = out[out["keep"] == 1]
+    assert (kept["tokens_ws"] >= 20).all()
+    assert (kept["top_word_frac"] <= 0.13).all()
