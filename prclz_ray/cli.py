@@ -273,6 +273,15 @@ def cmd_corpus(a):
         docs = docs.map_batches(T.redact_pii_batch, batch_format="pyarrow")
     if "fingerprint" in stages:
         docs = docs.map_batches(T.fingerprint_batch, batch_format="pyarrow")
+    if getattr(a, "filter", False):
+        missing = {"langid", "tokens", "repetition"} - set(stages)
+        if missing:
+            raise SystemExit(
+                f"--filter needs stages {sorted(missing)} (computes the "
+                "columns the decision reads)")
+        docs = docs.map_batches(T.filter_decision_batch,
+                                batch_format="pyarrow")
+        docs = docs.filter(expr="keep == 1")
     if a.dedup == "exact":
         docs = D.exact_dedup(docs, text_col=a.text_col, key_col=a.key_col)
     elif a.dedup == "minhash":
@@ -374,6 +383,10 @@ def main(argv=None):
     s.add_argument("--sample-ppm", type=int, default=0,
                    help="deterministic key-hash subsample rate in ppm, "
                         "applied BEFORE any compute (0 = keep all)")
+    s.add_argument("--filter", action="store_true",
+                   help="apply the C4/Gopher keep/drop decision and keep "
+                        "only passing docs (needs langid,tokens,repetition "
+                        "stages)")
     s.add_argument("--resume", action="store_true",
                    help="manifest-checkpointed key-hash partitions: a "
                         "rerun skips committed partitions BEFORE any "

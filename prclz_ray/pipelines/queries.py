@@ -1216,25 +1216,14 @@ def q_corpus_filter_decision(sf_dir: str):
     ds = ds.map_batches(text.repetition_stats_batch,
                         batch_format="pyarrow")
 
-    def decide(t: pa.Table) -> pa.Table:
-        toks = t["tokens_ws"].to_numpy(zero_copy_only=False)
-        twf = t["top_word_frac"].to_numpy(zero_copy_only=False)
-        lang = np.asarray(t["lang_pred"].to_pylist(), dtype=object)
-        short = toks < _FILT_MIN_TOKENS
-        rep = twf > _FILT_MAX_TWF
-        und = lang == "und"
-        reason = (short.astype(np.int64) + 2 * rep.astype(np.int64)
-                  + 4 * und.astype(np.int64))
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "lang_pred": t["lang_pred"],
-            "tokens_ws": t["tokens_ws"],
-            "top_word_frac": t["top_word_frac"],
-            "keep": pa.array((reason == 0).astype(np.int64)),
-            "reason": pa.array(reason),
-        })
-
-    out = ds.map_batches(decide, batch_format="pyarrow").to_pandas()
+    ds = ds.map_batches(
+        lambda t: text.filter_decision_batch(
+            t, min_tokens=_FILT_MIN_TOKENS,
+            max_top_word_frac=_FILT_MAX_TWF),
+        batch_format="pyarrow")
+    out = ds.to_pandas()
+    out = out[["doc_id", "lang_pred", "tokens_ws", "top_word_frac",
+               "keep", "reason"]]
     return out.astype({"tokens_ws": "int64", "keep": "int64",
                        "reason": "int64"})
 

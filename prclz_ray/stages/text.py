@@ -655,3 +655,19 @@ def ngram_diversity_stats(ds, key_col: str = "doc_id",
                                                    type=pa.float64())})
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def filter_decision_batch(t: pa.Table, min_tokens: int = 20,
+                          max_top_word_frac: float = 0.13) -> pa.Table:
+    """Corpus keep/drop verdict from already-computed hygiene columns
+    (``lang_pred``, ``tokens_ws``, ``top_word_frac``): vectorized reason
+    bitmask — 1 = too short, 2 = repetitive (top-word dominated),
+    4 = language unknown; keep = no reason bits."""
+    toks = t["tokens_ws"].to_numpy(zero_copy_only=False)
+    twf = t["top_word_frac"].to_numpy(zero_copy_only=False)
+    lang = np.asarray(t["lang_pred"].to_pylist(), dtype=object)
+    reason = ((toks < min_tokens).astype(np.int64)
+              + 2 * (twf > max_top_word_frac).astype(np.int64)
+              + 4 * (lang == "und").astype(np.int64))
+    out = t.append_column("keep", pa.array((reason == 0).astype(np.int64)))
+    return out.append_column("reason", pa.array(reason))

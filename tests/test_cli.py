@@ -158,3 +158,30 @@ def test_cli_corpus_resume(tmp_path, capsys):
     import pytest
     with pytest.raises(SystemExit):
         main(args + ["--dedup", "exact"])
+
+
+def test_cli_corpus_filter(tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from prclz_ray.cli import main
+    docs = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array([
+            "the quick brown fox and the dog ran for it in a field of "
+            "green grass that is very nice to see today and tomorrow",
+            "short",                       # too short -> dropped
+            "spam " * 30,                  # top-word dominated -> dropped
+        ]),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, src)
+    out = tmp_path / "filtered_out"
+    main(["corpus", "--docs", str(src), "--out", str(out),
+          "--stages", "langid,tokens,repetition", "--filter"])
+    got = pq.read_table(str(out))
+    assert got.column("doc_id").to_pylist() == [0]
+    # --filter without the prerequisite stages is refused
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["corpus", "--docs", str(src), "--out", str(out) + "2",
+              "--stages", "tokens", "--filter"])
