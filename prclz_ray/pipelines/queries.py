@@ -1922,6 +1922,30 @@ def q_approx_quantiles_price(sf_dir: str):
                                      rel_err=0.01).to_pandas()
 
 
+def q_hash_split_docs(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by doc_id hash — a
+    disjoint exhaustive partition (every doc gets exactly one label),
+    stable across parallelism and resume; identical HUGEINT arithmetic in
+    the SQL twin."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = relational.hash_split(
+        docs, key_col="doc_id",
+        splits={"train": 800_000, "val": 100_000, "test": 100_000})
+    return out.to_pandas()
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN h < 800000 THEN 'train'
+            WHEN h < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+              % 18446744073709551616) % 1000000 AS h
+      FROM documents)
+"""
+
+
 def q_lag_user_events(sf_dir: str):
     """LAG window — for every event, the previous event id of the same
     user and the exact microsecond gap since it (NULL on each user's first
@@ -2408,6 +2432,7 @@ def registry():
         "posting_lists": (q_posting_lists, SQL_POSTINGS),
         "stratified_sample_docs": (q_stratified_sample_docs,
                                    SQL_STRATIFIED),
+        "hash_split_docs": (q_hash_split_docs, SQL_HASH_SPLIT),
         "rollup_orders": (q_rollup_orders, SQL_ROLLUP),
         "cube_orders": (q_cube_orders, SQL_CUBE),
         "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),

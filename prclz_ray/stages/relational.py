@@ -1099,3 +1099,29 @@ def salted_join(left_ds, right_ds, on: str, hot_keys,
         r.map_batches(align, batch_format="pyarrow"))
     return unioned.groupby("_bucket").map_groups(join_bucket,
                                                  batch_format="pandas")
+
+
+def hash_split(ds, key_col: str, splits: dict, seed: int = 1):
+    """Deterministic train/val/test assignment: the key's golden-ratio-mix
+    hash mod 1e6 falls into cumulative ppm bands (``splits`` maps label →
+    ppm, summing to 1e6).  Pure per-row map — no shuffle, no RNG state,
+    stable across parallelism and resume, and a disjoint EXHAUSTIVE
+    partition of the corpus (every row gets exactly one label), unlike
+    repeated sampling.  SQL twin: the identical HUGEINT arithmetic under
+    a cumulative CASE."""
+    if sum(splits.values()) != 1_000_000:
+        raise ValueError("split ppm weights must sum to 1,000,000")
+    labels = list(splits)
+    bounds = np.cumsum([splits[k] for k in labels]).astype(np.uint64)
+    mix = np.uint64(SAMPLE_MIX)
+    s = np.uint64(seed)
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ((k + s) * mix) % np.uint64(1_000_000)
+        idx = np.searchsorted(bounds, h, side="right")
+        lab = np.array(labels, dtype=object)[idx]
+        return t.append_column("split", pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

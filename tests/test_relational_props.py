@@ -468,3 +468,29 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key():
     key = ["id"]
     assert ao.sort_values(key)["label"].fillna(-1).tolist() \
         == bo.sort_values(key)["label"].fillna(-1).tolist()
+
+
+def test_hash_split_exhaustive_disjoint_and_stable():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64)})
+    splits = {"train": 800_000, "val": 100_000, "test": 100_000}
+    a = relational.hash_split(rd.from_pandas(df).repartition(3),
+                              "k", splits).to_pandas()
+    b = relational.hash_split(rd.from_pandas(df).repartition(9),
+                              "k", splits).to_pandas()
+    # exhaustive: every row labeled; disjoint by construction
+    assert len(a) == 5000 and a["split"].notna().all()
+    # proportions near the ppm weights
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.02
+    # parallelism-stable assignment
+    assert a.sort_values("k")["split"].tolist() \
+        == b.sort_values("k")["split"].tolist()
+    import pytest
+    with pytest.raises(ValueError):
+        relational.hash_split(rd.from_pandas(df), "k", {"a": 5})
