@@ -1946,6 +1946,20 @@ FROM (SELECT doc_id,
 """
 
 
+def q_grouped_approx_quantiles(sf_dir: str):
+    """Per-priority approximate order-total quantiles via the distributed
+    log-histogram sketch (one narrow (key, bin) shuffle — the 100-TB
+    alternative to the exact two-pass selection).  Rows-only:
+    approximate by construction; the ≤ 2 % error bound and partition
+    invariance are pytest-pinned."""
+    from ..stages import sketches
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = sketches.grouped_approx_quantiles(
+        orders, key_col="o_orderpriority", val_col="o_totalprice",
+        qs=[0.5, 0.9, 0.99], rel_err=0.01)
+    return out.to_pandas()
+
+
 def q_lag_user_events(sf_dir: str):
     """LAG window — for every event, the previous event id of the same
     user and the exact microsecond gap since it (NULL on each user's first
@@ -2443,6 +2457,7 @@ def registry():
         "window_distinct_users": (q_window_distinct_users,
                                   SQL_WINDOW_DISTINCT),
         "approx_quantiles_price": (q_approx_quantiles_price, None),
+        "grouped_approx_quantiles": (q_grouped_approx_quantiles, None),
         "full_outer_click_purchase": (q_full_outer_click_purchase,
                                       SQL_FULL_OUTER),
         "pivot_orders_status": (q_pivot_orders, SQL_PIVOT_ORDERS),

@@ -194,3 +194,63 @@ def approx_quantiles(ds, val_col: str, qs: list[float],
     return pa.table({"q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v, type=pa.float64()),
                      "n": pa.array([total] * len(qs), type=pa.int64())})
+
+
+def grouped_approx_quantiles(ds, key_col: str, val_col: str,
+                             qs: list[float], rel_err: float = 0.01,
+                             v_min: float = 1e-6, v_max: float = 1e12):
+    """Per-key approximate quantiles via the same fixed log-binned
+    histogram as ``approx_quantiles``, distributed: each batch emits
+    (key, bin) partial counts (already collapsed arrow-side), ONE narrow
+    groupby-sum shuffle, then a vectorized per-key cumulative selection.
+    The 100-TB path when ``grouped_quantile_disc``'s exact two-pass
+    re-scan is too expensive: counts sum-merge associatively, so the
+    answer is partition-invariant; value error ≤ the bin's relative
+    width (≤ 2·rel_err)."""
+    from ray.data.aggregate import Sum
+
+    base = 1.0 + 2.0 * rel_err
+    nbins = int(np.ceil(np.log(v_max / v_min) / np.log(base))) + 2
+    lo = np.log(v_min)
+    lb = np.log(base)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t[key_col]
+        ok = ~np.isnan(v)
+        idx = np.clip(((np.log(np.maximum(v, v_min)) - lo) / lb) + 1,
+                      1, nbins - 1).astype(np.int64)
+        idx[v < v_min] = 0
+        g = pa.table({key_col: k.filter(pa.array(ok)),
+                      "bin": pa.array(idx[ok])}) \
+            .group_by([key_col, "bin"]).aggregate([([], "count_all")])
+        return pa.table({key_col: g[key_col], "bin": g["bin"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key_col, "bin"]).aggregate(Sum("pn", alias_name="n"))
+
+    def select(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([key_col, "bin"])
+        keys_out, q_out, v_out, n_out = [], [], [], []
+        for key, g in df.groupby(key_col, sort=False):
+            cum = g["n"].cumsum().to_numpy()
+            bins = g["bin"].to_numpy()
+            total = int(cum[-1])
+            for q in qs:
+                target = max(1, int(np.ceil(q * total)))
+                b = int(bins[np.searchsorted(cum, target)])
+                val = v_min if b == 0 else float(np.exp(lo + (b - 1) * lb))
+                keys_out.append(key)
+                q_out.append(float(q))
+                v_out.append(val)
+                n_out.append(total)
+        return pa.table({key_col: pa.array(keys_out),
+                         "q": pa.array(q_out, type=pa.float64()),
+                         "value": pa.array(v_out, type=pa.float64()),
+                         "n": pa.array(n_out, type=pa.int64())})
+
+    # the histogram is (keys × occupied bins) rows — selection is a tiny
+    # single table
+    from .relational import ds_to_table
+    return select(ds_to_table(counts))

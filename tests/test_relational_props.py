@@ -494,3 +494,34 @@ def test_hash_split_exhaustive_disjoint_and_stable():
     import pytest
     with pytest.raises(ValueError):
         relational.hash_split(rd.from_pandas(df), "k", {"a": 5})
+
+
+def test_grouped_approx_quantiles_error_and_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import sketches
+
+    rng = np.random.default_rng(13)
+    n = 30_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n).astype(np.int64),
+        "v": np.exp(rng.normal(3, 1.0, n)),
+    })
+    qs = [0.5, 0.9, 0.99]
+    a = sketches.grouped_approx_quantiles(
+        rd.from_pandas(df).repartition(4), "k", "v", qs, rel_err=0.01)
+    b = sketches.grouped_approx_quantiles(
+        rd.from_pandas(df).repartition(13), "k", "v", qs, rel_err=0.01)
+    ap, bp = a.to_pandas(), b.to_pandas()
+    key = ["k", "q"]
+    ap = ap.sort_values(key).reset_index(drop=True)
+    bp = bp.sort_values(key).reset_index(drop=True)
+    assert ap["value"].tolist() == bp["value"].tolist()  # invariant
+    for kk, g in ap.groupby("k"):
+        vals = df.loc[df.k == kk, "v"].to_numpy()
+        exact = np.quantile(vals, qs, method="inverted_cdf")
+        rel = np.abs(g.sort_values("q")["value"].to_numpy() - exact) / exact
+        assert (rel <= 0.021).all(), kk
+        assert (g["n"] == len(vals)).all()
