@@ -1038,6 +1038,18 @@ def q_approx_distinct_users(sf_dir: str):
     return sketches.approx_distinct(ev, key_col="user_id")
 
 
+def q_grouped_approx_distinct(sf_dir: str):
+    """Per-event-type approximate distinct users via sparse-register HLL
+    (one narrow (group, register) shuffle — COUNT(DISTINCT) per key with
+    no key-column exchange).  Rows-only: approximate; the ≈1 % error
+    bound and partition invariance are pytest-pinned."""
+    from ..stages import sketches
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return sketches.grouped_approx_distinct(ev, group_col="event_type",
+                                            key_col="user_id") \
+        .to_pandas()
+
+
 def q_corr_qty_price(sf_dir: str):
     """Per-returnflag Pearson correlation of quantity vs extended price
     from mergeable sufficient statistics (one narrow shuffle)."""
@@ -2426,6 +2438,7 @@ def registry():
         "normalize_text": (q_normalize_text, SQL_NORMALIZE),
         "top_words": (q_top_words, SQL_TOP_WORDS),
         "approx_distinct_users": (q_approx_distinct_users, None),
+        "grouped_approx_distinct": (q_grouped_approx_distinct, None),
         "corr_qty_price": (q_corr_qty_price, SQL_CORR),
         "top_orders_per_priority": (q_top_orders_per_priority, SQL_TOP_PER_PRIORITY),
         "semi_customers_bloom": (q_semi_customers_bloom, SQL_SEMI_BLOOM),

@@ -254,3 +254,59 @@ def grouped_approx_quantiles(ds, key_col: str, val_col: str,
     # single table
     from .relational import ds_to_table
     return select(ds_to_table(counts))
+
+
+def grouped_approx_distinct(ds, group_col: str, key_col: str,
+                            p: int = 14) -> "object":
+    """Per-group approximate COUNT(DISTINCT key): HLL in SPARSE register
+    form — each batch emits (group, register, rho) rows already
+    max-collapsed arrow-side (≤ one row per register the batch touched,
+    never the 2^p dense array per group), ONE narrow groupby-max shuffle,
+    then a vectorized per-group estimate (absent registers are zeros, so
+    V = m − n_present feeds the linear-counting regime).  Max-merge is
+    associative ⇒ partition-invariant; error ≈ 1.04/√(2^p)."""
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hash_u64(t[key_col])
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - p)) - 1)
+        _, exp = np.frexp(rem.astype(np.float64))
+        rho = np.where(rem > 0, (64 - p) + 1 - exp, (64 - p) + 1) \
+            .astype(np.int64)
+        g = pa.table({group_col: t[group_col],
+                      "reg": pa.array(idx), "rho": pa.array(rho)}) \
+            .group_by([group_col, "reg"]).aggregate([("rho", "max")])
+        return pa.table({group_col: g[group_col], "reg": g["reg"],
+                         "prho": g["rho_max"].cast(pa.int64())})
+
+    sparse = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "reg"]).aggregate(Max("prho",
+                                                   alias_name="rho"))
+
+    def estimate(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = float(1 << p)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        groups, ests, nz = [], [], []
+        for gk, g in df.groupby(group_col, sort=False):
+            rho = g["rho"].to_numpy(dtype=np.float64)
+            n_present = len(rho)
+            s = np.sum(2.0 ** -rho) + (m - n_present)  # absent regs = 2^0
+            est = alpha * m * m / s
+            zeros = int(m) - n_present
+            if est <= 2.5 * m and zeros > 0:
+                est = m * np.log(m / zeros)
+            groups.append(gk)
+            ests.append(int(round(est)))
+            nz.append(n_present)
+        return pa.table({group_col: pa.array(groups),
+                         "approx_distinct": pa.array(ests,
+                                                     type=pa.int64()),
+                         "registers_nonzero": pa.array(nz,
+                                                       type=pa.int64())})
+
+    # the sparse table is (groups × touched registers) — estimate on one
+    # small table (groups are few; register count ≤ 2^p per group)
+    from .relational import ds_to_table
+    return estimate(ds_to_table(sparse))

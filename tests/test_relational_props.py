@@ -525,3 +525,31 @@ def test_grouped_approx_quantiles_error_and_invariance():
         rel = np.abs(g.sort_values("q")["value"].to_numpy() - exact) / exact
         assert (rel <= 0.021).all(), kk
         assert (g["n"] == len(vals)).all()
+
+
+def test_grouped_approx_distinct_error_and_invariance():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import sketches
+
+    rng = np.random.default_rng(21)
+    n = 40_000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        # distinct cardinality differs per group
+        "k": rng.integers(0, 3000, n).astype(np.int64),
+    })
+    df.loc[df.g == "b", "k"] %= 200
+    df.loc[df.g == "c", "k"] %= 37
+    a = sketches.grouped_approx_distinct(
+        rd.from_pandas(df).repartition(3), "g", "k").to_pandas()
+    b = sketches.grouped_approx_distinct(
+        rd.from_pandas(df).repartition(11), "g", "k").to_pandas()
+    a = a.sort_values("g").reset_index(drop=True)
+    b = b.sort_values("g").reset_index(drop=True)
+    assert a["approx_distinct"].tolist() == b["approx_distinct"].tolist()
+    exact = df.groupby("g")["k"].nunique()
+    for _, r in a.iterrows():
+        assert abs(r["approx_distinct"] - exact[r["g"]]) \
+            <= max(0.03 * exact[r["g"]], 2), r["g"]
