@@ -2397,6 +2397,65 @@ def q_media_dup_pairs(sf_dir: str):
 
 # ------------------------------------------------------------------ registry
 
+def q_decontaminate_ngrams(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix C / Dodge et al.): docs
+    with doc_id%50==0 form the held-out benchmark set; a deterministic
+    7-word canary sentence is appended to docs with doc_id%17==0 on BOTH
+    sides, so train docs carrying it share a 5-gram with the benchmark
+    and must be flagged.  Per train doc: n-gram count, benchmark-
+    overlapping n-gram count, contaminated fraction."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        idn = batch["doc_id"].to_numpy(zero_copy_only=False)
+        canary = pa.scalar(" the quick benchmark canary sentence for eval")
+        t0 = pc.binary_join_element_wise(
+            batch["text"],
+            pc.if_else(pa.array(idn % 17 == 0), canary, pa.scalar("")), "")
+        return pa.table({"doc_id": batch["doc_id"], "text": t0})
+
+    enriched = docs.map_batches(enrich, batch_format="pyarrow")
+
+    def side(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            idn = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (idn % 50 == 0) if keep_bench else (idn % 50 != 0)
+            return batch.filter(pa.array(m))
+        return f
+
+    bench = enriched.map_batches(side(True), batch_format="pyarrow")
+    train = enriched.map_batches(side(False), batch_format="pyarrow")
+    out = dd.decontaminate_ngrams(train, bench, key_col="doc_id",
+                                  text_col="text", n=5)
+    return out.select_columns(["doc_id", "n_ngrams", "n_contam",
+                               "contam_frac"])
+
+
+SQL_DECONTAMINATE = """
+WITH e AS (
+  SELECT doc_id, text || CASE WHEN doc_id % 17 = 0
+         THEN ' the quick benchmark canary sentence for eval'
+         ELSE '' END AS t0
+  FROM documents),
+w AS (SELECT doc_id, string_split(t0, ' ') AS w FROM e),
+g AS (SELECT doc_id,
+             w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+             w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3] || ' ' ||
+             w[CAST(i AS INT) + 4] AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+            FROM w WHERE len(w) >= 5)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+t AS (SELECT * FROM g WHERE doc_id % 50 <> 0)
+SELECT t.doc_id, COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contam,
+       ROUND(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS contam_frac
+FROM t LEFT JOIN bench b USING (gram)
+GROUP BY t.doc_id
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2483,6 +2542,7 @@ def registry():
         "complexity_fixture": (q_complexity_fixture, SQL_COMPLEXITY_FIXTURE),
         "parcels_fixture": (q_parcels_fixture, SQL_PARCELS_FIXTURE),
         "reblock_fixture": (q_reblock_fixture, SQL_REBLOCK_FIXTURE),
+        "decontaminate_ngrams": (q_decontaminate_ngrams, SQL_DECONTAMINATE),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

@@ -108,7 +108,7 @@ def _dup_profile(rows, key_col: str, n_col: str, dup_alias: str,
     rows (size-guarded ``ray.put`` broadcast + ``pc.is_in``, bucketed left
     join past the byte budget) → one per-key groupby sums the flags.
     2 total shuffles on the broadcast path."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         t = batch.group_by("_h").aggregate([("_h", "count")])
@@ -119,7 +119,21 @@ def _dup_profile(rows, key_col: str, n_col: str, dup_alias: str,
         .groupby("_h").aggregate(Sum("pcnt", alias_name="cnt"))
     dup_hashes = counts.filter(expr=f"cnt >= {int(min_count)}") \
         .materialize()  # distinct-dup-hash-sized: needed twice below
+    return _flag_profile(rows, dup_hashes, key_col, n_col, dup_alias,
+                         num_buckets, broadcast_limit_bytes)
 
+
+def _flag_profile(rows, flag_keys, key_col: str, n_col: str, dup_alias: str,
+                  num_buckets: int, broadcast_limit_bytes: int,
+                  frac_alias: str = "dup_frac"):
+    """Flag-and-profile tail shared by the dup profiles and
+    decontamination: ``flag_keys`` is a MATERIALIZED narrow Dataset whose
+    ``_h`` column is the flag set.  The set broadcasts via ``ray.put`` +
+    ``pc.is_in`` when it fits ``broadcast_limit_bytes``, else a bucketed
+    left join marks the rows; one per-key groupby sums the flags."""
+    from ray.data.aggregate import Max, Sum
+
+    dup_hashes = flag_keys
     n_dup_hashes = dup_hashes.count()
     if n_dup_hashes * 8 <= broadcast_limit_bytes:
         import ray
@@ -166,9 +180,88 @@ def _dup_profile(rows, key_col: str, n_col: str, dup_alias: str,
         frac = np.round(nd / np.maximum(n, 1), 4)
         return pa.table({key_col: batch[key_col], n_col: pa.array(n),
                          dup_alias: pa.array(nd),
-                         "dup_frac": pa.array(frac)})
+                         frac_alias: pa.array(frac)})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def _ngram_hash_rows(ds, key_col: str, text_col: str, n: int):
+    """Explode docs into narrow (key, _h, n_ngrams) rows — one row per
+    word ``n``-gram, hashed to 64 bits (the n-gram TEXT never shuffles).
+    Vectorized shift-and-join over the batch-flattened token array (the
+    ``top_k_ngrams`` kernel); windows never cross doc boundaries.  Docs
+    with fewer than ``n`` space-split tokens emit nothing."""
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        flat = pc.list_flatten(parts).combine_chunks()
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        empty = pa.table({key_col: batch[key_col].slice(0, 0),
+                          "_h": pa.array([], type=pa.int64()),
+                          "n_ngrams": pa.array([], type=pa.int64())})
+        L = len(flat)
+        if L < n:
+            return empty
+        shifted = [flat.slice(i, L - n + 1) for i in range(n)]
+        joined = shifted[0]
+        for s in shifted[1:]:
+            joined = pc.binary_join_element_wise(joined, s, " ")
+        keep = np.flatnonzero(parent[: L - n + 1] == parent[n - 1:])
+        if keep.size == 0:
+            return empty
+        h = pd.util.hash_array(
+            np.asarray(joined.take(pa.array(keep)), dtype=object)) \
+            .view(np.int64)
+        par = parent[keep]
+        cnts = np.bincount(par, minlength=batch.num_rows)
+        return pa.table({key_col: batch[key_col].take(pa.array(par)),
+                         "_h": pa.array(h),
+                         "n_ngrams": pa.array(cnts[par].astype(np.int64))})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def decontaminate_ngrams(train_ds, bench_ds, key_col: str = "doc_id",
+                         text_col: str = "text", n: int = 5,
+                         num_buckets: int = 32,
+                         broadcast_limit_bytes: int = 64 << 20):
+    """Benchmark decontamination (the GPT-3 appendix-C / Dodge et al.
+    C4-contamination procedure): flag every training document sharing at
+    least one word ``n``-gram with the benchmark/eval corpus, reporting
+    per doc the n-gram count, the number of benchmark-overlapping n-grams
+    and the contaminated fraction.
+
+    Scale shape (train 10^12 docs, bench millions — nothing corpus-sized
+    on the driver):
+      1. both sides explode to narrow (key, hash64) rows via one
+         vectorized shift-and-join pass per batch;
+      2. the bench side collapses to its distinct hash set (per-batch
+         partial counts → tiny per-hash groupby — Zipf dedup inside each
+         batch first);
+      3. the distinct bench set flags the train rows through the shared
+         size-guarded tail: ``ray.put`` broadcast + ``pc.is_in`` when the
+         set fits ``broadcast_limit_bytes`` (the common case — eval sets
+         are tiny next to the corpus), bucketed left join past it;
+      4. one per-doc groupby sums the flags.
+    The SQL oracle twin joins on the n-gram STRING itself (identical
+    semantics absent 64-bit collisions, same contract as exact_dedup)."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("_h").aggregate([("_h", "count")])
+        return pa.table({"_h": t["_h"],
+                         "pcnt": t["_h_count"].cast(pa.int64())})
+
+    bench_hashes = _ngram_hash_rows(bench_ds, key_col, text_col, n) \
+        .map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("_h").aggregate(Sum("pcnt", alias_name="cnt")) \
+        .materialize()
+
+    train_rows = _ngram_hash_rows(train_ds, key_col, text_col, n)
+    return _flag_profile(train_rows, bench_hashes, key_col,
+                         n_col="n_ngrams", dup_alias="n_contam",
+                         num_buckets=num_buckets,
+                         broadcast_limit_bytes=broadcast_limit_bytes,
+                         frac_alias="contam_frac")
 
 
 def duplicate_span_stats(ds, key_col: str = "doc_id",

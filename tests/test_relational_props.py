@@ -409,6 +409,7 @@ def test_new_ops_partition_invariance():
     eq(lambda d: dd.duplicate_span_stats(d, k=10, stride=3), docs,
        ["doc_id"])
     eq(lambda d: text.ngram_diversity_stats(d, k=6), docs, ["doc_id"])
+    eq(lambda d: dd.decontaminate_ngrams(d, d, n=3), docs, ["doc_id"])
 
 
 def test_grouped_ntile_tile_sizes():

@@ -253,6 +253,30 @@ def test_paragraph_dedup_stats():
     assert list(out.dup_frac) == [0.6667, 0.5, 0.0]
 
 
+def test_decontaminate_ngrams_flags_shared_ngrams():
+    bench = [{"doc_id": 100, "text": "the secret eval answer is forty two"}]
+    train = [
+        # carries the bench 7-gram's 5-gram windows -> contaminated
+        {"doc_id": 0, "text": "intro words the secret eval answer is forty"},
+        # no 5-gram overlap with bench
+        {"doc_id": 1, "text": "completely different training text with many words"},
+        # too short for any 5-gram -> dropped from the profile
+        {"doc_id": 2, "text": "tiny doc"},
+    ]
+    out = dd.decontaminate_ngrams(
+        rd.from_items(train).repartition(2), rd.from_items(bench),
+        n=5).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.doc_id) == [0, 1]
+    # doc 0: 8 tokens -> 4 windows; 3 of them ("the secret eval answer
+    # is", "secret eval answer is forty" and NOT crossing) are bench
+    # 5-grams: bench has 7 tokens -> 3 windows; doc 0 contains windows
+    # starting at "the","secret" -> 2 matches
+    # doc 0: 8 tokens -> 4 windows; doc 1: 7 tokens -> 3 windows
+    assert list(out.n_ngrams) == [4, 3]
+    assert list(out.n_contam) == [2, 0]
+    assert list(out.contam_frac) == [0.5, 0.0]
+
+
 def test_repetition_stats_batch():
     t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
                   "text": pa.array(["a b a b a c", "x", "q r s t"])})
