@@ -2456,6 +2456,57 @@ GROUP BY t.doc_id
 """
 
 
+def q_domain_boilerplate(sf_dir: str):
+    """Per-domain boilerplate detection: a per-source copyright footer is
+    injected on doc_id%2==0 (~50% of each source's docs — boilerplate at
+    the 30% threshold) and a rare promo banner on doc_id%7==0 (~14% —
+    below it); the operator must count exactly the former per source."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        idn = batch["doc_id"].to_numpy(zero_copy_only=False)
+        j = pc.binary_join_element_wise
+        z = pa.scalar("")
+        foot = j(pa.array(np.full(len(idn), "\n\n(c) ")),
+                 batch["source"],
+                 pa.array(np.full(len(idn), " all rights reserved")), "")
+        t0 = j(batch["text"],
+               pc.if_else(pa.array(idn % 2 == 0), foot, z),
+               pc.if_else(pa.array(idn % 7 == 0),
+                          pa.scalar("\n\nRare promo banner"), z), "")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "source": batch["source"], "text": t0})
+
+    out = dd.domain_boilerplate_stats(
+        docs.map_batches(enrich, batch_format="pyarrow"),
+        min_frac=0.3, min_docs=2)
+    return out.select_columns(["source", "n_docs", "n_boiler"])
+
+
+SQL_DOMAIN_BOILER = """
+WITH e AS (
+  SELECT doc_id, source, text
+    || CASE WHEN doc_id % 2 = 0
+            THEN chr(10) || chr(10) || '(c) ' || source
+                 || ' all rights reserved' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || chr(10) || 'Rare promo banner' ELSE '' END AS t0
+  FROM documents),
+p AS (
+  SELECT DISTINCT doc_id, source, para
+  FROM (SELECT doc_id, source,
+               unnest(string_split(t0, chr(10) || chr(10))) AS para
+        FROM e)),
+cnt AS (SELECT source, para, COUNT(*) AS nd FROM p GROUP BY source, para),
+tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT t.source, t.n_docs,
+       CAST(COALESCE(SUM(CASE WHEN c.nd >= 2 AND c.nd >= 0.3 * t.n_docs
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_boiler
+FROM tot t LEFT JOIN cnt c USING (source)
+GROUP BY t.source, t.n_docs
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2543,6 +2594,7 @@ def registry():
         "parcels_fixture": (q_parcels_fixture, SQL_PARCELS_FIXTURE),
         "reblock_fixture": (q_reblock_fixture, SQL_REBLOCK_FIXTURE),
         "decontaminate_ngrams": (q_decontaminate_ngrams, SQL_DECONTAMINATE),
+        "domain_boilerplate": (q_domain_boilerplate, SQL_DOMAIN_BOILER),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

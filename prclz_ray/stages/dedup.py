@@ -220,6 +220,95 @@ def _ngram_hash_rows(ds, key_col: str, text_col: str, n: int):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def domain_boilerplate_stats(ds, key_col: str = "doc_id",
+                             domain_col: str = "source",
+                             text_col: str = "text", sep: str = "\n\n",
+                             min_frac: float = 0.3, min_docs: int = 2,
+                             num_buckets: int = 32,
+                             broadcast_limit_bytes: int = 64 << 20):
+    """Domain-scoped boilerplate detection (the per-site complement of
+    corpus-wide ``paragraph_dedup_stats``): a paragraph is boilerplate
+    within a domain when it appears in >= ``min_docs`` docs AND in
+    >= ``min_frac`` of the domain's docs (headers, footers, cookie
+    banners).  Emits one row per domain: (domain, n_docs, n_boiler).
+
+    Scale shape (10^8 domains x 10^12 docs — nothing driver-sized):
+      1. explode paragraphs; per batch, collapse to distinct
+         (domain, doc, para-hash) then count docs per (domain, hash) —
+         rows are whole docs, so per-batch distinct IS global distinct;
+      2. one groupby(domain, hash) sums the partials — paragraph TEXT
+         never shuffles;
+      3. per-domain doc totals from a second narrow pass (one tiny
+         groupby); they attach to the (domain, hash, nd) rows via a
+         size-guarded ``ray.put`` broadcast merge (domains usually fit)
+         with a bucketed co-shuffle join past the byte budget;
+      4. the boiler flag is computed row-wise and one groupby(domain)
+         sums it — every domain keeps a row (n_boiler may be 0).
+    The SQL oracle twin groups by the paragraph STRING (identical
+    semantics absent 64-bit collisions)."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=sep)
+        flat = pc.list_flatten(parts)
+        idx = pc.list_parent_indices(parts)
+        h = pd.util.hash_array(np.asarray(flat, dtype=object)) \
+            .view(np.int64)
+        t = pa.table({domain_col: batch[domain_col].take(idx),
+                      key_col: batch[key_col].take(idx),
+                      "_h": pa.array(h)})
+        dist = t.group_by([domain_col, key_col, "_h"]).aggregate([])
+        g = dist.group_by([domain_col, "_h"]) \
+            .aggregate([(key_col, "count")])
+        return pa.table({domain_col: g[domain_col], "_h": g["_h"],
+                         "pnd": g[f"{key_col}_count"].cast(pa.int64())})
+
+    cnt = ds.map_batches(explode_distinct, batch_format="pyarrow") \
+        .groupby([domain_col, "_h"]).aggregate(Sum("pnd", alias_name="nd"))
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(domain_col).aggregate([(key_col, "count")])
+        return pa.table({domain_col: g[domain_col],
+                         "pn": g[f"{key_col}_count"].cast(pa.int64())})
+
+    totals = ds.map_batches(doc_partial, batch_format="pyarrow") \
+        .groupby(domain_col).aggregate(Sum("pn", alias_name="n_docs")) \
+        .materialize()
+
+    if totals.count() * 48 <= broadcast_limit_bytes:
+        tot_tbl = pa.concat_tables(
+            [b.select([domain_col, "n_docs"])
+             for b in totals.iter_batches(batch_format="pyarrow")])
+        tot_ref = ray.put(tot_tbl)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            tot = ray.get(tot_ref).to_pandas().set_index(domain_col)
+            nd_docs = tot["n_docs"].reindex(
+                batch[domain_col].to_pandas()).to_numpy()
+            return batch.append_column(
+                "n_docs", pa.array(nd_docs.astype(np.int64)))
+
+        joined = cnt.map_batches(attach, batch_format="pyarrow")
+    else:
+        from .relational import bucketed_hash_join
+        joined = bucketed_hash_join(cnt, totals, on=domain_col,
+                                    num_buckets=num_buckets, how="left")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        nd = batch["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        boil = ((nd >= min_docs) & (nd >= min_frac * n)).astype(np.int64)
+        return pa.table({domain_col: batch[domain_col],
+                         "n_docs": pa.array(n),
+                         "_boil": pa.array(boil)})
+
+    return joined.map_batches(flag, batch_format="pyarrow") \
+        .groupby(domain_col).aggregate(
+            Max("n_docs", alias_name="n_docs"),
+            Sum("_boil", alias_name="n_boiler"))
+
+
 def decontaminate_ngrams(train_ds, bench_ds, key_col: str = "doc_id",
                          text_col: str = "text", n: int = 5,
                          num_buckets: int = 32,

@@ -410,6 +410,9 @@ def test_new_ops_partition_invariance():
        ["doc_id"])
     eq(lambda d: text.ngram_diversity_stats(d, k=6), docs, ["doc_id"])
     eq(lambda d: dd.decontaminate_ngrams(d, d, n=3), docs, ["doc_id"])
+    docs_src = docs.assign(source=(docs.doc_id % 4).map("s{}".format))
+    eq(lambda d: dd.domain_boilerplate_stats(
+        d, text_col="text", sep=" ", min_frac=0.2), docs_src, ["source"])
 
 
 def test_grouped_ntile_tile_sizes():

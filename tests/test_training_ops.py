@@ -277,6 +277,32 @@ def test_decontaminate_ngrams_flags_shared_ngrams():
     assert list(out.contam_frac) == [0.5, 0.0]
 
 
+def test_domain_boilerplate_thresholds():
+    rows = []
+    # source A: 4 docs; "FOOT" in 2 of them (50% >= 30%, >= 2 docs ->
+    # boilerplate); "ONCE" in 1 doc (fails min_docs)
+    for i in range(4):
+        t = f"body a{i}" + ("\n\nFOOT" if i < 2 else "") \
+            + ("\n\nONCE" if i == 0 else "")
+        rows.append({"doc_id": i, "source": "A", "text": t})
+    # source B: 10 docs; "FOOT" in 2 (20% < 30% -> not boilerplate)
+    for i in range(10):
+        t = f"body b{i}" + ("\n\nFOOT" if i < 2 else "")
+        rows.append({"doc_id": 100 + i, "source": "B", "text": t})
+    out = dd.domain_boilerplate_stats(
+        rd.from_items(rows).repartition(3), min_frac=0.3, min_docs=2) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert list(out.source) == ["A", "B"]
+    assert list(out.n_docs) == [4, 10]
+    assert list(out.n_boiler) == [1, 0]
+    # a doc repeating the footer TWICE still counts once (distinct per doc)
+    rows[0]["text"] += "\n\nFOOT"
+    out2 = dd.domain_boilerplate_stats(
+        rd.from_items(rows), min_frac=0.6, min_docs=2).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    assert list(out2.n_boiler) == [0, 0]  # 2/4 = 50% < 60%
+
+
 def test_repetition_stats_batch():
     t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
                   "text": pa.array(["a b a b a c", "x", "q r s t"])})
