@@ -2507,6 +2507,26 @@ GROUP BY t.source, t.n_docs
 """
 
 
+def q_heavy_hitter_words(sf_dir: str):
+    """Misra-Gries heavy hitters (mergeable-summaries merge, Agarwal et
+    al. PODS'12): bounded-memory corpus top-k — shuffle width is capped
+    at capacity×batches no matter how wide the vocabulary.  At
+    capacity=4096 ≥ the test vocabulary no decrement fires, so the
+    sketch is exact and oracle-checkable; the N/(capacity+1) error bound
+    at small capacity is pytest-pinned."""
+    from ..stages import sketches
+    docs = _read(sf_dir, "documents", ["text"])
+    return sketches.heavy_hitter_words(docs, k=20, capacity=4096) \
+        .select(["word", "n"])
+
+
+SQL_HEAVY_HITTERS = """
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2595,6 +2615,7 @@ def registry():
         "reblock_fixture": (q_reblock_fixture, SQL_REBLOCK_FIXTURE),
         "decontaminate_ngrams": (q_decontaminate_ngrams, SQL_DECONTAMINATE),
         "domain_boilerplate": (q_domain_boilerplate, SQL_DOMAIN_BOILER),
+        "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTERS),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

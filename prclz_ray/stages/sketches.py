@@ -310,3 +310,80 @@ def grouped_approx_distinct(ds, group_col: str, key_col: str,
     # small table (groups are few; register count ≤ 2^p per group)
     from .relational import ds_to_table
     return estimate(ds_to_table(sparse))
+
+
+# ------------------------------------------------------ Misra-Gries
+
+def _mg_compress(words: np.ndarray, counts: np.ndarray,
+                 capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a (word, count) summary to <= ``capacity`` entries by
+    subtracting the (capacity+1)-th largest count from every counter and
+    dropping the non-positive ones — the Misra-Gries reduce step of
+    Agarwal et al., 'Mergeable Summaries' (PODS 2012).  Counts become
+    lower bounds; total undercount across an arbitrary merge tree is
+    <= N/(capacity+1)."""
+    if len(counts) <= capacity:
+        return words, counts
+    thresh = np.partition(counts, -(capacity + 1))[-(capacity + 1)]
+    c2 = counts - thresh
+    keep = c2 > 0
+    return words[keep], c2[keep]
+
+
+def mg_word_summary(ds, text_col: str = "text",
+                    capacity: int = 4096) -> pa.Table:
+    """Misra-Gries heavy-hitter summary over the corpus word stream:
+    (word, n) with n a LOWER-BOUND count, undercount <= N/(capacity+1).
+    Every word with true frequency > N/(capacity+1) is guaranteed present.
+
+    Scale shape: per-batch exact counts compress to <= capacity rows (so
+    shuffle width is bounded by capacity x batches regardless of
+    vocabulary size); one groupby-sum consolidates each word; per-block
+    compress bounds the driver merge to <= capacity x blocks rows; one
+    final compress.  With ``capacity`` >= the distinct vocabulary of
+    every batch no decrement ever fires and the summary is EXACT (the
+    oracle-checked configuration)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import ds_to_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(batch[text_col], pattern=" "))
+        g = pa.table({"word": flat}).group_by("word") \
+            .aggregate([("word", "count")])
+        w = np.asarray(g["word"], dtype=object)
+        c = g["word_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w, c = _mg_compress(w, c, capacity)
+        return pa.table({"word": pa.array(w, type=pa.string()),
+                         "pcnt": pa.array(c)})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("pcnt", alias_name="n"))
+
+    def block_compress(t: pa.Table) -> pa.Table:
+        w = np.asarray(t["word"], dtype=object)
+        c = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w, c = _mg_compress(w, c, capacity)
+        return pa.table({"word": pa.array(w, type=pa.string()),
+                         "n": pa.array(c)})
+
+    t = ds_to_table(merged.map_batches(block_compress,
+                                       batch_format="pyarrow"))
+    w = np.asarray(t["word"], dtype=object)
+    c = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w, c = _mg_compress(w, c, capacity)
+    return pa.table({"word": pa.array(w, type=pa.string()),
+                     "n": pa.array(c)})
+
+
+def heavy_hitter_words(ds, text_col: str = "text", k: int = 20,
+                       capacity: int = 4096) -> pa.Table:
+    """Top-k words by Misra-Gries estimated count (ties break by word
+    ascending) — the bounded-memory scale path for corpus top-k when the
+    vocabulary itself is too wide to shuffle."""
+    t = mg_word_summary(ds, text_col=text_col, capacity=capacity)
+    return t.sort_by([("n", "descending"), ("word", "ascending")]) \
+        .slice(0, k)

@@ -277,6 +277,46 @@ def test_decontaminate_ngrams_flags_shared_ngrams():
     assert list(out.contam_frac) == [0.5, 0.0]
 
 
+def test_misra_gries_bounds_and_exactness():
+    import collections
+
+    import numpy as np
+
+    from prclz_ray.stages import sketches
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(60)]
+    # zipf-ish skew: w0 dominates
+    weights = 1.0 / np.arange(1, 61) ** 1.5
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, 30, p=weights)) for _ in range(40)]
+    truth = collections.Counter(w for t in texts for w in t.split(" "))
+    total = sum(truth.values())
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(4)
+
+    cap = 8
+    summ = sketches.mg_word_summary(ds, capacity=cap).to_pandas()
+    est = dict(zip(summ.word, summ.n))
+    bound = total / (cap + 1)
+    # every estimate is a lower bound within N/(cap+1) of the truth
+    for w, e in est.items():
+        assert e <= truth[w]
+        assert truth[w] - e <= bound, (w, truth[w], e, bound)
+    # every word with true count above the bound must survive
+    for w, c in truth.items():
+        if c > bound:
+            assert w in est, (w, c, bound)
+    # capacity >= vocabulary: exact, any partitioning
+    for parts in (2, 8):
+        full = sketches.mg_word_summary(
+            rd.from_items([{"text": t} for t in texts]).repartition(parts),
+            capacity=1024).to_pandas()
+        assert dict(zip(full.word, full.n)) == dict(truth)
+    top = sketches.heavy_hitter_words(ds, k=5, capacity=1024).to_pandas()
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(top.word, top.n)) == want
+
+
 def test_domain_boilerplate_thresholds():
     rows = []
     # source A: 4 docs; "FOOT" in 2 of them (50% >= 30%, >= 2 docs ->
