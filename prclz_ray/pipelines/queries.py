@@ -2527,6 +2527,47 @@ GROUP BY w ORDER BY n DESC, word ASC LIMIT 20
 """
 
 
+def _set_op_sides(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(etype: str):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(batch["event_type"], etype),
+                        pc.greater(batch["value"], 200.0))
+            return pa.table({"user_id": batch["user_id"].filter(m)})
+        return f
+
+    return (ev.map_batches(side("purchase"), batch_format="pyarrow"),
+            ev.map_batches(side("error"), batch_format="pyarrow"))
+
+
+def q_intersect_users(sf_dir: str):
+    """SQL INTERSECT as a single-shuffle set op: users with a >200-value
+    purchase AND a >200-value error event (distinct semantics)."""
+    left, right = _set_op_sides(sf_dir)
+    return relational.set_op(left, right, on="user_id", op="intersect")
+
+
+def q_except_users(sf_dir: str):
+    """SQL EXCEPT as the same single-shuffle set op: big purchasers with
+    NO big error event."""
+    left, right = _set_op_sides(sf_dir)
+    return relational.set_op(left, right, on="user_id", op="except")
+
+
+SQL_INTERSECT_USERS = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
+"""
+
+SQL_EXCEPT_USERS = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2616,6 +2657,8 @@ def registry():
         "decontaminate_ngrams": (q_decontaminate_ngrams, SQL_DECONTAMINATE),
         "domain_boilerplate": (q_domain_boilerplate, SQL_DOMAIN_BOILER),
         "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTERS),
+        "intersect_users": (q_intersect_users, SQL_INTERSECT_USERS),
+        "except_users": (q_except_users, SQL_EXCEPT_USERS),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

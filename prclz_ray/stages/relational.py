@@ -208,6 +208,44 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def set_op(left_ds, right_ds, on: str, op: str = "intersect"):
+    """Distinct set operation over a key column — SQL's INTERSECT /
+    EXCEPT (both DISTINCT by definition).  Scale shape: each side
+    collapses to per-batch distinct keys tagged with a side flag (hot
+    keys dedupe inside the batch first), the union shuffles ONCE on the
+    key with two tiny Max aggregates, and a row-wise filter picks the
+    membership pattern — no driver-side sets, no second exchange."""
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+
+    def tag(is_left: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.select([on]).group_by(on).aggregate([])
+            n = t.num_rows
+            one = np.ones(n, dtype=np.int64)
+            zero = np.zeros(n, dtype=np.int64)
+            return pa.table({on: t[on],
+                             "_l": pa.array(one if is_left else zero),
+                             "_r": pa.array(zero if is_left else one)})
+        return f
+
+    tagged = left_ds.map_batches(tag(True), batch_format="pyarrow") \
+        .union(right_ds.map_batches(tag(False), batch_format="pyarrow"))
+    agg = tagged.groupby(on).aggregate(Max("_l", alias_name="_l"),
+                                       Max("_r", alias_name="_r"))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        l = batch["_l"].to_numpy(zero_copy_only=False)
+        r = batch["_r"].to_numpy(zero_copy_only=False)
+        keep = (l == 1) & (r == 1) if op == "intersect" else \
+               (l == 1) & (r == 0)
+        return pa.table({on: batch[on].filter(pa.array(keep))})
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
 def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
               direction: str = "backward", suffix: str = "_r"):
     """Distributed as-of join: each left row matches the nearest right row

@@ -352,6 +352,26 @@ def test_cube_aggregate_all_subsets():
     assert total["sum_value"].iloc[0] == 7 and total["n"].iloc[0] == 3
 
 
+def test_set_op_intersect_except():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    l = rd.from_pandas(pd.DataFrame({"k": [1, 1, 2, 3]})).repartition(2)
+    r = rd.from_pandas(pd.DataFrame({"k": [2, 4, 4]})).repartition(2)
+    inter = sorted(relational.set_op(l, r, "k", "intersect")
+                   .to_pandas().k.tolist())
+    exc = sorted(relational.set_op(l, r, "k", "except")
+                 .to_pandas().k.tolist())
+    assert inter == [2]
+    assert exc == [1, 3]
+    # distinct semantics: duplicates collapse; except of self is empty
+    assert relational.set_op(l, l, "k", "except").to_pandas().empty
+    assert sorted(relational.set_op(l, l, "k", "intersect")
+                  .to_pandas().k.tolist()) == [1, 2, 3]
+
+
 def test_new_ops_partition_invariance():
     """Round-3 additions must produce identical results at 2 vs 8 input
     partitions — the property the driver's value-hash gate relies on."""
