@@ -2568,6 +2568,17 @@ SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
 """
 
 
+def q_compression_quality(sf_dir: str):
+    """Per-doc zlib compression-ratio quality signal (pure map, no
+    shuffle).  Deterministic but not SQL-expressible — rows-only check;
+    the repetitive<prose<noise ordering is pytest-pinned."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(text.compression_ratio_batch,
+                           batch_format="pyarrow")
+    return out.select_columns(["doc_id", "raw_bytes", "comp_bytes",
+                               "compression_ratio"])
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2659,6 +2670,7 @@ def registry():
         "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTERS),
         "intersect_users": (q_intersect_users, SQL_INTERSECT_USERS),
         "except_users": (q_except_users, SQL_EXCEPT_USERS),
+        "compression_quality": (q_compression_quality, None),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

@@ -269,6 +269,31 @@ def rare_word_stats(ds, key_col: str = "doc_id", text_col: str = "text",
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def compression_ratio_batch(batch: pa.Table, text_col="text",
+                            level: int = 6) -> pa.Table:
+    """Per-doc zlib compression ratio — the RefinedWeb/Gopher-family
+    quality heuristic: natural prose compresses ~2.5-4x, machine-generated
+    repetition compresses far more (low ratio) and binary-ish noise barely
+    at all (ratio near 1).  Pure map, no shuffle; the per-doc loop calls
+    C-speed ``zlib.compress`` once per document (bounded by doc length),
+    never per character.  Deterministic for a fixed level/zlib build but
+    not SQL-expressible → rows-only driver check, pytest pins the
+    repetitive < prose < noise ordering and partition invariance."""
+    import zlib
+
+    texts = batch[text_col].to_pylist()
+    raw = np.empty(len(texts), dtype=np.int64)
+    comp = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8", "surrogatepass")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, level))
+    ratio = np.round(comp / np.maximum(raw, 1), 4)
+    out = batch.append_column("raw_bytes", pa.array(raw))
+    out = out.append_column("comp_bytes", pa.array(comp))
+    return out.append_column("compression_ratio", pa.array(ratio))
+
+
 def repetition_stats_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Gopher-style repetition signals per doc: word count, the count of
     the most frequent word and word-bigram, and their fractions (quality

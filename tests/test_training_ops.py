@@ -277,6 +277,29 @@ def test_decontaminate_ngrams_flags_shared_ngrams():
     assert list(out.contam_frac) == [0.5, 0.0]
 
 
+def test_compression_ratio_ordering():
+    import string
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    noise = "".join(rng.choice(list(string.ascii_letters + string.digits
+                                    + string.punctuation), 2000))
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "wanders through the quiet forest looking for berries ") * 20
+    repetitive = "spam " * 400
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": pa.array([repetitive, prose, noise])})
+    out = text.compression_ratio_batch(t).to_pandas()
+    r_rep, r_prose, r_noise = out.compression_ratio
+    assert r_rep < r_prose < r_noise
+    assert r_rep < 0.05 and r_noise > 0.7
+    assert (out.raw_bytes >= out.comp_bytes).iloc[0]
+    # deterministic regardless of batching (pure map)
+    out2 = text.compression_ratio_batch(t.slice(1, 2)).to_pandas()
+    assert out2.compression_ratio.iloc[0] == r_prose
+
+
 def test_misra_gries_bounds_and_exactness():
     import collections
 
