@@ -2579,6 +2579,64 @@ def q_compression_quality(sf_dir: str):
                                "compression_ratio"])
 
 
+def q_pagerank_links(sf_dir: str):
+    """Distributed PageRank (3 power-iteration rounds, d=0.85) over a
+    deterministic synthetic link graph: every doc links to
+    (doc_id*7919 + k*104729) % N for k=1..3.  Per round: one bucketed
+    co-shuffle join (edges×ranks on src) + one groupby(dst) sum; ranks
+    round to 9dp per round so the float trajectory matches the oracle's
+    unrolled CTEs exactly."""
+    from ..stages import graph_ops
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"v": b["doc_id"]}), batch_format="pyarrow")
+    out = graph_ops.pagerank(docs.map_batches(edges, batch_format="pyarrow"),
+                             nodes, iters=3, damping=0.85, round_dp=9)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "pagerank": b["pagerank"]}),
+        batch_format="pyarrow")
+
+
+SQL_PAGERANK = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS v FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) k, nn),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT v, ROUND(1.0 / nn.n, 9) AS r FROM nodes, nn),
+c1 AS (SELECT e.dst AS v, SUM(r0.r / deg.outdeg) AS c
+       FROM edges e JOIN deg USING (src) JOIN r0 ON r0.v = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.v,
+              ROUND((1 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0), 9) AS r
+       FROM nodes LEFT JOIN c1 USING (v), nn),
+c2 AS (SELECT e.dst AS v, SUM(r1.r / deg.outdeg) AS c
+       FROM edges e JOIN deg USING (src) JOIN r1 ON r1.v = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.v,
+              ROUND((1 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0), 9) AS r
+       FROM nodes LEFT JOIN c2 USING (v), nn),
+c3 AS (SELECT e.dst AS v, SUM(r2.r / deg.outdeg) AS c
+       FROM edges e JOIN deg USING (src) JOIN r2 ON r2.v = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT nodes.v,
+              ROUND((1 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0), 9) AS r
+       FROM nodes LEFT JOIN c3 USING (v), nn)
+SELECT v AS doc_id, r AS pagerank FROM r3
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2671,6 +2729,7 @@ def registry():
         "intersect_users": (q_intersect_users, SQL_INTERSECT_USERS),
         "except_users": (q_except_users, SQL_EXCEPT_USERS),
         "compression_quality": (q_compression_quality, None),
+        "pagerank_links": (q_pagerank_links, SQL_PAGERANK),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

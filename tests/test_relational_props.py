@@ -352,6 +352,37 @@ def test_cube_aggregate_all_subsets():
     assert total["sum_value"].iloc[0] == 7 and total["n"].iloc[0] == 3
 
 
+def test_pagerank_matches_dense_reference():
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import graph_ops
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]
+    nodes = [0, 1, 2, 3]  # node 3 has no in-links -> pure teleport rank
+    outdeg = collections.Counter(s for s, _ in edges)
+    r = np.round(np.full(4, 0.25), 9)
+    for _ in range(3):
+        c = np.zeros(4)
+        for s, d in edges:
+            c[d] += r[s] / outdeg[s]
+        r = np.round((1.0 - 0.85) / 4 + 0.85 * c, 9)
+
+    for parts in (1, 4):
+        e_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])) \
+            .repartition(parts)
+        n_ds = rd.from_pandas(pd.DataFrame({"v": nodes})).repartition(parts)
+        out = graph_ops.pagerank(e_ds, n_ds, iters=3).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        assert list(out.v) == nodes
+        assert np.allclose(out.pagerank, r, atol=0), (out.pagerank, r)
+    # in-linkless node holds exactly the teleport term
+    assert out.pagerank.iloc[3] == np.round(0.15 / 4, 9)
+
+
 def test_set_op_intersect_except():
     import pandas as pd
     import ray.data as rd
