@@ -2637,6 +2637,36 @@ SELECT v AS doc_id, r AS pagerank FROM r3
 """
 
 
+def q_connected_components_chain(sf_dir: str):
+    """Generic distributed connected components (iterated min-label
+    propagation — the operator minhash dedup uses internally) exposed
+    over a synthetic chain graph: edge (i, i+1) whenever i%5 < 4, so
+    components are runs of 5 consecutive ids with diameter 4 (several
+    propagation rounds needed) and the min label is closed-form:
+    i - i%5."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = d[(d % 5 < 4) & (d + 1 < n)]
+        return pa.table({"a": pa.array(a), "b": pa.array(a + 1)})
+
+    out = dd.connected_components_min_label(
+        docs.map_batches(edges, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["label"]}),
+        batch_format="pyarrow")
+
+
+SQL_COMPONENTS_CHAIN = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id AS node, doc_id - (doc_id % 5) AS label
+FROM documents, nn
+WHERE (doc_id % 5 > 0) OR (doc_id % 5 < 4 AND doc_id + 1 < nn.n)
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2730,6 +2760,8 @@ def registry():
         "except_users": (q_except_users, SQL_EXCEPT_USERS),
         "compression_quality": (q_compression_quality, None),
         "pagerank_links": (q_pagerank_links, SQL_PAGERANK),
+        "connected_components_chain": (q_connected_components_chain,
+                                       SQL_COMPONENTS_CHAIN),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }
