@@ -2667,6 +2667,51 @@ WHERE (doc_id % 5 > 0) OR (doc_id % 5 < 4 AND doc_id + 1 < nn.n)
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """LM sequence packing: concatenate the token stream in doc_id order
+    and chunk into 256-token training windows; per doc report its token
+    count and the first/last window it lands in.  Built on the
+    distributed two-pass prefix sum (range buckets → driver exclusive
+    scan over ≤64 bucket totals → per-bucket cumsum) — the global
+    ORDER BY running total with no single-node sort."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(batch["text"], pattern=" ")).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    cum = relational.global_prefix_sum(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        order_col="doc_id", value_col="n_tokens")
+
+    def windows(batch: pa.Table) -> pa.Table:
+        c = batch["cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n),
+                         "first_window": pa.array((c - n) // 256),
+                         "last_window": pa.array((c - 1) // 256)})
+
+    return cum.map_batches(windows, batch_format="pyarrow")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       (cum - n_tokens) // 256 AS first_window,
+       (cum - 1) // 256 AS last_window
+FROM c
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2762,6 +2807,7 @@ def registry():
         "pagerank_links": (q_pagerank_links, SQL_PAGERANK),
         "connected_components_chain": (q_connected_components_chain,
                                        SQL_COMPONENTS_CHAIN),
+        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

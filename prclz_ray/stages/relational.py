@@ -1139,6 +1139,66 @@ def salted_join(left_ds, right_ds, on: str, hot_keys,
                                                  batch_format="pandas")
 
 
+def global_prefix_sum(ds, order_col: str, value_col: str,
+                      num_buckets: int = 64, out_col: str = "cum"):
+    """Globally-ordered running total — SUM(value) OVER (ORDER BY
+    order_col ROWS UNBOUNDED PRECEDING) — without a single-node sort.
+
+    Two-pass distributed prefix sum:
+      1. rows map to a RANGE bucket (order-preserving: bucket boundaries
+         split the key domain, so bucket i holds strictly smaller keys
+         than bucket i+1); per-batch partial sums → one tiny
+         groupby(bucket) gives each bucket's total;
+      2. the driver exclusive-scans the ≤ num_buckets totals (bounded,
+         independent of row count) and broadcasts the offsets; one
+         groupby(bucket).map_groups sorts WITHIN each bucket and adds
+         offset + intra-bucket cumsum.
+    One narrow shuffle on the bucket key; nothing row-scaled on the
+    driver.  Requires a unique integer ``order_col`` (ties would make
+    the running total order-ambiguous)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    lohi = ds.select_columns([order_col]) \
+        .aggregate(Min(order_col, alias_name="lo"),
+                   Max(order_col, alias_name="hi"))
+    lo, hi = lohi["lo"], lohi["hi"]
+    span = max(1, (int(hi) - int(lo) + num_buckets) // num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (k - int(lo)) // span
+        return batch.append_column("_pb", pa.array(b))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["_pb", value_col]).group_by("_pb") \
+            .aggregate([(value_col, "sum")])
+        return pa.table({"_pb": g["_pb"],
+                         "ps": g[f"{value_col}_sum"].cast(pa.int64())})
+
+    totals = ds_to_table(
+        bucketed.map_batches(partial, batch_format="pyarrow")
+        .groupby("_pb").aggregate(Sum("ps", alias_name="s"))).to_pandas() \
+        .sort_values("_pb")
+    offsets = dict(zip(
+        totals["_pb"].astype(np.int64),
+        np.concatenate([[0], np.cumsum(totals["s"].to_numpy())[:-1]])
+        .astype(np.int64)))
+    off_ref = ray.put(offsets)
+
+    def scan(group: pd.DataFrame) -> pa.Table:
+        off = ray.get(off_ref)
+        g = group.sort_values(order_col)
+        cum = g[value_col].to_numpy().astype(np.int64).cumsum() \
+            + off[int(g["_pb"].iloc[0])]
+        out = g.drop(columns=["_pb"]).assign(**{out_col: cum})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed.groupby("_pb").map_groups(scan, batch_format="pandas")
+
+
 def hash_split(ds, key_col: str, splits: dict, seed: int = 1):
     """Deterministic train/val/test assignment: the key's golden-ratio-mix
     hash mod 1e6 falls into cumulative ppm bands (``splits`` maps label →

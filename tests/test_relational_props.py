@@ -352,6 +352,30 @@ def test_cube_aggregate_all_subsets():
     assert total["sum_value"].iloc[0] == 7 and total["n"].iloc[0] == 3
 
 
+def test_global_prefix_sum_matches_ordered_cumsum():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(500).astype(np.int64)  # arrives unordered
+    vals = rng.integers(1, 50, 500).astype(np.int64)
+    df = pd.DataFrame({"k": ids, "v": vals})
+    want = df.sort_values("k").v.cumsum().to_numpy()
+    for parts, nb in ((2, 4), (8, 64)):
+        out = relational.global_prefix_sum(
+            rd.from_pandas(df).repartition(parts), "k", "v",
+            num_buckets=nb).to_pandas().sort_values("k")
+        assert list(out.cum) == list(want)
+    # sparse/negative key domain still ordered correctly
+    df2 = pd.DataFrame({"k": [-100, 5, 7_000_000, 9], "v": [1, 2, 3, 4]})
+    out2 = relational.global_prefix_sum(
+        rd.from_pandas(df2), "k", "v").to_pandas().sort_values("k")
+    assert list(out2.cum) == [1, 3, 7, 10]
+
+
 def test_pagerank_matches_dense_reference():
     import collections
 
