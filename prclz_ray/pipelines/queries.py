@@ -2712,6 +2712,16 @@ FROM c
 """
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (8 merge rounds).  The corpus
+    is touched once (word-frequency groupby); merge rounds iterate over
+    the vocabulary-sized table.  Greedy iterative argmax isn't
+    SQL-expressible — rows-only check; equality with a single-process
+    reference BPE is pytest-pinned at two parallelism levels."""
+    docs = _read(sf_dir, "documents", ["text"])
+    return text.bpe_train(docs, num_merges=8)
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2808,6 +2818,7 @@ def registry():
         "connected_components_chain": (q_connected_components_chain,
                                        SQL_COMPONENTS_CHAIN),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+        "bpe_merges": (q_bpe_merges, None),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

@@ -269,6 +269,114 @@ def rare_word_stats(ds, key_col: str = "doc_id", text_col: str = "text",
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def bpe_train(ds, text_col: str = "text", num_merges: int = 10):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``num_merges`` byte-pair merges over the corpus.  Returns a pa.Table
+    (rank, left, right, freq) in merge order.
+
+    Scale shape — the standard frequency-table trick: the ONLY
+    corpus-scale pass is the word-frequency groupby (per-batch partial
+    counts, one vocab-keyed shuffle).  Every merge round then runs over
+    the VOCABULARY dataset (Zipf: ~10^6-10^8 rows even for web corpora,
+    millions of times smaller than the corpus): per-batch adjacent-pair
+    counts weighted by word frequency → one tiny groupby(pair) sum →
+    per-block prune to the top candidate → driver picks the global best
+    (count desc, pair asc — deterministic across partitionings) → a
+    vectorized-per-word rewrite applies the merge.  Per-word Python here
+    is bounded by word LENGTH on vocab rows, not corpus rows.
+
+    Not SQL-expressible (greedy iterative argmax) → rows-only driver
+    check; pytest pins equality with a single-process reference BPE at
+    two parallelism levels."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import ds_to_table
+
+    def wc(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(batch[text_col], pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"word": flat}).group_by("word") \
+            .aggregate([("word", "count")])
+        return pa.table({"word": g["word"],
+                         "pcnt": g["word_count"].cast(pa.int64())})
+
+    vocab = ds.map_batches(wc, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("pcnt", alias_name="freq"))
+
+    def init_syms(batch: pa.Table) -> pa.Table:
+        syms = [" ".join(w) for w in batch["word"].to_pylist()]
+        return pa.table({"syms": pa.array(syms, type=pa.string()),
+                         "freq": batch["freq"].cast(pa.int64())})
+
+    vocab = vocab.map_batches(init_syms, batch_format="pyarrow") \
+        .materialize()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        def pair_counts(batch: pa.Table) -> pa.Table:
+            d: dict[tuple[str, str], int] = {}
+            for s, f in zip(batch["syms"].to_pylist(),
+                            batch["freq"].to_pylist()):
+                toks = s.split(" ")
+                for a, b in zip(toks, toks[1:]):
+                    d[(a, b)] = d.get((a, b), 0) + f
+            ls, rs, cs = [], [], []
+            for (a, b), c in d.items():
+                ls.append(a); rs.append(b); cs.append(c)
+            return pa.table({"l": pa.array(ls, type=pa.string()),
+                             "r": pa.array(rs, type=pa.string()),
+                             "pcnt": pa.array(cs, type=pa.int64())})
+
+        counts = vocab.map_batches(pair_counts, batch_format="pyarrow") \
+            .groupby(["l", "r"]).aggregate(Sum("pcnt", alias_name="n"))
+
+        def prune(t: pa.Table) -> pa.Table:
+            t = pa.table({"l": t["l"], "r": t["r"],
+                          "n": t["n"].cast(pa.int64())})
+            return t.sort_by([("n", "descending"), ("l", "ascending"),
+                              ("r", "ascending")]).slice(0, 1)
+
+        cand = ds_to_table(counts.map_batches(prune,
+                                              batch_format="pyarrow"))
+        if cand.num_rows == 0:
+            break
+        cand = cand.sort_by([("n", "descending"), ("l", "ascending"),
+                             ("r", "ascending")])
+        left, right = cand["l"][0].as_py(), cand["r"][0].as_py()
+        freq = cand["n"][0].as_py()
+        merges.append((rank, left, right, freq))
+        joined = left + right
+
+        def apply(batch: pa.Table, _l=left, _r=right, _j=joined) -> pa.Table:
+            out = []
+            for s in batch["syms"].to_pylist():
+                toks = s.split(" ")
+                res, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == _l
+                            and toks[i + 1] == _r):
+                        res.append(_j)
+                        i += 2
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                out.append(" ".join(res))
+            return pa.table({"syms": pa.array(out, type=pa.string()),
+                             "freq": batch["freq"]})
+
+        vocab = vocab.map_batches(apply, batch_format="pyarrow") \
+            .materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], type=pa.int64()),
+        "left": pa.array([m[1] for m in merges], type=pa.string()),
+        "right": pa.array([m[2] for m in merges], type=pa.string()),
+        "freq": pa.array([m[3] for m in merges], type=pa.int64())})
+
+
 def compression_ratio_batch(batch: pa.Table, text_col="text",
                             level: int = 6) -> pa.Table:
     """Per-doc zlib compression ratio — the RefinedWeb/Gopher-family

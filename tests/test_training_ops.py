@@ -277,6 +277,52 @@ def test_decontaminate_ngrams_flags_shared_ngrams():
     assert list(out.contam_frac) == [0.5, 0.0]
 
 
+def test_bpe_train_matches_reference():
+    import collections
+
+    texts = ["low lower lowest low low",
+             "new newer newest new newer",
+             "wider wide widest low new"]
+
+    # single-process reference BPE (Sennrich et al.), same tie-break
+    def ref_bpe(texts, k):
+        wc = collections.Counter(
+            w for t in texts for w in t.split(" ") if w)
+        vocab = {tuple(w): f for w, f in wc.items()}
+        merges = []
+        for rank in range(k):
+            pairs = collections.Counter()
+            for syms, f in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (l, r), n = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((rank, l, r, n))
+            nv = {}
+            for syms, f in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l \
+                            and syms[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nv[tuple(res)] = f
+            vocab = nv
+        return merges
+
+    want = ref_bpe(texts, 6)
+    assert len(want) == 6 and want[0][3] >= want[1][3]
+    for parts in (2, 8):
+        ds = rd.from_items([{"text": t} for t in texts]).repartition(parts)
+        got = text.bpe_train(ds, num_merges=6).to_pandas()
+        assert list(zip(got["rank"], got.left, got.right, got.freq)) == want
+
+
 def test_compression_ratio_ordering():
     import string
 
