@@ -1995,6 +1995,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_lead_user_events(sf_dir: str):
+    """LEAD window — the next event id of the same user and the exact
+    microsecond gap until it (NULL on each user's last event)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = relational.grouped_lag(ev, key_col="user_id", ts_col="ts",
+                                 order_col="event_id",
+                                 lag_cols=["event_id"],
+                                 lead=True).to_pandas()
+    out = out[["event_id", "user_id", "next_event_id", "gap_us"]]
+    return out.astype({"next_event_id": "float64", "gap_us": "float64"})
+
+
+SQL_LEAD_EVENTS = """
+SELECT event_id, user_id,
+       LEAD(event_id) OVER w AS next_event_id,
+       date_diff('microsecond', ts, LEAD(ts) OVER w) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_full_outer_click_purchase(sf_dir: str):
     """FULL OUTER join — per-user click counts vs purchase counts, keeping
     users present on either side only (nulls on the missing side).
@@ -2722,6 +2743,27 @@ def q_bpe_merges(sf_dir: str):
     return text.bpe_train(docs, num_merges=8)
 
 
+def q_zscore_acctbal(sf_dir: str):
+    """Per-nation z-score standardization of customer balances (the
+    feature-normalization primitive): two sufficient-statistic passes,
+    size-guarded broadcast of the per-key stats."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    return relational.grouped_zscore(
+        cust, key_col="c_nationkey", val_col="c_acctbal",
+        id_col="c_custkey")
+
+
+SQL_ZSCORE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ROUND((c_acctbal - AVG(c_acctbal)
+                OVER (PARTITION BY c_nationkey))
+             / STDDEV_SAMP(c_acctbal)
+                OVER (PARTITION BY c_nationkey), 4) AS zscore
+FROM customer
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2819,6 +2861,8 @@ def registry():
                                        SQL_COMPONENTS_CHAIN),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "bpe_merges": (q_bpe_merges, None),
+        "lead_user_events": (q_lead_user_events, SQL_LEAD_EVENTS),
+        "zscore_acctbal": (q_zscore_acctbal, SQL_ZSCORE),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

@@ -867,16 +867,21 @@ def pivot_counts(ds, row_col: str, col_col: str, col_values: list,
 
 
 def grouped_lag(events_ds, key_col: str, ts_col: str, order_col: str,
-                lag_cols: list[str], num_buckets: int = 64):
-    """LAG window: for every row, the PREVIOUS row's values per key in
-    (ts, order_col) order — ``LAG(col) OVER (PARTITION BY key ORDER BY
-    ts, id)``.  Emits ``prev_<col>`` (null on each key's first row) for
-    every requested column plus ``gap_us`` (microseconds since the
-    previous row, exact integer — no truncation semantics to disagree on).
+                lag_cols: list[str], num_buckets: int = 64,
+                lead: bool = False):
+    """LAG / LEAD window: for every row, the PREVIOUS (or, with
+    ``lead=True``, the NEXT) row's values per key in (ts, order_col)
+    order — ``LAG/LEAD(col) OVER (PARTITION BY key ORDER BY ts, id)``.
+    Emits ``prev_<col>`` / ``next_<col>`` (null on each key's boundary
+    row) for every requested column plus ``gap_us`` (microseconds to the
+    neighbor row, exact integer — no truncation semantics to disagree
+    on; positive in both directions).
 
     Scale shape: identical to ``running_aggregate`` — ONE coarse-bucket
     shuffle, per-bucket vectorized sort + C groupby shift."""
     keep = {key_col, ts_col, order_col, *lag_cols}
+    shift_n = -1 if lead else 1
+    prefix = "next_" if lead else "prev_"
 
     def tag(batch: pa.Table) -> pa.Table:
         t = batch.select([c for c in batch.column_names if c in keep])
@@ -887,12 +892,12 @@ def grouped_lag(events_ds, key_col: str, ts_col: str, order_col: str,
         df = group.sort_values([key_col, ts_col, order_col])
         g = df.groupby(key_col, sort=False)
         ts_i = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        prev_ts = pd.Series(ts_i, index=df.index).groupby(
-            df[key_col], sort=False).shift(1)
+        nbr_ts = pd.Series(ts_i, index=df.index).groupby(
+            df[key_col], sort=False).shift(shift_n)
         out = df.drop(columns=["_bucket"]).copy()
         for c in lag_cols:
-            out[f"prev_{c}"] = g[c].shift(1).convert_dtypes()
-        gap = ts_i - prev_ts.to_numpy()
+            out[f"{prefix}{c}"] = g[c].shift(shift_n).convert_dtypes()
+        gap = (ts_i - nbr_ts.to_numpy()) * shift_n
         out["gap_us"] = pd.array(gap, dtype="Int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -1137,6 +1142,77 @@ def salted_join(left_ds, right_ds, on: str, hot_keys,
         r.map_batches(align, batch_format="pyarrow"))
     return unioned.groupby("_bucket").map_groups(join_bucket,
                                                  batch_format="pandas")
+
+
+def grouped_zscore(ds, key_col: str, val_col: str, id_col: str,
+                   round_to: int = 4, num_buckets: int = 32,
+                   broadcast_limit_bytes: int = 64 << 20):
+    """Per-group feature standardization: z = (x − mean_g) / stddev_g
+    (sample stddev, SQL's STDDEV_SAMP; NULL when the group has < 2 rows
+    or zero variance — both matching the SQL window twin).
+
+    Scale shape: per-batch sufficient-statistic partials (n, Σx, Σx²)
+    collapse inside each batch, one tiny per-key groupby merges them,
+    and the per-key stats attach back via a size-guarded ``ray.put``
+    broadcast (group keys are usually dwarfed by rows) with a bucketed
+    co-shuffle join past the byte budget — rows are touched exactly
+    twice, no row-scaled driver state."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        t = pa.table({key_col: batch[key_col], "_x": pa.array(x),
+                      "_xx": pa.array(x * x)})
+        g = t.group_by(key_col).aggregate(
+            [("_x", "sum"), ("_xx", "sum"), ("_x", "count")])
+        return pa.table({key_col: g[key_col], "s": g["_x_sum"],
+                         "ss": g["_xx_sum"],
+                         "n": g["_x_count"].cast(pa.int64())})
+
+    stats = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("s", alias_name="s"),
+                                    Sum("ss", alias_name="ss"),
+                                    Sum("n", alias_name="n")) \
+        .materialize()
+
+    def finish(batch: pa.Table, st: pd.DataFrame) -> pa.Table:
+        keys = batch[key_col].to_pandas()
+        m = st.reindex(keys)
+        n = m["n"].to_numpy()
+        mean = m["s"].to_numpy() / n
+        var = (m["ss"].to_numpy() - n * mean * mean) / np.maximum(n - 1, 1)
+        x = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round((x - mean) / np.sqrt(var), round_to)
+        z[(n < 2) | (var <= 0)] = np.nan
+        return pa.table({id_col: batch[id_col], key_col: batch[key_col],
+                         val_col: batch[val_col],
+                         "zscore": pa.array(z)})
+
+    if stats.count() * 64 <= broadcast_limit_bytes:
+        st_tbl = pa.concat_tables(
+            [b for b in stats.iter_batches(batch_format="pyarrow")])
+        st_ref = ray.put(st_tbl)
+
+        def flag(batch: pa.Table) -> pa.Table:
+            st = ray.get(st_ref).to_pandas().set_index(key_col)
+            return finish(batch, st)
+
+        return ds.map_batches(flag, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(ds, stats, on=key_col,
+                                num_buckets=num_buckets, how="left")
+
+    def from_joined(batch: pa.Table) -> pa.Table:
+        st = pa.table({key_col: batch[key_col], "s": batch["s"],
+                       "ss": batch["ss"], "n": batch["n"]}) \
+            .to_pandas().drop_duplicates(key_col).set_index(key_col)
+        return finish(batch, st)
+
+    return joined.map_batches(from_joined, batch_format="pyarrow")
 
 
 def global_prefix_sum(ds, order_col: str, value_col: str,

@@ -352,6 +352,28 @@ def test_cube_aggregate_all_subsets():
     assert total["sum_value"].iloc[0] == 7 and total["n"].iloc[0] == 3
 
 
+def test_grouped_zscore_both_paths():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    df = pd.DataFrame({"id": np.arange(10, dtype=np.int64),
+                       "g": [0] * 5 + [1] * 4 + [2],
+                       "x": [1.0, 2, 3, 4, 5, 10, 10, 10, 10, 7.5]})
+    want = df.groupby("g").x.transform(
+        lambda s: (s - s.mean()) / s.std(ddof=1)).round(4)
+    for limit in (64 << 20, 0):  # broadcast path, then bucketed fallback
+        out = relational.grouped_zscore(
+            rd.from_pandas(df).repartition(3), "g", "x", "id",
+            broadcast_limit_bytes=limit).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        # group 1 has zero variance, group 2 a single row -> both NULL
+        assert out.zscore.isna().tolist() == [False] * 5 + [True] * 5
+        assert np.allclose(out.zscore[:5], want[:5], atol=0)
+
+
 def test_global_prefix_sum_matches_ordered_cumsum():
     import numpy as np
     import pandas as pd
