@@ -2764,6 +2764,58 @@ FROM customer
 """
 
 
+def _doc_features(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        x1 = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64) / 1000.0
+        x2 = pc.list_value_length(
+            pc.split_pattern(batch["text"], pattern=" ")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        lbl = (batch["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0) \
+            .astype(np.float64)
+        return pa.table({"doc_id": batch["doc_id"], "x1": pa.array(x1),
+                         "x2": pa.array(x2), "label": pa.array(lbl)})
+
+    return docs.map_batches(feats, batch_format="pyarrow")
+
+
+def q_logreg_score(sf_dir: str):
+    """Broadcast-weights model inference: vectorized sigmoid(b + X·w)
+    over per-doc features with fixed weights; the oracle computes the
+    identical sigmoid in SQL."""
+    from ..stages import ml
+    feats = _doc_features(sf_dir)
+    out = ml.logreg_score(feats, ["x1", "x2"], weights=[0.8, -0.5],
+                          bias=0.25)
+    return out.select_columns(["doc_id", "score"])
+
+
+SQL_LOGREG_SCORE = """
+WITH f AS (
+  SELECT doc_id, n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2
+  FROM documents)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-(0.25 + 0.8 * x1 - 0.5 * x2))), 6) AS score
+FROM f
+"""
+
+
+def q_logreg_train(sf_dir: str):
+    """Distributed logistic-regression training (5 full-batch GD epochs;
+    each epoch ONE streaming pass reducing k-vector gradient partials —
+    data never shuffles).  Iterative — rows-only; equality with a
+    single-process numpy reference is pytest-pinned at two
+    parallelisms."""
+    from ..stages import ml
+    feats = _doc_features(sf_dir)
+    fit = ml.logreg_train(feats, ["x1", "x2"], "label", epochs=5, lr=0.5)
+    return pd.DataFrame([{"bias": fit["bias"], "w1": fit["weights"][0],
+                          "w2": fit["weights"][1], "n": fit["n"]}])
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2863,6 +2915,8 @@ def registry():
         "bpe_merges": (q_bpe_merges, None),
         "lead_user_events": (q_lead_user_events, SQL_LEAD_EVENTS),
         "zscore_acctbal": (q_zscore_acctbal, SQL_ZSCORE),
+        "logreg_score": (q_logreg_score, SQL_LOGREG_SCORE),
+        "logreg_train": (q_logreg_train, None),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

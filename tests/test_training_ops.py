@@ -277,6 +277,44 @@ def test_decontaminate_ngrams_flags_shared_ngrams():
     assert list(out.contam_frac) == [0.5, 0.0]
 
 
+def test_logreg_train_matches_numpy_reference():
+    import numpy as np
+
+    from prclz_ray.stages import ml
+
+    rng = np.random.default_rng(5)
+    n = 400
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    y = ((1.5 * x1 - x2 + rng.normal(0, 0.3, n)) > 0).astype(np.float64)
+
+    def ref(epochs=5, lr=0.5, dp=9):
+        w = np.zeros(2)
+        b = 0.0
+        X = np.column_stack([x1, x2])
+        for _ in range(epochs):
+            r = 1.0 / (1.0 + np.exp(-(b + X @ w))) - y
+            w = np.round(w - lr * (X.T @ r) / n, dp)
+            b = round(b - lr * r.sum() / n, dp)
+        return b, w
+
+    b_ref, w_ref = ref()
+    rows = [{"x1": float(a), "x2": float(c), "label": float(l)}
+            for a, c, l in zip(x1, x2, y)]
+    for parts in (2, 8):
+        fit = ml.logreg_train(rd.from_items(rows).repartition(parts),
+                              ["x1", "x2"], "label", epochs=5, lr=0.5)
+        assert fit["n"] == n
+        assert fit["bias"] == b_ref
+        assert fit["weights"] == list(w_ref)
+    # the fit separates: scored training accuracy well above chance
+    scored = ml.logreg_score(
+        rd.from_items(rows), ["x1", "x2"],
+        weights=fit["weights"], bias=fit["bias"]).to_pandas()
+    acc = ((scored.score > 0.5).astype(float) == scored.label).mean()
+    assert acc > 0.85
+
+
 def test_bpe_train_matches_reference():
     import collections
 
