@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "lag_user_events",
     "duplicate_spans",
     "tfidf_top_terms",
+    # round-3 late batch: benchmark decontamination and distributed
+    # PageRank (iterative join+groupby rounds)
+    "decontaminate_ngrams",
+    "pagerank_links",
 ]
 
 
