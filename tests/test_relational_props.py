@@ -417,11 +417,13 @@ def test_pagerank_matches_dense_reference():
             c[d] += r[s] / outdeg[s]
         r = np.round((1.0 - 0.85) / 4 + 0.85 * c, 9)
 
-    for parts in (1, 4):
+    # limit 64MB -> broadcast fast path; limit 0 -> V-scale join path
+    for parts, limit in ((1, 64 << 20), (4, 64 << 20), (4, 0)):
         e_ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])) \
             .repartition(parts)
         n_ds = rd.from_pandas(pd.DataFrame({"v": nodes})).repartition(parts)
-        out = graph_ops.pagerank(e_ds, n_ds, iters=3).to_pandas() \
+        out = graph_ops.pagerank(e_ds, n_ds, iters=3,
+                                 broadcast_limit_bytes=limit).to_pandas() \
             .sort_values("v").reset_index(drop=True)
         assert list(out.v) == nodes
         assert np.allclose(out.pagerank, r, atol=0), (out.pagerank, r)
