@@ -2816,6 +2816,53 @@ def q_logreg_train(sf_dir: str):
                           "w2": fit["weights"][1], "n": fit["n"]}])
 
 
+def q_funnel_click_purchase(sf_dir: str):
+    """Two-step conversion funnel: per user, the first click and whether
+    a purchase follows within 24 h (strictly after, inclusive bound).
+    Rows filter to the two step types BEFORE the single user-bucket
+    shuffle."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return relational.funnel_conversion(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        first_step="click", second_step="purchase", within_sec=86400)
+
+
+SQL_FUNNEL = """
+WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events
+  WHERE event_type = 'click' GROUP BY user_id)
+SELECT f.user_id, f.first_ts,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM events p
+         WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+           AND p.ts > f.first_ts
+           AND p.ts <= f.first_ts + INTERVAL 1 DAY)
+       THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM f
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle: users cohorted by the
+    epoch-week of their first event; distinct active users per
+    (cohort_week, week_offset)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return relational.cohort_retention(ev, user_col="user_id",
+                                       ts_col="ts")
+
+
+SQL_COHORT = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id),
+t AS (SELECT DISTINCT c.cohort_week, w.week - c.cohort_week AS week_offset,
+             w.user_id
+      FROM w JOIN c USING (user_id))
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM t GROUP BY cohort_week, week_offset
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2917,6 +2964,8 @@ def registry():
         "zscore_acctbal": (q_zscore_acctbal, SQL_ZSCORE),
         "logreg_score": (q_logreg_score, SQL_LOGREG_SCORE),
         "logreg_train": (q_logreg_train, None),
+        "funnel_click_purchase": (q_funnel_click_purchase, SQL_FUNNEL),
+        "cohort_retention": (q_cohort_retention, SQL_COHORT),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

@@ -1144,6 +1144,137 @@ def salted_join(left_ds, right_ds, on: str, hot_keys,
                                                  batch_format="pandas")
 
 
+def funnel_conversion(events_ds, user_col: str, ts_col: str,
+                      type_col: str, first_step: str, second_step: str,
+                      within_sec: int, num_buckets: int = 64):
+    """Two-step funnel analysis: per user, the first ``first_step``
+    event and whether a ``second_step`` event follows within
+    ``within_sec`` seconds (strictly after, inclusive bound) — the
+    conversion primitive behind activation/checkout dashboards.
+
+    Scale shape: rows filter to the two step types BEFORE the exchange,
+    then ONE coarse user-bucket shuffle; per bucket a vectorized
+    pandas pass takes each user's min first-step ts and probes the
+    second-step timestamps — no per-user Python loop.  Emits one row
+    per user that performed the first step: (user, first_ts,
+    converted)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[type_col],
+                     value_set=pa.array([first_step, second_step]))
+        t = batch.select([user_col, ts_col, type_col]).filter(m)
+        b = stable_bucket(t[user_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        first = group[group[type_col] == first_step] \
+            .groupby(user_col)[ts_col].min()
+        if first.empty:
+            return pa.table({user_col: pa.array([], type=pa.int64()),
+                             "first_ts": pa.array(
+                                 [], type=pa.timestamp("us")),
+                             "converted": pa.array([], type=pa.int64())})
+        second = group[group[type_col] == second_step]
+        f_of_s = first.reindex(second[user_col])
+        keep = f_of_s.notna().to_numpy()  # drop steps with no first event
+        second = second[keep]
+        s_user = second[user_col].to_numpy()
+        s_ts = second[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        f_ts = first.to_numpy().astype("datetime64[us]").astype(np.int64)
+        fs = f_of_s[keep].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        hit = (s_ts > fs) & (s_ts <= fs + within_sec * 1_000_000)
+        conv = np.isin(first.index.to_numpy(), s_user[hit]) \
+            .astype(np.int64)
+        return pa.table({user_col: pa.array(first.index.to_numpy()),
+                         "first_ts": pa.array(
+                             f_ts.view("datetime64[us]")),
+                         "converted": pa.array(conv)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+
+
+def cohort_retention(events_ds, user_col: str, ts_col: str,
+                     num_buckets: int = 64,
+                     broadcast_limit_bytes: int = 64 << 20):
+    """Weekly cohort retention: users are cohorted by the epoch-week of
+    their FIRST event; for every (cohort_week, week_offset) report the
+    distinct active users — the standard retention triangle.
+
+    Scale shape: per-user first-week via per-batch Min partials → one
+    tiny per-user groupby; the (user, cohort) map attaches back with the
+    size-guarded broadcast (bucketed co-shuffle join past the budget);
+    (cohort, offset, user) triples dedupe inside each batch before the
+    single counting groupby.  Weeks are exact integer epoch//604800 —
+    no timezone/truncation semantics to disagree on."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    def week(batch: pa.Table) -> pa.Table:
+        w = batch[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // (604800 * 1_000_000)
+        return pa.table({user_col: batch[user_col], "week": pa.array(w)})
+
+    weeks = events_ds.map_batches(week, batch_format="pyarrow")
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(user_col).aggregate([("week", "min")])
+        return pa.table({user_col: g[user_col],
+                         "cw": g["week_min"].cast(pa.int64())})
+
+    cohorts = weeks.map_batches(min_partial, batch_format="pyarrow") \
+        .groupby(user_col).aggregate(Min("cw", alias_name="cohort_week")) \
+        .materialize()
+
+    if cohorts.count() * 32 <= broadcast_limit_bytes:
+        tbl = pa.concat_tables(
+            list(cohorts.iter_batches(batch_format="pyarrow")))
+        ref = ray.put(tbl)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref).to_pandas().set_index(user_col)["cohort_week"]
+            cw = c.reindex(batch[user_col].to_pandas()).to_numpy() \
+                .astype(np.int64)
+            return batch.append_column("cohort_week", pa.array(cw))
+
+        joined = weeks.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = bucketed_hash_join(weeks, cohorts, on=user_col,
+                                    num_buckets=num_buckets, how="left")
+
+    # a user's rows may SPAN batches (unlike whole-doc rows), so per-batch
+    # distinct is only a partial — dedupe globally with one triple-keyed
+    # groupby before counting (per-batch distinct still shrinks the
+    # exchange first)
+    def triple_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "cohort_week": b["cohort_week"].cast(pa.int64()),
+            "week_offset": pc.subtract(b["week"].cast(pa.int64()),
+                                       b["cohort_week"].cast(pa.int64())),
+            user_col: b[user_col]})
+        return t.group_by(["cohort_week", "week_offset", user_col]) \
+            .aggregate([])
+
+    from ray.data.aggregate import Count
+    dist = joined.map_batches(triple_partial, batch_format="pyarrow") \
+        .groupby(["cohort_week", "week_offset", user_col]) \
+        .aggregate(Count(alias_name="_x"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["cohort_week", "week_offset"]) \
+            .aggregate([(user_col, "count")])
+        return pa.table({"cohort_week": g["cohort_week"],
+                         "week_offset": g["week_offset"],
+                         "pn": g[f"{user_col}_count"].cast(pa.int64())})
+
+    return dist.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["cohort_week", "week_offset"]) \
+        .aggregate(Sum("pn", alias_name="n_users"))
+
+
 def grouped_zscore(ds, key_col: str, val_col: str, id_col: str,
                    round_to: int = 4, num_buckets: int = 32,
                    broadcast_limit_bytes: int = 64 << 20):

@@ -512,6 +512,82 @@ def test_new_ops_partition_invariance():
     docs_src = docs.assign(source=(docs.doc_id % 4).map("s{}".format))
     eq(lambda d: dd.domain_boilerplate_stats(
         d, text_col="text", sep=" ", min_frac=0.2), docs_src, ["source"])
+    ev_steps = ev.assign(event_type=rng.choice(
+        ["click", "purchase", "view"], n))
+    eq(lambda d: relational.funnel_conversion(
+        d, "user_id", "ts", "event_type", "click", "purchase", 3600),
+       ev_steps, ["user_id"])
+    eq(lambda d: relational.cohort_retention(d, "user_id", "ts"), ev,
+       ["cohort_week", "week_offset"])
+
+
+def test_funnel_conversion_matches_reference():
+    """Distributed funnel equals a per-user pandas reference, including
+    the strict-after / inclusive-bound window edges."""
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 20_000, n), unit="s"),
+        "event_type": rng.choice(["click", "purchase", "view"], n),
+    })
+    # force window edge cases: a purchase exactly at first_ts (excluded)
+    # and one exactly at first_ts + window (included)
+    df = pd.concat([df, pd.DataFrame({
+        "user_id": [100, 100, 101, 101],
+        "ts": pd.to_datetime([0, 0, 10, 10 + 3600], unit="s"),
+        "event_type": ["click", "purchase", "click", "purchase"],
+    })], ignore_index=True)
+
+    got = relational.funnel_conversion(
+        rd.from_pandas(df).repartition(5), "user_id", "ts",
+        "event_type", "click", "purchase", within_sec=3600) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+
+    clicks = df[df.event_type == "click"].groupby("user_id").ts.min()
+    purch = df[df.event_type == "purchase"]
+    exp = []
+    for uid, first in clicks.items():
+        p = purch[purch.user_id == uid].ts
+        conv = int(((p > first) &
+                    (p <= first + pd.Timedelta(seconds=3600))).any())
+        exp.append({"user_id": uid, "first_ts": first,
+                    "converted": conv})
+    exp = pd.DataFrame(exp).sort_values("user_id").reset_index(drop=True)
+    assert got.user_id.tolist() == exp.user_id.tolist()
+    assert got.first_ts.tolist() == exp.first_ts.tolist()
+    assert got.converted.tolist() == exp.converted.tolist()
+    assert int(got.loc[got.user_id == 100, "converted"].iloc[0]) == 0
+    assert int(got.loc[got.user_id == 101, "converted"].iloc[0]) == 1
+
+
+def test_cohort_retention_matches_reference():
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 6 * 604800, n), unit="s"),
+    })
+    got = relational.cohort_retention(
+        rd.from_pandas(df).repartition(6), "user_id", "ts") \
+        .to_pandas().sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+
+    w = df.assign(week=df.ts.astype(np.int64) // (604800 * 10**9))
+    cohort = w.groupby("user_id").week.min().rename("cohort_week")
+    j = w.join(cohort, on="user_id")
+    j["week_offset"] = j.week - j.cohort_week
+    exp = j.drop_duplicates(["cohort_week", "week_offset", "user_id"]) \
+        .groupby(["cohort_week", "week_offset"]).size() \
+        .rename("n_users").reset_index() \
+        .sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+    assert got.cohort_week.tolist() == exp.cohort_week.tolist()
+    assert got.week_offset.tolist() == exp.week_offset.tolist()
+    assert got.n_users.tolist() == exp.n_users.tolist()
+    # offset 0 row exists for every cohort (the cohorting event itself)
+    assert (got.groupby("cohort_week").week_offset.min() == 0).all()
 
 
 def test_grouped_ntile_tile_sizes():
