@@ -2863,6 +2863,170 @@ FROM t GROUP BY cohort_week, week_offset
 """
 
 
+def q_rank_events_user(sf_dir: str):
+    """Rank windows per user over event value (cents): ROW_NUMBER /
+    RANK / DENSE_RANK / PERCENT_RANK in one bucket-shuffle kernel.
+    PERCENT_RANK is one exact-int division so the doubles are
+    bit-identical across engines."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "cents": cents})
+
+    return relational.grouped_ranks(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        key_col="user_id", order_col="cents", id_col="event_id")
+
+
+SQL_RANKS = """
+SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ROUND(value * 100), event_id)
+         AS row_number,
+       RANK() OVER w AS rank,
+       DENSE_RANK() OVER w AS dense_rank,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ROUND(value * 100))
+"""
+
+
+def q_moving_sum_user(sf_dir: str):
+    """Bounded row window: per-user 4-row moving spend total (ROWS
+    BETWEEN 3 PRECEDING AND CURRENT ROW), exact on integer cents."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "cents": cents})
+
+    out = relational.moving_aggregate(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+        value_col="cents", window_rows=3).to_pandas()
+    out["mov_value"] = out["mov_sum"] / 100.0
+    return out[["event_id", "user_id", "mov_n", "mov_value"]] \
+        .astype({"mov_n": "int64"})
+
+
+SQL_MOVING = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS mov_n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0
+         AS mov_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_nb_predict_lang(sf_dir: str):
+    """Naive-Bayes bag-of-words classifier (the fastText-style corpus
+    filter shape): train add-1-smoothed word likelihoods on the corpus
+    with lang as the label, then re-score every doc — broadcast model,
+    one vectorized merge + segment-sum per batch, integer/string output
+    (argmax is robust to last-ulp drift, so this hash-matches)."""
+    from ..stages import ml
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = ml.nb_train(docs, text_col="text", label_col="lang")
+    return ml.nb_predict(docs, model, text_col="text", id_col="doc_id")
+
+
+SQL_NB_PREDICT = """
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+wc AS (SELECT lang AS label, w, COUNT(*) AS c
+       FROM words GROUP BY label, w),
+tot AS (SELECT label, SUM(c) AS t FROM wc GROUP BY label),
+cls AS (SELECT lang AS label, COUNT(*) AS nd FROM documents
+        GROUP BY lang),
+nv AS (SELECT COUNT(DISTINCT w) AS v,
+              (SELECT COUNT(*) FROM documents) AS n FROM words),
+sc AS (
+  SELECT tk.doc_id, c.label,
+         LN(CAST(c.nd AS DOUBLE) / nv.n)
+           + SUM(LN((COALESCE(wc.c, 0) + 1.0) / (tot.t + nv.v))) AS s
+  FROM words tk
+  CROSS JOIN cls c
+  CROSS JOIN nv
+  JOIN tot ON tot.label = c.label
+  LEFT JOIN wc ON wc.label = c.label AND wc.w = tk.w
+  GROUP BY tk.doc_id, c.label, c.nd, nv.n, nv.v),
+r AS (SELECT doc_id, label,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, label) AS rn
+      FROM sc)
+SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+       r.label AS pred_label
+FROM documents d JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+"""
+
+
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style bigram-LM fluency scoring: add-1-smoothed bigram
+    model trained on the corpus, mean negative log-likelihood per doc
+    (rounded 4dp)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.bigram_lm_scores(docs, key_col="doc_id",
+                                 text_col="text")
+
+
+SQL_LM_PERPLEXITY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+big AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 2)),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+cc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+nv AS (SELECT COUNT(DISTINCT x) AS v
+       FROM (SELECT unnest(w) AS x FROM toks)),
+sc AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         ROUND(-AVG(LN((bc.c12 + 1.0) / (cc.c1 + nv.v))), 4) AS nll
+  FROM big b
+  JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN cc ON cc.w1 = b.w1
+  CROSS JOIN nv
+  GROUP BY b.doc_id)
+SELECT t.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       COALESCE(sc.nll, 0.0) AS nll
+FROM toks t LEFT JOIN sc ON sc.doc_id = t.doc_id
+"""
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-doc codepoint Shannon entropy (bits) — gibberish/binary-noise
+    quality signal; pure vectorized map."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(text.char_entropy_batch,
+                            batch_format="pyarrow")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).'))
+              AS c FROM documents),
+cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+n AS (SELECT doc_id, SUM(k) AS nc FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(ROUND(-SUM((CAST(k AS DOUBLE) / n.nc)
+                           * LOG2(CAST(k AS DOUBLE) / n.nc)), 4), 0.0)
+         AS entropy
+FROM documents d
+LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+LEFT JOIN n ON n.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -2966,6 +3130,11 @@ def registry():
         "logreg_train": (q_logreg_train, None),
         "funnel_click_purchase": (q_funnel_click_purchase, SQL_FUNNEL),
         "cohort_retention": (q_cohort_retention, SQL_COHORT),
+        "rank_events_user": (q_rank_events_user, SQL_RANKS),
+        "moving_sum_user": (q_moving_sum_user, SQL_MOVING),
+        "nb_predict_lang": (q_nb_predict_lang, SQL_NB_PREDICT),
+        "lm_perplexity_documents": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+        "char_entropy_documents": (q_char_entropy, SQL_CHAR_ENTROPY),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
     }

@@ -88,3 +88,99 @@ def logreg_train(ds, feature_cols: list[str], label_col: str,
         b = round(b - lr * agg["gb"] / n_rows, round_dp)
 
     return {"bias": b, "weights": w.tolist(), "n": n_rows}
+
+def nb_train(docs_ds, text_col: str = "text", label_col: str = "lang"):
+    """Multinomial naive-Bayes training (the fastText-style bag-of-words
+    quality/language classifier CC pipelines train for filtering):
+    add-1-smoothed word likelihoods per class + doc-count priors.
+
+    Scale shape: the corpus is touched ONCE — per-batch arrow explode +
+    group_by (label, word) count partials → one global groupby-sum on the
+    (label, word) key (vocabulary-sized, not corpus-sized); priors and
+    per-class token totals reduce from the same pass.  Returns a dict of
+    small tables: {"word_counts": (label, word, c), "class_docs":
+    (label, n_docs), "n_docs": int, "vocab": int}."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        lbl = np.repeat(batch[label_col].to_numpy(zero_copy_only=False), n)
+        g = pa.table({"label": pa.array(lbl),
+                      "word": pc.list_flatten(parts)}) \
+            .group_by(["label", "word"]).aggregate([([], "count_all")])
+        return pa.table({"label": g["label"], "word": g["word"],
+                         "pc": g["count_all"].cast(pa.int64())})
+
+    counts_ds = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "word"]).aggregate(Sum("pc", alias_name="c"))
+    from .relational import ds_to_table
+    wc = ds_to_table(counts_ds)
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([label_col]).group_by(label_col) \
+            .aggregate([([], "count_all")])
+        return pa.table({"label": g[label_col],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    cd = ds_to_table(
+        docs_ds.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("label").aggregate(Sum("pn", alias_name="n_docs")))
+
+    return {"word_counts": wc, "class_docs": cd,
+            "n_docs": int(pc.sum(cd["n_docs"]).as_py()),
+            "vocab": len(pc.unique(wc["word"]))}
+
+
+def nb_predict(docs_ds, model: dict, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Naive-Bayes inference: argmax over classes of
+    ln(prior) + Σ_tokens ln((c(w,class)+1)/(total_class+V)) — the
+    model tables ship once via ``ray.put`` and every batch scores with
+    one vectorized merge + per-class segment sum (no shuffle; argmax is
+    robust to last-ulp float drift so the output is pure integers/strings
+    and hash-exact).  Emits (id, n_tokens, pred_label); ties break by
+    label ascending."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    wc = model["word_counts"].to_pandas()
+    cd = model["class_docs"].to_pandas().sort_values("label")
+    labels = cd["label"].tolist()
+    v = model["vocab"]
+    totals = wc.groupby("label")["c"].sum().reindex(labels).fillna(0)
+    # word → per-class ln-likelihood matrix (wide); OOV handled by the
+    # per-class default ln(1/(total+V))
+    wide = wc.pivot_table(index="word", columns="label", values="c",
+                          aggfunc="sum", fill_value=0)
+    wide = wide.reindex(columns=labels, fill_value=0)
+    loglik = np.log((wide.to_numpy(dtype=np.float64) + 1.0)
+                    / (totals.to_numpy(dtype=np.float64) + v))
+    default = np.log(1.0 / (totals.to_numpy(dtype=np.float64) + v))
+    prior = np.log(cd["n_docs"].to_numpy(dtype=np.float64)
+                   / model["n_docs"])
+    ref = ray.put((pd.Index(wide.index), loglik, default, prior, labels))
+
+    def score(batch: pa.Table) -> pa.Table:
+        words_idx, ll, dflt, pri, lbls = ray.get(ref)
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(parts).to_pandas()
+        pos = words_idx.get_indexer(flat)
+        tok_ll = np.where(pos[:, None] >= 0,
+                          ll[np.maximum(pos, 0)], dflt[None, :])
+        doc_idx = np.repeat(np.arange(len(batch)), n)
+        sums = np.zeros((len(batch), len(lbls)))
+        np.add.at(sums, doc_idx, tok_ll)
+        # argmax returns the FIRST max and labels are sorted ascending,
+        # so ties break by label ascending — same as ORDER BY s DESC, label
+        pred = np.argmax(sums + pri[None, :], axis=1)
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array(n),
+                         "pred_label": pa.array(
+                             [lbls[i] for i in pred])})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

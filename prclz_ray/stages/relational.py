@@ -906,6 +906,66 @@ def grouped_lag(events_ds, key_col: str, ts_col: str, order_col: str,
                                                 batch_format="pandas")
 
 
+def grouped_ranks(events_ds, key_col: str, order_col: str, id_col: str,
+                  num_buckets: int = 64):
+    """Rank windows — per key in ``order_col`` order: ROW_NUMBER (id
+    tie-break, so deterministic), RANK (min, gaps), DENSE_RANK, and
+    PERCENT_RANK ((rank-1)/(n-1); 0 for singleton keys).  PERCENT_RANK is
+    a single exact-int division, so the double is bit-identical across
+    engines — no rounding step needed.
+
+    Scale shape: identical to ``running_aggregate`` — ONE coarse-bucket
+    shuffle, per-bucket vectorized sort + C groupby rank kernels."""
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, order_col, id_col])
+        b = stable_bucket(batch[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([key_col, order_col, id_col])
+        g = df.groupby(key_col, sort=False)
+        rank = g[order_col].rank(method="min").to_numpy(dtype=np.int64)
+        dense = g[order_col].rank(method="dense").to_numpy(dtype=np.int64)
+        n = g[order_col].transform("size").to_numpy(dtype=np.int64)
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        out = df.drop(columns=["_bucket"]).assign(
+            row_number=g.cumcount().to_numpy() + 1,
+            rank=rank, dense_rank=dense, pct_rank=pct)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+
+
+def moving_aggregate(events_ds, key_col: str, ts_col: str, order_col: str,
+                     value_col: str, window_rows: int,
+                     num_buckets: int = 64):
+    """Bounded row window — ``SUM/COUNT(v) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS BETWEEN window_rows PRECEDING AND CURRENT ROW)``.
+    Pass an integer value column for accumulation-order-exact sums.
+
+    Scale shape: ONE coarse-bucket shuffle; per bucket a vectorized sort
+    + per-key C rolling sum (pandas groupby.rolling)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col, order_col, value_col])
+        b = stable_bucket(batch[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([key_col, ts_col, order_col])
+        r = df.groupby(key_col, sort=False)[value_col] \
+            .rolling(window=window_rows + 1, min_periods=1)
+        out = df.drop(columns=["_bucket", value_col]).assign(
+            mov_sum=r.sum().to_numpy().astype(np.int64),
+            mov_n=r.count().to_numpy().astype(np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+
+
 def stratified_sample(ds, key_col: str, strata_col: str,
                       rates_ppm: dict, default_ppm: int = 0, seed: int = 1):
     """Per-stratum deterministic hash sample: each row keeps with its

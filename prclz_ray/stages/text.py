@@ -804,3 +804,196 @@ def filter_decision_batch(t: pa.Table, min_tokens: int = 20,
               + 4 * (lang == "und").astype(np.int64))
     out = t.append_column("keep", pa.array((reason == 0).astype(np.int64)))
     return out.append_column("reason", pa.array(reason))
+
+def bigram_lm_scores(ds, key_col: str = "doc_id", text_col: str = "text",
+                     round_to: int = 4, num_buckets: int = 32,
+                     broadcast_limit_bytes: int = 64 << 20):
+    """CCNet-style n-gram LM scoring: train an add-1-smoothed bigram
+    model on the corpus, then score every doc by its mean negative
+    log-likelihood — the perplexity filter that keeps fluent text and
+    drops gibberish (Wenzek et al., CCNet; they use KenLM, the smoothing
+    here is the SQL-twin-checkable simplification).
+
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), V = corpus unigram vocabulary.
+
+    Scale shape: the corpus is read twice (count pass, score pass), both
+    streaming; bigram counts reduce through ONE (w1,w2)-key groupby to a
+    vocabulary²-bounded (in practice Zipf ~vocab-sized) table that
+    attaches back via a size-guarded ``ray.put`` broadcast — past the
+    byte budget the fallback explodes doc bigrams and runs two bucketed
+    co-shuffle joins (pair key, then context key) before one per-doc
+    groupby-sum.  Docs with <2 tokens emit n_bigrams=0, nll=0."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .relational import (broadcast_join, bucketed_hash_join,
+                             ds_to_table, stable_bucket)
+
+    # Space cannot appear INSIDE a space-split token, so "w1 w2" is an
+    # unambiguous pair key.  Do NOT use "\x00": pandas str-concat silently
+    # DROPS embedded NULs and pd.util.hash_array truncates at them, so a
+    # NUL-keyed bucketed join both skews and (via mixed construction
+    # paths) mismatches.
+    SEP = " "
+
+    def explode_bigrams(batch: pa.Table, with_key: bool) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        off = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(pc.list_value_length(parts)
+                  .to_numpy(zero_copy_only=False), out=off[1:])
+        flat = pc.list_flatten(parts).to_pandas().to_numpy(dtype=object)
+        n_big = np.maximum(off[1:] - off[:-1] - 1, 0)
+        # bigram start positions: every flat index except each doc's last
+        starts = np.repeat(off[:-1], n_big) + _ragged_arange(n_big)
+        w1, w2 = flat[starts], flat[starts + 1]
+        cols = {"w1": pa.array(w1, type=pa.string()),
+                "w2": pa.array(w2, type=pa.string())}
+        if with_key:
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            cols[key_col] = pa.array(np.repeat(keys, n_big))
+        return pa.table(cols)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = explode_bigrams(batch, with_key=False)
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "pc": g["count_all"].cast(pa.int64())})
+
+    bc = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("pc", alias_name="c12")) \
+        .materialize()
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        return pa.table({"word": pc.unique(pc.list_flatten(parts))})
+
+    vocab = ds.map_batches(vocab_partial, batch_format="pyarrow") \
+        .groupby("word").count().count()
+
+    if (bc.size_bytes() or 0) <= broadcast_limit_bytes:
+        import ray
+        t = ds_to_table(bc)
+        pair_idx = pd.Index(pd.Series(t["w1"].to_pandas()) + SEP
+                            + pd.Series(t["w2"].to_pandas()))
+        c12 = t["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ctx = pd.Series(c12).groupby(
+            pd.Series(t["w1"].to_pandas())).sum()
+        ref = ray.put((pair_idx, c12, pd.Index(ctx.index),
+                       ctx.to_numpy(dtype=np.int64)))
+
+        def score(batch: pa.Table) -> pa.Table:
+            pidx, pc12, cidx, cctx = ray.get(ref)
+            t = explode_bigrams(batch, with_key=True)
+            n_doc = len(batch)
+            if len(t) == 0:
+                return pa.table({
+                    key_col: batch[key_col],
+                    "n_bigrams": pa.array(
+                        np.zeros(n_doc, dtype=np.int64)),
+                    "nll": pa.array(np.zeros(n_doc))})
+            w1 = t["w1"].to_pandas()
+            pos = pidx.get_indexer(w1 + SEP + t["w2"].to_pandas())
+            cpos = cidx.get_indexer(w1)
+            c12v = np.where(pos >= 0, pc12[np.maximum(pos, 0)], 0)
+            c1v = np.where(cpos >= 0, cctx[np.maximum(cpos, 0)], 0)
+            ll = np.log((c12v + 1.0) / (c1v + float(vocab)))
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            kidx = pd.Index(keys).get_indexer(
+                t[key_col].to_numpy(zero_copy_only=False))
+            n_big = np.zeros(n_doc, dtype=np.int64)
+            np.add.at(n_big, kidx, 1)
+            s = np.zeros(n_doc)
+            np.add.at(s, kidx, ll)
+            nll = np.round(
+                np.where(n_big > 0, -s / np.maximum(n_big, 1), 0.0),
+                round_to)
+            return pa.table({key_col: batch[key_col],
+                             "n_bigrams": pa.array(n_big),
+                             "nll": pa.array(nll)})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # fallback: pair-key join, context-key join, per-doc groupby-sum
+    big = ds.map_batches(
+        lambda b: explode_bigrams(b, with_key=True),
+        batch_format="pyarrow")
+    ctx_ds = bc.map_batches(
+        lambda t: pa.table({"w1": t["w1"], "pcc": t["c12"]}),
+        batch_format="pyarrow").groupby("w1") \
+        .aggregate(Sum("pcc", alias_name="c1"))
+    j = bucketed_hash_join(
+        big.map_batches(lambda t: t.append_column(
+            "_pair", pc.binary_join_element_wise(t["w1"], t["w2"], SEP)),
+            batch_format="pyarrow"),
+        bc.map_batches(lambda t: pa.table({
+            "_pair": pc.binary_join_element_wise(t["w1"], t["w2"], SEP),
+            "c12": t["c12"]}), batch_format="pyarrow"),
+        on="_pair", num_buckets=num_buckets, how="left")
+    j = bucketed_hash_join(j, ctx_ds, on="w1",
+                           num_buckets=num_buckets, how="left")
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        c12v = batch["c12"].to_pandas().fillna(0) \
+            .to_numpy(dtype=np.int64)
+        c1v = batch["c1"].to_pandas().fillna(0).to_numpy(dtype=np.int64)
+        ll = np.log((c12v + 1.0) / (c1v + float(vocab)))
+        t = pa.table({key_col: batch[key_col],
+                      "pll": pa.array(ll),
+                      "pn": pa.array(np.ones(len(batch),
+                                             dtype=np.int64))})
+        b = stable_bucket(t[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_doc(group: pd.DataFrame) -> pa.Table:
+        g = group.groupby(key_col, sort=False).agg(
+            s=("pll", "sum"), n_bigrams=("pn", "sum")).reset_index()
+        g["nll"] = (-g["s"] / g["n_bigrams"]).round(round_to)
+        return pa.Table.from_pandas(
+            g[[key_col, "n_bigrams", "nll"]], preserve_index=False)
+
+    scored = j.map_batches(term_partial, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_doc, batch_format="pandas")
+    # docs with <2 tokens never produced a bigram row: union them back
+    def short_docs(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        m = pc.less(pc.list_value_length(parts), 2)
+        keys = batch[key_col].filter(m)
+        z = np.zeros(len(keys), dtype=np.int64)
+        return pa.table({key_col: keys, "n_bigrams": pa.array(z),
+                         "nll": pa.array(z.astype(np.float64))})
+
+    return scored.union(
+        ds.map_batches(short_docs, batch_format="pyarrow"))
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.arange(total, dtype=np.int64)
+    resets = np.repeat(np.cumsum(counts) - counts, counts)
+    return idx - resets
+
+
+def char_entropy_batch(batch: pa.Table, text_col: str = "text",
+                       round_to: int = 4) -> pa.Table:
+    """Per-doc Shannon entropy of the codepoint distribution (bits) — a
+    cheap gibberish/binary-noise quality signal.  Fully vectorized: one
+    UTF-32 decode of the whole batch, one np.unique over packed
+    (doc, codepoint) keys, one scatter-add.  Pure map, SQL twin via
+    regexp_extract_all('(?s).')."""
+    texts = batch[text_col].to_pylist()
+    n = np.array([len(t) for t in texts], dtype=np.int64)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n)
+    key = (doc_idx << np.int64(21)) | cp
+    uniq, counts = np.unique(key, return_counts=True)
+    udoc = uniq >> np.int64(21)
+    p = counts / n[udoc]
+    ent = np.zeros(len(texts))
+    np.add.at(ent, udoc, -p * np.log2(p))
+    return pa.table({
+        **{c: batch[c] for c in batch.column_names if c != text_col},
+        "entropy": pa.array(np.round(ent, round_to))})

@@ -519,6 +519,11 @@ def test_new_ops_partition_invariance():
        ev_steps, ["user_id"])
     eq(lambda d: relational.cohort_retention(d, "user_id", "ts"), ev,
        ["cohort_week", "week_offset"])
+    eq(lambda d: relational.grouped_ranks(
+        d, "user_id", "cents", "event_id"), ev, ["event_id"])
+    eq(lambda d: relational.moving_aggregate(
+        d, "user_id", "ts", "event_id", "cents", window_rows=2), ev,
+       ["event_id"])
 
 
 def test_funnel_conversion_matches_reference():

@@ -783,3 +783,73 @@ def test_corpus_filter_decision_mixes_and_reasons():
     kept = out[out["keep"] == 1]
     assert (kept["tokens_ws"] >= 20).all()
     assert (kept["top_word_frac"] <= 0.13).all()
+
+
+def test_nb_predict_recovers_class_vocabulary():
+    """NB trained on a two-class corpus with disjoint vocabularies must
+    predict every doc's own class, at 2 parallelisms."""
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import ml
+
+    rows = []
+    for i in range(40):
+        w = ["apfel", "birne", "kirsche"] if i % 2 else \
+            ["apple", "pear", "cherry"]
+        rows.append({"doc_id": i, "lang": "de" if i % 2 else "en",
+                     "text": " ".join(w * (2 + i % 3))})
+    df = pd.DataFrame(rows)
+    for parts in (2, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        model = ml.nb_train(ds, text_col="text", label_col="lang")
+        assert model["vocab"] == 6 and model["n_docs"] == 40
+        out = ml.nb_predict(ds, model).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out.pred_label.tolist() == df.lang.tolist()
+        assert out.n_tokens.tolist() == \
+            [len(t.split(" ")) for t in df.text]
+
+
+def test_bigram_lm_broadcast_and_join_paths_agree():
+    """Forcing broadcast_limit_bytes=0 must take the bucketed-join
+    fallback and produce identical scores, including <2-token docs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import text as tx
+
+    rng = np.random.default_rng(3)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [" ".join(rng.choice(
+            ["the", "cat", "sat", "on", "mat", "dog"], 1 + i % 9))
+            for i in range(60)],
+    })
+    ds = rd.from_pandas(docs).repartition(4)
+    a = tx.bigram_lm_scores(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = tx.bigram_lm_scores(ds, broadcast_limit_bytes=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.n_bigrams.tolist() == b.n_bigrams.tolist()
+    assert a.nll.tolist() == b.nll.tolist()
+    # single-token docs score (0, 0.0); fluent repeats score lower nll
+    # than the corpus max
+    ones = docs.text.str.count(" ") == 0
+    assert (a[ones.to_numpy()].n_bigrams == 0).all()
+    assert (a.nll >= 0).all()
+
+
+def test_char_entropy_known_values():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import text as tx
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["aaaa", "ab", "abcd", ""]})
+    out = rd.from_pandas(df).repartition(2) \
+        .map_batches(tx.char_entropy_batch, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id")
+    assert out.entropy.tolist() == [0.0, 1.0, 2.0, 0.0]
