@@ -3027,6 +3027,139 @@ GROUP BY d.doc_id
 """
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: 32-token windows, 8-token overlap —
+    the pre-tokenization flat-map for LM training / embedding indexing.
+    Pure per-batch op, no shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+SQL_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, w,
+             unnest(generate_series(
+               0, CAST((GREATEST(len(w), 1) - 1) // 24 AS BIGINT))) AS j
+      FROM t)
+SELECT doc_id, j AS chunk_idx,
+       array_to_string(w[CAST(j * 24 + 1 AS INT)
+                         : CAST(j * 24 + 32 AS INT)], ' ') AS chunk_text,
+       LEAST(j * 24 + 32, len(w)) - j * 24 AS n_tokens
+FROM c
+"""
+
+
+def q_reassemble_roundtrip(sf_dir: str):
+    """Chunk (zero overlap) then reassemble: ordered grouped
+    concatenation (STRING_AGG ORDER BY) recovers every doc byte-exactly
+    — ' '.join ∘ split(' ') is the identity, so the oracle is the
+    documents table itself plus the closed-form chunk count."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = text.chunk_documents(docs, chunk_tokens=16,
+                                  overlap_tokens=0)
+    return text.reassemble_chunks(chunks)
+
+
+SQL_REASSEMBLE = """
+SELECT doc_id, text,
+       CAST((GREATEST(len(string_split(text, ' ')), 1) - 1) // 16 + 1
+            AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+
+def q_length_batches(sf_dir: str):
+    """Length-bucketed batch assignment (padding-efficient LM batching):
+    power-of-two token-length buckets, batches of 32 in doc order —
+    distributed rank via the per-bucket range-partition prefix scan."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toklen(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" ")).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    return relational.length_bucket_batches(
+        docs.map_batches(toklen, batch_format="pyarrow"),
+        id_col="doc_id", len_col="n_tokens", batch_size=32)
+
+
+SQL_LENGTH_BATCHES = """
+WITH t AS (SELECT doc_id,
+                  len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             CAST(length(bin(GREATEST(n_tokens, 1))) - 1 AS BIGINT)
+               AS len_bucket
+      FROM t)
+SELECT doc_id, n_tokens, len_bucket,
+       (ROW_NUMBER() OVER (PARTITION BY len_bucket ORDER BY doc_id)
+          - 1) // 32 AS batch_idx
+FROM b
+"""
+
+
+def q_geohash_points(sf_dir: str):
+    """Geohash tiling (the third cell index next to S2 and the raster
+    grid): precision-6 cell + precision-4 parent per synthetic customer
+    point — bit-interleave encode is pure vectorized map, hash-checked
+    against the identical quantization arithmetic in SQL."""
+    from ..index import geohash as gh
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
+
+    def encode(t: pa.Table) -> pa.Table:
+        lon = pc.subtract(pc.multiply(t["px"], 0.36), 180.0)
+        lat = pc.subtract(pc.multiply(t["py"], 0.18), 90.0)
+        out = pa.table({"c_custkey": t["c_custkey"],
+                        "lon": lon, "lat": lat})
+        out = gh.geohash_batch(out, "lon", "lat", precision=6,
+                               out_col="gh6")
+        g6 = out["gh6"]
+        return pa.table({"c_custkey": out["c_custkey"], "gh6": g6,
+                         "gh4": pc.utf8_slice_codeunits(g6, 0, 4)})
+
+    return pts.map_batches(encode, batch_format="pyarrow")
+
+
+def _sql_geohash_points() -> str:
+    from ..index.geohash import geohash_sql_expr
+    lon = "((c_custkey * 7919) % 1000 + 0.5) * 0.36 - 180.0"
+    lat = "((c_custkey * 104729) % 1000 + 0.5) * 0.18 - 90.0"
+    e = geohash_sql_expr(lon, lat, 6)
+    return f"""
+SELECT c_custkey, gh6, substr(gh6, 1, 4) AS gh4
+FROM (SELECT c_custkey, {e} AS gh6 FROM customer)
+"""
+
+
+def q_geohash_cell_counts(sf_dir: str):
+    """Spatial aggregation on the geohash index: point count per
+    precision-4 cell (the density histogram that feeds skew/salt
+    planning, as cell_histogram does for S2)."""
+    from ray.data.aggregate import Sum
+    pts = q_geohash_points(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["gh4"]).group_by("gh4") \
+            .aggregate([([], "count_all")])
+        return pa.table({"gh4": g["gh4"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    return pts.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gh4").aggregate(Sum("pn", alias_name="n_points"))
+
+
+def _sql_geohash_cell_counts() -> str:
+    from ..index.geohash import geohash_sql_expr
+    lon = "((c_custkey * 7919) % 1000 + 0.5) * 0.36 - 180.0"
+    lat = "((c_custkey * 104729) % 1000 + 0.5) * 0.18 - 90.0"
+    e = geohash_sql_expr(lon, lat, 4)
+    return f"""
+SELECT {e} AS gh4, COUNT(*) AS n_points FROM customer GROUP BY gh4
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -3133,6 +3266,13 @@ def registry():
         "rank_events_user": (q_rank_events_user, SQL_RANKS),
         "moving_sum_user": (q_moving_sum_user, SQL_MOVING),
         "nb_predict_lang": (q_nb_predict_lang, SQL_NB_PREDICT),
+        "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
+        "reassemble_roundtrip": (q_reassemble_roundtrip,
+                                 SQL_REASSEMBLE),
+        "length_batches_docs": (q_length_batches, SQL_LENGTH_BATCHES),
+        "geohash_points": (q_geohash_points, _sql_geohash_points()),
+        "geohash_cell_counts": (q_geohash_cell_counts,
+                                _sql_geohash_cell_counts()),
         "lm_perplexity_documents": (q_lm_perplexity, SQL_LM_PERPLEXITY),
         "char_entropy_documents": (q_char_entropy, SQL_CHAR_ENTROPY),
         "multimodal_decode": (q_multimodal_decode, None),

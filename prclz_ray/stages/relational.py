@@ -1466,6 +1466,71 @@ def global_prefix_sum(ds, order_col: str, value_col: str,
     return bucketed.groupby("_pb").map_groups(scan, batch_format="pandas")
 
 
+def length_bucket_batches(ds, id_col: str, len_col: str,
+                          batch_size: int, num_ranges: int = 64):
+    """Length-bucketed training-batch assignment: rows group into
+    power-of-two length buckets (lb = floor(log2(len)), exact via
+    frexp — no float-boundary risk) and each bucket is numbered into
+    batches of ``batch_size`` in global ``id_col`` order —
+    ``(ROW_NUMBER() OVER (PARTITION BY lb ORDER BY id) - 1) //
+    batch_size``.  The standard packing step before padded-batch LM
+    training (similar-length docs batch together to minimize padding).
+
+    Scale shape: the global_prefix_sum pattern generalized per bucket —
+    rows tag with (lb, id-RANGE bucket); ONE pass counts rows per
+    (lb, range); the driver exclusive-scans the ≤ buckets×ranges counts
+    and broadcasts offsets; ONE (lb, range)-key shuffle assigns
+    offset + intra-group rank.  No single-node sort, nothing row-scaled
+    on the driver, and the range key keeps per-group size ~1/ranges of
+    a length bucket (no whole-bucket groups)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    lohi = ds.select_columns([id_col]) \
+        .aggregate(Min(id_col, alias_name="lo"),
+                   Max(id_col, alias_name="hi"))
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])
+    span = max(1, (hi - lo + num_ranges) // num_ranges)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = (np.frexp(np.maximum(n, 1).astype(np.float64))[1] - 1) \
+            .astype(np.int64)
+        k = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.select([id_col, len_col])
+        t = t.append_column("_lb", pa.array(lb))
+        return t.append_column("_rb", pa.array((k - lo) // span))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["_lb", "_rb"]).group_by(["_lb", "_rb"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"_lb": g["_lb"], "_rb": g["_rb"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    counts = ds_to_table(
+        tagged.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["_lb", "_rb"]).aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas().sort_values(["_lb", "_rb"])
+    counts["off"] = counts.groupby("_lb")["n"].cumsum() - counts["n"]
+    offsets = {(int(lb), int(rb)): int(off) for lb, rb, off in
+               zip(counts["_lb"], counts["_rb"], counts["off"])}
+    off_ref = ray.put(offsets)
+
+    def assign(group: pd.DataFrame) -> pa.Table:
+        off = ray.get(off_ref)
+        g = group.sort_values(id_col)
+        base = off[(int(g["_lb"].iloc[0]), int(g["_rb"].iloc[0]))]
+        rank = base + np.arange(len(g), dtype=np.int64)
+        out = g.drop(columns=["_rb"]).rename(columns={"_lb": "len_bucket"})
+        out["batch_idx"] = rank // batch_size
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tagged.groupby(["_lb", "_rb"]).map_groups(
+        assign, batch_format="pandas")
+
+
 def hash_split(ds, key_col: str, splits: dict, seed: int = 1):
     """Deterministic train/val/test assignment: the key's golden-ratio-mix
     hash mod 1e6 falls into cumulative ppm bands (``splits`` maps label →

@@ -997,3 +997,70 @@ def char_entropy_batch(batch: pa.Table, text_col: str = "text",
     return pa.table({
         **{c: batch[c] for c in batch.column_names if c != text_col},
         "entropy": pa.array(np.round(ent, round_to))})
+
+def chunk_documents(ds, key_col: str = "doc_id", text_col: str = "text",
+                    chunk_tokens: int = 64, overlap_tokens: int = 0):
+    """Context-window chunking: split each doc's space-split tokens into
+    windows of ``chunk_tokens`` with ``overlap_tokens`` overlap (stride =
+    chunk − overlap), the standard pre-tokenization step for LM training
+    and embedding indexing.  Emits (key, chunk_idx, chunk_text,
+    n_tokens); every token is covered; the last chunk may be short.
+
+    Pure per-batch flat-map — no shuffle; rows only grow by ~1/stride.
+    Window starts are vectorized (ragged arange over per-doc chunk
+    counts); only the final per-chunk string join is a bounded Python
+    loop (C-speed ``' '.join`` per chunk)."""
+    import pyarrow.compute as pc
+
+    stride = chunk_tokens - overlap_tokens
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk size")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        off = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        flat = pc.list_flatten(parts).to_pandas().to_numpy(dtype=object)
+        n_chunks = (np.maximum(n, 1) - 1) // stride + 1
+        doc_rep = np.repeat(np.arange(len(batch)), n_chunks)
+        chunk_idx = _ragged_arange(n_chunks)
+        starts = off[:-1][doc_rep] + chunk_idx * stride
+        ends = np.minimum(starts + chunk_tokens, off[1:][doc_rep])
+        texts = [" ".join(flat[s:e]) for s, e in zip(starts, ends)]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(np.repeat(keys, n_chunks)),
+            "chunk_idx": pa.array(chunk_idx),
+            "chunk_text": pa.array(texts, type=pa.string()),
+            "n_tokens": pa.array(ends - starts)})
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def reassemble_chunks(chunks_ds, key_col: str = "doc_id",
+                      idx_col: str = "chunk_idx",
+                      text_col: str = "chunk_text",
+                      num_buckets: int = 64):
+    """Ordered grouped concatenation — STRING_AGG(text, ' ' ORDER BY
+    idx) per key: the inverse of zero-overlap ``chunk_documents`` (the
+    roundtrip is pytest-pinned).  ONE coarse-bucket shuffle; per bucket a
+    vectorized sort + per-key C join."""
+    from .relational import stable_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, idx_col, text_col])
+        b = stable_bucket(batch[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([key_col, idx_col])
+        g = df.groupby(key_col, sort=False)
+        out = g.agg(text=(text_col, " ".join),
+                    n_chunks=(idx_col, "size")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = chunks_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")

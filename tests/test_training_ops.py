@@ -853,3 +853,84 @@ def test_char_entropy_known_values():
         .map_batches(tx.char_entropy_batch, batch_format="pyarrow") \
         .to_pandas().sort_values("doc_id")
     assert out.entropy.tolist() == [0.0, 1.0, 2.0, 0.0]
+
+
+def test_chunk_reassemble_roundtrip_and_overlap():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import text as tx
+
+    rng = np.random.default_rng(5)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [" ".join(rng.choice(["a", "bb", "ccc"], 1 + i % 40))
+                 for i in range(50)],
+    })
+    ds = rd.from_pandas(docs).repartition(4)
+    # zero-overlap roundtrip: reassembled text byte-equals the original
+    ch = tx.chunk_documents(ds, chunk_tokens=7, overlap_tokens=0)
+    back = tx.reassemble_chunks(ch).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert back.text.tolist() == docs.text.tolist()
+    # overlap: consecutive chunks share exactly `overlap` tokens and
+    # every token is covered in order
+    ch2 = tx.chunk_documents(ds, chunk_tokens=8, overlap_tokens=3) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    for did, g in ch2.groupby("doc_id"):
+        toks = docs.text[did].split(" ")
+        covered = []
+        for i, row in enumerate(g.itertuples()):
+            ct = row.chunk_text.split(" ")
+            assert len(ct) == row.n_tokens
+            start = i * 5  # stride = 8 - 3
+            assert ct == toks[start:start + 8]
+            covered = covered[:start] + ct
+        assert covered == toks
+
+
+def test_length_bucket_batches_props():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "n": rng.integers(1, 300, 400).astype(np.int64)})
+    outs = []
+    for parts in (2, 8):
+        out = relational.length_bucket_batches(
+            rd.from_pandas(df).repartition(parts), id_col="doc_id",
+            len_col="n", batch_size=16).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    a, b = outs
+    assert a.equals(b)  # partition invariance
+    exp_lb = np.floor(np.log2(df.n.to_numpy())).astype(np.int64)
+    assert a.sort_values("doc_id").len_bucket.tolist() == exp_lb.tolist()
+    # within each bucket: batch ids are 0..k, each full batch has 16 rows
+    for lb, g in a.groupby("len_bucket"):
+        sizes = g.groupby("batch_idx").size()
+        assert sorted(sizes.index) == list(range(len(sizes)))
+        assert (sizes.iloc[:-1] == 16).all() if len(sizes) > 1 else True
+        # batch order follows doc order
+        gg = g.sort_values("doc_id")
+        assert (np.diff(gg.batch_idx.to_numpy()) >= 0).all()
+
+
+def test_geohash_known_vectors_and_prefix():
+    from prclz_ray.index.geohash import geohash_encode
+
+    lon = np.array([-5.6, 13.361389, -0.1278, 151.2093])
+    lat = np.array([42.6, 38.115556, 51.5074, -33.8688])
+    assert geohash_encode(lon, lat, 5).tolist() == \
+        ["ezs42", "sqc8b", "gcpvj", "r3gx2"]
+    g8 = geohash_encode(lon, lat, 8)
+    g4 = geohash_encode(lon, lat, 4)
+    assert [g[:4] for g in g8] == g4.tolist()  # prefix-hierarchical
+    # poles / antimeridian clip into the last cell, no overflow
+    assert geohash_encode(np.array([180.0]), np.array([90.0]), 6) \
+        .tolist() == ["zzzzzz"]
+    assert geohash_encode(np.array([-180.0]), np.array([-90.0]), 6) \
+        .tolist() == ["000000"]
