@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     # PageRank (iterative join+groupby rounds)
     "decontaminate_ngrams",
     "pagerank_links",
+    # round-3 analytics/classifier batch: NB corpus filter, bigram-LM
+    # fluency scoring, cohort retention, context-window chunking
+    "nb_predict_lang",
+    "lm_perplexity_documents",
+    "cohort_retention",
+    "chunk_documents",
 ]
 
 
