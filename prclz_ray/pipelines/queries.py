@@ -3160,6 +3160,82 @@ SELECT {e} AS gh4, COUNT(*) AS n_points FROM customer GROUP BY gh4
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Corpus-mixture sampling (LM data-recipe step): target lang
+    proportions en .3 / de .2 / es .2 / fr .2 / zh .1; per-stratum keep
+    rates derived from ONE tiny counting pass so the output hits the
+    targets at the max supportable size; then a pure per-row hash
+    filter."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return relational.mixture_sample(
+        docs, key_col="doc_id", strata_col="lang",
+        weights={"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.2,
+                 "zh": 0.1})
+
+
+SQL_MIXTURE = """
+WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+w(lang, w) AS (VALUES ('en', 0.3), ('de', 0.2), ('es', 0.2),
+                      ('fr', 0.2), ('zh', 0.1)),
+t AS (SELECT MIN(ns / w) AS t FROM n JOIN w USING (lang)),
+r AS (SELECT lang, CAST(FLOOR(1000000.0 * w * t.t / ns) AS BIGINT)
+        AS rate
+      FROM n JOIN w USING (lang) CROSS JOIN t)
+SELECT d.doc_id, d.lang FROM documents d JOIN r ON r.lang = d.lang
+WHERE ((CAST(d.doc_id + 1 AS HUGEINT) * 11400714819323198485)
+       % 18446744073709551616) % 1000000 < r.rate
+"""
+
+
+def q_mode_event_per_user(sf_dir: str):
+    """MODE() per key: each user's most frequent event type (ties →
+    lexicographically smallest).  Count partials shrink the exchange
+    before the one argmax shuffle."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return relational.grouped_mode(ev, key_col="user_id",
+                                   val_col="event_type")
+
+
+SQL_MODE = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_value, n AS n_mode
+FROM r WHERE rn = 1
+"""
+
+
+def q_docs_above_median(sf_dir: str):
+    """Quantile-threshold corpus filter: keep docs at or above the
+    exact corpus median length — the quality-cutoff shape (threshold
+    from the two-pass histogram selector, then a pure broadcast-scalar
+    filter; nothing sorts globally)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def const_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pa.array(
+            np.zeros(len(t), dtype=np.int64)))
+
+    med = relational.grouped_quantile_disc(
+        docs.map_batches(const_key, batch_format="pyarrow"),
+        key_col="_k", val_col="n_chars", qs=[0.5])["p50"].iloc[0]
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_chars"], float(med)))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_ABOVE_MEDIAN = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT PERCENTILE_DISC(0.5)
+                    WITHIN GROUP (ORDER BY n_chars) FROM documents)
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -3273,6 +3349,9 @@ def registry():
         "geohash_points": (q_geohash_points, _sql_geohash_points()),
         "geohash_cell_counts": (q_geohash_cell_counts,
                                 _sql_geohash_cell_counts()),
+        "mixture_sample_langs": (q_mixture_sample, SQL_MIXTURE),
+        "mode_event_per_user": (q_mode_event_per_user, SQL_MODE),
+        "docs_above_median": (q_docs_above_median, SQL_ABOVE_MEDIAN),
         "lm_perplexity_documents": (q_lm_perplexity, SQL_LM_PERPLEXITY),
         "char_entropy_documents": (q_char_entropy, SQL_CHAR_ENTROPY),
         "multimodal_decode": (q_multimodal_decode, None),

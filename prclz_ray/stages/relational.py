@@ -1531,6 +1531,74 @@ def length_bucket_batches(ds, id_col: str, len_col: str,
         assign, batch_format="pandas")
 
 
+def mixture_sample(ds, key_col: str, strata_col: str, weights: dict,
+                   seed: int = 1):
+    """Dataset-mixing sampler (the corpus-mixture step of LM data
+    recipes): pick per-stratum keep rates so the OUTPUT hits the target
+    ``weights`` proportions at the maximum size the corpus supports —
+    T = min_s(n_s / w_s), rate_s = floor(1e6 · w_s · T / n_s) ppm (the
+    binding stratum keeps ~everything, abundant strata downsample).
+
+    ONE tiny counting pass (per-batch partials → per-stratum groupby,
+    strata-sized result on the driver), then the same pure per-row
+    golden-ratio hash filter as ``deterministic_sample`` — no shuffle of
+    the data itself, stable across parallelism/resume, SQL-expressible
+    (identical float expression shapes, so both engines land on the same
+    side of any floor boundary)."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([strata_col]).group_by(strata_col) \
+            .aggregate([([], "count_all")])
+        return pa.table({strata_col: g[strata_col],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    counts = ds_to_table(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(strata_col).aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas()
+    n_s = dict(zip(counts[strata_col], counts["n"].astype(np.int64)))
+    t = min(n_s[s] / weights[s] for s in n_s if weights.get(s, 0) > 0)
+    rates = {s: int(np.floor(1_000_000.0 * weights[s] * t / n_s[s]))
+             for s in n_s if weights.get(s, 0) > 0}
+    return stratified_sample(ds, key_col=key_col, strata_col=strata_col,
+                             rates_ppm=rates, default_ppm=0, seed=seed)
+
+
+def grouped_mode(ds, key_col: str, val_col: str, num_buckets: int = 64):
+    """Most frequent value per key (ties → smallest value) — the MODE()
+    aggregate.  Per-batch arrow (key, val) count partials shrink the
+    exchange → one (key, val) groupby-sum → one coarse key-bucket
+    shuffle picks each key's argmax vectorized.  Emits (key, mode_value,
+    n_mode)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col, val_col]) \
+            .group_by([key_col, val_col]).aggregate([([], "count_all")])
+        return pa.table({key_col: g[key_col], val_col: g[val_col],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key_col, val_col]).aggregate(Sum("pn", alias_name="n"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch[key_col], num_buckets)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def pick(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, "n", val_col],
+                              ascending=[True, False, True],
+                              kind="mergesort") \
+            .groupby(key_col, sort=False).head(1)
+        out = g.rename(columns={val_col: "mode_value", "n": "n_mode"})
+        return pa.Table.from_pandas(
+            out[[key_col, "mode_value", "n_mode"]], preserve_index=False)
+
+    return counts.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(pick, batch_format="pandas")
+
+
 def hash_split(ds, key_col: str, splits: dict, seed: int = 1):
     """Deterministic train/val/test assignment: the key's golden-ratio-mix
     hash mod 1e6 falls into cumulative ppm bands (``splits`` maps label →

@@ -737,3 +737,46 @@ def test_grouped_approx_distinct_error_and_invariance():
     for _, r in a.iterrows():
         assert abs(r["approx_distinct"] - exact[r["g"]]) \
             <= max(0.03 * exact[r["g"]], 2), r["g"]
+
+
+def test_grouped_mode_ties_and_counts():
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 2, 2, 3],
+        "v": ["b", "a", "b", "x", "y", "x", "y", "z"],
+    })
+    out = relational.grouped_mode(
+        rd.from_pandas(df).repartition(3), key_col="k", val_col="v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    # k=1: b wins 2-1; k=2: tie 2-2 -> smallest value x; k=3 singleton
+    assert out.mode_value.tolist() == ["b", "x", "z"]
+    assert out.n_mode.tolist() == [2, 2, 1]
+
+
+def test_mixture_sample_hits_targets_and_keeps_binding_stratum():
+    rng = np.random.default_rng(21)
+    n = {"en": 3000, "de": 600, "fr": 500}
+    rows = []
+    i = 0
+    for s, c in n.items():
+        for _ in range(c):
+            rows.append({"doc_id": i, "lang": s}); i += 1
+    df = pd.DataFrame(rows)
+    w = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    outs = []
+    for parts in (2, 8):
+        out = relational.mixture_sample(
+            rd.from_pandas(df).repartition(parts), key_col="doc_id",
+            strata_col="lang", weights=w).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    a, b = outs
+    assert a.equals(b)  # deterministic across parallelism
+    got = a.lang.value_counts()
+    # binding stratum is fr (500/0.25 = 2000 = T): kept ~fully
+    assert got["fr"] >= 480
+    # output proportions within sampling noise of the targets
+    tot = len(a)
+    for s, ws in w.items():
+        assert abs(got[s] / tot - ws) < 0.04, (s, got[s] / tot)
+    # abundant stratum actually downsampled
+    assert got["en"] < 1400
