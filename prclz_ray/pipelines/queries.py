@@ -3236,6 +3236,75 @@ WHERE n_chars >= (SELECT PERCENTILE_DISC(0.5)
 """
 
 
+def q_value_band_lookup(sf_dir: str):
+    """Interval-containment lookup join (the IP-range / price-band
+    shape): each event's value resolves to its [lo, hi) band via one
+    broadcast searchsorted per batch — no shuffle."""
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    ranges = pa.table({
+        "lo": pa.array([0.0, 10.0, 50.0, 200.0, 500.0]),
+        "hi": pa.array([10.0, 50.0, 200.0, 500.0, 1e9]),
+        "band": pa.array(["micro", "small", "mid", "large", "huge"]),
+    })
+    return relational.interval_lookup_join(ev, "value", ranges,
+                                           how="inner")
+
+
+SQL_VALUE_BAND = """
+SELECT event_id, value, band
+FROM events
+JOIN (VALUES (0.0, 10.0, 'micro'), (10.0, 50.0, 'small'),
+             (50.0, 200.0, 'mid'), (200.0, 500.0, 'large'),
+             (500.0, 1000000000.0, 'huge')) AS r(lo, hi, band)
+  ON value >= lo AND value < hi
+"""
+
+
+def q_event_type_pairs(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, the number of users who performed both — vectorized
+    triangular pair explosion per user bucket, |V|²-bounded output."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return relational.cooccurrence_pairs(ev, key_col="user_id",
+                                         val_col="event_type")
+
+
+SQL_EVENT_PAIRS = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS a, b.event_type AS b, COUNT(*) AS n_keys
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def q_pmi_collocations(sf_dir: str):
+    """Collocation extraction: corpus top-20 adjacent pairs by PMI
+    (min count 5) — one bigram groupby, vocabulary-sized margins,
+    heavy-hitter prune tail."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.top_pmi_collocations(docs, k=20, min_count=5)
+
+
+SQL_PMI = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+big AS (
+  SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 2)),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+l AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+r AS (SELECT w2, SUM(c12) AS c2 FROM bc GROUP BY w2),
+w AS (SELECT SUM(c12) AS tot FROM bc)
+SELECT bc.w1, bc.w2, bc.c12,
+       ROUND(LN(bc.c12 * (tot * 1.0) / ((c1 * 1.0) * c2)), 4) AS pmi
+FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN w
+WHERE bc.c12 >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -3352,6 +3421,9 @@ def registry():
         "mixture_sample_langs": (q_mixture_sample, SQL_MIXTURE),
         "mode_event_per_user": (q_mode_event_per_user, SQL_MODE),
         "docs_above_median": (q_docs_above_median, SQL_ABOVE_MEDIAN),
+        "value_band_lookup": (q_value_band_lookup, SQL_VALUE_BAND),
+        "event_type_pairs": (q_event_type_pairs, SQL_EVENT_PAIRS),
+        "pmi_collocations": (q_pmi_collocations, SQL_PMI),
         "lm_perplexity_documents": (q_lm_perplexity, SQL_LM_PERPLEXITY),
         "char_entropy_documents": (q_char_entropy, SQL_CHAR_ENTROPY),
         "multimodal_decode": (q_multimodal_decode, None),

@@ -1531,6 +1531,109 @@ def length_bucket_batches(ds, id_col: str, len_col: str,
         assign, batch_format="pandas")
 
 
+def interval_lookup_join(ds, val_col: str, ranges: pa.Table,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         how: str = "inner"):
+    """Interval-containment lookup: attach the (non-overlapping) range
+    row whose [lo, hi) contains ``val`` — the IP-range / price-band /
+    bucketing-table join.  The ranges table is dimension-sized: it ships
+    once in the task closure and every batch resolves with ONE
+    np.searchsorted — no shuffle, no per-row Python.  ``how='left'``
+    keeps out-of-band rows with null attributes."""
+    rp = ranges.to_pandas().sort_values(lo_col).reset_index(drop=True)
+    lows = rp[lo_col].to_numpy(dtype=np.float64)
+    highs = rp[hi_col].to_numpy(dtype=np.float64)
+    if (lows[1:] < highs[:-1]).any():
+        raise ValueError("ranges must be non-overlapping")
+    attrs = [c for c in rp.columns if c not in (lo_col, hi_col)]
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        idx = np.searchsorted(lows, v, side="right") - 1
+        ok = (idx >= 0) & (v < highs[np.maximum(idx, 0)])
+        if how == "inner":
+            batch = batch.filter(pa.array(ok))
+            idx = idx[ok]
+            for c in attrs:
+                batch = batch.append_column(
+                    c, pa.array(rp[c].to_numpy()[idx]))
+            return batch
+        out = batch
+        for c in attrs:
+            vals = pd.Series(rp[c].to_numpy()[np.maximum(idx, 0)])
+            vals[~ok] = None
+            out = out.append_column(c, pa.Array.from_pandas(vals))
+        return out
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def cooccurrence_pairs(ds, key_col: str, val_col: str,
+                       num_buckets: int = 64):
+    """Market-basket co-occurrence: for every unordered pair of distinct
+    ``val`` values appearing under the same key, the number of keys
+    containing both (a < b).  Per-batch DISTINCT (key, val) partials →
+    one key-bucket shuffle; per bucket the pair explosion is vectorized
+    (sorted repeat/ragged-arange index arithmetic, no per-key Python
+    pair loop) → per-batch pair-count partials → one tiny (a, b)
+    groupby.  Output is |V|²-bounded, not corpus-scaled."""
+    from ray.data.aggregate import Sum
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col, val_col]) \
+            .group_by([key_col, val_col]).aggregate([])
+        b = stable_bucket(g[key_col], num_buckets)
+        return g.append_column("_bucket", pa.array(b))
+
+    tagged = ds.map_batches(distinct_partial, batch_format="pyarrow")
+
+    def explode_pairs(group: pd.DataFrame) -> pa.Table:
+        df = group.drop_duplicates([key_col, val_col]) \
+            .sort_values([key_col, val_col])
+        k = df.groupby(key_col, sort=False).size().to_numpy()
+        vals = df[val_col].to_numpy()
+        off = np.zeros(len(k) + 1, dtype=np.int64)
+        np.cumsum(k, out=off[1:])
+        n_pairs = k * (k - 1) // 2
+        key_rep = np.repeat(np.arange(len(k)), n_pairs)
+        p = _pair_index(n_pairs)
+        # p enumerates (i, j) with i < j inside each key's sorted values
+        a = vals[off[key_rep] + p[0]]
+        b = vals[off[key_rep] + p[1]]
+        g = pd.DataFrame({"a": a, "b": b}).groupby(["a", "b"]) \
+            .size().rename("pn").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = tagged.groupby("_bucket").map_groups(explode_pairs,
+                                                 batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(
+        Sum("pn", alias_name="n_keys"))
+
+
+def _pair_index(n_pairs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For each group with c = n_pairs[g] = k(k-1)/2 pairs, the (i, j)
+    index arrays (i < j) of all pairs over its k items, concatenated —
+    vectorized triangular unranking."""
+    local = _ragged_arange(n_pairs)
+    # unrank t -> (i, j) in the upper triangle of a k×k grid:
+    # i = floor(( -1 + sqrt(1+8t) ) / 2) counts over j-major order
+    # (pairs ordered (0,1),(0,2),(1,2),(0,3)... = by j then i)
+    j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * local)) / 2.0) \
+        .astype(np.int64)
+    i = local - j * (j - 1) // 2
+    return i, j
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.arange(total, dtype=np.int64)
+    resets = np.repeat(np.cumsum(counts) - counts, counts)
+    return idx - resets
+
+
 def mixture_sample(ds, key_col: str, strata_col: str, weights: dict,
                    seed: int = 1):
     """Dataset-mixing sampler (the corpus-mixture step of LM data

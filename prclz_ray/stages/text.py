@@ -1064,3 +1064,80 @@ def reassemble_chunks(chunks_ds, key_col: str = "doc_id",
     tagged = chunks_ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                 batch_format="pandas")
+
+def top_pmi_collocations(ds, text_col: str = "text", k: int = 20,
+                         min_count: int = 5, round_to: int = 4):
+    """Collocation extraction: the top-k adjacent word pairs by
+    pointwise mutual information, PMI = ln(c12 · W / (c1 · c2)) with W =
+    total bigram tokens, c1/c2 = the word's count as left/right bigram
+    element, filtered to pairs with c12 ≥ min_count (the classic
+    sparse-PMI guard).
+
+    Scale shape: ONE (w1, w2) groupby builds the bigram table (corpus
+    touched once, per-batch count partials); the unigram margins derive
+    from that vocabulary-sized table, not the corpus; per-block top-k
+    prune then a driver merge of k×blocks candidates — the same
+    heavy-hitter tail as top_k_words.  Ties break (pmi DESC, w1, w2)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .relational import broadcast_join, ds_to_table
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        off = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(pc.list_value_length(parts)
+                  .to_numpy(zero_copy_only=False), out=off[1:])
+        flat = pc.list_flatten(parts).to_pandas().to_numpy(dtype=object)
+        n_big = np.maximum(off[1:] - off[:-1] - 1, 0)
+        starts = np.repeat(off[:-1], n_big) + _ragged_arange(n_big)
+        t = pa.table({"w1": pa.array(flat[starts], type=pa.string()),
+                      "w2": pa.array(flat[starts + 1],
+                                     type=pa.string())})
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "pc": g["count_all"].cast(pa.int64())})
+
+    bc = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("pc", alias_name="c12")) \
+        .materialize()
+
+    # total + margins from the vocabulary-sized bigram table
+    from ray.data.aggregate import Sum as _Sum
+    tot = bc.aggregate(_Sum("c12", alias_name="w"))["w"]
+    left = bc.map_batches(
+        lambda t: pa.table({"w1": t["w1"], "p1": t["c12"]}),
+        batch_format="pyarrow").groupby("w1") \
+        .aggregate(_Sum("p1", alias_name="c1"))
+    right = bc.map_batches(
+        lambda t: pa.table({"w2": t["w2"], "p2": t["c12"]}),
+        batch_format="pyarrow").groupby("w2") \
+        .aggregate(_Sum("p2", alias_name="c2"))
+
+    cand = bc.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c12"], min_count)),
+        batch_format="pyarrow")
+    j = broadcast_join(cand, ds_to_table(left), on="w1")
+    j = broadcast_join(j, ds_to_table(right), on="w2")
+
+    def score(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c2 = batch["c2"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pmi = np.round(np.log(c12 * float(tot) / (c1 * c2)), round_to)
+        t = pa.table({"w1": batch["w1"], "w2": batch["w2"],
+                      "c12": batch["c12"].cast(pa.int64()),
+                      "pmi": pa.array(pmi)})
+        d = t.to_pandas().sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    cand_k = ds_to_table(j.map_batches(score, batch_format="pyarrow")) \
+        .to_pandas().sort_values(["pmi", "w1", "w2"],
+                                 ascending=[False, True, True],
+                                 kind="mergesort").head(k)
+    return cand_k.reset_index(drop=True)

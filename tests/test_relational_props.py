@@ -780,3 +780,47 @@ def test_mixture_sample_hits_targets_and_keeps_binding_stratum():
         assert abs(got[s] / tot - ws) < 0.04, (s, got[s] / tot)
     # abundant stratum actually downsampled
     assert got["en"] < 1400
+
+
+def test_interval_lookup_join_edges_and_left():
+    ranges = pa.table({"lo": pa.array([0.0, 10.0, 50.0]),
+                       "hi": pa.array([10.0, 50.0, 100.0]),
+                       "band": pa.array(["a", "b", "c"])})
+    df = pd.DataFrame({"id": np.arange(7),
+                       "v": [-1.0, 0.0, 9.999, 10.0, 49.9, 100.0, 55.0]})
+    ds = rd.from_pandas(df).repartition(2)
+    inner = relational.interval_lookup_join(ds, "v", ranges) \
+        .to_pandas().sort_values("id")
+    # -1 and 100 (hi-exclusive) drop; boundaries lo-inclusive
+    assert inner.id.tolist() == [1, 2, 3, 4, 6]
+    assert inner.band.tolist() == ["a", "a", "b", "b", "c"]
+    left = relational.interval_lookup_join(ds, "v", ranges, how="left") \
+        .to_pandas().sort_values("id")
+    assert len(left) == 7
+    assert left.band.isna().tolist() == [True, False, False, False,
+                                         False, True, False]
+    # overlapping ranges rejected
+    bad = pa.table({"lo": pa.array([0.0, 5.0]), "hi": pa.array([10.0, 8.0]),
+                    "band": pa.array(["x", "y"])})
+    import pytest
+    with pytest.raises(ValueError):
+        relational.interval_lookup_join(ds, "v", bad)
+
+
+def test_cooccurrence_pairs_matches_reference():
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, 600).astype(np.int64),
+        "v": rng.choice(list("abcdef"), 600),
+    })
+    got = relational.cooccurrence_pairs(
+        rd.from_pandas(df).repartition(5), key_col="k", val_col="v") \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    d = df.drop_duplicates()
+    m = d.merge(d, on="k")
+    m = m[m.v_x < m.v_y]
+    exp = m.groupby(["v_x", "v_y"]).size().rename("n").reset_index() \
+        .sort_values(["v_x", "v_y"]).reset_index(drop=True)
+    assert got.a.tolist() == exp.v_x.tolist()
+    assert got.b.tolist() == exp.v_y.tolist()
+    assert got.n_keys.tolist() == exp.n.tolist()
