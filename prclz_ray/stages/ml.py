@@ -103,30 +103,43 @@ def nb_train(docs_ds, text_col: str = "text", label_col: str = "lang"):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    # one corpus pass: word-count rows (_doc=0) and per-label doc-count
+    # marker rows (_doc=1) share the same partial + single groupby —
+    # the flag keeps marker rows disjoint from genuine empty-string words
     def partial(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch[text_col], pattern=" ")
         n = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
-        lbl = np.repeat(batch[label_col].to_numpy(zero_copy_only=False), n)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        lbl = np.repeat(labels, n)
         g = pa.table({"label": pa.array(lbl),
                       "word": pc.list_flatten(parts)}) \
             .group_by(["label", "word"]).aggregate([([], "count_all")])
-        return pa.table({"label": g["label"], "word": g["word"],
-                         "pc": g["count_all"].cast(pa.int64())})
-
-    counts_ds = docs_ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["label", "word"]).aggregate(Sum("pc", alias_name="c"))
-    from .relational import ds_to_table
-    wc = ds_to_table(counts_ds)
-
-    def doc_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select([label_col]).group_by(label_col) \
+        d = batch.select([label_col]).group_by(label_col) \
             .aggregate([([], "count_all")])
-        return pa.table({"label": g[label_col],
-                         "pn": g["count_all"].cast(pa.int64())})
+        nw, nd = g.num_rows, d.num_rows
+        return pa.table({
+            "label": pa.concat_arrays([
+                g["label"].combine_chunks().cast(pa.string()),
+                d[label_col].combine_chunks().cast(pa.string())]),
+            "word": pa.concat_arrays([
+                g["word"].combine_chunks().cast(pa.string()),
+                pa.array([""] * nd, type=pa.string())]),
+            "_doc": pa.array(np.r_[np.zeros(nw, np.int8),
+                                   np.ones(nd, np.int8)]),
+            "pc": pa.concat_arrays([
+                g["count_all"].combine_chunks().cast(pa.int64()),
+                d["count_all"].combine_chunks().cast(pa.int64())])})
 
-    cd = ds_to_table(
-        docs_ds.map_batches(doc_partial, batch_format="pyarrow")
-        .groupby("label").aggregate(Sum("pn", alias_name="n_docs")))
+    from .relational import ds_to_table
+    merged = ds_to_table(
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "_doc", "word"])
+        .aggregate(Sum("pc", alias_name="c")))
+    is_doc = pc.equal(merged["_doc"], 1)
+    wc = merged.filter(pc.invert(is_doc)).select(["label", "word", "c"])
+    cd_t = merged.filter(is_doc)
+    cd = pa.table({"label": cd_t["label"],
+                   "n_docs": cd_t["c"].cast(pa.int64())})
 
     return {"word_counts": wc, "class_docs": cd,
             "n_docs": int(pc.sum(cd["n_docs"]).as_py()),

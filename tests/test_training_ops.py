@@ -934,3 +934,35 @@ def test_geohash_known_vectors_and_prefix():
         .tolist() == ["zzzzzz"]
     assert geohash_encode(np.array([-180.0]), np.array([-90.0]), 6) \
         .tolist() == ["000000"]
+
+
+def test_nb_predict_oov_tokens_use_smoothed_default():
+    """Scoring docs containing words absent from training must use the
+    per-class add-1 default, not crash or skew: an all-OOV doc falls
+    back to the prior (majority class wins)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import ml
+
+    # equal per-class TOKEN totals (20 vs 20), so the per-class OOV
+    # default is identical and the PRIOR alone decides all-OOV docs —
+    # with unequal totals the smaller class's higher default
+    # ln(1/(total+V)) legitimately outweighs the prior
+    train = pd.DataFrame({
+        "doc_id": range(30),
+        "lang": ["en"] * 20 + ["de"] * 10,
+        "text": ["apple"] * 20 + ["apfel birne"] * 10,
+    })
+    ds = rd.from_pandas(train).repartition(3)
+    model = ml.nb_train(ds, text_col="text", label_col="lang")
+    test = pd.DataFrame({
+        "doc_id": [100, 101],
+        "lang": ["x", "x"],
+        "text": ["zzz qqq www", "apfel zzz"],
+    })
+    out = ml.nb_predict(rd.from_pandas(test), model).to_pandas() \
+        .sort_values("doc_id")
+    # all-OOV -> prior decides (en has 2x the docs); one seen de word
+    # dominates the shared OOV terms
+    assert out.pred_label.tolist() == ["en", "de"]
