@@ -1290,8 +1290,7 @@ def cohort_retention(events_ds, user_col: str, ts_col: str,
         .materialize()
 
     if cohorts.count() * 32 <= broadcast_limit_bytes:
-        tbl = pa.concat_tables(
-            list(cohorts.iter_batches(batch_format="pyarrow")))
+        tbl = ds_to_table(cohorts)  # empty-safe (0-row corner)
         ref = ray.put(tbl)
 
         def attach(batch: pa.Table) -> pa.Table:

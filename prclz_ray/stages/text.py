@@ -873,6 +873,10 @@ def bigram_lm_scores(ds, key_col: str = "doc_id", text_col: str = "text",
     if (bc.size_bytes() or 0) <= broadcast_limit_bytes:
         import ray
         t = ds_to_table(bc)
+        if "w1" not in t.column_names:  # empty corpus: schema-less table
+            t = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "c12": pa.array([], type=pa.int64())})
         pair_idx = pd.Index(pd.Series(t["w1"].to_pandas()) + SEP
                             + pd.Series(t["w2"].to_pandas()))
         c12 = t["c12"].to_numpy(zero_copy_only=False).astype(np.int64)

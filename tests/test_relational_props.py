@@ -824,3 +824,50 @@ def test_cooccurrence_pairs_matches_reference():
     assert got.a.tolist() == exp.v_x.tolist()
     assert got.b.tolist() == exp.v_y.tolist()
     assert got.n_keys.tolist() == exp.n.tolist()
+
+
+def test_new_ops_tolerate_empty_input():
+    """Degenerate shards happen at scale (a filter that drops a whole
+    partition, a resume that skips everything): every round-3 operator
+    must run on a 0-row dataset without crashing and return 0 rows."""
+    ev = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "cents": pa.array([], type=pa.int64()),
+        "event_type": pa.array([], type=pa.string()),
+    })
+    docs = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                     "text": pa.array([], type=pa.string())})
+    e = rd.from_arrow(ev)
+    d = rd.from_arrow(docs)
+
+    from prclz_ray.stages import text as tx
+
+    assert relational.funnel_conversion(
+        e, "user_id", "ts", "event_type", "click", "purchase",
+        3600).count() == 0
+    assert relational.cohort_retention(e, "user_id", "ts").count() == 0
+    assert relational.grouped_ranks(
+        e, "user_id", "cents", "event_id").count() == 0
+    assert relational.moving_aggregate(
+        e, "user_id", "ts", "event_id", "cents", 3).count() == 0
+    assert relational.grouped_mode(
+        e, "user_id", "event_type").count() == 0
+    assert relational.cooccurrence_pairs(
+        e, "user_id", "event_type").count() == 0
+    ranges = pa.table({"lo": pa.array([0.0]), "hi": pa.array([1.0]),
+                       "band": pa.array(["x"])})
+    assert relational.interval_lookup_join(
+        e.map_batches(lambda t: t.append_column(
+            "value", pa.array(np.zeros(len(t)))),
+            batch_format="pyarrow"),
+        "value", ranges).count() == 0
+    assert tx.chunk_documents(d).count() == 0
+    assert tx.reassemble_chunks(rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "chunk_idx": pa.array([], type=pa.int64()),
+        "chunk_text": pa.array([], type=pa.string())}))).count() == 0
+    assert d.map_batches(tx.char_entropy_batch,
+                         batch_format="pyarrow").count() == 0
+    assert tx.bigram_lm_scores(d).count() == 0
