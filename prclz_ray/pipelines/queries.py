@@ -2743,6 +2743,17 @@ def q_bpe_merges(sf_dir: str):
     return text.bpe_train(docs, num_merges=8)
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Tokenizer application: count tokens per doc under the corpus's
+    own trained BPE merges (the token-budget metric).  Merge table ships
+    in the task closure; per-batch encoding runs over distinct words
+    only.  Iterative merges aren't SQL-expressible — rows-only check;
+    reference equality pytest-pinned."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = text.bpe_train(docs, num_merges=8)
+    return text.bpe_encode(docs, merges)
+
+
 def q_zscore_acctbal(sf_dir: str):
     """Per-nation z-score standardization of customer balances (the
     feature-normalization primitive): two sufficient-statistic passes,
@@ -3424,6 +3435,7 @@ def registry():
         "value_band_lookup": (q_value_band_lookup, SQL_VALUE_BAND),
         "event_type_pairs": (q_event_type_pairs, SQL_EVENT_PAIRS),
         "pmi_collocations": (q_pmi_collocations, SQL_PMI),
+        "bpe_token_counts": (q_bpe_token_counts, None),
         "lm_perplexity_documents": (q_lm_perplexity, SQL_LM_PERPLEXITY),
         "char_entropy_documents": (q_char_entropy, SQL_CHAR_ENTROPY),
         "multimodal_decode": (q_multimodal_decode, None),

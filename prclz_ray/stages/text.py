@@ -1145,3 +1145,50 @@ def top_pmi_collocations(ds, text_col: str = "text", k: int = 20,
                                  ascending=[False, True, True],
                                  kind="mergesort").head(k)
     return cand_k.reset_index(drop=True)
+
+def bpe_encode(ds, merges: pa.Table, text_col: str = "text",
+               key_col: str = "doc_id"):
+    """Apply trained BPE merges (the ``bpe_train`` table) to every doc:
+    emits (key, n_words, n_tokens) — the token-count-under-vocab metric
+    every training-data budget works in.
+
+    Scale shape: the merge table is O(num_merges) and ships in the task
+    closure; per batch, tokenization runs over the batch's DISTINCT
+    words only (Zipf: far fewer than tokens), each word encoded once by
+    rank-greedy merging, then counts scatter back through the inverse
+    index — the per-word loop is bounded by word length × merges on
+    unique words, never corpus rows."""
+    ranks = {(l, r): i for i, (l, r) in enumerate(
+        zip(merges["left"].to_pylist(), merges["right"].to_pylist()))}
+
+    def encode_word(w: str) -> int:
+        syms = list(w)
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        return len(syms)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(parts).to_pandas()
+        uniq, inv = np.unique(flat.to_numpy(dtype=object),
+                              return_inverse=True)
+        tok_per = np.array([encode_word(w) if w else 0 for w in uniq],
+                           dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(batch)), n)
+        n_tok = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(n_tok, doc_idx, tok_per[inv])
+        return pa.table({key_col: batch[key_col],
+                         "n_words": pa.array(n),
+                         "n_tokens": pa.array(n_tok)})
+
+    return ds.map_batches(f, batch_format="pyarrow")

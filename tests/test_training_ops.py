@@ -966,3 +966,44 @@ def test_nb_predict_oov_tokens_use_smoothed_default():
     # all-OOV -> prior decides (en has 2x the docs); one seen de word
     # dominates the shared OOV terms
     assert out.pred_label.tolist() == ["en", "de"]
+
+
+def test_bpe_encode_matches_sequential_reference():
+    """Rank-greedy application (GPT-2 bpe() shape) must equal applying
+    the learned merges sequentially in rank order — equivalent for
+    char-trained merges since a merge can only create pairs of later
+    rank — and be partition-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    texts = ["low lower lowest low low",
+             "new newer newest new newer",
+             "wider wide widest low new", "", "x"]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(docs).repartition(3)
+    merges = text.bpe_train(ds, num_merges=6)
+    pairs = list(zip(merges["left"].to_pylist(),
+                     merges["right"].to_pylist()))
+
+    def seq_apply(word):
+        syms = list(word)
+        for l, r in pairs:  # rank order
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l \
+                        and syms[i + 1] == r:
+                    res.append(l + r); i += 2
+                else:
+                    res.append(syms[i]); i += 1
+            syms = res
+        return len(syms)
+
+    exp = [sum(seq_apply(w) for w in t.split(" ") if w)
+           for t in texts]
+    for parts in (2, 5):
+        got = text.bpe_encode(rd.from_pandas(docs).repartition(parts),
+                              merges).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.n_tokens.tolist() == exp
+        assert got.n_words.tolist() == \
+            [len(t.split(" ")) for t in texts]
