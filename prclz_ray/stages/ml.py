@@ -89,7 +89,9 @@ def logreg_train(ds, feature_cols: list[str], label_col: str,
 
     return {"bias": b, "weights": w.tolist(), "n": n_rows}
 
-def nb_train(docs_ds, text_col: str = "text", label_col: str = "lang"):
+def nb_train(docs_ds, text_col: str = "text", label_col: str = "lang",
+             min_word_count: int = 1,
+             vocab_budget_bytes: int = 256 << 20):
     """Multinomial naive-Bayes training (the fastText-style bag-of-words
     quality/language classifier CC pipelines train for filtering):
     add-1-smoothed word likelihoods per class + doc-count priors.
@@ -99,7 +101,15 @@ def nb_train(docs_ds, text_col: str = "text", label_col: str = "lang"):
     (label, word) key (vocabulary-sized, not corpus-sized); priors and
     per-class token totals reduce from the same pass.  Returns a dict of
     small tables: {"word_counts": (label, word, c), "class_docs":
-    (label, n_docs), "n_docs": int, "vocab": int}."""
+    (label, n_docs), "n_docs": int, "vocab": int}.
+
+    The model lands on the driver and broadcasts to every scorer, so it
+    is the size-bounded side: ``min_word_count > 1`` prunes the Zipf
+    tail with a pure DISTRIBUTED filter before anything materializes
+    (count ≥ 2 typically halves a web vocabulary; dropped words score
+    through the smoothed OOV default, the standard NB treatment), and
+    the build REFUSES past ``vocab_budget_bytes`` with a clear error
+    instead of silently OOMing the driver."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -131,10 +141,24 @@ def nb_train(docs_ds, text_col: str = "text", label_col: str = "lang"):
                 d["count_all"].combine_chunks().cast(pa.int64())])})
 
     from .relational import ds_to_table
-    merged = ds_to_table(
-        docs_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["label", "_doc", "word"])
-        .aggregate(Sum("pc", alias_name="c")))
+    merged_ds = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "_doc", "word"]) \
+        .aggregate(Sum("pc", alias_name="c"))
+    if min_word_count > 1:
+        # distributed Zipf-tail prune BEFORE the driver sees anything;
+        # marker rows (_doc=1) always survive
+        merged_ds = merged_ds.map_batches(
+            lambda t: t.filter(pc.or_(
+                pc.greater_equal(t["c"], min_word_count),
+                pc.equal(t["_doc"], 1))),
+            batch_format="pyarrow")
+    merged_ds = merged_ds.materialize()
+    if (merged_ds.size_bytes() or 0) > vocab_budget_bytes:
+        raise ValueError(
+            f"NB model would be {merged_ds.size_bytes()} bytes on the "
+            f"driver (budget {vocab_budget_bytes}); raise "
+            f"min_word_count to prune the Zipf tail")
+    merged = ds_to_table(merged_ds)
     is_doc = pc.equal(merged["_doc"], 1)
     wc = merged.filter(pc.invert(is_doc)).select(["label", "word", "c"])
     cd_t = merged.filter(is_doc)
@@ -183,8 +207,11 @@ def nb_predict(docs_ds, model: dict, text_col: str = "text",
             .astype(np.int64)
         flat = pc.list_flatten(parts).to_pandas()
         pos = words_idx.get_indexer(flat)
-        tok_ll = np.where(pos[:, None] >= 0,
-                          ll[np.maximum(pos, 0)], dflt[None, :])
+        if ll.shape[0] == 0:  # fully-pruned model: every token is OOV
+            tok_ll = np.broadcast_to(dflt, (len(flat), len(dflt)))
+        else:
+            tok_ll = np.where(pos[:, None] >= 0,
+                              ll[np.maximum(pos, 0)], dflt[None, :])
         doc_idx = np.repeat(np.arange(len(batch)), n)
         sums = np.zeros((len(batch), len(lbls)))
         np.add.at(sums, doc_idx, tok_ll)

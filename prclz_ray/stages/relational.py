@@ -1569,14 +1569,21 @@ def interval_lookup_join(ds, val_col: str, ranges: pa.Table,
 
 
 def cooccurrence_pairs(ds, key_col: str, val_col: str,
-                       num_buckets: int = 64):
+                       num_buckets: int = 64,
+                       max_vals_per_key: int | None = 4096):
     """Market-basket co-occurrence: for every unordered pair of distinct
     ``val`` values appearing under the same key, the number of keys
     containing both (a < b).  Per-batch DISTINCT (key, val) partials →
     one key-bucket shuffle; per bucket the pair explosion is vectorized
     (sorted repeat/ragged-arange index arithmetic, no per-key Python
     pair loop) → per-batch pair-count partials → one tiny (a, b)
-    groupby.  Output is |V|²-bounded, not corpus-scaled."""
+    groupby.  Output is |V|²-bounded, not corpus-scaled.
+
+    The per-key explosion is k(k−1)/2: a single pathological key with
+    10⁵ distinct values would emit 5·10⁹ pairs, so keys are CAPPED at
+    ``max_vals_per_key`` distinct values (deterministic: the
+    lexicographically-first N survive; pass None to disable — only when
+    the value domain is known-bounded, as with event types)."""
     from ray.data.aggregate import Sum
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
@@ -1590,6 +1597,8 @@ def cooccurrence_pairs(ds, key_col: str, val_col: str,
     def explode_pairs(group: pd.DataFrame) -> pa.Table:
         df = group.drop_duplicates([key_col, val_col]) \
             .sort_values([key_col, val_col])
+        if max_vals_per_key is not None:
+            df = df.groupby(key_col, sort=False).head(max_vals_per_key)
         k = df.groupby(key_col, sort=False).size().to_numpy()
         vals = df[val_col].to_numpy()
         off = np.zeros(len(k) + 1, dtype=np.int64)
@@ -1646,7 +1655,12 @@ def mixture_sample(ds, key_col: str, strata_col: str, weights: dict,
     golden-ratio hash filter as ``deterministic_sample`` — no shuffle of
     the data itself, stable across parallelism/resume, SQL-expressible
     (identical float expression shapes, so both engines land on the same
-    side of any floor boundary)."""
+    side of any floor boundary).
+
+    Partitioning assumption: the STRATA domain is bounded (languages,
+    sources, buckets — 10²-10⁴), since the rate map rides in the task
+    spec; for 10⁷-cardinality strata (raw domains) pre-bucket the
+    stratum column first."""
     from ray.data.aggregate import Sum
 
     def count_partial(batch: pa.Table) -> pa.Table:

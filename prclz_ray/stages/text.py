@@ -1070,7 +1070,8 @@ def reassemble_chunks(chunks_ds, key_col: str = "doc_id",
                                                 batch_format="pandas")
 
 def top_pmi_collocations(ds, text_col: str = "text", k: int = 20,
-                         min_count: int = 5, round_to: int = 4):
+                         min_count: int = 5, round_to: int = 4,
+                         broadcast_limit_bytes: int = 64 << 20):
     """Collocation extraction: the top-k adjacent word pairs by
     pointwise mutual information, PMI = ln(c12 · W / (c1 · c2)) with W =
     total bigram tokens, c1/c2 = the word's count as left/right bigram
@@ -1121,8 +1122,16 @@ def top_pmi_collocations(ds, text_col: str = "text", k: int = 20,
     cand = bc.map_batches(
         lambda t: t.filter(pc.greater_equal(t["c12"], min_count)),
         batch_format="pyarrow")
-    j = broadcast_join(cand, ds_to_table(left), on="w1")
-    j = broadcast_join(j, ds_to_table(right), on="w2")
+    # margin attach is size-guarded: full-vocab margin tables broadcast
+    # only under the byte budget; past it (web-scale vocabularies) the
+    # margins co-shuffle with the candidates through bucketed joins
+    if (bc.size_bytes() or 0) <= broadcast_limit_bytes:
+        j = broadcast_join(cand, ds_to_table(left), on="w1")
+        j = broadcast_join(j, ds_to_table(right), on="w2")
+    else:
+        from .relational import bucketed_hash_join
+        j = bucketed_hash_join(cand, left, on="w1")
+        j = bucketed_hash_join(j, right, on="w2")
 
     def score(batch: pa.Table) -> pa.Table:
         c12 = batch["c12"].to_numpy(zero_copy_only=False) \

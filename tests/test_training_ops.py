@@ -1007,3 +1007,51 @@ def test_bpe_encode_matches_sequential_reference():
         assert got.n_tokens.tolist() == exp
         assert got.n_words.tolist() == \
             [len(t.split(" ")) for t in texts]
+
+
+def test_scale_guards_nb_pmi_cooccurrence():
+    """The three round-3 driver-side size hazards are guarded: NB prunes
+    the Zipf tail distributedly and refuses past its byte budget; PMI's
+    margin attach falls back to bucketed joins under a forced
+    zero-budget and agrees with the broadcast path; co-occurrence caps
+    per-key distinct values deterministically."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from prclz_ray.stages import ml, relational
+    from prclz_ray.stages import text as tx
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "lang": ["en"] * 20 + ["de"] * 20,
+        "text": (["apple pear apple plum rare1"] * 20
+                 + ["apfel birne apfel rare2 rare3"] * 20),
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    # min_word_count prunes singletons-per-class words; predictions hold
+    full = ml.nb_train(ds)
+    pruned = ml.nb_train(ds, min_word_count=25)
+    assert pruned["vocab"] < full["vocab"]
+    out = ml.nb_predict(ds, pruned).to_pandas().sort_values("doc_id")
+    assert out.pred_label.tolist() == docs.lang.tolist()
+    with pytest.raises(ValueError, match="min_word_count"):
+        ml.nb_train(ds, vocab_budget_bytes=1)
+
+    # PMI: zero budget forces the bucketed margin joins; same top-k
+    a = tx.top_pmi_collocations(ds, k=5, min_count=3)
+    b = tx.top_pmi_collocations(ds, k=5, min_count=3,
+                                broadcast_limit_bytes=0)
+    assert a[["w1", "w2", "c12", "pmi"]].values.tolist() == \
+        b[["w1", "w2", "c12", "pmi"]].values.tolist()
+
+    # co-occurrence cap: key 0 has 6 distinct values, cap 3 keeps the
+    # lexicographically-first 3 -> C(3,2)=3 pairs for that key
+    ev = pd.DataFrame({"k": [0] * 6 + [1, 1],
+                       "v": list("fedcba") + ["a", "b"]})
+    capped = relational.cooccurrence_pairs(
+        rd.from_pandas(ev).repartition(2), "k", "v",
+        max_vals_per_key=3).to_pandas()
+    got = {(r.a, r.b) for r in capped.itertuples()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert capped.set_index(["a", "b"]).n_keys[("a", "b")] == 2
