@@ -2743,6 +2743,46 @@ def q_bpe_merges(sf_dir: str):
     return text.bpe_train(docs, num_merges=8)
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """DISTINCT ON / latest-row-per-key: each user's most recent event
+    (ts DESC, event_id tie-break) via the per-batch-pruned grouped
+    top-n — the shuffle carries ≤ 1 row per (user, batch)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = relational.grouped_top_n(ev, key_col="user_id",
+                                   order_col="ts", n=1,
+                                   id_col="event_id").to_pandas()
+    return out[["user_id", "event_id", "ts"]]
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def q_regr_price_quantity(sf_dir: str):
+    """Per-returnflag linear fit of extended price on quantity
+    (REGR_SLOPE/REGR_INTERCEPT) from one sufficient-statistics pass."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return relational.grouped_regression(
+        li, key_col="l_returnflag", x_col="l_quantity",
+        y_col="l_extendedprice")
+
+
+SQL_REGR = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+         AS intercept
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Tokenizer application: count tokens per doc under the corpus's
     own trained BPE merges (the token-budget metric).  Merge table ships
@@ -3436,6 +3476,9 @@ def registry():
         "event_type_pairs": (q_event_type_pairs, SQL_EVENT_PAIRS),
         "pmi_collocations": (q_pmi_collocations, SQL_PMI),
         "bpe_token_counts": (q_bpe_token_counts, None),
+        "latest_event_per_user": (q_latest_event_per_user,
+                                  SQL_LATEST_EVENT),
+        "regr_price_quantity": (q_regr_price_quantity, SQL_REGR),
         "lm_perplexity_documents": (q_lm_perplexity, SQL_LM_PERPLEXITY),
         "char_entropy_documents": (q_char_entropy, SQL_CHAR_ENTROPY),
         "multimodal_decode": (q_multimodal_decode, None),

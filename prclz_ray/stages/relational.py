@@ -662,6 +662,40 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
     return out.sort_values(key_col).reset_index(drop=True)
 
 
+def grouped_regression(ds, key_col: str, x_col: str, y_col: str,
+                       round_to: int = 4) -> pd.DataFrame:
+    """Per-group simple linear regression (REGR_SLOPE / REGR_INTERCEPT)
+    from the same mergeable sufficient statistics as ``grouped_corr`` —
+    ONE narrow shuffle, driver finishes on group-cardinality rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({key_col: batch[key_col],
+                      "n": pa.array(np.ones(len(x))),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "sxy": pa.array(x * y)})
+        g = t.group_by(key_col).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns([key_col, "n", "sx", "sy", "sxx", "sxy"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n", "sx", "sy", "sxx", "sxy")]).to_pandas()
+    n = merged["n"]
+    slope = (merged["sxy"] - merged["sx"] * merged["sy"] / n) \
+        / (merged["sxx"] - merged["sx"] ** 2 / n)
+    intercept = merged["sy"] / n - slope * merged["sx"] / n
+    out = pd.DataFrame({key_col: merged[key_col],
+                        "n": n.astype("int64"),
+                        "slope": slope.round(round_to),
+                        "intercept": intercept.round(round_to)})
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
 def sessionize(events_ds, user_col: str, ts_col: str, gap_sec: int,
                num_buckets: int = 64):
     """Gap-based sessionization: consecutive events of a user belong to

@@ -871,3 +871,23 @@ def test_new_ops_tolerate_empty_input():
     assert d.map_batches(tx.char_entropy_batch,
                          batch_format="pyarrow").count() == 0
     assert tx.bigram_lm_scores(d).count() == 0
+
+
+def test_grouped_regression_matches_duckdb():
+    import duckdb
+    rng = np.random.default_rng(3)
+    n = 8000
+    k = rng.integers(0, 5, n)
+    x = rng.standard_normal(n) * 4 + 10
+    y = 2.5 * x - 7 + rng.standard_normal(n) * 3
+    tbl = pa.table({"k": pa.array(k, type=pa.int64()),
+                    "x": pa.array(x), "y": pa.array(y)})
+    got = relational.grouped_regression(
+        rd.from_arrow(tbl).repartition(7), "k", "x", "y")
+    want = duckdb.connect().execute(
+        "SELECT k, COUNT(*) n, ROUND(REGR_SLOPE(y,x),4) s, "
+        "ROUND(REGR_INTERCEPT(y,x),4) i FROM tbl GROUP BY k ORDER BY k"
+    ).fetchdf()
+    assert got.n.tolist() == want.n.tolist()
+    assert got.slope.tolist() == want.s.tolist()
+    assert got.intercept.tolist() == want.i.tolist()
