@@ -214,7 +214,10 @@ def worker(num_cpus: int, n: int) -> None:
 N_SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "4000000"))
 
 
-def scaling(n: int = N_SCALING_PAGES, low: int = 8, high: int = 32) -> None:
+def scaling(n: int = N_SCALING_PAGES,
+            low: int = int(os.environ.get("GRAFT_SCALING_LOW", "8")),
+            high: int = int(os.environ.get("GRAFT_SCALING_HIGH", "32"))
+            ) -> None:
     # materialize input once (own short-lived ray session), then probe both
     # CPU counts in fresh processes
     _init(low)
