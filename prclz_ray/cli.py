@@ -234,6 +234,15 @@ def cmd_corpus(a):
         from .stages.relational import deterministic_sample
         docs = deterministic_sample(docs, key_col=a.key_col,
                                     rate_ppm=a.sample_ppm)
+    if getattr(a, "mix", None):
+        # corpus-mixture rebalancing BEFORE enrichment: the counting
+        # pass re-reads only the raw (column-pruned) input, so the
+        # per-batch stages never execute twice
+        from .stages.relational import mixture_sample
+        weights = {k: float(v) for k, v in
+                   (kv.split(":") for kv in a.mix.split(","))}
+        docs = mixture_sample(docs, key_col=a.key_col,
+                              strata_col=a.mix_col, weights=weights)
     resume = getattr(a, "resume", False)
     if resume:
         # partition-resumable output is only sound for per-row stages: a
@@ -287,6 +296,13 @@ def cmd_corpus(a):
     elif a.dedup == "minhash":
         docs, _ = D.minhash_lsh_dedup(docs, key_col=a.key_col,
                                       text_col=a.text_col)
+    if getattr(a, "split", None):
+        # deterministic train/val/test label LAST (post-filter/dedup, so
+        # the split partitions the SURVIVING corpus); pure per-row map
+        from .stages.relational import hash_split
+        splits = {k: int(v) for k, v in
+                  (kv.split(":") for kv in a.split.split(","))}
+        docs = hash_split(docs, key_col=a.key_col, splits=splits)
     if resume:
         from .runtime.checkpoint import write_partitioned_resumable
         res = write_partitioned_resumable(docs, a.out, "_part")
@@ -393,6 +409,18 @@ def main(argv=None):
                         "compute (per-row stages only: needs --dedup none)")
     s.add_argument("--resume-parts", type=int, default=64,
                    help="number of key-hash output partitions for --resume")
+    s.add_argument("--mix", default=None,
+                   help="corpus-mixture rebalancing before enrichment: "
+                        "target proportions as 'en:0.3,de:0.2,...' over "
+                        "--mix-col strata (derives per-stratum keep "
+                        "rates from one counting pass)")
+    s.add_argument("--mix-col", default="lang",
+                   help="stratum column for --mix (default lang)")
+    s.add_argument("--split", default=None,
+                   help="deterministic train/val/test labeling after "
+                        "filter/dedup: 'train:980000,val:10000,"
+                        "test:10000' in ppm (must sum to 1e6); adds a "
+                        "'split' column")
     s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser("flagship")

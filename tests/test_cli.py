@@ -185,3 +185,42 @@ def test_cli_corpus_filter(tmp_path):
     with pytest.raises(SystemExit):
         main(["corpus", "--docs", str(src), "--out", str(out) + "2",
               "--stages", "tokens", "--filter"])
+
+
+def test_cli_corpus_mix_and_split(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prclz_ray.cli import main
+    n = 300
+    docs = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(["en"] * 200 + ["de"] * 60 + ["fr"] * 40),
+        "text": pa.array(["the quick brown fox jumps again"] * n),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, src)
+    out = tmp_path / "mix_out"
+    main(["corpus", "--docs", str(src), "--out", str(out),
+          "--stages", "tokens",
+          "--mix", "en:0.5,de:0.3,fr:0.2",
+          "--split", "train:800000,val:100000,test:100000"])
+    got = pq.read_table(str(out)).to_pandas()
+    # mixture: fr binds (40/0.2 = 200 target): kept ~fully; en downsampled
+    counts = got.lang.value_counts()
+    assert counts["fr"] >= 36
+    assert counts["en"] < 150
+    # split column exhaustive + deterministic labels
+    assert set(got.split.unique()) <= {"train", "val", "test"}
+    assert (got.groupby("split").size() > 0).all()
+    # re-run produces the identical mix+split (pure hash filters)
+    out2 = tmp_path / "mix_out2"
+    main(["corpus", "--docs", str(src), "--out", str(out2),
+          "--stages", "tokens",
+          "--mix", "en:0.5,de:0.3,fr:0.2",
+          "--split", "train:800000,val:100000,test:100000"])
+    got2 = pq.read_table(str(out2)).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = got2.sort_values("doc_id").reset_index(drop=True)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.split.tolist() == b.split.tolist()
