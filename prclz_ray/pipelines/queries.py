@@ -2743,6 +2743,22 @@ def q_bpe_merges(sf_dir: str):
     return text.bpe_train(docs, num_merges=8)
 
 
+def q_sample_fixed_docs(sf_dir: str):
+    """Exact-size uniform sample (fixed token/doc budget): the 100 docs
+    with the smallest golden-ratio key hash — a distributed top-n, only
+    n·blocks candidates leave the workers."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return relational.exact_size_sample(docs, key_col="doc_id", n=100)
+
+
+SQL_SAMPLE_FIXED = """
+SELECT doc_id, lang FROM documents
+ORDER BY ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+          % 18446744073709551616), doc_id
+LIMIT 100
+"""
+
+
 def q_latest_event_per_user(sf_dir: str):
     """DISTINCT ON / latest-row-per-key: each user's most recent event
     (ts DESC, event_id tie-break) via the per-batch-pruned grouped
@@ -3476,6 +3492,7 @@ def registry():
         "event_type_pairs": (q_event_type_pairs, SQL_EVENT_PAIRS),
         "pmi_collocations": (q_pmi_collocations, SQL_PMI),
         "bpe_token_counts": (q_bpe_token_counts, None),
+        "sample_fixed_docs": (q_sample_fixed_docs, SQL_SAMPLE_FIXED),
         "latest_event_per_user": (q_latest_event_per_user,
                                   SQL_LATEST_EVENT),
         "regr_price_quantity": (q_regr_price_quantity, SQL_REGR),

@@ -1676,6 +1676,35 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     return idx - resets
 
 
+def exact_size_sample(ds, key_col: str, n: int, seed: int = 1):
+    """EXACT-size uniform sample without replacement: the ``n`` rows
+    with the smallest golden-ratio key hash (ppm sampling is Bernoulli —
+    size only approximate; this is the fixed-budget variant, the
+    distributed stand-in for reservoir sampling and just as
+    deterministic/resume-stable).
+
+    Scale shape: a distributed top-n — every batch prunes itself to its
+    own n smallest hashes, so only n·blocks candidate rows ever leave
+    the workers; one tiny final sort finishes.  SQL twin: ORDER BY the
+    identical HUGEINT hash LIMIT n."""
+    mix, s = np.uint64(SAMPLE_MIX), np.uint64(seed)
+
+    def prune(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k + s) * mix  # wraps mod 2^64
+        t = t.append_column("_h", pa.array(h, type=pa.uint64()))
+        if len(t) > n:
+            idx = np.argpartition(h, n)[:n]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    cand = ds_to_table(ds.map_batches(prune, batch_format="pyarrow"))
+    out = cand.sort_by([("_h", "ascending"), (key_col, "ascending")]) \
+        .slice(0, n)
+    return out.drop_columns(["_h"])
+
+
 def mixture_sample(ds, key_col: str, strata_col: str, weights: dict,
                    seed: int = 1):
     """Dataset-mixing sampler (the corpus-mixture step of LM data

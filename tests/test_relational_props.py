@@ -891,3 +891,23 @@ def test_grouped_regression_matches_duckdb():
     assert got.n.tolist() == want.n.tolist()
     assert got.slope.tolist() == want.s.tolist()
     assert got.intercept.tolist() == want.i.tolist()
+
+
+def test_exact_size_sample_properties():
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64),
+                       "v": np.arange(1000)})
+    outs = []
+    for parts in (2, 9):
+        out = relational.exact_size_sample(
+            rd.from_pandas(df).repartition(parts), "doc_id", n=50)
+        outs.append(sorted(out["doc_id"].to_pylist()))
+    assert outs[0] == outs[1]  # partition-invariant
+    assert len(outs[0]) == 50 == len(set(outs[0]))  # exact size, no dup
+    # a disjoint seed gives a (almost surely) different sample
+    other = relational.exact_size_sample(
+        rd.from_pandas(df).repartition(3), "doc_id", n=50, seed=7)
+    assert sorted(other["doc_id"].to_pylist()) != outs[0]
+    # n >= rows degenerates to the full set
+    allr = relational.exact_size_sample(
+        rd.from_pandas(df.head(30)).repartition(2), "doc_id", n=50)
+    assert sorted(allr["doc_id"].to_pylist()) == list(range(30))
