@@ -2743,6 +2743,194 @@ def q_bpe_merges(sf_dir: str):
     return text.bpe_train(docs, num_merges=8)
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 (shipping priority, adapted to the synth schema): the
+    10 unshipped BUILDING-segment orders with the highest revenue.
+    Shape: segment semi-join (narrow key broadcast) → date-filtered
+    orders ⋈ lineitem via ONE bucketed orderkey join with per-batch
+    revenue pre-aggregation → tiny groupby → top-10.  Revenue in exact
+    cents so the hash matches."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    cut = np.datetime64("1998-01-01T00:00:00")
+
+    keys = cust.map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow")
+    ords = relational.semi_join(
+        orders.map_batches(
+            lambda t: t.filter(pc.less(t["o_orderdate"],
+                                       pa.scalar(cut))),
+            batch_format="pyarrow"),
+        keys, on="o_custkey") \
+        .map_batches(lambda t: t.select(["o_orderkey", "o_orderdate"]),
+                     batch_format="pyarrow")
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        # DuckDB ROUND is half-away-from-zero; arrow defaults to
+        # half-to-even — products CAN land exactly on .5 cents here
+        rev = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rc": rev}) \
+            .group_by("l_orderkey").aggregate([("rc", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rc": g["rc_sum"].cast(pa.int64())})
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_cents, batch_format="pyarrow"),
+        ords.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
+            batch_format="pyarrow"),
+        on="l_orderkey")
+
+    from ray.data.aggregate import Max, Sum
+    agg = j.map_batches(
+        lambda t: pa.table({"l_orderkey": t["l_orderkey"],
+                            "rc": t["rc"].cast(pa.int64()),
+                            "od": t["o_orderdate"]}),
+        batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(
+            Sum("rc", alias_name="rc"), Max("od", alias_name="od"))
+    top = agg.sort(["rc", "l_orderkey"], descending=[True, False]) \
+        .limit(10).to_pandas()
+    top["revenue"] = top["rc"] / 100.0
+    top = top.rename(columns={"l_orderkey": "o_orderkey",
+                              "od": "o_orderdate"})
+    return top[["o_orderkey", "revenue", "o_orderdate"]]
+
+
+SQL_Q3 = """
+SELECT l_orderkey AS o_orderkey,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) / 100.0 AS revenue,
+       MAX(o_orderdate) AS o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 (local supplier volume, adapted): revenue per ASIA
+    nation from lineitems where supplier and customer share the nation.
+    Shape: region→nation→supplier/customer dims broadcast; orders
+    date-filter + broadcast customer-nation attach; ONE bucketed
+    orderkey join lineitem⋈orders; supplier-nation attach from the
+    broadcast map; equality filter; per-batch cents partials → tiny
+    nation groupby."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                      "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1999-01-01T00:00:00")
+
+    rt = relational.ds_to_table(region).to_pandas()
+    asia = int(rt.loc[rt.r_name == "ASIA", "r_regionkey"].iloc[0])
+    nt = relational.ds_to_table(nation).to_pandas()
+    nt = nt[nt.n_regionkey == asia]
+    nkeys = set(nt.n_nationkey.tolist())
+
+    ords = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)))),
+        batch_format="pyarrow")
+    cust_t = relational.ds_to_table(cust)
+    mask = pc.is_in(cust_t["c_nationkey"],
+                    value_set=pa.array(sorted(nkeys),
+                                       type=cust_t["c_nationkey"].type))
+    cust_t = cust_t.filter(mask)
+    o2 = relational.broadcast_join(
+        ords.map_batches(
+            lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                                "c_custkey": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        cust_t, on="c_custkey")
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rc": pc.cast(pc.round(pc.multiply(pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    100.0), round_mode="half_towards_infinity"),
+                    pa.int64())}),
+            batch_format="pyarrow"),
+        o2.map_batches(
+            lambda t: t.select(["o_orderkey", "c_nationkey"]),
+            batch_format="pyarrow"),
+        on="o_orderkey")
+
+    supp_t = relational.ds_to_table(supp)
+    j2 = relational.broadcast_join(
+        j.map_batches(
+            lambda t: pa.table({"s_suppkey": t["l_suppkey"],
+                                "rc": t["rc"].cast(pa.int64()),
+                                "c_nationkey": t["c_nationkey"]
+                                .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        supp_t, on="s_suppkey")
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_nationkey"],
+                              t["s_nationkey"].cast(pa.int64())))
+        g = pa.table({"n_nationkey": t["c_nationkey"], "rc": t["rc"]}) \
+            .group_by("n_nationkey").aggregate([("rc", "sum")])
+        return pa.table({"n_nationkey": g["n_nationkey"],
+                         "prc": g["rc_sum"].cast(pa.int64())})
+
+    agg = j2.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_nationkey").aggregate(Sum("prc", alias_name="rc")) \
+        .to_pandas()
+    out = agg.merge(nt[["n_nationkey", "n_name"]], on="n_nationkey")
+    out["revenue"] = out["rc"] / 100.0
+    out = out.sort_values(["revenue", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["n_name", "revenue"]]
+
+
+SQL_Q5 = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) / 100.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def q_sample_fixed_docs(sf_dir: str):
     """Exact-size uniform sample (fixed token/doc budget): the 100 docs
     with the smallest golden-ratio key hash — a distributed top-n, only
@@ -3493,6 +3681,8 @@ def registry():
         "pmi_collocations": (q_pmi_collocations, SQL_PMI),
         "bpe_token_counts": (q_bpe_token_counts, None),
         "sample_fixed_docs": (q_sample_fixed_docs, SQL_SAMPLE_FIXED),
+        "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
+        "q5_local_supplier_volume": (q5_local_supplier_volume, SQL_Q5),
         "latest_event_per_user": (q_latest_event_per_user,
                                   SQL_LATEST_EVENT),
         "regr_price_quantity": (q_regr_price_quantity, SQL_REGR),
