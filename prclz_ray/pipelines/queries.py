@@ -2931,6 +2931,105 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change, adapted): one
+    filter-and-aggregate streaming pass — per-batch cents partials,
+    single Sum, no shuffle of rows at all."""
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1997-01-01T00:00:00")
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.02),
+                        pc.less_equal(t["l_discount"], 0.06)),
+                pc.less(t["l_quantity"], 24.0)))
+        t = t.filter(m)
+        rc = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"], t["l_discount"]), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        s = pc.sum(rc).as_py() or 0
+        return pa.table({"prc": pa.array([s], type=pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("prc", alias_name="rc"))
+    return pd.DataFrame([{"revenue": (agg["rc"] or 0) / 100.0}])
+
+
+SQL_Q6 = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+         / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q12_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 (shipping-mode priority, adapted to the synth schema:
+    l_returnflag stands in for shipmode): per flag, counts of
+    high-priority (1-URGENT/2-HIGH) vs other orders among 1997-shipped
+    lineitems — one bucketed orderkey join, pure integer output."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"])
+    lo = np.datetime64("1997-01-01T00:00:00")
+    hi = np.datetime64("1998-01-01T00:00:00")
+
+    lif = li.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.filter(pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi))))["l_orderkey"],
+            "l_returnflag": t.filter(pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi))))
+            ["l_returnflag"]}),
+        batch_format="pyarrow")
+    j = relational.bucketed_hash_join(lif, orders, on="o_orderkey")
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi_m = pc.is_in(t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "ph": pc.cast(hi_m, pa.int64()),
+            "pl": pc.cast(pc.invert(hi_m), pa.int64())}) \
+            .group_by("l_returnflag") \
+            .aggregate([("ph", "sum"), ("pl", "sum")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "ph": g["ph_sum"].cast(pa.int64()),
+                         "pl": g["pl_sum"].cast(pa.int64())})
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("ph", alias_name="high_line_count"),
+                   Sum("pl", alias_name="low_line_count"))
+
+
+SQL_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
 def q_sample_fixed_docs(sf_dir: str):
     """Exact-size uniform sample (fixed token/doc budget): the 100 docs
     with the smallest golden-ratio key hash — a distributed top-n, only
@@ -3683,6 +3782,8 @@ def registry():
         "sample_fixed_docs": (q_sample_fixed_docs, SQL_SAMPLE_FIXED),
         "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
         "q5_local_supplier_volume": (q5_local_supplier_volume, SQL_Q5),
+        "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+        "q12_shipmode_priority": (q12_shipmode_priority, SQL_Q12),
         "latest_event_per_user": (q_latest_event_per_user,
                                   SQL_LATEST_EVENT),
         "regr_price_quantity": (q_regr_price_quantity, SQL_REGR),
