@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "lm_perplexity_documents",
     "cohort_retention",
     "chunk_documents",
+    # TPC-H multi-join demos
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -70,3 +70,34 @@ def test_pending_keys_and_filter_uncommitted():
         f.write("\n".join(keep) + "\n")
     back = checkpoint.filter_uncommitted(_ds(), OUT, "part_key").to_pandas()
     assert set(back["part_key"]) == {"b"} and len(back) == 25
+
+
+def test_write_clustered_global_order_and_resume(tmp_path):
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from prclz_ray.runtime.checkpoint import write_clustered
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"k": rng.permutation(5000).astype(np.int64),
+                       "v": np.arange(5000)})
+    out = str(tmp_path / "clustered")
+    res = write_clustered(rd.from_pandas(df).repartition(7), out, "k",
+                          num_ranges=8)
+    assert res["rows"] == 5000 and res["written"] >= 7
+    # reading part dirs in lexical range order yields a GLOBALLY sorted key
+    parts = sorted(glob.glob(out + "/part=*/data.parquet"))
+    keys = []
+    for p in parts:
+        k = pq.read_table(p).column("k").to_pylist()
+        assert k == sorted(k)  # sorted within each file
+        keys.extend(k)
+    assert keys == list(range(5000))  # globally ordered across files
+    # a rerun skips every committed range
+    res2 = write_clustered(rd.from_pandas(df).repartition(7), out, "k",
+                           num_ranges=8)
+    assert res2["written"] == 0 and res2["skipped"] == res["written"]
