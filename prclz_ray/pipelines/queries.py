@@ -3030,6 +3030,32 @@ GROUP BY l_returnflag
 """
 
 
+def q_profile_orders(sf_dir: str):
+    """ANALYZE-style column profiling of the orders table: one
+    streaming pass, per-batch column partials, tiny groupby merge."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    return relational.profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+SQL_PROFILE = """
+SELECT 'o_orderkey' AS column, COUNT(o_orderkey) AS n,
+       COUNT(*) - COUNT(o_orderkey) AS n_null,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_val FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(o_custkey), COUNT(*) - COUNT(o_custkey),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(o_totalprice),
+       COUNT(*) - COUNT(o_totalprice),
+       CAST(MIN(o_totalprice) AS DOUBLE),
+       CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+"""
+
+
 def q_sample_fixed_docs(sf_dir: str):
     """Exact-size uniform sample (fixed token/doc budget): the 100 docs
     with the smallest golden-ratio key hash — a distributed top-n, only
@@ -3783,6 +3809,7 @@ def registry():
         "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
         "q5_local_supplier_volume": (q5_local_supplier_volume, SQL_Q5),
         "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+        "profile_orders": (q_profile_orders, SQL_PROFILE),
         "q12_shipmode_priority": (q12_shipmode_priority, SQL_Q12),
         "latest_event_per_user": (q_latest_event_per_user,
                                   SQL_LATEST_EVENT),

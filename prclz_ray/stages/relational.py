@@ -1676,6 +1676,40 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     return idx - resets
 
 
+def profile_columns(ds, columns: list[str]):
+    """ANALYZE-style numeric column profiling: one streaming pass emits
+    per-column (n, n_null, min, max) — per-batch partials are
+    columns-sized rows, one tiny groupby(column) merge.  The planner /
+    data-quality primitive; exact, so it hash-matches a UNION ALL of
+    per-column SQL aggregates."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        names, ns, nns, mns, mxs = [], [], [], [], []
+        for c in columns:
+            col = batch[c]
+            nn = pc.count(col, mode="only_null").as_py()
+            names.append(c)
+            ns.append(len(col) - nn)
+            nns.append(nn)
+            cd = pc.cast(col, pa.float64())
+            mns.append(pc.min(cd).as_py())
+            mxs.append(pc.max(cd).as_py())
+        return pa.table({"column": pa.array(names),
+                         "pn": pa.array(ns, type=pa.int64()),
+                         "pnn": pa.array(nns, type=pa.int64()),
+                         "pmn": pa.array(mns, type=pa.float64()),
+                         "pmx": pa.array(mxs, type=pa.float64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("column").aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pnn", alias_name="n_null"),
+            Min("pmn", alias_name="min_val"),
+            Max("pmx", alias_name="max_val"))
+
+
 def exact_size_sample(ds, key_col: str, n: int, seed: int = 1):
     """EXACT-size uniform sample without replacement: the ``n`` rows
     with the smallest golden-ratio key hash (ppm sampling is Bernoulli —

@@ -911,3 +911,15 @@ def test_exact_size_sample_properties():
     allr = relational.exact_size_sample(
         rd.from_pandas(df.head(30)).repartition(2), "doc_id", n=50)
     assert sorted(allr["doc_id"].to_pylist()) == list(range(30))
+
+
+def test_profile_columns_with_nulls():
+    df = pd.DataFrame({"a": [1.0, None, 3.0, None, 5.0],
+                       "b": [10, 20, 30, 40, 50]})
+    out = relational.profile_columns(
+        rd.from_pandas(df).repartition(2), ["a", "b"]).to_pandas() \
+        .set_index("column")
+    assert out.loc["a", "n"] == 3 and out.loc["a", "n_null"] == 2
+    assert out.loc["a", "min_val"] == 1.0 and out.loc["a", "max_val"] == 5.0
+    assert out.loc["b", "n"] == 5 and out.loc["b", "n_null"] == 0
+    assert out.loc["b", "max_val"] == 50.0
