@@ -3056,6 +3056,41 @@ SELECT 'o_totalprice', COUNT(o_totalprice),
 """
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval (Lucene's idf form) for the query
+    'hash join batch': query-term explode filter inside the arrow pass,
+    df/avglen from tiny partials, one (docs-with-terms)-sized scoring
+    groupby, top-10."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.bm25_topk(docs, ["hash", "join", "batch"], k=10)
+
+
+SQL_BM25 = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avglen FROM toks),
+tf AS (
+  SELECT doc_id, x AS word, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS x FROM toks)
+  WHERE x IN ('hash', 'join', 'batch')
+  GROUP BY doc_id, x),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+sc AS (
+  SELECT tf.doc_id,
+         SUM(LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * dl.dl / stats.avglen)))
+           AS s
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(s, 4) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_sample_fixed_docs(sf_dir: str):
     """Exact-size uniform sample (fixed token/doc budget): the 100 docs
     with the smallest golden-ratio key hash — a distributed top-n, only
@@ -3810,6 +3845,7 @@ def registry():
         "q5_local_supplier_volume": (q5_local_supplier_volume, SQL_Q5),
         "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
         "profile_orders": (q_profile_orders, SQL_PROFILE),
+        "bm25_search": (q_bm25_search, SQL_BM25),
         "q12_shipmode_priority": (q12_shipmode_priority, SQL_Q12),
         "latest_event_per_user": (q_latest_event_per_user,
                                   SQL_LATEST_EVENT),

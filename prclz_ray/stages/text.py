@@ -1201,3 +1201,111 @@ def bpe_encode(ds, merges: pa.Table, text_col: str = "text",
                          "n_tokens": pa.array(n_tok)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+def bm25_topk(ds, query_terms: list[str], key_col: str = "doc_id",
+              text_col: str = "text", k: int = 10, k1: float = 1.2,
+              b: float = 0.75, round_to: int = 4):
+    """BM25 ranked retrieval for one query: score = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)), idf = ln((N−df+0.5)/
+    (df+0.5)+1) (the Robertson/Sparck-Jones form Lucene uses).
+
+    Scale shape: per-batch explode keeps ONLY query-term rows (the
+    filter happens inside the arrow pass, so the exchange carries
+    |terms|·docs rows at most), df/avglen reduce from tiny partials,
+    scoring is a per-batch vectorized merge, and the top-k uses the
+    per-block-prune + driver-merge tail.  Ties break (score DESC,
+    key ASC); scores round to ``round_to`` so the SQL twin
+    hash-matches."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .relational import ds_to_table
+
+    terms = sorted(set(query_terms))
+    n_docs = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        idx = pc.list_parent_indices(parts)
+        flat = pc.list_flatten(parts)
+        keys = batch[key_col].take(idx)
+        lens = pc.list_value_length(parts).cast(pa.int64())
+        t = pa.table({key_col: keys, "word": flat})
+        t = t.filter(pc.is_in(t["word"], value_set=pa.array(terms)))
+        g = t.group_by([key_col, "word"]).aggregate([([], "count_all")])
+        # doc lengths ride along as separate marker rows (word = None
+        # can't appear post-filter; use _len flag)
+        return pa.table({
+            key_col: pa.concat_arrays([
+                g[key_col].combine_chunks().cast(pa.int64()),
+                batch[key_col].combine_chunks().cast(pa.int64())]),
+            "word": pa.concat_arrays([
+                g["word"].combine_chunks().cast(pa.string()),
+                pa.array([""] * len(batch), type=pa.string())]),
+            "tf": pa.concat_arrays([
+                g["count_all"].combine_chunks().cast(pa.int64()),
+                lens.combine_chunks()])})
+
+    rows = ds.map_batches(tf_partial, batch_format="pyarrow") \
+        .materialize()
+
+    # avg doc length + per-term df from the tiny marker/term rows
+    lens_tbl = ds_to_table(rows.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([int(pc.sum(pc.multiply(
+                t.filter(pc.equal(t["word"], ""))["tf"], 1)).as_py()
+                or 0)], type=pa.int64()),
+            "n": pa.array([t.filter(pc.equal(t["word"], "")).num_rows],
+                          type=pa.int64())}),
+        batch_format="pyarrow"))
+    import numpy as np
+    total_len = int(np.sum(lens_tbl["s"].to_numpy(zero_copy_only=False)))
+    avglen = total_len / max(n_docs, 1)
+
+    term_rows = rows.map_batches(
+        lambda t: t.filter(pc.not_equal(t["word"], "")),
+        batch_format="pyarrow")
+    df_tbl = ds_to_table(
+        term_rows.map_batches(
+            lambda t: pa.table({
+                "word": t["word"],
+                "pdf": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("pdf", alias_name="df"))) \
+        .to_pandas()
+    idf = {w: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+           for w, d in zip(df_tbl["word"], df_tbl["df"])}
+
+    # doc length lookup joins back via a second pass over marker rows
+    len_map = ds_to_table(rows.map_batches(
+        lambda t: t.filter(pc.equal(t["word"], ""))
+        .select([key_col, "tf"]), batch_format="pyarrow")).to_pandas() \
+        .set_index(key_col)["tf"]
+
+    import ray
+    ref = ray.put((idf, len_map))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        # per-TERM contribution rows: a doc's term rows may get split
+        # across map batches, so the per-doc sum happens in ONE global
+        # (docs-with-terms)-sized groupby, never per batch
+        _idf, _lens = ray.get(ref)
+        d = batch.to_pandas()
+        tf = d["tf"].to_numpy(dtype=np.float64)
+        dl = _lens.reindex(d[key_col]).to_numpy(dtype=np.float64)
+        iv = d["word"].map(_idf).to_numpy(dtype=np.float64)
+        s = iv * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avglen))
+        g = pd.DataFrame({key_col: d[key_col], "ps": s}) \
+            .groupby(key_col)["ps"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    scores = term_rows.map_batches(score_partial,
+                                   batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("ps", alias_name="s"))
+    top = scores.map_batches(
+        lambda t: pa.table({key_col: t[key_col],
+                            "score": pc.round(t["s"],
+                                              ndigits=round_to)}),
+        batch_format="pyarrow") \
+        .sort(["score", key_col], descending=[True, False]).limit(k)
+    return top.to_pandas()

@@ -1055,3 +1055,31 @@ def test_scale_guards_nb_pmi_cooccurrence():
     got = {(r.a, r.b) for r in capped.itertuples()}
     assert got == {("a", "b"), ("a", "c"), ("b", "c")}
     assert capped.set_index(["a", "b"]).n_keys[("a", "b")] == 2
+
+
+def test_bm25_ranking_sanity():
+    """BM25 must rank a doc saturated with the query terms above one
+    with a single mention, and ignore docs with none."""
+    import pandas as pd
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["hash join hash join hash join",
+                 "a hash appears once in this rather longer document "
+                 "full of other words and padding tokens here",
+                 "nothing relevant at all whatsoever",
+                 "join join"],
+    })
+    out = text.bm25_topk(rd.from_pandas(docs).repartition(2),
+                         ["hash", "join"], k=10)
+    ids = out.doc_id.tolist()
+    assert 2 not in ids            # no query terms -> never retrieved
+    assert ids[0] == 0             # both terms, high tf, short doc
+    assert set(ids) == {0, 1, 3}
+    assert (out.score.to_numpy() > 0).all()
+    # deterministic across partitionings
+    out2 = text.bm25_topk(rd.from_pandas(docs).repartition(4),
+                          ["hash", "join"], k=10)
+    assert out2.doc_id.tolist() == ids
+    assert out2.score.tolist() == out.score.tolist()
