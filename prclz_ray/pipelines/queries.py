@@ -3091,6 +3091,58 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_clean_lines(sf_dir: str):
+    """Boilerplate line cleaning (jusText/Trafilatura shape): docs get
+    deterministic nav-menu and number-row lines (like the paragraph
+    fixture) and the cleaner must drop exactly those, keeping the body
+    rejoined in order."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        idn = ids.to_numpy(zero_copy_only=False)
+        j = pc.binary_join_element_wise
+        z = pa.scalar("")
+        nav = pa.scalar("\nHome | About | Contact")
+        nums = pa.scalar("\n12 345 6789 01")
+        t0 = j(batch["text"],
+               pc.if_else(pa.array(idn % 2 == 0), nav, z),
+               pc.if_else(pa.array(idn % 7 == 0), nums, z), "")
+        return pa.table({"doc_id": ids, "text": t0})
+
+    return text.clean_lines(docs.map_batches(enrich,
+                                             batch_format="pyarrow"))
+
+
+SQL_CLEAN_LINES = """
+WITH e AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 2 = 0
+            THEN chr(10) || 'Home | About | Contact' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || '12 345 6789 01' ELSE '' END AS t0
+  FROM documents),
+t AS (SELECT doc_id, string_split(t0, chr(10)) AS ls FROM e),
+l AS (SELECT doc_id, i, ls[CAST(i AS INT)] AS line, len(ls) AS n_lines
+      FROM (SELECT doc_id, ls,
+                   unnest(generate_series(1, len(ls))) AS i FROM t)),
+k AS (SELECT doc_id, i, line, n_lines,
+             CASE WHEN len(regexp_extract_all(line, '\\S+')) >= 3
+                   AND 2 * len(regexp_extract_all(line, '\\d'))
+                       <= length(line)
+                   AND NOT regexp_matches(line,
+                       '[|' || chr(8226) || chr(187) || chr(183) || ']')
+                  THEN 1 ELSE 0 END AS keep
+      FROM l)
+SELECT doc_id,
+       COALESCE(STRING_AGG(CASE WHEN keep = 1 THEN line END,
+                           chr(10) ORDER BY i), '') AS text_clean,
+       MAX(n_lines) AS n_lines,
+       CAST(SUM(keep) AS BIGINT) AS n_kept
+FROM k GROUP BY doc_id
+"""
+
+
 def q_sample_fixed_docs(sf_dir: str):
     """Exact-size uniform sample (fixed token/doc budget): the 100 docs
     with the smallest golden-ratio key hash — a distributed top-n, only
@@ -3846,6 +3898,7 @@ def registry():
         "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
         "profile_orders": (q_profile_orders, SQL_PROFILE),
         "bm25_search": (q_bm25_search, SQL_BM25),
+        "clean_lines_docs": (q_clean_lines, SQL_CLEAN_LINES),
         "q12_shipmode_priority": (q12_shipmode_priority, SQL_Q12),
         "latest_event_per_user": (q_latest_event_per_user,
                                   SQL_LATEST_EVENT),

@@ -1309,3 +1309,45 @@ def bm25_topk(ds, query_terms: list[str], key_col: str = "doc_id",
         batch_format="pyarrow") \
         .sort(["score", key_col], descending=[True, False]).limit(k)
     return top.to_pandas()
+
+def clean_lines(ds, key_col: str = "doc_id", text_col: str = "text",
+                sep: str = "\n", min_words: int = 3):
+    """jusText/Trafilatura-style segment cleaning: split each doc on
+    ``sep`` and KEEP segments with ≥ ``min_words`` words, digits ≤ half
+    the characters (number rows), and NO nav-separator glyphs
+    (``| • » ·`` — Trafilatura's explicit nav patterns; word counts
+    alone cannot distinguish 'Home | About | Contact' from prose).
+    Emits (key, text_clean, n_lines, n_kept) with kept segments
+    rejoined in order — a pure per-batch map (docs are rows; no
+    shuffle), all metrics from arrow C++ regex counts."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=sep)
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(parts)
+        words = pc.count_substring_regex(flat, pattern=r"\S+") \
+            .to_numpy(zero_copy_only=False)
+        digits = pc.count_substring_regex(flat, pattern=r"\d") \
+            .to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nav = pc.count_substring_regex(
+            flat, pattern="[|\u2022\u00bb\u00b7]") \
+            .to_numpy(zero_copy_only=False)
+        keep = (words >= min_words) & (2 * digits <= chars) & (nav == 0)
+        doc_idx = np.repeat(np.arange(len(batch)), n)
+        n_kept = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(n_kept, doc_idx, keep.astype(np.int64))
+        lines = flat.to_pandas()
+        joined = pd.Series(lines[keep]).groupby(
+            doc_idx[keep]).agg(sep.join)
+        clean = joined.reindex(range(len(batch))).fillna("")
+        return pa.table({
+            key_col: batch[key_col],
+            "text_clean": pa.array(clean.to_numpy(dtype=object),
+                                   type=pa.string()),
+            "n_lines": pa.array(n),
+            "n_kept": pa.array(n_kept)})
+
+    return ds.map_batches(f, batch_format="pyarrow")

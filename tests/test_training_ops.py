@@ -1083,3 +1083,22 @@ def test_bm25_ranking_sanity():
                           ["hash", "join"], k=10)
     assert out2.doc_id.tolist() == ids
     assert out2.score.tolist() == out.score.tolist()
+
+
+def test_clean_lines_drops_boilerplate_keeps_order():
+    import pandas as pd
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["good first sentence here\nHome | About\n"
+                 "another fine body line\n12 345 67",
+                 "ok"],
+    })
+    out = text.clean_lines(rd.from_pandas(docs).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.text_clean[0] == \
+        "good first sentence here\nanother fine body line"
+    assert out.n_lines[0] == 4 and out.n_kept[0] == 2
+    # a doc whose every line fails keeps an empty clean text
+    assert out.text_clean[1] == "" and out.n_kept[1] == 0
