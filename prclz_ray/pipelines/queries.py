@@ -2385,6 +2385,36 @@ def q_multimodal_decode(sf_dir: str):
     return decode_pipeline(ds)
 
 
+def q_media_perceptual_pairs(sf_dir: str):
+    """Perceptual media near-dup: dHash (images) / spectral fingerprint
+    (audio) in an actor pool, then the generic 4×16-bit banded-hamming
+    pair shuffle — catches RESIZED/re-encoded copies the exact-payload
+    path misses.  Rows-only (binary source); resize-pairing pinned by
+    pytest."""
+    from ..stages.multimodal import (encode_bmp, perceptual_dup_pairs,
+                                     resize_nearest, synth_media_table)
+    from ..stages.multimodal import decode_bmp
+    base = synth_media_table(60)
+    # add RESIZED copies of the first 5 images (ids r1000x) — not byte
+    # duplicates, only perceptual ones
+    extra = []
+    bt = base.to_pylist()
+    n_added = 0
+    for row in bt:
+        if row["kind"] == "image" and n_added < 5:
+            px = decode_bmp(row["payload"])
+            big = resize_nearest(px, px.shape[1] * 2, px.shape[0] * 2)
+            extra.append({**row,
+                          "media_id": f"r{1000 + n_added:05d}",
+                          "payload": encode_bmp(big),
+                          "width": px.shape[1] * 2,
+                          "height": px.shape[0] * 2})
+            n_added += 1
+    ds = rd.from_items(bt + extra)
+    out = perceptual_dup_pairs(ds, max_hamming=2).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_media_dup_pairs(sf_dir: str):
     """Multimodal near-dup: decode (real BMP/WAV, digest-fallback video)
     → feature vectors → banded hyperplane-LSH dup pairs over the decoded
@@ -3907,4 +3937,5 @@ def registry():
         "char_entropy_documents": (q_char_entropy, SQL_CHAR_ENTROPY),
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
+        "media_perceptual_pairs": (q_media_perceptual_pairs, None),
     }

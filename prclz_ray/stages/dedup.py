@@ -922,17 +922,16 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(np.array(hs, dtype=np.uint64)))
 
 
-def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
-                  concurrency=(1, 4)):
-    """SimHash near-dup: 4 16-bit bands (any exact band match is a
-    candidate at radius ≤ 3 by pigeonhole), hamming-verified in-group."""
-    from .util import cached_callable
-    hashed = ds.map_batches(cached_callable(SimHasher, text_col=text_col),
-                            batch_format="pyarrow")
-
+def banded_hamming_pairs(hashed_ds, key_col: str, hash_col: str,
+                         max_hamming: int = 3, key_type=None):
+    """Generic 64-bit-hash near-dup pairs: 4 16-bit pigeonhole bands
+    (any pair within hamming ≤ 3 shares at least one band exactly),
+    sharded band-bucket group tasks, vectorized pairwise popcount
+    verify.  Works on ANY dataset carrying (key, 64-bit hash) — simhash
+    text dedup and perceptual media dedup both route here."""
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        hs = np.asarray(batch["simhash"].to_numpy(zero_copy_only=False),
+        hs = np.asarray(batch[hash_col].to_numpy(zero_copy_only=False),
                         dtype=np.uint64)
         shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))
         buckets = ((hs[:, None] >> shifts[None, :]) &
@@ -942,14 +941,14 @@ def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
             key_col: batch[key_col].take(pa.array(idx)),
             "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
             "bucket": pa.array(buckets.astype(np.int64)),
-            "simhash": pa.array(np.repeat(hs, 4)),
+            hash_col: pa.array(np.repeat(hs, 4)),
         })
 
     def pairs(group: pd.DataFrame) -> pa.Table:
         dt = group[key_col].dtype
         g = group.drop_duplicates(key_col).sort_values(key_col)
         ks = g[key_col].tolist()
-        hs = np.asarray(g["simhash"].to_numpy(), dtype=np.uint64)
+        hs = np.asarray(g[hash_col].to_numpy(), dtype=np.uint64)
         # vectorized pairwise hamming via popcount on the xor matrix
         x = hs[:, None] ^ hs[None, :]
         pops = np.zeros(x.shape, dtype=np.int64)
@@ -957,23 +956,38 @@ def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
             pops += np.unpackbits(
                 ((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.uint8)
             ).reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
-        ii, jj = np.where(np.triu(pops <= hamming_radius, 1))
+        ii, jj = np.where(np.triu(pops <= max_hamming, 1))
         return pa.Table.from_pandas(
             pd.DataFrame({"a": pd.Series([ks[i] for i in ii], dtype=dt),
                           "b": pd.Series([ks[j] for j in jj], dtype=dt)}),
             preserve_index=False)
 
-    sch = ds.schema()
-    kt = dict(zip(sch.names, sch.types))[key_col]
+    if key_type is None:
+        sch = hashed_ds.schema()
+        key_type = dict(zip(sch.names, sch.types))[key_col]
 
     def empty():
-        return pa.Table.from_pylist([], schema=pa.schema([("a", kt),
-                                                          ("b", kt)]))
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("a", key_type), ("b", key_type)]))
 
     cand = _sharded_multi_groups(
-        hashed.map_batches(explode, batch_format="pyarrow"),
+        hashed_ds.map_batches(explode, batch_format="pyarrow"),
         ["band", "bucket"], key_col, pairs, empty)
     return _dedupe_pairs(cand)
+
+
+def simhash_dedup(ds, key_col="doc_id", text_col="text", hamming_radius=3,
+                  concurrency=(1, 4)):
+    """SimHash near-dup: 4 16-bit bands (any exact band match is a
+    candidate at radius ≤ 3 by pigeonhole), hamming-verified in-group."""
+    from .util import cached_callable
+    sch = ds.schema()
+    kt = dict(zip(sch.names, sch.types))[key_col]
+    hashed = ds.map_batches(cached_callable(SimHasher, text_col=text_col),
+                            batch_format="pyarrow")
+    return banded_hamming_pairs(hashed, key_col=key_col,
+                                hash_col="simhash",
+                                max_hamming=hamming_radius, key_type=kt)
 
 
 # ------------------------------------------------------------- embeddings

@@ -295,3 +295,83 @@ def decode_pipeline(media_ds, concurrency=(1, 2), batch_size=32):
     return media_ds.map_batches(MediaDecoder, batch_format="pyarrow",
                                 batch_size=batch_size, concurrency=concurrency,
                                 zero_copy_batch=True)
+
+
+def image_dhash(rgb: np.ndarray) -> int:
+    """Perceptual difference hash (dHash): 9×8 grayscale nearest-resize,
+    horizontal gradient sign → 64-bit int.  Robust to re-encodes and
+    resizes (the exact-payload dedup misses those)."""
+    g = resize_nearest(rgb, 9, 8).astype(np.int32)
+    lum = (g[:, :, 0] * 299 + g[:, :, 1] * 587 + g[:, :, 2] * 114) // 1000
+    bits = (lum[:, 1:] > lum[:, :-1]).astype(np.uint64).ravel()
+    return int(bits @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def audio_fingerprint(samples: np.ndarray, rate: int,
+                      frame: int = 1024, top: int = 3) -> int:
+    """Spectral-peak audio fingerprint (Shazam shape, degenerate single
+    hash): per non-overlapping frame take the ``top`` strongest |rfft|
+    bins, fold the peak-bin sequence through the 64-bit polynomial used
+    by the text fingerprints.  Same tone → same hash; robust to
+    amplitude scaling (bin ARGMAX ignores gain)."""
+    n = (len(samples) // frame) * frame
+    if n == 0:
+        return 0
+    mags = np.abs(np.fft.rfft(samples[:n].reshape(-1, frame), axis=1))
+    mags[:, 0] = 0.0  # ignore DC
+    peaks = np.argsort(-mags, axis=1, kind="stable")[:, :top] \
+        .astype(np.uint64).ravel()
+    h = np.uint64(1469598103934665603)   # FNV offset
+    p = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for v in peaks:
+            h = (h ^ v) * p
+    return int(h)
+
+
+class PerceptualHasher:
+    """Actor-pool stage: perceptual hash per media row (dHash for
+    decodable images, spectral fingerprint for audio, payload digest
+    fallback otherwise).  Emits (media_id, kind, phash, decoded)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        hashes, decoded = [], []
+        for p in batch["payload"]:
+            buf = p.as_py()
+            if buf[:2] == b"BM":
+                hashes.append(image_dhash(decode_bmp(buf)))
+                decoded.append(True)
+            elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                hashes.append(audio_fingerprint(*decode_wav(buf)))
+                decoded.append(True)
+            else:
+                d = hashlib.blake2b(buf, digest_size=8).digest()
+                hashes.append(int.from_bytes(d, "little"))
+                decoded.append(False)
+        out = batch.select(["media_id", "kind"])
+        out = out.append_column(
+            "phash", pa.array(np.array(hashes, dtype=np.uint64)
+                              .astype(np.int64)))
+        return out.append_column("decoded", pa.array(decoded))
+
+
+def perceptual_dup_pairs(media_ds, max_hamming: int = 2,
+                         batch_size: int = 32, concurrency=(1, 2)):
+    """Perceptual near-dup pairs: hash with the actor pool, then the
+    same 4×16-bit pigeonhole banding as simhash (a pair within hamming
+    ≤ 3 shares at least one band exactly) and a vectorized popcount
+    verify.  Payloads never pass the hashing stage."""
+    import pyarrow.compute as pc
+
+    from .dedup import banded_hamming_pairs
+
+    hashed = media_ds.map_batches(PerceptualHasher,
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size,
+                                  concurrency=concurrency,
+                                  zero_copy_batch=True)
+    return banded_hamming_pairs(hashed, key_col="media_id",
+                                hash_col="phash",
+                                max_hamming=max_hamming,
+                                key_type=pa.string())

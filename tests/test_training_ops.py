@@ -1102,3 +1102,57 @@ def test_clean_lines_drops_boilerplate_keeps_order():
     assert out.n_lines[0] == 4 and out.n_kept[0] == 2
     # a doc whose every line fails keeps an empty clean text
     assert out.text_clean[1] == "" and out.n_kept[1] == 0
+
+
+def test_perceptual_media_dedup_resized_and_reencoded():
+    """dHash must pair a resized copy of an image with its original
+    (exact payload dedup cannot); audio fingerprint pairs the same tone
+    at different amplitudes; unrelated media do not pair."""
+    from prclz_ray.stages import multimodal as M
+
+    rng = np.random.default_rng(11)
+    # smooth gradient image: resize-stable structure
+    base = np.zeros((32, 32, 3), dtype=np.uint8)
+    base[:, :, 0] = np.linspace(0, 255, 32, dtype=np.uint8)[None, :]
+    base[:, :, 1] = np.linspace(255, 0, 32, dtype=np.uint8)[:, None]
+    big = M.resize_nearest(base, 64, 64)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    t = np.arange(8000) / 8000.0
+    tone = np.sin(2 * np.pi * 440 * t)
+    rows = [
+        {"media_id": "img_a", "kind": "image",
+         "payload": M.encode_bmp(base), "width": 32, "height": 32,
+         "duration_ms": 0},
+        {"media_id": "img_b", "kind": "image",
+         "payload": M.encode_bmp(big), "width": 64, "height": 64,
+         "duration_ms": 0},
+        {"media_id": "img_noise", "kind": "image",
+         "payload": M.encode_bmp(noise), "width": 32, "height": 32,
+         "duration_ms": 0},
+        {"media_id": "aud_a", "kind": "audio",
+         "payload": M.encode_wav(tone), "width": 0, "height": 0,
+         "duration_ms": 1000},
+        {"media_id": "aud_b", "kind": "audio",
+         "payload": M.encode_wav(tone * 0.5), "width": 0, "height": 0,
+         "duration_ms": 1000},
+    ]
+    ds = rd.from_items(rows).repartition(2)
+    out = M.perceptual_dup_pairs(ds, max_hamming=2).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(out["a"], out["b"])}
+    assert ("img_a", "img_b") in got
+    assert ("aud_a", "aud_b") in got
+    assert not any("img_noise" in p for pair in got for p in pair)
+    # determinism
+    out2 = M.perceptual_dup_pairs(ds, max_hamming=2).to_pandas()
+    assert {tuple(sorted(p)) for p in zip(out2["a"], out2["b"])} == got
+
+
+def test_media_perceptual_query_pins_resized_pairs():
+    from prclz_ray.pipelines.queries import q_media_perceptual_pairs
+    out = q_media_perceptual_pairs("/root/testdata/sf0.001")
+    got = {tuple(sorted(p)) for p in zip(out["a"], out["b"])}
+    # exactly the 5 seeded resized copies pair with their originals:
+    # images are rows 0,3,6,9,12 of the synth table (kind cycle i%3)
+    expect = {(f"m{i:05d}", f"r{1000 + k:05d}")
+              for k, i in enumerate([0, 3, 6, 9, 12])}
+    assert got == expect
