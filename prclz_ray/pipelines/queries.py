@@ -2630,6 +2630,43 @@ def q_compression_quality(sf_dir: str):
                                "compression_ratio"])
 
 
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting over the same synthetic link graph
+    PageRank uses: wedge (common-neighbor) counting via the vectorized
+    pair kernel, Σ W(b,c) over edges / 3.  Oracle: the classic 3-way
+    self-join."""
+    from ..stages import graph_ops
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    tri = graph_ops.triangle_count(
+        docs.map_batches(edges, batch_format="pyarrow"))
+    return pd.DataFrame([{"n_triangles": tri}])
+
+
+SQL_TRIANGLES = """
+WITH raw AS (
+  SELECT doc_id AS src,
+         (doc_id * 7919 + k * 104729)
+           % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst)
+SELECT COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def q_pagerank_links(sf_dir: str):
     """Distributed PageRank (3 power-iteration rounds, d=0.85) over a
     deterministic synthetic link graph: every doc links to
@@ -3894,6 +3931,7 @@ def registry():
         "intersect_users": (q_intersect_users, SQL_INTERSECT_USERS),
         "except_users": (q_except_users, SQL_EXCEPT_USERS),
         "compression_quality": (q_compression_quality, None),
+        "triangle_count_links": (q_triangle_count, SQL_TRIANGLES),
         "pagerank_links": (q_pagerank_links, SQL_PAGERANK),
         "connected_components_chain": (q_connected_components_chain,
                                        SQL_COMPONENTS_CHAIN),

@@ -923,3 +923,24 @@ def test_profile_columns_with_nulls():
     assert out.loc["a", "min_val"] == 1.0 and out.loc["a", "max_val"] == 5.0
     assert out.loc["b", "n"] == 5 and out.loc["b", "n_null"] == 0
     assert out.loc["b", "max_val"] == 50.0
+
+
+def test_triangle_count_known_graphs():
+    from prclz_ray.stages import graph_ops
+
+    def count(edge_list, parts=3):
+        t = pa.table({"src": pa.array([a for a, b in edge_list],
+                                      type=pa.int64()),
+                      "dst": pa.array([b for a, b in edge_list],
+                                      type=pa.int64())})
+        return graph_ops.triangle_count(rd.from_arrow(t)
+                                        .repartition(parts))
+
+    # K4 has 4 triangles; duplicate + reversed + self-loop edges ignored
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert count(k4) == 4
+    assert count(k4 + [(1, 0), (2, 2), (0, 1)]) == 4
+    # a 5-cycle has none; adding one chord makes exactly one
+    c5 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    assert count(c5) == 0
+    assert count(c5 + [(0, 2)]) == 1
