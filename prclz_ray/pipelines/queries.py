@@ -1293,6 +1293,86 @@ FROM j
 SQL_CORPUS_FILTER = _corpus_filter_sql()
 
 
+def q_refinery_funnel(sf_dir: str):
+    """End-to-end corpus-refinery funnel — the composition a web-corpus
+    user actually runs, with per-stage survivor counts: total →
+    C4/Gopher keep-filter → exact dedup → deterministic 50% sample →
+    train/val/test split.  Every stage reuses an already-oracled kernel
+    and the SQL twin chains the identical CTE fragments, so the WHOLE
+    pipeline's counts are hash-checked end to end.  (At 100 TB the
+    counts ride the checkpoint manifest's lineage counters instead of
+    re-counting; here each stage is counted directly.)"""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_total = docs.count()
+
+    ds = docs.map_batches(text.LangId, batch_format="pandas",
+                          concurrency=(1, 4))
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    ds = ds.map_batches(text.repetition_stats_batch,
+                        batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: text.filter_decision_batch(
+            t, min_tokens=_FILT_MIN_TOKENS,
+            max_top_word_frac=_FILT_MAX_TWF),
+        batch_format="pyarrow")
+    kept = ds.filter(expr="keep == 1") \
+        .map_batches(lambda t: t.select(["doc_id", "text"]),
+                     batch_format="pyarrow").materialize()
+    n_kept = kept.count()
+
+    deduped = dd.exact_dedup(kept, text_col="text", key_col="doc_id") \
+        .materialize()
+    n_dedup = deduped.count()
+
+    sampled = relational.deterministic_sample(
+        deduped, key_col="doc_id", rate_ppm=500_000).materialize()
+    n_sample = sampled.count()
+
+    split = relational.hash_split(
+        sampled, key_col="doc_id",
+        splits={"train": 800_000, "val": 100_000, "test": 100_000})
+    sc = split.groupby("split").count().to_pandas() \
+        .set_index("split")["count()"]
+
+    rows = [("00_total", n_total), ("01_filtered", n_kept),
+            ("02_deduped", n_dedup), ("03_sampled", n_sample),
+            ("04_train", int(sc.get("train", 0))),
+            ("04_val", int(sc.get("val", 0))),
+            ("04_test", int(sc.get("test", 0)))]
+    return pd.DataFrame(rows, columns=["stage", "n"])
+
+
+def _refinery_funnel_sql() -> str:
+    filt = _corpus_filter_sql().strip().rstrip()
+    return f"""
+WITH decision AS ({filt}),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN decision x ON x.doc_id = d.doc_id AND x.keep = 1),
+deduped AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+sampled AS (
+  SELECT doc_id FROM deduped
+  WHERE ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+         % 18446744073709551616) % 1000000 < 500000),
+split AS (
+  SELECT doc_id,
+         CASE WHEN h < 800000 THEN 'train'
+              WHEN h < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+                % 18446744073709551616) % 1000000 AS h
+        FROM sampled))
+SELECT '00_total' AS stage, COUNT(*) AS n FROM documents
+UNION ALL SELECT '01_filtered', COUNT(*) FROM kept
+UNION ALL SELECT '02_deduped', COUNT(*) FROM deduped
+UNION ALL SELECT '03_sampled', COUNT(*) FROM sampled
+UNION ALL SELECT '04_train', COUNT(*) FROM split WHERE split = 'train'
+UNION ALL SELECT '04_val', COUNT(*) FROM split WHERE split = 'val'
+UNION ALL SELECT '04_test', COUNT(*) FROM split WHERE split = 'test'
+"""
+
+
 def q_ann_topk_cosine(sf_dir: str):
     """Brute-force exact top-5 cosine for 3 query vectors (the ANN
     baseline; float64 end-to-end so ordering matches the SQL oracle)."""
@@ -3873,6 +3953,7 @@ def registry():
         "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANON),
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARA_DEDUP),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION),
+        "refinery_funnel": (q_refinery_funnel, _refinery_funnel_sql()),
         "corpus_filter_decision": (q_corpus_filter_decision,
                                    SQL_CORPUS_FILTER),
         "acctbal_quantiles_nation": (q_acctbal_quantiles, SQL_QUANTILES),
