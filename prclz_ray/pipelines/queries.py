@@ -1293,6 +1293,102 @@ FROM j
 SQL_CORPUS_FILTER = _corpus_filter_sql()
 
 
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff (crawl-over-crawl CDC): compare the corpus with a
+    deterministic 'next crawl' (drop doc_id%7==0, change text of %5==0,
+    add 50 new ids) and emit per-doc status added/removed/changed/same
+    — ONE full-outer bucketed join + a vectorized status map."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+
+    def next_crawl(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 != 0
+        tt = t.filter(pa.array(keep))
+        ids2 = tt["doc_id"].to_numpy(zero_copy_only=False)
+        changed = ids2 % 5 == 0
+        txt = tt["text"].to_pandas()
+        txt[changed] = txt[changed] + " v2"
+        return pa.table({"doc_id": tt["doc_id"],
+                         "text_new": pa.array(txt)})
+
+    new = docs.map_batches(next_crawl, batch_format="pyarrow")
+    extra = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, n + 50, dtype=np.int64)),
+        "text_new": pa.array(["brand new page"] * 50)}))
+    new = new.union(extra)
+
+    j = relational.bucketed_hash_join(
+        docs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "text_old": t["text"]}),
+            batch_format="pyarrow"),
+        new, on="doc_id", how="outer")
+
+    def status(t: pa.Table) -> pa.Table:
+        old = t["text_old"].to_pandas()
+        nw = t["text_new"].to_pandas()
+        st = np.where(old.isna(), "added",
+                      np.where(nw.isna(), "removed",
+                               np.where(old == nw, "same", "changed")))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "status": pa.array(st.astype(object),
+                                            type=pa.string())})
+
+    return j.map_batches(status, batch_format="pyarrow")
+
+
+SQL_CORPUS_DIFF = """
+WITH nw AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN ' v2' ELSE '' END
+           AS text_new
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT (SELECT COUNT(*) FROM documents) + g AS doc_id,
+         'brand new page' AS text_new
+  FROM generate_series(0, 49) t(g))
+SELECT COALESCE(d.doc_id, nw.doc_id) AS doc_id,
+       CASE WHEN d.doc_id IS NULL THEN 'added'
+            WHEN nw.doc_id IS NULL THEN 'removed'
+            WHEN d.text = nw.text_new THEN 'same'
+            ELSE 'changed' END AS status
+FROM documents d FULL OUTER JOIN nw ON nw.doc_id = d.doc_id
+"""
+
+
+def q_sample_n_per_lang(sf_dir: str):
+    """Exact-N-per-group sampling (3 docs per lang): deterministic
+    golden-ratio hash order + the per-batch-pruned grouped top-n — the
+    fixed-budget stratified variant."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    mix = np.uint64(relational.SAMPLE_MIX)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k + np.uint64(1)) * mix
+        return t.append_column("h", pa.array(h, type=pa.uint64()))
+
+    out = relational.grouped_top_n(
+        docs.map_batches(add_hash, batch_format="pyarrow"),
+        key_col="lang", order_col="h", n=3, id_col="doc_id",
+        descending=False).to_pandas()
+    return out[["lang", "doc_id", "rnk"]]
+
+
+SQL_SAMPLE_PER_LANG = """
+SELECT lang, doc_id, rnk FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+           ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+            % 18446744073709551616), doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= 3
+"""
+
+
 def q_refinery_funnel(sf_dir: str):
     """End-to-end corpus-refinery funnel — the composition a web-corpus
     user actually runs, with per-stage survivor counts: total →
@@ -3954,6 +4050,8 @@ def registry():
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARA_DEDUP),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION),
         "refinery_funnel": (q_refinery_funnel, _refinery_funnel_sql()),
+        "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
+        "sample_n_per_lang": (q_sample_n_per_lang, SQL_SAMPLE_PER_LANG),
         "corpus_filter_decision": (q_corpus_filter_decision,
                                    SQL_CORPUS_FILTER),
         "acctbal_quantiles_nation": (q_acctbal_quantiles, SQL_QUANTILES),
