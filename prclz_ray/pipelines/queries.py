@@ -1293,6 +1293,42 @@ FROM j
 SQL_CORPUS_FILTER = _corpus_filter_sql()
 
 
+def q_order_share_by_status(sf_dir: str):
+    """Percent-of-total (SUM OVER () window): order-value share per
+    status, exact on integer cents — per-batch partials, one tiny
+    groupby, scalar total broadcast in the final map."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        g = pa.table({"o_orderstatus": t["o_orderstatus"], "pc": c}) \
+            .group_by("o_orderstatus").aggregate([("pc", "sum")])
+        return pa.table({"o_orderstatus": g["o_orderstatus"],
+                         "pcs": g["pc_sum"].cast(pa.int64())})
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(Sum("pcs", alias_name="c")) \
+        .to_pandas()
+    total = int(agg["c"].sum())
+    agg["revenue"] = agg["c"] / 100.0
+    agg["share"] = (agg["c"] / total).round(6)
+    return agg[["o_orderstatus", "revenue", "share"]] \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+
+
+SQL_ORDER_SHARE = """
+SELECT o_orderstatus,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+         AS revenue,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 1.0
+             / SUM(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)))
+                 OVER (), 6) AS share
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff (crawl-over-crawl CDC): compare the corpus with a
     deterministic 'next crawl' (drop doc_id%7==0, change text of %5==0,
@@ -4050,6 +4086,7 @@ def registry():
         "paragraph_dedup": (q_paragraph_dedup, SQL_PARA_DEDUP),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION),
         "refinery_funnel": (q_refinery_funnel, _refinery_funnel_sql()),
+        "order_share_by_status": (q_order_share_by_status, SQL_ORDER_SHARE),
         "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
         "sample_n_per_lang": (q_sample_n_per_lang, SQL_SAMPLE_PER_LANG),
         "corpus_filter_decision": (q_corpus_filter_decision,
