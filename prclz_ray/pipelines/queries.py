@@ -4051,6 +4051,130 @@ ORDER BY pmi DESC, w1, w2 LIMIT 20
 """
 
 
+def _fuzzy_entity_nm(t: pa.Table) -> pa.Array:
+    """Entity display name: p_name || ' #' || zero-padded key — the
+    high-entropy tail makes blocking selective while the word head keeps
+    realistic fuzzy collisions."""
+    key_s = pc.cast(t["p_partkey"], pa.string())
+    pad = pc.utf8_lpad(key_s, 6, "0")
+    return pc.binary_join_element_wise(
+        t["p_name"].combine_chunks().cast(pa.string()), " #", pad, "")
+
+
+def _fuzzy_sides(sf_dir: str):
+    """Clean vs dirty entity tables for record linkage: the dirty side
+    applies ONE deterministic golden-hash edit per record (delete /
+    substitute-'q' / identity at position (h//3) % len) so the DuckDB
+    twin reconstructs the identical corrupted catalog."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    mix = np.uint64(relational.SAMPLE_MIX)
+
+    def clean_b(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["p_partkey"].combine_chunks().cast(pa.int64()),
+            "nm": _fuzzy_entity_nm(t)})
+
+    def dirty_b(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        nms = _fuzzy_entity_nm(t).to_pylist()
+        with np.errstate(over="ignore"):
+            h = (keys + np.uint64(1)) * mix
+        op = (h % np.uint64(3)).astype(np.int64)
+        lens = np.fromiter((len(s) for s in nms), np.uint64, len(nms))
+        pos = ((h // np.uint64(3)) % np.maximum(lens, 1)).astype(np.int64)
+        out = []
+        # bounded per-row string surgery: fixture enrichment, not the
+        # operator hot path (the join verifies via batch_edit_distance)
+        for nm, o, p in zip(nms, op, pos):
+            if o == 0:
+                out.append(nm[:p] + nm[p + 1:])
+            elif o == 1:
+                out.append(nm[:p] + "q" + nm[p + 1:])
+            else:
+                out.append(nm)
+        return pa.table({
+            "id": pa.array(keys.astype(np.int64) + 1_000_000,
+                           type=pa.int64()),
+            "nm": pa.array(out, type=pa.string())})
+
+    return (part.map_batches(clean_b, batch_format="pyarrow"),
+            part.map_batches(dirty_b, batch_format="pyarrow"))
+
+
+def q_fuzzy_match_pairs(sf_dir: str):
+    """Blocked fuzzy join (record linkage): clean catalog x corrupted
+    catalog, prefix-6 + suffix-6 multi-pass blocking, vectorized
+    Levenshtein verify at distance <= 1.  For single-edit corruption on
+    names >= 12 chars the two-pass blocking is recall-COMPLETE (one edit
+    cannot alter both windows), so the oracle's blocked join enumerates
+    the identical pair set."""
+    from ..stages import fuzzy
+    clean, dirty = _fuzzy_sides(sf_dir)
+    return fuzzy.blocked_fuzzy_pairs(clean, dirty, id_col="id",
+                                     text_col="nm", max_dist=1,
+                                     block_len=6)
+
+
+def q_fuzzy_entity_clusters(sf_dir: str):
+    """Entity resolution end-to-end: the fuzzy pairs feed the existing
+    connected-components kernel; every matched record gets the min
+    reachable id as its entity label (clean ids < 1e6 < dirty ids, so
+    labels are the canonical clean record where one exists)."""
+    from ..stages import fuzzy
+    clean, dirty = _fuzzy_sides(sf_dir)
+    pairs = fuzzy.blocked_fuzzy_pairs(clean, dirty, id_col="id",
+                                      text_col="nm", max_dist=1,
+                                      block_len=6)
+    return dd.connected_components(pairs.select_columns(["a", "b"]))
+
+
+SQL_FUZZY_BASE = """
+WITH RECURSIVE clean AS (
+  SELECT p_partkey AS id,
+         p_name || ' #' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS nm
+  FROM part),
+hv AS (
+  SELECT id, nm,
+         ((CAST(id + 1 AS HUGEINT) * 11400714819323198485)
+          % 18446744073709551616) AS h
+  FROM clean),
+dirty AS (
+  SELECT id + 1000000 AS id,
+         CASE WHEN h % 3 = 0 THEN
+                substr(nm, 1, CAST((h // 3) % length(nm) AS INT))
+                || substr(nm, CAST((h // 3) % length(nm) AS INT) + 2)
+              WHEN h % 3 = 1 THEN
+                substr(nm, 1, CAST((h // 3) % length(nm) AS INT))
+                || 'q' || substr(nm, CAST((h // 3) % length(nm) AS INT) + 2)
+              ELSE nm END AS nm
+  FROM hv),
+pairs AS (
+  SELECT c.id AS a, d.id AS b,
+         CAST(levenshtein(c.nm, d.nm) AS BIGINT) AS dist
+  FROM clean c JOIN dirty d
+    ON (substr(c.nm, 1, 6) = substr(d.nm, 1, 6)
+        OR substr(c.nm, length(c.nm) - 5) = substr(d.nm, length(d.nm) - 5))
+  WHERE levenshtein(c.nm, d.nm) <= 1)
+"""
+
+SQL_FUZZY_PAIRS = SQL_FUZZY_BASE + "SELECT a, b, dist FROM pairs"
+
+SQL_FUZZY_CLUSTERS = SQL_FUZZY_BASE + """,
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(node, anc) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.anc)
+SELECT node, MIN(lbl) AS label FROM (
+  SELECT node, node AS lbl
+  FROM (SELECT a AS node FROM pairs UNION SELECT b AS node FROM pairs)
+  UNION ALL
+  SELECT node, anc AS lbl FROM reach)
+GROUP BY node
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -4192,4 +4316,7 @@ def registry():
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
         "media_perceptual_pairs": (q_media_perceptual_pairs, None),
+        "fuzzy_match_pairs": (q_fuzzy_match_pairs, SQL_FUZZY_PAIRS),
+        "fuzzy_entity_clusters": (q_fuzzy_entity_clusters,
+                                  SQL_FUZZY_CLUSTERS),
     }
