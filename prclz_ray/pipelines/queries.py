@@ -4129,6 +4129,78 @@ def q_fuzzy_entity_clusters(sf_dir: str):
     return dd.connected_components(pairs.select_columns(["a", "b"]))
 
 
+def q_user_event_paths(sf_dir: str):
+    """Clickstream path analysis: every user's full ordered event-type
+    sequence as one path string (the ordered-STRING_AGG shape; also how
+    anchor texts aggregate per target URL in a web graph)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    return relational.grouped_ordered_concat(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        val_col="event_type", sep=">", out_col="path")
+
+
+SQL_EVENT_PATHS = """
+SELECT user_id,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_jaccard_threshold_pairs(sf_dir: str):
+    """EXACT Jaccard >= 0.8 self-join over documents via AllPairs prefix
+    filtering — recall-complete (every true pair is a candidate, unlike
+    MinHash banding), verified by the candidate-restricted jaccard
+    verifier.  The oracle is the exhaustive shingle self-join."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
+    return dd.allpairs_jaccard(docs, key_col="doc_id", text_col="text",
+                               jaccard_threshold=0.8, shingle_k=5)
+
+
+SQL_JACCARD_PAIRS = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+        FROM documents)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT i.a, i.b FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8
+"""
+
+
+def q_pareto_orders(sf_dir: str):
+    """Skyline / Pareto frontier: orders not dominated on
+    (o_totalprice max, o_orderdate min).  The per-batch prune is a
+    combiner — each block collapses to its own frontier before the
+    single-task final prune, so the shuffle moves frontier-sized data
+    only."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return relational.skyline(orders, max_col="o_totalprice",
+                              min_col="o_orderdate",
+                              keep_cols=["o_orderkey", "o_totalprice",
+                                         "o_orderdate"])
+
+
+SQL_PARETO = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders x
+  WHERE x.o_totalprice >= o.o_totalprice
+    AND x.o_orderdate <= o.o_orderdate
+    AND (x.o_totalprice > o.o_totalprice
+         OR x.o_orderdate < o.o_orderdate))
+"""
+
+
 SQL_FUZZY_BASE = """
 WITH RECURSIVE clean AS (
   SELECT p_partkey AS id,
@@ -4316,6 +4388,10 @@ def registry():
         "multimodal_decode": (q_multimodal_decode, None),
         "media_dup_pairs": (q_media_dup_pairs, None),
         "media_perceptual_pairs": (q_media_perceptual_pairs, None),
+        "pareto_orders": (q_pareto_orders, SQL_PARETO),
+        "jaccard_threshold_pairs": (q_jaccard_threshold_pairs,
+                                    SQL_JACCARD_PAIRS),
+        "user_event_paths": (q_user_event_paths, SQL_EVENT_PATHS),
         "fuzzy_match_pairs": (q_fuzzy_match_pairs, SQL_FUZZY_PAIRS),
         "fuzzy_entity_clusters": (q_fuzzy_entity_clusters,
                                   SQL_FUZZY_CLUSTERS),

@@ -1836,3 +1836,81 @@ def hash_split(ds, key_col: str, splits: dict, seed: int = 1):
         return t.append_column("split", pa.array(lab, type=pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _skyline_prune(max_col: str, min_col: str, keep_cols: list[str]):
+    """Vectorized 2-D skyline over one Arrow batch: sort by (max_col desc,
+    min_col asc); a row survives iff no strictly-better-price prefix row
+    has min_col <= its own (dominance with >= / <= and one strict), and it
+    carries its price group's minimal min_col.  Equal (max, min) twins are
+    mutually non-dominating and all survive."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        order = pc.sort_indices(t, sort_keys=[(max_col, "descending"),
+                                              (min_col, "ascending")])
+        t = t.take(order)
+        mx = t[max_col].to_numpy(zero_copy_only=False)
+        mn = t[min_col].to_numpy(zero_copy_only=False)
+        n = len(mx)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = mx[1:] != mx[:-1]
+        grp = np.cumsum(new_grp) - 1                      # price-group id
+        grp_first = mn[new_grp]                           # group min (asc)
+        # best (min) min_col over STRICTLY higher price groups; group 0 is
+        # unconstrained (no sentinel: min_col may be datetime64)
+        pm = np.minimum.accumulate(grp_first)
+        keep = (mn == grp_first[grp]) & \
+            ((grp == 0) | (pm[np.maximum(grp - 1, 0)] > mn))
+        return t.filter(pa.array(keep)).select(keep_cols)
+
+    return prune
+
+
+def skyline(ds, max_col: str, min_col: str, keep_cols: list[str] | None = None):
+    """Distributed Pareto frontier (skyline): rows not dominated by any
+    other row, dominance = (max_col >=, min_col <=) with at least one
+    strict.  Scale shape: the per-batch prune is a COMBINER (the skyline
+    of a union is the skyline of the unioned skylines), so every block
+    reduces to its own tiny frontier before the single-task final prune —
+    expected frontier size is O(log n) for independent dimensions, and
+    nothing corpus-sized ever concentrates."""
+    keep_cols = keep_cols or ds.schema().names
+    # dominance columns must survive the combine even when the caller's
+    # projection drops them; project to keep_cols only after the final prune
+    mid_cols = list(dict.fromkeys(keep_cols + [max_col, min_col]))
+    combine = _skyline_prune(max_col, min_col, mid_cols)
+    final = _skyline_prune(max_col, min_col, keep_cols)
+    return ds.map_batches(combine, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_ordered_concat(events_ds, key_col: str, order_cols: list[str],
+                           val_col: str, sep: str = ">",
+                           out_col: str = "path", num_buckets: int = 64):
+    """Ordered STRING_AGG per key — the event-path / clickstream shape
+    (``STRING_AGG(v, sep ORDER BY ...) GROUP BY key``), also the
+    anchor-text-aggregation shape for web graphs.  ONE coarse-bucket
+    shuffle; per bucket a vectorized sort then C-backed join per group.
+    Emits (key, out_col, n_events)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, *order_cols, val_col])
+        b = stable_bucket(batch[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([key_col, *order_cols])
+        g = df.groupby(key_col, sort=False)
+        agg = g[val_col].agg(sep.join)
+        out = pd.DataFrame({
+            key_col: agg.index.to_numpy(),
+            out_col: agg.to_numpy(),
+            "n_events": g.size().to_numpy().astype(np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                               batch_format="pandas")

@@ -944,3 +944,31 @@ def test_triangle_count_known_graphs():
     c5 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
     assert count(c5) == 0
     assert count(c5 + [(0, 2)]) == 1
+
+
+def test_skyline_matches_bruteforce_with_frontier_ties():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.stages import relational as r
+
+    rng = np.random.default_rng(11)
+    price = rng.integers(0, 12, 400).astype(float)
+    date = rng.integers(0, 12, 400).astype(float)
+    # force duplicated frontier twins: two copies of the global best
+    price[0] = price[1] = 99.0
+    date[0] = date[1] = -5.0
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(range(400), type=pa.int64()),
+        "p": price, "d": date})).repartition(8)
+    got = sorted(r.skyline(ds, "p", "d", ["id"]).to_pandas()["id"])
+
+    def dominated(i):
+        return any(price[j] >= price[i] and date[j] <= date[i]
+                   and (price[j] > price[i] or date[j] < date[i])
+                   for j in range(400))
+
+    exp = [i for i in range(400) if not dominated(i)]
+    assert got == exp
+    assert {0, 1} <= set(got)

@@ -1156,3 +1156,55 @@ def test_media_perceptual_query_pins_resized_pairs():
     expect = {(f"m{i:05d}", f"r{1000 + k:05d}")
               for k, i in enumerate([0, 3, 6, 9, 12])}
     assert got == expect
+
+
+def test_allpairs_jaccard_recall_complete_on_seeded_neardups():
+    """Prefix filtering must find EVERY pair with J >= t (no LSH-style
+    misses): seeded texts with one-char tail edits sit just above the
+    threshold, distinct texts far below."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.stages import dedup as dd
+
+    rng = np.random.default_rng(5)
+    base = ["".join(chr(97 + c) for c in rng.integers(0, 26, 120))
+            for _ in range(30)]
+    texts, ids = [], []
+    for i, t in enumerate(base):
+        texts.append(t)
+        ids.append(i)
+        texts.append(t[:-1] + "#")     # near-identical copy
+        ids.append(1000 + i)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts)})).repartition(6)
+    out = dd.allpairs_jaccard(ds, jaccard_threshold=0.8).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    want = {(i, 1000 + i) for i in range(30)}
+    assert want <= got
+    # and nothing between unrelated random bases
+    assert all(b - a == 1000 for a, b in got)
+
+
+def test_grouped_ordered_concat_deterministic_across_parallelism():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.stages import relational as r
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "o": pa.array([3, 1, 2, 2, 1, 1], type=pa.int64()),
+        "id": pa.array([10, 11, 12, 13, 14, 15], type=pa.int64()),
+        "v": pa.array(list("CABBAZ"))})
+    exp = {1: ("A>B>C", 3), 2: ("A>B", 2), 3: ("Z", 1)}
+    for parts in (1, 4):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = r.grouped_ordered_concat(
+            ds, key_col="k", order_cols=["o", "id"], val_col="v") \
+            .to_pandas().set_index("k")
+        got = {k: (row["path"], row["n_events"])
+               for k, row in out.iterrows()}
+        assert got == exp
