@@ -730,7 +730,12 @@ def connected_components(edges_ds, max_rounds: int = 20,
     than the corpus (only near-dup pairs survive verification), so when it
     fits one task comfortably we run union-find INSIDE a single Ray task
     (no driver materialization); past ``single_task_edges`` we switch to
-    the fully-sharded min-label propagation rounds."""
+    the fully-sharded min-label propagation rounds.
+
+    The edge Dataset is pinned first: both the count and the labeling
+    consume it, and without the pin the (often expensive) upstream pair
+    pipeline would re-execute once per consumer."""
+    edges_ds = edges_ds.materialize()
     n = edges_ds.count()
     if n <= single_task_edges:
         def uf(t: pa.Table) -> pa.Table:
