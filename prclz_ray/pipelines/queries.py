@@ -4129,6 +4129,152 @@ def q_fuzzy_entity_clusters(sf_dir: str):
     return dd.connected_components(pairs.select_columns(["a", "b"]))
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Weighted sampling without replacement (A-ES exponential keys):
+    100 docs weighted by n_chars — longer docs proportionally likelier,
+    fully deterministic (golden-hash uniforms, no RNG state)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = relational.weighted_sample(docs, key_col="doc_id",
+                                     weight_col="n_chars", n=100)
+    return out.to_pandas() if hasattr(out, "to_pandas") else out
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+          % 18446744073709551616) AS hv
+  FROM documents)
+ORDER BY ln((CAST(hv AS DOUBLE) + 1) / 18446744073709551616.0)
+         / n_chars DESC, doc_id
+LIMIT 100
+"""
+
+
+_PROJ_SEED_MATRIX = np.random.default_rng(42).standard_normal((64, 4))
+
+
+def q_embedding_projection(sf_dir: str):
+    """Johnson-Lindenstrauss random projection: 64-dim embeddings onto 4
+    fixed Gaussian directions (seeded once at module load; the SQL twin
+    embeds the identical float64 literals).  Pure per-batch matmul — the
+    dimensionality-reduction front of every embedding pipeline."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    proj = _PROJ_SEED_MATRIX
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _as_matrix
+        m = _as_matrix(t["embedding"]).astype(np.float64)
+        p = np.round(m @ proj, 6)
+        cols = {"vec_id": t["vec_id"]}
+        for j in range(proj.shape[1]):
+            cols[f"p{j}"] = pa.array(p[:, j], type=pa.float64())
+        return pa.table(cols)
+
+    return emb.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_embedding_projection() -> str:
+    cols = ", ".join(
+        "ROUND(" + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {_PROJ_SEED_MATRIX[i, j]!r}"
+            for i in range(64)) + f", 6) AS p{j}"
+        for j in range(4))
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+SQL_EMB_PROJECTION = _sql_embedding_projection()
+
+
+def q_degree_histogram_links(sf_dir: str):
+    """In-degree distribution of the synthetic link graph (same edge
+    derivation as pagerank_links): two partial-combined groupbys —
+    count per dst, then node-count per degree.  Zero-in-degree nodes
+    are absent on both sides by construction."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        # partial combine: per-batch dst counts before the shuffle
+        g, c = np.unique(dst, return_counts=True)
+        return pa.table({"dst": pa.array(g),
+                         "c": pa.array(c.astype(np.int64)),
+                         "_b": pa.array((g % 64).astype(np.int32))})
+
+    def deg_per_dst(df: pd.DataFrame) -> pa.Table:
+        s = df.groupby("dst", sort=False)["c"].sum()
+        g, c = np.unique(s.to_numpy(dtype=np.int64), return_counts=True)
+        return pa.table({"deg": pa.array(g),
+                         "nc": pa.array(c.astype(np.int64)),
+                         "_b2": pa.array((g % 16).astype(np.int32))})
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        s = df.groupby("deg", sort=False)["nc"].sum()
+        return pa.table({"deg": pa.array(s.index.to_numpy(dtype=np.int64)),
+                         "n_nodes": pa.array(s.to_numpy(dtype=np.int64))})
+
+    return docs.map_batches(edges, batch_format="pyarrow") \
+        .groupby("_b").map_groups(deg_per_dst, batch_format="pandas") \
+        .groupby("_b2").map_groups(hist, batch_format="pandas")
+
+
+SQL_DEGREE_HIST = """
+WITH nn AS (SELECT COUNT(*) AS cnt FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7919 + k * 104729) % cnt AS dst
+  FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) t),
+indeg AS (SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst)
+SELECT deg, COUNT(*) AS n_nodes FROM indeg GROUP BY deg
+"""
+
+
+def q_monthly_order_stats(sf_dir: str):
+    """Calendar aggregation: per-month order count + revenue (cents
+    partial-summed per batch, ONE tiny month-keyed final combine)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                                      "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        df = pd.DataFrame({"m": d, "cents": cents})
+        g = df.groupby("m", sort=False)["cents"].agg(["count", "sum"])
+        return pa.table({
+            "month": pa.array(g.index.to_numpy().astype("datetime64[us]")),
+            "n_orders": pa.array(g["count"].to_numpy(dtype=np.int64)),
+            "cents": pa.array(g["sum"].to_numpy(dtype=np.int64))})
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("month", sort=False).agg(
+            n_orders=("n_orders", "sum"), cents=("cents", "sum"))
+        return pa.table({
+            "month": pa.array(g.index.to_numpy().astype("datetime64[us]")),
+            "n_orders": pa.array(g["n_orders"].to_numpy(dtype=np.int64)),
+            "revenue": pa.array(
+                np.round(g["cents"].to_numpy(dtype=np.int64) / 100.0, 2),
+                type=pa.float64())})
+
+    return orders.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(lambda t: combine(t.to_pandas()),
+                     batch_format="pyarrow", batch_size=None)
+
+
+SQL_MONTHLY_ORDERS = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders GROUP BY month
+"""
+
+
 def q_user_event_paths(sf_dir: str):
     """Clickstream path analysis: every user's full ordered event-type
     sequence as one path string (the ordered-STRING_AGG shape; also how
@@ -4392,6 +4538,14 @@ def registry():
         "jaccard_threshold_pairs": (q_jaccard_threshold_pairs,
                                     SQL_JACCARD_PAIRS),
         "user_event_paths": (q_user_event_paths, SQL_EVENT_PATHS),
+        "weighted_sample_docs": (q_weighted_sample_docs,
+                                 SQL_WEIGHTED_SAMPLE),
+        "embedding_projection": (q_embedding_projection,
+                                 SQL_EMB_PROJECTION),
+        "degree_histogram_links": (q_degree_histogram_links,
+                                   SQL_DEGREE_HIST),
+        "monthly_order_stats": (q_monthly_order_stats,
+                                SQL_MONTHLY_ORDERS),
         "fuzzy_match_pairs": (q_fuzzy_match_pairs, SQL_FUZZY_PAIRS),
         "fuzzy_entity_clusters": (q_fuzzy_entity_clusters,
                                   SQL_FUZZY_CLUSTERS),

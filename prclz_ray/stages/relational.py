@@ -1914,3 +1914,38 @@ def grouped_ordered_concat(events_ds, key_col: str, order_cols: list[str],
     tagged = events_ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                batch_format="pandas")
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, n: int,
+                    seed: int = 1):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    every row draws the deterministic golden-hash uniform u in (0, 1]; the n
+    rows with the largest u^(1/w) win — inclusion odds proportional to
+    weight, no RNG state, stable across parallelism and resume.  Ranked
+    by the monotone-equivalent ln(u)/w so the SQL twin is ORDER BY the
+    identical double arithmetic (both sides evaluate libm log on the
+    same float64, so the order is bit-identical).
+
+    Scale shape: a distributed top-n exactly like ``exact_size_sample``
+    — per-batch argpartition prune to n, candidates are n x blocks rows,
+    one tiny final sort."""
+    mix, s = np.uint64(SAMPLE_MIX), np.uint64(seed)
+    denom = float(1 << 64)
+
+    def prune(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(over="ignore"):
+            h = (k + s) * mix
+        u = (h.astype(np.float64) + 1.0) / denom
+        score = np.log(u) / w
+        t = t.append_column("_sc", pa.array(score, type=pa.float64()))
+        if len(t) > n:
+            idx = np.argpartition(-score, n)[:n]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    cand = ds_to_table(ds.map_batches(prune, batch_format="pyarrow"))
+    out = cand.sort_by([("_sc", "descending"), (key_col, "ascending")]) \
+        .slice(0, n)
+    return out.drop_columns(["_sc"])

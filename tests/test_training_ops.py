@@ -1208,3 +1208,42 @@ def test_grouped_ordered_concat_deterministic_across_parallelism():
         got = {k: (row["path"], row["n_events"])
                for k, row in out.iterrows()}
         assert got == exp
+
+
+def test_weighted_sample_favors_heavy_weights_and_is_deterministic():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.stages import relational as r
+
+    n = 4000
+    # half the keys carry 50x the weight of the other half
+    w = np.where(np.arange(n) % 2 == 0, 500.0, 10.0)
+    t = pa.table({"k": pa.array(np.arange(n), type=pa.int64()),
+                  "w": pa.array(w)})
+    outs = []
+    for parts in (2, 16):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = r.weighted_sample(ds, key_col="k", weight_col="w", n=200)
+        outs.append(sorted(out["k"].to_pylist()))
+    assert outs[0] == outs[1]          # parallelism-invariant
+    heavy = sum(1 for k in outs[0] if k % 2 == 0)
+    assert heavy > 150                 # heavy keys dominate the sample
+
+
+def test_skyline_empty_and_single_row():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.stages import relational as r
+
+    one = rd.from_arrow(pa.table({
+        "id": pa.array([7], type=pa.int64()),
+        "p": pa.array([1.0]), "d": pa.array([2.0])}))
+    assert r.skyline(one, "p", "d", ["id"]).to_pandas()["id"].tolist() == [7]
+    empty = rd.from_arrow(pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "p": pa.array([], type=pa.float64()),
+        "d": pa.array([], type=pa.float64())}))
+    assert r.skyline(empty, "p", "d", ["id"]).count() == 0
