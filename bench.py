@@ -71,6 +71,13 @@ BENCH_QUERIES = [
     # TPC-H multi-join demos
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    # round-3 third session: record linkage (deletion-variant blocking +
+    # components), exact-Jaccard prefix-filter join, clickstream paths,
+    # JL projection
+    "fuzzy_entity_clusters",
+    "jaccard_threshold_pairs",
+    "user_event_paths",
+    "embedding_projection",
 ]
 
 
