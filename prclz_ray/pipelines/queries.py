@@ -3252,6 +3252,319 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 (volume shipping, adapted): bilateral trade revenue
+    between NATION_1 and NATION_2 per ship year.  Shape: customer and
+    supplier nation maps broadcast (dim-sized), orders pre-filtered to
+    the two customer nations via the broadcast inner join, ONE bucketed
+    orderkey join lineitem⋈orders, supplier attach from the broadcast
+    map, pair filter, cents partials → tiny (nation, nation, year)
+    groupby."""
+    from ray.data.aggregate import Sum
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1998-01-01T00:00:00")
+
+    nt = relational.ds_to_table(nation).to_pandas()
+    nmap = nt[nt.n_name.isin([n1, n2])]
+    cust_t = relational.ds_to_table(cust).to_pandas() \
+        .merge(nmap, left_on="c_nationkey", right_on="n_nationkey") \
+        .rename(columns={"n_name": "cust_nation"})[
+            ["c_custkey", "cust_nation"]]
+    supp_t = relational.ds_to_table(supp).to_pandas() \
+        .merge(nmap, left_on="s_nationkey", right_on="n_nationkey") \
+        .rename(columns={"n_name": "supp_nation"})[
+            ["s_suppkey", "supp_nation"]]
+
+    o2 = relational.broadcast_join(
+        orders.map_batches(
+            lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                                "c_custkey": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        cust_t, on="c_custkey")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        rc = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "s_suppkey": t["l_suppkey"],
+                         "l_year": pa.array(year), "rc": rc})
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        o2.map_batches(lambda t: t.select(["o_orderkey", "cust_nation"]),
+                       batch_format="pyarrow"),
+        on="o_orderkey")
+    j2 = relational.broadcast_join(
+        j.map_batches(
+            lambda t: pa.table({
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "l_year": t["l_year"].cast(pa.int64()),
+                "rc": t["rc"].cast(pa.int64()),
+                "cust_nation": t["cust_nation"].cast(pa.string())}),
+            batch_format="pyarrow"),
+        supp_t, on="s_suppkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.and_(pc.equal(t["supp_nation"], n1),
+                    pc.equal(t["cust_nation"], n2)),
+            pc.and_(pc.equal(t["supp_nation"], n2),
+                    pc.equal(t["cust_nation"], n1)))
+        t = t.filter(keep)
+        g = pa.table({"supp_nation": t["supp_nation"],
+                      "cust_nation": t["cust_nation"],
+                      "l_year": t["l_year"], "rc": t["rc"]}) \
+            .group_by(["supp_nation", "cust_nation", "l_year"]) \
+            .aggregate([("rc", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation", "l_year",
+                                 "prc"])
+
+    agg = j2.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("prc", alias_name="rc")).to_pandas()
+    agg["revenue"] = agg["rc"] / 100.0
+    agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+    return agg[["supp_nation", "cust_nation", "l_year", "revenue"]]
+
+
+SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) / 100.0 AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 (national market share, adapted): NATION_1 suppliers'
+    share of ECONOMY-part revenue sold to AMERICA-region customers per
+    order year.  Shape: the type-filtered part KEY SET and the
+    region-filtered customer map broadcast; lineitem prunes on the part
+    set per batch; ONE bucketed orderkey join; supplier-nation attach
+    from the broadcast map; numerator/denominator cent partials per
+    year → 2-row-per-year final combine → share ratio."""
+    from ray.data.aggregate import Sum
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                      "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1998-01-01T00:00:00")
+
+    rt = relational.ds_to_table(region).to_pandas()
+    amer = int(rt.loc[rt.r_name == "AMERICA", "r_regionkey"].iloc[0])
+    nt = relational.ds_to_table(nation).to_pandas()
+    amer_nations = set(nt.loc[nt.n_regionkey == amer,
+                              "n_nationkey"].tolist())
+    brazil = int(nt.loc[nt.n_name == "NATION_1", "n_nationkey"].iloc[0])
+
+    pt = relational.ds_to_table(part)
+    pkeys = pt.filter(pc.equal(pt["p_type"], "ECONOMY"))["p_partkey"]
+    pset = pa.array(sorted(pkeys.to_pylist()), type=pa.int64())
+
+    cust_t = relational.ds_to_table(cust).to_pandas()
+    cust_t = cust_t[cust_t.c_nationkey.isin(amer_nations)][["c_custkey"]]
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"],
+                         "o_year": pa.array(year)})
+
+    o2 = relational.broadcast_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        cust_t, on="c_custkey")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"].cast(pa.int64()),
+                              value_set=pset))
+        rc = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "s_suppkey": t["l_suppkey"], "rc": rc})
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        o2.map_batches(lambda t: t.select(["o_orderkey", "o_year"]),
+                       batch_format="pyarrow"),
+        on="o_orderkey")
+    supp_t = relational.ds_to_table(supp)
+    j2 = relational.broadcast_join(
+        j.map_batches(
+            lambda t: pa.table({
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "o_year": t["o_year"].cast(pa.int64()),
+                "rc": t["rc"].cast(pa.int64())}),
+            batch_format="pyarrow"),
+        supp_t, on="s_suppkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        nat = pc.cast(pc.equal(t["s_nationkey"].cast(pa.int64()),
+                               brazil), pa.int64())
+        nrc = pc.multiply(t["rc"], nat)
+        g = pa.table({"o_year": t["o_year"], "rc": t["rc"],
+                      "nrc": nrc}) \
+            .group_by("o_year").aggregate([("rc", "sum"), ("nrc", "sum")])
+        return g.rename_columns(["o_year", "prc", "pnrc"])
+
+    agg = j2.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_year") \
+        .aggregate(Sum("prc", alias_name="rc"),
+                   Sum("pnrc", alias_name="nrc")).to_pandas()
+    agg["mkt_share"] = np.round(agg["nrc"] / agg["rc"], 4)
+    agg = agg.sort_values("o_year").reset_index(drop=True)
+    return agg[["o_year", "mkt_share"]]
+
+
+SQL_Q8 = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nat = 'NATION_1' THEN rc ELSE 0 END)
+             / (SUM(rc) * 1.0), 4) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT) AS rc,
+         n2.n_name AS nat
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01') t
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 (returned item reporting, adapted): top-20 customers
+    by revenue lost to returns in 1996Q1.  Shape: date-filtered orders,
+    returnflag-filtered lineitem cents, ONE bucketed orderkey join,
+    per-batch custkey partials → custkey groupby → per-batch top-20
+    prune → tiny driver-side finish with broadcast customer/nation
+    attach."""
+    from ray.data.aggregate import Sum
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1996-04-01T00:00:00")
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    ords = orders.map_batches(ord_prep, batch_format="pyarrow")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rc = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"], "rc": rc})
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), ords,
+        on="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_custkey": t["o_custkey"].cast(pa.int64()),
+                      "rc": t["rc"].cast(pa.int64())}) \
+            .group_by("c_custkey").aggregate([("rc", "sum")])
+        return g.rename_columns(["c_custkey", "prc"])
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("prc", alias_name="rc"))
+
+    def top20(t: pa.Table) -> pa.Table:
+        if t.num_rows > 20:
+            rc = t["rc"].to_numpy(zero_copy_only=False)
+            idx = np.argpartition(-rc, 20)[:20]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    cand = relational.ds_to_table(
+        agg.map_batches(top20, batch_format="pyarrow")).to_pandas()
+    cand = cand.sort_values(["rc", "c_custkey"],
+                            ascending=[False, True]).head(20)
+    ct = relational.ds_to_table(cust).to_pandas()
+    nt = relational.ds_to_table(nation).to_pandas()
+    out = cand.merge(ct, on="c_custkey") \
+        .merge(nt, left_on="c_nationkey", right_on="n_nationkey")
+    out["revenue"] = out["rc"] / 100.0
+    out = out.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) / 100.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 def q12_shipmode_priority(sf_dir: str):
     """TPC-H Q12 (shipping-mode priority, adapted to the synth schema:
     l_returnflag stands in for shipmode): per flag, counts of
@@ -4526,6 +4839,9 @@ def registry():
         "bm25_search": (q_bm25_search, SQL_BM25),
         "clean_lines_docs": (q_clean_lines, SQL_CLEAN_LINES),
         "q12_shipmode_priority": (q12_shipmode_priority, SQL_Q12),
+        "q7_volume_shipping": (q7_volume_shipping, SQL_Q7),
+        "q8_market_share": (q8_market_share, SQL_Q8),
+        "q10_returned_items": (q10_returned_items, SQL_Q10),
         "latest_event_per_user": (q_latest_event_per_user,
                                   SQL_LATEST_EVENT),
         "regr_price_quantity": (q_regr_price_quantity, SQL_REGR),
