@@ -3947,7 +3947,8 @@ SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
          AS row_number,
        RANK() OVER w AS rank,
        DENSE_RANK() OVER w AS dense_rank,
-       PERCENT_RANK() OVER w AS pct_rank
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ROUND(value * 100))
 """
@@ -4442,6 +4443,70 @@ def q_fuzzy_entity_clusters(sf_dir: str):
     return dd.connected_components(pairs.select_columns(["a", "b"]))
 
 
+def q_longest_daily_streak(sf_dir: str):
+    """Gaps-and-islands: each user's longest run of consecutive active
+    days (the engagement-streak window no plain groupby expresses)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return relational.longest_consecutive_run(ev, key_col="user_id",
+                                              ts_col="ts")
+
+
+SQL_DAILY_STREAK = """
+WITH d AS (SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS day
+           FROM events),
+i AS (SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS island
+      FROM d),
+runs AS (SELECT user_id, island, COUNT(*) AS len
+         FROM i GROUP BY user_id, island)
+SELECT user_id, MAX(len) AS longest_streak FROM runs GROUP BY user_id
+"""
+
+
+def q_jaccard_dup_clusters(sf_dir: str):
+    """Near-dup clusters from the EXACT Jaccard >= 0.8 join: the
+    recall-complete pair set feeds the shared components kernel — the
+    deterministic alternative to MinHash clustering when misses are
+    unacceptable."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32)
+    pairs = dd.allpairs_jaccard(docs, key_col="doc_id", text_col="text",
+                                jaccard_threshold=0.8, shingle_k=5)
+    return dd.connected_components(pairs)
+
+
+SQL_JACCARD_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+        FROM documents)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+reach(node, anc) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.anc)
+SELECT node, MIN(lbl) AS label FROM (
+  SELECT node, node AS lbl
+  FROM (SELECT a AS node FROM edges UNION SELECT b AS node FROM edges)
+  UNION ALL
+  SELECT node, anc AS lbl FROM reach)
+GROUP BY node
+"""
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Weighted sampling without replacement (A-ES exponential keys):
     100 docs weighted by n_chars — longer docs proportionally likelier,
@@ -4854,6 +4919,10 @@ def registry():
         "jaccard_threshold_pairs": (q_jaccard_threshold_pairs,
                                     SQL_JACCARD_PAIRS),
         "user_event_paths": (q_user_event_paths, SQL_EVENT_PATHS),
+        "longest_daily_streak": (q_longest_daily_streak,
+                                 SQL_DAILY_STREAK),
+        "jaccard_dup_clusters": (q_jaccard_dup_clusters,
+                                 SQL_JACCARD_CLUSTERS),
         "weighted_sample_docs": (q_weighted_sample_docs,
                                  SQL_WEIGHTED_SAMPLE),
         "embedding_projection": (q_embedding_projection,

@@ -959,12 +959,16 @@ def grouped_ranks(events_ds, key_col: str, order_col: str, id_col: str,
         df = group.sort_values([key_col, order_col, id_col])
         g = df.groupby(key_col, sort=False)
         rank = g[order_col].rank(method="min").to_numpy(dtype=np.int64)
+        rmax = g[order_col].rank(method="max").to_numpy(dtype=np.int64)
         dense = g[order_col].rank(method="dense").to_numpy(dtype=np.int64)
         n = g[order_col].transform("size").to_numpy(dtype=np.int64)
         pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        # CUME_DIST = rows-with-value<=current / n — one exact-int
+        # division, bit-identical doubles like PERCENT_RANK
+        cume = rmax / n
         out = df.drop(columns=["_bucket"]).assign(
             row_number=g.cumcount().to_numpy() + 1,
-            rank=rank, dense_rank=dense, pct_rank=pct)
+            rank=rank, dense_rank=dense, pct_rank=pct, cume_dist=cume)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     tagged = events_ds.map_batches(tag, batch_format="pyarrow")
@@ -1949,3 +1953,38 @@ def weighted_sample(ds, key_col: str, weight_col: str, n: int,
     out = cand.sort_by([("_sc", "descending"), (key_col, "ascending")]) \
         .slice(0, n)
     return out.drop_columns(["_sc"])
+
+
+def longest_consecutive_run(events_ds, key_col: str, ts_col: str,
+                            num_buckets: int = 64):
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per key
+    (the activity-streak shape).  Per batch, (key, day) pairs dedupe
+    BEFORE the one coarse-bucket shuffle; per bucket a vectorized sort +
+    cumcount gives the classic day - row_number island id, then two C
+    groupbys (island size, max per key).  Emits (key, longest_streak)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        d = batch[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            key_col: batch[key_col].to_numpy(zero_copy_only=False),
+            "_day": d}).drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.append_column("_bucket",
+                               pa.array(stable_bucket(t[key_col],
+                                                      num_buckets)))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.drop_duplicates([key_col, "_day"]) \
+            .sort_values([key_col, "_day"])
+        g = df.groupby(key_col, sort=False)
+        island = df["_day"].to_numpy() - g.cumcount().to_numpy()
+        df = df.assign(_island=island)
+        runs = df.groupby([key_col, "_island"], sort=False).size()
+        best = runs.groupby(level=0).max()
+        return pa.table({
+            key_col: pa.array(best.index.to_numpy()),
+            "longest_streak": pa.array(best.to_numpy(dtype=np.int64))})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                               batch_format="pandas")

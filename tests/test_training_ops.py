@@ -1247,3 +1247,31 @@ def test_skyline_empty_and_single_row():
         "p": pa.array([], type=pa.float64()),
         "d": pa.array([], type=pa.float64())}))
     assert r.skyline(empty, "p", "d", ["id"]).count() == 0
+
+
+def test_longest_consecutive_run_known_streaks():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.stages import relational as r
+
+    base = np.datetime64("2024-01-01T12:00:00")
+    rows = []
+    # user 1: days 0,1,2, 5,6  -> streak 3; user 2: 0, 2, 4 -> 1
+    for d in (0, 1, 2, 5, 6):
+        rows.append((1, base + np.timedelta64(d, "D")))
+    for d in (0, 2, 4):
+        rows.append((2, base + np.timedelta64(d, "D")))
+    # duplicate hits on the same day must not inflate streaks
+    rows.append((1, base + np.timedelta64(1, "D")
+                 + np.timedelta64(3600, "s")))
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "ts": pa.array([ts for _, ts in rows])})
+    for parts in (1, 4):
+        out = r.longest_consecutive_run(
+            rd.from_arrow(t).repartition(parts),
+            key_col="user_id", ts_col="ts").to_pandas() \
+            .set_index("user_id")["longest_streak"].to_dict()
+        assert out == {1: 3, 2: 1}
