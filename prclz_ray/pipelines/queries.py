@@ -4443,6 +4443,124 @@ def q_fuzzy_entity_clusters(sf_dir: str):
     return dd.connected_components(pairs.select_columns(["a", "b"]))
 
 
+def q_embedding_mean_by_label(sf_dir: str):
+    """Per-class embedding centroid (nearest-class-mean front): one
+    streaming pass of per-batch (label, sum-vector, count) partials —
+    the driver combine sees labels x batches small matrices, never
+    rows.  Output long-form (label, dim, mean_val) so the oracle is a
+    plain AVG per (label, element)."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _as_matrix
+        m = _as_matrix(t["embedding"]).astype(np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv)
+        k, d = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(labs.astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), k)),
+            "s": pa.array(sums.reshape(-1), type=pa.float64()),
+            "c": pa.array(np.repeat(cnt.astype(np.int64), d))})
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["label", "dim"], sort=False) \
+            .agg(s=("s", "sum"), c=("c", "sum")).reset_index()
+        return pa.table({
+            "label": pa.array(g["label"].to_numpy(dtype=np.int64)),
+            "dim": pa.array(g["dim"].to_numpy(dtype=np.int64)),
+            "mean_val": pa.array(
+                np.round(g["s"].to_numpy() / g["c"].to_numpy(), 6),
+                type=pa.float64())})
+
+    return emb.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(lambda t: combine(t.to_pandas()),
+                     batch_format="pyarrow", batch_size=None)
+
+
+SQL_EMB_MEAN = """
+SELECT label, CAST(i AS BIGINT) AS dim,
+       ROUND(AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6)
+         AS mean_val
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) t
+GROUP BY 1, 2
+"""
+
+
+def q_acctbal_outliers(sf_dir: str):
+    """IQR outlier detection per nation (Tukey fence): exact grouped
+    quartiles via the two-pass histogram selector, fences broadcast as
+    a dimension-sized map, pure per-row filter.  Fence multiplier 0.4:
+    the synthetic acctbal is uniform, where the classic 1.5x fence
+    provably catches nothing (q1 - 1.5*IQR < min) — 0.4 pins the real
+    tail rows so the oracle checks actual selections."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    qdf = relational.grouped_quantile_disc(
+        cust.select_columns(["c_nationkey", "c_acctbal"]),
+        key_col="c_nationkey", val_col="c_acctbal", qs=[0.25, 0.75])
+    qdf = qdf.set_index("c_nationkey")
+    iqr = qdf["p75"] - qdf["p25"]
+    lo = (qdf["p25"] - 0.4 * iqr).to_dict()
+    hi = (qdf["p75"] + 0.4 * iqr).to_dict()
+
+    def f(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        lo_a = np.array([lo[k] for k in nk])
+        hi_a = np.array([hi[k] for k in nk])
+        keep = (v < lo_a) | (v > hi_a)
+        return pa.table({
+            "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+            "c_nationkey": t["c_nationkey"].filter(pa.array(keep)),
+            "c_acctbal": t["c_acctbal"].filter(pa.array(keep))})
+
+    return cust.map_batches(f, batch_format="pyarrow")
+
+
+SQL_ACCTBAL_OUTLIERS = """
+WITH q AS (
+  SELECT c_nationkey,
+         PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS q1,
+         PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY c_acctbal) AS q3
+  FROM customer GROUP BY c_nationkey)
+SELECT c_custkey, c.c_nationkey, c_acctbal
+FROM customer c JOIN q ON c.c_nationkey = q.c_nationkey
+WHERE c_acctbal < q1 - 0.4 * (q3 - q1)
+   OR c_acctbal > q3 + 0.4 * (q3 - q1)
+"""
+
+
+def q_monthly_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth: the calendar rollup's cents
+    series (distributed partials) finished with a driver-side LAG over
+    the months-sized result — the standard reporting composition."""
+    monthly = q_monthly_order_stats(sf_dir)
+    df = relational.ds_to_table(monthly).to_pandas() \
+        .sort_values("month").reset_index(drop=True)
+    prev = df["revenue"].shift(1)
+    growth = np.round((df["revenue"] - prev) / prev, 4)
+    out = df.assign(growth=growth).dropna(subset=["growth"])
+    return out[["month", "revenue", "growth"]]
+
+
+SQL_MONTHLY_GROWTH = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               / 100.0, 2) AS revenue
+  FROM orders GROUP BY month)
+SELECT month, revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month), 4) AS growth
+FROM m QUALIFY growth IS NOT NULL
+"""
+
+
 def q_longest_daily_streak(sf_dir: str):
     """Gaps-and-islands: each user's longest run of consecutive active
     days (the engagement-streak window no plain groupby expresses)."""
@@ -4919,6 +5037,11 @@ def registry():
         "jaccard_threshold_pairs": (q_jaccard_threshold_pairs,
                                     SQL_JACCARD_PAIRS),
         "user_event_paths": (q_user_event_paths, SQL_EVENT_PATHS),
+        "embedding_mean_by_label": (q_embedding_mean_by_label,
+                                    SQL_EMB_MEAN),
+        "acctbal_outliers": (q_acctbal_outliers, SQL_ACCTBAL_OUTLIERS),
+        "monthly_revenue_growth": (q_monthly_revenue_growth,
+                                   SQL_MONTHLY_GROWTH),
         "longest_daily_streak": (q_longest_daily_streak,
                                  SQL_DAILY_STREAK),
         "jaccard_dup_clusters": (q_jaccard_dup_clusters,
