@@ -4443,6 +4443,54 @@ def q_fuzzy_entity_clusters(sf_dir: str):
     return dd.connected_components(pairs.select_columns(["a", "b"]))
 
 
+def q_auc_doc_score(sf_dir: str):
+    """Exact distributed ROC AUC (Mann-Whitney U, tie-corrected) of the
+    logreg document scorer against a length-derived label: per-batch
+    (score, pos, neg) partials, one bounded groupby (6-dp sigmoid
+    scores quantize to <=1e6 distinct values), single vectorized sweep.
+    Per-score contributions are half-integers — exact in float64 — so
+    the oracle's window-function twin rounds identically."""
+    from ..stages import ml
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        x1 = nch.astype(np.float64) / 1000.0
+        x2 = pc.list_value_length(
+            pc.split_pattern(batch["text"], pattern=" ")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        lbl = (nch > 297).astype(np.int64)
+        return pa.table({"x1": pa.array(x1), "x2": pa.array(x2),
+                         "label": pa.array(lbl)})
+
+    scored = ml.logreg_score(docs.map_batches(feats,
+                                              batch_format="pyarrow"),
+                             ["x1", "x2"], weights=[0.8, -0.5], bias=0.25)
+    return ml.distributed_auc(scored, "score", "label")
+
+
+SQL_AUC = """
+WITH f AS (
+  SELECT n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2,
+         CASE WHEN n_chars > 297 THEN 1 ELSE 0 END AS label
+  FROM documents),
+s AS (SELECT ROUND(1.0 / (1.0 + exp(-(0.25 + 0.8 * x1 - 0.5 * x2))), 6)
+        AS score, label FROM f),
+g AS (SELECT score, SUM(label) AS np, SUM(1 - label) AS nn
+      FROM s GROUP BY score),
+o AS (SELECT score, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg
+      FROM g)
+SELECT ROUND(SUM(np * (cneg + nn / 2.0))
+             / ((SELECT SUM(np) FROM g) * (SELECT SUM(nn) FROM g)), 6)
+         AS auc
+FROM o
+"""
+
+
 def q_embedding_mean_by_label(sf_dir: str):
     """Per-class embedding centroid (nearest-class-mean front): one
     streaming pass of per-batch (label, sum-vector, count) partials —
@@ -5037,6 +5085,7 @@ def registry():
         "jaccard_threshold_pairs": (q_jaccard_threshold_pairs,
                                     SQL_JACCARD_PAIRS),
         "user_event_paths": (q_user_event_paths, SQL_EVENT_PATHS),
+        "auc_doc_score": (q_auc_doc_score, SQL_AUC),
         "embedding_mean_by_label": (q_embedding_mean_by_label,
                                     SQL_EMB_MEAN),
         "acctbal_outliers": (q_acctbal_outliers, SQL_ACCTBAL_OUTLIERS),

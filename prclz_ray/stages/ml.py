@@ -224,3 +224,54 @@ def nb_predict(docs_ds, model: dict, text_col: str = "text",
                              [lbls[i] for i in pred])})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def distributed_auc(ds, score_col: str, label_col: str,
+                    round_dp: int = 6):
+    """Exact ROC AUC (Mann-Whitney U with tie correction) as a
+    distributed aggregation:
+
+        AUC = sum over distinct scores v ascending of
+              n_pos(v) * (cum_neg(<v) + n_neg(v)/2) / (P*N)
+
+    Per batch, rows collapse to (score, n_pos, n_neg) partials BEFORE
+    the shuffle; one groupby(score) sums them.  Because scores are
+    QUANTIZED (callers round model scores, e.g. 6 dp in (0,1)), the
+    reduced table is bounded by the score grid (~1e6 rows) regardless
+    of corpus size, so a single vectorized task finishes the ordered
+    cumulative sweep — nothing row-scaled ever concentrates.  Degenerate
+    single-class inputs return AUC = NULL like SQL's division by zero.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        l = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"s": s, "p": l, "n": 1 - l})
+        g = df.groupby("s", sort=False).sum().reset_index()
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column(
+            "_b", pa.array((np.abs(
+                pd.util.hash_array(g["s"].to_numpy())) % 64)
+            .astype(np.int32)))
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("s", sort=False)[["p", "n"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("s")
+        np_ = df["p"].to_numpy(dtype=np.float64)
+        nn = df["n"].to_numpy(dtype=np.float64)
+        P, N = np_.sum(), nn.sum()
+        if P == 0 or N == 0:
+            return pa.table({"auc": pa.array([None], type=pa.float64())})
+        cum_below = np.cumsum(nn) - nn
+        auc = float((np_ * (cum_below + nn / 2.0)).sum() / (P * N))
+        return pa.table({"auc": pa.array([round(auc, round_dp)],
+                                         type=pa.float64())})
+
+    reduced = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(combine, batch_format="pandas")
+    return reduced.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)

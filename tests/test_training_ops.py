@@ -1275,3 +1275,31 @@ def test_longest_consecutive_run_known_streaks():
             key_col="user_id", ts_col="ts").to_pandas() \
             .set_index("user_id")["longest_streak"].to_dict()
         assert out == {1: 3, 2: 1}
+
+
+def test_distributed_auc_known_value_ties_and_degenerate():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from prclz_ray.stages import ml
+
+    # hand-computable: scores .1(neg) .2(pos) .2(neg) .3(pos)
+    # pairs: (pos .2 vs neg .1)=1, (pos .2 vs neg .2)=.5,
+    #        (pos .3 vs neg .1)=1, (pos .3 vs neg .2)=1 -> 3.5/4
+    t = pa.table({"score": pa.array([0.1, 0.2, 0.2, 0.3]),
+                  "label": pa.array([0, 1, 0, 1], type=pa.int64())})
+    for parts in (1, 3):
+        out = ml.distributed_auc(
+            rd.from_arrow(t).repartition(parts), "score", "label") \
+            .to_pandas()
+        assert out["auc"].tolist() == [0.875]
+    # perfect separation
+    t2 = pa.table({"score": pa.array([0.1, 0.2, 0.8, 0.9]),
+                   "label": pa.array([0, 0, 1, 1], type=pa.int64())})
+    assert ml.distributed_auc(rd.from_arrow(t2), "score",
+                              "label").to_pandas()["auc"].tolist() == [1.0]
+    # single class -> NULL like SQL division by zero
+    t3 = pa.table({"score": pa.array([0.1, 0.2]),
+                   "label": pa.array([1, 1], type=pa.int64())})
+    assert ml.distributed_auc(rd.from_arrow(t3), "score",
+                              "label").to_pandas()["auc"].isna().all()
