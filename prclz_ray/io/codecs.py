@@ -164,3 +164,18 @@ def write_geojson(ds, path: str, geometry_col: str = "geometry",
         json.dump({"type": "FeatureCollection", "features": feats}, f)
     os.replace(tmp, path)
     return path
+
+
+def write_jsonl(ds, path: str):
+    """Line-delimited JSON sink: one ``.json`` file per block via Ray
+    Data's native writer (each line one record) — the interchange format
+    web-corpus tooling expects.  Partitioned like every other sink, so a
+    downstream reader streams block-parallel."""
+    ds.write_json(path)
+
+
+def read_jsonl(paths):
+    """Line-delimited JSON source via ``ray.data.read_json`` — schema
+    inferred from the records, block-parallel."""
+    import ray.data as rd
+    return rd.read_json(paths)

@@ -4443,6 +4443,53 @@ def q_fuzzy_entity_clusters(sf_dir: str):
     return dd.connected_components(pairs.select_columns(["a", "b"]))
 
 
+def q_jsonl_source_stats(sf_dir: str):
+    """JSONL source/sink parity: documents round-trip through the
+    line-delimited JSON interchange format (written once to /tmp,
+    _DONE-marked), then aggregate per lang from the JSONL READ — the
+    oracle aggregates the original parquet, so any reader/writer
+    corruption breaks the hash."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from ..io import codecs
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/prclz_ray_jsonl_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        codecs.write_jsonl(_read(sf_dir, "documents",
+                                 ["doc_id", "text", "lang", "n_chars"]),
+                           out)
+        open(os.path.join(out, "_DONE"), "w").close()
+    docs = codecs.read_jsonl(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            "tlen": pc.utf8_length(t["text"])
+            .to_numpy(zero_copy_only=False)})
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("lang", "size"), sum_chars=("n_chars", "sum"),
+            sum_text_len=("tlen", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang") \
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"),
+                   Sum("sum_text_len", alias_name="sum_text_len"))
+
+
+SQL_JSONL_STATS = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       SUM(length(text)) AS sum_text_len
+FROM documents GROUP BY lang
+"""
+
+
 def q_auc_doc_score(sf_dir: str):
     """Exact distributed ROC AUC (Mann-Whitney U, tie-corrected) of the
     logreg document scorer against a length-derived label: per-batch
@@ -5086,6 +5133,7 @@ def registry():
                                     SQL_JACCARD_PAIRS),
         "user_event_paths": (q_user_event_paths, SQL_EVENT_PATHS),
         "auc_doc_score": (q_auc_doc_score, SQL_AUC),
+        "jsonl_source_stats": (q_jsonl_source_stats, SQL_JSONL_STATS),
         "embedding_mean_by_label": (q_embedding_mean_by_label,
                                     SQL_EMB_MEAN),
         "acctbal_outliers": (q_acctbal_outliers, SQL_ACCTBAL_OUTLIERS),

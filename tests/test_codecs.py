@@ -116,3 +116,21 @@ def test_clean_gadm_cols():
     assert out["gadm"].to_pylist() == ["DJI", "DJI"]
     out1 = normalize.clean_gadm_cols(batch, target_level=1)
     assert out1["gadm_code"].to_pylist() == ["DJI.1_1", "DJI.2_1"]
+
+
+def test_jsonl_roundtrip_preserves_rows_and_schema(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.io import codecs
+
+    t = pa.table({
+        "doc_id": pa.array([3, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b", "c\"d", "unicode é"]),
+        "n": pa.array([1.5, 2.0, -3.25])})
+    out = str(tmp_path / "jl")
+    codecs.write_jsonl(rd.from_arrow(t), out)
+    back = codecs.read_jsonl(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    exp = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back[["doc_id", "text", "n"]].equals(exp)
