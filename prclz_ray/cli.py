@@ -211,6 +211,14 @@ def cmd_flagship(a):
         print(info.get("write"))
 
 
+def cmd_compact(a):
+    from .runtime.checkpoint import compact_parquet
+    _init_ray()
+    info = compact_parquet(a.in_dir, a.out,
+                           target_bytes=a.target_mb << 20)
+    print(info)
+
+
 _CORPUS_STAGES = ("normalize", "langid", "quality", "tokens", "repetition",
                   "pii", "fingerprint")
 
@@ -429,6 +437,14 @@ def main(argv=None):
     s.add_argument("--out", default=None,
                    help="resumable partitioned output dir (with manifest)")
     s.set_defaults(fn=cmd_flagship)
+
+    s = sub.add_parser("compact",
+                       help="merge a fragmented parquet dir into "
+                            "~target-size files (content-identical)")
+    s.add_argument("--in", dest="in_dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--target-mb", type=int, default=128)
+    s.set_defaults(fn=cmd_compact)
 
     a = p.parse_args(argv)
     a.fn(a)

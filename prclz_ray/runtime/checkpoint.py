@@ -193,3 +193,23 @@ def write_clustered(ds, out_dir: str, key_col: str,
     return {"written": int((~res.skipped).sum()),
             "skipped": int(res.skipped.sum()),
             "rows": int(res.rows.sum())}
+
+
+def compact_parquet(in_dir: str, out_dir: str,
+                    target_bytes: int = 128 << 20) -> dict:
+    """Small-file compaction: read a fragmented parquet directory and
+    rewrite it as ~``target_bytes`` files — the maintenance op every
+    long-running ingest needs (a resumable writer that commits per
+    partition accumulates small files; readers then pay per-file open
+    cost).  File count derives from the INPUT metadata size estimate
+    (no data pass), rows stream through one repartition; content and
+    schema are untouched.  Returns {files_in, files_out, bytes}."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(in_dir)
+    size = ds.size_bytes() or 1
+    files_in = len(ds.input_files())
+    nfiles = max(1, -(-size // target_bytes))
+    ds.repartition(nfiles).write_parquet(out_dir)
+    return {"files_in": files_in, "files_out": int(nfiles),
+            "bytes": int(size)}

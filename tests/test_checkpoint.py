@@ -101,3 +101,27 @@ def test_write_clustered_global_order_and_resume(tmp_path):
     res2 = write_clustered(rd.from_pandas(df).repartition(7), out, "k",
                            num_ranges=8)
     assert res2["written"] == 0 and res2["skipped"] == res["written"]
+
+
+def test_compact_parquet_merges_small_files_content_identical(tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.runtime import checkpoint as cp
+
+    t = pa.table({"k": pa.array(range(5000), type=pa.int64()),
+                  "v": pa.array([f"row{i}" for i in range(5000)])})
+    frag = str(tmp_path / "frag")
+    rd.from_arrow(t).repartition(40).write_parquet(frag)
+    assert len(glob.glob(frag + "/*.parquet")) >= 20
+
+    out = str(tmp_path / "compact")
+    info = cp.compact_parquet(frag, out, target_bytes=1 << 30)
+    assert info["files_out"] < info["files_in"]
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) <= 2
+    back = rd.read_parquet(out).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    assert back.equals(t.to_pandas())
