@@ -4443,6 +4443,74 @@ def q_fuzzy_entity_clusters(sf_dir: str):
     return dd.connected_components(pairs.select_columns(["a", "b"]))
 
 
+def q_ab_test_event_value(sf_dir: str):
+    """A/B comparison: Welch's t statistic for event value (cents)
+    between user cohorts (user_id % 2) per event type.  One narrow
+    sufficient-statistics shuffle (n, Σ, Σ²) — integer cents make the
+    partials EXACT, and the variance numerator n·Σ² − Σ² stays an exact
+    integer on both sides (HUGEINT / python int), so the doubles after
+    the single cast are bit-identical to the oracle's."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "cohort": (t["user_id"].to_numpy(zero_copy_only=False) % 2)
+            .astype(np.int64),
+            "n": 1, "s1": cents, "s2": cents * cents})
+        g = df.groupby(["event_type", "cohort"], sort=False) \
+            .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "cohort"]) \
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                   Sum("s2", alias_name="s2")).to_pandas()
+
+    rows = []
+    for et, g in stats.groupby("event_type"):
+        by = {int(r.cohort): r for r in g.itertuples()}
+        if 0 not in by or 1 not in by:
+            continue
+        a, b = by[0], by[1]
+        # exact-integer variance numerators (python ints — no 2^53 loss)
+        va = float(int(a.n) * int(a.s2) - int(a.s1) ** 2) \
+            / (int(a.n) * (int(a.n) - 1.0))
+        vb = float(int(b.n) * int(b.s2) - int(b.s1) ** 2) \
+            / (int(b.n) * (int(b.n) - 1.0))
+        ma = int(a.s1) / int(a.n)
+        mb = int(b.s1) / int(b.n)
+        t_stat = (ma - mb) / np.sqrt(va / int(a.n) + vb / int(b.n))
+        rows.append({"event_type": et, "n_a": int(a.n), "n_b": int(b.n),
+                     "t_stat": round(float(t_stat), 4)})
+    return pd.DataFrame(rows).sort_values("event_type") \
+        .reset_index(drop=True)
+
+
+SQL_AB_TEST = """
+WITH e AS (
+  SELECT event_type, user_id % 2 AS cohort,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+s AS (SELECT event_type, cohort, COUNT(*) AS n, SUM(cents) AS s1,
+             SUM(cents * cents) AS s2
+      FROM e GROUP BY 1, 2)
+SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+       ROUND((a.s1 * 1.0 / a.n - b.s1 * 1.0 / b.n)
+             / sqrt(CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                    / (a.n * (a.n - 1.0)) / a.n
+                    + CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                    / (b.n * (b.n - 1.0)) / b.n), 4) AS t_stat
+FROM s a JOIN s b ON a.event_type = b.event_type
+WHERE a.cohort = 0 AND b.cohort = 1
+ORDER BY a.event_type
+"""
+
+
 def q_jsonl_source_stats(sf_dir: str):
     """JSONL source/sink parity: documents round-trip through the
     line-delimited JSON interchange format (written once to /tmp,
@@ -5134,6 +5202,7 @@ def registry():
         "user_event_paths": (q_user_event_paths, SQL_EVENT_PATHS),
         "auc_doc_score": (q_auc_doc_score, SQL_AUC),
         "jsonl_source_stats": (q_jsonl_source_stats, SQL_JSONL_STATS),
+        "ab_test_event_value": (q_ab_test_event_value, SQL_AB_TEST),
         "embedding_mean_by_label": (q_embedding_mean_by_label,
                                     SQL_EMB_MEAN),
         "acctbal_outliers": (q_acctbal_outliers, SQL_ACCTBAL_OUTLIERS),
