@@ -4491,6 +4491,51 @@ def q_ab_test_event_value(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_chi2_event_cohort(sf_dir: str):
+    """Chi-squared independence test: event_type x cohort contingency
+    table from one partial-combined count shuffle; the cells-sized
+    driver finish computes observed-vs-expected exactly as the SQL
+    twin (absent zero cells are skipped identically on both sides)."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "cohort": (t["user_id"].to_numpy(zero_copy_only=False) % 2)
+            .astype(np.int64)})
+        g = df.groupby(["event_type", "cohort"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    c = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "cohort"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    grand = c["n"].sum()
+    rt = c.groupby("event_type")["n"].transform("sum").to_numpy()
+    ct = c.groupby("cohort")["n"].transform("sum").to_numpy()
+    o = c["n"].to_numpy(dtype=np.float64)
+    e = rt * ct * 1.0 / grand
+    chi2 = float(((o - e) * (o - e) / e).sum())
+    dof = (c["event_type"].nunique() - 1) * (c["cohort"].nunique() - 1)
+    return pd.DataFrame([{"chi2": round(chi2, 4),
+                          "dof": np.int64(dof)}])
+
+
+SQL_CHI2 = """
+WITH c AS (SELECT event_type, user_id % 2 AS cohort, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT SUM(n) AS g FROM c),
+r AS (SELECT event_type, SUM(n) AS rt FROM c GROUP BY 1),
+k AS (SELECT cohort, SUM(n) AS ct FROM c GROUP BY 1)
+SELECT ROUND(SUM((c.n - rt * ct * 1.0 / g) * (c.n - rt * ct * 1.0 / g)
+                 / (rt * ct * 1.0 / g)), 4) AS chi2,
+       (SELECT COUNT(DISTINCT event_type) - 1 FROM c)
+         * (SELECT COUNT(DISTINCT cohort) - 1 FROM c) AS dof
+FROM c JOIN r USING (event_type) JOIN k USING (cohort) CROSS JOIN t
+"""
+
+
 SQL_AB_TEST = """
 WITH e AS (
   SELECT event_type, user_id % 2 AS cohort,
@@ -5203,6 +5248,7 @@ def registry():
         "auc_doc_score": (q_auc_doc_score, SQL_AUC),
         "jsonl_source_stats": (q_jsonl_source_stats, SQL_JSONL_STATS),
         "ab_test_event_value": (q_ab_test_event_value, SQL_AB_TEST),
+        "chi2_event_cohort": (q_chi2_event_cohort, SQL_CHI2),
         "embedding_mean_by_label": (q_embedding_mean_by_label,
                                     SQL_EMB_MEAN),
         "acctbal_outliers": (q_acctbal_outliers, SQL_ACCTBAL_OUTLIERS),
