@@ -4491,6 +4491,123 @@ def q_ab_test_event_value(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_harmonized_union_counts(sf_dir: str):
+    """Schema-evolution union: a legacy catalog arrives as
+    (id, body, language-UPPERCASED); harmonize the column names and
+    normalize the lang casing, union with the modern corpus, count per
+    lang.  The mapping is the operator — mismatched schemas are the
+    default state of multi-source corpus builds."""
+    from ray.data.aggregate import Sum
+    modern = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    legacy_src = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def to_legacy(t: pa.Table) -> pa.Table:
+        # deterministic legacy shard: every 4th doc re-keyed + uppercased
+        keep = pc.equal(pc.bit_wise_and(t["doc_id"], 3), 0)
+        t = t.filter(keep)
+        return pa.table({"id": pc.add(t["doc_id"], 1_000_000),
+                         "body": t["text"],
+                         "language": pc.utf8_upper(t["lang"])})
+
+    def harmonize(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["id"], "text": t["body"],
+                         "lang": pc.utf8_lower(t["language"])})
+
+    legacy = legacy_src.map_batches(to_legacy, batch_format="pyarrow") \
+        .map_batches(harmonize, batch_format="pyarrow")
+    unioned = modern.union(legacy)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["lang"]}).group_by("lang") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    return unioned.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n_docs"))
+
+
+SQL_HARMONIZED_UNION = """
+WITH u AS (
+  SELECT doc_id, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lower(upper(lang)) AS lang
+  FROM documents WHERE doc_id % 4 = 0)
+SELECT lang, COUNT(*) AS n_docs FROM u GROUP BY lang
+"""
+
+
+def q_minmax_scale_acctbal(sf_dir: str):
+    """Per-nation min-max feature scaling: one (min, max) stats shuffle
+    → dimension-sized scale map broadcast → pure per-row map.  Constant
+    groups scale to 0 like the SQL twin's NULLIF guard avoids /0."""
+    from ray.data.aggregate import Max, Min
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    mm = cust.groupby("c_nationkey") \
+        .aggregate(Min("c_acctbal", alias_name="lo"),
+                   Max("c_acctbal", alias_name="hi")).to_pandas() \
+        .set_index("c_nationkey")
+    lo = mm["lo"].to_dict()
+    hi = mm["hi"].to_dict()
+
+    def f(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        lo_a = np.array([lo[k] for k in nk])
+        hi_a = np.array([hi[k] for k in nk])
+        span = hi_a - lo_a
+        scaled = np.where(span > 0, (v - lo_a) / np.where(span > 0, span,
+                                                          1.0), 0.0)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "scaled": pa.array(np.round(scaled, 6),
+                                            type=pa.float64())})
+
+    return cust.map_batches(f, batch_format="pyarrow")
+
+
+SQL_MINMAX_SCALE = """
+SELECT c_custkey,
+       ROUND(COALESCE((c_acctbal - MIN(c_acctbal) OVER w)
+             / NULLIF(MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w, 0),
+             0), 6) AS scaled
+FROM customer WINDOW w AS (PARTITION BY c_nationkey)
+"""
+
+
+def q_dup_cluster_size_histogram(sf_dir: str):
+    """Dedup reporting: histogram of exact-duplicate cluster sizes
+    (how much of the corpus is 1x, 2x, ...).  Two partial-combined
+    count shuffles over u64 content hashes — text never shuffles."""
+    from ray.data.aggregate import Sum
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def h1(t: pa.Table) -> pa.Table:
+        hs = dd._stable_u64(t["text"].to_pylist())
+        g, c = np.unique(hs, return_counts=True)
+        return pa.table({"h": pa.array(g, type=pa.uint64()),
+                         "c": pa.array(c.astype(np.int64)),
+                         "_b": pa.array((g % np.uint64(64))
+                                        .astype(np.int32))})
+
+    def h2(df: pd.DataFrame) -> pa.Table:
+        s = df.groupby("h", sort=False)["c"].sum()
+        g, c = np.unique(s.to_numpy(dtype=np.int64), return_counts=True)
+        return pa.table({"cluster_size": pa.array(g),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    return docs.map_batches(h1, batch_format="pyarrow") \
+        .groupby("_b").map_groups(h2, batch_format="pandas") \
+        .groupby("cluster_size").aggregate(Sum("pn",
+                                               alias_name="n_clusters"))
+
+
+SQL_DUP_HISTOGRAM = """
+SELECT cnt AS cluster_size, COUNT(*) AS n_clusters
+FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY text)
+GROUP BY cnt
+"""
+
+
 def q_chi2_event_cohort(sf_dir: str):
     """Chi-squared independence test: event_type x cohort contingency
     table from one partial-combined count shuffle; the cells-sized
@@ -5249,6 +5366,12 @@ def registry():
         "jsonl_source_stats": (q_jsonl_source_stats, SQL_JSONL_STATS),
         "ab_test_event_value": (q_ab_test_event_value, SQL_AB_TEST),
         "chi2_event_cohort": (q_chi2_event_cohort, SQL_CHI2),
+        "harmonized_union_counts": (q_harmonized_union_counts,
+                                    SQL_HARMONIZED_UNION),
+        "minmax_scale_acctbal": (q_minmax_scale_acctbal,
+                                 SQL_MINMAX_SCALE),
+        "dup_cluster_size_histogram": (q_dup_cluster_size_histogram,
+                                       SQL_DUP_HISTOGRAM),
         "embedding_mean_by_label": (q_embedding_mean_by_label,
                                     SQL_EMB_MEAN),
         "acctbal_outliers": (q_acctbal_outliers, SQL_ACCTBAL_OUTLIERS),
