@@ -4491,6 +4491,90 @@ def q_ab_test_event_value(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_merge_upsert_documents(sf_dir: str):
+    """MERGE / CDC-apply: a deterministic change set (updates for
+    doc_id%5==0, deletes for %7==0, 50 inserts) applies to the corpus
+    snapshot via ONE full-outer bucketed join + vectorized CASE — the
+    upsert primitive behind incremental corpus refreshes.  Returns the
+    merged corpus's per-lang doc count + total chars so the whole merge
+    result is hash-checked."""
+    from ray.data.aggregate import Sum
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "n_chars"])
+    n_total = docs.count()
+
+    def changes(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        upd = d % 5 == 0
+        dele = d % 7 == 0
+        keep = upd | dele
+        op = np.where(dele[keep], "D", "U")
+        txt = pc.binary_join_element_wise(
+            t["text"].filter(pa.array(keep)), " v2", "")
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(keep)),
+                         "op": pa.array(op),
+                         "new_text": txt,
+                         "new_lang": t["lang"].filter(pa.array(keep))})
+
+    def inserts(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = d < 50
+        return pa.table({
+            "doc_id": pa.array(d[keep] + n_total, type=pa.int64()),
+            "op": pa.array(np.full(keep.sum(), "I", dtype=object)),
+            "new_text": pa.array(["fresh doc"] * int(keep.sum())),
+            "new_lang": pa.array(["en"] * int(keep.sum()))})
+
+    chg = docs.map_batches(changes, batch_format="pyarrow") \
+        .union(docs.map_batches(inserts, batch_format="pyarrow"))
+
+    joined = relational.bucketed_hash_join(
+        docs.select_columns(["doc_id", "text", "lang"]), chg,
+        on="doc_id", how="outer")
+
+    def apply_merge(df: pd.DataFrame) -> pa.Table:
+        op = df["op"].astype(object)
+        keep = op != "D"
+        df = df[keep]
+        is_new = df["op"].isin(["U", "I"]).to_numpy()
+        text = np.where(is_new, df["new_text"].to_numpy(dtype=object),
+                        df["text"].to_numpy(dtype=object))
+        lang = np.where(is_new, df["new_lang"].to_numpy(dtype=object),
+                        df["lang"].to_numpy(dtype=object))
+        lens = np.fromiter((len(s) for s in text), np.int64, len(df))
+        g = pd.DataFrame({"lang": lang, "n": 1, "chars": lens}) \
+            .groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(apply_merge, batch_format="pandas") \
+        .groupby("lang") \
+        .aggregate(Sum("n", alias_name="n_docs"),
+                   Sum("chars", alias_name="total_chars"))
+
+
+SQL_MERGE_UPSERT = """
+WITH chg AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         text || ' v2' AS new_text, lang AS new_lang
+  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + (SELECT COUNT(*) FROM documents) AS doc_id,
+         'I' AS op, 'fresh doc' AS new_text, 'en' AS new_lang
+  FROM documents WHERE doc_id < 50),
+m AS (
+  SELECT COALESCE(c.doc_id, d.doc_id) AS doc_id,
+         CASE WHEN c.op IN ('U', 'I') THEN c.new_text
+              ELSE d.text END AS text,
+         CASE WHEN c.op IN ('U', 'I') THEN c.new_lang
+              ELSE d.lang END AS lang
+  FROM documents d FULL OUTER JOIN chg c ON c.doc_id = d.doc_id
+  WHERE c.op IS NULL OR c.op <> 'D')
+SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars
+FROM m GROUP BY lang
+"""
+
+
 def q_harmonized_union_counts(sf_dir: str):
     """Schema-evolution union: a legacy catalog arrives as
     (id, body, language-UPPERCASED); harmonize the column names and
@@ -5366,6 +5450,8 @@ def registry():
         "jsonl_source_stats": (q_jsonl_source_stats, SQL_JSONL_STATS),
         "ab_test_event_value": (q_ab_test_event_value, SQL_AB_TEST),
         "chi2_event_cohort": (q_chi2_event_cohort, SQL_CHI2),
+        "merge_upsert_documents": (q_merge_upsert_documents,
+                                   SQL_MERGE_UPSERT),
         "harmonized_union_counts": (q_harmonized_union_counts,
                                     SQL_HARMONIZED_UNION),
         "minmax_scale_acctbal": (q_minmax_scale_acctbal,
