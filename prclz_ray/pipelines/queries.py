@@ -4491,6 +4491,63 @@ def q_ab_test_event_value(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_repeat_orders_1d(sf_dir: str):
+    """Per-key temporal self-join: pairs of orders by the SAME customer
+    placed within 1 day of each other (rapid-repeat detection).  One
+    customer-bucket shuffle; per bucket a vectorized sort +
+    searchsorted window sweep — never a quadratic per-customer loop.
+    Distinct from asof (nearest-only) and the global band join."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    day_us = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array(relational.stable_bucket(t["o_custkey"], 64)))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cust = df["o_custkey"].to_numpy()
+        dts = df["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // day_us
+        keys = df["o_orderkey"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        # composite monotone key: group id spaced wider than any
+        # intra-group day span, so ONE global searchsorted finds each
+        # row's (same customer, <= +1 day) window end
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        g = np.cumsum(new) - 1
+        comp = g * 1_000_000 + dts
+        hi = np.searchsorted(comp, comp + 1, side="right")
+        cnt = hi - np.arange(n) - 1
+        ia = np.repeat(np.arange(n), cnt)
+        ib = relational._ragged_arange(cnt) + ia + 1
+        a, b = keys[ia], keys[ib]
+        return pa.table({"a": pa.array(np.minimum(a, b),
+                                       type=pa.int64()),
+                         "b": pa.array(np.maximum(a, b),
+                                       type=pa.int64())})
+
+    return orders.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+SQL_REPEAT_ORDERS = """
+SELECT LEAST(x.o_orderkey, y.o_orderkey) AS a,
+       GREATEST(x.o_orderkey, y.o_orderkey) AS b
+FROM orders x JOIN orders y
+  ON x.o_custkey = y.o_custkey
+ AND x.o_orderkey < y.o_orderkey
+ AND ABS(date_diff('day', CAST(x.o_orderdate AS DATE),
+                    CAST(y.o_orderdate AS DATE))) <= 1
+"""
+
+
 def q_merge_upsert_documents(sf_dir: str):
     """MERGE / CDC-apply: a deterministic change set (updates for
     doc_id%5==0, deletes for %7==0, 50 inserts) applies to the corpus
@@ -5450,6 +5507,7 @@ def registry():
         "jsonl_source_stats": (q_jsonl_source_stats, SQL_JSONL_STATS),
         "ab_test_event_value": (q_ab_test_event_value, SQL_AB_TEST),
         "chi2_event_cohort": (q_chi2_event_cohort, SQL_CHI2),
+        "repeat_orders_1d": (q_repeat_orders_1d, SQL_REPEAT_ORDERS),
         "merge_upsert_documents": (q_merge_upsert_documents,
                                    SQL_MERGE_UPSERT),
         "harmonized_union_counts": (q_harmonized_union_counts,
