@@ -4491,6 +4491,54 @@ def q_ab_test_event_value(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_event_transition_matrix(sf_dir: str):
+    """User-journey Markov chain: P(next event type | current) from
+    per-user ts-ordered transitions.  One user-bucket shuffle; per
+    bucket a vectorized sort + shift builds (cur, nxt) pairs, partial
+    counts collapse before the tiny pair groupby; probabilities
+    normalize against the pair table's own margins (exact-int division
+    → ROUND-4-identical doubles)."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array(relational.stable_bucket(t["user_id"], 64)))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        same = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        cur = df["event_type"].to_numpy()[:-1][same]
+        nxt = df["event_type"].to_numpy()[1:][same]
+        g = pd.DataFrame({"cur": cur, "nxt": nxt, "n": 1}) \
+            .groupby(["cur", "nxt"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas") \
+        .groupby(["cur", "nxt"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    tot = counts.groupby("cur")["n"].transform("sum")
+    counts["p"] = np.round(counts["n"] / tot, 4)
+    return counts.sort_values(["cur", "nxt"]).reset_index(drop=True)[
+        ["cur", "nxt", "n", "p"]]
+
+
+SQL_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (SELECT cur, nxt, COUNT(*) AS n FROM t
+      WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT cur, nxt, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY cur), 4) AS p
+FROM c ORDER BY cur, nxt
+"""
+
+
 def q_repeat_orders_1d(sf_dir: str):
     """Per-key temporal self-join: pairs of orders by the SAME customer
     placed within 1 day of each other (rapid-repeat detection).  One
@@ -5508,6 +5556,8 @@ def registry():
         "ab_test_event_value": (q_ab_test_event_value, SQL_AB_TEST),
         "chi2_event_cohort": (q_chi2_event_cohort, SQL_CHI2),
         "repeat_orders_1d": (q_repeat_orders_1d, SQL_REPEAT_ORDERS),
+        "event_transition_matrix": (q_event_transition_matrix,
+                                    SQL_TRANSITIONS),
         "merge_upsert_documents": (q_merge_upsert_documents,
                                    SQL_MERGE_UPSERT),
         "harmonized_union_counts": (q_harmonized_union_counts,
