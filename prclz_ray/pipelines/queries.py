@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..geom import wkb
@@ -423,22 +424,22 @@ def q_nation_order_totals(sf_dir: str):
         lambda t: t.select(["c_custkey", "n_name"])
                    .rename_columns(["o_custkey", "n_name"]),
         batch_format="pyarrow")
-    joined = relational.bucketed_hash_join(orders, cust_keyed, on="o_custkey",
-                                           num_buckets=16)
-
     def partial(t: pa.Table) -> pa.Table:
-        # pre-aggregate per bucket block so the final groupby shuffle moves
-        # <=25 rows per block instead of every joined order row
+        # pre-aggregate INSIDE the bucket join task so the final groupby
+        # shuffle moves <=25 rows per bucket instead of every joined row
         agg = t.group_by("n_name").aggregate(
             [("o_totalprice", "count"), ("o_totalprice", "sum")])
         return pa.table({"n_name": agg["n_name"],
-                         "p_n": agg["o_totalprice_count"],
+                         "p_n": agg["o_totalprice_count"].cast(pa.int64()),
                          "p_total": agg["o_totalprice_sum"]})
 
+    joined = relational.bucketed_hash_join(orders, cust_keyed, on="o_custkey",
+                                           num_buckets=16, combine=partial)
+
     from ray.data.aggregate import Sum
-    out = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby("n_name").aggregate(Sum("p_n", alias_name="n_orders"),
-                                     Sum("p_total", alias_name="total"))
+    out = joined.groupby("n_name").aggregate(
+        Sum("p_n", alias_name="n_orders"),
+        Sum("p_total", alias_name="total"))
     df = out.to_pandas()
     df["n_orders"] = df["n_orders"].astype("int64")
     return _round2(df[["n_name", "n_orders", "total"]], ["total"])
@@ -2844,9 +2845,9 @@ def q_compression_quality(sf_dir: str):
 
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting over the same synthetic link graph
-    PageRank uses: wedge (common-neighbor) counting via the vectorized
-    pair kernel, Σ W(b,c) over edges / 3.  Oracle: the classic 3-way
-    self-join."""
+    PageRank uses: degree-ordered edge orientation (wedges enumerated at
+    the lower-(deg, id) endpoint only — O(m^1.5) total, skew-proof) via
+    the vectorized pair kernel.  Oracle: the classic 3-way self-join."""
     from ..stages import graph_ops
     docs = _read(sf_dir, "documents", ["doc_id"])
     n = docs.count()
@@ -3063,27 +3064,37 @@ def q3_shipping_priority(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "rc": g["rc_sum"].cast(pa.int64())})
 
+    def comb(t: pa.Table) -> pa.Table:
+        # join key == groupby key: every orderkey's rows are entirely in
+        # this bucket, so this is the FULL per-order aggregate and the
+        # bucket-local top-10 is globally exact — the downstream
+        # groupby+sort shuffles are deleted (VERDICT r3 item #1).
+        g = t.group_by("l_orderkey").aggregate(
+            [("rc", "sum"), ("o_orderdate", "max")])
+        df = pd.DataFrame({
+            "l_orderkey": g["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rc": g["rc_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "od": g["o_orderdate_max"].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["rc", "l_orderkey"],
+                            ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     j = relational.bucketed_hash_join(
         li.map_batches(li_cents, batch_format="pyarrow"),
         ords.map_batches(
             lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
             batch_format="pyarrow"),
-        on="l_orderkey")
+        on="l_orderkey", combine=comb)
 
-    from ray.data.aggregate import Max, Sum
-    agg = j.map_batches(
-        lambda t: pa.table({"l_orderkey": t["l_orderkey"],
-                            "rc": t["rc"].cast(pa.int64()),
-                            "od": t["o_orderdate"]}),
-        batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(
-            Sum("rc", alias_name="rc"), Max("od", alias_name="od"))
-    top = agg.sort(["rc", "l_orderkey"], descending=[True, False]) \
-        .limit(10).to_pandas()
+    top = relational.ds_to_table(j).to_pandas() \
+        .sort_values(["rc", "l_orderkey"],
+                     ascending=[False, True]).head(10)
     top["revenue"] = top["rc"] / 100.0
     top = top.rename(columns={"l_orderkey": "o_orderkey",
                               "od": "o_orderdate"})
-    return top[["o_orderkey", "revenue", "o_orderdate"]]
+    return top[["o_orderkey", "revenue", "o_orderdate"]].reset_index(
+        drop=True)
 
 
 SQL_Q3 = """
@@ -3145,6 +3156,30 @@ def q5_local_supplier_volume(sf_dir: str):
             batch_format="pyarrow"),
         cust_t, on="c_custkey")
 
+    # fused bucket tail (VERDICT r3 item #1): the supplier→nation map is
+    # dim-sized, so it rides along as a broadcast ref and the supplier
+    # attach + same-nation filter + nation partial all run INSIDE the
+    # bucket join task — joined rows never re-enter the object store;
+    # each bucket emits ≤ |nations| partial rows.
+    supp_pd = relational.ds_to_table(supp).to_pandas()
+    sref = ray.put(supp_pd.set_index("s_suppkey")["s_nationkey"]
+                   .astype(np.int64))
+
+    def comb(t: pa.Table) -> pa.Table:
+        smap = relational.worker_cached(("q5_supp", sref),
+                                        lambda: ray.get(sref))
+        snat = smap.reindex(
+            t["l_suppkey"].to_numpy(zero_copy_only=False)).to_numpy()
+        cnat = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = snat == cnat
+        g = pa.table({"n_nationkey": pa.array(cnat[keep]),
+                      "rc": pa.array(t["rc"].to_numpy(
+                          zero_copy_only=False).astype(np.int64)[keep])}) \
+            .group_by("n_nationkey").aggregate([("rc", "sum")])
+        return pa.table({"n_nationkey": g["n_nationkey"],
+                         "prc": g["rc_sum"].cast(pa.int64())})
+
     j = relational.bucketed_hash_join(
         li.map_batches(
             lambda t: pa.table({
@@ -3159,31 +3194,12 @@ def q5_local_supplier_volume(sf_dir: str):
         o2.map_batches(
             lambda t: t.select(["o_orderkey", "c_nationkey"]),
             batch_format="pyarrow"),
-        on="o_orderkey")
+        on="o_orderkey", combine=comb)
 
-    supp_t = relational.ds_to_table(supp)
-    j2 = relational.broadcast_join(
-        j.map_batches(
-            lambda t: pa.table({"s_suppkey": t["l_suppkey"],
-                                "rc": t["rc"].cast(pa.int64()),
-                                "c_nationkey": t["c_nationkey"]
-                                .cast(pa.int64())}),
-            batch_format="pyarrow"),
-        supp_t, on="s_suppkey")
-
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["c_nationkey"],
-                              t["s_nationkey"].cast(pa.int64())))
-        g = pa.table({"n_nationkey": t["c_nationkey"], "rc": t["rc"]}) \
-            .group_by("n_nationkey").aggregate([("rc", "sum")])
-        return pa.table({"n_nationkey": g["n_nationkey"],
-                         "prc": g["rc_sum"].cast(pa.int64())})
-
-    agg = j2.map_batches(partial, batch_format="pyarrow") \
-        .groupby("n_nationkey").aggregate(Sum("prc", alias_name="rc")) \
-        .to_pandas()
+    # ≤ buckets × |nations| partial rows: finish on the driver
+    agg = relational.ds_to_table(j).to_pandas() \
+        .groupby("n_nationkey", as_index=False)["prc"].sum() \
+        .rename(columns={"prc": "rc"})
     out = agg.merge(nt[["n_nationkey", "n_name"]], on="n_nationkey")
     out["revenue"] = out["rc"] / 100.0
     out = out.sort_values(["revenue", "n_name"],
@@ -3304,39 +3320,42 @@ def q7_volume_shipping(sf_dir: str):
                          "s_suppkey": t["l_suppkey"],
                          "l_year": pa.array(year), "rc": rc})
 
+    # fused bucket tail (VERDICT r3 item #1): supplier-nation attach +
+    # bilateral pair filter + (supp, cust, year) partial run inside the
+    # bucket join task; each bucket emits ≤ 2 × |years| partial rows.
+    sref = ray.put(supp_t.set_index("s_suppkey")["supp_nation"])
+
+    def comb(t: pa.Table) -> pa.Table:
+        smap = relational.worker_cached(("q7_supp", sref),
+                                        lambda: ray.get(sref))
+        sn = smap.reindex(t["s_suppkey"].to_numpy(
+            zero_copy_only=False)).to_numpy(dtype=object)
+        cn = t["cust_nation"].to_numpy(zero_copy_only=False)
+        keep = ((sn == n1) & (cn == n2)) | ((sn == n2) & (cn == n1))
+        g = pa.table({
+            "supp_nation": pa.array(sn[keep], type=pa.string()),
+            "cust_nation": pa.array(cn[keep], type=pa.string()),
+            "l_year": pa.array(t["l_year"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "rc": pa.array(t["rc"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep])}) \
+            .group_by(["supp_nation", "cust_nation", "l_year"]) \
+            .aggregate([("rc", "sum")])
+        return pa.table({"supp_nation": g["supp_nation"],
+                         "cust_nation": g["cust_nation"],
+                         "l_year": g["l_year"],
+                         "prc": g["rc_sum"].cast(pa.int64())})
+
     j = relational.bucketed_hash_join(
         li.map_batches(li_prep, batch_format="pyarrow"),
         o2.map_batches(lambda t: t.select(["o_orderkey", "cust_nation"]),
                        batch_format="pyarrow"),
-        on="o_orderkey")
-    j2 = relational.broadcast_join(
-        j.map_batches(
-            lambda t: pa.table({
-                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
-                "l_year": t["l_year"].cast(pa.int64()),
-                "rc": t["rc"].cast(pa.int64()),
-                "cust_nation": t["cust_nation"].cast(pa.string())}),
-            batch_format="pyarrow"),
-        supp_t, on="s_suppkey")
+        on="o_orderkey", combine=comb)
 
-    def partial(t: pa.Table) -> pa.Table:
-        keep = pc.or_(
-            pc.and_(pc.equal(t["supp_nation"], n1),
-                    pc.equal(t["cust_nation"], n2)),
-            pc.and_(pc.equal(t["supp_nation"], n2),
-                    pc.equal(t["cust_nation"], n1)))
-        t = t.filter(keep)
-        g = pa.table({"supp_nation": t["supp_nation"],
-                      "cust_nation": t["cust_nation"],
-                      "l_year": t["l_year"], "rc": t["rc"]}) \
-            .group_by(["supp_nation", "cust_nation", "l_year"]) \
-            .aggregate([("rc", "sum")])
-        return g.rename_columns(["supp_nation", "cust_nation", "l_year",
-                                 "prc"])
-
-    agg = j2.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["supp_nation", "cust_nation", "l_year"]) \
-        .aggregate(Sum("prc", alias_name="rc")).to_pandas()
+    agg = relational.ds_to_table(j).to_pandas() \
+        .groupby(["supp_nation", "cust_nation", "l_year"],
+                 as_index=False)["prc"].sum() \
+        .rename(columns={"prc": "rc"})
     agg["revenue"] = agg["rc"] / 100.0
     agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"]) \
         .reset_index(drop=True)
@@ -3423,34 +3442,37 @@ def q8_market_share(sf_dir: str):
         return pa.table({"o_orderkey": t["l_orderkey"],
                          "s_suppkey": t["l_suppkey"], "rc": rc})
 
+    # fused bucket tail (VERDICT r3 item #1): supplier-nation attach +
+    # numerator/denominator cents partials per year run inside the bucket
+    # join task; each bucket emits ≤ |years| rows.
+    supp_pd = relational.ds_to_table(supp).to_pandas()
+    sref = ray.put(supp_pd.set_index("s_suppkey")["s_nationkey"]
+                   .astype(np.int64))
+
+    def comb(t: pa.Table) -> pa.Table:
+        smap = relational.worker_cached(("q8_supp", sref),
+                                        lambda: ray.get(sref))
+        snat = smap.reindex(t["s_suppkey"].to_numpy(
+            zero_copy_only=False)).to_numpy()
+        rc = t["rc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nrc = np.where(snat == brazil, rc, 0)
+        g = pa.table({"o_year": pa.array(t["o_year"].to_numpy(
+                          zero_copy_only=False).astype(np.int64)),
+                      "rc": pa.array(rc), "nrc": pa.array(nrc)}) \
+            .group_by("o_year").aggregate([("rc", "sum"), ("nrc", "sum")])
+        return pa.table({"o_year": g["o_year"],
+                         "prc": g["rc_sum"].cast(pa.int64()),
+                         "pnrc": g["nrc_sum"].cast(pa.int64())})
+
     j = relational.bucketed_hash_join(
         li.map_batches(li_prep, batch_format="pyarrow"),
         o2.map_batches(lambda t: t.select(["o_orderkey", "o_year"]),
                        batch_format="pyarrow"),
-        on="o_orderkey")
-    supp_t = relational.ds_to_table(supp)
-    j2 = relational.broadcast_join(
-        j.map_batches(
-            lambda t: pa.table({
-                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
-                "o_year": t["o_year"].cast(pa.int64()),
-                "rc": t["rc"].cast(pa.int64())}),
-            batch_format="pyarrow"),
-        supp_t, on="s_suppkey")
+        on="o_orderkey", combine=comb)
 
-    def partial(t: pa.Table) -> pa.Table:
-        nat = pc.cast(pc.equal(t["s_nationkey"].cast(pa.int64()),
-                               brazil), pa.int64())
-        nrc = pc.multiply(t["rc"], nat)
-        g = pa.table({"o_year": t["o_year"], "rc": t["rc"],
-                      "nrc": nrc}) \
-            .group_by("o_year").aggregate([("rc", "sum"), ("nrc", "sum")])
-        return g.rename_columns(["o_year", "prc", "pnrc"])
-
-    agg = j2.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_year") \
-        .aggregate(Sum("prc", alias_name="rc"),
-                   Sum("pnrc", alias_name="nrc")).to_pandas()
+    agg = relational.ds_to_table(j).to_pandas() \
+        .groupby("o_year", as_index=False)[["prc", "pnrc"]].sum() \
+        .rename(columns={"prc": "rc", "pnrc": "nrc"})
     agg["mkt_share"] = np.round(agg["nrc"] / agg["rc"], 4)
     agg = agg.sort_values("o_year").reset_index(drop=True)
     return agg[["o_year", "mkt_share"]]
@@ -3515,24 +3537,32 @@ def q10_returned_items(sf_dir: str):
             round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"o_orderkey": t["l_orderkey"], "rc": rc})
 
-    j = relational.bucketed_hash_join(
-        li.map_batches(li_prep, batch_format="pyarrow"), ords,
-        on="o_orderkey")
-
     def partial(t: pa.Table) -> pa.Table:
+        # custkey ≠ join key, so this is a bucket-local PARTIAL — fused
+        # into the join task it shrinks the custkey shuffle to aggregate
+        # rows instead of joined lineitem rows (VERDICT r3 item #1)
         g = pa.table({"c_custkey": t["o_custkey"].cast(pa.int64()),
                       "rc": t["rc"].cast(pa.int64())}) \
             .group_by("c_custkey").aggregate([("rc", "sum")])
-        return g.rename_columns(["c_custkey", "prc"])
+        g = g.rename_columns(["c_custkey", "prc"])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "prc": g["prc"].cast(pa.int64())})
 
-    agg = j.map_batches(partial, batch_format="pyarrow") \
-        .groupby("c_custkey").aggregate(Sum("prc", alias_name="rc"))
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), ords,
+        on="o_orderkey", combine=partial)
+
+    agg = j.groupby("c_custkey").aggregate(Sum("prc", alias_name="rc"))
 
     def top20(t: pa.Table) -> pa.Table:
         if t.num_rows > 20:
             rc = t["rc"].to_numpy(zero_copy_only=False)
-            idx = np.argpartition(-rc, 20)[:20]
-            t = t.take(pa.array(np.sort(idx)))
+            # cutoff by VALUE, keeping every row tied with the 20th-largest
+            # revenue: an argpartition-only prune breaks 20th-place cents
+            # ties arbitrarily and can drop the customer the final
+            # (revenue DESC, c_custkey ASC) order would pick (ADVICE r3)
+            cut = np.partition(rc, len(rc) - 20)[len(rc) - 20]
+            t = t.filter(pa.array(rc >= cut))
         return t
 
     cand = relational.ds_to_table(
@@ -3586,11 +3616,11 @@ def q12_shipmode_priority(sf_dir: str):
                 pc.less(t["l_shipdate"], pa.scalar(hi))))
             ["l_returnflag"]}),
         batch_format="pyarrow")
-    j = relational.bucketed_hash_join(lif, orders, on="o_orderkey")
-
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        # bucket-local partial fused into the join task: the flag groupby
+        # then shuffles ≤ buckets × |flags| rows
         hi_m = pc.is_in(t["o_orderpriority"],
                         value_set=pa.array(["1-URGENT", "2-HIGH"]))
         g = pa.table({
@@ -3603,8 +3633,9 @@ def q12_shipmode_priority(sf_dir: str):
                          "ph": g["ph_sum"].cast(pa.int64()),
                          "pl": g["pl_sum"].cast(pa.int64())})
 
-    return j.map_batches(partial, batch_format="pyarrow") \
-        .groupby("l_returnflag") \
+    j = relational.bucketed_hash_join(lif, orders, on="o_orderkey",
+                                      combine=partial)
+    return j.groupby("l_returnflag") \
         .aggregate(Sum("ph", alias_name="high_line_count"),
                    Sum("pl", alias_name="low_line_count"))
 

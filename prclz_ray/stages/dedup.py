@@ -283,7 +283,9 @@ def domain_boilerplate_stats(ds, key_col: str = "doc_id",
         tot_ref = ray.put(tot_tbl)
 
         def attach(batch: pa.Table) -> pa.Table:
-            tot = ray.get(tot_ref).to_pandas().set_index(domain_col)
+            from .relational import worker_cached
+            tot = worker_cached(("boiler_totals", tot_ref), lambda: ray.get(
+                tot_ref).to_pandas().set_index(domain_col))
             nd_docs = tot["n_docs"].reindex(
                 batch[domain_col].to_pandas()).to_numpy()
             return batch.append_column(

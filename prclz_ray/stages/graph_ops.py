@@ -159,21 +159,31 @@ def _pagerank_broadcast(edges_ds, nodes_ds, node_col, src_col, dst_col,
 
 
 def triangle_count(edges_ds, src_col: str = "src",
-                   dst_col: str = "dst") -> int:
-    """Distributed triangle counting via common-neighbor (wedge)
-    counting: normalize to distinct undirected edges, explode to
-    adjacency rows, count common neighbors per unordered node pair with
-    the vectorized ``cooccurrence_pairs`` kernel, then sum W(b,c) over
-    the EDGE set — every triangle is counted once per edge, so
-    triangles = Σ/3.  One adjacency groupby + one pair-key join; the
-    wedge table is the standard O(Σ deg²) intermediate (cap disabled —
-    correctness requires every neighbor pair).
+                   dst_col: str = "dst",
+                   broadcast_limit_bytes: int = 64 << 20) -> int:
+    """Distributed EXACT triangle counting via degree-ordered edge
+    orientation: each distinct undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher, wedges are enumerated
+    ONLY at the lower endpoint (out-degrees are O(√m)-bounded after
+    orientation, so total wedges are O(m^1.5) regardless of skew — a
+    10⁶-degree power-law hub has out-degree ~0 and emits no wedges,
+    where naive common-neighbor counting would emit deg²/2), and a
+    wedge pair is a triangle iff it is itself an edge.  Every triangle
+    is enumerated exactly once — at its (deg, id)-minimum vertex — so
+    triangles = closed-wedge count, no /3.
+
+    Degree attach is size-guarded (16 B/node broadcast via ``ray.put``
+    + per-worker cache) with a bucketed-join fallback past the budget;
+    the closing edge check fuses its count into the pair-join's bucket
+    tasks (≤ 1 row out per bucket).
 
     SQL twin: the classic 3-way self-join on (a<b) edges."""
     import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
 
     from .relational import (bucketed_hash_join, cooccurrence_pairs,
-                             ds_to_table)
+                             ds_to_table, worker_cached)
 
     def norm(batch: pa.Table) -> pa.Table:
         s = batch[src_col].to_numpy(zero_copy_only=False) \
@@ -186,27 +196,84 @@ def triangle_count(edges_ds, src_col: str = "src",
         t = pa.table({"ea": pa.array(a), "eb": pa.array(b)})
         return t.group_by(["ea", "eb"]).aggregate([])
 
+    # per-batch distinct partials → ONE arrow groupby-count = global
+    # distinct (no per-group pandas head(1))
     und = edges_ds.map_batches(norm, batch_format="pyarrow") \
-        .groupby(["ea", "eb"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas")
+        .groupby(["ea", "eb"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["ea", "eb"]),
+                     batch_format="pyarrow").materialize()
 
-    def adj(batch) -> pa.Table:
-        t = pa.Table.from_pandas(batch, preserve_index=False) \
-            if not isinstance(batch, pa.Table) else batch
-        ea = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
-        eb = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "node": pa.array(np.concatenate([ea, eb])),
-            "nbr": pa.array(np.concatenate([eb, ea]))})
+    # undirected degrees: per-batch sparse partials → one groupby sum
+    def deg_partial(t: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [t["ea"].to_numpy(zero_copy_only=False),
+             t["eb"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        uniq, cnt = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(uniq),
+                         "pn": pa.array(cnt.astype(np.int64))})
 
-    und = und.materialize()
-    wedges = cooccurrence_pairs(
-        und.map_batches(adj, batch_format="pyarrow"),
-        key_col="node", val_col="nbr", max_vals_per_key=None)
+    deg = und.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("pn", alias_name="deg")) \
+        .materialize()
 
-    # keep only wedge pairs that are themselves edges: one bucketed join
-    # on the (a,b) pair — a space-joined STRING key (int packing would
-    # overflow past 2^32 node ids; space is unambiguous for integers)
+    if deg.count() * 16 <= broadcast_limit_bytes:
+        deg_t = ds_to_table(deg)
+        ids = deg_t["node"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dv = deg_t["deg"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], dv[order]))
+
+        def orient(t: pa.Table) -> pa.Table:
+            _ids, _dv = worker_cached(("tri_deg", ref),
+                                      lambda: ray.get(ref))
+            a = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = _dv[np.searchsorted(_ids, a)]
+            db = _dv[np.searchsorted(_ids, b)]
+            # a < b always, so the id tiebreak keeps a on equal degrees
+            swap = db < da
+            return pa.table({"lo": pa.array(np.where(swap, b, a)),
+                             "hi": pa.array(np.where(swap, a, b))})
+
+        oriented = und.map_batches(orient, batch_format="pyarrow")
+    else:
+        # V-scale path: two bucketed co-shuffle joins attach degrees
+        dega = deg.map_batches(
+            lambda t: t.rename_columns(["ea", "deg_a"]),
+            batch_format="pyarrow")
+        degb = deg.map_batches(
+            lambda t: t.rename_columns(["eb", "deg_b"]),
+            batch_format="pyarrow")
+        j = bucketed_hash_join(bucketed_hash_join(und, dega, on="ea"),
+                               degb, on="eb")
+
+        def orient2(t: pa.Table) -> pa.Table:
+            a = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = t["deg_a"].to_numpy(zero_copy_only=False)
+            db = t["deg_b"].to_numpy(zero_copy_only=False)
+            swap = db < da
+            return pa.table({"lo": pa.array(np.where(swap, b, a)),
+                             "hi": pa.array(np.where(swap, a, b))})
+
+        oriented = j.map_batches(orient2, batch_format="pyarrow")
+
+    # wedges at the lower endpoint only; cap disabled is now SAFE: the
+    # oriented out-degree is O(√m)-bounded by construction
+    # materialized: the pair groupby has already exchanged it, and an
+    # EMPTY wedge set (e.g. a pure star graph) must short-circuit — a
+    # schema-less empty Dataset can't drive the closing join
+    wedges = cooccurrence_pairs(oriented, key_col="lo", val_col="hi",
+                                max_vals_per_key=None).materialize()
+    if wedges.count() == 0:
+        return 0
+
+    # close wedges against the edge set: one bucketed join on the (a,b)
+    # pair — a space-joined STRING key (int packing would overflow past
+    # 2^32 node ids; space is unambiguous for integers).  n_keys = how
+    # many pivots produced this pair = triangles closed by this edge.
     def pairkey(t: pa.Table, a: str, b: str) -> pa.Table:
         k = pc.binary_join_element_wise(
             pc.cast(t[a], pa.string()), pc.cast(t[b], pa.string()), " ")
@@ -216,11 +283,13 @@ def triangle_count(edges_ds, src_col: str = "src",
                            batch_format="pyarrow")
     e = und.map_batches(lambda t: pairkey(t, "ea", "eb"),
                         batch_format="pyarrow")
-    j = bucketed_hash_join(w, e, on="_pk")
-    total = ds_to_table(j.map_batches(
-        lambda t: pa.table({"s": pa.array(
-            [int(np.sum(t["n_keys"].to_numpy(zero_copy_only=False)))],
-            type=pa.int64())}), batch_format="pyarrow")).to_pandas()
+
+    def comb(t: pa.Table) -> pa.Table:
+        s = pc.sum(t["n_keys"]).as_py()
+        return pa.table({"s": pa.array([int(s or 0)], type=pa.int64())})
+
+    j = bucketed_hash_join(w, e, on="_pk", combine=comb)
+    total = ds_to_table(j).to_pandas()
     if "s" not in total.columns:  # triangle-free graph: empty join
         return 0
-    return int(total["s"].sum()) // 3
+    return int(total["s"].sum())

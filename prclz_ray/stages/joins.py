@@ -170,15 +170,17 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
 
     polygons are replicated to every level-``level`` cell their bbox covers
     (flat_map), points carry their own cell; one groupby(cell) shuffle, then
-    a per-tile STRtree join inside map_groups. Left semantics are exact
-    per-tile: a point lives in exactly one cell group, so "unmatched in my
-    tile" == "unmatched globally". Partitioning assumption: polygon bboxes
-    are small relative to the tile size (documented per SURVEY
-    custom-operator rule)."""
+    a per-tile STRtree join inside map_groups. Left/semi/anti semantics are
+    exact per-tile: a point lives in exactly one cell group, so "unmatched
+    in my tile" == "unmatched globally" (semi/anti emit each point at most
+    once with point columns only, matching the broadcast ``PIPJoiner``).
+    Partitioning assumption: polygon bboxes are small relative to the tile
+    size (documented per SURVEY custom-operator rule)."""
     from ..index import s2
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"pip_join_tiled: how must be inner|left, got {how}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"pip_join_tiled: how must be inner|left|semi|anti, got {how}")
     out_id = out_id_col or id_col
 
     def poly_cells(batch: pa.Table) -> pa.Table:
@@ -230,17 +232,23 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
     out_types = {n: col_types[n] for n in point_out}
     id_type = col_types[id_col]
 
+    semi_anti = how in ("semi", "anti")
+
     def join_tile(group: pa.Table) -> pa.Table:
         pts_t = group.filter(pc.equal(group["_side"], 0))
         pol_t = group.filter(pc.equal(group["_side"], 1))
-        if pts_t.num_rows == 0 or (pol_t.num_rows == 0 and how == "inner"):
+        if pts_t.num_rows == 0 or (pol_t.num_rows == 0
+                                   and how in ("inner", "semi")):
             empty = {n: pa.array([], type=out_types[n]) for n in point_out}
-            empty[out_id] = pa.array([], type=id_type)
-            if attach_geom_col:
-                empty[attach_geom_col] = pa.array([], type=pa.binary())
+            if not semi_anti:
+                empty[out_id] = pa.array([], type=id_type)
+                if attach_geom_col:
+                    empty[attach_geom_col] = pa.array([], type=pa.binary())
             return pa.table(empty)
-        if pol_t.num_rows == 0:            # left: all points unmatched
+        if pol_t.num_rows == 0:            # left/anti: all points unmatched
             out = pts_t.select(point_out)
+            if how == "anti":
+                return out
             out = out.append_column(out_id,
                                     pa.nulls(out.num_rows, type=id_type))
             if attach_geom_col:
@@ -252,6 +260,11 @@ def pip_join_tiled(points_ds, polygons_ds, id_col: str, x_col: str = "lng",
         px = pts_t[x_col].to_numpy(zero_copy_only=False)
         py = pts_t[y_col].to_numpy(zero_copy_only=False)
         pi, gi = joiner.match(px, py)
+        if semi_anti:
+            matched = np.zeros(pts_t.num_rows, dtype=bool)
+            matched[np.asarray(pi, dtype=np.int64)] = True
+            mask = matched if how == "semi" else ~matched
+            return pts_t.select(point_out).filter(pa.array(mask))
         gi = np.asarray(gi, dtype=np.int64)
         if how == "left":
             matched = np.zeros(pts_t.num_rows, dtype=bool)
@@ -313,10 +326,6 @@ def pip_join_auto(points_ds, polygons, id_col: str, x_col: str = "lng",
         return pip_join(points_ds, tbl, id_col=id_col, x_col=x_col,
                         y_col=y_col, how=how, out_id_col=out_id_col,
                         attach_geom_col=attach_geom_col, **kw)
-    if how not in ("inner", "left"):
-        raise NotImplementedError(
-            "tiled PIP join supports how='inner'/'left'; semi/anti past "
-            "the broadcast budget need a dedicated shuffle plan")
     if ds is None:
         ds = rd.from_arrow(tbl)
     return pip_join_tiled(points_ds, ds, id_col=id_col, x_col=x_col,

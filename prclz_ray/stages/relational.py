@@ -151,17 +151,57 @@ def bucketed_semi_join(big_ds, keys_ds, on: str, anti: bool = False,
     return unioned.groupby("_bucket").map_groups(probe, batch_format="pandas")
 
 
+# Per-worker-process cache for broadcast state used inside per-batch /
+# per-group closures.  Rebuilding a pandas index from a ray.get() table on
+# EVERY batch is the "state setup inside __call__" anti-pattern; caching by
+# the broadcast ObjectRef gives actor-pool semantics (build once per worker
+# process, reuse per batch) in plain task-based map_batches.  Keyed
+# (stage_kind, ref): eviction keeps only the newest state per stage kind so
+# long-lived workers don't accumulate one entry per pipeline run.
+_WORKER_STATE: dict = {}
+
+
+def worker_cached(key, build):
+    obj = _WORKER_STATE.get(key)
+    if obj is None:
+        kind = key[0] if isinstance(key, tuple) else key
+        for k in [k for k in _WORKER_STATE
+                  if (k[0] if isinstance(k, tuple) else k) == kind]:
+            del _WORKER_STATE[k]
+        obj = _WORKER_STATE[key] = build()
+    return obj
+
+
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer",
+                    "right": "right outer", "outer": "full outer"}
+
+
 def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
-                       how: str = "inner"):
+                       how: str = "inner", combine=None):
     """Large×large partitioned hash join: both sides get
-    bucket = hash(key) % B, co-grouped by bucket, pairwise pandas merge per
-    bucket (guide's portable pattern; salt hot keys upstream if skewed)."""
+    bucket = hash(key) % B, co-grouped by bucket, pairwise Arrow (Acero)
+    hash join per bucket (guide's portable pattern; salt hot keys upstream
+    if skewed).  Null keys never match — SQL semantics, unlike a pandas
+    merge which pairs NaN keys with each other.
+
+    ``combine``: optional per-bucket post-join hook ``fn(pa.Table) ->
+    pa.Table`` run INSIDE the bucket task on the merged table.  Because
+    every occurrence of a join key lands in exactly one bucket, a groupby
+    on the JOIN key inside ``combine`` is a FULL aggregation — fusing the
+    downstream ``groupby(join_key)`` deletes its whole shuffle; grouping
+    any other key yields bucket-local partials that shrink the next
+    exchange to ≤ num_buckets × |groups| rows.  At 100 TB this is the
+    difference between re-shuffling every joined row and moving a few
+    thousand aggregate rows."""
     # unify the key type across sides BEFORE bucketing: the bucket hash is
     # dtype-sensitive, so int64 on one side vs float64 (e.g. null-promoted
     # by an upstream outer join) on the other would land the SAME key in
-    # different buckets and silently drop matches
-    lt = dict(zip(left_ds.schema().names, left_ds.schema().types))[on]
-    rt = dict(zip(right_ds.schema().names, right_ds.schema().types))[on]
+    # different buckets and silently drop matches.  schema() may execute a
+    # pipeline prefix (limit-1 probe) — call it ONCE per side and derive
+    # the post-bucket schemas statically instead of re-probing.
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    lt = dict(zip(lsch.names, lsch.types))[on]
+    rt = dict(zip(rsch.names, rsch.types))[on]
     key_t = pa.unify_schemas([pa.schema([(on, lt)]), pa.schema([(on, rt)])],
                              promote_options="permissive").field(on).type
 
@@ -178,24 +218,32 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     l = left_ds.map_batches(add_bucket(0), batch_format="pyarrow")
     r = right_ds.map_batches(add_bucket(1), batch_format="pyarrow")
 
-    lcols = list(left_ds.schema().names)
-    rcols = list(right_ds.schema().names)
+    lcols = list(lsch.names)
+    rcols = list(rsch.names)
+    join_type = _ARROW_JOIN_TYPE[how]
 
-    def join_bucket(group: pd.DataFrame) -> pa.Table:
+    def join_bucket(group: pa.Table) -> pa.Table:
         # select each side's OWN schema columns (a bucket may hold only one
         # side; inferring columns from non-null values would drop the key)
-        lg = group.loc[group._bside == 0, lcols]
-        rg = group.loc[group._bside == 1, rcols]
-        merged = lg.merge(rg, on=on, how=how, suffixes=("", "_r"))
-        # Arrow out: downstream sort/aggregate on pandas blocks takes a
-        # slow per-block path (measured 300ms+/task vs ms on arrow)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        side = group["_bside"]
+        lg = group.filter(pc.equal(side, 0)).select(lcols)
+        rg = group.filter(pc.equal(side, 1)).select(rcols)
+        # arrow combines chunks lazily; the Acero join wants flat input
+        merged = lg.combine_chunks().join(
+            rg.combine_chunks(), keys=on, join_type=join_type,
+            right_suffix="_r")
+        if combine is not None:
+            merged = combine(merged)
+        return merged
 
-    # align the two sides' schemas (missing cols → nulls)
+    # align the two sides' schemas (missing cols → nulls), derived from the
+    # pre-bucket schemas + add_bucket's known appends (no schema() re-probe)
     types: dict[str, pa.DataType] = {}
-    for sch in (l.schema(), r.schema()):
+    for sch in (lsch, rsch):
         for n, t in zip(sch.names, sch.types):
-            types.setdefault(n, t)
+            types.setdefault(n, key_t if n == on else t)
+    types["_bucket"] = pa.int32()
+    types["_bside"] = pa.int8()
 
     def align(t: pa.Table) -> pa.Table:
         for n in types:
@@ -205,7 +253,8 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
 
     unioned = l.map_batches(align, batch_format="pyarrow").union(
         r.map_batches(align, batch_format="pyarrow"))
-    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(join_bucket,
+                                                 batch_format="pyarrow")
 
 
 def set_op(left_ds, right_ds, on: str, op: str = "intersect"):
@@ -1332,7 +1381,8 @@ def cohort_retention(events_ds, user_col: str, ts_col: str,
         ref = ray.put(tbl)
 
         def attach(batch: pa.Table) -> pa.Table:
-            c = ray.get(ref).to_pandas().set_index(user_col)["cohort_week"]
+            c = worker_cached(("cohort_attach", ref), lambda: ray.get(ref)
+                              .to_pandas().set_index(user_col)["cohort_week"])
             cw = c.reindex(batch[user_col].to_pandas()).to_numpy() \
                 .astype(np.int64)
             return batch.append_column("cohort_week", pa.array(cw))
@@ -1426,7 +1476,8 @@ def grouped_zscore(ds, key_col: str, val_col: str, id_col: str,
         st_ref = ray.put(st_tbl)
 
         def flag(batch: pa.Table) -> pa.Table:
-            st = ray.get(st_ref).to_pandas().set_index(key_col)
+            st = worker_cached(("zscore_stats", st_ref), lambda: ray.get(
+                st_ref).to_pandas().set_index(key_col))
             return finish(batch, st)
 
         return ds.map_batches(flag, batch_format="pyarrow")

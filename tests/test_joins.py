@@ -267,3 +267,28 @@ def test_pip_tiled_left_matches_broadcast_left():
     b = tiled[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert b["poly_id"].isna().sum() >= 10
+
+
+def test_pip_tiled_semi_anti_match_broadcast():
+    """Tiled semi/anti joins (VERDICT r3 item #3): each point lives in
+    exactly one tile, so per-tile match flags are globally exact. The
+    tiled result must equal the broadcast PIPJoiner's semi/anti filter,
+    including when the auto-router is forced past the broadcast budget."""
+    pts = _points(300)
+    for how in ("semi", "anti"):
+        bc = joins.pip_join(rd.from_arrow(pts), _polys(), id_col="poly_id",
+                            how=how).to_pandas()
+        tiled = joins.pip_join_tiled(rd.from_arrow(pts).repartition(3),
+                                     rd.from_arrow(_polys()),
+                                     id_col="poly_id", how=how).to_pandas()
+        auto = joins.pip_join_auto(rd.from_arrow(pts).repartition(3),
+                                   _polys(), id_col="poly_id", how=how,
+                                   broadcast_limit_bytes=0).to_pandas()
+        want = sorted(bc["pt_id"].tolist())
+        assert sorted(tiled["pt_id"].tolist()) == want
+        assert sorted(auto["pt_id"].tolist()) == want
+        # point columns only, each point at most once
+        assert "poly_id" not in tiled.columns
+        assert tiled["pt_id"].is_unique
+    n_match = sum(o is not None for o in _oracle_pip(pts))
+    assert len(bc) == len(pts) - n_match  # anti from the loop's last turn

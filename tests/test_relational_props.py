@@ -946,6 +946,31 @@ def test_triangle_count_known_graphs():
     assert count(c5 + [(0, 2)]) == 1
 
 
+def test_triangle_count_skewed_star_bounded():
+    """A star graph (one high-degree hub) must complete with a bounded
+    wedge table: degree-ordered orientation gives every leaf out-degree 1
+    and the hub out-degree 0, so wedges = 0 — not C(deg, 2) ≈ 5·10⁶ as
+    naive common-neighbor counting would emit."""
+    import numpy as np
+
+    from prclz_ray.stages import graph_ops
+
+    n = 3000  # hub 0 connected to 1..n
+    leaves = np.arange(1, n + 1, dtype=np.int64)
+    t = pa.table({"src": pa.array(np.zeros(n, dtype=np.int64)),
+                  "dst": pa.array(leaves)})
+    assert graph_ops.triangle_count(rd.from_arrow(t).repartition(4)) == 0
+
+    # close two leaf pairs into triangles: the count stays exact
+    extra = pa.table({"src": pa.array([1, 3], type=pa.int64()),
+                      "dst": pa.array([2, 4], type=pa.int64())})
+    ds = rd.from_arrow(pa.concat_tables([t, extra])).repartition(4)
+    assert graph_ops.triangle_count(ds) == 2
+
+    # V-scale fallback path (broadcast budget forced to 0) agrees
+    assert graph_ops.triangle_count(ds, broadcast_limit_bytes=0) == 2
+
+
 def test_skyline_matches_bruteforce_with_frontier_ties():
     import numpy as np
     import pyarrow as pa
