@@ -19,3 +19,9 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# engine-wide log policy: drop Ray Data's per-empty-partition schema
+# chatter (correct blocks, pure noise at 10^4 tasks) — see loghygiene
+from .runtime import loghygiene as _loghygiene  # noqa: E402
+
+_loghygiene.install()

@@ -4899,20 +4899,36 @@ def q_jsonl_source_stats(sf_dir: str):
     _DONE-marked), then aggregate per lang from the JSONL READ — the
     oracle aggregates the original parquet, so any reader/writer
     corruption breaks the hash."""
+    import glob
+    import hashlib
     import os
+    import uuid
 
     from ray.data.aggregate import Sum
 
     from ..io import codecs
+    # cache keyed by a CONTENT fingerprint of the input parquet (name +
+    # size + mtime per file): regenerated-in-place fixtures get a fresh
+    # cache dir instead of silently reusing a stale one, and the
+    # write-to-unique-tmp + atomic rename makes concurrent runs safe
+    # (ADVICE r3)
+    h = hashlib.md5()
+    for f in sorted(glob.glob(os.path.join(sf_dir, "documents*"))):
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/prclz_ray_jsonl_{tag}"
-    if not os.path.exists(os.path.join(out, "_DONE")):
-        import shutil
-        shutil.rmtree(out, ignore_errors=True)
+    out = f"/tmp/prclz_ray_jsonl_{tag}_{h.hexdigest()[:12]}"
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
         codecs.write_jsonl(_read(sf_dir, "documents",
                                  ["doc_id", "text", "lang", "n_chars"]),
-                           out)
-        open(os.path.join(out, "_DONE"), "w").close()
+                           tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:            # concurrent run won the rename race
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     docs = codecs.read_jsonl(out)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -5218,7 +5234,8 @@ def q_embedding_projection(sf_dir: str):
 def _sql_embedding_projection() -> str:
     cols = ", ".join(
         "ROUND(" + " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE) * {_PROJ_SEED_MATRIX[i, j]!r}"
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * "
+            f"{float(_PROJ_SEED_MATRIX[i, j])!r}"
             for i in range(64)) + f", 6) AS p{j}"
         for j in range(4))
     return f"SELECT vec_id, {cols} FROM embeddings"

@@ -1264,8 +1264,13 @@ def prefix_filter_candidates(ds, key_col: str = "doc_id",
                                        type=pa.uint64()),
                          "df": pa.array(s.to_numpy(dtype=np.int64))})
 
+    # materialized: df2 is the SMALL hot-shingle (df>=2) table, and it is
+    # consumed twice (size probe, then broadcast-or-join) — without this
+    # pin each consumer would re-run the corpus-wide shingle explode that
+    # feeds it (ADVICE r3)
     df2 = rows3.map_batches(partial_count, batch_format="pyarrow") \
-        .groupby("_b").map_groups(final_count, batch_format="pandas")
+        .groupby("_b").map_groups(final_count, batch_format="pandas") \
+        .materialize()
 
     p_frac = jaccard_threshold
 
