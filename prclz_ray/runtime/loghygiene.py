@@ -23,8 +23,10 @@ class _EmptySchemaChatter(logging.Filter):
         msg = record.getMessage()
         if _MARK not in msg:
             return True
-        # keep real schema-change warnings; drop only the empty-block form
-        return "new schema: ." not in msg
+        # keep real schema-change warnings; drop only the empty-block
+        # forms (no schema at all, or a zero-column pandas block)
+        return ("new schema: ." not in msg
+                and "new schema: PandasBlockSchema(names=[]" not in msg)
 
 
 def install() -> None:
