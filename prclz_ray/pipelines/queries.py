@@ -5451,6 +5451,570 @@ GROUP BY node
 """
 
 
+def _link_graph(sf_dir: str):
+    """The deterministic synthetic link graph every graph query shares:
+    doc → (doc*7919 + k*104729) % N for k = 1..3."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"v": b["doc_id"]}), batch_format="pyarrow")
+    return docs.map_batches(edges, batch_format="pyarrow"), nodes
+
+
+def q_hits_links(sf_dir: str):
+    """HITS hubs/authorities (2 rounds, max-normalized, 9dp rounding)
+    over the shared synthetic link graph.  Max normalization keeps the
+    float trajectory partition-order-independent so the unrolled-CTE
+    oracle matches at the compare grain."""
+    from ..stages import graph_ops
+    edges, nodes = _link_graph(sf_dir)
+    out = graph_ops.hits(edges, nodes, iters=2, round_dp=9)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "hub": b["hub"],
+                            "authority": b["authority"]}),
+        batch_format="pyarrow")
+
+
+SQL_HITS = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS v FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) k(k)
+  CROSS JOIN nn),
+a1r AS (SELECT n.v, CAST(COUNT(e.src) AS DOUBLE) AS c
+        FROM nodes n LEFT JOIN edges e ON e.dst = n.v GROUP BY n.v),
+a1 AS (SELECT v, ROUND(c / COALESCE(NULLIF(
+          (SELECT MAX(c) FROM a1r), 0), 1), 9) AS s FROM a1r),
+h1r AS (SELECT n.v, COALESCE(SUM(a1.s), 0) AS c
+        FROM nodes n LEFT JOIN edges e ON e.src = n.v
+        LEFT JOIN a1 ON a1.v = e.dst GROUP BY n.v),
+h1 AS (SELECT v, ROUND(c / COALESCE(NULLIF(
+          (SELECT MAX(c) FROM h1r), 0), 1), 9) AS s FROM h1r),
+a2r AS (SELECT n.v, COALESCE(SUM(h1.s), 0) AS c
+        FROM nodes n LEFT JOIN edges e ON e.dst = n.v
+        LEFT JOIN h1 ON h1.v = e.src GROUP BY n.v),
+a2 AS (SELECT v, ROUND(c / COALESCE(NULLIF(
+          (SELECT MAX(c) FROM a2r), 0), 1), 9) AS s FROM a2r),
+h2r AS (SELECT n.v, COALESCE(SUM(a2.s), 0) AS c
+        FROM nodes n LEFT JOIN edges e ON e.src = n.v
+        LEFT JOIN a2 ON a2.v = e.dst GROUP BY n.v),
+h2 AS (SELECT v, ROUND(c / COALESCE(NULLIF(
+          (SELECT MAX(c) FROM h2r), 0), 1), 9) AS s FROM h2r)
+SELECT n.v AS doc_id, h2.s AS hub, a2.s AS authority
+FROM nodes n JOIN h2 ON h2.v = n.v JOIN a2 ON a2.v = n.v
+"""
+
+
+def q_label_propagation_links(sf_dir: str):
+    """Deterministic synchronous label propagation (2 rounds: most
+    frequent neighbor label, count ties → min label) over the shared
+    link graph.  All-int state — the unrolled SQL twin is exact at any
+    partitioning."""
+    from ..stages import graph_ops
+    edges, nodes = _link_graph(sf_dir)
+    out = graph_ops.label_propagation(edges, nodes, iters=2)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "label": b["label"]}),
+        batch_format="pyarrow")
+
+
+SQL_LABEL_PROP = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS v FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) k(k)
+  CROSS JOIN nn),
+sym AS (SELECT src AS node, dst AS nbr FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS node, src AS nbr FROM edges WHERE src <> dst),
+l0 AS (SELECT v, v AS lbl FROM nodes),
+c1 AS (SELECT s.node, l.lbl, COUNT(*) AS cnt
+       FROM sym s JOIN l0 l ON l.v = s.nbr GROUP BY s.node, l.lbl),
+m1 AS (SELECT node, lbl FROM (
+         SELECT node, lbl, ROW_NUMBER() OVER (
+           PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         FROM c1) WHERE rn = 1),
+l1 AS (SELECT n.v, COALESCE(m1.lbl, n.v) AS lbl
+       FROM nodes n LEFT JOIN m1 ON m1.node = n.v),
+c2 AS (SELECT s.node, l.lbl, COUNT(*) AS cnt
+       FROM sym s JOIN l1 l ON l.v = s.nbr GROUP BY s.node, l.lbl),
+m2 AS (SELECT node, lbl FROM (
+         SELECT node, lbl, ROW_NUMBER() OVER (
+           PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         FROM c2) WHERE rn = 1),
+l2 AS (SELECT n.v, COALESCE(m2.lbl, n.v) AS lbl
+       FROM nodes n LEFT JOIN m2 ON m2.node = n.v)
+SELECT v AS doc_id, lbl AS label FROM l2
+"""
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 (order-priority checking, adapted: the 'late' predicate
+    is l_shipdate > o_orderdate — the synthetic lineitem has no
+    commit/receipt dates): orders in 1996Q3 with at least one late
+    line, counted per priority.  Shape: ONE bucketed orderkey join
+    lineitem⋈(date-filtered orders); the EXISTS (distinct orderkey) and
+    the priority partials fuse into the join's bucket tail — every line
+    of an order lands in its bucket, so the final exchange is
+    ≤ buckets × |priorities| rows."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    lo = np.datetime64("1996-07-01T00:00:00")
+    hi = np.datetime64("1996-10-01T00:00:00")
+
+    ords = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    def comb(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], t["o_orderdate"]))
+        d = t.select(["l_orderkey", "o_orderpriority"]) \
+            .group_by(["l_orderkey", "o_orderpriority"]).aggregate([])
+        g = d.group_by("o_orderpriority").aggregate(
+            [("l_orderkey", "count")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "pn": g["l_orderkey_count"].cast(pa.int64())})
+
+    j = relational.bucketed_hash_join(li, ords, on="l_orderkey",
+                                      combine=comb)
+    agg = relational.ds_to_table(j).to_pandas() \
+        .groupby("o_orderpriority", as_index=False)["pn"].sum() \
+        .rename(columns={"pn": "order_count"})
+    return agg.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution) WITHOUT the
+    customer⋈orders join: per-batch order partials → one custkey
+    groupby → tiny histogram partials merged on the driver; the zero
+    bucket is |customer| − |custkeys with orders| (FK guarantees the
+    subset), so the customer table contributes one distributed count
+    instead of a join side."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "pn": g["o_custkey_count"].cast(pa.int64())})
+
+    per_cust = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("pn", alias_name="c_count"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_count").aggregate([("o_custkey", "count")])
+        return pa.table({"c_count": g["c_count"].cast(pa.int64()),
+                         "pn": g["o_custkey_count"].cast(pa.int64())})
+
+    parts = relational.ds_to_table(
+        per_cust.map_batches(hist, batch_format="pyarrow")).to_pandas()
+    agg = parts.groupby("c_count", as_index=False)["pn"].sum() \
+        .rename(columns={"pn": "custdist"})
+    zero = int(cust.count()) - int(agg["custdist"].sum())
+    if zero > 0:
+        agg = pd.concat([agg, pd.DataFrame(
+            [{"c_count": 0, "custdist": zero}])], ignore_index=True)
+    agg = agg.sort_values(["custdist", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+    return agg[["c_count", "custdist"]]
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 (promo revenue share, March 1997): one bucketed
+    partkey join (month-filtered lineitem cents)⋈(part promo flag)
+    with BOTH cents sums fused into the bucket tail — each bucket
+    emits one partial row; the driver finishes a single division."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    lo = np.datetime64("1997-03-01T00:00:00")
+    hi = np.datetime64("1997-04-01T00:00:00")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        rc = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), ndigits=0,
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"p_partkey": t["l_partkey"], "rc": rc})
+
+    pf = part.map_batches(
+        lambda t: pa.table({
+            "p_partkey": t["p_partkey"],
+            "promo": pc.cast(pc.equal(t["p_type"], "PROMO"),
+                             pa.int64())}),
+        batch_format="pyarrow")
+
+    def comb(t: pa.Table) -> pa.Table:
+        rc = t["rc"].to_numpy(zero_copy_only=False)
+        pr = t["promo"].to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array([int((rc * pr).sum())],
+                                       type=pa.int64()),
+                         "t": pa.array([int(rc.sum())],
+                                       type=pa.int64())})
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), pf,
+        on="p_partkey", combine=comb)
+    tot = relational.ds_to_table(j).to_pandas()
+    p, t = int(tot["p"].sum()), int(tot["t"].sum())
+    return pd.DataFrame([{"promo_revenue": float(np.round(
+        100.0 * p / t, 4))}])
+
+
+SQL_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) ELSE 0 END)
+       / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 (small-quantity revenue, adapted: the selective part
+    filter is brand + size — the synthetic part table has no
+    container — and the fraction is 0.5·avg): the filtered part keys
+    are a SELECTIVE dim subset, so they broadcast; their lineitems
+    (small vs the corpus) materialize once and feed both the per-part
+    quantity average and the final filtered cents sum."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    pt = relational.ds_to_table(part)
+    pt = pt.filter(pc.and_(pc.equal(pt["p_brand"], "Brand#3"),
+                           pc.less_equal(pt["p_size"], 10)))
+    keys = pa.array(sorted(pt["p_partkey"].to_pylist()),
+                    type=pt["p_partkey"].type)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=keys))
+        rc = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)), ndigits=0,
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "q": t["l_quantity"].cast(pa.int64()),
+                         "rc": rc})
+
+    sub = li.map_batches(li_prep, batch_format="pyarrow").materialize()
+    g = relational.ds_to_table(sub).to_pandas()
+    avg = g.groupby("l_partkey")["q"].mean()     # exact-int sum / count
+    lim = 0.5 * avg.reindex(g["l_partkey"]).to_numpy()
+    cents = int(g.loc[g["q"].to_numpy() < lim, "rc"].sum())
+    return pd.DataFrame([{"avg_yearly": float(np.round(
+        cents / 700.0, 2))}])
+
+
+SQL_Q17 = """
+WITH p AS (SELECT p_partkey FROM part
+           WHERE p_brand = 'Brand#3' AND p_size <= 10),
+l AS (SELECT l_partkey, l_quantity,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rc
+      FROM lineitem JOIN p ON l_partkey = p_partkey),
+a AS (SELECT l_partkey, AVG(l_quantity) AS aq FROM l
+      GROUP BY l_partkey)
+SELECT ROUND(SUM(l.rc) / 700.0, 2) AS avg_yearly
+FROM l JOIN a USING (l_partkey)
+WHERE l.l_quantity < 0.5 * a.aq
+"""
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 (large-volume orders, threshold 300): per-batch
+    quantity partials → one orderkey groupby → tiny survivor set →
+    broadcast semi against orders for the customer/date/price columns.
+    The combiner keeps the orderkey shuffle at partial-row volume and
+    the survivor side is bounded by the HAVING threshold."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderkey": t["l_orderkey"],
+                      "q": t["l_quantity"].cast(pa.int64())}) \
+            .group_by("o_orderkey").aggregate([("q", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "pq": g["q_sum"].cast(pa.int64())})
+
+    qty = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Sum("pq", alias_name="sum_qty"))
+    big = relational.ds_to_table(qty.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], 300)),
+        batch_format="pyarrow")).to_pandas()
+    keys = pa.array(sorted(big["o_orderkey"].tolist()), type=pa.int64())
+    ords = relational.ds_to_table(orders.map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["o_orderkey"].cast(pa.int64()), value_set=keys)),
+        batch_format="pyarrow")).to_pandas()
+    out = ords.merge(big, on="o_orderkey") \
+        .sort_values(["o_totalprice", "o_orderkey"],
+                     ascending=[False, True]).head(100) \
+        .reset_index(drop=True)
+    out = _round2(out, ["o_totalprice"])
+    return out[["o_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]]
+
+
+SQL_Q18 = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 (disjunctive brand/size/quantity predicates): one
+    bucketed partkey join with the three-way OR filter + cents sum
+    fused into the bucket tail — one partial row per bucket."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rc = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), ndigits=0,
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "q": t["l_quantity"].cast(pa.int64()),
+                         "rc": rc})
+
+    def comb(t: pa.Table) -> pa.Table:
+        br = t["p_brand"].to_numpy(zero_copy_only=False)
+        sz = t["p_size"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        keep = (((br == "Brand#1") & (sz >= 1) & (sz <= 15)
+                 & (q >= 1) & (q <= 20))
+                | ((br == "Brand#2") & (sz >= 10) & (sz <= 25)
+                   & (q >= 10) & (q <= 30))
+                | ((br == "Brand#3") & (sz >= 20) & (sz <= 40)
+                   & (q >= 20) & (q <= 40)))
+        rc = t["rc"].to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array([int(rc[keep].sum())],
+                                       type=pa.int64())})
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part, on="p_partkey", combine=comb)
+    cents = int(relational.ds_to_table(j).to_pandas()["p"].sum())
+    return pd.DataFrame([{"revenue": float(np.round(cents / 100.0, 2))}])
+
+
+SQL_Q19 = """
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q21_blocking_supplier(sf_dir: str):
+    """TPC-H Q21 (suppliers who kept orders waiting, adapted: 'late'
+    is holding the order's MAX l_shipdate — the synthetic tables have
+    no receipt/commit dates): for multi-supplier orders whose latest
+    shipment comes from exactly one supplier, count blocked orders per
+    supplier.  Everything is per-orderkey, so ONE bucketed groupby
+    computes it; supplier names attach from a broadcast dim."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = relational.stable_bucket(t["l_orderkey"], 32)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        mx = df.groupby("l_orderkey")["l_shipdate"].transform("max")
+        ns = df.groupby("l_orderkey")["l_suppkey"].transform("nunique")
+        at_max = df[(df["l_shipdate"] == mx) & (ns >= 2)]
+        per_o = at_max.groupby("l_orderkey")["l_suppkey"] \
+            .agg(["nunique", "min"])
+        solo = per_o[per_o["nunique"] == 1]["min"]
+        vc = solo.value_counts()
+        return pa.table({
+            "s_suppkey": pa.array(vc.index.to_numpy(dtype=np.int64)),
+            "pn": pa.array(vc.to_numpy(dtype=np.int64))})
+
+    parts = li.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    agg = relational.ds_to_table(parts).to_pandas() \
+        .groupby("s_suppkey", as_index=False)["pn"].sum() \
+        .rename(columns={"pn": "numwait"})
+    st = relational.ds_to_table(supp).to_pandas()
+    out = agg.merge(st, on="s_suppkey") \
+        .sort_values(["numwait", "s_name"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+    return out[["s_name", "numwait"]]
+
+
+SQL_Q21 = """
+WITH o AS (SELECT l_orderkey, MAX(l_shipdate) AS mx,
+                  COUNT(DISTINCT l_suppkey) AS ns
+           FROM lineitem GROUP BY l_orderkey),
+blockers AS (
+  SELECT l.l_orderkey, MIN(l.l_suppkey) AS s,
+         COUNT(DISTINCT l.l_suppkey) AS nmax
+  FROM lineitem l JOIN o ON l.l_orderkey = o.l_orderkey
+                        AND l.l_shipdate = o.mx
+  WHERE o.ns >= 2
+  GROUP BY l.l_orderkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM blockers JOIN supplier ON s_suppkey = s
+WHERE nmax = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 (global sales opportunity, adapted: grouped by nation
+    name — the synthetic customer has no phone country code — and
+    'no orders' means none since 2001-01-01, since every synthetic
+    customer has lifetime orders): DORMANT customers with
+    above-positive-average balance, counted and summed per nation.
+    Shape: exact-cents average from one streamed partial pass; the
+    rich-customer stream anti-joins the recent-order custkey set in
+    ONE bucketed exchange; nation partials finish tiny."""
+    from ray.data.aggregate import Sum
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cutoff = np.datetime64("2001-01-01T00:00:00")
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bc = pc.cast(pc.round(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0)), ndigits=0,
+            round_mode="half_towards_infinity"), pa.int64())
+        keep = pc.greater(bc, 0)
+        s = pc.sum(pc.if_else(keep, bc, 0)).as_py() or 0
+        n = pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+        return pa.table({"s": pa.array([s], type=pa.int64()),
+                         "n": pa.array([n], type=pa.int64())})
+
+    bp = relational.ds_to_table(
+        cust.map_batches(bal_partial, batch_format="pyarrow")).to_pandas()
+    av = (bp["s"].sum() / 100.0) / bp["n"].sum()   # dollars, double
+
+    def rich_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], pa.scalar(av)))
+        bc = pc.cast(pc.round(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0)), ndigits=0,
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"], "bc": bc})
+
+    rich = cust.map_batches(rich_f, batch_format="pyarrow")
+    okeys = orders.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(cutoff)))["o_custkey"]}),
+        batch_format="pyarrow")
+    no_orders = relational.bucketed_semi_join(rich, okeys,
+                                              on="c_custkey", anti=True)
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["c_nationkey", "bc"]).group_by("c_nationkey") \
+            .aggregate([("bc", "sum"), ("bc", "count")])
+        return pa.table({"c_nationkey": g["c_nationkey"],
+                         "pb": g["bc_sum"].cast(pa.int64()),
+                         "pn": g["bc_count"].cast(pa.int64())})
+
+    agg = no_orders.map_batches(nat_partial, batch_format="pyarrow") \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("pn", alias_name="numcust"),
+                   Sum("pb", alias_name="bc")).to_pandas()
+    nt = relational.ds_to_table(nation).to_pandas()
+    out = agg.merge(nt, left_on="c_nationkey", right_on="n_nationkey")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = np.round(out["bc"] / 100.0, 2)
+    out = out.sort_values("n_name").reset_index(drop=True)
+    return out[["n_name", "numcust", "totacctbal"]]
+
+
+SQL_Q22 = """
+WITH a AS (SELECT AVG(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
+                  AS av
+           FROM customer WHERE ROUND(c_acctbal * 100) > 0),
+r AS (SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bc
+      FROM customer, a WHERE c_acctbal > a.av),
+n0 AS (SELECT r.* FROM r
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = r.c_custkey
+                           AND o_orderdate >= TIMESTAMP '2001-01-01'))
+SELECT n_name, COUNT(*) AS numcust,
+       ROUND(SUM(bc) / 100.0, 2) AS totacctbal
+FROM n0 JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -5634,4 +6198,17 @@ def registry():
         "fuzzy_match_pairs": (q_fuzzy_match_pairs, SQL_FUZZY_PAIRS),
         "fuzzy_entity_clusters": (q_fuzzy_entity_clusters,
                                   SQL_FUZZY_CLUSTERS),
+        "q4_order_priority": (q4_order_priority, SQL_Q4),
+        "q13_customer_distribution": (q13_customer_distribution,
+                                      SQL_Q13),
+        "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
+        "q17_small_quantity_revenue": (q17_small_quantity_revenue,
+                                       SQL_Q17),
+        "q18_large_orders": (q18_large_orders, SQL_Q18),
+        "q19_disjunctive_revenue": (q19_disjunctive_revenue, SQL_Q19),
+        "q21_blocking_supplier": (q21_blocking_supplier, SQL_Q21),
+        "q22_sales_opportunity": (q22_sales_opportunity, SQL_Q22),
+        "hits_links": (q_hits_links, SQL_HITS),
+        "label_propagation_links": (q_label_propagation_links,
+                                    SQL_LABEL_PROP),
     }

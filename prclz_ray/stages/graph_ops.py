@@ -293,3 +293,269 @@ def triangle_count(edges_ds, src_col: str = "src",
     if "s" not in total.columns:  # triangle-free graph: empty join
         return 0
     return int(total["s"].sum())
+
+
+def hits(edges_ds, nodes_ds, node_col: str = "v", src_col: str = "src",
+         dst_col: str = "dst", iters: int = 2, round_dp: int = 9,
+         num_buckets: int = 32, broadcast_limit_bytes: int = 64 << 20):
+    """HITS hubs/authorities power iteration over an edge-list Dataset.
+    Per round: a(v) = Σ_{u→v} h(u), max-normalized; h(u) = Σ_{u→v} a(v),
+    max-normalized.  MAX normalization (not L1/L2) keeps the reference
+    trajectory order-independent — a float SUM over all nodes would make
+    the result depend on block merge order; max does not — and every
+    round rounds to ``round_dp`` so the unrolled SQL twin reproduces it
+    at the compare grain.
+
+    Size guard (the repo's standard pattern): while two V-sized float
+    vectors fit ``broadcast_limit_bytes`` the rounds are streaming
+    sparse-partial passes over the edges (same shape as PageRank's
+    broadcast leg); past it, each half-round is one bucketed
+    edges×scores co-shuffle join + a groupby sum + a driver-scalar max
+    — nothing driver-sized."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from .relational import bucketed_hash_join, ds_to_table
+
+    n = nodes_ds.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({node_col: pa.array([], pa.int64()),
+                                       "hub": pa.array([], pa.float64()),
+                                       "authority": pa.array(
+                                           [], pa.float64())}))
+    if n * 16 <= broadcast_limit_bytes:
+        return _hits_broadcast(edges_ds, nodes_ds, node_col, src_col,
+                               dst_col, iters, round_dp)
+
+    def init(batch: pa.Table) -> pa.Table:
+        return pa.table({node_col: batch[node_col],
+                         "s": pa.array(np.ones(batch.num_rows))})
+
+    zeros = nodes_ds.map_batches(
+        lambda b: pa.table({node_col: b[node_col],
+                            "c": pa.array(np.zeros(b.num_rows))}),
+        batch_format="pyarrow")
+    h = nodes_ds.map_batches(init, batch_format="pyarrow").materialize()
+    a = h
+
+    def half_round(scores, from_col, to_col):
+        """scores keyed on from_col flow along edges to to_col."""
+        keyed = scores.map_batches(
+            lambda t: pa.table({from_col: t[node_col], "s": t["s"]}),
+            batch_format="pyarrow")
+        j = bucketed_hash_join(edges_ds, keyed, on=from_col,
+                               num_buckets=num_buckets)
+        sums = j.map_batches(
+            lambda t: pa.table({node_col: t[to_col], "c": t["s"]}),
+            batch_format="pyarrow") \
+            .union(zeros).groupby(node_col) \
+            .aggregate(Sum("c", alias_name="c")).materialize()
+        mx = sums.aggregate(Max("c"))["max(c)"] or 1.0
+
+        def norm(batch: pa.Table) -> pa.Table:
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            return pa.table({node_col: batch[node_col],
+                             "s": pa.array(np.round(c / mx, round_dp))})
+
+        return sums.map_batches(norm, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        a = half_round(h, src_col, dst_col)
+        h = half_round(a, dst_col, src_col)
+
+    hj = bucketed_hash_join(
+        h.map_batches(lambda t: pa.table({node_col: t[node_col],
+                                          "hub": t["s"]}),
+                      batch_format="pyarrow"),
+        a.map_batches(lambda t: pa.table({node_col: t[node_col],
+                                          "authority": t["s"]}),
+                      batch_format="pyarrow"),
+        on=node_col, num_buckets=num_buckets)
+    return hj.map_batches(
+        lambda t: t.select([node_col, "hub", "authority"]),
+        batch_format="pyarrow")
+
+
+def _hits_broadcast(edges_ds, nodes_ds, node_col, src_col, dst_col,
+                    iters, round_dp):
+    import ray
+    import ray.data as rd
+
+    from .relational import ds_to_table
+
+    ids = np.sort(np.concatenate(
+        [b[node_col].to_numpy(zero_copy_only=False)
+         for b in nodes_ds.iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)]).astype(np.int64))
+    ids_ref = ray.put(ids)
+    V = len(ids)
+
+    def flow(vec, along):
+        """One streaming edge pass: vec[from] accumulated at to.
+        along=+1: src→dst (authority update); -1: dst→src (hub)."""
+        vec_ref = ray.put(vec)
+
+        def f(batch: pa.Table) -> pa.Table:
+            _ids = ray.get(ids_ref)
+            vv = ray.get(vec_ref)
+            s = np.searchsorted(
+                _ids, batch[src_col].to_numpy(zero_copy_only=False))
+            d = np.searchsorted(
+                _ids, batch[dst_col].to_numpy(zero_copy_only=False))
+            frm, to = (s, d) if along > 0 else (d, s)
+            uniq, inv = np.unique(to, return_inverse=True)
+            c = np.bincount(inv, weights=vv[frm])
+            return pa.table({"i": pa.array(uniq.astype(np.int64)),
+                             "c": pa.array(c)})
+
+        t = ds_to_table(edges_ds.map_batches(f, batch_format="pyarrow"))
+        dense = np.zeros(V)
+        np.add.at(dense, t["i"].to_numpy(zero_copy_only=False),
+                  t["c"].to_numpy(zero_copy_only=False))
+        mx = dense.max() if len(dense) and dense.max() > 0 else 1.0
+        return np.round(dense / mx, round_dp)
+
+    h = np.ones(V)
+    a = np.zeros(V)
+    for _ in range(iters):
+        a = flow(h, +1)
+        h = flow(a, -1)
+
+    return rd.from_arrow(pa.table({node_col: pa.array(ids),
+                                   "hub": pa.array(h),
+                                   "authority": pa.array(a)}))
+
+
+def label_propagation(edges_ds, nodes_ds, node_col: str = "v",
+                      src_col: str = "src", dst_col: str = "dst",
+                      iters: int = 2, num_buckets: int = 32,
+                      broadcast_limit_bytes: int = 64 << 20):
+    """Synchronous community label propagation, fully DETERMINISTIC
+    (unlike classic async LPA): labels start as node ids; each round
+    every node adopts the most frequent label among its (undirected)
+    neighbors, breaking count ties by MIN label, keeping its own label
+    when it has no neighbors.  All-int state — no float trajectory — so
+    an unrolled SQL twin reproduces it exactly at any partitioning.
+
+    Size guard (the repo's standard pattern): while the label vector
+    fits ``broadcast_limit_bytes`` (16 B/node), each round is ONE
+    streaming edge pass (labels ship via ``ray.put``, per-batch
+    vectorized (node, lbl) count partials) into ONE node-bucket
+    groupby whose per-bucket argmax is a single lexicographic sort —
+    the driver then merges a V-sized vector.  Past the guard, the
+    V-scale BSP leg runs: one bucketed edges×labels co-shuffle join +
+    per-batch count partials + a bucketed argmax per round, nothing
+    driver-sized."""
+    from .relational import bucketed_hash_join, stable_bucket
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"node": pa.array(np.concatenate([s, d])),
+                         "nbr": pa.array(np.concatenate([d, s]))})
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    n = nodes_ds.count()
+    if n * 16 <= broadcast_limit_bytes:
+        return _label_prop_broadcast(edges, nodes_ds, node_col, iters,
+                                     num_buckets)
+
+    labels = nodes_ds.map_batches(
+        lambda b: pa.table({"nbr": b[node_col], "lbl": b[node_col]}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        j = bucketed_hash_join(edges, labels, on="nbr",
+                               num_buckets=num_buckets)
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            g = t.select(["node", "lbl"]).group_by(["node", "lbl"]) \
+                .aggregate([("lbl", "count")])
+            g = pa.table({"node": g["node"], "lbl": g["lbl"],
+                          "pn": g["lbl_count"].cast(pa.int64())})
+            return g.append_column("_nb", pa.array(
+                stable_bucket(g["node"], num_buckets)))
+
+        def argmax(t: pa.Table) -> pa.Table:
+            # whole node-bucket at once: sum partials per (node, lbl),
+            # then max count / min label via ONE lexicographic sort —
+            # 32 vectorized calls per round, not one per node
+            df = t.to_pandas().groupby(["node", "lbl"], sort=False,
+                                       as_index=False)["pn"].sum() \
+                .sort_values(["node", "pn", "lbl"],
+                             ascending=[True, False, True]) \
+                .drop_duplicates("node", keep="first")
+            return pa.table({
+                "nbr": pa.array(df["node"].to_numpy(dtype=np.int64)),
+                "lbl": pa.array(df["lbl"].to_numpy(dtype=np.int64))})
+
+        new = j.map_batches(count_partial, batch_format="pyarrow") \
+            .groupby("_nb").map_groups(argmax, batch_format="pyarrow")
+        # isolated nodes keep their own label: left-anti union
+        from .relational import bucketed_semi_join
+        keep = bucketed_semi_join(labels, new.map_batches(
+            lambda t: pa.table({"nbr": t["nbr"]}),
+            batch_format="pyarrow"), on="nbr", anti=True)
+        labels = new.union(keep).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({node_col: t["nbr"], "label": t["lbl"]}),
+        batch_format="pyarrow")
+
+
+def _label_prop_broadcast(sym_edges, nodes_ds, node_col, iters,
+                          num_buckets):
+    import ray
+    import ray.data as rd
+
+    from .relational import ds_to_table
+
+    ids = np.sort(np.concatenate(
+        [b[node_col].to_numpy(zero_copy_only=False)
+         for b in nodes_ds.iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)]).astype(np.int64))
+    ids_ref = ray.put(ids)
+    lbl = ids.copy()
+
+    for _ in range(iters):
+        lbl_ref = ray.put(lbl)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            _ids = ray.get(ids_ref)
+            _lbl = ray.get(lbl_ref)
+            nd = np.searchsorted(
+                _ids, batch["node"].to_numpy(zero_copy_only=False))
+            nbl = _lbl[np.searchsorted(
+                _ids, batch["nbr"].to_numpy(zero_copy_only=False))]
+            pair = np.stack([nd, nbl], axis=1)
+            uniq, cnt = np.unique(pair, axis=0, return_counts=True)
+            return pa.table({
+                "i": pa.array(uniq[:, 0]), "l": pa.array(uniq[:, 1]),
+                "c": pa.array(cnt.astype(np.int64)),
+                "_nb": pa.array((uniq[:, 0]
+                                 % num_buckets).astype(np.int32))})
+
+        def argmax(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().groupby(["i", "l"], sort=False,
+                                       as_index=False)["c"].sum() \
+                .sort_values(["i", "c", "l"],
+                             ascending=[True, False, True]) \
+                .drop_duplicates("i", keep="first")
+            return pa.table({
+                "i": pa.array(df["i"].to_numpy(dtype=np.int64)),
+                "l": pa.array(df["l"].to_numpy(dtype=np.int64))})
+
+        top = ds_to_table(
+            sym_edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("_nb").map_groups(argmax, batch_format="pyarrow"))
+        new = lbl.copy()                 # isolated nodes keep their own
+        new[top["i"].to_numpy(zero_copy_only=False)] = \
+            top["l"].to_numpy(zero_copy_only=False)
+        lbl = new
+
+    return rd.from_arrow(pa.table({node_col: pa.array(ids),
+                                   "label": pa.array(lbl)}))

@@ -997,3 +997,60 @@ def test_skyline_matches_bruteforce_with_frontier_ties():
     exp = [i for i in range(400) if not dominated(i)]
     assert got == exp
     assert {0, 1} <= set(got)
+
+
+def test_hits_star_and_path_paths_agree():
+    """HITS on a directed star (hub → leaves): the hub is the unique
+    max hub (score 1.0), leaves are the max authorities.  Broadcast and
+    V-scale join legs must agree exactly (max-normalized + rounded)."""
+    import numpy as np
+
+    from prclz_ray.stages import graph_ops
+
+    src = np.zeros(5, dtype=np.int64)
+    dst = np.arange(1, 6, dtype=np.int64)
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    nodes = pa.table({"v": pa.array(np.arange(6, dtype=np.int64))})
+
+    def run(limit):
+        out = graph_ops.hits(rd.from_arrow(edges).repartition(2),
+                             rd.from_arrow(nodes).repartition(2),
+                             iters=2, broadcast_limit_bytes=limit) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        return out
+
+    bc = run(64 << 20)
+    assert bc.loc[bc.v == 0, "hub"].iloc[0] == 1.0
+    assert bc.loc[bc.v == 0, "authority"].iloc[0] == 0.0
+    assert (bc.loc[bc.v > 0, "authority"] == 1.0).all()
+    assert (bc.loc[bc.v > 0, "hub"] == 0.0).all()
+
+    js = run(0)
+    pd.testing.assert_frame_equal(bc, js[["v", "hub", "authority"]])
+
+
+def test_label_propagation_two_cliques_paths_agree():
+    """Two triangles joined by one bridge edge: after 2 deterministic
+    rounds every node carries its triangle's min label; broadcast and
+    BSP join legs agree."""
+    import numpy as np
+
+    from prclz_ray.stages import graph_ops
+
+    e = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    edges = pa.table({"src": pa.array([a for a, b in e], type=pa.int64()),
+                      "dst": pa.array([b for a, b in e], type=pa.int64())})
+    nodes = pa.table({"v": pa.array(np.arange(6, dtype=np.int64))})
+
+    def run(limit):
+        return graph_ops.label_propagation(
+            rd.from_arrow(edges).repartition(3),
+            rd.from_arrow(nodes).repartition(2), iters=2,
+            broadcast_limit_bytes=limit) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+
+    bc = run(64 << 20)
+    js = run(0)
+    pd.testing.assert_frame_equal(bc, js[["v", "label"]])
+    # deterministic: labels are drawn from node ids
+    assert set(bc["label"]).issubset(set(range(6)))
