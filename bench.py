@@ -78,6 +78,13 @@ BENCH_QUERIES = [
     "jaccard_threshold_pairs",
     "user_event_paths",
     "embedding_projection",
+    # round-4 additions: fused-bucket TPC-H (Q13 join-free histogram,
+    # Q14 promo share, Q18 combiner+HAVING), HITS, deterministic LPA
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "hits_links",
+    "label_propagation_links",
 ]
 
 

@@ -44,8 +44,15 @@ def _norm(v) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results = {}
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -71,17 +78,22 @@ def main():
             mine = to_df(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
+            results[name] = {"status": "fail",
+                             "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows={len(mine)} cols={sorted(mine.columns)} ({dt:.1f}s, rows-only)")
+            results[name] = {"status": "no_oracle", "rows": len(mine),
+                             "sec": round(dt, 2)}
             n_pass += 1
             continue
         try:
             orc = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            results[name] = {"status": "fail", "err": f"oracle: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -93,11 +105,20 @@ def main():
             problems.append("value hash mismatch")
         if problems:
             print(f"FAIL {name}: {', '.join(problems)} ({dt:.1f}s)")
+            results[name] = {"status": "fail",
+                             "err": ", ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(mine)} ({dt:.1f}s)")
+            results[name] = {"status": "pass", "rows": len(mine),
+                             "sec": round(dt, 2)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_path:
+        import json
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_fail": n_fail, "queries": results}, f, indent=1)
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
