@@ -67,6 +67,16 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    """Direct parquet read for DIMENSION tables that the query
+    materializes driver-side anyway (region/nation/supplier maps):
+    same memory footprint as ``ds_to_table(_read(...))`` but skips a
+    whole Ray execution's scheduling latency (~0.3-0.5 s each — q5/q7/
+    q8 pay it three times over)."""
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
 # -------------------------------------------------------------- geo queries
 
 def q_pip_points_nations(sf_dir: str):
@@ -115,6 +125,67 @@ def q_pip_tiled_points_nations(sf_dir: str):
                                id_col="n_nationkey", x_col="px", y_col="py",
                                level=6)
     return out.select_columns(["c_custkey", "n_nationkey"])
+
+
+def _pip_tiled_semi_anti(sf_dir: str, how: str):
+    """Shared body for the tiled semi/anti queries: 20 rects (so ~20 %
+    of points are unmatched), broadcast budget forced to 0 so the
+    co-partitioned tiled path runs (VERDICT r3 item #3 driver-visible
+    coverage)."""
+    def scaled_points(b: pa.Table) -> pa.Table:
+        b = _points_batch(b, "c_custkey")
+        b = b.set_column(b.schema.get_field_index("px"), "px",
+                         pc.divide(b["px"], 20.0))
+        return b.set_column(b.schema.get_field_index("py"), "py",
+                            pc.divide(b["py"], 20.0))
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        scaled_points, batch_format="pyarrow")
+    keys = np.arange(20, dtype=np.int32)
+    geoms = []
+    for n in keys:
+        col, row = int(n) % 5, int(n) // 5
+        x0, y0 = col * 10.0, row * 10.0
+        geoms.append(wkb.polygon(np.array(
+            [(x0, y0), (x0 + 10, y0), (x0 + 10, y0 + 10),
+             (x0, y0 + 10), (x0, y0)])))
+    nations = pa.table({"n_nationkey": pa.array(keys),
+                        "geometry": pa.array(geoms, type=pa.binary())})
+    out = joins.pip_join_auto(pts, nations, id_col="n_nationkey",
+                              x_col="px", y_col="py", how=how,
+                              broadcast_limit_bytes=0, level=6)
+    return out.select_columns(["c_custkey"])
+
+
+def q_pip_semi_tiled(sf_dir: str):
+    """Tiled PIP SEMI join (J5 orphan-QC semantics past the broadcast
+    budget): points inside any of 20 rects, each point once."""
+    return _pip_tiled_semi_anti(sf_dir, "semi")
+
+
+def q_pip_anti_tiled(sf_dir: str):
+    """Tiled PIP ANTI join: points outside every rect (the reference's
+    orphan-building split, `_parcels.py:88-93`, at tiled scale)."""
+    return _pip_tiled_semi_anti(sf_dir, "anti")
+
+
+SQL_PIP_SEMI = """
+SELECT c_custkey FROM customer WHERE EXISTS (
+  SELECT 1 FROM nation WHERE n_nationkey < 20
+  AND CAST(FLOOR(((c_custkey * 7919) % 1000 + 0.5) / 200) AS INT)
+      = n_nationkey % 5
+  AND CAST(FLOOR(((c_custkey * 104729) % 1000 + 0.5) / 200) AS INT)
+      = CAST(FLOOR(n_nationkey / 5) AS INT))
+"""
+
+SQL_PIP_ANTI = """
+SELECT c_custkey FROM customer WHERE NOT EXISTS (
+  SELECT 1 FROM nation WHERE n_nationkey < 20
+  AND CAST(FLOOR(((c_custkey * 7919) % 1000 + 0.5) / 200) AS INT)
+      = n_nationkey % 5
+  AND CAST(FLOOR(((c_custkey * 104729) % 1000 + 0.5) / 200) AS INT)
+      = CAST(FLOOR(n_nationkey / 5) AS INT))
+"""
 
 
 def q_pip_left_unmatched(sf_dir: str):
@@ -3120,11 +3191,13 @@ def q5_local_supplier_volume(sf_dir: str):
     orderkey join lineitem⋈orders; supplier-nation attach from the
     broadcast map; equality filter; per-batch cents partials → tiny
     nation groupby."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name",
-                                      "n_regionkey"])
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation_t = _read_table(sf_dir, "nation",
+                           ["n_nationkey", "n_name", "n_regionkey"])
+    region_t = _read_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    cust_dim = _read_table(sf_dir, "customer",
+                           ["c_custkey", "c_nationkey"])
+    supp_dim = _read_table(sf_dir, "supplier",
+                           ["s_suppkey", "s_nationkey"])
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem",
@@ -3133,9 +3206,9 @@ def q5_local_supplier_volume(sf_dir: str):
     lo = np.datetime64("1996-01-01T00:00:00")
     hi = np.datetime64("1999-01-01T00:00:00")
 
-    rt = relational.ds_to_table(region).to_pandas()
+    rt = region_t.to_pandas()
     asia = int(rt.loc[rt.r_name == "ASIA", "r_regionkey"].iloc[0])
-    nt = relational.ds_to_table(nation).to_pandas()
+    nt = nation_t.to_pandas()
     nt = nt[nt.n_regionkey == asia]
     nkeys = set(nt.n_nationkey.tolist())
 
@@ -3144,7 +3217,7 @@ def q5_local_supplier_volume(sf_dir: str):
             pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
             pc.less(t["o_orderdate"], pa.scalar(hi)))),
         batch_format="pyarrow")
-    cust_t = relational.ds_to_table(cust)
+    cust_t = cust_dim
     mask = pc.is_in(cust_t["c_nationkey"],
                     value_set=pa.array(sorted(nkeys),
                                        type=cust_t["c_nationkey"].type))
@@ -3161,7 +3234,7 @@ def q5_local_supplier_volume(sf_dir: str):
     # attach + same-nation filter + nation partial all run INSIDE the
     # bucket join task — joined rows never re-enter the object store;
     # each bucket emits ≤ |nations| partial rows.
-    supp_pd = relational.ds_to_table(supp).to_pandas()
+    supp_pd = supp_dim.to_pandas()
     sref = ray.put(supp_pd.set_index("s_suppkey")["s_nationkey"]
                    .astype(np.int64))
 
@@ -3278,9 +3351,6 @@ def q7_volume_shipping(sf_dir: str):
     groupby."""
     from ray.data.aggregate import Sum
     n1, n2 = "NATION_1", "NATION_2"
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_shipdate",
@@ -3288,13 +3358,16 @@ def q7_volume_shipping(sf_dir: str):
     lo = np.datetime64("1996-01-01T00:00:00")
     hi = np.datetime64("1998-01-01T00:00:00")
 
-    nt = relational.ds_to_table(nation).to_pandas()
+    nt = _read_table(sf_dir, "nation",
+                     ["n_nationkey", "n_name"]).to_pandas()
     nmap = nt[nt.n_name.isin([n1, n2])]
-    cust_t = relational.ds_to_table(cust).to_pandas() \
+    cust_t = _read_table(sf_dir, "customer",
+                         ["c_custkey", "c_nationkey"]).to_pandas() \
         .merge(nmap, left_on="c_nationkey", right_on="n_nationkey") \
         .rename(columns={"n_name": "cust_nation"})[
             ["c_custkey", "cust_nation"]]
-    supp_t = relational.ds_to_table(supp).to_pandas() \
+    supp_t = _read_table(sf_dir, "supplier",
+                         ["s_suppkey", "s_nationkey"]).to_pandas() \
         .merge(nmap, left_on="s_nationkey", right_on="n_nationkey") \
         .rename(columns={"n_name": "supp_nation"})[
             ["s_suppkey", "supp_nation"]]
@@ -3390,12 +3463,6 @@ def q8_market_share(sf_dir: str):
     from the broadcast map; numerator/denominator cent partials per
     year → 2-row-per-year final combine → share ratio."""
     from ray.data.aggregate import Sum
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name",
-                                      "n_regionkey"])
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem",
@@ -3404,18 +3471,21 @@ def q8_market_share(sf_dir: str):
     lo = np.datetime64("1996-01-01T00:00:00")
     hi = np.datetime64("1998-01-01T00:00:00")
 
-    rt = relational.ds_to_table(region).to_pandas()
+    rt = _read_table(sf_dir, "region",
+                     ["r_regionkey", "r_name"]).to_pandas()
     amer = int(rt.loc[rt.r_name == "AMERICA", "r_regionkey"].iloc[0])
-    nt = relational.ds_to_table(nation).to_pandas()
+    nt = _read_table(sf_dir, "nation", ["n_nationkey", "n_name",
+                                        "n_regionkey"]).to_pandas()
     amer_nations = set(nt.loc[nt.n_regionkey == amer,
                               "n_nationkey"].tolist())
     brazil = int(nt.loc[nt.n_name == "NATION_1", "n_nationkey"].iloc[0])
 
-    pt = relational.ds_to_table(part)
+    pt = _read_table(sf_dir, "part", ["p_partkey", "p_type"])
     pkeys = pt.filter(pc.equal(pt["p_type"], "ECONOMY"))["p_partkey"]
     pset = pa.array(sorted(pkeys.to_pylist()), type=pa.int64())
 
-    cust_t = relational.ds_to_table(cust).to_pandas()
+    cust_t = _read_table(sf_dir, "customer",
+                         ["c_custkey", "c_nationkey"]).to_pandas()
     cust_t = cust_t[cust_t.c_nationkey.isin(amer_nations)][["c_custkey"]]
 
     def ord_prep(t: pa.Table) -> pa.Table:
@@ -3445,7 +3515,8 @@ def q8_market_share(sf_dir: str):
     # fused bucket tail (VERDICT r3 item #1): supplier-nation attach +
     # numerator/denominator cents partials per year run inside the bucket
     # join task; each bucket emits ≤ |years| rows.
-    supp_pd = relational.ds_to_table(supp).to_pandas()
+    supp_pd = _read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_nationkey"]).to_pandas()
     sref = ray.put(supp_pd.set_index("s_suppkey")["s_nationkey"]
                    .astype(np.int64))
 
@@ -3510,9 +3581,6 @@ def q10_returned_items(sf_dir: str):
     prune → tiny driver-side finish with broadcast customer/nation
     attach."""
     from ray.data.aggregate import Sum
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_name", "c_nationkey"])
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem",
@@ -3569,8 +3637,10 @@ def q10_returned_items(sf_dir: str):
         agg.map_batches(top20, batch_format="pyarrow")).to_pandas()
     cand = cand.sort_values(["rc", "c_custkey"],
                             ascending=[False, True]).head(20)
-    ct = relational.ds_to_table(cust).to_pandas()
-    nt = relational.ds_to_table(nation).to_pandas()
+    ct = _read_table(sf_dir, "customer",
+                     ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nt = _read_table(sf_dir, "nation",
+                     ["n_nationkey", "n_name"]).to_pandas()
     out = cand.merge(ct, on="c_custkey") \
         .merge(nt, left_on="c_nationkey", right_on="n_nationkey")
     out["revenue"] = out["rc"] / 100.0
@@ -5878,7 +5948,6 @@ def q21_blocking_supplier(sf_dir: str):
     shipment comes from exactly one supplier, count blocked orders per
     supplier.  Everything is per-orderkey, so ONE bucketed groupby
     computes it; supplier names attach from a broadcast dim."""
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_shipdate"])
 
@@ -5903,7 +5972,8 @@ def q21_blocking_supplier(sf_dir: str):
     agg = relational.ds_to_table(parts).to_pandas() \
         .groupby("s_suppkey", as_index=False)["pn"].sum() \
         .rename(columns={"pn": "numwait"})
-    st = relational.ds_to_table(supp).to_pandas()
+    st = _read_table(sf_dir, "supplier",
+                     ["s_suppkey", "s_name"]).to_pandas()
     out = agg.merge(st, on="s_suppkey") \
         .sort_values(["numwait", "s_name"], ascending=[False, True]) \
         .head(20).reset_index(drop=True)
@@ -5940,7 +6010,6 @@ def q22_sales_opportunity(sf_dir: str):
     rich-customer stream anti-joins the recent-order custkey set in
     ONE bucketed exchange; nation partials finish tiny."""
     from ray.data.aggregate import Sum
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_nationkey", "c_acctbal"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
@@ -5988,7 +6057,8 @@ def q22_sales_opportunity(sf_dir: str):
         .groupby("c_nationkey") \
         .aggregate(Sum("pn", alias_name="numcust"),
                    Sum("pb", alias_name="bc")).to_pandas()
-    nt = relational.ds_to_table(nation).to_pandas()
+    nt = _read_table(sf_dir, "nation",
+                     ["n_nationkey", "n_name"]).to_pandas()
     out = agg.merge(nt, left_on="c_nationkey", right_on="n_nationkey")
     out["numcust"] = out["numcust"].astype("int64")
     out["totacctbal"] = np.round(out["bc"] / 100.0, 2)
@@ -6021,6 +6091,8 @@ def registry():
         "pip_points_nations": (q_pip_points_nations, SQL_PIP),
         "pip_tiled_points_nations": (q_pip_tiled_points_nations, SQL_PIP),
         "pip_left_unmatched": (q_pip_left_unmatched, SQL_PIP_LEFT),
+        "pip_semi_tiled": (q_pip_semi_tiled, SQL_PIP_SEMI),
+        "pip_anti_tiled": (q_pip_anti_tiled, SQL_PIP_ANTI),
         "knn_customer_supplier": (q_knn_customer_supplier, SQL_KNN),
         "zonal_acctbal_nation": (q_zonal_acctbal_nation, SQL_ZONAL),
         "raster_grid_counts": (q_raster_grid_counts, SQL_RASTER),
