@@ -213,7 +213,7 @@ def q_knn_customer_supplier(sf_dir: str):
     integer squared distance."""
     pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         lambda b: _points_batch(b, "c_custkey"), batch_format="pyarrow")
-    sup = relational.ds_to_table(_read(sf_dir, "supplier", ["s_suppkey"]))
+    sup = _read_table(sf_dir, "supplier", ["s_suppkey"])
     sup = _points_batch(sup, "s_suppkey")
     out = joins.knn_join(pts, sup, k=1, id_col="s_suppkey",
                          x_col="px", y_col="py", tx_col="px", ty_col="py",
@@ -484,8 +484,7 @@ def q_nation_order_totals(sf_dir: str):
     """Broadcast dimension join chain: customer ⋈ nation (broadcast) ⋈
     orders, totals per nation."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation = relational.ds_to_table(_read(sf_dir, "nation",
-                                          ["n_nationkey", "n_name"]))
+    nation = _read_table(sf_dir, "nation", ["n_nationkey", "n_name"])
     nation = nation.rename_columns(["c_nationkey", "n_name"])
     enriched = relational.broadcast_join(cust, nation, on="c_nationkey")
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
