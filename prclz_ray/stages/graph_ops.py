@@ -110,6 +110,9 @@ def _pagerank_broadcast(edges_ds, nodes_ds, node_col, src_col, dst_col,
 
     from .relational import ds_to_table
 
+    # pinned: consumed once per round (+ the outdeg pass) — without this
+    # every sparse-partials pass re-executes the upstream edge pipeline
+    edges_ds = edges_ds.materialize()
     ids = np.sort(np.concatenate(
         [b[node_col].to_numpy(zero_copy_only=False)
          for b in nodes_ds.iter_batches(batch_format="pyarrow")]
@@ -328,6 +331,8 @@ def hits(edges_ds, nodes_ds, node_col: str = "v", src_col: str = "src",
         return _hits_broadcast(edges_ds, nodes_ds, node_col, src_col,
                                dst_col, iters, round_dp)
 
+    edges_ds = edges_ds.materialize()   # consumed 2×iters times below
+
     def init(batch: pa.Table) -> pa.Table:
         return pa.table({node_col: batch[node_col],
                          "s": pa.array(np.ones(batch.num_rows))})
@@ -384,6 +389,9 @@ def _hits_broadcast(edges_ds, nodes_ds, node_col, src_col, dst_col,
 
     from .relational import ds_to_table
 
+    # pinned: each of the 2×iters flow passes re-executes the upstream
+    # edge pipeline otherwise
+    edges_ds = edges_ds.materialize()
     ids = np.sort(np.concatenate(
         [b[node_col].to_numpy(zero_copy_only=False)
          for b in nodes_ds.iter_batches(batch_format="pyarrow")]
