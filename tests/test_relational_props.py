@@ -1054,3 +1054,67 @@ def test_label_propagation_two_cliques_paths_agree():
     pd.testing.assert_frame_equal(bc, js[["v", "label"]])
     # deterministic: labels are drawn from node ids
     assert set(bc["label"]).issubset(set(range(6)))
+
+
+def test_bucketed_join_null_keys_never_match():
+    """SQL semantics pin for the Acero per-bucket merge: null join keys
+    match NOTHING (a pandas merge would pair NaN with NaN) — inner drops
+    them, left keeps them unmatched."""
+    left = pa.table({"k": pa.array([1, 2, None, None], type=pa.int64()),
+                     "a": pa.array([10, 20, 30, 40])})
+    right = pa.table({"k": pa.array([1, None], type=pa.int64()),
+                      "b": pa.array([100, 200])})
+    inner = relational.bucketed_hash_join(
+        rd.from_arrow(left).repartition(2),
+        rd.from_arrow(right).repartition(2), on="k",
+        num_buckets=4).to_pandas()
+    assert sorted(inner["a"]) == [10]
+    lo = relational.bucketed_hash_join(
+        rd.from_arrow(left).repartition(2),
+        rd.from_arrow(right).repartition(2), on="k", num_buckets=4,
+        how="left").to_pandas().sort_values("a")
+    assert list(lo["a"]) == [10, 20, 30, 40]
+    assert lo["b"].notna().tolist() == [True, False, False, False]
+
+
+def test_bucketed_join_combine_hook_full_aggregate_on_join_key():
+    """combine= runs inside the bucket task; a groupby on the JOIN key
+    there is a full aggregate (every key occurrence is in one bucket)."""
+    import pyarrow.compute as pc
+    left = pa.table({"k": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+                     "v": pa.array([1, 2, 3, 4, 5], type=pa.int64())})
+    right = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                      "w": pa.array([10, 20, 30], type=pa.int64())})
+
+    def comb(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("v", "sum"), ("w", "max")])
+        return pa.table({"k": g["k"], "sv": g["v_sum"],
+                         "mw": g["w_max"]})
+
+    out = relational.bucketed_hash_join(
+        rd.from_arrow(left).repartition(3),
+        rd.from_arrow(right).repartition(2), on="k",
+        num_buckets=4, combine=comb).to_pandas().sort_values("k")
+    assert list(out["k"]) == [1, 2, 3]
+    assert list(out["sv"]) == [3, 7, 5]
+    assert list(out["mw"]) == [10, 20, 30]
+
+
+def test_worker_cached_builds_once_and_evicts_stale_kind():
+    calls = []
+    r1 = relational.worker_cached(("kind_a", "ref1"),
+                                  lambda: calls.append(1) or "v1")
+    r2 = relational.worker_cached(("kind_a", "ref1"),
+                                  lambda: calls.append(2) or "v1b")
+    assert r1 == r2 == "v1" and calls == [1]      # cached, not rebuilt
+    r3 = relational.worker_cached(("kind_a", "ref2"),
+                                  lambda: calls.append(3) or "v2")
+    assert r3 == "v2"
+    # stale same-kind entry evicted: re-asking for ref1 rebuilds
+    r4 = relational.worker_cached(("kind_a", "ref1"),
+                                  lambda: calls.append(4) or "v1c")
+    assert r4 == "v1c" and calls == [1, 3, 4]
+    # other kinds untouched
+    relational.worker_cached(("kind_b", "x"), lambda: "b1")
+    assert relational.worker_cached(("kind_b", "x"),
+                                    lambda: "b2") == "b1"
