@@ -126,10 +126,15 @@ def bucketed_semi_join(big_ds, keys_ds, on: str, anti: bool = False,
     l = big_ds.map_batches(tag(0), batch_format="pyarrow")
     r = keys_only.map_batches(tag(1), batch_format="pyarrow")
 
+    # derive the unioned schema from the INPUT schemas + tag's known
+    # appends (one schema() probe per side, not per derived pipeline)
+    big_cols = list(big_ds.schema().names)
     types: dict[str, pa.DataType] = {}
-    for sch in (l.schema(), r.schema()):
+    for sch in (big_ds.schema(), keys_only.schema()):
         for n, t in zip(sch.names, sch.types):
             types.setdefault(n, t)
+    types["_bucket"] = pa.int32()
+    types["_bside"] = pa.int8()
 
     def align(t: pa.Table) -> pa.Table:
         for n in types:
@@ -137,18 +142,23 @@ def bucketed_semi_join(big_ds, keys_ds, on: str, anti: bool = False,
                 t = t.append_column(n, pa.nulls(t.num_rows, type=types[n]))
         return t.select(list(types))
 
-    def probe(group: pd.DataFrame) -> pa.Table:
-        lg = group[group._bside == 0]
-        ks = group.loc[group._bside == 1, on].unique()
-        mask = lg[on].isin(ks)
+    def probe(group: pa.Table) -> pa.Table:
+        # arrow throughout (the pandas round-trip cost a per-bucket
+        # convert + slow downstream pandas-block path); null keys drop
+        # on BOTH semi and anti, matching the broadcast semi_join
+        side = group["_bside"]
+        lg = group.filter(pc.equal(side, 0))
+        ks = pc.unique(group.filter(pc.equal(side, 1))[on]
+                       .combine_chunks())
+        mask = pc.is_in(lg[on], value_set=ks)
         if anti:
-            mask = ~mask
-        out = lg[mask].drop(columns=["_bucket", "_bside"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+            mask = pc.invert(mask)
+        return lg.filter(pc.fill_null(mask, False)).select(big_cols)
 
     unioned = l.map_batches(align, batch_format="pyarrow").union(
         r.map_batches(align, batch_format="pyarrow"))
-    return unioned.groupby("_bucket").map_groups(probe, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(probe,
+                                                 batch_format="pyarrow")
 
 
 # Per-worker-process cache for broadcast state used inside per-batch /
