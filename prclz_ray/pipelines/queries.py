@@ -5630,6 +5630,86 @@ SELECT v AS doc_id, lbl AS label FROM l2
 """
 
 
+def q_debounce_events(sf_dir: str):
+    """Stream-hygiene debounce: drop an event arriving < 60 s after the
+    previous event of the same (user, type) — the classic dup-fire /
+    double-click filter.  One composite-key LAG pass (the existing
+    bucketed ``grouped_lag``), then a pure filter; output is the kept
+    event stream."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()), t["event_type"], "|")
+        return t.append_column("_k", k)
+
+    lagged = relational.grouped_lag(
+        ev.map_batches(keyed, batch_format="pyarrow"), key_col="_k",
+        ts_col="ts", order_col="event_id", lag_cols=["event_id"],
+        carry_cols=["user_id", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        gap = t["gap_us"]
+        mask = pc.or_kleene(pc.is_null(gap),
+                            pc.greater_equal(gap, pa.scalar(60_000_000)))
+        t = t.filter(pc.fill_null(mask, False))
+        return t.select(["event_id", "user_id", "event_type", "ts"])
+
+    return lagged.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_DEBOUNCE = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id), ts) AS gap_us
+  FROM events)
+WHERE gap_us IS NULL OR gap_us >= 60000000
+"""
+
+
+def q_trending_events_hourly(sf_dir: str):
+    """Trending dashboard: top-3 event types per hour by count (count
+    ties → type ASC).  Per-batch (hour, type) partials → one tiny
+    groupby — the shuffled payload is hours × types, never events —
+    and the rank finish runs on the driver-sized count table."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.table({"hour": hr, "event_type": t["event_type"]}) \
+            .group_by(["hour", "event_type"]).aggregate(
+                [("event_type", "count")])
+        return pa.table({"hour": g["hour"],
+                         "event_type": g["event_type"],
+                         "pn": g["event_type_count"].cast(pa.int64())})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["hour", "event_type"]) \
+        .aggregate(Sum("pn", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["hour", "n", "event_type"],
+                          ascending=[True, False, True])
+    agg["rnk"] = agg.groupby("hour").cumcount() + 1
+    out = agg[agg["rnk"] <= 3].reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    out["rnk"] = out["rnk"].astype("int64")
+    return out[["hour", "event_type", "n", "rnk"]]
+
+
+SQL_TRENDING = """
+SELECT hour, event_type, n, rnk FROM (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY COUNT(*) DESC, event_type) AS rnk
+  FROM events GROUP BY 1, 2)
+WHERE rnk <= 3
+"""
+
+
 def q4_order_priority(sf_dir: str):
     """TPC-H Q4 (order-priority checking, adapted: the 'late' predicate
     is l_shipdate > o_orderdate — the synthetic lineitem has no
@@ -6279,6 +6359,9 @@ def registry():
         "q19_disjunctive_revenue": (q19_disjunctive_revenue, SQL_Q19),
         "q21_blocking_supplier": (q21_blocking_supplier, SQL_Q21),
         "q22_sales_opportunity": (q22_sales_opportunity, SQL_Q22),
+        "debounce_events": (q_debounce_events, SQL_DEBOUNCE),
+        "trending_events_hourly": (q_trending_events_hourly,
+                                   SQL_TRENDING),
         "hits_links": (q_hits_links, SQL_HITS),
         "label_propagation_links": (q_label_propagation_links,
                                     SQL_LABEL_PROP),

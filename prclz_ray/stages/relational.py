@@ -961,7 +961,7 @@ def pivot_counts(ds, row_col: str, col_col: str, col_values: list,
 
 def grouped_lag(events_ds, key_col: str, ts_col: str, order_col: str,
                 lag_cols: list[str], num_buckets: int = 64,
-                lead: bool = False):
+                lead: bool = False, carry_cols: list[str] | None = None):
     """LAG / LEAD window: for every row, the PREVIOUS (or, with
     ``lead=True``, the NEXT) row's values per key in (ts, order_col)
     order — ``LAG/LEAD(col) OVER (PARTITION BY key ORDER BY ts, id)``.
@@ -972,7 +972,7 @@ def grouped_lag(events_ds, key_col: str, ts_col: str, order_col: str,
 
     Scale shape: identical to ``running_aggregate`` — ONE coarse-bucket
     shuffle, per-bucket vectorized sort + C groupby shift."""
-    keep = {key_col, ts_col, order_col, *lag_cols}
+    keep = {key_col, ts_col, order_col, *lag_cols, *(carry_cols or [])}
     shift_n = -1 if lead else 1
     prefix = "next_" if lead else "prev_"
 
