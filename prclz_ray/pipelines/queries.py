@@ -5868,6 +5868,60 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 """
 
 
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 (top supplier): per-supplier revenue over 1996Q1,
+    keeping every supplier tied at the maximum.  Per-batch cents
+    partials → one suppkey groupby (≤ |suppliers| rows) → driver-scalar
+    max + filter → broadcast name attach."""
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1996-04-01T00:00:00")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        rc = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), ndigits=0,
+            round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"s_suppkey": t["l_suppkey"], "rc": rc}) \
+            .group_by("s_suppkey").aggregate([("rc", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"],
+                         "prc": g["rc_sum"].cast(pa.int64())})
+
+    rev = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("prc", alias_name="rc")) \
+        .to_pandas()
+    top = rev[rev["rc"] == rev["rc"].max()]
+    st = _read_table(sf_dir, "supplier",
+                     ["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(st, on="s_suppkey").sort_values("s_suppkey") \
+        .reset_index(drop=True)
+    out["total_revenue"] = np.round(out["rc"] / 100.0, 2)
+    return out[["s_suppkey", "s_name", "total_revenue"]]
+
+
+SQL_Q15 = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS rc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ROUND(rc / 100.0, 2) AS total_revenue
+FROM r JOIN supplier USING (s_suppkey)
+WHERE rc = (SELECT MAX(rc) FROM r)
+ORDER BY s_suppkey
+"""
+
+
 def q17_small_quantity_revenue(sf_dir: str):
     """TPC-H Q17 (small-quantity revenue, adapted: the selective part
     filter is brand + size — the synthetic part table has no
@@ -6353,6 +6407,7 @@ def registry():
         "q13_customer_distribution": (q13_customer_distribution,
                                       SQL_Q13),
         "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
+        "q15_top_supplier": (q15_top_supplier, SQL_Q15),
         "q17_small_quantity_revenue": (q17_small_quantity_revenue,
                                        SQL_Q17),
         "q18_large_orders": (q18_large_orders, SQL_Q18),
