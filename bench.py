@@ -170,7 +170,21 @@ def run_flagship_bench(n: int = N_PAGES) -> dict:
             "rows_per_sec": round(n / dt, 1)}
 
 
+def _host_spin_ratio() -> float:
+    """32-proc vs 1-proc spin wall ratio (scripts/hostprobe.py): ~1.0 on
+    an idle host, >>1 under co-tenant contention.  Embedded in the bench
+    JSON so each recorded run carries its own noise context (BASELINE.md
+    documents 26.8k→42.0k rows/s swings on byte-identical binaries)."""
+    try:
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from hostprobe import ratio
+        return round(ratio(), 3)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
+    probe = _host_spin_ratio()
     _init(NUM_CPUS)
     import __ray_entry__ as entrymod
 
@@ -197,6 +211,7 @@ def main() -> None:
         "value": total, "unit": "sec", "queries": timings,
         "legacy_12q_total": legacy,
         "sf": sf, "num_cpus": NUM_CPUS, "flagship": flagship,
+        "host_spin_ratio": probe,
     }))
     import ray
     ray.shutdown()
@@ -244,6 +259,7 @@ def scaling(n: int = N_SCALING_PAGES,
 
     results = {}
     for cpus in (low, high):
+        probe = _host_spin_ratio()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_worker",
@@ -252,6 +268,7 @@ def scaling(n: int = N_SCALING_PAGES,
         line = [l for l in out.stdout.splitlines()
                 if l.startswith("WORKER_RESULT ")][-1]
         results[cpus] = json.loads(line[len("WORKER_RESULT "):])
+        results[cpus]["host_spin_ratio"] = probe
 
     t_low = results[low]["rows_per_sec"]
     t_high = results[high]["rows_per_sec"]
