@@ -64,17 +64,41 @@ def stable_bucket(col, num_buckets: int) -> np.ndarray:
 def broadcast_join(big_ds, small, on: str, how: str = "inner",
                    suffix: str = "_r"):
     """Hash-join a big Dataset against a SMALL table: the small side is
-    ray.put once and merged per batch (no shuffle)."""
+    ``ray.put`` once (zero-copy plasma reads in every task) and joined
+    per batch with the Arrow Acero kernel — no shuffle, no pandas
+    round-trip, and null join keys match NOTHING (SQL semantics,
+    consistent with ``bucketed_hash_join``; a pandas merge would pair
+    NaN keys)."""
     if not isinstance(small, (pa.Table, pd.DataFrame)):
         small = ds_to_table(small)
-    sdf = small.to_pandas() if isinstance(small, pa.Table) else small
-    ref = ray.put(sdf)
+    if isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    small = small.combine_chunks()
+    ref = ray.put(small)
+    join_type = _ARROW_JOIN_TYPE[how]
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        s = ray.get(ref)
-        return batch.merge(s, on=on, how=how, suffixes=("", suffix))
+    def merge(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)              # zero-copy shared read per node
+        batch = batch.combine_chunks()
+        bt = batch.schema.field(on).type
+        st = s.schema.field(on).type
+        if bt != st:
+            # Acero requires identical key types (pandas coerced
+            # silently): cast both sides to the permissive-unified type
+            key_t = pa.unify_schemas(
+                [pa.schema([(on, bt)]), pa.schema([(on, st)])],
+                promote_options="permissive").field(on).type
+            if bt != key_t:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(on), on,
+                    batch[on].cast(key_t))
+            if st != key_t:
+                s = s.set_column(s.schema.get_field_index(on), on,
+                                 s[on].cast(key_t))
+        return batch.join(s, keys=on, join_type=join_type,
+                          right_suffix=suffix)
 
-    return big_ds.map_batches(merge, batch_format="pandas")
+    return big_ds.map_batches(merge, batch_format="pyarrow")
 
 
 def semi_join(big_ds, keys, on: str, anti: bool = False):
