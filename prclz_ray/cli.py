@@ -219,6 +219,34 @@ def cmd_compact(a):
     print(info)
 
 
+def cmd_query(a):
+    """Run any registry pipeline (`--list` to enumerate) over a testdata
+    directory; write parquet with --out, else print a head sample —
+    the switch-user surface: every pipeline a reference user runs is a
+    named query here."""
+    from .pipelines.queries import registry
+    reg = registry()
+    if a.list:
+        for name, (_, sql) in sorted(reg.items()):
+            print(f"{name}\t{'sql-oracle' if sql else 'no-oracle'}")
+        return
+    if a.name not in reg:
+        raise SystemExit(f"unknown query {a.name!r} (see --list)")
+    _init_ray()
+    res = reg[a.name][0](a.sf_dir)
+    if a.out:
+        import ray.data as rd
+        ds = res if hasattr(res, "write_parquet") else (
+            rd.from_arrow(res) if not hasattr(res, "to_records")
+            else rd.from_pandas(res))
+        ds.write_parquet(a.out)
+        print(f"wrote {a.out}")
+    else:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        print(df.head(a.head).to_string())
+        print(f"[{len(df)} rows]")
+
+
 _CORPUS_STAGES = ("normalize", "langid", "quality", "tokens", "repetition",
                   "pii", "fingerprint")
 
@@ -445,6 +473,16 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--target-mb", type=int, default=128)
     s.set_defaults(fn=cmd_compact)
+
+    s = sub.add_parser("query",
+                       help="run a registry pipeline by name over a "
+                            "testdata dir (--list to enumerate)")
+    s.add_argument("name", nargs="?", default="")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--out", default="")
+    s.add_argument("--head", type=int, default=20)
+    s.add_argument("--list", action="store_true")
+    s.set_defaults(fn=cmd_query)
 
     a = p.parse_args(argv)
     a.fn(a)
