@@ -224,3 +224,19 @@ def test_cli_corpus_mix_and_split(tmp_path):
     b = got2.sort_values("doc_id").reset_index(drop=True)
     assert a.doc_id.tolist() == b.doc_id.tolist()
     assert a.split.tolist() == b.split.tolist()
+
+
+def test_cli_query_verb_runs_registry_pipeline(tmp_path, capsys):
+    from prclz_ray.cli import main
+
+    main(["query", "--list"])
+    listed = capsys.readouterr().out
+    assert "q1_pricing_summary\tsql-oracle" in listed
+
+    out = tmp_path / "q_out"
+    main(["query", "orders_status_counts",
+          "--sf-dir", "/root/testdata/sf0.001", "--out", str(out)])
+    import pyarrow.parquet as pq
+    got = pq.read_table(str(out)).to_pandas()
+    assert set(got["o_orderstatus"]) == {"F", "O", "P"}
+    assert got["n"].sum() == 1500
