@@ -5710,6 +5710,74 @@ WHERE rnk <= 3
 """
 
 
+def q_ccnet_ppl_filter(sf_dir: str):
+    """CCNet head-selection: keep documents whose bigram-LM score (mean
+    NLL, 4dp) is at or below their LANGUAGE's median — the per-lang
+    perplexity quality gate CCNet runs before training-data export.
+    Composition of three existing operators: corpus-trained LM scoring,
+    one doc_id-bucketed lang attach (large×large), exact grouped
+    discrete median, broadcast threshold filter."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    scores = text.bigram_lm_scores(
+        docs.map_batches(lambda t: t.select(["doc_id", "text"]),
+                         batch_format="pyarrow"),
+        key_col="doc_id", text_col="text")
+    langs = docs.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow")
+    # pinned: consumed twice (median pass, then the filter) — narrow
+    # (doc_id, nll, lang) rows, object-store-resident/spillable
+    scored = relational.bucketed_hash_join(scores, langs,
+                                           on="doc_id").materialize()
+
+    med = relational.grouped_quantile_disc(
+        scored.map_batches(lambda t: t.select(["lang", "nll"]),
+                           batch_format="pyarrow"),
+        key_col="lang", val_col="nll", qs=[0.5])
+    thr = dict(zip(med["lang"], med["p50"]))
+    tref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = relational.worker_cached(("ccnet_thr", tref),
+                                      lambda: ray.get(tref))
+        lv = np.array([th[x] for x in
+                       t["lang"].to_pylist()])
+        mask = t["nll"].to_numpy(zero_copy_only=False) <= lv
+        return t.filter(pa.array(mask)) \
+            .select(["doc_id", "lang", "nll"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_CCNET_FILTER = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+big AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 2)),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+cc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+nv AS (SELECT COUNT(DISTINCT x) AS v
+       FROM (SELECT unnest(w) AS x FROM toks)),
+sc AS (
+  SELECT b.doc_id,
+         ROUND(-AVG(LN((bc.c12 + 1.0) / (cc.c1 + nv.v))), 4) AS nll
+  FROM big b
+  JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN cc ON cc.w1 = b.w1
+  CROSS JOIN nv
+  GROUP BY b.doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang, COALESCE(sc.nll, 0.0) AS nll
+  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+med AS (SELECT lang, quantile_disc(nll, 0.5) AS m
+        FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, s.nll
+FROM scored s JOIN med USING (lang)
+WHERE s.nll <= med.m
+"""
+
+
 def q4_order_priority(sf_dir: str):
     """TPC-H Q4 (order-priority checking, adapted: the 'late' predicate
     is l_shipdate > o_orderdate — the synthetic lineitem has no
@@ -6414,6 +6482,7 @@ def registry():
         "q19_disjunctive_revenue": (q19_disjunctive_revenue, SQL_Q19),
         "q21_blocking_supplier": (q21_blocking_supplier, SQL_Q21),
         "q22_sales_opportunity": (q22_sales_opportunity, SQL_Q22),
+        "ccnet_ppl_filter": (q_ccnet_ppl_filter, SQL_CCNET_FILTER),
         "debounce_events": (q_debounce_events, SQL_DEBOUNCE),
         "trending_events_hourly": (q_trending_events_hourly,
                                    SQL_TRENDING),
