@@ -13,6 +13,7 @@ import time
 import multiprocessing as mp
 
 SPIN_N = 3_000_000
+BW_MB = 64
 
 
 def spin(n: int) -> float:
@@ -20,6 +21,18 @@ def spin(n: int) -> float:
     x = 0
     for i in range(n):
         x += i * i
+    return time.time() - t0
+
+
+def stream(mb: int) -> float:
+    """Memory-bandwidth leg: sum a working set far larger than L3 —
+    co-tenant bandwidth pressure shows here when the in-cache spin
+    reads idle (observed on the 2026-08-18 campaign)."""
+    import numpy as np
+    a = np.ones((mb << 20) // 8)
+    t0 = time.time()
+    for _ in range(3):
+        a.sum()
     return time.time() - t0
 
 
@@ -32,8 +45,20 @@ def ratio(nprocs: int = 32) -> float:
     return twide / t1
 
 
+def bw_ratio(nprocs: int = 16) -> float:
+    t1 = min(stream(BW_MB) for _ in range(2))
+    with mp.Pool(nprocs) as p:
+        p.map(stream, [8] * nprocs)       # warm the pool + allocators
+        t0 = time.time()
+        p.map(stream, [BW_MB] * nprocs)
+        twide = time.time() - t0
+    return twide / t1                     # wall vs 1-proc time
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     r = ratio(n)
-    print(f"{{\"nprocs\": {n}, \"ratio\": {r:.3f}}}")
-    sys.exit(0 if r <= 1.6 else 1)
+    b = bw_ratio()
+    print(f"{{\"nprocs\": {n}, \"ratio\": {r:.3f}, "
+          f"\"bw_ratio\": {b:.3f}}}")
+    sys.exit(0 if r <= 1.6 and b <= 8.0 else 1)
