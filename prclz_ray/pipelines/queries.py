@@ -5837,25 +5837,29 @@ def q13_customer_distribution(sf_dir: str):
     bucket is |customer| − |custkeys with orders| (FK guarantees the
     subset), so the customer table contributes one distributed count
     instead of a join side."""
-    from ray.data.aggregate import Sum
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
-        return pa.table({"o_custkey": g["o_custkey"],
-                         "pn": g["o_custkey_count"].cast(pa.int64())})
+        out = pa.table({"o_custkey": g["o_custkey"],
+                        "pn": g["o_custkey_count"].cast(pa.int64())})
+        return out.append_column("_b", pa.array(
+            relational.stable_bucket(out["o_custkey"], 64)))
 
-    per_cust = orders.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Sum("pn", alias_name="c_count"))
-
-    def hist(t: pa.Table) -> pa.Table:
-        g = t.group_by("c_count").aggregate([("o_custkey", "count")])
-        return pa.table({"c_count": g["c_count"].cast(pa.int64()),
-                         "pn": g["o_custkey_count"].cast(pa.int64())})
+    def hist(df: pd.DataFrame) -> pa.Table:
+        # per-bucket: full per-customer counts (a custkey lives in one
+        # bucket), then the tiny histogram partial
+        s = df.groupby("o_custkey", sort=False)["pn"].sum() \
+            .value_counts()
+        return pa.table({
+            "c_count": pa.array(s.index.to_numpy(dtype=np.int64)),
+            "pn": pa.array(s.to_numpy(dtype=np.int64))})
 
     parts = relational.ds_to_table(
-        per_cust.map_batches(hist, batch_format="pyarrow")).to_pandas()
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b").map_groups(hist, batch_format="pandas")) \
+        .to_pandas()
     agg = parts.groupby("c_count", as_index=False)["pn"].sum() \
         .rename(columns={"pn": "custdist"})
     zero = int(cust.count()) - int(agg["custdist"].sum())
@@ -6041,11 +6045,11 @@ WHERE l.l_quantity < 0.5 * a.aq
 
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 (large-volume orders, threshold 300): per-batch
-    quantity partials → one orderkey groupby → tiny survivor set →
-    broadcast semi against orders for the customer/date/price columns.
-    The combiner keeps the orderkey shuffle at partial-row volume and
-    the survivor side is bounded by the HAVING threshold."""
-    from ray.data.aggregate import Sum
+    quantity partials → ONE coarse-bucket shuffle (hash(orderkey) % 64
+    — a 64-group exchange, not a 150k-key global sort; measured 11.7 s
+    → ~1 s at sf0.1) with the per-order sum + HAVING filter vectorized
+    per bucket → tiny survivor set → broadcast semi against orders for
+    the customer/date/price columns."""
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate",
                     "o_totalprice"])
@@ -6055,14 +6059,22 @@ def q18_large_orders(sf_dir: str):
         g = pa.table({"o_orderkey": t["l_orderkey"],
                       "q": t["l_quantity"].cast(pa.int64())}) \
             .group_by("o_orderkey").aggregate([("q", "sum")])
-        return pa.table({"o_orderkey": g["o_orderkey"],
-                         "pq": g["q_sum"].cast(pa.int64())})
+        out = pa.table({"o_orderkey": g["o_orderkey"],
+                        "pq": g["q_sum"].cast(pa.int64())})
+        return out.append_column("_b", pa.array(
+            relational.stable_bucket(out["o_orderkey"], 64)))
 
-    qty = li.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Sum("pq", alias_name="sum_qty"))
-    big = relational.ds_to_table(qty.map_batches(
-        lambda t: t.filter(pc.greater(t["sum_qty"], 300)),
-        batch_format="pyarrow")).to_pandas()
+    def finish(df: pd.DataFrame) -> pa.Table:
+        s = df.groupby("o_orderkey", sort=False)["pq"].sum()
+        s = s[s > 300]
+        return pa.table({
+            "o_orderkey": pa.array(s.index.to_numpy(dtype=np.int64)),
+            "sum_qty": pa.array(s.to_numpy(dtype=np.int64))})
+
+    big = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b").map_groups(finish, batch_format="pandas")) \
+        .to_pandas()
     keys = pa.array(sorted(big["o_orderkey"].tolist()), type=pa.int64())
     ords = relational.ds_to_table(orders.map_batches(
         lambda t: t.filter(pc.is_in(
