@@ -1118,3 +1118,47 @@ def test_worker_cached_builds_once_and_evicts_stale_kind():
     relational.worker_cached(("kind_b", "x"), lambda: "b1")
     assert relational.worker_cached(("kind_b", "x"),
                                     lambda: "b2") == "b1"
+
+
+def test_bucketed_join_randomized_parity_with_duckdb():
+    """Core-infra pin: the Acero bucketed join must match DuckDB on
+    random data with NULL keys, duplicate keys, and int32-vs-int64 key
+    dtype promotion, for inner/left/outer."""
+    import duckdb
+
+    rng = np.random.default_rng(43)
+    n = 2000
+    lk = rng.integers(0, 300, n).astype(np.int64)
+    lnull = rng.random(n) < 0.05
+    left = pa.table({
+        "k": pa.array([None if m else int(v)
+                       for v, m in zip(lk, lnull)], type=pa.int64()),
+        "a": pa.array(rng.integers(0, 10**6, n))})
+    rk = rng.integers(0, 300, 400)
+    rnull = rng.random(400) < 0.05
+    right = pa.table({
+        "k": pa.array([None if m else int(v)
+                       for v, m in zip(rk, rnull)], type=pa.int32()),
+        "b": pa.array(rng.integers(0, 10**6, 400))})
+
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    for how, sql_join in [("inner", "JOIN"), ("left", "LEFT JOIN"),
+                          ("outer", "FULL OUTER JOIN")]:
+        got = relational.bucketed_hash_join(
+            rd.from_arrow(left).repartition(5),
+            rd.from_arrow(right).repartition(3), on="k",
+            num_buckets=8, how=how).to_pandas()
+        want = con.execute(
+            f"SELECT l.a AS a, r.b AS b FROM l {sql_join} r "
+            "ON l.k = r.k").fetchdf()
+        ga = sorted((-1 if a != a else int(a),
+                     -1 if b != b else int(b))
+                    for a, b in zip(got["a"].fillna(-1),
+                                    got["b"].fillna(-1)))
+        wa = sorted((-1 if a != a else int(a),
+                     -1 if b != b else int(b))
+                    for a, b in zip(want["a"].fillna(-1),
+                                    want["b"].fillna(-1)))
+        assert ga == wa, how
