@@ -5710,6 +5710,18 @@ WHERE rnk <= 3
 """
 
 
+def q_audience_overlap(sf_dir: str):
+    """HLL sketch algebra: approximate per-event-type distinct users,
+    pairwise unions (register-max merge) and inclusion-exclusion
+    overlaps, from ONE streaming pass over events.  No SQL oracle by
+    design (approximate); pytest pins the error bound against the exact
+    overlap and partition-invariance."""
+    from ..stages import sketches
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return sketches.hll_overlap_matrix(ev, group_col="event_type",
+                                       key_col="user_id")
+
+
 def q_ccnet_ppl_filter(sf_dir: str):
     """CCNet head-selection: keep documents whose bigram-LM score (mean
     NLL, 4dp) is at or below their LANGUAGE's median — the per-lang
@@ -6495,6 +6507,7 @@ def registry():
         "q21_blocking_supplier": (q21_blocking_supplier, SQL_Q21),
         "q22_sales_opportunity": (q22_sales_opportunity, SQL_Q22),
         "ccnet_ppl_filter": (q_ccnet_ppl_filter, SQL_CCNET_FILTER),
+        "audience_overlap": (q_audience_overlap, None),
         "debounce_events": (q_debounce_events, SQL_DEBOUNCE),
         "trending_events_hourly": (q_trending_events_hourly,
                                    SQL_TRENDING),

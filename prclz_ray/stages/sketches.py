@@ -387,3 +387,76 @@ def heavy_hitter_words(ds, text_col: str = "text", k: int = 20,
     t = mg_word_summary(ds, text_col=text_col, capacity=capacity)
     return t.sort_by([("n", "descending"), ("word", "ascending")]) \
         .slice(0, k)
+
+
+def hll_overlap_matrix(ds, group_col: str, key_col: str,
+                       p: int = 14) -> pa.Table:
+    """Sketch ALGEBRA over the per-group HLLs: approximate
+    |distinct(A)|, |distinct(B)|, |A ∪ B| (register-wise max — the HLL
+    union is lossless), and the inclusion-exclusion overlap estimate
+    |A ∩ B| ≈ a + b − ab for every unordered group pair.  The audience-
+    overlap question ("how many users do CLICK and PURCHASE share?")
+    answered from ONE pass over the data: the sparse register table is
+    (groups × ≤2^p) rows however large the input, and every pairwise
+    union is a driver-side max-merge of two register vectors.
+
+    Same determinism/error envelope as ``grouped_approx_distinct``
+    (max-merge associative ⇒ partition-invariant; ≈1.04/√(2^p))."""
+    from ray.data.aggregate import Max
+
+    from .relational import ds_to_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hash_u64(t[key_col])
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - p)) - 1)
+        _, exp = np.frexp(rem.astype(np.float64))
+        rho = np.where(rem > 0, (64 - p) + 1 - exp, (64 - p) + 1) \
+            .astype(np.int64)
+        g = pa.table({group_col: t[group_col],
+                      "reg": pa.array(idx), "rho": pa.array(rho)}) \
+            .group_by([group_col, "reg"]).aggregate([("rho", "max")])
+        return pa.table({group_col: g[group_col], "reg": g["reg"],
+                         "prho": g["rho_max"].cast(pa.int64())})
+
+    sparse = ds_to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "reg"])
+        .aggregate(Max("prho", alias_name="rho"))).to_pandas()
+
+    m = float(1 << p)
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def est(regs: dict) -> int:
+        n_present = len(regs)
+        s = float(np.sum(2.0 ** -np.fromiter(regs.values(), float,
+                                             n_present))) \
+            + (m - n_present)
+        e = alpha * m * m / s
+        zeros = int(m) - n_present
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        return int(round(e))
+
+    by_group = {
+        gk: dict(zip(g["reg"].to_numpy(), g["rho"].to_numpy()))
+        for gk, g in sparse.groupby(group_col, sort=False)}
+    names = sorted(by_group)
+    rows = []
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            ra, rb = by_group[ga], by_group[gb]
+            ru = dict(ra)
+            for k, v in rb.items():
+                if ru.get(k, 0) < v:
+                    ru[k] = v
+            a, b, u = est(ra), est(rb), est(ru)
+            rows.append((ga, gb, a, b, u, max(0, a + b - u)))
+    return pa.table({
+        "group_a": pa.array([r[0] for r in rows]),
+        "group_b": pa.array([r[1] for r in rows]),
+        "approx_a": pa.array([r[2] for r in rows], type=pa.int64()),
+        "approx_b": pa.array([r[3] for r in rows], type=pa.int64()),
+        "approx_union": pa.array([r[4] for r in rows], type=pa.int64()),
+        "approx_overlap": pa.array([r[5] for r in rows],
+                                   type=pa.int64())})

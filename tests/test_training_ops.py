@@ -1303,3 +1303,40 @@ def test_distributed_auc_known_value_ties_and_degenerate():
                    "label": pa.array([1, 1], type=pa.int64())})
     assert ml.distributed_auc(rd.from_arrow(t3), "score",
                               "label").to_pandas()["auc"].isna().all()
+
+
+def test_hll_overlap_matrix_error_bound_and_invariance():
+    """Sketch-algebra pins: pairwise overlap estimates within the HLL
+    error envelope of the exact intersection, and identical across
+    partitionings (max-merge is associative)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prclz_ray.stages import sketches
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, lo, hi in [("click", 0, 6000), ("view", 3000, 9000),
+                      ("purchase", 5000, 6500)]:
+        users = rng.integers(lo, hi, 8000)
+        rows.append(pd.DataFrame({"event_type": g, "user_id": users}))
+    df = pd.concat(rows, ignore_index=True)
+
+    def run(parts):
+        return sketches.hll_overlap_matrix(
+            rd.from_pandas(df).repartition(parts),
+            group_col="event_type", key_col="user_id").to_pandas()
+
+    got = run(5)
+    exact = {g: set(d["user_id"]) for g, d in df.groupby("event_type")}
+    err = 3 * 1.04 / np.sqrt(1 << 14)       # 3 sigma per sketch
+    for r in got.itertuples():
+        ea, eb = exact[r.group_a], exact[r.group_b]
+        inter = len(ea & eb)
+        # overlap combines three sketches: allow the summed envelope
+        tol = err * (len(ea) + len(eb) + len(ea | eb)) + 2
+        assert abs(r.approx_overlap - inter) <= tol, (r, inter, tol)
+        assert abs(r.approx_a - len(ea)) <= err * len(ea) + 2
+    pd.testing.assert_frame_equal(got, run(11))
