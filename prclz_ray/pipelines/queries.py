@@ -5842,6 +5842,265 @@ ORDER BY o_orderpriority
 """
 
 
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 (product-type profit, adapted: the synthetic schema has
+    no partsupp, so supply cost is the PURE FUNCTION
+    cost_cents(p, s) = (p*31 + s*17) % 90000 + 10000 — identical
+    arithmetic in the SQL twin, no join needed for the cost side):
+    profit per (supplier nation, order year) over 'red' parts.  Shape:
+    selective part-name filter broadcast → per-batch profit cents →
+    ONE bucketed orderkey join with the supplier-nation attach + the
+    (nation, year) partial fused into the bucket tail."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    pt = _read_table(sf_dir, "part", ["p_partkey", "p_name"])
+    keys = pa.array(sorted(
+        pt.filter(pc.match_substring(pt["p_name"], "red"))
+        ["p_partkey"].to_pylist()), type=pa.int64())
+
+    nt = _read_table(sf_dir, "nation",
+                     ["n_nationkey", "n_name"]).to_pandas()
+    supp_pd = _read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_nationkey"]).to_pandas() \
+        .merge(nt, left_on="s_nationkey", right_on="n_nationkey")
+    sref = ray.put(supp_pd.set_index("s_suppkey")["n_name"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"].cast(pa.int64()),
+                              value_set=keys))
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rc = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), ndigits=0,
+            round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cost = (p * 31 + s * 17) % 90000 + 10000
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "s_suppkey": pa.array(s),
+                         "pc_": pa.array(rc - cost * q)})
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pa.array(year)})
+
+    def comb(t: pa.Table) -> pa.Table:
+        smap = relational.worker_cached(("q9_supp", sref),
+                                        lambda: ray.get(sref))
+        nat = smap.reindex(t["s_suppkey"].to_numpy(
+            zero_copy_only=False)).to_numpy(dtype=object)
+        g = pa.table({"nation": pa.array(nat, type=pa.string()),
+                      "o_year": t["o_year"], "pc_": t["pc_"]}) \
+            .group_by(["nation", "o_year"]).aggregate([("pc_", "sum")])
+        return pa.table({"nation": g["nation"], "o_year": g["o_year"],
+                         "ppc": g["pc__sum"].cast(pa.int64())})
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        on="o_orderkey", combine=comb)
+    agg = relational.ds_to_table(j).to_pandas() \
+        .groupby(["nation", "o_year"], as_index=False)["ppc"].sum()
+    agg["sum_profit"] = np.round(agg["ppc"] / 100.0, 2)
+    agg["o_year"] = agg["o_year"].astype("int64")
+    agg = agg.sort_values(["nation", "o_year"],
+                          ascending=[True, False]).reset_index(drop=True)
+    return agg[["nation", "o_year", "sum_profit"]]
+
+
+SQL_Q9 = """
+WITH lp AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         - ((l_partkey * 31 + l_suppkey * 17) % 90000 + 10000)
+           * CAST(l_quantity AS BIGINT) AS pc
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'),
+j AS (SELECT lp.l_suppkey, lp.pc,
+             EXTRACT(year FROM o_orderdate) AS o_year
+      FROM lp JOIN orders ON o_orderkey = l_orderkey)
+SELECT n_name AS nation, CAST(o_year AS BIGINT) AS o_year,
+       ROUND(SUM(pc) / 100.0, 2) AS sum_profit
+FROM j JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def _derive_partsupp(pt: pa.Table, n_supp: int) -> pa.Table:
+    """The shared synthetic partsupp convention (the synth schema has
+    none): 2 suppliers per part, suppkey/cost/availqty all pure
+    functions of (p_partkey, k) — reproduced verbatim as a CTE in the
+    SQL twins."""
+    p = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = np.repeat(p, 2)
+    k = np.tile(np.array([1, 2], dtype=np.int64), len(p))
+    return pa.table({
+        "ps_partkey": pa.array(pk),
+        "ps_suppkey": pa.array((pk * 7919 + k * 104729) % n_supp),
+        "cost_c": pa.array((pk * 31 + k * 53) % 90000 + 10000),
+        "avail": pa.array((pk * 7 + k * 13) % 1000 + 1)})
+
+
+SQL_PARTSUPP_CTE = """
+ns AS (SELECT COUNT(*) AS n FROM supplier),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 7919 + k.k * 104729) % ns.n AS ps_suppkey,
+         (p_partkey * 31 + k.k * 53) % 90000 + 10000 AS cost_c,
+         (p_partkey * 7 + k.k * 13) % 1000 + 1 AS avail
+  FROM part CROSS JOIN (VALUES (1), (2)) k(k) CROSS JOIN ns)
+"""
+
+
+def q11_important_stock(sf_dir: str):
+    """TPC-H Q11 (important stock, adapted to the derived partsupp):
+    per-part stock value (cost × availqty summed over the part's
+    suppliers) restricted to NATION_7 suppliers, keeping parts whose
+    value exceeds 0.01 % of the total.  Both suppliers of a part are
+    DERIVED in the same batch row-pair, so the per-part sum needs NO
+    shuffle at all — one streamed pass emits exact per-part values,
+    a scalar total gates the driver-side filter."""
+    part = _read(sf_dir, "part", ["p_partkey"])
+    n_supp = _read_table(sf_dir, "supplier", ["s_suppkey"]).num_rows
+    nt = _read_table(sf_dir, "nation",
+                     ["n_nationkey", "n_name"]).to_pandas()
+    nat7 = int(nt.loc[nt.n_name == "NATION_7", "n_nationkey"].iloc[0])
+    supp_pd = _read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_nationkey"]).to_pandas()
+    nref = ray.put(supp_pd.set_index("s_suppkey")["s_nationkey"]
+                   .astype(np.int64))
+
+    def values(t: pa.Table) -> pa.Table:
+        ps = _derive_partsupp(t, n_supp)
+        smap = relational.worker_cached(("q11_supp", nref),
+                                        lambda: ray.get(nref))
+        nat = smap.reindex(ps["ps_suppkey"].to_numpy(
+            zero_copy_only=False)).to_numpy()
+        keep = nat == nat7
+        pk = ps["ps_partkey"].to_numpy(zero_copy_only=False)[keep]
+        v = (ps["cost_c"].to_numpy(zero_copy_only=False)
+             * ps["avail"].to_numpy(zero_copy_only=False))[keep]
+        uniq, inv = np.unique(pk, return_inverse=True)
+        return pa.table({"ps_partkey": pa.array(uniq),
+                         "val_c": pa.array(np.bincount(
+                             inv, weights=v).astype(np.int64))})
+
+    vals = relational.ds_to_table(
+        part.map_batches(values, batch_format="pyarrow")).to_pandas()
+    tot = vals["val_c"].sum()
+    out = vals[vals["val_c"] > tot * 0.0001].copy()
+    out["value"] = np.round(out["val_c"] / 100.0, 2)
+    out = out.sort_values(["value", "ps_partkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["ps_partkey", "value"]]
+
+
+SQL_Q11 = f"""
+WITH {SQL_PARTSUPP_CTE.strip()},
+v AS (SELECT ps_partkey, SUM(cost_c * avail) AS val_c
+      FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY ps_partkey),
+t AS (SELECT SUM(val_c) AS tot FROM v)
+SELECT ps_partkey, ROUND(val_c / 100.0, 2) AS value
+FROM v, t WHERE val_c > tot * 0.0001
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 (minimum-cost supplier, adapted to the derived
+    partsupp): for SMALL-type parts of size ≤ 15, the cheapest of the
+    part's suppliers whose nation sits in region EUROPE — ties on cost
+    break by supplier key; top 100 by (cost, partkey).  The part's two
+    candidate rows derive in-batch (no shuffle); supplier→nation→region
+    is a broadcast dim chain."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
+    n_supp = _read_table(sf_dir, "supplier", ["s_suppkey"]).num_rows
+    rt = _read_table(sf_dir, "region",
+                     ["r_regionkey", "r_name"]).to_pandas()
+    europe = int(rt.loc[rt.r_name == "EUROPE", "r_regionkey"].iloc[0])
+    nt = _read_table(sf_dir, "nation",
+                     ["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    eu_nations = set(nt.loc[nt.n_regionkey == europe,
+                            "n_nationkey"].tolist())
+    supp_pd = _read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_name", "s_nationkey"]) \
+        .to_pandas()
+    sref = ray.put(supp_pd.set_index("s_suppkey")["s_nationkey"]
+                   .astype(np.int64))
+
+    def best(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["p_type"], "SMALL"),
+                             pc.less_equal(t["p_size"], 15)))
+        if t.num_rows == 0:
+            return pa.table({"ps_partkey": pa.array([], pa.int64()),
+                             "ps_suppkey": pa.array([], pa.int64()),
+                             "cost_c": pa.array([], pa.int64())})
+        ps = _derive_partsupp(t, n_supp)
+        smap = relational.worker_cached(("q2_supp", sref),
+                                        lambda: ray.get(sref))
+        nat = smap.reindex(ps["ps_suppkey"].to_numpy(
+            zero_copy_only=False)).to_numpy()
+        keep = np.isin(nat, list(eu_nations))
+        df = pd.DataFrame({
+            "ps_partkey": ps["ps_partkey"].to_numpy(
+                zero_copy_only=False)[keep],
+            "ps_suppkey": ps["ps_suppkey"].to_numpy(
+                zero_copy_only=False)[keep],
+            "cost_c": ps["cost_c"].to_numpy(
+                zero_copy_only=False)[keep]})
+        df = df.sort_values(["ps_partkey", "cost_c", "ps_suppkey"]) \
+            .drop_duplicates("ps_partkey", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = relational.ds_to_table(
+        part.map_batches(best, batch_format="pyarrow")).to_pandas()
+    out = cand.sort_values(["cost_c", "ps_partkey"]).head(100) \
+        .merge(supp_pd[["s_suppkey", "s_name"]],
+               left_on="ps_suppkey", right_on="s_suppkey")
+    out["supplycost"] = np.round(out["cost_c"] / 100.0, 2)
+    out = out.sort_values(["supplycost", "ps_partkey"]) \
+        .reset_index(drop=True)
+    return out[["ps_partkey", "s_name", "supplycost"]]
+
+
+SQL_Q2 = f"""
+WITH {SQL_PARTSUPP_CTE.strip()},
+eu AS (SELECT n_nationkey FROM nation JOIN region
+       ON region.r_regionkey = nation.n_regionkey
+       WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.cost_c,
+         ROW_NUMBER() OVER (PARTITION BY ps.ps_partkey
+                            ORDER BY ps.cost_c, ps.ps_suppkey) AS rn
+  FROM partsupp ps
+  JOIN part ON p_partkey = ps.ps_partkey
+  JOIN supplier ON s_suppkey = ps.ps_suppkey
+  JOIN eu ON eu.n_nationkey = supplier.s_nationkey
+  WHERE p_type = 'SMALL' AND p_size <= 15)
+SELECT ps_partkey, s_name, ROUND(cost_c / 100.0, 2) AS supplycost
+FROM (SELECT * FROM cand WHERE rn = 1
+      ORDER BY cost_c, ps_partkey LIMIT 100)
+JOIN supplier ON s_suppkey = ps_suppkey
+ORDER BY supplycost, ps_partkey
+"""
+
+
 def q13_customer_distribution(sf_dir: str):
     """TPC-H Q13 (customer order-count distribution) WITHOUT the
     customer⋈orders join: per-batch order partials → one custkey
@@ -6500,6 +6759,9 @@ def registry():
                                       SQL_Q13),
         "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
         "q15_top_supplier": (q15_top_supplier, SQL_Q15),
+        "q9_product_profit": (q9_product_profit, SQL_Q9),
+        "q11_important_stock": (q11_important_stock, SQL_Q11),
+        "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
         "q17_small_quantity_revenue": (q17_small_quantity_revenue,
                                        SQL_Q17),
         "q18_large_orders": (q18_large_orders, SQL_Q18),
