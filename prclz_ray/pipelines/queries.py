@@ -6101,6 +6101,154 @@ ORDER BY supplycost, ps_partkey
 """
 
 
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 (supplier counts per part attribute, adapted: the
+    excluded-supplier predicate is s_acctbal < 0 — no comment column —
+    over the derived partsupp): distinct suppliers per (brand, type,
+    size) for small parts.  The (attrs × supplier) pair domain is
+    bounded by the attribute cross-product, never by data volume, so
+    per-batch distinct partials collapse driver-side."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"])
+    supp_pd = _read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_acctbal"]).to_pandas()
+    n_supp = len(supp_pd)
+    excl = pa.array(sorted(
+        supp_pd.loc[supp_pd.s_acctbal < 0, "s_suppkey"]
+        .astype(np.int64)), type=pa.int64())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["p_size"], 25))
+        ps = _derive_partsupp(t, n_supp)
+        attrs = t.select(["p_partkey", "p_brand", "p_type", "p_size"])
+        j = ps.join(attrs.combine_chunks(), keys="ps_partkey",
+                    right_keys="p_partkey", join_type="inner")
+        j = j.filter(pc.invert(pc.is_in(j["ps_suppkey"],
+                                        value_set=excl)))
+        return j.select(["p_brand", "p_type", "p_size", "ps_suppkey"]) \
+            .group_by(["p_brand", "p_type", "p_size", "ps_suppkey"]) \
+            .aggregate([])
+
+    pp = relational.ds_to_table(
+        part.map_batches(pairs, batch_format="pyarrow")).to_pandas() \
+        .drop_duplicates()
+    out = pp.groupby(["p_brand", "p_type", "p_size"], as_index=False) \
+        .agg(supplier_cnt=("ps_suppkey", "nunique"))
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+    return out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
+SQL_Q16 = f"""
+WITH {SQL_PARTSUPP_CTE.strip()}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_size <= 25
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_inventory(sf_dir: str):
+    """TPC-H Q20 (suppliers with excess inventory, adapted to the
+    derived partsupp): NATION_3 suppliers holding, for some 'red'-named
+    part, availqty > half the 1997-shipped quantity of that
+    (part, supplier) pair.  Shape: selective part filter broadcast →
+    shipped-pair partials + derived partsupp rows co-shuffle on ONE
+    composite-key bucketed LEFT join whose bucket tail does the
+    comparison and emits distinct suppkey partials."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    n_supp = _read_table(sf_dir, "supplier", ["s_suppkey"]).num_rows
+    nt = _read_table(sf_dir, "nation",
+                     ["n_nationkey", "n_name"]).to_pandas()
+    nat3 = int(nt.loc[nt.n_name == "NATION_3", "n_nationkey"].iloc[0])
+    supp_pd = _read_table(sf_dir, "supplier",
+                          ["s_suppkey", "s_name", "s_nationkey"]) \
+        .to_pandas()
+    pt = _read_table(sf_dir, "part", ["p_partkey", "p_name"])
+    red = pa.array(sorted(
+        pt.filter(pc.starts_with(pt["p_name"], "red"))
+        ["p_partkey"].to_pylist()), type=pa.int64())
+    lo = np.datetime64("1997-01-01T00:00:00")
+    hi = np.datetime64("1998-01-01T00:00:00")
+
+    def pk(p, s):
+        return pc.binary_join_element_wise(
+            pc.cast(p, pa.string()), pc.cast(s, pa.string()), "|")
+
+    def shipped(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        t = t.filter(pc.is_in(t["l_partkey"].cast(pa.int64()),
+                              value_set=red))
+        g = pa.table({"_pk": pk(t["l_partkey"], t["l_suppkey"]),
+                      "q": t["l_quantity"].cast(pa.int64())}) \
+            .group_by("_pk").aggregate([("q", "sum")])
+        return pa.table({"_pk": g["_pk"],
+                         "q": g["q_sum"].cast(pa.int64())})
+
+    def ps_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["p_partkey"].cast(pa.int64()),
+                              value_set=red))
+        ps = _derive_partsupp(t, n_supp)
+        return pa.table({"_pk": pk(ps["ps_partkey"], ps["ps_suppkey"]),
+                         "ps_suppkey": ps["ps_suppkey"],
+                         "avail": ps["avail"]})
+
+    def comb(t: pa.Table) -> pa.Table:
+        av = t["avail"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        q = np.where(np.isnan(q.astype(np.float64)), 0, q)
+        keep = av > 0.5 * q
+        sk = np.unique(t["ps_suppkey"].to_numpy(
+            zero_copy_only=False)[keep])
+        return pa.table({"ps_suppkey": pa.array(sk.astype(np.int64))})
+
+    # shipped pairs may not cover every partsupp pair → LEFT from the
+    # partsupp side with the comparison fused into the bucket tail
+    j = relational.bucketed_hash_join(
+        part.map_batches(ps_rows, batch_format="pyarrow"),
+        li.map_batches(shipped, batch_format="pyarrow"),
+        on="_pk", how="left", combine=comb)
+    sks = relational.ds_to_table(j).to_pandas()["ps_suppkey"].unique()
+    out = supp_pd[(supp_pd.s_suppkey.isin(sks))
+                  & (supp_pd.s_nationkey == nat3)] \
+        .sort_values("s_name").reset_index(drop=True)
+    return out[["s_name"]]
+
+
+SQL_Q20 = f"""
+WITH {SQL_PARTSUPP_CTE.strip()},
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON p_partkey = ps_partkey
+  LEFT JOIN shipped ON shipped.l_partkey = ps_partkey
+                   AND shipped.l_suppkey = ps_suppkey
+  WHERE p_name LIKE 'red%'
+    AND avail > 0.5 * COALESCE(shipped.q, 0))
+SELECT s_name FROM supplier
+JOIN cand ON ps_suppkey = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3'
+ORDER BY s_name
+"""
+
+
 def q13_customer_distribution(sf_dir: str):
     """TPC-H Q13 (customer order-count distribution) WITHOUT the
     customer⋈orders join: per-batch order partials → one custkey
@@ -6762,6 +6910,8 @@ def registry():
         "q9_product_profit": (q9_product_profit, SQL_Q9),
         "q11_important_stock": (q11_important_stock, SQL_Q11),
         "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
+        "q16_supplier_part_counts": (q16_supplier_part_counts, SQL_Q16),
+        "q20_excess_inventory": (q20_excess_inventory, SQL_Q20),
         "q17_small_quantity_revenue": (q17_small_quantity_revenue,
                                        SQL_Q17),
         "q18_large_orders": (q18_large_orders, SQL_Q18),
