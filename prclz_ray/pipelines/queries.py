@@ -1097,6 +1097,43 @@ GROUP BY w ORDER BY n DESC, word ASC LIMIT 20
 """
 
 
+def q_zipf_slope(sf_dir: str):
+    """Corpus-statistics fit: OLS slope of ln(freq) over ln(rank) for
+    the top-200 words — the Zipf exponent a healthy natural-language
+    corpus keeps near −1 (a monitoring signal for template/boilerplate
+    collapse).  Reuses the heavy-hitter machinery (partial counts →
+    vocab groupby → prune); the 200-point regression finishes on the
+    driver with exact-int counts and deterministic (n DESC, word ASC)
+    ranks."""
+    docs = _read(sf_dir, "documents", ["text"])
+    top = text.top_k_words(docs, k=200).select(["word", "n"]) \
+        .to_pandas().sort_values(["n", "word"],
+                                 ascending=[False, True])
+    r = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    f = np.log(top["n"].to_numpy(dtype=np.float64))
+    rm, fm = r.mean(), f.mean()
+    slope = ((r - rm) * (f - fm)).sum() / ((r - rm) ** 2).sum()
+    return pd.DataFrame([{"n_words": len(top),
+                          "zipf_slope": float(np.round(slope, 4))}])
+
+
+SQL_ZIPF = """
+WITH c AS (
+  SELECT w, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w ORDER BY n DESC, w ASC LIMIT 200),
+r AS (SELECT ln(n) AS lf,
+             ln(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC)) AS lr
+      FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(SUM((lr - (SELECT AVG(lr) FROM r))
+                 * (lf - (SELECT AVG(lf) FROM r)))
+             / SUM((lr - (SELECT AVG(lr) FROM r))
+                   * (lr - (SELECT AVG(lr) FROM r))), 4) AS zipf_slope
+FROM r
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users over the event stream —
     the COUNT(DISTINCT) scale path (16 KiB sketch per block, max-merge;
@@ -6920,6 +6957,7 @@ def registry():
         "q22_sales_opportunity": (q22_sales_opportunity, SQL_Q22),
         "ccnet_ppl_filter": (q_ccnet_ppl_filter, SQL_CCNET_FILTER),
         "audience_overlap": (q_audience_overlap, None),
+        "zipf_slope": (q_zipf_slope, SQL_ZIPF),
         "debounce_events": (q_debounce_events, SQL_DEBOUNCE),
         "trending_events_hourly": (q_trending_events_hourly,
                                    SQL_TRENDING),
