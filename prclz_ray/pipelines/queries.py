@@ -6754,6 +6754,107 @@ ORDER BY n_name
 """
 
 
+def q_bfs_hops_links(sf_dir: str):
+    """Multi-source BFS hop distance (crawl-frontier / link-distance
+    shape) over the same deterministic synthetic link graph as
+    pagerank_links: seeds are every 97th doc, 3 expansion rounds, each
+    node reports its MIN hop count.  Frontier-only bucketed expansion —
+    round r's exchange is proportional to the newly-reached surface,
+    not the visited set (graph_ops.bfs_hops; size-guarded broadcast leg
+    at this scale, bucketed BSP leg past 4M nodes)."""
+    from ..stages import graph_ops
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(d[d % 97 == 0])})
+
+    seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
+    out = graph_ops.bfs_hops(
+        docs.map_batches(edges, batch_format="pyarrow"), seeds,
+        rounds=3, approx_num_nodes=n)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "hops": b["hops"]}),
+        batch_format="pyarrow")
+
+
+SQL_BFS_HOPS = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) k, nn),
+d0 AS (SELECT doc_id AS v, CAST(0 AS BIGINT) AS hops
+       FROM documents WHERE doc_id % 97 = 0),
+f1 AS (SELECT DISTINCT e.dst AS v FROM edges e
+       JOIN d0 ON d0.v = e.src AND d0.hops = 0),
+d1 AS (SELECT v, MIN(hops) AS hops FROM (
+         SELECT v, hops FROM d0
+         UNION ALL SELECT v, CAST(1 AS BIGINT) FROM f1) GROUP BY v),
+f2 AS (SELECT DISTINCT e.dst AS v FROM edges e
+       JOIN d1 ON d1.v = e.src AND d1.hops = 1),
+d2 AS (SELECT v, MIN(hops) AS hops FROM (
+         SELECT v, hops FROM d1
+         UNION ALL SELECT v, CAST(2 AS BIGINT) FROM f2) GROUP BY v),
+f3 AS (SELECT DISTINCT e.dst AS v FROM edges e
+       JOIN d2 ON d2.v = e.src AND d2.hops = 2),
+d3 AS (SELECT v, MIN(hops) AS hops FROM (
+         SELECT v, hops FROM d2
+         UNION ALL SELECT v, CAST(3 AS BIGINT) FROM f3) GROUP BY v)
+SELECT v AS doc_id, hops FROM d3
+"""
+
+
+def q_ewma_user_value(sf_dir: str):
+    """Per-user bounded-history exponential moving average of spend
+    (decay 1/2 over the last 24 events) — the streaming-telemetry
+    smoothing shape.  Dyadic weights on integer cents keep every
+    intermediate EXACT in float64 at any partitioning/summation order,
+    so the SQL twin matches with no rounding pin
+    (relational.ewma_bounded: one coarse-bucket shuffle, 24 shifted-add
+    vector ops per bucket)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "cents": cents})
+
+    out = relational.ewma_bounded(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+        value_col="cents", window_rows=24).to_pandas()
+    out["ewma_value"] = out["ewma"] / 100.0
+    return out[["event_id", "user_id", "ewma_value"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EWMA = """
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.event_id, a.user_id,
+       SUM(b.cents * POWER(0.5, a.rn - b.rn))
+         / SUM(POWER(0.5, a.rn - b.rn)) / 100.0 AS ewma_value
+FROM c a JOIN c b
+  ON b.user_id = a.user_id AND b.rn <= a.rn AND b.rn > a.rn - 24
+GROUP BY a.event_id, a.user_id
+ORDER BY a.event_id
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -6964,4 +7065,6 @@ def registry():
         "hits_links": (q_hits_links, SQL_HITS),
         "label_propagation_links": (q_label_propagation_links,
                                     SQL_LABEL_PROP),
+        "bfs_hops_links": (q_bfs_hops_links, SQL_BFS_HOPS),
+        "ewma_user_value": (q_ewma_user_value, SQL_EWMA),
     }

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def pagerank(edges_ds, nodes_ds, node_col: str = "v", src_col: str = "src",
@@ -567,3 +568,127 @@ def _label_prop_broadcast(sym_edges, nodes_ds, node_col, iters,
 
     return rd.from_arrow(pa.table({node_col: pa.array(ids),
                                    "label": pa.array(lbl)}))
+
+
+def bfs_hops(edges_ds, seeds_ds, node_col: str = "v", src_col: str = "src",
+             dst_col: str = "dst", rounds: int = 3, num_buckets: int = 32,
+             broadcast_limit_bytes: int = 64 << 20,
+             approx_num_nodes: int | None = None):
+    """Multi-source BFS hop distance over a directed edge-list Dataset:
+    every node reachable from the seed set within ``rounds`` hops gets
+    its MINIMUM hop count (seeds are hop 0).  All-int state, so an
+    unrolled SQL twin (frontier-expand + MIN-merge CTE per round)
+    reproduces it exactly at any partitioning.
+
+    Size guard (the repo's standard pattern): while the visited set fits
+    ``broadcast_limit_bytes`` (16 B/node, judged on ``approx_num_nodes``
+    when given, else on the seed count as a floor), each round is ONE
+    streaming edge pass — the CURRENT frontier ships via ``ray.put``,
+    per-batch vectorized membership (searchsorted) emits unique new
+    dsts, and the driver setdiffs against the visited vector.  Past the
+    guard, the V-scale BSP leg runs: one bucketed edges×frontier
+    co-shuffle join with a per-bucket distinct combine, a bucketed
+    distinct on dst, and a bucketed anti-join against the visited set —
+    nothing driver-sized.  Frontier-only expansion (not the whole
+    visited set) is what keeps round r's exchange proportional to the
+    NEW surface, the textbook BSP BFS shape."""
+    from .relational import (bucketed_hash_join, bucketed_semi_join,
+                             stable_bucket)
+
+    guard_n = approx_num_nodes if approx_num_nodes is not None \
+        else seeds_ds.count()
+    if guard_n * 16 <= broadcast_limit_bytes:
+        return _bfs_broadcast(edges_ds, seeds_ds, node_col, src_col,
+                              dst_col, rounds)
+
+    edges = edges_ds.materialize()
+    dist = seeds_ds.map_batches(
+        lambda b, _c=node_col: pa.table(
+            {"_bk": b[_c],
+             "hops": pa.array(np.zeros(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow").materialize()
+    frontier = dist
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"_bk": batch[src_col], "dst": batch[dst_col]})
+
+    for r in range(1, rounds + 1):
+        if frontier.count() == 0:
+            break
+        j = bucketed_hash_join(
+            edges.map_batches(to_key, batch_format="pyarrow"),
+            frontier.select_columns(["_bk"]), on="_bk",
+            num_buckets=num_buckets,
+            # bucket is on src, so this distinct is bucket-local — it
+            # shrinks the next exchange, the dst-bucket pass finishes it
+            combine=lambda t: pa.table(
+                {"dst": pc.unique(t["dst"])}))
+
+        def tag_dst(batch: pa.Table) -> pa.Table:
+            u = pc.unique(batch["dst"])
+            return pa.table({"_bk": u, "_nb": pa.array(
+                stable_bucket(u, num_buckets))})
+
+        cand = j.map_batches(tag_dst, batch_format="pyarrow") \
+            .groupby("_nb").map_groups(
+                lambda t: pa.table({"_bk": pc.unique(t["_bk"])}),
+                batch_format="pyarrow")
+        new = bucketed_semi_join(cand, dist.select_columns(["_bk"]),
+                                 on="_bk", anti=True,
+                                 num_buckets=num_buckets) \
+            .map_batches(
+                lambda b, _r=r: pa.table(
+                    {"_bk": b["_bk"],
+                     "hops": pa.array(np.full(b.num_rows, _r,
+                                              dtype=np.int64))}),
+                batch_format="pyarrow").materialize()
+        dist = dist.union(new).materialize()
+        frontier = new
+
+    return dist.map_batches(
+        lambda b, _c=node_col: pa.table({_c: b["_bk"], "hops": b["hops"]}),
+        batch_format="pyarrow")
+
+
+def _bfs_broadcast(edges_ds, seeds_ds, node_col, src_col, dst_col, rounds):
+    import ray
+    import ray.data as rd
+
+    from .relational import ds_to_table
+
+    seeds = np.unique(np.concatenate(
+        [b[node_col].to_numpy(zero_copy_only=False)
+         for b in seeds_ds.iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)]).astype(np.int64))
+    visited = seeds
+    hops = np.zeros(len(seeds), dtype=np.int64)
+    frontier = seeds
+    edges = edges_ds.materialize()
+
+    for r in range(1, rounds + 1):
+        if len(frontier) == 0:
+            break
+        f_ref = ray.put(frontier)          # sorted — searchsorted probe
+
+        def hit(batch: pa.Table) -> pa.Table:
+            f = ray.get(f_ref)
+            s = batch[src_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            i = np.searchsorted(f, s)
+            i[i >= len(f)] = 0
+            m = f[i] == s
+            d = np.unique(batch[dst_col].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)[m])
+            return pa.table({"d": pa.array(d)})
+
+        cand = ds_to_table(edges.map_batches(hit, batch_format="pyarrow"))
+        new = np.setdiff1d(
+            np.unique(cand["d"].to_numpy(zero_copy_only=False)), visited)
+        visited = np.concatenate([visited, new])
+        hops = np.concatenate([hops, np.full(len(new), r, dtype=np.int64)])
+        order = np.argsort(visited, kind="stable")
+        visited, hops = visited[order], hops[order]
+        frontier = new if len(new) == 0 else np.sort(new)
+
+    return rd.from_arrow(pa.table({node_col: pa.array(visited),
+                                   "hops": pa.array(hops)}))

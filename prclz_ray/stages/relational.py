@@ -139,6 +139,13 @@ def bucketed_semi_join(big_ds, keys_ds, on: str, anti: bool = False,
     keys_only = keys_ds.select_columns([on]) if hasattr(keys_ds, "select_columns") \
         else keys_ds
 
+    # empty-input degenerate cases (schema() is None on a 0-row dataset):
+    # empty big → empty out; empty keys → semi is empty, anti is identity
+    if big_ds.schema() is None:
+        return big_ds
+    if keys_only.schema() is None:
+        return big_ds if anti else big_ds.limit(0)
+
     def tag(side):
         def f(batch: pa.Table) -> pa.Table:
             b = stable_bucket(batch[on], num_buckets)
@@ -166,6 +173,8 @@ def bucketed_semi_join(big_ds, keys_ds, on: str, anti: bool = False,
                 t = t.append_column(n, pa.nulls(t.num_rows, type=types[n]))
         return t.select(list(types))
 
+    big_schema = pa.schema([(n, types[n]) for n in big_cols])
+
     def probe(group: pa.Table) -> pa.Table:
         # arrow throughout (the pandas round-trip cost a per-bucket
         # convert + slow downstream pandas-block path); null keys drop
@@ -177,7 +186,9 @@ def bucketed_semi_join(big_ds, keys_ds, on: str, anti: bool = False,
         mask = pc.is_in(lg[on], value_set=ks)
         if anti:
             mask = pc.invert(mask)
-        return lg.filter(pc.fill_null(mask, False)).select(big_cols)
+        out = lg.filter(pc.fill_null(mask, False)).select(big_cols)
+        # undo any pandas-block int→float promotion from the shuffle
+        return out if out.schema == big_schema else out.cast(big_schema)
 
     unioned = l.map_batches(align, batch_format="pyarrow").union(
         r.map_batches(align, batch_format="pyarrow"))
@@ -255,6 +266,17 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     lcols = list(lsch.names)
     rcols = list(rsch.names)
     join_type = _ARROW_JOIN_TYPE[how]
+    # declared per-side schemas (key unified): the align() null-padding
+    # below can round-trip through a pandas block inside the groupby
+    # shuffle, silently promoting int64-with-nulls to float64 — casting
+    # each side back at the bucket boundary restores the declared types
+    # (values are genuinely integral, so the cast is lossless)
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    lschema = pa.schema([(c, key_t if c == on else ltypes[c])
+                         for c in lcols])
+    rschema = pa.schema([(c, key_t if c == on else rtypes[c])
+                         for c in rcols])
 
     def join_bucket(group: pa.Table) -> pa.Table:
         # select each side's OWN schema columns (a bucket may hold only one
@@ -262,6 +284,10 @@ def bucketed_hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
         side = group["_bside"]
         lg = group.filter(pc.equal(side, 0)).select(lcols)
         rg = group.filter(pc.equal(side, 1)).select(rcols)
+        if lg.schema != lschema:
+            lg = lg.cast(lschema)
+        if rg.schema != rschema:
+            rg = rg.cast(rschema)
         # arrow combines chunks lazily; the Acero join wants flat input
         merged = lg.combine_chunks().join(
             rg.combine_chunks(), keys=on, join_type=join_type,
@@ -1081,6 +1107,61 @@ def moving_aggregate(events_ds, key_col: str, ts_col: str, order_col: str,
             mov_sum=r.sum().to_numpy().astype(np.int64),
             mov_n=r.count().to_numpy().astype(np.int64))
         return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+
+
+def ewma_bounded(events_ds, key_col: str, ts_col: str, order_col: str,
+                 value_col: str, window_rows: int = 24,
+                 num_buckets: int = 64):
+    """Bounded-history normalized exponential moving average per key —
+    ``SUM(v_i * 0.5^(n-i)) / SUM(0.5^(n-i))`` over the last
+    ``window_rows`` rows ordered by (ts, order) within the key.  The
+    decay 1/2 and the bounded window keep EVERY intermediate a dyadic
+    rational that fits float64's 53-bit significand for integer inputs
+    < 2^(53-window_rows), so the result is bit-exact at ANY partitioning
+    or summation order — an unrolled SQL twin matches with no rounding
+    pin.  Scale shape mirrors ``moving_aggregate``: ONE coarse-bucket
+    shuffle, per bucket a vectorized sort + ``window_rows`` shifted-add
+    vector ops (no per-row Python).
+
+    Returns (order_col, key_col, 'ewma') with ewma on the RAW value
+    scale (caller rescales, e.g. /100 for cents)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col, order_col, value_col])
+        b = stable_bucket(batch[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        df = group.sort_values([key_col, ts_col, order_col])
+        v = df[value_col].to_numpy(dtype=np.float64)
+        key = df[key_col].to_numpy()
+        n = len(v)
+        start = np.empty(n, dtype=bool)
+        if n:
+            start[0] = True
+            start[1:] = key[1:] != key[:-1]
+        idx = np.arange(n)
+        seg0 = np.maximum.accumulate(np.where(start, idx, 0))
+        j = idx - seg0                      # 0-based rank inside the key
+        num = np.zeros(n)
+        for k in range(window_rows):
+            if k >= n:
+                break
+            shifted = np.empty(n)
+            shifted[:k] = 0.0
+            shifted[k:] = v[:n - k]
+            num += np.where(j >= k, shifted * (2.0 ** -k), 0.0)
+        m = np.minimum(j + 1, window_rows).astype(np.float64)
+        den = 2.0 - np.ldexp(1.0, -(m - 1).astype(np.int64))
+        out = df[[order_col, key_col]].copy()
+        out["ewma"] = num / den
+        # strip the pandas schema metadata — its dict payload defeats
+        # Ray's schema-dedup hash and spams a warning per block
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     tagged = events_ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(per_bucket,

@@ -1162,3 +1162,95 @@ def test_bucketed_join_randomized_parity_with_duckdb():
                     for a, b in zip(want["a"].fillna(-1),
                                     want["b"].fillna(-1)))
         assert ga == wa, how
+
+
+def test_bfs_hops_both_legs_match_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import graph_ops
+
+    rng = np.random.default_rng(7)
+    n = 120
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    seeds = np.array([0, 1, 2])
+
+    # python BFS reference (min hops, 3 rounds)
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), set()).add(int(d))
+    dist = {int(s): 0 for s in seeds}
+    frontier = set(int(s) for s in seeds)
+    for r in range(1, 4):
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = r
+                    nxt.add(w)
+        frontier = nxt
+    want = sorted(dist.items())
+
+    for parts, approx_n in ((1, None), (4, None), (4, 1 << 60)):
+        e_ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst})) \
+            .repartition(parts)
+        s_ds = rd.from_pandas(pd.DataFrame({"v": seeds})).repartition(parts)
+        out = graph_ops.bfs_hops(e_ds, s_ds, rounds=3,
+                                 approx_num_nodes=approx_n).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        got = list(zip(out["v"].astype(int), out["hops"].astype(int)))
+        assert got == want, (parts, approx_n)
+
+
+def test_bfs_hops_frontier_exhausts_early():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import graph_ops
+
+    # 0 -> 1, nothing else: frontier empties after round 1 on both legs
+    e_ds = rd.from_pandas(pd.DataFrame({"src": [0], "dst": [1]}))
+    s_ds = rd.from_pandas(pd.DataFrame({"v": [0]}))
+    for approx_n in (None, 1 << 60):
+        out = graph_ops.bfs_hops(e_ds, s_ds, rounds=5,
+                                 approx_num_nodes=approx_n).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        assert list(zip(out["v"], out["hops"])) == [(0, 0), (1, 1)]
+
+
+def test_ewma_bounded_matches_quadratic_reference_any_partitioning():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "ts": rng.permutation(n).astype("datetime64[s]"),
+        "id": np.arange(n),
+        "v": rng.integers(0, 100_000, n),
+    })
+
+    # O(n^2) reference: normalized dyadic-weight window of 24 rows
+    ref = {}
+    for k, g in df.sort_values(["k", "ts", "id"]).groupby("k"):
+        v = g["v"].to_numpy(dtype=np.float64)
+        for i, rid in enumerate(g["id"]):
+            lo = max(0, i - 23)
+            w = 0.5 ** np.arange(i - lo, -1, -1.0)
+            ref[rid] = float((v[lo:i + 1] * w).sum() / w.sum())
+
+    for parts in (1, 3, 16):
+        out = relational.ewma_bounded(
+            rd.from_pandas(df).repartition(parts), key_col="k",
+            ts_col="ts", order_col="id", value_col="v",
+            window_rows=24).to_pandas()
+        got = dict(zip(out["id"], out["ewma"]))
+        assert len(got) == n
+        # dyadic arithmetic -> bit-exact equality, not allclose
+        assert all(got[i] == ref[i] for i in range(n)), parts
