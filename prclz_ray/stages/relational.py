@@ -1379,13 +1379,25 @@ def salted_join(left_ds, right_ds, on: str, hot_keys,
     l = left_ds.map_batches(tag_left, batch_format="pyarrow")
     r = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
-    lcols = list(left_ds.schema().names)
-    rcols = list(right_ds.schema().names)
+    if how not in ("inner", "left"):
+        # replicated hot right rows would duplicate unmatched right
+        # output under right/full outer — route those to the plain join
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}; "
+            "use bucketed_hash_join for right/full outer")
+
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    lcols = list(lsch.names)
+    rcols = list(rsch.names)
+    lschema = pa.schema(list(zip(lsch.names, lsch.types)))
+    rschema = pa.schema(list(zip(rsch.names, rsch.types)))
 
     types: dict = {}
-    for sch in (l.schema(), r.schema()):
+    for sch in (lsch, rsch):
         for n_, t_ in zip(sch.names, sch.types):
             types.setdefault(n_, t_)
+    types["_bucket"] = pa.int32()
+    types["_bside"] = pa.int8()
 
     def align(t: pa.Table) -> pa.Table:
         for n_ in types:
@@ -1394,16 +1406,26 @@ def salted_join(left_ds, right_ds, on: str, hot_keys,
                                                  type=types[n_]))
         return t.select(list(types))
 
-    def join_bucket(group: pd.DataFrame) -> pa.Table:
-        lg = group.loc[group._bside == 0, lcols]
-        rg = group.loc[group._bside == 1, rcols]
-        merged = lg.merge(rg, on=on, how=how, suffixes=("", "_r"))
-        return pa.Table.from_pandas(merged, preserve_index=False)
+    def join_bucket(group: pa.Table) -> pa.Table:
+        # Acero per-bucket merge (SQL null-key semantics — a pandas
+        # merge pairs NaN keys with each other) + cast each side back
+        # to its declared schema (the align() null-padding can pandas-
+        # promote int64 to float64 inside the groupby shuffle)
+        side = group["_bside"]
+        lg = group.filter(pc.equal(side, 0)).select(lcols)
+        rg = group.filter(pc.equal(side, 1)).select(rcols)
+        if lg.schema != lschema:
+            lg = lg.cast(lschema)
+        if rg.schema != rschema:
+            rg = rg.cast(rschema)
+        return lg.combine_chunks().join(
+            rg.combine_chunks(), keys=on,
+            join_type=_ARROW_JOIN_TYPE[how], right_suffix="_r")
 
     unioned = l.map_batches(align, batch_format="pyarrow").union(
         r.map_batches(align, batch_format="pyarrow"))
     return unioned.groupby("_bucket").map_groups(join_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 def funnel_conversion(events_ds, user_col: str, ts_col: str,

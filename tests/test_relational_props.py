@@ -1254,3 +1254,30 @@ def test_ewma_bounded_matches_quadratic_reference_any_partitioning():
         assert len(got) == n
         # dyadic arithmetic -> bit-exact equality, not allclose
         assert all(got[i] == ref[i] for i in range(n)), parts
+
+
+def test_salted_join_null_keys_never_match():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    import pyarrow as pa
+    left = pa.table({"id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                     "k": pa.array([0, None, 2, None], type=pa.int64())})
+    right = pa.table({"k": pa.array([0, None, 2], type=pa.int64()),
+                      "label": pa.array([10, 11, 12], type=pa.int64())})
+    out = relational.salted_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k",
+        hot_keys=[0], salt=4).to_pandas().sort_values("id")
+    # SQL semantics: null keys never match (ids 1 and 3 drop)
+    assert out["id"].tolist() == [0, 2]
+    assert out["label"].tolist() == [10, 12]
+    # left outer keeps the null-key rows with null label
+    outl = relational.salted_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k",
+        hot_keys=[0], salt=4, how="left").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert outl["id"].tolist() == [0, 1, 2, 3]
+    assert outl["label"].fillna(-1).tolist() == [10, -1, 12, -1]
