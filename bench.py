@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "hits_links",
     "label_propagation_links",
+    # round-4 second batch: frontier BSP graph ops + exact dyadic EWMA
+    "bfs_hops_links",
+    "sssp_links",
+    "ewma_user_value",
 ]
 
 

@@ -6813,6 +6813,64 @@ SELECT v AS doc_id, hops FROM d3
 """
 
 
+def q_sssp_links(sf_dir: str):
+    """Bounded-hop weighted shortest path (min-plus Bellman-Ford, 3
+    relaxation rounds) over the synthetic link graph with deterministic
+    integer weights w = 1 + (src*31 + dst*17) % 9; seeds are every
+    101st doc.  Changed-only frontier: a node whose distance did not
+    improve is not re-expanded (graph_ops.sssp_rounds — broadcast leg
+    here, bucketed BSP leg past the guard)."""
+    from ..stages import graph_ops
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        w = 1 + (src * 31 + dst * 17) % 9
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "w": pa.array(w)})
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(d[d % 101 == 0])})
+
+    out = graph_ops.sssp_rounds(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        docs.map_batches(seed_rows, batch_format="pyarrow"),
+        rounds=3, approx_num_nodes=n)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "dist": b["dist"]}),
+        batch_format="pyarrow")
+
+
+SQL_SSSP = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) k, nn),
+ew AS (SELECT src, dst, 1 + (src * 31 + dst * 17) % 9 AS w FROM e),
+d0 AS (SELECT doc_id AS v, CAST(0 AS BIGINT) AS dist
+       FROM documents WHERE doc_id % 101 = 0),
+c1 AS (SELECT e.dst AS v, d0.dist + e.w AS dist
+       FROM ew e JOIN d0 ON d0.v = e.src),
+d1 AS (SELECT v, MIN(dist) AS dist FROM (
+         SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY v),
+c2 AS (SELECT e.dst AS v, d1.dist + e.w AS dist
+       FROM ew e JOIN d1 ON d1.v = e.src),
+d2 AS (SELECT v, MIN(dist) AS dist FROM (
+         SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY v),
+c3 AS (SELECT e.dst AS v, d2.dist + e.w AS dist
+       FROM ew e JOIN d2 ON d2.v = e.src),
+d3 AS (SELECT v, MIN(dist) AS dist FROM (
+         SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY v)
+SELECT v AS doc_id, dist FROM d3
+"""
+
+
 def q_ewma_user_value(sf_dir: str):
     """Per-user bounded-history exponential moving average of spend
     (decay 1/2 over the last 24 events) — the streaming-telemetry
@@ -7067,4 +7125,5 @@ def registry():
                                     SQL_LABEL_PROP),
         "bfs_hops_links": (q_bfs_hops_links, SQL_BFS_HOPS),
         "ewma_user_value": (q_ewma_user_value, SQL_EWMA),
+        "sssp_links": (q_sssp_links, SQL_SSSP),
     }

@@ -692,3 +692,170 @@ def _bfs_broadcast(edges_ds, seeds_ds, node_col, src_col, dst_col, rounds):
 
     return rd.from_arrow(pa.table({node_col: pa.array(visited),
                                    "hops": pa.array(hops)}))
+
+
+def sssp_rounds(edges_ds, seeds_ds, node_col: str = "v",
+                src_col: str = "src", dst_col: str = "dst",
+                weight_col: str = "w", rounds: int = 3,
+                num_buckets: int = 32,
+                broadcast_limit_bytes: int = 64 << 20,
+                approx_num_nodes: int | None = None):
+    """Bounded-hop single/multi-source shortest path (min-plus
+    Bellman-Ford): after ``rounds`` relaxations every node reachable
+    from the seed set within ``rounds`` edges carries the MIN path
+    weight over such paths (integer weights — all-int state, so an
+    unrolled relax + MIN-merge SQL twin matches exactly).
+
+    Changed-only frontier: distances only decrease, so a node whose
+    distance did not improve in round r contributes nothing new in
+    round r+1 — each round joins edges against the CHANGED set only
+    (the Bellman-Ford analogue of BFS frontier expansion; on a
+    converged region the exchange shrinks to zero).  Size guard as
+    bfs_hops: small graphs run a driver-merged streaming-pass leg,
+    large run the bucketed BSP leg (join with per-bucket min combine +
+    one bucketed min-merge per round)."""
+    from .relational import bucketed_hash_join, stable_bucket
+
+    _INF = np.int64(2**62)
+
+    guard_n = approx_num_nodes if approx_num_nodes is not None \
+        else seeds_ds.count()
+    if guard_n * 16 <= broadcast_limit_bytes:
+        return _sssp_broadcast(edges_ds, seeds_ds, node_col, src_col,
+                               dst_col, weight_col, rounds)
+
+    edges = edges_ds.materialize()
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_bk": b[node_col],
+            "d": pa.array(np.zeros(b.num_rows, dtype=np.int64))})
+
+    dist = seeds_ds.map_batches(seed_rows,
+                                batch_format="pyarrow").materialize()
+    changed = dist
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"_bk": batch[src_col], "dst": batch[dst_col],
+                         "w": batch[weight_col]})
+
+    def relax(t: pa.Table) -> pa.Table:
+        # per-bucket (bucketed on src) partial min per dst
+        nd = pc.add(t["d"], t["w"])
+        g = pa.table({"dst": t["dst"], "nd": nd}) \
+            .group_by("dst").aggregate([("nd", "min")])
+        return pa.table({"dst": g["dst"], "nd": g["nd_min"]})
+
+    for _ in range(rounds):
+        if changed.count() == 0:
+            break
+        j = bucketed_hash_join(
+            edges.map_batches(to_key, batch_format="pyarrow"),
+            changed, on="_bk", num_buckets=num_buckets, combine=relax)
+
+        def cand_rows(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "_bk": b["dst"], "d": b["nd"],
+                "old": pa.array(np.full(b.num_rows, _INF))})
+
+        def old_rows(b: pa.Table) -> pa.Table:
+            return pa.table({"_bk": b["_bk"], "d": b["d"],
+                             "old": b["d"]})
+
+        def tag_nb(b: pa.Table) -> pa.Table:
+            return b.append_column("_nb", pa.array(
+                stable_bucket(b["_bk"], num_buckets)))
+
+        def min_merge(t: pa.Table) -> pa.Table:
+            g = t.group_by("_bk").aggregate([("d", "min"),
+                                             ("old", "min")])
+            return pa.table({"_bk": g["_bk"], "d": g["d_min"],
+                             "old": g["old_min"]})
+
+        u = j.map_batches(cand_rows, batch_format="pyarrow") \
+            .union(dist.map_batches(old_rows, batch_format="pyarrow")) \
+            .map_batches(tag_nb, batch_format="pyarrow") \
+            .groupby("_nb").map_groups(min_merge,
+                                       batch_format="pyarrow") \
+            .materialize()
+        dist = u.select_columns(["_bk", "d"]).materialize()
+        changed = u.map_batches(
+            lambda b: pa.table(
+                {"_bk": b["_bk"], "d": b["d"]}).filter(
+                    pc.less(b["d"], b["old"])),
+            batch_format="pyarrow").materialize()
+
+    return dist.map_batches(
+        lambda b, _c=node_col: pa.table({_c: b["_bk"], "dist": b["d"]}),
+        batch_format="pyarrow")
+
+
+def _sssp_broadcast(edges_ds, seeds_ds, node_col, src_col, dst_col,
+                    weight_col, rounds):
+    import ray
+    import ray.data as rd
+
+    from .relational import ds_to_table
+
+    seeds = np.unique(np.concatenate(
+        [b[node_col].to_numpy(zero_copy_only=False)
+         for b in seeds_ds.iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)]).astype(np.int64))
+    ids = seeds.copy()
+    d = np.zeros(len(seeds), dtype=np.int64)
+    ch_ids, ch_d = ids, d
+    edges = edges_ds.materialize()
+
+    for _ in range(rounds):
+        if len(ch_ids) == 0:
+            break
+        f_ref = ray.put((ch_ids, ch_d))     # sorted ids + dists
+
+        def relax(batch: pa.Table) -> pa.Table:
+            fi, fd = ray.get(f_ref)
+            s = batch[src_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            i = np.searchsorted(fi, s)
+            i[i >= len(fi)] = 0
+            m = fi[i] == s
+            dst = batch[dst_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[m]
+            nd = fd[i[m]] + batch[weight_col] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)[m]
+            # batch-local min per dst
+            if len(dst) == 0:
+                return pa.table({"dst": pa.array([], type=pa.int64()),
+                                 "nd": pa.array([], type=pa.int64())})
+            order = np.lexsort((nd, dst))
+            dst, nd = dst[order], nd[order]
+            first = np.concatenate([[True], dst[1:] != dst[:-1]])
+            return pa.table({"dst": pa.array(dst[first]),
+                             "nd": pa.array(nd[first])})
+
+        cand = ds_to_table(edges.map_batches(relax,
+                                             batch_format="pyarrow"))
+        cd = cand["dst"].to_numpy(zero_copy_only=False)
+        cn = cand["nd"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cn, cd))
+        cd, cn = cd[order], cn[order]
+        first = np.concatenate([[True], cd[1:] != cd[:-1]]) \
+            if len(cd) else np.array([], dtype=bool)
+        cd, cn = cd[first], cn[first]
+        pos = np.searchsorted(ids, cd)
+        known = (pos < len(ids))
+        known[known] = ids[pos[known]] == cd[known]
+        improved = known & (cn < d[np.minimum(pos, len(ids) - 1)])
+        new_nodes = ~known
+        # apply improvements
+        d[pos[improved]] = cn[improved]
+        ids = np.concatenate([ids, cd[new_nodes]])
+        d = np.concatenate([d, cn[new_nodes]])
+        order = np.argsort(ids, kind="stable")
+        ids, d = ids[order], d[order]
+        ch_ids = np.concatenate([cd[improved], cd[new_nodes]])
+        ch_d = np.concatenate([cn[improved], cn[new_nodes]])
+        order = np.argsort(ch_ids, kind="stable")
+        ch_ids, ch_d = ch_ids[order], ch_d[order]
+
+    return rd.from_arrow(pa.table({node_col: pa.array(ids),
+                                   "dist": pa.array(d)}))

@@ -1281,3 +1281,40 @@ def test_salted_join_null_keys_never_match():
         .sort_values("id").reset_index(drop=True)
     assert outl["id"].tolist() == [0, 1, 2, 3]
     assert outl["label"].fillna(-1).tolist() == [10, -1, 12, -1]
+
+
+def test_sssp_both_legs_match_bellman_ford_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import graph_ops
+
+    rng = np.random.default_rng(13)
+    n = 100
+    src = rng.integers(0, n, 300)
+    dst = rng.integers(0, n, 300)
+    w = rng.integers(1, 10, 300)
+    seeds = np.array([0, 5])
+
+    INF = 1 << 60
+    d = {int(s): 0 for s in seeds}
+    for _ in range(3):                      # 3 bounded relaxation rounds
+        nd = dict(d)
+        for s, t, ww in zip(src, dst, w):
+            s, t, ww = int(s), int(t), int(ww)
+            if s in d and d[s] + ww < nd.get(t, INF):
+                nd[t] = d[s] + ww
+        d = nd
+    want = sorted(d.items())
+
+    for parts, approx_n in ((1, None), (4, None), (4, 1 << 60)):
+        e_ds = rd.from_pandas(
+            pd.DataFrame({"src": src, "dst": dst, "w": w})) \
+            .repartition(parts)
+        s_ds = rd.from_pandas(pd.DataFrame({"v": seeds})).repartition(parts)
+        out = graph_ops.sssp_rounds(e_ds, s_ds, rounds=3,
+                                    approx_num_nodes=approx_n) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        got = list(zip(out["v"].astype(int), out["dist"].astype(int)))
+        assert got == want, (parts, approx_n)
