@@ -6813,6 +6813,83 @@ SELECT v AS doc_id, hops FROM d3
 """
 
 
+def q_mad_outliers_acctbal(sf_dir: str):
+    """Robust per-group outlier detection: flag customers whose account
+    balance deviates from their nation's MEDIAN by more than 3× the
+    nation's MAD (median absolute deviation) — the robust-statistics
+    filter that survives the heavy tails a mean/stddev z-score drowns
+    in.  Two exact distributed median passes on integer cents
+    (grouped_quantile_disc: histogram-refine, no per-group sort of the
+    full data), one counting pass; group-sized maps ride in the task
+    closure.  All-int arithmetic end to end."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                      "c_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "cents": pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                             pa.int64())})
+
+    cents = cust.map_batches(to_cents, batch_format="pyarrow") \
+        .materialize()
+    med_df = relational.grouped_quantile_disc(
+        cents, key_col="c_nationkey", val_col="cents", qs=[0.5])
+    med = dict(zip(med_df["c_nationkey"], med_df["p50"].astype(np.int64)))
+
+    def to_dev(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.vectorize(med.get, otypes=[np.int64])(nk)
+        return pa.table({"c_nationkey": t["c_nationkey"],
+                         "dev": pa.array(np.abs(c - m))})
+
+    dev = cents.map_batches(to_dev, batch_format="pyarrow").materialize()
+    mad_df = relational.grouped_quantile_disc(
+        dev, key_col="c_nationkey", val_col="dev", qs=[0.5])
+    mad = dict(zip(mad_df["c_nationkey"], mad_df["p50"].astype(np.int64)))
+
+    def count_outliers(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        d = t["dev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = np.vectorize(mad.get, otypes=[np.int64])(nk)
+        g = pa.table({"c_nationkey": t["c_nationkey"],
+                      "o": pa.array((d > 3 * thr).astype(np.int64))}) \
+            .group_by("c_nationkey").aggregate([("o", "sum")])
+        return pa.table({"c_nationkey": g["c_nationkey"],
+                         "po": g["o_sum"]})
+
+    from ray.data.aggregate import Sum
+    agg = dev.map_batches(count_outliers, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(Sum("po", alias_name="n")) \
+        .to_pandas().sort_values("c_nationkey").reset_index(drop=True)
+    agg["n_outliers"] = agg["n"].astype("int64")
+    agg["median_acctbal"] = agg["c_nationkey"].map(med) / 100.0
+    agg["mad_acctbal"] = agg["c_nationkey"].map(mad) / 100.0
+    return agg[["c_nationkey", "n_outliers", "median_acctbal",
+                "mad_acctbal"]]
+
+
+SQL_MAD_OUTLIERS = """
+WITH c AS (SELECT c_nationkey,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+m AS (SELECT c_nationkey, quantile_disc(cents, 0.5) AS med
+      FROM c GROUP BY c_nationkey),
+d AS (SELECT c.c_nationkey, ABS(c.cents - m.med) AS dev, m.med
+      FROM c JOIN m USING (c_nationkey)),
+md AS (SELECT c_nationkey, quantile_disc(dev, 0.5) AS mad
+       FROM d GROUP BY c_nationkey)
+SELECT d.c_nationkey,
+       COUNT(*) FILTER (WHERE d.dev > 3 * md.mad) AS n_outliers,
+       MIN(d.med) / 100.0 AS median_acctbal,
+       MIN(md.mad) / 100.0 AS mad_acctbal
+FROM d JOIN md USING (c_nationkey)
+GROUP BY d.c_nationkey
+ORDER BY d.c_nationkey
+"""
+
+
 def q_sssp_links(sf_dir: str):
     """Bounded-hop weighted shortest path (min-plus Bellman-Ford, 3
     relaxation rounds) over the synthetic link graph with deterministic
@@ -7126,4 +7203,6 @@ def registry():
         "bfs_hops_links": (q_bfs_hops_links, SQL_BFS_HOPS),
         "ewma_user_value": (q_ewma_user_value, SQL_EWMA),
         "sssp_links": (q_sssp_links, SQL_SSSP),
+        "mad_outliers_acctbal": (q_mad_outliers_acctbal,
+                                 SQL_MAD_OUTLIERS),
     }
