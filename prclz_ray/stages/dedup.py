@@ -795,7 +795,8 @@ def connected_components(edges_ds, max_rounds: int = 20,
 
 
 def connected_components_min_label(edges_ds, max_rounds: int = 20,
-                                   key_type=None):
+                                   key_type=None,
+                                   broadcast_limit_bytes: int = 64 << 20):
     """Distributed connected components by iterated min-label propagation:
     each round every node takes the min label over itself and its
     neighbors (two groupbys per round, narrow (node,label) rows — no
@@ -820,14 +821,6 @@ def connected_components_min_label(edges_ds, max_rounds: int = 20,
         .map_batches(lambda t: t.rename_columns(["node", "label"]),
                      batch_format="pyarrow").materialize()
 
-    def spread(group: pd.DataFrame) -> pd.DataFrame:
-        # group = one node's label row(s) + its outgoing edges: push the
-        # min label to the node itself and every neighbor
-        lbl = group["label"].min()
-        nbrs = group["v"].dropna()
-        nodes = pd.concat([pd.Series([group["node"].iloc[0]]), nbrs])
-        return pd.DataFrame({"node": nodes, "label": lbl})
-
     def digest(lab) -> tuple:
         # type-agnostic convergence fingerprint: exact int64 sums of the
         # low/high 32-bit halves of stable u64 row hashes (distributed tiny
@@ -849,29 +842,73 @@ def connected_components_min_label(edges_ds, max_rounds: int = 20,
             .aggregate(Sum("d_lo"), Sum("d_hi"))
         return (agg["sum(d_lo)"], agg["sum(d_hi)"])
 
+    from .relational import bucketed_hash_join
+
+    # size guard (the repo's standard pattern): an edge set that fits the
+    # broadcast budget resolves in ONE vectorized hash-to-min pass with
+    # pointer jumping (log-diameter rounds, np.minimum.at — no per-round
+    # Ray jobs at all); the BSP join leg below is the past-guard path.
+    if edges.size_bytes() <= broadcast_limit_bytes:
+        return _cc_single_pass(edges)
+
+    def nbr_min(t: pa.Table) -> pa.Table:
+        # per-bucket (bucketed on u) vectorized partial min per neighbor
+        # — the one-hop label push as a JOIN, no per-node python groups
+        g = pa.table({"node": t["v"], "label": t["label"]}) \
+            .group_by("node").aggregate([("label", "min")])
+        return pa.table({"node": g["node"], "label": g["label_min"]})
+
     prev = None
     for _ in range(max_rounds):
-        lab_side = labels.map_batches(
-            lambda t: t.append_column("v", pa.nulls(t.num_rows,
-                                                    t.schema.field("node").type)),
-            batch_format="pyarrow")
-        # edge rows carry label = own key (never below the node's true
-        # label, so it can't win the min) — keeps the column typed instead
-        # of null-promoted to double
-        edge_side = edges.map_batches(
-            lambda t: pa.table({"node": t["u"], "label": t["u"],
-                                "v": t["v"]}),
-            batch_format="pyarrow")
-        msgs = lab_side.union(edge_side).groupby("node").map_groups(
-            spread, batch_format="pandas")
-        labels = msgs.groupby("node").min("label").map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
-            batch_format="pyarrow").materialize()
+        edge_msgs = bucketed_hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: pa.table({"u": t["node"], "label": t["label"]}),
+                batch_format="pyarrow"),
+            on="u", combine=nbr_min)
+        labels = labels.union(edge_msgs).groupby("node").min("label") \
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow").materialize()
         s = digest(labels)
         if s == prev:
             break
         prev = s
     return labels
+
+
+def _cc_single_pass(sym_edges_ds):
+    """Exact connected components of a guard-sized symmetric edge set:
+    pull the narrow (u, v) pairs once, label = index-space hash-to-min
+    with pointer jumping — O((E+V)·log d) numpy, works for any key
+    dtype (labels are computed in index space and mapped back)."""
+    import ray.data as rd
+
+    from .relational import ds_to_table
+
+    t = ds_to_table(sym_edges_ds)
+    u, v = t["u"], t["v"]
+    combined = pa.concat_arrays([u.combine_chunks(), v.combine_chunks()])
+    ids = pc.unique(combined)
+    sort_idx = pc.sort_indices(ids)
+    ids = ids.take(sort_idx)
+    ui = pc.index_in(u, value_set=ids).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    vi = pc.index_in(v, value_set=ids).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lbl = np.arange(len(ids), dtype=np.int64)
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, ui, lbl[vi])
+        np.minimum.at(new, vi, lbl[ui])
+        new = np.minimum(new, new[new])     # pointer jump
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    # ids sorted ascending → index-space min maps to the key-space min
+    return rd.from_arrow(pa.table({"node": ids,
+                                   "label": ids.take(pa.array(lbl))}))
 
 
 def minhash_lsh_dedup(ds, key_col="doc_id", text_col="text", num_perm=64,

@@ -139,9 +139,13 @@ def test_connected_components_min_label_matches_union_find():
         lambda t: t, batch_format="pyarrow")
     lab_prop = dd.connected_components_min_label(eds).to_pandas()
     lab_uf = dd.connected_components(eds, single_task_edges=10**9).to_pandas()
+    # force the past-guard BSP join leg too (limit 0 -> no single pass)
+    lab_bsp = dd.connected_components_min_label(
+        eds, broadcast_limit_bytes=0).to_pandas()
     a = {int(r.node): int(r.label) for r in lab_prop.itertuples()}
     b = {int(r.node): int(r.label) for r in lab_uf.itertuples()}
-    assert a == b
+    c = {int(r.node): int(r.label) for r in lab_bsp.itertuples()}
+    assert a == b == c
     assert a[4] == 1 and a[11] == 10 and a[20] == 20
 
 
