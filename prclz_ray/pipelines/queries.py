@@ -6990,6 +6990,438 @@ ORDER BY a.event_id
 """
 
 
+def q_k_core_links(sf_dir: str):
+    """Bounded k-core peel (k=5, 3 rounds) over the pagerank_links
+    synthetic graph (doc -> (doc*7919 + k*104729) % N, k=1..3,
+    symmetrized): each round drops nodes whose degree in the surviving
+    subgraph is < 5 — the cohesive-subgraph / spam-farm filter a link
+    corpus runs before ranking.  Survivors report their degree in the
+    final filtered edge set (graph_ops.k_core; size-guarded broadcast
+    leg at this scale, bucketed-semi-join BSP leg past the node
+    budget).  All-int state, unrolled-CTE SQL twin."""
+    from ..stages import graph_ops
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    out = graph_ops.k_core(
+        docs.map_batches(edges, batch_format="pyarrow"), k=5, rounds=3)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "deg": b["deg"]}),
+        batch_format="pyarrow")
+
+
+def _sql_k_core(k: int = 5, rounds: int = 3) -> str:
+    """Unrolled peel rounds: degree -> survivors -> edge filter per
+    round, mirroring graph_ops.k_core exactly (all-int)."""
+    sql = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + kk.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) kk, nn),
+e0 AS (SELECT DISTINCT a, b FROM (
+  SELECT src AS a, dst AS b FROM raw
+  UNION ALL SELECT dst AS a, src AS b FROM raw) WHERE a <> b),
+"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql += (f"d{r} AS (SELECT a, COUNT(*) AS dg FROM {prev} "
+                f"GROUP BY a),\n")
+        sql += f"s{r} AS (SELECT a FROM d{r} WHERE dg >= {k}),\n"
+        sql += (f"e{r} AS (SELECT e.a, e.b FROM {prev} e "
+                f"JOIN s{r} x ON x.a = e.a "
+                f"JOIN s{r} y ON y.a = e.b),\n")
+        prev = f"e{r}"
+    sql += (f"fd AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg "
+            f"FROM {prev} GROUP BY a)\n"
+            f"SELECT s.a AS doc_id, COALESCE(fd.deg, 0) AS deg\n"
+            f"FROM s{rounds} s LEFT JOIN fd ON fd.a = s.a")
+    return sql
+
+
+def q_gap_fill_daily_revenue(sf_dir: str):
+    """Calendar gap-fill + running cumulative (the dense-time-series
+    prep every forecasting pipeline needs): per order status, daily
+    revenue over the DENSE calendar from the global min to max order
+    date — days with no orders emit 0 — plus the per-status running
+    cumulative over that dense calendar.  Distributed part: per-batch
+    (status, day, cents) partials -> one bounded groupby (statuses ×
+    days, independent of row count); the densify + cumsum runs on that
+    bounded aggregate.  Exact integer cents end to end."""
+    from ray.data.aggregate import Sum
+    ords = _read(sf_dir, "orders",
+                 ["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_orderstatus":
+                          t["o_orderstatus"].to_numpy(zero_copy_only=False),
+                          "day": day, "pc_": cents}) \
+            .groupby(["o_orderstatus", "day"], sort=False)["pc_"] \
+            .sum().reset_index()
+        return pa.table({
+            "o_orderstatus": pa.array(g["o_orderstatus"]),
+            "day": pa.array(g["day"].to_numpy().astype("datetime64[us]")),
+            "pc_": pa.array(g["pc_"].to_numpy(dtype=np.int64))})
+
+    agg = ords.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderstatus", "day"]) \
+        .aggregate(Sum("pc_", alias_name="cents"))
+    df = relational.ds_to_table(agg).to_pandas()
+    days = pd.date_range(df["day"].min(), df["day"].max(), freq="D")
+    statuses = sorted(df["o_orderstatus"].unique())
+    full = pd.MultiIndex.from_product(
+        [statuses, days], names=["o_orderstatus", "day"]) \
+        .to_frame(index=False)
+    m = full.merge(df, on=["o_orderstatus", "day"], how="left")
+    m["cents"] = m["cents"].fillna(0).astype(np.int64)
+    m = m.sort_values(["o_orderstatus", "day"]).reset_index(drop=True)
+    cum = m.groupby("o_orderstatus", sort=False)["cents"].cumsum() \
+        .to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "o_orderstatus": m["o_orderstatus"],
+        "day": m["day"],
+        "revenue": np.round(m["cents"].to_numpy(dtype=np.int64)
+                            / 100.0, 2),
+        "cum_revenue": np.round(cum / 100.0, 2)})
+
+
+SQL_GAP_FILL = """
+WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                  MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+cal AS (SELECT CAST(unnest(generate_series(
+          (SELECT lo FROM b), (SELECT hi FROM b),
+          INTERVAL 1 DAY)) AS TIMESTAMP) AS day),
+st AS (SELECT DISTINCT o_orderstatus FROM orders),
+daily AS (SELECT o_orderstatus,
+                 CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY 1, 2),
+dense AS (SELECT st.o_orderstatus, cal.day,
+                 COALESCE(d.cents, 0) AS cents
+          FROM st CROSS JOIN cal
+          LEFT JOIN daily d ON d.o_orderstatus = st.o_orderstatus
+                           AND d.day = cal.day)
+SELECT o_orderstatus, day,
+       ROUND(cents / 100.0, 2) AS revenue,
+       ROUND(SUM(cents) OVER (PARTITION BY o_orderstatus ORDER BY day)
+             / 100.0, 2) AS cum_revenue
+FROM dense
+"""
+
+
+def q_top_parts_per_brand_ties(sf_dir: str):
+    """Grouped top-k WITH TIES: the 3 highest retail prices per brand
+    under RANK() semantics — every row tied with a kept rank survives
+    (row_number-style top-k silently drops tied rows; downstream "best
+    sellers" reports need the tie-complete set).  Per-batch rank prune
+    is a safe superset (a batch-local rank is never larger than the
+    global one), then one bounded per-brand finish."""
+    parts = _read(sf_dir, "part", ["p_brand", "p_partkey",
+                                   "p_retailprice"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.groupby("p_brand")["p_retailprice"] \
+            .rank(method="min", ascending=False)
+        return df[r <= 3]
+
+    def fin(df: pd.DataFrame) -> pa.Table:
+        r = df["p_retailprice"].rank(method="min", ascending=False) \
+            .astype(np.int64)
+        out = df.assign(rnk=r)
+        out = out[out["rnk"] <= 3].sort_values(["rnk", "p_partkey"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return parts.map_batches(prune, batch_format="pandas") \
+        .groupby("p_brand").map_groups(fin, batch_format="pandas")
+
+
+SQL_TOP_BRAND_TIES = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             RANK() OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice DESC) AS rnk
+      FROM part)
+WHERE rnk <= 3
+"""
+
+
+def q_sentence_stats_by_lang(sf_dir: str):
+    """Sentence segmentation stats (the doc-shape profile a curriculum
+    / quality pass reads): per lang, doc count, total sentences
+    (nonempty [.!?]+-delimited segments), avg sentences per doc and avg
+    sentence char length.  Pure per-batch arrow pass — RE2 split via
+    pc.split_pattern_regex, per-doc counts from list offsets with a
+    cumsum-diff (reduceat mis-handles empty lists), whitespace set
+    pinned to match the SQL twin's trim charset — then a lang-keyed
+    partial combine."""
+    from ray.data.aggregate import Sum
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    ws = " \t\n\r\x0b\x0c"
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else \
+                pa.concat_arrays(col.chunks)
+        parts = pc.split_pattern_regex(col, pattern="[.!?]+")
+        offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = pc.utf8_trim(parts.values, characters=ws)
+        lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ne = (lens > 0).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(ne)])
+        ns = cs[offs[1:]] - cs[offs[:-1]]
+        csl = np.concatenate([[0], np.cumsum(lens * ne)])
+        tc = csl[offs[1:]] - csl[offs[:-1]]
+        g = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                          "pn": 1, "ps": ns, "ptc": tc}) \
+            .groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = docs.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("pn", alias_name="n_docs"),
+                                   Sum("ps", alias_name="sentences"),
+                                   Sum("ptc", alias_name="tc"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = t["sentences"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = t["tc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pa.array(nd),
+            "sentences": pa.array(ns),
+            "avg_doc_sentences": pa.array(np.round(ns * 1.0 / nd, 4)),
+            "avg_sentence_chars": pa.array(
+                np.round(tc * 1.0 / np.maximum(ns, 1), 4))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_SENTENCE_STATS = """
+WITH s AS (
+  SELECT lang,
+         list_filter(list_transform(
+           regexp_split_to_array(text, '[.!?]+'),
+           x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)
+                     || chr(11) || chr(12))),
+           x -> length(x) > 0) AS sl
+  FROM documents),
+p AS (SELECT lang, len(sl) AS ns,
+             COALESCE(list_sum(list_transform(sl, x -> length(x))), 0)
+               AS tc
+      FROM s)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ns) AS BIGINT) AS sentences,
+       ROUND(SUM(ns) * 1.0 / COUNT(*), 4) AS avg_doc_sentences,
+       ROUND(SUM(tc) * 1.0 / GREATEST(SUM(ns), 1), 4)
+         AS avg_sentence_chars
+FROM p GROUP BY lang
+"""
+
+
+def q_stationary_event_dist(sf_dir: str):
+    """Markov stationary distribution of the user-journey chain: the
+    transition matrix from per-user ts-ordered event pairs (the same
+    one-shuffle count as event_transition_matrix), row-normalized to
+    integer NANO-probabilities (round-half-up of n*1e9/total — exact
+    int arithmetic, no float division), then 6 power-iteration steps
+    from the uniform vector with the same nano-int rounding each step.
+    Every operation is integer, so the trajectory is bit-identical at
+    any partitioning and the unrolled SQL twin (HUGEINT sums) matches
+    exactly.  The matrix is |event_types|² — bounded driver math; the
+    data-scaled work is the transition-count shuffle."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array(relational.stable_bucket(t["user_id"], 64)))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        same = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        cur = df["event_type"].to_numpy()[:-1][same]
+        nxt = df["event_type"].to_numpy()[1:][same]
+        g = pd.DataFrame({"cur": cur, "nxt": nxt, "n": 1}) \
+            .groupby(["cur", "nxt"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas") \
+        .groupby(["cur", "nxt"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    NANO = 10 ** 9
+    tot = counts.groupby("cur")["n"].transform("sum")
+    # round-half-up(n * 1e9 / tot) in exact ints
+    pn = [(2 * int(n) * NANO + int(t)) // (2 * int(t))
+          for n, t in zip(counts["n"], tot)]
+    types = sorted(set(counts["cur"]).union(counts["nxt"]))
+    idx = {t: i for i, t in enumerate(types)}
+    nt = len(types)
+    P = [[0] * nt for _ in range(nt)]
+    for c, x, p in zip(counts["cur"], counts["nxt"], pn):
+        P[idx[c]][idx[x]] = p
+    v = [(2 * NANO + nt) // (2 * nt)] * nt
+    for _ in range(6):
+        v = [(2 * sum(v[i] * P[i][j] for i in range(nt)) + NANO)
+             // (2 * NANO) for j in range(nt)]
+    return pd.DataFrame({"event_type": types,
+                         "p_nano": np.array(v, dtype=np.int64)})
+
+
+def _sql_stationary(iters: int = 6) -> str:
+    """Unrolled integer power iteration twinning
+    q_stationary_event_dist (HUGEINT keeps the v·P products exact)."""
+    sql = """
+WITH t AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (SELECT cur, nxt, COUNT(*) AS n FROM t
+      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT cur, nxt,
+             CAST((2 * CAST(n AS HUGEINT) * 1000000000
+                   + SUM(n) OVER (PARTITION BY cur))
+                  // (2 * SUM(n) OVER (PARTITION BY cur)) AS BIGINT)
+               AS pn
+      FROM c),
+ty AS (SELECT cur AS et FROM c UNION SELECT nxt FROM c),
+v0 AS (SELECT et, CAST((2 * CAST(1000000000 AS HUGEINT)
+                        + (SELECT COUNT(*) FROM ty))
+                       // (2 * (SELECT COUNT(*) FROM ty)) AS BIGINT)
+                  AS v FROM ty),
+"""
+    prev = "v0"
+    for r in range(1, iters + 1):
+        sql += (f"s{r} AS (SELECT p.nxt AS et, "
+                f"CAST((2 * SUM(CAST({prev}.v AS HUGEINT) * p.pn) "
+                f"+ 1000000000) // 2000000000 AS BIGINT) AS v "
+                f"FROM p JOIN {prev} ON {prev}.et = p.cur "
+                f"GROUP BY p.nxt),\n")
+        sql += (f"v{r} AS (SELECT ty.et, COALESCE(s{r}.v, 0) AS v "
+                f"FROM ty LEFT JOIN s{r} ON s{r}.et = ty.et),\n")
+        prev = f"v{r}"
+    sql = sql.rstrip(",\n") + "\n"
+    sql += f"SELECT et AS event_type, v AS p_nano FROM v{iters}"
+    return sql
+
+
+def q_rrf_fusion_search(sf_dir: str):
+    """Reciprocal-rank fusion of two retrieval channels (the standard
+    hybrid-search merge): BM25 top-100 for 'hash join batch' over
+    documents, and int-quantized dot-product (MIPS, the int8-style
+    quantized retrieval real ANN systems run) top-100 vs the vec_id-0
+    embedding — fused(id) = Σ_channels 1/(60+rank), top-15 by
+    (fused DESC, id).  The MIPS channel quantizes each float to
+    floor(x*1000 + 0.5) and ranks by the EXACT integer dot product, so
+    channel ranks are bit-stable vs the SQL twin (float cosine rank
+    order at k=100 is not); BM25 ranks use the 4dp-rounded scores the
+    hash-green bm25 pipeline pins.  Both channels are the existing
+    scale-safe shapes (per-batch partial top-k, bounded merges); the
+    fusion itself touches 200 rows."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bm = text.bm25_topk(docs, ["hash", "join", "batch"], k=100,
+                        round_to=4)
+    bm = bm.sort_values(["score", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True)
+    bm_rank = {int(d): r + 1 for r, d in enumerate(bm["doc_id"])}
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = emb.filter(expr="vec_id == 0").take_all()
+    qv = np.floor(np.asarray(qrow[0]["embedding"], dtype=np.float64)
+                  * 1000.0 + 0.5).astype(np.int64)
+    qref = ray.put(qv)
+
+    def mips_partial(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        arr = t["embedding"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks == 1 else \
+                pa.concat_arrays(arr.chunks)
+        offs = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        m = np.floor(flat * 1000.0 + 0.5).astype(np.int64) \
+            .reshape(len(offs), offs[0] if len(offs) else 0)
+        s = m @ q
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) > 100:                      # batch-local safe prune
+            order = np.lexsort((ids, -s))[:100]
+            ids, s = ids[order], s[order]
+        return pa.table({"doc_id": pa.array(ids), "s": pa.array(s)})
+
+    mt = relational.ds_to_table(
+        emb.map_batches(mips_partial, batch_format="pyarrow")).to_pandas()
+    mt = mt.sort_values(["s", "doc_id"],
+                        ascending=[False, True]).head(100) \
+        .reset_index(drop=True)
+    mips_rank = {int(d): r + 1 for r, d in enumerate(mt["doc_id"])}
+
+    fused = {}
+    for d, r in bm_rank.items():
+        fused[d] = fused.get(d, 0.0) + 1.0 / (60 + r)
+    for d, r in mips_rank.items():
+        fused[d] = fused.get(d, 0.0) + 1.0 / (60 + r)
+    out = pd.DataFrame({"doc_id": list(fused), "rrf_score":
+                        [fused[d] for d in fused]})
+    out = out.sort_values(["rrf_score", "doc_id"],
+                          ascending=[False, True]).head(15)
+    return out.reset_index(drop=True)
+
+
+SQL_RRF = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avglen FROM toks),
+tf AS (SELECT doc_id, x AS word, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(w) AS x FROM toks)
+       WHERE x IN ('hash', 'join', 'batch') GROUP BY doc_id, x),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+sc AS (SELECT tf.doc_id,
+              SUM(LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75
+                                    + 0.75 * dl.dl / stats.avglen)))
+                AS s
+       FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
+       CROSS JOIN stats GROUP BY tf.doc_id),
+bq AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC,
+                                         doc_id) AS r
+       FROM sc QUALIFY r <= 100),
+qv AS (SELECT list_transform(embedding,
+              x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qe
+       FROM embeddings WHERE vec_id = 0),
+mips AS (SELECT e.vec_id AS doc_id,
+                CAST(list_dot_product(qv.qe, list_transform(e.embedding,
+                     x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)))
+                     AS BIGINT) AS s
+         FROM embeddings e, qv),
+cq AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+       FROM mips QUALIFY r <= 100),
+u AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + b.r), 0.0)
+               + COALESCE(1.0 / (60 + c.r), 0.0) AS f
+      FROM bq b FULL OUTER JOIN cq c ON b.doc_id = c.doc_id)
+SELECT doc_id, f AS rrf_score FROM u
+ORDER BY f DESC, doc_id LIMIT 15
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -7205,4 +7637,14 @@ def registry():
         "sssp_links": (q_sssp_links, SQL_SSSP),
         "mad_outliers_acctbal": (q_mad_outliers_acctbal,
                                  SQL_MAD_OUTLIERS),
+        "k_core_links": (q_k_core_links, _sql_k_core()),
+        "gap_fill_daily_revenue": (q_gap_fill_daily_revenue,
+                                   SQL_GAP_FILL),
+        "top_parts_per_brand_ties": (q_top_parts_per_brand_ties,
+                                     SQL_TOP_BRAND_TIES),
+        "sentence_stats_by_lang": (q_sentence_stats_by_lang,
+                                   SQL_SENTENCE_STATS),
+        "stationary_event_dist": (q_stationary_event_dist,
+                                  _sql_stationary()),
+        "rrf_fusion_search": (q_rrf_fusion_search, SQL_RRF),
     }

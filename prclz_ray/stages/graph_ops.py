@@ -859,3 +859,133 @@ def _sssp_broadcast(edges_ds, seeds_ds, node_col, src_col, dst_col,
 
     return rd.from_arrow(pa.table({node_col: pa.array(ids),
                                    "dist": pa.array(d)}))
+
+
+def k_core(edges_ds, k: int = 2, rounds: int = 3,
+           src_col: str = "src", dst_col: str = "dst",
+           num_buckets: int = 32,
+           broadcast_limit_bytes: int = 64 << 20):
+    """Bounded k-core peeling over an undirected graph given as a
+    directed edge list (symmetrized + self-loop-dropped + deduped
+    internally).  Each peel round recomputes every surviving node's
+    degree in the surviving subgraph and drops nodes with degree < k
+    (and their incident edges) — ``rounds`` rounds of the classic
+    iterative peel, the spam-farm / cohesive-subgraph filter a link
+    corpus runs before ranking.  Returns a Dataset of
+    (v, deg) = the survivors of the final round with their degree in
+    the FINAL filtered edge set (a survivor whose neighbors were all
+    peeled in the last round reports deg 0, matching the SQL twin's
+    LEFT JOIN + COALESCE).  All-int state — an unrolled CTE twin
+    reproduces it exactly at any partitioning.
+
+    Size guard (the repo's standard pattern): while the node set fits
+    ``broadcast_limit_bytes`` (16 B/node), each round is one streaming
+    degree aggregate plus ONE edge pass filtering both endpoints
+    against the broadcast survivor vector (sorted searchsorted probe).
+    Past the guard, the V-scale BSP leg runs each round as a degree
+    groupby plus two bucketed semi-joins (src then dst) — nothing
+    driver-sized."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import bucketed_semi_join, ds_to_table
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        t = pa.table({"a": pa.array(np.concatenate([s, d])),
+                      "b": pa.array(np.concatenate([d, s]))})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    edges = edges_ds.map_batches(norm, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        # symmetric edge list: degree(v) = count of rows with a == v
+        uniq, cnt = np.unique(
+            t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    def degrees(e):
+        return e.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("pn", alias_name="deg"))
+
+    deg = degrees(edges).materialize()
+    broadcast_ok = deg.count() * 16 <= broadcast_limit_bytes
+
+    if broadcast_ok:
+        surv = np.array([], dtype=np.int64)
+        for _ in range(rounds):
+            dt = ds_to_table(deg)
+            v = dt["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dv = dt["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            surv = np.sort(v[dv >= k])
+            ref = ray.put(surv)
+
+            def keep(batch: pa.Table) -> pa.Table:
+                s = ray.get(ref)
+                a = batch["a"].to_numpy(zero_copy_only=False)
+                b = batch["b"].to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(s, a)
+                ib = np.searchsorted(s, b)
+                ia[ia >= len(s)] = max(len(s) - 1, 0)
+                ib[ib >= len(s)] = max(len(s) - 1, 0)
+                m = np.zeros(batch.num_rows, dtype=bool) if len(s) == 0 \
+                    else (s[ia] == a) & (s[ib] == b)
+                return batch.filter(pa.array(m))
+
+            edges = edges.map_batches(keep, batch_format="pyarrow") \
+                .materialize()
+            deg = degrees(edges).materialize()
+
+        dt = ds_to_table(deg)
+        v = dt["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = dt["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(v, surv)
+        out_deg = np.zeros(len(surv), dtype=np.int64)
+        if len(v):
+            pos2 = np.minimum(pos, len(v) - 1)
+            hit = v[pos2] == surv
+            out_deg[hit] = dv[pos2[hit]]
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"v": pa.array(surv),
+                                       "deg": pa.array(out_deg)}))
+
+    # V-scale BSP leg: degree groupby + two bucketed endpoint semi-joins
+    surv_ds = None
+    for _ in range(rounds):
+        surv_ds = deg.filter(expr=f"deg >= {k}") \
+            .select_columns(["v"]).materialize()
+        e1 = bucketed_semi_join(
+            edges.map_batches(
+                lambda t: pa.table({"v": t["a"], "b": t["b"]}),
+                batch_format="pyarrow"),
+            surv_ds, on="v", num_buckets=num_buckets)
+        edges = bucketed_semi_join(
+            e1.map_batches(
+                lambda t: pa.table({"a": t["v"], "v": t["b"]}),
+                batch_format="pyarrow"),
+            surv_ds, on="v", num_buckets=num_buckets) \
+            .map_batches(lambda t: pa.table({"a": t["a"], "v": t["v"]}),
+                         batch_format="pyarrow") \
+            .map_batches(lambda t: pa.table({"a": t["a"], "b": t["v"]}),
+                         batch_format="pyarrow").materialize()
+        deg = degrees(edges).materialize()
+
+    # final degrees LEFT-joined onto the survivor set (deg 0 kept)
+    from .relational import bucketed_hash_join
+    j = bucketed_hash_join(surv_ds, deg, on="v", how="left",
+                           num_buckets=num_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        d = t["deg"].fill_null(0) if "deg" in t.column_names \
+            else pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table({"v": t["v"], "deg": pc.cast(d, pa.int64())})
+
+    return j.map_batches(fin, batch_format="pyarrow")

@@ -1318,3 +1318,41 @@ def test_sssp_both_legs_match_bellman_ford_reference():
             .to_pandas().sort_values("v").reset_index(drop=True)
         got = list(zip(out["v"].astype(int), out["dist"].astype(int)))
         assert got == want, (parts, approx_n)
+
+
+def test_k_core_both_legs_match_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import graph_ops
+
+    rng = np.random.default_rng(11)
+    n = 80
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    K, R = 3, 3
+
+    # python peel reference
+    edges = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    edges |= {(b, a) for a, b in edges}
+    surv = set()
+    for _ in range(R):
+        deg = {}
+        for a, _b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        surv = {v for v, c in deg.items() if c >= K}
+        edges = {(a, b) for a, b in edges if a in surv and b in surv}
+    fdeg = {}
+    for a, _b in edges:
+        fdeg[a] = fdeg.get(a, 0) + 1
+    want = sorted((v, fdeg.get(v, 0)) for v in surv)
+
+    for parts, blim in ((1, 64 << 20), (4, 64 << 20), (4, 0)):
+        e_ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst})) \
+            .repartition(parts)
+        out = graph_ops.k_core(e_ds, k=K, rounds=R,
+                               broadcast_limit_bytes=blim).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        got = list(zip(out["v"].astype(int), out["deg"].astype(int)))
+        assert got == want, (parts, blim)

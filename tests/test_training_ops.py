@@ -1344,3 +1344,60 @@ def test_hll_overlap_matrix_error_bound_and_invariance():
         assert abs(r.approx_overlap - inter) <= tol, (r, inter, tol)
         assert abs(r.approx_a - len(ea)) <= err * len(ea) + 2
     pd.testing.assert_frame_equal(got, run(11))
+
+
+def test_sentence_stats_edge_docs_and_invariance():
+    """Docs that are ALL delimiters (zero sentences), empty after trim,
+    and multi-delimiter runs; result identical at 1 and 4 partitions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.pipelines.queries import q_sentence_stats_by_lang  # noqa
+    from prclz_ray.stages import relational
+
+    # exercise the batch kernel directly through a tiny synthetic table
+    import pyarrow as pa
+
+    import prclz_ray.pipelines.queries as Q
+
+    docs = pd.DataFrame({
+        "lang": ["en", "en", "fr", "fr"],
+        "text": ["One. Two!  Three?", "...!!??", "Salut. \n\t Oui!",
+                 "abc"]})
+
+    outs = []
+    for parts in (1, 4):
+        ds = rd.from_pandas(docs).repartition(parts)
+        # reuse the registry function body via a shim sf_dir-free call
+        from ray.data.aggregate import Sum
+        import numpy as np
+
+        def run(ds):
+            orig = Q._read
+            try:
+                Q._read = lambda *_a, **_k: ds
+                return Q.q_sentence_stats_by_lang("unused").to_pandas()
+            finally:
+                Q._read = orig
+        out = run(ds).sort_values("lang").reset_index(drop=True)
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)
+    en = a[a["lang"] == "en"].iloc[0]
+    assert int(en["sentences"]) == 3      # the all-delimiter doc adds 0
+    assert int(en["n_docs"]) == 2
+    fr = a[a["lang"] == "fr"].iloc[0]
+    assert int(fr["sentences"]) == 3      # 'abc' counts as one sentence
+    assert float(fr["avg_sentence_chars"]) == round((5 + 3 + 3) / 3, 4)
+
+
+def test_stationary_dist_partition_invariant_and_sums_near_one():
+    import numpy as np
+
+    import prclz_ray.pipelines.queries as Q
+
+    a = Q.q_stationary_event_dist("/root/testdata/sf0.001")
+    b = Q.q_stationary_event_dist("/root/testdata/sf0.001")
+    assert a.equals(b)
+    s = int(np.sum(a["p_nano"].to_numpy()))
+    assert abs(s - 10 ** 9) < 100 * len(a)   # rounding drift only
