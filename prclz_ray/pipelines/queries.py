@@ -7422,6 +7422,244 @@ ORDER BY f DESC, doc_id LIMIT 15
 """
 
 
+def q_embedding_var_by_label(sf_dir: str):
+    """Per-label per-dimension embedding variance (the feature-drift /
+    cluster-shape profile an embedding store monitors): floats quantize
+    to milli-units (floor(x*1000 + 0.5)) so the power sums are EXACT
+    integers at any partitioning; mean/variance derive from (n, Σx,
+    Σx²) with the identical double expression the SQL twin uses.
+    Per-batch vectorized partials (one pandas groupby over the
+    reshaped matrix), one bounded (labels × dims) final combine."""
+    from ray.data.aggregate import Sum
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks == 1 else \
+                pa.concat_arrays(arr.chunks)
+        offs = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        d = int(offs[0]) if len(offs) else 0
+        q = np.floor(arr.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1000.0 + 0.5) \
+            .astype(np.int64).reshape(len(offs), d)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = pd.DataFrame(q).groupby(lab, sort=False).sum()
+        sxx = pd.DataFrame(q * q).groupby(lab, sort=False).sum()
+        cnt = pd.Series(1, index=lab).groupby(level=0, sort=False).sum()
+        labs = sx.index.to_numpy()
+        return pa.table({
+            "label": pa.array(np.repeat(labs, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(labs))),
+            "psx": pa.array(sx.to_numpy(dtype=np.int64).ravel()),
+            "psxx": pa.array(sxx.to_numpy(dtype=np.int64).ravel()),
+            "pn": pa.array(np.repeat(cnt.loc[labs].to_numpy(
+                dtype=np.int64), d))})
+
+    agg = emb.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("psx", alias_name="sx"),
+                   Sum("psxx", alias_name="sxx"),
+                   Sum("pn", alias_name="n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "label": pa.array(t["label"].to_numpy(zero_copy_only=False)
+                              .astype(np.int64)),
+            "dim": t["dim"],
+            "n": pa.array(t["n"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)),
+            "mean_milli": pa.array(np.round(sx / n, 6)),
+            "var_milli": pa.array(np.round((n * sxx - sx * sx)
+                                           / (n * n), 6))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EMB_VAR = """
+WITH q AS (SELECT label,
+                  list_transform(embedding, x -> CAST(FLOOR(
+                    CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+           FROM embeddings),
+u AS (SELECT label, unnest(generate_series(1, len(qe))) AS i, qe FROM q),
+v AS (SELECT label, i - 1 AS dim, qe[i] AS v FROM u),
+a AS (SELECT label, dim, COUNT(*) AS n,
+             SUM(CAST(v AS HUGEINT)) AS sx,
+             SUM(CAST(v AS HUGEINT) * v) AS sxx
+      FROM v GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label, dim, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_milli,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_milli
+FROM a
+"""
+
+
+def q_trimmed_mean_acctbal(sf_dir: str):
+    """Per-nation 10 % two-sided trimmed mean of account balance — the
+    outlier-robust location estimate (drop the lowest and highest
+    floor(0.1·n) rows by (cents, custkey) rank, average the rest).
+    All-int: cents in, round-half-up micro-dollar mean out — bit-exact
+    at any partitioning.  One nation-bucket shuffle; per bucket a
+    vectorized sort (nations are bounded, each group fits a task)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({"c_nationkey": t["c_nationkey"],
+                         "c_custkey": t["c_custkey"],
+                         "cents": pa.array(cents)})
+
+    def per_nation(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["cents", "c_custkey"])
+        n = len(df)
+        cut = int(0.1 * n)
+        kept = df["cents"].to_numpy(dtype=np.int64)[cut:n - cut]
+        s, c = int(kept.sum()), len(kept)
+        micro = (2 * s * 100 + c) // (2 * c) if c else 0
+        return pa.table({
+            "c_nationkey": pa.array([int(df["c_nationkey"].iloc[0])],
+                                    type=pa.int32()),
+            "n_kept": pa.array([c], type=pa.int64()),
+            "trimmed_mean_micro": pa.array([micro], type=pa.int64())})
+
+    return cust.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby("c_nationkey").map_groups(per_nation,
+                                           batch_format="pandas")
+
+
+SQL_TRIMMED_MEAN = """
+WITH c AS (SELECT c_nationkey, c_custkey,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+r AS (SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM c)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST((2 * SUM(CAST(cents AS HUGEINT)) * 100 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS trimmed_mean_micro
+FROM r
+WHERE rn > CAST(FLOOR(0.1 * n) AS BIGINT)
+  AND rn <= n - CAST(FLOOR(0.1 * n) AS BIGINT)
+GROUP BY c_nationkey
+"""
+
+
+def q_within_doc_line_dedup(sf_dir: str):
+    """Within-document repeated-line removal (in-page boilerplate strip:
+    repeated nav rows / footer lines collapse to their first
+    occurrence, order otherwise preserved).  Pure per-batch map — arrow
+    RE2-free split on newline, one vectorized drop_duplicates per
+    batch, per-doc rejoin — no shuffle, the 100-TB-friendliest shape
+    there is."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], pattern="\n")
+        col = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) \
+            else parts
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else \
+                pa.concat_arrays(col.chunks)
+        offs = np.diff(col.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        idx = np.repeat(np.arange(len(offs)), offs)
+        lines = col.values.to_pandas()
+        df = pd.DataFrame({"i": idx, "line": lines})
+        kept = df.drop_duplicates(["i", "line"], keep="first")
+        joined = kept.groupby("i", sort=True)["line"].agg("\n".join)
+        nk = kept.groupby("i", sort=True).size()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        full = np.arange(len(offs))
+        out_text = pd.Series("", index=full, dtype=object)
+        out_text.loc[joined.index] = joined
+        out_k = pd.Series(0, index=full, dtype=np.int64)
+        out_k.loc[nk.index] = nk
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "text_clean": pa.array(out_text.to_numpy(dtype=object),
+                                   type=pa.string()),
+            "n_lines": pa.array(offs.astype(np.int64)),
+            "n_kept": pa.array(out_k.to_numpy(dtype=np.int64))})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_WITHIN_DOC_DEDUP = """
+WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+           FROM documents),
+u AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l),
+x AS (SELECT doc_id, i, ls[i] AS line FROM u),
+k AS (SELECT doc_id, i, line,
+             MIN(i) OVER (PARTITION BY doc_id, line) AS fi FROM x)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY i)
+                FILTER (WHERE i = fi), '') AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE i = fi) AS BIGINT) AS n_kept
+FROM k GROUP BY doc_id
+"""
+
+
+def q_acctbal_histogram_nation(sf_dir: str):
+    """Per-nation equi-width histogram of account balance (the feature
+    profile a binning/monitoring pass emits): 20 global bins over
+    [min, max] cents, width = ceil(span/20) — all-int bin ids, so the
+    per-batch bincount partials combine exactly.  Two passes: one tiny
+    min/max aggregate, one streaming bincount + bounded
+    (nations × bins) groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def cents_t(t: pa.Table) -> pa.Table:
+        c = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"c_nationkey": t["c_nationkey"],
+                         "cents": pa.array(c)})
+
+    cc = cust.map_batches(cents_t, batch_format="pyarrow")
+    mm = cc.aggregate(Min("cents", alias_name="lo"),
+                      Max("cents", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    w = max(1, -(-(hi - lo + 1) // 20))
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = (t["cents"].to_numpy(zero_copy_only=False) - lo) // w
+        g = pd.DataFrame({"c_nationkey":
+                          t["c_nationkey"].to_numpy(zero_copy_only=False),
+                          "bin": b, "pn": 1}) \
+            .groupby(["c_nationkey", "bin"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return cc.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["c_nationkey", "bin"]) \
+        .aggregate(Sum("pn", alias_name="cnt"))
+
+
+SQL_ACCTBAL_HIST = """
+WITH c AS (SELECT c_nationkey,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+             GREATEST(1, CAST(CEIL((MAX(cents) - MIN(cents) + 1)
+                                   / 20.0) AS BIGINT)) AS w
+      FROM c)
+SELECT c.c_nationkey, (c.cents - b.lo) // b.w AS bin,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM c, b GROUP BY 1, 2
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -7647,4 +7885,12 @@ def registry():
         "stationary_event_dist": (q_stationary_event_dist,
                                   _sql_stationary()),
         "rrf_fusion_search": (q_rrf_fusion_search, SQL_RRF),
+        "embedding_var_by_label": (q_embedding_var_by_label,
+                                   SQL_EMB_VAR),
+        "trimmed_mean_acctbal": (q_trimmed_mean_acctbal,
+                                 SQL_TRIMMED_MEAN),
+        "within_doc_line_dedup": (q_within_doc_line_dedup,
+                                  SQL_WITHIN_DOC_DEDUP),
+        "acctbal_histogram_nation": (q_acctbal_histogram_nation,
+                                     SQL_ACCTBAL_HIST),
     }

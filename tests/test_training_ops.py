@@ -1401,3 +1401,50 @@ def test_stationary_dist_partition_invariant_and_sums_near_one():
     assert a.equals(b)
     s = int(np.sum(a["p_nano"].to_numpy()))
     assert abs(s - 10 ** 9) < 100 * len(a)   # rounding drift only
+
+
+def test_within_doc_line_dedup_edges():
+    """Duplicate lines collapse to first occurrence in order; a doc of
+    all-identical lines keeps one; empty text round-trips."""
+    import pandas as pd
+    import ray.data as rd
+
+    import prclz_ray.pipelines.queries as Q
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a\nb\na\nc\nb", "x\nx\nx", ""]})
+
+    orig = Q._read
+    try:
+        Q._read = lambda *_a, **_k: rd.from_pandas(docs).repartition(2)
+        out = Q.q_within_doc_line_dedup("unused").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    finally:
+        Q._read = orig
+    assert list(out["text_clean"]) == ["a\nb\nc", "x", ""]
+    assert list(out["n_lines"]) == [5, 3, 1]
+    assert list(out["n_kept"]) == [3, 1, 1]
+
+
+def test_trimmed_mean_exact_int_rounding():
+    """Round-half-up micro-dollar semantics on a hand-computed group."""
+    import pandas as pd
+    import ray.data as rd
+
+    import prclz_ray.pipelines.queries as Q
+
+    # 10 rows, nation 0: cents 0..900 by 100 -> trim 1 low + 1 high,
+    # kept 100..800, mean 450 cents -> 45000 micro exactly
+    cust = pd.DataFrame({
+        "c_custkey": range(10),
+        "c_nationkey": [0] * 10,
+        "c_acctbal": [i * 1.0 for i in range(10)]})
+    orig = Q._read
+    try:
+        Q._read = lambda *_a, **_k: rd.from_pandas(cust).repartition(3)
+        out = Q.q_trimmed_mean_acctbal("unused").to_pandas()
+    finally:
+        Q._read = orig
+    assert int(out["n_kept"].iloc[0]) == 8
+    assert int(out["trimmed_mean_micro"].iloc[0]) == 45000
