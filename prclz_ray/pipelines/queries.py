@@ -7660,6 +7660,235 @@ FROM c, b GROUP BY 1, 2
 """
 
 
+def q_local_clustering_links(sf_dir: str):
+    """Per-node triangle count + local clustering coefficient over the
+    pagerank_links synthetic graph: degree-ordered wedge enumeration
+    with pivot identity kept, closed wedges credit all three corners
+    (graph_ops.local_clustering — O(m^1.5) wedges regardless of skew).
+    cc_nano is round-half-up(2·tri·1e9 / (deg·(deg−1))) in exact ints,
+    so the 3-way-self-join SQL twin matches bit-for-bit."""
+    from ..stages import graph_ops
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    out = graph_ops.local_clustering(
+        docs.map_batches(edges, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "tri": b["tri"],
+                            "deg": b["deg"], "cc_nano": b["cc_nano"]}),
+        batch_format="pyarrow")
+
+
+SQL_LOCAL_CLUSTERING = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + kk.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) kk, nn),
+o AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst),
+sym AS (SELECT a, b FROM o UNION ALL SELECT b AS a, a AS b FROM o),
+dg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM sym GROUP BY a),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM o e1 JOIN o e2 ON e2.a = e1.b
+      JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+cr AS (SELECT x AS v FROM t UNION ALL SELECT y FROM t
+       UNION ALL SELECT z FROM t),
+tc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM cr GROUP BY v)
+SELECT dg.v AS doc_id, COALESCE(tc.tri, 0) AS tri, dg.deg,
+       CASE WHEN dg.deg >= 2 THEN CAST(
+         (2 * (2 * CAST(COALESCE(tc.tri, 0) AS HUGEINT) * 1000000000)
+          + dg.deg * (dg.deg - 1))
+         // (2 * dg.deg * (dg.deg - 1)) AS BIGINT)
+       ELSE 0 END AS cc_nano
+FROM dg LEFT JOIN tc ON tc.v = dg.v
+"""
+
+
+def q_fk_integrity_audit(sf_dir: str):
+    """Cross-table data-quality audit (the referential-integrity gate a
+    warehouse ingest runs): violation counts for orders→customer and
+    lineitem→orders foreign keys (distributed bucketed ANTI-joins on
+    narrow key columns), plus null-user events and empty-text
+    documents (streaming filter counts).  Output is one bounded row
+    per check."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    okeys = _read(sf_dir, "orders", ["o_orderkey"])
+    ev = _read(sf_dir, "events", ["user_id"])
+    docs = _read(sf_dir, "documents", ["text"])
+
+    orphan_orders = relational.bucketed_semi_join(
+        orders.map_batches(lambda t: pa.table({"k": t["o_custkey"]}),
+                           batch_format="pyarrow"),
+        cust.map_batches(lambda t: pa.table({"k": t["c_custkey"]}),
+                         batch_format="pyarrow"),
+        on="k", anti=True).count()
+    orphan_li = relational.bucketed_semi_join(
+        li.map_batches(lambda t: pa.table({"k": t["l_orderkey"]}),
+                       batch_format="pyarrow"),
+        okeys.map_batches(lambda t: pa.table({"k": t["o_orderkey"]}),
+                          batch_format="pyarrow"),
+        on="k", anti=True).count()
+    null_users = ev.map_batches(
+        lambda t: pa.table({"c": pa.array(
+            [t["user_id"].null_count], type=pa.int64())}),
+        batch_format="pyarrow").sum("c") or 0
+    empty_docs = docs.map_batches(
+        lambda t: pa.table({"c": pa.array(
+            [int(pc.sum(pc.cast(pc.equal(
+                t["text"].fill_null(""), ""), pa.int64())).as_py() or 0)
+             + t["text"].null_count], type=pa.int64())}),
+        batch_format="pyarrow").sum("c") or 0
+    return pd.DataFrame({
+        "check_name": ["orders_without_customer",
+                       "lineitem_without_order",
+                       "events_null_user", "documents_empty_text"],
+        "violations": np.array([orphan_orders, orphan_li,
+                                null_users, empty_docs],
+                               dtype=np.int64)})
+
+
+SQL_FK_AUDIT = """
+SELECT 'orders_without_customer' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS violations
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_without_order',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'events_null_user', CAST(COUNT(*) AS BIGINT)
+FROM events WHERE user_id IS NULL
+UNION ALL
+SELECT 'documents_empty_text', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE text IS NULL OR text = ''
+"""
+
+
+def q_systematic_sample_events(sf_dir: str):
+    """Systematic (every k-th) sampling in GLOBAL event_id order — the
+    deterministic grid sample QA teams prefer over hash sampling when
+    coverage must be uniform over the keyspace.  Uses the two-pass
+    distributed prefix-sum (range-bucket counts → driver exclusive
+    scan of ≤64 bucket totals → within-bucket cumsum), never a global
+    sort: rows whose global rank is a multiple of 997 survive."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    ranked = relational.global_prefix_sum(
+        ev.map_batches(one, batch_format="pyarrow"),
+        order_col="event_id", value_col="one", out_col="rn")
+
+    def pick(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        keep = (rn % 997) == 0
+        t = t.filter(pa.array(keep))
+        return t.select(["event_id", "user_id", "event_type", "rn"])
+
+    return ranked.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+SELECT event_id, user_id, event_type, rn FROM (
+  SELECT event_id, user_id, event_type,
+         ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+  FROM events)
+WHERE rn % 997 = 0
+"""
+
+
+def q_daily_revenue_anomalies(sf_dir: str):
+    """Rolling anomaly detection on the dense daily revenue series: a
+    day is anomalous when |x − mean₇| > 2·std₇ over the 7 PRIOR
+    calendar days (gap-filled with 0).  The test evaluates in EXACT
+    integers — (7x − S)² > 4·(7·SS − S²) with S, SS the prior-window
+    cents sums — so no float sqrt/variance can diverge from the SQL
+    twin.  Distributed part: the per-batch daily cents partials + one
+    bounded groupby; the calendar-sized rolling pass runs on the
+    bounded aggregate with Python ints (overflow-proof)."""
+    from ray.data.aggregate import Sum
+    ords = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({"day": day, "pc_": cents}) \
+            .groupby("day", sort=False)["pc_"].sum().reset_index()
+        return pa.table({
+            "day": pa.array(g["day"].to_numpy().astype("datetime64[us]")),
+            "pc_": pa.array(g["pc_"].to_numpy(dtype=np.int64))})
+
+    agg = ords.map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("pc_", alias_name="cents"))
+    df = relational.ds_to_table(agg).to_pandas().sort_values("day") \
+        .reset_index(drop=True)
+    days = pd.date_range(df["day"].min(), df["day"].max(), freq="D")
+    dense = pd.DataFrame({"day": days}).merge(df, on="day", how="left")
+    c = [int(x) if x == x else 0 for x in dense["cents"]]
+    flags = []
+    for i in range(len(c)):
+        if i < 7:
+            flags.append(0)
+            continue
+        w = c[i - 7:i]
+        S, SS = sum(w), sum(x * x for x in w)
+        x = c[i]
+        flags.append(int((7 * x - S) ** 2 > 4 * (7 * SS - S * S)))
+    return pd.DataFrame({
+        "day": days,
+        "revenue": np.round(np.array(c, dtype=np.float64) / 100.0, 2),
+        "is_anomaly": np.array(flags, dtype=np.int64)})
+
+
+SQL_DAILY_ANOMALIES = """
+WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                  MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+cal AS (SELECT CAST(unnest(generate_series(
+          (SELECT lo FROM b), (SELECT hi FROM b),
+          INTERVAL 1 DAY)) AS TIMESTAMP) AS day),
+daily AS (SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY 1),
+dense AS (SELECT cal.day, COALESCE(d.cents, 0) AS cents
+          FROM cal LEFT JOIN daily d ON d.day = cal.day),
+w AS (SELECT day, cents,
+             SUM(CAST(cents AS HUGEINT)) OVER
+               (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) OVER
+               (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS ss,
+             COUNT(*) OVER
+               (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS n
+      FROM dense)
+SELECT day, ROUND(cents / 100.0, 2) AS revenue,
+       CASE WHEN n = 7 AND
+                 (7 * CAST(cents AS HUGEINT) - s)
+                 * (7 * CAST(cents AS HUGEINT) - s)
+                 > 4 * (7 * ss - s * s)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM w
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -7893,4 +8122,11 @@ def registry():
                                   SQL_WITHIN_DOC_DEDUP),
         "acctbal_histogram_nation": (q_acctbal_histogram_nation,
                                      SQL_ACCTBAL_HIST),
+        "local_clustering_links": (q_local_clustering_links,
+                                   SQL_LOCAL_CLUSTERING),
+        "fk_integrity_audit": (q_fk_integrity_audit, SQL_FK_AUDIT),
+        "systematic_sample_events": (q_systematic_sample_events,
+                                     SQL_SYSTEMATIC_SAMPLE),
+        "daily_revenue_anomalies": (q_daily_revenue_anomalies,
+                                    SQL_DAILY_ANOMALIES),
     }

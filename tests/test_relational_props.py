@@ -1356,3 +1356,62 @@ def test_k_core_both_legs_match_reference():
             .sort_values("v").reset_index(drop=True)
         got = list(zip(out["v"].astype(int), out["deg"].astype(int)))
         assert got == want, (parts, blim)
+
+
+def test_local_clustering_matches_reference_both_legs():
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import graph_ops
+
+    rng = np.random.default_rng(5)
+    n = 40
+    src = rng.integers(0, n, 200)
+    dst = rng.integers(0, n, 200)
+
+    adj = {}
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want = {}
+    for v, nb in adj.items():
+        deg = len(nb)
+        tri = sum(1 for a, b in itertools.combinations(sorted(nb), 2)
+                  if b in adj.get(a, ()))
+        D = deg * (deg - 1)
+        cc = (2 * (2 * tri * 10 ** 9) + D) // (2 * D) if deg >= 2 else 0
+        want[v] = (tri, deg, cc)
+
+    for parts, blim in ((1, 64 << 20), (4, 0)):
+        e_ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst})) \
+            .repartition(parts)
+        out = graph_ops.local_clustering(
+            e_ds, broadcast_limit_bytes=blim).to_pandas()
+        got = {int(r.v): (int(r.tri), int(r.deg), int(r.cc_nano))
+               for r in out.itertuples()}
+        assert got == want, (parts, blim)
+
+
+def test_local_clustering_star_graph_zero_cc():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import graph_ops
+
+    # pure star: hub 0 with 50 leaves — no triangles anywhere, and the
+    # wedge explosion must stay bounded (orientation gives the hub
+    # out-degree 0)
+    leaves = list(range(1, 51))
+    e_ds = rd.from_pandas(pd.DataFrame(
+        {"src": [0] * 50, "dst": leaves}))
+    out = graph_ops.local_clustering(e_ds).to_pandas()
+    assert int(out["tri"].sum()) == 0
+    assert int(out["cc_nano"].sum()) == 0
+    hub = out[out["v"] == 0].iloc[0]
+    assert int(hub["deg"]) == 50
