@@ -7889,6 +7889,137 @@ FROM w
 """
 
 
+def q_value_rank_distribution_events(sf_dir: str):
+    """Global RANK() distribution at scale: for every DISTINCT event
+    value (cents), its global rank (1 + count of strictly smaller
+    values, RANK semantics over the full table) and its multiplicity —
+    the exact-CDF building block (percentiles, calibration curves)
+    computed WITHOUT a global row sort: distinct-value counts reduce
+    via one groupby, then the two-pass range-bucket prefix sum ranks
+    the (bounded-domain) distinct table.  rank = cum − cnt + 1, all
+    ints."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["value"])
+
+    def cents_count(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cents": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    dist = ev.map_batches(cents_count, batch_format="pyarrow") \
+        .groupby("cents").aggregate(Sum("pn", alias_name="cnt"))
+    ranked = relational.global_prefix_sum(
+        dist, order_col="cents", value_col="cnt", out_col="cum")
+
+    def fin(t: pa.Table) -> pa.Table:
+        cum = t["cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cents": t["cents"],
+                         "cnt": pa.array(cnt),
+                         "rnk": pa.array(cum - cnt + 1)})
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_VALUE_RANKS = """
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1)
+SELECT cents, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+            - cnt + 1 AS BIGINT) AS rnk
+FROM g
+"""
+
+
+def q_morton_index_points(sf_dir: str):
+    """Z-order (Morton) curve index for the synthetic customer points —
+    the locality-preserving key a tiled store sorts/partitions by so
+    spatially-near rows land in the same file (the Hilbert/Z-order
+    clustering trick every lakehouse exposes).  10-bit x and y
+    interleave into a 20-bit code via vectorized shift/mask; the SQL
+    twin unrolls the same 10 bit positions arithmetically.  Output is
+    (key, cell count) per Morton cell at a 4-bit-truncated level so
+    the result is bounded (the full code would be row-scaled)."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def morton(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (k * 7919) % 1000
+        y = (k * 104729) % 1000
+        z = np.zeros(len(k), dtype=np.int64)
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        cell = z >> 8                       # truncate to 12-bit cells
+        u, n = np.unique(cell, return_counts=True)
+        return pa.table({"zcell": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    return cust.map_batches(morton, batch_format="pyarrow") \
+        .groupby("zcell").aggregate(Sum("pn", alias_name="cnt"))
+
+
+def _sql_morton() -> str:
+    """Unrolled bit-interleave twin of q_morton_index_points."""
+    xs = " + ".join(f"(((x // {1 << i}) % 2) * {1 << (2 * i)})"
+                    for i in range(10))
+    ys = " + ".join(f"(((y // {1 << i}) % 2) * {1 << (2 * i + 1)})"
+                    for i in range(10))
+    return f"""
+WITH p AS (SELECT (c_custkey * 7919) % 1000 AS x,
+                  (c_custkey * 104729) % 1000 AS y FROM customer),
+z AS (SELECT ({xs} + {ys}) // 256 AS zcell FROM p)
+SELECT zcell, CAST(COUNT(*) AS BIGINT) AS cnt FROM z GROUP BY zcell
+"""
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """Privacy audit: group size of every quasi-identifier combination
+    (c_nationkey, c_mktsegment) with a suppression flag for cohorts
+    below k=5 — the re-identifiability gate a data release runs (the
+    full per-combo report, not just violators, so the result is
+    non-degenerate at any scale and the suppressed fraction is
+    auditable).  One bounded groupby (QI domain ≤ nations×segments),
+    per-batch count partials."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_nationkey", "c_mktsegment"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"c_nationkey": g["c_nationkey"],
+                         "c_mktsegment": g["c_mktsegment"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    agg = cust.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["c_nationkey", "c_mktsegment"]) \
+        .aggregate(Sum("pn", alias_name="group_size"))
+
+    def flag(t: pa.Table) -> pa.Table:
+        gs = t["group_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"c_nationkey": t["c_nationkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "group_size": pa.array(gs),
+                         "suppress": pa.array(
+                             (gs < 5).astype(np.int64))})
+
+    return agg.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS suppress
+FROM customer GROUP BY 1, 2
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -8129,4 +8260,8 @@ def registry():
                                      SQL_SYSTEMATIC_SAMPLE),
         "daily_revenue_anomalies": (q_daily_revenue_anomalies,
                                     SQL_DAILY_ANOMALIES),
+        "value_rank_distribution_events": (
+            q_value_rank_distribution_events, SQL_VALUE_RANKS),
+        "morton_index_points": (q_morton_index_points, _sql_morton()),
+        "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY),
     }
