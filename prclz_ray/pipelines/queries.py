@@ -8020,6 +8020,274 @@ FROM customer GROUP BY 1, 2
 """
 
 
+def q_score_calibration_bins(sf_dir: str):
+    """Model reliability diagram (calibration curve): the logreg_score
+    pipeline's 6dp-rounded scores bucket into 10 equal-width bins;
+    each bin reports n, positive rate and mean score — the ECE inputs
+    every model-quality gate computes.  Scores quantize to EXACT
+    micro-ints before summing (float means would be order-sensitive);
+    positive counts are ints; both means are round-half-up micro
+    ints.  Per-batch partials, one ≤10-row combine."""
+    from ray.data.aggregate import Sum
+    from ..stages import ml
+    feats = _doc_features(sf_dir)
+    scored = ml.logreg_score(feats, ["x1", "x2"], weights=[12.0, -8.0],
+                             bias=2.0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        micro = np.rint(s * 1e6).astype(np.int64)
+        b = np.minimum(micro // 100000, 9)
+        pos = (t["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0) \
+            .astype(np.int64)
+        g = pd.DataFrame({"bin": b, "pn": 1, "pp": pos, "ps": micro}) \
+            .groupby("bin", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = scored.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("pn", alias_name="n"),
+                                  Sum("pp", alias_name="pos"),
+                                  Sum("ps", alias_name="smicro"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = t["smicro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = np.array([(2 * int(p) * 10 ** 6 + int(c)) // (2 * int(c))
+                       for p, c in zip(pos, n)], dtype=np.int64)
+        ms = np.array([(2 * int(s) + int(c)) // (2 * int(c))
+                       for s, c in zip(sm, n)], dtype=np.int64)
+        return pa.table({"bin": t["bin"], "n": pa.array(n),
+                         "pos_rate_micro": pa.array(pr),
+                         "mean_score_micro": pa.array(ms)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_CALIBRATION = """
+WITH f AS (
+  SELECT doc_id, n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2
+  FROM documents),
+s AS (SELECT doc_id,
+             CAST(ROUND(ROUND(1.0 / (1.0 + exp(
+               -(2.0 + 12.0 * x1 - 8.0 * x2))), 6) * 1000000)
+               AS BIGINT) AS micro
+      FROM f),
+b AS (SELECT LEAST(micro // 100000, 9) AS bin,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos,
+             micro
+      FROM s)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((2 * SUM(CAST(pos AS HUGEINT)) * 1000000 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS pos_rate_micro,
+       CAST((2 * SUM(CAST(micro AS HUGEINT)) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS mean_score_micro
+FROM b GROUP BY bin
+"""
+
+
+def q_doc_length_percentiles(sf_dir: str):
+    """Row-wise global-CDF apply: every document gets its length's
+    exact RANK-based percentile, pct_nano = round-half-up((rnk−1)·1e9
+    / (N−1)) — the feature-normalization that maps a skewed column
+    onto [0,1] by its own empirical CDF.  The distinct-length rank
+    table builds via groupby + the range-bucket prefix sum (bounded
+    value domain), broadcasts (it is domain-sized, not row-sized),
+    and applies in one streaming searchsorted pass."""
+    from ray.data.aggregate import Sum
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n_total = docs.count()
+
+    def counts(t: pa.Table) -> pa.Table:
+        u, n = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"n_chars": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    dist = docs.map_batches(counts, batch_format="pyarrow") \
+        .groupby("n_chars").aggregate(Sum("pn", alias_name="cnt"))
+    ranked = relational.global_prefix_sum(
+        dist, order_col="n_chars", value_col="cnt", out_col="cum")
+    rt = relational.ds_to_table(ranked).to_pandas()
+    vals = rt["n_chars"].to_numpy(dtype=np.int64)
+    rnk = (rt["cum"].to_numpy(dtype=np.int64)
+           - rt["cnt"].to_numpy(dtype=np.int64) + 1)
+    order = np.argsort(vals)
+    # pct in exact ints (python — the table is domain-sized)
+    denom = max(n_total - 1, 1)
+    pct = np.array([(2 * (int(r) - 1) * 10 ** 9 + denom) // (2 * denom)
+                    for r in rnk[order]], dtype=np.int64)
+    ref = ray.put((vals[order], pct))
+
+    def apply(t: pa.Table) -> pa.Table:
+        v, p = relational.worker_cached(("doclen_pct", ref),
+                                        lambda: ray.get(ref))
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_chars": pa.array(x),
+                         "pct_nano": pa.array(p[np.searchsorted(v, x)])})
+
+    return docs.map_batches(apply, batch_format="pyarrow")
+
+
+SQL_DOC_PERCENTILES = """
+WITH r AS (SELECT doc_id, n_chars,
+                  RANK() OVER (ORDER BY n_chars) AS rnk,
+                  COUNT(*) OVER () AS n
+           FROM documents)
+SELECT doc_id, n_chars,
+       CAST((2 * (rnk - 1) * 1000000000
+             + GREATEST(n - 1, 1))
+            // (2 * GREATEST(n - 1, 1)) AS BIGINT) AS pct_nano
+FROM r
+"""
+
+
+def q_churn_labels(sf_dir: str):
+    """Label generation for churn modeling: a user counts as churned
+    when their LAST event precedes the corpus's final 30 days.  One
+    per-user max-ts groupby (per-batch max partials first), the global
+    horizon from a tiny aggregate — the standard target-label pass of
+    a training-data pipeline."""
+    from ray.data.aggregate import Max
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts": t["ts"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("user_id", sort=False)["ts"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("ts", alias_name="last_ts"))
+    hi = ev.aggregate(Max("ts", alias_name="m"))["m"]
+    cut = pd.Timestamp(hi) - pd.Timedelta(days=30)
+    cut64 = np.datetime64(cut, "us")
+
+    def flag(t: pa.Table) -> pa.Table:
+        last = t["last_ts"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_ts": t["last_ts"],
+            "churned": pa.array((last < cut64).astype(np.int64))})
+
+    return per_user.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_CHURN = """
+WITH h AS (SELECT MAX(ts) - INTERVAL 30 DAY AS cut FROM events)
+SELECT user_id, MAX(ts) AS last_ts,
+       CAST(CASE WHEN MAX(ts) < (SELECT cut FROM h) THEN 1 ELSE 0 END
+            AS BIGINT) AS churned
+FROM events GROUP BY user_id
+"""
+
+
+def q_degree_assortativity_links(sf_dir: str):
+    """Degree assortativity (Pearson correlation of endpoint degrees
+    over undirected edges — the one-number structure probe: positive
+    = hubs link hubs, negative = hub-and-spoke): every sum is an
+    EXACT integer (degrees are ints; each undirected edge contributes
+    both orientations), and the final coefficient evaluates the
+    identical double expression as the SQL twin.  Degree attach is
+    the size-guarded broadcast; per-batch int partials, one-row
+    output."""
+    from ray.data.aggregate import Count, Sum
+    from ..stages.relational import ds_to_table, worker_cached
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        m = src != dst
+        a = np.minimum(src[m], dst[m])
+        b = np.maximum(src[m], dst[m])
+        t = pa.table({"ea": pa.array(a), "eb": pa.array(b)})
+        return t.group_by(["ea", "eb"]).aggregate([])
+
+    und = docs.map_batches(edges, batch_format="pyarrow") \
+        .groupby(["ea", "eb"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["ea", "eb"]),
+                     batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nn = np.concatenate(
+            [t["ea"].to_numpy(zero_copy_only=False),
+             t["eb"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        u, c = np.unique(nn, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    deg_t = ds_to_table(
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("pn", alias_name="deg")))
+    ids = deg_t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dv = deg_t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(ids)
+    ref = ray.put((ids[o], dv[o]))
+
+    def sums(t: pa.Table) -> pa.Table:
+        _ids, _dv = worker_cached(("assort_deg", ref),
+                                  lambda: ray.get(ref))
+        a = _dv[np.searchsorted(_ids, t["ea"].to_numpy(
+            zero_copy_only=False).astype(np.int64))]
+        b = _dv[np.searchsorted(_ids, t["eb"].to_numpy(
+            zero_copy_only=False).astype(np.int64))]
+        # both orientations of each undirected edge
+        x = np.concatenate([a, b]).astype(np.int64)
+        y = np.concatenate([b, a]).astype(np.int64)
+        return pa.table({
+            "m": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64())})
+
+    p = ds_to_table(und.map_batches(sums, batch_format="pyarrow")) \
+        .to_pandas()
+    m = float(p["m"].sum())
+    sx = float(p["sx"].sum())
+    sxx = float(p["sxx"].sum())
+    sxy = float(p["sxy"].sum())
+    # symmetric: sy = sx, syy = sxx
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    return pd.DataFrame({"m_directed": [np.int64(m)],
+                         "assortativity": [np.round(num / den, 6)]})
+
+
+SQL_ASSORTATIVITY = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + kk.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) kk, nn),
+o AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst),
+sym AS (SELECT a, b FROM o UNION ALL SELECT b AS a, a AS b FROM o),
+dg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM sym GROUP BY a),
+e AS (SELECT da.deg AS x, db.deg AS y
+      FROM sym JOIN dg da ON da.v = sym.a JOIN dg db ON db.v = sym.b),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM e)
+SELECT m AS m_directed,
+       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+  AS assortativity
+FROM s
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -8264,4 +8532,11 @@ def registry():
             q_value_rank_distribution_events, SQL_VALUE_RANKS),
         "morton_index_points": (q_morton_index_points, _sql_morton()),
         "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY),
+        "score_calibration_bins": (q_score_calibration_bins,
+                                   SQL_CALIBRATION),
+        "doc_length_percentiles": (q_doc_length_percentiles,
+                                   SQL_DOC_PERCENTILES),
+        "churn_labels": (q_churn_labels, SQL_CHURN),
+        "degree_assortativity_links": (q_degree_assortativity_links,
+                                       SQL_ASSORTATIVITY),
     }
