@@ -8288,6 +8288,78 @@ FROM s
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-keyed near-dup resolution: the exact Jaccard >= 0.8
+    cluster graph (recall-complete AllPairs prefix join) resolved by
+    keeping each cluster's HIGHEST-QUALITY member (max n_chars, doc_id
+    tiebreak) instead of the min-id convention — the policy a training
+    corpus actually wants (keep the longest/cleanest copy, drop the
+    rest).  Cluster labels attach their quality via a bucketed join;
+    the per-cluster argmax runs in bounded map_groups; the drop set
+    (duplicates only) anti-semi-joins back against the corpus."""
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "n_chars"]).repartition(32)
+    pairs = dd.allpairs_jaccard(
+        docs.select_columns(["doc_id", "text"]), key_col="doc_id",
+        text_col="text", jaccard_threshold=0.8, shingle_k=5)
+    labels = dd.connected_components(pairs)
+    if hasattr(labels, "materialize"):
+        labels = labels.materialize()
+
+    meta = docs.map_batches(
+        lambda t: pa.table({"node": t["doc_id"],
+                            "n_chars": t["n_chars"]}),
+        batch_format="pyarrow")
+    nl = relational.bucketed_hash_join(labels, meta, on="node")
+
+    def drops(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["n_chars", "node"],
+                            ascending=[False, True])
+        return pa.table({"doc_id": pa.array(
+            df["node"].to_numpy(dtype=np.int64)[1:])})
+
+    drop_ds = nl.groupby("label").map_groups(drops,
+                                             batch_format="pandas")
+    kept = relational.semi_join(docs, drop_ds, on="doc_id", anti=True)
+    return kept.select_columns(["doc_id"])
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+        FROM documents)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+reach(node, anc) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.anc
+),
+comp AS (SELECT node, LEAST(node, MIN(anc)) AS c
+         FROM reach GROUP BY node),
+m AS (SELECT comp.node, comp.c, d.n_chars
+      FROM comp JOIN documents d ON d.doc_id = comp.node),
+best AS (SELECT node FROM (
+  SELECT node, ROW_NUMBER() OVER (PARTITION BY c
+      ORDER BY n_chars DESC, node) AS rn FROM m) WHERE rn = 1)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp)
+UNION ALL
+SELECT node AS doc_id FROM best
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -8539,4 +8611,5 @@ def registry():
         "churn_labels": (q_churn_labels, SQL_CHURN),
         "degree_assortativity_links": (q_degree_assortativity_links,
                                        SQL_ASSORTATIVITY),
+        "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     }
