@@ -29,26 +29,51 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _stable_u64(texts) -> np.ndarray:
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-         for t in texts], dtype=np.uint64)
+    """Vectorized 64-bit content hash.  Polars' columnar xxhash when
+    available (C speed, deterministic for a fixed seed — the hash is
+    only ever used for EQUALITY partitioning, never reproduced by an
+    oracle); blake2b-8 python fallback otherwise.  Same 2^-64
+    collision class either way."""
+    try:
+        import polars as pl
+        return pl.Series(values=list(texts), dtype=pl.Utf8) \
+            .hash(seed=0).to_numpy().astype(np.uint64)
+    except Exception:
+        return np.array(
+            [int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                "big")
+             for t in texts], dtype=np.uint64)
 
 
-def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
+                num_buckets: int = 64):
     """Exact dedup: keep the row with the smallest ``key_col`` per distinct
-    text (hash-partitioned; reference analogue D1/D6 SURVEY §2.7)."""
+    text (hash-partitioned; reference analogue D1/D6 SURVEY §2.7).
+
+    Scale shape: a batch-local prune (one min-key row per hash, C-speed
+    sort + drop_duplicates) runs BEFORE the exchange, then ONE
+    coarse-bucket groupby finishes globally — per-bucket vectorized
+    pick, never a per-distinct-text Python call (a map_groups on the
+    raw hash would invoke python once per distinct document)."""
     def add_hash(batch: pa.Table) -> pa.Table:
         h = _stable_u64(batch[text_col].to_pylist())
-        return batch.append_column("_h", pa.array(h))
+        df = batch.append_column("_h", pa.array(h)).to_pandas()
+        df = df.sort_values([
+            "_h", key_col]).drop_duplicates("_h", keep="first")
+        df["_b"] = (df["_h"].to_numpy(dtype=np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def first(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["_h", key_col], kind="mergesort") \
+            .drop_duplicates("_h", keep="first") \
+            .drop(columns=["_h", "_b"])
         # arrow out: downstream ops on pandas blocks hit a slow path
-        return pa.Table.from_pandas(group.sort_values(key_col).head(1),
-                                    preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("_h").map_groups(first, batch_format="pandas")
-            .drop_columns(["_h"]))
+            .groupby("_b").map_groups(first, batch_format="pandas"))
 
 
 def paragraph_dedup_stats(ds, key_col: str = "doc_id", text_col: str = "text",
