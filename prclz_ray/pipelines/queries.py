@@ -8312,14 +8312,23 @@ def q_dedup_keep_best(sf_dir: str):
         batch_format="pyarrow")
     nl = relational.bucketed_hash_join(labels, meta, on="node")
 
-    def drops(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["n_chars", "node"],
-                            ascending=[False, True])
-        return pa.table({"doc_id": pa.array(
-            df["node"].to_numpy(dtype=np.int64)[1:])})
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array(relational.stable_bucket(t["label"], 64)))
 
-    drop_ds = nl.groupby("label").map_groups(drops,
-                                             batch_format="pandas")
+    def drops(df: pd.DataFrame) -> pa.Table:
+        # per coarse BUCKET (vectorized over all its clusters — never a
+        # python call per cluster): keep-best = first row per label
+        # under (n_chars DESC, node ASC); everything else drops
+        df = df.sort_values(["label", "n_chars", "node"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        dup = df.duplicated("label", keep="first").to_numpy()
+        return pa.table({"doc_id": pa.array(
+            df["node"].to_numpy(dtype=np.int64)[dup])})
+
+    drop_ds = nl.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(drops, batch_format="pandas")
     kept = relational.semi_join(docs, drop_ds, on="doc_id", anti=True)
     return kept.select_columns(["doc_id"])
 
