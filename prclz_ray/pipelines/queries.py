@@ -8369,6 +8369,144 @@ SELECT node AS doc_id FROM best
 """
 
 
+def q_readability_scores(sf_dir: str):
+    """Per-document Flesch-style readability (the curriculum /
+    difficulty signal a data-mixing pass uses): words (\\S+ runs),
+    sentences (nonempty [.!?]+ segments, trim charset pinned to the
+    twin), vowel-group syllable proxy, and
+    flesch = 206.835 − 1.015·(w/s) − 84.6·(vg/w) rounded to 4dp —
+    pure per-row arrow RE2 counts + per-row double arithmetic (no
+    aggregation, so no float-order risk), zero shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ws = " \t\n\r\x0b\x0c"
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else \
+                pa.concat_arrays(col.chunks)
+        w = pc.count_substring_regex(col, pattern=r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vg = pc.count_substring_regex(col, pattern="[aeiouAEIOU]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = pc.split_pattern_regex(col, pattern="[.!?]+")
+        offs = parts.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lens = pc.utf8_length(pc.utf8_trim(parts.values, characters=ws)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = (lens > 0).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(ne)])
+        s = cs[offs[1:]] - cs[offs[:-1]]
+        wd = np.maximum(w, 1).astype(np.float64)
+        sd = np.maximum(s, 1).astype(np.float64)
+        flesch = np.round(206.835 - 1.015 * (w / sd) - 84.6 * (vg / wd),
+                          4)
+        return pa.table({"doc_id": t["doc_id"], "words": pa.array(w),
+                         "sentences": pa.array(s),
+                         "vowel_groups": pa.array(vg),
+                         "flesch": pa.array(flesch)})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_READABILITY = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+         CAST(len(list_filter(list_transform(
+           regexp_split_to_array(text, '[.!?]+'),
+           x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)
+                     || chr(11) || chr(12))),
+           x -> length(x) > 0)) AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+           AS vowel_groups
+  FROM documents)
+SELECT doc_id, words, sentences, vowel_groups,
+       ROUND(206.835
+             - 1.015 * (words / CAST(GREATEST(sentences, 1) AS DOUBLE))
+             - 84.6 * (vowel_groups / CAST(GREATEST(words, 1) AS DOUBLE)),
+             4) AS flesch
+FROM f
+"""
+
+
+def q_type_affinity_lift(sf_dir: str):
+    """Market-basket affinity between part TYPES within an order:
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over distinct-type baskets —
+    the cross-sell / co-occurrence-strength analysis.  One bucketed
+    lineitem×part join attaches types; basket pair counts ride the
+    cooccurrence kernel (per-batch distinct partials, vectorized pair
+    explosion, type domain is bounded so the cap is safely off);
+    singles and the basket count come from the same distinct partials.
+    All counts are exact ints; lift divides identically both sides."""
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(lambda t: pa.table(
+            {"p_partkey": t["l_partkey"], "l_orderkey": t["l_orderkey"]}),
+            batch_format="pyarrow"),
+        part, on="p_partkey").map_batches(
+            lambda t: t.select(["l_orderkey", "p_type"]),
+            batch_format="pyarrow").materialize()
+
+    pairs = relational.cooccurrence_pairs(
+        j, key_col="l_orderkey", val_col="p_type",
+        max_vals_per_key=None)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "p_type"]).aggregate([])
+
+    def single_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_type").aggregate([([], "count_all")])
+        return pa.table({"p_type": g["p_type"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    # distinct (order, type) rows reduce once; reused for singles + N
+    from ray.data.aggregate import Count
+    dot = j.map_batches(distinct_partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "p_type"]) \
+        .aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["l_orderkey", "p_type"]),
+                     batch_format="pyarrow").materialize()
+    singles = relational.ds_to_table(
+        dot.map_batches(single_partial, batch_format="pyarrow")
+        .groupby("p_type").aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas().set_index("p_type")["n"]
+    n_orders = int(dot.map_batches(
+        lambda t: pa.table({"k": pc.unique(t["l_orderkey"])}),
+        batch_format="pyarrow")
+        .groupby("k").aggregate(Count(alias_name="_n")).count())
+
+    pt = relational.ds_to_table(pairs).to_pandas()
+    na = pt["a"].map(singles).to_numpy(dtype=np.int64)
+    nb = pt["b"].map(singles).to_numpy(dtype=np.int64)
+    nab = pt["n_keys"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "type_a": pt["a"], "type_b": pt["b"], "n_ab": nab,
+        "lift": np.round(nab.astype(np.float64) * n_orders
+                         / (na.astype(np.float64) * nb), 6)})
+
+
+SQL_TYPE_AFFINITY = """
+WITH jt AS (SELECT DISTINCT l.l_orderkey, p.p_type
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM jt),
+s AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n FROM jt GROUP BY 1),
+pr AS (SELECT x.p_type AS type_a, y.p_type AS type_b,
+              CAST(COUNT(*) AS BIGINT) AS n_ab
+       FROM jt x JOIN jt y
+         ON x.l_orderkey = y.l_orderkey AND x.p_type < y.p_type
+       GROUP BY 1, 2)
+SELECT pr.type_a, pr.type_b, pr.n_ab,
+       ROUND(CAST(pr.n_ab AS DOUBLE) * nn.n
+             / (CAST(sa.n AS DOUBLE) * sb.n), 6) AS lift
+FROM pr JOIN s sa ON sa.p_type = pr.type_a
+JOIN s sb ON sb.p_type = pr.type_b, nn
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -8621,4 +8759,7 @@ def registry():
         "degree_assortativity_links": (q_degree_assortativity_links,
                                        SQL_ASSORTATIVITY),
         "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+        "readability_scores": (q_readability_scores, SQL_READABILITY),
+        "type_affinity_lift": (q_type_affinity_lift,
+                               SQL_TYPE_AFFINITY),
     }
