@@ -8507,6 +8507,47 @@ JOIN s sb ON sb.p_type = pr.type_b, nn
 """
 
 
+def q_adaptive_join_detects_skew(sf_dir: str):
+    """Skew-ADAPTIVE join plan selection end-to-end: the same
+    80 %-one-key workload as salted_join_hot_key, but the engine
+    detects the scorching key itself (streaming heavy-key partials)
+    and routes through the salted plan automatically — the
+    measure-then-salt loop folded into one operator
+    (relational.adaptive_join).  The SQL twin is the plain join:
+    plan choice must never change results."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        k = np.where(eid % 5 == 0, uid, 0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "k": pa.array(k)})
+
+    left = ev.map_batches(derive, batch_format="pyarrow")
+
+    def users(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["user_id"])
+        return pa.table({"k": u, "label": pc.multiply(u, 7)})
+
+    from ray.data.aggregate import Max
+    right = ev.map_batches(users, batch_format="pyarrow") \
+        .groupby("k").aggregate(Max("label", alias_name="label"))
+    out = relational.adaptive_join(left, right, on="k",
+                                   hot_fraction=0.02).to_pandas()
+    return out[["event_id", "k", "label"]].astype({"label": "int64"})
+
+
+SQL_ADAPTIVE_JOIN = """
+WITH l AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN user_id ELSE 0 END AS k
+  FROM events),
+r AS (SELECT DISTINCT user_id AS k, user_id * 7 AS label FROM events)
+SELECT l.event_id, l.k, CAST(r.label AS BIGINT) AS label
+FROM l JOIN r ON r.k = l.k
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -8762,4 +8803,6 @@ def registry():
         "readability_scores": (q_readability_scores, SQL_READABILITY),
         "type_affinity_lift": (q_type_affinity_lift,
                                SQL_TYPE_AFFINITY),
+        "adaptive_join_detects_skew": (q_adaptive_join_detects_skew,
+                                       SQL_ADAPTIVE_JOIN),
     }

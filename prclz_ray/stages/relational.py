@@ -2176,3 +2176,58 @@ def longest_consecutive_run(events_ds, key_col: str, ts_col: str,
     tagged = events_ds.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                batch_format="pandas")
+
+
+def detect_hot_keys(ds, on: str, capacity: int = 64,
+                    hot_fraction: float = 0.02) -> list:
+    """Streaming heavy-key detection (Misra-Gries flavor): each batch
+    contributes its top-``capacity`` key counts (a LOWER bound on the
+    true count — dropped tails only ever under-count), one bounded
+    groupby sums the partials, and keys whose bound reaches
+    ``hot_fraction`` of the total row count come back as the hot list.
+    Detection is a planner HINT: the salted and plain joins produce
+    identical results, so an undercounted borderline key costs only
+    the salting benefit, never correctness.  Nothing here is
+    corpus-scaled — the exchange is ≤ capacity rows per batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([on]).group_by(on).aggregate([([], "count_all")])
+        c = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.argsort(-c, kind="stable")[:capacity]
+        return pa.table({on: g[on].take(pa.array(keep)),
+                         "pn": pa.array(c[keep])})
+
+    parts = ds_to_table(ds.map_batches(partial, batch_format="pyarrow")
+                        .groupby(on).aggregate(
+                            Sum("pn", alias_name="n"))).to_pandas()
+    if parts.empty:
+        return []
+    n_total = ds.count()
+    hot = parts[parts["n"] >= hot_fraction * max(n_total, 1)]
+    return sorted(hot[on].tolist())
+
+
+def adaptive_join(left_ds, right_ds, on: str, num_buckets: int = 32,
+                  salt: int = 8, capacity: int = 64,
+                  hot_fraction: float = 0.02, how: str = "inner"):
+    """Skew-ADAPTIVE large×large join: one streaming heavy-key pass
+    over the (materialized) left side decides the physical plan —
+    scorching keys detected → ``salted_join`` with exactly that hot
+    list; uniform keys → the plain bucketed hash join.  The decision
+    is automatic, so pipelines don't need to know their key skew up
+    front — the measured-histogram-then-salt loop the 100-TB guide
+    prescribes, folded into one operator.  Inner/left only (the salted
+    leg replicates hot right rows, which breaks right/full-outer
+    semantics — the plain join covers those)."""
+    if how not in ("inner", "left"):
+        raise ValueError("adaptive_join supports how='inner'/'left'")
+    left = left_ds if not hasattr(left_ds, "materialize") \
+        else left_ds.materialize()
+    hot = detect_hot_keys(left, on, capacity=capacity,
+                          hot_fraction=hot_fraction)
+    if hot:
+        return salted_join(left, right_ds, on, hot_keys=hot,
+                           num_buckets=num_buckets, salt=salt, how=how)
+    return bucketed_hash_join(left, right_ds, on=on,
+                              num_buckets=num_buckets, how=how)

@@ -1415,3 +1415,48 @@ def test_local_clustering_star_graph_zero_cc():
     assert int(out["cc_nano"].sum()) == 0
     hub = out[out["v"] == 0].iloc[0]
     assert int(hub["deg"]) == 50
+
+
+def test_adaptive_join_detection_and_parity():
+    """Hot key detected on the skewed side -> salted plan; uniform keys
+    -> plain plan; both produce exactly the bucketed join's result."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    # 70% of rows on key 42, rest uniform over 1000 keys
+    hotmask = rng.random(n) < 0.7
+    k = np.where(hotmask, 42, rng.integers(0, 1000, n)).astype(np.int64)
+    left = pd.DataFrame({"k": k, "v": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(1000, dtype=np.int64)})
+    right["w"] = right["k"] * 3
+
+    l_ds = rd.from_pandas(left).repartition(4)
+    r_ds = rd.from_pandas(right).repartition(2)
+
+    hot = relational.detect_hot_keys(l_ds.materialize(), "k",
+                                     hot_fraction=0.02)
+    assert 42 in hot and len(hot) <= 5
+
+    got = relational.adaptive_join(l_ds, r_ds, on="k").to_pandas() \
+        .sort_values(["v"]).reset_index(drop=True)
+    want = relational.bucketed_hash_join(l_ds, r_ds, on="k") \
+        .to_pandas().sort_values(["v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+
+    # uniform side: nothing detected, plain path, same parity
+    u = pd.DataFrame({"k": rng.integers(0, 1000, n).astype(np.int64),
+                      "v": np.arange(n)})
+    u_ds = rd.from_pandas(u).repartition(4).materialize()
+    assert relational.detect_hot_keys(u_ds, "k", hot_fraction=0.02) == []
+    got2 = relational.adaptive_join(u_ds, r_ds, on="k").to_pandas() \
+        .sort_values(["v"]).reset_index(drop=True)
+    want2 = relational.bucketed_hash_join(u_ds, r_ds, on="k") \
+        .to_pandas().sort_values(["v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got2[sorted(got2.columns)], want2[sorted(want2.columns)])
