@@ -261,31 +261,44 @@ def scaling(n: int = N_SCALING_PAGES,
     import ray
     ray.shutdown()
 
-    results = {}
-    for cpus in (low, high):
-        probe = _host_spin_ratio()
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_worker",
-             str(cpus), str(n)],
-            capture_output=True, text=True, env=env, check=True)
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith("WORKER_RESULT ")][-1]
-        results[cpus] = json.loads(line[len("WORKER_RESULT "):])
-        results[cpus]["host_spin_ratio"] = probe
+    # GRAFT_SCALING_REPS > 1 runs the legs ALTERNATING (low, high, low,
+    # high, ...) and scores each leg by its best rep: paired ordering
+    # keeps both legs sampling the same contention window, and best-of-N
+    # rejects the reps a co-tenant burst landed on.  Every rep is
+    # reported — nothing is discarded silently.
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+    results = {low: [], high: []}
+    for _ in range(reps):
+        for cpus in (low, high):
+            probe = _host_spin_ratio()
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_worker",
+                 str(cpus), str(n)],
+                capture_output=True, text=True, env=env, check=True)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("WORKER_RESULT ")][-1]
+            r = json.loads(line[len("WORKER_RESULT "):])
+            r["host_spin_ratio"] = probe
+            results[cpus].append(r)
 
-    t_low = results[low]["rows_per_sec"]
-    t_high = results[high]["rows_per_sec"]
+    best_low = max(results[low], key=lambda r: r["rows_per_sec"])
+    best_high = max(results[high], key=lambda r: r["rows_per_sec"])
+    t_low = best_low["rows_per_sec"]
+    t_high = best_high["rows_per_sec"]
     eff = (t_high / t_low) / (high / low)
     print(json.dumps({
         "metric": "scaling efficiency (flagship rows/sec, "
                   f"num_cpus {low} -> {high})",
         "value": round(eff, 3), "unit": "efficiency",
-        "rows": n,
+        "rows": n, "reps": reps,
         "low": {"num_cpus": low, "rows_per_sec": t_low,
-                "sec": results[low]["sec"]},
+                "sec": best_low["sec"],
+                "all_reps": [r["rows_per_sec"] for r in results[low]]},
         "high": {"num_cpus": high, "rows_per_sec": t_high,
-                 "sec": results[high]["sec"]},
+                 "sec": best_high["sec"],
+                 "all_reps": [r["rows_per_sec"]
+                              for r in results[high]]},
     }))
 
 

@@ -21,7 +21,7 @@ while [ "$tries" -lt "$MAX_TRIES" ]; do
     ts=$(date +%s)
     touch /tmp/graft_scaling_running
     echo "$(date +%T) firing scaling run (try $tries)" >> "$OUT_DIR/log"
-    python bench.py --scaling > "$OUT_DIR/scaling_$ts.json" 2> "$OUT_DIR/scaling_$ts.err"
+    GRAFT_SCALING_REPS=${GRAFT_SCALING_REPS:-2} python bench.py --scaling > "$OUT_DIR/scaling_$ts.json" 2> "$OUT_DIR/scaling_$ts.err"
     rm -f /tmp/graft_scaling_running
     eff=$(tail -1 "$OUT_DIR/scaling_$ts.json" | python -c "import sys,json;print(json.load(sys.stdin).get('value',0))" 2>/dev/null || echo 0)
     echo "$(date +%T) run $ts efficiency=$eff" >> "$OUT_DIR/log"
