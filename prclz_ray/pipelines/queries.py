@@ -8548,6 +8548,81 @@ FROM l JOIN r ON r.k = l.k
 """
 
 
+def q_negative_samples_docs(sf_dir: str):
+    """Deterministic negative sampling for contrastive training: each
+    doc gets 4 pseudo-random negatives ((doc_id·7919 + j·337) % N,
+    self-collisions skip to the next slot) — the in-batch-negatives
+    prep an embedding trainer consumes.  Pure per-batch vectorized
+    map, zero shuffle; the arithmetic twin reproduces it exactly."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def negs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 4)
+        j = np.tile(np.arange(1, 5, dtype=np.int64), len(d))
+        neg = (src * 7919 + j * 337) % n
+        neg = np.where(neg == src, (neg + 1) % n, neg)
+        return pa.table({"doc_id": pa.array(src),
+                         "j": pa.array(j),
+                         "neg_id": pa.array(neg)})
+
+    return docs.map_batches(negs, batch_format="pyarrow")
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+r AS (SELECT d.doc_id, jj.j,
+             (d.doc_id * 7919 + jj.j * 337) % nn.n AS neg0
+      FROM documents d, (SELECT unnest([1, 2, 3, 4]) AS j) jj, nn)
+SELECT doc_id, j,
+       CASE WHEN neg0 = doc_id
+            THEN (neg0 + 1) % (SELECT n FROM nn)
+            ELSE neg0 END AS neg_id
+FROM r
+"""
+
+
+def q_preference_pairs(sf_dir: str):
+    """DPO/RLHF-style preference-pair prep: within each source, docs
+    order by quality (n_chars DESC, doc_id ASC) and each doc pairs
+    with its immediate lower-quality neighbor as (chosen, rejected) —
+    adjacent-quality pairs are the hard negatives preference tuning
+    wants.  One source-bucket shuffle, vectorized sort + shift per
+    bucket (the grouped-LAG shape)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array(relational.stable_bucket(t["source"], 32)))
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        same = df["source"].to_numpy()[1:] == df["source"].to_numpy()[:-1]
+        chosen = df["doc_id"].to_numpy(dtype=np.int64)[:-1][same]
+        rejected = df["doc_id"].to_numpy(dtype=np.int64)[1:][same]
+        src = df["source"].to_numpy()[:-1][same]
+        return pa.table({"source": pa.array(src),
+                         "chosen": pa.array(chosen),
+                         "rejected": pa.array(rejected)})
+
+    return docs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(pairs, batch_format="pandas")
+
+
+SQL_PREFERENCE_PAIRS = """
+WITH o AS (
+  SELECT source, doc_id,
+         LEAD(doc_id) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS nxt
+  FROM documents)
+SELECT source, doc_id AS chosen, nxt AS rejected
+FROM o WHERE nxt IS NOT NULL
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -8805,4 +8880,8 @@ def registry():
                                SQL_TYPE_AFFINITY),
         "adaptive_join_detects_skew": (q_adaptive_join_detects_skew,
                                        SQL_ADAPTIVE_JOIN),
+        "negative_samples_docs": (q_negative_samples_docs,
+                                  SQL_NEGATIVE_SAMPLES),
+        "preference_pairs": (q_preference_pairs,
+                             SQL_PREFERENCE_PAIRS),
     }
