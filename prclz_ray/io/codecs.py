@@ -179,3 +179,51 @@ def read_jsonl(paths):
     inferred from the records, block-parallel."""
     import ray.data as rd
     return rd.read_json(paths)
+
+
+def write_ipc(ds, path: str):
+    """Arrow IPC (Feather v2) sink: one ``.arrow`` file per block —
+    the zero-copy interchange format for Arrow-native neighbors
+    (DuckDB, polars, another Ray cluster).  Memory-mappable on read,
+    so a same-host consumer pays no deserialization at all."""
+    import os
+
+    import pyarrow.feather as feather
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import uuid
+        f = os.path.join(path, f"block-{uuid.uuid4().hex}.arrow")
+        feather.write_feather(t, f)
+        return pa.table({"file": pa.array([f]),
+                         "rows": pa.array([t.num_rows],
+                                          type=pa.int64())})
+
+    # the manifest (one row per written file) materializes — it is
+    # file-count-sized, and consuming it is what forces the writes
+    return ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+
+def read_ipc(path: str):
+    """Arrow IPC source: block-parallel read of a ``write_ipc``
+    directory — each file becomes one task via ``read_binary_files``-
+    free direct Feather loads inside ``map_batches`` over the file
+    list (Ray has no native IPC reader; the file list is tiny)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(path, "*.arrow")))
+
+    def load(t: pa.Table) -> pa.Table:
+        import pyarrow.feather as feather
+        out = [feather.read_table(f) for f in
+               t["file"].to_pylist()]
+        return pa.concat_tables(out) if out else pa.table({})
+
+    return rd.from_arrow(pa.table({"file": pa.array(files)})) \
+        .repartition(max(len(files), 1)) \
+        .map_batches(load, batch_format="pyarrow")

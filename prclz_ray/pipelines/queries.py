@@ -8623,6 +8623,61 @@ FROM o WHERE nxt IS NOT NULL
 """
 
 
+def q_ipc_source_stats(sf_dir: str):
+    """Arrow IPC (Feather v2) source/sink parity: documents round-trip
+    through the zero-copy interchange format (written once per input
+    fingerprint to /tmp, same cache discipline as the JSONL twin),
+    then aggregate per lang FROM THE IPC READ — the oracle aggregates
+    the original parquet, so any writer/reader corruption breaks the
+    hash."""
+    import glob
+    import hashlib
+    import os
+    import uuid
+
+    from ray.data.aggregate import Sum
+
+    from ..io import codecs
+
+    h = hashlib.md5()
+    for f in sorted(glob.glob(os.path.join(sf_dir, "documents*"))):
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/prclz_ray_ipc_{tag}_{h.hexdigest()[:12]}"
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        codecs.write_ipc(_read(sf_dir, "documents",
+                               ["doc_id", "lang", "n_chars"]), tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:            # concurrent run won the rename
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    docs = codecs.read_ipc(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["lang"], "nc": t["n_chars"]}) \
+            .group_by("lang").aggregate([("nc", "sum"),
+                                         ([], "count_all")])
+        return pa.table({"lang": g["lang"],
+                         "pc_": g["nc_sum"].cast(pa.int64()),
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("pn", alias_name="n_docs"),
+                                   Sum("pc_", alias_name="total_chars"))
+
+
+SQL_IPC_STATS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -8884,4 +8939,5 @@ def registry():
                                   SQL_NEGATIVE_SAMPLES),
         "preference_pairs": (q_preference_pairs,
                              SQL_PREFERENCE_PAIRS),
+        "ipc_source_stats": (q_ipc_source_stats, SQL_IPC_STATS),
     }

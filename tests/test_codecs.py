@@ -134,3 +134,22 @@ def test_jsonl_roundtrip_preserves_rows_and_schema(tmp_path):
         .reset_index(drop=True)
     exp = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert back[["doc_id", "text", "n"]].equals(exp)
+
+
+def test_ipc_roundtrip_content_identity():
+    import pandas as pd
+    import ray.data as rd
+
+    from prclz_ray.io import codecs
+
+    df = pd.DataFrame({"a": [1, 2, 3, 4], "b": ["x", "y", "", "z"],
+                       "c": [1.5, None, 0.0, -2.25]})
+    out = "/tmp/prclz_ray_test_ipc"
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    manifest = codecs.write_ipc(rd.from_pandas(df).repartition(2), out)
+    assert int(manifest.to_pandas()["rows"].sum()) == 4
+    back = codecs.read_ipc(out).to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df.sort_values("a")
+                                  .reset_index(drop=True))
