@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "bfs_hops_links",
     "sssp_links",
     "ewma_user_value",
+    # round-4 session B: bounded k-core peel, pivot-kept clustering
+    # coefficient, RRF hybrid retrieval, sentence segmentation stats
+    "k_core_links",
+    "local_clustering_links",
+    "rrf_fusion_search",
+    "sentence_stats_by_lang",
 ]
 
 

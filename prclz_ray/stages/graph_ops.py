@@ -1154,6 +1154,34 @@ def local_clustering(edges_ds, src_col: str = "src", dst_col: str = "dst",
         return zero_out()
     tri = tri.groupby("v").aggregate(Sum("pt", alias_name="tri"))
 
+    if deg.count() * 16 <= broadcast_limit_bytes:
+        # broadcast regime: the tri table is V-bounded too — finish the
+        # left attach driver-side (saves the attach shuffle AND the
+        # final map stage; ~2 barriers off the critical path)
+        import ray.data as rd
+        deg_t2 = ds_to_table(deg)
+        tri_t = ds_to_table(tri)
+        vv = deg_t2["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dd_ = deg_t2["deg"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tv = tri_t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = tri_t["tri"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        o = np.argsort(vv)
+        vv, dd_ = vv[o], dd_[o]
+        tr = np.zeros(len(vv), dtype=np.int64)
+        pos = np.searchsorted(vv, tv)
+        tr[pos] = tc
+        out = np.zeros(len(vv), dtype=np.int64)
+        m = dd_ >= 2
+        D = dd_[m] * (dd_[m] - 1)
+        out[m] = np.array(
+            [(2 * (2 * int(a) * 10 ** 9) + int(d)) // (2 * int(d))
+             for a, d in zip(tr[m], D)], dtype=np.int64)
+        return rd.from_arrow(pa.table({
+            "v": pa.array(vv), "tri": pa.array(tr),
+            "deg": pa.array(dd_), "cc_nano": pa.array(out)}))
+
     # LEFT-attach onto the full node set so tri-free nodes emit 0
     j = bucketed_hash_join(deg, tri, on="v", how="left",
                            num_buckets=num_buckets)
