@@ -942,7 +942,9 @@ def k_core(edges_ds, k: int = 2, rounds: int = 3,
 
             edges = edges.map_batches(keep, batch_format="pyarrow") \
                 .materialize()
-            deg = degrees(edges).materialize()
+            # deg is consumed exactly once (next round's ds_to_table):
+            # no materialize barrier needed on it
+            deg = degrees(edges)
 
         dt = ds_to_table(deg)
         v = dt["v"].to_numpy(zero_copy_only=False).astype(np.int64)
