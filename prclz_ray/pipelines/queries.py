@@ -63,8 +63,14 @@ def _round2(df: pd.DataFrame, cols) -> pd.DataFrame:
     return df
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    """Column-pruned (and optionally predicate-pushed) parquet read.
+    ``filter`` is a pyarrow.dataset expression evaluated INSIDE the
+    scan — row groups whose statistics exclude the predicate never
+    leave storage, the difference between reading a month and reading
+    seven years at 100 TB."""
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                           filter=filter)
 
 
 def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
@@ -3340,11 +3346,20 @@ def q6_forecast_revenue(sf_dir: str):
     filter-and-aggregate streaming pass — per-batch cents partials,
     single Sum, no shuffle of rows at all."""
     from ray.data.aggregate import Sum
-    li = _read(sf_dir, "lineitem",
-               ["l_shipdate", "l_discount", "l_quantity",
-                "l_extendedprice"])
+    import pyarrow.dataset as pds
     lo = np.datetime64("1996-01-01T00:00:00")
     hi = np.datetime64("1997-01-01T00:00:00")
+    # predicate pushed into the scan: row groups outside the window /
+    # discount band never leave storage (the batch filter below stays —
+    # pushdown is row-group-granular, the residual filter is row-exact)
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"],
+               filter=((pds.field("l_shipdate") >= pa.scalar(lo))
+                       & (pds.field("l_shipdate") < pa.scalar(hi))
+                       & (pds.field("l_discount") >= 0.02)
+                       & (pds.field("l_discount") <= 0.06)
+                       & (pds.field("l_quantity") < 24.0)))
 
     def partial(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.and_(
@@ -6343,11 +6358,14 @@ def q14_promo_revenue(sf_dir: str):
     with BOTH cents sums fused into the bucket tail — each bucket
     emits one partial row; the driver finishes a single division."""
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_extendedprice", "l_discount",
-                "l_shipdate"])
+    import pyarrow.dataset as pds
     lo = np.datetime64("1997-03-01T00:00:00")
     hi = np.datetime64("1997-04-01T00:00:00")
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"],
+               filter=((pds.field("l_shipdate") >= pa.scalar(lo))
+                       & (pds.field("l_shipdate") < pa.scalar(hi))))
 
     def li_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(
