@@ -8696,6 +8696,191 @@ FROM documents GROUP BY lang
 """
 
 
+def q_fulfillment_latency_histogram(sf_dir: str):
+    """Order-fulfillment latency distribution: days from order date to
+    the order's FIRST ship date, histogrammed — the supply-chain SLA
+    profile.  One bucketed orderkey join whose per-bucket combine
+    collapses straight to latency-day count partials (≤ days-domain
+    rows leave each bucket), then a bounded day groupby."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_min(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderkey": t["l_orderkey"],
+                      "ship": t["l_shipdate"]}) \
+            .group_by("o_orderkey").aggregate([("ship", "min")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "ship": g["ship_min"]})
+
+    def comb(t: pa.Table) -> pa.Table:
+        # per bucket: finish the per-order min (orderkey is bucket-local)
+        # then collapse to latency-day partials
+        g = t.group_by("o_orderkey").aggregate([("ship", "min"),
+                                                ("o_orderdate", "min")])
+        s = g["ship_min"].to_numpy(zero_copy_only=False)
+        o = g["o_orderdate_min"].to_numpy(zero_copy_only=False)
+        days = ((s - o) // np.timedelta64(1, "D")).astype(np.int64)
+        u, c = np.unique(days, return_counts=True)
+        return pa.table({"latency_days": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    j = relational.bucketed_hash_join(
+        li.map_batches(li_min, batch_format="pyarrow"), orders,
+        on="o_orderkey", combine=comb)
+    return j.groupby("latency_days").aggregate(
+        Sum("pn", alias_name="n_orders"))
+
+
+SQL_FULFILLMENT = """
+WITH f AS (SELECT l_orderkey, MIN(l_shipdate) AS ship
+           FROM lineitem GROUP BY 1)
+SELECT CAST(date_diff('day', o.o_orderdate, f.ship) AS BIGINT)
+         AS latency_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM f JOIN orders o ON o.o_orderkey = f.l_orderkey
+GROUP BY 1
+"""
+
+
+def q_gini_customer_revenue(sf_dir: str):
+    """Gini coefficient of customer revenue concentration — computed
+    EXACTLY at any scale WITHOUT a global sort: per-customer revenue
+    cents reduce once, the distinct-revenue-value count table ranks
+    via the range-bucket prefix sum, and Σ rank·x over a tie block is
+    v·(c·p + c·(c−1)/2) (tie-invariant, all ints) — so
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n evaluates the identical double
+    expression as the SQL twin.  Output in nano units."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_custkey":
+                          t["o_custkey"].to_numpy(zero_copy_only=False),
+                          "pc_": cents}) \
+            .groupby("o_custkey", sort=False)["pc_"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = orders.map_batches(per_cust, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("pc_", alias_name="r"))
+
+    def val_counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["r"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64), return_counts=True)
+        return pa.table({"r": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    dist = rev.map_batches(val_counts, batch_format="pyarrow") \
+        .groupby("r").aggregate(Sum("pn", alias_name="cnt"))
+    ranked = relational.ds_to_table(relational.global_prefix_sum(
+        dist, order_col="r", value_col="cnt", out_col="cum")).to_pandas()
+    v = ranked["r"].to_numpy(dtype=np.int64)
+    c = ranked["cnt"].to_numpy(dtype=np.int64)
+    cum = ranked["cum"].to_numpy(dtype=np.int64)
+    p = cum - c + 1                    # 1-based start rank of each block
+    # exact ints via python (values × ranks can pass int64 at 100×)
+    swx = sum(int(vi) * (int(ci) * int(pi)
+                         + int(ci) * (int(ci) - 1) // 2)
+              for vi, ci, pi in zip(v, c, p))
+    sx = sum(int(vi) * int(ci) for vi, ci in zip(v, c))
+    n = int(c.sum())
+    gini = 2.0 * float(swx) / (float(n) * float(sx)) \
+        - (float(n) + 1.0) / float(n)
+    return pd.DataFrame({"n_customers": np.array([n], dtype=np.int64),
+                         "gini_nano": np.array(
+                             [int(round(gini * 1e9))], dtype=np.int64)})
+
+
+SQL_GINI = """
+WITH rev AS (SELECT o_custkey,
+                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS r
+             FROM orders GROUP BY 1),
+d AS (SELECT r, COUNT(*) AS c FROM rev GROUP BY r),
+w AS (SELECT r, c,
+             SUM(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+               - c + 1 AS p
+      FROM d),
+s AS (SELECT SUM(CAST(r AS HUGEINT) * (c * p + c * (c - 1) // 2))
+               AS swx,
+             SUM(CAST(r AS HUGEINT) * c) AS sx,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM w)
+SELECT n AS n_customers,
+       CAST(ROUND((2.0 * CAST(swx AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                   - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                  * 1000000000) AS BIGINT) AS gini_nano
+FROM s
+"""
+
+
+def q_fano_event_type(sf_dir: str):
+    """Burstiness profile: the Fano factor (variance/mean of DAILY
+    event counts over the dense calendar) per event type — the
+    over-dispersion probe that separates steady telemetry from bursty
+    incident traffic.  Daily counts are exact ints; variance and mean
+    derive from integer power sums over the (types × days)-bounded
+    aggregate with the identical double expression both sides."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        g = pd.DataFrame({"event_type":
+                          t["event_type"].to_numpy(zero_copy_only=False),
+                          "day": day, "pn": 1}) \
+            .groupby(["event_type", "day"], sort=False)["pn"] \
+            .sum().reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "day": pa.array(g["day"].to_numpy()
+                            .astype("datetime64[us]")),
+            "pn": pa.array(g["pn"].to_numpy(dtype=np.int64))})
+
+    agg = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    days = pd.date_range(agg["day"].min(), agg["day"].max(), freq="D")
+    n_days = len(days)
+    out = []
+    for et, g in agg.groupby("event_type"):
+        cnts = g["n"].to_numpy(dtype=np.int64)
+        s = int(cnts.sum())                     # zero days contribute 0
+        ss = int((cnts * cnts).sum())
+        mean = float(s) / n_days
+        var = (float(n_days) * float(ss) - float(s) * float(s)) \
+            / (float(n_days) * float(n_days))
+        out.append({"event_type": et, "n_events": s,
+                    "fano": round(var / mean, 6)})
+    return pd.DataFrame(out).sort_values("event_type") \
+        .reset_index(drop=True)
+
+
+SQL_FANO = """
+WITH b AS (SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS lo,
+                  CAST(MAX(CAST(ts AS DATE)) AS DATE) AS hi
+           FROM events),
+nd AS (SELECT date_diff('day', lo, hi) + 1 AS n FROM b),
+d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+s AS (SELECT event_type,
+             SUM(n) AS s, SUM(CAST(n AS HUGEINT) * n) AS ss
+      FROM d GROUP BY 1)
+SELECT s.event_type, CAST(s.s AS BIGINT) AS n_events,
+       ROUND(((CAST(nd.n AS DOUBLE) * CAST(s.ss AS DOUBLE)
+               - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE))
+              / (CAST(nd.n AS DOUBLE) * CAST(nd.n AS DOUBLE)))
+             / (CAST(s.s AS DOUBLE) / CAST(nd.n AS DOUBLE)), 6)
+         AS fano
+FROM s, nd ORDER BY s.event_type
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -8958,4 +9143,8 @@ def registry():
         "preference_pairs": (q_preference_pairs,
                              SQL_PREFERENCE_PAIRS),
         "ipc_source_stats": (q_ipc_source_stats, SQL_IPC_STATS),
+        "fulfillment_latency_histogram": (
+            q_fulfillment_latency_histogram, SQL_FULFILLMENT),
+        "gini_customer_revenue": (q_gini_customer_revenue, SQL_GINI),
+        "fano_event_type": (q_fano_event_type, SQL_FANO),
     }
