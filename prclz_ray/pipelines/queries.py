@@ -8881,6 +8881,74 @@ FROM s, nd ORDER BY s.event_type
 """
 
 
+def q_source_overlap_jaccard(sf_dir: str):
+    """Corpus-comparison matrix: vocabulary Jaccard between every pair
+    of SOURCES (which crawls/feeds cover the same language surface) —
+    J = |Va∩Vb| / |Va∪Vb| over each source's distinct word set.
+    Distinct (word, source) rows reduce once; pair intersections ride
+    the cooccurrence kernel keyed by word (source domain is bounded,
+    so pairs are |sources|²); per-source vocabulary sizes come from
+    the same distinct rows.  Exact ints, mirrored division."""
+    from ray.data.aggregate import Count, Sum
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], pattern=" ")
+        idx = pc.list_parent_indices(parts)
+        flat = pc.list_flatten(parts)
+        src = t["source"].take(idx)
+        g = pa.table({"word": flat, "source": src}) \
+            .group_by(["word", "source"]).aggregate([])
+        return g
+
+    ws = docs.map_batches(words, batch_format="pyarrow") \
+        .groupby(["word", "source"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["word", "source"]),
+                     batch_format="pyarrow").materialize()
+
+    pairs = relational.ds_to_table(relational.cooccurrence_pairs(
+        ws, key_col="word", val_col="source",
+        max_vals_per_key=None)).to_pandas()
+
+    def single_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    sizes = relational.ds_to_table(
+        ws.map_batches(single_partial, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("pn", alias_name="n"))) \
+        .to_pandas().set_index("source")["n"]
+
+    na = pairs["a"].map(sizes).to_numpy(dtype=np.int64)
+    nb = pairs["b"].map(sizes).to_numpy(dtype=np.int64)
+    ni = pairs["n_keys"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "source_a": pairs["a"], "source_b": pairs["b"],
+        "n_shared": ni,
+        "jaccard": np.round(ni.astype(np.float64)
+                            / (na + nb - ni).astype(np.float64), 6)})
+
+
+SQL_SOURCE_OVERLAP = """
+WITH ws AS (SELECT DISTINCT x AS word, source
+            FROM (SELECT unnest(string_split(text, ' ')) AS x, source
+                  FROM documents)),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       FROM ws GROUP BY 1),
+pr AS (SELECT x.source AS source_a, y.source AS source_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM ws x JOIN ws y
+         ON x.word = y.word AND x.source < y.source
+       GROUP BY 1, 2)
+SELECT pr.source_a, pr.source_b, pr.n_shared,
+       ROUND(CAST(pr.n_shared AS DOUBLE)
+             / (sa.n + sb.n - pr.n_shared), 6) AS jaccard
+FROM pr JOIN sz sa ON sa.source = pr.source_a
+JOIN sz sb ON sb.source = pr.source_b
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -9147,4 +9215,6 @@ def registry():
             q_fulfillment_latency_histogram, SQL_FULFILLMENT),
         "gini_customer_revenue": (q_gini_customer_revenue, SQL_GINI),
         "fano_event_type": (q_fano_event_type, SQL_FANO),
+        "source_overlap_jaccard": (q_source_overlap_jaccard,
+                                   SQL_SOURCE_OVERLAP),
     }
