@@ -8949,6 +8949,383 @@ JOIN sz sb ON sb.source = pr.source_b
 """
 
 
+# --------------------------------------------------- round-4C operator batch
+
+
+def q_benford_leading_digit(sf_dir: str):
+    """Benford's-law fraud/synthetic-data audit: the leading-digit
+    distribution of order totals vs the log10(1+1/d) expectation — the
+    standard first screen for fabricated numeric columns in an ingest
+    QC gate.  Digit extraction is exact integer repeated-division (no
+    float log10 at the boundary 10^k values); counts reduce to 9 rows
+    via one bounded groupby; shares are single exact-int divisions."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        d = cents.copy()
+        while (d >= 10).any():       # ≤ 19 vectorized passes for int64
+            big = d >= 10
+            d[big] //= 10
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    g = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit").aggregate(Sum("pn", alias_name="n"))).to_pandas()
+    g = g.sort_values("digit").reset_index(drop=True)
+    tot = int(g["n"].sum())
+    dig = g["digit"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "digit": g["digit"].to_numpy(dtype=np.int64),
+        "n": g["n"].to_numpy(dtype=np.int64),
+        "obs_share": np.round(g["n"].to_numpy(np.float64) / tot, 6),
+        "benford_share": np.round(np.log10(1.0 + 1.0 / dig), 6)})
+
+
+SQL_BENFORD = """
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        AS digit FROM c),
+g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS tot FROM g)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_share,
+       ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+         AS benford_share
+FROM g, t ORDER BY digit
+"""
+
+
+def q_hhi_nation_revenue(sf_dir: str):
+    """Market-concentration audit: per-nation Herfindahl–Hirschman index
+    of customer revenue shares, HHI = Σrᵢ² / (Σrᵢ)² over each nation's
+    customers.  Revenue squares overflow int64 under batch summation at
+    100× (r ≤ ~5·10⁸ cents ⇒ r² ≤ 2.5·10¹⁷ per element), so partials
+    carry 128-bit sums as (hi, lo) = (r² >> 32, r² & 0xFFFFFFFF) int64
+    column pairs — exact at any scale — recombined as python ints on
+    the 25-row driver finish.  The per-nation reduce rides the join's
+    combine hook (customer key lands in exactly one bucket), so the
+    downstream exchange moves ≤ buckets × 25 rows."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_custkey":
+                          t["o_custkey"].to_numpy(zero_copy_only=False),
+                          "pr": cents}) \
+            .groupby("o_custkey", sort=False)["pr"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = orders.map_batches(per_cust, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("pr", alias_name="r"))
+    cust2 = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        r = tbl["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rr = r * r
+        df = pd.DataFrame({
+            "c_nationkey": tbl["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "psr": r, "phi": rr >> 32, "plo": rr & 0xFFFFFFFF,
+            "pnc": np.ones(len(r), dtype=np.int64)})
+        g = df.groupby("c_nationkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    j = relational.bucketed_hash_join(rev, cust2, on="o_custkey",
+                                      combine=combine)
+    agg = relational.ds_to_table(
+        j.groupby("c_nationkey").aggregate(
+            Sum("psr", alias_name="sr"), Sum("phi", alias_name="hi"),
+            Sum("plo", alias_name="lo"), Sum("pnc", alias_name="nc"))
+    ).to_pandas().sort_values("c_nationkey").reset_index(drop=True)
+    hhi = []
+    for _, row in agg.iterrows():
+        s2 = int(row["hi"]) * (1 << 32) + int(row["lo"])   # exact 128-bit
+        sr = int(row["sr"])
+        hhi.append(int(round(float(s2) / (float(sr) * float(sr)) * 1e9)))
+    return pd.DataFrame({
+        "c_nationkey": agg["c_nationkey"].to_numpy(dtype=np.int64),
+        "n_customers": agg["nc"].to_numpy(dtype=np.int64),
+        "hhi_nano": np.array(hhi, dtype=np.int64)})
+
+
+SQL_HHI = """
+WITH rev AS (SELECT o_custkey,
+                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS r
+             FROM orders GROUP BY 1),
+j AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, r
+      FROM rev JOIN customer ON c_custkey = o_custkey),
+s AS (SELECT c_nationkey, SUM(CAST(r AS HUGEINT) * r) AS s2,
+             SUM(CAST(r AS HUGEINT)) AS sr,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM j GROUP BY 1)
+SELECT c_nationkey, n_customers,
+       CAST(ROUND(CAST(s2 AS DOUBLE)
+                  / (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                  * 1000000000) AS BIGINT) AS hhi_nano
+FROM s ORDER BY c_nationkey
+"""
+
+
+def q_event_entropy_user(sf_dir: str):
+    """Behavioral-diversity scoring: Shannon entropy of each user's
+    event-type distribution, top 100 users by volume (bot/monoculture
+    accounts score near 0, diverse organic users near log2(|types|)).
+    Counts stay exact ints through both exchanges; the per-user finish
+    is the coarse-bucket vectorized pattern (one C-speed pandas groupby
+    per bucket, rows pre-sorted so the float reduction order is
+    pinned); entropy = log2(n) − Σc·log2(c)/n evaluates the identical
+    double expression as the SQL twin.  The (n desc, user asc) prune is
+    a strict total order, so per-bucket head(100) is exact."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"user_id":
+                          t["user_id"].to_numpy(zero_copy_only=False),
+                          "event_type":
+                          t["event_type"].to_numpy(zero_copy_only=False),
+                          "pn": 1}) \
+            .groupby(["user_id", "event_type"], sort=False)["pn"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Sum("pn", alias_name="c"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = relational.stable_bucket(t["user_id"], 64)
+        return t.append_column("_b", pa.array(b))
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "event_type"])
+        c = df["c"].to_numpy(dtype=np.float64)
+        key = df["user_id"]
+        n = df.groupby(key, sort=True)["c"].sum()
+        s = pd.Series(c * np.log2(c), index=df.index) \
+            .groupby(key, sort=True).sum()
+        nv = n.to_numpy(dtype=np.float64)
+        ent = np.log2(nv) - s.to_numpy() / nv
+        out = pd.DataFrame({"user_id": n.index.to_numpy(dtype=np.int64),
+                            "n_events": n.to_numpy(dtype=np.int64),
+                            "entropy": np.round(ent, 4)})
+        out = out.sort_values(["n_events", "user_id"],
+                              ascending=[False, True]).head(100)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_user = cnt.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(finish, batch_format="pandas")
+    res = relational.ds_to_table(per_user).to_pandas()
+    return res.sort_values(["n_events", "user_id"],
+                           ascending=[False, True]).head(100) \
+        .reset_index(drop=True)
+
+
+SQL_EVENT_ENTROPY = """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, SUM(c) AS n,
+             SUM(CAST(c AS DOUBLE) * LOG2(CAST(c AS DOUBLE))) AS s
+      FROM c GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ROUND(LOG2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 4)
+         AS entropy
+FROM u ORDER BY n DESC, user_id LIMIT 100
+"""
+
+
+def q_open_orders_per_day(sf_dir: str):
+    """Concurrent-interval sweep: how many orders are OPEN (order date
+    through last line-item ship date) on each change day — the classic
+    interval-overlap count done as a ±1 delta sweep + distributed
+    prefix sum, NEVER an interval×day explode (at 100 TB an order
+    spanning 90 days must not emit 90 rows).  The per-order max-ship
+    reduce rides the join's combine hook; deltas groupby to the
+    (bounded) day domain; the running count reuses the range-bucket
+    prefix-sum kernel.  Exact ints end to end."""
+    from ray.data.aggregate import Max, Sum
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def per_order(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        g = pd.DataFrame({"o_orderkey":
+                          t["l_orderkey"].to_numpy(zero_copy_only=False),
+                          "pm": day}) \
+            .groupby("o_orderkey", sort=False)["pm"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mx = li.map_batches(per_order, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Max("pm", alias_name="mxd"))
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        start = tbl["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        end = tbl["mxd"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + 1          # half-open [start, end)
+        day = np.concatenate([start, end])
+        delta = np.concatenate([np.ones(len(start), dtype=np.int64),
+                                -np.ones(len(end), dtype=np.int64)])
+        g = pd.DataFrame({"day": day, "pd_": delta}) \
+            .groupby("day", sort=False)["pd_"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    j = relational.bucketed_hash_join(orders, mx, on="o_orderkey",
+                                      combine=combine)
+    deltas = j.groupby("day").aggregate(Sum("pd_", alias_name="delta"))
+    cum = relational.global_prefix_sum(deltas, order_col="day",
+                                       value_col="delta", out_col="open")
+    out = relational.ds_to_table(cum).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": out["day"].to_numpy(dtype=np.int64)
+        .astype("datetime64[D]").astype("datetime64[us]"),
+        "open_orders": out["open"].to_numpy(dtype=np.int64)})
+
+
+SQL_OPEN_ORDERS = """
+WITH mx AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS m
+            FROM lineitem GROUP BY 1),
+dl AS (SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta
+       FROM orders JOIN mx ON l_orderkey = o_orderkey
+       UNION ALL
+       SELECT CAST(m + INTERVAL 1 DAY AS DATE) AS day, -1 AS delta
+       FROM mx JOIN orders ON l_orderkey = o_orderkey),
+g AS (SELECT day, SUM(delta) AS delta FROM dl GROUP BY 1)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_orders
+FROM g ORDER BY day
+"""
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Weighted median (quantity-weighted) of line-item price per
+    return flag — EXACT at any scale via the value-distribution trick:
+    per-batch (flag, cents) weight partials reduce to a table bounded
+    by the VALUE DOMAIN (distinct prices × 3 flags, independent of row
+    count); the driver finds the smallest value whose doubled running
+    weight reaches the total.  No global sort, no quantile sketch
+    approximation."""
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        w = np.round(t["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        g = pd.DataFrame({"l_returnflag":
+                          t["l_returnflag"].to_numpy(zero_copy_only=False),
+                          "cents": cents, "pw": w}) \
+            .groupby(["l_returnflag", "cents"], sort=False)["pw"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vw = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "cents"]) \
+        .aggregate(Sum("pw", alias_name="w"))
+    df = relational.ds_to_table(vw).to_pandas() \
+        .sort_values(["l_returnflag", "cents"])
+    rows = []
+    for flag, g in df.groupby("l_returnflag", sort=True):
+        w = g["w"].to_numpy(dtype=np.int64)
+        v = g["cents"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        med = int(v[np.searchsorted(2 * cum, tot, side="left")])
+        rows.append({"l_returnflag": flag, "total_w": tot,
+                     "wmedian_cents": med})
+    return pd.DataFrame(rows)
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH vw AS (SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2),
+c AS (SELECT l_returnflag, cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM vw)
+SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_w,
+       CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+         AS wmedian_cents
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_event_trigrams(sf_dir: str):
+    """Sequential-pattern mining: the 50 most common consecutive
+    event-type TRIGRAMS across user journeys (the order-3 Markov
+    evidence behind funnel design).  One coarse-bucket shuffle on
+    user_id; per-bucket vectorized sort + double groupby-shift builds
+    trigrams at C speed; count partials reduce via one bounded groupby
+    (≤ |types|³ rows); the (n desc, trigram asc) prune is a strict
+    total order so per-batch head(50) is exact."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = relational.stable_bucket(t["user_id"], 64)
+        return t.append_column("_b", pa.array(b))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)["event_type"]
+        t2 = g.shift(-1)
+        t3 = g.shift(-2)
+        ok = t3.notna().to_numpy() & t2.notna().to_numpy()
+        tri = (df["event_type"].to_numpy()[ok].astype(object) + ">"
+               + t2.to_numpy()[ok].astype(object) + ">"
+               + t3.to_numpy()[ok].astype(object))
+        u, c = np.unique(tri.astype(str), return_counts=True)
+        return pa.table({"trigram": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    cnt = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas") \
+        .groupby("trigram").aggregate(Sum("pn", alias_name="n"))
+
+    def prune(t: pa.Table) -> pa.Table:
+        d = t.to_pandas().sort_values(["n", "trigram"],
+                                      ascending=[False, True]).head(50)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    res = relational.ds_to_table(
+        cnt.map_batches(prune, batch_format="pyarrow")).to_pandas()
+    return res.sort_values(["n", "trigram"], ascending=[False, True]) \
+        .head(50).reset_index(drop=True)
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH s AS (SELECT event_type AS t1,
+                  LEAD(event_type, 1) OVER w AS t2,
+                  LEAD(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, trigram LIMIT 50
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -9217,4 +9594,11 @@ def registry():
         "fano_event_type": (q_fano_event_type, SQL_FANO),
         "source_overlap_jaccard": (q_source_overlap_jaccard,
                                    SQL_SOURCE_OVERLAP),
+        "benford_leading_digit": (q_benford_leading_digit, SQL_BENFORD),
+        "hhi_nation_revenue": (q_hhi_nation_revenue, SQL_HHI),
+        "event_entropy_user": (q_event_entropy_user, SQL_EVENT_ENTROPY),
+        "open_orders_per_day": (q_open_orders_per_day, SQL_OPEN_ORDERS),
+        "weighted_median_price": (q_weighted_median_price,
+                                  SQL_WEIGHTED_MEDIAN),
+        "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
     }

@@ -1,0 +1,158 @@
+"""Round-4C operator batch: Benford audit, nation HHI, user entropy,
+interval sweep, weighted median, event trigrams.
+
+Each query is oracle-compared against DuckDB at sf0.001 with the same
+rows+schema+hash discipline as the driver gate, plus semantic edge
+tests the sweep can't see (128-bit recombination, interval closure,
+leading-digit extraction at power-of-ten boundaries)."""
+import hashlib
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from prclz_ray.pipelines.queries import (
+    q_benford_leading_digit, q_event_entropy_user, q_event_trigrams,
+    q_hhi_nation_revenue, q_open_orders_per_day, q_weighted_median_price,
+    registry)
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+NEW = ["benford_leading_digit", "hhi_nation_revenue",
+       "event_entropy_user", "open_orders_per_day",
+       "weighted_median_price", "event_trigrams"]
+
+
+def _norm(v) -> str:
+    if v is None or v != v:
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    return str(v)
+
+
+def _hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    rows = sorted("|".join(_norm(v) for v in t)
+                  for t in df.itertuples(index=False))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).df()
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_round4c_matches_duckdb_oracle(name):
+    fn, sql = registry()[name]
+    got = fn(SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = _oracle(sql)
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _hash(got) == _hash(want)
+
+
+def test_benford_leading_digit_power_of_ten_boundaries(tmp_path):
+    # 10^k cents values are exactly where a float-log10 digit extractor
+    # goes wrong; the repeated-division path must be exact there.
+    prices = [0.01, 0.09, 0.10, 1.00, 9.99, 10.00, 99.99, 100.00,
+              999999.99, 1000000.00]
+    d = str(tmp_path)
+    pq.write_table(pa.table({"o_totalprice": pa.array(prices)}),
+                   os.path.join(d, "orders.parquet"))
+    out = q_benford_leading_digit(d)
+    got = dict(zip(out["digit"], out["n"]))
+    # leading digits of cents: 1,9,1,1,9,1,9,1,9,1
+    assert got == {1: 6, 9: 4}
+    assert float(out["obs_share"].sum()) == pytest.approx(1.0)
+    # expectation column is Benford, not observation
+    b = out.set_index("digit")["benford_share"]
+    assert b[1] == round(np.log10(2.0), 6)
+
+
+def test_hhi_bounds_and_exact_128bit_recombination():
+    out = q_hhi_nation_revenue(SF)
+    assert (out["hhi_nano"] >= 0).all()
+    assert (out["hhi_nano"] <= 1_000_000_000).all()
+    # HHI >= 1/n always (equality iff all shares equal)
+    lower = (1e9 / out["n_customers"].to_numpy(np.float64)).astype(np.int64)
+    assert (out["hhi_nano"] >= lower - 1).all()
+    # the (hi, lo) int64 split must recombine exactly for values whose
+    # squares exceed int64 under batch summation
+    r = np.array([5 * 10**8, 3 * 10**8 + 7, 123456789], dtype=np.int64)
+    rr = r * r
+    hi, lo = rr >> 32, rr & 0xFFFFFFFF
+    assert int(hi.sum()) * (1 << 32) + int(lo.sum()) \
+        == sum(int(x) ** 2 for x in r)
+
+
+def test_open_orders_interval_closure():
+    out = q_open_orders_per_day(SF)
+    # every order eventually closes: the sweep must return to zero on
+    # the final change day, never dip negative, and never exceed the
+    # total order count
+    n_orders = pq.read_metadata(
+        os.path.join(SF, "orders.parquet")).num_rows
+    assert int(out["open_orders"].iloc[-1]) == 0
+    assert int(out["open_orders"].min()) >= 0
+    assert int(out["open_orders"].max()) <= n_orders
+    assert out["day"].is_monotonic_increasing
+
+
+def test_weighted_median_rule_on_known_distribution(tmp_path):
+    # weights 1,1,8 on values 100,200,300: 2*cum = [2,4,20] vs tot 10
+    # -> first value where 2*cum >= tot is 300
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A", "A", "A"]),
+        "l_extendedprice": pa.array([1.00, 2.00, 3.00]),
+        "l_quantity": pa.array([1.0, 1.0, 8.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_weighted_median_price(d)
+    assert out.iloc[0]["wmedian_cents"] == 300
+    assert out.iloc[0]["total_w"] == 10
+
+
+def test_event_entropy_monoculture_is_zero(tmp_path):
+    d = str(tmp_path)
+    ts = pa.array(np.arange(6).astype("datetime64[us]"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "a", "b", "a"])}),
+        os.path.join(d, "events.parquet"))
+    out = q_event_entropy_user(d).set_index("user_id")
+    assert out.loc[1, "entropy"] == 0.0
+    # user 2: counts (2,1) -> log2(3) - (2*1 + 1*0)/3
+    assert out.loc[2, "entropy"] == round(np.log2(3) - 2.0 / 3.0, 4)
+
+
+def test_event_trigrams_sequence_semantics(tmp_path):
+    # one user, events a,b,c,d in ts order -> trigrams a>b>c, b>c>d;
+    # a second user with only 2 events contributes nothing
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "ts": pa.array(np.arange(6).astype("datetime64[us]")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d", "x", "y"])}),
+        os.path.join(d, "events.parquet"))
+    out = q_event_trigrams(d)
+    assert set(out["trigram"]) == {"a>b>c", "b>c>d"}
+    assert (out["n"] == 1).all()
