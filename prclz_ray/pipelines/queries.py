@@ -9326,6 +9326,332 @@ GROUP BY 1 ORDER BY n DESC, trigram LIMIT 50
 """
 
 
+def q_kaplan_meier_retention(sf_dir: str):
+    """Kaplan–Meier survival of customer lifetime (days from first to
+    last order), right-censored at the corpus horizon: a customer whose
+    last order is within 90 days of the max order date is still-alive
+    (censored), otherwise it churned at its observed duration.
+    Per-customer first/last reduce once (exact day ints); the KM table
+    is bounded by DISTINCT durations, so at-risk counts and the
+    survival cumulative product run on that bounded aggregate with the
+    identical multiply order as the SQL window PRODUCT (sequential
+    over t ascending)."""
+    from ray.data.aggregate import Max, Min
+    ev = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        g = pd.DataFrame({"o_custkey":
+                          t["o_custkey"].to_numpy(zero_copy_only=False),
+                          "pf": day, "pl": day}) \
+            .groupby("o_custkey", sort=False) \
+            .agg(pf=("pf", "min"), pl=("pl", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    u = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Min("pf", alias_name="f"),
+                                        Max("pl", alias_name="l"))
+    ).to_pandas()
+    mx = int(u["l"].max())
+    t_dur = (u["l"] - u["f"]).to_numpy(dtype=np.int64)
+    churned = (mx - u["l"].to_numpy(dtype=np.int64)) >= 90
+    km = pd.DataFrame({"t": t_dur, "ev": churned.astype(np.int64),
+                       "c": 1}) \
+        .groupby("t", sort=True).agg(d=("ev", "sum"),
+                                     c=("c", "sum")).reset_index()
+    n = int(km["c"].sum())
+    seen_before = np.cumsum(km["c"].to_numpy(np.int64)) \
+        - km["c"].to_numpy(np.int64)
+    r = n - seen_before                      # at risk: duration >= t
+    d = km["d"].to_numpy(dtype=np.int64)
+    surv = np.cumprod(1.0 - d.astype(np.float64) / r.astype(np.float64))
+    keep = d > 0
+    return pd.DataFrame({"t_days": km["t"].to_numpy(np.int64)[keep],
+                         "at_risk": r[keep], "events": d[keep],
+                         "survival": np.round(surv[keep], 6)})
+
+
+SQL_KAPLAN_MEIER = """
+WITH u AS (SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+                  MAX(CAST(o_orderdate AS DATE)) AS l
+           FROM orders GROUP BY 1),
+m AS (SELECT MAX(l) AS mx FROM u),
+d AS (SELECT date_diff('day', f, l) AS t,
+             CASE WHEN date_diff('day', l, mx) >= 90
+                  THEN 1 ELSE 0 END AS ev
+      FROM u, m),
+tot AS (SELECT COUNT(*) AS n FROM d),
+g AS (SELECT t, SUM(ev) AS d, COUNT(*) AS c FROM d GROUP BY t),
+k AS (SELECT t, d,
+             n - (SUM(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  - c) AS r
+      FROM g, tot),
+s AS (SELECT t, d, r,
+             PRODUCT(1.0 - CAST(d AS DOUBLE) / r)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS surv
+      FROM k)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(r AS BIGINT) AS at_risk,
+       CAST(d AS BIGINT) AS events, ROUND(surv, 6) AS survival
+FROM s WHERE d > 0 ORDER BY t
+"""
+
+
+def q_part_copurchase_pairs(sf_dir: str):
+    """Market-basket mining on the order contents: the 50 part pairs
+    most often bought together in one order.  Rides the cooccurrence
+    kernel (distinct (order, part) partials → one order-bucket shuffle
+    → vectorized triangular pair unranking → bounded (a, b) groupby);
+    parts-per-order is naturally small so the per-key explosion is
+    k(k−1)/2 ≈ 21 rows max.  (n desc, part_a, part_b) is a strict
+    total order, so the per-batch top-50 prune is exact."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = relational.cooccurrence_pairs(li, key_col="l_orderkey",
+                                          val_col="l_partkey")
+
+    def prune(t: pa.Table) -> pa.Table:
+        d = t.to_pandas().sort_values(
+            ["n_keys", "a", "b"],
+            ascending=[False, True, True]).head(50)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    res = relational.ds_to_table(
+        pairs.map_batches(prune, batch_format="pyarrow")).to_pandas()
+    res = res.sort_values(["n_keys", "a", "b"],
+                          ascending=[False, True, True]).head(50) \
+        .reset_index(drop=True)
+    return res.rename(columns={"a": "part_a", "b": "part_b",
+                               "n_keys": "n_orders"})
+
+
+SQL_COPURCHASE = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d x JOIN d y ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+"""
+
+
+def q_nation_revenue_share_in_region(sf_dir: str):
+    """Percent-of-parent rollup: each nation's share of its REGION's
+    order revenue.  The 25-row nation⋈region dimension broadcasts onto
+    customer; the customer⋈orders join pre-aggregates per (region,
+    nation) inside the bucket tasks (≤ buckets × 25 rows exchanged);
+    cents stay exact ints until the single share division on the
+    25-row driver finish."""
+    from ray.data.aggregate import Sum
+    nation = _read_table(sf_dir, "nation",
+                         ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey",
+        right_on="r_regionkey")[["n_nationkey", "n_name", "r_name"]]
+    dim = pa.Table.from_pandas(
+        dim.rename(columns={"n_nationkey": "c_nationkey"}),
+        preserve_index=False)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    enriched = relational.broadcast_join(cust, dim, on="c_nationkey") \
+        .map_batches(lambda t: t.select(["c_custkey", "n_name", "r_name"])
+                     .rename_columns(["o_custkey", "n_name", "r_name"]),
+                     batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({"n_name": t["n_name"].to_numpy(
+            zero_copy_only=False),
+            "r_name": t["r_name"].to_numpy(zero_copy_only=False),
+            "pc_": cents}) \
+            .groupby(["r_name", "n_name"], sort=False)["pc_"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        relational.bucketed_hash_join(orders, enriched, on="o_custkey",
+                                      combine=combine)
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("pc_", alias_name="cents"))).to_pandas()
+    reg = agg.groupby("r_name")["cents"].transform("sum")
+    out = pd.DataFrame({
+        "r_name": agg["r_name"], "n_name": agg["n_name"],
+        "revenue": np.round(agg["cents"].to_numpy(np.int64) / 100.0, 2),
+        "share_pct": np.round(agg["cents"].to_numpy(np.float64)
+                              / reg.to_numpy(np.float64) * 100.0, 6)})
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+SQL_NATION_SHARE = """
+WITH a AS (SELECT r_name, n_name,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation ON n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = n_regionkey
+           GROUP BY 1, 2),
+r AS (SELECT r_name, SUM(cents) AS rc FROM a GROUP BY 1)
+SELECT a.r_name, a.n_name,
+       ROUND(CAST(a.cents AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(a.cents AS DOUBLE) / CAST(r.rc AS DOUBLE) * 100.0, 6)
+         AS share_pct
+FROM a JOIN r ON a.r_name = r.r_name
+ORDER BY a.r_name, a.n_name
+"""
+
+
+def q_psi_price_drift(sf_dir: str):
+    """Population Stability Index — the standard train/serve drift
+    gate — between the first and second calendar half of orders, over
+    10 equal-width price bins.  Bin assignment is pure integer
+    arithmetic ((c−lo)·10 // (hi−lo+1), no float boundary ambiguity);
+    counts are Laplace-smoothed exact ints; only the final
+    (pa−pb)·ln(pa/pb) contribution is floating point.  Two tiny
+    bounds passes + one bounded (bin × half) groupby — no shuffle of
+    row-scaled data."""
+    from ray.data.aggregate import Max, Min, Sum
+    ords = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"cents": pa.array(cents),
+                         "day": pa.array(day)})
+
+    base = ords.map_batches(prep, batch_format="pyarrow")
+    b = base.aggregate(Min("cents", alias_name="clo"),
+                       Max("cents", alias_name="chi"),
+                       Min("day", alias_name="dlo"),
+                       Max("day", alias_name="dhi"))
+    clo, chi = int(b["clo"]), int(b["chi"])
+    mid = (int(b["dlo"]) + int(b["dhi"])) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        bin_ = (c - clo) * 10 // (chi - clo + 1)
+        half = (d > mid).astype(np.int64)        # 0 = first, 1 = second
+        g = pd.DataFrame({"bin": bin_, "half": half, "pn": 1}) \
+            .groupby(["bin", "half"], sort=False)["pn"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        base.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bin", "half"]).aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    grid = pd.MultiIndex.from_product(
+        [range(10), (0, 1)], names=["bin", "half"]).to_frame(index=False)
+    m = grid.merge(agg, on=["bin", "half"], how="left")
+    m["n"] = m["n"].fillna(0).astype(np.int64)
+    w = m.pivot(index="bin", columns="half", values="n")
+    na = w[0].to_numpy(np.int64)
+    nb = w[1].to_numpy(np.int64)
+    pa_ = (na + 1.0) / (na.sum() + 10.0)         # Laplace +1 per bin
+    pb_ = (nb + 1.0) / (nb.sum() + 10.0)
+    contrib = (pa_ - pb_) * np.log(pa_ / pb_)
+    return pd.DataFrame({"bin": np.arange(10, dtype=np.int64),
+                         "n_first": na, "n_second": nb,
+                         "psi_contrib": np.round(contrib, 6)})
+
+
+SQL_PSI = """
+WITH p AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                  date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS d
+           FROM orders),
+b AS (SELECT MIN(c) AS clo, MAX(c) AS chi,
+             (MIN(d) + MAX(d)) // 2 AS mid FROM p),
+h AS (SELECT (c - clo) * 10 // (chi - clo + 1) AS bin,
+             CASE WHEN d > mid THEN 1 ELSE 0 END AS half
+      FROM p, b),
+bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+g AS (SELECT bins.bin,
+             SUM(CASE WHEN h.half = 0 THEN 1 ELSE 0 END) AS n_first,
+             SUM(CASE WHEN h.half = 1 THEN 1 ELSE 0 END) AS n_second
+      FROM bins LEFT JOIN h ON h.bin = bins.bin GROUP BY 1),
+t AS (SELECT SUM(n_first) AS ta, SUM(n_second) AS tb FROM g)
+SELECT CAST(g.bin AS BIGINT) AS bin,
+       CAST(g.n_first AS BIGINT) AS n_first,
+       CAST(g.n_second AS BIGINT) AS n_second,
+       ROUND(((g.n_first + 1.0) / (t.ta + 10.0)
+              - (g.n_second + 1.0) / (t.tb + 10.0))
+             * LN(((g.n_first + 1.0) / (t.ta + 10.0))
+                  / ((g.n_second + 1.0) / (t.tb + 10.0))), 6)
+         AS psi_contrib
+FROM g, t ORDER BY g.bin
+"""
+
+
+def q_activity_bitmap_users(sf_dir: str):
+    """Per-user activity bitmap: a single int64 whose bit i is set iff
+    the user was active i days before the corpus horizon (i ≤ 62) —
+    the compact retention feature a recommender precomputes instead of
+    63 boolean columns.  A bitmap OR of distinct single-bit values IS
+    their integer sum, so the whole reduce is one exact-int groupby
+    Sum (max value 2⁶³−1 fits int64); active-day count is the same
+    distinct row count.  No bit-twiddling UDF crosses the wire."""
+    from ray.data.aggregate import Count, Sum
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    mxb = ev.map_batches(
+        lambda t: pa.table({"d": pa.array([
+            int(t["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]").astype(np.int64).max())])}),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Max
+    mx = int(mxb.aggregate(Max("d", alias_name="m"))["m"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        idx = mx - day
+        keep = idx <= 62
+        g = pa.table({"user_id": t["user_id"].take(
+            pa.array(np.nonzero(keep)[0])),
+            "idx": pa.array(idx[keep])}) \
+            .group_by(["user_id", "idx"]).aggregate([])
+        return g
+
+    distinct = ev.map_batches(distinct_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "idx"]).aggregate(Count())
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        bit = np.int64(1) << t["idx"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.DataFrame({"user_id":
+                          t["user_id"].to_numpy(zero_copy_only=False),
+                          "pm": bit, "pa_": 1}) \
+            .groupby("user_id", sort=False) \
+            .agg(pm=("pm", "sum"), pa_=("pa_", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        distinct.map_batches(to_bits, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("pm", alias_name="activity_mask"),
+                   Sum("pa_", alias_name="n_active_days"))
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return out.astype({"activity_mask": np.int64,
+                       "n_active_days": np.int64})
+
+
+SQL_ACTIVITY_BITMAP = """
+WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+d AS (SELECT DISTINCT user_id,
+             date_diff('day', CAST(ts AS DATE), mx) AS idx
+      FROM events, m
+      WHERE date_diff('day', CAST(ts AS DATE), mx) <= 62)
+SELECT user_id,
+       CAST(SUM(1::BIGINT << CAST(idx AS INT)) AS BIGINT)
+         AS activity_mask,
+       CAST(COUNT(*) AS BIGINT) AS n_active_days
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -9601,4 +9927,13 @@ def registry():
         "weighted_median_price": (q_weighted_median_price,
                                   SQL_WEIGHTED_MEDIAN),
         "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
+        "kaplan_meier_retention": (q_kaplan_meier_retention,
+                                   SQL_KAPLAN_MEIER),
+        "part_copurchase_pairs": (q_part_copurchase_pairs,
+                                  SQL_COPURCHASE),
+        "nation_revenue_share_in_region": (
+            q_nation_revenue_share_in_region, SQL_NATION_SHARE),
+        "psi_price_drift": (q_psi_price_drift, SQL_PSI),
+        "activity_bitmap_users": (q_activity_bitmap_users,
+                                  SQL_ACTIVITY_BITMAP),
     }

@@ -16,16 +16,20 @@ import pyarrow.parquet as pq
 import pytest
 
 from prclz_ray.pipelines.queries import (
-    q_benford_leading_digit, q_event_entropy_user, q_event_trigrams,
-    q_hhi_nation_revenue, q_open_orders_per_day, q_weighted_median_price,
-    registry)
+    q_activity_bitmap_users, q_benford_leading_digit,
+    q_event_entropy_user, q_event_trigrams, q_hhi_nation_revenue,
+    q_kaplan_meier_retention, q_open_orders_per_day, q_psi_price_drift,
+    q_weighted_median_price, registry)
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "event_entropy_user", "open_orders_per_day",
-       "weighted_median_price", "event_trigrams"]
+       "weighted_median_price", "event_trigrams",
+       "kaplan_meier_retention", "part_copurchase_pairs",
+       "nation_revenue_share_in_region", "psi_price_drift",
+       "activity_bitmap_users"]
 
 
 def _norm(v) -> str:
@@ -156,3 +160,61 @@ def test_event_trigrams_sequence_semantics(tmp_path):
     out = q_event_trigrams(d)
     assert set(out["trigram"]) == {"a>b>c", "b>c>d"}
     assert (out["n"] == 1).all()
+
+
+def test_kaplan_meier_monotone_and_bounded():
+    out = q_kaplan_meier_retention(SF)
+    assert len(out) > 0                      # churn actually occurs
+    s = out["survival"].to_numpy()
+    assert (np.diff(s) <= 1e-12).all()       # survival never increases
+    assert (s > 0).all() and (s <= 1.0).all()
+    # at_risk strictly decreases across event times
+    assert (np.diff(out["at_risk"].to_numpy()) < 0).all()
+    assert (out["events"] > 0).all()
+
+
+def test_kaplan_meier_known_small_cohort(tmp_path):
+    # 4 customers: lifetimes 0,0,10 churned; one censored (recent last
+    # order).  KM: t=0 -> r=4, d=2, S=0.5; t=10 -> r=2, d=1, S=0.25
+    d = str(tmp_path)
+    dates = pd.to_datetime([
+        "2020-01-01", "2020-01-01",                       # c1 t=0 churn
+        "2020-02-01", "2020-02-01",                       # c2 t=0 churn
+        "2020-01-01", "2020-01-11",                       # c3 t=10 churn
+        "2020-12-01", "2020-12-25",                       # c4 censored
+    ]).values.astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 2, 3, 3, 4, 4], type=pa.int64()),
+        "o_orderdate": pa.array(dates)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_kaplan_meier_retention(d).set_index("t_days")
+    assert out.loc[0, "at_risk"] == 4 and out.loc[0, "events"] == 2
+    assert out.loc[0, "survival"] == 0.5
+    assert out.loc[10, "at_risk"] == 2 and out.loc[10, "events"] == 1
+    assert out.loc[10, "survival"] == 0.25
+    assert 24 not in out.index                # censored never emits
+
+
+def test_psi_symmetry_and_zero_on_identical(tmp_path):
+    # identical halves -> every contribution is exactly 0
+    d = str(tmp_path)
+    days = pd.to_datetime(
+        ["2020-01-01"] * 5 + ["2020-12-31"] * 5).values \
+        .astype("datetime64[us]")
+    prices = [10.0, 20.0, 30.0, 40.0, 50.0] * 2
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_psi_price_drift(d)
+    assert (out["n_first"].to_numpy() == out["n_second"].to_numpy()).all()
+    assert (out["psi_contrib"] == 0.0).all()
+    assert len(out) == 10
+
+
+def test_activity_bitmap_popcount_consistency():
+    out = q_activity_bitmap_users(SF)
+    masks = out["activity_mask"].to_numpy(np.uint64)
+    pop = np.array([bin(int(m)).count("1") for m in masks])
+    assert (pop == out["n_active_days"].to_numpy()).all()
+    assert (masks > 0).all()
