@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "local_clustering_links",
     "rrf_fusion_search",
     "sentence_stats_by_lang",
+    # round-4 session C: interval sweep, co-purchase pair kernel,
+    # survival analysis, behavioral entropy
+    "open_orders_per_day",
+    "part_copurchase_pairs",
+    "kaplan_meier_retention",
+    "event_entropy_user",
 ]
 
 

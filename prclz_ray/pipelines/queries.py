@@ -9146,45 +9146,49 @@ FROM u ORDER BY n DESC, user_id LIMIT 100
 
 
 def q_open_orders_per_day(sf_dir: str):
-    """Concurrent-interval sweep: how many orders are OPEN (order date
-    through last line-item ship date) on each change day — the classic
+    """Concurrent-interval sweep: how many orders are IN FLIGHT (first
+    line-item shipment through last) on each change day — the classic
     interval-overlap count done as a ±1 delta sweep + distributed
     prefix sum, NEVER an interval×day explode (at 100 TB an order
-    spanning 90 days must not emit 90 rows).  The per-order max-ship
-    reduce rides the join's combine hook; deltas groupby to the
-    (bounded) day domain; the running count reuses the range-bucket
-    prefix-sum kernel.  Exact ints end to end."""
-    from ray.data.aggregate import Max, Sum
+    spanning 90 days must not emit 90 rows) and never a join: both
+    interval endpoints derive from lineitem alone, so ONE coarse
+    orderkey-bucket stage finishes the per-order (min, max) and emits
+    day-bounded ±1 counts.  The running count reuses the range-bucket
+    prefix-sum kernel over the materialized (days-bounded) delta
+    table.  Exact ints end to end."""
+    from ray.data.aggregate import Sum
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
-    def per_order(t: pa.Table) -> pa.Table:
+    def per_order_partial(t: pa.Table) -> pa.Table:
         day = t["l_shipdate"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[D]").astype(np.int64)
         g = pd.DataFrame({"o_orderkey":
                           t["l_orderkey"].to_numpy(zero_copy_only=False),
-                          "pm": day}) \
-            .groupby("o_orderkey", sort=False)["pm"].max().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+                          "ps": day, "pm": day}) \
+            .groupby("o_orderkey", sort=False) \
+            .agg(ps=("ps", "min"), pm=("pm", "max")).reset_index()
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column("_ob", pa.array(
+            relational.stable_bucket(out["o_orderkey"], 64)))
 
-    mx = li.map_batches(per_order, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Max("pm", alias_name="mxd"))
+    def bucket_deltas(df: pd.DataFrame) -> pa.Table:
+        # all partials of an order land in this one bucket: finish the
+        # (min, max), emit ±1 counts — output is days-bounded
+        g = df.groupby("o_orderkey", sort=False) \
+            .agg(ps=("ps", "min"), pm=("pm", "max"))
+        start = g["ps"].to_numpy(dtype=np.int64)
+        end = g["pm"].to_numpy(dtype=np.int64) + 1   # half-open
+        su, sc = np.unique(start, return_counts=True)
+        eu, ec = np.unique(end, return_counts=True)
+        return pa.table({
+            "day": pa.array(np.concatenate([su, eu])),
+            "pd_": pa.array(np.concatenate(
+                [sc.astype(np.int64), -ec.astype(np.int64)]))})
 
-    def combine(tbl: pa.Table) -> pa.Table:
-        start = tbl["o_orderdate"].to_numpy(zero_copy_only=False) \
-            .astype("datetime64[D]").astype(np.int64)
-        end = tbl["mxd"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64) + 1          # half-open [start, end)
-        day = np.concatenate([start, end])
-        delta = np.concatenate([np.ones(len(start), dtype=np.int64),
-                                -np.ones(len(end), dtype=np.int64)])
-        g = pd.DataFrame({"day": day, "pd_": delta}) \
-            .groupby("day", sort=False)["pd_"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    j = relational.bucketed_hash_join(orders, mx, on="o_orderkey",
-                                      combine=combine)
-    deltas = j.groupby("day").aggregate(Sum("pd_", alias_name="delta"))
+    deltas = li.map_batches(per_order_partial, batch_format="pyarrow") \
+        .groupby("_ob").map_groups(bucket_deltas, batch_format="pandas") \
+        .groupby("day").aggregate(Sum("pd_", alias_name="delta")) \
+        .materialize()      # days-bounded; prefix sum consumes it twice
     cum = relational.global_prefix_sum(deltas, order_col="day",
                                        value_col="delta", out_col="open")
     out = relational.ds_to_table(cum).to_pandas() \
@@ -9196,13 +9200,13 @@ def q_open_orders_per_day(sf_dir: str):
 
 
 SQL_OPEN_ORDERS = """
-WITH mx AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS m
+WITH iv AS (SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS s,
+                   MAX(CAST(l_shipdate AS DATE)) AS m
             FROM lineitem GROUP BY 1),
-dl AS (SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta
-       FROM orders JOIN mx ON l_orderkey = o_orderkey
+dl AS (SELECT s AS day, 1 AS delta FROM iv
        UNION ALL
        SELECT CAST(m + INTERVAL 1 DAY AS DATE) AS day, -1 AS delta
-       FROM mx JOIN orders ON l_orderkey = o_orderkey),
+       FROM iv),
 g AS (SELECT day, SUM(delta) AS delta FROM dl GROUP BY 1)
 SELECT CAST(day AS TIMESTAMP) AS day,
        CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)

@@ -1837,12 +1837,27 @@ def cooccurrence_pairs(ds, key_col: str, val_col: str,
         b = vals[off[key_rep] + p[1]]
         g = pd.DataFrame({"a": a, "b": b}).groupby(["a", "b"]) \
             .size().rename("pn").reset_index()
+        # tag each partial with a PAIR bucket: the final merge groups by
+        # this small int instead of sort-aggregating the (a, b) composite
+        # key directly — a Ray groupby over |pairs| distinct 2-column
+        # keys pays a full-width sort (measured 16.6 s vs 2.0 s at sf0.1
+        # on 1.2M pairs); 64 bucket groups + a C-speed pandas groupby
+        # inside each does the identical reduction
+        pb = (stable_bucket(pa.array(g["a"]), num_buckets).astype(np.int64)
+              * 31 + stable_bucket(pa.array(g["b"]), num_buckets)) \
+            % num_buckets
+        g["_pb"] = pb
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge_pairs(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["a", "b"], sort=False)["pn"].sum() \
+            .rename("n_keys").reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     pairs = tagged.groupby("_bucket").map_groups(explode_pairs,
                                                  batch_format="pandas")
-    return pairs.groupby(["a", "b"]).aggregate(
-        Sum("pn", alias_name="n_keys"))
+    return pairs.groupby("_pb").map_groups(merge_pairs,
+                                           batch_format="pandas")
 
 
 def _pair_index(n_pairs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
