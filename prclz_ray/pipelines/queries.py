@@ -9656,6 +9656,200 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def q_late_events_watermark(sf_dir: str):
+    """Streaming watermark semantics replayed over the log: an event is
+    LATE iff its event time is more than 10 minutes behind the
+    high-water event time among everything that ARRIVED before it
+    (arrival order = event_id) — the allowed-lateness rule of every
+    streaming engine's window operator.  The watermark is a global
+    running max over arrival order, computed with the range-bucket
+    prefix-MAX kernel (no single-node sort); late flags then reduce
+    into tumbling 1-hour windows with exact int counts."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts_us": pa.array(t["ts"].to_numpy(zero_copy_only=False)
+                              .astype("datetime64[us]").astype(np.int64))})
+
+    wm = relational.global_prefix_max(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        order_col="event_id", value_col="ts_us", out_col="wm")
+
+    HOUR = 3_600_000_000
+    LATENESS = 600_000_000          # 10 min in µs
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        w = t["wm"].to_numpy(zero_copy_only=False)
+        hour = ts // HOUR * HOUR
+        late = (ts < w - LATENESS).astype(np.int64)
+        g = pd.DataFrame({"h": hour, "pn": 1, "pl": late}) \
+            .groupby("h", sort=False) \
+            .agg(pn=("pn", "sum"), pl=("pl", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        wm.map_batches(partial, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("pn", alias_name="n_events"),
+                                Sum("pl", alias_name="n_late"))
+    ).to_pandas().sort_values("h").reset_index(drop=True)
+    return pd.DataFrame({
+        "window_start": out["h"].to_numpy(np.int64)
+        .astype("datetime64[us]"),
+        "n_events": out["n_events"].to_numpy(np.int64),
+        "n_late": out["n_late"].to_numpy(np.int64)})
+
+
+SQL_LATE_EVENTS = """
+WITH w AS (SELECT ts,
+                  MAX(ts) OVER (ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS wm
+           FROM events)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < wm - INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_first_touch_attribution(sf_dir: str):
+    """Windowed first-touch attribution: each purchase credits the
+    user's EARLIEST click in the 7 days up to the purchase — the
+    marketing-attribution primitive (as-of joins answer \"latest state
+    BEFORE\"; this is \"first event AFTER a window opens\").  Runs on
+    the distributed as-of join with direction='forward' from the window
+    start, tolerance bounding the window length, and an event-id
+    tie-break so equal-timestamp clicks resolve deterministically.
+    Purchases with no click in window drop (inner semantics)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def mk_purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        f = t.filter(m)
+        ts = f["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        return pa.table({
+            "purchase_id": f["event_id"], "user_id": f["user_id"],
+            "purchase_ts": pa.array(ts),
+            "anchor_ts": pa.array(ts - np.timedelta64(7, "D"))})
+
+    def mk_clicks(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "click")
+        f = t.filter(m)
+        ts = f["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        return pa.table({
+            "click_id": f["event_id"], "user_id": f["user_id"],
+            "click_ts": pa.array(ts), "anchor_ts": pa.array(ts)})
+
+    j = relational.asof_join(
+        ev.map_batches(mk_purchases, batch_format="pyarrow"),
+        ev.map_batches(mk_clicks, batch_format="pyarrow"),
+        on="anchor_ts", by="user_id", direction="forward",
+        tolerance=pd.Timedelta(days=7), right_order_cols=["click_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        pts = t["purchase_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cts = t["click_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"purchase_id": t["purchase_id"],
+                         "user_id": t["user_id"],
+                         "click_id": t["click_id"],
+                         "latency_us": pa.array(pts - cts)})
+
+    return relational.ds_to_table(
+        j.map_batches(finish, batch_format="pyarrow")).to_pandas() \
+        .sort_values("purchase_id").reset_index(drop=True)
+
+
+SQL_FIRST_TOUCH = """
+WITH j AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         c.event_id AS click_id,
+         date_diff('microsecond', c.ts, p.ts) AS latency_us,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts, c.event_id) AS rn
+  FROM events p
+  JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts >= p.ts - INTERVAL 7 DAY AND c.ts <= p.ts
+  WHERE p.event_type = 'purchase')
+SELECT purchase_id, user_id, click_id, latency_us
+FROM j WHERE rn = 1 ORDER BY purchase_id
+"""
+
+
+def q_graph_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity: the fraction of distinct non-loop
+    edges (u→v) whose reverse (v→u) also exists — the standard
+    social-vs-web graph diagnostic.  Each edge maps to its unordered
+    pair key with a direction flag; distinct (pair, dir) partials
+    reduce through ONE pair-bucket shuffle where a vectorized groupby
+    counts pairs carrying both directions.  Exact ints; the ratio is a
+    single mirrored division."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        fwd = (src < dst).astype(np.int64)      # dir bit within the pair
+        g = pd.DataFrame({"lo": lo, "hi": hi, "fwd": fwd}) \
+            .drop_duplicates()
+        g["_pb"] = ((g["lo"].to_numpy(np.int64) * 2654435761
+                     + g["hi"].to_numpy(np.int64)) % 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(["lo", "hi", "fwd"])
+        g = d.groupby(["lo", "hi"], sort=False)["fwd"].agg(["count"])
+        ndir = g["count"].to_numpy(np.int64)    # 1 or 2 directions
+        m = int(ndir.sum())                     # distinct directed edges
+        recip = int((ndir == 2).sum()) * 2      # both directions count
+        return pa.table({"m": pa.array([m], type=pa.int64()),
+                         "recip": pa.array([recip], type=pa.int64())})
+
+    agg = relational.ds_to_table(
+        docs.map_batches(edges, batch_format="pyarrow")
+        .groupby("_pb").map_groups(per_bucket, batch_format="pandas")
+    ).to_pandas()                   # ≤ 64 one-row bucket partials
+    m = int(agg["m"].sum())
+    recip = int(agg["recip"].sum())
+    return pd.DataFrame({
+        "n_edges": np.array([m], dtype=np.int64),
+        "n_reciprocal": np.array([recip], dtype=np.int64),
+        "reciprocity": np.array(
+            [round(float(recip) / float(m), 6)], dtype=np.float64)})
+
+
+SQL_RECIPROCITY = """
+WITH nn AS (SELECT COUNT(*) AS cnt FROM documents),
+e2 AS (SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               (doc_id * 7919 + k * 104729) % cnt AS dst
+        FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) t)
+       WHERE src <> dst),
+r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+      FROM e2 a JOIN e2 b ON a.src = b.dst AND a.dst = b.src),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e2)
+SELECT t.n_edges, r.n_reciprocal,
+       ROUND(CAST(r.n_reciprocal AS DOUBLE)
+             / CAST(t.n_edges AS DOUBLE), 6) AS reciprocity
+FROM t, r
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -9940,4 +10134,9 @@ def registry():
         "psi_price_drift": (q_psi_price_drift, SQL_PSI),
         "activity_bitmap_users": (q_activity_bitmap_users,
                                   SQL_ACTIVITY_BITMAP),
+        "late_events_watermark": (q_late_events_watermark,
+                                  SQL_LATE_EVENTS),
+        "first_touch_attribution": (q_first_touch_attribution,
+                                    SQL_FIRST_TOUCH),
+        "graph_reciprocity": (q_graph_reciprocity, SQL_RECIPROCITY),
     }

@@ -356,11 +356,18 @@ def set_op(left_ds, right_ds, on: str, op: str = "intersect"):
 
 
 def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
-              direction: str = "backward", suffix: str = "_r"):
+              direction: str = "backward", suffix: str = "_r",
+              tolerance=None, right_order_cols: list[str] | None = None):
     """Distributed as-of join: each left row matches the nearest right row
     with right.on <= left.on (direction='backward'; 'forward' flips it)
     within the same `by` key — the streaming-log "latest state at event
-    time" join Ray Data has no primitive for.
+    time" join Ray Data has no primitive for.  ``tolerance`` (a
+    pd.Timedelta / int matching `on`'s dtype) bounds the match window —
+    the windowed-attribution variant; ``right_order_cols`` appends
+    tie-break columns to the right side's sort so equal-`on` matches are
+    deterministic (merge_asof takes the FIRST qualifying row in sort
+    order, which is otherwise whatever order the bucket group arrived
+    in).
 
     Scale shape: both sides hash-bucket on `by` (process-stable hash),
     co-group per bucket through ONE sort shuffle, pandas merge_asof per
@@ -403,14 +410,15 @@ def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
 
     def join_bucket(group: pd.DataFrame) -> pa.Table:
         lg = group.loc[group._bside == 0, lcols].sort_values(on, kind="stable")
-        rg = group.loc[group._bside == 1, rcols].sort_values(on, kind="stable")
+        rg = group.loc[group._bside == 1, rcols].sort_values(
+            [on] + (right_order_cols or []), kind="stable")
         if not len(lg) or not len(rg):
             return _empty_asof()
         # sentinel marks matched rows (a right VALUE column may be null
         # legitimately); NaN-promoted int columns cast back via the schema
         rg = rg.assign(_rmatch=np.int8(1))
         merged = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,
-                               suffixes=("", suffix))
+                               tolerance=tolerance, suffixes=("", suffix))
         matched = merged[merged["_rmatch"].notna()].drop(columns=["_rmatch"])
         out = matched[[c for c in lcols] + list(out_rcols.values())]
         return pa.Table.from_pandas(out, preserve_index=False) \
@@ -1685,6 +1693,65 @@ def global_prefix_sum(ds, order_col: str, value_col: str,
         g = group.sort_values(order_col)
         cum = g[value_col].to_numpy().astype(np.int64).cumsum() \
             + off[int(g["_pb"].iloc[0])]
+        out = g.drop(columns=["_pb"]).assign(**{out_col: cum})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed.groupby("_pb").map_groups(scan, batch_format="pandas")
+
+
+def global_prefix_max(ds, order_col: str, value_col: str,
+                      num_buckets: int = 64, out_col: str = "cummax"):
+    """Globally-ordered running MAX — MAX(value) OVER (ORDER BY
+    order_col ROWS UNBOUNDED PRECEDING) — the streaming WATERMARK
+    primitive (the high-water event time as of each arrival), without a
+    single-node sort.
+
+    Same two-pass range-bucket shape as ``global_prefix_sum``: bucket i
+    holds strictly smaller order keys than bucket i+1; one pass takes
+    each bucket's max; the driver exclusive-MAX-scans the ≤ num_buckets
+    values and broadcasts each bucket's incoming ceiling; one bucket
+    shuffle sorts within buckets and takes ceiling ∨ intra-bucket
+    cummax.  Requires a unique integer ``order_col``; values are
+    int64."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    lohi = ds.select_columns([order_col]) \
+        .aggregate(Min(order_col, alias_name="lo"),
+                   Max(order_col, alias_name="hi"))
+    lo, hi = lohi["lo"], lohi["hi"]
+    span = max(1, (int(hi) - int(lo) + num_buckets) // num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (k - int(lo)) // span
+        return batch.append_column("_pb", pa.array(b))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["_pb", value_col]).group_by("_pb") \
+            .aggregate([(value_col, "max")])
+        return pa.table({"_pb": g["_pb"],
+                         "pm": g[f"{value_col}_max"].cast(pa.int64())})
+
+    totals = ds_to_table(
+        bucketed.map_batches(partial, batch_format="pyarrow")
+        .groupby("_pb").aggregate(Max("pm", alias_name="m"))).to_pandas() \
+        .sort_values("_pb")
+    floor = np.iinfo(np.int64).min
+    ceil_in = np.concatenate(
+        [[floor], np.maximum.accumulate(totals["m"].to_numpy())[:-1]]) \
+        .astype(np.int64)
+    offsets = dict(zip(totals["_pb"].astype(np.int64), ceil_in))
+    off_ref = ray.put(offsets)
+
+    def scan(group: pd.DataFrame) -> pa.Table:
+        off = ray.get(off_ref)
+        g = group.sort_values(order_col)
+        cum = np.maximum.accumulate(
+            g[value_col].to_numpy().astype(np.int64))
+        cum = np.maximum(cum, off[int(g["_pb"].iloc[0])])
         out = g.drop(columns=["_pb"]).assign(**{out_col: cum})
         return pa.Table.from_pandas(out, preserve_index=False)
 

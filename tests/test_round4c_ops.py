@@ -17,8 +17,9 @@ import pytest
 
 from prclz_ray.pipelines.queries import (
     q_activity_bitmap_users, q_benford_leading_digit,
-    q_event_entropy_user, q_event_trigrams, q_hhi_nation_revenue,
-    q_kaplan_meier_retention, q_open_orders_per_day, q_psi_price_drift,
+    q_event_entropy_user, q_event_trigrams, q_first_touch_attribution,
+    q_hhi_nation_revenue, q_kaplan_meier_retention,
+    q_late_events_watermark, q_open_orders_per_day, q_psi_price_drift,
     q_weighted_median_price, registry)
 
 SF = "/root/testdata/sf0.001"
@@ -29,7 +30,8 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "weighted_median_price", "event_trigrams",
        "kaplan_meier_retention", "part_copurchase_pairs",
        "nation_revenue_share_in_region", "psi_price_drift",
-       "activity_bitmap_users"]
+       "activity_bitmap_users", "late_events_watermark",
+       "first_touch_attribution", "graph_reciprocity"]
 
 
 def _norm(v) -> str:
@@ -218,3 +220,77 @@ def test_activity_bitmap_popcount_consistency():
     pop = np.array([bin(int(m)).count("1") for m in masks])
     assert (pop == out["n_active_days"].to_numpy()).all()
     assert (masks > 0).all()
+
+
+def test_global_prefix_max_matches_sequential():
+    import ray.data as rd
+
+    from prclz_ray.stages import relational
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(5000).astype(np.int64)
+    vals = rng.randint(-10**6, 10**6, size=5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": ids, "v": vals})).repartition(8)
+    out = relational.ds_to_table(relational.global_prefix_max(
+        ds, order_col="k", value_col="v", out_col="cm")).to_pandas() \
+        .sort_values("k")
+    want = np.maximum.accumulate(
+        pd.DataFrame({"k": ids, "v": vals}).sort_values("k")["v"]
+        .to_numpy())
+    assert (out["cm"].to_numpy() == want).all()
+
+
+def test_late_events_watermark_semantics(tmp_path):
+    # arrival order = event_id.  Event 2 arrives after event 1 set the
+    # watermark an hour ahead -> late; event 3 advances the max -> not
+    d = str(tmp_path)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = pa.array([base + np.timedelta64(0, "m"),
+                   base + np.timedelta64(60, "m"),    # wm jumps ahead
+                   base + np.timedelta64(5, "m"),     # 55 min behind: late
+                   base + np.timedelta64(59, "m"),    # 1 min behind: fine
+                   base + np.timedelta64(120, "m")])
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "ts": ts}), os.path.join(d, "events.parquet"))
+    out = q_late_events_watermark(d).set_index("window_start")
+    h0 = pd.Timestamp("2025-01-01 00:00:00")
+    h1 = pd.Timestamp("2025-01-01 01:00:00")
+    h2 = pd.Timestamp("2025-01-01 02:00:00")
+    assert out.loc[h0, "n_events"] == 3 and out.loc[h0, "n_late"] == 1
+    assert out.loc[h1, "n_events"] == 1 and out.loc[h1, "n_late"] == 0
+    assert out.loc[h2, "n_events"] == 1 and out.loc[h2, "n_late"] == 0
+
+
+def test_first_touch_picks_earliest_click_in_window(tmp_path):
+    d = str(tmp_path)
+    base = np.datetime64("2025-06-10T00:00:00", "us")
+    rows = [
+        # user 1: click 8 days before purchase (outside), click 2 days
+        # before (first in window), click 1 day before -> credit id 11
+        (10, base - np.timedelta64(8, "D"), 1, "click"),
+        (11, base - np.timedelta64(2, "D"), 1, "click"),
+        (12, base - np.timedelta64(1, "D"), 1, "click"),
+        (13, base, 1, "purchase"),
+        # user 2: only a click after the purchase -> no row
+        (20, base + np.timedelta64(1, "h"), 2, "click"),
+        (21, base, 2, "purchase"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])}),
+        os.path.join(d, "events.parquet"))
+    out = q_first_touch_attribution(d)
+    assert len(out) == 1
+    assert out.iloc[0]["purchase_id"] == 13
+    assert out.iloc[0]["click_id"] == 11
+    assert out.iloc[0]["latency_us"] == 2 * 86400 * 10**6
+
+
+def test_graph_reciprocity_bounds():
+    from prclz_ray.pipelines.queries import q_graph_reciprocity
+    out = q_graph_reciprocity(SF)
+    r = float(out["reciprocity"].iloc[0])
+    assert 0.0 <= r <= 1.0
+    assert int(out["n_reciprocal"].iloc[0]) % 2 == 0   # counted in pairs
