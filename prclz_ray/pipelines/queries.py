@@ -9335,12 +9335,13 @@ def q_kaplan_meier_retention(sf_dir: str):
     last order), right-censored at the corpus horizon: a customer whose
     last order is within 90 days of the max order date is still-alive
     (censored), otherwise it churned at its observed duration.
-    Per-customer first/last reduce once (exact day ints); the KM table
-    is bounded by DISTINCT durations, so at-risk counts and the
-    survival cumulative product run on that bounded aggregate with the
-    identical multiply order as the SQL window PRODUCT (sequential
-    over t ascending)."""
-    from ray.data.aggregate import Max, Min
+    Per-customer first/last reduce once (exact day ints) and map
+    straight into (duration, churned) count partials — nothing
+    customer-scaled ever reaches the driver; only the KM table
+    (bounded by DISTINCT durations) does, where at-risk counts and the
+    survival cumulative product run with the identical multiply order
+    as the SQL window PRODUCT (sequential over t ascending)."""
+    from ray.data.aggregate import Max, Min, Sum
     ev = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -9353,18 +9354,31 @@ def q_kaplan_meier_retention(sf_dir: str):
             .agg(pf=("pf", "min"), pl=("pl", "max")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    u = relational.ds_to_table(
+    # horizon from a tiny bounds pass (== max over customers of l)
+    mx = int(_read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        lambda t: pa.table({"d": pa.array(
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64))}),
+        batch_format="pyarrow").aggregate(Max("d", alias_name="m"))["m"])
+
+    def to_km_partials(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t["l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"t": l - f,
+                          "pd_": ((mx - l) >= 90).astype(np.int64),
+                          "pc_": 1}) \
+            .groupby("t", sort=False) \
+            .agg(pd_=("pd_", "sum"), pc_=("pc_", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    km = relational.ds_to_table(
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby("o_custkey").aggregate(Min("pf", alias_name="f"),
                                         Max("pl", alias_name="l"))
-    ).to_pandas()
-    mx = int(u["l"].max())
-    t_dur = (u["l"] - u["f"]).to_numpy(dtype=np.int64)
-    churned = (mx - u["l"].to_numpy(dtype=np.int64)) >= 90
-    km = pd.DataFrame({"t": t_dur, "ev": churned.astype(np.int64),
-                       "c": 1}) \
-        .groupby("t", sort=True).agg(d=("ev", "sum"),
-                                     c=("c", "sum")).reset_index()
+        .map_batches(to_km_partials, batch_format="pyarrow")
+        .groupby("t").aggregate(Sum("pd_", alias_name="d"),
+                                Sum("pc_", alias_name="c"))
+    ).to_pandas().sort_values("t").reset_index(drop=True)
     n = int(km["c"].sum())
     seen_before = np.cumsum(km["c"].to_numpy(np.int64)) \
         - km["c"].to_numpy(np.int64)
@@ -9598,15 +9612,19 @@ def q_activity_bitmap_users(sf_dir: str):
     their integer sum, so the whole reduce is one exact-int groupby
     Sum (max value 2⁶³−1 fits int64); active-day count is the same
     distinct row count.  No bit-twiddling UDF crosses the wire."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count, Max, Sum
     ev = _read(sf_dir, "events", ["user_id", "ts"])
-    mxb = ev.map_batches(
-        lambda t: pa.table({"d": pa.array([
-            int(t["ts"].to_numpy(zero_copy_only=False)
-                .astype("datetime64[D]").astype(np.int64).max())])}),
-        batch_format="pyarrow")
-    from ray.data.aggregate import Max
-    mx = int(mxb.aggregate(Max("d", alias_name="m"))["m"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        # 0-or-1 row per batch; empty blocks emit nothing (a bare .max()
+        # on a zero-row block would raise)
+        d = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"d": pa.array(d[:0] if len(d) == 0
+                                       else d.max(keepdims=True))})
+
+    mx = int(ev.map_batches(day_partial, batch_format="pyarrow")
+             .aggregate(Max("d", alias_name="m"))["m"])
 
     def distinct_partial(t: pa.Table) -> pa.Table:
         day = t["ts"].to_numpy(zero_copy_only=False) \

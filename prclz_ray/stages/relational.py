@@ -365,9 +365,11 @@ def asof_join(left_ds, right_ds, on: str, by: str, num_buckets: int = 32,
     pd.Timedelta / int matching `on`'s dtype) bounds the match window —
     the windowed-attribution variant; ``right_order_cols`` appends
     tie-break columns to the right side's sort so equal-`on` matches are
-    deterministic (merge_asof takes the FIRST qualifying row in sort
-    order, which is otherwise whatever order the bucket group arrived
-    in).
+    deterministic — without it the winner is whatever order the bucket
+    group arrived in.  Direction matters for WHICH tie wins: among
+    equal-`on` right rows merge_asof takes the first in sort order for
+    direction='forward' but the LAST for 'backward' (largest
+    right_order_cols value).
 
     Scale shape: both sides hash-bucket on `by` (process-stable hash),
     co-group per bucket through ONE sort shuffle, pandas merge_asof per
@@ -1656,47 +1658,8 @@ def global_prefix_sum(ds, order_col: str, value_col: str,
     One narrow shuffle on the bucket key; nothing row-scaled on the
     driver.  Requires a unique integer ``order_col`` (ties would make
     the running total order-ambiguous)."""
-    import ray
-    from ray.data.aggregate import Max, Min, Sum
-
-    lohi = ds.select_columns([order_col]) \
-        .aggregate(Min(order_col, alias_name="lo"),
-                   Max(order_col, alias_name="hi"))
-    lo, hi = lohi["lo"], lohi["hi"]
-    span = max(1, (int(hi) - int(lo) + num_buckets) // num_buckets)
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (k - int(lo)) // span
-        return batch.append_column("_pb", pa.array(b))
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["_pb", value_col]).group_by("_pb") \
-            .aggregate([(value_col, "sum")])
-        return pa.table({"_pb": g["_pb"],
-                         "ps": g[f"{value_col}_sum"].cast(pa.int64())})
-
-    totals = ds_to_table(
-        bucketed.map_batches(partial, batch_format="pyarrow")
-        .groupby("_pb").aggregate(Sum("ps", alias_name="s"))).to_pandas() \
-        .sort_values("_pb")
-    offsets = dict(zip(
-        totals["_pb"].astype(np.int64),
-        np.concatenate([[0], np.cumsum(totals["s"].to_numpy())[:-1]])
-        .astype(np.int64)))
-    off_ref = ray.put(offsets)
-
-    def scan(group: pd.DataFrame) -> pa.Table:
-        off = ray.get(off_ref)
-        g = group.sort_values(order_col)
-        cum = g[value_col].to_numpy().astype(np.int64).cumsum() \
-            + off[int(g["_pb"].iloc[0])]
-        out = g.drop(columns=["_pb"]).assign(**{out_col: cum})
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return bucketed.groupby("_pb").map_groups(scan, batch_format="pandas")
+    return _global_prefix_scan(ds, order_col, value_col, num_buckets,
+                               out_col, kind="sum")
 
 
 def global_prefix_max(ds, order_col: str, value_col: str,
@@ -1704,17 +1667,29 @@ def global_prefix_max(ds, order_col: str, value_col: str,
     """Globally-ordered running MAX — MAX(value) OVER (ORDER BY
     order_col ROWS UNBOUNDED PRECEDING) — the streaming WATERMARK
     primitive (the high-water event time as of each arrival), without a
-    single-node sort.
-
-    Same two-pass range-bucket shape as ``global_prefix_sum``: bucket i
-    holds strictly smaller order keys than bucket i+1; one pass takes
-    each bucket's max; the driver exclusive-MAX-scans the ≤ num_buckets
-    values and broadcasts each bucket's incoming ceiling; one bucket
-    shuffle sorts within buckets and takes ceiling ∨ intra-bucket
-    cummax.  Requires a unique integer ``order_col``; values are
+    single-node sort.  Same two-pass range-bucket shape as
+    ``global_prefix_sum`` with (max, ∨, int64-min) in place of
+    (sum, +, 0).  Requires a unique integer ``order_col``; values are
     int64."""
+    return _global_prefix_scan(ds, order_col, value_col, num_buckets,
+                               out_col, kind="max")
+
+
+def _global_prefix_scan(ds, order_col: str, value_col: str,
+                        num_buckets: int, out_col: str, kind: str):
+    """Shared two-pass range-bucket prefix scan over any associative op
+    with an identity — rows map to an order-preserving RANGE bucket;
+    one pass reduces each bucket; the driver exclusive-scans the ≤
+    num_buckets reductions and broadcasts each bucket's incoming
+    prefix; one bucket shuffle sorts within buckets and combines the
+    intra-bucket scan with its prefix."""
     import ray
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Max, Min, Sum
+    agg_name, agg_cls, np_acc, identity, merge = {
+        "sum": ("sum", Sum, np.cumsum, 0, np.add),
+        "max": ("max", Max, np.maximum.accumulate,
+                np.iinfo(np.int64).min, np.maximum),
+    }[kind]
 
     lohi = ds.select_columns([order_col]) \
         .aggregate(Min(order_col, alias_name="lo"),
@@ -1731,27 +1706,26 @@ def global_prefix_max(ds, order_col: str, value_col: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["_pb", value_col]).group_by("_pb") \
-            .aggregate([(value_col, "max")])
+            .aggregate([(value_col, agg_name)])
         return pa.table({"_pb": g["_pb"],
-                         "pm": g[f"{value_col}_max"].cast(pa.int64())})
+                         "ps": g[f"{value_col}_{agg_name}"]
+                         .cast(pa.int64())})
 
     totals = ds_to_table(
         bucketed.map_batches(partial, batch_format="pyarrow")
-        .groupby("_pb").aggregate(Max("pm", alias_name="m"))).to_pandas() \
-        .sort_values("_pb")
-    floor = np.iinfo(np.int64).min
-    ceil_in = np.concatenate(
-        [[floor], np.maximum.accumulate(totals["m"].to_numpy())[:-1]]) \
+        .groupby("_pb").aggregate(agg_cls("ps", alias_name="s"))
+    ).to_pandas().sort_values("_pb")
+    prefix_in = np.concatenate(
+        [[identity], np_acc(totals["s"].to_numpy())[:-1]]) \
         .astype(np.int64)
-    offsets = dict(zip(totals["_pb"].astype(np.int64), ceil_in))
+    offsets = dict(zip(totals["_pb"].astype(np.int64), prefix_in))
     off_ref = ray.put(offsets)
 
     def scan(group: pd.DataFrame) -> pa.Table:
         off = ray.get(off_ref)
         g = group.sort_values(order_col)
-        cum = np.maximum.accumulate(
-            g[value_col].to_numpy().astype(np.int64))
-        cum = np.maximum(cum, off[int(g["_pb"].iloc[0])])
+        cum = merge(np_acc(g[value_col].to_numpy().astype(np.int64)),
+                    off[int(g["_pb"].iloc[0])])
         out = g.drop(columns=["_pb"]).assign(**{out_col: cum})
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -1877,8 +1851,6 @@ def cooccurrence_pairs(ds, key_col: str, val_col: str,
     ``max_vals_per_key`` distinct values (deterministic: the
     lexicographically-first N survive; pass None to disable — only when
     the value domain is known-bounded, as with event types)."""
-    from ray.data.aggregate import Sum
-
     def distinct_partial(batch: pa.Table) -> pa.Table:
         g = batch.select([key_col, val_col]) \
             .group_by([key_col, val_col]).aggregate([])
