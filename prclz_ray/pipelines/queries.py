@@ -9868,6 +9868,206 @@ FROM t, r
 """
 
 
+def q_twap_user_value(sf_dir: str):
+    """Time-weighted average value per user (the TWAP/metering
+    primitive: each reading holds until the next one): weights are
+    exact microsecond gaps from LEAD, values quantize to micro-units,
+    and the value×duration products — up to ~10²¹, past int64 — are
+    BUILT in (hi, lo) split form (v·(dh·2³²+dl) with v < 2³¹ keeps
+    every intermediate inside int64) and ride that split through the
+    groupby; the final division evaluates the identical double
+    expression as the SQL twin (hi·2³² + lo stays under 2⁵³ per
+    component, so the doubles are bit-identical).  One coarse-bucket
+    shuffle (grouped_lag) + one bounded per-user groupby."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    led = relational.grouped_lag(ev, key_col="user_id", ts_col="ts",
+                                 order_col="event_id",
+                                 lag_cols=["event_id"], lead=True,
+                                 carry_cols=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        gap = t["gap_us"].to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(gap.astype(np.float64))    # last event: no hold
+        dt = gap[keep].astype(np.int64)
+        v = np.round(t["value"].to_numpy(zero_copy_only=False)[keep]
+                     * 1e6).astype(np.int64)
+        if len(v) and v.max() >= 1 << 31:
+            raise ValueError("twap v overflows the 31-bit split bound")
+        # v·dt reaches ~1.3e21 — past int64 — so the product itself is
+        # built in split form: with dt = dh·2³² + dl and v < 2³¹ every
+        # intermediate (v·dh, v·dl ≤ 2⁶³−1) stays in int64
+        dh, dl = dt >> 32, dt & 0xFFFFFFFF
+        vdl = v * dl
+        hi = v * dh + (vdl >> 32)
+        lo = vdl & 0xFFFFFFFF
+        g = pd.DataFrame({"user_id":
+                          t["user_id"].to_numpy(
+                              zero_copy_only=False)[keep],
+                          "phi": hi, "plo": lo, "pw": dt}) \
+            .groupby("user_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        led.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Sum("phi", alias_name="hi"),
+                                      Sum("plo", alias_name="lo"),
+                                      Sum("pw", alias_name="w"))
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    num = agg["hi"].to_numpy(np.float64) * 4294967296.0 \
+        + agg["lo"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "user_id": agg["user_id"].to_numpy(np.int64),
+        "held_us": agg["w"].to_numpy(np.int64),
+        "twap": np.round(num / agg["w"].to_numpy(np.float64) / 1e6, 4)})
+
+
+SQL_TWAP = """
+WITH l AS (SELECT user_id,
+                  CAST(ROUND(value * 1000000) AS BIGINT) AS v,
+                  date_diff('microsecond', ts,
+                            LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                    AS dt
+           FROM events),
+p AS (SELECT user_id, dt,
+             CAST(v AS HUGEINT) * dt AS prod
+      FROM l WHERE dt IS NOT NULL),
+s AS (SELECT user_id,
+             SUM(prod // 4294967296) AS hi,
+             SUM(prod % 4294967296) AS lo,
+             SUM(dt) AS w
+      FROM p GROUP BY 1)
+SELECT user_id, CAST(w AS BIGINT) AS held_us,
+       ROUND((CAST(hi AS DOUBLE) * 4294967296.0 + CAST(lo AS DOUBLE))
+             / CAST(w AS DOUBLE) / 1000000.0, 4) AS twap
+FROM s ORDER BY user_id
+"""
+
+
+def q_largest_id_gaps(sf_dir: str):
+    """Sequence-gap audit: the 100 largest missing ranges in the
+    click-stream's event-id subsequence (the islands-and-gaps pattern —
+    which id ranges carry no clicks / did ingestion drop a shard?).
+    Ids range-bucket (order-preserving); each bucket finds its internal
+    gaps vectorized (diff on the sorted uniques) and prunes to its top
+    100 under the strict (len desc, start asc) total order, emitting
+    also its (min, max) edge row; the driver stitches ONLY the ≤
+    buckets cross-boundary gaps and re-prunes.  Nothing row-scaled
+    leaves a bucket."""
+    import pyarrow.dataset as pads
+    ev = _read(sf_dir, "events", ["event_id"],
+               filter=pads.field("event_type") == "click")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_pb", pa.array(
+            (t["event_id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64) >> 14)))       # 16k-id ranges
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        ids = np.unique(df["event_id"].to_numpy(np.int64))
+        d = np.diff(ids)
+        gi = np.nonzero(d > 1)[0]
+        gaps = pd.DataFrame({
+            "gap_start": ids[gi] + 1,
+            "gap_len": d[gi] - 1,
+            "edge": np.zeros(len(gi), dtype=np.int64)})
+        gaps = gaps.sort_values(["gap_len", "gap_start"],
+                                ascending=[False, True]).head(100)
+        edge = pd.DataFrame({"gap_start": [int(ids[0])],
+                             "gap_len": [int(ids[-1])],
+                             "edge": [1]})     # (min, max) marker row
+        return pa.Table.from_pandas(pd.concat([gaps, edge]),
+                                    preserve_index=False)
+
+    parts = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_pb").map_groups(per_bucket, batch_format="pandas")
+    ).to_pandas()
+    inner = parts[parts["edge"] == 0][["gap_start", "gap_len"]]
+    edges = parts[parts["edge"] == 1].rename(
+        columns={"gap_start": "mn", "gap_len": "mx"}) \
+        .sort_values("mn")
+    mx_prev = edges["mx"].to_numpy(np.int64)[:-1]
+    mn_next = edges["mn"].to_numpy(np.int64)[1:]
+    blen = mn_next - mx_prev - 1
+    k = blen > 0
+    boundary = pd.DataFrame({"gap_start": mx_prev[k] + 1,
+                             "gap_len": blen[k]})
+    out = pd.concat([inner, boundary]) \
+        .sort_values(["gap_len", "gap_start"],
+                     ascending=[False, True]).head(100) \
+        .reset_index(drop=True)
+    return out.astype({"gap_start": np.int64, "gap_len": np.int64})
+
+
+SQL_ID_GAPS = """
+WITH ids AS (SELECT DISTINCT event_id AS id FROM events
+             WHERE event_type = 'click'),
+g AS (SELECT id + 1 AS gap_start,
+             LEAD(id) OVER (ORDER BY id) - id - 1 AS gap_len
+      FROM ids)
+SELECT gap_start, gap_len FROM g WHERE gap_len > 0
+ORDER BY gap_len DESC, gap_start LIMIT 100
+"""
+
+
+def q_equidepth_deciles_price(sf_dir: str):
+    """Equi-depth (equal-count) decile histogram of line-item price —
+    the query-planner statistics primitive equi-WIDTH histograms can't
+    replace on skewed data.  Boundaries come EXACTLY from the value-
+    distribution table (bounded by the value domain, independent of row
+    count) under the pure-integer rule 10·cum ≥ decile·N (no float
+    quantile ambiguity); per-bin counts are differences of the same
+    running counts.  No sort, no sketch."""
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pc_": pa.array(c.astype(np.int64))})
+
+    vc = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("pc_", alias_name="c"))
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    cum = np.cumsum(vc["c"].to_numpy(np.int64))
+    n = int(cum[-1])
+    v = vc["v"].to_numpy(np.int64)
+    rows = []
+    prev_cum = 0
+    for d in range(1, 11):
+        i = int(np.searchsorted(10 * cum, d * n, side="left"))
+        rows.append({"decile": d, "hi_cents": int(v[i]),
+                     "n": int(cum[i] - prev_cum)})
+        prev_cum = int(cum[i])
+    return pd.DataFrame(rows).astype(
+        {"decile": np.int64, "hi_cents": np.int64, "n": np.int64})
+
+
+SQL_EQUIDEPTH = """
+WITH vc AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1),
+w AS (SELECT v, c,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS n
+      FROM vc),
+q AS (SELECT unnest(generate_series(1, 10)) AS decile),
+b AS (SELECT q.decile, MIN(w.v) AS hi_cents
+      FROM q JOIN w ON 10 * w.cum >= q.decile * w.n GROUP BY 1),
+cb AS (SELECT b.decile, b.hi_cents, w.cum
+       FROM b JOIN w ON w.v = b.hi_cents)
+SELECT decile, hi_cents,
+       CAST(cum - COALESCE(LAG(cum) OVER (ORDER BY decile), 0)
+            AS BIGINT) AS n
+FROM cb ORDER BY decile
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -10157,4 +10357,8 @@ def registry():
         "first_touch_attribution": (q_first_touch_attribution,
                                     SQL_FIRST_TOUCH),
         "graph_reciprocity": (q_graph_reciprocity, SQL_RECIPROCITY),
+        "twap_user_value": (q_twap_user_value, SQL_TWAP),
+        "largest_id_gaps": (q_largest_id_gaps, SQL_ID_GAPS),
+        "equidepth_deciles_price": (q_equidepth_deciles_price,
+                                    SQL_EQUIDEPTH),
     }

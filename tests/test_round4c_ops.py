@@ -294,3 +294,69 @@ def test_graph_reciprocity_bounds():
     r = float(out["reciprocity"].iloc[0])
     assert 0.0 <= r <= 1.0
     assert int(out["n_reciprocal"].iloc[0]) % 2 == 0   # counted in pairs
+
+
+def test_twap_constant_value_and_overflow_split(tmp_path):
+    # constant value -> twap == value regardless of spacing; gaps large
+    # enough that v*dt overflows int64 if multiplied directly
+    d = str(tmp_path)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = pa.array([base, base + np.timedelta64(29, "D"),
+                   base + np.timedelta64(30, "D")])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "value": pa.array([2000.0, 2000.0, 2000.0])}),
+        os.path.join(d, "events.parquet"))
+    from prclz_ray.pipelines.queries import q_twap_user_value
+    out = q_twap_user_value(d)
+    # v*dt = 2e9 * 2.5e12 ~ 5e21 >> int64 max: split math must be exact
+    assert out.iloc[0]["twap"] == 2000.0
+    assert out.iloc[0]["held_us"] == 30 * 86400 * 10**6
+
+
+def test_twap_two_segment_weighted(tmp_path):
+    # value 10 held 1s, value 30 held 3s -> twap = (10+90)/4 = 25
+    d = str(tmp_path)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = pa.array([base, base + np.timedelta64(1, "s"),
+                   base + np.timedelta64(4, "s")])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "value": pa.array([10.0, 30.0, 999.0])}),   # last never held
+        os.path.join(d, "events.parquet"))
+    from prclz_ray.pipelines.queries import q_twap_user_value
+    out = q_twap_user_value(d)
+    assert out.iloc[0]["twap"] == 25.0
+
+
+def test_largest_id_gaps_boundary_stitch(tmp_path):
+    # ids straddle the 16k bucket boundary: the largest gap spans two
+    # range buckets and only exists after the driver stitch
+    d = str(tmp_path)
+    ids = np.array([16000, 16100, 17000], dtype=np.int64)  # 16384 splits
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids),
+        "event_type": pa.array(["click"] * 3)}),
+        os.path.join(d, "events.parquet"))
+    from prclz_ray.pipelines.queries import q_largest_id_gaps
+    out = q_largest_id_gaps(d)
+    assert out.iloc[0]["gap_start"] == 16101
+    assert out.iloc[0]["gap_len"] == 899          # 16101..16999 missing
+    assert out.iloc[1]["gap_len"] == 99           # 16001..16099
+
+
+def test_equidepth_deciles_sum_and_monotone():
+    from prclz_ray.pipelines.queries import q_equidepth_deciles_price
+    out = q_equidepth_deciles_price(SF)
+    assert len(out) == 10
+    assert out["hi_cents"].is_monotonic_increasing
+    n_li = pq.read_metadata(
+        os.path.join(SF, "lineitem.parquet")).num_rows
+    assert int(out["n"].sum()) == n_li
+    # equi-depth: each bin holds within rounding of n/10 (value ties
+    # can distort, but the synthetic price domain is nearly distinct)
+    assert (out["n"] > 0).all()
