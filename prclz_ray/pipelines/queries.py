@@ -10068,6 +10068,262 @@ FROM cb ORDER BY decile
 """
 
 
+def q_trailing_30d_revenue(sf_dir: str):
+    """RANGE-frame window (vs the ROWS frames elsewhere in the
+    registry): per customer per order DAY, revenue over the trailing
+    30-day interval [day−30, day] — peers at the same date aggregate
+    together, which a ROWS frame cannot express.  Per-(customer, day)
+    cents reduce once; inside each customer bucket the trailing sum is
+    ONE global searchsorted on a composite (customer·K + day) key over
+    the bucket-wide cumsum (no per-customer Python loop): the composite
+    span K exceeds the day range, so a probe can never cross into the
+    previous customer's segment.  Exact ints end to end."""
+    from ray.data.aggregate import Sum
+    ords = _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_custkey":
+                          t["o_custkey"].to_numpy(zero_copy_only=False),
+                          "day": day, "pc_": cents}) \
+            .groupby(["o_custkey", "day"], sort=False)["pc_"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = ords.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_custkey", "day"]) \
+        .aggregate(Sum("pc_", alias_name="cents"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_cb", pa.array(
+            relational.stable_bucket(t["o_custkey"], 64)))
+
+    def trailing(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_custkey", "day"])
+        cust = df["o_custkey"].to_numpy(np.int64)
+        day = df["day"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        dmin = int(day.min())
+        dnorm = day - dmin + 31                  # ≥ 31, no underflow
+        K = int(dnorm.max()) + 64
+        comp = cust * K + dnorm                  # sorted by construction
+        cum = np.cumsum(cents)
+        lo = np.searchsorted(comp, cust * K + (dnorm - 30), side="left")
+        rev30 = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        return pa.table({
+            "o_custkey": pa.array(cust),
+            "day": pa.array(day.astype("datetime64[D]")
+                            .astype("datetime64[us]")),
+            "rev30_cents": pa.array(rev30.astype(np.int64))})
+
+    return relational.ds_to_table(
+        daily.map_batches(tag, batch_format="pyarrow")
+        .groupby("_cb").map_groups(trailing, batch_format="pandas")
+    ).to_pandas().sort_values(["o_custkey", "day"]).reset_index(drop=True)
+
+
+SQL_TRAILING_30D = """
+WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS cents
+           FROM orders GROUP BY 1, 2)
+SELECT o_custkey, CAST(day AS TIMESTAMP) AS day,
+       CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                             RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                                   AND CURRENT ROW) AS BIGINT)
+         AS rev30_cents
+FROM d ORDER BY o_custkey, day
+"""
+
+
+def q_winsorized_mean_acctbal(sf_dir: str):
+    """Winsorized mean — the robust-statistics clip at exact p5/p95
+    (outlier-resistant pipelines clip, they don't drop): both bounds
+    come from the value-distribution table under the pure-integer rule
+    20·cum ≥ k·N (k = 1, 19), then one streaming pass clips and
+    reduces per-nation micro-int sums.  Mean stays exact ints until the
+    single division."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def vparts(t: pa.Table) -> pa.Table:
+        v = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pc_": pa.array(c.astype(np.int64))})
+
+    vc = relational.ds_to_table(
+        cust.map_batches(vparts, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("pc_", alias_name="c"))
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    cum = np.cumsum(vc["c"].to_numpy(np.int64))
+    n = int(cum[-1])
+    v = vc["v"].to_numpy(np.int64)
+    lo_b = int(v[np.searchsorted(20 * cum, 1 * n, side="left")])
+    hi_b = int(v[np.searchsorted(20 * cum, 19 * n, side="left")])
+
+    def clipped(t: pa.Table) -> pa.Table:
+        x = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        x = np.clip(x, lo_b, hi_b)
+        g = pd.DataFrame({"c_nationkey":
+                          t["c_nationkey"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64),
+                          "ps": x, "pn": 1}) \
+            .groupby("c_nationkey", sort=False) \
+            .agg(ps=("ps", "sum"), pn=("pn", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        cust.map_batches(clipped, batch_format="pyarrow")
+        .groupby("c_nationkey").aggregate(Sum("ps", alias_name="s"),
+                                          Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("c_nationkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "c_nationkey": agg["c_nationkey"].to_numpy(np.int64),
+        "n_customers": agg["n"].to_numpy(np.int64),
+        "lo_cents": np.full(len(agg), lo_b, dtype=np.int64),
+        "hi_cents": np.full(len(agg), hi_b, dtype=np.int64),
+        "winsorized_mean": np.round(
+            agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64)
+            / 100.0, 4)})
+
+
+SQL_WINSORIZED = """
+WITH vc AS (SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM customer GROUP BY 1),
+w AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cum, SUM(c) OVER () AS n
+      FROM vc),
+b AS (SELECT (SELECT MIN(v) FROM w WHERE 20 * cum >= 1 * n) AS lo,
+             (SELECT MIN(v) FROM w WHERE 20 * cum >= 19 * n) AS hi),
+cl AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+              LEAST(GREATEST(CAST(ROUND(c_acctbal * 100) AS BIGINT),
+                             b.lo), b.hi) AS x, b.lo, b.hi
+       FROM customer, b)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(lo) AS BIGINT) AS lo_cents,
+       CAST(MIN(hi) AS BIGINT) AS hi_cents,
+       ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 100.0, 4)
+         AS winsorized_mean
+FROM cl GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_skewness_acctbal_nation(sf_dir: str):
+    """Per-nation distribution skewness from EXACT integer power sums —
+    the third-moment member of the power-sum family (variance/Fano/
+    assortativity are second-moment).  Cubes of cents reach ~1.3·10¹⁸
+    (per element inside int64, but NOT under batch summation), so Σx³
+    rides the (hi, lo) 128-bit split; x can be negative (acctbal), and
+    the arithmetic->floor shift / nonneg mask decomposition stays exact
+    for negatives (p = (p>>32)·2³² + (p & 2³²−1) is the floor/mod
+    identity).  The final skew evaluates the identical double
+    expression as the SQL twin."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        x2 = x * x
+        x3 = x2 * x                      # |x| ≤ ~1.1e6 → |x³| ≤ 1.4e18
+        g = pd.DataFrame({"c_nationkey":
+                          t["c_nationkey"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64),
+                          "ps1": x, "ps2": x2,
+                          "ph3": x3 >> 32, "pl3": x3 & 0xFFFFFFFF,
+                          "pn": 1}) \
+            .groupby("c_nationkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey").aggregate(
+            Sum("ps1", alias_name="s1"), Sum("ps2", alias_name="s2"),
+            Sum("ph3", alias_name="h3"), Sum("pl3", alias_name="l3"),
+            Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("c_nationkey").reset_index(drop=True)
+    rows = []
+    for _, r in agg.iterrows():
+        n = float(int(r["n"]))
+        s1 = float(int(r["s1"]))
+        s2 = float(int(r["s2"]))
+        s3 = float(int(r["h3"]) * (1 << 32) + int(r["l3"]))
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        # association mirrors the SQL text exactly (3·μ·(s2/n), not
+        # (3·μ·s2)/n) so the doubles are bit-identical, not 1-ulp off
+        m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+        rows.append({"c_nationkey": int(r["c_nationkey"]),
+                     "n_customers": int(r["n"]),
+                     "skewness": round(m3 / m2 ** 1.5, 6)})
+    return pd.DataFrame(rows).astype({"c_nationkey": np.int64,
+                                      "n_customers": np.int64})
+
+
+SQL_SKEWNESS = """
+WITH x AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+           FROM customer),
+s AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2,
+             SUM(CAST(v AS HUGEINT) * v * v) AS s3
+      FROM x GROUP BY 1)
+SELECT c_nationkey, n AS n_customers,
+       ROUND((CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                * (CAST(s1 AS DOUBLE) / n)
+                * (CAST(s1 AS DOUBLE) / n))
+             / POWER(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n), 1.5), 6)
+         AS skewness
+FROM s ORDER BY c_nationkey
+"""
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group — the fundamental cardinality
+    reduce (the exact twin of the registry's HLL sketches): per-batch
+    distinct (type, user) partials collapse duplicates before the
+    shuffle, one (type, user) groupby finishes the dedup, per-batch
+    count partials reduce to the type-bounded result."""
+    from ray.data.aggregate import Count, Sum
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("user_id", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "pn": g["user_id_count"].cast(pa.int64())})
+
+    out = relational.ds_to_table(
+        ev.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"]).aggregate(Count())
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type").aggregate(Sum("pn", alias_name="n_users"))
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    return out.astype({"n_users": np.int64})
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -10361,4 +10617,12 @@ def registry():
         "largest_id_gaps": (q_largest_id_gaps, SQL_ID_GAPS),
         "equidepth_deciles_price": (q_equidepth_deciles_price,
                                     SQL_EQUIDEPTH),
+        "trailing_30d_revenue": (q_trailing_30d_revenue,
+                                 SQL_TRAILING_30D),
+        "winsorized_mean_acctbal": (q_winsorized_mean_acctbal,
+                                    SQL_WINSORIZED),
+        "skewness_acctbal_nation": (q_skewness_acctbal_nation,
+                                    SQL_SKEWNESS),
+        "distinct_users_per_type": (q_distinct_users_per_type,
+                                    SQL_DISTINCT_USERS),
     }

@@ -360,3 +360,50 @@ def test_equidepth_deciles_sum_and_monotone():
     # equi-depth: each bin holds within rounding of n/10 (value ties
     # can distort, but the synthetic price domain is nearly distinct)
     assert (out["n"] > 0).all()
+
+
+def test_trailing_30d_range_frame_semantics(tmp_path):
+    # days 0, 20, 35: at day 35 the window [5,35] includes day 20 but
+    # not day 0 — a ROWS frame would include both
+    d = str(tmp_path)
+    dates = pd.to_datetime(["2020-01-01", "2020-01-21",
+                            "2020-02-05"]).values.astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderdate": pa.array(dates),
+        "o_totalprice": pa.array([1.0, 2.0, 4.0])}),
+        os.path.join(d, "orders.parquet"))
+    from prclz_ray.pipelines.queries import q_trailing_30d_revenue
+    out = q_trailing_30d_revenue(d)
+    assert list(out["rev30_cents"]) == [100, 300, 600]
+
+
+def test_winsorized_bounds_clip_extremes(tmp_path):
+    # 20 values: one huge outlier must clip to the p95 bound
+    d = str(tmp_path)
+    vals = [float(i) for i in range(1, 20)] + [10000.0]
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([0] * 20, type=pa.int32()),
+        "c_acctbal": pa.array(vals)}),
+        os.path.join(d, "customer.parquet"))
+    from prclz_ray.pipelines.queries import q_winsorized_mean_acctbal
+    out = q_winsorized_mean_acctbal(d)
+    assert out.iloc[0]["hi_cents"] == 1900       # p95 bound = 19.00
+    assert out.iloc[0]["lo_cents"] == 100
+    # clipped mean: (1+..+19 + 19)/20 = (190+19)/20 = 10.45
+    assert out.iloc[0]["winsorized_mean"] == 10.45
+
+
+def test_skewness_sign_on_known_shapes(tmp_path):
+    # right-skewed group (long right tail) positive, symmetric ~0
+    d = str(tmp_path)
+    right = [1.0] * 8 + [10.0]
+    sym = [1.0, 2.0, 3.0, 4.0, 5.0]
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([0] * 9 + [1] * 5, type=pa.int32()),
+        "c_acctbal": pa.array(right + sym)}),
+        os.path.join(d, "customer.parquet"))
+    from prclz_ray.pipelines.queries import q_skewness_acctbal_nation
+    out = q_skewness_acctbal_nation(d).set_index("c_nationkey")
+    assert out.loc[0, "skewness"] > 1.0
+    assert abs(out.loc[1, "skewness"]) < 1e-9
