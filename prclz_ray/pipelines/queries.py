@@ -10324,6 +10324,202 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_ivm_orders_status(sf_dir: str):
+    """Incremental view maintenance: the per-status revenue view is
+    computed as BASE (first calendar half, the \"already-materialized\"
+    aggregate) merged with DELTA partials (second half, the \"newly
+    ingested\" batch) — and must equal the full recompute, which is
+    exactly what the oracle checks.  Both legs push their date
+    predicate INTO the parquet scan; the merge is a bounded
+    per-status add of exact ints (sums/counts are self-commutative —
+    the IVM property the demo exercises)."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Max, Min, Sum
+
+    bounds = _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        lambda t: pa.table({"d": pa.array(
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64))}),
+        batch_format="pyarrow").aggregate(Min("d", alias_name="lo"),
+                                          Max("d", alias_name="hi"))
+    mid_day = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    mid_ts = np.int64(mid_day).astype("datetime64[D]") \
+        .astype("datetime64[us]")
+
+    def leg(filt):
+        ds = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_totalprice"], filter=filt)
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = np.round(t["o_totalprice"]
+                             .to_numpy(zero_copy_only=False)
+                             * 100.0).astype(np.int64)
+            g = pd.DataFrame({"o_orderstatus":
+                              t["o_orderstatus"].to_numpy(
+                                  zero_copy_only=False),
+                              "pc_": cents, "pn": 1}) \
+                .groupby("o_orderstatus", sort=False) \
+                .agg(pc_=("pc_", "sum"), pn=("pn", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return relational.ds_to_table(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Sum("pc_", alias_name="cents"),
+                       Sum("pn", alias_name="n"))).to_pandas()
+
+    base = leg(pads.field("o_orderdate") <= mid_ts)
+    delta = leg(pads.field("o_orderdate") > mid_ts)
+    merged = pd.concat([base, delta]) \
+        .groupby("o_orderstatus", sort=True).sum().reset_index()
+    return pd.DataFrame({
+        "o_orderstatus": merged["o_orderstatus"],
+        "n_orders": merged["n"].to_numpy(np.int64),
+        "revenue": np.round(merged["cents"].to_numpy(np.int64)
+                            / 100.0, 2)})
+
+
+SQL_IVM = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_order_total_reconciliation(sf_dir: str):
+    """Cross-table consistency audit — does the denormalized order
+    total equal the lineitem-derived total?  Per-order derived cents
+    reduce inside the join's bucket combine, the signed diff buckets
+    by its exact DECIMAL DIGIT COUNT (repeated integer division — the
+    audit must not trust float log10 at magnitude boundaries), and
+    only the (sign × digits)-bounded histogram leaves the buckets."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * (1.0 + t["l_tax"].to_numpy(zero_copy_only=False))
+            * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_orderkey":
+                          t["l_orderkey"].to_numpy(zero_copy_only=False),
+                          "pd_": cents}) \
+            .groupby("o_orderkey", sort=False)["pd_"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    derived = li.map_batches(li_partial, batch_format="pyarrow")
+
+    def comb(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderkey").aggregate([("pd_", "sum"),
+                                                ("o_totalprice", "min")])
+        dv = g["pd__sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ot = np.round(g["o_totalprice_min"]
+                      .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        diff = ot - dv
+        mag = np.abs(diff)
+        digits = np.zeros(len(mag), dtype=np.int64)
+        m = mag.copy()
+        while (m > 0).any():                 # exact digit count
+            nz = m > 0
+            digits[nz] += 1
+            m[nz] //= 10
+        bucket = np.sign(diff) * digits      # 0 = exact match
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.table({"diff_bucket": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    j = relational.bucketed_hash_join(derived, orders, on="o_orderkey",
+                                      combine=comb)
+    out = relational.ds_to_table(
+        j.groupby("diff_bucket").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("diff_bucket").reset_index(drop=True)
+    return out.astype({"diff_bucket": np.int64, "n": np.int64})
+
+
+SQL_RECONCILIATION = """
+WITH d AS (SELECT l_orderkey,
+                  SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+                                 * (1.0 + l_tax) * 100) AS BIGINT))
+                    AS dv
+           FROM lineitem GROUP BY 1),
+j AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) - d.dv AS diff
+      FROM orders JOIN d ON l_orderkey = o_orderkey),
+b AS (SELECT CASE WHEN diff = 0 THEN 0
+                  ELSE CAST(SIGN(diff) AS BIGINT)
+                       * LENGTH(CAST(ABS(diff) AS VARCHAR)) END
+        AS diff_bucket
+      FROM j)
+SELECT diff_bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_fulfillment_latency_percentiles(sf_dir: str):
+    """SLA percentiles (p50/p90/p99) of order-fulfillment latency —
+    exact, via the same join-fused latency-day distribution as the
+    histogram plus the pure-integer rule 100·cum ≥ k·N on the
+    days-bounded aggregate.  No quantile sketch; a latency domain is
+    always small enough for the exact distribution."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_min(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderkey": t["l_orderkey"],
+                      "ship": t["l_shipdate"]}) \
+            .group_by("o_orderkey").aggregate([("ship", "min")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "ship": g["ship_min"]})
+
+    def comb(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderkey").aggregate([("ship", "min"),
+                                                ("o_orderdate", "min")])
+        s = g["ship_min"].to_numpy(zero_copy_only=False)
+        o = g["o_orderdate_min"].to_numpy(zero_copy_only=False)
+        days = ((s - o) // np.timedelta64(1, "D")).astype(np.int64)
+        u, c = np.unique(days, return_counts=True)
+        return pa.table({"latency_days": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    dist = relational.ds_to_table(
+        relational.bucketed_hash_join(
+            li.map_batches(li_min, batch_format="pyarrow"), orders,
+            on="o_orderkey", combine=comb)
+        .groupby("latency_days").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("latency_days").reset_index(drop=True)
+    cum = np.cumsum(dist["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    v = dist["latency_days"].to_numpy(np.int64)
+    rows = [{"pct": k,
+             "latency_days": int(v[np.searchsorted(
+                 100 * cum, k * n, side="left")])}
+            for k in (50, 90, 99)]
+    return pd.DataFrame(rows).astype({"pct": np.int64,
+                                      "latency_days": np.int64})
+
+
+SQL_FULFILLMENT_PCT = """
+WITH f AS (SELECT l_orderkey, MIN(l_shipdate) AS ship
+           FROM lineitem GROUP BY 1),
+lat AS (SELECT CAST(date_diff('day', o_orderdate, ship) AS BIGINT)
+          AS d
+        FROM orders JOIN f ON l_orderkey = o_orderkey),
+vc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY 1),
+w AS (SELECT d, SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS cum, SUM(c) OVER () AS n
+      FROM vc),
+q AS (SELECT unnest([50, 90, 99]) AS pct)
+SELECT q.pct, MIN(w.d) AS latency_days
+FROM q JOIN w ON 100 * w.cum >= q.pct * w.n
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -10625,4 +10821,9 @@ def registry():
                                     SQL_SKEWNESS),
         "distinct_users_per_type": (q_distinct_users_per_type,
                                     SQL_DISTINCT_USERS),
+        "ivm_orders_status": (q_ivm_orders_status, SQL_IVM),
+        "order_total_reconciliation": (q_order_total_reconciliation,
+                                       SQL_RECONCILIATION),
+        "fulfillment_latency_percentiles": (
+            q_fulfillment_latency_percentiles, SQL_FULFILLMENT_PCT),
     }

@@ -407,3 +407,49 @@ def test_skewness_sign_on_known_shapes(tmp_path):
     out = q_skewness_acctbal_nation(d).set_index("c_nationkey")
     assert out.loc[0, "skewness"] > 1.0
     assert abs(out.loc[1, "skewness"]) < 1e-9
+
+
+def test_ivm_merge_equals_recompute_on_custom_split(tmp_path):
+    # orders straddle the calendar midpoint; merged base+delta must
+    # equal the full recompute exactly
+    d = str(tmp_path)
+    dates = pd.to_datetime(
+        ["2020-01-01", "2020-03-01", "2020-10-01", "2020-12-31"]) \
+        .values.astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(dates),
+        "o_orderstatus": pa.array(["O", "F", "O", "F"]),
+        "o_totalprice": pa.array([10.0, 20.0, 40.0, 80.0])}),
+        os.path.join(d, "orders.parquet"))
+    from prclz_ray.pipelines.queries import q_ivm_orders_status
+    out = q_ivm_orders_status(d).set_index("o_orderstatus")
+    assert out.loc["O", "n_orders"] == 2 and out.loc["O", "revenue"] == 50.0
+    assert out.loc["F", "n_orders"] == 2 and out.loc["F", "revenue"] == 100.0
+
+
+def test_reconciliation_digit_buckets(tmp_path):
+    # diffs: 0 (exact), +5 (1 digit), -123 (3 digits, negative)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([1.00, 1.05, 0.00])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "l_extendedprice": pa.array([1.00, 1.00, 1.23]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_tax": pa.array([0.0, 0.0, 0.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    from prclz_ray.pipelines.queries import q_order_total_reconciliation
+    out = q_order_total_reconciliation(d).set_index("diff_bucket")
+    assert out.loc[0, "n"] == 1
+    assert out.loc[1, "n"] == 1      # +5 cents -> 1 digit
+    assert out.loc[-3, "n"] == 1     # -123 cents -> 3 digits, negative
+
+
+def test_fulfillment_percentiles_monotone():
+    from prclz_ray.pipelines.queries import (
+        q_fulfillment_latency_percentiles)
+    out = q_fulfillment_latency_percentiles(SF)
+    assert list(out["pct"]) == [50, 90, 99]
+    assert out["latency_days"].is_monotonic_increasing
