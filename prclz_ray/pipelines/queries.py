@@ -10520,6 +10520,105 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_csv_quarantine_stats(sf_dir: str):
+    """Torn-line-tolerant CSV ingest: the corpus exports to headerless
+    CSV with DETERMINISTIC corruption (every doc_id % 97 == 7 row loses
+    its last field — a 100 TB crawl always contains torn lines), then
+    the quarantine reader routes malformed rows aside in the same
+    streaming pass and the good rows aggregate per lang.  The oracle
+    aggregates the original parquet under the same % 97 rule, so a
+    reader that silently accepts or drops the wrong rows breaks the
+    hash.  Validation is vectorized (Arrow split + list-length, pandas
+    coerce) — no per-row try/except."""
+    import glob
+    import hashlib
+    import os
+    import uuid
+
+    from ray.data.aggregate import Sum
+
+    from ..io import codecs
+    h = hashlib.md5()
+    for f in sorted(glob.glob(os.path.join(sf_dir, "documents*"))):
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/prclz_ray_csvq_{tag}_{h.hexdigest()[:12]}"
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+
+        def to_csv_lines(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            langs = t["lang"].to_numpy(zero_copy_only=False)
+            nch = t["n_chars"].to_numpy(zero_copy_only=False)
+            torn = (ids % 97) == 7
+            full = np.char.add(np.char.add(np.char.add(np.char.add(
+                ids.astype("U20"), ","), langs.astype("U8")), ","),
+                nch.astype("U20"))
+            short = np.char.add(np.char.add(
+                ids.astype("U20"), ","), langs.astype("U8"))
+            return pa.table({"text": pa.array(
+                np.where(torn, short, full))})
+
+        ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+            .map_batches(to_csv_lines, batch_format="pyarrow")
+        os.makedirs(tmp, exist_ok=True)
+
+        def write_block(t: pa.Table) -> pa.Table:
+            # raw-text block writer (a CSV writer would quote the
+            # already-joined lines); manifest row per block
+            name = os.path.join(tmp, f"part-{uuid.uuid4().hex}.txt")
+            with open(name, "w") as f:
+                f.write("\n".join(t["text"].to_pylist()) + "\n")
+            return pa.table({"path": pa.array([name])})
+
+        mani = relational.ds_to_table(
+            ds.map_batches(write_block, batch_format="pyarrow"))
+        # side-effect writes are NOT exactly-once under Ray retries /
+        # schema probes — only files the MANIFEST names are real (the
+        # write_ipc contract); orphans from replayed tasks get dropped
+        # with the tmp dir
+        import shutil
+        fin = f"{out}.fin-{uuid.uuid4().hex}"
+        os.makedirs(fin)
+        for i, p in enumerate(sorted(mani["path"].to_pylist())):
+            os.rename(p, os.path.join(fin, f"part-{i:05d}.txt"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            os.rename(fin, out)
+        except OSError:
+            shutil.rmtree(fin, ignore_errors=True)
+
+    parsed = codecs.read_csv_quarantine(
+        [os.path.join(out, f) for f in sorted(os.listdir(out))],
+        columns=["doc_id", "lang", "n_chars"],
+        int_cols=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        good = df[~df["_quarantined"]]
+        g = good.groupby("lang", sort=False).agg(
+            pn=("lang", "size"), pc_=("n_chars", "sum")).reset_index()
+        g["pc_"] = g["pc_"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    res = relational.ds_to_table(
+        parsed.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang").aggregate(Sum("pn", alias_name="n_docs"),
+                                   Sum("pc_", alias_name="sum_chars"))
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    return res.astype({"n_docs": np.int64, "sum_chars": np.int64})
+
+
+SQL_CSV_QUARANTINE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 97 <> 7
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -10826,4 +10925,6 @@ def registry():
                                        SQL_RECONCILIATION),
         "fulfillment_latency_percentiles": (
             q_fulfillment_latency_percentiles, SQL_FULFILLMENT_PCT),
+        "csv_quarantine_stats": (q_csv_quarantine_stats,
+                                 SQL_CSV_QUARANTINE),
     }

@@ -453,3 +453,30 @@ def test_fulfillment_percentiles_monotone():
     out = q_fulfillment_latency_percentiles(SF)
     assert list(out["pct"]) == [50, 90, 99]
     assert out["latency_days"].is_monotonic_increasing
+
+
+def test_csv_quarantine_reader_flags_torn_and_bad_int(tmp_path):
+    from prclz_ray.io import codecs
+    p = os.path.join(str(tmp_path), "x.txt")
+    with open(p, "w") as f:
+        f.write("1,en,100\n2,fr\n3,de,abc\n4,zh,50\n")
+    out = codecs.read_csv_quarantine(
+        [p], columns=["doc_id", "lang", "n_chars"],
+        int_cols=["doc_id", "n_chars"]).to_pandas()
+    q = out.set_index("_raw", drop=False)
+    assert int(out["_quarantined"].sum()) == 2
+    good = out[~out["_quarantined"]]
+    assert sorted(good["doc_id"].astype(int)) == [1, 4]
+    bad = out[out["_quarantined"]]
+    assert set(bad["_raw"]) == {"2,fr", "3,de,abc"}
+    assert bad["n_chars"].isna().all()
+
+
+def test_csv_quarantine_stats_rule_and_count():
+    from prclz_ray.pipelines.queries import q_csv_quarantine_stats
+    out = q_csv_quarantine_stats(SF)
+    tbl = pq.read_table(os.path.join(SF, "documents.parquet"),
+                        columns=["doc_id"])
+    ids = tbl["doc_id"].to_numpy()
+    expect_good = int((ids % 97 != 7).sum())
+    assert int(out["n_docs"].sum()) == expect_good
