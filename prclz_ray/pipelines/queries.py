@@ -10619,6 +10619,129 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_border_distance_nation(sf_dir: str):
+    """Geo QC: per nation, the mean distance from its customer points
+    to the nearest nation border — edge-hugging points flag geocoding
+    snap artifacts.  The 5×5 rect grid makes the border distance PURE
+    ARITHMETIC (min of the four edge offsets inside the containing
+    cell — no polygon join at all), and half-open-cell placement makes
+    every distance an exact half-integer: doubled distances are ints,
+    so the sums are exact and only the final mean divides."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        px2 = (k * 7919) % 1000 * 2 + 1        # doubled coords: ints
+        py2 = (k * 104729) % 1000 * 2 + 1
+        cx2 = px2 // 400 * 400                 # cell origin, doubled
+        cy2 = py2 // 400 * 400
+        nation = (py2 // 400) * 5 + (px2 // 400)
+        d2 = np.minimum.reduce([px2 - cx2, cx2 + 400 - px2,
+                                py2 - cy2, cy2 + 400 - py2])
+        g = pd.DataFrame({"n_nationkey": nation, "pd2": d2, "pn": 1}) \
+            .groupby("n_nationkey", sort=False) \
+            .agg(pd2=("pd2", "sum"), pn=("pn", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey").aggregate(Sum("pd2", alias_name="s2"),
+                                          Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "n_nationkey": agg["n_nationkey"].to_numpy(np.int64),
+        "n_points": agg["n"].to_numpy(np.int64),
+        "mean_border_dist": np.round(
+            agg["s2"].to_numpy(np.float64)
+            / agg["n"].to_numpy(np.float64) / 2.0, 4)})
+
+
+SQL_BORDER_DIST = """
+WITH p AS (SELECT (c_custkey * 7919) % 1000 * 2 + 1 AS px2,
+                  (c_custkey * 104729) % 1000 * 2 + 1 AS py2
+           FROM customer),
+c AS (SELECT px2, py2, px2 // 400 * 400 AS cx2, py2 // 400 * 400 AS cy2,
+             (py2 // 400) * 5 + (px2 // 400) AS n_nationkey
+      FROM p),
+d AS (SELECT n_nationkey,
+             LEAST(px2 - cx2, cx2 + 400 - px2,
+                   py2 - cy2, cy2 + 400 - py2) AS d2
+      FROM c)
+SELECT n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(CAST(SUM(d2) AS DOUBLE) / COUNT(*) / 2.0, 4)
+         AS mean_border_dist
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_user_path_length(sf_dir: str):
+    """Trajectory odometry: total great-circle distance each user
+    travels across their event sequence (events map to deterministic
+    lon/lat via the synthetic-point convention) — the geo × window
+    combination (haversine M14 under a LEAD).  One coarse user-bucket
+    shuffle; per-bucket vectorized sort + shift + haversine; per-user
+    float sums run in pinned (ts, event_id) order and the SQL twin
+    spells the identical formula, so 2-dp metre rounding is far above
+    any trig ulp."""
+    from ..geom.crs import haversine_m
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", pa.array(
+            relational.stable_bucket(t["user_id"], 64)))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        e = df["event_id"].to_numpy(np.int64)
+        lng = ((e * 7919) % 1000 + 0.5) / 1000.0 * 360.0 - 180.0
+        lat = ((e * 104729) % 1000 + 0.5) / 1000.0 * 160.0 - 80.0
+        g = df.groupby("user_id", sort=False)
+        nxt = g.cumcount(ascending=False).to_numpy() > 0   # has next row
+        lng1 = np.roll(lng, -1)
+        lat1 = np.roll(lat, -1)
+        dist = haversine_m(lng[nxt], lat[nxt], lng1[nxt], lat1[nxt])
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy()[nxt],
+                            "pm": dist, "pn": 1}) \
+            .groupby("user_id", sort=True) \
+            .agg(pm=("pm", "sum"), pn=("pn", "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pd.DataFrame({
+        "user_id": out["user_id"].to_numpy(np.int64),
+        "n_legs": out["pn"].to_numpy(np.int64),
+        "path_km": np.round(out["pm"].to_numpy(np.float64) / 1000.0,
+                            2)})
+
+
+SQL_USER_PATH = """
+WITH p AS (SELECT user_id, ts, event_id,
+                  ((event_id * 7919) % 1000 + 0.5) / 1000.0 * 360.0
+                    - 180.0 AS lng,
+                  ((event_id * 104729) % 1000 + 0.5) / 1000.0 * 160.0
+                    - 80.0 AS lat
+           FROM events),
+l AS (SELECT user_id, lng, lat,
+             LEAD(lng) OVER w AS lng1, LEAD(lat) OVER w AS lat1
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d AS (SELECT user_id,
+             2 * 6371008.8 * ASIN(SQRT(LEAST(GREATEST(
+               POWER(SIN((RADIANS(lat1) - RADIANS(lat)) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS(lat1))
+                 * POWER(SIN((RADIANS(lng1) - RADIANS(lng)) / 2), 2),
+               0.0), 1.0))) AS m
+      FROM l WHERE lng1 IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs,
+       ROUND(SUM(m) / 1000.0, 2) AS path_km
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -10927,4 +11050,7 @@ def registry():
             q_fulfillment_latency_percentiles, SQL_FULFILLMENT_PCT),
         "csv_quarantine_stats": (q_csv_quarantine_stats,
                                  SQL_CSV_QUARANTINE),
+        "border_distance_nation": (q_border_distance_nation,
+                                   SQL_BORDER_DIST),
+        "user_path_length": (q_user_path_length, SQL_USER_PATH),
     }

@@ -480,3 +480,31 @@ def test_csv_quarantine_stats_rule_and_count():
     ids = tbl["doc_id"].to_numpy()
     expect_good = int((ids % 97 != 7).sum())
     assert int(out["n_docs"].sum()) == expect_good
+
+
+def test_border_distance_exact_halves_and_bounds():
+    from prclz_ray.pipelines.queries import q_border_distance_nation
+    out = q_border_distance_nation(SF)
+    d = out["mean_border_dist"].to_numpy()
+    assert (d > 0).all() and (d <= 100.0).all()   # cell is 200 wide
+    assert len(out) <= 25
+
+
+def test_user_path_length_single_leg_known(tmp_path):
+    # two events for one user: path = haversine between their derived
+    # points, exactly once
+    from prclz_ray.geom.crs import haversine_m
+    from prclz_ray.pipelines.queries import q_user_path_length
+    d = str(tmp_path)
+    e = np.array([11, 12], dtype=np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(e),
+        "ts": pa.array(np.arange(2).astype("datetime64[us]")),
+        "user_id": pa.array([5, 5], type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    lng = ((e * 7919) % 1000 + 0.5) / 1000.0 * 360.0 - 180.0
+    lat = ((e * 104729) % 1000 + 0.5) / 1000.0 * 160.0 - 80.0
+    want = float(haversine_m(lng[:1], lat[:1], lng[1:], lat[1:])[0])
+    out = q_user_path_length(d)
+    assert out.iloc[0]["n_legs"] == 1
+    assert out.iloc[0]["path_km"] == round(want / 1000.0, 2)
