@@ -207,14 +207,20 @@ def read_csv_quarantine(paths, columns: list[str], int_cols=()):
         ok = pc.equal(pc.list_value_length(parts), n)
         cols = {}
         ok_np = ok.to_numpy(zero_copy_only=False)
+        # list_element needs uniform length: substitute a padded dummy
+        # for bad rows, then null them out.  Split ONCE per batch, not
+        # once per column — the split is the expensive kernel here.
+        padded = pc.split_pattern(
+            pc.if_else(ok, lines, pa.scalar("," * (n - 1))), ",")
         for i, name in enumerate(columns):
-            # list_element needs uniform length: substitute a padded
-            # dummy for bad rows, then null them out
-            vals = pc.if_else(ok, lines, pa.scalar("," * (n - 1)))
-            field = pc.list_element(pc.split_pattern(vals, ","), i)
+            field = pc.list_element(padded, i)
             if name in int_set:
                 num = pd.to_numeric(field.to_pandas(), errors="coerce")
-                bad_int = num.isna().to_numpy()
+                # non-parseable OR numeric-but-non-integral ('4.5',
+                # '1e3'): both quarantine — a blind astype('Int64')
+                # on a fractional float raises and kills the task,
+                # the exact failure this reader exists to absorb
+                bad_int = (num.isna() | (num % 1 != 0)).to_numpy()
                 ok_np = ok_np & ~bad_int
                 cols[name] = num
             else:

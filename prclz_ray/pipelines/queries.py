@@ -9250,7 +9250,7 @@ def q_weighted_median_price(sf_dir: str):
         v = g["cents"].to_numpy(dtype=np.int64)
         cum = np.cumsum(w)
         tot = int(cum[-1])
-        med = int(v[np.searchsorted(2 * cum, tot, side="left")])
+        med = int(v[relational.exact_quantile_idx(cum, 1, 2)])
         rows.append({"l_returnflag": flag, "total_w": tot,
                      "wmedian_cents": med})
     return pd.DataFrame(rows)
@@ -9892,7 +9892,10 @@ def q_twap_user_value(sf_dir: str):
         dt = gap[keep].astype(np.int64)
         v = np.round(t["value"].to_numpy(zero_copy_only=False)[keep]
                      * 1e6).astype(np.int64)
-        if len(v) and v.max() >= 1 << 31:
+        if len(v) and np.abs(v).max() >= 1 << 31:
+            # abs(): a negative v of magnitude >= 2^31 would wrap the
+            # split multiply SILENTLY (v.max() alone never fires when
+            # every value is negative)
             raise ValueError("twap v overflows the 31-bit split bound")
         # v·dt reaches ~1.3e21 — past int64 — so the product itself is
         # built in split form: with dt = dh·2³² + dl and v < 2³¹ every
@@ -10035,12 +10038,11 @@ def q_equidepth_deciles_price(sf_dir: str):
         .groupby("v").aggregate(Sum("pc_", alias_name="c"))
     ).to_pandas().sort_values("v").reset_index(drop=True)
     cum = np.cumsum(vc["c"].to_numpy(np.int64))
-    n = int(cum[-1])
     v = vc["v"].to_numpy(np.int64)
     rows = []
     prev_cum = 0
     for d in range(1, 11):
-        i = int(np.searchsorted(10 * cum, d * n, side="left"))
+        i = relational.exact_quantile_idx(cum, d, 10)
         rows.append({"decile": d, "hi_cents": int(v[i]),
                      "n": int(cum[i] - prev_cum)})
         prev_cum = int(cum[i])
@@ -10162,10 +10164,9 @@ def q_winsorized_mean_acctbal(sf_dir: str):
         .groupby("v").aggregate(Sum("pc_", alias_name="c"))
     ).to_pandas().sort_values("v").reset_index(drop=True)
     cum = np.cumsum(vc["c"].to_numpy(np.int64))
-    n = int(cum[-1])
     v = vc["v"].to_numpy(np.int64)
-    lo_b = int(v[np.searchsorted(20 * cum, 1 * n, side="left")])
-    hi_b = int(v[np.searchsorted(20 * cum, 19 * n, side="left")])
+    lo_b = int(v[relational.exact_quantile_idx(cum, 1, 20)])
+    hi_b = int(v[relational.exact_quantile_idx(cum, 19, 20)])
 
     def clipped(t: pa.Table) -> pa.Table:
         x = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False)
@@ -10261,9 +10262,12 @@ def q_skewness_acctbal_nation(sf_dir: str):
         # association mirrors the SQL text exactly (3·μ·(s2/n), not
         # (3·μ·s2)/n) so the doubles are bit-identical, not 1-ulp off
         m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+        # zero variance (single customer / all-equal balances): the
+        # SQL twin's x/0.0 is NULL in DuckDB, not a crash — mirror it
+        sk = None if m2 == 0.0 else round(m3 / m2 ** 1.5, 6)
         rows.append({"c_nationkey": int(r["c_nationkey"]),
                      "n_customers": int(r["n"]),
-                     "skewness": round(m3 / m2 ** 1.5, 6)})
+                     "skewness": sk})
     return pd.DataFrame(rows).astype({"c_nationkey": np.int64,
                                       "n_customers": np.int64})
 
@@ -10493,11 +10497,10 @@ def q_fulfillment_latency_percentiles(sf_dir: str):
         .groupby("latency_days").aggregate(Sum("pn", alias_name="n"))
     ).to_pandas().sort_values("latency_days").reset_index(drop=True)
     cum = np.cumsum(dist["n"].to_numpy(np.int64))
-    n = int(cum[-1])
     v = dist["latency_days"].to_numpy(np.int64)
     rows = [{"pct": k,
-             "latency_days": int(v[np.searchsorted(
-                 100 * cum, k * n, side="left")])}
+             "latency_days": int(
+                 v[relational.exact_quantile_idx(cum, k, 100)])}
             for k in (50, 90, 99)]
     return pd.DataFrame(rows).astype({"pct": np.int64,
                                       "latency_days": np.int64})

@@ -569,6 +569,21 @@ def windowed_aggregate(events_ds, key_col: str, ts_col: str, value_col: str,
                                                   batch_format="pyarrow")
 
 
+def exact_quantile_idx(cum: np.ndarray, k: int, K: int) -> int:
+    """Exact-quantile boundary on a VALUE-DISTRIBUTION table: given
+    cumulative counts ``cum`` of the sorted distinct values (int64,
+    ``cum[-1] == N``), return the index of the smallest value whose
+    cumulative count satisfies the pure-integer rule K·cum ≥ k·N —
+    i.e. the k/K discrete quantile with no float-quantile ambiguity.
+    One kernel shared by the equi-depth deciles (K=10), winsorized
+    bounds (K=20), latency percentiles (K=100) and weighted median
+    (K=2) operators; tie/edge conventions live HERE only."""
+    if len(cum) == 0:
+        raise ValueError("exact_quantile_idx: empty distribution")
+    n = int(cum[-1])
+    return int(np.searchsorted(K * cum, k * n, side="left"))
+
+
 def grouped_quantile_disc(ds, key_col: str, val_col: str, qs: list[float],
                           bins: int = 2048):
     """EXACT per-group discrete quantiles (``quantile_disc`` semantics:

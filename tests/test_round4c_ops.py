@@ -31,7 +31,15 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "kaplan_meier_retention", "part_copurchase_pairs",
        "nation_revenue_share_in_region", "psi_price_drift",
        "activity_bitmap_users", "late_events_watermark",
-       "first_touch_attribution", "graph_reciprocity"]
+       "first_touch_attribution", "graph_reciprocity",
+       # batches 4-7 (review r4: these were sweep-only before —
+       # the in-repo pytest gate must exercise every registry op)
+       "twap_user_value", "largest_id_gaps", "equidepth_deciles_price",
+       "trailing_30d_revenue", "winsorized_mean_acctbal",
+       "skewness_acctbal_nation", "distinct_users_per_type",
+       "ivm_orders_status", "order_total_reconciliation",
+       "fulfillment_latency_percentiles", "csv_quarantine_stats",
+       "border_distance_nation", "user_path_length"]
 
 
 def _norm(v) -> str:
@@ -470,6 +478,59 @@ def test_csv_quarantine_reader_flags_torn_and_bad_int(tmp_path):
     bad = out[out["_quarantined"]]
     assert set(bad["_raw"]) == {"2,fr", "3,de,abc"}
     assert bad["n_chars"].isna().all()
+
+
+def test_csv_quarantine_nonintegral_numeric_flags_not_crashes(tmp_path):
+    # '4.5' parses as a float (to_numeric succeeds) but is NOT a valid
+    # int field: the reader must QUARANTINE it, not die on the Int64
+    # cast (review r4: blind astype raised TypeError mid-task).
+    # '1e3' is integral-VALUED so it coerces to 1000 — acceptable.
+    from prclz_ray.io import codecs
+    p = os.path.join(str(tmp_path), "x.txt")
+    with open(p, "w") as f:
+        f.write("1,en,100\n2,fr,4.5\n3,de,1e3\n4,zh,50\n")
+    out = codecs.read_csv_quarantine(
+        [p], columns=["doc_id", "lang", "n_chars"],
+        int_cols=["doc_id", "n_chars"]).to_pandas()
+    assert int(out["_quarantined"].sum()) == 1
+    bad = out[out["_quarantined"]]
+    assert set(bad["_raw"]) == {"2,fr,4.5"}
+    good = out[~out["_quarantined"]]
+    assert sorted(good["n_chars"].astype(int)) == [50, 100, 1000]
+
+
+def test_twap_negative_magnitude_guard(tmp_path):
+    # all-negative values of magnitude >= 2^31: v.max() alone never
+    # fires -> silent int64 wrap (review r4); abs-guard must raise
+    d = str(tmp_path)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = pa.array([base, base + np.timedelta64(30, "D")])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([7, 7], type=pa.int64()),
+        "value": pa.array([-3000.0, -3000.0])}),
+        os.path.join(d, "events.parquet"))
+    from prclz_ray.pipelines.queries import q_twap_user_value
+    with pytest.raises(Exception, match="31-bit split bound"):
+        q_twap_user_value(d)
+
+
+def test_skewness_zero_variance_is_null(tmp_path):
+    # single-customer nation and all-equal nation: variance 0 -> the
+    # SQL twin's x/0.0 is NULL in DuckDB; the Ray side must match
+    # instead of raising ZeroDivisionError (review r4)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([0, 1, 1, 1], type=pa.int32()),
+        "c_acctbal": pa.array([5.0, 2.0, 2.0, 2.0])}),
+        os.path.join(d, "customer.parquet"))
+    from prclz_ray.pipelines.queries import q_skewness_acctbal_nation
+    out = q_skewness_acctbal_nation(d).set_index("c_nationkey")
+    assert out.loc[0, "skewness"] is None or out.loc[0, "skewness"] != \
+        out.loc[0, "skewness"]  # None or NaN
+    assert out.loc[1, "skewness"] is None or out.loc[1, "skewness"] != \
+        out.loc[1, "skewness"]
 
 
 def test_csv_quarantine_stats_rule_and_count():
