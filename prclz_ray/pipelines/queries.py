@@ -10745,6 +10745,308 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def q_scd2_user_type(sf_dir: str):
+    """SCD type-2 dimension build (the warehouse current+history
+    pattern) from the event log: per user, consecutive same-type events
+    collapse into one versioned validity interval; the open current row
+    has NULL valid_to.  One user-bucket shuffle via the
+    ``relational.scd2_intervals`` primitive; intervals emitted as epoch
+    microseconds so the hash compare is integer-exact."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    out = relational.ds_to_table(relational.scd2_intervals(
+        ev, key_col="user_id", ts_col="ts", order_col="event_id",
+        state_col="event_type")).to_pandas()
+    out = out.sort_values(["user_id", "valid_from_us"]) \
+        .reset_index(drop=True)
+    # float64 (NaN = open row), matching DuckDB's nullable-BIGINT →
+    # pandas dtype; epoch_us ~1.7e15 < 2^53 so the value stays exact.
+    out["valid_to_us"] = out["valid_to_us"].astype(np.float64)
+    return out[["user_id", "event_type", "valid_from_us",
+                "valid_to_us", "version"]]
+
+
+SQL_SCD2 = """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pt
+           FROM events),
+ch AS (SELECT user_id, ts, event_id, event_type FROM o
+       WHERE pt IS NULL OR event_type <> pt)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)) AS valid_to_us,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS version
+FROM ch ORDER BY user_id, valid_from_us
+"""
+
+
+def q_hopping_window_counts(sf_dir: str):
+    """Hopping-window stream aggregation: 1-hour windows advancing
+    every 15 minutes — each event lands in exactly 4 overlapping
+    windows.  Per-batch vectorized 4× expansion (repeat + offset) into
+    (window_slot, count) partials, then one tiny groupby; the shuffled
+    payload is windows, never events.  Window identified by its 15-min
+    start slot (epoch_us // 9e8) — pure-integer on both sides."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        slot = us // 900_000_000
+        w = np.repeat(slot, 4) - np.tile(
+            np.arange(4, dtype=np.int64), len(slot))
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"window_slot": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    out = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_slot").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("window_slot").reset_index(drop=True)
+    return out.astype({"window_slot": np.int64, "n": np.int64})
+
+
+SQL_HOPPING = """
+SELECT (epoch_us(ts) // 900000000) - k.k AS window_slot,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_acf_daily_revenue(sf_dir: str):
+    """Lag-k autocorrelation (k = 1..7) of the gap-filled daily order
+    revenue series — the seasonality diagnostic behind every demand
+    forecast.  The distributed part is the daily exact-cents reduction
+    (per-batch partials, day-keyed groupby); the ACF finish runs on the
+    DAYS-bounded series with arbitrary-precision integer power sums
+    (daily cents² overflows int64), one float expression per k written
+    to mirror the SQL text exactly."""
+    import math
+
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"day": day, "pc_": cents}) \
+            .groupby("day", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
+    ).to_pandas().sort_values("day")
+    days = d["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    series = np.zeros(hi - lo + 1, dtype=np.int64)
+    series[days - lo] = d["rev"].to_numpy(np.int64)
+    xs = [int(v) for v in series]        # python ints: exact squares
+    rows = []
+    for k in range(1, 8):
+        a, b = xs[:-k], xs[k:]
+        n = len(a)
+        sx, sy = sum(a), sum(b)
+        sxy = sum(p * q for p, q in zip(a, b))
+        sxx = sum(p * p for p in a)
+        syy = sum(q * q for q in b)
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sxx - sx * sx)) \
+            * math.sqrt(float(n * syy - sy * sy))
+        rows.append({"k": k, "acf": round(num / den, 6)})
+    return pd.DataFrame(rows).astype({"k": np.int64})
+
+
+SQL_ACF = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS rev
+           FROM orders GROUP BY 1),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+cal AS (SELECT UNNEST(generate_series(lo, hi)) AS day FROM bounds),
+s AS (SELECT cal.day, COALESCE(d.rev, 0) AS rev
+      FROM cal LEFT JOIN d USING (day)),
+p AS (SELECT k.k, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(a.rev) AS sx, SUM(b.rev) AS sy,
+             SUM(a.rev * b.rev) AS sxy,
+             SUM(a.rev * a.rev) AS sxx, SUM(b.rev * b.rev) AS syy
+      FROM s a
+      CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) k(k)
+      JOIN s b ON b.day = a.day + k.k
+      GROUP BY 1)
+SELECT k, ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+FROM p ORDER BY k
+"""
+
+
+def q_mannwhitney_value_by_type(sf_dir: str):
+    """Mann-Whitney U between the 'click' and 'purchase' event-value
+    distributions — the nonparametric two-sample test, computed EXACTLY
+    (tie-corrected) from the value-distribution table: 2·U₁ =
+    Σ_v n₁(v)·(2·cum₂<(v) + n₂(v)), all integers, no rank floats.  The
+    shuffled payload is bounded by the value DOMAIN, never rows."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        v = np.round(t["value"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        is1 = (et[keep] == "click").astype(np.int64)
+        g = pd.DataFrame({"v": v, "p1": is1, "p2": 1 - is1}) \
+            .groupby("v", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vc = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("p1", alias_name="n1"),
+                                Sum("p2", alias_name="n2"))
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    n1v = vc["n1"].to_numpy(np.int64)
+    n2v = vc["n2"].to_numpy(np.int64)
+    cum2l = np.cumsum(n2v) - n2v
+    u1_x2 = int(np.sum(n1v * (2 * cum2l + n2v)))
+    return pd.DataFrame([{"n1": int(n1v.sum()), "n2": int(n2v.sum()),
+                          "u1_x2": u1_x2}])
+
+
+SQL_MANNWHITNEY = """
+WITH x AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                  SUM(CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END) AS n1,
+                  SUM(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS n2
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+w AS (SELECT n1, n2,
+             SUM(n2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - n2 AS cum2l
+      FROM x)
+SELECT CAST(SUM(n1) AS BIGINT) AS n1, CAST(SUM(n2) AS BIGINT) AS n2,
+       CAST(SUM(n1 * (2 * cum2l + n2)) AS BIGINT) AS u1_x2
+FROM w
+"""
+
+
+def q_percentile_cont_price(sf_dir: str):
+    """Continuous-interpolation percentiles (p25/p50/p75/p90) of
+    l_extendedprice — ``quantile_cont`` semantics: position
+    h = (n−1)·q over the sorted multiset, linear interpolation between
+    the straddling elements.  Ranks and the interpolation fraction are
+    EXACT rationals from the value-distribution table ((n−1)·k // 100
+    and its remainder); only the final interpolated value is a float,
+    rounded 6dp against the oracle's double path."""
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pc_": pa.array(c.astype(np.int64))})
+
+    vc = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("pc_", alias_name="c"))
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    cum = np.cumsum(vc["c"].to_numpy(np.int64))
+    v = vc["v"].to_numpy(np.int64)
+    n = int(cum[-1])
+    rows = []
+    for k in (25, 50, 75, 90):
+        h_lo, rem = divmod((n - 1) * k, 100)
+        lo_c = int(v[np.searchsorted(cum, h_lo + 1, side="left")])
+        hi_c = lo_c if rem == 0 else \
+            int(v[np.searchsorted(cum, h_lo + 2, side="left")])
+        val = (lo_c + (rem / 100.0) * (hi_c - lo_c)) / 100.0
+        rows.append({"pct": k, "price": round(val, 6)})
+    return pd.DataFrame(rows).astype({"pct": np.int64})
+
+
+SQL_PERCENTILE_CONT = """
+SELECT 25 AS pct, ROUND(quantile_cont(l_extendedprice, 0.25), 6)
+         AS price FROM lineitem
+UNION ALL SELECT 50, ROUND(quantile_cont(l_extendedprice, 0.50), 6)
+         FROM lineitem
+UNION ALL SELECT 75, ROUND(quantile_cont(l_extendedprice, 0.75), 6)
+         FROM lineitem
+UNION ALL SELECT 90, ROUND(quantile_cont(l_extendedprice, 0.90), 6)
+         FROM lineitem
+ORDER BY 1
+"""
+
+
+def q_target_encoding_loo(sf_dir: str):
+    """Leave-one-out target encoding of c_nationkey against the
+    positive-balance label — the ML-prep categorical encoder that
+    avoids self-leakage: te_i = (pos_g − y_i) / (n_g − 1).  Per-batch
+    partials → 25-row stats groupby → broadcast dict → one streaming
+    encode pass; exact integers until the single division (NULL for
+    singleton groups, matching SQL's x/0)."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                      "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = (t["c_acctbal"].to_numpy(zero_copy_only=False) > 0) \
+            .astype(np.int64)
+        g = pd.DataFrame({"c_nationkey": nk, "ppos": y, "pn": 1}) \
+            .groupby("c_nationkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = relational.ds_to_table(
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey").aggregate(Sum("ppos", alias_name="pos"),
+                                          Sum("pn", alias_name="n"))
+    ).to_pandas()
+    pos_map = dict(zip(stats["c_nationkey"].astype(np.int64),
+                       stats["pos"].astype(np.int64)))
+    n_map = dict(zip(stats["c_nationkey"].astype(np.int64),
+                     stats["n"].astype(np.int64)))
+
+    def encode(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = (t["c_acctbal"].to_numpy(zero_copy_only=False) > 0) \
+            .astype(np.int64)
+        pos = np.array([pos_map[x] for x in nk], dtype=np.int64)
+        n = np.array([n_map[x] for x in nk], dtype=np.int64)
+        ok = n > 1
+        te = np.where(ok, np.round(
+            (pos - y).astype(np.float64)
+            / np.where(ok, n - 1, 1).astype(np.float64), 6), 0.0)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "te": pa.array(te, mask=~ok)})
+
+    out = cust.map_batches(encode, batch_format="pyarrow")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_TARGET_ENC = """
+SELECT c_custkey,
+       ROUND(CAST(SUM(y) OVER w - y AS DOUBLE)
+             / (COUNT(*) OVER w - 1), 6) AS te
+FROM (SELECT c_custkey, c_nationkey,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+      FROM customer)
+WINDOW w AS (PARTITION BY c_nationkey)
+ORDER BY c_custkey
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -11056,4 +11358,12 @@ def registry():
         "border_distance_nation": (q_border_distance_nation,
                                    SQL_BORDER_DIST),
         "user_path_length": (q_user_path_length, SQL_USER_PATH),
+        "scd2_user_type": (q_scd2_user_type, SQL_SCD2),
+        "hopping_window_counts": (q_hopping_window_counts, SQL_HOPPING),
+        "acf_daily_revenue": (q_acf_daily_revenue, SQL_ACF),
+        "mannwhitney_value_by_type": (q_mannwhitney_value_by_type,
+                                      SQL_MANNWHITNEY),
+        "percentile_cont_price": (q_percentile_cont_price,
+                                  SQL_PERCENTILE_CONT),
+        "target_encoding_loo": (q_target_encoding_loo, SQL_TARGET_ENC),
     }

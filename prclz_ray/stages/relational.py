@@ -1074,6 +1074,67 @@ def grouped_lag(events_ds, key_col: str, ts_col: str, order_col: str,
                                                 batch_format="pandas")
 
 
+def scd2_intervals(events_ds, key_col: str, ts_col: str, order_col: str,
+                   state_col: str, num_buckets: int = 64):
+    """SCD type-2 dimension build from an append-only event log: per
+    key, collapse consecutive rows with the same ``state_col`` into one
+    versioned row with a validity interval — the classic warehouse
+    "current + history" dimension.  Emits one row per STATE CHANGE:
+    ``(key, state, valid_from_us, valid_to_us, version)`` where
+    ``valid_to_us`` is the next change's timestamp (null on each key's
+    open current row) and ``version`` counts changes per key from 1.
+
+    Scale shape: ONE coarse-bucket shuffle on the key (each key's full
+    history lands in one bucket — the partitioning assumption), then a
+    per-bucket vectorized sort + boundary diff; the output is
+    change-rows-sized, usually far smaller than the log."""
+    keep = [key_col, ts_col, order_col, state_col]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(keep)
+        b = stable_bucket(batch[key_col], num_buckets)
+        return t.append_column("_bucket", pa.array(b))
+
+    empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                      state_col: pa.array([], type=pa.string()),
+                      "valid_from_us": pa.array([], type=pa.int64()),
+                      "valid_to_us": pa.array([], type=pa.int64()),
+                      "version": pa.array([], type=pa.int64())})
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        if group.empty:
+            return empty
+        df = group.sort_values([key_col, ts_col, order_col])
+        k = df[key_col].to_numpy()
+        st = df[state_col].to_numpy()
+        ts_us = df[ts_col].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        new_key = np.ones(len(df), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        change = new_key.copy()
+        change[1:] |= st[1:] != st[:-1]
+        ck, cs, vf = k[change], st[change], ts_us[change]
+        cnk = new_key[change]                 # first change row per key
+        same_next = np.zeros(len(ck), dtype=bool)
+        same_next[:-1] = ~cnk[1:]             # next change row, same key
+        vt = np.zeros(len(ck), dtype=np.int64)
+        vt[:-1] = vf[1:]
+        # version = 1-based change counter per key (rows are sorted)
+        idx = np.arange(len(ck), dtype=np.int64)
+        seg_start = np.where(cnk, idx, 0)
+        np.maximum.accumulate(seg_start, out=seg_start)
+        version = idx - seg_start + 1
+        return pa.table({key_col: pa.array(ck),
+                         state_col: pa.array(cs),
+                         "valid_from_us": pa.array(vf),
+                         "valid_to_us": pa.array(vt, mask=~same_next),
+                         "version": pa.array(version)})
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+
+
 def grouped_ranks(events_ds, key_col: str, order_col: str, id_col: str,
                   num_buckets: int = 64):
     """Rank windows — per key in ``order_col`` order: ROW_NUMBER (id

@@ -39,7 +39,11 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "skewness_acctbal_nation", "distinct_users_per_type",
        "ivm_orders_status", "order_total_reconciliation",
        "fulfillment_latency_percentiles", "csv_quarantine_stats",
-       "border_distance_nation", "user_path_length"]
+       "border_distance_nation", "user_path_length",
+       # batch 8
+       "scd2_user_type", "hopping_window_counts", "acf_daily_revenue",
+       "mannwhitney_value_by_type", "percentile_cont_price",
+       "target_encoding_loo"]
 
 
 def _norm(v) -> str:
