@@ -11047,6 +11047,386 @@ ORDER BY c_custkey
 """
 
 
+def q_spearman_qty_discount(sf_dir: str):
+    """Spearman rank correlation between l_quantity and l_discount with
+    EXACT average-tie ranks — Pearson over doubled midranks
+    2r(v) = 2·cum<(v) + n(v) + 1 (always integer), computed from the
+    DOMAIN-bounded joint distribution (50 qty × 11 discount ≤ 550
+    cells): the shuffle moves cells, never rows, and every power sum is
+    a python int until the one mirrored float expression."""
+    import math
+
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.round(t["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"q": q, "d": d, "pn": 1}) \
+            .groupby(["q", "d"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["q", "d"]).aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    qv = cells["q"].to_numpy(np.int64)
+    dv = cells["d"].to_numpy(np.int64)
+    nc = cells["n"].to_numpy(np.int64)
+
+    def doubled_midranks(vals, counts):
+        # per distinct value: 2r = 2·cum< + n + 1
+        order = np.argsort(vals)
+        u, inv = np.unique(vals, return_inverse=True)
+        marg = np.zeros(len(u), dtype=np.int64)
+        np.add.at(marg, inv, counts)
+        cumlt = np.cumsum(marg) - marg
+        return (2 * cumlt + marg + 1)[inv]
+
+    x = doubled_midranks(qv, nc)          # doubled midrank per cell
+    y = doubled_midranks(dv, nc)
+    N = int(nc.sum())
+    sx = sum(int(n) * int(a) for n, a in zip(nc, x))
+    sy = sum(int(n) * int(b) for n, b in zip(nc, y))
+    sxy = sum(int(n) * int(a) * int(b) for n, a, b in zip(nc, x, y))
+    sxx = sum(int(n) * int(a) * int(a) for n, a in zip(nc, x))
+    syy = sum(int(n) * int(b) * int(b) for n, b in zip(nc, y))
+    num = float(N * sxy - sx * sy)
+    den = math.sqrt(float(N * sxx - sx * sx)) \
+        * math.sqrt(float(N * syy - sy * sy))
+    return pd.DataFrame([{"n": N, "rho": round(num / den, 6)}]) \
+        .astype({"n": np.int64})
+
+
+SQL_SPEARMAN = """
+WITH cells AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                      CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                      CAST(COUNT(*) AS HUGEINT) AS n
+               FROM lineitem GROUP BY 1, 2),
+mq AS (SELECT q, SUM(n) AS nq FROM cells GROUP BY 1),
+rq AS (SELECT q, 2 * (SUM(nq) OVER (ORDER BY q
+                      ROWS UNBOUNDED PRECEDING) - nq) + nq + 1 AS r2
+       FROM mq),
+md AS (SELECT d, SUM(n) AS nd FROM cells GROUP BY 1),
+rd AS (SELECT d, 2 * (SUM(nd) OVER (ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) - nd) + nd + 1 AS r2
+       FROM md),
+s AS (SELECT SUM(c.n) AS nn,
+             SUM(c.n * rq.r2) AS sx, SUM(c.n * rd.r2) AS sy,
+             SUM(c.n * rq.r2 * rd.r2) AS sxy,
+             SUM(c.n * rq.r2 * rq.r2) AS sxx,
+             SUM(c.n * rd.r2 * rd.r2) AS syy
+      FROM cells c JOIN rq USING (q) JOIN rd USING (d))
+SELECT CAST(nn AS BIGINT) AS n,
+       ROUND(CAST(nn * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(nn * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(nn * syy - sy * sy AS DOUBLE))), 6) AS rho
+FROM s
+"""
+
+
+def q_kendall_tau_discount_tax(sf_dir: str):
+    """Kendall tau-b between l_discount and l_tax — EXACT from the
+    domain-bounded joint distribution (11 × 9 ≤ 99 cells): concordant /
+    discordant pair counts by an O(cells²) dominance broadcast, tie
+    terms from the marginals, all python-int; tau's two square roots
+    mirror the SQL text."""
+    import math
+
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem", ["l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        x = np.round(t["l_tax"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"d": d, "t": x, "pn": 1}) \
+            .groupby(["d", "t"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d", "t"]).aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    d = cells["d"].to_numpy(np.int64)
+    t_ = cells["t"].to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    # ordered-pair strict dominance counts each unordered concordant /
+    # discordant pair exactly once (object dtype → python-int sums)
+    no = n.astype(object)
+    conc = int(np.sum(no[:, None] * no[None, :]
+                      * ((d[:, None] > d[None, :])
+                         & (t_[:, None] > t_[None, :]))))
+    disc = int(np.sum(no[:, None] * no[None, :]
+                      * ((d[:, None] > d[None, :])
+                         & (t_[:, None] < t_[None, :]))))
+    N = int(n.sum())
+    n0 = N * (N - 1) // 2
+    n1 = 0
+    for _, grp in pd.DataFrame({"d": d, "n": n}).groupby("d"):
+        s = int(grp["n"].sum())
+        n1 += s * (s - 1) // 2
+    n2 = 0
+    for _, grp in pd.DataFrame({"t": t_, "n": n}).groupby("t"):
+        s = int(grp["n"].sum())
+        n2 += s * (s - 1) // 2
+    tau = float(conc - disc) / (math.sqrt(float(n0 - n1))
+                                * math.sqrt(float(n0 - n2)))
+    return pd.DataFrame([{"n": N, "conc": conc, "disc": disc,
+                          "tau_b": round(tau, 6)}]) \
+        .astype({"n": np.int64, "conc": np.int64, "disc": np.int64})
+
+
+SQL_KENDALL = """
+WITH cells AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                      CAST(ROUND(l_tax * 100) AS BIGINT) AS t,
+                      CAST(COUNT(*) AS HUGEINT) AS n
+               FROM lineitem GROUP BY 1, 2),
+pairs AS (SELECT SUM(CASE WHEN b.d < a.d AND b.t < a.t
+                     THEN a.n * b.n ELSE 0 END) AS conc,
+                 SUM(CASE WHEN b.d < a.d AND b.t > a.t
+                     THEN a.n * b.n ELSE 0 END) AS disc
+          FROM cells a CROSS JOIN cells b),
+tot AS (SELECT SUM(n) AS nn,
+               SUM(n * (n - 1)) // 2 AS cellt FROM cells),
+t1 AS (SELECT SUM(s * (s - 1)) // 2 AS n1
+       FROM (SELECT SUM(n) AS s FROM cells GROUP BY d)),
+t2 AS (SELECT SUM(s * (s - 1)) // 2 AS n2
+       FROM (SELECT SUM(n) AS s FROM cells GROUP BY t))
+SELECT CAST(nn AS BIGINT) AS n, CAST(conc AS BIGINT) AS conc,
+       CAST(disc AS BIGINT) AS disc,
+       ROUND(CAST(conc - disc AS DOUBLE)
+             / (SQRT(CAST(nn * (nn - 1) // 2 - n1 AS DOUBLE))
+                * SQRT(CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE))), 6)
+         AS tau_b
+FROM pairs, tot, t1, t2
+"""
+
+
+def q_percent_rank_acctbal(sf_dir: str):
+    """Per-customer PERCENT_RANK of account balance within its nation —
+    the window-function rank normalized to [0, 1]: (rank−1)/(n−1) with
+    min-rank ties.  Nation is a natural ≤25-way partition key, so the
+    shape is ONE small groupby with a per-nation vectorized searchsorted
+    rank — no broadcast CDF, no driver loop."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                      "c_acctbal"])
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(g["c_acctbal"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        sc = np.sort(cents)
+        rank = np.searchsorted(sc, cents, side="left") + 1
+        n = len(g)
+        pr = np.zeros(n, dtype=np.float64) if n == 1 else \
+            (rank - 1).astype(np.float64) / float(n - 1)
+        return pd.DataFrame({"c_custkey": g["c_custkey"].to_numpy(),
+                             "pr": np.round(pr, 6)})
+
+    out = cust.groupby("c_nationkey").map_groups(
+        per_nation, batch_format="pandas")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_PERCENT_RANK = """
+SELECT c_custkey,
+       ROUND(PERCENT_RANK() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT)), 6) AS pr
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_isoweek_revenue(sf_dir: str):
+    """Fiscal-calendar rollup: exact-cents order revenue per ISO 8601
+    (iso_year, iso_week) — the week-boundary semantics (Monday start,
+    week 1 holds the first Thursday) that plain YYYY-WW truncation gets
+    wrong at year boundaries.  Per-batch vectorized isocalendar() via
+    pandas' C datetime kernel feeding week-bounded partials; the global
+    groupby moves (year, week) cells, never orders."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dt = pd.DatetimeIndex(t["o_orderdate"].to_numpy(
+            zero_copy_only=False))
+        iso = dt.isocalendar()
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"iso_year": iso["year"].to_numpy(np.int64),
+                          "iso_week": iso["week"].to_numpy(np.int64),
+                          "pc_": cents}) \
+            .groupby(["iso_year", "iso_week"], sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["iso_year", "iso_week"])
+        .aggregate(Sum("pc_", alias_name="cents"))
+    ).to_pandas().sort_values(["iso_year", "iso_week"]) \
+        .reset_index(drop=True)
+    out["revenue"] = np.round(
+        out["cents"].to_numpy(np.float64) / 100.0, 2)
+    return out[["iso_year", "iso_week", "revenue"]] \
+        .astype({"iso_year": np.int64, "iso_week": np.int64})
+
+
+SQL_ISOWEEK = """
+SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_cusum_daily_revenue(sf_dir: str):
+    """CUSUM upward level-shift detector over gap-filled daily revenue
+    — the classic recursive s_i = max(0, s_{i−1} + (x_i − μ)) rewritten
+    CLOSED-FORM as cumsum − running-min(cumsum) (exact identity, proven
+    by induction), so it needs only window scans, no recursion.  Work
+    in n-scaled cents (y_i = n·x_i − S) to keep μ rational: every value
+    is an exact python int until the final ROUND(s/n/100, 4).  The
+    distributed part is the daily exact-cents reduce; the finish is
+    DAYS-bounded."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"day": day, "pc_": cents}) \
+            .groupby("day", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
+    ).to_pandas().sort_values("day")
+    days = d["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    series = np.zeros(hi - lo + 1, dtype=np.int64)
+    series[days - lo] = d["rev"].to_numpy(np.int64)
+    xs = [int(v) for v in series]
+    n, total = len(xs), sum(xs)
+    cum, runmin, out = 0, 0, []
+    for i, x in enumerate(xs):
+        cum += n * x - total           # scaled deviation, exact int
+        if cum < runmin:
+            runmin = cum
+        s = cum - runmin
+        out.append({"day": lo + i,
+                    "cusum": round(float(s) / n / 100.0, 4)})
+    return pd.DataFrame(out).astype({"day": np.int64})
+
+
+SQL_CUSUM = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS rev
+           FROM orders GROUP BY 1),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+cal AS (SELECT UNNEST(generate_series(lo, hi)) AS day FROM bounds),
+s AS (SELECT cal.day, COALESCE(d.rev, 0) AS rev
+      FROM cal LEFT JOIN d USING (day)),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(rev) AS total
+        FROM s),
+c AS (SELECT day, SUM(n * rev - total) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s, tot),
+m AS (SELECT day, cum, LEAST(CAST(0 AS HUGEINT),
+             MIN(cum) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)) AS runmin
+      FROM c)
+SELECT day, ROUND(CAST(cum - runmin AS DOUBLE)
+                  / (SELECT CAST(n AS DOUBLE) FROM tot) / 100.0, 4)
+         AS cusum
+FROM m ORDER BY day
+"""
+
+
+def q_welch_ttest_value(sf_dir: str):
+    """Welch's unequal-variance t-test between the 'click' and
+    'purchase' event-value distributions, with the Welch–Satterthwaite
+    degrees of freedom — exact integer power sums per group (Σx² in
+    cents rides the (hi, lo) 128-bit split, same as skewness), then one
+    float finish whose association mirrors the SQL text."""
+    import math
+
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        v = np.round(t["value"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        v2 = v * v
+        g = pd.DataFrame({"grp": et[keep], "ps1": v,
+                          "ph2": v2 >> 32, "pl2": v2 & 0xFFFFFFFF,
+                          "pn": 1}) \
+            .groupby("grp", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("grp").aggregate(
+            Sum("ps1", alias_name="s1"), Sum("ph2", alias_name="h2"),
+            Sum("pl2", alias_name="l2"), Sum("pn", alias_name="n"))
+    ).to_pandas().set_index("grp")
+
+    def stats(g):
+        r = agg.loc[g]
+        n = int(r["n"])
+        s1 = float(int(r["s1"]))
+        s2 = float(int(r["h2"]) * (1 << 32) + int(r["l2"]))
+        m = s1 / n
+        var = (s2 - s1 * m) / (n - 1)
+        return n, m, var
+
+    n1, m1, v1 = stats("click")
+    n2, m2, v2 = stats("purchase")
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                      + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    return pd.DataFrame([{"n1": n1, "n2": n2,
+                          "t_stat": round(t, 6),
+                          "df_welch": round(df, 6)}]) \
+        .astype({"n1": np.int64, "n2": np.int64})
+
+
+SQL_WELCH = """
+WITH x AS (SELECT event_type AS grp,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'purchase')),
+s AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM x GROUP BY 1),
+f AS (SELECT grp, n, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(s2 AS DOUBLE) AS s2d,
+             CAST(s1 AS DOUBLE) / n AS m
+      FROM s),
+v AS (SELECT grp, n, m, (s2d - s1d * m) / (n - 1) AS var FROM f),
+j AS (SELECT a.n AS n1, b.n AS n2, a.m AS m1, b.m AS m2,
+             a.var / a.n AS q1, b.var / b.n AS q2
+      FROM v a, v b WHERE a.grp = 'click' AND b.grp = 'purchase')
+SELECT n1, n2,
+       ROUND((m1 - m2) / SQRT(q1 + q2), 6) AS t_stat,
+       ROUND((q1 + q2) * (q1 + q2)
+             / (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1)), 6)
+         AS df_welch
+FROM j
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -11366,4 +11746,12 @@ def registry():
         "percentile_cont_price": (q_percentile_cont_price,
                                   SQL_PERCENTILE_CONT),
         "target_encoding_loo": (q_target_encoding_loo, SQL_TARGET_ENC),
+        "spearman_qty_discount": (q_spearman_qty_discount, SQL_SPEARMAN),
+        "kendall_tau_discount_tax": (q_kendall_tau_discount_tax,
+                                     SQL_KENDALL),
+        "percent_rank_acctbal": (q_percent_rank_acctbal,
+                                 SQL_PERCENT_RANK),
+        "isoweek_revenue": (q_isoweek_revenue, SQL_ISOWEEK),
+        "cusum_daily_revenue": (q_cusum_daily_revenue, SQL_CUSUM),
+        "welch_ttest_value": (q_welch_ttest_value, SQL_WELCH),
     }

@@ -43,7 +43,11 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        # batch 8
        "scd2_user_type", "hopping_window_counts", "acf_daily_revenue",
        "mannwhitney_value_by_type", "percentile_cont_price",
-       "target_encoding_loo"]
+       "target_encoding_loo",
+       # batch 9 (stats / calendar)
+       "spearman_qty_discount", "kendall_tau_discount_tax",
+       "percent_rank_acctbal", "isoweek_revenue",
+       "cusum_daily_revenue", "welch_ttest_value"]
 
 
 def _norm(v) -> str:
