@@ -11427,6 +11427,306 @@ FROM j
 """
 
 
+def q_ks_test_2sample(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the 'click' and
+    'purchase' value distributions — EXACT via the integer identity
+    D·n1·n2 = max_v |cum1(v)·n2 − cum2(v)·n1| over the value-DOMAIN-
+    bounded distribution table (same shuffle shape as Mann-Whitney);
+    the only float is the final division."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        v = np.round(t["value"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        is1 = (et[keep] == "click").astype(np.int64)
+        g = pd.DataFrame({"v": v, "p1": is1, "p2": 1 - is1}) \
+            .groupby("v", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vc = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("p1", alias_name="n1"),
+                                Sum("p2", alias_name="n2"))
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    c1 = np.cumsum(vc["n1"].to_numpy(np.int64)).astype(object)
+    c2 = np.cumsum(vc["n2"].to_numpy(np.int64)).astype(object)
+    n1, n2 = int(c1[-1]), int(c2[-1])
+    d_num = int(np.max(np.abs(c1 * n2 - c2 * n1)))
+    return pd.DataFrame([{
+        "n1": n1, "n2": n2, "d_num": d_num,
+        "d_stat": round(float(d_num) / (float(n1) * float(n2)), 6)}]) \
+        .astype({"n1": np.int64, "n2": np.int64, "d_num": np.int64})
+
+
+SQL_KS_TEST = """
+WITH x AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                  SUM(CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END) AS n1,
+                  SUM(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS n2
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+w AS (SELECT CAST(SUM(n1) OVER o AS HUGEINT) AS c1,
+             CAST(SUM(n2) OVER o AS HUGEINT) AS c2
+      FROM x WINDOW o AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+tot AS (SELECT CAST(SUM(n1) AS HUGEINT) AS t1,
+               CAST(SUM(n2) AS HUGEINT) AS t2 FROM x)
+SELECT CAST(t1 AS BIGINT) AS n1, CAST(t2 AS BIGINT) AS n2,
+       CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS BIGINT) AS d_num,
+       ROUND(CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS DOUBLE)
+             / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)), 6) AS d_stat
+FROM w, tot GROUP BY t1, t2
+"""
+
+
+def q_max_drawdown_revenue(sf_dir: str):
+    """Maximum drawdown of the cumulative daily-revenue curve —
+    max(running-max(cum) − cum), the risk metric behind every equity
+    curve.  Same scan family as CUSUM (windows, no recursion); missing
+    days can't change cum or its running max, so no gap-fill is needed
+    and everything is exact cents."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"day": day, "pc_": cents}) \
+            .groupby("day", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
+    ).to_pandas().sort_values("day")
+    cum = 0
+    runmax = 0
+    dd = 0
+    for x in d["rev"].to_numpy(np.int64):
+        cum += int(x)
+        if cum > runmax:
+            runmax = cum
+        if runmax - cum > dd:
+            dd = runmax - cum
+    return pd.DataFrame([{"n_days": len(d),
+                          "max_drawdown": round(dd / 100.0, 2)}]) \
+        .astype({"n_days": np.int64})
+
+
+SQL_MAX_DRAWDOWN = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS rev
+           FROM orders GROUP BY 1),
+c AS (SELECT day, SUM(rev) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+m AS (SELECT cum, GREATEST(CAST(0 AS HUGEINT),
+             MAX(cum) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)) AS runmax
+      FROM c)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+       ROUND(CAST(MAX(runmax - cum) AS DOUBLE) / 100.0, 2)
+         AS max_drawdown
+FROM m
+"""
+
+
+def q_ohlc_daily_value(sf_dir: str):
+    """Daily OHLC candles over the event-value stream: open = value at
+    the earliest (ts, event_id), close = at the latest, high/low =
+    extremes, all exact cents.  Per-batch partials carry ONE candidate
+    row per day (first/last by composite order + min/max + count), so
+    the groupby moves days×batches rows, never events; ties are
+    deterministic via the unique event_id."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = ts_us // 86_400_000_000
+        cents = np.round(t["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "day": day,
+            "ts_us": ts_us,
+            "eid": t["event_id"].to_numpy(zero_copy_only=False),
+            "v": cents}).sort_values(["day", "ts_us", "eid"])
+        first = df.groupby("day", sort=False).head(1) \
+            .rename(columns={"ts_us": "o_ts", "eid": "o_id", "v": "o_v"})
+        last = df.groupby("day", sort=False).tail(1) \
+            .rename(columns={"ts_us": "c_ts", "eid": "c_id", "v": "c_v"})
+        mm = df.groupby("day", sort=False) \
+            .agg(lo=("v", "min"), hi=("v", "max"),
+                 pn=("v", "size")).reset_index()
+        out = first.merge(last, on="day").merge(mm, on="day")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_ts", "o_id"])
+        open_v = int(g["o_v"].iloc[0])
+        g2 = g.sort_values(["c_ts", "c_id"])
+        close_v = int(g2["c_v"].iloc[-1])
+        return pd.DataFrame([{
+            "day": int(g["day"].iloc[0]),
+            "open_c": open_v, "high_c": int(g["hi"].max()),
+            "low_c": int(g["lo"].min()), "close_c": close_v,
+            "n": int(g["pn"].sum())}])
+
+    out = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").map_groups(finish, batch_format="pandas")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("day").reset_index(drop=True) \
+        .astype({"day": np.int64, "open_c": np.int64,
+                 "high_c": np.int64, "low_c": np.int64,
+                 "close_c": np.int64, "n": np.int64})
+
+
+SQL_OHLC = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v,
+                  ROW_NUMBER() OVER (PARTITION BY
+                      epoch_us(ts) // 86400000000
+                      ORDER BY ts, event_id) AS ra,
+                  ROW_NUMBER() OVER (PARTITION BY
+                      epoch_us(ts) // 86400000000
+                      ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+SELECT day, MAX(CASE WHEN ra = 1 THEN v END) AS open_c,
+       MAX(v) AS high_c, MIN(v) AS low_c,
+       MAX(CASE WHEN rd = 1 THEN v END) AS close_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY day ORDER BY day
+"""
+
+
+def q_longest_event_run(sf_dir: str):
+    """Per-user longest run of consecutive same-type events in
+    (ts, event_id) order — the gaps-and-islands pattern.  One coarse
+    user-bucket shuffle, per-bucket vectorized change-flag cumsum →
+    bincount run lengths → per-user max; no per-user Python loop."""
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        change = np.ones(len(df), dtype=bool)
+        change[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        run_id = np.cumsum(change) - 1
+        lengths = np.bincount(run_id)
+        run_user = u[change]
+        out = pd.DataFrame({"user_id": run_user, "len": lengths}) \
+            .groupby("user_id", sort=False)["len"].max().reset_index()
+        return out.rename(columns={"len": "max_run"})
+
+    out = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": np.int64, "max_run": np.int64})
+
+
+SQL_LONGEST_RUN = """
+WITH o AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn2
+           FROM events),
+runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+         FROM o GROUP BY user_id, event_type, rn - rn2)
+SELECT user_id, MAX(len) AS max_run
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_jarque_bera_discount(sf_dir: str):
+    """Jarque–Bera normality test of the l_discount distribution —
+    the 4th-moment member of the power-sum family.  The domain is tiny
+    (11 discount levels), so Σv⁴ stays minuscule and every raw moment
+    is an exact python int from the DOMAIN-bounded distribution table;
+    central moments expand via raw moments with the float association
+    mirroring the SQL text term by term."""
+    import math
+
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem", ["l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    vc = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    v = vc["v"].to_numpy(np.int64)
+    n_ = vc["n"].to_numpy(np.int64)
+    N = int(n_.sum())
+    s1 = sum(int(c) * int(x) for c, x in zip(n_, v))
+    s2 = sum(int(c) * int(x) ** 2 for c, x in zip(n_, v))
+    s3 = sum(int(c) * int(x) ** 3 for c, x in zip(n_, v))
+    s4 = sum(int(c) * int(x) ** 4 for c, x in zip(n_, v))
+    n = float(N)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    m4 = s4 / n - 4.0 * mu * (s3 / n) \
+        + 6.0 * mu * mu * (s2 / n) - 3.0 * mu * mu * mu * mu
+    skew = m3 / m2 ** 1.5
+    kurt = m4 / (m2 * m2)
+    jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    return pd.DataFrame([{"n": N, "skew": round(skew, 6),
+                          "kurtosis": round(kurt, 6),
+                          "jb_stat": round(jb, 6)}]) \
+        .astype({"n": np.int64})
+
+
+SQL_JARQUE_BERA = """
+WITH x AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
+                  CAST(COUNT(*) AS HUGEINT) AS c
+           FROM lineitem GROUP BY 1),
+s AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+             SUM(c * v) AS s1, SUM(c * v * v) AS s2,
+             SUM(c * v * v * v) AS s3,
+             SUM(c * v * v * v * v) AS s4
+      FROM x),
+m AS (SELECT nn, CAST(nn AS DOUBLE) AS n,
+             CAST(s1 AS DOUBLE) / nn AS mu,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d
+      FROM s),
+cm AS (SELECT nn, n, s2d / n - mu * mu AS m2,
+              s3d / n - 3.0 * mu * (s2d / n)
+                + 2.0 * mu * mu * mu AS m3,
+              s4d / n - 4.0 * mu * (s3d / n)
+                + 6.0 * mu * mu * (s2d / n)
+                - 3.0 * mu * mu * mu * mu AS m4
+       FROM m),
+f AS (SELECT nn, n, m3 / POWER(m2, 1.5) AS skew,
+             m4 / (m2 * m2) AS kurt
+      FROM cm)
+SELECT nn AS n, ROUND(skew, 6) AS skew, ROUND(kurt, 6) AS kurtosis,
+       ROUND(n / 6.0 * (skew * skew
+             + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6) AS jb_stat
+FROM f
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -11754,4 +12054,11 @@ def registry():
         "isoweek_revenue": (q_isoweek_revenue, SQL_ISOWEEK),
         "cusum_daily_revenue": (q_cusum_daily_revenue, SQL_CUSUM),
         "welch_ttest_value": (q_welch_ttest_value, SQL_WELCH),
+        "ks_test_2sample": (q_ks_test_2sample, SQL_KS_TEST),
+        "max_drawdown_revenue": (q_max_drawdown_revenue,
+                                 SQL_MAX_DRAWDOWN),
+        "ohlc_daily_value": (q_ohlc_daily_value, SQL_OHLC),
+        "longest_event_run": (q_longest_event_run, SQL_LONGEST_RUN),
+        "jarque_bera_discount": (q_jarque_bera_discount,
+                                 SQL_JARQUE_BERA),
     }

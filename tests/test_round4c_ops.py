@@ -47,7 +47,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        # batch 9 (stats / calendar)
        "spearman_qty_discount", "kendall_tau_discount_tax",
        "percent_rank_acctbal", "isoweek_revenue",
-       "cusum_daily_revenue", "welch_ttest_value"]
+       "cusum_daily_revenue", "welch_ttest_value",
+       # batch 10 (stats / series / islands)
+       "ks_test_2sample", "max_drawdown_revenue", "ohlc_daily_value",
+       "longest_event_run", "jarque_bera_discount"]
 
 
 def _norm(v) -> str:
