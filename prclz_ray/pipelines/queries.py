@@ -11727,6 +11727,141 @@ FROM f
 """
 
 
+def q_unpivot_lineitem_measures(sf_dir: str):
+    """Wide→long UNPIVOT of the four lineitem measures into
+    (variable, value) rows via the ``relational.unpivot`` primitive
+    (per-batch Arrow concat, no shuffle), then a 4-group exact-cents
+    profile — the melt/long-format building block the pivot stage
+    inverts.  Values quantized to cents BEFORE the unpivot so the long
+    column is a single int64 type."""
+    from ray.data.aggregate import Max, Min, Sum
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice",
+                                    "l_discount", "l_tax"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in t.column_names:
+            v = np.round(t[c].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+            cols[c] = pa.array(v)
+        return pa.table(cols)
+
+    long = relational.unpivot(
+        li.map_batches(to_cents, batch_format="pyarrow"),
+        id_cols=[], value_cols=["l_quantity", "l_extendedprice",
+                                "l_discount", "l_tax"],
+        var_name="measure", value_name="cents")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "measure": t["measure"].to_numpy(zero_copy_only=False),
+            "c": t["cents"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("measure", sort=False).agg(
+            pn=("c", "size"), ps=("c", "sum"),
+            pmin=("c", "min"), pmax=("c", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        long.map_batches(partial, batch_format="pyarrow")
+        .groupby("measure").aggregate(
+            Sum("pn", alias_name="n"), Sum("ps", alias_name="sum_c"),
+            Min("pmin", alias_name="min_c"),
+            Max("pmax", alias_name="max_c"))
+    ).to_pandas().sort_values("measure").reset_index(drop=True)
+    return out.astype({"n": np.int64, "sum_c": np.int64,
+                       "min_c": np.int64, "max_c": np.int64})
+
+
+SQL_UNPIVOT = """
+WITH long AS (
+  SELECT 'l_quantity' AS measure,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS c FROM lineitem
+  UNION ALL SELECT 'l_extendedprice',
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_discount',
+         CAST(ROUND(l_discount * 100) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_tax',
+         CAST(ROUND(l_tax * 100) AS BIGINT) FROM lineitem)
+SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS sum_c,
+       MIN(c) AS min_c, MAX(c) AS max_c
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
+def q_grouped_percentile_cont(sf_dir: str):
+    """Per-nation continuous-interpolation quartiles of account balance
+    — grouped ``quantile_cont`` semantics.  The distribution table
+    (nation, cents) is bounded by the VALUE DOMAIN × 25 nations, never
+    by the row count; the per-nation exact (n−1)·q rank/remainder
+    finish runs inside a 25-group map_groups, not on the driver."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(t["c_acctbal"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"c_nationkey": nk, "v": cents, "pn": 1}) \
+            .groupby(["c_nationkey", "v"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dist = cust.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["c_nationkey", "v"]).aggregate(
+            Sum("pn", alias_name="c"))
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
+        v = g["v"].to_numpy(np.int64)
+        n = int(cum[-1])
+        row = {"c_nationkey": int(g["c_nationkey"].iloc[0])}
+        for name, k in (("p25", 25), ("p50", 50), ("p75", 75)):
+            h_lo, rem = divmod((n - 1) * k, 100)
+            lo_c = int(v[np.searchsorted(cum, h_lo + 1, side="left")])
+            hi_c = lo_c if rem == 0 else \
+                int(v[np.searchsorted(cum, h_lo + 2, side="left")])
+            row[name] = round(
+                (lo_c + (rem / 100.0) * (hi_c - lo_c)) / 100.0, 6)
+        return pd.DataFrame([row])
+
+    out = dist.groupby("c_nationkey").map_groups(
+        per_nation, batch_format="pandas")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True) \
+        .astype({"c_nationkey": np.int64})
+
+
+SQL_GROUPED_PCTL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+       ROUND(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+       ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pca_top_component(sf_dir: str):
+    """Top principal component of the embeddings table via the
+    exact-integer-covariance PCA stage: quantized Gram/sum partials
+    ride the (hi, lo) split, so the reduction is bit-identical at ANY
+    partitioning — the eigensolve runs once on the d×d driver-side
+    covariance (d = embedding width, never rows).  Not SQL-expressible
+    (eigendecomposition); pinned instead by partition-invariance +
+    reconstruction pytest."""
+    from ..stages import similarity
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    vecs, ratio, n = similarity.embeddings_pca(emb, "embedding", top=1)
+    d = vecs.shape[0]
+    return pd.DataFrame({
+        "dim": np.arange(d, dtype=np.int64),
+        "loading": np.round(vecs[:, 0], 6),
+        "evr": np.round(np.full(d, ratio[0]), 6),
+        "n_rows": np.full(d, n, dtype=np.int64)})
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -12061,4 +12196,9 @@ def registry():
         "longest_event_run": (q_longest_event_run, SQL_LONGEST_RUN),
         "jarque_bera_discount": (q_jarque_bera_discount,
                                  SQL_JARQUE_BERA),
+        "unpivot_lineitem_measures": (q_unpivot_lineitem_measures,
+                                      SQL_UNPIVOT),
+        "grouped_percentile_cont": (q_grouped_percentile_cont,
+                                    SQL_GROUPED_PCTL),
+        "pca_top_component": (q_pca_top_component, None),
     }

@@ -1135,6 +1135,26 @@ def scd2_intervals(events_ds, key_col: str, ts_col: str, order_col: str,
                                                 batch_format="pandas")
 
 
+def unpivot(ds, id_cols: list, value_cols: list,
+            var_name: str = "variable", value_name: str = "value"):
+    """Wide→long UNPIVOT: each input row becomes len(value_cols) output
+    rows ``(id_cols…, variable, value)``.  Pure per-batch Arrow concat —
+    no shuffle, no Python row loop; value columns are cast to a common
+    type by Arrow's concat_tables promotion.  The inverse of the pivot
+    stage."""
+    def per_batch(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            part = t.select(id_cols) \
+                .append_column(var_name,
+                               pa.array([c] * len(t), type=pa.string())) \
+                .append_column(value_name, t[c])
+            parts.append(part)
+        return pa.concat_tables(parts, promote_options="permissive")
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def grouped_ranks(events_ds, key_col: str, order_col: str, id_col: str,
                   num_buckets: int = 64):
     """Rank windows — per key in ``order_col`` order: ROW_NUMBER (id

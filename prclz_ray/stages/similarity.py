@@ -266,3 +266,62 @@ def ann_ivf(ds, queries: np.ndarray, query_ids: list, centroids: np.ndarray,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return partials.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def embeddings_pca(ds, vec_col: str = "embedding", scale: int = 1_000_000,
+                   top: int = 1):
+    """Exact-integer-covariance PCA over an embedding column.
+
+    Floats are quantized to ints (``round(x·scale)``) per batch, so the
+    Gram matrix Σ xᵀx and the column sums are EXACT integers — the
+    reduction is bit-identical at any partitioning / block order (float
+    accumulation would not be).  Products can exceed int64 under global
+    summation, so each Gram cell rides the (hi, lo) 128-bit split (the
+    arithmetic->shift / mask decomposition is the floor/mod identity,
+    exact for negatives — same convention as the skewness power sums).
+    The d×d eigensolve runs once on the driver (d is the embedding
+    width, never the row count); the sign convention makes the largest-
+    |loading| coordinate positive so the eigenvector is deterministic.
+
+    Returns (eigvecs[d, top], explained_ratio[top], n_rows) as numpy —
+    the caller shapes the output table.
+    """
+    import pyarrow as pa_
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.round(_as_matrix(t[vec_col]).astype(np.float64)
+                     * scale).astype(np.int64)
+        G = X.T @ X                       # exact: |x|·scale ≤ ~1e6
+        s = X.sum(axis=0)
+        flat = np.concatenate([G.reshape(-1), s])
+        idx = np.arange(flat.size, dtype=np.int64)
+        return pa_.table({
+            "idx": pa_.array(idx),
+            "ph": pa_.array(flat >> 32),
+            "pl": pa_.array(flat & 0xFFFFFFFF),
+            "pn": pa_.array(np.full(flat.size, X.shape[0],
+                                    dtype=np.int64))})
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("idx").aggregate(Sum("ph", alias_name="h"),
+                                  Sum("pl", alias_name="l"),
+                                  Sum("pn", alias_name="n")) \
+        .to_pandas().sort_values("idx")
+    vals = [int(h) * (1 << 32) + int(l)
+            for h, l in zip(agg["h"], agg["l"])]
+    d = int(round((np.sqrt(4 * len(vals) + 1) - 1) / 2))  # d² + d cells
+    # every idx row carries Σ_batches rows_b = the total row count
+    n = int(agg["n"].iloc[0])
+    G = np.array(vals[:d * d], dtype=np.float64).reshape(d, d)
+    s = np.array(vals[d * d:], dtype=np.float64)
+    cov = (G - np.outer(s, s) / n) / n
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:top]
+    vecs = v[:, order]
+    for j in range(vecs.shape[1]):       # deterministic sign
+        k = int(np.argmax(np.abs(vecs[:, j])))
+        if vecs[k, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    ratio = w[order] / w.sum()
+    return vecs, ratio, n

@@ -50,7 +50,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "cusum_daily_revenue", "welch_ttest_value",
        # batch 10 (stats / series / islands)
        "ks_test_2sample", "max_drawdown_revenue", "ohlc_daily_value",
-       "longest_event_run", "jarque_bera_discount"]
+       "longest_event_run", "jarque_bera_discount",
+       # batch 11 (engine surface: unpivot, grouped quantile_cont)
+       "unpivot_lineitem_measures", "grouped_percentile_cont"]
 
 
 def _norm(v) -> str:
@@ -580,3 +582,53 @@ def test_user_path_length_single_leg_known(tmp_path):
     out = q_user_path_length(d)
     assert out.iloc[0]["n_legs"] == 1
     assert out.iloc[0]["path_km"] == round(want / 1000.0, 2)
+
+
+def test_pca_partition_invariance_and_reconstruction():
+    import ray
+
+    from prclz_ray.stages import similarity
+    ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                               columns=["embedding"])
+    v1, r1, n1 = similarity.embeddings_pca(ds.repartition(1),
+                                           "embedding", top=2)
+    v7, r7, n7 = similarity.embeddings_pca(ds.repartition(7),
+                                           "embedding", top=2)
+    # integer partials → bit-identical at any partitioning
+    assert n1 == n7
+    assert np.array_equal(v1, v7)
+    assert np.array_equal(r1, r7)
+    # reconstruction vs a straight numpy eigensolve on the same
+    # quantized data
+    import pyarrow.parquet as pq
+    X = np.vstack(pq.read_table(
+        os.path.join(SF, "embeddings.parquet"),
+        columns=["embedding"])["embedding"].to_numpy(
+        zero_copy_only=False))
+    Q = np.round(X.astype(np.float64) * 1_000_000)
+    C = np.cov(Q, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(C)
+    top = v[:, np.argsort(w)[::-1][:2]]
+    for j in range(2):
+        cos = abs(float(v1[:, j] @ top[:, j])
+                  / (np.linalg.norm(v1[:, j])
+                     * np.linalg.norm(top[:, j])))
+        assert cos > 0.9999
+    assert abs(float(r1[0]) - float(np.sort(w)[::-1][0] / w.sum())) \
+        < 1e-9
+
+
+def test_unpivot_roundtrip_rows():
+    import ray
+
+    from prclz_ray.stages import relational
+    ds = ray.data.read_parquet(os.path.join(SF, "customer.parquet"),
+                               columns=["c_custkey", "c_acctbal",
+                                        "c_nationkey"])
+    long = relational.unpivot(ds, id_cols=["c_custkey"],
+                              value_cols=["c_acctbal", "c_nationkey"])
+    t = relational.ds_to_table(long)
+    assert t.num_rows == ds.count() * 2
+    assert set(t.column_names) == {"c_custkey", "variable", "value"}
+    assert set(t["variable"].to_pylist()) == {"c_acctbal",
+                                              "c_nationkey"}
