@@ -284,3 +284,88 @@ def read_ipc(path: str):
     return rd.from_arrow(pa.table({"file": pa.array(files)})) \
         .repartition(max(len(files), 1)) \
         .map_batches(load, batch_format="pyarrow")
+
+
+def write_orc(ds, path: str):
+    """Apache ORC sink: one ``.orc`` file per block — the columnar
+    interchange format for Hive/Spark-side neighbors.  Same
+    manifest-returning contract as ``write_ipc``: the returned Dataset
+    has one (file, rows) row per written file, and consuming it is what
+    forces the writes; readers must adopt MANIFEST-named files only
+    (Ray probe/retry replays can leave orphan files)."""
+    import os
+
+    from pyarrow import orc
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import uuid
+        f = os.path.join(path, f"block-{uuid.uuid4().hex}.orc")
+        orc.write_table(t, f)
+        return pa.table({"file": pa.array([f]),
+                         "rows": pa.array([t.num_rows],
+                                          type=pa.int64())})
+
+    return ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+
+def read_orc(files):
+    """Apache ORC source: block-parallel read over an explicit file
+    list (pass the manifest's ``file`` column — never a directory
+    glob, per the exactly-once adoption contract).  Ray has no native
+    ORC reader; each file becomes one task via map_batches over the
+    tiny file list."""
+    import ray.data as rd
+
+    files = sorted(files)
+
+    def load(t: pa.Table) -> pa.Table:
+        from pyarrow import orc
+        out = [orc.read_table(f) for f in t["file"].to_pylist()]
+        return pa.concat_tables(out) if out else pa.table({})
+
+    return rd.from_arrow(pa.table({"file": pa.array(files)})) \
+        .repartition(max(len(files), 1)) \
+        .map_batches(load, batch_format="pyarrow")
+
+
+def read_parquet_union_by_name(files):
+    """Schema-evolution-tolerant parquet source: files written at
+    different schema versions are aligned by COLUMN NAME — columns
+    missing from an older file are null-filled at that file's rows,
+    and the unified schema is the name-keyed union across all files
+    (types must agree where names collide; the first file's type
+    wins the slot order).  The schema union is computed from parquet
+    FOOTERS only (no data read on the driver); the per-file align runs
+    block-parallel."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    files = sorted(files)
+    unified: dict = {}
+    for f in files:
+        sch = pq_.read_schema(f)
+        for field in sch:
+            if field.name not in unified:
+                unified[field.name] = field.type
+    names = list(unified)
+
+    def load(t: pa.Table) -> pa.Table:
+        parts = []
+        for f in t["file"].to_pylist():
+            raw = pq_.read_table(f)
+            cols = []
+            for name in names:
+                if name in raw.column_names:
+                    cols.append(raw[name].cast(unified[name]))
+                else:
+                    cols.append(pa.nulls(raw.num_rows,
+                                         type=unified[name]))
+            parts.append(pa.table(dict(zip(names, cols))))
+        return pa.concat_tables(parts) if parts else pa.table({})
+
+    return rd.from_arrow(pa.table({"file": pa.array(files)})) \
+        .repartition(max(len(files), 1)) \
+        .map_batches(load, batch_format="pyarrow")

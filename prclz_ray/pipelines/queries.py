@@ -11862,6 +11862,210 @@ def q_pca_top_component(sf_dir: str):
         "n_rows": np.full(d, n, dtype=np.int64)})
 
 
+def _fingerprint_cache_dir(sf_dir: str, table: str, kind: str) -> str:
+    """Content-fingerprinted /tmp cache path for format-roundtrip
+    queries (name+size+mtime per input file — regenerated fixtures get
+    a fresh dir; see the JSONL twin for the rationale)."""
+    import glob
+    import hashlib
+    import os
+    h = hashlib.md5()
+    for f in sorted(glob.glob(os.path.join(sf_dir, f"{table}*"))):
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/prclz_ray_{kind}_{tag}_{h.hexdigest()[:12]}"
+
+
+def q_orc_source_stats(sf_dir: str):
+    """Apache ORC source/sink parity: documents round-trip through ORC
+    (manifest-adopted files only, fingerprint-cached once per input),
+    then aggregate per source FROM THE ORC READ — the oracle aggregates
+    the original parquet, so any writer/reader corruption breaks the
+    hash."""
+    import json
+    import os
+    import uuid
+
+    from ray.data.aggregate import Max, Sum
+
+    from ..io import codecs
+
+    out = _fingerprint_cache_dir(sf_dir, "documents", "orc")
+    manifest = os.path.join(out, "_MANIFEST.json")
+    if not os.path.isfile(manifest):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        m = codecs.write_orc(_read(sf_dir, "documents",
+                                   ["doc_id", "source", "n_chars"]),
+                             tmp).to_pandas()
+        files = [os.path.basename(f) for f in m["file"]]
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as fh:
+            json.dump(files, fh)
+        try:
+            os.rename(tmp, out)
+        except OSError:            # concurrent run won the rename
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(manifest) as fh:
+        files = [os.path.join(out, f) for f in json.load(fh)]
+
+    docs = codecs.read_orc(files)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "nc": t["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("source", sort=False).agg(
+            pn=("nc", "size"), pc_=("nc", "sum"),
+            pm=("nc", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(
+            Sum("pn", alias_name="n_docs"),
+            Sum("pc_", alias_name="total_chars"),
+            Max("pm", alias_name="max_chars"))
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    return o.astype({"n_docs": np.int64, "total_chars": np.int64,
+                     "max_chars": np.int64})
+
+
+SQL_ORC_STATS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_hive_pruned_scan(sf_dir: str):
+    """Hive-style partitioned write + partition-PRUNED read-back:
+    orders land under ``o_orderstatus=<v>/`` directories (Ray's native
+    ``partition_cols`` writer), then the scan reads ONLY the 'F'
+    directory — bytes from the other partitions never leave storage,
+    which is the point of hive layout at 100 TB.  The oracle filters
+    the original table, so a wrong partition routing breaks the
+    hash."""
+    import os
+    import uuid
+
+    from ray.data.aggregate import Sum
+
+    out = _fingerprint_cache_dir(sf_dir, "orders", "hive")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderstatus", "o_orderpriority",
+               "o_totalprice"]) \
+            .write_parquet(tmp, partition_cols=["o_orderstatus"])
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    import ray.data as rd
+    part = rd.read_parquet(os.path.join(out, "o_orderstatus=F"),
+                           columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_orderpriority":
+                          t["o_orderpriority"].to_numpy(
+                              zero_copy_only=False),
+                          "pn": 1, "pc_": cents}) \
+            .groupby("o_orderpriority", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority").aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pc_", alias_name="revenue_c"))
+    ).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    return o.astype({"n": np.int64, "revenue_c": np.int64})
+
+
+SQL_HIVE_PRUNED = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+         AS revenue_c
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_schema_evolution_stats(sf_dir: str):
+    """Schema-evolution read: half the corpus is re-written at an
+    OLDER schema version (no n_chars column), the other half at the
+    current one; ``read_parquet_union_by_name`` aligns by column name
+    and null-fills the missing column — the v1/v2-mixed-lake situation
+    every long-lived pipeline hits.  Split rule doc_id % 2 so the
+    oracle can reproduce the null pattern from the original table."""
+    import os
+    import uuid
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..io import codecs
+
+    out = _fingerprint_cache_dir(sf_dir, "documents", "schevo")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        os.makedirs(tmp, exist_ok=True)
+        t = relational.ds_to_table(
+            _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]))
+        even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        import pyarrow.parquet as pq_
+        pq_.write_table(t.filter(even).select(["doc_id", "lang"]),
+                        os.path.join(tmp, "v1.parquet"))
+        pq_.write_table(t.filter(pc.invert(even)),
+                        os.path.join(tmp, "v2.parquet"))
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    files = [os.path.join(out, "v1.parquet"),
+             os.path.join(out, "v2.parquet")]
+    docs = codecs.read_parquet_union_by_name(files)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"]
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "pn": 1,
+            "pmiss": pc.is_null(nc).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "pc_": nc.fill_null(0).to_numpy(zero_copy_only=False)})
+        g = df.groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang").aggregate(
+            Sum("pn", alias_name="n_docs"),
+            Sum("pmiss", alias_name="n_missing"),
+            Sum("pc_", alias_name="chars_known"))
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    return o.astype({"n_docs": np.int64, "n_missing": np.int64,
+                     "chars_known": np.int64})
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n_chars END)
+            AS BIGINT) AS chars_known
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -12201,4 +12405,8 @@ def registry():
         "grouped_percentile_cont": (q_grouped_percentile_cont,
                                     SQL_GROUPED_PCTL),
         "pca_top_component": (q_pca_top_component, None),
+        "orc_source_stats": (q_orc_source_stats, SQL_ORC_STATS),
+        "hive_pruned_scan": (q_hive_pruned_scan, SQL_HIVE_PRUNED),
+        "schema_evolution_stats": (q_schema_evolution_stats,
+                                   SQL_SCHEMA_EVOLUTION),
     }

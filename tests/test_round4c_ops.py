@@ -52,7 +52,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "ks_test_2sample", "max_drawdown_revenue", "ohlc_daily_value",
        "longest_event_run", "jarque_bera_discount",
        # batch 11 (engine surface: unpivot, grouped quantile_cont)
-       "unpivot_lineitem_measures", "grouped_percentile_cont"]
+       "unpivot_lineitem_measures", "grouped_percentile_cont",
+       # batch 12 (IO: ORC roundtrip, hive pruning, schema evolution)
+       "orc_source_stats", "hive_pruned_scan",
+       "schema_evolution_stats"]
 
 
 def _norm(v) -> str:
