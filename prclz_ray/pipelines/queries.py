@@ -12066,6 +12066,146 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_pmi_collocations(sf_dir: str):
+    """Top-20 PMI collocations over the document corpus — see
+    ``text.pmi_collocations`` for the two-vocabulary-aggregation scale
+    shape (rare-bigram filter BEFORE any join; size-guarded unigram
+    broadcast with bucketed fallback)."""
+    docs = _read(sf_dir, "documents", ["text"])
+    t = text.pmi_collocations(docs, text_col="text", min_count=5, k=20)
+    out = t.to_pandas()
+    out["pmi"] = np.round(out["pmi"], 6)
+    return out.astype({"c_ab": np.int64})
+
+
+SQL_PMI = """
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+big AS (SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+          AS bigram,
+               w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM toks WHERE len(w) >= 2)),
+bc AS (SELECT bigram, MIN(w1) AS w1, MIN(w2) AS w2,
+              CAST(COUNT(*) AS BIGINT) AS c_ab
+       FROM big GROUP BY bigram),
+uni AS (SELECT u AS word, CAST(COUNT(*) AS BIGINT) AS c_w
+        FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1),
+tot AS (SELECT (SELECT SUM(c_ab) FROM bc) AS nb,
+               (SELECT SUM(c_w) FROM uni) AS nw)
+SELECT bigram, c_ab,
+       ROUND(LN((CAST(c_ab AS DOUBLE) / nb)
+                / ((CAST(a.c_w AS DOUBLE) / nw)
+                   * (CAST(b.c_w AS DOUBLE) / nw))), 6) AS pmi
+FROM bc JOIN uni a ON bc.w1 = a.word
+        JOIN uni b ON bc.w2 = b.word, tot
+WHERE c_ab >= 5
+ORDER BY LN((CAST(c_ab AS DOUBLE) / nb)
+            / ((CAST(a.c_w AS DOUBLE) / nw)
+               * (CAST(b.c_w AS DOUBLE) / nw))) DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def q_grouping_sets_orders(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority), ()) in one pass:
+    the finest (status, priority) partials reduce once (≤ 3×5 cells);
+    every requested grouping set derives from those cells — the same
+    derive-coarse-from-finest contract as the rollup/cube stages, with
+    an explicit grouping-id column."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderstatus",
+                                      "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "st": t["o_orderstatus"].to_numpy(zero_copy_only=False),
+            "pr": t["o_orderpriority"].to_numpy(zero_copy_only=False),
+            "pn": 1, "pc_": cents}) \
+            .groupby(["st", "pr"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["st", "pr"]).aggregate(
+            Sum("pn", alias_name="n"), Sum("pc_", alias_name="c"))
+    ).to_pandas()
+    rows = []
+    for st, g in cells.groupby("st"):
+        rows.append({"gid": 0, "o_orderstatus": st,
+                     "o_orderpriority": None,
+                     "n": int(g["n"].sum()), "revenue_c": int(g["c"].sum())})
+    for pr, g in cells.groupby("pr"):
+        rows.append({"gid": 1, "o_orderstatus": None,
+                     "o_orderpriority": pr,
+                     "n": int(g["n"].sum()), "revenue_c": int(g["c"].sum())})
+    rows.append({"gid": 2, "o_orderstatus": None, "o_orderpriority": None,
+                 "n": int(cells["n"].sum()),
+                 "revenue_c": int(cells["c"].sum())})
+    return pd.DataFrame(rows).sort_values(
+        ["gid", "o_orderstatus", "o_orderpriority"],
+        na_position="last").reset_index(drop=True) \
+        .astype({"gid": np.int64, "n": np.int64, "revenue_c": np.int64})
+
+
+SQL_GROUPING_SETS = """
+SELECT 0 AS gid, o_orderstatus, CAST(NULL AS VARCHAR)
+         AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+         AS revenue_c
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 1, CAST(NULL AS VARCHAR), o_orderpriority,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 2, NULL, NULL, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+FROM orders
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q_user_event_journey(sf_dir: str):
+    """Per-user ordered event-type journey string (the collect_list /
+    STRING_AGG ORDER BY surface): one coarse user-bucket shuffle, then
+    a per-bucket vectorized sort + pandas grouped join — the string
+    assembly is necessarily per-user, but the output (and the python
+    work) is USER-bounded, never event-bounded."""
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts", "event_id"])
+        out = df.groupby("user_id", sort=False)["event_type"] \
+            .agg([(">".join), "size"]).reset_index()
+        out.columns = ["user_id", "journey", "n_events"]
+        return out
+
+    out = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": np.int64, "n_events": np.int64})
+
+
+SQL_JOURNEY = """
+SELECT user_id,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS journey,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -12409,4 +12549,8 @@ def registry():
         "hive_pruned_scan": (q_hive_pruned_scan, SQL_HIVE_PRUNED),
         "schema_evolution_stats": (q_schema_evolution_stats,
                                    SQL_SCHEMA_EVOLUTION),
+        "pmi_collocations": (q_pmi_collocations, SQL_PMI),
+        "grouping_sets_orders": (q_grouping_sets_orders,
+                                 SQL_GROUPING_SETS),
+        "user_event_journey": (q_user_event_journey, SQL_JOURNEY),
     }

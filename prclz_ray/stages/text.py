@@ -1351,3 +1351,109 @@ def clean_lines(ds, key_col: str = "doc_id", text_col: str = "text",
             "n_kept": pa.array(n_kept)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
+                     k: int = 20, num_buckets: int = 32,
+                     broadcast_limit_bytes: int = 64 << 20):
+    """Top-k PMI collocations: pointwise mutual information
+    ln(p(ab) / (p(a)·p(b))) over space-split bigrams, the classic
+    collocation-extraction statistic (Church & Hanks 1990).
+
+    Scale shape — two vocabulary-bounded aggregations, zero row-scale
+    shuffles:
+      1. bigram counts (same within-doc shift-and-join as
+         ``top_k_ngrams``) → groupby per distinct bigram;
+      2. unigram counts → groupby per distinct word;
+      3. rare-bigram filter (count < min_count) BEFORE any join, so
+         only the candidate set ever carries attachments;
+      4. unigram counts attach to candidates via the size-guarded
+         broadcast (Zipf vocabularies are ~MBs) with a bucketed-join
+         fallback per side past the byte budget;
+      5. PMI floats evaluate the identical expression as the SQL twin;
+         top-k orders by (pmi DESC, bigram ASC).
+    Empty tokens are KEPT (mirrors SQL string_split semantics)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import broadcast_join, bucketed_hash_join, ds_to_table
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern=" ")
+        flat = pc.list_flatten(parts).combine_chunks()
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "pcnt": pa.array([], type=pa.int64())})
+        a = flat.slice(0, len(flat) - 1)
+        b = flat.slice(1, len(flat) - 1)
+        joined = pc.binary_join_element_wise(a, b, " ")
+        same_doc = parent[:-1] == parent[1:]
+        g = pa.table({"bigram": joined.filter(pa.array(same_doc))}) \
+            .group_by("bigram").aggregate([([], "count_all")])
+        return pa.table({"bigram": g["bigram"],
+                         "pcnt": g["count_all"].cast(pa.int64())})
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch[text_col],
+                                                pattern=" "))
+        g = pa.table({"word": flat}).group_by("word") \
+            .aggregate([([], "count_all")])
+        return pa.table({"word": g["word"],
+                         "pcnt": g["count_all"].cast(pa.int64())})
+
+    bg = ds.map_batches(bigram_partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("pcnt", alias_name="c_ab")) \
+        .materialize()                 # bigram-vocabulary-sized
+    ug = ds.map_batches(unigram_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("pcnt", alias_name="c_w")) \
+        .materialize()                 # vocabulary-sized
+
+    from ray.data.aggregate import Sum as _S
+    nb = int(bg.aggregate(_S("c_ab", alias_name="s"))["s"])
+    nw = int(ug.aggregate(_S("c_w", alias_name="s"))["s"])
+
+    cand = bg.filter(expr=f"c_ab >= {int(min_count)}")
+
+    def split_words(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["bigram"], pattern=" ",
+                                 max_splits=1)
+        return t.append_column("w1", pc.list_element(parts, 0)) \
+            .append_column("w2", pc.list_element(parts, 1))
+
+    cand = cand.map_batches(split_words, batch_format="pyarrow")
+
+    vocab_bytes = ug.size_bytes() or 0
+    u1 = ds_to_table(ug).rename_columns(["w1", "c_a"])
+    u2 = ds_to_table(ug).rename_columns(["w2", "c_b"])
+    if vocab_bytes <= broadcast_limit_bytes:
+        joined = broadcast_join(broadcast_join(cand, u1, on="w1"),
+                                u2, on="w2")
+    else:
+        import ray.data as rd
+        joined = bucketed_hash_join(
+            bucketed_hash_join(cand, rd.from_arrow(u1), on="w1",
+                               num_buckets=num_buckets),
+            rd.from_arrow(u2), on="w2", num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c_a = t["c_a"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c_b = t["c_b"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pmi = np.log((c_ab / nb) / ((c_a / nw) * (c_b / nw)))
+        out = pa.table({"bigram": t["bigram"],
+                        "c_ab": t["c_ab"].cast(pa.int64()),
+                        "pmi": pa.array(pmi, type=pa.float64())})
+        return out.sort_by([("pmi", "descending"),
+                            ("bigram", "ascending")]).slice(0, k)
+
+    pruned = ds_to_table(joined.map_batches(score,
+                                            batch_format="pyarrow"))
+    top = pruned.sort_by([("pmi", "descending"),
+                          ("bigram", "ascending")]).slice(0, k)
+    return top

@@ -55,7 +55,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "unpivot_lineitem_measures", "grouped_percentile_cont",
        # batch 12 (IO: ORC roundtrip, hive pruning, schema evolution)
        "orc_source_stats", "hive_pruned_scan",
-       "schema_evolution_stats"]
+       "schema_evolution_stats",
+       # batch 13 (text/SQL surface)
+       "pmi_collocations", "grouping_sets_orders",
+       "user_event_journey"]
 
 
 def _norm(v) -> str:
