@@ -12206,6 +12206,272 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def _synthetic_links(sf_dir: str):
+    """The deterministic 3-out synthetic link graph shared by the
+    pagerank / triangle / k-core query family (src·7919 + k·104729
+    mod n) — reproduced as a CTE in every SQL twin."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return docs.map_batches(edges, batch_format="pyarrow"), n
+
+
+_SQL_LINKS_CTE = """
+raw AS (
+  SELECT doc_id AS src,
+         (doc_id * 7919 + k * 104729)
+           % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents
+  CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw WHERE src <> dst),
+sym AS (SELECT a AS u, b AS v FROM und
+        UNION ALL SELECT b, a FROM und)
+"""
+
+
+def q_link_prediction_cn(sf_dir: str):
+    """Link prediction by common-neighbor count: for every NON-edge
+    vertex pair with ≥1 common neighbor, cn(u,v) = |N(u) ∩ N(v)| —
+    exact integers via the cooccurrence kernel over the symmetric
+    adjacency (each common neighbor w pivots the pair once), then an
+    anti-join against the edge set and a (cn DESC, a, b) top-25.
+    The Σ deg² wedge explosion is the exact-semantics cost — the
+    kernel's per-key cap is OFF here because exactness is the contract
+    (cap it for power-law graphs and document the recall tradeoff)."""
+    from ray.data.aggregate import Count, Sum
+    edges, n = _synthetic_links(sf_dir)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        m = s != d
+        s, d = s[m], d[m]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        t = pa.table({"ea": pa.array(a), "eb": pa.array(b)})
+        return t.group_by(["ea", "eb"]).aggregate([])
+
+    und = edges.map_batches(norm, batch_format="pyarrow") \
+        .groupby(["ea", "eb"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["ea", "eb"]),
+                     batch_format="pyarrow").materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["ea"].to_numpy(zero_copy_only=False)
+        b = t["eb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pivot": pa.array(np.concatenate([a, b])),
+            "leaf": pa.array(np.concatenate([b, a]))})
+
+    pairs = relational.cooccurrence_pairs(
+        und.map_batches(sym, batch_format="pyarrow"),
+        key_col="pivot", val_col="leaf", max_vals_per_key=None)
+
+    # anti-join against existing edges on the (a, b) pair key
+    edge_keys = set(
+        f"{int(a)} {int(b)}" for a, b in zip(
+            relational.ds_to_table(und)["ea"].to_numpy(
+                zero_copy_only=False),
+            relational.ds_to_table(und)["eb"].to_numpy(
+                zero_copy_only=False)))
+    import ray
+    ek_ref = ray.put(edge_keys)
+
+    def drop_edges(t: pa.Table) -> pa.Table:
+        from ..stages.relational import worker_cached
+        ek = worker_cached(("lp_edges", ek_ref), lambda: ray.get(ek_ref))
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        keep = np.array([f"{int(x)} {int(y)}" not in ek
+                         for x, y in zip(a, b)], dtype=bool)
+        out = t.filter(pa.array(keep))
+        # per-block prune to k so the driver merge is blocks×k
+        return out.rename_columns(["a", "b", "cn"]) \
+            .sort_by([("cn", "descending"), ("a", "ascending"),
+                      ("b", "ascending")]).slice(0, 25)
+
+    pruned = relational.ds_to_table(
+        pairs.map_batches(drop_edges, batch_format="pyarrow"))
+    top = pruned.sort_by([("cn", "descending"), ("a", "ascending"),
+                          ("b", "ascending")]).slice(0, 25)
+    return top.to_pandas().astype({"a": np.int64, "b": np.int64,
+                                   "cn": np.int64})
+
+
+SQL_LINK_PRED = f"""
+WITH {_SQL_LINKS_CTE},
+cn AS (SELECT e1.v AS a, e2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+       FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+       GROUP BY 1, 2),
+nonedge AS (SELECT cn.* FROM cn
+            LEFT JOIN und ON cn.a = und.a AND cn.b = und.b
+            WHERE und.a IS NULL)
+SELECT a, b, cn FROM nonedge
+ORDER BY cn DESC, a, b LIMIT 25
+"""
+
+
+def q_neighbor_jaccard_topk(sf_dir: str):
+    """Structural-similarity top-k: Jaccard of neighborhoods
+    cn / (deg_u + deg_v − cn) over vertex pairs with ≥1 common
+    neighbor — the common-neighbor table from the cooccurrence kernel
+    plus a broadcast degree attach; exact ints until the one mirrored
+    division, ordered (jacc DESC, a, b)."""
+    from ray.data.aggregate import Count, Sum
+    edges, n = _synthetic_links(sf_dir)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        m = s != d
+        s, d = s[m], d[m]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        t = pa.table({"ea": pa.array(a), "eb": pa.array(b)})
+        return t.group_by(["ea", "eb"]).aggregate([])
+
+    und = edges.map_batches(norm, batch_format="pyarrow") \
+        .groupby(["ea", "eb"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["ea", "eb"]),
+                     batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nn = np.concatenate(
+            [t["ea"].to_numpy(zero_copy_only=False),
+             t["eb"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        uniq, cnt = np.unique(nn, return_counts=True)
+        return pa.table({"node": pa.array(uniq),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    deg = relational.ds_to_table(
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node").aggregate(Sum("pn", alias_name="deg")))
+    ids = deg["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dv = deg["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    import ray
+    ref = ray.put((ids[order], dv[order]))
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["ea"].to_numpy(zero_copy_only=False)
+        b = t["eb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pivot": pa.array(np.concatenate([a, b])),
+            "leaf": pa.array(np.concatenate([b, a]))})
+
+    pairs = relational.cooccurrence_pairs(
+        und.map_batches(sym, batch_format="pyarrow"),
+        key_col="pivot", val_col="leaf", max_vals_per_key=None)
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..stages.relational import worker_cached
+        _ids, _dv = worker_cached(("nj_deg", ref), lambda: ray.get(ref))
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = t["n_keys"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        da = _dv[np.searchsorted(_ids, a)]
+        db = _dv[np.searchsorted(_ids, b)]
+        jacc = cn.astype(np.float64) / (da + db - cn).astype(np.float64)
+        # sort on the UNROUNDED double (the SQL ORDER BY does too);
+        # rounding happens only on the returned column
+        out = pa.table({"a": pa.array(a), "b": pa.array(b),
+                        "cn": pa.array(cn),
+                        "jacc": pa.array(jacc)})
+        return out.sort_by([("jacc", "descending"), ("a", "ascending"),
+                            ("b", "ascending")]).slice(0, 25)
+
+    pruned = relational.ds_to_table(
+        pairs.map_batches(score, batch_format="pyarrow"))
+    top = pruned.sort_by([("jacc", "descending"), ("a", "ascending"),
+                          ("b", "ascending")]).slice(0, 25).to_pandas()
+    top["jacc"] = np.round(top["jacc"], 6)
+    return top.astype({"a": np.int64, "b": np.int64, "cn": np.int64})
+
+
+SQL_NEIGHBOR_JACCARD = f"""
+WITH {_SQL_LINKS_CTE},
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+cn AS (SELECT e1.v AS a, e2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+       FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+       GROUP BY 1, 2)
+SELECT a, b, cn,
+       ROUND(CAST(cn AS DOUBLE)
+             / CAST(da.deg + db.deg - cn AS DOUBLE), 6) AS jacc
+FROM cn JOIN deg da ON cn.a = da.node
+        JOIN deg db ON cn.b = db.node
+ORDER BY CAST(cn AS DOUBLE)
+         / CAST(da.deg + db.deg - cn AS DOUBLE) DESC, a, b
+LIMIT 25
+"""
+
+
+def q_json_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the events ``props`` JSON column with ONE vectorized Arrow regex
+    (no per-row json.loads), then exact per-type stats — the
+    JSON-column pattern every event pipeline hits.  Rows whose props
+    don't carry the key count as nulls."""
+    from ray.data.aggregate import Max, Min, Sum
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ex, "k")
+        kn = pd.to_numeric(pd.Series(
+            k.to_pandas()), errors="coerce")
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(
+                zero_copy_only=False),
+            "pn": 1,
+            "pmiss": kn.isna().to_numpy().astype(np.int64),
+            "pk": kn.fillna(0).to_numpy().astype(np.int64)})
+        kv = kn.fillna(np.iinfo(np.int64).max).to_numpy() \
+            .astype(np.int64)
+        df["pmin"] = kv
+        kv2 = kn.fillna(np.iinfo(np.int64).min).to_numpy() \
+            .astype(np.int64)
+        df["pmax"] = kv2
+        g = df.groupby("event_type", sort=False).agg(
+            pn=("pn", "sum"), pmiss=("pmiss", "sum"),
+            pk=("pk", "sum"), pmin=("pmin", "min"),
+            pmax=("pmax", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type").aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pmiss", alias_name="n_missing"),
+            Sum("pk", alias_name="sum_k"),
+            Min("pmin", alias_name="min_k"),
+            Max("pmax", alias_name="max_k"))
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    return o.astype({"n": np.int64, "n_missing": np.int64,
+                     "sum_k": np.int64, "min_k": np.int64,
+                     "max_k": np.int64})
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(SUM(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT),
+                         0)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -12553,4 +12819,8 @@ def registry():
         "grouping_sets_orders": (q_grouping_sets_orders,
                                  SQL_GROUPING_SETS),
         "user_event_journey": (q_user_event_journey, SQL_JOURNEY),
+        "link_prediction_cn": (q_link_prediction_cn, SQL_LINK_PRED),
+        "neighbor_jaccard_topk": (q_neighbor_jaccard_topk,
+                                  SQL_NEIGHBOR_JACCARD),
+        "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
     }

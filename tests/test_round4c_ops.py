@@ -58,7 +58,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "schema_evolution_stats",
        # batch 13 (text/SQL surface)
        "pmi_collocations", "grouping_sets_orders",
-       "user_event_journey"]
+       "user_event_journey",
+       # batch 14 (graph link prediction + JSON extraction)
+       "link_prediction_cn", "neighbor_jaccard_topk",
+       "json_props_stats"]
 
 
 def _norm(v) -> str:
