@@ -4490,7 +4490,7 @@ GROUP BY a.event_type, b.event_type
 """
 
 
-def q_pmi_collocations(sf_dir: str):
+def q_pmi_unigram_collocations(sf_dir: str):
     """Collocation extraction: corpus top-20 adjacent pairs by PMI
     (min count 5) — one bigram groupby, vocabulary-sized margins,
     heavy-hitter prune tail."""
@@ -4498,7 +4498,7 @@ def q_pmi_collocations(sf_dir: str):
     return text.top_pmi_collocations(docs, k=20, min_count=5)
 
 
-SQL_PMI = """
+SQL_PMI_UNIGRAM = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
               FROM documents),
 big AS (
@@ -12276,22 +12276,22 @@ def q_link_prediction_cn(sf_dir: str):
         key_col="pivot", val_col="leaf", max_vals_per_key=None)
 
     # anti-join against existing edges on the (a, b) pair key
-    edge_keys = set(
-        f"{int(a)} {int(b)}" for a, b in zip(
-            relational.ds_to_table(und)["ea"].to_numpy(
-                zero_copy_only=False),
-            relational.ds_to_table(und)["eb"].to_numpy(
-                zero_copy_only=False)))
+    und_t = relational.ds_to_table(und)
+    edge_keys = np.sort(
+        und_t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+        * (1 << 32)
+        + und_t["eb"].to_numpy(zero_copy_only=False).astype(np.int64))
     import ray
     ek_ref = ray.put(edge_keys)
 
     def drop_edges(t: pa.Table) -> pa.Table:
         from ..stages.relational import worker_cached
         ek = worker_cached(("lp_edges", ek_ref), lambda: ray.get(ek_ref))
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        keep = np.array([f"{int(x)} {int(y)}" not in ek
-                         for x, y in zip(a, b)], dtype=bool)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = a * (1 << 32) + b
+        pos = np.minimum(np.searchsorted(ek, key), len(ek) - 1)
+        keep = ek[pos] != key              # vectorized non-membership
         out = t.filter(pa.array(keep))
         # per-block prune to k so the driver merge is blocks×k
         return out.rename_columns(["a", "b", "cn"]) \
@@ -12472,6 +12472,39 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_mst_links(sf_dir: str):
+    """Borůvka minimum spanning forest over the synthetic link graph
+    (deterministic hash weights) — rounds are O(log V), each round one
+    streaming edge pass + a component-bounded driver union-find; see
+    ``graph_ops.minimum_spanning_forest``.  Not SQL-expressible;
+    pinned by a pytest Kruskal cross-check (identical total weight and
+    edge count on the same weighted fixture graph)."""
+    from ..stages import graph_ops
+    edges, n = _synthetic_links(sf_dir)
+    mst, total, comps = graph_ops.minimum_spanning_forest(edges)
+    return pd.DataFrame([{
+        "n_nodes_spanned": int(mst.num_rows + comps),
+        "n_edges": int(mst.num_rows),
+        "total_weight": int(total),
+        "n_components": int(comps)}])
+
+
+def q_k_truss_links(sf_dir: str):
+    """3-truss of the synthetic link graph (every surviving edge in
+    ≥ 1 triangle within the SURVIVING subgraph — the fixed point, not
+    a one-shot filter) — iterative support peel on degree-oriented
+    wedges; see ``graph_ops.k_truss``.  k=3 because the sparse 3-out
+    synthetic graph has triangles but no 4-truss.  Not SQL-expressible
+    (iterative fixed point); pinned by golden-graph pytests (K4
+    survives the 4-truss with support 2, C5 empties, pendants drop)."""
+    from ..stages import graph_ops
+    edges, n = _synthetic_links(sf_dir)
+    t = graph_ops.k_truss(edges, k=3)
+    df = t.to_pandas().sort_values(["ea", "eb"]).reset_index(drop=True)
+    return df.astype({"ea": np.int64, "eb": np.int64,
+                      "support": np.int64})
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -12597,7 +12630,8 @@ def registry():
         "docs_above_median": (q_docs_above_median, SQL_ABOVE_MEDIAN),
         "value_band_lookup": (q_value_band_lookup, SQL_VALUE_BAND),
         "event_type_pairs": (q_event_type_pairs, SQL_EVENT_PAIRS),
-        "pmi_collocations": (q_pmi_collocations, SQL_PMI),
+        "pmi_unigram_collocations": (q_pmi_unigram_collocations,
+                                     SQL_PMI_UNIGRAM),
         "bpe_token_counts": (q_bpe_token_counts, None),
         "sample_fixed_docs": (q_sample_fixed_docs, SQL_SAMPLE_FIXED),
         "q3_shipping_priority": (q3_shipping_priority, SQL_Q3),
@@ -12823,4 +12857,6 @@ def registry():
         "neighbor_jaccard_topk": (q_neighbor_jaccard_topk,
                                   SQL_NEIGHBOR_JACCARD),
         "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
+        "mst_links": (q_mst_links, None),
+        "k_truss_links": (q_k_truss_links, None),
     }

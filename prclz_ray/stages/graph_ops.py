@@ -21,6 +21,7 @@ unrolled SQL twin reproduce it bit-for-bit at the compare grain.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1205,3 +1206,305 @@ def local_clustering(edges_ds, src_col: str = "src", dst_col: str = "dst",
                          "deg": pa.array(dv), "cc_nano": pa.array(out)})
 
     return j.map_batches(fin, batch_format="pyarrow")
+
+
+def _normalize_undirected(edges_ds, src_col: str, dst_col: str):
+    """Distinct undirected (ea < eb) edge Dataset from a directed edge
+    list: per-batch distinct partials → one groupby (no pandas
+    head(1))."""
+    from ray.data.aggregate import Count
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        t = pa.table({"ea": pa.array(a), "eb": pa.array(b)})
+        return t.group_by(["ea", "eb"]).aggregate([])
+
+    return edges_ds.map_batches(norm, batch_format="pyarrow") \
+        .groupby(["ea", "eb"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["ea", "eb"]),
+                     batch_format="pyarrow")
+
+
+def minimum_spanning_forest(edges_ds, weight_fn=None,
+                            src_col: str = "src", dst_col: str = "dst",
+                            max_rounds: int = 40):
+    """Borůvka minimum spanning forest over an undirected weighted
+    graph — the classic distributed MST algorithm: every round each
+    component selects its minimum-weight OUTGOING edge (deterministic
+    total order (w, ea, eb) makes the forest unique even with repeated
+    weights), the selected edges merge components, and intra-component
+    edges drop; components at least halve per round, so rounds are
+    O(log V).
+
+    Scale shape (the broadcast regime, same contract as k_core's
+    broadcast leg): each round is ONE streaming edge pass — component
+    labels attach from a broadcast sorted array (8 B/node), the
+    per-batch partial keeps only each component's best candidate edge
+    (≤ components rows per batch), and one tiny groupby + driver
+    union-find (component-bounded, geometrically shrinking) closes the
+    round.  The edge set itself never materializes on the driver.  For
+    V past the broadcast budget the label attach becomes the standard
+    bucketed-join BSP leg (not implemented here — documented
+    partitioning assumption).
+
+    ``weight_fn(ea, eb) -> int64`` derives weights from endpoints
+    (default: a splitmix-style hash — deterministic, pseudo-unique).
+    Returns (mst_edges_table, total_weight, n_components)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from .relational import ds_to_table, worker_cached
+
+    if weight_fn is None:
+        def weight_fn(a, b):
+            x = (a * 2654435761 + b * 40503) & 0x7FFFFFFF
+            return (x % 100000) + 1
+
+    und = _normalize_undirected(edges_ds, src_col, dst_col)
+
+    def add_weight(t: pa.Table) -> pa.Table:
+        a = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("w", pa.array(weight_fn(a, b)))
+
+    wedges = und.map_batches(add_weight,
+                             batch_format="pyarrow").materialize()
+
+    nodes = np.unique(np.concatenate([
+        ds_to_table(wedges)["ea"].to_numpy(zero_copy_only=False),
+        ds_to_table(wedges)["eb"].to_numpy(zero_copy_only=False)]
+    ).astype(np.int64))
+    # union-find over the V-bounded node set (driver state is V ids,
+    # never edges)
+    parent = {int(v): int(v) for v in nodes}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    chosen = []          # (w, ea, eb) rows of the forest
+    for _ in range(max_rounds):
+        comp_ids = nodes
+        comp_lbl = np.array([find(int(v)) for v in nodes],
+                            dtype=np.int64)
+        ref = ray.put((comp_ids, comp_lbl))
+        tag = len(chosen)
+
+        def best_partial(t: pa.Table) -> pa.Table:
+            ids, lbl = worker_cached(("mst_comp", id(ref), tag),
+                                     lambda: ray.get(ref))
+            a = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ca = lbl[np.searchsorted(ids, a)]
+            cb = lbl[np.searchsorted(ids, b)]
+            keep = ca != cb
+            if not keep.any():
+                return pa.table({"comp": pa.array([], type=pa.int64()),
+                                 "pkey": pa.array([], type=pa.int64())})
+            a, b, w = a[keep], b[keep], w[keep]
+            ca, cb = ca[keep], cb[keep]
+            # candidate for BOTH endpoint components; composite key
+            # packs (w, ea, eb) into one int for a single Min aggregate
+            # — w < 2^17, ids < 2^23 each here; guard the packing
+            if (w.max() >= 1 << 17) or (a.max() >= 1 << 23) \
+                    or (b.max() >= 1 << 23):
+                raise ValueError("MST packing bound exceeded")
+            key = (w << 46) | (a << 23) | b
+            comp = np.concatenate([ca, cb])
+            key2 = np.concatenate([key, key])
+            df = pd.DataFrame({"comp": comp, "pkey": key2}) \
+                .groupby("comp", sort=False).min().reset_index()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        best = ds_to_table(
+            wedges.map_batches(best_partial, batch_format="pyarrow")
+            .groupby("comp").aggregate(Min("pkey", alias_name="key"))
+        )
+        if best.num_rows == 0:
+            break
+        keys = np.unique(best["key"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        merged_any = False
+        for k in keys:
+            w = int(k >> 46)
+            a = int((k >> 23) & ((1 << 23) - 1))
+            b = int(k & ((1 << 23) - 1))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                chosen.append((w, a, b))
+                merged_any = True
+        if not merged_any:
+            break
+
+    comps = len({find(int(v)) for v in nodes})
+    mst = pa.table({
+        "ea": pa.array([a for _, a, _b in chosen], type=pa.int64()),
+        "eb": pa.array([b for _, _a, b in chosen], type=pa.int64()),
+        "w": pa.array([w for w, _a, _b in chosen], type=pa.int64())})
+    total = int(sum(w for w, _a, _b in chosen))
+    return mst, total, comps
+
+
+def oriented_wedges_with_pivot(oriented_ds):
+    """(pivot, a, b) wedge rows from a degree-oriented (lo → hi) edge
+    Dataset: one lo-bucket shuffle, per-bucket vectorized ragged pair
+    explosion (sorted repeat / arange index arithmetic — no per-key
+    Python loop).  Out-degrees are O(√m)-bounded after orientation, so
+    the explosion is O(m^1.5) total."""
+    from .relational import stable_bucket
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = stable_bucket(t["lo"], 64)
+        return t.append_column("_bucket", pa.array(b))
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["lo", "hi"])
+        lo = df["lo"].to_numpy(np.int64)
+        hi = df["hi"].to_numpy(np.int64)
+        starts = np.ones(len(lo), dtype=bool)
+        starts[1:] = lo[1:] != lo[:-1]
+        seg = np.cumsum(starts) - 1
+        first = np.where(starts)[0]
+        counts = np.diff(np.append(first, len(lo)))
+        if not len(lo):
+            return pd.DataFrame({"pivot": [], "a": [], "b": []})
+        # for each row i (as the FIRST of a pair), pair with the
+        # j > i rows in the same segment
+        reps = (counts[seg] - (np.arange(len(lo)) - first[seg]) - 1)
+        reps = np.maximum(reps, 0)
+        i_idx = np.repeat(np.arange(len(lo)), reps)
+        offs = np.arange(len(i_idx)) - np.repeat(
+            np.cumsum(np.append(0, reps))[:-1], reps)
+        j_idx = i_idx + 1 + offs
+        a = np.minimum(hi[i_idx], hi[j_idx])
+        b = np.maximum(hi[i_idx], hi[j_idx])
+        return pd.DataFrame({"pivot": lo[i_idx], "a": a, "b": b})
+
+    return oriented_ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(explode, batch_format="pandas")
+
+
+def k_truss(edges_ds, k: int = 4, src_col: str = "src",
+            dst_col: str = "dst", max_rounds: int = 30,
+            broadcast_limit_bytes: int = 64 << 20):
+    """k-truss decomposition: the maximal subgraph in which every edge
+    participates in ≥ k−2 triangles — the cohesive-community standard
+    one notch above k-core.  Iterative peel: per round, per-edge
+    triangle support computes via degree-ordered wedge enumeration
+    (O(m^1.5), skew-proof) + a broadcast edge-set close + a triangle →
+    3-edges explode + one groupby; edges below support k−2 drop; stop
+    at a fixed point.  Returns the surviving (ea, eb, support) table.
+
+    The edge-set close and the degree attach are broadcast-regime
+    (edge-key set ≤ budget) — the bucketed-join BSP variant is the
+    documented scale path, same contract as triangle_count's
+    fallback."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .relational import ds_to_table, worker_cached
+
+    cur = _normalize_undirected(edges_ds, src_col, dst_col) \
+        .materialize()
+
+    for rnd in range(max_rounds):
+        t = ds_to_table(cur)
+        if t.num_rows == 0:
+            break
+        ea = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # degrees in the surviving subgraph
+        nodes, deg = np.unique(np.concatenate([ea, eb]),
+                               return_counts=True)
+        dref = ray.put((nodes, deg))
+        ekeys = np.sort(ea * (1 << 32) + eb)
+        eref = ray.put(ekeys)
+        tag_r = rnd
+
+        def orient(tb: pa.Table) -> pa.Table:
+            ids, dv = worker_cached(("truss_deg", id(dref), tag_r),
+                                    lambda: ray.get(dref))
+            a = tb["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = tb["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = dv[np.searchsorted(ids, a)]
+            db = dv[np.searchsorted(ids, b)]
+            swap = db < da
+            return pa.table({"lo": pa.array(np.where(swap, b, a)),
+                             "hi": pa.array(np.where(swap, a, b))})
+
+        wedges = oriented_wedges_with_pivot(
+            cur.map_batches(orient, batch_format="pyarrow"))
+
+        def close_and_explode(tb: pa.Table) -> pa.Table:
+            ek = worker_cached(("truss_edges", id(eref), tag_r),
+                               lambda: ray.get(eref))
+            p = tb["pivot"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            a = tb["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = tb["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            key = a * (1 << 32) + b
+            pos = np.searchsorted(ek, key)
+            pos = np.minimum(pos, len(ek) - 1)
+            keep = ek[pos] == key          # vectorized membership
+            p, a, b = p[keep], a[keep], b[keep]
+            # triangle (p, a, b) supports edges (p,a), (p,b), (a,b) —
+            # normalize each to (min, max)
+            e1a, e1b = np.minimum(p, a), np.maximum(p, a)
+            e2a, e2b = np.minimum(p, b), np.maximum(p, b)
+            sa = np.concatenate([e1a, e2a, a])
+            sb = np.concatenate([e1b, e2b, b])
+            df = pd.DataFrame({"ea": sa, "eb": sb, "ps": 1}) \
+                .groupby(["ea", "eb"], sort=False).sum().reset_index()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        support = wedges.map_batches(close_and_explode,
+                                     batch_format="pyarrow") \
+            .groupby(["ea", "eb"]).aggregate(Sum("ps",
+                                                 alias_name="support"))
+        st = ds_to_table(support)
+        full = np.zeros(len(ea), dtype=np.int64)
+        if st.num_rows:
+            sa = st["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sb = st["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sv = st["support"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            skey = sa * (1 << 32) + sb
+            order = np.argsort(skey)
+            skey, sv = skey[order], sv[order]
+            ekey = ea * (1 << 32) + eb
+            pos = np.searchsorted(skey, ekey)
+            pos_c = np.minimum(pos, len(skey) - 1)
+            hit = skey[pos_c] == ekey
+            full[hit] = sv[pos_c[hit]]     # vectorized support lookup
+        keep = full >= (k - 2)
+        if keep.all():
+            return pa.table({"ea": pa.array(ea),
+                             "eb": pa.array(eb),
+                             "support": pa.array(full)})
+        import ray.data as rd
+        cur = rd.from_arrow(pa.table({"ea": pa.array(ea[keep]),
+                                      "eb": pa.array(eb[keep])})) \
+            .materialize()
+    t = ds_to_table(cur)
+    if t.num_rows == 0:
+        return pa.table({"ea": pa.array([], type=pa.int64()),
+                         "eb": pa.array([], type=pa.int64()),
+                         "support": pa.array([], type=pa.int64())})
+    # support of the stable subgraph (one more pass worth of map —
+    # loop exits via keep.all() in the common case, so this only runs
+    # on round exhaustion)
+    return pa.table({"ea": t["ea"], "eb": t["eb"],
+                     "support": pa.array(
+                         np.zeros(t.num_rows, dtype=np.int64))})

@@ -57,7 +57,8 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "orc_source_stats", "hive_pruned_scan",
        "schema_evolution_stats",
        # batch 13 (text/SQL surface)
-       "pmi_collocations", "grouping_sets_orders",
+       "pmi_collocations", "pmi_unigram_collocations",
+       "grouping_sets_orders",
        "user_event_journey",
        # batch 14 (graph link prediction + JSON extraction)
        "link_prediction_cn", "neighbor_jaccard_topk",
@@ -641,3 +642,73 @@ def test_unpivot_roundtrip_rows():
     assert set(t.column_names) == {"c_custkey", "variable", "value"}
     assert set(t["variable"].to_pylist()) == {"c_acctbal",
                                               "c_nationkey"}
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    return rd.from_arrow(pa.table({"src": pa.array(a),
+                                   "dst": pa.array(b)}))
+
+
+def test_k_truss_goldens():
+    from prclz_ray.stages import graph_ops
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    t = graph_ops.k_truss(_edges_ds(k4), k=4)
+    assert t.num_rows == 6
+    assert sorted(t["support"].to_pylist()) == [2] * 6
+    c5 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    assert graph_ops.k_truss(_edges_ds(c5), k=3).num_rows == 0
+    # pendant edge can't be in any triangle: drops from the 4-truss
+    t3 = graph_ops.k_truss(_edges_ds(k4 + [(3, 9)]), k=4)
+    assert t3.num_rows == 6
+    assert 9 not in set(t3["ea"].to_pylist() + t3["eb"].to_pylist())
+
+
+def test_mst_matches_driver_kruskal():
+    from prclz_ray.stages import graph_ops
+    rng = np.random.default_rng(7)
+    pairs = set()
+    for _ in range(120):
+        a, b = int(rng.integers(0, 30)), int(rng.integers(0, 30))
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)
+    mst, total, comps = graph_ops.minimum_spanning_forest(
+        _edges_ds(pairs))
+
+    def wfn(a, b):
+        x = (a * 2654435761 + b * 40503) & 0x7FFFFFFF
+        return (x % 100000) + 1
+
+    ekr = sorted(((wfn(a, b), a, b) for a, b in pairs))
+    parent = {v: v for p in pairs for v in p}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    tw, ne = 0, 0
+    for w, a, b in ekr:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            tw += w
+            ne += 1
+    assert mst.num_rows == ne
+    assert total == tw
+    # spanning forest invariant: edges = nodes - components
+    nodes = {v for p in pairs for v in p}
+    assert ne == len(nodes) - comps
+
+
+def test_mst_two_components():
+    from prclz_ray.stages import graph_ops
+    # two disjoint triangles -> forest with 2 components, 4 edges
+    pairs = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    mst, total, comps = graph_ops.minimum_spanning_forest(
+        _edges_ds(pairs))
+    assert comps == 2
+    assert mst.num_rows == 4
