@@ -712,3 +712,23 @@ def test_mst_two_components():
         _edges_ds(pairs))
     assert comps == 2
     assert mst.num_rows == 4
+
+
+def test_registry_keys_unique_in_source():
+    """A duplicate registry key silently drops the earlier query
+    (Python dict literals keep the last value) — parse the source so
+    shadowing can't pass unnoticed again (it happened to
+    pmi_collocations in round 4D)."""
+    import re
+
+    import prclz_ray.pipelines.queries as q
+    src = open(q.__file__).read()
+    body = src[src.index("def registry():"):]
+    keys = re.findall(r'^\s+"([a-z0-9_]+)":', body, re.M)
+    dup = sorted({k for k in keys if keys.count(k) > 1})
+    assert not dup, f"duplicate registry keys: {dup}"
+    # and every function name referenced exists exactly once at module
+    # top level (a shadowed def means two 'def q_x' lines)
+    fns = re.findall(r"^def (q_[a-z0-9_]+)\(", src, re.M)
+    dup_fn = sorted({f for f in fns if fns.count(f) > 1})
+    assert not dup_fn, f"shadowed query functions: {dup_fn}"
