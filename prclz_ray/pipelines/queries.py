@@ -12505,6 +12505,197 @@ def q_k_truss_links(sf_dir: str):
                       "support": np.int64})
 
 
+def q_cume_dist_acctbal(sf_dir: str):
+    """CUME_DIST within nation — the ≤-fraction sibling of
+    PERCENT_RANK: cd = |{rows with value ≤ v}| / n, max-rank ties.
+    Same natural ≤25-way partition shape: per-nation vectorized
+    searchsorted(side='right'), one division mirrored against SQL."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                      "c_acctbal"])
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(g["c_acctbal"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        sc = np.sort(cents)
+        le = np.searchsorted(sc, cents, side="right")
+        cd = le.astype(np.float64) / float(len(g))
+        return pd.DataFrame({"c_custkey": g["c_custkey"].to_numpy(),
+                             "cd": np.round(cd, 6)})
+
+    out = cust.groupby("c_nationkey").map_groups(
+        per_nation, batch_format="pandas")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUME_DIST = """
+SELECT c_custkey,
+       ROUND(CUME_DIST() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT)), 6) AS cd
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_cdc_soft_delete_read(sf_dir: str):
+    """Deletion-vector read (the lakehouse CDC soft-delete pattern):
+    the base table stays immutable; a separate delete-key set (here the
+    deterministic o_orderkey % 97 == 0 tombstones) is broadcast once
+    via ``ray.put`` and applied per batch with a vectorized
+    searchsorted anti-filter at SCAN time — no rewrite of the base
+    files.  The oracle applies the same predicate, so a leaky mask
+    breaks the hash."""
+    import ray
+
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    # the "deletion vector": key set from a side scan (tombstone table)
+    def tombstones(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"o_orderkey": pa.array(k[k % 97 == 0])})
+
+    dels = relational.ds_to_table(
+        orders.select_columns(["o_orderkey"])
+        .map_batches(tombstones, batch_format="pyarrow"))
+    dkeys = np.sort(dels["o_orderkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    dref = ray.put(dkeys)
+
+    def apply_dv(t: pa.Table) -> pa.Table:
+        from ..stages.relational import worker_cached
+        dk = worker_cached(("dv_orders", dref), lambda: ray.get(dref))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(dk, k),
+                         max(len(dk) - 1, 0))
+        live = dk[pos] != k if len(dk) else np.ones(len(k), bool)
+        t = t.filter(pa.array(live))
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_orderstatus":
+                          t["o_orderstatus"].to_numpy(
+                              zero_copy_only=False),
+                          "pn": 1, "pc_": cents}) \
+            .groupby("o_orderstatus", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        orders.map_batches(apply_dv, batch_format="pyarrow")
+        .groupby("o_orderstatus").aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pc_", alias_name="revenue_c"))
+    ).to_pandas().sort_values("o_orderstatus").reset_index(drop=True)
+    return o.astype({"n": np.int64, "revenue_c": np.int64})
+
+
+SQL_CDC_SOFT_DELETE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+         AS revenue_c
+FROM orders WHERE o_orderkey % 97 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_zonemap_pruned_scan(sf_dir: str):
+    """Zone-map (min/max statistics) file skipping: orders are written
+    once through ``write_clustered`` (range-partitioned on the epoch
+    day, globally ordered files), a min/max manifest is built from the
+    parquet FOOTERS, and a date-range query then opens ONLY the files
+    whose [min, max] overlaps the predicate — stats-based skipping,
+    the complement of hive value-partition pruning.  The pruned file
+    count is asserted in pytest; the oracle runs the same predicate on
+    the original table."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+    from ..runtime.checkpoint import write_clustered
+
+    out = _fingerprint_cache_dir(sf_dir, "orders", "zonemap")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+
+        def add_day(t: pa.Table) -> pa.Table:
+            day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64) \
+                // 86_400_000_000
+            return t.append_column("day", pa.array(day))
+
+        write_clustered(
+            _read(sf_dir, "orders",
+                  ["o_orderdate", "o_orderpriority", "o_totalprice"])
+            .map_batches(add_day, batch_format="pyarrow"),
+            tmp, key_col="day", num_ranges=16)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    files = sorted(glob.glob(os.path.join(out, "part=*", "*.parquet")))
+    # zone map from footers only (no data read on the driver)
+    lo_day = int(pd.Timestamp("1995-01-01").value // 1000
+                 // 86_400_000_000)
+    hi_day = int(pd.Timestamp("1995-12-31").value // 1000
+                 // 86_400_000_000)
+    keep = []
+    for f in files:
+        md = pq_.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}["day"]
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if min(mins) <= hi_day and max(maxs) >= lo_day:
+            keep.append(f)
+    q_zonemap_pruned_scan._last_prune = (len(files), len(keep))
+
+    part = rd.read_parquet(keep, columns=["day", "o_orderpriority",
+                                          "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy(zero_copy_only=False)
+        m = (day >= lo_day) & (day <= hi_day)
+        t = t.filter(pa.array(m))
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"o_orderpriority":
+                          t["o_orderpriority"].to_numpy(
+                              zero_copy_only=False),
+                          "pn": 1, "pc_": cents}) \
+            .groupby("o_orderpriority", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority").aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pc_", alias_name="revenue_c"))
+    ).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    return o.astype({"n": np.int64, "revenue_c": np.int64})
+
+
+SQL_ZONEMAP = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+         AS revenue_c
+FROM orders
+WHERE epoch_us(o_orderdate) // 86400000000
+      BETWEEN epoch_us(TIMESTAMP '1995-01-01') // 86400000000
+          AND epoch_us(TIMESTAMP '1995-12-31') // 86400000000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -12859,4 +13050,8 @@ def registry():
         "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
         "mst_links": (q_mst_links, None),
         "k_truss_links": (q_k_truss_links, None),
+        "cume_dist_acctbal": (q_cume_dist_acctbal, SQL_CUME_DIST),
+        "cdc_soft_delete_read": (q_cdc_soft_delete_read,
+                                 SQL_CDC_SOFT_DELETE),
+        "zonemap_pruned_scan": (q_zonemap_pruned_scan, SQL_ZONEMAP),
     }

@@ -62,7 +62,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "user_event_journey",
        # batch 14 (graph link prediction + JSON extraction)
        "link_prediction_cn", "neighbor_jaccard_topk",
-       "json_props_stats"]
+       "json_props_stats",
+       # batch 16 (window sibling + lakehouse read patterns)
+       "cume_dist_acctbal", "cdc_soft_delete_read",
+       "zonemap_pruned_scan"]
 
 
 def _norm(v) -> str:
@@ -732,3 +735,13 @@ def test_registry_keys_unique_in_source():
     fns = re.findall(r"^def (q_[a-z0-9_]+)\(", src, re.M)
     dup_fn = sorted({f for f in fns if fns.count(f) > 1})
     assert not dup_fn, f"shadowed query functions: {dup_fn}"
+
+
+def test_zonemap_actually_prunes():
+    from prclz_ray.pipelines.queries import q_zonemap_pruned_scan
+    q_zonemap_pruned_scan(SF)
+    total, kept = q_zonemap_pruned_scan._last_prune
+    # the 1995 window spans a minority of the 1995-2001 key range:
+    # the zone map must actually skip files, not scan everything
+    assert kept < total, (total, kept)
+    assert kept >= 1
