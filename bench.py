@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "part_copurchase_pairs",
     "kaplan_meier_retention",
     "event_entropy_user",
+    # round-4 session D: SCD2 dimension build, PMI collocations,
+    # common-neighbor link prediction, daily OHLC candles
+    "scd2_user_type",
+    "pmi_unigram_collocations",
+    "link_prediction_cn",
+    "ohlc_daily_value",
 ]
 
 
