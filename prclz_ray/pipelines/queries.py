@@ -12696,6 +12696,161 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _langid_pred_sql_body() -> str:
+    """The shared scored→pred CTE body for langid-derived oracles —
+    generated from the SAME ``text._LANG_PROFILES`` dict as the Ray
+    stage, so the two sides cannot drift (same contract as
+    ``_langid_sql``)."""
+    langs = list(text._LANG_PROFILES)
+    pats = {
+        lg: r"\b(?:" + "|".join(sorted(prof, key=len, reverse=True))
+        + r")\b"
+        for lg, prof in text._LANG_PROFILES.items()}
+    counts = ",\n    ".join(
+        f"length(regexp_extract_all(lower(text), '{pats[lg]}')) AS c_{lg}"
+        for lg in langs)
+    all_c = ", ".join(f"c_{lg}" for lg in langs)
+    branches = []
+    for i, lg in enumerate(langs):
+        conds = " AND ".join(f"c_{lg} >= c_{other}"
+                             for other in langs[i + 1:])
+        branches.append(f"WHEN {conds or 'TRUE'} THEN '{lg}'")
+    case = "\n      ".join(branches)
+    return f"""
+scored AS (
+  SELECT lang,
+    {counts}
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN GREATEST({all_c}) = 0 THEN 'und'
+      {case}
+    END AS lang_pred
+  FROM scored
+)"""
+
+
+def q_langid_confusion(sf_dir: str):
+    """Classifier-evaluation confusion matrix: true ``lang`` × LangId
+    prediction counts — the model-eval surface over the same stateful
+    actor-pool stage `langid_documents` benches; exact counts, tiny
+    (langs²-bounded) shuffle."""
+    from ray.data.aggregate import Sum
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    pred = docs.map_batches(text.LangId, batch_format="pandas",
+                            concurrency=2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "lang_pred": t["lang_pred"].to_numpy(zero_copy_only=False),
+            "pn": 1}).groupby(["lang", "lang_pred"], sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        pred.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"]).aggregate(
+            Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values(["lang", "lang_pred"]) \
+        .reset_index(drop=True)
+    return o.astype({"n": np.int64})
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH {_langid_pred_sql_body()}
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SQL_LANGID_CONFUSION = _langid_confusion_sql()
+
+
+def q_langid_precision_recall(sf_dir: str):
+    """Per-language precision / recall / F1 of the LangId classifier
+    against the true labels — the evaluation-metrics finish over the
+    langs²-bounded confusion matrix; tp/fp/fn are exact ints, each
+    metric is ONE mirrored division (F1 from the same p and r
+    doubles), NULL when the denominator is zero like SQL x/0."""
+    conf = q_langid_confusion(sf_dir)
+    langs = sorted(set(conf["lang"]) | set(conf["lang_pred"]))
+    rows = []
+    for lg in langs:
+        tp = int(conf.loc[(conf["lang"] == lg)
+                          & (conf["lang_pred"] == lg), "n"].sum())
+        fp = int(conf.loc[(conf["lang"] != lg)
+                          & (conf["lang_pred"] == lg), "n"].sum())
+        fn = int(conf.loc[(conf["lang"] == lg)
+                          & (conf["lang_pred"] != lg), "n"].sum())
+        p = None if tp + fp == 0 else tp / (tp + fp)
+        r = None if tp + fn == 0 else tp / (tp + fn)
+        f1 = None if p is None or r is None or p + r == 0 \
+            else 2.0 * p * r / (p + r)
+        rows.append({
+            "lang": lg, "tp": tp, "fp": fp, "fn": fn,
+            "precision": None if p is None else round(p, 6),
+            "recall": None if r is None else round(r, 6),
+            "f1": None if f1 is None else round(f1, 6)})
+    return pd.DataFrame(rows).astype({"tp": np.int64, "fp": np.int64,
+                                      "fn": np.int64})
+
+
+def _langid_pr_sql() -> str:
+    return f"""
+WITH {_langid_pred_sql_body()},
+conf AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2),
+cls AS (SELECT lang AS lg FROM conf
+        UNION SELECT lang_pred FROM conf),
+m AS (SELECT lg,
+             COALESCE((SELECT SUM(n) FROM conf
+                       WHERE lang = lg AND lang_pred = lg), 0) AS tp,
+             COALESCE((SELECT SUM(n) FROM conf
+                       WHERE lang <> lg AND lang_pred = lg), 0) AS fp,
+             COALESCE((SELECT SUM(n) FROM conf
+                       WHERE lang = lg AND lang_pred <> lg), 0) AS fn
+      FROM cls),
+pr AS (SELECT lg, tp, fp, fn,
+              CASE WHEN tp + fp = 0 THEN NULL
+                   ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+              CASE WHEN tp + fn = 0 THEN NULL
+                   ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r
+       FROM m)
+SELECT lg AS lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(p, 6) AS precision, ROUND(r, 6) AS recall,
+       CASE WHEN p IS NULL OR r IS NULL OR p + r = 0 THEN NULL
+            ELSE ROUND(2.0 * p * r / (p + r), 6) END AS f1
+FROM pr ORDER BY lang
+"""
+
+
+SQL_LANGID_PR = _langid_pr_sql()
+
+
+def q_media_thumbnails(sf_dir: str):
+    """Thumbnail generation over the deterministic synthetic media
+    table: actor-pool decode → 8×8 nearest-resize → BMP re-encode,
+    exact per-channel pixel sums as the integrity signal.  Rows-only
+    (binary source isn't SQL-visible); the resize/re-encode round trip
+    is pinned by pytest (re-decoding the emitted thumb reproduces the
+    sums)."""
+    from ..stages.multimodal import ThumbnailEncoder, synth_media_table
+    ds = rd.from_arrow(synth_media_table(64))
+    out = ds.map_batches(ThumbnailEncoder, batch_format="pyarrow",
+                         batch_size=16, concurrency=(1, 2),
+                         zero_copy_batch=True)
+    df = relational.ds_to_table(
+        out.select_columns(["media_id", "sum_r", "sum_g", "sum_b",
+                            "is_image"])
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    return df.astype({"sum_r": np.int64, "sum_g": np.int64,
+                      "sum_b": np.int64})
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -13054,4 +13209,8 @@ def registry():
         "cdc_soft_delete_read": (q_cdc_soft_delete_read,
                                  SQL_CDC_SOFT_DELETE),
         "zonemap_pruned_scan": (q_zonemap_pruned_scan, SQL_ZONEMAP),
+        "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+        "langid_precision_recall": (q_langid_precision_recall,
+                                    SQL_LANGID_PR),
+        "media_thumbnails": (q_media_thumbnails, None),
     }

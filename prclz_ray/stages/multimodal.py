@@ -375,3 +375,45 @@ def perceptual_dup_pairs(media_ds, max_hamming: int = 2,
                                 hash_col="phash",
                                 max_hamming=max_hamming,
                                 key_type=pa.string())
+
+
+class ThumbnailEncoder:
+    """Actor-pool thumbnail stage: decode BMP/PNG → nearest-resize to
+    ``size``×``size`` → re-encode BMP.  Emits (media_id, thumb payload,
+    exact per-channel pixel SUMS of the thumbnail) so correctness pins
+    on integers; non-image rows pass through with null thumbs.  Small
+    batch_size mandatory (wide binary rows, SURVEY §7.5.6)."""
+
+    def __init__(self, size: int = 8):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, thumbs, sr, sg, sb, ok = [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"]):
+            p = payload.as_py()
+            rgb = None
+            if p[:2] == b"BM":
+                rgb = decode_bmp(p)
+            elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                rgb = decode_png(p)
+            ids.append(mid)
+            if rgb is None:
+                thumbs.append(None)
+                sr.append(0); sg.append(0); sb.append(0)
+                ok.append(False)
+            else:
+                tiny = resize_nearest(rgb[:, :, :3],
+                                      self.size, self.size)
+                thumbs.append(encode_bmp(tiny))
+                s = tiny.astype(np.int64).sum(axis=(0, 1))
+                sr.append(int(s[0])); sg.append(int(s[1]))
+                sb.append(int(s[2]))
+                ok.append(True)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.string()),
+            "thumb": pa.array(thumbs, type=pa.binary()),
+            "sum_r": pa.array(sr, type=pa.int64()),
+            "sum_g": pa.array(sg, type=pa.int64()),
+            "sum_b": pa.array(sb, type=pa.int64()),
+            "is_image": pa.array(ok)})

@@ -65,7 +65,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "json_props_stats",
        # batch 16 (window sibling + lakehouse read patterns)
        "cume_dist_acctbal", "cdc_soft_delete_read",
-       "zonemap_pruned_scan"]
+       "zonemap_pruned_scan",
+       # batch 17 (classifier evaluation)
+       "langid_confusion", "langid_precision_recall"]
 
 
 def _norm(v) -> str:
@@ -745,3 +747,29 @@ def test_zonemap_actually_prunes():
     # the zone map must actually skip files, not scan everything
     assert kept < total, (total, kept)
     assert kept >= 1
+
+
+def test_thumbnail_roundtrip_sums():
+    import ray.data as rd
+
+    from prclz_ray.stages.multimodal import (ThumbnailEncoder,
+                                             decode_bmp,
+                                             synth_media_table)
+    ds = rd.from_arrow(synth_media_table(12))
+    out = ds.map_batches(ThumbnailEncoder, batch_format="pyarrow",
+                         batch_size=6, concurrency=(1, 2),
+                         zero_copy_batch=True)
+    t = out.take_all()
+    n_img = 0
+    for r in t:
+        if r["is_image"]:
+            n_img += 1
+            tiny = decode_bmp(r["thumb"])
+            assert tiny.shape == (8, 8, 3)
+            s = tiny.astype(np.int64).sum(axis=(0, 1))
+            # re-decoding the emitted thumb reproduces the sums exactly
+            assert (int(s[0]), int(s[1]), int(s[2])) \
+                == (r["sum_r"], r["sum_g"], r["sum_b"])
+        else:
+            assert r["thumb"] is None
+    assert n_img == 4   # every 3rd synth row is an image
