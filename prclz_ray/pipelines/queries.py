@@ -12851,6 +12851,169 @@ def q_media_thumbnails(sf_dir: str):
                       "sum_b": np.int64})
 
 
+def q_time_travel_read(sf_dir: str):
+    """Snapshot / time-travel reads: two manifest versions over the
+    same immutable file pool (v1 = the early half of the order stream,
+    v2 = v1 + the late files, nothing rewritten), then the SAME
+    aggregate executed AS OF each version — the lakehouse property
+    that a reader pins a manifest, not a directory.  The oracle
+    replicates both snapshots by predicate, so manifest-routing bugs
+    break the hash."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    out = _fingerprint_cache_dir(sf_dir, "orders", "timetravel")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        os.makedirs(tmp, exist_ok=True)
+        t = relational.ds_to_table(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                     "o_totalprice"]))
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        lo, hi = int(day.min()), int(day.max())
+        mid = lo + (hi - lo) // 2
+        early = pa.array(day <= mid)
+        pq_.write_table(t.filter(early),
+                        os.path.join(tmp, "early.parquet"))
+        pq_.write_table(t.filter(pc.invert(early)),
+                        os.path.join(tmp, "late.parquet"))
+        with open(os.path.join(tmp, "manifest-v1.json"), "w") as fh:
+            json.dump({"files": ["early.parquet"], "mid_day": mid}, fh)
+        with open(os.path.join(tmp, "manifest-v2.json"), "w") as fh:
+            json.dump({"files": ["early.parquet", "late.parquet"],
+                       "mid_day": mid}, fh)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def snapshot(version: int) -> pd.Series:
+        with open(os.path.join(out, f"manifest-v{version}.json")) as fh:
+            m = json.load(fh)
+        files = [os.path.join(out, f) for f in m["files"]]
+        ds = rd.read_parquet(files, columns=["o_totalprice"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = np.round(t["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            return pa.table({"pn": pa.array([len(cents)]),
+                             "pc_": pa.array([int(cents.sum())])})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .aggregate(Sum("pn", alias_name="n"),
+                       Sum("pc_", alias_name="c"))
+        return int(agg["n"]), int(agg["c"])
+
+    rows = []
+    for v in (1, 2):
+        n, c = snapshot(v)
+        rows.append({"version": v, "n": n, "revenue_c": c})
+    return pd.DataFrame(rows).astype({"version": np.int64,
+                                      "n": np.int64,
+                                      "revenue_c": np.int64})
+
+
+SQL_TIME_TRAVEL = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(ROUND(o_totalprice * 100) AS HUGEINT) AS c
+           FROM orders),
+b AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS mid FROM d)
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS revenue_c
+FROM d, b WHERE day <= mid
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT) FROM d
+ORDER BY version
+"""
+
+
+def q_stratified_kfold(sf_dir: str):
+    """Stratified k-fold assignment: within each lang stratum, docs
+    round-robin into 5 folds in doc_id order, so every fold holds
+    ⌈n_s/5⌉-or-⌊n_s/5⌋ rows of EVERY stratum (the property plain hash
+    splitting only approaches in expectation).  Rank-within-stratum
+    comes from the per-(lang)-bucket sort — one bounded shuffle; the
+    output here is the (lang, fold) size matrix."""
+    from ray.data.aggregate import Sum
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values("doc_id")
+        fold = np.arange(len(df), dtype=np.int64) % 5
+        out = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                            "fold": fold, "pn": 1})
+        return out.groupby(["lang", "fold"], sort=False).sum() \
+            .reset_index()
+
+    o = relational.ds_to_table(
+        docs.groupby("lang").map_groups(per_lang,
+                                        batch_format="pandas")
+        .groupby(["lang", "fold"]).aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values(["lang", "fold"]).reset_index(drop=True)
+    return o.astype({"fold": np.int64, "n": np.int64})
+
+
+SQL_STRATIFIED_KFOLD = """
+WITH r AS (SELECT lang,
+                  (ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY doc_id) - 1) % 5 AS fold
+           FROM documents)
+SELECT lang, CAST(fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_shuffle_skew_report(sf_dir: str):
+    """Join-key skew introspection — the report the adaptive join
+    planner acts on: per-key counts for l_orderkey reduce to
+    DISTRIBUTION-OF-COUNTS form (how many keys have multiplicity m),
+    plus max/mean ratio per bucket — all exact ints, bounded by the
+    multiplicity domain (≤ 7 for TPC-H lineitem), never by keys."""
+    from ray.data.aggregate import Sum
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, c = np.unique(k, return_counts=True)
+        g = pd.DataFrame({"l_orderkey": u, "pm": c.astype(np.int64)})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mult = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("pm", alias_name="m"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(m, return_counts=True)
+        return pa.table({"multiplicity": pa.array(u),
+                         "pk": pa.array(c.astype(np.int64))})
+
+    o = relational.ds_to_table(
+        mult.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("multiplicity").aggregate(Sum("pk",
+                                               alias_name="n_keys"))
+    ).to_pandas().sort_values("multiplicity").reset_index(drop=True)
+    return o.astype({"multiplicity": np.int64, "n_keys": np.int64})
+
+
+SQL_SKEW_REPORT = """
+WITH m AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS mult
+           FROM lineitem GROUP BY 1)
+SELECT mult AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -13213,4 +13376,7 @@ def registry():
         "langid_precision_recall": (q_langid_precision_recall,
                                     SQL_LANGID_PR),
         "media_thumbnails": (q_media_thumbnails, None),
+        "time_travel_read": (q_time_travel_read, SQL_TIME_TRAVEL),
+        "stratified_kfold": (q_stratified_kfold, SQL_STRATIFIED_KFOLD),
+        "shuffle_skew_report": (q_shuffle_skew_report, SQL_SKEW_REPORT),
     }

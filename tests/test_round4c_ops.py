@@ -67,7 +67,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "cume_dist_acctbal", "cdc_soft_delete_read",
        "zonemap_pruned_scan",
        # batch 17 (classifier evaluation)
-       "langid_confusion", "langid_precision_recall"]
+       "langid_confusion", "langid_precision_recall",
+       # batch 18 (snapshots, folds, skew introspection)
+       "time_travel_read", "stratified_kfold",
+       "shuffle_skew_report"]
 
 
 def _norm(v) -> str:
