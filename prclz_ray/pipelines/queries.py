@@ -13014,6 +13014,192 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+def q_rfm_segmentation(sf_dir: str):
+    """RFM customer segmentation: NTILE(5) scores for Recency (last
+    order day), Frequency (order count) and Monetary (exact cents),
+    each over the deterministic (metric, custkey) total order.  NTILE
+    itself is pure integer arithmetic — tile = (rn−1)·k // n + 1
+    (first tiles take the remainder, exactly SQL's semantics) — and rn
+    comes from the range-bucket ``global_prefix_sum`` over the UNIQUE
+    composite key metric·2³² + custkey (no global sort, nothing
+    row-scaled on the driver; composite packing bounds metric < 2³¹,
+    documented).  Three prefix passes over a DIMENSION-sized table."""
+    from ray.data.aggregate import Max, Sum
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"c": t["o_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+            "pd_": day, "pn": 1, "pm": cents}) \
+            .groupby("c", sort=False) \
+            .agg(pd_=("pd_", "max"), pn=("pn", "sum"),
+                 pm=("pm", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c").aggregate(
+            Max("pd_", alias_name="r_day"),
+            Sum("pn", alias_name="f_cnt"),
+            Sum("pm", alias_name="m_cents")).materialize()
+    n = m.count()
+
+    def with_key(col):
+        def f(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if v.size and (v.max() >= 1 << 31 or c.max() >= 1 << 32):
+                raise ValueError("RFM composite packing bound")
+            k = v * (1 << 32) + c
+            return pa.table({"c": pa.array(c), "one": pa.array(
+                np.ones(len(c), dtype=np.int64)), "key": pa.array(k)})
+        return f
+
+    scores = {}
+    for col, name in (("r_day", "r_score"), ("f_cnt", "f_score"),
+                      ("m_cents", "m_score")):
+        ranked = relational.global_prefix_sum(
+            m.map_batches(with_key(col), batch_format="pyarrow"),
+            order_col="key", value_col="one", out_col="rn")
+
+        def tile(t: pa.Table, _name=name) -> pa.Table:
+            rn = t["rn"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"c": t["c"], _name: pa.array(
+                (rn - 1) * 5 // n + 1)})
+
+        scores[name] = relational.ds_to_table(
+            ranked.map_batches(tile, batch_format="pyarrow")
+        ).to_pandas().set_index("c")[name]
+
+    out = pd.DataFrame(scores).reset_index() \
+        .rename(columns={"c": "c_custkey"}) \
+        .sort_values("c_custkey").reset_index(drop=True)
+    return out.astype({"c_custkey": np.int64, "r_score": np.int64,
+                       "f_score": np.int64, "m_score": np.int64})
+
+
+SQL_RFM = """
+WITH m AS (SELECT o_custkey AS c,
+                  MAX(epoch_us(o_orderdate) // 86400000000) AS r_day,
+                  CAST(COUNT(*) AS BIGINT) AS f_cnt,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                       AS BIGINT) AS m_cents
+           FROM orders GROUP BY 1)
+SELECT c AS c_custkey,
+       CAST(NTILE(5) OVER (ORDER BY r_day, c) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY f_cnt, c) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY m_cents, c) AS BIGINT) AS m_score
+FROM m ORDER BY c_custkey
+"""
+
+
+def q_skipgram_event_pairs(sf_dir: str):
+    """Sequence mining: skip-gram event-type pairs — (aᵢ, aⱼ) counts
+    for 1 ≤ j−i ≤ 3 within a user's (ts, event_id)-ordered stream (the
+    co-occurrence-with-order statistic behind sequence embeddings).
+    One user-bucket shuffle; per bucket the three gap distances are
+    pure vectorized shifts; output is bounded by event-type² × 3."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        parts = []
+        for d in (1, 2, 3):
+            same = u[d:] == u[:-d]
+            parts.append(pd.DataFrame({
+                "a": et[:-d][same], "b": et[d:][same],
+                "gap": np.int64(d), "pn": 1}))
+        if not parts:
+            return pd.DataFrame({"a": [], "b": [], "gap": [],
+                                 "pn": []})
+        allp = pd.concat(parts)
+        return allp.groupby(["a", "b", "gap"], sort=False).sum() \
+            .reset_index()
+
+    o = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+        .groupby(["a", "b", "gap"]).aggregate(Sum("pn",
+                                                  alias_name="n"))
+    ).to_pandas().sort_values(["a", "b", "gap"]).reset_index(drop=True)
+    return o.astype({"gap": np.int64, "n": np.int64})
+
+
+SQL_SKIPGRAM = """
+WITH o AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT x.event_type AS a, y.event_type AS b,
+       CAST(y.rn - x.rn AS BIGINT) AS gap,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o x JOIN o y ON x.user_id = y.user_id
+     AND y.rn - x.rn BETWEEN 1 AND 3
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_mom_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth: exact-cents monthly reduce,
+    then the MONTHS-bounded LAG finish — growth = (cur − prev)/prev as
+    the one mirrored division (NULL on the first month like SQL
+    LAG)."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dt = pd.DatetimeIndex(t["o_orderdate"].to_numpy(
+            zero_copy_only=False))
+        month = (dt.year * 100 + dt.month).to_numpy(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"month": month, "pc_": cents}) \
+            .groupby("month", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("month").aggregate(Sum("pc_", alias_name="rev"))
+    ).to_pandas().sort_values("month").reset_index(drop=True)
+    rev = d["rev"].to_numpy(np.int64)
+    growth = np.full(len(d), np.nan)
+    if len(d) > 1:
+        growth[1:] = np.round(
+            (rev[1:] - rev[:-1]).astype(np.float64)
+            / rev[:-1].astype(np.float64), 6)
+    return pd.DataFrame({"month": d["month"].astype(np.int64),
+                         "rev_c": rev, "growth": growth})
+
+
+SQL_MOM_GROWTH = """
+WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                       AS BIGINT) AS month,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                       AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1)
+SELECT month, rev_c,
+       ROUND(CAST(rev_c - LAG(rev_c) OVER (ORDER BY month) AS DOUBLE)
+             / LAG(rev_c) OVER (ORDER BY month), 6) AS growth
+FROM m ORDER BY month
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -13379,4 +13565,7 @@ def registry():
         "time_travel_read": (q_time_travel_read, SQL_TIME_TRAVEL),
         "stratified_kfold": (q_stratified_kfold, SQL_STRATIFIED_KFOLD),
         "shuffle_skew_report": (q_shuffle_skew_report, SQL_SKEW_REPORT),
+        "rfm_segmentation": (q_rfm_segmentation, SQL_RFM),
+        "skipgram_event_pairs": (q_skipgram_event_pairs, SQL_SKIPGRAM),
+        "mom_revenue_growth": (q_mom_revenue_growth, SQL_MOM_GROWTH),
     }

@@ -70,7 +70,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "langid_confusion", "langid_precision_recall",
        # batch 18 (snapshots, folds, skew introspection)
        "time_travel_read", "stratified_kfold",
-       "shuffle_skew_report"]
+       "shuffle_skew_report",
+       # batch 19 (RFM, sequence mining, growth)
+       "rfm_segmentation", "skipgram_event_pairs",
+       "mom_revenue_growth"]
 
 
 def _norm(v) -> str:
