@@ -1276,12 +1276,19 @@ def minimum_spanning_forest(edges_ds, weight_fn=None,
     wedges = und.map_batches(add_weight,
                              batch_format="pyarrow").materialize()
 
-    nodes = np.unique(np.concatenate([
-        ds_to_table(wedges)["ea"].to_numpy(zero_copy_only=False),
-        ds_to_table(wedges)["eb"].to_numpy(zero_copy_only=False)]
-    ).astype(np.int64))
-    # union-find over the V-bounded node set (driver state is V ids,
-    # never edges)
+    # node set via a distributed distinct (V-bounded driver state —
+    # the edge table itself stays in the object store)
+    def node_partial(t: pa.Table) -> pa.Table:
+        nn = np.unique(np.concatenate(
+            [t["ea"].to_numpy(zero_copy_only=False),
+             t["eb"].to_numpy(zero_copy_only=False)]).astype(np.int64))
+        return pa.table({"node": pa.array(nn)})
+
+    from ray.data.aggregate import Count as _Cnt
+    nodes = np.sort(ds_to_table(
+        wedges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node").aggregate(_Cnt(alias_name="_c"))
+    )["node"].to_numpy(zero_copy_only=False).astype(np.int64))
     parent = {int(v): int(v) for v in nodes}
 
     def find(x):
@@ -1298,10 +1305,9 @@ def minimum_spanning_forest(edges_ds, weight_fn=None,
         comp_lbl = np.array([find(int(v)) for v in nodes],
                             dtype=np.int64)
         ref = ray.put((comp_ids, comp_lbl))
-        tag = len(chosen)
 
         def best_partial(t: pa.Table) -> pa.Table:
-            ids, lbl = worker_cached(("mst_comp", id(ref), tag),
+            ids, lbl = worker_cached(("mst_comp", ref),
                                      lambda: ray.get(ref))
             a = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
             b = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1403,9 +1409,13 @@ def k_truss(edges_ds, k: int = 4, src_col: str = "src",
     participates in ≥ k−2 triangles — the cohesive-community standard
     one notch above k-core.  Iterative peel: per round, per-edge
     triangle support computes via degree-ordered wedge enumeration
-    (O(m^1.5), skew-proof) + a broadcast edge-set close + a triangle →
-    3-edges explode + one groupby; edges below support k−2 drop; stop
-    at a fixed point.  Returns the surviving (ea, eb, support) table.
+    (O(m^1.5), skew-proof) + a broadcast edge-set close (vectorized
+    searchsorted membership) + a triangle → 3-edges explode + one
+    groupby; edges below support k−2 drop; stop at a fixed point.  If
+    ``max_rounds`` exhausts first, the TRUE support of the current
+    (possibly not yet stable) subgraph is recomputed and returned —
+    never fabricated zeros.  Returns the surviving (ea, eb, support)
+    table.
 
     The edge-set close and the degree attach are broadcast-regime
     (edge-key set ≤ budget) — the bucketed-join BSP variant is the
@@ -1416,25 +1426,21 @@ def k_truss(edges_ds, k: int = 4, src_col: str = "src",
 
     from .relational import ds_to_table, worker_cached
 
-    cur = _normalize_undirected(edges_ds, src_col, dst_col) \
-        .materialize()
+    empty = pa.table({"ea": pa.array([], type=pa.int64()),
+                      "eb": pa.array([], type=pa.int64()),
+                      "support": pa.array([], type=pa.int64())})
 
-    for rnd in range(max_rounds):
-        t = ds_to_table(cur)
-        if t.num_rows == 0:
-            break
-        ea = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
-        eb = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # degrees in the surviving subgraph
+    def support_of(cur, ea, eb):
+        """Per-edge triangle support of the current subgraph — one
+        degree-oriented wedge pass + close + 3-edge explode."""
         nodes, deg = np.unique(np.concatenate([ea, eb]),
                                return_counts=True)
         dref = ray.put((nodes, deg))
         ekeys = np.sort(ea * (1 << 32) + eb)
         eref = ray.put(ekeys)
-        tag_r = rnd
 
         def orient(tb: pa.Table) -> pa.Table:
-            ids, dv = worker_cached(("truss_deg", id(dref), tag_r),
+            ids, dv = worker_cached(("truss_deg", dref),
                                     lambda: ray.get(dref))
             a = tb["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
             b = tb["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1448,9 +1454,9 @@ def k_truss(edges_ds, k: int = 4, src_col: str = "src",
             cur.map_batches(orient, batch_format="pyarrow"))
 
         def close_and_explode(tb: pa.Table) -> pa.Table:
-            ek = worker_cached(("truss_edges", id(eref), tag_r),
+            ek = worker_cached(("truss_edges", eref),
                                lambda: ray.get(eref))
-            p = tb["pivot"].to_numpy(zero_copy_only=False) \
+            p_ = tb["pivot"].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             a = tb["a"].to_numpy(zero_copy_only=False).astype(np.int64)
             b = tb["b"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1458,11 +1464,9 @@ def k_truss(edges_ds, k: int = 4, src_col: str = "src",
             pos = np.searchsorted(ek, key)
             pos = np.minimum(pos, len(ek) - 1)
             keep = ek[pos] == key          # vectorized membership
-            p, a, b = p[keep], a[keep], b[keep]
-            # triangle (p, a, b) supports edges (p,a), (p,b), (a,b) —
-            # normalize each to (min, max)
-            e1a, e1b = np.minimum(p, a), np.maximum(p, a)
-            e2a, e2b = np.minimum(p, b), np.maximum(p, b)
+            p_, a, b = p_[keep], a[keep], b[keep]
+            e1a, e1b = np.minimum(p_, a), np.maximum(p_, a)
+            e2a, e2b = np.minimum(p_, b), np.maximum(p_, b)
             sa = np.concatenate([e1a, e2a, a])
             sb = np.concatenate([e1b, e2b, b])
             df = pd.DataFrame({"ea": sa, "eb": sb, "ps": 1}) \
@@ -1476,8 +1480,10 @@ def k_truss(edges_ds, k: int = 4, src_col: str = "src",
         st = ds_to_table(support)
         full = np.zeros(len(ea), dtype=np.int64)
         if st.num_rows:
-            sa = st["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
-            sb = st["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sa = st["ea"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sb = st["eb"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             sv = st["support"].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             skey = sa * (1 << 32) + sb
@@ -1488,23 +1494,31 @@ def k_truss(edges_ds, k: int = 4, src_col: str = "src",
             pos_c = np.minimum(pos, len(skey) - 1)
             hit = skey[pos_c] == ekey
             full[hit] = sv[pos_c[hit]]     # vectorized support lookup
+        return full
+
+    cur = _normalize_undirected(edges_ds, src_col, dst_col) \
+        .materialize()
+    for _ in range(max_rounds + 1):       # final pass reports support
+        t = ds_to_table(cur)
+        if t.num_rows == 0:
+            return empty
+        ea = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        full = support_of(cur, ea, eb)
         keep = full >= (k - 2)
         if keep.all():
-            return pa.table({"ea": pa.array(ea),
-                             "eb": pa.array(eb),
+            return pa.table({"ea": pa.array(ea), "eb": pa.array(eb),
                              "support": pa.array(full)})
         import ray.data as rd
         cur = rd.from_arrow(pa.table({"ea": pa.array(ea[keep]),
                                       "eb": pa.array(eb[keep])})) \
             .materialize()
+    # max_rounds+1 exhausted mid-peel: report the TRUE support of the
+    # last subgraph (documented: possibly not yet the fixed point)
     t = ds_to_table(cur)
     if t.num_rows == 0:
-        return pa.table({"ea": pa.array([], type=pa.int64()),
-                         "eb": pa.array([], type=pa.int64()),
-                         "support": pa.array([], type=pa.int64())})
-    # support of the stable subgraph (one more pass worth of map —
-    # loop exits via keep.all() in the common case, so this only runs
-    # on round exhaustion)
-    return pa.table({"ea": t["ea"], "eb": t["eb"],
-                     "support": pa.array(
-                         np.zeros(t.num_rows, dtype=np.int64))})
+        return empty
+    ea = t["ea"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eb = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({"ea": pa.array(ea), "eb": pa.array(eb),
+                     "support": pa.array(support_of(cur, ea, eb))})

@@ -779,3 +779,28 @@ def test_thumbnail_roundtrip_sums():
         else:
             assert r["thumb"] is None
     assert n_img == 4   # every 3rd synth row is an image
+
+
+def test_rfm_ntile_front_loaded_remainder(tmp_path):
+    """The interleaving floor(rank*k/n) formula diverges from SQL
+    NTILE whenever n % 5 in {2, 3} (review r4D finding): pin the
+    front-loaded rule on an adversarial customer count."""
+    from prclz_ray.pipelines.queries import SQL_RFM, q_rfm_segmentation
+    rng = np.random.default_rng(3)
+    n = 1002                               # n % 5 == 2
+    custkey = np.arange(1, n + 1, dtype=np.int64)
+    days = rng.integers(0, 400, n)
+    prices = np.round(rng.uniform(10, 1000, n), 2)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(custkey),
+        "o_orderdate": pa.array(
+            days.astype("datetime64[D]").astype("datetime64[us]")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    got = q_rfm_segmentation(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{os.path.join(d, 'orders.parquet')}')")
+    want = con.execute(SQL_RFM).df()
+    assert _hash(got) == _hash(want)
