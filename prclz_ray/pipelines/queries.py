@@ -13206,6 +13206,205 @@ FROM m ORDER BY month
 """
 
 
+def q_dow_seasonality_index(sf_dir: str):
+    """Day-of-week seasonality index of order revenue: mean daily
+    revenue per weekday ÷ overall mean daily revenue — the additive
+    seasonal-decomposition diagnostic.  Exact cents and day counts all
+    the way; the index is ONE mirrored division chain.  Weekday from
+    pure epoch-day arithmetic ((day+4) % 7 : 1970-01-01 was a
+    Thursday, ISO Monday=1 ... Sunday=7 to match DuckDB isodow)."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"day": day, "pc_": cents}) \
+            .groupby("day", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
+    ).to_pandas()
+    day = d["day"].to_numpy(np.int64)
+    isodow = (day + 3) % 7 + 1            # 1970-01-01 Thu → isodow 4
+    rev = d["rev"].to_numpy(np.int64)
+    g = pd.DataFrame({"isodow": isodow, "rev": rev}) \
+        .groupby("isodow").agg(n_days=("rev", "size"),
+                               rev_c=("rev", "sum")).reset_index()
+    total_c = int(g["rev_c"].sum())
+    total_d = int(g["n_days"].sum())
+    idx = (g["rev_c"].to_numpy(np.float64)
+           / g["n_days"].to_numpy(np.float64)) \
+        / (float(total_c) / float(total_d))
+    out = g.assign(season_idx=np.round(idx, 6)) \
+        .sort_values("isodow").reset_index(drop=True)
+    return out.astype({"isodow": np.int64, "n_days": np.int64,
+                       "rev_c": np.int64})
+
+
+SQL_DOW_SEASONALITY = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1),
+g AS (SELECT (day + 3) % 7 + 1 AS isodow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(rev) AS BIGINT) AS rev_c
+      FROM d GROUP BY 1),
+tot AS (SELECT SUM(rev_c) AS tc, SUM(n_days) AS td FROM g)
+SELECT isodow, n_days, rev_c,
+       ROUND((CAST(rev_c AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(tc AS DOUBLE) / CAST(td AS DOUBLE)), 6)
+         AS season_idx
+FROM g, tot ORDER BY isodow
+"""
+
+
+def q_funnel_conversion_1h(sf_dir: str):
+    """Time-constrained funnel: of users whose stream contains a
+    'click', how many 'purchase' within ONE HOUR of their FIRST click
+    — the windowed-conversion metric attribution systems report.  One
+    user-bucket shuffle; per bucket the first-click and the
+    first-qualifying-purchase come from vectorized groupby mins; the
+    output is a single exact-int row."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        t = batch.filter(pa.array(keep))
+        b = stable_bucket(t["user_id"], 64)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "et": g["event_type"].to_numpy(),
+                           "ts": us})
+        clicks = df[df["et"] == "click"].groupby("u")["ts"].min()
+        if clicks.empty:
+            return pd.DataFrame({"pclk": [0], "pconv": [0]})
+        pur = df[df["et"] == "purchase"]
+        m = pur.merge(clicks.rename("c0"), left_on="u",
+                      right_index=True)
+        hit = m[(m["ts"] >= m["c0"])
+                & (m["ts"] <= m["c0"] + 3_600_000_000)]
+        return pd.DataFrame({
+            "pclk": [int(len(clicks))],
+            "pconv": [int(hit["u"].nunique())]})
+
+    agg = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas") \
+        .aggregate(Sum("pclk", alias_name="n_clickers"),
+                   Sum("pconv", alias_name="n_converted"))
+    n_clk = int(agg["n_clickers"])
+    n_conv = int(agg["n_converted"])
+    return pd.DataFrame([{
+        "n_clickers": n_clk, "n_converted": n_conv,
+        "conv_rate": round(float(n_conv) / float(n_clk), 6)}]) \
+        .astype({"n_clickers": np.int64, "n_converted": np.int64})
+
+
+SQL_FUNNEL_1H = """
+WITH c AS (SELECT user_id, MIN(ts) AS c0 FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+conv AS (SELECT DISTINCT c.user_id
+         FROM c JOIN events e ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase'
+           AND e.ts >= c.c0
+           AND e.ts <= c.c0 + INTERVAL 1 HOUR)
+SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clickers,
+       CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
+       ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6)
+         AS conv_rate
+"""
+
+
+def q_abc_analysis_parts(sf_dir: str):
+    """ABC / Pareto inventory classification: parts ranked by exact
+    lineitem revenue (cents), class A = the head reaching 80 % of
+    cumulative revenue, B to 95 %, C the tail — thresholds applied as
+    the pure-integer rule 20·cum ≤ 16·total / 20·cum ≤ 19·total (no
+    float shares).  Rank order is the deterministic (revenue DESC,
+    partkey ASC); the running total comes from ``global_prefix_sum``
+    over the order-preserving composite (maxrev−rev)·2³² + partkey —
+    no global sort.  Output: per-class part counts + revenue."""
+    from ray.data.aggregate import Max, Sum
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"p": t["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64), "pc_": cents}) \
+            .groupby("p", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p").aggregate(Sum("pc_", alias_name="rev")) \
+        .materialize()
+    mx = int(rev.aggregate(Max("rev", alias_name="m"))["m"])
+    total = int(rev.aggregate(Sum("rev", alias_name="s"))["s"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if r.size and (mx >= 1 << 31 or p.max() >= 1 << 32):
+            raise ValueError("ABC composite packing bound")
+        key = (mx - r) * (1 << 32) + p     # revenue DESC, partkey ASC
+        return pa.table({"rev": pa.array(r), "key": pa.array(key)})
+
+    ranked = relational.global_prefix_sum(
+        rev.map_batches(with_key, batch_format="pyarrow"),
+        order_col="key", value_col="rev", out_col="cum")
+
+    def classify(t: pa.Table) -> pa.Table:
+        cum = t["cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = np.where(20 * cum <= 16 * total, "A",
+                       np.where(20 * cum <= 19 * total, "B", "C"))
+        g = pd.DataFrame({"abc_class": cls, "pn": 1, "pc_": r}) \
+            .groupby("abc_class", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _S
+    o = relational.ds_to_table(
+        ranked.map_batches(classify, batch_format="pyarrow")
+        .groupby("abc_class").aggregate(
+            _S("pn", alias_name="n_parts"),
+            _S("pc_", alias_name="revenue_c"))
+    ).to_pandas().sort_values("abc_class").reset_index(drop=True)
+    return o.astype({"n_parts": np.int64, "revenue_c": np.int64})
+
+
+SQL_ABC = """
+WITH rev AS (SELECT l_partkey AS p,
+                    CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                  AS HUGEINT)) AS BIGINT) AS rev
+             FROM lineitem GROUP BY 1),
+r AS (SELECT rev, SUM(rev) OVER (ORDER BY rev DESC, p
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT SUM(rev) FROM rev) AS total
+      FROM rev)
+SELECT CASE WHEN 20 * cum <= 16 * total THEN 'A'
+            WHEN 20 * cum <= 19 * total THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_c
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -13574,4 +13773,8 @@ def registry():
         "rfm_segmentation": (q_rfm_segmentation, SQL_RFM),
         "skipgram_event_pairs": (q_skipgram_event_pairs, SQL_SKIPGRAM),
         "mom_revenue_growth": (q_mom_revenue_growth, SQL_MOM_GROWTH),
+        "dow_seasonality_index": (q_dow_seasonality_index,
+                                  SQL_DOW_SEASONALITY),
+        "funnel_conversion_1h": (q_funnel_conversion_1h, SQL_FUNNEL_1H),
+        "abc_analysis_parts": (q_abc_analysis_parts, SQL_ABC),
     }

@@ -73,7 +73,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "shuffle_skew_report",
        # batch 19 (RFM, sequence mining, growth)
        "rfm_segmentation", "skipgram_event_pairs",
-       "mom_revenue_growth"]
+       "mom_revenue_growth",
+       # batch 20 (seasonality, funnels, Pareto)
+       "dow_seasonality_index", "funnel_conversion_1h",
+       "abc_analysis_parts"]
 
 
 def _norm(v) -> str:
