@@ -13405,6 +13405,141 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def q_encoding_anomaly_scan(sf_dir: str):
+    """Data-quality encoding scan: per source, documents containing
+    non-ASCII codepoints and the exact non-ASCII character total — the
+    mojibake / encoding-drift detector a crawl ingest runs.  One
+    vectorized Arrow regex count per batch (no per-row decode
+    probing)."""
+    from ray.data.aggregate import Sum
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        total = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ascii_only = pc.count_substring_regex(
+            t["text"], r"[\x00-\x7F]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        non_ascii = total - ascii_only
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "pn": 1,
+            "pdocs": (non_ascii > 0).astype(np.int64),
+            "pchars": non_ascii}) \
+            .groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(
+            Sum("pn", alias_name="n_docs"),
+            Sum("pdocs", alias_name="docs_non_ascii"),
+            Sum("pchars", alias_name="chars_non_ascii"))
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    return o.astype({"n_docs": np.int64, "docs_non_ascii": np.int64,
+                     "chars_non_ascii": np.int64})
+
+
+SQL_ENCODING_SCAN = """
+WITH x AS (SELECT source,
+                  length(text)
+                    - length(regexp_replace(text, '[^\\x00-\\x7F]',
+                                            '', 'g')) AS na
+           FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_non_ascii,
+       CAST(SUM(na) AS BIGINT) AS chars_non_ascii
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_two_proportion_ztest(sf_dir: str):
+    """A/B two-proportion z-test: users split into deterministic arms
+    by user_id parity; 'conversion' = the user logged MORE purchase
+    than error events (a per-user comparison that never saturates —
+    every synthetic user has ≥1 purchase, so presence-based conversion
+    would give zero pooled variance).
+    Pooled-variance z = (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2)) — user-level
+    tallies are exact ints from one user-bucket pass, the z float
+    mirrors the SQL text.  Completes the testing family (Welch on
+    means, KS / Mann-Whitney on distributions, χ² on categories,
+    this on proportions)."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64),
+            "p": (et == "purchase").astype(np.int64),
+            "e": (et == "error").astype(np.int64)})
+        users = df.groupby("u")[["p", "e"]].sum().reset_index()
+        arm = users["u"].to_numpy(np.int64) % 2
+        conv = (users["p"].to_numpy(np.int64)
+                > users["e"].to_numpy(np.int64)).astype(np.int64)
+        return pd.DataFrame({
+            "pn1": [int((arm == 0).sum())],
+            "px1": [int(conv[arm == 0].sum())],
+            "pn2": [int((arm == 1).sum())],
+            "px2": [int(conv[arm == 1].sum())]})
+
+    agg = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas") \
+        .aggregate(Sum("pn1", alias_name="n1"),
+                   Sum("px1", alias_name="x1"),
+                   Sum("pn2", alias_name="n2"),
+                   Sum("px2", alias_name="x2"))
+    import math
+    n1, x1 = int(agg["n1"]), int(agg["x1"])
+    n2, x2 = int(agg["n2"]), int(agg["x2"])
+    p1 = x1 / n1
+    p2 = x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / math.sqrt(pp * (1.0 - pp)
+                              * (1.0 / n1 + 1.0 / n2))
+    return pd.DataFrame([{
+        "n1": n1, "x1": x1, "n2": n2, "x2": x2,
+        "z_stat": round(z, 6)}]) \
+        .astype({"n1": np.int64, "x1": np.int64,
+                 "n2": np.int64, "x2": np.int64})
+
+
+SQL_TWO_PROP_Z = """
+WITH u AS (SELECT user_id % 2 AS arm,
+                  CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END)
+                          > SUM(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END)
+                       THEN 1 ELSE 0 END AS conv
+           FROM events GROUP BY user_id),
+s AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                  AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                  AS BIGINT) AS x2
+      FROM u),
+f AS (SELECT n1, x1, n2, x2,
+             CAST(x1 AS DOUBLE) / n1 AS p1,
+             CAST(x2 AS DOUBLE) / n2 AS p2,
+             CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+      FROM s)
+SELECT n1, x1, n2, x2,
+       ROUND((p1 - p2) / SQRT(pp * (1.0 - pp)
+                              * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+FROM f
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -13777,4 +13912,8 @@ def registry():
                                   SQL_DOW_SEASONALITY),
         "funnel_conversion_1h": (q_funnel_conversion_1h, SQL_FUNNEL_1H),
         "abc_analysis_parts": (q_abc_analysis_parts, SQL_ABC),
+        "encoding_anomaly_scan": (q_encoding_anomaly_scan,
+                                  SQL_ENCODING_SCAN),
+        "two_proportion_ztest": (q_two_proportion_ztest,
+                                 SQL_TWO_PROP_Z),
     }

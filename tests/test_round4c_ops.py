@@ -76,7 +76,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "mom_revenue_growth",
        # batch 20 (seasonality, funnels, Pareto)
        "dow_seasonality_index", "funnel_conversion_1h",
-       "abc_analysis_parts"]
+       "abc_analysis_parts",
+       # batch 21 (data quality + A/B testing)
+       "encoding_anomaly_scan", "two_proportion_ztest"]
 
 
 def _norm(v) -> str:
