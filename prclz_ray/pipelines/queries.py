@@ -13540,6 +13540,74 @@ FROM f
 """
 
 
+def q_bearing_sector_histogram(sf_dir: str):
+    """Compass-sector histogram of trajectory leg bearings: initial
+    great-circle bearing θ = atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ −
+    sin φ₁·cos φ₂·cos Δλ) per leg (same synthetic lon/lat convention
+    and LEAD window as `user_path_length`), normalized with the
+    sign-of-dividend fmod chain ((θ%360)+360)%360 — numpy ``fmod``
+    matches SQL's ``%`` exactly, ``np.mod`` does NOT — then
+    floor(/45) sectors 0–7.  Identical doubles both sides ⇒ identical
+    sector assignment; counts exact."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", pa.array(
+            stable_bucket(t["user_id"], 64)))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        e = df["event_id"].to_numpy(np.int64)
+        lng = ((e * 7919) % 1000 + 0.5) / 1000.0 * 360.0 - 180.0
+        lat = ((e * 104729) % 1000 + 0.5) / 1000.0 * 160.0 - 80.0
+        g = df.groupby("user_id", sort=False)
+        nxt = g.cumcount(ascending=False).to_numpy() > 0
+        p1 = np.radians(lat[nxt])
+        p2 = np.radians(np.roll(lat, -1)[nxt])
+        dl = np.radians(np.roll(lng, -1)[nxt]) - np.radians(lng[nxt])
+        theta = np.degrees(np.arctan2(
+            np.sin(dl) * np.cos(p2),
+            np.cos(p1) * np.sin(p2)
+            - np.sin(p1) * np.cos(p2) * np.cos(dl)))
+        norm = np.fmod(np.fmod(theta, 360.0) + 360.0, 360.0)
+        sector = np.floor(norm / 45.0).astype(np.int64)
+        u, c = np.unique(sector, return_counts=True)
+        return pa.table({"sector": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    o = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+        .groupby("sector").aggregate(Sum("pn", alias_name="n_legs"))
+    ).to_pandas().sort_values("sector").reset_index(drop=True)
+    return o.astype({"sector": np.int64, "n_legs": np.int64})
+
+
+SQL_BEARING_SECTORS = """
+WITH p AS (SELECT user_id, ts, event_id,
+                  ((event_id * 7919) % 1000 + 0.5) / 1000.0 * 360.0
+                    - 180.0 AS lng,
+                  ((event_id * 104729) % 1000 + 0.5) / 1000.0 * 160.0
+                    - 80.0 AS lat
+           FROM events),
+l AS (SELECT user_id, lng, lat,
+             LEAD(lng) OVER w AS lng1, LEAD(lat) OVER w AS lat1
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+b AS (SELECT DEGREES(ATAN2(
+               SIN(RADIANS(lng1) - RADIANS(lng)) * COS(RADIANS(lat1)),
+               COS(RADIANS(lat)) * SIN(RADIANS(lat1))
+                 - SIN(RADIANS(lat)) * COS(RADIANS(lat1))
+                   * COS(RADIANS(lng1) - RADIANS(lng)))) AS theta
+      FROM l WHERE lng1 IS NOT NULL)
+SELECT CAST(FLOOR((((theta % 360.0) + 360.0) % 360.0) / 45.0)
+            AS BIGINT) AS sector,
+       CAST(COUNT(*) AS BIGINT) AS n_legs
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -13916,4 +13984,6 @@ def registry():
                                   SQL_ENCODING_SCAN),
         "two_proportion_ztest": (q_two_proportion_ztest,
                                  SQL_TWO_PROP_Z),
+        "bearing_sector_histogram": (q_bearing_sector_histogram,
+                                     SQL_BEARING_SECTORS),
     }

@@ -78,7 +78,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "dow_seasonality_index", "funnel_conversion_1h",
        "abc_analysis_parts",
        # batch 21 (data quality + A/B testing)
-       "encoding_anomaly_scan", "two_proportion_ztest"]
+       "encoding_anomaly_scan", "two_proportion_ztest",
+       # batch 22 (geo bearing kernel)
+       "bearing_sector_histogram"]
 
 
 def _norm(v) -> str:
