@@ -13608,6 +13608,160 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def q_control_chart_revenue(sf_dir: str):
+    """Shewhart 3σ control chart over daily revenue: days whose exact
+    cents fall outside mean ± 3·σ (population σ from exact power sums
+    — cents² rides the (hi, lo) split).  The bounds are ONE mirrored
+    float expression; day membership compares identical doubles, so
+    the flagged-day set matches SQL exactly."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"day": day, "pc_": cents}) \
+            .groupby("day", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    d = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    rev = [int(v) for v in d["rev"]]
+    n = len(rev)
+    s1, s2 = sum(rev), sum(v * v for v in rev)
+    mu = s1 / n
+    sigma = float(np.sqrt(s2 / n - mu * mu))
+    lo, hi = mu - 3.0 * sigma, mu + 3.0 * sigma
+    rv = d["rev"].to_numpy(np.float64)
+    out = d[(rv < lo) | (rv > hi)].copy()
+    out["rev"] = out["rev"].astype(np.int64)
+    return out.rename(columns={"rev": "rev_c"}) \
+        .astype({"day": np.int64}).reset_index(drop=True)
+
+
+SQL_CONTROL_CHART = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                       AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(rev_c AS HUGEINT)) AS s1,
+             SUM(CAST(rev_c AS HUGEINT) * rev_c) AS s2 FROM d),
+b AS (SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS sigma
+      FROM s)
+SELECT day, rev_c FROM d, b
+WHERE CAST(rev_c AS DOUBLE) < mu - 3.0 * sigma
+   OR CAST(rev_c AS DOUBLE) > mu + 3.0 * sigma
+ORDER BY day
+"""
+
+
+def q_join_cardinality_exact(sf_dir: str):
+    """Join-size estimation made exact: |orders ⋈ lineitem| on
+    orderkey equals Σ_k c_orders(k)·c_lineitem(k) over the key
+    distributions — computed WITHOUT executing the join (two bounded
+    per-key count aggregations + one co-bucket multiply), verified
+    against the oracle's actual COUNT(*).  The primitive a cost-based
+    planner needs before choosing broadcast vs shuffle."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def counts(col):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, c = np.unique(k, return_counts=True)
+            return pa.table({"k": pa.array(u),
+                             "pc_": pa.array(c.astype(np.int64))})
+        return f
+
+    co = orders.map_batches(counts("o_orderkey"),
+                            batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("pc_", alias_name="ca"))
+    cl = li.map_batches(counts("l_orderkey"), batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("pc_", alias_name="cb"))
+
+    joined = relational.bucketed_hash_join(co, cl, on="k")
+
+    def mul(t: pa.Table) -> pa.Table:
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pp": pa.array([int((ca * cb).sum())])})
+
+    agg = joined.map_batches(mul, batch_format="pyarrow") \
+        .aggregate(Sum("pp", alias_name="rows"))
+    return pd.DataFrame([{"join_rows": int(agg["rows"])}]) \
+        .astype({"join_rows": np.int64})
+
+
+SQL_JOIN_CARD = """
+SELECT CAST(COUNT(*) AS BIGINT) AS join_rows
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def q_reorder_interval_histogram(sf_dir: str):
+    """Customer reorder-interval distribution: day gaps between each
+    customer's consecutive orders (LAG over (orderdate, orderkey)),
+    bucketed to weeks — the repeat-purchase behavior curve.  One
+    customer-bucket shuffle, vectorized shift per bucket; output is
+    week-domain-bounded."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", pa.array(
+            stable_bucket(t["o_custkey"], 64)))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        day = df["o_orderdate"].to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        df = df.assign(day=day) \
+            .sort_values(["o_custkey", "day", "o_orderkey"])
+        c = df["o_custkey"].to_numpy(np.int64)
+        dy = df["day"].to_numpy(np.int64)
+        same = c[1:] == c[:-1]
+        gap = (dy[1:] - dy[:-1])[same]
+        weeks = gap // 7
+        u, n = np.unique(weeks, return_counts=True)
+        return pa.table({"gap_weeks": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    o = relational.ds_to_table(
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+        .groupby("gap_weeks").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("gap_weeks").reset_index(drop=True)
+    return o.astype({"gap_weeks": np.int64, "n": np.int64})
+
+
+SQL_REORDER_INTERVALS = """
+WITH o AS (SELECT o_custkey,
+                  epoch_us(o_orderdate) // 86400000000 AS day,
+                  o_orderkey
+           FROM orders),
+g AS (SELECT day - LAG(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day, o_orderkey) AS gap
+      FROM o)
+SELECT gap // 7 AS gap_weeks, CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -13986,4 +14140,10 @@ def registry():
                                  SQL_TWO_PROP_Z),
         "bearing_sector_histogram": (q_bearing_sector_histogram,
                                      SQL_BEARING_SECTORS),
+        "control_chart_revenue": (q_control_chart_revenue,
+                                  SQL_CONTROL_CHART),
+        "join_cardinality_exact": (q_join_cardinality_exact,
+                                   SQL_JOIN_CARD),
+        "reorder_interval_histogram": (q_reorder_interval_histogram,
+                                       SQL_REORDER_INTERVALS),
     }

@@ -80,7 +80,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        # batch 21 (data quality + A/B testing)
        "encoding_anomaly_scan", "two_proportion_ztest",
        # batch 22 (geo bearing kernel)
-       "bearing_sector_histogram"]
+       "bearing_sector_histogram",
+       # batch 23 (SPC, planner cardinality, reorder behavior)
+       "control_chart_revenue", "join_cardinality_exact",
+       "reorder_interval_histogram"]
 
 
 def _norm(v) -> str:
