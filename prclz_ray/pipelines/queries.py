@@ -13762,6 +13762,209 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dup_cluster_size_histogram(sf_dir: str):
+    """Structure of the exact-duplicate graph: histogram of duplicate-
+    cluster sizes (how many distinct texts occur once, twice, …) — the
+    summary that sizes a dedup job before running it.  Same two-level
+    distribution-of-counts shape as the shuffle-skew report, keyed on
+    a 64-bit text hash so the shuffle moves hashes, never text."""
+    from ray.data.aggregate import Sum
+    from ..stages.dedup import _stable_u64
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _stable_u64(t["text"].to_pylist())
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "pc_": pa.array(c.astype(np.int64))})
+
+    per_text = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("pc_", alias_name="m"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(m, return_counts=True)
+        return pa.table({"cluster_size": pa.array(u),
+                         "pk": pa.array(c.astype(np.int64))})
+
+    o = relational.ds_to_table(
+        per_text.map_batches(hist, batch_format="pyarrow")
+        .groupby("cluster_size").aggregate(Sum("pk",
+                                               alias_name="n_clusters"))
+    ).to_pandas().sort_values("cluster_size").reset_index(drop=True)
+    return o.astype({"cluster_size": np.int64, "n_clusters": np.int64})
+
+
+SQL_DUP_CLUSTER_HIST = """
+WITH m AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS cs
+           FROM documents GROUP BY 1)
+SELECT cs AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_catalog_row_counts(sf_dir: str):
+    """Catalog-level profile: exact row counts per table from parquet
+    FOOTER metadata only — zero data rows read, the warehouse
+    information_schema surface."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_
+    rows = []
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"]:
+        n = 0
+        for f in sorted(glob.glob(os.path.join(sf_dir,
+                                               f"{t}*.parquet"))):
+            n += pq_.read_metadata(f).num_rows
+        rows.append({"table_name": t, "n_rows": n})
+    return pd.DataFrame(rows).sort_values("table_name") \
+        .reset_index(drop=True).astype({"n_rows": np.int64})
+
+
+SQL_CATALOG_COUNTS = """
+SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer
+UNION ALL SELECT 'documents', COUNT(*) FROM documents
+UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+UNION ALL SELECT 'events', COUNT(*) FROM events
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'part', COUNT(*) FROM part
+UNION ALL SELECT 'region', COUNT(*) FROM region
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+ORDER BY table_name
+"""
+
+
+def q_cumulative_unique_users(sf_dir: str):
+    """User-growth curve: cumulative distinct users by day — each
+    user counts once, at their FIRST event day.  One user-bucket pass
+    takes per-user min day, a days-bounded histogram + prefix sum
+    finishes; the classic DAU-accumulation metric without any
+    per-day COUNT(DISTINCT) rescan."""
+    from ray.data.aggregate import Min, Sum
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        g = pd.DataFrame({"user_id": t["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64), "pd_": day}) \
+            .groupby("user_id", sort=False).min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    first = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("pd_", alias_name="d0"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        d = t["d0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "pn": pa.array(c.astype(np.int64))})
+
+    o = relational.ds_to_table(
+        first.map_batches(hist, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("pn", alias_name="new_users"))
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    o["cum_users"] = np.cumsum(o["new_users"].to_numpy(np.int64))
+    return o.astype({"day": np.int64, "new_users": np.int64,
+                     "cum_users": np.int64})
+
+
+SQL_CUM_UNIQUE_USERS = """
+WITH f AS (SELECT user_id,
+                  MIN(epoch_us(ts) // 86400000000) AS day
+           FROM events GROUP BY 1),
+g AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM g ORDER BY day
+"""
+
+
+def q_top1pct_revenue_share(sf_dir: str):
+    """Revenue concentration: the share of total revenue held by the
+    top ⌈n/100⌉ customers (revenue DESC, custkey ASC rank) — the
+    whale-concentration KPI.  Rank via the composite-key
+    ``global_prefix_sum`` (same machinery as ABC analysis), head size
+    from pure integer ceil division, ONE mirrored share division."""
+    from ray.data.aggregate import Max, Sum
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"c": t["o_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64), "pc_": cents}) \
+            .groupby("c", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("pc_", alias_name="rev")) \
+        .materialize()
+    n = rev.count()
+    head = (n + 99) // 100                  # ceil(n / 100)
+    mx = int(rev.aggregate(Max("rev", alias_name="m"))["m"])
+    total = int(rev.aggregate(Sum("rev", alias_name="s"))["s"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if r.size and (mx >= 1 << 31 or c.max() >= 1 << 32):
+            raise ValueError("top1pct composite packing bound")
+        key = (mx - r) * (1 << 32) + c
+        return pa.table({"rev": pa.array(r), "one": pa.array(
+            np.ones(len(r), dtype=np.int64)), "key": pa.array(key)})
+
+    ranked = relational.global_prefix_sum(
+        rev.map_batches(with_key, batch_format="pyarrow"),
+        order_col="key", value_col="one", out_col="rn")
+
+    def head_sum(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ph": pa.array([int(r[rn <= head].sum())])})
+
+    agg = ranked.map_batches(head_sum, batch_format="pyarrow") \
+        .aggregate(Sum("ph", alias_name="head_c"))
+    head_c = int(agg["head_c"])
+    return pd.DataFrame([{
+        "n_customers": n, "head_n": int(head), "head_rev_c": head_c,
+        "total_rev_c": total,
+        "share": round(float(head_c) / float(total), 6)}]) \
+        .astype({"n_customers": np.int64, "head_n": np.int64,
+                 "head_rev_c": np.int64, "total_rev_c": np.int64})
+
+
+SQL_TOP1PCT = """
+WITH rev AS (SELECT o_custkey AS c,
+                    CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                  AS HUGEINT)) AS BIGINT) AS rev
+             FROM orders GROUP BY 1),
+r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev DESC, c) AS rn
+      FROM rev),
+s AS (SELECT CAST((SELECT COUNT(*) FROM rev) AS BIGINT) AS n,
+             CAST(((SELECT COUNT(*) FROM rev) + 99) // 100 AS BIGINT)
+               AS head_n)
+SELECT n AS n_customers, head_n,
+       CAST((SELECT SUM(rev) FROM r, s WHERE rn <= head_n) AS BIGINT)
+         AS head_rev_c,
+       CAST((SELECT SUM(rev) FROM rev) AS BIGINT) AS total_rev_c,
+       ROUND(CAST((SELECT SUM(rev) FROM r, s WHERE rn <= head_n)
+                  AS DOUBLE)
+             / CAST((SELECT SUM(rev) FROM rev) AS DOUBLE), 6) AS share
+FROM s
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -14146,4 +14349,12 @@ def registry():
                                    SQL_JOIN_CARD),
         "reorder_interval_histogram": (q_reorder_interval_histogram,
                                        SQL_REORDER_INTERVALS),
+        "dup_cluster_size_histogram": (q_dup_cluster_size_histogram,
+                                       SQL_DUP_CLUSTER_HIST),
+        "catalog_row_counts": (q_catalog_row_counts,
+                               SQL_CATALOG_COUNTS),
+        "cumulative_unique_users": (q_cumulative_unique_users,
+                                    SQL_CUM_UNIQUE_USERS),
+        "top1pct_revenue_share": (q_top1pct_revenue_share,
+                                  SQL_TOP1PCT),
     }

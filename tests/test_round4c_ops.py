@@ -83,7 +83,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "bearing_sector_histogram",
        # batch 23 (SPC, planner cardinality, reorder behavior)
        "control_chart_revenue", "join_cardinality_exact",
-       "reorder_interval_histogram"]
+       "reorder_interval_histogram",
+       # batch 24 (dedup structure, catalog, growth, concentration)
+       "dup_cluster_size_histogram", "catalog_row_counts",
+       "cumulative_unique_users", "top1pct_revenue_share"]
 
 
 def _norm(v) -> str:
@@ -814,3 +817,17 @@ def test_rfm_ntile_front_loaded_remainder(tmp_path):
                 f"read_parquet('{os.path.join(d, 'orders.parquet')}')")
     want = con.execute(SQL_RFM).df()
     assert _hash(got) == _hash(want)
+
+
+def test_dup_cluster_histogram_sees_duplicates(tmp_path):
+    # the sf fixtures are dup-free; pin the nontrivial shape on a
+    # corpus with known cluster sizes 1,2,3
+    d = str(tmp_path)
+    texts = ["a", "b", "b", "c", "c", "c"]
+    pq.write_table(pa.table({"text": pa.array(texts)}),
+                   os.path.join(d, "documents.parquet"))
+    from prclz_ray.pipelines.queries import q_dup_cluster_size_histogram
+    out = q_dup_cluster_size_histogram(d).set_index("cluster_size")
+    assert out.loc[1, "n_clusters"] == 1
+    assert out.loc[2, "n_clusters"] == 1
+    assert out.loc[3, "n_clusters"] == 1
