@@ -13762,47 +13762,6 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def q_dup_cluster_size_histogram(sf_dir: str):
-    """Structure of the exact-duplicate graph: histogram of duplicate-
-    cluster sizes (how many distinct texts occur once, twice, …) — the
-    summary that sizes a dedup job before running it.  Same two-level
-    distribution-of-counts shape as the shuffle-skew report, keyed on
-    a 64-bit text hash so the shuffle moves hashes, never text."""
-    from ray.data.aggregate import Sum
-    from ..stages.dedup import _stable_u64
-    docs = _read(sf_dir, "documents", ["text"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        h = _stable_u64(t["text"].to_pylist())
-        u, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(u),
-                         "pc_": pa.array(c.astype(np.int64))})
-
-    per_text = docs.map_batches(partial, batch_format="pyarrow") \
-        .groupby("h").aggregate(Sum("pc_", alias_name="m"))
-
-    def hist(t: pa.Table) -> pa.Table:
-        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u, c = np.unique(m, return_counts=True)
-        return pa.table({"cluster_size": pa.array(u),
-                         "pk": pa.array(c.astype(np.int64))})
-
-    o = relational.ds_to_table(
-        per_text.map_batches(hist, batch_format="pyarrow")
-        .groupby("cluster_size").aggregate(Sum("pk",
-                                               alias_name="n_clusters"))
-    ).to_pandas().sort_values("cluster_size").reset_index(drop=True)
-    return o.astype({"cluster_size": np.int64, "n_clusters": np.int64})
-
-
-SQL_DUP_CLUSTER_HIST = """
-WITH m AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS cs
-           FROM documents GROUP BY 1)
-SELECT cs AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
-FROM m GROUP BY 1 ORDER BY 1
-"""
-
-
 def q_catalog_row_counts(sf_dir: str):
     """Catalog-level profile: exact row counts per table from parquet
     FOOTER metadata only — zero data rows read, the warehouse
@@ -13962,6 +13921,102 @@ SELECT n AS n_customers, head_n,
                   AS DOUBLE)
              / CAST((SELECT SUM(rev) FROM rev) AS DOUBLE), 6) AS share
 FROM s
+"""
+
+
+def q_median_order_by_segment(sf_dir: str):
+    """Exact median order value per market segment — the join ×
+    grouped-quantile combination: the (custkey→segment) dim side
+    attaches via a broadcast map, per-(segment, cents) distribution
+    reduces once, and each segment's lower median reads off the shared
+    ``exact_quantile_idx`` integer rule (K=2) inside a 5-group
+    map_groups.  SQL twin uses quantile_disc(0.5) — the same
+    lower-median convention."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = relational.ds_to_table(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    seg_of = dict(zip(cust["c_custkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64),
+        cust["c_mktsegment"].to_pylist()))
+    import ray
+    ref = ray.put(seg_of)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.relational import worker_cached
+        m = worker_cached(("seg_of", ref), lambda: ray.get(ref))
+        c = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        seg = np.array([m[x] for x in c], dtype=object)
+        g = pd.DataFrame({"seg": seg, "v": cents, "pn": 1}) \
+            .groupby(["seg", "v"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dist = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["seg", "v"]).aggregate(Sum("pn", alias_name="c"))
+
+    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.relational import exact_quantile_idx
+        g = g.sort_values("v")
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
+        i = exact_quantile_idx(cum, 1, 2)
+        return pd.DataFrame([{
+            "c_mktsegment": g["seg"].iloc[0],
+            "n_orders": int(cum[-1]),
+            "median_c": int(g["v"].to_numpy(np.int64)[i])}])
+
+    out = dist.groupby("seg").map_groups(per_seg,
+                                         batch_format="pandas")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("c_mktsegment").reset_index(drop=True) \
+        .astype({"n_orders": np.int64, "median_c": np.int64})
+
+
+SQL_MEDIAN_SEGMENT = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+         AS median_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weekday_priority_heatmap(sf_dir: str):
+    """Reporting heatmap: order counts by (ISO weekday × priority) —
+    the 7×5 pivot grid a dashboard renders; exact counts, domain-
+    bounded shuffle, weekday from pure epoch-day arithmetic."""
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        isodow = (day + 3) % 7 + 1
+        g = pd.DataFrame({"isodow": isodow,
+                          "o_orderpriority":
+                          t["o_orderpriority"].to_numpy(
+                              zero_copy_only=False),
+                          "pn": 1}) \
+            .groupby(["isodow", "o_orderpriority"], sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["isodow", "o_orderpriority"]).aggregate(
+            Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values(["isodow", "o_orderpriority"]) \
+        .reset_index(drop=True)
+    return o.astype({"isodow": np.int64, "n": np.int64})
+
+
+SQL_WEEKDAY_HEATMAP = """
+SELECT (epoch_us(o_orderdate) // 86400000000 + 3) % 7 + 1 AS isodow,
+       o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -14349,12 +14404,14 @@ def registry():
                                    SQL_JOIN_CARD),
         "reorder_interval_histogram": (q_reorder_interval_histogram,
                                        SQL_REORDER_INTERVALS),
-        "dup_cluster_size_histogram": (q_dup_cluster_size_histogram,
-                                       SQL_DUP_CLUSTER_HIST),
         "catalog_row_counts": (q_catalog_row_counts,
                                SQL_CATALOG_COUNTS),
         "cumulative_unique_users": (q_cumulative_unique_users,
                                     SQL_CUM_UNIQUE_USERS),
         "top1pct_revenue_share": (q_top1pct_revenue_share,
                                   SQL_TOP1PCT),
+        "median_order_by_segment": (q_median_order_by_segment,
+                                    SQL_MEDIAN_SEGMENT),
+        "weekday_priority_heatmap": (q_weekday_priority_heatmap,
+                                     SQL_WEEKDAY_HEATMAP),
     }

@@ -86,7 +86,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "reorder_interval_histogram",
        # batch 24 (dedup structure, catalog, growth, concentration)
        "dup_cluster_size_histogram", "catalog_row_counts",
-       "cumulative_unique_users", "top1pct_revenue_share"]
+       "cumulative_unique_users", "top1pct_revenue_share",
+       # batch 25 (the 300 milestone)
+       "median_order_by_segment", "weekday_priority_heatmap"]
 
 
 def _norm(v) -> str:
@@ -827,7 +829,10 @@ def test_dup_cluster_histogram_sees_duplicates(tmp_path):
     pq.write_table(pa.table({"text": pa.array(texts)}),
                    os.path.join(d, "documents.parquet"))
     from prclz_ray.pipelines.queries import q_dup_cluster_size_histogram
-    out = q_dup_cluster_size_histogram(d).set_index("cluster_size")
+    out = q_dup_cluster_size_histogram(d)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out.set_index("cluster_size")
     assert out.loc[1, "n_clusters"] == 1
     assert out.loc[2, "n_clusters"] == 1
     assert out.loc[3, "n_clusters"] == 1
