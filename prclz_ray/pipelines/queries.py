@@ -14020,6 +14020,47 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_clustered_layout_audit(sf_dir: str):
+    """Storage-layout QC: audit a ``write_clustered`` output from
+    parquet FOOTERS only — per-file (min, max) key stats must be
+    internally consistent and globally NON-OVERLAPPING in file order
+    (the property range scans and merge readers rely on), and the file
+    row counts must sum to the input row count.  Reuses the zonemap
+    cache dir; zero data rows read.  Rows-only (the layout isn't
+    SQL-visible); the invariants are also pytest-asserted."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_
+
+    q_zonemap_pruned_scan(sf_dir)          # ensures the clustered dir
+    out = _fingerprint_cache_dir(sf_dir, "orders", "zonemap")
+    files = sorted(glob.glob(os.path.join(out, "part=*", "*.parquet")))
+    mins, maxs, rows = [], [], 0
+    for f in files:
+        md = pq_.read_metadata(f)
+        col = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}["day"]
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        mins.append(fmin)
+        maxs.append(fmax)
+        rows += md.num_rows
+    ordered = all(maxs[i] <= mins[i + 1]
+                  for i in range(len(files) - 1))
+    total = sum(pq_.read_metadata(f).num_rows for f in sorted(
+        glob.glob(os.path.join(sf_dir, "orders*.parquet"))))
+    return pd.DataFrame([{
+        "n_files": len(files),
+        "globally_ordered": bool(ordered),
+        "rows_match_input": bool(rows == total),
+        "n_rows": rows}]).astype({"n_files": np.int64,
+                                  "n_rows": np.int64})
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -14414,4 +14455,5 @@ def registry():
                                     SQL_MEDIAN_SEGMENT),
         "weekday_priority_heatmap": (q_weekday_priority_heatmap,
                                      SQL_WEEKDAY_HEATMAP),
+        "clustered_layout_audit": (q_clustered_layout_audit, None),
     }

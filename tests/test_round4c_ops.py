@@ -836,3 +836,12 @@ def test_dup_cluster_histogram_sees_duplicates(tmp_path):
     assert out.loc[1, "n_clusters"] == 1
     assert out.loc[2, "n_clusters"] == 1
     assert out.loc[3, "n_clusters"] == 1
+
+
+def test_clustered_layout_invariants():
+    from prclz_ray.pipelines.queries import q_clustered_layout_audit
+    out = q_clustered_layout_audit(SF)
+    r = out.iloc[0]
+    assert bool(r["globally_ordered"])
+    assert bool(r["rows_match_input"])
+    assert int(r["n_files"]) >= 2     # the range partitioning did split
