@@ -10818,16 +10818,12 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def q_acf_daily_revenue(sf_dir: str):
-    """Lag-k autocorrelation (k = 1..7) of the gap-filled daily order
-    revenue series — the seasonality diagnostic behind every demand
-    forecast.  The distributed part is the daily exact-cents reduction
-    (per-batch partials, day-keyed groupby); the ACF finish runs on the
-    DAYS-bounded series with arbitrary-precision integer power sums
-    (daily cents² overflows int64), one float expression per k written
-    to mirror the SQL text exactly."""
-    import math
-
+def _daily_revenue_cents(sf_dir: str) -> pd.DataFrame:
+    """Shared daily exact-cents revenue reduce (epoch day → Σ cents):
+    per-batch pandas partials → one day-keyed groupby.  ONE home for
+    the cents-rounding / epoch-day kernel used by the ACF, CUSUM,
+    drawdown, seasonality and control-chart series ops — the SQL twins
+    all mirror this exact text."""
     from ray.data.aggregate import Sum
     orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
@@ -10840,10 +10836,23 @@ def q_acf_daily_revenue(sf_dir: str):
             .groupby("day", sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    d = relational.ds_to_table(
+    return relational.ds_to_table(
         orders.map_batches(partial, batch_format="pyarrow")
         .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
-    ).to_pandas().sort_values("day")
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+
+
+def q_acf_daily_revenue(sf_dir: str):
+    """Lag-k autocorrelation (k = 1..7) of the gap-filled daily order
+    revenue series — the seasonality diagnostic behind every demand
+    forecast.  The distributed part is the daily exact-cents reduction
+    (per-batch partials, day-keyed groupby); the ACF finish runs on the
+    DAYS-bounded series with arbitrary-precision integer power sums
+    (daily cents² overflows int64), one float expression per k written
+    to mirror the SQL text exactly."""
+    import math
+
+    d = _daily_revenue_cents(sf_dir)
     days = d["day"].to_numpy(np.int64)
     lo, hi = int(days.min()), int(days.max())
     series = np.zeros(hi - lo + 1, dtype=np.int64)
@@ -11294,22 +11303,7 @@ def q_cusum_daily_revenue(sf_dir: str):
     is an exact python int until the final ROUND(s/n/100, 4).  The
     distributed part is the daily exact-cents reduce; the finish is
     DAYS-bounded."""
-    from ray.data.aggregate import Sum
-    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
-            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
-        cents = np.round(t["o_totalprice"].to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
-        g = pd.DataFrame({"day": day, "pc_": cents}) \
-            .groupby("day", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    d = relational.ds_to_table(
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
-    ).to_pandas().sort_values("day")
+    d = _daily_revenue_cents(sf_dir)
     days = d["day"].to_numpy(np.int64)
     lo, hi = int(days.min()), int(days.max())
     series = np.zeros(hi - lo + 1, dtype=np.int64)
@@ -11488,22 +11482,7 @@ def q_max_drawdown_revenue(sf_dir: str):
     curve.  Same scan family as CUSUM (windows, no recursion); missing
     days can't change cum or its running max, so no gap-fill is needed
     and everything is exact cents."""
-    from ray.data.aggregate import Sum
-    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
-            .astype("datetime64[us]").astype(np.int64) // 86_400_000_000
-        cents = np.round(t["o_totalprice"].to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
-        g = pd.DataFrame({"day": day, "pc_": cents}) \
-            .groupby("day", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    d = relational.ds_to_table(
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
-    ).to_pandas().sort_values("day")
+    d = _daily_revenue_cents(sf_dir)
     cum = 0
     runmax = 0
     dd = 0
@@ -12589,23 +12568,15 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def q_zonemap_pruned_scan(sf_dir: str):
-    """Zone-map (min/max statistics) file skipping: orders are written
-    once through ``write_clustered`` (range-partitioned on the epoch
-    day, globally ordered files), a min/max manifest is built from the
-    parquet FOOTERS, and a date-range query then opens ONLY the files
-    whose [min, max] overlaps the predicate — stats-based skipping,
-    the complement of hive value-partition pruning.  The pruned file
-    count is asserted in pytest; the oracle runs the same predicate on
-    the original table."""
+def _ensure_clustered_orders(sf_dir: str) -> str:
+    """Materialize (once per input fingerprint) the day-range-clustered
+    orders layout shared by the zone-map scan and the layout audit —
+    factored out so the audit doesn't piggyback on another query's
+    side effect."""
     import glob
     import os
     import uuid
 
-    import pyarrow.parquet as pq_
-    import ray.data as rd
-
-    from ray.data.aggregate import Sum
     from ..runtime.checkpoint import write_clustered
 
     out = _fingerprint_cache_dir(sf_dir, "orders", "zonemap")
@@ -12628,7 +12599,29 @@ def q_zonemap_pruned_scan(sf_dir: str):
         except OSError:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
+
+def q_zonemap_pruned_scan(sf_dir: str):
+    """Zone-map (min/max statistics) file skipping: orders are written
+    once through ``write_clustered`` (range-partitioned on the epoch
+    day, globally ordered files), a min/max manifest is built from the
+    parquet FOOTERS, and a date-range query then opens ONLY the files
+    whose [min, max] overlaps the predicate — stats-based skipping,
+    the complement of hive value-partition pruning.  The pruned file
+    count is asserted in pytest; the oracle runs the same predicate on
+    the original table."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+    from ..runtime.checkpoint import write_clustered
+
+    out = _ensure_clustered_orders(sf_dir)
     files = sorted(glob.glob(os.path.join(out, "part=*", "*.parquet")))
     # zone map from footers only (no data read on the driver)
     lo_day = int(pd.Timestamp("1995-01-01").value // 1000
@@ -13211,25 +13204,10 @@ def q_dow_seasonality_index(sf_dir: str):
     revenue per weekday ÷ overall mean daily revenue — the additive
     seasonal-decomposition diagnostic.  Exact cents and day counts all
     the way; the index is ONE mirrored division chain.  Weekday from
-    pure epoch-day arithmetic ((day+4) % 7 : 1970-01-01 was a
-    Thursday, ISO Monday=1 ... Sunday=7 to match DuckDB isodow)."""
-    from ray.data.aggregate import Sum
-    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
-            .astype("datetime64[us]").astype(np.int64) \
-            // 86_400_000_000
-        cents = np.round(t["o_totalprice"].to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
-        g = pd.DataFrame({"day": day, "pc_": cents}) \
-            .groupby("day", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    d = relational.ds_to_table(
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
-    ).to_pandas()
+    pure epoch-day arithmetic ((day + 3) % 7 + 1: 1970-01-01 was a
+    Thursday → isodow 4; ISO Monday=1 … Sunday=7, matching DuckDB
+    isodow)."""
+    d = _daily_revenue_cents(sf_dir)
     day = d["day"].to_numpy(np.int64)
     isodow = (day + 3) % 7 + 1            # 1970-01-01 Thu → isodow 4
     rev = d["rev"].to_numpy(np.int64)
@@ -13357,11 +13335,10 @@ def q_abc_analysis_parts(sf_dir: str):
     total = int(rev.aggregate(Sum("rev", alias_name="s"))["s"])
 
     def with_key(t: pa.Table) -> pa.Table:
+        from ..stages.relational import pack_desc_rank_key
         r = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
         p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if r.size and (mx >= 1 << 31 or p.max() >= 1 << 32):
-            raise ValueError("ABC composite packing bound")
-        key = (mx - r) * (1 << 32) + p     # revenue DESC, partkey ASC
+        key = pack_desc_rank_key(r, mx, p)  # revenue DESC, partkey ASC
         return pa.table({"rev": pa.array(r), "key": pa.array(key)})
 
     ranked = relational.global_prefix_sum(
@@ -13377,12 +13354,11 @@ def q_abc_analysis_parts(sf_dir: str):
             .groupby("abc_class", sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum as _S
     o = relational.ds_to_table(
         ranked.map_batches(classify, batch_format="pyarrow")
         .groupby("abc_class").aggregate(
-            _S("pn", alias_name="n_parts"),
-            _S("pc_", alias_name="revenue_c"))
+            Sum("pn", alias_name="n_parts"),
+            Sum("pc_", alias_name="revenue_c"))
     ).to_pandas().sort_values("abc_class").reset_index(drop=True)
     return o.astype({"n_parts": np.int64, "revenue_c": np.int64})
 
@@ -13614,28 +13590,16 @@ def q_control_chart_revenue(sf_dir: str):
     — cents² rides the (hi, lo) split).  The bounds are ONE mirrored
     float expression; day membership compares identical doubles, so
     the flagged-day set matches SQL exactly."""
-    from ray.data.aggregate import Sum
-    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
-            .astype("datetime64[us]").astype(np.int64) \
-            // 86_400_000_000
-        cents = np.round(t["o_totalprice"].to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
-        g = pd.DataFrame({"day": day, "pc_": cents}) \
-            .groupby("day", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    d = relational.ds_to_table(
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("day").aggregate(Sum("pc_", alias_name="rev"))
-    ).to_pandas().sort_values("day").reset_index(drop=True)
+    d = _daily_revenue_cents(sf_dir).sort_values("day").reset_index(drop=True)
     rev = [int(v) for v in d["rev"]]
     n = len(rev)
     s1, s2 = sum(rev), sum(v * v for v in rev)
-    mu = s1 / n
-    sigma = float(np.sqrt(s2 / n - mu * mu))
+    # round each operand to double FIRST, exactly like the SQL twin's
+    # CAST(s AS DOUBLE)/CAST(n AS DOUBLE): python int/int true division
+    # is correctly-rounded exact-rational division and diverges 1 ulp
+    # once s exceeds 2^53 (s2 is ~1e17 at sf0.001 already)
+    mu = float(s1) / float(n)
+    sigma = float(np.sqrt(float(s2) / float(n) - mu * mu))
     lo, hi = mu - 3.0 * sigma, mu + 3.0 * sigma
     rv = d["rev"].to_numpy(np.float64)
     out = d[(rv < lo) | (rv > hi)].copy()
@@ -13774,10 +13738,10 @@ def q_catalog_row_counts(sf_dir: str):
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents",
               "embeddings"]:
-        n = 0
-        for f in sorted(glob.glob(os.path.join(sf_dir,
-                                               f"{t}*.parquet"))):
-            n += pq_.read_metadata(f).num_rows
+        # the engine's single-file contract ({t}.parquet exactly) —
+        # a prefix glob would fold name-prefixed siblings into the count
+        f = os.path.join(sf_dir, f"{t}.parquet")
+        n = pq_.read_metadata(f).num_rows if os.path.exists(f) else 0
         rows.append({"table_name": t, "n_rows": n})
     return pd.DataFrame(rows).sort_values("table_name") \
         .reset_index(drop=True).astype({"n_rows": np.int64})
@@ -13806,7 +13770,6 @@ def q_cumulative_unique_users(sf_dir: str):
     finishes; the classic DAU-accumulation metric without any
     per-day COUNT(DISTINCT) rescan."""
     from ray.data.aggregate import Min, Sum
-    from ..stages.relational import stable_bucket
     ev = _read(sf_dir, "events", ["ts", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -13875,11 +13838,10 @@ def q_top1pct_revenue_share(sf_dir: str):
     total = int(rev.aggregate(Sum("rev", alias_name="s"))["s"])
 
     def with_key(t: pa.Table) -> pa.Table:
+        from ..stages.relational import pack_desc_rank_key
         r = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if r.size and (mx >= 1 << 31 or c.max() >= 1 << 32):
-            raise ValueError("top1pct composite packing bound")
-        key = (mx - r) * (1 << 32) + c
+        key = pack_desc_rank_key(r, mx, c)  # revenue DESC, custkey ASC
         return pa.table({"rev": pa.array(r), "one": pa.array(
             np.ones(len(r), dtype=np.int64)), "key": pa.array(key)})
 
@@ -13936,11 +13898,12 @@ def q_median_order_by_segment(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = relational.ds_to_table(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
-    seg_of = dict(zip(cust["c_custkey"].to_numpy(
-        zero_copy_only=False).astype(np.int64),
-        cust["c_mktsegment"].to_pylist()))
+    seg_series = pd.Series(
+        cust["c_mktsegment"].to_pylist(),
+        index=cust["c_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
     import ray
-    ref = ray.put(seg_of)
+    ref = ray.put(seg_series)
 
     def partial(t: pa.Table) -> pa.Table:
         from ..stages.relational import worker_cached
@@ -13949,8 +13912,12 @@ def q_median_order_by_segment(sf_dir: str):
             .astype(np.int64)
         cents = np.round(t["o_totalprice"].to_numpy(
             zero_copy_only=False) * 100.0).astype(np.int64)
-        seg = np.array([m[x] for x in c], dtype=object)
-        g = pd.DataFrame({"seg": seg, "v": cents, "pn": 1}) \
+        # vectorized reindex attach (no per-row dict lookups); an
+        # orphan custkey reindexes to NaN and drops — the SQL twin's
+        # inner-join semantics, not a KeyError
+        seg = m.reindex(c).to_numpy()
+        ok = pd.notna(seg)
+        g = pd.DataFrame({"seg": seg[ok], "v": cents[ok], "pn": 1}) \
             .groupby(["seg", "v"], sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -14033,8 +14000,7 @@ def q_clustered_layout_audit(sf_dir: str):
 
     import pyarrow.parquet as pq_
 
-    q_zonemap_pruned_scan(sf_dir)          # ensures the clustered dir
-    out = _fingerprint_cache_dir(sf_dir, "orders", "zonemap")
+    out = _ensure_clustered_orders(sf_dir)
     files = sorted(glob.glob(os.path.join(out, "part=*", "*.parquet")))
     mins, maxs, rows = [], [], 0
     for f in files:
@@ -14049,7 +14015,10 @@ def q_clustered_layout_audit(sf_dir: str):
         mins.append(fmin)
         maxs.append(fmax)
         rows += md.num_rows
-    ordered = all(maxs[i] <= mins[i + 1]
+    # STRICT: write_clustered guarantees file i's keys < file i+1's —
+    # a duplicated boundary key (two files must open for one point
+    # lookup) is exactly the defect this audit exists to catch
+    ordered = all(maxs[i] < mins[i + 1]
                   for i in range(len(files) - 1))
     total = sum(pq_.read_metadata(f).num_rows for f in sorted(
         glob.glob(os.path.join(sf_dir, "orders*.parquet"))))

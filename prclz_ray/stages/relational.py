@@ -569,6 +569,21 @@ def windowed_aggregate(events_ds, key_col: str, ts_col: str, value_col: str,
                                                   batch_format="pyarrow")
 
 
+def pack_desc_rank_key(value: np.ndarray, value_max: int,
+                       ident: np.ndarray) -> np.ndarray:
+    """Composite int64 key whose ASCENDING order is (value DESC,
+    ident ASC): (value_max − value)·2³² + ident.  The packing bound —
+    value_max < 2³¹ and ident < 2³² — is the invariant
+    ``global_prefix_sum``'s unique-order contract rides on; callers
+    get ONE guarded implementation instead of copy-pasting it
+    (ABC analysis and the top-1 % share both rank this way)."""
+    if len(value) and (value_max >= 1 << 31
+                       or int(ident.max()) >= 1 << 32):
+        raise ValueError("pack_desc_rank_key bound exceeded "
+                         "(value_max < 2^31, ident < 2^32)")
+    return (value_max - value) * (1 << 32) + ident
+
+
 def exact_quantile_idx(cum: np.ndarray, k: int, K: int) -> int:
     """Exact-quantile boundary on a VALUE-DISTRIBUTION table: given
     cumulative counts ``cum`` of the sorted distinct values (int64,
