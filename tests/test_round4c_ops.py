@@ -845,3 +845,38 @@ def test_clustered_layout_invariants():
     assert bool(r["globally_ordered"])
     assert bool(r["rows_match_input"])
     assert int(r["n_files"]) >= 2     # the range partitioning did split
+
+
+def test_union_by_name_type_slot_and_null_fill(tmp_path):
+    from prclz_ray.io.codecs import read_parquet_union_by_name
+    d = str(tmp_path)
+    pq.write_table(pa.table({"a": pa.array([1, 2], type=pa.int64())}),
+                   os.path.join(d, "v1.parquet"))
+    pq.write_table(pa.table({
+        "a": pa.array([3], type=pa.int64()),
+        "b": pa.array([9.5], type=pa.float64())}),
+        os.path.join(d, "v2.parquet"))
+    t = read_parquet_union_by_name(
+        [os.path.join(d, "v1.parquet"),
+         os.path.join(d, "v2.parquet")])
+    from prclz_ray.stages.relational import ds_to_table
+    out = ds_to_table(t)
+    assert out.num_rows == 3
+    assert set(out.column_names) == {"a", "b"}
+    b = out["b"].to_pylist()
+    assert b.count(None) == 2 and 9.5 in b
+
+
+def test_orc_roundtrip_bytes(tmp_path):
+    import ray.data as rd
+
+    from prclz_ray.io.codecs import read_orc, write_orc
+    from prclz_ray.stages.relational import ds_to_table
+    src = pa.table({"x": pa.array([1, 2, 3], type=pa.int64()),
+                    "s": pa.array(["a", "b", "c"])})
+    d = os.path.join(str(tmp_path), "orc")
+    manifest = write_orc(rd.from_arrow(src), d).to_pandas()
+    files = sorted(manifest["file"])
+    back = ds_to_table(read_orc(files)).sort_by("x")
+    assert back.equals(src.sort_by("x"))
+    assert int(manifest["rows"].sum()) == 3
