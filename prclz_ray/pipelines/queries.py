@@ -14030,6 +14030,216 @@ def q_clustered_layout_audit(sf_dir: str):
                                   "n_rows": np.int64})
 
 
+def q_bloom_pruned_scan(sf_dir: str):
+    """Bloom-filter file skipping: the POINT-LOOKUP complement of the
+    zone-map scan.  Orders are laid out range-clustered on the epoch
+    DAY (``_ensure_clustered_orders``' layout, plus the key columns),
+    so every file's o_custkey [min, max] spans the whole customer
+    domain and min/max statistics prune NOTHING for a customer probe —
+    exactly the case per-file Bloom sidecars exist for.  A 1 KiB bloom
+    per file is built once in one distributed projected pass
+    (``sketches.build_file_blooms``), and an equality probe then opens
+    ONLY the files whose bloom may contain the key; no false negatives,
+    so the exact in-file filter sees every true row.  Pruning counts
+    are pytest-asserted; the oracle runs the same probe on the raw
+    table with the probe key derived by the same deterministic rule
+    (smallest custkey in the upper half of the key range)."""
+    import glob
+    import os
+    import uuid
+
+    from ray.data.aggregate import Max, Min
+    from ..runtime.checkpoint import write_clustered
+    from ..stages import sketches
+
+    M_BITS, K_HASH = 8192, 5
+    out = _fingerprint_cache_dir(sf_dir, "orders", "bloomscan")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+
+        def add_day(t: pa.Table) -> pa.Table:
+            day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64) \
+                // 86_400_000_000
+            cents = np.round(t["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "o_custkey": t["o_custkey"],
+                             "day": pa.array(day),
+                             "cents": pa.array(cents)})
+
+        write_clustered(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate",
+                   "o_totalprice"])
+            .map_batches(add_day, batch_format="pyarrow"),
+            tmp, key_col="day", num_ranges=16)
+        files = sorted(glob.glob(os.path.join(tmp, "part=*",
+                                              "*.parquet")))
+        blooms = sketches.build_file_blooms(files, "o_custkey",
+                                            m_bits=M_BITS,
+                                            num_hashes=K_HASH)
+        np.savez(os.path.join(tmp, "blooms.npz"),
+                 **{os.path.relpath(p, tmp): bm
+                    for p, bm in blooms.items()})
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # deterministic probe: smallest custkey in the upper half of the
+    # key range (mirrored verbatim in the SQL twin)
+    cust = _read(sf_dir, "orders", ["o_custkey"])
+    lohi = cust.aggregate(Min("o_custkey", alias_name="lo"),
+                          Max("o_custkey", alias_name="hi"))
+    mid = (int(lohi["lo"]) + int(lohi["hi"])) // 2
+    probe = int(cust.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_custkey"], mid)),
+        batch_format="pyarrow")
+        .aggregate(Min("o_custkey", alias_name="k"))["k"])
+
+    side = np.load(os.path.join(out, "blooms.npz"))
+    files = sorted(side.files)
+    keep = [f for f in files
+            if sketches.bloom_may_contain(side[f], probe, M_BITS,
+                                          K_HASH)]
+    part = rd.read_parquet([os.path.join(out, f) for f in keep],
+                           columns=["o_orderkey", "o_custkey", "day",
+                                    "cents"], include_paths=True)
+    hit = relational.ds_to_table(part.map_batches(
+        lambda t: t.filter(pc.equal(t["o_custkey"], probe)),
+        batch_format="pyarrow")).to_pandas()
+    n_true = hit["path"].map(
+        lambda p: os.path.relpath(p, out)).nunique()
+    q_bloom_pruned_scan._last_prune = (len(files), len(keep),
+                                       int(n_true))
+    res = hit[["o_orderkey", "day", "cents"]] \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    return res.astype({"o_orderkey": np.int64, "day": np.int64,
+                       "cents": np.int64})
+
+
+SQL_BLOOM_SCAN = """
+WITH b AS (SELECT (MIN(o_custkey) + MAX(o_custkey)) // 2 AS mid
+           FROM orders),
+p AS (SELECT MIN(o_custkey) AS k FROM orders, b
+      WHERE o_custkey >= b.mid)
+SELECT o_orderkey,
+       epoch_us(o_orderdate) // 86400000000 AS day,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders, p WHERE o_custkey = p.k
+ORDER BY o_orderkey
+"""
+
+
+def q_manifest_vacuum(sf_dir: str):
+    """Snapshot expiration + orphan-file GC (`VACUUM`), the maintenance
+    op that completes the lakehouse lifecycle next to time-travel,
+    compaction and CDC reads: a versioned-manifest table is built with
+    an early/late file pool, an ORPHAN file from an aborted write
+    (present on disk, referenced by no manifest), and snapshots v1 ⊂
+    v2; expiring v1 must delete the orphan and the v1 manifest while
+    every file v2 references survives byte-identically — the safety
+    invariant ``vacuum_manifests`` enforces.  The returned aggregate
+    reads the POST-VACUUM v2 snapshot; the oracle aggregates the raw
+    table, so a vacuum that touches a live file breaks the hash (and
+    the accounting is pytest-asserted)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+    from ..runtime.checkpoint import vacuum_manifests
+
+    root = f"/tmp/prclz_ray_vacuum_{uuid.uuid4().hex}"
+    os.makedirs(root)
+    try:
+        t = relational.ds_to_table(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                     "o_totalprice"]))
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        lo, hi = int(day.min()), int(day.max())
+        mid_day = lo + (hi - lo) // 2
+        early = pa.array(day <= mid_day)
+        pq_.write_table(t.filter(early),
+                        os.path.join(root, "early.parquet"))
+        pq_.write_table(t.filter(pc.invert(early)),
+                        os.path.join(root, "late.parquet"))
+        # aborted write: same rows as a prefix of early, never committed
+        pq_.write_table(t.filter(early).slice(0, 10),
+                        os.path.join(root, "orphan.parquet"))
+        with open(os.path.join(root, "manifest-v1.json"), "w") as fh:
+            json.dump({"files": ["early.parquet"]}, fh)
+        with open(os.path.join(root, "manifest-v2.json"), "w") as fh:
+            json.dump({"files": ["early.parquet", "late.parquet"]}, fh)
+
+        acct = vacuum_manifests(root, retain_versions=[2])
+        q_manifest_vacuum._last_vacuum = acct
+
+        with open(os.path.join(root, "manifest-v2.json")) as fh:
+            m = json.load(fh)
+        ds = rd.read_parquet([os.path.join(root, f)
+                              for f in m["files"]],
+                             columns=["o_totalprice"])
+
+        def partial(tt: pa.Table) -> pa.Table:
+            cents = np.round(tt["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            return pa.table({"pn": pa.array([len(cents)]),
+                             "pc_": pa.array([int(cents.sum())])})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .aggregate(Sum("pn", alias_name="n"),
+                       Sum("pc_", alias_name="c"))
+        return pd.DataFrame([{"n": int(agg["n"]),
+                              "revenue_c": int(agg["c"])}]) \
+            .astype({"n": np.int64, "revenue_c": np.int64})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_MANIFEST_VACUUM = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+         AS revenue_c
+FROM orders
+"""
+
+
+def q_rolling_median_7d(sf_dir: str):
+    """Rolling 7-row exact MEDIAN of daily order revenue — the robust
+    sibling of the rolling-mean anomaly window (a holistic window
+    aggregate: no decomposable partial exists, which is why engines
+    special-case it).  The distributed part is the shared exact-cents
+    daily reduce; the finish is days-bounded.  Odd windows pick the
+    middle element exactly; the first six (shorter, even) windows
+    average two int cents — a .5-exact float both here and in the SQL
+    twin's interpolation, so the hash compares raw doubles safely."""
+    d = _daily_revenue_cents(sf_dir)
+    med = d["rev"].astype(np.float64).rolling(7, min_periods=1) \
+        .median()
+    return pd.DataFrame({"day": d["day"].to_numpy(np.int64),
+                         "med7": med.to_numpy(np.float64)})
+
+
+SQL_ROLLING_MEDIAN = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1)
+SELECT day,
+       CAST(MEDIAN(rev) OVER (ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS med7
+FROM d ORDER BY day
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -14425,4 +14635,7 @@ def registry():
         "weekday_priority_heatmap": (q_weekday_priority_heatmap,
                                      SQL_WEEKDAY_HEATMAP),
         "clustered_layout_audit": (q_clustered_layout_audit, None),
+        "bloom_pruned_scan": (q_bloom_pruned_scan, SQL_BLOOM_SCAN),
+        "manifest_vacuum": (q_manifest_vacuum, SQL_MANIFEST_VACUUM),
+        "rolling_median_7d": (q_rolling_median_7d, SQL_ROLLING_MEDIAN),
     }

@@ -219,3 +219,45 @@ def compact_parquet(in_dir: str, out_dir: str,
                      if f.endswith(".parquet")])
     return {"files_in": len(files), "files_out": files_out,
             "bytes": int(disk)}
+
+
+def vacuum_manifests(root: str, retain_versions: list[int]) -> dict:
+    """Snapshot expiration + unreferenced-file GC over a versioned-
+    manifest directory (the layout ``q_time_travel_read`` builds:
+    ``manifest-v{N}.json`` files each listing their snapshot's parquet
+    members).  The safety invariant is Iceberg/Delta VACUUM's: a data
+    file is deleted ONLY if NO retained manifest references it, so
+    every retained snapshot reads byte-identically before and after.
+    Expired manifests are removed; orphan files (aborted writes,
+    superseded compactions) referenced by no retained version are
+    collected.  Idempotent — a second run is a no-op.
+
+    Returns {files_before, files_after, files_removed,
+    manifests_removed, retained}.
+    """
+    import glob
+
+    retain = set(int(v) for v in retain_versions)
+    manifests = {}
+    for p in glob.glob(os.path.join(root, "manifest-v*.json")):
+        v = int(os.path.basename(p)[len("manifest-v"):-len(".json")])
+        manifests[v] = p
+    missing = retain - set(manifests)
+    if missing:
+        raise ValueError(f"cannot retain missing versions {sorted(missing)}")
+    referenced: set[str] = set()
+    for v in retain:
+        with open(manifests[v]) as fh:
+            referenced.update(json.load(fh)["files"])
+    data = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    removed = [f for f in data if f not in referenced]
+    for f in removed:
+        os.remove(os.path.join(root, f))
+    dropped = [v for v in manifests if v not in retain]
+    for v in dropped:
+        os.remove(manifests[v])
+    return {"files_before": len(data),
+            "files_after": len(data) - len(removed),
+            "files_removed": len(removed),
+            "manifests_removed": len(dropped),
+            "retained": sorted(retain)}

@@ -460,3 +460,71 @@ def hll_overlap_matrix(ds, group_col: str, key_col: str,
         "approx_union": pa.array([r[4] for r in rows], type=pa.int64()),
         "approx_overlap": pa.array([r[5] for r in rows],
                                    type=pa.int64())})
+
+
+def build_file_blooms(files: list[str], on: str, m_bits: int = 8192,
+                      num_hashes: int = 5) -> dict[str, np.ndarray]:
+    """Per-FILE Bloom filters over a key column — the point-lookup
+    complement of zone maps: min/max statistics skip files when the
+    layout is CLUSTERED on the predicate column, Blooms skip files for
+    equality probes on any OTHER (unclustered, high-cardinality)
+    column, where every file's [min, max] spans the whole domain.
+
+    Distributed build: one projected read of the key column with
+    ``include_paths``; each batch ORs its keys into an m-bit bitmap per
+    file it touches (double hashing h1 + i·h2 over the process-stable
+    siphash — the same family as ``build_bloom``, so merge is
+    associative and partitioning-invariant); the driver ORs the
+    files-bounded partial rows.  1 KiB per file at the default m, so a
+    10⁶-file table's sidecar is ~1 GiB — broadcastable, never shuffled.
+
+    Returns {file_path: packed uint8 bitmap}.
+    """
+    import ray.data as rd
+
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two (mask indexing)")
+    ds = rd.read_parquet(files, columns=[on], include_paths=True)
+
+    def block_blooms(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_numpy(zero_copy_only=False)
+        h1 = _hash_u64(batch[on])
+        with np.errstate(over="ignore"):
+            h2 = h1 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        out_p, out_b = [], []
+        for p in np.unique(paths):
+            sel = paths == p
+            bits = np.zeros(m_bits, dtype=bool)
+            with np.errstate(over="ignore"):
+                for i in range(num_hashes):
+                    bits[((h1[sel] + np.uint64(i) * h2[sel])
+                          & np.uint64(m_bits - 1)).astype(np.int64)] = True
+            out_p.append(str(p))
+            out_b.append(np.packbits(bits).tobytes())
+        return pa.table({"path": pa.array(out_p),
+                         "bloom": pa.array(out_b, type=pa.binary())})
+
+    blooms: dict[str, np.ndarray] = {}
+    parts = ds.map_batches(block_blooms, batch_format="pyarrow",
+                           batch_size=None)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for p, buf in zip(b["path"].to_pylist(), b["bloom"].to_pylist()):
+            cur = blooms.setdefault(p, np.zeros(m_bits // 8,
+                                                dtype=np.uint8))
+            np.bitwise_or(cur, np.frombuffer(buf, dtype=np.uint8),
+                          out=cur)
+    return blooms
+
+
+def bloom_may_contain(bitmap: np.ndarray, key, m_bits: int,
+                      num_hashes: int = 5) -> bool:
+    """Membership probe against one packed per-file bitmap (no false
+    negatives: a True-containing file always passes)."""
+    h1 = _hash_u64(pa.array([key]))
+    with np.errstate(over="ignore"):
+        h2 = h1 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        idx = [int((h1[0] + np.uint64(i) * h2[0])
+                   & np.uint64(m_bits - 1))
+               for i in range(num_hashes)]
+    bits = np.unpackbits(bitmap)
+    return all(bits[i] for i in idx)

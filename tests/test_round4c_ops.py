@@ -88,7 +88,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "dup_cluster_size_histogram", "catalog_row_counts",
        "cumulative_unique_users", "top1pct_revenue_share",
        # batch 25 (the 300 milestone)
-       "median_order_by_segment", "weekday_priority_heatmap"]
+       "median_order_by_segment", "weekday_priority_heatmap",
+       # batch 26 (bloom file skipping, vacuum, rolling median)
+       "bloom_pruned_scan", "manifest_vacuum", "rolling_median_7d"]
 
 
 def _norm(v) -> str:
@@ -880,3 +882,69 @@ def test_orc_roundtrip_bytes(tmp_path):
     back = ds_to_table(read_orc(files)).sort_by("x")
     assert back.equals(src.sort_by("x"))
     assert int(manifest["rows"].sum()) == 3
+
+
+def test_bloom_scan_prunes_without_false_negatives():
+    from prclz_ray.pipelines.queries import q_bloom_pruned_scan
+    q_bloom_pruned_scan(SF)
+    n_files, n_kept, n_true = q_bloom_pruned_scan._last_prune
+    # real skipping happened (the probe key lives in a minority of the
+    # day-clustered files) ...
+    assert n_kept < n_files
+    # ... and no false negatives: every file that actually holds the
+    # key survived the bloom gate (true-containing ⊆ kept)
+    assert n_true <= n_kept
+    assert n_true >= 1
+
+
+def test_vacuum_safety_and_idempotence(tmp_path):
+    import json
+    from prclz_ray.runtime.checkpoint import vacuum_manifests
+    root = str(tmp_path)
+    for name, hi in [("a.parquet", 3), ("b.parquet", 5),
+                     ("orphan.parquet", 2)]:
+        pq.write_table(pa.table({"x": list(range(hi))}),
+                       os.path.join(root, name))
+    with open(os.path.join(root, "manifest-v1.json"), "w") as fh:
+        json.dump({"files": ["a.parquet"]}, fh)
+    with open(os.path.join(root, "manifest-v2.json"), "w") as fh:
+        json.dump({"files": ["a.parquet", "b.parquet"]}, fh)
+
+    # retaining EVERY version removes only the orphan
+    acct = vacuum_manifests(root, retain_versions=[1, 2])
+    assert acct["files_removed"] == 1 and acct["manifests_removed"] == 0
+    assert sorted(f for f in os.listdir(root)
+                  if f.endswith(".parquet")) == ["a.parquet",
+                                                 "b.parquet"]
+    # retained snapshots read byte-identically (files untouched)
+    assert pq.read_table(os.path.join(root, "a.parquet"))["x"] \
+        .to_pylist() == [0, 1, 2]
+    # second run is a no-op
+    acct2 = vacuum_manifests(root, retain_versions=[1, 2])
+    assert acct2["files_removed"] == 0
+
+    # expiring v1 drops its manifest but NOT a.parquet (v2 needs it)
+    acct3 = vacuum_manifests(root, retain_versions=[2])
+    assert acct3["manifests_removed"] == 1
+    assert acct3["files_removed"] == 0
+    assert os.path.exists(os.path.join(root, "a.parquet"))
+    assert not os.path.exists(os.path.join(root, "manifest-v1.json"))
+
+    # retaining a missing version must refuse, not silently GC
+    with pytest.raises(ValueError):
+        vacuum_manifests(root, retain_versions=[1])
+
+
+def test_rolling_median_even_window_halves(tmp_path):
+    # the first 6 (short, even-count) windows interpolate two int cents
+    # values: .5 halves must be exact, matching SQL MEDIAN
+    from prclz_ray.pipelines.queries import q_rolling_median_7d
+    days = pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-03",
+                           "2020-01-04"])
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array([1.00, 2.00, 4.00, 8.00])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_rolling_median_7d(str(tmp_path))
+    # cents: 100, 200, 400, 800 → medians 100, 150, 200, 300
+    assert out["med7"].tolist() == [100.0, 150.0, 200.0, 300.0]
