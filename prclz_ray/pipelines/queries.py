@@ -14240,6 +14240,266 @@ FROM d ORDER BY day
 """
 
 
+def q_interval_overlap_degree(sf_dir: str):
+    """Interval self-overlap-JOIN cardinality, computed WITHOUT the
+    join: every order is an interval [orderdate, orderdate + 2·priority
+    days]; the answer is the histogram of each interval's overlap
+    degree (how many other orders were concurrently open).  The naive
+    form is an inequality self-join (|orders|² comparisons — the
+    oracle runs exactly that); the engine form uses the sweep identity
+    degree(i) = #{starts ≤ eᵢ} − #{ends < sᵢ} − 1 over two DAYS-bounded
+    prefix-count arrays, so the distributed work is two histogram
+    passes and a vectorized lookup — no pairwise anything, any
+    partitioning, exact."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        s = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        dur = 2 * np.array(
+            [int(p[0]) for p in
+             t["o_orderpriority"].to_pylist()], dtype=np.int64)
+        return pa.table({"s": pa.array(s), "e": pa.array(s + dur)})
+
+    def day_hists(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "day": np.concatenate([t["s"].to_numpy(),
+                                   t["e"].to_numpy()]),
+            "kind": np.repeat(np.array([0, 1], dtype=np.int64),
+                              t.num_rows),
+            "pn": 1}).groupby(["day", "kind"], sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    iv = orders.map_batches(spans, batch_format="pyarrow")
+    hist = relational.ds_to_table(
+        iv.map_batches(day_hists, batch_format="pyarrow")
+        .groupby(["day", "kind"]).aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    lo = int(hist["day"].min())
+    hi = int(hist["day"].max())
+    n_days = hi - lo + 1
+    starts = np.zeros(n_days, dtype=np.int64)
+    ends = np.zeros(n_days, dtype=np.int64)
+    for _, r in hist.iterrows():
+        (starts if r["kind"] == 0 else ends)[int(r["day"]) - lo] \
+            += int(r["n"])
+    cum_s, cum_e = np.cumsum(starts), np.cumsum(ends)
+
+    def degree_hist(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy()
+        e = t["e"].to_numpy()
+        n_le_e = cum_s[np.clip(e - lo, 0, n_days - 1)]
+        before = s - 1 - lo
+        n_lt_s = np.where(before < 0, 0,
+                          cum_e[np.clip(before, 0, n_days - 1)])
+        deg = n_le_e - n_lt_s - 1
+        g = pd.DataFrame({"degree": deg, "pn": 1}) \
+            .groupby("degree", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        iv.map_batches(degree_hist, batch_format="pyarrow")
+        .groupby("degree").aggregate(Sum("pn", alias_name="n_orders"))
+    ).to_pandas().sort_values("degree").reset_index(drop=True)
+    return out.astype({"degree": np.int64, "n_orders": np.int64})
+
+
+SQL_OVERLAP_DEGREE = """
+WITH iv AS (SELECT o_orderkey,
+                   epoch_us(o_orderdate) // 86400000000 AS s,
+                   epoch_us(o_orderdate) // 86400000000
+                   + 2 * CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                     AS e
+            FROM orders),
+deg AS (SELECT a.o_orderkey, COUNT(*) - 1 AS degree
+        FROM iv a JOIN iv b ON b.s <= a.e AND b.e >= a.s
+        GROUP BY 1)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
+# Cramer expansion for the 3×3 normal equations of
+# y ~ b0 + b1·q + b2·d, written ONCE: the Ray side eval()s these over
+# exact python-int power sums, the SQL twin substitutes the same text
+# over HUGEINT sums — the two sides cannot drift.
+_OLS2_DETS = {
+    "det": ("n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd)"
+            " + sd*(sq*sqd - sqq*sd)"),
+    "det0": ("sp*(sqq*sdd - sqd*sqd) - sq*(sqp*sdd - sqd*sdp)"
+             " + sd*(sqp*sqd - sqq*sdp)"),
+    "det1": ("n*(sqp*sdd - sqd*sdp) - sp*(sq*sdd - sqd*sd)"
+             " + sd*(sq*sdp - sqp*sd)"),
+    "det2": ("n*(sqq*sdp - sqd*sqp) - sq*(sq*sdp - sqp*sd)"
+             " + sp*(sq*sqd - sqq*sd)"),
+}
+
+
+def q_ols2_price_model(sf_dir: str):
+    """Two-feature exact OLS (multiple linear regression):
+    extendedprice-cents ~ quantity + discount-pct over lineitem, by the
+    normal equations with EXACT integer power sums — per-batch int64
+    partials (bounded: the largest term is qty·cents ≤ 5·10⁸/row, so
+    int64 holds ~10¹⁰ rows), Cramer determinants in arbitrary-precision
+    python ints, and ONE float division per coefficient at the end,
+    mirrored as CAST(det AS DOUBLE)/CAST(det AS DOUBLE) in the twin.
+    Bit-identical at any partitioning — the grouped-Gram sibling of the
+    single-feature regr kernel and the PCA Gram pass."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.round(t["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        p = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(q)]), "sq": pa.array([int(q.sum())]),
+            "sd": pa.array([int(d.sum())]),
+            "sp": pa.array([int(p.sum())]),
+            "sqq": pa.array([int((q * q).sum())]),
+            "sdd": pa.array([int((d * d).sum())]),
+            "sqd": pa.array([int((q * d).sum())]),
+            "sqp": pa.array([int((q * p).sum())]),
+            "sdp": pa.array([int((d * p).sum())])})
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("n", "sq", "sd", "sp", "sqq", "sdd", "sqd", "sqp", "sdp")])
+    sums = {k: int(v) for k, v in agg.items()}
+    dets = {name: eval(expr, {}, sums)          # exact python ints
+            for name, expr in _OLS2_DETS.items()}
+    det = float(dets["det"])
+    return pd.DataFrame([{
+        "n": sums["n"],
+        "intercept": np.round(float(dets["det0"]) / det, 6),
+        "b_qty": np.round(float(dets["det1"]) / det, 6),
+        "b_disc": np.round(float(dets["det2"]) / det, 6)}]) \
+        .astype({"n": np.int64})
+
+
+def _sql_ols2() -> str:
+    e = {k: v for k, v in _OLS2_DETS.items()}
+    return f"""
+WITH s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sq,
+    SUM(CAST(ROUND(l_discount * 100) AS HUGEINT)) AS sd,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sp,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_quantity) AS HUGEINT)) AS sqq,
+    SUM(CAST(ROUND(l_discount * 100) AS HUGEINT)
+        * CAST(ROUND(l_discount * 100) AS HUGEINT)) AS sdd,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_discount * 100) AS HUGEINT)) AS sqd,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sqp,
+    SUM(CAST(ROUND(l_discount * 100) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sdp
+  FROM lineitem),
+d AS (SELECT n, {e["det"]} AS det, {e["det0"]} AS det0,
+             {e["det1"]} AS det1, {e["det2"]} AS det2 FROM s)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6)
+         AS intercept,
+       ROUND(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b_qty,
+       ROUND(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b_disc
+FROM d
+"""
+
+
+def q_grid_dbscan_clusters(sf_dir: str):
+    """Grid-DBSCAN spatial clustering (the distributed approximation
+    every geo engine ships: density per fixed cell, core cells =
+    count ≥ minPts, clusters = 8-connected components of core cells):
+    cell counts reduce distributedly to a GRID-bounded table, the
+    component pass is a union-find on ≤ grid² nodes (driver-trivial by
+    construction — the whole point of trading eps-balls for cells),
+    labels are the component's min cell id.  The oracle replays the
+    same integer cell arithmetic and closes connectivity with a
+    recursive min-label CTE."""
+    from ray.data.aggregate import Sum
+
+    G, CELL, MINPTS = 10, 100, 3
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cx = ((k * 7919) % 1000) // CELL
+        cy = ((k * 104729) % 1000) // CELL
+        g = pd.DataFrame({"cell": cx * G + cy, "pn": 1}) \
+            .groupby("cell", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = relational.ds_to_table(
+        cust.map_batches(cells, batch_format="pyarrow")
+        .groupby("cell").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    core = counts[counts["n"] >= MINPTS]
+    cell_ids = core["cell"].to_numpy(np.int64)
+    n_pts = dict(zip(cell_ids, core["n"].to_numpy(np.int64)))
+    parent = {int(c): int(c) for c in cell_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cset = set(parent)
+    for c in cell_ids:
+        cx, cy = int(c) // G, int(c) % G
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx) * G + (cy + dy)
+                if 0 <= cx + dx < G and 0 <= cy + dy < G \
+                        and nb in cset:
+                    ra, rb = find(int(c)), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    rows: dict[int, list[int]] = {}
+    for c in cell_ids:
+        lab = find(int(c))
+        agg = rows.setdefault(lab, [0, 0])
+        agg[0] += 1
+        agg[1] += int(n_pts[c])
+    out = pd.DataFrame(
+        [{"cluster": lab, "n_cells": v[0], "n_points": v[1]}
+         for lab, v in sorted(rows.items())])
+    return out.astype({"cluster": np.int64, "n_cells": np.int64,
+                       "n_points": np.int64})
+
+
+SQL_GRID_DBSCAN = """
+WITH RECURSIVE
+c AS (SELECT ((c_custkey * 7919) % 1000) // 100 AS cx,
+             ((c_custkey * 104729) % 1000) // 100 AS cy,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2),
+core AS (SELECT cx * 10 + cy AS cell, cx, cy, n FROM c WHERE n >= 3),
+e AS (SELECT a.cell AS src, b.cell AS dst
+      FROM core a JOIN core b
+      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+reach(src, dst) AS (
+  SELECT cell, cell FROM core
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+lbl AS (SELECT src AS cell, MIN(dst) AS lab FROM reach GROUP BY 1)
+SELECT l.lab AS cluster, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(core.n) AS BIGINT) AS n_points
+FROM core JOIN lbl l ON core.cell = l.cell
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -14638,4 +14898,9 @@ def registry():
         "bloom_pruned_scan": (q_bloom_pruned_scan, SQL_BLOOM_SCAN),
         "manifest_vacuum": (q_manifest_vacuum, SQL_MANIFEST_VACUUM),
         "rolling_median_7d": (q_rolling_median_7d, SQL_ROLLING_MEDIAN),
+        "interval_overlap_degree": (q_interval_overlap_degree,
+                                    SQL_OVERLAP_DEGREE),
+        "ols2_price_model": (q_ols2_price_model, _sql_ols2()),
+        "grid_dbscan_clusters": (q_grid_dbscan_clusters,
+                                 SQL_GRID_DBSCAN),
     }

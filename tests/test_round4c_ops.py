@@ -90,7 +90,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        # batch 25 (the 300 milestone)
        "median_order_by_segment", "weekday_priority_heatmap",
        # batch 26 (bloom file skipping, vacuum, rolling median)
-       "bloom_pruned_scan", "manifest_vacuum", "rolling_median_7d"]
+       "bloom_pruned_scan", "manifest_vacuum", "rolling_median_7d",
+       # batch 27 (interval sweep join, exact OLS-2, grid DBSCAN)
+       "interval_overlap_degree", "ols2_price_model",
+       "grid_dbscan_clusters"]
 
 
 def _norm(v) -> str:
@@ -948,3 +951,84 @@ def test_rolling_median_even_window_halves(tmp_path):
     out = q_rolling_median_7d(str(tmp_path))
     # cents: 100, 200, 400, 800 → medians 100, 150, 200, 300
     assert out["med7"].tolist() == [100.0, 150.0, 200.0, 300.0]
+
+
+def test_interval_overlap_degree_conservation_and_golden(tmp_path):
+    from prclz_ray.pipelines.queries import q_interval_overlap_degree
+    # conservation: every order lands in exactly one degree bucket
+    out = q_interval_overlap_degree(SF)
+    n_orders = pq.read_metadata(
+        os.path.join(SF, "orders.parquet")).num_rows
+    assert int(out["n_orders"].sum()) == n_orders
+    assert (out["degree"] >= 0).all()
+
+    # golden: [0,2], [1,3], [10,12] with URGENT priority (dur=2) —
+    # first two overlap each other, third overlaps nobody
+    days = pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-11"])
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    g = q_interval_overlap_degree(str(tmp_path))
+    assert dict(zip(g["degree"], g["n_orders"])) == {0: 1, 1: 2}
+
+
+def test_ols2_recovers_exact_plane_and_matches_linalg(tmp_path):
+    from prclz_ray.pipelines.queries import (_OLS2_DETS,
+                                             q_ols2_price_model)
+    # noise-free plane: price_cents = 300 + 2*q + 5*d100 exactly →
+    # OLS must recover the coefficients to the rounding digit
+    rng = np.random.RandomState(7)
+    q = rng.randint(1, 51, 200).astype(np.int64)
+    d = rng.randint(0, 11, 200).astype(np.int64)
+    cents = 300 + 2 * q + 5 * d
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(q.astype(np.float64)),
+        "l_discount": pa.array(d / 100.0),
+        "l_extendedprice": pa.array(cents / 100.0)}),
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_ols2_price_model(str(tmp_path))
+    assert out["intercept"].iloc[0] == pytest.approx(300.0, abs=1e-5)
+    assert out["b_qty"].iloc[0] == pytest.approx(2.0, abs=1e-5)
+    assert out["b_disc"].iloc[0] == pytest.approx(5.0, abs=1e-5)
+
+    # the Cramer expansion itself must agree with np.linalg.solve
+    sums = {"n": 200, "sq": int(q.sum()), "sd": int(d.sum()),
+            "sp": int(cents.sum()), "sqq": int((q * q).sum()),
+            "sdd": int((d * d).sum()), "sqd": int((q * d).sum()),
+            "sqp": int((q * cents).sum()),
+            "sdp": int((d * cents).sum())}
+    dets = {k: eval(v, {}, sums) for k, v in _OLS2_DETS.items()}
+    M = np.array([[sums["n"], sums["sq"], sums["sd"]],
+                  [sums["sq"], sums["sqq"], sums["sqd"]],
+                  [sums["sd"], sums["sqd"], sums["sdd"]]], float)
+    rhs = np.array([sums["sp"], sums["sqp"], sums["sdp"]], float)
+    ref = np.linalg.solve(M, rhs)
+    got = np.array([dets["det0"], dets["det1"], dets["det2"]],
+                   float) / float(dets["det"])
+    assert np.allclose(got, ref, rtol=1e-9)
+
+
+def test_grid_dbscan_known_geometry(tmp_path):
+    from prclz_ray.pipelines.queries import q_grid_dbscan_clusters
+    # engineer keys into three cells: two adjacent (one cluster) and
+    # one far away (its own cluster); 3 points each (= minPts)
+    want = {(0, 0): 3, (0, 1): 3, (9, 9): 3}
+    keys, have = [], {c: 0 for c in want}
+    k = 1
+    while any(v < want[c] for c, v in have.items()):
+        cx = ((k * 7919) % 1000) // 100
+        cy = ((k * 104729) % 1000) // 100
+        if (cx, cy) in have and have[(cx, cy)] < want[(cx, cy)]:
+            have[(cx, cy)] += 1
+            keys.append(k)
+        k += 1
+    pq.write_table(pa.table({"c_custkey": pa.array(keys,
+                                                   type=pa.int64())}),
+                   os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_grid_dbscan_clusters(str(tmp_path))
+    # cells 0 (0,0) and 1 (0,1) are 8-adjacent → cluster 0 with 6 pts;
+    # cell 99 (9,9) is isolated → its own cluster
+    got = {int(r.cluster): (int(r.n_cells), int(r.n_points))
+           for r in out.itertuples()}
+    assert got == {0: (2, 6), 99: (1, 3)}
