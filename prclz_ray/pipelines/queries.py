@@ -14500,6 +14500,215 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact phrase query over a positional token stream (the retrieval
+    op a positional inverted index exists for): the corpus's most
+    frequent bigram is found first (reusing the bounded top-k n-gram
+    kernel), then each batch counts ADJACENT-position matches with one
+    vectorized shift-compare that never crosses a document boundary —
+    no per-row tokenize loop, no index materialization beyond the
+    1-row phrase broadcast.  Output is every matching doc with its
+    occurrence count."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    top = text.top_k_ngrams(docs, text_col="text", n=2, k=1)
+    w1, w2 = top["gram"][0].as_py().split(" ")
+
+    def count(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(parts).combine_chunks()
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "pn": pa.array([], type=pa.int64())})
+        if len(toks) < 2:
+            return empty
+        m = (toks[:-1] == w1) & (toks[1:] == w2) \
+            & (parent[:-1] == parent[1:])
+        if not m.any():
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"doc_id": ids[parent[:-1][m]], "pn": 1}) \
+            .groupby("doc_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        docs.map_batches(count, batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("pn", alias_name="n_occur"))
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": np.int64, "n_occur": np.int64})
+
+
+SQL_PHRASE_SEARCH = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2),
+big AS (SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+          AS bigram, COUNT(*) AS n
+        FROM pos GROUP BY 1 ORDER BY n DESC, bigram LIMIT 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occur
+FROM pos, big
+WHERE w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] = big.bigram
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_window_cooccurrence(sf_dir: str):
+    """Skip-gram word co-occurrence within a ±3-token window (the
+    GloVe/word2vec X-matrix build, pooled over distances): one token
+    explode per batch, three vectorized shift-compares gated on the
+    document-parent index (pairs never cross a doc boundary), partial
+    counts, one vocabulary-bounded groupby, per-block top-30 prune —
+    the strict (n desc, wa, wb) order makes the prune provably
+    lossless."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(parts).combine_chunks()
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        frames = []
+        for d in (1, 2, 3):
+            if len(toks) <= d:
+                continue
+            same = parent[:-d] == parent[d:]
+            frames.append(pd.DataFrame({"wa": toks[:-d][same],
+                                        "wb": toks[d:][same]}))
+        if not frames:
+            return pa.table({"wa": pa.array([], type=pa.string()),
+                             "wb": pa.array([], type=pa.string()),
+                             "pn": pa.array([], type=pa.int64())})
+        g = pd.concat(frames).groupby(["wa", "wb"], sort=False) \
+            .size().reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["wa", "wb"]).aggregate(Sum("pn", alias_name="n"))
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = pa.table({"wa": t["wa"], "wb": t["wb"],
+                      "n": t["n"].cast(pa.int64())})
+        return t.sort_by([("n", "descending"), ("wa", "ascending"),
+                          ("wb", "ascending")]).slice(0, 30)
+
+    cand = relational.ds_to_table(
+        counts.map_batches(prune, batch_format="pyarrow"))
+    return cand.sort_by([("n", "descending"), ("wa", "ascending"),
+                         ("wb", "ascending")]).slice(0, 30).to_pandas()
+
+
+SQL_WINDOW_COOCCUR = """
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT w, unnest(generate_series(1, len(w))) AS i FROM t),
+pairs AS (
+  SELECT w[CAST(i AS INT)] AS wa, w[CAST(i AS INT) + 1] AS wb
+  FROM pos WHERE i + 1 <= len(w)
+  UNION ALL
+  SELECT w[CAST(i AS INT)], w[CAST(i AS INT) + 2]
+  FROM pos WHERE i + 2 <= len(w)
+  UNION ALL
+  SELECT w[CAST(i AS INT)], w[CAST(i AS INT) + 3]
+  FROM pos WHERE i + 3 <= len(w))
+SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2 ORDER BY n DESC, wa, wb LIMIT 30
+"""
+
+
+def q_keyness_by_source(sf_dir: str):
+    """Corpus-comparison keyness (Dunning log-likelihood G², the
+    standard which-words-characterize-this-slice statistic): per
+    (source, word) observed counts vs the expectation under
+    source-independence, top-3 words per source by G².  The distributed
+    part is one token explode into a (sources × vocabulary)-bounded
+    count table; the G² finish is driver-trivial BY that bound.
+    Ranking uses the unrounded double exactly like the SQL ORDER BY;
+    the 4dp round happens on return."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(parts).combine_chunks()
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"source": src[parent],
+                          "word": flat.to_numpy(zero_copy_only=False),
+                          "pn": 1}) \
+            .groupby(["source", "word"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sw = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "word"]).aggregate(Sum("pn",
+                                                   alias_name="a"))
+    ).to_pandas()
+    sw["a"] = sw["a"].astype(np.int64)
+    ns = sw.groupby("source")["a"].transform("sum").to_numpy(np.int64)
+    nw = sw.groupby("word")["a"].transform("sum").to_numpy(np.int64)
+    N = int(sw["a"].sum())
+    a = sw["a"].to_numpy(np.int64)
+    b = nw - a
+    e1 = ns.astype(np.float64) * nw.astype(np.float64) / float(N)
+    e2 = (N - ns).astype(np.float64) * nw.astype(np.float64) / float(N)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = np.where(a > 0, a * np.log(a / e1), 0.0)
+        t2 = np.where(b > 0, b * np.log(b / e2), 0.0)
+    sw["g2"] = 2.0 * (t1 + t2)
+    sw["rank"] = sw.sort_values(["g2", "word"],
+                                ascending=[False, True]) \
+        .groupby("source").cumcount() + 1
+    out = sw[sw["rank"] <= 3].sort_values(["source", "rank"])
+    return pd.DataFrame({
+        "source": out["source"].to_numpy(),
+        "rank": out["rank"].to_numpy(np.int64),
+        "word": out["word"].to_numpy(),
+        "g2": np.round(out["g2"].to_numpy(np.float64), 4)})
+
+
+SQL_KEYNESS = """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS a
+       FROM w GROUP BY 1, 2),
+tot AS (SELECT SUM(a) AS n FROM sw),
+s AS (SELECT source, SUM(a) AS ns FROM sw GROUP BY 1),
+v AS (SELECT word, SUM(a) AS nw FROM sw GROUP BY 1),
+g AS (SELECT sw.source, sw.word, sw.a,
+             v.nw - sw.a AS b,
+             CAST(s.ns AS DOUBLE) * CAST(v.nw AS DOUBLE)
+               / CAST(tot.n AS DOUBLE) AS e1,
+             CAST(tot.n - s.ns AS DOUBLE) * CAST(v.nw AS DOUBLE)
+               / CAST(tot.n AS DOUBLE) AS e2
+      FROM sw JOIN s USING (source) JOIN v USING (word)
+      CROSS JOIN tot),
+scored AS (SELECT source, word,
+                  2.0 * (CASE WHEN a > 0
+                              THEN a * ln(a / e1) ELSE 0.0 END
+                         + CASE WHEN b > 0
+                                THEN b * ln(b / e2) ELSE 0.0 END)
+                    AS g2,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY 2.0 * (CASE WHEN a > 0
+                       THEN a * ln(a / e1) ELSE 0.0 END
+                       + CASE WHEN b > 0
+                              THEN b * ln(b / e2) ELSE 0.0 END) DESC,
+                                     word) AS rank
+           FROM g)
+SELECT source, CAST(rank AS BIGINT) AS rank, word,
+       ROUND(g2, 4) AS g2
+FROM scored WHERE rank <= 3 ORDER BY source, rank
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -14903,4 +15112,8 @@ def registry():
         "ols2_price_model": (q_ols2_price_model, _sql_ols2()),
         "grid_dbscan_clusters": (q_grid_dbscan_clusters,
                                  SQL_GRID_DBSCAN),
+        "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+        "window_cooccurrence": (q_window_cooccurrence,
+                                SQL_WINDOW_COOCCUR),
+        "keyness_by_source": (q_keyness_by_source, SQL_KEYNESS),
     }

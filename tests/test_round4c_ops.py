@@ -93,7 +93,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "bloom_pruned_scan", "manifest_vacuum", "rolling_median_7d",
        # batch 27 (interval sweep join, exact OLS-2, grid DBSCAN)
        "interval_overlap_degree", "ols2_price_model",
-       "grid_dbscan_clusters"]
+       "grid_dbscan_clusters",
+       # batch 28 (positional phrase search, skip-gram window, keyness)
+       "phrase_search", "window_cooccurrence", "keyness_by_source"]
 
 
 def _norm(v) -> str:
@@ -1032,3 +1034,42 @@ def test_grid_dbscan_known_geometry(tmp_path):
     got = {int(r.cluster): (int(r.n_cells), int(r.n_points))
            for r in out.itertuples()}
     assert got == {0: (2, 6), 99: (1, 3)}
+
+
+def test_phrase_search_counts_positions(tmp_path):
+    from prclz_ray.pipelines.queries import q_phrase_search
+    # "a b" is the top bigram (3 occurrences); doc 1 holds two of them
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b a b x", "a b", "x y"])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_phrase_search(str(tmp_path))
+    assert dict(zip(out["doc_id"], out["n_occur"])) == {1: 2, 2: 1}
+
+
+def test_window_cooccurrence_window_and_boundary(tmp_path):
+    from prclz_ray.pipelines.queries import q_window_cooccurrence
+    # one doc "a b c d": distances 1-3 only; second doc "e" must not
+    # pair with anything across the boundary
+    pq.write_table(pa.table({"text": pa.array(["a b c d", "e"])}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_window_cooccurrence(str(tmp_path))
+    got = {(r.wa, r.wb): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+                   ("a", "c"): 1, ("b", "d"): 1, ("a", "d"): 1}
+
+
+def test_keyness_flags_source_exclusive_word(tmp_path):
+    from prclz_ray.pipelines.queries import q_keyness_by_source
+    # "zonly" appears ONLY in srcA and dominates its keyness ranking
+    pq.write_table(pa.table({
+        "source": pa.array(["srcA"] * 4 + ["srcB"] * 4),
+        "text": pa.array(["zonly zonly common", "zonly common",
+                          "zonly zonly common", "common common",
+                          "common other", "other common",
+                          "common other", "other other"])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_keyness_by_source(str(tmp_path))
+    a_top = out[(out["source"] == "srcA") & (out["rank"] == 1)]
+    assert a_top["word"].iloc[0] == "zonly"
+    assert (out["g2"] >= -1e-9).all()
