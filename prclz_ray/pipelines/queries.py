@@ -14709,6 +14709,206 @@ FROM scored WHERE rank <= 3 ORDER BY source, rank
 """
 
 
+def q_merkle_replica_diff(sf_dir: str):
+    """Merkle-style anti-entropy table diff: two replicas of orders
+    (replica B diverges by +1 cent on every o_orderkey % 997 == 0 row
+    — the Ray side does NOT know the rule) are reconciled by comparing
+    256 order-independent bucket digests (XOR of per-row hashes —
+    commutative, so ANY partitioning yields the identical digest),
+    then re-reading ONLY the differing buckets for the key-level diff.
+    At 100 TB this is the difference between shipping 256 × 8 bytes
+    per replica and re-scanning the table; the buckets-scanned count
+    is pytest-asserted.  The oracle states the expected divergent key
+    set from the mutation rule."""
+    N_BUCKETS = 256
+
+    def load(mutate: bool):
+        ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = np.round(t["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            if mutate:
+                cents = cents + (k % 997 == 0)
+            return pa.table({"k": pa.array(k),
+                             "cents": pa.array(cents)})
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    def digests(rep) -> dict[int, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            k = t["k"].to_numpy()
+            h = (pd.util.hash_array(k)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 ^ pd.util.hash_array(t["cents"].to_numpy()))
+            b = (k % N_BUCKETS).astype(np.int64)
+            out_b, out_d = [], []
+            for bb in np.unique(b):
+                out_b.append(int(bb))
+                out_d.append(int(np.bitwise_xor.reduce(h[b == bb])))
+            return pa.table({"b": pa.array(out_b, type=pa.int64()),
+                             "d": pa.array(out_d, type=pa.uint64())})
+
+        agg: dict[int, int] = {}
+        for t in rep.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for bb, dd in zip(t["b"].to_pylist(), t["d"].to_pylist()):
+                agg[bb] = agg.get(bb, 0) ^ dd
+        return agg
+
+    with np.errstate(over="ignore"):
+        da, db = digests(load(False)), digests(load(True))
+    diff_buckets = sorted(b for b in set(da) | set(db)
+                          if da.get(b) != db.get(b))
+    q_merkle_replica_diff._last_scan = (N_BUCKETS, len(diff_buckets))
+
+    def bucket_rows(rep) -> pd.DataFrame:
+        def keep(t: pa.Table) -> pa.Table:
+            b = (t["k"].to_numpy() % N_BUCKETS).astype(np.int64)
+            return t.filter(pa.array(np.isin(b, diff_buckets)))
+
+        return relational.ds_to_table(
+            rep.map_batches(keep, batch_format="pyarrow")).to_pandas()
+
+    ra, rb = bucket_rows(load(False)), bucket_rows(load(True))
+    merged = ra.merge(rb, on="k", suffixes=("_a", "_b"))
+    bad = merged.loc[merged["cents_a"] != merged["cents_b"], ["k"]] \
+        .rename(columns={"k": "o_orderkey"}) \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    return bad.astype({"o_orderkey": np.int64})
+
+
+SQL_MERKLE_DIFF = """
+SELECT o_orderkey FROM orders WHERE o_orderkey % 997 = 0
+ORDER BY o_orderkey
+"""
+
+
+def q_staypoints_daily_cells(sf_dir: str):
+    """Trajectory staypoint detection on the daily-cell model (a user
+    occupies cell (31·user + epoch-day) % 25 — position changes by
+    day): per user, runs of consecutive same-cell events in (ts,
+    event_id) order are dwell segments; a staypoint is a run of ≥ 3
+    events.  Same gaps-and-islands kernel as the event-run op — one
+    coarse user-bucket shuffle, vectorized change-flag cumsum, zero
+    per-user Python — applied to the geo-cell column instead of the
+    event type."""
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cell = (31 * u + day) % 25
+        b = stable_bucket(batch["user_id"], 64)
+        return pa.table({"user_id": batch["user_id"],
+                         "ts": batch["ts"],
+                         "event_id": batch["event_id"],
+                         "cell": pa.array(cell),
+                         "_bucket": pa.array(b)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy(np.int64)
+        c = df["cell"].to_numpy(np.int64)
+        change = np.ones(len(df), dtype=bool)
+        change[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        run_id = np.cumsum(change) - 1
+        lengths = np.bincount(run_id)
+        runs = pd.DataFrame({"user_id": u[change], "len": lengths})
+        stay = runs[runs["len"] >= 3]
+        if stay.empty:
+            return pd.DataFrame({"user_id": pd.Series([],
+                                                      dtype=np.int64),
+                                 "n_staypoints": pd.Series(
+                                     [], dtype=np.int64),
+                                 "longest_dwell": pd.Series(
+                                     [], dtype=np.int64)})
+        out = stay.groupby("user_id", sort=False)["len"] \
+            .agg(n_staypoints="count", longest_dwell="max") \
+            .reset_index()
+        return out
+
+    out = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+    return relational.ds_to_table(out).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True) \
+        .astype({"user_id": np.int64, "n_staypoints": np.int64,
+                 "longest_dwell": np.int64})
+
+
+SQL_STAYPOINTS = """
+WITH e AS (SELECT user_id, ts, event_id,
+                  (31 * user_id
+                   + epoch_us(ts) // 86400000000) % 25 AS cell
+           FROM events),
+o AS (SELECT user_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, cell
+                                ORDER BY ts, event_id) AS rn2
+      FROM e),
+runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+         FROM o GROUP BY user_id, cell, rn - rn2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_staypoints,
+       MAX(len) AS longest_dwell
+FROM runs WHERE len >= 3
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_holt_forecast_revenue(sf_dir: str):
+    """Holt double exponential smoothing (level + trend) over the
+    daily revenue series, α = β = 0.5, h = 1..7 forecasts.  The
+    distributed part is the shared exact-cents daily reduce; the
+    recursion is DAYS-bounded and runs on the driver in EXACTLY the
+    float order the SQL twin's recursive CTE uses (level first, then
+    trend from the new level), so both sides are bit-identical before
+    the 4dp round.  Missing calendar days are skipped (the recursion
+    steps over observed days in order, like the CTE's rn + 1 join)."""
+    d = _daily_revenue_cents(sf_dir)
+    rev = d["rev"].to_numpy(np.int64)
+    lvl = float(rev[0])
+    trd = 0.0
+    for y in rev[1:]:
+        new_lvl = 0.5 * float(y) + 0.5 * (lvl + trd)
+        trd = 0.5 * (new_lvl - lvl) + 0.5 * trd
+        lvl = new_lvl
+    rows = [{"h": h, "forecast": np.round(lvl + h * trd, 4)}
+            for h in range(1, 8)]
+    return pd.DataFrame(rows).astype({"h": np.int64})
+
+
+SQL_HOLT_FORECAST = """
+WITH RECURSIVE
+d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                  AS DOUBLE) AS rev
+      FROM orders GROUP BY 1),
+s AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+n AS (SELECT MAX(rn) AS n FROM s),
+rec(rn, lvl, trd) AS (
+  SELECT CAST(1 AS BIGINT), (SELECT rev FROM s WHERE rn = 1),
+         CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT r.rn + 1,
+         0.5 * s.rev + 0.5 * (r.lvl + r.trd),
+         0.5 * ((0.5 * s.rev + 0.5 * (r.lvl + r.trd)) - r.lvl)
+           + 0.5 * r.trd
+  FROM rec r JOIN s ON s.rn = r.rn + 1),
+fin AS (SELECT lvl, trd FROM rec, n WHERE rn = n.n)
+SELECT CAST(h AS BIGINT) AS h, ROUND(lvl + h * trd, 4) AS forecast
+FROM fin, unnest(generate_series(1, 7)) AS t(h)
+ORDER BY h
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -15116,4 +15316,9 @@ def registry():
         "window_cooccurrence": (q_window_cooccurrence,
                                 SQL_WINDOW_COOCCUR),
         "keyness_by_source": (q_keyness_by_source, SQL_KEYNESS),
+        "merkle_replica_diff": (q_merkle_replica_diff, SQL_MERKLE_DIFF),
+        "staypoints_daily_cells": (q_staypoints_daily_cells,
+                                   SQL_STAYPOINTS),
+        "holt_forecast_revenue": (q_holt_forecast_revenue,
+                                  SQL_HOLT_FORECAST),
     }

@@ -95,7 +95,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "interval_overlap_degree", "ols2_price_model",
        "grid_dbscan_clusters",
        # batch 28 (positional phrase search, skip-gram window, keyness)
-       "phrase_search", "window_cooccurrence", "keyness_by_source"]
+       "phrase_search", "window_cooccurrence", "keyness_by_source",
+       # batch 29 (merkle anti-entropy, staypoints, Holt forecast)
+       "merkle_replica_diff", "staypoints_daily_cells",
+       "holt_forecast_revenue"]
 
 
 def _norm(v) -> str:
@@ -1073,3 +1076,56 @@ def test_keyness_flags_source_exclusive_word(tmp_path):
     a_top = out[(out["source"] == "srcA") & (out["rank"] == 1)]
     assert a_top["word"].iloc[0] == "zonly"
     assert (out["g2"] >= -1e-9).all()
+
+
+def test_merkle_diff_scans_few_buckets_and_empty_on_identical(
+        tmp_path):
+    from prclz_ray.pipelines.queries import q_merkle_replica_diff
+    out = q_merkle_replica_diff(SF)
+    n_buckets, n_diff = q_merkle_replica_diff._last_scan
+    # the key-level rescan touched only the divergent buckets
+    assert n_diff <= len(out)           # ≤ one bucket per bad key
+    assert n_diff < n_buckets
+    assert (out["o_orderkey"] % 997 == 0).all()
+
+    # identical replicas (no key divisible by 997) → zero diff,
+    # zero buckets re-read
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 500], type=pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out2 = q_merkle_replica_diff(str(tmp_path))
+    assert len(out2) == 0
+    assert q_merkle_replica_diff._last_scan[1] == 0
+
+
+def test_staypoints_run_threshold_golden(tmp_path):
+    from prclz_ray.pipelines.queries import q_staypoints_daily_cells
+    # user 1: 4 events on day 0 (one cell → staypoint, dwell 4) then
+    # 2 events on day 1 (different cell, run 2 → below threshold);
+    # user 2: 2 events only → no staypoints at all
+    ts = pd.to_datetime(["2020-01-01 00:00", "2020-01-01 01:00",
+                         "2020-01-01 02:00", "2020-01-01 03:00",
+                         "2020-01-02 00:00", "2020-01-02 01:00",
+                         "2020-01-01 00:00", "2020-01-01 01:00"])
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(8), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array([1] * 6 + [2] * 2, type=pa.int64())}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_staypoints_daily_cells(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"user_id": 1, "n_staypoints": 1, "longest_dwell": 4}]
+
+
+def test_holt_constant_series_is_fixed_point(tmp_path):
+    from prclz_ray.pipelines.queries import q_holt_forecast_revenue
+    # constant daily revenue: level locks to the constant, trend to 0,
+    # every horizon forecasts the constant exactly
+    days = pd.to_datetime(["2020-01-0%d" % d for d in range(1, 6)])
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array([7.00] * 5)}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_holt_forecast_revenue(str(tmp_path))
+    assert out["forecast"].tolist() == [700.0] * 7
