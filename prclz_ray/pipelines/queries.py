@@ -14909,6 +14909,267 @@ ORDER BY h
 """
 
 
+def _morton_interleave(x: np.ndarray, y: np.ndarray,
+                       bits: int = 10) -> np.ndarray:
+    """Vectorized bit-interleave (the same 10-bit kernel as
+    q_morton_index_points, factored for reuse by the z-order layout)."""
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _morton_box_cover(x0: int, x1: int, y0: int, y1: int,
+                      bits: int = 10) -> list[tuple[int, int]]:
+    """Quadtree covering of the inclusive box [x0,x1]×[y0,y1] as a list
+    of CONTIGUOUS morton ranges: recurse quadrants, emit a whole
+    quadrant when fully inside (a bit-aligned quadrant is a contiguous
+    z range — the property z-order clustering exists for), split when
+    partial.  O(perimeter·bits) ranges, merged where adjacent."""
+    out: list[tuple[int, int]] = []
+
+    def rec(qx: int, qy: int, level: int) -> None:
+        s = bits - level
+        cx0, cx1 = qx << s, ((qx + 1) << s) - 1
+        cy0, cy1 = qy << s, ((qy + 1) << s) - 1
+        if cx1 < x0 or cx0 > x1 or cy1 < y0 or cy0 > y1:
+            return
+        if cx0 >= x0 and cx1 <= x1 and cy0 >= y0 and cy1 <= y1:
+            a = np.array([cx0], dtype=np.int64)
+            b = np.array([cy0], dtype=np.int64)
+            zlo = int(_morton_interleave(a, b, bits)[0])
+            out.append((zlo, zlo + (1 << (2 * s)) - 1))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(qx * 2 + dx, qy * 2 + dy, level + 1)
+
+    rec(0, 0, 0)
+    out.sort()
+    merged = [out[0]]
+    for lo, hi in out[1:]:
+        if lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def q_zorder_pruned_scan(sf_dir: str):
+    """Z-order-clustered 2D range scan with file skipping — the
+    spatial-layout trick every lakehouse exposes (cluster by the
+    interleaved key so a 2D box decomposes into FEW contiguous key
+    ranges, then footer min/max prunes whole files): customer points
+    are written once range-clustered on the 20-bit morton code, the
+    query box [200,399]×[100,299] covers into contiguous z ranges by
+    quadtree decomposition, and only files whose [min,max] intersects
+    a covering range are opened (counts pytest-asserted; the covering
+    itself has an exhaustive small-grid proof test).  The oracle runs
+    the raw box predicate."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+    from ..runtime.checkpoint import write_clustered
+
+    X0, X1, Y0, Y1 = 200, 399, 100, 299
+    out = _fingerprint_cache_dir(sf_dir, "customer", "zorder")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+
+        def add_z(t: pa.Table) -> pa.Table:
+            k = t["c_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            x = (k * 7919) % 1000
+            y = (k * 104729) % 1000
+            return pa.table({"c_custkey": t["c_custkey"],
+                             "x": pa.array(x), "y": pa.array(y),
+                             "z": pa.array(
+                                 _morton_interleave(x, y))})
+
+        write_clustered(
+            _read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(add_z, batch_format="pyarrow"),
+            tmp, key_col="z", num_ranges=16)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    cover = _morton_box_cover(X0, X1, Y0, Y1)
+    files = sorted(glob.glob(os.path.join(out, "part=*", "*.parquet")))
+    keep = []
+    for f in files:
+        md = pq_.read_metadata(f)
+        col = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}["z"]
+        fmin = min(md.row_group(rg).column(col).statistics.min
+                   for rg in range(md.num_row_groups))
+        fmax = max(md.row_group(rg).column(col).statistics.max
+                   for rg in range(md.num_row_groups))
+        if any(lo <= fmax and hi >= fmin for lo, hi in cover):
+            keep.append(f)
+    q_zorder_pruned_scan._last_prune = (len(files), len(keep),
+                                        len(cover))
+
+    part = rd.read_parquet(keep, columns=["c_custkey", "x", "y"])
+
+    def box(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        m = (x >= X0) & (x <= X1) & (y >= Y0) & (y <= Y1)
+        return pa.table({"c_custkey":
+                         t["c_custkey"].filter(pa.array(m))})
+
+    res = relational.ds_to_table(
+        part.map_batches(box, batch_format="pyarrow")).to_pandas()
+    return res.sort_values("c_custkey").reset_index(drop=True) \
+        .astype({"c_custkey": np.int64})
+
+
+SQL_ZORDER_SCAN = """
+SELECT c_custkey FROM customer
+WHERE ((c_custkey * 7919) % 1000) BETWEEN 200 AND 399
+  AND ((c_custkey * 104729) % 1000) BETWEEN 100 AND 299
+ORDER BY c_custkey
+"""
+
+
+def q_tile_pyramid_counts(sf_dir: str):
+    """Tile-pyramid rollup (the zoom-level aggregation a map-tile
+    service precomputes): point counts at zoom 3/2/1 (64/16/4 morton
+    cells), ALL levels derived from ONE finest-level distributed pass —
+    parents are prefix truncations (z >> 2 per zoom step), so the
+    rollup is a 64-row driver fold, never a rescan.  The twin
+    recomputes each level's cell id arithmetically and stacks them
+    with UNION ALL."""
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def finest(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = ((k * 7919) % 1000) // 125          # 3-bit x (0..7)
+        y = ((k * 104729) % 1000) // 125        # 3-bit y
+        z = _morton_interleave(x, y, bits=3)
+        u, n = np.unique(z, return_counts=True)
+        return pa.table({"z": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    z3 = relational.ds_to_table(
+        cust.map_batches(finest, batch_format="pyarrow")
+        .groupby("z").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    z3["n"] = z3["n"].astype(np.int64)
+    frames = []
+    cur = z3.rename(columns={"z": "cell"})
+    for zoom in (3, 2, 1):
+        g = cur.groupby("cell", sort=True)["n"].sum().reset_index()
+        g.insert(0, "zoom", zoom)
+        frames.append(g)
+        cur = pd.DataFrame({"cell": g["cell"] // 4, "n": g["n"]})
+    out = pd.concat(frames).sort_values(["zoom", "cell"]) \
+        .reset_index(drop=True)
+    return out.astype({"zoom": np.int64, "cell": np.int64,
+                       "n": np.int64})
+
+
+def _sql_tile_pyramid() -> str:
+    x = "((c_custkey * 7919) % 1000) // 125"
+    y = "((c_custkey * 104729) % 1000) // 125"
+    z = " + ".join(f"(({x} >> {i}) & 1) * {1 << (2 * i)}"
+                   f" + (({y} >> {i}) & 1) * {1 << (2 * i + 1)}"
+                   for i in range(3))
+    return f"""
+WITH f AS (SELECT {z} AS z3 FROM customer)
+SELECT 3 AS zoom, z3 AS cell, CAST(COUNT(*) AS BIGINT) AS n
+FROM f GROUP BY 2
+UNION ALL
+SELECT 2, z3 // 4, CAST(COUNT(*) AS BIGINT) FROM f GROUP BY 2
+UNION ALL
+SELECT 1, z3 // 16, CAST(COUNT(*) AS BIGINT) FROM f GROUP BY 2
+ORDER BY zoom, cell
+"""
+
+
+def q_vocab_drift_psi(sf_dir: str):
+    """Vocabulary drift monitoring: Population Stability Index between
+    the word distributions of the corpus's early and late halves
+    (doc_id split at the key-range midpoint) — the drop-in drift alarm
+    for an LM ingest pipeline.  One token explode into a
+    (half × vocab)-bounded count table; PSI terms (p−q)·ln(p/q)
+    computed on the driver in the exact float order of the twin; the
+    top-10 contributing words rank on the UNROUNDED double."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lohi = docs.aggregate(
+        __import__("ray").data.aggregate.Min("doc_id",
+                                             alias_name="lo"),
+        __import__("ray").data.aggregate.Max("doc_id",
+                                             alias_name="hi"))
+    mid = (int(lohi["lo"]) + int(lohi["hi"])) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(parts).combine_chunks()
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"half": (ids[parent] > mid).astype(np.int64),
+                          "word": flat.to_numpy(zero_copy_only=False),
+                          "pn": 1}) \
+            .groupby(["half", "word"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hw = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["half", "word"]).aggregate(Sum("pn",
+                                                 alias_name="a"))
+    ).to_pandas()
+    piv = hw.pivot_table(index="word", columns="half", values="a",
+                         fill_value=0).reset_index()
+    ref = piv[0].to_numpy(np.int64)
+    cur = piv[1].to_numpy(np.int64)
+    both = (ref > 0) & (cur > 0)        # PSI defined on shared support
+    words = piv["word"].to_numpy()[both]
+    p = ref[both].astype(np.float64) / float(ref.sum())
+    q = cur[both].astype(np.float64) / float(cur.sum())
+    term = (p - q) * np.log(p / q)
+    order = np.lexsort((words, -term))[:10]
+    return pd.DataFrame({
+        "word": words[order],
+        "p_ref": np.round(p[order], 6),
+        "p_cur": np.round(q[order], 6),
+        "psi_term": np.round(term[order], 6)})
+
+
+SQL_VOCAB_PSI = """
+WITH b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid
+           FROM documents),
+w AS (SELECT CASE WHEN doc_id > b.mid THEN 1 ELSE 0 END AS half,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents, b),
+hw AS (SELECT half, word, CAST(COUNT(*) AS BIGINT) AS a
+       FROM w GROUP BY 1, 2),
+piv AS (SELECT word,
+               SUM(CASE WHEN half = 0 THEN a ELSE 0 END) AS r,
+               SUM(CASE WHEN half = 1 THEN a ELSE 0 END) AS c
+        FROM hw GROUP BY 1),
+tot AS (SELECT SUM(r) AS tr, SUM(c) AS tc FROM piv),
+t AS (SELECT word,
+             CAST(r AS DOUBLE) / tot.tr AS p,
+             CAST(c AS DOUBLE) / tot.tc AS q
+      FROM piv, tot WHERE r > 0 AND c > 0)
+SELECT word, ROUND(p, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+       ROUND((p - q) * ln(p / q), 6) AS psi_term
+FROM t ORDER BY (p - q) * ln(p / q) DESC, word LIMIT 10
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -15321,4 +15582,8 @@ def registry():
                                    SQL_STAYPOINTS),
         "holt_forecast_revenue": (q_holt_forecast_revenue,
                                   SQL_HOLT_FORECAST),
+        "zorder_pruned_scan": (q_zorder_pruned_scan, SQL_ZORDER_SCAN),
+        "tile_pyramid_counts": (q_tile_pyramid_counts,
+                                _sql_tile_pyramid()),
+        "vocab_drift_psi": (q_vocab_drift_psi, SQL_VOCAB_PSI),
     }

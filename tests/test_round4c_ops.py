@@ -98,7 +98,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "phrase_search", "window_cooccurrence", "keyness_by_source",
        # batch 29 (merkle anti-entropy, staypoints, Holt forecast)
        "merkle_replica_diff", "staypoints_daily_cells",
-       "holt_forecast_revenue"]
+       "holt_forecast_revenue",
+       # batch 30 (z-order skipping, tile pyramid, vocab drift)
+       "zorder_pruned_scan", "tile_pyramid_counts",
+       "vocab_drift_psi"]
 
 
 def _norm(v) -> str:
@@ -1129,3 +1132,62 @@ def test_holt_constant_series_is_fixed_point(tmp_path):
         os.path.join(str(tmp_path), "orders.parquet"))
     out = q_holt_forecast_revenue(str(tmp_path))
     assert out["forecast"].tolist() == [700.0] * 7
+
+
+def test_morton_box_cover_exhaustive_small_grid():
+    from prclz_ray.pipelines.queries import (_morton_box_cover,
+                                             _morton_interleave)
+    # 16x16 grid, every box: the covering ranges must contain EXACTLY
+    # the morton codes of the box's cells (completeness + tightness)
+    bits = 4
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    z_all = _morton_interleave(xs.ravel().astype(np.int64),
+                               ys.ravel().astype(np.int64), bits)
+    for (x0, x1, y0, y1) in [(0, 15, 0, 15), (3, 7, 2, 11),
+                             (5, 5, 9, 9), (0, 0, 0, 15),
+                             (6, 12, 6, 12), (1, 14, 13, 14)]:
+        cover = _morton_box_cover(x0, x1, y0, y1, bits)
+        inside = ((xs.ravel() >= x0) & (xs.ravel() <= x1)
+                  & (ys.ravel() >= y0) & (ys.ravel() <= y1))
+        covered = np.zeros(len(z_all), dtype=bool)
+        for lo, hi in cover:
+            covered |= (z_all >= lo) & (z_all <= hi)
+        assert (covered == inside).all(), (x0, x1, y0, y1)
+        # ranges are disjoint and sorted (merge invariant)
+        for (a, b), (c, d) in zip(cover, cover[1:]):
+            assert b + 1 < c
+
+
+def test_zorder_scan_skips_files():
+    from prclz_ray.pipelines.queries import q_zorder_pruned_scan
+    q_zorder_pruned_scan(SF)
+    n_files, n_kept, n_ranges = q_zorder_pruned_scan._last_prune
+    assert n_kept < n_files          # the box really skipped files
+    assert n_ranges >= 1
+
+
+def test_tile_pyramid_conservation():
+    from prclz_ray.pipelines.queries import q_tile_pyramid_counts
+    out = q_tile_pyramid_counts(SF)
+    n_cust = pq.read_metadata(
+        os.path.join(SF, "customer.parquet")).num_rows
+    by_zoom = out.groupby("zoom")["n"].sum()
+    # every zoom level partitions the full point set
+    assert (by_zoom == n_cust).all()
+    # parent count equals the sum of its four children
+    z3 = out[out["zoom"] == 3].set_index("cell")["n"]
+    z2 = out[out["zoom"] == 2].set_index("cell")["n"]
+    for cell, n in z2.items():
+        kids = [c for c in z3.index if c // 4 == cell]
+        assert sum(int(z3[c]) for c in kids) == int(n)
+
+
+def test_vocab_psi_shares_are_probabilities():
+    from prclz_ray.pipelines.queries import q_vocab_drift_psi
+    out = q_vocab_drift_psi(SF)
+    assert len(out) == 10
+    assert ((out["p_ref"] > 0) & (out["p_ref"] <= 1)).all()
+    assert ((out["p_cur"] > 0) & (out["p_cur"] <= 1)).all()
+    # top-10 is ordered by contribution
+    t = out["psi_term"].to_numpy()
+    assert (np.diff(t) <= 1e-12).all()
