@@ -15170,6 +15170,221 @@ FROM t ORDER BY (p - q) * ln(p / q) DESC, word LIMIT 10
 """
 
 
+def _skyline_2d(cents: np.ndarray, size: np.ndarray,
+                keys: np.ndarray) -> np.ndarray:
+    """Row mask of the 2D Pareto frontier (minimize cents, maximize
+    size; a point survives iff no other has cents ≤ AND size ≥ with at
+    least one strict).  Vectorized sweep: per ascending-cents group the
+    survivors are the rows at the group max size, and only when that
+    max strictly beats every cheaper group's best."""
+    order = np.lexsort((keys, -size, cents))
+    c, s = cents[order], size[order]
+    grp_start = np.ones(len(c), dtype=bool)
+    grp_start[1:] = c[1:] != c[:-1]
+    gid = np.cumsum(grp_start) - 1
+    gmax = np.zeros(gid[-1] + 1 if len(gid) else 0, dtype=np.int64)
+    np.maximum.at(gmax, gid, s)
+    best_before = np.concatenate(
+        ([np.iinfo(np.int64).min],
+         np.maximum.accumulate(gmax)[:-1]))
+    keep_sorted = (s == gmax[gid]) & (gmax[gid] > best_before[gid])
+    mask = np.zeros(len(c), dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def q_skyline_parts(sf_dir: str):
+    """Skyline (Pareto-frontier) operator over parts: the cheapest-for-
+    their-size set, minimizing price-cents and maximizing size.  The
+    classic distributed decomposition: each block computes its LOCAL
+    skyline (a global survivor is non-dominated in its block, so the
+    union of local skylines is a provable superset), then one exact
+    pass on the candidates-bounded union — dominance is transitive, so
+    any global dominator is represented in the union.  Equal (price,
+    size) duplicates are mutually non-dominating and all kept, exactly
+    like the twin's strict NOT EXISTS."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_size",
+                                   "p_retailprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(t["p_retailprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        size = t["p_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _skyline_2d(cents, size, k)
+        return pa.table({"p_partkey": pa.array(k[m]),
+                         "cents": pa.array(cents[m]),
+                         "p_size": pa.array(size[m])})
+
+    cand = relational.ds_to_table(
+        parts.map_batches(local, batch_format="pyarrow")).to_pandas()
+    m = _skyline_2d(cand["cents"].to_numpy(np.int64),
+                    cand["p_size"].to_numpy(np.int64),
+                    cand["p_partkey"].to_numpy(np.int64))
+    out = cand[m].sort_values("p_partkey").reset_index(drop=True)
+    return out.astype({"p_partkey": np.int64, "cents": np.int64,
+                       "p_size": np.int64})
+
+
+SQL_SKYLINE = """
+WITH p AS (SELECT p_partkey,
+                  CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+                  CAST(p_size AS BIGINT) AS p_size
+           FROM part)
+SELECT p_partkey, cents, p_size FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+    AND (b.cents < a.cents OR b.p_size > a.p_size))
+ORDER BY p_partkey
+"""
+
+
+def q_funnel_3step_strict(sf_dir: str):
+    """Strictly-ordered 3-step funnel (click → view → purchase): a user
+    converts at step k when an event of type k exists STRICTLY after
+    their earliest completion of step k−1 — the sequential-pattern
+    semantics a 2-step funnel can't express (a view before the first
+    click must not count).  One user-bucket shuffle; inside each bucket
+    the three anchor times come from vectorized per-user min/merge
+    passes, and only three partial counters leave the bucket."""
+    from ..stages.relational import stable_bucket
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = g[g["event_type"] == "click"] \
+            .groupby("user_id")["ts"].min()
+        v = g[g["event_type"] == "view"][["user_id", "ts"]] \
+            .merge(t1.rename("t1"), on="user_id")
+        t2 = v[v["ts"] > v["t1"]].groupby("user_id")["ts"].min()
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]] \
+            .merge(t2.rename("t2"), on="user_id")
+        t3 = p[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame([{"pc": len(t1), "pv": len(t2),
+                              "pp": len(t3)}])
+
+    from ray.data.aggregate import Sum
+    agg = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas") \
+        .aggregate(Sum("pc", alias_name="n_click"),
+                   Sum("pv", alias_name="n_click_view"),
+                   Sum("pp", alias_name="n_full"))
+    return pd.DataFrame([{"n_click": int(agg["n_click"]),
+                          "n_click_view": int(agg["n_click_view"]),
+                          "n_full": int(agg["n_full"])}]) \
+        .astype(np.int64)
+
+
+SQL_FUNNEL_3STEP = """
+WITH c AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+v AS (SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > c.t1 GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_click_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full
+"""
+
+
+def q_range_rebalance_layout(sf_dir: str):
+    """Equi-COUNT layout rebalance (the OPTIMIZE half zone maps rely
+    on): orders' day key is skewed across the calendar, so a UNIFORM
+    [min, max] range split gives lopsided files; this op derives 7
+    exact-quantile cut points (the integer 8·cum ≥ k·N rule on the
+    days-bounded day histogram — no sort, no sampling) and rewrites
+    through ``write_clustered(boundaries=...)``, preserving global
+    file order.  Returned per-range row counts come from the WRITTEN
+    FILES' footers, so the oracle (same quantile rule in SQL) checks
+    the actual layout, and pytest pins the balance improvement vs the
+    uniform split."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+    from ..runtime.checkpoint import write_clustered
+
+    N_RANGES = 8
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        return pa.table({"day": pa.array(day),
+                         "o_totalprice": t["o_totalprice"]})
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(add_day, batch_format="pyarrow")
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        u, n = np.unique(t["day"].to_numpy(), return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    hist = relational.ds_to_table(
+        orders.map_batches(day_counts, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("day")
+    days = hist["day"].to_numpy(np.int64)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    N = int(cum[-1])
+    bnds = [int(days[np.searchsorted(cum, -(-k * N // N_RANGES))])
+            for k in range(1, N_RANGES)]
+
+    out = _fingerprint_cache_dir(sf_dir, "orders", "rebalance")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        write_clustered(orders, tmp, key_col="day",
+                        boundaries=bnds)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    files = sorted(glob.glob(os.path.join(out, "part=*",
+                                          "*.parquet")))
+    # range_id from the committed range LABEL (part=000k), not the
+    # file enumeration — duplicate quantile boundaries leave a range
+    # empty, and the SQL twin skips that id too
+    rows = [{"range_id": int(os.path.basename(
+                 os.path.dirname(f)).split("=")[1]),
+             "n_rows": pq_.read_metadata(f).num_rows}
+            for f in files]
+    q_range_rebalance_layout._last_boundaries = bnds
+    return pd.DataFrame(rows).astype({"range_id": np.int64,
+                                      "n_rows": np.int64})
+
+
+SQL_RANGE_REBALANCE = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day
+           FROM orders),
+h AS (SELECT day, COUNT(*) AS n FROM d GROUP BY 1),
+c AS (SELECT day, SUM(n) OVER (ORDER BY day) AS cum,
+             (SELECT SUM(n) FROM h) AS tot
+      FROM h),
+b AS (SELECT k, MIN(day) AS bday
+      FROM c, unnest(generate_series(1, 7)) AS t(k)
+      WHERE 8 * cum >= k * tot GROUP BY k)
+SELECT CAST((SELECT COUNT(*) FROM b WHERE b.bday < d.day) AS BIGINT)
+         AS range_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -15586,4 +15801,9 @@ def registry():
         "tile_pyramid_counts": (q_tile_pyramid_counts,
                                 _sql_tile_pyramid()),
         "vocab_drift_psi": (q_vocab_drift_psi, SQL_VOCAB_PSI),
+        "skyline_parts": (q_skyline_parts, SQL_SKYLINE),
+        "funnel_3step_strict": (q_funnel_3step_strict,
+                                SQL_FUNNEL_3STEP),
+        "range_rebalance_layout": (q_range_rebalance_layout,
+                                   SQL_RANGE_REBALANCE),
     }

@@ -139,7 +139,8 @@ def filter_uncommitted(ds, out_dir: str, key_col: str):
 
 
 def write_clustered(ds, out_dir: str, key_col: str,
-                    num_ranges: int = 64, fingerprint: str = "") -> dict:
+                    num_ranges: int = 64, fingerprint: str = "",
+                    boundaries: list[int] | None = None) -> dict:
     """Clustered (range-partitioned, internally sorted) parquet output:
     rows range-partition on an integer key (order-preserving bucket
     boundaries over [min, max]), each range sorts itself and writes ONE
@@ -148,20 +149,33 @@ def write_clustered(ds, out_dir: str, key_col: str,
     (file i's keys < file i+1's), every file is independently readable,
     and a killed run resumes by skipping committed ranges.  This is the
     layout downstream range scans and merge readers want: no global
-    sort, one shuffle, no giant single file."""
+    sort, one shuffle, no giant single file.
+
+    ``boundaries`` (ascending internal cut points) overrides the
+    default UNIFORM [min, max] split: row with key k lands in range
+    #{b ∈ boundaries : b < k} — i.e. range i is (bᵢ₋₁, bᵢ].  Pass
+    exact-quantile cut points for an EQUI-COUNT (rebalanced) layout on
+    a skewed key; global file ordering is preserved either way."""
+    import numpy as np
     from ray.data.aggregate import Max, Min
 
-    lohi = ds.select_columns([key_col]) \
-        .aggregate(Min(key_col, alias_name="lo"),
-                   Max(key_col, alias_name="hi"))
-    lo, hi = int(lohi["lo"]), int(lohi["hi"])
-    span = max(1, (hi - lo + num_ranges) // num_ranges)
+    if boundaries is not None:
+        bnds = np.asarray(sorted(boundaries), dtype=np.int64)
+    else:
+        lohi = ds.select_columns([key_col]) \
+            .aggregate(Min(key_col, alias_name="lo"),
+                       Max(key_col, alias_name="hi"))
+        lo, hi = int(lohi["lo"]), int(lohi["hi"])
+        span = max(1, (hi - lo + num_ranges) // num_ranges)
 
     def tag(batch: pa.Table) -> pa.Table:
         import numpy as np
         k = batch[key_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        b = (k - lo) // span
+        if boundaries is not None:
+            b = np.searchsorted(bnds, k, side="left")
+        else:
+            b = (k - lo) // span
         # zero-pad so committed-range keys sort lexically = numerically
         lab = np.char.zfill(b.astype("U"), 6)
         return batch.append_column("_range", pa.array(lab))

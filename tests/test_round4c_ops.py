@@ -101,7 +101,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "holt_forecast_revenue",
        # batch 30 (z-order skipping, tile pyramid, vocab drift)
        "zorder_pruned_scan", "tile_pyramid_counts",
-       "vocab_drift_psi"]
+       "vocab_drift_psi",
+       # batch 31 (skyline, strict 3-step funnel, layout rebalance)
+       "skyline_parts", "funnel_3step_strict",
+       "range_rebalance_layout"]
 
 
 def _norm(v) -> str:
@@ -1191,3 +1194,56 @@ def test_vocab_psi_shares_are_probabilities():
     # top-10 is ordered by contribution
     t = out["psi_term"].to_numpy()
     assert (np.diff(t) <= 1e-12).all()
+
+
+def test_skyline_dominance_brute_force():
+    from prclz_ray.pipelines.queries import _skyline_2d
+    # randomized brute-force cross-check incl. duplicates and ties
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        n = 40
+        cents = rng.randint(0, 8, n).astype(np.int64)
+        size = rng.randint(0, 8, n).astype(np.int64)
+        keys = np.arange(n, dtype=np.int64)
+        got = _skyline_2d(cents, size, keys)
+        want = np.array([
+            not any((cents[j] <= cents[i] and size[j] >= size[i]
+                     and (cents[j] < cents[i] or size[j] > size[i]))
+                    for j in range(n))
+            for i in range(n)])
+        assert (got == want).all()
+
+
+def test_funnel_3step_strict_ordering(tmp_path):
+    from prclz_ray.pipelines.queries import q_funnel_3step_strict
+    # user 1: view BEFORE first click must not count; the later
+    # view + purchase complete the funnel.  user 2: purchase before
+    # the view → stops at click_view.  user 3: click only.
+    rows = [
+        (1, "view", "2020-01-01 00:00"), (1, "click", "2020-01-01 01:00"),
+        (1, "view", "2020-01-01 02:00"), (1, "purchase", "2020-01-01 03:00"),
+        (2, "click", "2020-01-01 00:00"), (2, "purchase", "2020-01-01 01:00"),
+        (2, "view", "2020-01-01 02:00"),
+        (3, "click", "2020-01-01 00:00")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                       type=pa.timestamp("us"))}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_funnel_3step_strict(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"n_click": 3, "n_click_view": 2, "n_full": 1}]
+
+
+def test_range_rebalance_beats_uniform_split():
+    from prclz_ray.pipelines.queries import q_range_rebalance_layout
+    out = q_range_rebalance_layout(SF)
+    n_orders = pq.read_metadata(
+        os.path.join(SF, "orders.parquet")).num_rows
+    assert int(out["n_rows"].sum()) == n_orders
+    # equi-count split: the spread must be far tighter than a uniform
+    # calendar split would give on the date-skewed orders; a range
+    # boundary can only overshoot the ideal N/8 by one day's rows
+    counts = out["n_rows"].to_numpy(np.int64)
+    assert counts.max() - counts.min() <= max(4, n_orders // 8 // 4)
