@@ -15385,6 +15385,235 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def q_cuped_adjusted_ab(sf_dir: str):
+    """CUPED variance-reduced A/B read-out (the experimentation-
+    platform standard): per-user PRE-period event value is the
+    covariate for the POST-period metric, θ = cov(x,y)/var(x) pooled,
+    and the arm contrast is adjusted by −θ·(x̄₁−x̄₀).  One user-bucket
+    shuffle builds (xᵢ, yᵢ) per user; cov/var come from exact int64
+    cents power sums; the single float finish mirrors the twin's CAST
+    order.  Arms are the deterministic user-id parity, the time split
+    is the epoch-day midpoint — both mirrored verbatim."""
+    from ray.data.aggregate import Max, Min, Sum
+    from ..stages.relational import stable_bucket
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    lohi = ev.aggregate(Min("ts", alias_name="lo"),
+                        Max("ts", alias_name="hi"))
+    lo_d = int(pd.Timestamp(lohi["lo"]).value // 1000
+               // 86_400_000_000)
+    hi_d = int(pd.Timestamp(lohi["hi"]).value // 1000
+               // 86_400_000_000)
+    mid = (lo_d + hi_d) // 2
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].to_numpy("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        cents = np.round(g["value"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        u = g["user_id"].to_numpy(np.int64)
+        df = pd.DataFrame({"u": u, "x": np.where(day <= mid, cents, 0),
+                           "y": np.where(day > mid, cents, 0)})
+        per_u = df.groupby("u", sort=False).sum().reset_index()
+        x = per_u["x"].to_numpy(np.int64)
+        y = per_u["y"].to_numpy(np.int64)
+        arm = (per_u["u"].to_numpy(np.int64) % 2)
+        out = {"n": len(per_u), "sx": int(x.sum()),
+               "sy": int(y.sum()), "sxx": int((x * x).sum()),
+               "sxy": int((x * y).sum())}
+        for a in (0, 1):
+            m = arm == a
+            out[f"n{a}"] = int(m.sum())
+            out[f"sx{a}"] = int(x[m].sum())
+            out[f"sy{a}"] = int(y[m].sum())
+        return pd.DataFrame([out])
+
+    cols = ["n", "sx", "sy", "sxx", "sxy",
+            "n0", "sx0", "sy0", "n1", "sx1", "sy1"]
+    agg = ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas") \
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    s = {c: int(agg[c]) for c in cols}
+    theta = float(s["n"] * s["sxy"] - s["sx"] * s["sy"]) \
+        / float(s["n"] * s["sxx"] - s["sx"] * s["sx"])
+    raw = float(s["sy1"]) / s["n1"] - float(s["sy0"]) / s["n0"]
+    adj = raw - theta * (float(s["sx1"]) / s["n1"]
+                         - float(s["sx0"]) / s["n0"])
+    return pd.DataFrame([{
+        "n_users": s["n"], "theta": np.round(theta, 6),
+        "raw_diff": np.round(raw, 4),
+        "cuped_diff": np.round(adj, 4)}]).astype({"n_users": np.int64})
+
+
+SQL_CUPED = """
+WITH b AS (SELECT (MIN(epoch_us(ts) // 86400000000)
+                   + MAX(epoch_us(ts) // 86400000000)) // 2 AS mid
+           FROM events),
+pu AS (SELECT user_id,
+              SUM(CASE WHEN epoch_us(ts) // 86400000000 <= b.mid
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS x,
+              SUM(CASE WHEN epoch_us(ts) // 86400000000 > b.mid
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS y
+       FROM events, b GROUP BY user_id),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS sx0,
+             SUM(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS sy0,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS sx1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS sy1
+      FROM pu)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+       ROUND(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0, 4)
+         AS raw_diff,
+       ROUND(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sx1 AS DOUBLE) / n1
+                  - CAST(sx0 AS DOUBLE) / n0), 4) AS cuped_diff
+FROM s
+"""
+
+
+# ordered first-match-wins routing rules; the SQL CASE is generated
+# from THIS list so the two sides cannot drift
+_ROUTING_RULES = [
+    ("ops", "error|fail"),
+    ("query", "scan|join|sort"),
+    ("stream", "window|batch|stream"),
+]
+
+
+def q_regex_routing_table(sf_dir: str):
+    """Rules-engine routing: an ORDERED multi-pattern table classifies
+    every document by its FIRST matching RE2 rule (default route
+    'other') — the content-router every ingest pipeline runs.  One
+    vectorized ``match_substring_regex`` pass per rule (rules-bounded,
+    never per-row Python), an unassigned mask enforcing first-match
+    precedence, and a routes-bounded count groupby.  The twin's CASE
+    chain is generated from the same rule list."""
+    from ray.data.aggregate import Sum
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def route(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        routes = np.full(n, "other", dtype=object)
+        unassigned = np.ones(n, dtype=bool)
+        for name, pat in _ROUTING_RULES:
+            m = pc.match_substring_regex(t["text"], pat) \
+                .to_numpy(zero_copy_only=False)
+            hit = unassigned & m
+            routes[hit] = name
+            unassigned &= ~m
+        g = pd.DataFrame({"route": routes, "pn": 1}) \
+            .groupby("route", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        docs.map_batches(route, batch_format="pyarrow")
+        .groupby("route").aggregate(Sum("pn", alias_name="n_docs"))
+    ).to_pandas().sort_values("route").reset_index(drop=True)
+    return out.astype({"n_docs": np.int64})
+
+
+def _sql_routing() -> str:
+    whens = "\n         ".join(
+        f"WHEN regexp_matches(text, '{pat}') THEN '{name}'"
+        for name, pat in _ROUTING_RULES)
+    return f"""
+SELECT CASE {whens}
+         ELSE 'other' END AS route,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_paginate_orders_page6(sf_dir: str):
+    """Deep pagination WITHOUT a global sort: rows 101–120 of orders by
+    (revenue DESC, orderkey ASC).  The composite order packs into one
+    int64 (``pack_desc_rank_key``); a coarse 4096-bucket histogram of
+    the packed key locates which buckets hold global ranks 101–120
+    (buckets-bounded driver state), ONLY those buckets' rows are
+    re-read and locally sorted, and the page is sliced at its exact
+    offset — the OFFSET/LIMIT the oracle runs, at a scan cost of
+    page-covering buckets instead of a full shuffle."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import pack_desc_rank_key
+
+    LO_RANK, HI_RANK = 100, 120          # half-open [100, 120)
+    SHIFT = 52                           # 4096 coarse buckets
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def packed(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        key = pack_desc_rank_key(cents, 1 << 30, k)
+        return pa.table({"key": pa.array(key),
+                         "o_orderkey": pa.array(k),
+                         "cents": pa.array(cents)})
+
+    ds = orders.map_batches(packed, batch_format="pyarrow")
+
+    def bucket_hist(t: pa.Table) -> pa.Table:
+        b = t["key"].to_numpy() >> SHIFT
+        u, n = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    hist = relational.ds_to_table(
+        ds.map_batches(bucket_hist, batch_format="pyarrow")
+        .groupby("b").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("b")
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    before = np.concatenate(([0], cum[:-1]))
+    need = (cum > LO_RANK) & (before < HI_RANK)
+    want_b = hist["b"].to_numpy(np.int64)[need]
+    offset_before = int(before[need][0]) if need.any() else 0
+    q_paginate_orders_page6._last_scan = (len(hist), int(need.sum()))
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = t["key"].to_numpy() >> SHIFT
+        return t.filter(pa.array(np.isin(b, want_b)))
+
+    cand = relational.ds_to_table(
+        ds.map_batches(keep, batch_format="pyarrow")).to_pandas() \
+        .sort_values("key").reset_index(drop=True)
+    page = cand.iloc[LO_RANK - offset_before:
+                     HI_RANK - offset_before]
+    return pd.DataFrame({
+        "rank": np.arange(LO_RANK + 1, LO_RANK + 1 + len(page),
+                          dtype=np.int64),
+        "o_orderkey": page["o_orderkey"].to_numpy(np.int64),
+        "cents": page["cents"].to_numpy(np.int64)})
+
+
+SQL_PAGINATE = """
+SELECT CAST(100 + ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey)
+            AS BIGINT) AS rank,
+       o_orderkey, cents
+FROM (SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      ORDER BY cents DESC, o_orderkey LIMIT 20 OFFSET 100)
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -15806,4 +16035,8 @@ def registry():
                                 SQL_FUNNEL_3STEP),
         "range_rebalance_layout": (q_range_rebalance_layout,
                                    SQL_RANGE_REBALANCE),
+        "cuped_adjusted_ab": (q_cuped_adjusted_ab, SQL_CUPED),
+        "regex_routing_table": (q_regex_routing_table, _sql_routing()),
+        "paginate_orders_page6": (q_paginate_orders_page6,
+                                  SQL_PAGINATE),
     }

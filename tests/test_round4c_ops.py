@@ -104,7 +104,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "vocab_drift_psi",
        # batch 31 (skyline, strict 3-step funnel, layout rebalance)
        "skyline_parts", "funnel_3step_strict",
-       "range_rebalance_layout"]
+       "range_rebalance_layout",
+       # batch 32 (CUPED, regex routing, deep pagination)
+       "cuped_adjusted_ab", "regex_routing_table",
+       "paginate_orders_page6"]
 
 
 def _norm(v) -> str:
@@ -1247,3 +1250,56 @@ def test_range_rebalance_beats_uniform_split():
     # boundary can only overshoot the ideal N/8 by one day's rows
     counts = out["n_rows"].to_numpy(np.int64)
     assert counts.max() - counts.min() <= max(4, n_orders // 8 // 4)
+
+
+def test_cuped_kills_preexisting_bias(tmp_path):
+    from prclz_ray.pipelines.queries import q_cuped_adjusted_ab
+    # y = x exactly (post repeats pre): theta = 1 and the CUPED
+    # contrast collapses to 0 even though the raw contrast is biased
+    rows = []
+    for u in range(1, 41):
+        v = float(u)                      # arm 1 (odd u) pre-biased
+        rows.append((u, "2020-01-01", v))     # pre period
+        rows.append((u, "2020-12-31", v))     # post period, same value
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows]),
+                       type=pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows])}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_cuped_adjusted_ab(str(tmp_path))
+    assert out["theta"].iloc[0] == pytest.approx(1.0, abs=1e-9)
+    assert out["raw_diff"].iloc[0] != 0.0
+    assert out["cuped_diff"].iloc[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_routing_first_match_precedence(tmp_path):
+    from prclz_ray.pipelines.queries import q_regex_routing_table
+    # doc matching BOTH 'error' (rule 1) and 'scan' (rule 2) must land
+    # on the FIRST rule; unmatched falls through to 'other'
+    pq.write_table(pa.table({"text": pa.array(
+        ["error during scan", "scan join", "zzz qqq"])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_regex_routing_table(str(tmp_path))
+    got = dict(zip(out["route"], out["n_docs"]))
+    assert got == {"ops": 1, "query": 1, "other": 1}
+
+
+def test_paginate_scans_few_buckets_and_matches_full_sort():
+    from prclz_ray.pipelines.queries import q_paginate_orders_page6
+    out = q_paginate_orders_page6(SF)
+    n_buckets, n_scanned = q_paginate_orders_page6._last_scan
+    assert n_scanned < n_buckets       # page-covering buckets only
+    # cross-check against the brute-force full sort
+    t = pq.read_table(os.path.join(SF, "orders.parquet"),
+                      columns=["o_orderkey", "o_totalprice"]) \
+        .to_pandas()
+    t["cents"] = np.round(t["o_totalprice"].to_numpy()
+                          * 100.0).astype(np.int64)
+    full = t.sort_values(["cents", "o_orderkey"],
+                         ascending=[False, True]) \
+        .iloc[100:120].reset_index(drop=True)
+    assert (out["o_orderkey"].to_numpy()
+            == full["o_orderkey"].to_numpy()).all()
+    assert (out["cents"].to_numpy() == full["cents"].to_numpy()).all()
+    assert out["rank"].tolist() == list(range(101, 121))
