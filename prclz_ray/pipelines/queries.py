@@ -15614,6 +15614,260 @@ FROM (SELECT o_orderkey,
 """
 
 
+_EXPECTATION_RULES = [
+    # (rule name, kind) — thresholds live in the kernels below and the
+    # generated SQL mirrors them; counts are FLAGGED rows (0 = clean)
+    "orderkey_unique_dup_rows",
+    "price_nonpositive",
+    "status_outside_domain",
+    "custkey_fk_orphans",
+    "price_above_50k",
+    "date_before_1996",
+]
+
+
+def q_expectations_audit(sf_dir: str):
+    """Data-contract expectations suite (the Great-Expectations-style
+    validation gate an ingest runs before publishing): six rules over
+    orders — key uniqueness, positivity, a categorical domain, an FK
+    into customer, and two business flags — each answered with ONE
+    flagged-row count.  Scan rules fold per batch; uniqueness rides an
+    exact key-bucket distinct (count − distinct, shuffle on hashes
+    only); the FK is a size-guarded broadcast of the customer key set.
+    Rules whose count is 0 prove cleanliness; the two business flags
+    fire on real rows so the suite's plumbing is visibly exercised."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderdate"])
+    cust_keys = set(relational.ds_to_table(
+        _read(sf_dir, "customer", ["c_custkey"]))["c_custkey"]
+        .to_pylist())
+    ck_ref = ray.put(np.array(sorted(cust_keys), dtype=np.int64))
+    cutoff = int(pd.Timestamp("1996-01-01").value // 1000)
+
+    def scan(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        status = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keys = ray.get(ck_ref)
+        pos = np.searchsorted(keys, ck)
+        pos_ok = (pos < len(keys))
+        fk_bad = ~pos_ok
+        fk_bad[pos_ok] = keys[pos[pos_ok]] != ck[pos_ok]
+        return pa.table({
+            "p_nonpos": pa.array([int((price <= 0).sum())]),
+            "p_status": pa.array([int(
+                (~np.isin(status, ["O", "F", "P"])).sum())]),
+            "p_fk": pa.array([int(fk_bad.sum())]),
+            "p_50k": pa.array([int((price > 50_000.0).sum())]),
+            "p_date": pa.array([int((ts < cutoff).sum())]),
+            "p_n": pa.array([t.num_rows])})
+
+    agg = orders.map_batches(scan, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("p_nonpos", "p_status", "p_fk", "p_50k", "p_date", "p_n")])
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["o_orderkey"].to_numpy())
+        return pa.table({"k": pa.array(u)})
+
+    # exact distinct: per-batch distinct → one hash groupby → count
+    n_distinct = orders.map_batches(key_partial,
+                                    batch_format="pyarrow") \
+        .groupby("k").count().count()
+    rows = [
+        ("orderkey_unique_dup_rows", int(agg["p_n"]) - int(n_distinct)),
+        ("price_nonpositive", int(agg["p_nonpos"])),
+        ("status_outside_domain", int(agg["p_status"])),
+        ("custkey_fk_orphans", int(agg["p_fk"])),
+        ("price_above_50k", int(agg["p_50k"])),
+        ("date_before_1996", int(agg["p_date"])),
+    ]
+    return pd.DataFrame(rows, columns=["rule", "n_flagged"]) \
+        .sort_values("rule").reset_index(drop=True) \
+        .astype({"n_flagged": np.int64})
+
+
+SQL_EXPECTATIONS = """
+WITH r AS (
+  SELECT 'orderkey_unique_dup_rows' AS rule,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS n FROM orders
+  UNION ALL
+  SELECT 'price_nonpositive', COUNT(*) FILTER (o_totalprice <= 0)
+  FROM orders
+  UNION ALL
+  SELECT 'status_outside_domain',
+         COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+  FROM orders
+  UNION ALL
+  SELECT 'custkey_fk_orphans', COUNT(*)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'price_above_50k', COUNT(*) FILTER (o_totalprice > 50000.0)
+  FROM orders
+  UNION ALL
+  SELECT 'date_before_1996',
+         COUNT(*) FILTER (o_orderdate < TIMESTAMP '1996-01-01')
+  FROM orders)
+SELECT rule, CAST(n AS BIGINT) AS n_flagged FROM r ORDER BY rule
+"""
+
+
+def q_changepoint_daily_revenue(sf_dir: str):
+    """Single changepoint detection (binary segmentation, first split):
+    the day index that maximizes the between-segment sum of squares
+    B(k) = S²ₗ/k + S²ᵣ/(n−k) over the observed daily-revenue sequence —
+    equivalent to minimizing total SSE, no variance computed anywhere.
+    The distributed part is the shared daily-cents reduce; the argmax
+    runs on the DAYS-bounded prefix sums with arbitrary-precision
+    squares (S² overflows int64 past ~sf0.1) and the exact float
+    expression the twin uses; float ties break to the earliest day on
+    both sides."""
+    d = _daily_revenue_cents(sf_dir)
+    rev = [int(v) for v in d["rev"].to_numpy(np.int64)]
+    days = d["day"].to_numpy(np.int64)
+    n = len(rev)
+    total = sum(rev)
+    best = None
+    cum = 0
+    for k in range(1, n):                 # split after position k
+        cum += rev[k - 1]
+        b = float(cum * cum) / k \
+            + float((total - cum) * (total - cum)) / (n - k)
+        if best is None or b > best[0]:
+            best = (b, k, cum)
+    _, k, sl = best
+    return pd.DataFrame([{
+        "split_day": int(days[k]),        # first day of the RIGHT part
+        "n_left": k, "n_right": n - k,
+        "mean_left": np.round(float(sl) / k, 4),
+        "mean_right": np.round(float(total - sl) / (n - k), 4)}]) \
+        .astype({"split_day": np.int64, "n_left": np.int64,
+                 "n_right": np.int64})
+
+
+SQL_CHANGEPOINT = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1),
+s AS (SELECT day, rev,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             SUM(rev) OVER (ORDER BY day) AS cum,
+             (SELECT SUM(rev) FROM d) AS tot,
+             (SELECT COUNT(*) FROM d) AS n
+      FROM d),
+b AS (SELECT LEAD(day) OVER (ORDER BY day) AS split_day,
+             rn AS k, cum, tot, n,
+             CAST(cum * cum AS DOUBLE) / rn
+             + CAST((tot - cum) * (tot - cum) AS DOUBLE) / (n - rn)
+               AS bss
+      FROM s QUALIFY rn < n)
+SELECT split_day,
+       CAST(k AS BIGINT) AS n_left, CAST(n - k AS BIGINT) AS n_right,
+       ROUND(CAST(cum AS DOUBLE) / k, 4) AS mean_left,
+       ROUND(CAST(tot - cum AS DOUBLE) / (n - k), 4) AS mean_right
+FROM b ORDER BY bss DESC, k LIMIT 1
+"""
+
+
+def q_next_event_prediction_acc(sf_dir: str):
+    """Sequence-model baseline evaluation: a first-order Markov
+    next-event predictor is FIT on the early half of every user's
+    stream (argmax next-type per current type, ties alphabetical) and
+    SCORED on the late half — train/test split at the global time
+    midpoint, the leakage-free protocol.  Transitions reduce to a
+    types²-bounded matrix per split; scoring is one vectorized map
+    over test transitions.  Output: per current-type test accuracy."""
+    from ray.data.aggregate import Max, Min, Sum
+    from ..stages.relational import stable_bucket
+
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id",
+                                  "event_type"])
+    lohi = ev.aggregate(Min("ts", alias_name="lo"),
+                        Max("ts", alias_name="hi"))
+    mid_us = (int(pd.Timestamp(lohi["lo"]).value // 1000)
+              + int(pd.Timestamp(lohi["hi"]).value // 1000)) // 2
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = u[1:] == u[:-1]
+        # a transition belongs to the split of its SOURCE event
+        src, dst = et[:-1][same], et[1:][same]
+        half = (ts[:-1][same] > mid_us).astype(np.int64)
+        out = pd.DataFrame({"half": half, "src": src, "dst": dst,
+                            "pn": 1}) \
+            .groupby(["half", "src", "dst"], sort=False).sum() \
+            .reset_index()
+        return out
+
+    tm = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(transitions,
+                                       batch_format="pandas")
+        .groupby(["half", "src", "dst"])
+        .aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    train = tm[tm["half"] == 0]
+    pred = train.sort_values(["src", "n", "dst"],
+                             ascending=[True, False, True]) \
+        .groupby("src").head(1).set_index("src")["dst"]
+    # like the twin's JOIN pred USING (src): a test src with no
+    # trained prediction contributes nothing
+    test = tm[(tm["half"] == 1) & tm["src"].isin(pred.index)].copy()
+    test["hit"] = (test["dst"]
+                   == test["src"].map(pred)).astype(np.int64) \
+        * test["n"].astype(np.int64)
+    out = test.groupby("src").agg(
+        n_test=("n", "sum"), n_hit=("hit", "sum")).reset_index()
+    out["accuracy"] = np.round(
+        out["n_hit"].to_numpy(np.float64)
+        / out["n_test"].to_numpy(np.float64), 4)
+    return out.rename(columns={"src": "event_type"}) \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_test": np.int64, "n_hit": np.int64})
+
+
+SQL_NEXT_EVENT = """
+WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+           FROM events),
+t AS (SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst,
+             CASE WHEN epoch_us(ts) > b.mid THEN 1 ELSE 0 END AS half
+      FROM events, b),
+tm AS (SELECT half, src, dst, COUNT(*) AS n
+       FROM t WHERE dst IS NOT NULL GROUP BY 1, 2, 3),
+pred AS (SELECT src, dst FROM (
+           SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY n DESC, dst) AS r
+           FROM tm WHERE half = 0) WHERE r = 1),
+test AS (SELECT tm.src, SUM(tm.n) AS n_test,
+                SUM(CASE WHEN tm.dst = pred.dst THEN tm.n
+                         ELSE 0 END) AS n_hit
+         FROM tm JOIN pred USING (src)
+         WHERE tm.half = 1 GROUP BY tm.src)
+SELECT src AS event_type, CAST(n_test AS BIGINT) AS n_test,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / CAST(n_test AS DOUBLE), 4)
+         AS accuracy
+FROM test ORDER BY event_type
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -16039,4 +16293,9 @@ def registry():
         "regex_routing_table": (q_regex_routing_table, _sql_routing()),
         "paginate_orders_page6": (q_paginate_orders_page6,
                                   SQL_PAGINATE),
+        "expectations_audit": (q_expectations_audit, SQL_EXPECTATIONS),
+        "changepoint_daily_revenue": (q_changepoint_daily_revenue,
+                                      SQL_CHANGEPOINT),
+        "next_event_prediction_acc": (q_next_event_prediction_acc,
+                                      SQL_NEXT_EVENT),
     }

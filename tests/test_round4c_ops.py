@@ -107,7 +107,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "range_rebalance_layout",
        # batch 32 (CUPED, regex routing, deep pagination)
        "cuped_adjusted_ab", "regex_routing_table",
-       "paginate_orders_page6"]
+       "paginate_orders_page6",
+       # batch 33 (expectations suite, changepoint, Markov eval)
+       "expectations_audit", "changepoint_daily_revenue",
+       "next_event_prediction_acc"]
 
 
 def _norm(v) -> str:
@@ -1303,3 +1306,75 @@ def test_paginate_scans_few_buckets_and_matches_full_sort():
             == full["o_orderkey"].to_numpy()).all()
     assert (out["cents"].to_numpy() == full["cents"].to_numpy()).all()
     assert out["rank"].tolist() == list(range(101, 121))
+
+
+def test_expectations_audit_flags_seeded_violations(tmp_path):
+    from prclz_ray.pipelines.queries import q_expectations_audit
+    # seed one violation of each kind: a duplicate key, a negative
+    # price, a bad status, an FK orphan, a >50k price, a pre-1996 date
+    d = str(tmp_path)
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2],
+                                                   type=pa.int64())}),
+                   os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 10, 11, 12, 13],
+                               type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 99, 2, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "X", "P", "O"]),
+        "o_totalprice": pa.array([5.0, -1.0, 60000.0, 7.0, 8.0]),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["1999-01-01", "1995-06-01", "1999-01-01",
+             "1999-01-01", "1999-01-01"]), type=pa.timestamp("us"))}),
+        os.path.join(d, "orders.parquet"))
+    out = q_expectations_audit(d)
+    got = dict(zip(out["rule"], out["n_flagged"]))
+    assert got == {"orderkey_unique_dup_rows": 1,
+                   "price_nonpositive": 1,
+                   "status_outside_domain": 1,
+                   "custkey_fk_orphans": 1,
+                   "price_above_50k": 1,
+                   "date_before_1996": 1}
+
+
+def test_changepoint_finds_planted_level_shift(tmp_path):
+    from prclz_ray.pipelines.queries import q_changepoint_daily_revenue
+    # 10 days at $1, then 10 days at $9 — split must land exactly at
+    # the shift with the two segment means recovered
+    days = pd.to_datetime([f"2020-01-{d:02d}" for d in range(1, 21)])
+    prices = [1.0] * 10 + [9.0] * 10
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_changepoint_daily_revenue(str(tmp_path))
+    r = out.iloc[0]
+    assert int(r["n_left"]) == 10 and int(r["n_right"]) == 10
+    assert r["mean_left"] == 100.0 and r["mean_right"] == 900.0
+    assert int(r["split_day"]) == int(
+        (pd.Timestamp("2020-01-11").value // 1000) // 86_400_000_000)
+
+
+def test_next_event_prediction_no_leakage(tmp_path):
+    from prclz_ray.pipelines.queries import q_next_event_prediction_acc
+    # train half: click→view twice (so pred[click]=view); test half:
+    # click→error twice → accuracy for click must be 0, proving the
+    # test transitions never influenced the fit
+    rows = [(1, "click", "2020-01-01 00:00"),
+            (1, "view", "2020-01-01 01:00"),
+            (1, "click", "2020-01-02 00:00"),
+            (1, "view", "2020-01-02 01:00"),
+            (1, "click", "2020-12-30 00:00"),
+            (1, "error", "2020-12-30 01:00"),
+            (1, "click", "2020-12-31 00:00"),
+            (1, "error", "2020-12-31 01:00")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                       type=pa.timestamp("us"))}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_next_event_prediction_acc(str(tmp_path))
+    click = out[out["event_type"] == "click"].iloc[0]
+    assert int(click["n_hit"]) == 0
+    assert click["accuracy"] == 0.0
