@@ -15868,6 +15868,173 @@ FROM test ORDER BY event_type
 """
 
 
+def q_k_anon_generalize(sf_dir: str):
+    """k-anonymity GENERALIZATION (the transform, not just the audit):
+    walk a fixed coarsening ladder over the quasi-identifiers
+    (nation, acctbal band) — L0 $100 bands, L1 $1000 bands, L2 synth-
+    region × $1000, L3 region × sign — and publish at the FIRST level
+    where every equivalence class holds ≥ 5 rows.  Each level is one
+    bounded count groupby; negative balances shift before the band
+    division (DuckDB // truncates toward zero where numpy floors — the
+    shift keeps both sides in positive territory).  Output: chosen
+    level + its class stats."""
+    from ray.data.aggregate import Sum
+
+    K = 5
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def level_stats(level: int):
+        def partial(t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = np.round(t["c_acctbal"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            shifted = cents + 100_000
+            if level == 0:
+                g1, g2 = nk, shifted // 10_000
+            elif level == 1:
+                g1, g2 = nk, shifted // 100_000
+            elif level == 2:
+                g1, g2 = nk // 5, shifted // 100_000
+            else:
+                g1, g2 = nk // 5, (shifted >= 100_000).astype(np.int64)
+            g = pd.DataFrame({"g1": g1, "g2": g2, "pn": 1}) \
+                .groupby(["g1", "g2"], sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        t = relational.ds_to_table(
+            cust.map_batches(partial, batch_format="pyarrow")
+            .groupby(["g1", "g2"]).aggregate(Sum("pn",
+                                                 alias_name="n"))
+        ).to_pandas()
+        return len(t), int(t["n"].min())
+
+    for level in (0, 1, 2, 3):
+        n_groups, min_size = level_stats(level)
+        if min_size >= K:
+            break
+    return pd.DataFrame([{"chosen_level": level,
+                          "n_groups": n_groups,
+                          "min_group_size": min_size}]) \
+        .astype(np.int64)
+
+
+SQL_K_ANON = """
+WITH c AS (SELECT c_nationkey AS nk,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000
+                    AS sc
+           FROM customer),
+l0 AS (SELECT COUNT(*) AS gs FROM c GROUP BY nk, sc // 10000),
+l1 AS (SELECT COUNT(*) AS gs FROM c GROUP BY nk, sc // 100000),
+l2 AS (SELECT COUNT(*) AS gs FROM c
+       GROUP BY nk // 5, sc // 100000),
+l3 AS (SELECT COUNT(*) AS gs FROM c
+       GROUP BY nk // 5, CASE WHEN sc >= 100000 THEN 1 ELSE 0 END),
+s AS (SELECT 0 AS lvl, COUNT(*) AS n_groups, MIN(gs) AS mn FROM l0
+      UNION ALL SELECT 1, COUNT(*), MIN(gs) FROM l1
+      UNION ALL SELECT 2, COUNT(*), MIN(gs) FROM l2
+      UNION ALL SELECT 3, COUNT(*), MIN(gs) FROM l3)
+SELECT CAST(lvl AS BIGINT) AS chosen_level,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(mn AS BIGINT) AS min_group_size
+FROM s WHERE mn >= 5 OR lvl = 3
+ORDER BY lvl LIMIT 1
+"""
+
+
+def q_theilsen_slope_revenue(sf_dir: str):
+    """Theil–Sen robust trend estimator over daily revenue: the MEDIAN
+    of all pairwise slopes (rⱼ−rᵢ)/(dⱼ−dᵢ) — outlier days cannot move
+    it, unlike the OLS slope.  The distributed part is the shared
+    daily-cents reduce; the O(days²) pair enumeration is DAYS-bounded
+    by construction (~3M float slopes per decade of data — driver-
+    trivial), matching the twin's inequality self-join + MEDIAN."""
+    d = _daily_revenue_cents(sf_dir)
+    rev = d["rev"].to_numpy(np.float64)
+    day = d["day"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(rev), k=1)
+    slopes = (rev[j] - rev[i]) / (day[j] - day[i])
+    return pd.DataFrame([{
+        "n_pairs": len(slopes),
+        "slope": np.round(float(np.median(slopes)), 6)}]) \
+        .astype({"n_pairs": np.int64})
+
+
+SQL_THEILSEN = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                       AS DOUBLE) AS rev
+           FROM orders GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MEDIAN((b.rev - a.rev) / (b.day - a.day)), 6) AS slope
+FROM d a JOIN d b ON a.day < b.day
+"""
+
+
+def q_poststratification_weights(sf_dir: str):
+    """Post-stratification calibration: after the standard 20 % hash
+    sample of documents, per-language weights re-align the sample to
+    the population (wₗ = pop-shareₗ / sample-shareₗ) — the survey-
+    statistics fix every eval-set builder applies when a cheap sampler
+    under- or over-draws a stratum.  Two bounded count aggregates (one
+    per frame), a langs-bounded driver division mirroring the twin's
+    CAST order; languages the sample missed drop like the INNER
+    join."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def counts(sample_only: bool):
+        def partial(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            keep = np.ones(len(ids), dtype=bool)
+            if sample_only:
+                with np.errstate(over="ignore"):
+                    h = (ids + np.uint64(1)) \
+                        * np.uint64(11400714819323198485)
+                keep = (h % np.uint64(1_000_000)) \
+                    < np.uint64(200_000)
+            g = pd.DataFrame({"lang": t["lang"].to_numpy(
+                zero_copy_only=False)[keep], "pn": 1}) \
+                .groupby("lang", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return relational.ds_to_table(
+            docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("pn", alias_name="n"))
+        ).to_pandas()
+
+    pop = counts(False).rename(columns={"n": "pop_n"})
+    smp = counts(True).rename(columns={"n": "samp_n"})
+    out = pop.merge(smp, on="lang")
+    tp = float(out["pop_n"].sum())
+    tsm = float(out["samp_n"].sum())
+    out["weight"] = np.round(
+        (out["pop_n"].to_numpy(np.float64) / tp)
+        / (out["samp_n"].to_numpy(np.float64) / tsm), 6)
+    return out.sort_values("lang").reset_index(drop=True) \
+        .astype({"pop_n": np.int64, "samp_n": np.int64})
+
+
+SQL_POSTSTRAT = """
+WITH pop AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS pop_n
+             FROM documents GROUP BY 1),
+smp AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS samp_n
+        FROM documents
+        WHERE ((CAST(doc_id + 1 AS HUGEINT) * 11400714819323198485)
+               % 18446744073709551616) % 1000000 < 200000
+        GROUP BY 1),
+t AS (SELECT SUM(pop_n) AS tp FROM pop),
+u AS (SELECT SUM(samp_n) AS ts FROM smp)
+SELECT lang, pop_n, samp_n,
+       ROUND((CAST(pop_n AS DOUBLE) / t.tp)
+             / (CAST(samp_n AS DOUBLE) / u.ts), 6) AS weight
+FROM pop JOIN smp USING (lang), t, u
+ORDER BY lang
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -16298,4 +16465,9 @@ def registry():
                                       SQL_CHANGEPOINT),
         "next_event_prediction_acc": (q_next_event_prediction_acc,
                                       SQL_NEXT_EVENT),
+        "k_anon_generalize": (q_k_anon_generalize, SQL_K_ANON),
+        "theilsen_slope_revenue": (q_theilsen_slope_revenue,
+                                   SQL_THEILSEN),
+        "poststratification_weights": (q_poststratification_weights,
+                                       SQL_POSTSTRAT),
     }

@@ -110,7 +110,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "paginate_orders_page6",
        # batch 33 (expectations suite, changepoint, Markov eval)
        "expectations_audit", "changepoint_daily_revenue",
-       "next_event_prediction_acc"]
+       "next_event_prediction_acc",
+       # batch 34 (k-anon generalize, Theil-Sen, post-stratification)
+       "k_anon_generalize", "theilsen_slope_revenue",
+       "poststratification_weights"]
 
 
 def _norm(v) -> str:
@@ -1378,3 +1381,51 @@ def test_next_event_prediction_no_leakage(tmp_path):
     click = out[out["event_type"] == "click"].iloc[0]
     assert int(click["n_hit"]) == 0
     assert click["accuracy"] == 0.0
+
+
+def test_k_anon_ladder_stops_at_first_safe_level(tmp_path):
+    from prclz_ray.pipelines.queries import q_k_anon_generalize
+    # 10 customers, 2 nations in one synth-region, balances spread so
+    # L0/L1 classes stay tiny but L2 merges the nations → exactly two
+    # classes of 5 at L2
+    nk = [0] * 5 + [1] * 5
+    bal = [100.0, 200.0, 300.0, 400.0, 500.0] * 2
+    # split each nation's balances across the $1000 band boundary so
+    # L1 (nation × $1000 band) keeps classes < 5
+    bal = [100.0, 200.0, 300.0, 1400.0, 1500.0,
+           100.0, 200.0, 300.0, 1400.0, 1500.0]
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array(nk, type=pa.int32()),
+        "c_acctbal": pa.array(bal)}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_k_anon_generalize(str(tmp_path))
+    r = out.iloc[0]
+    # L2 merges nations 0 and 1 (both // 5 == 0): classes {6, 4}…
+    # still < 5 in one class → the ladder must fall through to L3
+    assert int(r["chosen_level"]) == 3
+    assert int(r["min_group_size"]) >= 5
+
+
+def test_theilsen_ignores_single_outlier_day(tmp_path):
+    from prclz_ray.pipelines.queries import q_theilsen_slope_revenue
+    # perfectly linear $1/day growth with one wild outlier day: the
+    # median pairwise slope must stay at 100 cents/day
+    days = pd.to_datetime([f"2020-01-{d:02d}" for d in range(1, 16)])
+    prices = [float(d) for d in range(1, 16)]
+    prices[7] = 500.0                      # outlier
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_theilsen_slope_revenue(str(tmp_path))
+    assert out["slope"].iloc[0] == pytest.approx(100.0, abs=1e-9)
+
+
+def test_poststratification_weights_center_on_one():
+    from prclz_ray.pipelines.queries import q_poststratification_weights
+    out = q_poststratification_weights(SF)
+    assert (out["samp_n"] <= out["pop_n"]).all()
+    # weights re-align shares: the samp-share-weighted mean weight is 1
+    w = out["weight"].to_numpy(np.float64)
+    share = out["samp_n"].to_numpy(np.float64) / out["samp_n"].sum()
+    assert float((w * share).sum()) == pytest.approx(1.0, abs=1e-3)
