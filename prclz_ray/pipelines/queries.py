@@ -16035,6 +16035,161 @@ ORDER BY lang
 """
 
 
+def _monotone_chain_hull(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the strictly-convex hull (Andrew monotone chain,
+    collinear points dropped) in counter-clockwise order over integer
+    coordinates — exact cross products, no floats anywhere."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    def half(p):
+        out = []
+        for q in p:
+            while len(out) >= 2:
+                ax, ay = out[-2]
+                bx, by = out[-1]
+                if (int(bx) - ax) * (int(q[1]) - ay) \
+                        - (int(by) - ay) * (int(q[0]) - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((int(q[0]), int(q[1])))
+        return out
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    return np.array(hull, dtype=np.int64)
+
+
+def q_convex_hull_nations(sf_dir: str):
+    """Per-nation convex hull of the customer points — the geo
+    aggregate behind coverage footprints and service areas.  Hull is a
+    SUPERSET-reduction like the skyline: hull(S) = hull(∪ hull(Sᵢ)),
+    so each batch emits only its local hull vertices per nation and
+    the exact finish runs on the candidates-bounded union (25 nations
+    × O(hull) points).  Integer cross products throughout — no float
+    orientation tests; doubled shoelace area stays an exact int.
+    Geometry has no SQL twin; correctness is pinned by the brute-force
+    hull cross-check and the all-points-inside property test."""
+    from ray.data.aggregate import Sum  # noqa: F401 (symmetry)
+
+    pts = _read(sf_dir, "customer", ["c_custkey"])
+
+    def local(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = (k * 7919) % 1000
+        y = (k * 104729) % 1000
+        nat = (x // 200) + 5 * (y // 200)
+        out_n, out_x, out_y = [], [], []
+        for n in np.unique(nat):
+            m = nat == n
+            hull = _monotone_chain_hull(x[m], y[m])
+            out_n.extend([int(n)] * len(hull))
+            out_x.extend(hull[:, 0].tolist())
+            out_y.extend(hull[:, 1].tolist())
+        return pa.table({"nat": pa.array(out_n, type=pa.int64()),
+                         "hx": pa.array(out_x, type=pa.int64()),
+                         "hy": pa.array(out_y, type=pa.int64())})
+
+    cand = relational.ds_to_table(
+        pts.map_batches(local, batch_format="pyarrow")).to_pandas()
+    rows = []
+    for n, g in cand.groupby("nat"):
+        hull = _monotone_chain_hull(g["hx"].to_numpy(np.int64),
+                                    g["hy"].to_numpy(np.int64))
+        hx, hy = hull[:, 0], hull[:, 1]
+        area2 = int(np.dot(hx, np.roll(hy, -1))
+                    - np.dot(hy, np.roll(hx, -1))) if len(hull) >= 3 \
+            else 0
+        rows.append({"n_nationkey": int(n),
+                     "n_vertices": len(hull),
+                     "area2": abs(area2)})
+    q_convex_hull_nations._last_hulls = {
+        r["n_nationkey"]: r for r in rows}
+    return pd.DataFrame(rows).sort_values("n_nationkey") \
+        .reset_index(drop=True).astype(np.int64)
+
+
+def q_type_daily_corr(sf_dir: str):
+    """Cross-series Pearson correlation matrix of the DAILY event
+    counts, one row per unordered type pair — the co-movement
+    diagnostic next to the single-series ACF.  Per-(day, type) counts
+    reduce distributedly; the calendar gap-fill (a day with no events
+    of a type counts 0 for it) and the 10-pair power-sum finish are
+    days-bounded.  Integer sums, one mirrored float expression per
+    pair."""
+    import math
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        g = pd.DataFrame({"day": day,
+                          "et": t["event_type"].to_numpy(
+                              zero_copy_only=False), "pn": 1}) \
+            .groupby(["day", "et"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "et"]).aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    lo, hi = int(cnt["day"].min()), int(cnt["day"].max())
+    n_days = hi - lo + 1
+    types = sorted(cnt["et"].unique())
+    series = {}
+    for t_ in types:
+        s = np.zeros(n_days, dtype=np.int64)
+        g = cnt[cnt["et"] == t_]
+        s[g["day"].to_numpy(np.int64) - lo] = g["n"].to_numpy(np.int64)
+        series[t_] = s
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            xa, xb = series[a], series[b]
+            sx, sy = int(xa.sum()), int(xb.sum())
+            sxx = int((xa * xa).sum())
+            syy = int((xb * xb).sum())
+            sxy = int((xa * xb).sum())
+            num = float(n_days * sxy - sx * sy)
+            den = math.sqrt(float(n_days * sxx - sx * sx)) \
+                * math.sqrt(float(n_days * syy - sy * sy))
+            rows.append({"type_a": a, "type_b": b,
+                         "r": np.round(num / den, 6)})
+    return pd.DataFrame(rows)
+
+
+SQL_TYPE_CORR = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type
+           FROM events),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+ty AS (SELECT DISTINCT event_type AS et FROM e),
+cnt AS (SELECT day, et,
+               (SELECT COUNT(*) FROM e
+                WHERE e.day = cal.day AND e.event_type = ty.et) AS n
+        FROM cal, ty),
+nd AS (SELECT COUNT(*) AS n_days FROM cal),
+p AS (SELECT a.et AS type_a, c.et AS type_b,
+             SUM(a.n) AS sx, SUM(c.n) AS sy,
+             SUM(a.n * a.n) AS sxx, SUM(c.n * c.n) AS syy,
+             SUM(a.n * c.n) AS sxy
+      FROM cnt a JOIN cnt c ON a.day = c.day AND a.et < c.et
+      GROUP BY 1, 2)
+SELECT type_a, type_b,
+       ROUND(CAST(nd.n_days * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(nd.n_days * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(nd.n_days * syy - sy * sy AS DOUBLE))),
+             6) AS r
+FROM p, nd ORDER BY type_a, type_b
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -16470,4 +16625,6 @@ def registry():
                                    SQL_THEILSEN),
         "poststratification_weights": (q_poststratification_weights,
                                        SQL_POSTSTRAT),
+        "convex_hull_nations": (q_convex_hull_nations, None),
+        "type_daily_corr": (q_type_daily_corr, SQL_TYPE_CORR),
     }

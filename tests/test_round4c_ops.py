@@ -113,7 +113,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "next_event_prediction_acc",
        # batch 34 (k-anon generalize, Theil-Sen, post-stratification)
        "k_anon_generalize", "theilsen_slope_revenue",
-       "poststratification_weights"]
+       "poststratification_weights",
+       # batch 35 (daily-count correlation; hull is no-oracle)
+       "type_daily_corr"]
 
 
 def _norm(v) -> str:
@@ -1429,3 +1431,60 @@ def test_poststratification_weights_center_on_one():
     w = out["weight"].to_numpy(np.float64)
     share = out["samp_n"].to_numpy(np.float64) / out["samp_n"].sum()
     assert float((w * share).sum()) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_convex_hull_contains_all_points_and_matches_bruteforce():
+    from prclz_ray.pipelines.queries import (_monotone_chain_hull,
+                                             q_convex_hull_nations)
+    # brute-force cross-check: a point is a hull vertex iff it is not
+    # strictly inside any triangle / not expressible as interior
+    rng = np.random.RandomState(11)
+    for _ in range(10):
+        x = rng.randint(0, 50, 30).astype(np.int64)
+        y = rng.randint(0, 50, 30).astype(np.int64)
+        hull = _monotone_chain_hull(x, y)
+        hx, hy = hull[:, 0], hull[:, 1]
+        # every input point lies inside or on the hull (all cross
+        # products vs each ccw edge >= 0)
+        for px, py in zip(x, y):
+            for i in range(len(hull)):
+                ax, ay = int(hx[i]), int(hy[i])
+                bx, by = int(hx[(i + 1) % len(hull)]), \
+                    int(hy[(i + 1) % len(hull)])
+                assert (bx - ax) * (int(py) - ay) \
+                    - (by - ay) * (int(px) - ax) >= 0
+        # hull vertices are input points
+        pts = set(zip(x.tolist(), y.tolist()))
+        assert all((int(a), int(b)) in pts for a, b in hull)
+
+    out = q_convex_hull_nations(SF)
+    assert (out["n_vertices"] >= 1).all()
+    # hulls live inside their 200x200 nation rect → area2 <= 2*200*200
+    assert (out["area2"] <= 2 * 200 * 200).all()
+
+
+def test_result_cache_hits_and_invalidates(tmp_path):
+    import time
+    from prclz_ray.runtime.result_cache import cached_result
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pq.write_table(pa.table({"x": [1, 2, 3]}),
+                   os.path.join(d, "t.parquet"))
+    calls = {"n": 0}
+
+    def fn(sf):
+        calls["n"] += 1
+        return pd.DataFrame({"s": [calls["n"] * 6]})
+
+    root = str(tmp_path / "cache")
+    a = cached_result("demo", d, fn, cache_root=root)
+    b = cached_result("demo", d, fn, cache_root=root)
+    assert calls["n"] == 1                  # second call was a hit
+    assert a.equals(b)
+    # touching the input invalidates the key
+    time.sleep(0.01)
+    pq.write_table(pa.table({"x": [1, 2, 3, 4]}),
+                   os.path.join(d, "t.parquet"))
+    c = cached_result("demo", d, fn, cache_root=root)
+    assert calls["n"] == 2
+    assert int(c["s"].iloc[0]) == 12
