@@ -16190,6 +16190,241 @@ FROM p, nd ORDER BY type_a, type_b
 """
 
 
+def q_nn_distance_histogram(sf_dir: str):
+    """Exact all-points nearest-neighbor distance histogram (the
+    spatial-statistics primitive behind clustering diagnostics and
+    Ripley-style tests): each customer point's distance to its nearest
+    OTHER point, bucketed by 10 units.  Grid-accelerated exactly: a
+    3×3 cell neighborhood (cell = 50 units) resolves a point only when
+    the best candidate is PROVABLY nearest (d ≤ cell size, so no
+    closer point can hide outside the ring); the unresolved minority
+    falls back to an exact pass against the full (broadcast) point
+    set.  Integer squared distances throughout; the oracle brute-
+    forces the |N|² join."""
+    pts_tbl = relational.ds_to_table(
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            lambda t: pa.table({
+                "k": t["c_custkey"],
+                "x": pa.array((t["c_custkey"].to_numpy(
+                    zero_copy_only=False).astype(np.int64) * 7919)
+                    % 1000),
+                "y": pa.array((t["c_custkey"].to_numpy(
+                    zero_copy_only=False).astype(np.int64) * 104729)
+                    % 1000)}),
+            batch_format="pyarrow"))
+    # the per-cell candidate index is grid-bounded (≤ 400 cells) and
+    # broadcast once — the scale path shards the 3×3 probe by cell
+    allx = pts_tbl["x"].to_numpy(zero_copy_only=False)
+    ally = pts_tbl["y"].to_numpy(zero_copy_only=False)
+    allk = pts_tbl["k"].to_numpy(zero_copy_only=False)
+    CELL = 50
+    cells: dict[tuple[int, int], np.ndarray] = {}
+    cid = np.stack([allx // CELL, ally // CELL], axis=1)
+    for c in np.unique(cid, axis=0):
+        m = (cid[:, 0] == c[0]) & (cid[:, 1] == c[1])
+        cells[(int(c[0]), int(c[1]))] = np.where(m)[0]
+
+    def nn_d2(idx: np.ndarray) -> np.ndarray:
+        """Exact NN squared distance for the point indices given."""
+        best = np.full(len(idx), np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        for pos, i in enumerate(idx):
+            cx, cy = int(allx[i]) // CELL, int(ally[i]) // CELL
+            cand = np.concatenate([
+                cells.get((cx + dx, cy + dy), np.empty(0, np.int64))
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+            cand = cand[allk[cand] != allk[i]]
+            if len(cand):
+                d2 = (allx[cand] - allx[i]) ** 2 \
+                    + (ally[cand] - ally[i]) ** 2
+                best[pos] = int(d2.min())
+            if best[pos] > CELL * CELL:      # ring can't prove it
+                d2 = (allx - allx[i]) ** 2 + (ally - ally[i]) ** 2
+                d2 = d2[allk != allk[i]]
+                best[pos] = int(d2.min())
+        return best
+
+    d2 = nn_d2(np.arange(len(allx)))
+    bucket = (np.floor(np.sqrt(d2.astype(np.float64)))
+              .astype(np.int64)) // 10
+    u, n = np.unique(bucket, return_counts=True)
+    return pd.DataFrame({"bucket": u.astype(np.int64),
+                         "n_points": n.astype(np.int64)})
+
+
+SQL_NN_HISTOGRAM = """
+WITH p AS (SELECT c_custkey AS k,
+                  (c_custkey * 7919) % 1000 AS x,
+                  (c_custkey * 104729) % 1000 AS y
+           FROM customer),
+nn AS (SELECT a.k,
+              MIN((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)) AS d2
+       FROM p a JOIN p b ON a.k <> b.k GROUP BY a.k)
+SELECT CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT) // 10
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM nn GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dau_overlap_jaccard(sf_dir: str):
+    """Day-over-day active-user stickiness: |DAU_d ∩ DAU_{d+1}| and
+    its Jaccard, per consecutive day pair — the retention pulse chart.
+    No set is ever materialized: one user-bucket shuffle sorts each
+    user's distinct active days, consecutive-day presence emits
+    (day, 1) partials vectorized (diff == 1), and per-day DAU sizes
+    come from the same distinct pass; the Jaccard finish is
+    days-bounded."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        b = stable_bucket(batch["user_id"], 64)
+        return pa.table({"user_id": batch["user_id"],
+                         "day": pa.array(day),
+                         "_bucket": pa.array(b)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        du = g[["user_id", "day"]].drop_duplicates()
+        du = du.sort_values(["user_id", "day"])
+        u = du["user_id"].to_numpy(np.int64)
+        d = du["day"].to_numpy(np.int64)
+        consec = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        out = pd.concat([
+            pd.DataFrame({"day": d, "pn": 1, "pi": 0}),
+            pd.DataFrame({"day": d[:-1][consec], "pn": 0, "pi": 1})])
+        return out.groupby("day", sort=False).sum().reset_index()
+
+    agg = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+        .groupby("day").aggregate(Sum("pn", alias_name="dau"),
+                                  Sum("pi", alias_name="inter"))
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    day = agg["day"].to_numpy(np.int64)
+    dau = agg["dau"].to_numpy(np.int64)
+    inter = agg["inter"].to_numpy(np.int64)
+    nxt = dict(zip(day, dau))
+    rows = []
+    for i in range(len(day)):
+        nb = nxt.get(int(day[i]) + 1)
+        if nb is None:
+            continue
+        it = int(inter[i])
+        rows.append({
+            "day": int(day[i]), "dau_a": int(dau[i]), "dau_b": nb,
+            "n_inter": it,
+            "jaccard": np.round(
+                float(it) / float(int(dau[i]) + nb - it), 6)})
+    return pd.DataFrame(rows).astype({
+        "day": np.int64, "dau_a": np.int64, "dau_b": np.int64,
+        "n_inter": np.int64})
+
+
+SQL_DAU_OVERLAP = """
+WITH a AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                           user_id
+           FROM events),
+s AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM a GROUP BY 1),
+i AS (SELECT x.day, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM a x JOIN a y ON x.user_id = y.user_id
+                       AND y.day = x.day + 1
+      GROUP BY 1)
+SELECT s1.day, s1.dau AS dau_a, s2.dau AS dau_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(s1.dau + s2.dau - COALESCE(i.n_inter, 0)
+                    AS DOUBLE), 6) AS jaccard
+FROM s s1 JOIN s s2 ON s2.day = s1.day + 1
+LEFT JOIN i ON i.day = s1.day
+ORDER BY s1.day
+"""
+
+
+def q_grouped_ols_by_flag(sf_dir: str):
+    """The GROUPED variant of the exact 2-feature OLS: one price ~
+    quantity + discount fit PER returnflag — same int64 power-sum
+    partials keyed by the group, same shared Cramer expansion
+    (``_OLS2_DETS``), a groups-bounded driver finish.  Shows the Gram
+    kernel generalizes to grouped models with one extra groupby key
+    and zero new math."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.round(t["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        p = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "flag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "n": 1, "sq": q, "sd": d, "sp": p, "sqq": q * q,
+            "sdd": d * d, "sqd": q * d, "sqp": q * p, "sdp": d * p})
+        g = df.groupby("flag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = ["n", "sq", "sd", "sp", "sqq", "sdd", "sqd", "sqp", "sdp"]
+    agg = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("flag").aggregate(
+            *[Sum(c, alias_name=c) for c in cols])).to_pandas()
+    rows = []
+    for r in agg.itertuples():
+        sums = {c: int(getattr(r, c)) for c in cols}
+        dets = {name: eval(expr, {}, sums)
+                for name, expr in _OLS2_DETS.items()}
+        det = float(dets["det"])
+        rows.append({
+            "l_returnflag": r.flag, "n": sums["n"],
+            "intercept": np.round(float(dets["det0"]) / det, 6),
+            "b_qty": np.round(float(dets["det1"]) / det, 6),
+            "b_disc": np.round(float(dets["det2"]) / det, 6)})
+    return pd.DataFrame(rows).sort_values("l_returnflag") \
+        .reset_index(drop=True).astype({"n": np.int64})
+
+
+def _sql_grouped_ols() -> str:
+    e = _OLS2_DETS
+    return f"""
+WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sq,
+    SUM(CAST(ROUND(l_discount * 100) AS HUGEINT)) AS sd,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sp,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_quantity) AS HUGEINT)) AS sqq,
+    SUM(CAST(ROUND(l_discount * 100) AS HUGEINT)
+        * CAST(ROUND(l_discount * 100) AS HUGEINT)) AS sdd,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_discount * 100) AS HUGEINT)) AS sqd,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sqp,
+    SUM(CAST(ROUND(l_discount * 100) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sdp
+  FROM lineitem GROUP BY 1),
+d AS (SELECT l_returnflag, n, {e["det"]} AS det, {e["det0"]} AS det0,
+             {e["det1"]} AS det1, {e["det2"]} AS det2 FROM s)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6)
+         AS intercept,
+       ROUND(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b_qty,
+       ROUND(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b_disc
+FROM d ORDER BY l_returnflag
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -16627,4 +16862,10 @@ def registry():
                                        SQL_POSTSTRAT),
         "convex_hull_nations": (q_convex_hull_nations, None),
         "type_daily_corr": (q_type_daily_corr, SQL_TYPE_CORR),
+        "nn_distance_histogram": (q_nn_distance_histogram,
+                                  SQL_NN_HISTOGRAM),
+        "dau_overlap_jaccard": (q_dau_overlap_jaccard,
+                                SQL_DAU_OVERLAP),
+        "grouped_ols_by_flag": (q_grouped_ols_by_flag,
+                                _sql_grouped_ols()),
     }

@@ -115,7 +115,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "k_anon_generalize", "theilsen_slope_revenue",
        "poststratification_weights",
        # batch 35 (daily-count correlation; hull is no-oracle)
-       "type_daily_corr"]
+       "type_daily_corr",
+       # batch 36 (NN distances, DAU stickiness, grouped OLS)
+       "nn_distance_histogram", "dau_overlap_jaccard",
+       "grouped_ols_by_flag"]
 
 
 def _norm(v) -> str:
@@ -1488,3 +1491,52 @@ def test_result_cache_hits_and_invalidates(tmp_path):
     c = cached_result("demo", d, fn, cache_root=root)
     assert calls["n"] == 2
     assert int(c["s"].iloc[0]) == 12
+
+
+def test_nn_histogram_duplicates_and_isolated_point(tmp_path):
+    from prclz_ray.pipelines.queries import q_nn_distance_histogram
+    # custkeys engineered so two points coincide (NN distance 0) and
+    # one sits far away (grid fallback path must fire, still exact)
+    # keys k and k+1000... positions repeat every 1000 in x and y?
+    # x period 1000 (7919*1000 % 1000 == 0) and y likewise → keys
+    # 3 and 1003 coincide exactly; key 500 is somewhere else.
+    pq.write_table(pa.table({"c_custkey": pa.array(
+        [3, 1003, 500], type=pa.int64())}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_nn_distance_histogram(str(tmp_path))
+    got = dict(zip(out["bucket"], out["n_points"]))
+    assert got.get(0, 0) >= 2          # the coincident pair
+    assert int(out["n_points"].sum()) == 3
+
+
+def test_dau_overlap_bounds_and_identity():
+    from prclz_ray.pipelines.queries import q_dau_overlap_jaccard
+    out = q_dau_overlap_jaccard(SF)
+    assert (out["n_inter"] <= out[["dau_a", "dau_b"]].min(axis=1)).all()
+    assert ((out["jaccard"] >= 0) & (out["jaccard"] <= 1)).all()
+    # identity check on one row: j == i / (a + b - i)
+    r = out.iloc[0]
+    assert r["jaccard"] == pytest.approx(
+        r["n_inter"] / (r["dau_a"] + r["dau_b"] - r["n_inter"]),
+        abs=1e-6)
+
+
+def test_grouped_ols_matches_global_on_single_group(tmp_path):
+    from prclz_ray.pipelines.queries import (q_grouped_ols_by_flag,
+                                             q_ols2_price_model)
+    # with ONE returnflag the grouped fit must equal the global fit
+    rng = np.random.RandomState(5)
+    q = rng.randint(1, 51, 150).astype(np.int64)
+    d = rng.randint(0, 11, 150).astype(np.int64)
+    cents = 500 + 3 * q + 7 * d
+    t = pa.table({
+        "l_returnflag": pa.array(["A"] * 150),
+        "l_quantity": pa.array(q.astype(np.float64)),
+        "l_discount": pa.array(d / 100.0),
+        "l_extendedprice": pa.array(cents / 100.0)})
+    pq.write_table(t, os.path.join(str(tmp_path), "lineitem.parquet"))
+    grouped = q_grouped_ols_by_flag(str(tmp_path))
+    glob = q_ols2_price_model(str(tmp_path))
+    assert len(grouped) == 1
+    for c in ("intercept", "b_qty", "b_disc"):
+        assert grouped[c].iloc[0] == glob[c].iloc[0]
