@@ -16425,6 +16425,248 @@ FROM d ORDER BY l_returnflag
 """
 
 
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank: the restart distribution concentrates on
+    the seed set {doc_id % 10 == 0} instead of the uniform vector —
+    the relevance-propagation primitive behind related-item and
+    trust-rank scoring.  The kernel's ``teleport_fn`` makes the
+    restart mass a FUNCTION of the node id, evaluated per batch on
+    both the broadcast and the join path, so no personalization
+    vector ever ships; the same synthetic 3-out-link graph and 9dp
+    per-round rounding as the uniform twin, oracle unrolled per
+    round."""
+    from ..stages import graph_ops
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    n_seed = (n + 9) // 10              # ids 0, 10, ... < n
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def teleport(v: np.ndarray) -> np.ndarray:
+        return np.where(v % 10 == 0, 0.15 / n_seed, 0.0)
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"v": b["doc_id"]}), batch_format="pyarrow")
+    out = graph_ops.pagerank(
+        docs.map_batches(edges, batch_format="pyarrow"), nodes,
+        iters=3, damping=0.85, round_dp=9, teleport_fn=teleport)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["v"], "ppr": b["pagerank"]}),
+        batch_format="pyarrow")
+
+
+def _sql_personalized_pagerank() -> str:
+    tele = ("CASE WHEN nodes.v % 10 = 0 THEN 0.15 / ns.s"
+            " ELSE 0.0 END")
+    rounds = []
+    prev = "r0"
+    for i in range(1, 4):
+        rounds.append(f"""
+c{i} AS (SELECT e.dst AS v, SUM({prev}.r / deg.outdeg) AS c
+       FROM edges e JOIN deg USING (src)
+       JOIN {prev} ON {prev}.v = e.src
+       GROUP BY e.dst),
+r{i} AS (SELECT nodes.v,
+              ROUND({tele} + 0.85 * COALESCE(c{i}.c, 0), 9) AS r
+       FROM nodes LEFT JOIN c{i} USING (v), ns)""")
+        prev = f"r{i}"
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+ns AS (SELECT (n + 9) // 10 AS s FROM nn),
+nodes AS (SELECT doc_id AS v FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) k, nn),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT nodes.v, ROUND({tele}, 9) AS r FROM nodes, ns),
+{','.join(rounds)}
+SELECT v AS doc_id, r AS ppr FROM r3
+"""
+
+
+def q_partition_evolution_read(sf_dir: str):
+    """Partition-SPEC evolution (Iceberg's headline feature next to
+    schema evolution): early files were laid out by MONTH, the spec
+    later evolved to DAY, and a correct reader must scan BOTH
+    generations through the manifest's per-file spec — without
+    rewriting the old files.  The layout is built once (fingerprint-
+    cached); the read reconstructs the partition column per file from
+    its path under the spec the manifest records, prunes by predicate
+    under EACH spec (whole months vs single days), and aggregates.
+    The oracle runs the same predicate on the raw table."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+
+    out = _fingerprint_cache_dir(sf_dir, "orders", "specevo")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        os.makedirs(tmp, exist_ok=True)
+        t = relational.ds_to_table(
+            _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        month = day // 31                  # deterministic month-ish
+        lo, hi = int(day.min()), int(day.max())
+        mid = lo + (hi - lo) // 2          # spec evolves here
+        manifest = []
+        early = day <= mid
+        for m in np.unique(month[early]):
+            sel = early & (month == m)
+            f = f"month={int(m)}.parquet"
+            pq_.write_table(t.filter(pa.array(sel)),
+                            os.path.join(tmp, f))
+            manifest.append({"file": f, "spec": "month",
+                             "value": int(m)})
+        for d_ in np.unique(day[~early]):
+            sel = (~early) & (day == d_)
+            f = f"day={int(d_)}.parquet"
+            pq_.write_table(t.filter(pa.array(sel)),
+                            os.path.join(tmp, f))
+            manifest.append({"file": f, "spec": "day",
+                             "value": int(d_)})
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump({"files": manifest, "mid": mid}, fh)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        man = json.load(fh)
+    # predicate: day in [mid - 200, mid + 200] — spans BOTH specs
+    mid = man["mid"]
+    lo_p, hi_p = mid - 200, mid + 200
+    keep = []
+    for e in man["files"]:
+        if e["spec"] == "day":
+            ok = lo_p <= e["value"] <= hi_p
+        else:                              # month spec: keep if the
+            m = e["value"]                 # month RANGE overlaps
+            ok = m * 31 <= hi_p and (m + 1) * 31 - 1 >= lo_p
+        if ok:
+            keep.append(os.path.join(out, e["file"]))
+    q_partition_evolution_read._last_prune = (len(man["files"]),
+                                              len(keep))
+    part = rd.read_parquet(keep)
+
+    def agg(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        m = (day >= lo_p) & (day <= hi_p)
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        return pa.table({"pn": pa.array([int(m.sum())]),
+                         "pc_": pa.array([int(cents.sum())])})
+
+    a = part.map_batches(agg, batch_format="pyarrow") \
+        .aggregate(Sum("pn", alias_name="n"),
+                   Sum("pc_", alias_name="c"))
+    return pd.DataFrame([{"n": int(a["n"]),
+                          "revenue_c": int(a["c"])}]).astype(np.int64)
+
+
+SQL_SPEC_EVOLUTION = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(ROUND(o_totalprice * 100) AS HUGEINT) AS c
+           FROM orders),
+b AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS mid FROM d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS revenue_c
+FROM d, b WHERE day BETWEEN b.mid - 200 AND b.mid + 200
+"""
+
+
+def q_bucketed_layout_scan(sf_dir: str):
+    """Hash-BUCKETED layout point lookup — the third physical layout
+    next to value partitioning (hive) and range clustering (zone
+    maps): orders are written into 16 files by a mirrorable hash of
+    o_custkey, so an equality probe computes its bucket and opens
+    EXACTLY ONE file, no statistics or sidecar needed.  The probe key
+    is the same deterministic upper-half-min rule as the Bloom scan;
+    the oracle runs the raw predicate."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Max, Min
+
+    N_BUCKETS = 16
+
+    def bucket_of(k: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (k.astype(np.uint64) + np.uint64(1)) \
+                * np.uint64(11400714819323198485)
+        return (h % np.uint64(N_BUCKETS)).astype(np.int64)
+
+    out = _fingerprint_cache_dir(sf_dir, "orders", "hashbucket")
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        os.makedirs(tmp, exist_ok=True)
+        t = relational.ds_to_table(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice"]))
+        b = bucket_of(t["o_custkey"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        for bb in range(N_BUCKETS):
+            pq_.write_table(t.filter(pa.array(b == bb)),
+                            os.path.join(tmp, f"bucket={bb}.parquet"))
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    cust = _read(sf_dir, "orders", ["o_custkey"])
+    lohi = cust.aggregate(Min("o_custkey", alias_name="lo"),
+                          Max("o_custkey", alias_name="hi"))
+    mid = (int(lohi["lo"]) + int(lohi["hi"])) // 2
+    probe = int(cust.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_custkey"], mid)),
+        batch_format="pyarrow")
+        .aggregate(Min("o_custkey", alias_name="k"))["k"])
+    bb = int(bucket_of(np.array([probe], dtype=np.int64))[0])
+    q_bucketed_layout_scan._last_scan = (N_BUCKETS, 1)
+    part = rd.read_parquet([os.path.join(out,
+                                         f"bucket={bb}.parquet")])
+    hit = relational.ds_to_table(part.map_batches(
+        lambda t: t.filter(pc.equal(t["o_custkey"], probe)),
+        batch_format="pyarrow")).to_pandas()
+    cents = np.round(hit["o_totalprice"].to_numpy(np.float64)
+                     * 100.0).astype(np.int64)
+    res = pd.DataFrame({"o_orderkey": hit["o_orderkey"]
+                        .to_numpy(np.int64), "cents": cents}) \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    return res.astype({"o_orderkey": np.int64, "cents": np.int64})
+
+
+SQL_BUCKETED_SCAN = """
+WITH b AS (SELECT (MIN(o_custkey) + MAX(o_custkey)) // 2 AS mid
+           FROM orders),
+p AS (SELECT MIN(o_custkey) AS k FROM orders, b
+      WHERE o_custkey >= b.mid)
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders, p WHERE o_custkey = p.k
+ORDER BY o_orderkey
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -16868,4 +17110,10 @@ def registry():
                                 SQL_DAU_OVERLAP),
         "grouped_ols_by_flag": (q_grouped_ols_by_flag,
                                 _sql_grouped_ols()),
+        "personalized_pagerank": (q_personalized_pagerank,
+                                  _sql_personalized_pagerank()),
+        "partition_evolution_read": (q_partition_evolution_read,
+                                     SQL_SPEC_EVOLUTION),
+        "bucketed_layout_scan": (q_bucketed_layout_scan,
+                                 SQL_BUCKETED_SCAN),
     }

@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 def pagerank(edges_ds, nodes_ds, node_col: str = "v", src_col: str = "src",
              dst_col: str = "dst", iters: int = 3, damping: float = 0.85,
              round_dp: int = 9, num_buckets: int = 32,
-             broadcast_limit_bytes: int = 64 << 20):
+             broadcast_limit_bytes: int = 64 << 20,
+             teleport_fn=None):
     """PageRank over an edge-list Dataset.  Returns a Dataset of
     (node_col, pagerank) after ``iters`` power-iteration rounds from the
     uniform vector.  Out-degrees are computed once and attached to the
@@ -50,10 +51,13 @@ def pagerank(edges_ds, nodes_ds, node_col: str = "v", src_col: str = "src",
 
     n = nodes_ds.count()
     teleport = (1.0 - damping) / n
+    # teleport_fn(ids: np.ndarray) -> np.ndarray makes the restart
+    # distribution a FUNCTION of the node id (personalized PageRank):
+    # both paths evaluate it per batch, so no vector ever ships
     if n * 16 <= broadcast_limit_bytes:
         return _pagerank_broadcast(edges_ds, nodes_ds, node_col, src_col,
                                    dst_col, iters, damping, round_dp,
-                                   teleport)
+                                   teleport, teleport_fn)
 
     outdeg = edges_ds.groupby(src_col).aggregate(Count(alias_name="outdeg"))
     edges_w = bucketed_hash_join(edges_ds, outdeg, on=src_col,
@@ -62,8 +66,13 @@ def pagerank(edges_ds, nodes_ds, node_col: str = "v", src_col: str = "src",
     r0 = np.round(1.0 / n, round_dp)
 
     def init(batch: pa.Table) -> pa.Table:
-        return pa.table({node_col: batch[node_col],
-                         "r": pa.array(np.full(batch.num_rows, r0))})
+        if teleport_fn is not None:
+            v = batch[node_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            r = np.round(teleport_fn(v), round_dp)
+        else:
+            r = np.full(batch.num_rows, r0)
+        return pa.table({node_col: batch[node_col], "r": pa.array(r)})
 
     ranks = nodes_ds.map_batches(init, batch_format="pyarrow").materialize()
 
@@ -92,7 +101,13 @@ def pagerank(edges_ds, nodes_ds, node_col: str = "v", src_col: str = "src",
 
         def formula(batch: pa.Table) -> pa.Table:
             c = batch["c"].to_numpy(zero_copy_only=False)
-            r = np.round(teleport + damping * c, round_dp)
+            if teleport_fn is not None:
+                v = batch[node_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                t = teleport_fn(v)
+            else:
+                t = teleport
+            r = np.round(t + damping * c, round_dp)
             return pa.table({node_col: batch[node_col], "r": pa.array(r)})
 
         ranks = sums.map_batches(formula, batch_format="pyarrow") \
@@ -106,7 +121,8 @@ def pagerank(edges_ds, nodes_ds, node_col: str = "v", src_col: str = "src",
 
 
 def _pagerank_broadcast(edges_ds, nodes_ds, node_col, src_col, dst_col,
-                        iters, damping, round_dp, teleport):
+                        iters, damping, round_dp, teleport,
+                        teleport_fn=None):
     import ray
     import ray.data as rd
 
@@ -147,7 +163,9 @@ def _pagerank_broadcast(edges_ds, nodes_ds, node_col, src_col, dst_col,
     outdeg = sparse_partials(lambda s, d: (s, np.ones(len(s))))
     outdeg_ref = ray.put(outdeg)
 
-    r = np.round(np.full(V, 1.0 / V), round_dp)
+    tvec = teleport_fn(ids) if teleport_fn is not None else None
+    r = np.round(tvec if tvec is not None else np.full(V, 1.0 / V),
+                 round_dp)
     for _ in range(iters):
         r_ref = ray.put(r)
 
@@ -157,7 +175,8 @@ def _pagerank_broadcast(edges_ds, nodes_ds, node_col, src_col, dst_col,
             return d, rr[s] / od[s]
 
         c = sparse_partials(contrib)
-        r = np.round(teleport + damping * c, round_dp)
+        r = np.round((tvec if tvec is not None else teleport)
+                     + damping * c, round_dp)
 
     return rd.from_arrow(pa.table({node_col: pa.array(ids),
                                    "pagerank": pa.array(r)}))

@@ -118,7 +118,11 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "type_daily_corr",
        # batch 36 (NN distances, DAU stickiness, grouped OLS)
        "nn_distance_histogram", "dau_overlap_jaccard",
-       "grouped_ols_by_flag"]
+       "grouped_ols_by_flag",
+       # batch 37 (personalized PageRank, partition evolution,
+       # hash-bucketed layout)
+       "personalized_pagerank", "partition_evolution_read",
+       "bucketed_layout_scan"]
 
 
 def _norm(v) -> str:
@@ -1540,3 +1544,39 @@ def test_grouped_ols_matches_global_on_single_group(tmp_path):
     assert len(grouped) == 1
     for c in ("intercept", "b_qty", "b_disc"):
         assert grouped[c].iloc[0] == glob[c].iloc[0]
+
+
+def test_personalized_pagerank_respects_seed_set():
+    from prclz_ray.pipelines.queries import (q_pagerank_links,
+                                             q_personalized_pagerank)
+    ppr = q_personalized_pagerank(SF).to_pandas()
+    # every seed keeps at least its restart mass; total mass is
+    # bounded by 1 (teleport sums to 0.15, contributions damped)
+    n = len(ppr)
+    n_seed = (n + 9) // 10
+    seeds = ppr[ppr["doc_id"] % 10 == 0]
+    assert (seeds["ppr"] >= 0.15 / n_seed - 1e-9).all()
+    assert float(ppr["ppr"].sum()) <= 1.0 + 1e-6
+    # personalization actually changes the ranking vs uniform PR
+    uni = q_pagerank_links(SF).to_pandas()
+    merged = ppr.merge(uni, on="doc_id")
+    assert (merged["ppr"] - merged["pagerank"]).abs().max() > 1e-6
+
+
+def test_partition_evolution_prunes_both_specs():
+    from prclz_ray.pipelines.queries import q_partition_evolution_read
+    q_partition_evolution_read(SF)
+    n_files, n_kept = q_partition_evolution_read._last_prune
+    assert n_kept < n_files            # pruning fired across specs
+    assert n_kept >= 1
+
+
+def test_bucketed_layout_reads_one_file_and_matches_bloom():
+    from prclz_ray.pipelines.queries import (q_bloom_pruned_scan,
+                                             q_bucketed_layout_scan)
+    b = q_bucketed_layout_scan(SF)
+    assert q_bucketed_layout_scan._last_scan == (16, 1)
+    # same probe rule as the bloom scan → identical row set
+    r = q_bloom_pruned_scan(SF)
+    assert b["o_orderkey"].tolist() == r["o_orderkey"].tolist()
+    assert b["cents"].tolist() == r["cents"].tolist()
