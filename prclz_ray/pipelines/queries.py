@@ -16667,6 +16667,175 @@ ORDER BY o_orderkey
 """
 
 
+def q_analyze_column_stats(sf_dir: str):
+    """ANALYZE — the statistics-refresh maintenance op a cost-based
+    planner feeds on: per column of orders, the EXACT distinct count
+    (per-batch distinct → one hash groupby per column, values
+    themselves shuffle — no hash-collision undercount) and the null
+    count (one folded scan pass for all columns).  Column-bounded
+    output; the twin is a UNION ALL of COUNT(DISTINCT)s."""
+    from ray.data.aggregate import Sum
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate"]
+    orders = _read(sf_dir, "orders", cols)
+
+    def null_partial(t: pa.Table) -> pa.Table:
+        return pa.table({f"n_{c}": pa.array([t[c].null_count])
+                         for c in cols})
+
+    nulls = orders.map_batches(null_partial, batch_format="pyarrow") \
+        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}")
+                     for c in cols])
+
+    rows = []
+    for c in cols:
+        def distinct_partial(t: pa.Table, _c=c) -> pa.Table:
+            # COUNT(DISTINCT) semantics: NULL is not a value
+            return pa.table({_c: pc.drop_null(pc.unique(t[_c]))})
+
+        nd = orders.map_batches(distinct_partial,
+                                batch_format="pyarrow") \
+            .groupby(c).count().count()
+        rows.append({"column": c, "n_distinct": int(nd),
+                     "n_nulls": int(nulls[f"n_{c}"])})
+    return pd.DataFrame(rows).sort_values("column") \
+        .reset_index(drop=True).astype({"n_distinct": np.int64,
+                                        "n_nulls": np.int64})
+
+
+SQL_ANALYZE = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column",
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+           AS n_nulls FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(DISTINCT o_custkey),
+         COUNT(*) FILTER (o_custkey IS NULL) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus),
+         COUNT(*) FILTER (o_orderstatus IS NULL) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(DISTINCT o_totalprice),
+         COUNT(*) FILTER (o_totalprice IS NULL) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', COUNT(DISTINCT o_orderdate),
+         COUNT(*) FILTER (o_orderdate IS NULL) FROM orders)
+ORDER BY "column"
+"""
+
+
+def q_dp_noisy_counts(sf_dir: str):
+    """Differentially-private count release (Laplace mechanism,
+    ε = 1): per-nation customer counts plus Laplace(1/ε) noise drawn
+    by INVERSE-CDF from the nation's own golden-ratio hash uniform —
+    fully deterministic, so the release is reproducible and the twin
+    reproduces it bit-for-bit (the repo's no-RNG-state convention,
+    same as the weighted sampler).  True counts never leave in the
+    output; the noise formula −b·sign(u−½)·ln(1−2|u−½|) is mirrored
+    verbatim."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, n = np.unique(t["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"nk": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    agg = relational.ds_to_table(
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("nk").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    nk = agg["nk"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    with np.errstate(over="ignore"):
+        hv = (nk.astype(np.uint64) + np.uint64(1)) \
+            * np.uint64(11400714819323198485)
+    u = hv.astype(np.float64) / 18446744073709551616.0
+    sign = np.where(u >= 0.5, 1.0, -1.0)
+    noise = -1.0 * sign * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    out = pd.DataFrame({"n_nationkey": nk,
+                        "noisy_count": np.round(n + noise, 4)})
+    return out.sort_values("n_nationkey").reset_index(drop=True) \
+        .astype({"n_nationkey": np.int64})
+
+
+SQL_DP_COUNTS = """
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n
+           FROM customer GROUP BY 1),
+h AS (SELECT nk, n,
+             CAST(((CAST(nk + 1 AS HUGEINT) * 11400714819323198485)
+                   % 18446744073709551616) AS DOUBLE)
+               / 18446744073709551616.0 AS u
+      FROM c)
+SELECT nk AS n_nationkey,
+       ROUND(n + (-1.0) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count
+FROM h ORDER BY nk
+"""
+
+
+def q_dict_encode_priority(sf_dir: str):
+    """Order-preserving global dictionary encoding (the narrow-int
+    column trick every shuffle-heavy engine applies to low-cardinality
+    strings): the distinct o_orderpriority values reduce to a bounded
+    sorted dictionary, codes are assigned in VALUE order (so
+    code order == value order and range predicates survive encoding),
+    and one broadcast-searchsorted pass encodes the column.  Output
+    proves the property: (code, value, n) with codes dense from 0 in
+    value order — the twin's DENSE_RANK − 1."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, n = np.unique(t["o_orderpriority"].to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({"value": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    counts = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("value").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("value").reset_index(drop=True)
+    dict_vals = counts["value"].to_numpy()
+    dv_ref = ray.put(dict_vals)
+
+    # the encode pass itself (what a real pipeline would fuse into its
+    # shuffle write) — verified here by re-counting per CODE
+    def encode(t: pa.Table) -> pa.Table:
+        dv = ray.get(dv_ref)
+        codes = np.searchsorted(dv, t["o_orderpriority"].to_numpy(
+            zero_copy_only=False)).astype(np.int8)
+        u, n = np.unique(codes, return_counts=True)
+        return pa.table({"code": pa.array(u.astype(np.int64)),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    by_code = relational.ds_to_table(
+        orders.map_batches(encode, batch_format="pyarrow")
+        .groupby("code").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("code").reset_index(drop=True)
+    out = pd.DataFrame({
+        "code": by_code["code"].to_numpy(np.int64),
+        "value": dict_vals[by_code["code"].to_numpy(np.int64)],
+        "n": by_code["n"].to_numpy(np.int64)})
+    return out.astype({"code": np.int64, "n": np.int64})
+
+
+SQL_DICT_ENCODE = """
+WITH c AS (SELECT o_orderpriority AS value, COUNT(*) AS n
+           FROM orders GROUP BY 1)
+SELECT CAST(DENSE_RANK() OVER (ORDER BY value) - 1 AS BIGINT)
+         AS code,
+       value, CAST(n AS BIGINT) AS n
+FROM c ORDER BY code
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -17116,4 +17285,8 @@ def registry():
                                      SQL_SPEC_EVOLUTION),
         "bucketed_layout_scan": (q_bucketed_layout_scan,
                                  SQL_BUCKETED_SCAN),
+        "analyze_column_stats": (q_analyze_column_stats, SQL_ANALYZE),
+        "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_COUNTS),
+        "dict_encode_priority": (q_dict_encode_priority,
+                                 SQL_DICT_ENCODE),
     }

@@ -122,7 +122,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        # batch 37 (personalized PageRank, partition evolution,
        # hash-bucketed layout)
        "personalized_pagerank", "partition_evolution_read",
-       "bucketed_layout_scan"]
+       "bucketed_layout_scan",
+       # batch 38 (ANALYZE stats, DP counts, dictionary encoding)
+       "analyze_column_stats", "dp_noisy_counts",
+       "dict_encode_priority"]
 
 
 def _norm(v) -> str:
@@ -1580,3 +1583,51 @@ def test_bucketed_layout_reads_one_file_and_matches_bloom():
     r = q_bloom_pruned_scan(SF)
     assert b["o_orderkey"].tolist() == r["o_orderkey"].tolist()
     assert b["cents"].tolist() == r["cents"].tolist()
+
+
+def test_analyze_stats_with_seeded_nulls_and_dups(tmp_path):
+    from prclz_ray.pipelines.queries import q_analyze_column_stats
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, None, 1, None], type=pa.int64()),
+        "o_orderstatus": pa.array(["O", "O", "O", "F"]),
+        "o_totalprice": pa.array([1.0, 2.0, 1.0, 1.0]),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["2020-01-01"] * 4), type=pa.timestamp("us"))}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_analyze_column_stats(str(tmp_path))
+    got = {r.column: (int(r.n_distinct), int(r.n_nulls))
+           for r in out.itertuples()}
+    assert got["o_orderkey"] == (3, 0)
+    assert got["o_custkey"] == (1, 2)     # NULL is not a value
+    # (COUNT(DISTINCT) semantics — the twin excludes NULLs too)
+    assert got["o_orderstatus"] == (2, 0)
+    assert got["o_totalprice"] == (2, 0)
+    assert got["o_orderdate"] == (1, 0)
+
+
+def test_dp_noise_is_laplace_shaped_and_reproducible():
+    from prclz_ray.pipelines.queries import q_dp_noisy_counts
+    a = q_dp_noisy_counts(SF)
+    b = q_dp_noisy_counts(SF)
+    assert a.equals(b)                    # deterministic release
+    # noise = noisy - true; reconstruct true counts and check the
+    # noise magnitudes are Laplace-plausible (b=1 → |noise| mostly <5)
+    t = pq.read_table(os.path.join(SF, "customer.parquet"),
+                      columns=["c_nationkey"]).to_pandas()
+    true = t["c_nationkey"].value_counts().sort_index()
+    merged = a.set_index("n_nationkey")["noisy_count"]
+    noise = (merged - true).dropna()
+    assert (noise.abs() > 1e-9).any()     # noise actually applied
+    assert float(noise.abs().median()) < 5.0
+
+
+def test_dict_encoding_is_order_preserving():
+    from prclz_ray.pipelines.queries import q_dict_encode_priority
+    out = q_dict_encode_priority(SF)
+    # dense codes from 0, assigned in value order
+    assert out["code"].tolist() == list(range(len(out)))
+    assert out["value"].tolist() == sorted(out["value"].tolist())
+    n_orders = pq.read_metadata(
+        os.path.join(SF, "orders.parquet")).num_rows
+    assert int(out["n"].sum()) == n_orders
