@@ -16836,6 +16836,181 @@ FROM c ORDER BY code
 """
 
 
+def q_rectangle_count_links(sf_dir: str):
+    """Exact 4-cycle (rectangle) counting over the shared synthetic
+    link graph — the motif one step up from triangles, the backbone of
+    bipartite-ish community scores: #C4 = Σ_{u<v} C(cn(u,v), 2) / 2
+    (each rectangle is counted once per diagonal pair).  Common-
+    neighbor counts ride the same symmetric-adjacency cooccurrence
+    kernel as link prediction; integer arithmetic end to end.  The
+    wedge pass is Σdeg²-shaped like every exact cn computation —
+    fine on this near-regular graph; a skewed deployment caps it with
+    the kernel's per-key limit at the cost of exactness."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def sym_edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    und = relational.ds_to_table(
+        docs.map_batches(sym_edges, batch_format="pyarrow")
+    ).to_pandas().drop_duplicates()
+    both = pd.concat([
+        und.rename(columns={"a": "u", "b": "w"}),
+        und.rename(columns={"b": "u", "a": "w"})])
+    sym = rd.from_pandas(both)
+    cn = relational.cooccurrence_pairs(sym, key_col="w", val_col="u")
+    t = relational.ds_to_table(cn).to_pandas()
+    c = t["n_keys"].to_numpy(np.int64)
+    total = int((c * (c - 1) // 2).sum()) // 2
+    return pd.DataFrame([{"n_rectangles": total}]) \
+        .astype({"n_rectangles": np.int64})
+
+
+SQL_RECTANGLES = """
+WITH raw AS (
+  SELECT doc_id AS src,
+         (doc_id * 7919 + k * 104729)
+           % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst),
+sym AS (SELECT a AS u, b AS w FROM e
+        UNION ALL SELECT b, a FROM e),
+cn AS (SELECT s1.u AS x, s2.u AS y, COUNT(*) AS c
+       FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
+       GROUP BY 1, 2)
+SELECT CAST(SUM(c * (c - 1) // 2) // 2 AS BIGINT) AS n_rectangles
+FROM cn
+"""
+
+
+def q_mase_seasonal_naive(sf_dir: str):
+    """Forecast-quality metric: MASE of the 7-day seasonal-naive
+    forecast on the gap-filled daily revenue series — the scale-free
+    standard for judging any forecaster (a MASE < 1 beats the naive
+    baseline).  Absolute-difference sums stay exact ints on the
+    days-bounded series; one mirrored float ratio at the end."""
+    d = _daily_revenue_cents(sf_dir)
+    days = d["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    series = np.zeros(hi - lo + 1, dtype=np.int64)
+    series[days - lo] = d["rev"].to_numpy(np.int64)
+    s7 = int(np.abs(series[7:] - series[:-7]).sum())
+    s1 = int(np.abs(series[1:] - series[:-1]).sum())
+    n7, n1 = len(series) - 7, len(series) - 1
+    mase = (float(s7) / n7) / (float(s1) / n1)
+    return pd.DataFrame([{
+        "n_days": len(series), "sum_abs7": s7, "sum_abs1": s1,
+        "mase": np.round(mase, 6)}]) \
+        .astype({"n_days": np.int64, "sum_abs7": np.int64,
+                 "sum_abs1": np.int64})
+
+
+SQL_MASE = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+f AS (SELECT cal.day, COALESCE(d.rev, 0) AS rev
+      FROM cal LEFT JOIN d USING (day)),
+l AS (SELECT rev,
+             LAG(rev, 7) OVER (ORDER BY day) AS r7,
+             LAG(rev, 1) OVER (ORDER BY day) AS r1
+      FROM f),
+s AS (SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(rev - r7)) FILTER (r7 IS NOT NULL)
+                  AS BIGINT) AS sum_abs7,
+             CAST(SUM(ABS(rev - r1)) FILTER (r1 IS NOT NULL)
+                  AS BIGINT) AS sum_abs1
+      FROM l)
+SELECT n_days, sum_abs7, sum_abs1,
+       ROUND((CAST(sum_abs7 AS DOUBLE) / (n_days - 7))
+             / (CAST(sum_abs1 AS DOUBLE) / (n_days - 1)), 6) AS mase
+FROM s
+"""
+
+
+def q_occupied_cell_perimeter(sf_dir: str):
+    """Raster morphology: per-nation boundary length of the OCCUPIED
+    cell region (10-unit cells inside each nation's 200×200 rect) —
+    the erosion-boundary measure behind coverage and coastline
+    statistics.  Perimeter = 4·cells − 2·within-nation 4-adjacent
+    pairs, all from one distributed (nation, cell) count reduce
+    (grid-bounded: ≤ 25 × 400 rows); set arithmetic on the driver."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = (k * 7919) % 1000
+        y = (k * 104729) % 1000
+        nat = (x // 200) + 5 * (y // 200)
+        cx, cy = x // 10, y // 10
+        g = pd.DataFrame({"nat": nat, "cell": cx * 100 + cy,
+                          "pn": 1}) \
+            .groupby(["nat", "cell"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    occ = relational.ds_to_table(
+        cust.map_batches(cells, batch_format="pyarrow")
+        .groupby(["nat", "cell"]).aggregate(Sum("pn",
+                                                alias_name="n"))
+    ).to_pandas()
+    rows = []
+    for nat, g in occ.groupby("nat"):
+        cs = set(g["cell"].astype(int))
+        adj = 0
+        for c in cs:
+            cx, cy = c // 100, c % 100
+            # count each pair once (right + up neighbors only)
+            if (cx + 1) * 100 + cy in cs \
+                    and (cx + 1) // 20 == cx // 20:
+                adj += 1
+            if cx * 100 + cy + 1 in cs and (cy + 1) // 20 == cy // 20:
+                adj += 1
+        rows.append({"n_nationkey": int(nat), "n_cells": len(cs),
+                     "perimeter": 4 * len(cs) - 2 * adj})
+    return pd.DataFrame(rows).sort_values("n_nationkey") \
+        .reset_index(drop=True).astype(np.int64)
+
+
+SQL_CELL_PERIMETER = """
+WITH p AS (SELECT (c_custkey * 7919) % 1000 AS x,
+                  (c_custkey * 104729) % 1000 AS y
+           FROM customer),
+o AS (SELECT DISTINCT (x // 200) + 5 * (y // 200) AS nat,
+                      x // 10 AS cx, y // 10 AS cy
+      FROM p),
+n AS (SELECT nat, CAST(COUNT(*) AS BIGINT) AS n_cells FROM o
+      GROUP BY 1),
+a AS (SELECT o.nat, CAST(COUNT(*) AS BIGINT) AS n_adj
+      FROM o JOIN o q
+        ON o.nat = q.nat
+       AND ((q.cx = o.cx + 1 AND q.cy = o.cy
+             AND q.cx // 20 = o.cx // 20)
+            OR (q.cx = o.cx AND q.cy = o.cy + 1
+                AND q.cy // 20 = o.cy // 20))
+      GROUP BY 1)
+SELECT n.nat AS n_nationkey, n.n_cells,
+       4 * n.n_cells - 2 * COALESCE(a.n_adj, 0) AS perimeter
+FROM n LEFT JOIN a ON a.nat = n.nat
+ORDER BY n_nationkey
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -17289,4 +17464,9 @@ def registry():
         "dp_noisy_counts": (q_dp_noisy_counts, SQL_DP_COUNTS),
         "dict_encode_priority": (q_dict_encode_priority,
                                  SQL_DICT_ENCODE),
+        "rectangle_count_links": (q_rectangle_count_links,
+                                  SQL_RECTANGLES),
+        "mase_seasonal_naive": (q_mase_seasonal_naive, SQL_MASE),
+        "occupied_cell_perimeter": (q_occupied_cell_perimeter,
+                                    SQL_CELL_PERIMETER),
     }

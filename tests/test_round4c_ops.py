@@ -125,7 +125,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "bucketed_layout_scan",
        # batch 38 (ANALYZE stats, DP counts, dictionary encoding)
        "analyze_column_stats", "dp_noisy_counts",
-       "dict_encode_priority"]
+       "dict_encode_priority",
+       # batch 39 (4-cycles, MASE, raster morphology)
+       "rectangle_count_links", "mase_seasonal_naive",
+       "occupied_cell_perimeter"]
 
 
 def _norm(v) -> str:
@@ -1631,3 +1634,54 @@ def test_dict_encoding_is_order_preserving():
     n_orders = pq.read_metadata(
         os.path.join(SF, "orders.parquet")).num_rows
     assert int(out["n"].sum()) == n_orders
+
+
+def test_rectangle_count_on_known_graphs(tmp_path):
+    # K4 contains 3 four-cycles; C5 contains none; verify the
+    # diagonal-pair identity on hand-built graphs through the same
+    # cn → sum C(cn,2)/2 arithmetic the query uses
+    import itertools
+    def count_c4(edges):
+        nodes = sorted({v for e in edges for v in e})
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        total = 0
+        for u, v in itertools.combinations(nodes, 2):
+            cn = len(adj[u] & adj[v])
+            total += cn * (cn - 1) // 2
+        return total // 2
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    c5 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert count_c4(k4) == 3
+    assert count_c4(c5) == 0
+    assert count_c4(c4) == 1
+
+
+def test_mase_on_perfectly_weekly_series(tmp_path):
+    from prclz_ray.pipelines.queries import q_mase_seasonal_naive
+    # exact weekly periodicity → seasonal-naive error 0 → MASE 0
+    days = pd.date_range("2020-01-01", periods=28, freq="D")
+    prices = [float(1 + (i % 7)) for i in range(28)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_mase_seasonal_naive(str(tmp_path))
+    assert int(out["sum_abs7"].iloc[0]) == 0
+    assert out["mase"].iloc[0] == 0.0
+
+
+def test_perimeter_identity_single_and_pair_cells():
+    from prclz_ray.pipelines.queries import q_occupied_cell_perimeter
+    out = q_occupied_cell_perimeter(SF)
+    # bounds: isolated cells give 4·n; a fully glued row gives
+    # 2·n + 2 — every nation must land inside [2n+2, 4n]
+    n = out["n_cells"].to_numpy(np.int64)
+    p = out["perimeter"].to_numpy(np.int64)
+    assert (p <= 4 * n).all()
+    assert (p >= np.where(n > 1, 2 * n + 2, 4)).all()
+    assert (p % 2 == 0).all()             # lattice perimeter parity
