@@ -17011,6 +17011,175 @@ ORDER BY n_nationkey
 """
 
 
+def q_median_ci_orderstats(sf_dir: str):
+    """Distribution-free 95 % confidence interval for the MEDIAN via
+    order statistics (the nonparametric textbook bound — no normality
+    assumed anywhere): ranks come from the mirrored
+    (n ± 1.96·√n)/2 formula, and the k-th order statistics are
+    selected WITHOUT a global sort from the distributed value
+    distribution (sorted distinct cents + cumulative counts, the same
+    shape every exact-quantile op here uses).  The twin selects by
+    ORDER BY … OFFSET."""
+    import math
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        u, n = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    dist = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    vals = dist["v"].to_numpy(np.int64)
+    cum = np.cumsum(dist["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+
+    lo_k = max(1, int(math.floor((n - 1.96 * math.sqrt(n)) / 2.0)))
+    hi_k = min(n, int(math.ceil((n + 2 + 1.96 * math.sqrt(n))
+                                / 2.0)))
+    med_k = (n + 1) // 2
+
+    def kth(k: int) -> int:                 # 1-indexed order stat
+        return int(vals[np.searchsorted(cum, k)])
+
+    return pd.DataFrame([{
+        "n": n, "lo_cents": kth(lo_k), "median_cents": kth(med_k),
+        "hi_cents": kth(hi_k)}]).astype(np.int64)
+
+
+SQL_MEDIAN_CI = """
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+k AS (SELECT n,
+             GREATEST(1, CAST(FLOOR((n - 1.96 * SQRT(n)) / 2.0)
+                              AS BIGINT)) AS lo_k,
+             LEAST(n, CAST(CEIL((n + 2 + 1.96 * SQRT(n)) / 2.0)
+                           AS BIGINT)) AS hi_k,
+             (n + 1) // 2 AS med_k
+      FROM n),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c)
+SELECT k.n,
+       MAX(CASE WHEN rn = k.lo_k THEN v END) AS lo_cents,
+       MAX(CASE WHEN rn = k.med_k THEN v END) AS median_cents,
+       MAX(CASE WHEN rn = k.hi_k THEN v END) AS hi_cents
+FROM ranked, k GROUP BY k.n
+"""
+
+
+def q_attribution_rules_compare(sf_dir: str):
+    """Multi-rule marketing attribution in ONE pass: for every user
+    with a purchase, the touches strictly before their FIRST purchase
+    (composite (ts, event_id) order) earn credit under first-touch,
+    last-touch and linear rules side by side — the comparison table an
+    attribution migration needs.  Linear credit is integer
+    MICRO-credits (round(1e6·cnt/k)) so cross-user sums stay exact
+    under any partitioning; one user-bucket shuffle, types-bounded
+    output."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id",
+                                  "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts", "event_id"])
+        pur = df[df["event_type"] == "purchase"] \
+            .groupby("user_id").head(1) \
+            .set_index("user_id")[["ts", "event_id"]]
+        df = df.join(pur, on="user_id", rsuffix="_p")
+        m = df["ts_p"].notna() \
+            & ((df["ts"] < df["ts_p"])
+               | ((df["ts"] == df["ts_p"])
+                  & (df["event_id"] < df["event_id_p"])))
+        t = df[m]
+        if t.empty:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "pf": pd.Series([], dtype=np.int64),
+                "pl": pd.Series([], dtype=np.int64),
+                "pm": pd.Series([], dtype=np.int64)})
+        first = t.groupby("user_id").head(1)
+        last = t.groupby("user_id").tail(1)
+        k = t.groupby("user_id").size().rename("k")
+        per_ut = t.groupby(["user_id", "event_type"]).size() \
+            .rename("cnt").reset_index().join(k, on="user_id")
+        per_ut["pm"] = np.round(
+            1_000_000.0 * per_ut["cnt"].to_numpy(np.float64)
+            / per_ut["k"].to_numpy(np.float64)).astype(np.int64)
+        out = pd.DataFrame({
+            "event_type": pd.concat([first["event_type"],
+                                     last["event_type"],
+                                     per_ut["event_type"]]),
+            "pf": np.concatenate([np.ones(len(first), np.int64),
+                                  np.zeros(len(last), np.int64),
+                                  np.zeros(len(per_ut), np.int64)]),
+            "pl": np.concatenate([np.zeros(len(first), np.int64),
+                                  np.ones(len(last), np.int64),
+                                  np.zeros(len(per_ut), np.int64)]),
+            "pm": np.concatenate([np.zeros(len(first), np.int64),
+                                  np.zeros(len(last), np.int64),
+                                  per_ut["pm"].to_numpy(np.int64)])})
+        return out.groupby("event_type", sort=False).sum() \
+            .reset_index()
+
+    agg = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+        .groupby("event_type").aggregate(
+            Sum("pf", alias_name="first_touch"),
+            Sum("pl", alias_name="last_touch"),
+            Sum("pm", alias_name="linear_micro"))
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    return agg.astype({"first_touch": np.int64,
+                       "last_touch": np.int64,
+                       "linear_micro": np.int64})
+
+
+SQL_ATTRIBUTION = """
+WITH pp AS (SELECT user_id, ts AS tp, event_id AS ip FROM (
+         SELECT user_id, ts, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS r
+         FROM events WHERE event_type = 'purchase') WHERE r = 1),
+t AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN pp ON pp.user_id = e.user_id
+      WHERE e.ts < pp.tp
+         OR (e.ts = pp.tp AND e.event_id < pp.ip)),
+r AS (SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rl,
+             COUNT(*) OVER (PARTITION BY user_id) AS k
+      FROM t),
+lin AS (SELECT user_id, event_type, COUNT(*) AS cnt, MAX(k) AS k
+        FROM r GROUP BY 1, 2)
+SELECT event_type,
+       CAST((SELECT COUNT(*) FROM r x
+             WHERE x.event_type = lin.event_type AND x.rf = 1)
+            AS BIGINT) AS first_touch,
+       CAST((SELECT COUNT(*) FROM r x
+             WHERE x.event_type = lin.event_type AND x.rl = 1)
+            AS BIGINT) AS last_touch,
+       CAST(SUM(CAST(ROUND(1000000.0 * cnt / k) AS BIGINT))
+            AS BIGINT) AS linear_micro
+FROM lin GROUP BY event_type ORDER BY event_type
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -17469,4 +17638,8 @@ def registry():
         "mase_seasonal_naive": (q_mase_seasonal_naive, SQL_MASE),
         "occupied_cell_perimeter": (q_occupied_cell_perimeter,
                                     SQL_CELL_PERIMETER),
+        "median_ci_orderstats": (q_median_ci_orderstats,
+                                 SQL_MEDIAN_CI),
+        "attribution_rules_compare": (q_attribution_rules_compare,
+                                      SQL_ATTRIBUTION),
     }

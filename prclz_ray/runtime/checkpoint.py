@@ -275,3 +275,40 @@ def vacuum_manifests(root: str, retain_versions: list[int]) -> dict:
             "files_removed": len(removed),
             "manifests_removed": len(dropped),
             "retained": sorted(retain)}
+
+
+class ManifestConflictError(RuntimeError):
+    """Another writer committed first — retry against the new latest."""
+
+
+def latest_manifest_version(root: str) -> int:
+    import glob as _glob
+    vs = [int(os.path.basename(p)[len("manifest-v"):-len(".json")])
+          for p in _glob.glob(os.path.join(root, "manifest-v*.json"))]
+    return max(vs, default=0)
+
+
+def commit_manifest_version(root: str, files: list[str],
+                            expected_latest: int) -> int:
+    """Optimistic-concurrency snapshot commit (the CAS every multi-
+    writer table format runs on): the writer declares the latest
+    version it BASED its snapshot on; the commit succeeds only if that
+    is still the latest, and the new manifest file is created with
+    O_EXCL so two racers that both pass the check cannot both win —
+    exactly one gets the version, the other raises
+    ``ManifestConflictError`` and must rebase + retry.  Returns the
+    committed version number."""
+    cur = latest_manifest_version(root)
+    if cur != expected_latest:
+        raise ManifestConflictError(
+            f"based on v{expected_latest}, but latest is v{cur}")
+    new = expected_latest + 1
+    path = os.path.join(root, f"manifest-v{new}.json")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as e:
+        raise ManifestConflictError(
+            f"lost the race for v{new}") from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"files": list(files)}, fh)
+    return new

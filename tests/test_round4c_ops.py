@@ -128,7 +128,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "dict_encode_priority",
        # batch 39 (4-cycles, MASE, raster morphology)
        "rectangle_count_links", "mase_seasonal_naive",
-       "occupied_cell_perimeter"]
+       "occupied_cell_perimeter",
+       # batch 40 (order-stat CI, attribution rules)
+       "median_ci_orderstats", "attribution_rules_compare"]
 
 
 def _norm(v) -> str:
@@ -1685,3 +1687,47 @@ def test_perimeter_identity_single_and_pair_cells():
     assert (p <= 4 * n).all()
     assert (p >= np.where(n > 1, 2 * n + 2, 4)).all()
     assert (p % 2 == 0).all()             # lattice perimeter parity
+
+
+def test_median_ci_brackets_the_median():
+    from prclz_ray.pipelines.queries import q_median_ci_orderstats
+    out = q_median_ci_orderstats(SF).iloc[0]
+    assert out["lo_cents"] <= out["median_cents"] <= out["hi_cents"]
+    # the interval is non-degenerate on real data and narrows with n:
+    # width must be far smaller than the full value range
+    t = pq.read_table(os.path.join(SF, "orders.parquet"),
+                      columns=["o_totalprice"]).to_pandas()
+    cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(
+        np.int64)
+    assert out["hi_cents"] - out["lo_cents"] \
+        < (cents.max() - cents.min()) / 4
+    # exact median sanity: the lower median of the sorted values
+    assert out["median_cents"] == int(
+        np.sort(cents)[(len(cents) + 1) // 2 - 1])
+
+
+def test_attribution_rules_on_crafted_journeys(tmp_path):
+    from prclz_ray.pipelines.queries import q_attribution_rules_compare
+    # user 1: click, view, purchase → first=click, last=view,
+    #         linear: 0.5M each
+    # user 2: view, purchase → first=last=view, linear: 1M view
+    # user 3: click only (no purchase) → contributes nothing
+    rows = [(1, "click", "2020-01-01 00:00"),
+            (1, "view", "2020-01-01 01:00"),
+            (1, "purchase", "2020-01-01 02:00"),
+            (2, "view", "2020-01-02 00:00"),
+            (2, "purchase", "2020-01-02 01:00"),
+            (3, "click", "2020-01-03 00:00")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                       type=pa.timestamp("us"))}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_attribution_rules_compare(str(tmp_path))
+    got = {r.event_type: (int(r.first_touch), int(r.last_touch),
+                          int(r.linear_micro))
+           for r in out.itertuples()}
+    assert got == {"click": (1, 0, 500000),
+                   "view": (1, 2, 1500000)}
