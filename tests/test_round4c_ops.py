@@ -1731,3 +1731,39 @@ def test_attribution_rules_on_crafted_journeys(tmp_path):
            for r in out.itertuples()}
     assert got == {"click": (1, 0, 500000),
                    "view": (1, 2, 1500000)}
+
+
+def test_manifest_cas_commit_rejects_stale_and_races(tmp_path):
+    import json
+    from prclz_ray.runtime.checkpoint import (ManifestConflictError,
+                                              commit_manifest_version,
+                                              latest_manifest_version)
+    root = str(tmp_path)
+    assert latest_manifest_version(root) == 0
+    v1 = commit_manifest_version(root, ["a.parquet"],
+                                 expected_latest=0)
+    assert v1 == 1
+    # a writer based on v0 must NOT be able to clobber v1
+    with pytest.raises(ManifestConflictError):
+        commit_manifest_version(root, ["b.parquet"],
+                                expected_latest=0)
+    # rebase on v1 → wins v2
+    v2 = commit_manifest_version(root, ["a.parquet", "b.parquet"],
+                                 expected_latest=1)
+    assert v2 == 2
+    # exact race on the O_EXCL path: another writer lands v3 BETWEEN
+    # this writer's latest-version check and its open — simulate by
+    # pinning the check to the stale answer while the file exists
+    import os as _os
+    from unittest import mock
+    with open(_os.path.join(root, "manifest-v3.json"), "w") as fh:
+        json.dump({"files": []}, fh)
+    from prclz_ray.runtime import checkpoint as cp
+    with mock.patch.object(cp, "latest_manifest_version",
+                           return_value=2):
+        with pytest.raises(ManifestConflictError):
+            commit_manifest_version(root, ["c.parquet"],
+                                    expected_latest=2)
+    # committed manifests are intact and readable
+    with open(_os.path.join(root, "manifest-v2.json")) as fh:
+        assert json.load(fh)["files"] == ["a.parquet", "b.parquet"]
