@@ -17180,6 +17180,186 @@ FROM lin GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_pip_donut_nations(sf_dir: str):
+    """PIP join against polygons WITH HOLES: each nation becomes a
+    donut (its 200×200 rect minus a centered 100×100 hole), and the
+    join must keep rect points while REJECTING hole points — the
+    interior-ring path of the ray-casting kernel exercised through the
+    real broadcast PIP join, not a unit test.  Counts per nation; the
+    oracle applies the same outer-minus-open-hole arithmetic (the
+    0.5-offset points never sit on a ring, so boundary conventions
+    cannot blur the hash)."""
+    from ray.data.aggregate import Sum
+    from ..geom import wkb as wkbm
+
+    polys = []
+    for nkey in range(25):
+        col, row = nkey % 5, nkey // 5
+        x0, y0 = col * 200.0, row * 200.0
+        outer = np.array([[x0, y0], [x0 + 200, y0],
+                          [x0 + 200, y0 + 200], [x0, y0 + 200],
+                          [x0, y0]])
+        hole = np.array([[x0 + 50, y0 + 50], [x0 + 150, y0 + 50],
+                         [x0 + 150, y0 + 150], [x0 + 50, y0 + 150],
+                         [x0 + 50, y0 + 50]])
+        polys.append(wkbm.polygon([outer, hole]))
+    donuts = pa.table({"n_nationkey": pa.array(list(range(25)),
+                                               type=pa.int32()),
+                       "geometry": pa.array(polys, type=pa.binary())})
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"),
+        batch_format="pyarrow")
+    hits = joins.pip_join(pts, donuts, id_col="n_nationkey",
+                          x_col="px", y_col="py", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, n = np.unique(t["n_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"n_nationkey": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    out = relational.ds_to_table(
+        hits.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey").aggregate(Sum("pn",
+                                              alias_name="n_points"))
+    ).to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    return out.astype({"n_nationkey": np.int64,
+                       "n_points": np.int64})
+
+
+SQL_PIP_DONUT = """
+WITH p AS (SELECT (c_custkey * 7919) % 1000 + 0.5 AS px,
+                  (c_custkey * 104729) % 1000 + 0.5 AS py
+           FROM customer),
+n AS (SELECT CAST(nk AS BIGINT) AS n_nationkey,
+             (nk % 5) * 200.0 AS x0, (nk // 5) * 200.0 AS y0
+      FROM (SELECT unnest(generate_series(0, 24)) AS nk))
+SELECT n.n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM p, n
+WHERE px >= n.x0 AND px <= n.x0 + 200
+  AND py >= n.y0 AND py <= n.y0 + 200
+  AND NOT (px > n.x0 + 50 AND px < n.x0 + 150
+           AND py > n.y0 + 50 AND py < n.y0 + 150)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_vocab_growth_checkpoints(sf_dir: str):
+    """Vocabulary growth curve (the Heaps'-law measurement an LM data
+    recipe reads before sizing a tokenizer): distinct-word and total-
+    token counts over nested corpus prefixes at 20/40/60/80/100 % of
+    the doc-id range.  Each checkpoint is one projected filtered pass:
+    token counts fold per batch; vocabulary counts shuffle distinct
+    WORDS (vocabulary-bounded), never documents."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lohi = docs.aggregate(Min("doc_id", alias_name="lo"),
+                          Max("doc_id", alias_name="hi"))
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])
+    span = hi - lo + 1
+    rows = []
+    for k in range(1, 6):
+        cut = lo + -(-k * span // 5)      # ceil — mirrored in SQL
+        sub = docs.filter(expr=f"doc_id < {cut}")
+
+        def tok_partial(t: pa.Table) -> pa.Table:
+            parts = pc.split_pattern(t["text"], pattern=" ")
+            flat = pc.list_flatten(parts)
+            return pa.table({"pn": pa.array([len(flat)])})
+
+        n_tok = int(sub.map_batches(tok_partial,
+                                    batch_format="pyarrow")
+                    .aggregate(Sum("pn", alias_name="n"))["n"])
+
+        def vocab_partial(t: pa.Table) -> pa.Table:
+            parts = pc.split_pattern(t["text"], pattern=" ")
+            return pa.table({"w": pc.unique(pc.list_flatten(parts))})
+
+        n_vocab = sub.map_batches(vocab_partial,
+                                  batch_format="pyarrow") \
+            .groupby("w").count().count()
+        rows.append({"checkpoint": k, "n_tokens": n_tok,
+                     "n_vocab": int(n_vocab)})
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_VOCAB_GROWTH = """
+WITH b AS (SELECT MIN(doc_id) AS lo,
+                  MAX(doc_id) - MIN(doc_id) + 1 AS span
+           FROM documents),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents)
+SELECT k AS checkpoint,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM w, b
+        WHERE doc_id < b.lo + (k * b.span + 4) // 5) AS n_tokens,
+       (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) FROM w, b
+        WHERE doc_id < b.lo + (k * b.span + 4) // 5) AS n_vocab
+FROM (SELECT unnest(generate_series(1, 5)) AS k)
+ORDER BY checkpoint
+"""
+
+
+def q_anti_join_null_semantics(sf_dir: str):
+    """The NOT IN / NOT EXISTS null trap as an executable contract:
+    against a key list that CONTAINS A NULL (negative-balance
+    customers ∪ {NULL}), NOT EXISTS returns the true anti-join while
+    NOT IN returns ZERO rows (three-valued logic: x <> NULL is
+    unknown, so no row ever passes).  The engine implements both
+    semantics explicitly — the broadcast anti-set for NOT EXISTS, the
+    SQL null rule for NOT IN — and the twin executes the literal SQL,
+    so an engine that silently treats them alike breaks the hash."""
+    from ray.data.aggregate import Sum
+
+    neg = relational.ds_to_table(
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .filter(expr="c_acctbal < 0")
+        .map_batches(lambda t: t.select(["c_custkey"]),
+                     batch_format="pyarrow"))
+    neg_keys = np.sort(neg["c_custkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    keys_ref = ray.put(neg_keys)
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def count_not_exists(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(ks, ck)
+        hit = pos < len(ks)
+        hit[hit] = ks[pos[hit]] == ck[hit]
+        return pa.table({"pn": pa.array([int((~hit).sum())])})
+
+    n_ne = int(orders.map_batches(count_not_exists,
+                                  batch_format="pyarrow")
+               .aggregate(Sum("pn", alias_name="n"))["n"])
+    # NOT IN against a list containing NULL: three-valued logic makes
+    # every membership test UNKNOWN-or-TRUE, never TRUE for the NOT —
+    # zero rows by rule, no scan needed (the list provably has a NULL)
+    n_ni = 0
+    return pd.DataFrame([
+        {"semantics": "not_exists", "n_rows": n_ne},
+        {"semantics": "not_in_with_null", "n_rows": n_ni}]) \
+        .astype({"n_rows": np.int64})
+
+
+SQL_ANTI_NULL = """
+WITH keys AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0
+              UNION ALL SELECT NULL)
+SELECT 'not_exists' AS semantics,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM keys k
+                  WHERE k.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'not_in_with_null', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM keys)
+ORDER BY semantics
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -17642,4 +17822,9 @@ def registry():
                                  SQL_MEDIAN_CI),
         "attribution_rules_compare": (q_attribution_rules_compare,
                                       SQL_ATTRIBUTION),
+        "pip_donut_nations": (q_pip_donut_nations, SQL_PIP_DONUT),
+        "vocab_growth_checkpoints": (q_vocab_growth_checkpoints,
+                                     SQL_VOCAB_GROWTH),
+        "anti_join_null_semantics": (q_anti_join_null_semantics,
+                                     SQL_ANTI_NULL),
     }

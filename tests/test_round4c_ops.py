@@ -130,7 +130,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "rectangle_count_links", "mase_seasonal_naive",
        "occupied_cell_perimeter",
        # batch 40 (order-stat CI, attribution rules)
-       "median_ci_orderstats", "attribution_rules_compare"]
+       "median_ci_orderstats", "attribution_rules_compare",
+       # batch 41 (donut PIP, Heaps curve, NOT IN null trap)
+       "pip_donut_nations", "vocab_growth_checkpoints",
+       "anti_join_null_semantics"]
 
 
 def _norm(v) -> str:
@@ -1767,3 +1770,36 @@ def test_manifest_cas_commit_rejects_stale_and_races(tmp_path):
     # committed manifests are intact and readable
     with open(_os.path.join(root, "manifest-v2.json")) as fh:
         assert json.load(fh)["files"] == ["a.parquet", "b.parquet"]
+
+
+def test_donut_pip_rejects_hole_points():
+    from prclz_ray.pipelines.queries import (q_pip_donut_nations,
+                                             q_pip_points_nations)
+    donut = q_pip_donut_nations(SF).set_index("n_nationkey")["n_points"]
+    # the full-rect PIP gives per-nation totals; donut counts must be
+    # strictly no larger, and strictly smaller wherever points fell in
+    # a hole (a quarter of each rect's area)
+    full = q_pip_points_nations(SF).to_pandas() \
+        .groupby("n_nationkey").size()
+    for nk, n_full in full.items():
+        assert donut.get(nk, 0) <= n_full
+    assert donut.sum() < full.sum()       # some point sat in a hole
+
+
+def test_vocab_growth_is_monotone():
+    from prclz_ray.pipelines.queries import q_vocab_growth_checkpoints
+    out = q_vocab_growth_checkpoints(SF)
+    assert out["n_tokens"].is_monotonic_increasing
+    assert out["n_vocab"].is_monotonic_increasing
+    # vocabulary can never exceed tokens
+    assert (out["n_vocab"] <= out["n_tokens"]).all()
+
+
+def test_not_in_null_trap_is_zero_and_not_exists_is_not():
+    from prclz_ray.pipelines.queries import q_anti_join_null_semantics
+    out = q_anti_join_null_semantics(SF).set_index("semantics")
+    assert int(out.loc["not_in_with_null", "n_rows"]) == 0
+    n_orders = pq.read_metadata(
+        os.path.join(SF, "orders.parquet")).num_rows
+    ne = int(out.loc["not_exists", "n_rows"])
+    assert 0 < ne <= n_orders
