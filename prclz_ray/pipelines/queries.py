@@ -17360,6 +17360,188 @@ ORDER BY semantics
 """
 
 
+def q_morans_i_nation_revenue(sf_dir: str):
+    """Moran's I spatial autocorrelation of nation revenue on the 5×5
+    nation grid (rook adjacency) — THE do-rich-nations-border-rich-
+    nations statistic.  Revenue reduces through one bucketed
+    customer⋈orders join with per-bucket cents pre-aggregation; the
+    25-node finish uses the scale-cancelling identity
+    I = (n/S₀)·Σw(nxᵢ−S)(nxⱼ−S) / Σ(nxᵢ−S)² with arbitrary-precision
+    INTEGER numerator and denominator — no float enters until the one
+    mirrored division, so SQL's unordered SUM cannot drift the hash."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: pa.table({
+            "o_custkey": t["c_custkey"],
+            "nk": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"nk": t["nk"].to_numpy(
+            zero_copy_only=False), "pc_": cents}) \
+            .groupby("nk", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        relational.bucketed_hash_join(orders, cust, on="o_custkey",
+                                      combine=combine)
+        .groupby("nk").aggregate(Sum("pc_", alias_name="cents"))
+    ).to_pandas()
+    x = {int(r.nk): int(r.cents) for r in agg.itertuples()}
+    xs = [x.get(nk, 0) for nk in range(25)]
+    n = 25
+    S = sum(xs)
+    dev = [n * v - S for v in xs]          # exact ints, scale cancels
+    edges = []
+    for nk in range(25):
+        c, r = nk % 5, nk // 5
+        if c + 1 < 5:
+            edges.append((nk, nk + 1))
+        if r + 1 < 5:
+            edges.append((nk, nk + 5))
+    s0 = 2 * len(edges)                    # symmetric weight sum
+    num = sum(dev[a] * dev[b] for a, b in edges) * 2
+    den = sum(d * d for d in dev)
+    morans_i = float(n * num) / float(s0 * den)
+    return pd.DataFrame([{"n_nations": n, "s0": s0,
+                          "morans_i": np.round(morans_i, 6)}]) \
+        .astype({"n_nations": np.int64, "s0": np.int64})
+
+
+SQL_MORANS_I = """
+WITH rev AS (SELECT c_nationkey AS nk,
+                    SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS cents
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1),
+grid AS (SELECT nk, COALESCE(rev.cents, 0) AS x
+         FROM (SELECT unnest(generate_series(0, 24)) AS nk)
+         LEFT JOIN rev USING (nk)),
+s AS (SELECT SUM(x) AS sx FROM grid),
+d AS (SELECT nk, 25 * x - s.sx AS dev FROM grid, s),
+e AS (SELECT a.dev AS da, b.dev AS db
+      FROM d a JOIN d b
+        ON (b.nk = a.nk + 1 AND a.nk % 5 < 4)
+        OR (b.nk = a.nk + 5 AND a.nk // 5 < 4)),
+agg AS (SELECT (SELECT 2 * COUNT(*) FROM e) AS s0,
+               (SELECT 2 * SUM(da * db) FROM e) AS num,
+               (SELECT SUM(dev * dev) FROM d) AS den)
+SELECT CAST(25 AS BIGINT) AS n_nations, CAST(s0 AS BIGINT) AS s0,
+       ROUND(CAST(25 * num AS DOUBLE) / CAST(s0 * den AS DOUBLE), 6)
+         AS morans_i
+FROM agg
+"""
+
+
+def q_cohens_kappa_langid(sf_dir: str):
+    """Chance-corrected classifier agreement: Cohen's κ of the LangId
+    predictions against the true labels, computed from the SAME
+    memoized confusion matrix the precision/recall query reads —
+    κ = (p₀ − pₑ)/(1 − pₑ) with p₀ the trace share and pₑ the
+    marginal-product share, all exact ints until two mirrored float
+    divisions.  The twin regenerates the classifier from the shared
+    profile dict (the no-drift contract)."""
+    conf = q_langid_confusion(sf_dir)
+    N = int(conf["n"].sum())
+    po_num = int(conf.loc[conf["lang"] == conf["lang_pred"],
+                          "n"].sum())
+    row = conf.groupby("lang")["n"].sum()
+    col = conf.groupby("lang_pred")["n"].sum()
+    labels = sorted(set(row.index) | set(col.index))
+    pe_num = sum(int(row.get(l, 0)) * int(col.get(l, 0))
+                 for l in labels)
+    po = float(po_num) / N
+    pe = float(pe_num) / (N * N)
+    kappa = (po - pe) / (1.0 - pe)
+    return pd.DataFrame([{
+        "n_docs": N, "po": np.round(po, 6), "pe": np.round(pe, 6),
+        "kappa": np.round(kappa, 6)}]).astype({"n_docs": np.int64})
+
+
+def _sql_cohens_kappa() -> str:
+    return f"""
+WITH {_langid_pred_sql_body().lstrip()},
+conf AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2),
+t AS (SELECT SUM(n) AS nn,
+             SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS tr
+      FROM conf),
+m AS (SELECT COALESCE(r.lab, c.lab) AS lab,
+             COALESCE(r.rn, 0) AS rn, COALESCE(c.cn, 0) AS cn
+      FROM (SELECT lang AS lab, SUM(n) AS rn FROM conf GROUP BY 1) r
+      FULL OUTER JOIN
+           (SELECT lang_pred AS lab, SUM(n) AS cn FROM conf
+            GROUP BY 1) c
+        ON r.lab = c.lab),
+pe AS (SELECT SUM(rn * cn) AS pen FROM m)
+SELECT CAST(t.nn AS BIGINT) AS n_docs,
+       ROUND(CAST(t.tr AS DOUBLE) / t.nn, 6) AS po,
+       ROUND(CAST(pe.pen AS DOUBLE) / (t.nn * t.nn), 6) AS pe,
+       ROUND((CAST(t.tr AS DOUBLE) / t.nn
+              - CAST(pe.pen AS DOUBLE) / (t.nn * t.nn))
+             / (1.0 - CAST(pe.pen AS DOUBLE) / (t.nn * t.nn)), 6)
+         AS kappa
+FROM t, pe
+"""
+
+
+def q_tsp_nn_tour(sf_dir: str):
+    """Nearest-neighbor TSP tour per nation — the routing baseline a
+    delivery planner starts from: from each nation's min-key point,
+    repeatedly hop to the nearest unvisited point (ties to the smaller
+    key), then close the loop.  Per-nation work is bounded by the
+    nation's point count (O(k²) vectorized hops); nations run in
+    parallel via one grid-bucket shuffle.  An iterative heuristic has
+    no SQL twin — correctness is pinned by the unit-square golden and
+    the tour ≥ 2·diameter lower bound."""
+    ns = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: _points_batch(b, "c_custkey"),
+        batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t["px"].to_numpy(zero_copy_only=False)
+        y = t["py"].to_numpy(zero_copy_only=False)
+        nat = (x // 200).astype(np.int64) \
+            + 5 * (y // 200).astype(np.int64)
+        return pa.table({"k": t["c_custkey"], "x": t["px"],
+                         "y": t["py"], "nat": pa.array(nat)})
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("k")
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        n = len(g)
+        if n == 1:
+            return pd.DataFrame([{"n_nationkey": int(g["nat"].iloc[0]),
+                                  "n_points": 1, "tour_len": 0.0}])
+        visited = np.zeros(n, dtype=bool)
+        cur = 0                              # min-key start
+        visited[0] = True
+        total = 0.0
+        for _ in range(n - 1):
+            d2 = (x - x[cur]) ** 2 + (y - y[cur]) ** 2
+            d2[visited] = np.inf
+            nxt = int(np.argmin(d2))         # ties → smallest index
+            total += float(np.sqrt(d2[nxt]))
+            visited[nxt] = True
+            cur = nxt
+        total += float(np.hypot(x[cur] - x[0], y[cur] - y[0]))
+        return pd.DataFrame([{"n_nationkey": int(g["nat"].iloc[0]),
+                              "n_points": n,
+                              "tour_len": round(total, 4)}])
+
+    out = relational.ds_to_table(
+        ns.map_batches(tag, batch_format="pyarrow")
+        .groupby("nat").map_groups(per_nation, batch_format="pandas")
+    ).to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    return out.astype({"n_nationkey": np.int64,
+                       "n_points": np.int64})
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -17827,4 +18009,9 @@ def registry():
                                      SQL_VOCAB_GROWTH),
         "anti_join_null_semantics": (q_anti_join_null_semantics,
                                      SQL_ANTI_NULL),
+        "morans_i_nation_revenue": (q_morans_i_nation_revenue,
+                                    SQL_MORANS_I),
+        "cohens_kappa_langid": (q_cohens_kappa_langid,
+                                _sql_cohens_kappa()),
+        "tsp_nn_tour": (q_tsp_nn_tour, None),
     }

@@ -133,7 +133,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "median_ci_orderstats", "attribution_rules_compare",
        # batch 41 (donut PIP, Heaps curve, NOT IN null trap)
        "pip_donut_nations", "vocab_growth_checkpoints",
-       "anti_join_null_semantics"]
+       "anti_join_null_semantics",
+       # batch 42 (Moran's I, Cohen's kappa; TSP is no-oracle)
+       "morans_i_nation_revenue", "cohens_kappa_langid"]
 
 
 def _norm(v) -> str:
@@ -1803,3 +1805,73 @@ def test_not_in_null_trap_is_zero_and_not_exists_is_not():
         os.path.join(SF, "orders.parquet")).num_rows
     ne = int(out.loc["not_exists", "n_rows"])
     assert 0 < ne <= n_orders
+
+
+def test_morans_i_bounds_and_checkerboard(tmp_path):
+    from prclz_ray.pipelines.queries import q_morans_i_nation_revenue
+    out = q_morans_i_nation_revenue(SF).iloc[0]
+    assert int(out["s0"]) == 80            # 2 × 40 rook edges on 5×5
+    assert -1.2 <= out["morans_i"] <= 1.2  # loose Moran bound
+
+    # checkerboard revenues → strong NEGATIVE autocorrelation: build
+    # 25 customers (one per nation) with alternating order values
+    cust = pa.table({
+        "c_custkey": pa.array(range(25), type=pa.int64()),
+        "c_nationkey": pa.array(range(25), type=pa.int32())})
+    vals = [100.0 if (nk % 5 + nk // 5) % 2 == 0 else 1.0
+            for nk in range(25)]
+    orders = pa.table({
+        "o_custkey": pa.array(range(25), type=pa.int64()),
+        "o_totalprice": pa.array(vals)})
+    d = str(tmp_path)
+    pq.write_table(cust, os.path.join(d, "customer.parquet"))
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    got = q_morans_i_nation_revenue(d).iloc[0]
+    assert got["morans_i"] < -0.9
+
+
+def test_cohens_kappa_identities():
+    from prclz_ray.pipelines.queries import q_cohens_kappa_langid
+    out = q_cohens_kappa_langid(SF).iloc[0]
+    po, pe, k = out["po"], out["pe"], out["kappa"]
+    assert 0 <= po <= 1 and 0 <= pe <= 1
+    # kappa identity at the rounded precision
+    assert k == pytest.approx((po - pe) / (1 - pe), abs=2e-4)
+    assert k <= 1.0
+
+
+def test_tsp_unit_square_and_lower_bound(tmp_path):
+    from prclz_ray.pipelines.queries import q_tsp_nn_tour
+    out = q_tsp_nn_tour(SF)
+    assert (out["tour_len"] >= 0).all()
+    # a closed tour over ≥2 points is at least twice the max hop from
+    # the start — weak but universal; and nations partition customers
+    n_cust = pq.read_metadata(
+        os.path.join(SF, "customer.parquet")).num_rows
+    assert int(out["n_points"].sum()) == n_cust
+
+    # independent check against the brute-force OPTIMAL tour: craft a
+    # customer table whose synthetic points land ≥4 in nation 0, run
+    # the REAL query, and pin NN between the optimum and 2.5× it
+    import itertools
+    keys, pts = [], []
+    k = 1
+    while len(keys) < 5:
+        x = (k * 7919) % 1000 + 0.5
+        y = (k * 104729) % 1000 + 0.5
+        if x < 200 and y < 200:            # nation 0
+            keys.append(k)
+            pts.append((x, y))
+        k += 1
+    pq.write_table(pa.table({"c_custkey": pa.array(keys,
+                                                   type=pa.int64())}),
+                   os.path.join(str(tmp_path), "customer.parquet"))
+    got = q_tsp_nn_tour(str(tmp_path))
+    row = got[got["n_nationkey"] == 0].iloc[0]
+    assert int(row["n_points"]) == 5
+    arr = np.array(pts)
+    best = min(
+        sum(float(np.hypot(*(arr[p[i]] - arr[p[(i + 1) % 5]])))
+            for i in range(5))
+        for p in itertools.permutations(range(5)))
+    assert best - 1e-6 <= row["tour_len"] <= 2.5 * best
