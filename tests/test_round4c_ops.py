@@ -1874,4 +1874,5 @@ def test_tsp_unit_square_and_lower_bound(tmp_path):
         sum(float(np.hypot(*(arr[p[i]] - arr[p[(i + 1) % 5]])))
             for i in range(5))
         for p in itertools.permutations(range(5)))
-    assert best - 1e-6 <= row["tour_len"] <= 2.5 * best
+    # tour_len is rounded to 4dp by the query — allow that quantum
+    assert best - 1e-3 <= row["tour_len"] <= 2.5 * best
