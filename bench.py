@@ -107,6 +107,15 @@ BENCH_QUERIES = [
     "pmi_unigram_collocations",
     "link_prediction_cn",
     "ohlc_daily_value",
+    # round-4 session E: interval sweep join, donut PIP (interior-ring
+    # path), z-order file skipping, Merkle replica diff, skip-gram
+    # window co-occurrence, personalized PageRank
+    "interval_overlap_degree",
+    "pip_donut_nations",
+    "zorder_pruned_scan",
+    "merkle_replica_diff",
+    "window_cooccurrence",
+    "personalized_pagerank",
 ]
 
 
