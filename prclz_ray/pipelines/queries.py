@@ -17542,6 +17542,206 @@ def q_tsp_nn_tour(sf_dir: str):
                        "n_points": np.int64})
 
 
+def q_users_all_event_types(sf_dir: str):
+    """Relational division — the classic "supplier who stocks EVERY
+    part" shape (Codd's ÷, the one join SQL has no keyword for):
+    users whose event history covers EVERY distinct event type.
+    Per-batch pair dedup shrinks the stream, one (user, type) groupby
+    finishes the exact dedup, then a second users×types-bounded
+    groupby counts coverage per user; the divisor (total distinct
+    types) is a types-bounded reduce — no driver-side row loop, and
+    the only corpus-wide shuffle carries unique pairs."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(
+                zero_copy_only=False)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ev.map_batches(pair_dedup, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Count(alias_name="_c"))
+    n_types = len(relational.ds_to_table(
+        ev.map_batches(
+            lambda t: pa.table({"event_type":
+                                pc.unique(t["event_type"])}),
+            batch_format="pyarrow")
+        .groupby("event_type").aggregate(Count(alias_name="_c"))))
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"user_id": t["user_id"].to_numpy(
+            zero_copy_only=False), "nt": 1}) \
+            .groupby("user_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cover = relational.ds_to_table(
+        pairs.map_batches(per_user_partial, batch_format="pyarrow")
+        .groupby("user_id").aggregate(Sum("nt", alias_name="n"))
+    ).to_pandas()
+    out = cover.loc[cover["n"] == n_types, ["user_id"]] \
+        .sort_values("user_id").reset_index(drop=True)
+    return out.astype({"user_id": np.int64})
+
+
+SQL_DIVISION = """
+SELECT user_id
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY user_id
+HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM events)
+ORDER BY user_id
+"""
+
+
+def q_cluster_merge_join(sf_dir: str):
+    """Shuffle-free sort-merge join over CO-CLUSTERED layouts: both
+    sides are range-partitioned on the join key with IDENTICAL
+    boundaries (`write_clustered(boundaries=)` — the layout investment
+    a lakehouse makes once), so the join itself runs as independent
+    per-range merge tasks, each reading exactly two files and probing
+    with one sorted searchsorted pass — NO hash shuffle of either
+    table at query time.  At 100 TB this converts the per-query
+    all-to-all exchange into a one-time clustering write amortized
+    over every custkey join; the layouts are content-fingerprint
+    cached and resumable (manifest-committed ranges skip on rerun)."""
+    import os
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..runtime import checkpoint as ckpt
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    lohi = cust.aggregate(Min("c_custkey", alias_name="lo"),
+                          Max("c_custkey", alias_name="hi"))
+    lo, hi = int(lohi["lo"]), int(lohi["hi"])
+    nr = 8
+    span = max(1, (hi - lo + nr) // nr)
+    bnds = [lo + i * span for i in range(1, nr)]
+
+    dir_c = _fingerprint_cache_dir(sf_dir, "customer", "cmjc")
+    dir_o = _fingerprint_cache_dir(sf_dir, "orders", "cmjo")
+    # resumable layout build: committed ranges are skipped on rerun,
+    # so a warm cache costs two manifest reads and zero tasks
+    ckpt.write_clustered(cust, dir_c, "c_custkey", boundaries=bnds)
+    ckpt.write_clustered(orders, dir_o, "o_custkey", boundaries=bnds)
+    keys = sorted(ckpt.committed_keys(dir_c)
+                  & ckpt.committed_keys(dir_o))
+
+    def merge_range(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+        frames = []
+        for key in t["key"].to_pylist():
+            tc = _pq.read_table(
+                os.path.join(dir_c, f"part={key}", "data.parquet"))
+            to = _pq.read_table(
+                os.path.join(dir_o, f"part={key}", "data.parquet"))
+            ck = tc["c_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            seg = tc["c_mktsegment"].to_numpy(zero_copy_only=False)
+            ok = to["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cents = np.round(to["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            pos = np.searchsorted(ck, ok)        # both files sorted
+            hit = pos < len(ck)
+            hit[hit] = ck[pos[hit]] == ok[hit]
+            frames.append(pd.DataFrame({
+                "mktsegment": seg[pos[hit]], "cents": cents[hit],
+                "pn": 1}).groupby("mktsegment", sort=False)
+                .sum().reset_index())
+        if not frames:
+            return pa.table({"mktsegment": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = relational.ds_to_table(
+        rd.from_items([{"key": k} for k in keys],
+                      override_num_blocks=max(1, len(keys)))
+        .map_batches(merge_range, batch_format="pyarrow")
+        .groupby("mktsegment").aggregate(
+            Sum("cents", alias_name="cents"),
+            Sum("pn", alias_name="n_orders"))
+    ).to_pandas().sort_values("mktsegment").reset_index(drop=True)
+    agg["total_revenue"] = (agg["cents"] / 100.0).round(2)
+    return agg[["mktsegment", "n_orders", "total_revenue"]] \
+        .astype({"n_orders": np.int64})
+
+
+SQL_CLUSTER_MERGE = """
+SELECT c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_mcc_langid(sf_dir: str):
+    """Multiclass Matthews correlation (the Rₖ statistic) of the
+    LangId classifier — the single-number eval that stays honest under
+    class imbalance where accuracy and even κ inflate.  Reads the SAME
+    memoized confusion matrix as the κ/precision-recall queries;
+    trace, total and the marginal power sums stay exact ints until the
+    one mirrored float expression num / (√(s²−Σp²)·√(s²−Σt²))."""
+    import math
+
+    conf = q_langid_confusion(sf_dir)
+    s = int(conf["n"].sum())
+    c = int(conf.loc[conf["lang"] == conf["lang_pred"], "n"].sum())
+    row = conf.groupby("lang")["n"].sum()          # true marginals t_k
+    col = conf.groupby("lang_pred")["n"].sum()     # pred marginals p_k
+    labels = sorted(set(row.index) | set(col.index))
+    stp = sum(int(row.get(l, 0)) * int(col.get(l, 0)) for l in labels)
+    stt = sum(int(v) * int(v) for v in row)
+    spp = sum(int(v) * int(v) for v in col)
+    num = c * s - stp
+    denx = s * s - spp
+    deny = s * s - stt
+    if denx == 0 or deny == 0:                     # single-class edge
+        mcc = float("nan")
+    else:
+        mcc = float(num) / (math.sqrt(float(denx))
+                            * math.sqrt(float(deny)))
+    return pd.DataFrame([{"n_docs": s, "mcc": np.round(mcc, 6)}]) \
+        .astype({"n_docs": np.int64})
+
+
+def _sql_mcc_langid() -> str:
+    return f"""
+WITH {_langid_pred_sql_body().lstrip()},
+conf AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2),
+t AS (SELECT SUM(n) AS s,
+             SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS c
+      FROM conf),
+rm AS (SELECT SUM(tt * tt) AS stt
+       FROM (SELECT SUM(n) AS tt FROM conf GROUP BY lang)),
+pm AS (SELECT SUM(pp * pp) AS spp
+       FROM (SELECT SUM(n) AS pp FROM conf GROUP BY lang_pred)),
+tp AS (SELECT SUM(a.rn * b.cn) AS stp
+       FROM (SELECT lang AS lab, SUM(n) AS rn FROM conf
+             GROUP BY 1) a
+       JOIN (SELECT lang_pred AS lab, SUM(n) AS cn FROM conf
+             GROUP BY 1) b ON a.lab = b.lab)
+SELECT CAST(t.s AS BIGINT) AS n_docs,
+       CASE WHEN (t.s * t.s - pm.spp) = 0
+              OR (t.s * t.s - rm.stt) = 0 THEN NULL
+            ELSE ROUND(CAST(t.c * t.s - tp.stp AS DOUBLE)
+                       / (sqrt(CAST(t.s * t.s - pm.spp AS DOUBLE))
+                          * sqrt(CAST(t.s * t.s - rm.stt AS DOUBLE))),
+                       6)
+       END AS mcc
+FROM t, rm, pm, tp
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -18014,4 +18214,9 @@ def registry():
         "cohens_kappa_langid": (q_cohens_kappa_langid,
                                 _sql_cohens_kappa()),
         "tsp_nn_tour": (q_tsp_nn_tour, None),
+        "users_all_event_types": (q_users_all_event_types,
+                                  SQL_DIVISION),
+        "cluster_merge_join": (q_cluster_merge_join,
+                               SQL_CLUSTER_MERGE),
+        "mcc_langid": (q_mcc_langid, _sql_mcc_langid()),
     }

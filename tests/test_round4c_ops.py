@@ -135,7 +135,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "pip_donut_nations", "vocab_growth_checkpoints",
        "anti_join_null_semantics",
        # batch 42 (Moran's I, Cohen's kappa; TSP is no-oracle)
-       "morans_i_nation_revenue", "cohens_kappa_langid"]
+       "morans_i_nation_revenue", "cohens_kappa_langid",
+       # batch 43 (relational division, co-clustered merge join, MCC)
+       "users_all_event_types", "cluster_merge_join", "mcc_langid"]
 
 
 def _norm(v) -> str:
@@ -1876,3 +1878,63 @@ def test_tsp_unit_square_and_lower_bound(tmp_path):
         for p in itertools.permutations(range(5)))
     # tour_len is rounded to 4dp by the query — allow that quantum
     assert best - 1e-3 <= row["tour_len"] <= 2.5 * best
+
+
+def test_relational_division_excludes_partial_coverage(tmp_path):
+    from prclz_ray.pipelines.queries import q_users_all_event_types
+    # user 1 covers both types, user 2 misses 'b', user 3 covers both
+    # via duplicates (dedup must not double-count)
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 2, 3, 3, 3], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "b", "b"])})
+    d = str(tmp_path)
+    pq.write_table(ev, os.path.join(d, "events.parquet"))
+    got = q_users_all_event_types(d)
+    assert got["user_id"].tolist() == [1, 3]
+
+
+def test_cluster_merge_join_zero_shuffle_matches_plain_join(tmp_path):
+    """The co-clustered merge must equal a plain hash join, including
+    a customer with no orders (absent from output groups) and an
+    order whose customer is missing (dropped by inner semantics)."""
+    from prclz_ray.pipelines.queries import q_cluster_merge_join
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 50], type=pa.int64()),
+        "c_mktsegment": pa.array(["A", "B", "A", "C"])})
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 99], type=pa.int64()),
+        "o_totalprice": pa.array([10.0, 5.5, 7.25, 1.0, 100.0])})
+    d = str(tmp_path)
+    pq.write_table(cust, os.path.join(d, "customer.parquet"))
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    got = q_cluster_merge_join(d).set_index("mktsegment")
+    assert got.loc["A", "n_orders"] == 3          # custkeys 1,1,3
+    assert got.loc["A", "total_revenue"] == 16.5
+    assert got.loc["B", "total_revenue"] == 7.25
+    assert "C" not in got.index                   # customer, no orders
+    assert int(got["n_orders"].sum()) == 4        # orphan order dropped
+
+
+def test_mcc_agrees_with_sklearn_formula():
+    """R_k from the fixture confusion matrix vs an independent dense
+    numpy evaluation of the same statistic."""
+    from prclz_ray.pipelines.queries import (q_langid_confusion,
+                                             q_mcc_langid)
+    out = q_mcc_langid(SF).iloc[0]
+    conf = q_langid_confusion(SF)
+    labels = sorted(set(conf["lang"]) | set(conf["lang_pred"]))
+    idx = {l: i for i, l in enumerate(labels)}
+    C = np.zeros((len(labels), len(labels)), dtype=np.int64)
+    for r in conf.itertuples():
+        C[idx[r.lang], idx[r.lang_pred]] = r.n
+    s = C.sum()
+    c = np.trace(C)
+    t = C.sum(axis=1).astype(object)
+    p = C.sum(axis=0).astype(object)
+    num = int(c) * int(s) - int((t * p).sum())
+    denx = int(s) * int(s) - int((p * p).sum())
+    deny = int(s) * int(s) - int((t * t).sum())
+    want = num / (np.sqrt(float(denx)) * np.sqrt(float(deny)))
+    assert out["mcc"] == pytest.approx(want, abs=2e-6)
+    assert -1.0 <= out["mcc"] <= 1.0
+    assert int(out["n_docs"]) == int(s)
