@@ -17742,6 +17742,204 @@ FROM t, rm, pm, tp
 """
 
 
+def q_bom_explosion(sf_dir: str):
+    """Bill-of-materials explosion — the manufacturing transitive
+    closure: every part's total unit requirement at its root assembly
+    is the PRODUCT of the child-edge quantities along its ancestor
+    chain.  The hierarchy is a deterministic formula over p_partkey
+    (parent = k // 8, edge qty = k % 3 + 1 for k ≥ 8; parts < 8 are
+    roots), so the chase needs NO edge shuffle at all: each batch
+    pointer-walks its own keys vectorized in O(depth) = O(log₈ N)
+    numpy passes, then a roots-bounded groupby folds the partials —
+    the whole explosion is one streaming scan regardless of corpus
+    size.  The twin runs the literal WITH RECURSIVE climb."""
+    from ray.data.aggregate import Max, Sum
+
+    parts = _read(sf_dir, "part", ["p_partkey"])
+
+    def chase(t: pa.Table) -> pa.Table:
+        node = t["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).copy()
+        qty = np.ones(len(node), dtype=np.int64)
+        while True:
+            m = node >= 8
+            if not m.any():
+                break
+            qty[m] *= node[m] % 3 + 1
+            node[m] //= 8
+        g = pd.DataFrame({"root": node, "q": qty, "pn": 1}) \
+            .groupby("root", sort=False) \
+            .agg(n_parts=("pn", "sum"), total_units=("q", "sum"),
+                 max_units=("q", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        parts.map_batches(chase, batch_format="pyarrow")
+        .groupby("root").aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("total_units", alias_name="total_units"),
+            Max("max_units", alias_name="max_units"))
+    ).to_pandas().sort_values("root").reset_index(drop=True)
+    return out.astype({"root": np.int64, "n_parts": np.int64,
+                       "total_units": np.int64,
+                       "max_units": np.int64})
+
+
+SQL_BOM = """
+WITH RECURSIVE climb AS (
+  SELECT p_partkey AS node, CAST(1 AS HUGEINT) AS qty FROM part
+  UNION ALL
+  SELECT node // 8, qty * (node % 3 + 1) FROM climb WHERE node >= 8
+)
+SELECT node AS root, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(qty) AS BIGINT) AS total_units,
+       CAST(MAX(qty) AS BIGINT) AS max_units
+FROM climb WHERE node < 8 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_stump_candidates_discount(sf_dir: str):
+    """Decision-stump split evaluation — the inner loop of every tree
+    learner: for each candidate threshold on l_discount (cents), the
+    exact left/right class-count power sums and the weighted Gini
+    impurity of the split on l_returnflag.  The distributed part is a
+    (value × class)-bounded count reduce (11 × 3 here — the feature's
+    distinct values, NOT the row count); the cumulative scan and Gini
+    finish run on that tiny table with Python-int exactness, one
+    mirrored float division chain per row.  The argmin (the trained
+    stump) is pytest-pinned against a brute-force split evaluator;
+    the hash-checked surface is the exact candidate table, so float
+    near-ties can never flip the comparison."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_discount", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"d": d, "f": t["l_returnflag"].to_numpy(
+            zero_copy_only=False), "n": 1}) \
+            .groupby(["d", "f"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d", "f"]).aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    grid = cnt.pivot_table(index="d", columns="f", values="n",
+                           aggfunc="sum", fill_value=0).sort_index()
+    cum = grid.cumsum()
+    tot = grid.sum()
+    N = int(tot.sum())
+    rows = []
+    for thr in cum.index[:-1]:             # max value → empty right
+        cl = [int(v) for v in cum.loc[thr]]
+        nt = [int(v) for v in tot]
+        n_l = sum(cl)
+        n_r = N - n_l
+        ssl = sum(v * v for v in cl)
+        ssr = sum((t - v) * (t - v) for t, v in zip(nt, cl))
+        gnl = n_l * n_l - ssl
+        gnr = n_r * n_r - ssr
+        wg = (float(gnl) / n_l + float(gnr) / n_r) / N
+        rows.append({"thr_cents": int(thr), "n_left": n_l,
+                     "n_right": n_r, "gini_num_left": gnl,
+                     "gini_num_right": gnr,
+                     "wgini": np.round(wg, 6)})
+    return pd.DataFrame(rows).astype({
+        "thr_cents": np.int64, "n_left": np.int64,
+        "n_right": np.int64, "gini_num_left": np.int64,
+        "gini_num_right": np.int64})
+
+
+SQL_STUMP = """
+WITH pts AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                    l_returnflag AS f FROM lineitem),
+cnt AS (SELECT d, f, CAST(COUNT(*) AS HUGEINT) AS n
+        FROM pts GROUP BY 1, 2),
+grid AS (SELECT ds.d, fs.f, COALESCE(cnt.n, 0) AS n
+         FROM (SELECT DISTINCT d FROM cnt) ds
+         CROSS JOIN (SELECT DISTINCT f FROM cnt) fs
+         LEFT JOIN cnt ON cnt.d = ds.d AND cnt.f = fs.f),
+cum AS (SELECT d, f, SUM(n) OVER (PARTITION BY f ORDER BY d) AS cl
+        FROM grid),
+tot AS (SELECT f, SUM(n) AS nt FROM grid GROUP BY 1),
+per AS (SELECT c.d, SUM(c.cl) AS n_l, SUM(c.cl * c.cl) AS ssl,
+               SUM(t.nt - c.cl) AS n_r,
+               SUM((t.nt - c.cl) * (t.nt - c.cl)) AS ssr
+        FROM cum c JOIN tot t ON c.f = t.f GROUP BY 1),
+nn AS (SELECT SUM(nt) AS n FROM tot)
+SELECT d AS thr_cents,
+       CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+       CAST(n_l * n_l - ssl AS BIGINT) AS gini_num_left,
+       CAST(n_r * n_r - ssr AS BIGINT) AS gini_num_right,
+       ROUND((CAST(n_l * n_l - ssl AS DOUBLE) / n_l
+              + CAST(n_r * n_r - ssr AS DOUBLE) / n_r) / nn.n, 6)
+         AS wgini
+FROM per, nn WHERE n_r > 0 ORDER BY 1
+"""
+
+
+def q_seasonal_decompose_revenue(sf_dir: str):
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving sum on the GAP-FILLED calendar,
+    seasonal(dow) = mean detrended value per ISO weekday over interior
+    days (full windows only).  Mean of (x − s7/7) is evaluated as the
+    integer identity Σ(7x − s7) / (7·count) — exact cents arithmetic
+    end to end, ONE mirrored division per weekday row.  Distributed
+    part: the shared daily-cents reduce; the finish is days-bounded."""
+    d = _daily_revenue_cents(sf_dir)
+    days = d["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[days - lo] = d["rev"].to_numpy(np.int64)
+    n = len(dense)
+    out_rows = []
+    if n >= 7:
+        csum = np.concatenate([[0], np.cumsum(dense)])
+        s7 = csum[7:] - csum[:-7]          # window [i-3, i+3] at i+3
+        centers = np.arange(3, n - 3)
+        dt = 7 * dense[centers] - s7       # 7x − Σwindow, exact ints
+        isodow = ((centers + lo) + 3) % 7 + 1
+        for dow in range(1, 8):
+            m = isodow == dow
+            if not m.any():
+                continue
+            num = int(sum(int(v) for v in dt[m]))
+            cnt = int(m.sum())
+            out_rows.append({
+                "isodow": dow, "n_days": cnt,
+                "seasonal": np.round(float(num) / (7.0 * cnt), 4)})
+    return pd.DataFrame(out_rows).astype({"isodow": np.int64,
+                                          "n_days": np.int64})
+
+
+SQL_SEASONAL = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+f AS (SELECT cal.day, COALESCE(d.rev, 0) AS x
+      FROM cal LEFT JOIN d USING (day)),
+w AS (SELECT day, x,
+             SUM(x) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS s7,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS c7
+      FROM f),
+det AS (SELECT (day + 3) % 7 + 1 AS isodow, 7 * x - s7 AS dt
+        FROM w WHERE c7 = 7)
+SELECT isodow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(dt) AS DOUBLE) / (7.0 * COUNT(*)), 4)
+         AS seasonal
+FROM det GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -18219,4 +18417,9 @@ def registry():
         "cluster_merge_join": (q_cluster_merge_join,
                                SQL_CLUSTER_MERGE),
         "mcc_langid": (q_mcc_langid, _sql_mcc_langid()),
+        "bom_explosion": (q_bom_explosion, SQL_BOM),
+        "stump_candidates_discount": (q_stump_candidates_discount,
+                                      SQL_STUMP),
+        "seasonal_decompose_revenue": (q_seasonal_decompose_revenue,
+                                       SQL_SEASONAL),
     }

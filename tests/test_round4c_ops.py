@@ -137,7 +137,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        # batch 42 (Moran's I, Cohen's kappa; TSP is no-oracle)
        "morans_i_nation_revenue", "cohens_kappa_langid",
        # batch 43 (relational division, co-clustered merge join, MCC)
-       "users_all_event_types", "cluster_merge_join", "mcc_langid"]
+       "users_all_event_types", "cluster_merge_join", "mcc_langid",
+       # batch 44 (BOM explosion, stump split scan, seasonal decompose)
+       "bom_explosion", "stump_candidates_discount",
+       "seasonal_decompose_revenue"]
 
 
 def _norm(v) -> str:
@@ -1938,3 +1941,68 @@ def test_mcc_agrees_with_sklearn_formula():
     assert out["mcc"] == pytest.approx(want, abs=2e-6)
     assert -1.0 <= out["mcc"] <= 1.0
     assert int(out["n_docs"]) == int(s)
+
+
+def test_bom_explosion_hand_chains(tmp_path):
+    """Depth-2 chain verified by hand: 65 → (×3) 8 → (×3) 1, so part
+    65 needs 9 units at root 1; root rows partition all parts."""
+    from prclz_ray.pipelines.queries import q_bom_explosion
+    keys = [0, 1, 2, 8, 9, 65]
+    pq.write_table(
+        pa.table({"p_partkey": pa.array(keys, type=pa.int64())}),
+        os.path.join(str(tmp_path), "part.parquet"))
+    out = q_bom_explosion(str(tmp_path)).set_index("root")
+    # roots 0,1,2 exist; 8,9,65 climb into root 1
+    assert int(out["n_parts"].sum()) == len(keys)
+    # root 1: itself (qty 1) + 8 (8%3+1=3) + 9 (9%3+1=1) + 65 (3*3=9)
+    assert out.loc[1, "n_parts"] == 4
+    assert out.loc[1, "total_units"] == 1 + 3 + 1 + 9
+    assert out.loc[1, "max_units"] == 9
+    assert out.loc[0, "total_units"] == 1
+    assert out.loc[2, "total_units"] == 1
+
+
+def test_stump_argmin_matches_bruteforce():
+    """The trained stump (argmin of wgini, threshold tie-break) must
+    equal a row-level brute-force split evaluation."""
+    from prclz_ray.pipelines.queries import q_stump_candidates_discount
+    cand = q_stump_candidates_discount(SF)
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet"),
+                       columns=["l_discount", "l_returnflag"]) \
+        .to_pandas()
+    d = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    f = li["l_returnflag"].to_numpy()
+    N = len(d)
+    best = None
+    for thr in sorted(np.unique(d))[:-1]:
+        lm = d <= thr
+        wg = 0.0
+        for m, n_s in ((lm, int(lm.sum())), (~lm, int((~lm).sum()))):
+            _, c = np.unique(f[m], return_counts=True)
+            gn = n_s * n_s - int((c.astype(object) ** 2).sum())
+            wg += float(gn) / n_s
+        wg /= N
+        if best is None or wg < best[1] - 1e-12:
+            best = (int(thr), wg)
+    got = cand.sort_values(["wgini", "thr_cents"]).iloc[0]
+    assert int(got["thr_cents"]) == best[0]
+    assert got["wgini"] == pytest.approx(best[1], abs=1e-6)
+    # exact invariants: left+right = N on every row
+    assert ((cand["n_left"] + cand["n_right"]) == N).all()
+
+
+def test_seasonal_decompose_constant_series_is_zero(tmp_path):
+    """A perfectly constant daily series has zero seasonal component
+    at every weekday (7x − Σwindow = 0 identically)."""
+    from prclz_ray.pipelines.queries import q_seasonal_decompose_revenue
+    days = np.arange(20000, 20021)
+    ts = (days * 86_400_000_000).astype("datetime64[us]")
+    orders = pa.table({
+        "o_orderdate": pa.array(ts),
+        "o_totalprice": pa.array([100.0] * len(days))})
+    pq.write_table(orders, os.path.join(str(tmp_path),
+                                        "orders.parquet"))
+    out = q_seasonal_decompose_revenue(str(tmp_path))
+    assert len(out) == 7
+    assert (out["seasonal"] == 0.0).all()
+    assert int(out["n_days"].sum()) == len(days) - 6
