@@ -17940,6 +17940,320 @@ FROM det GROUP BY 1 ORDER BY 1
 """
 
 
+#: count-min sketch geometry + row-hash constants (splitmix64 odd
+#: multipliers, public constants) — shared verbatim with the SQL twin
+_CMS_W_BITS = 10                        # 1024 buckets per row
+_CMS_A = (0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+
+
+def _cms_buckets(h: np.ndarray, a: int) -> np.ndarray:
+    """Multiply-shift bucket: top _CMS_W_BITS bits of h·a mod 2⁶⁴."""
+    with np.errstate(over="ignore"):
+        return ((h * np.uint64(a)) >> np.uint64(64 - _CMS_W_BITS)) \
+            .astype(np.int64)
+
+
+def q_countmin_word_freq(sf_dir: str):
+    """Count-min sketch word frequencies — the fixed-memory heavy-
+    hitter counter every streaming ingest keeps — with an EXACT SQL
+    twin: the sketch is deterministic (2 multiply-shift rows × 1024
+    counters over the shared SQL-mirrorable word hash), so DuckDB can
+    recompute every counter cell and the per-word estimate
+    min(row₀[b₀(w)], row₁[b₁(w)]) bit-for-bit.  Distributed shape:
+    one vocab groupby (the exact counts), then a 2048-bounded
+    (row, bucket) fold — counters are sums, so partials merge at any
+    partitioning.  Output: the exact top-20 words with their exact
+    count AND the sketch estimate (≥ exact by construction — the
+    overestimate-only contract is also pytest-pinned)."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], pattern=" ")
+        words = pc.list_flatten(parts)
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"w": words}).group_by("w") \
+            .aggregate([("w", "count")])
+        return pa.table({"w": g["w"],
+                         "pcnt": g["w_count"].cast(pa.int64())})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("pcnt", alias_name="n")) \
+        .materialize()                 # vocab-bounded, consumed twice
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = dd.word_hashes_u64(ws)
+        rows, buckets, cnts = [], [], []
+        for j, a in enumerate(_CMS_A):
+            rows.append(np.full(len(ws), j, dtype=np.int64))
+            buckets.append(_cms_buckets(h, a))
+            cnts.append(n)
+        g = pd.DataFrame({"row": np.concatenate(rows),
+                          "bucket": np.concatenate(buckets),
+                          "pc_": np.concatenate(cnts)}) \
+            .groupby(["row", "bucket"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ctr = relational.ds_to_table(
+        counts.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["row", "bucket"]).aggregate(Sum("pc_",
+                                                  alias_name="c"))
+    ).to_pandas()
+    cmap = {(int(r.row), int(r.bucket)): int(r.c)
+            for r in ctr.itertuples()}
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = pa.table({"w": t["w"], "n": t["n"].cast(pa.int64())})
+        return t.sort_by([("n", "descending"), ("w", "ascending")]) \
+            .slice(0, 20)
+
+    top = relational.ds_to_table(
+        counts.map_batches(prune, batch_format="pyarrow")) \
+        .sort_by([("n", "descending"), ("w", "ascending")]) \
+        .slice(0, 20).to_pandas()
+    h = dd.word_hashes_u64(top["w"].tolist())
+    bks = [_cms_buckets(h, a) for a in _CMS_A]
+    est = [min(cmap[(j, int(bks[j][i]))]
+               for j in range(len(_CMS_A)))
+           for i in range(len(top))]
+    out = pd.DataFrame({"word": top["w"], "n_exact": top["n"],
+                        "cms_est": est})
+    return out.astype({"n_exact": np.int64, "cms_est": np.int64})
+
+
+def _sql_countmin() -> str:
+    M = 1 << 64
+    mix = dd.SIMHASH_MIX
+    mixhi = (mix << 32) % M
+    shift = 1 << (64 - _CMS_W_BITS)
+    bcols = []
+    for j, a in enumerate(_CMS_A):
+        ahi = (a << 32) % M
+        bcols.append(f"((h % 4294967296) * {a} % {M}"
+                     f" + (h // 4294967296) * {ahi} % {M}) % {M}"
+                     f" // {shift} AS b{j}")
+    return rf"""
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words
+       WHERE w <> '' GROUP BY w),
+folded AS (
+  SELECT w, n,
+    list_reduce(
+      [CAST(CAST('0x'||substr(hex(encode(w)),2*i-1,2) AS INT) AS HUGEINT)
+       for i in generate_series(1, octet_length(encode(w)))],
+      (a,b) -> (a*{dd.SIMHASH_PRIME} + b) % {M}) AS f
+  FROM wc),
+wh AS (SELECT w, n,
+              ((f % 4294967296) * {mix} % {M}
+               + (f // 4294967296) * {mixhi} % {M}) % {M} AS h
+       FROM folded),
+bk AS (SELECT w, n, {bcols[0]}, {bcols[1]} FROM wh),
+c0 AS (SELECT b0 AS b, SUM(n) AS c FROM bk GROUP BY 1),
+c1 AS (SELECT b1 AS b, SUM(n) AS c FROM bk GROUP BY 1),
+top AS (SELECT w, n, b0, b1 FROM bk ORDER BY n DESC, w ASC LIMIT 20)
+SELECT top.w AS word, top.n AS n_exact,
+       CAST(LEAST(c0.c, c1.c) AS BIGINT) AS cms_est
+FROM top JOIN c0 ON c0.b = top.b0 JOIN c1 ON c1.b = top.b1
+ORDER BY n_exact DESC, word ASC
+"""
+
+
+def q_locf_impute_value(sf_dir: str):
+    """Last-observation-carried-forward imputation — the time-series
+    gap repair every sensor/metrics pipeline runs: 'error' events
+    carry no usable value (treated as NULL), each gets the user's most
+    recent non-null value under composite (ts, event_id) order.  One
+    user-bucket shuffle; per bucket the fill is a vectorized pandas
+    groupby-ffill (no per-row Python), and because a user lives in
+    exactly one bucket the per-user aggregate is final — no second
+    shuffle.  Exact-cents sums of the filled values; the twin is the
+    window idiom LAST_VALUE(v IGNORE NULLS)."""
+    from ..stages.relational import stable_bucket
+
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id",
+                                  "event_type", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "ts": ts,
+            "eid": g["event_id"].to_numpy(np.int64),
+            "v": np.where(g["event_type"].to_numpy() == "error",
+                          np.nan, g["value"].to_numpy(np.float64))}) \
+            .sort_values(["u", "ts", "eid"])
+        fv = df.groupby("u", sort=False)["v"].ffill()
+        isnull = df["v"].isna()
+        filled = isnull & fv.notna()
+        cents = np.where(filled,
+                         np.round(fv.to_numpy() * 100.0), 0.0)
+        out = pd.DataFrame({
+            "user_id": df["u"], "nn": isnull.astype(np.int64),
+            "nf": filled.astype(np.int64),
+            "fc": cents.astype(np.int64)}) \
+            .groupby("user_id", sort=False) \
+            .agg(n_null=("nn", "sum"), n_filled=("nf", "sum"),
+                 filled_cents=("fc", "sum")).reset_index()
+        return out
+
+    out = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return out.astype({"user_id": np.int64, "n_null": np.int64,
+                       "n_filled": np.int64,
+                       "filled_cents": np.int64})
+
+
+SQL_LOCF = """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE value END AS v
+           FROM events),
+f AS (SELECT user_id, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS fv
+      FROM e)
+SELECT user_id,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(SUM(CASE WHEN v IS NULL AND fv IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN v IS NULL AND fv IS NOT NULL
+                     THEN CAST(ROUND(fv * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS filled_cents
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_bipartite_check_links(sf_dir: str):
+    """Two-colorability probe of the synthetic link graph within the
+    4-hop crawl horizon: color(v) = parity of the MIN hop distance
+    from the multi-source seed set (every 97th doc), conflict = an
+    edge whose endpoints are both reached and share a parity — zero
+    conflicts ⇔ the reached subgraph is bipartite under BFS layering.
+    Frontier-only BFS (graph_ops.bfs_hops) plus two bucketed joins to
+    attach endpoint parities — no broadcast of the visited set, so the
+    check scales to web-graph V.  The twin unrolls the same 4 rounds
+    and counts conflicts over the identical edge bag."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import graph_ops
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"v": pa.array(d[d % 97 == 0])})
+
+    edges_ds = docs.map_batches(edges, batch_format="pyarrow")
+    seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
+    hops = graph_ops.bfs_hops(edges_ds, seeds, rounds=4,
+                              approx_num_nodes=n).materialize()
+
+    par = hops.map_batches(
+        lambda t: pa.table({
+            "v": t["v"],
+            "even": pc.cast(pc.equal(
+                pc.bit_wise_and(t["hops"].cast(pa.int64()), 1), 0),
+                pa.int64())}),
+        batch_format="pyarrow")
+    reach = par.map_batches(lambda t: pa.table({
+        "nr": pa.array([t.num_rows]),
+        "ne": pa.array([pc.sum(t["even"]).as_py() or 0])}),
+        batch_format="pyarrow") \
+        .aggregate(Sum("nr", alias_name="nr"),
+                   Sum("ne", alias_name="ne"))
+    n_reached = int(reach["nr"])
+    n_even = int(reach["ne"])
+
+    src_par = par.map_batches(
+        lambda t: pa.table({"src": t["v"], "p_src": t["even"]}),
+        batch_format="pyarrow")
+    dst_par = par.map_batches(
+        lambda t: pa.table({"dst": t["v"], "p_dst": t["even"]}),
+        batch_format="pyarrow")
+    j1 = relational.bucketed_hash_join(edges_ds, src_par, on="src")
+    j2 = relational.bucketed_hash_join(j1, dst_par, on="dst")
+    conf = j2.map_batches(lambda t: pa.table({
+        "c": pa.array([pc.sum(pc.cast(pc.equal(
+            t["p_src"], t["p_dst"]), pa.int64())).as_py() or 0])}),
+        batch_format="pyarrow") \
+        .aggregate(Sum("c", alias_name="c"))
+    conflicts = int(conf["c"])
+    return pd.DataFrame([{
+        "n_reached": n_reached, "n_even": n_even,
+        "n_odd": n_reached - n_even, "conflict_edges": conflicts,
+        "bipartite_horizon": 1 if conflicts == 0 else 0}]) \
+        .astype({"n_reached": np.int64, "n_even": np.int64,
+                 "n_odd": np.int64, "conflict_edges": np.int64,
+                 "bipartite_horizon": np.int64})
+
+
+SQL_BIPARTITE = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) k, nn),
+d0 AS (SELECT doc_id AS v, CAST(0 AS BIGINT) AS hops
+       FROM documents WHERE doc_id % 97 = 0),
+f1 AS (SELECT DISTINCT e.dst AS v FROM edges e
+       JOIN d0 ON d0.v = e.src AND d0.hops = 0),
+d1 AS (SELECT v, MIN(hops) AS hops FROM (
+         SELECT v, hops FROM d0
+         UNION ALL SELECT v, CAST(1 AS BIGINT) FROM f1) GROUP BY v),
+f2 AS (SELECT DISTINCT e.dst AS v FROM edges e
+       JOIN d1 ON d1.v = e.src AND d1.hops = 1),
+d2 AS (SELECT v, MIN(hops) AS hops FROM (
+         SELECT v, hops FROM d1
+         UNION ALL SELECT v, CAST(2 AS BIGINT) FROM f2) GROUP BY v),
+f3 AS (SELECT DISTINCT e.dst AS v FROM edges e
+       JOIN d2 ON d2.v = e.src AND d2.hops = 2),
+d3 AS (SELECT v, MIN(hops) AS hops FROM (
+         SELECT v, hops FROM d2
+         UNION ALL SELECT v, CAST(3 AS BIGINT) FROM f3) GROUP BY v),
+f4 AS (SELECT DISTINCT e.dst AS v FROM edges e
+       JOIN d3 ON d3.v = e.src AND d3.hops = 3),
+d4 AS (SELECT v, MIN(hops) AS hops FROM (
+         SELECT v, hops FROM d3
+         UNION ALL SELECT v, CAST(4 AS BIGINT) FROM f4) GROUP BY v),
+conf AS (SELECT COUNT(*) AS c FROM edges e
+         JOIN d4 a ON a.v = e.src JOIN d4 b ON b.v = e.dst
+         WHERE a.hops % 2 = b.hops % 2)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d4) AS n_reached,
+       (SELECT CAST(SUM(CASE WHEN hops % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM d4) AS n_even,
+       (SELECT CAST(SUM(CASE WHEN hops % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM d4) AS n_odd,
+       CAST(conf.c AS BIGINT) AS conflict_edges,
+       CAST(CASE WHEN conf.c = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS bipartite_horizon
+FROM conf
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -18422,4 +18736,9 @@ def registry():
                                       SQL_STUMP),
         "seasonal_decompose_revenue": (q_seasonal_decompose_revenue,
                                        SQL_SEASONAL),
+        "countmin_word_freq": (q_countmin_word_freq,
+                               _sql_countmin()),
+        "locf_impute_value": (q_locf_impute_value, SQL_LOCF),
+        "bipartite_check_links": (q_bipartite_check_links,
+                                  SQL_BIPARTITE),
     }

@@ -976,6 +976,27 @@ SIMHASH_PRIME = 1099511628211
 SIMHASH_MIX = 0x9E3779B97F4A7C15
 
 
+def word_hashes_u64(words) -> np.ndarray:
+    """SQL-mirrorable 64-bit word hash (shared by simhash and the
+    count-min sketch): pad UTF-8 words into an (n, maxlen) uint8
+    matrix; \\x00 never occurs inside a word, so zero bytes mark
+    padding and the fold skips them — per word this equals
+    fold(h*P + b) over its bytes, finalized by the golden-ratio mix
+    multiply (the DuckDB twin computes the identical value via
+    list_reduce over hex-extracted bytes)."""
+    wb = np.array([w.encode() for w in words], dtype=bytes)
+    mat = np.frombuffer(wb.tobytes(), dtype=np.uint8) \
+        .reshape(len(words), -1)
+    h = np.zeros(len(words), dtype=np.uint64)
+    p = np.uint64(SIMHASH_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            col = mat[:, j].astype(np.uint64)
+            h = np.where(col != 0, h * p + col, h)
+        h = h * np.uint64(SIMHASH_MIX)
+    return h
+
+
 class SimHasher:
     """64-bit simhash over word tokens (stateful: token regex per actor).
     Word hashing is a column-wise numpy fold over a padded byte matrix
@@ -991,20 +1012,7 @@ class SimHasher:
         self.shifts = np.arange(64, dtype=np.uint64)
 
     def _word_hashes(self, words) -> np.ndarray:
-        # pad UTF-8 words into an (n, maxlen) uint8 matrix; \x00 never
-        # occurs inside a word, so zero bytes mark padding and the fold
-        # skips them — per word this equals fold(h*P + b) over its bytes
-        wb = np.array([w.encode() for w in words], dtype=bytes)
-        mat = np.frombuffer(wb.tobytes(), dtype=np.uint8) \
-            .reshape(len(words), -1)
-        h = np.zeros(len(words), dtype=np.uint64)
-        p = np.uint64(SIMHASH_PRIME)
-        with np.errstate(over="ignore"):
-            for j in range(mat.shape[1]):
-                col = mat[:, j].astype(np.uint64)
-                h = np.where(col != 0, h * p + col, h)
-            h = h * np.uint64(SIMHASH_MIX)
-        return h
+        return word_hashes_u64(words)
 
     def simhash(self, text: str) -> int:
         words = self.tok.findall(text.lower())

@@ -140,7 +140,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "users_all_event_types", "cluster_merge_join", "mcc_langid",
        # batch 44 (BOM explosion, stump split scan, seasonal decompose)
        "bom_explosion", "stump_candidates_discount",
-       "seasonal_decompose_revenue"]
+       "seasonal_decompose_revenue",
+       # batch 45 (count-min sketch w/ exact twin, LOCF, bipartite)
+       "countmin_word_freq", "locf_impute_value",
+       "bipartite_check_links"]
 
 
 def _norm(v) -> str:
@@ -2006,3 +2009,84 @@ def test_seasonal_decompose_constant_series_is_zero(tmp_path):
     assert len(out) == 7
     assert (out["seasonal"] == 0.0).all()
     assert int(out["n_days"].sum()) == len(days) - 6
+
+
+def test_countmin_overestimates_and_exact_without_collisions(tmp_path):
+    from prclz_ray.pipelines.queries import q_countmin_word_freq
+    out = q_countmin_word_freq(SF)
+    assert (out["cms_est"] >= out["n_exact"]).all()
+    assert len(out) == 20
+    # two-word corpus: 1024 buckets, 2 words → collision probability 0
+    # is not guaranteed but these two specific words do not collide in
+    # either row (asserted via the same public constants), so the
+    # sketch must be EXACT
+    docs = pa.table({"text": pa.array(["alpha beta alpha",
+                                       "beta alpha"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    got = q_countmin_word_freq(str(tmp_path)).set_index("word")
+    assert got.loc["alpha", "n_exact"] == 3
+    assert got.loc["beta", "n_exact"] == 2
+    from prclz_ray.pipelines.queries import _CMS_A, _cms_buckets
+    from prclz_ray.stages.dedup import word_hashes_u64
+    h = word_hashes_u64(["alpha", "beta"])
+    for a in _CMS_A:
+        b = _cms_buckets(h, a)
+        if b[0] == b[1]:
+            return                      # collided row: skip exactness
+    assert (got["cms_est"] == got["n_exact"]).all()
+
+
+def test_locf_fill_semantics(tmp_path):
+    """Leading null never fills; later nulls carry the most recent
+    non-null; ts ties break by event_id."""
+    from prclz_ray.pipelines.queries import q_locf_impute_value
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ev = pa.table({
+        "ts": pa.array([t0, t0 + 60, t0 + 120, t0 + 120, t0 + 180]),
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 9], type=pa.int64()),
+        "event_type": pa.array(["error", "click", "error", "error",
+                                "error"]),
+        "value": pa.array([99.0, 2.5, 88.0, 77.0, 1.0])})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_locf_impute_value(str(tmp_path)).set_index("user_id")
+    # user 7: first error unfilled, two later errors filled with 2.5
+    assert out.loc[7, "n_null"] == 3
+    assert out.loc[7, "n_filled"] == 2
+    assert out.loc[7, "filled_cents"] == 500
+    # user 9: only an error event → nothing to carry
+    assert out.loc[9, "n_null"] == 1
+    assert out.loc[9, "n_filled"] == 0
+
+
+def test_bipartite_check_vs_numpy_bfs():
+    """Independent dense BFS-parity recomputation of the whole
+    statistic on the sf0.001 fixture."""
+    from prclz_ray.pipelines.queries import q_bipartite_check_links
+    out = q_bipartite_check_links(SF).iloc[0]
+    n = pq.read_metadata(
+        os.path.join(SF, "documents.parquet")).num_rows
+    doc = pq.read_table(os.path.join(SF, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.repeat(doc, 3)
+    k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(doc))
+    dst = (src * 7919 + k * 104729) % n
+    hops = np.full(n, -1, dtype=np.int64)
+    frontier = doc[doc % 97 == 0]
+    hops[frontier] = 0
+    for r in range(1, 5):
+        m = np.isin(src, frontier)
+        nxt = np.unique(dst[m])
+        nxt = nxt[hops[nxt] == -1]
+        hops[nxt] = r
+        frontier = nxt
+    reached = hops >= 0
+    assert int(out["n_reached"]) == int(reached.sum())
+    assert int(out["n_even"]) == int((hops[reached] % 2 == 0).sum())
+    both = reached[src] & reached[dst]
+    conf = int((both & ((hops[src] % 2) == (hops[dst] % 2))).sum())
+    assert int(out["conflict_edges"]) == conf
+    assert int(out["n_even"]) + int(out["n_odd"]) \
+        == int(out["n_reached"])
