@@ -18254,6 +18254,238 @@ FROM conf
 """
 
 
+def q_frequent_triples_events(sf_dir: str):
+    """Frequent-itemset mining (the market-basket classic) over
+    (user, day) baskets of event types: support of every 3-type
+    combination.  The scale trick is the BITMASK FOLD: after one exact
+    (user, day, type) distinct, each basket's type set reduces to a
+    Σ2^bit integer via an ordinary SUM aggregate, and the support of
+    every triple is a subset-sum over the ≤2^|types| mask histogram —
+    so the corpus-wide shuffles carry only distinct triples and then
+    (user, day, mask) rows, never candidate itemsets (the a-priori
+    explosion stays on the driver over a types³-bounded lattice).
+    The twin runs the literal three-way self-join."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "day": day,
+            "event_type": t["event_type"].to_numpy(
+                zero_copy_only=False)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    trip = ev.map_batches(pair_dedup, batch_format="pyarrow") \
+        .groupby(["user_id", "day", "event_type"]) \
+        .aggregate(Count(alias_name="_c")).materialize()
+    types = sorted(relational.ds_to_table(
+        trip.map_batches(
+            lambda t: pa.table({"event_type":
+                                pc.unique(t["event_type"])}),
+            batch_format="pyarrow")
+        .groupby("event_type").aggregate(Count(alias_name="_c"))
+    )["event_type"].to_pylist())
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        b = np.array([bit[x] for x in et], dtype=np.int64)
+        return pa.table({"user_id": t["user_id"], "day": t["day"],
+                         "b": pa.array(b)})
+
+    masks = trip.map_batches(to_bits, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Sum("b",
+                                                   alias_name="mask"))
+
+    def mask_partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"mask": t["mask"].to_numpy(
+            zero_copy_only=False), "n": 1}) \
+            .groupby("mask", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = relational.ds_to_table(
+        masks.map_batches(mask_partial, batch_format="pyarrow")
+        .groupby("mask").aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    mcount = {int(r.mask): int(r.n) for r in hist.itertuples()}
+    rows = []
+    k = len(types)
+    for i in range(k):
+        for j in range(i + 1, k):
+            for l in range(j + 1, k):
+                need = (1 << i) | (1 << j) | (1 << l)
+                sup = sum(n for m, n in mcount.items()
+                          if m & need == need)
+                if sup >= 1:
+                    rows.append({"t1": types[i], "t2": types[j],
+                                 "t3": types[l], "support": sup})
+    out = pd.DataFrame(rows).sort_values(["t1", "t2", "t3"]) \
+        .reset_index(drop=True)
+    return out.astype({"support": np.int64})
+
+
+SQL_TRIPLES = """
+WITH s AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day,
+                  event_type AS t
+           FROM events)
+SELECT a.t AS t1, b.t AS t2, c.t AS t3,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM s a
+JOIN s b ON a.user_id = b.user_id AND a.day = b.day AND a.t < b.t
+JOIN s c ON a.user_id = c.user_id AND a.day = c.day AND b.t < c.t
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_diff_in_diff_value(sf_dir: str):
+    """Difference-in-differences — the quasi-experimental estimator:
+    treatment arm by deterministic user-id parity (the fixture's
+    standing A/B convention), pre/post periods split at epoch day
+    19738 (2024-01-16), outcome = event value in exact cents.
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).  One streaming
+    pass folds the four (arm, period) cells' exact-int sums/counts;
+    the four means and the estimate are the only float ops, written
+    to mirror the SQL text."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    SPLIT = 19738
+
+    def cells(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        arm = (t["user_id"].to_numpy(zero_copy_only=False)
+               .astype(np.int64) % 2)
+        post = (day >= SPLIT).astype(np.int64)
+        cents = np.round(t["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"arm": arm, "post": post, "s": cents,
+                          "n": 1}).groupby(["arm", "post"],
+                                           sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    c = relational.ds_to_table(
+        ev.map_batches(cells, batch_format="pyarrow")
+        .groupby(["arm", "post"]).aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    ).to_pandas().set_index(["arm", "post"])
+
+    def cell(a, p):
+        return int(c.loc[(a, p), "s"]), int(c.loc[(a, p), "n"])
+
+    st0, nt0 = cell(1, 0)
+    st1, nt1 = cell(1, 1)
+    sc0, nc0 = cell(0, 0)
+    sc1, nc1 = cell(0, 1)
+    did = (float(st1) / nt1 - float(st0) / nt0) \
+        - (float(sc1) / nc1 - float(sc0) / nc0)
+    return pd.DataFrame([{
+        "n_t_pre": nt0, "n_t_post": nt1, "n_c_pre": nc0,
+        "n_c_post": nc1, "did_cents": np.round(did, 4)}]) \
+        .astype({"n_t_pre": np.int64, "n_t_post": np.int64,
+                 "n_c_pre": np.int64, "n_c_post": np.int64})
+
+
+SQL_DID = """
+WITH e AS (SELECT user_id % 2 AS arm,
+                  CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                       THEN 1 ELSE 0 END AS post,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+c AS (SELECT arm, post, SUM(cents) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+w AS (SELECT
+        MAX(CASE WHEN arm = 1 AND post = 0 THEN s END) AS st0,
+        MAX(CASE WHEN arm = 1 AND post = 0 THEN n END) AS nt0,
+        MAX(CASE WHEN arm = 1 AND post = 1 THEN s END) AS st1,
+        MAX(CASE WHEN arm = 1 AND post = 1 THEN n END) AS nt1,
+        MAX(CASE WHEN arm = 0 AND post = 0 THEN s END) AS sc0,
+        MAX(CASE WHEN arm = 0 AND post = 0 THEN n END) AS nc0,
+        MAX(CASE WHEN arm = 0 AND post = 1 THEN s END) AS sc1,
+        MAX(CASE WHEN arm = 0 AND post = 1 THEN n END) AS nc1
+      FROM c)
+SELECT nt0 AS n_t_pre, nt1 AS n_t_post, nc0 AS n_c_pre,
+       nc1 AS n_c_post,
+       ROUND((CAST(st1 AS DOUBLE) / nt1 - CAST(st0 AS DOUBLE) / nt0)
+             - (CAST(sc1 AS DOUBLE) / nc1
+                - CAST(sc0 AS DOUBLE) / nc0), 4) AS did_cents
+FROM w
+"""
+
+
+def q_mutual_info_discount_flag(sf_dir: str):
+    """Mutual information (nats) between l_discount and l_returnflag —
+    the model-free feature-relevance screen that catches what a linear
+    correlation misses.  One (feature-values × classes)-bounded count
+    reduce (11 × 3 here), exact-int marginals, then MI and the two
+    entropies finish on the tiny joint table with per-cell float terms
+    mirroring the SQL text (33 cells → double-rounding-safe at 6 dp)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_discount", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"d": d, "f": t["l_returnflag"].to_numpy(
+            zero_copy_only=False), "n": 1}) \
+            .groupby(["d", "f"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d", "f"]).aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    N = int(cnt["n"].sum())
+    r = cnt.groupby("d")["n"].sum()
+    cl = cnt.groupby("f")["n"].sum()
+    mi = sum((int(row.n) / N)
+             * math.log(int(row.n) * N
+                        / (int(r[row.d]) * int(cl[row.f])))
+             for row in cnt.itertuples())
+    hx = -sum((int(v) / N) * math.log(int(v) / N) for v in r)
+    hy = -sum((int(v) / N) * math.log(int(v) / N) for v in cl)
+    return pd.DataFrame([{
+        "n": N, "mi_nats": np.round(mi, 6),
+        "h_discount": np.round(hx, 6),
+        "h_flag": np.round(hy, 6)}]).astype({"n": np.int64})
+
+
+SQL_MUTUAL_INFO = """
+WITH pts AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                    l_returnflag AS f FROM lineitem),
+cnt AS (SELECT d, f, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2),
+nn AS (SELECT SUM(n) AS n FROM cnt),
+r AS (SELECT d, SUM(n) AS rn FROM cnt GROUP BY 1),
+c AS (SELECT f, SUM(n) AS cn FROM cnt GROUP BY 1)
+SELECT CAST(nn.n AS BIGINT) AS n,
+       ROUND((SELECT SUM((CAST(cnt.n AS DOUBLE) / nn.n)
+                         * ln(CAST(cnt.n AS DOUBLE) * nn.n
+                              / (CAST(r.rn AS DOUBLE) * c.cn)))
+              FROM cnt JOIN r ON cnt.d = r.d
+                       JOIN c ON cnt.f = c.f), 6) AS mi_nats,
+       ROUND((SELECT -SUM((CAST(rn AS DOUBLE) / nn.n)
+                          * ln(CAST(rn AS DOUBLE) / nn.n))
+              FROM r), 6) AS h_discount,
+       ROUND((SELECT -SUM((CAST(cn AS DOUBLE) / nn.n)
+                          * ln(CAST(cn AS DOUBLE) / nn.n))
+              FROM c), 6) AS h_flag
+FROM nn
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -18741,4 +18973,9 @@ def registry():
         "locf_impute_value": (q_locf_impute_value, SQL_LOCF),
         "bipartite_check_links": (q_bipartite_check_links,
                                   SQL_BIPARTITE),
+        "frequent_triples_events": (q_frequent_triples_events,
+                                    SQL_TRIPLES),
+        "diff_in_diff_value": (q_diff_in_diff_value, SQL_DID),
+        "mutual_info_discount_flag": (q_mutual_info_discount_flag,
+                                      SQL_MUTUAL_INFO),
     }

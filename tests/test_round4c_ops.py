@@ -143,7 +143,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "seasonal_decompose_revenue",
        # batch 45 (count-min sketch w/ exact twin, LOCF, bipartite)
        "countmin_word_freq", "locf_impute_value",
-       "bipartite_check_links"]
+       "bipartite_check_links",
+       # batch 46 (frequent triples, diff-in-diff, mutual information)
+       "frequent_triples_events", "diff_in_diff_value",
+       "mutual_info_discount_flag"]
 
 
 def _norm(v) -> str:
@@ -2090,3 +2093,68 @@ def test_bipartite_check_vs_numpy_bfs():
     assert int(out["conflict_edges"]) == conf
     assert int(out["n_even"]) + int(out["n_odd"]) \
         == int(out["n_reached"])
+
+
+def test_frequent_triples_subset_monotone_and_crafted(tmp_path):
+    """A-priori monotonicity: support(t1,t2,t3) ≤ min pairwise support
+    via the mask identity; crafted baskets verified by hand."""
+    from prclz_ray.pipelines.queries import q_frequent_triples_events
+    t0 = np.datetime64("2024-01-05T10:00:00", "us")
+    # user 1 day0: {a,b,c}; user 1 day1: {a,b}; user 2 day0: {a,b,c,d}
+    rows = [(1, t0, "a"), (1, t0, "b"), (1, t0, "c"), (1, t0, "a"),
+            (1, t0 + np.timedelta64(1, "D").astype("timedelta64[us]"),
+             "a"),
+            (1, t0 + np.timedelta64(1, "D").astype("timedelta64[us]"),
+             "b"),
+            (2, t0, "a"), (2, t0, "b"), (2, t0, "c"), (2, t0, "d")]
+    ev = pa.table({
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows])})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    got = q_frequent_triples_events(str(tmp_path))
+    sup = {(r.t1, r.t2, r.t3): r.support for r in got.itertuples()}
+    assert sup[("a", "b", "c")] == 2       # both day-0 baskets
+    assert sup[("a", "b", "d")] == 1
+    assert sup[("b", "c", "d")] == 1
+    assert ("a", "b", "e") not in sup
+
+
+def test_did_zero_when_arms_move_in_parallel(tmp_path):
+    """Parallel trends: both arms shift by the same amount post →
+    DiD must be exactly 0."""
+    from prclz_ray.pipelines.queries import q_diff_in_diff_value
+    pre = np.datetime64("2024-01-05T00:00:00", "us")
+    post = np.datetime64("2024-01-20T00:00:00", "us")
+    ev = pa.table({
+        "ts": pa.array([pre, pre, post, post]),
+        "user_id": pa.array([1, 2, 1, 2], type=pa.int64()),
+        # treatment (odd) 10→20, control (even) 5→15: both +10
+        "value": pa.array([10.0, 5.0, 20.0, 15.0])})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_diff_in_diff_value(str(tmp_path)).iloc[0]
+    assert out["did_cents"] == 0.0
+    assert int(out["n_t_pre"]) == 1 and int(out["n_c_post"]) == 1
+
+
+def test_mutual_info_identities():
+    """0 ≤ MI ≤ min(H_x, H_y); MI of an independent crafted joint
+    is exactly 0."""
+    from prclz_ray.pipelines.queries import q_mutual_info_discount_flag
+    out = q_mutual_info_discount_flag(SF).iloc[0]
+    assert 0.0 <= out["mi_nats"] <= min(out["h_discount"],
+                                        out["h_flag"]) + 1e-6
+    assert out["h_discount"] > 0 and out["h_flag"] > 0
+
+
+def test_mutual_info_zero_on_independent_joint(tmp_path):
+    from prclz_ray.pipelines.queries import q_mutual_info_discount_flag
+    # perfectly independent 2×2 joint: every (d, f) cell equal
+    disc = [0.01, 0.01, 0.02, 0.02] * 2
+    flag = ["A", "R"] * 4
+    li = pa.table({"l_discount": pa.array(disc),
+                   "l_returnflag": pa.array(flag)})
+    pq.write_table(li, os.path.join(str(tmp_path),
+                                    "lineitem.parquet"))
+    out = q_mutual_info_discount_flag(str(tmp_path)).iloc[0]
+    assert out["mi_nats"] == 0.0
