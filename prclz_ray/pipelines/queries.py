@@ -18486,6 +18486,193 @@ FROM nn
 """
 
 
+#: character-class patterns shared verbatim by the Ray kernels and the
+#: SQL twin (both RE2) — mixed-script detection catches mojibake and
+#: script-spoofing spam that per-language filters miss
+_SCRIPT_CLASSES = [("latin", "[A-Za-z]"), ("digit", "[0-9]"),
+                   ("space", r"[ \t\n\r]"),
+                   ("accent", "[À-ɏ]")]
+
+
+def q_script_mix_by_source(sf_dir: str):
+    """Unicode script/character-class mix per source — the corpus-
+    hygiene profile that surfaces mojibake, script-spoofing and
+    markup-heavy sources before they poison a tokenizer.  One
+    streaming pass: per batch, one arrow C++ ``count_substring_regex``
+    per class (RE2, shared pattern text with the DuckDB twin's
+    ``regexp_extract_all``) + a utf8_length total, folded through a
+    sources-bounded groupby.  ``other`` is the exact remainder of the
+    disjoint classes."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"source": t["source"],
+                "n_docs": pa.array(np.ones(t.num_rows,
+                                           dtype=np.int64)),
+                "chars": pc.utf8_length(t["text"]).cast(pa.int64())}
+        for name, pat in _SCRIPT_CLASSES:
+            cols[name] = pc.count_substring_regex(
+                t["text"], pattern=pat).cast(pa.int64())
+        g = pa.table(cols).group_by("source").aggregate(
+            [(c, "sum") for c in cols if c != "source"])
+        return g.rename_columns(["source"] + [c for c in cols
+                                              if c != "source"])
+
+    out = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("chars", alias_name="chars"),
+            *[Sum(n, alias_name=n) for n, _ in _SCRIPT_CLASSES])
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    out["other"] = out["chars"] - sum(out[n] for n, _
+                                      in _SCRIPT_CLASSES)
+    ints = {c: np.int64 for c in out.columns if c != "source"}
+    return out.astype(ints)
+
+
+def _sql_script_mix() -> str:
+    cls = ",\n       ".join(
+        f"CAST(SUM(length(regexp_extract_all(text, '{pat}')))"
+        f" AS BIGINT) AS {name}" for name, pat in _SCRIPT_CLASSES)
+    rem = " - ".join(["CAST(SUM(length(text)) AS BIGINT)"]
+                     + [f"CAST(SUM(length(regexp_extract_all(text,"
+                        f" '{pat}'))) AS BIGINT)"
+                        for _, pat in _SCRIPT_CLASSES])
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS chars,
+       {cls},
+       {rem} AS other
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_golden_record_entities(sf_dir: str):
+    """Golden-record construction (MDM survivorship): after fuzzy
+    entity resolution, each cluster publishes ONE canonical record —
+    longest name wins (corruption deletes characters), ties break
+    lexicographically; unmatched records survive as their own
+    singleton golden record.  Cluster labels ride a bucketed LEFT
+    join back onto the full clean ∪ dirty catalog (no broadcast of
+    the entity set), survivorship picks per label inside a bucketed
+    group pass.  Reuses the fuzzy-pairs + connected-components
+    kernels; the twin composes the identical recursive closure."""
+    from ..stages import fuzzy
+
+    clean, dirty = _fuzzy_sides(sf_dir)
+    pairs = fuzzy.blocked_fuzzy_pairs(clean, dirty, id_col="id",
+                                      text_col="nm", max_dist=1,
+                                      block_len=6)
+    labels = dd.connected_components(
+        pairs.select_columns(["a", "b"])).map_batches(
+        lambda t: pa.table({"id": t["node"].cast(pa.int64()),
+                            "label": t["label"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    ents = clean.union(dirty)
+    j = relational.bucketed_hash_join(ents, labels, on="id",
+                                      how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        lab = np.where(pd.isna(lab), ids, lab).astype(np.int64)
+        return pa.table({"label": pa.array(lab), "id": t["id"],
+                         "nm": t["nm"]})
+
+    def survive(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ln=g["nm"].str.len()) \
+            .sort_values(["ln", "nm"], ascending=[False, True])
+        top = g.iloc[0]
+        return pd.DataFrame([{
+            "label": int(g["label"].iloc[0]),
+            "n_records": len(g), "canonical_nm": top["nm"]}])
+
+    out = relational.ds_to_table(
+        j.map_batches(finish, batch_format="pyarrow")
+        .groupby("label").map_groups(survive, batch_format="pandas")
+    ).to_pandas().sort_values("label").reset_index(drop=True)
+    return out.astype({"label": np.int64, "n_records": np.int64})
+
+
+SQL_GOLDEN_RECORD = SQL_FUZZY_BASE + """,
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b
+        FROM pairs),
+reach(node, anc) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.anc),
+lbl AS (SELECT node, MIN(l) AS label FROM (
+          SELECT node, node AS l
+          FROM (SELECT a AS node FROM pairs
+                UNION SELECT b AS node FROM pairs)
+          UNION ALL SELECT node, anc AS l FROM reach)
+        GROUP BY node),
+ents AS (SELECT id, nm FROM clean UNION ALL SELECT id, nm FROM dirty),
+tagged AS (SELECT e.id, e.nm, COALESCE(l.label, e.id) AS label
+           FROM ents e LEFT JOIN lbl l ON l.node = e.id),
+ranked AS (SELECT label, nm,
+                  ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY length(nm) DESC, nm ASC)
+                    AS rk,
+                  COUNT(*) OVER (PARTITION BY label) AS n
+           FROM tagged)
+SELECT label, CAST(n AS BIGINT) AS n_records, nm AS canonical_nm
+FROM ranked WHERE rk = 1 ORDER BY label
+"""
+
+
+def q_bag_intersect_users(sf_dir: str):
+    """INTERSECT ALL as an executable contract — bag semantics, the
+    variant set-algebra queries silently get wrong: the multiset
+    intersection of the click-user bag and the purchase-user bag
+    keeps each user min(#clicks, #purchases) times (SQL's INTERSECT
+    would collapse to distinct).  One (user × {click,purchase}) count
+    reduce, then the Σ min fold — no row-level intersection ever
+    materializes."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        u = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        isc = (et[keep] == "click").astype(np.int64)
+        g = pd.DataFrame({"user_id": u, "nc": isc, "np_": 1 - isc}) \
+            .groupby("user_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("nc", alias_name="nc"),
+                                      Sum("np_", alias_name="np_"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        nc = t["nc"].to_numpy(zero_copy_only=False)
+        npp = t["np_"].to_numpy(zero_copy_only=False)
+        mn = np.minimum(nc, npp)
+        return pa.table({"r": pa.array([int(mn.sum())]),
+                         "u": pa.array([int((mn > 0).sum())])})
+
+    agg = per_user.map_batches(fold, batch_format="pyarrow") \
+        .aggregate(Sum("r", alias_name="r"), Sum("u", alias_name="u"))
+    return pd.DataFrame([{"n_rows": int(agg["r"]),
+                          "n_users": int(agg["u"])}]) \
+        .astype({"n_rows": np.int64, "n_users": np.int64})
+
+
+SQL_BAG_INTERSECT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -18978,4 +19165,10 @@ def registry():
         "diff_in_diff_value": (q_diff_in_diff_value, SQL_DID),
         "mutual_info_discount_flag": (q_mutual_info_discount_flag,
                                       SQL_MUTUAL_INFO),
+        "script_mix_by_source": (q_script_mix_by_source,
+                                 _sql_script_mix()),
+        "golden_record_entities": (q_golden_record_entities,
+                                   SQL_GOLDEN_RECORD),
+        "bag_intersect_users": (q_bag_intersect_users,
+                                SQL_BAG_INTERSECT),
     }

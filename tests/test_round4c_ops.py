@@ -146,7 +146,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "bipartite_check_links",
        # batch 46 (frequent triples, diff-in-diff, mutual information)
        "frequent_triples_events", "diff_in_diff_value",
-       "mutual_info_discount_flag"]
+       "mutual_info_discount_flag",
+       # batch 47 (script mix, golden record, INTERSECT ALL contract)
+       "script_mix_by_source", "golden_record_entities",
+       "bag_intersect_users"]
 
 
 def _norm(v) -> str:
@@ -2158,3 +2161,61 @@ def test_mutual_info_zero_on_independent_joint(tmp_path):
                                     "lineitem.parquet"))
     out = q_mutual_info_discount_flag(str(tmp_path)).iloc[0]
     assert out["mi_nats"] == 0.0
+
+
+def test_script_mix_accent_and_remainder(tmp_path):
+    from prclz_ray.pipelines.queries import q_script_mix_by_source
+    docs = pa.table({
+        "source": pa.array(["s1", "s1", "s2"]),
+        "text": pa.array(["Café 42!", "naïve", "абв plain"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_script_mix_by_source(str(tmp_path)).set_index("source")
+    # s1: 'Café 42!' latin=3 accent=1 digit=2 space=1 other=1('!')
+    #     + 'naïve'   latin=4 accent=1
+    assert out.loc["s1", "latin"] == 7
+    assert out.loc["s1", "accent"] == 2
+    assert out.loc["s1", "digit"] == 2
+    assert out.loc["s1", "other"] == 1
+    # s2: cyrillic абв falls in neither class → other=3, latin=5
+    assert out.loc["s2", "latin"] == 5
+    assert out.loc["s2", "other"] == 3
+    # disjoint classes reassemble the total
+    cls = ["latin", "digit", "space", "accent", "other"]
+    assert (out[cls].sum(axis=1) == out["chars"]).all()
+
+
+def test_golden_record_survivorship_rules():
+    """Every matched cluster's canonical name must be the longest
+    (ties lexicographic) among its members; clean+dirty records all
+    appear exactly once across clusters."""
+    from prclz_ray.pipelines.queries import (_fuzzy_sides,
+                                             q_golden_record_entities)
+    out = q_golden_record_entities(SF)
+    clean, dirty = _fuzzy_sides(SF)
+    n_ents = clean.count() + dirty.count()
+    assert int(out["n_records"].sum()) == n_ents
+    # deletion-corrupted names are 1 shorter: every 2-record cluster's
+    # canonical is at least as long as BOTH members, so it equals the
+    # clean (max-length) name
+    nm = {**dict(zip(clean.to_pandas()["id"],
+                     clean.to_pandas()["nm"])),
+          **dict(zip(dirty.to_pandas()["id"],
+                     dirty.to_pandas()["nm"]))}
+    multi = out[out["n_records"] >= 2]
+    assert len(multi) > 0
+    for r in multi.head(25).itertuples():
+        assert len(r.canonical_nm) >= len(nm[r.label])
+
+
+def test_bag_intersect_min_multiplicity(tmp_path):
+    from prclz_ray.pipelines.queries import q_bag_intersect_users
+    # user 1: 3 clicks, 2 purchases → 2; user 2: 1 click only → 0
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["click", "click", "click",
+                                "purchase", "purchase", "click"])})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_bag_intersect_users(str(tmp_path)).iloc[0]
+    assert int(out["n_rows"]) == 2
+    assert int(out["n_users"]) == 1
