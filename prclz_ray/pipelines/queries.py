@@ -18673,6 +18673,202 @@ FROM (SELECT user_id FROM events WHERE event_type = 'click'
 """
 
 
+def q_bootstrap_ci_daily_revenue(sf_dir: str):
+    """Bootstrap 95 % CI for total daily revenue — WITHOUT A SINGLE
+    FLOAT: 200 deterministic resamples of the daily-cents series
+    (pick(r,i) = ((r·n+i+1)·φ₆₄ mod 2⁶⁴) mod n, the fixture's standing
+    golden-ratio RNG, reproduced verbatim in HUGEINT by the twin),
+    each rep's resampled TOTAL stays an exact integer, and the CI is
+    the 5th / 196th order statistic of the 200 rep totals.  The
+    distributed part is the shared daily reduce; the resample matrix
+    is days×reps-bounded."""
+    d = _daily_revenue_cents(sf_dir)
+    cents = d["rev"].to_numpy(np.int64)
+    n = len(cents)
+    B = 200
+    r = np.arange(B, dtype=np.uint64)[:, None]
+    i = np.arange(n, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pick = ((r * np.uint64(n) + i + np.uint64(1))
+                * np.uint64(relational.SAMPLE_MIX)) % np.uint64(n)
+    sums = np.sort(cents[pick.astype(np.int64)].sum(axis=1))
+    return pd.DataFrame([{
+        "n_days": n, "n_reps": B,
+        "total_cents": int(cents.sum()),
+        "ci_lo_cents": int(sums[4]),       # 5th smallest  (2.5 %)
+        "ci_hi_cents": int(sums[195]),     # 196th smallest (97.5 %)
+    }]).astype({c: np.int64 for c in
+                ["n_days", "n_reps", "total_cents", "ci_lo_cents",
+                 "ci_hi_cents"]})
+
+
+SQL_BOOTSTRAP = f"""
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1),
+i AS (SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx, rev FROM d),
+nn AS (SELECT COUNT(*) AS n FROM i),
+g AS (SELECT r.r,
+             CAST((CAST(r.r AS HUGEINT) * nn.n + s.idx + 1)
+                  * {relational.SAMPLE_MIX}
+                  % 18446744073709551616 % nn.n AS BIGINT) AS pick
+      FROM (SELECT unnest(generate_series(0, 199)) AS r) r, i s, nn),
+reps AS (SELECT g.r, SUM(i2.rev) AS s
+         FROM g JOIN i i2 ON i2.idx = g.pick GROUP BY 1),
+rk AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS k FROM reps)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+       CAST(200 AS BIGINT) AS n_reps,
+       (SELECT CAST(SUM(rev) AS BIGINT) FROM d) AS total_cents,
+       (SELECT CAST(s AS BIGINT) FROM rk WHERE k = 5) AS ci_lo_cents,
+       (SELECT CAST(s AS BIGINT) FROM rk WHERE k = 196) AS ci_hi_cents
+"""
+
+
+def _sql_bfs_rounds(seed_pred: str, src: str, dst: str,
+                    rounds: int, p: str = "d") -> str:
+    """Unrolled multi-round BFS CTE chain (frontier expand + MIN-merge
+    per round) over the shared synthetic link graph, parameterized by
+    direction and CTE-name prefix — the twin generator for every
+    bounded-BFS query."""
+    out = [f"{p}0 AS (SELECT doc_id AS v, CAST(0 AS BIGINT) AS hops\n"
+           f"       FROM documents WHERE {seed_pred})"]
+    for r in range(1, rounds + 1):
+        out.append(
+            f"{p}f{r} AS (SELECT DISTINCT e.{dst} AS v FROM edges e\n"
+            f"       JOIN {p}{r-1} p ON p.v = e.{src}"
+            f" AND p.hops = {r-1})")
+        out.append(
+            f"{p}{r} AS (SELECT v, MIN(hops) AS hops FROM (\n"
+            f"         SELECT v, hops FROM {p}{r-1}\n"
+            f"         UNION ALL SELECT v, CAST({r} AS BIGINT)"
+            f" FROM {p}f{r}) GROUP BY v)")
+    return ",\n".join(out)
+
+
+def q_pivot_scc_links(sf_dir: str):
+    """Strongly-connected-component membership probe for the pivot
+    node (doc 0) within a 4-hop horizon — the FW-BW primitive every
+    distributed SCC algorithm (e.g. Orzan/FB-Trim) is built from:
+    forward BFS on the edges, backward BFS on the REVERSED edges, and
+    the SCC candidates are the intersection.  Both legs reuse the
+    frontier-only bfs_hops kernel; the intersection is one bucketed
+    semi-join (no reached-set broadcast).  The twin unrolls both
+    4-round chains over the identical edge bag."""
+    from ..stages import graph_ops, relational as rel
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(flip: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            src = np.repeat(d, 3)
+            k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+            dst = (src * 7919 + k * 104729) % n
+            if flip:
+                src, dst = dst, src
+            return pa.table({"src": pa.array(src),
+                             "dst": pa.array(dst)})
+        return f
+
+    seeds = rd.from_items([{"v": 0}])
+    fwd = graph_ops.bfs_hops(
+        docs.map_batches(edges(False), batch_format="pyarrow"),
+        seeds, rounds=4, approx_num_nodes=n)
+    bwd = graph_ops.bfs_hops(
+        docs.map_batches(edges(True), batch_format="pyarrow"),
+        seeds, rounds=4, approx_num_nodes=n)
+    n_fwd, n_bwd = fwd.count(), bwd.count()
+    scc = relational.bucketed_semi_join(
+        fwd.select_columns(["v"]), bwd.select_columns(["v"]),
+        on="v")
+    return pd.DataFrame([{
+        "n_fwd": n_fwd, "n_bwd": n_bwd, "n_scc": scc.count()}]) \
+        .astype({"n_fwd": np.int64, "n_bwd": np.int64,
+                 "n_scc": np.int64})
+
+
+SQL_PIVOT_SCC = f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) k, nn),
+{_sql_bfs_rounds("doc_id = 0", "src", "dst", 4, p="d")},
+{_sql_bfs_rounds("doc_id = 0", "dst", "src", 4, p="r")}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d4) AS n_fwd,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM r4) AS n_bwd,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM d4 JOIN r4 ON d4.v = r4.v) AS n_scc
+"""
+
+
+def q_activity_decay_curve(sf_dir: str):
+    """User-activity decay curve: for each gap k = 1..14 days, the
+    exact number of (user, day) presence pairs that recur k days later
+    — the raw curve behind every retention half-life fit.  One exact
+    (user, day) distinct, then a user-bucket shuffle where each bucket
+    answers all 14 gaps with vectorized self-merges (presence arrays
+    never leave their bucket); zero-pair gaps still emit a row.  The
+    exponential-decay fit itself is pytest-pinned (float OLS has no
+    place in a hash surface)."""
+    from ray.data.aggregate import Sum
+    from ..stages.relational import stable_bucket
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    GAPS = list(range(1, 15))
+
+    def pres(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(
+            zero_copy_only=False), "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Count
+    presence = ev.map_batches(pres, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]) \
+        .aggregate(Count(alias_name="_c"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = stable_bucket(t["user_id"], 64)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[["user_id", "day"]]
+        rows = []
+        for k in GAPS:
+            shifted = base.assign(day=base["day"] + k)
+            m = base.merge(shifted, on=["user_id", "day"])
+            rows.append({"k": k, "n_k": len(m)})
+        return pd.DataFrame(rows)
+
+    out = relational.ds_to_table(
+        presence.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+        .groupby("k").aggregate(Sum("n_k", alias_name="n_k"))
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    return out.astype({"k": np.int64, "n_k": np.int64})
+
+
+SQL_ACTIVITY_DECAY = """
+WITH p AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+ks AS (SELECT unnest(generate_series(1, 14)) AS k),
+hits AS (SELECT ks.k AS k, COUNT(*) AS n
+         FROM ks, p a, p b
+         WHERE a.user_id = b.user_id AND b.day = a.day + ks.k
+         GROUP BY 1)
+SELECT ks.k, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_k
+FROM ks LEFT JOIN hits ON hits.k = ks.k ORDER BY ks.k
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -19171,4 +19367,9 @@ def registry():
                                    SQL_GOLDEN_RECORD),
         "bag_intersect_users": (q_bag_intersect_users,
                                 SQL_BAG_INTERSECT),
+        "bootstrap_ci_daily_revenue": (q_bootstrap_ci_daily_revenue,
+                                       SQL_BOOTSTRAP),
+        "pivot_scc_links": (q_pivot_scc_links, SQL_PIVOT_SCC),
+        "activity_decay_curve": (q_activity_decay_curve,
+                                 SQL_ACTIVITY_DECAY),
     }

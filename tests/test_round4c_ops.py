@@ -149,7 +149,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "mutual_info_discount_flag",
        # batch 47 (script mix, golden record, INTERSECT ALL contract)
        "script_mix_by_source", "golden_record_entities",
-       "bag_intersect_users"]
+       "bag_intersect_users",
+       # batch 48 (integer bootstrap CI, pivot SCC, activity decay)
+       "bootstrap_ci_daily_revenue", "pivot_scc_links",
+       "activity_decay_curve"]
 
 
 def _norm(v) -> str:
@@ -2219,3 +2222,44 @@ def test_bag_intersect_min_multiplicity(tmp_path):
     out = q_bag_intersect_users(str(tmp_path)).iloc[0]
     assert int(out["n_rows"]) == 2
     assert int(out["n_users"]) == 1
+
+
+def test_bootstrap_ci_brackets_total_and_is_integer_exact():
+    from prclz_ray.pipelines.queries import q_bootstrap_ci_daily_revenue
+    out = q_bootstrap_ci_daily_revenue(SF).iloc[0]
+    assert out["ci_lo_cents"] <= out["ci_hi_cents"]
+    # the observed total should land inside (or at least near) the
+    # resampling interval — for a mean-centered statistic it must
+    # bracket with overwhelming probability on 2000+ days
+    assert out["ci_lo_cents"] <= out["total_cents"] \
+        <= out["ci_hi_cents"]
+    for c in ["total_cents", "ci_lo_cents", "ci_hi_cents"]:
+        assert isinstance(int(out[c]), int)
+
+
+def test_pivot_scc_intersection_bound():
+    from prclz_ray.pipelines.queries import q_pivot_scc_links
+    out = q_pivot_scc_links(SF).iloc[0]
+    assert 1 <= out["n_scc"] <= min(out["n_fwd"], out["n_bwd"])
+    # pivot reaches itself both ways (hop 0) so both legs count it
+    assert out["n_fwd"] >= 1 and out["n_bwd"] >= 1
+
+
+def test_activity_decay_crafted_trajectory(tmp_path):
+    """User active on days 0,1,2,4 → gaps: k=1 has pairs (0,1),(1,2);
+    k=2 has (0,2),(2,4); k=3 has (1,4); k=4 has (0,4)."""
+    from prclz_ray.pipelines.queries import q_activity_decay_curve
+    days = [0, 1, 2, 4]
+    ts = np.array([np.datetime64("2024-01-01", "us")
+                   + np.timedelta64(d, "D").astype("timedelta64[us]")
+                   for d in days])
+    ev = pa.table({"ts": pa.array(ts),
+                   "user_id": pa.array([5] * 4, type=pa.int64())})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_activity_decay_curve(str(tmp_path)).set_index("k")
+    assert out.loc[1, "n_k"] == 2
+    assert out.loc[2, "n_k"] == 2
+    assert out.loc[3, "n_k"] == 1
+    assert out.loc[4, "n_k"] == 1
+    assert (out.loc[5:, "n_k"] == 0).all()
+    assert len(out) == 14
