@@ -18869,6 +18869,161 @@ FROM ks LEFT JOIN hits ON hits.k = ks.k ORDER BY ks.k
 """
 
 
+def q_l_diversity_audit(sf_dir: str):
+    """l-diversity audit — the privacy check k-anonymity misses: a
+    quasi-identifier class can be k-large yet expose everyone in it if
+    the SENSITIVE attribute (mktsegment) is homogeneous.  Classes are
+    (nation, $1000 balance band); the band uses the shift-then-divide
+    trick ((cents + 1 000 000) // 100 000) so numpy floor division and
+    SQL // agree on negative balances.  One (class × segment)-bounded
+    count reduce; per class the distinct-sensitive count and the l ≥ 3
+    verdict are exact ints."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal",
+                                      "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        band = (cents + 1_000_000) // 100_000
+        g = pd.DataFrame({
+            "nation": t["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "band": band,
+            "seg": t["c_mktsegment"].to_numpy(zero_copy_only=False),
+            "n": 1}).groupby(["nation", "band", "seg"],
+                             sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nation", "band", "seg"]).aggregate(
+            Sum("n", alias_name="n"))
+    ).to_pandas()
+    cls = cnt.groupby(["nation", "band"]) \
+        .agg(n_rows=("n", "sum"), l_count=("seg", "nunique")) \
+        .reset_index().sort_values(["nation", "band"]) \
+        .reset_index(drop=True)
+    cls["meets_l3"] = (cls["l_count"] >= 3).astype(np.int64)
+    return cls.astype({"nation": np.int64, "band": np.int64,
+                       "n_rows": np.int64, "l_count": np.int64})
+
+
+SQL_L_DIVERSITY = """
+WITH c AS (SELECT c_nationkey AS nation,
+                  (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1000000)
+                    // 100000 AS band,
+                  c_mktsegment AS seg
+           FROM customer)
+SELECT nation, band, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT seg) AS BIGINT) AS l_count,
+       CAST(CASE WHEN COUNT(DISTINCT seg) >= 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS meets_l3
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_asof_forward_click_purchase(sf_dir: str):
+    """FORWARD as-of join — 'the next purchase AFTER each click', the
+    time-to-convert primitive (the mirror of asof_last_purchase's
+    backward direction): each click matches the same user's EARLIEST
+    following purchase.  Exercises the asof kernel's forward leg
+    (smallest right.on ≥ left.on, first-in-sort tie semantics — the
+    docstring contract) against DuckDB's native forward ASOF JOIN
+    (`c.ts <= p.ts`).  Same one-sort-shuffle bucket shape."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = t.append_column("purchase_ts_us",
+                            t["ts"].cast(pa.int64()))
+        t = t.append_column("purchase_value", t["value"])
+        return t.select(["user_id", "ts", "purchase_ts_us",
+                         "purchase_value"])
+
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .map_batches(prep_right, batch_format="pyarrow")
+    out = relational.asof_join(clicks, purchases, on="ts",
+                               by="user_id", num_buckets=16,
+                               direction="forward")
+    return out.select_columns(["event_id", "user_id",
+                               "purchase_ts_us", "purchase_value"])
+
+
+SQL_ASOF_FORWARD = """
+SELECT c.event_id, c.user_id,
+       epoch_us(p.ts) AS purchase_ts_us, p.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+def q_windowed_dedup_events(sf_dir: str):
+    """Tumbling-window ingestion dedup — the bounded-state dedup a
+    streaming sink runs (exactly-once per key per hour, state expires
+    with the window): events collapse to one survivor per
+    (user, type, hour window).  Per-batch distinct shrinks the stream,
+    one exact triple groupby finishes it, and the per-type report
+    (rows in vs survivors kept) folds from bounded partials."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        win = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) \
+            // 3_600_000_000
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(
+                zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "win": win})
+        g = df.groupby(["event_type", "user_id", "win"],
+                       sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    triples = ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id", "win"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(
+                zero_copy_only=False),
+            "n_in": t["n"].to_numpy(zero_copy_only=False),
+            "n_kept": 1}).groupby("event_type", sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        triples.map_batches(fold, batch_format="pyarrow")
+        .groupby("event_type").aggregate(
+            Sum("n_in", alias_name="n_in"),
+            Sum("n_kept", alias_name="n_kept"))
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    return out.astype({"n_in": np.int64, "n_kept": np.int64})
+
+
+SQL_WINDOWED_DEDUP = """
+WITH w AS (SELECT event_type, user_id,
+                  epoch_us(ts) // 3600000000 AS win
+           FROM events)
+SELECT a.event_type, a.n_in, b.n_kept
+FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_in
+      FROM w GROUP BY 1) a
+JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM (SELECT DISTINCT event_type, user_id, win FROM w)
+      GROUP BY 1) b USING (event_type)
+ORDER BY a.event_type
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -19372,4 +19527,9 @@ def registry():
         "pivot_scc_links": (q_pivot_scc_links, SQL_PIVOT_SCC),
         "activity_decay_curve": (q_activity_decay_curve,
                                  SQL_ACTIVITY_DECAY),
+        "l_diversity_audit": (q_l_diversity_audit, SQL_L_DIVERSITY),
+        "asof_forward_click_purchase": (q_asof_forward_click_purchase,
+                                        SQL_ASOF_FORWARD),
+        "windowed_dedup_events": (q_windowed_dedup_events,
+                                  SQL_WINDOWED_DEDUP),
     }

@@ -152,7 +152,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "bag_intersect_users",
        # batch 48 (integer bootstrap CI, pivot SCC, activity decay)
        "bootstrap_ci_daily_revenue", "pivot_scc_links",
-       "activity_decay_curve"]
+       "activity_decay_curve",
+       # batch 49 (l-diversity, forward asof, windowed dedup)
+       "l_diversity_audit", "asof_forward_click_purchase",
+       "windowed_dedup_events"]
 
 
 def _norm(v) -> str:
@@ -2263,3 +2266,60 @@ def test_activity_decay_crafted_trajectory(tmp_path):
     assert out.loc[4, "n_k"] == 1
     assert (out.loc[5:, "n_k"] == 0).all()
     assert len(out) == 14
+
+
+def test_l_diversity_negative_band_and_homogeneous_class(tmp_path):
+    from prclz_ray.pipelines.queries import q_l_diversity_audit
+    cust = pa.table({
+        # nation 0: one class, all same segment → l=1, fails l3
+        # nation 1: 3 segments in one band → l=3, meets
+        # nation 2: NEGATIVE balance lands band 9 ((-100*100+1e6)//1e5)
+        "c_nationkey": pa.array([0, 0, 1, 1, 1, 2], type=pa.int32()),
+        "c_acctbal": pa.array([500.0, 550.0, 500.0, 520.0, 530.0,
+                               -100.0]),
+        "c_mktsegment": pa.array(["A", "A", "A", "B", "C", "A"])})
+    pq.write_table(cust, os.path.join(str(tmp_path),
+                                      "customer.parquet"))
+    out = q_l_diversity_audit(str(tmp_path)).set_index(
+        ["nation", "band"])
+    assert out.loc[(0, 10), "l_count"] == 1
+    assert out.loc[(0, 10), "meets_l3"] == 0
+    assert out.loc[(1, 10), "l_count"] == 3
+    assert out.loc[(1, 10), "meets_l3"] == 1
+    assert (2, 9) in out.index            # negative-balance band
+
+
+def test_asof_forward_picks_earliest_following(tmp_path):
+    from prclz_ray.pipelines.queries import q_asof_forward_click_purchase
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s").astype("timedelta64[us]")
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([t0, t0 + 10 * s, t0 + 20 * s, t0 + 5 * s]),
+        "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "event_type": pa.array(["click", "purchase", "purchase",
+                                "click"]),
+        "value": pa.array([0.0, 7.0, 9.0, 0.0])})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_asof_forward_click_purchase(str(tmp_path)) \
+        .to_pandas().set_index("event_id")
+    # click@0 → purchase@10 (earliest following), click@5 → same
+    assert out.loc[1, "purchase_value"] == 7.0
+    assert out.loc[4, "purchase_value"] == 7.0
+    assert len(out) == 2
+
+
+def test_windowed_dedup_counts(tmp_path):
+    from prclz_ray.pipelines.queries import q_windowed_dedup_events
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s").astype("timedelta64[us]")
+    ev = pa.table({
+        # user 1: 3 clicks same hour → 1 kept; 1 click next hour
+        "ts": pa.array([t0, t0 + m, t0 + 2 * m, t0 + 61 * m]),
+        "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "event_type": pa.array(["click"] * 4)})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_windowed_dedup_events(str(tmp_path)).set_index(
+        "event_type")
+    assert out.loc["click", "n_in"] == 4
+    assert out.loc["click", "n_kept"] == 2
