@@ -19024,6 +19024,237 @@ ORDER BY a.event_type
 """
 
 
+def q_code_switch_docs(sf_dir: str):
+    """Code-switching detection — the corpus-hygiene signal language-ID
+    alone misses: a doc whose stopword profile fires for TWO OR MORE
+    languages (≥3 hits each) is mixed-language (translation pairs,
+    spam, boilerplate splices) and most LLM-data recipes route it
+    separately.  Same six vectorized alternation-count passes as
+    LangId (shared `_LANG_PROFILES`, so the twin is GENERATED from the
+    same dict and cannot drift); primary language by first-max argmax,
+    per-language (n_docs, n_switched) from a langs-bounded fold."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+    langs = list(text._LANG_PROFILES)
+    res = [
+        _re.compile(r"\b(?:" + "|".join(
+            sorted(text._LANG_PROFILES[lg], key=len, reverse=True))
+            + r")\b") for lg in langs]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        low = b["text"].str.lower()
+        counts = np.stack([low.str.count(r).to_numpy()
+                           for r in res], axis=1)
+        best = counts.argmax(axis=1)        # first max wins
+        pred = np.where(counts.max(axis=1) == 0, "und",
+                        np.array(langs)[best])
+        switched = ((counts >= 3).sum(axis=1) >= 2).astype(np.int64)
+        return pd.DataFrame({"lang": pred, "n_docs": 1,
+                             "n_switched": switched}) \
+            .groupby("lang", sort=False).sum().reset_index()
+
+    out = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_switched", alias_name="n_switched"))
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    return out.astype({"n_docs": np.int64, "n_switched": np.int64})
+
+
+def _sql_code_switch() -> str:
+    langs = list(text._LANG_PROFILES)
+    pats = {lg: r"\b(?:" + "|".join(
+        sorted(prof, key=len, reverse=True)) + r")\b"
+        for lg, prof in text._LANG_PROFILES.items()}
+    counts = ",\n    ".join(
+        f"length(regexp_extract_all(lower(text), '{pats[lg]}'))"
+        f" AS c_{lg}" for lg in langs)
+    all_c = ", ".join(f"c_{lg}" for lg in langs)
+    branches = []
+    for i, lg in enumerate(langs):
+        conds = " AND ".join(f"c_{lg} >= c_{o}"
+                             for o in langs[i + 1:])
+        branches.append(f"WHEN {conds or 'TRUE'} THEN '{lg}'")
+    case = "\n      ".join(branches)
+    sw = " + ".join(f"CASE WHEN c_{lg} >= 3 THEN 1 ELSE 0 END"
+                    for lg in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+    {counts}
+  FROM documents),
+pred AS (
+  SELECT CASE WHEN GREATEST({all_c}) = 0 THEN 'und'
+      {case}
+    END AS lang,
+    CASE WHEN {sw} >= 2 THEN 1 ELSE 0 END AS sw
+  FROM scored)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sw) AS BIGINT) AS n_switched
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_interarrival_stats_by_type(sf_dir: str):
+    """Inter-arrival time statistics per event type — the Poisson-rate
+    diagnostic behind capacity planning and bot detection: gaps
+    between consecutive events of the same (user, type) stream under
+    composite (ts, event_id) order.  One user-bucket shuffle; per
+    bucket the gaps are one vectorized diff with group-boundary
+    masking; gap seconds floor to exact ints (// mirrored), the mean
+    is the single division."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import stable_bucket
+
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id",
+                                  "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64),
+            "t": g["event_type"].to_numpy(),
+            "ts": g["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64),
+            "eid": g["event_id"].to_numpy(np.int64)}) \
+            .sort_values(["u", "t", "ts", "eid"])
+        us = df["ts"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = (df["u"].to_numpy()[1:] ==
+                        df["u"].to_numpy()[:-1]) \
+                & (df["t"].to_numpy()[1:] == df["t"].to_numpy()[:-1])
+        gap = np.zeros(len(df), dtype=np.int64)
+        gap[1:] = us[1:] - us[:-1]
+        gs = gap // 1_000_000               # floor-seconds, mirrored
+        out = pd.DataFrame({"event_type": df["t"].to_numpy()[same],
+                            "n_gaps": 1, "sum_gap_sec": gs[same]}) \
+            .groupby("event_type", sort=False).sum().reset_index()
+        return out
+
+    out = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+        .groupby("event_type").aggregate(
+            Sum("n_gaps", alias_name="n_gaps"),
+            Sum("sum_gap_sec", alias_name="sum_gap_sec"))
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    out["mean_gap_sec"] = np.round(
+        out["sum_gap_sec"].astype(np.float64)
+        / out["n_gaps"].astype(np.float64), 4)
+    return out.astype({"n_gaps": np.int64, "sum_gap_sec": np.int64})
+
+
+SQL_INTERARRIVAL = """
+WITH o AS (SELECT event_type, ts,
+                  LAG(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS pts
+           FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM((epoch_us(ts) - epoch_us(pts)) // 1000000) AS BIGINT)
+         AS sum_gap_sec,
+       ROUND(CAST(SUM((epoch_us(ts) - epoch_us(pts)) // 1000000)
+                  AS DOUBLE) / COUNT(*), 4) AS mean_gap_sec
+FROM o WHERE pts IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_roc_points_doc_score(sf_dir: str):
+    """ROC operating points for the logreg document scorer at 19 fixed
+    thresholds (0.05 … 0.95) — the threshold-selection table behind
+    every deployed classifier (AUC alone can't pick a cutoff).  One
+    streaming pass: per batch a (rows × 19) vectorized comparison
+    folds into exact (tp, fp) partials per threshold; tn/fn derive
+    from the exact class totals; tpr/fpr are the mirrored divisions."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import ml
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    THR = [round(0.05 * i, 2) for i in range(1, 20)]
+
+    def feats(batch: pa.Table) -> pa.Table:
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        x1 = nch.astype(np.float64) / 1000.0
+        x2 = pc.list_value_length(
+            pc.split_pattern(batch["text"], pattern=" ")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        lbl = (nch > 297).astype(np.int64)
+        return pa.table({"x1": pa.array(x1), "x2": pa.array(x2),
+                         "label": pa.array(lbl)})
+
+    scored = ml.logreg_score(
+        docs.map_batches(feats, batch_format="pyarrow"),
+        ["x1", "x2"], weights=[0.8, -0.5], bias=0.25)
+    thr = np.array(THR)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        lbl = t["label"].to_numpy(zero_copy_only=False)
+        ge = s[:, None] >= thr[None, :]
+        tp = (ge & (lbl == 1)[:, None]).sum(axis=0)
+        fp = (ge & (lbl == 0)[:, None]).sum(axis=0)
+        return pa.table({"thr": pa.array(thr),
+                         "tp": pa.array(tp.astype(np.int64)),
+                         "fp": pa.array(fp.astype(np.int64)),
+                         "np_": pa.array(np.full(19, int(
+                             (lbl == 1).sum()), dtype=np.int64)),
+                         "nn_": pa.array(np.full(19, int(
+                             (lbl == 0).sum()), dtype=np.int64))})
+
+    agg = relational.ds_to_table(
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("thr").aggregate(
+            Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+            Sum("np_", alias_name="npos"),
+            Sum("nn_", alias_name="nneg"))
+    ).to_pandas().sort_values("thr").reset_index(drop=True)
+    agg["fn"] = agg["npos"] - agg["tp"]
+    agg["tn"] = agg["nneg"] - agg["fp"]
+    agg["tpr"] = np.round(agg["tp"].astype(np.float64)
+                          / agg["npos"].astype(np.float64), 6)
+    agg["fpr"] = np.round(agg["fp"].astype(np.float64)
+                          / agg["nneg"].astype(np.float64), 6)
+    out = agg[["thr", "tp", "fp", "fn", "tn", "tpr", "fpr"]]
+    return out.astype({c: np.int64 for c in
+                       ["tp", "fp", "fn", "tn"]})
+
+
+def _sql_roc_points() -> str:
+    thrs = ", ".join(repr(round(0.05 * i, 2)) for i in range(1, 20))
+    return f"""
+WITH f AS (
+  SELECT n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2,
+         CASE WHEN n_chars > 297 THEN 1 ELSE 0 END AS label
+  FROM documents),
+s AS (SELECT ROUND(1.0 / (1.0 + exp(-(0.25 + 0.8 * x1 - 0.5 * x2))),
+             6) AS score, label FROM f),
+t AS (SELECT unnest([{thrs}]) AS thr),
+c AS (SELECT t.thr,
+             CAST(SUM(CASE WHEN s.score >= t.thr AND s.label = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.score >= t.thr AND s.label = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(s.label) AS BIGINT) AS npos,
+             CAST(SUM(1 - s.label) AS BIGINT) AS nneg
+      FROM t, s GROUP BY 1)
+SELECT thr, tp, fp, npos - tp AS fn, nneg - fp AS tn,
+       ROUND(CAST(tp AS DOUBLE) / npos, 6) AS tpr,
+       ROUND(CAST(fp AS DOUBLE) / nneg, 6) AS fpr
+FROM c ORDER BY thr
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -19532,4 +19763,9 @@ def registry():
                                         SQL_ASOF_FORWARD),
         "windowed_dedup_events": (q_windowed_dedup_events,
                                   SQL_WINDOWED_DEDUP),
+        "code_switch_docs": (q_code_switch_docs, _sql_code_switch()),
+        "interarrival_stats_by_type": (q_interarrival_stats_by_type,
+                                       SQL_INTERARRIVAL),
+        "roc_points_doc_score": (q_roc_points_doc_score,
+                                 _sql_roc_points()),
     }

@@ -155,7 +155,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "activity_decay_curve",
        # batch 49 (l-diversity, forward asof, windowed dedup)
        "l_diversity_audit", "asof_forward_click_purchase",
-       "windowed_dedup_events"]
+       "windowed_dedup_events",
+       # batch 50 (code-switching, inter-arrival, ROC points)
+       "code_switch_docs", "interarrival_stats_by_type",
+       "roc_points_doc_score"]
 
 
 def _norm(v) -> str:
@@ -2323,3 +2326,54 @@ def test_windowed_dedup_counts(tmp_path):
         "event_type")
     assert out.loc["click", "n_in"] == 4
     assert out.loc["click", "n_kept"] == 2
+
+
+def test_code_switch_detects_mixed_language(tmp_path):
+    from prclz_ray.pipelines.queries import q_code_switch_docs
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            # ≥3 en + ≥3 fr stopword hits → switched, primary en (tie
+            # broken by profile order when counts equal; here en=4>fr=3)
+            "the cat and the dog of paris le chat et la maison dans",
+            "the quick brown fox and the lazy dog for it is that",
+            "xyzzy plugh qwerty"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_code_switch_docs(str(tmp_path)).set_index("lang")
+    assert out.loc["en", "n_switched"] == 1
+    assert out.loc["en", "n_docs"] == 2
+    assert out.loc["und", "n_docs"] == 1
+    assert out.loc["und", "n_switched"] == 0
+
+
+def test_interarrival_gaps_and_floor(tmp_path):
+    from prclz_ray.pipelines.queries import q_interarrival_stats_by_type
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    us = np.timedelta64(1, "us")
+    ev = pa.table({
+        # same user+type: gaps 1.5s (floors to 1) and 2.0s
+        "ts": pa.array([t0, t0 + 1_500_000 * us, t0 + 3_500_000 * us,
+                        t0]),
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["click", "click", "click", "view"])})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_interarrival_stats_by_type(str(tmp_path)) \
+        .set_index("event_type")
+    assert out.loc["click", "n_gaps"] == 2
+    assert out.loc["click", "sum_gap_sec"] == 3   # floor(1.5)+2
+    assert "view" not in out.index                # single event: no gap
+
+
+def test_roc_points_monotone_and_consistent():
+    from prclz_ray.pipelines.queries import q_roc_points_doc_score
+    out = q_roc_points_doc_score(SF)
+    assert len(out) == 19
+    # raising the threshold can only shrink tp and fp
+    assert (np.diff(out["tp"].to_numpy()) <= 0).all()
+    assert (np.diff(out["fp"].to_numpy()) <= 0).all()
+    # cell identities
+    npos = int(out["tp"].iloc[0] + out["fn"].iloc[0])
+    assert ((out["tp"] + out["fn"]) == npos).all()
+    assert ((out["tpr"] >= 0) & (out["tpr"] <= 1)).all()
