@@ -19255,6 +19255,246 @@ FROM c ORDER BY thr
 """
 
 
+def q_dow_adjusted_anomalies(sf_dir: str):
+    """Seasonally-adjusted anomaly counts: a day is anomalous when its
+    revenue deviates from ITS WEEKDAY's mean by more than 3 weekday
+    standard deviations — the adjustment that stops every Sunday from
+    tripping a naive 3σ rule.  The test is the exact-integer
+    inequality (n·x − S)² > 9·(n·SS − S²) per weekday (S, SS the
+    weekday's cents sums — arbitrary-precision ints, S² overflows
+    int64 past ~sf0.1), so no float variance can diverge from the
+    twin.  Distributed part: the shared daily reduce; the finish is
+    days-bounded."""
+    d = _daily_revenue_cents(sf_dir)
+    days = d["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[days - lo] = d["rev"].to_numpy(np.int64)
+    isodow = ((np.arange(lo, hi + 1)) + 3) % 7 + 1
+    rows = []
+    for w in range(1, 8):
+        xs = [int(v) for v in dense[isodow == w]]
+        n = len(xs)
+        if n == 0:
+            continue
+        S = sum(xs)
+        SS = sum(x * x for x in xs)
+        n_anom = sum(1 for x in xs
+                     if (n * x - S) ** 2 > 9 * (n * SS - S * S))
+        rows.append({"isodow": w, "n_days": n,
+                     "n_anomalies": n_anom})
+    return pd.DataFrame(rows).astype({"isodow": np.int64,
+                                      "n_days": np.int64,
+                                      "n_anomalies": np.int64})
+
+
+SQL_DOW_ANOMALIES = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+f AS (SELECT cal.day, (cal.day + 3) % 7 + 1 AS isodow,
+             COALESCE(d.rev, 0) AS x
+      FROM cal LEFT JOIN d USING (day)),
+m AS (SELECT isodow, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss
+      FROM f GROUP BY 1)
+SELECT m.isodow, CAST(m.n AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN (m.n * f.x - m.s) * (m.n * f.x - m.s)
+                          > 9 * (m.n * m.ss - m.s * m.s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM f JOIN m ON f.isodow = m.isodow
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_temporal_reachability_links(sf_dir: str):
+    """Time-respecting reachability — the temporal-network primitive
+    (disease spread, information cascades, log forensics): an edge is
+    usable only at its departure time t(e) = (src + k) % 30, and a
+    path must have NON-DECREASING times, so plain BFS overcounts.
+    Earliest-arrival propagation from doc 0 (arrival 0), 3 bounded
+    rounds: each round is ONE streaming edge pass against the
+    broadcast (node → arrival) state (size-guarded like the BFS
+    kernel's broadcast leg — nodes-bounded, 16 B/node), new arrivals
+    MIN-merge per round.  Output: the arrival-time histogram.  The
+    twin unrolls the identical 3 rounds."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        dst = (src * 7919 + k * 104729) % n
+        t = (src + k) % 30
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "t": pa.array(t)})
+
+    # consumed once per round: pin so the edge build runs once
+    edges_materialized = docs.map_batches(
+        edges, batch_format="pyarrow").materialize()
+    state_v = np.array([0], dtype=np.int64)
+    state_arr = np.array([0], dtype=np.int64)
+    for _ in range(3):
+        ref_v, ref_a = ray.put(state_v), ray.put(state_arr)
+
+        def expand(t: pa.Table) -> pa.Table:
+            sv, sa = ray.get(ref_v), ray.get(ref_a)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sv, src)
+            hit = pos < len(sv)
+            hit[hit] = sv[pos[hit]] == src[hit]
+            te = t["t"].to_numpy(zero_copy_only=False)
+            ok = hit & (te >= np.where(hit, sa[np.minimum(
+                pos, len(sa) - 1)], 0))
+            if not ok.any():
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "arr": pa.array([], pa.int64())})
+            g = pd.DataFrame({
+                "dst": t["dst"].to_numpy(zero_copy_only=False)[ok],
+                "arr": te[ok]}).groupby("dst", sort=False) \
+                .min().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Min
+        new = relational.ds_to_table(
+            edges_materialized.map_batches(expand,
+                                           batch_format="pyarrow")
+            .groupby("dst").aggregate(Min("arr", alias_name="arr"))
+        ).to_pandas()
+        # MIN-merge new arrivals into the (nodes-bounded) state
+        merged = pd.DataFrame({"v": state_v, "arr": state_arr})
+        merged = pd.concat([merged, new.rename(
+            columns={"dst": "v"})], ignore_index=True) \
+            .groupby("v")["arr"].min().reset_index() \
+            .sort_values("v")
+        state_v = merged["v"].to_numpy(np.int64)
+        state_arr = merged["arr"].to_numpy(np.int64)
+    hist = pd.DataFrame({"arr": state_arr}).groupby("arr") \
+        .size().rename("n_nodes").reset_index()
+    return hist.astype({"arr": np.int64, "n_nodes": np.int64})
+
+
+def _sql_temporal_reach() -> str:
+    body = ["a0 AS (SELECT CAST(0 AS BIGINT) AS v,"
+            " CAST(0 AS BIGINT) AS arr)"]
+    for r in range(1, 4):
+        body.append(
+            f"e{r} AS (SELECT e.dst AS v, MIN(e.t) AS arr\n"
+            f"       FROM edges e JOIN a{r-1} s ON s.v = e.src"
+            f" AND e.t >= s.arr GROUP BY 1)")
+        body.append(
+            f"a{r} AS (SELECT v, MIN(arr) AS arr FROM (\n"
+            f"         SELECT v, arr FROM a{r-1}\n"
+            f"         UNION ALL SELECT v, arr FROM e{r})"
+            f" GROUP BY v)")
+    chain = ",\n".join(body)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst,
+         (d.doc_id + k.k) % 30 AS t
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) k, nn),
+{chain}
+SELECT arr, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM a3 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_source_cosine_similarity(sf_dir: str):
+    """Pairwise cosine similarity between sources' unigram count
+    vectors — the corpus-mixture diagnostic (which crawls duplicate
+    each other?).  All cross terms stay EXACT INTEGERS: one
+    (source, word) count reduce, then a WORD-bucket shuffle where each
+    bucket's local sources×words pivot contributes an integer partial
+    Gram matrix; the 190 pair dots and the per-source norms fold
+    exactly, and the cosine is one mirrored float expression per
+    pair."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.relational import stable_bucket
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], pattern=" ")
+        n = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False),
+                        n)
+        g = pd.DataFrame({"source": src,
+                          "w": pc.list_flatten(parts).to_numpy(
+                              zero_copy_only=False), "n": 1}) \
+            .groupby(["source", "w"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = docs.map_batches(wc, batch_format="pyarrow") \
+        .groupby(["source", "w"]).aggregate(Sum("n", alias_name="n"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = stable_bucket(t["w"], 64)
+        return t.append_column("_bucket", pa.array(b))
+
+    def gram(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(index="w", columns="source", values="n",
+                            aggfunc="sum", fill_value=0)
+        m = piv.to_numpy(dtype=np.int64)
+        gram = m.T @ m                      # sources × sources ints
+        srcs = list(piv.columns)
+        rows = []
+        for i, a in enumerate(srcs):
+            for j, b in enumerate(srcs):
+                if a <= b:
+                    rows.append({"s1": a, "s2": b,
+                                 "dot": int(gram[i, j])})
+        return pd.DataFrame(rows)
+
+    parts = relational.ds_to_table(
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(gram, batch_format="pandas")
+        .groupby(["s1", "s2"]).aggregate(Sum("dot",
+                                             alias_name="dot"))
+    ).to_pandas()
+    norms = {r.s1: int(r.dot) for r in parts.itertuples()
+             if r.s1 == r.s2}
+    # drop zero dots: the twin's inner join on shared words only
+    # emits pairs with ≥1 common word, so a bucket-co-residency row
+    # whose partials folded to 0 must not survive here either
+    out = parts[(parts["s1"] < parts["s2"])
+                & (parts["dot"] > 0)].copy() \
+        .sort_values(["s1", "s2"]).reset_index(drop=True)
+    out["cosine"] = [
+        np.round(float(d) / (np.sqrt(float(norms[a]))
+                             * np.sqrt(float(norms[b]))), 6)
+        for a, b, d in zip(out["s1"], out["s2"], out["dot"])]
+    return out.astype({"dot": np.int64})
+
+
+SQL_SOURCE_COSINE = """
+WITH wc AS (SELECT source, w, CAST(COUNT(*) AS HUGEINT) AS n
+            FROM (SELECT source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY 1, 2),
+dots AS (SELECT a.source AS s1, b.source AS s2,
+                SUM(a.n * b.n) AS dot
+         FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+         GROUP BY 1, 2),
+norms AS (SELECT source, SUM(n * n) AS ss FROM wc GROUP BY 1)
+SELECT d.s1, d.s2, CAST(d.dot AS BIGINT) AS dot,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.ss AS DOUBLE))
+                * sqrt(CAST(nb.ss AS DOUBLE))), 6) AS cosine
+FROM dots d JOIN norms na ON na.source = d.s1
+            JOIN norms nb ON nb.source = d.s2
+ORDER BY 1, 2
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -19768,4 +20008,10 @@ def registry():
                                        SQL_INTERARRIVAL),
         "roc_points_doc_score": (q_roc_points_doc_score,
                                  _sql_roc_points()),
+        "dow_adjusted_anomalies": (q_dow_adjusted_anomalies,
+                                   SQL_DOW_ANOMALIES),
+        "temporal_reachability_links": (q_temporal_reachability_links,
+                                        _sql_temporal_reach()),
+        "source_cosine_similarity": (q_source_cosine_similarity,
+                                     SQL_SOURCE_COSINE),
     }

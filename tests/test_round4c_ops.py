@@ -158,7 +158,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "windowed_dedup_events",
        # batch 50 (code-switching, inter-arrival, ROC points)
        "code_switch_docs", "interarrival_stats_by_type",
-       "roc_points_doc_score"]
+       "roc_points_doc_score",
+       # batch 51 (dow-adjusted anomalies, temporal reach, src cosine)
+       "dow_adjusted_anomalies", "temporal_reachability_links",
+       "source_cosine_similarity"]
 
 
 def _norm(v) -> str:
@@ -2377,3 +2380,71 @@ def test_roc_points_monotone_and_consistent():
     npos = int(out["tp"].iloc[0] + out["fn"].iloc[0])
     assert ((out["tp"] + out["fn"]) == npos).all()
     assert ((out["tpr"] >= 0) & (out["tpr"] <= 1)).all()
+
+
+def test_dow_anomalies_planted_spike(tmp_path):
+    """A constant weekday series with ONE huge spike must flag exactly
+    that day (and only in its weekday bucket)."""
+    from prclz_ray.pipelines.queries import q_dow_adjusted_anomalies
+    # 14 full weeks: a single outlier's max z-score is (n−1)/√n,
+    # which only exceeds 3 from n = 11 samples per weekday
+    days = np.arange(20000, 20000 + 98)
+    vals = np.full(98, 100.0)
+    vals[33] = 100000.0                        # planted spike
+    ts = (days * 86_400_000_000).astype("datetime64[us]")
+    pq.write_table(pa.table({"o_orderdate": pa.array(ts),
+                             "o_totalprice": pa.array(vals)}),
+                   os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_dow_adjusted_anomalies(str(tmp_path))
+    assert int(out["n_anomalies"].sum()) == 1
+    spike_dow = (int(days[33]) + 3) % 7 + 1
+    assert int(out.set_index("isodow").loc[spike_dow,
+                                           "n_anomalies"]) == 1
+    assert (out["n_days"] == 14).all()
+
+
+def test_temporal_reachability_respects_time(tmp_path):
+    """Temporal reachability must be a SUBSET of plain 3-hop BFS
+    reach, and every arrival time in [0, 30)."""
+    from prclz_ray.pipelines.queries import (
+        q_bipartite_check_links, q_temporal_reachability_links)
+    out = q_temporal_reachability_links(SF)
+    assert ((out["arr"] >= 0) & (out["arr"] < 30)).all()
+    n_temporal = int(out["n_nodes"].sum())
+    # dense numpy earliest-arrival reference on the same formula graph
+    n = pq.read_metadata(
+        os.path.join(SF, "documents.parquet")).num_rows
+    doc = np.arange(n, dtype=np.int64)
+    src = np.repeat(doc, 3)
+    k = np.tile(np.array([1, 2, 3], dtype=np.int64), n)
+    dst = (src * 7919 + k * 104729) % n
+    te = (src + k) % 30
+    INF = 10 ** 9
+    arr = np.full(n, INF, dtype=np.int64)
+    arr[0] = 0
+    for _ in range(3):
+        ok = te >= arr[src]
+        cand = np.full(n, INF, dtype=np.int64)
+        np.minimum.at(cand, dst[ok], te[ok])
+        arr = np.minimum(arr, cand)
+    want = int((arr < INF).sum())
+    assert n_temporal == want
+
+
+def test_source_cosine_bounds_and_self_duplicate(tmp_path):
+    from prclz_ray.pipelines.queries import q_source_cosine_similarity
+    out = q_source_cosine_similarity(SF)
+    assert ((out["cosine"] >= 0) & (out["cosine"] <= 1.0)).all()
+    assert len(out) == 190                     # C(20,2) pairs
+    # two identical sources → cosine exactly 1; disjoint → 0
+    docs = pa.table({
+        "source": pa.array(["a", "b", "c"]),
+        "text": pa.array(["x y z", "x y z", "q r s"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    got = q_source_cosine_similarity(str(tmp_path)) \
+        .set_index(["s1", "s2"])
+    assert got.loc[("a", "b"), "cosine"] == 1.0
+    # disjoint vocabularies share no word → NO row (mirrors the
+    # twin's inner join on shared words)
+    assert ("a", "c") not in got.index
