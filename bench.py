@@ -116,6 +116,15 @@ BENCH_QUERIES = [
     "merkle_replica_diff",
     "window_cooccurrence",
     "personalized_pagerank",
+    # round-4 session F: co-clustered zero-shuffle merge join, exact-twin
+    # count-min sketch, integer bootstrap CI, source-pair cosine Gram,
+    # golden-record survivorship, temporal reachability
+    "cluster_merge_join",
+    "countmin_word_freq",
+    "bootstrap_ci_daily_revenue",
+    "source_cosine_similarity",
+    "golden_record_entities",
+    "temporal_reachability_links",
 ]
 
 

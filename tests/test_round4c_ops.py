@@ -161,7 +161,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "roc_points_doc_score",
        # batch 51 (dow-adjusted anomalies, temporal reach, src cosine)
        "dow_adjusted_anomalies", "temporal_reachability_links",
-       "source_cosine_similarity"]
+       "source_cosine_similarity",
+       # batch 52 (asymmetric containment, length drift, Lorenz)
+       "containment_pairs_sampled", "length_percentile_by_source",
+       "lorenz_deciles_nation"]
 
 
 def _norm(v) -> str:
@@ -2448,3 +2451,65 @@ def test_source_cosine_bounds_and_self_duplicate(tmp_path):
     # disjoint vocabularies share no word → NO row (mirrors the
     # twin's inner join on shared words)
     assert ("a", "c") not in got.index
+
+
+def test_containment_full_embedding(tmp_path):
+    """A short doc fully embedded in a longer one must score
+    containment c_ab exactly 1.0 while c_ba = |A|/|B| < 1 — the
+    asymmetry symmetric Jaccard cannot express."""
+    from prclz_ray.pipelines.queries import q_containment_pairs_sampled
+    docs = pa.table({
+        "doc_id": pa.array([0, 250], type=pa.int64()),
+        # doc 0 ("abcdefghij", 6 distinct 5-gram shingles) is a strict
+        # prefix of doc 250 (16 chars → 12 shingles, all distinct)
+        "text": pa.array(["abcdefghij", "abcdefghijklmnop"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_containment_pairs_sampled(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["a"], r["b"]) == (0, 250)
+    assert (r["ni"], r["na"], r["nb"]) == (6, 6, 12)
+    assert r["c_ab"] == 1.0 and r["c_ba"] == 0.5
+
+
+def test_length_percentile_known_split(tmp_path):
+    """Two sources on opposite ends of the length distribution: with
+    lengths {1,2} vs {3,4}, percent_rank numerators are 0,1,2,3 so
+    the means are exactly 1/6 and 5/6."""
+    from prclz_ray.pipelines.queries import q_length_percentile_by_source
+    docs = pa.table({
+        "source": pa.array(["b", "b", "a", "a"]),
+        "n_chars": pa.array([1, 2, 3, 4], type=pa.int64())})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_length_percentile_by_source(str(tmp_path)) \
+        .set_index("source")
+    assert out.loc["a", "sum_rank_below"] == 5    # 2 + 3
+    assert out.loc["b", "sum_rank_below"] == 1    # 0 + 1
+    assert out.loc["a", "mean_pct"] == round(5 / 6, 6)
+    assert out.loc["b", "mean_pct"] == round(1 / 6, 6)
+
+
+def test_lorenz_ntile_front_loading(tmp_path):
+    """12 customers in one nation: NTILE(10) gives the FIRST two
+    deciles 2 customers each (front-loaded remainder), the rest 1;
+    cents stay exact and shares telescope to 1."""
+    from prclz_ray.pipelines.queries import q_lorenz_deciles_nation
+    n = 12
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(1, n + 1), type=pa.int64()),
+        "c_nationkey": pa.array([7] * n, type=pa.int64())}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(range(1, n + 1), type=pa.int64()),
+        # customer k spends k dollars → sorted order is custkey order
+        "o_totalprice": pa.array([float(k) for k in range(1, n + 1)]),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_lorenz_deciles_nation(str(tmp_path))
+    assert len(out) == 10
+    assert out["n_cust"].tolist() == [2, 2] + [1] * 8
+    assert out["cents"].iloc[0] == 300            # $1 + $2
+    assert out["cents"].iloc[-1] == 1200          # richest alone
+    assert int(out["cents"].sum()) == 7800
+    assert abs(out["share"].sum() - 1.0) < 1e-4
