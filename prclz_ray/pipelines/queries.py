@@ -19747,6 +19747,190 @@ FROM d JOIN t USING (nation) GROUP BY 1, 2, t.tot ORDER BY 1, 2
 """
 
 
+def q_wasserstein_length_drift(sf_dir: str):
+    """Exact Wasserstein-1 (earth-mover) distance between each
+    source's document-length distribution and the REST of the corpus
+    — the drift metric that, unlike KS (sup of CDF gap) or PSI
+    (binned), integrates the WHOLE CDF gap and so catches broad
+    small shifts.  One (source × distinct-length)-bounded count
+    reduce; the finish runs on the tiny histogram with ARBITRARY
+    PRECISION ints: W1·n_s·n_r = Σ_v |cum_s(v)·n_r − cum_r(v)·n_s|
+    ·gap(v), so the one mirrored division per source is the only
+    float (the SQL twin folds the same identity in HUGEINT)."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "len": t["n_chars"].to_numpy(zero_copy_only=False),
+            "n": 1}).groupby(["source", "len"], sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "len"]).aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    sup = np.sort(cnt["len"].unique())          # global union support
+    gap = np.diff(sup).astype(object)           # python-int gaps
+    glob = cnt.groupby("len")["n"].sum().reindex(sup, fill_value=0)
+    cum_g = glob.cumsum().to_numpy(dtype=np.int64).astype(object)
+    N = int(glob.sum())
+    rows = []
+    for src, g in cnt.groupby("source"):
+        ns = int(g["n"].sum())
+        nr = N - ns
+        if nr == 0:                  # single-source corpus: no "rest"
+            continue
+        cs = g.set_index("len")["n"].reindex(sup, fill_value=0) \
+            .cumsum().to_numpy(dtype=np.int64).astype(object)
+        cr = cum_g - cs
+        scaled = int(np.sum(np.abs(cs[:-1] * nr - cr[:-1] * ns)
+                            * gap))             # exact, unbounded ints
+        rows.append({"source": src, "n_docs": ns, "scaled": scaled,
+                     "w1": round(scaled / (ns * nr), 6)})
+    out = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    return out.astype({"n_docs": np.int64, "scaled": np.int64})
+
+
+SQL_WASSERSTEIN = """
+WITH c AS (SELECT source, n_chars AS len, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+g AS (SELECT len, SUM(n) AS n FROM c GROUP BY 1),
+nn AS (SELECT SUM(n) AS n FROM g),
+s AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+sup AS (SELECT s.source, s.ns, g.len, COALESCE(c.n, 0) AS cs_at,
+               g.n AS cg_at
+        FROM s CROSS JOIN g
+        LEFT JOIN c ON c.source = s.source AND c.len = g.len),
+cum AS (SELECT source, ns, len,
+               SUM(cs_at) OVER (PARTITION BY source ORDER BY len) AS cs,
+               SUM(cg_at) OVER (PARTITION BY source ORDER BY len) AS cg,
+               LEAD(len) OVER (PARTITION BY source ORDER BY len) AS nxt
+        FROM sup)
+SELECT source, CAST(ns AS BIGINT) AS n_docs,
+       CAST(SUM(ABS(CAST(cs AS HUGEINT) * (nn.n - ns)
+                    - CAST(cg - cs AS HUGEINT) * ns)
+                * (nxt - len)) AS BIGINT) AS scaled,
+       ROUND(CAST(SUM(ABS(CAST(cs AS HUGEINT) * (nn.n - ns)
+                          - CAST(cg - cs AS HUGEINT) * ns)
+                      * (nxt - len)) AS DOUBLE)
+             / (ns * (nn.n - ns)), 6) AS w1
+FROM cum, nn
+WHERE nxt IS NOT NULL AND ns < nn.n
+GROUP BY source, ns, nn.n
+ORDER BY source
+"""
+
+
+def q_powerlaw_alpha_links(sf_dir: str):
+    """Continuous-approximation MLE of the power-law exponent of the
+    link graph's in-degree distribution (Clauset-Shalizi-Newman with
+    x_min = 1): α = 1 + N / Σ_d c_d·ln(d/0.5).  The fold runs over
+    the DEGREE HISTOGRAM (bounded by max in-degree, not node count) —
+    counts exact from the shared two-stage degree reduce, per-degree
+    ln terms mirrored against the SQL text, division the one float
+    finish (the mutual-info convention)."""
+    h = relational.ds_to_table(
+        q_degree_histogram_links(sf_dir)).to_pandas()
+    deg = h["deg"].to_numpy(dtype=np.int64)
+    nc = h["n_nodes"].to_numpy(dtype=np.int64)
+    N = int(nc.sum())
+    s = float(np.sum(nc.astype(np.float64) * np.log(2.0 * deg)))
+    return pd.DataFrame([{
+        "n_nodes": N, "max_deg": int(deg.max()),
+        "sum_log": np.round(s, 6),
+        "alpha": np.round(1.0 + N / s, 6)}]) \
+        .astype({"n_nodes": np.int64, "max_deg": np.int64})
+
+
+SQL_POWERLAW_ALPHA = """
+WITH nn AS (SELECT COUNT(*) AS cnt FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7919 + k * 104729) % cnt AS dst
+  FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) t),
+indeg AS (SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst),
+h AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM indeg GROUP BY deg),
+t AS (SELECT SUM(n_nodes) AS n, MAX(deg) AS md,
+             SUM(n_nodes * LN(2.0 * deg)) AS s FROM h)
+SELECT CAST(n AS BIGINT) AS n_nodes, CAST(md AS BIGINT) AS max_deg,
+       ROUND(s, 6) AS sum_log, ROUND(1.0 + n / s, 6) AS alpha
+FROM t
+"""
+
+
+def q_revenue_recognition_daily(sf_dir: str):
+    """Subscription revenue recognition: each order's cents spread
+    over a (o_orderkey % 14 + 1)-day term starting at o_orderdate,
+    integer-exactly — base quota cents//span per day, the remainder
+    cents%span allocated +1 to the EARLIEST days (largest-remainder).
+    NEVER an order×day explode: the allocation decomposes into TWO
+    ±delta sweeps (quota ±q at the term edges, remainder ±1 over the
+    first r days), so each order emits ≤4 delta rows regardless of
+    term length and the running totals finish on the days-bounded
+    change table.  Output = the step function at its change days."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        span = okey % 14 + 1
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        d0 = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        q, r = cents // span, cents % span
+        rm = r > 0
+        day = np.concatenate([d0, d0 + span, d0[rm], (d0 + r)[rm]])
+        dc = np.concatenate([q, -q, np.ones(rm.sum(), np.int64),
+                             -np.ones(rm.sum(), np.int64)])
+        dn = np.concatenate([np.ones(len(d0), np.int64),
+                             -np.ones(len(d0), np.int64),
+                             np.zeros(rm.sum(), np.int64),
+                             np.zeros(rm.sum(), np.int64)])
+        g = pd.DataFrame({"day": day, "dc": dc, "dn": dn}) \
+            .groupby("day", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    red = relational.ds_to_table(
+        orders.map_batches(deltas, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("dc", alias_name="dc"),
+                                  Sum("dn", alias_name="dn"))
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": red["day"].to_numpy(dtype=np.int64)
+        .astype("datetime64[D]").astype("datetime64[us]"),
+        "cents_per_day": red["dc"].cumsum().to_numpy(dtype=np.int64),
+        "n_active": red["dn"].cumsum().to_numpy(dtype=np.int64)})
+
+
+SQL_REVENUE_RECOGNITION = """
+WITH o AS (SELECT o_orderkey % 14 + 1 AS span,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(o_orderdate AS DATE) AS d0
+           FROM orders),
+p AS (SELECT d0, CAST(span AS INT) AS span,
+             cents // span AS q, cents % span AS r FROM o),
+dl AS (
+  SELECT d0 AS day, q AS dc, 1 AS dn FROM p
+  UNION ALL SELECT d0 + span, -q, -1 FROM p
+  UNION ALL SELECT d0, 1, 0 FROM p WHERE r > 0
+  UNION ALL SELECT d0 + CAST(r AS INT), -1, 0 FROM p WHERE r > 0),
+g AS (SELECT day, SUM(dc) AS dc, SUM(dn) AS dn FROM dl GROUP BY 1)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(SUM(dc) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cents_per_day,
+       CAST(SUM(dn) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_active
+FROM g ORDER BY day
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -20272,4 +20456,10 @@ def registry():
                                         SQL_LENGTH_PCT),
         "lorenz_deciles_nation": (q_lorenz_deciles_nation,
                                   SQL_LORENZ),
+        "wasserstein_length_drift": (q_wasserstein_length_drift,
+                                     SQL_WASSERSTEIN),
+        "powerlaw_alpha_links": (q_powerlaw_alpha_links,
+                                 SQL_POWERLAW_ALPHA),
+        "revenue_recognition_daily": (q_revenue_recognition_daily,
+                                      SQL_REVENUE_RECOGNITION),
     }

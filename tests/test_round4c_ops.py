@@ -164,7 +164,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "source_cosine_similarity",
        # batch 52 (asymmetric containment, length drift, Lorenz)
        "containment_pairs_sampled", "length_percentile_by_source",
-       "lorenz_deciles_nation"]
+       "lorenz_deciles_nation",
+       # batch 53 (Wasserstein drift, power-law alpha, revenue rec)
+       "wasserstein_length_drift", "powerlaw_alpha_links",
+       "revenue_recognition_daily"]
 
 
 def _norm(v) -> str:
@@ -2513,3 +2516,83 @@ def test_lorenz_ntile_front_loading(tmp_path):
     assert out["cents"].iloc[-1] == 1200          # richest alone
     assert int(out["cents"].sum()) == 7800
     assert abs(out["share"].sum() - 1.0) < 1e-4
+
+
+def test_wasserstein_pure_mean_shift(tmp_path):
+    """Two point masses distance 2 apart ⇒ W1 exactly 2; a source
+    identical to the rest ⇒ W1 exactly 0."""
+    from prclz_ray.pipelines.queries import q_wasserstein_length_drift
+    docs = pa.table({
+        "source": pa.array(["a", "a", "b", "b"]),
+        "n_chars": pa.array([1, 1, 3, 3], type=pa.int64())})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_wasserstein_length_drift(str(tmp_path)).set_index("source")
+    assert out.loc["a", "w1"] == 2.0
+    assert out.loc["b", "w1"] == 2.0
+    assert out.loc["a", "scaled"] == 8      # |2·2 − 0·2| · gap 2
+    # identical halves ⇒ zero drift
+    docs2 = pa.table({
+        "source": pa.array(["a", "a", "b", "b"]),
+        "n_chars": pa.array([1, 3, 1, 3], type=pa.int64())})
+    pq.write_table(docs2, os.path.join(str(tmp_path),
+                                       "documents.parquet"))
+    out2 = q_wasserstein_length_drift(str(tmp_path))
+    assert (out2["w1"] == 0.0).all()
+
+
+def test_powerlaw_alpha_matches_dense_reference(tmp_path):
+    """α on a crafted 10-node formula graph must equal the dense
+    numpy MLE computed row-level in this test."""
+    from prclz_ray.pipelines.queries import q_powerlaw_alpha_links
+    n = 10
+    docs = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_powerlaw_alpha_links(str(tmp_path))
+    src = np.repeat(np.arange(n, dtype=np.int64), 3)
+    k = np.tile(np.array([1, 2, 3], dtype=np.int64), n)
+    dst = (src * 7919 + k * 104729) % n
+    deg = np.bincount(dst)
+    deg = deg[deg > 0]
+    want = 1.0 + len(deg) / np.sum(np.log(2.0 * deg))
+    assert int(out["n_nodes"].iloc[0]) == len(deg)
+    assert abs(float(out["alpha"].iloc[0]) - want) < 1e-6
+    assert float(out["alpha"].iloc[0]) > 1.0
+
+
+def test_revenue_recognition_largest_remainder(tmp_path):
+    """One order, span 3, 100 cents ⇒ days get 34/33/33 (remainder to
+    the EARLIEST day); change-day rows carry the step function and
+    its integral conserves the order total."""
+    from prclz_ray.pipelines.queries import q_revenue_recognition_daily
+    ts = np.array(["2024-01-01"], dtype="datetime64[us]")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([2], type=pa.int64()),   # span 2%14+1=3
+        "o_totalprice": pa.array([1.0]),
+        "o_orderdate": pa.array(ts)}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_revenue_recognition_daily(str(tmp_path))
+    assert out["cents_per_day"].tolist() == [34, 33, 0]
+    assert out["n_active"].tolist() == [1, 1, 0]
+    days = out["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    assert days.tolist() == [days[0], days[0] + 1, days[0] + 3]
+    # step-function integral = order total
+    integral = int(np.sum(out["cents_per_day"].to_numpy()[:-1]
+                          * np.diff(days)))
+    assert integral == 100
+
+
+def test_revenue_recognition_conserves_total():
+    """Σ step·gap over the change table = Σ order cents at sf0.001."""
+    from prclz_ray.pipelines.queries import q_revenue_recognition_daily
+    out = q_revenue_recognition_daily(SF)
+    days = out["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    integral = int(np.sum(out["cents_per_day"].to_numpy()[:-1].astype(object)
+                          * np.diff(days).astype(object)))
+    want = int(duckdb.sql(
+        f"SELECT SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) "
+        f"FROM read_parquet('{SF}/orders.parquet')").fetchone()[0])
+    assert integral == want
+    assert int(out["cents_per_day"].iloc[-1]) == 0
+    assert int(out["n_active"].iloc[-1]) == 0
