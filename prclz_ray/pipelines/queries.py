@@ -5097,13 +5097,13 @@ FROM documents GROUP BY lang
 """
 
 
-def q_auc_doc_score(sf_dir: str):
-    """Exact distributed ROC AUC (Mann-Whitney U, tie-corrected) of the
-    logreg document scorer against a length-derived label: per-batch
-    (score, pos, neg) partials, one bounded groupby (6-dp sigmoid
-    scores quantize to <=1e6 distinct values), single vectorized sweep.
-    Per-score contributions are half-integers — exact in float64 — so
-    the oracle's window-function twin rounds identically."""
+def _doc_logreg_scored(sf_dir: str):
+    """Shared logreg-scored document Dataset (6-dp sigmoid ``score`` +
+    length-derived ``label``) behind the classifier-evaluation family
+    (AUC, ROC operating points, Brier decomposition): one feature
+    extraction + scoring definition so every metric evaluates the SAME
+    model, and the 6-dp quantization keeps downstream score groupbys
+    bounded AND the SQL twins bit-mirrorable."""
     from ..stages import ml
     docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
 
@@ -5117,10 +5117,21 @@ def q_auc_doc_score(sf_dir: str):
         return pa.table({"x1": pa.array(x1), "x2": pa.array(x2),
                          "label": pa.array(lbl)})
 
-    scored = ml.logreg_score(docs.map_batches(feats,
-                                              batch_format="pyarrow"),
-                             ["x1", "x2"], weights=[0.8, -0.5], bias=0.25)
-    return ml.distributed_auc(scored, "score", "label")
+    return ml.logreg_score(docs.map_batches(feats,
+                                            batch_format="pyarrow"),
+                           ["x1", "x2"], weights=[0.8, -0.5], bias=0.25)
+
+
+def q_auc_doc_score(sf_dir: str):
+    """Exact distributed ROC AUC (Mann-Whitney U, tie-corrected) of the
+    logreg document scorer against a length-derived label: per-batch
+    (score, pos, neg) partials, one bounded groupby (6-dp sigmoid
+    scores quantize to <=1e6 distinct values), single vectorized sweep.
+    Per-score contributions are half-integers — exact in float64 — so
+    the oracle's window-function twin rounds identically."""
+    from ..stages import ml
+    return ml.distributed_auc(_doc_logreg_scored(sf_dir), "score",
+                              "label")
 
 
 SQL_AUC = """
@@ -19205,24 +19216,8 @@ def q_roc_points_doc_score(sf_dir: str):
     from the exact class totals; tpr/fpr are the mirrored divisions."""
     from ray.data.aggregate import Sum
 
-    from ..stages import ml
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     THR = [round(0.05 * i, 2) for i in range(1, 20)]
-
-    def feats(batch: pa.Table) -> pa.Table:
-        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
-        x1 = nch.astype(np.float64) / 1000.0
-        x2 = pc.list_value_length(
-            pc.split_pattern(batch["text"], pattern=" ")) \
-            .to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
-        lbl = (nch > 297).astype(np.int64)
-        return pa.table({"x1": pa.array(x1), "x2": pa.array(x2),
-                         "label": pa.array(lbl)})
-
-    scored = ml.logreg_score(
-        docs.map_batches(feats, batch_format="pyarrow"),
-        ["x1", "x2"], weights=[0.8, -0.5], bias=0.25)
+    scored = _doc_logreg_scored(sf_dir)
     thr = np.array(THR)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -19931,6 +19926,288 @@ FROM g ORDER BY day
 """
 
 
+def q_brier_decomposition(sf_dir: str):
+    """Murphy decomposition of the Brier score for the shared logreg
+    document scorer: reliability (calibration gap), resolution
+    (discrimination) and uncertainty over 10 equal-width score bins,
+    plus the raw Brier itself.  Every aggregate is EXACT integers —
+    6-dp scores make s6 = score·10⁶ an int, so Σ(s6−10⁶·label)², bin
+    counts, bin label sums and bin score sums all fold losslessly in
+    one bounded (10-bin) reduce; the four metrics finish with per-bin
+    float terms mirroring the SQL text (int64 partials bound the safe
+    corpus at ~10⁷ docs per run; the twin's HUGEINT has no bound)."""
+    from ray.data.aggregate import Sum
+
+    scored = _doc_logreg_scored(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s6 = np.round(t["score"].to_numpy(zero_copy_only=False)
+                      * 1e6).astype(np.int64)
+        lbl = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = s6 - 1000000 * lbl
+        g = pd.DataFrame({"bin": np.minimum(s6 // 100000, 9),
+                          "n": 1, "l": lbl, "ss": s6, "sq": d * d}) \
+            .groupby("bin", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    b = relational.ds_to_table(
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin").aggregate(Sum("n", alias_name="n"),
+                                  Sum("l", alias_name="l"),
+                                  Sum("ss", alias_name="ss"),
+                                  Sum("sq", alias_name="sq"))
+    ).to_pandas()
+    N, L = int(b["n"].sum()), int(b["l"].sum())
+    brier = sum(float(v) for v in b["sq"]) / (1e12 * N)
+    rel = sum(float(int(r.ss) - 1000000 * int(r.l))
+              * (int(r.ss) - 1000000 * int(r.l)) / (1e12 * int(r.n))
+              for r in b.itertuples()) / N
+    res = sum(float(int(r.l) * N - L * int(r.n))
+              * (int(r.l) * N - L * int(r.n)) / int(r.n)
+              for r in b.itertuples()) / (float(N) * N * N)
+    unc = float(L) * (N - L) / (float(N) * N)
+    return pd.DataFrame([{
+        "n": N, "n_pos": L, "brier": np.round(brier, 6),
+        "reliability": np.round(rel, 6),
+        "resolution": np.round(res, 6),
+        "uncertainty": np.round(unc, 6)}]) \
+        .astype({"n": np.int64, "n_pos": np.int64})
+
+
+SQL_BRIER = """
+WITH f AS (
+  SELECT n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2,
+         CASE WHEN n_chars > 297 THEN 1 ELSE 0 END AS label
+  FROM documents),
+s AS (SELECT CAST(ROUND(1.0 / (1.0 + exp(-(0.25 + 0.8 * x1 - 0.5 * x2)))
+                        * 1000000) AS BIGINT) AS s6,
+             CAST(label AS BIGINT) AS label FROM f),
+b AS (SELECT LEAST(s6 // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS l,
+             CAST(SUM(s6) AS BIGINT) AS ss,
+             SUM(CAST(s6 - 1000000 * label AS HUGEINT)
+                 * (s6 - 1000000 * label)) AS sq
+      FROM s GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(l) AS BIGINT) AS ll FROM b)
+SELECT t.nn AS n, t.ll AS n_pos,
+       ROUND(CAST(SUM(sq) AS DOUBLE) / (1e12 * t.nn), 6) AS brier,
+       ROUND(SUM(CAST(ss - 1000000 * l AS DOUBLE)
+                 * (ss - 1000000 * l) / (1e12 * n)) / t.nn, 6)
+         AS reliability,
+       ROUND(SUM(CAST(l * t.nn - t.ll * n AS DOUBLE)
+                 * (l * t.nn - t.ll * n) / n)
+             / (CAST(t.nn AS DOUBLE) * t.nn * t.nn), 6) AS resolution,
+       ROUND(CAST(t.ll AS DOUBLE) * (t.nn - t.ll)
+             / (CAST(t.nn AS DOUBLE) * t.nn), 6) AS uncertainty
+FROM b, t GROUP BY t.nn, t.ll
+"""
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood record linkage over the clean∪dirty part
+    catalog — THE alternative blocking strategy to SymSpell deletion
+    variants: sort everything by name, compare only records within a
+    sliding rank window (w = 4 ⇒ rank gaps 1–3), verify with the
+    shared vectorized Levenshtein.  Distribution: range-partition by
+    the 2-char sort-key prefix (prefix order IS global name order),
+    window pairs emitted per partition; pairs that CROSS a partition
+    edge involve only each partition's first/last 3 rows, so those
+    strips (plus exact partition sizes for global-rank reconstruction)
+    stitch on the driver — partitions-bounded, never corpus-bounded."""
+    from ..stages import fuzzy
+
+    W = 3                                     # max rank gap
+    clean, dirty = _fuzzy_sides(sf_dir)
+
+    def pfx(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pfx", pc.utf8_slice_codeunits(t["nm"], 0, 2))
+
+    grouped = clean.union(dirty) \
+        .map_batches(pfx, batch_format="pyarrow").groupby("_pfx")
+
+    def window_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["nm", "id"]).reset_index(drop=True)
+        ids = g["id"].to_numpy(np.int64)
+        nms = g["nm"].tolist()
+        a, b, d = [], [], []
+        for gap in range(1, W + 1):
+            if len(g) <= gap:
+                break
+            dist = fuzzy.batch_edit_distance(nms[:-gap], nms[gap:])
+            ok = dist <= 1
+            a.append(ids[:-gap][ok])
+            b.append(ids[gap:][ok])
+            d.append(dist[ok].astype(np.int64))
+        if not a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        aa, bb = np.concatenate(a), np.concatenate(b)
+        return pd.DataFrame({"a": np.minimum(aa, bb),
+                             "b": np.maximum(aa, bb),
+                             "dist": np.concatenate(d)})
+
+    def strips(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["nm", "id"]).reset_index(drop=True)
+        n = len(g)
+        keep = sorted(set(range(min(W, n)))
+                      | set(range(max(0, n - W), n)))
+        return pd.DataFrame({
+            "pfx": g["_pfx"].iloc[keep].to_numpy(),
+            "id": g["id"].iloc[keep].to_numpy(np.int64),
+            "nm": g["nm"].iloc[keep].to_numpy(),
+            "rk": np.asarray(keep, dtype=np.int64),
+            "bn": np.full(len(keep), n, dtype=np.int64)})
+
+    inner = grouped.map_groups(window_pairs, batch_format="pandas")
+    st = relational.ds_to_table(
+        grouped.map_groups(strips, batch_format="pandas")).to_pandas()
+    # reconstruct global ranks: offsets = prefix-ordered partition sizes
+    sizes = st.groupby("pfx")["bn"].first().sort_index()
+    offs = sizes.cumsum().shift(1, fill_value=0)
+    st["grk"] = st["pfx"].map(offs).astype(np.int64) + st["rk"]
+    st = st.sort_values("grk").reset_index(drop=True)
+    cross = []
+    for gap in range(1, W + 1):
+        if len(st) <= gap:
+            break
+        lo, hi = st.iloc[:-gap], st.iloc[gap:]
+        m = ((hi["grk"].to_numpy() - lo["grk"].to_numpy() == gap)
+             & (hi["pfx"].to_numpy() != lo["pfx"].to_numpy()))
+        if not m.any():
+            continue
+        from ..stages import fuzzy as _f
+        dist = _f.batch_edit_distance(
+            lo["nm"].to_numpy()[m].tolist(),
+            hi["nm"].to_numpy()[m].tolist())
+        ok = dist <= 1
+        la = lo["id"].to_numpy(np.int64)[m][ok]
+        lb = hi["id"].to_numpy(np.int64)[m][ok]
+        cross.append(pd.DataFrame({"a": np.minimum(la, lb),
+                                   "b": np.maximum(la, lb),
+                                   "dist": dist[ok].astype(np.int64)}))
+    out = pd.concat([relational.ds_to_table(inner).to_pandas()]
+                    + cross, ignore_index=True) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return out.astype({"a": np.int64, "b": np.int64,
+                       "dist": np.int64})
+
+
+SQL_SNM_PAIRS = SQL_FUZZY_BASE + """,
+u AS (SELECT id, nm FROM clean UNION ALL SELECT id, nm FROM dirty),
+r AS (SELECT id, nm, ROW_NUMBER() OVER (ORDER BY nm, id) AS rn FROM u),
+cand AS (
+  SELECT r1.id AS ia, r2.id AS ib, r1.nm AS na, r2.nm AS nb
+  FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3)
+SELECT LEAST(ia, ib) AS a, GREATEST(ia, ib) AS b,
+       CAST(levenshtein(na, nb) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(na, nb) <= 1 ORDER BY 1, 2
+"""
+
+
+def q_interp_impute_value(sf_dir: str):
+    """Linear-interpolation imputation — the gap repair LOCF can't do
+    honestly on trending series: each 'error' event (value treated as
+    NULL) takes vp + (vn−vp)·(t−tp)/(tn−tp) between the user's nearest
+    non-null neighbours under composite (ts, event_id) order; edge
+    nulls (no neighbour on one side) stay unfilled.  One user-bucket
+    shuffle, vectorized ffill/bfill of value AND timestamp per bucket;
+    interpolated values quantize to integer micro-units so the
+    per-user sums fold exactly (the only floats are the mirrored
+    per-row interpolation expression and its ROUND)."""
+    from ..stages.relational import stable_bucket
+
+    ev = _read(sf_dir, "events", ["ts", "event_id", "user_id",
+                                  "event_type", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch["user_id"], 64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "ts": ts,
+            "eid": g["event_id"].to_numpy(np.int64),
+            "v": np.where(g["event_type"].to_numpy() == "error",
+                          np.nan, g["value"].to_numpy(np.float64))}) \
+            .sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+        df["tsv"] = np.where(df["v"].notna(), df["ts"].astype(
+            np.float64), np.nan)
+        gb = df.groupby("u", sort=False)
+        vp, tp = gb["v"].ffill(), gb["tsv"].ffill()
+        vn, tn = gb["v"].bfill(), gb["tsv"].bfill()
+        isnull = df["v"].isna()
+        can = isnull & vp.notna() & vn.notna()
+        t, tpv, tnv = (df["ts"].to_numpy(np.float64),
+                       tp.to_numpy(), tn.to_numpy())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vi = np.where(tnv == tpv, vp.to_numpy(),
+                          vp.to_numpy() + (vn.to_numpy() - vp.to_numpy())
+                          * (t - tpv) / (tnv - tpv))
+        i6 = np.where(can, np.round(np.where(can, vi, 0.0) * 1e6),
+                      0.0).astype(np.int64)
+        out = pd.DataFrame({
+            "user_id": df["u"], "nn": isnull.astype(np.int64),
+            "ni": can.astype(np.int64), "i6": i6}) \
+            .groupby("user_id", sort=False) \
+            .agg(n_null=("nn", "sum"), n_interp=("ni", "sum"),
+                 interp_sum6=("i6", "sum")).reset_index()
+        return out
+
+    out = relational.ds_to_table(
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket,
+                                       batch_format="pandas")
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return out.astype({"user_id": np.int64, "n_null": np.int64,
+                       "n_interp": np.int64, "interp_sum6": np.int64})
+
+
+SQL_INTERP_IMPUTE = """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE value END AS v
+           FROM events),
+w AS (SELECT user_id, ts, v,
+             LAST_VALUE(v IGNORE NULLS) OVER win AS vp,
+             LAST_VALUE(CASE WHEN v IS NOT NULL
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER win AS tp,
+             FIRST_VALUE(v IGNORE NULLS) OVER winf AS vn,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL
+                              THEN epoch_us(ts) END IGNORE NULLS)
+               OVER winf AS tn
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING),
+             winf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING)),
+i AS (SELECT user_id,
+             CASE WHEN v IS NULL THEN 1 ELSE 0 END AS isn,
+             CASE WHEN v IS NULL AND vp IS NOT NULL
+                       AND vn IS NOT NULL THEN 1 ELSE 0 END AS isi,
+             CASE WHEN v IS NULL AND vp IS NOT NULL
+                       AND vn IS NOT NULL THEN
+               CAST(ROUND((CASE WHEN tn = tp THEN vp
+                           ELSE vp + (vn - vp) * (epoch_us(ts) - tp)
+                                / (tn - tp) END) * 1000000) AS BIGINT)
+             ELSE 0 END AS i6
+      FROM w)
+SELECT user_id, CAST(SUM(isn) AS BIGINT) AS n_null,
+       CAST(SUM(isi) AS BIGINT) AS n_interp,
+       CAST(SUM(i6) AS BIGINT) AS interp_sum6
+FROM i GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -20462,4 +20739,9 @@ def registry():
                                  SQL_POWERLAW_ALPHA),
         "revenue_recognition_daily": (q_revenue_recognition_daily,
                                       SQL_REVENUE_RECOGNITION),
+        "brier_decomposition": (q_brier_decomposition, SQL_BRIER),
+        "sorted_neighborhood_pairs": (q_sorted_neighborhood_pairs,
+                                      SQL_SNM_PAIRS),
+        "interp_impute_value": (q_interp_impute_value,
+                                SQL_INTERP_IMPUTE),
     }

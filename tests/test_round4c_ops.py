@@ -167,7 +167,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "lorenz_deciles_nation",
        # batch 53 (Wasserstein drift, power-law alpha, revenue rec)
        "wasserstein_length_drift", "powerlaw_alpha_links",
-       "revenue_recognition_daily"]
+       "revenue_recognition_daily",
+       # batch 54 (Brier decomposition, sorted-neighborhood, interp)
+       "brier_decomposition", "sorted_neighborhood_pairs",
+       "interp_impute_value"]
 
 
 def _norm(v) -> str:
@@ -2596,3 +2599,89 @@ def test_revenue_recognition_conserves_total():
     assert integral == want
     assert int(out["cents_per_day"].iloc[-1]) == 0
     assert int(out["n_active"].iloc[-1]) == 0
+
+
+def test_brier_matches_dense_reference():
+    """Binned Murphy decomposition must equal a row-level numpy
+    recomputation of the same model (independent of the SQL twin)."""
+    from prclz_ray.pipelines.queries import q_brier_decomposition
+    out = q_brier_decomposition(SF).iloc[0]
+    df = pq.read_table(os.path.join(SF, "documents.parquet"),
+                       columns=["text", "n_chars"]).to_pandas()
+    x1 = df["n_chars"].to_numpy(np.float64) / 1000.0
+    x2 = df["text"].str.split(" ").str.len().to_numpy(np.float64) / 100.0
+    s6 = np.round(np.round(
+        1.0 / (1.0 + np.exp(-(0.25 + 0.8 * x1 - 0.5 * x2))), 6) * 1e6) \
+        .astype(np.int64)
+    lbl = (df["n_chars"].to_numpy() > 297).astype(np.int64)
+    N, L = len(s6), int(lbl.sum())
+    bins = np.minimum(s6 // 100000, 9)
+    brier = float(np.sum((s6 / 1e6 - lbl) ** 2)) / N
+    rel = res = 0.0
+    for b in np.unique(bins):
+        m = bins == b
+        nb, pb, ob = int(m.sum()), s6[m].mean() / 1e6, lbl[m].mean()
+        rel += nb * (pb - ob) ** 2
+        res += nb * (ob - L / N) ** 2
+    assert abs(float(out["brier"]) - brier) < 1e-5
+    assert abs(float(out["reliability"]) - rel / N) < 1e-5
+    assert abs(float(out["resolution"]) - res / N) < 1e-5
+    assert abs(float(out["uncertainty"]) - (L / N) * (1 - L / N)) < 1e-5
+    assert 0.0 <= out["uncertainty"] <= 0.25
+
+
+def test_snm_cross_prefix_boundary_pair(tmp_path):
+    """A dirty edit at name position 1 sends the twin record into a
+    DIFFERENT 2-char prefix partition — the pair must still surface
+    through the driver-side strip stitch."""
+    from prclz_ray.pipelines.queries import q_sorted_neighborhood_pairs
+    from prclz_ray.stages.relational import SAMPLE_MIX
+    base = "abcd"
+    k = None
+    for cand in range(1, 500):
+        nm = f"{base} #{cand:06d}"
+        h = ((cand + 1) * SAMPLE_MIX) % (2 ** 64)
+        if h % 3 == 1 and (h // 3) % len(nm) == 1:
+            k = cand
+            break
+    assert k is not None
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([k, k + 1, k + 2], type=pa.int64()),
+        "p_name": pa.array([base, "mmmm", "zzzz"])}),
+        os.path.join(str(tmp_path), "part.parquet"))
+    out = q_sorted_neighborhood_pairs(str(tmp_path))
+    # clean 'abcd #k' vs dirty 'aqcd #k' (prefixes 'ab' vs 'aq'):
+    # adjacent in global name order, distance 1, found via the stitch
+    pairs = set(zip(out["a"], out["b"]))
+    assert (k, k + 1000000) in pairs
+    row = out.set_index(["a", "b"]).loc[(k, k + 1000000)]
+    assert int(row["dist"]) == 1
+
+
+def test_snm_subset_of_blocked_fuzzy(tmp_path):
+    """Every SNM pair is a true lev<=1 pair (the verify leg is shared),
+    and the output is unique + ordered."""
+    from prclz_ray.pipelines.queries import q_sorted_neighborhood_pairs
+    out = q_sorted_neighborhood_pairs(SF)
+    assert (out["dist"] <= 1).all()
+    assert not out.duplicated(["a", "b"]).any()
+    assert (out["a"] < out["b"]).all()
+
+
+def test_interp_impute_linear_golden(tmp_path):
+    """10 → (error at 1/3 of the gap) → 20 interpolates to 13.333333;
+    a leading error (no left neighbour) counts null but not interp."""
+    from prclz_ray.pipelines.queries import q_interp_impute_value
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    sec = np.timedelta64(1_000_000, "us")
+    ev = pa.table({
+        "ts": pa.array([t0 - sec, t0, t0 + sec, t0 + 3 * sec]),
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7], type=pa.int64()),
+        "event_type": pa.array(["error", "view", "error", "view"]),
+        "value": pa.array([999.0, 10.0, 999.0, 20.0])})
+    pq.write_table(ev, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_interp_impute_value(str(tmp_path)).set_index("user_id")
+    assert int(out.loc[7, "n_null"]) == 2
+    assert int(out.loc[7, "n_interp"]) == 1
+    assert int(out.loc[7, "interp_sum6"]) == 13333333
