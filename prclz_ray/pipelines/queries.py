@@ -20208,6 +20208,248 @@ FROM i GROUP BY 1 ORDER BY 1
 """
 
 
+def q_source_set_cover(sf_dir: str):
+    """Greedy weighted set cover: which 5 crawl sources cover the most
+    vocabulary — the data-curation question behind 'which feeds can we
+    drop'.  One corpus pass builds distinct (source, word) pairs; the
+    word-bucket fold packs each word's source set into a ≤2²⁰ BITMASK
+    (Σ 2^idx over distinct sources = OR), and the mask HISTOGRAM — the
+    only thing the driver sees — is bounded by distinct masks, never
+    vocabulary.  The 5 greedy rounds then run vectorized on that tiny
+    table with exact integer coverage counts; ties break to the
+    lexicographically first source on BOTH sides.  The twin unrolls
+    the same 5 rounds as chained scalar-subquery CTEs."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def pw(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], pattern=" ")
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": np.repeat(
+                t["source"].to_numpy(zero_copy_only=False), n),
+            "w": pc.list_flatten(parts).to_numpy(
+                zero_copy_only=False)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = docs.map_batches(pw, batch_format="pyarrow") \
+        .groupby(["source", "w"]).aggregate(Count()) \
+        .select_columns(["source", "w"]).materialize()
+    srcs = sorted(
+        relational.ds_to_table(
+            pairs.map_batches(
+                lambda t: pa.table({"source": pc.unique(t["source"])}),
+                batch_format="pyarrow")
+            .groupby("source").aggregate(Count())
+        )["source"].to_pylist())
+    idx_of = {s: i for i, s in enumerate(srcs)}
+
+    def bits(t: pa.Table) -> pa.Table:
+        b = np.array([1 << idx_of[s]
+                      for s in t["source"].to_pylist()],
+                     dtype=np.int64)
+        return pa.table({"w": t["w"], "bit": pa.array(b)})
+
+    def mask_partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"mask": t["sum(bit)"].to_numpy(
+            zero_copy_only=False).astype(np.int64), "c": 1}) \
+            .groupby("mask", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mh = relational.ds_to_table(
+        pairs.map_batches(bits, batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("bit"))
+        .map_batches(mask_partial, batch_format="pyarrow")
+        .groupby("mask").aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    masks = mh["mask"].to_numpy(np.int64)
+    cnts = mh["c"].to_numpy(np.int64)
+    cov, cum, rows = 0, 0, []
+    for rnd in range(1, min(5, len(srcs)) + 1):
+        uncovered = (masks & cov) == 0
+        inc = np.array([
+            int(cnts[uncovered & ((masks >> j) & 1 == 1)].sum())
+            if not (cov >> j) & 1 else -1
+            for j in range(len(srcs))], dtype=np.int64)
+        pick = int(np.argmax(inc))          # first max = smallest idx
+        cum += int(inc[pick])
+        rows.append({"round": rnd, "source": srcs[pick],
+                     "new_words": int(inc[pick]), "cum_words": cum})
+        cov |= 1 << pick
+    return pd.DataFrame(rows).astype({
+        "round": np.int64, "new_words": np.int64,
+        "cum_words": np.int64})
+
+
+def _sql_setcover_rounds(k: int = 5) -> str:
+    """Unrolled greedy set-cover twin: round r's incremental coverage
+    conditions on the scalar covered-mask CTE c{r-1} (picked sources
+    excluded via their own bit), mirroring the Ray argmax tie rule
+    with ORDER BY inc DESC, idx."""
+    parts = ["""WITH pw AS (
+  SELECT DISTINCT source, w
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents)),
+si AS (SELECT source,
+              CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT)
+                AS idx
+       FROM (SELECT DISTINCT source FROM pw)),
+wm AS (SELECT w, SUM(CAST(1 AS BIGINT) << idx) AS mask
+       FROM pw JOIN si USING (source) GROUP BY w),
+mh AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM wm
+       GROUP BY mask),
+c0 AS (SELECT CAST(0 AS BIGINT) AS m)"""]
+    for r in range(1, k + 1):
+        parts.append(f""",
+g{r} AS (SELECT i.idx,
+                SUM(CASE WHEN (mh.mask >> i.idx) & 1 = 1
+                          AND (mh.mask & (SELECT m FROM c{r - 1})) = 0
+                         THEN mh.c ELSE 0 END) AS inc
+         FROM si i CROSS JOIN mh
+         WHERE ((SELECT m FROM c{r - 1}) >> i.idx) & 1 = 0
+         GROUP BY i.idx),
+p{r} AS (SELECT idx, inc FROM g{r} ORDER BY inc DESC, idx LIMIT 1),
+c{r} AS (SELECT (SELECT m FROM c{r - 1})
+                | (CAST(1 AS BIGINT) << (SELECT idx FROM p{r})) AS m)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, idx, inc FROM p{r}"
+        for r in range(1, k + 1))
+    parts.append(f""",
+u AS ({union})
+SELECT u.round, si.source, CAST(u.inc AS BIGINT) AS new_words,
+       CAST(SUM(u.inc) OVER (ORDER BY u.round
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_words
+FROM u JOIN si USING (idx) ORDER BY u.round""")
+    return "".join(parts)
+
+
+def q_seasonal_residual_outliers(sf_dir: str):
+    """Seasonality-aware anomaly detection — the production composite
+    of the decompose + robust-spread kernels: daily revenue is
+    detrended (7-day centered window) and deseasonalized (per-weekday
+    mean), then each weekday's residuals are screened with the MAD
+    rule dev > 3·1.4826·MAD.  Within a weekday every residual shares
+    the denominator 7·cnt, so median/MAD/deviation all evaluate on the
+    EXACT integer dt·cnt − num (medians are selections, not sums — no
+    float-order hazard); the reported resid is the one mirrored
+    division.  Weekdays with MAD = 0 are skipped (the degenerate-MAD
+    guard every robust detector needs)."""
+    d = _daily_revenue_cents(sf_dir)
+    days = d["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[days - lo] = d["rev"].to_numpy(np.int64)
+    n = len(dense)
+    rows = []
+    if n >= 7:
+        csum = np.concatenate([[0], np.cumsum(dense)])
+        s7 = csum[7:] - csum[:-7]
+        centers = np.arange(3, n - 3)
+        dt = 7 * dense[centers] - s7
+        dow = ((centers + lo) + 3) % 7 + 1
+        for w in range(1, 8):
+            m = dow == w
+            if not m.any():
+                continue
+            cnt = int(m.sum())
+            num = int(dt[m].sum())
+            r = dt[m] * cnt - num                 # exact ints
+            med = float(np.median(r))
+            dev = np.abs(r.astype(np.float64) - med)
+            mad = float(np.median(dev))
+            if mad == 0.0:
+                continue
+            out = dev > 4.4478 * mad
+            for day_i, rv in zip((centers[m] + lo)[out], r[out]):
+                rows.append({
+                    "day": np.int64(day_i), "isodow": w,
+                    "resid": np.round(float(rv) / (7.0 * cnt), 4)})
+    out = pd.DataFrame(rows, columns=["day", "isodow", "resid"]) \
+        .sort_values("day").reset_index(drop=True)
+    out["day"] = out["day"].to_numpy(dtype=np.int64) \
+        .astype("datetime64[D]").astype("datetime64[us]") \
+        if len(out) else pd.Series([], dtype="datetime64[us]")
+    return out.astype({"isodow": np.int64})
+
+
+SQL_SEASONAL_OUTLIERS = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+f AS (SELECT cal.day, COALESCE(d.rev, 0) AS x
+      FROM cal LEFT JOIN d USING (day)),
+w AS (SELECT day, x,
+             SUM(x) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS s7,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS c7
+      FROM f),
+det AS (SELECT day, (day + 3) % 7 + 1 AS isodow, 7 * x - s7 AS dt
+        FROM w WHERE c7 = 7),
+st AS (SELECT isodow, CAST(COUNT(*) AS BIGINT) AS cnt,
+              SUM(dt) AS num
+       FROM det GROUP BY 1),
+r AS (SELECT det.day, det.isodow, st.cnt,
+             CAST(det.dt * st.cnt - st.num AS DOUBLE) AS rv
+      FROM det JOIN st USING (isodow)),
+m AS (SELECT isodow, MEDIAN(rv) AS med FROM r GROUP BY 1),
+dv AS (SELECT r.day, r.isodow, r.cnt, r.rv,
+              ABS(r.rv - m.med) AS dev
+       FROM r JOIN m USING (isodow)),
+md AS (SELECT isodow, MEDIAN(dev) AS mad FROM dv GROUP BY 1)
+SELECT CAST(DATE '1970-01-01' + CAST(dv.day AS INT) AS TIMESTAMP)
+         AS day,
+       CAST(dv.isodow AS BIGINT) AS isodow,
+       ROUND(dv.rv / (7.0 * dv.cnt), 4) AS resid
+FROM dv JOIN md USING (isodow)
+WHERE md.mad > 0 AND dv.dev > 4.4478 * md.mad
+ORDER BY 1
+"""
+
+
+def q_anf_effective_diameter(sf_dir: str):
+    """Approximate neighborhood function + effective diameter of the
+    link graph via HyperBall (per-node 256-register HLL sketches,
+    max-merged along edges each round — the linear-memory alternative
+    to the O(n·m) exact all-pairs BFS, the algorithm behind every
+    published web-graph diameter number).  No SQL oracle: the sketch
+    is approximate BY DESIGN; pytest pins each N(h) against the exact
+    dense BFS neighborhood function at fixture scale and the
+    monotonicity contract."""
+    from ..stages import graph_ops
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    nodes = docs.map_batches(
+        lambda t: pa.table({"v": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        return pa.table({"src": pa.array(src),
+                         "dst": pa.array((src * 7919 + k * 104729) % n)})
+
+    totals = graph_ops.hyperball_nf(
+        docs.map_batches(edges, batch_format="pyarrow"), nodes,
+        rounds=4)
+    nf_max = totals[-1]
+    eff = next(h for h, t in enumerate(totals) if t >= 0.9 * nf_max)
+    return pd.DataFrame([{
+        "h": h, "nf": np.round(t, 2),
+        "ratio": np.round(t / nf_max, 4),
+        "is_effective_diameter": bool(h == eff)}
+        for h, t in enumerate(totals)]).astype({"h": np.int64})
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -20744,4 +20986,9 @@ def registry():
                                       SQL_SNM_PAIRS),
         "interp_impute_value": (q_interp_impute_value,
                                 SQL_INTERP_IMPUTE),
+        "source_set_cover": (q_source_set_cover,
+                             _sql_setcover_rounds(5)),
+        "seasonal_residual_outliers": (q_seasonal_residual_outliers,
+                                       SQL_SEASONAL_OUTLIERS),
+        "anf_effective_diameter": (q_anf_effective_diameter, None),
     }

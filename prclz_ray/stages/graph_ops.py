@@ -1541,3 +1541,130 @@ def k_truss(edges_ds, k: int = 4, src_col: str = "src",
     eb = t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({"ea": pa.array(ea), "eb": pa.array(eb),
                      "support": pa.array(support_of(cur, ea, eb))})
+
+
+# ---------------------------------------------------------------------------
+# HyperBall / ANF: neighborhood function + effective diameter via
+# per-node HLL sketches (Palmer et al. ANF; Boldi-Rosa-Vigna HyperBall)
+# ---------------------------------------------------------------------------
+
+HB_P = 8                         # 2^8 = 256 registers (bytes) per node
+
+
+def _hb_init_regs(nodes: np.ndarray) -> np.ndarray:
+    """(rows, 256) uint8 register matrix where row i is the HLL sketch
+    of the singleton {node_i}.  Rank uses only the TOP 32 bits of the
+    56-bit remainder (capped at 33) so the float64 frexp bit-length
+    trick stays EXACT — a 2⁻³³ statistical cap, zero determinism
+    hazard."""
+    h = pd.util.hash_array(nodes.astype(np.int64)).astype(np.uint64)
+    m = 1 << HB_P
+    idx = (h >> np.uint64(64 - HB_P)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - HB_P)) - 1)
+    top = (rem >> np.uint64(24)).astype(np.float64)   # top 32 bits
+    _, exp = np.frexp(top)
+    rho = np.where(top > 0, 33 - exp, 33).astype(np.uint8)
+    regs = np.zeros((len(nodes), m), dtype=np.uint8)
+    regs[np.arange(len(nodes)), idx] = rho
+    return regs
+
+
+def _hb_estimates(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL cardinality estimates for a (rows, m) register
+    matrix — the vectorized twin of sketches._estimate (same alpha,
+    same linear-counting switch)."""
+    m = float(1 << HB_P)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64),
+                                 axis=1)
+    zeros = np.count_nonzero(regs == 0, axis=1)
+    lin = zeros > 0
+    with np.errstate(divide="ignore"):
+        lc = m * np.log(np.where(lin, m / np.maximum(zeros, 1), 1.0))
+    return np.where((est <= 2.5 * m) & lin, lc, est)
+
+
+def hyperball_nf(edges_ds, nodes_ds, node_col: str = "v",
+                 src_col: str = "src", dst_col: str = "dst",
+                 rounds: int = 4, num_buckets: int = 32):
+    """Approximate neighborhood function N(h) = Σ_v |ball(v, h)| for
+    h = 0..rounds via HyperBall: every node carries a 256-register HLL
+    of the set it can reach ALONG IN-EDGES REVERSED (i.e. ball(v, h) =
+    nodes within h hops of v following edges forward means v's sketch
+    absorbs its OUT-neighbours' sketches; here each round folds the
+    sketch of edge SOURCE into edge DEST, giving |{u : u →≤h v}| —
+    the in-ball, the convention ANF reports on directed graphs).
+
+    Per round: one bucketed edges×state co-shuffle join ships each
+    node's 256-byte sketch once per out-edge, then a node-bucket
+    max-merge (np.maximum.reduceat over the sorted register stack — no
+    per-node Python).  State is NEVER driver-materialized; per-round
+    totals fold from per-batch estimate partials.  4 rounds over E
+    edges move 256·E bytes each — the linear-memory alternative to the
+    O(n·m) exact neighborhood function, the reason HyperBall runs on
+    billion-node graphs."""
+    import ray.data as rd
+
+    from .relational import bucketed_hash_join, ds_to_table
+
+    def init(b: pa.Table) -> pa.Table:
+        nodes = b[node_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        regs = _hb_init_regs(nodes)
+        return pa.table({"v": pa.array(nodes),
+                         "regs": pa.array(list(regs.tobytes(order="C")
+                                               [i * 256:(i + 1) * 256]
+                                               for i in range(len(nodes))),
+                                          type=pa.binary())})
+
+    state = nodes_ds.map_batches(init, batch_format="pyarrow") \
+        .materialize()
+
+    def nf_total(st) -> float:
+        def part(b: pa.Table) -> pa.Table:
+            regs = np.frombuffer(b"".join(b["regs"].to_pylist()),
+                                 dtype=np.uint8).reshape(-1, 256)
+            return pa.table({"s": pa.array(
+                [float(_hb_estimates(regs).sum())])})
+        parts = ds_to_table(st.map_batches(part,
+                                           batch_format="pyarrow"))
+        return float(np.sum(parts["s"].to_numpy(zero_copy_only=False)))
+
+    totals = [nf_total(state)]
+    ekey = edges_ds.map_batches(
+        lambda b: pa.table({"v": b[src_col], "dst": b[dst_col]}),
+        batch_format="pyarrow").materialize()
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        vs = df["v"].to_numpy(np.int64)
+        regs = np.frombuffer(b"".join(df["regs"].tolist()),
+                             dtype=np.uint8).reshape(-1, 256)
+        order = np.argsort(vs, kind="stable")
+        vs, regs = vs[order], regs[order]
+        starts = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+        merged = np.maximum.reduceat(regs, starts, axis=0)
+        uv = vs[starts]
+        return pa.table({"v": pa.array(uv),
+                         "regs": pa.array(
+                             [merged[i].tobytes()
+                              for i in range(len(uv))],
+                             type=pa.binary())})
+
+    for _ in range(rounds):
+        contrib = bucketed_hash_join(ekey, state, on="v",
+                                     num_buckets=num_buckets) \
+            .map_batches(lambda b: pa.table({"v": b["dst"],
+                                             "regs": b["regs"]}),
+                         batch_format="pyarrow")
+        unioned = state.union(contrib)
+
+        def tag(b: pa.Table) -> pa.Table:
+            v = b["v"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_nb", pa.array((v % num_buckets).astype(np.int32)))
+
+        state = unioned.map_batches(tag, batch_format="pyarrow") \
+            .groupby("_nb").map_groups(merge, batch_format="pandas") \
+            .materialize()
+        totals.append(nf_total(state))
+    return totals

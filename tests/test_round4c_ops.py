@@ -170,7 +170,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "revenue_recognition_daily",
        # batch 54 (Brier decomposition, sorted-neighborhood, interp)
        "brier_decomposition", "sorted_neighborhood_pairs",
-       "interp_impute_value"]
+       "interp_impute_value",
+       # batch 55 (greedy set cover, seasonal outliers; ANF no-oracle)
+       "source_set_cover", "seasonal_residual_outliers"]
 
 
 def _norm(v) -> str:
@@ -2685,3 +2687,81 @@ def test_interp_impute_linear_golden(tmp_path):
     assert int(out.loc[7, "n_null"]) == 2
     assert int(out.loc[7, "n_interp"]) == 1
     assert int(out.loc[7, "interp_sum6"]) == 13333333
+
+
+def test_set_cover_greedy_order(tmp_path):
+    """a={w1..w4}, b={w3,w4,w5}, c={w5}: greedy must pick a (4 new),
+    then b (1 new: w5), then c (0 new)."""
+    from prclz_ray.pipelines.queries import q_source_set_cover
+    docs = pa.table({
+        "source": pa.array(["a", "b", "c"]),
+        "text": pa.array(["w1 w2 w3 w4", "w3 w4 w5", "w5"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_source_set_cover(str(tmp_path))
+    assert out["source"].tolist() == ["a", "b", "c"]
+    assert out["new_words"].tolist() == [4, 1, 0]
+    assert out["cum_words"].tolist() == [4, 5, 5]
+
+
+def test_set_cover_tie_breaks_lexicographic(tmp_path):
+    """Equal coverage ⇒ the lexicographically first source wins (the
+    SQL ORDER BY inc DESC, idx rule)."""
+    from prclz_ray.pipelines.queries import q_source_set_cover
+    docs = pa.table({
+        "source": pa.array(["zz", "aa"]),
+        "text": pa.array(["w1 w2", "w3 w4"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_source_set_cover(str(tmp_path))
+    assert out["source"].iloc[0] == "aa"
+
+
+def test_seasonal_outliers_planted_spike(tmp_path):
+    """Jittered-but-regular weekday series + one huge spike: the spike
+    day (and only a handful of rows) must be flagged."""
+    from prclz_ray.pipelines.queries import q_seasonal_residual_outliers
+    days = np.arange(20000, 20000 + 98)
+    vals = 100.0 + (days % 5).astype(np.float64)   # mad > 0 jitter
+    vals[47] = 100000.0
+    ts = (days * 86_400_000_000).astype("datetime64[us]")
+    pq.write_table(pa.table({"o_orderdate": pa.array(ts),
+                             "o_totalprice": pa.array(vals)}),
+                   os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_seasonal_residual_outliers(str(tmp_path))
+    flagged = out["day"].to_numpy().astype("datetime64[D]") \
+        .astype(np.int64)
+    assert int(days[47]) in flagged.tolist()
+    spike = out.set_index(
+        out["day"].to_numpy().astype("datetime64[D]")
+        .astype(np.int64)).loc[int(days[47])]
+    assert float(spike["resid"]) > 0
+
+
+def test_anf_matches_exact_neighborhood_function():
+    """Each HyperBall N(h) must sit within 15 % of the exact dense-BFS
+    in-ball neighborhood function, near-monotone in h, with exactly
+    one effective-diameter row."""
+    from prclz_ray.pipelines.queries import q_anf_effective_diameter
+    out = q_anf_effective_diameter(SF)
+    assert len(out) == 5
+    assert int(out["is_effective_diameter"].sum()) == 1
+    n = pq.read_metadata(
+        os.path.join(SF, "documents.parquet")).num_rows
+    src = np.repeat(np.arange(n, dtype=np.int64), 3)
+    k = np.tile(np.array([1, 2, 3], dtype=np.int64), n)
+    dst = (src * 7919 + k * 104729) % n
+    # reach[v, u] = u within h hops INTO v (in-ball, the kernel's fold)
+    reach = np.eye(n, dtype=bool)
+    exact = [float(n)]
+    for _ in range(4):
+        nxt = reach.copy()
+        # u →≤h v via edge (s → d): ball(d) absorbs ball(s)
+        np.logical_or.at(nxt, dst, reach[src])
+        reach = nxt
+        exact.append(float(reach.sum()))
+    nf = out["nf"].to_numpy(np.float64)
+    for h in range(5):
+        assert abs(nf[h] - exact[h]) / exact[h] < 0.15, (h, nf[h],
+                                                         exact[h])
+    assert (nf[1:] >= nf[:-1] * 0.98).all()
