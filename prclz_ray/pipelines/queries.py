@@ -20450,6 +20450,244 @@ def q_anf_effective_diameter(sf_dir: str):
         for h, t in enumerate(totals)]).astype({"h": np.int64})
 
 
+def q_mmr_diversified_topk(sf_dir: str):
+    """Maximal Marginal Relevance retrieval: pick 5 of the query's
+    top-20 cosine neighbours maximizing 0.7·relevance −
+    0.3·max-similarity-to-already-picked — the diversified re-ranking
+    every RAG pipeline bolts onto raw ANN (raw top-k returns 5 copies
+    of the same passage).  Distributed leg: one streaming relevance
+    scan against the broadcast query vector with per-batch local
+    top-20 prune (exact — any global top-20 row is in its batch's
+    top-20); the greedy runs on the 20 survivors.  The twin unrolls
+    the same 5 rounds with scalar-subquery MAX over the picked CTEs;
+    output is ids only (float cosines stay out of the hash, the ANN
+    precedent)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = emb.filter(expr="vec_id == 0").take_all()
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    qn = np.linalg.norm(qv)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids != 0
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "rel": pa.array([], type=pa.float64()),
+                             "embedding": t["embedding"].slice(0, 0)})
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v, k in zip(t["embedding"].to_pylist(), keep)
+                      if k])
+        ids = ids[keep]
+        rel = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+        order = np.lexsort((ids, -rel))[:20]
+        idx_all = np.flatnonzero(keep)[order]
+        return pa.table({"vec_id": pa.array(ids[order]),
+                         "rel": pa.array(rel[order]),
+                         "embedding": t["embedding"].take(
+                             pa.array(idx_all))})
+
+    cand = relational.ds_to_table(
+        emb.map_batches(local_top, batch_format="pyarrow")).to_pandas()
+    cand = cand.sort_values(["rel", "vec_id"],
+                            ascending=[False, True]).head(20) \
+        .reset_index(drop=True)
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in cand["embedding"]])
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    rel = cand["rel"].to_numpy(np.float64)
+    ids = cand["vec_id"].to_numpy(np.int64)
+    picked: list[int] = []
+    rows = []
+    for rnd in range(1, min(5, len(ids)) + 1):   # <5 candidates: the
+        if picked:                               # twin emits no row
+            sc = 0.7 * rel - 0.3 * sims[:, picked].max(axis=1)
+        else:
+            sc = rel.copy()
+        sc[picked] = -np.inf
+        # argmax with vec_id tiebreak = first max in (sc desc, id asc)
+        order = np.lexsort((ids, -sc))
+        pick = int(order[0])
+        picked.append(pick)
+        rows.append({"rnk": rnd, "vec_id": int(ids[pick])})
+    return pd.DataFrame(rows).astype({"rnk": np.int64,
+                                      "vec_id": np.int64})
+
+
+def _sql_mmr_rounds(k: int = 5) -> str:
+    """Unrolled MMR twin: round r scores every unpicked top-20
+    candidate 0.7·rel − 0.3·MAX(sim to the picked-so-far union CTE);
+    round 1 is pure relevance (the Ray side's empty-picked branch)."""
+    parts = ["""WITH q AS (SELECT embedding AS qe FROM embeddings
+           WHERE vec_id = 0),
+rel AS (SELECT e.vec_id, e.embedding,
+               list_cosine_similarity(q.qe, e.embedding) AS rel
+        FROM embeddings e, q WHERE e.vec_id <> 0),
+top AS (SELECT vec_id, embedding, rel
+        FROM (SELECT vec_id, embedding, rel,
+                     ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id)
+                       AS rn
+              FROM rel)
+        WHERE rn <= 20),
+p1 AS (SELECT vec_id, embedding FROM top
+       ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    for r in range(2, k + 1):
+        union = "\n            UNION ALL ".join(
+            f"SELECT vec_id, embedding FROM p{i}"
+            for i in range(1, r))
+        parts.append(f""",
+g{r} AS (SELECT t.vec_id, t.embedding,
+                0.7 * t.rel
+                - 0.3 * (SELECT MAX(list_cosine_similarity(
+                                      t.embedding, pk.embedding))
+                         FROM ({union}) pk) AS sc
+         FROM top t
+         WHERE t.vec_id NOT IN (SELECT vec_id FROM ({union}) px)),
+p{r} AS (SELECT vec_id, embedding FROM g{r}
+         ORDER BY sc DESC, vec_id LIMIT 1)""")
+    union_out = "\nUNION ALL ".join(
+        f"SELECT {r} AS rnk, vec_id FROM p{r}" for r in range(1, k + 1))
+    parts.append(f"""
+SELECT CAST(rnk AS BIGINT) AS rnk, vec_id FROM ({union_out})
+ORDER BY rnk""")
+    return "".join(parts)
+
+
+def q_quantile_treatment_effect(sf_dir: str):
+    """Quantile treatment effects at P10/P50/P90 of event value
+    between the id-parity A/B arms — where the mean-difference test
+    (welch/CUPED) hides heterogeneous effects, the quantile deltas
+    expose them.  Event values are cents-quantized, so the per-arm
+    distribution table is VALUE-DOMAIN-bounded and each quantile is
+    the exact (n−1)·q/100 divmod interpolation (the
+    grouped-percentile kernel's rule); the deltas are mirrored
+    subtractions of the rounded quantiles."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arm = (t["user_id"].to_numpy(zero_copy_only=False) % 2) \
+            .astype(np.int64)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({"arm": arm, "v": cents, "pn": 1}) \
+            .groupby(["arm", "v"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dist = relational.ds_to_table(
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["arm", "v"]).aggregate(Sum("pn", alias_name="c"))
+    ).to_pandas()
+    qs = {}
+    for arm, g in dist.groupby("arm"):
+        g = g.sort_values("v")
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
+        v = g["v"].to_numpy(np.int64)
+        n = int(cum[-1])
+        for k in (10, 50, 90):
+            h_lo, rem = divmod((n - 1) * k, 100)
+            lo_c = int(v[np.searchsorted(cum, h_lo + 1, side="left")])
+            hi_c = lo_c if rem == 0 else \
+                int(v[np.searchsorted(cum, h_lo + 2, side="left")])
+            qs[(int(arm), k)] = round(
+                (lo_c + (rem / 100.0) * (hi_c - lo_c)) / 100.0, 6)
+    rows = [{"q": k, "control": qs[(0, k)], "treat": qs[(1, k)],
+             "qte": round(qs[(1, k)] - qs[(0, k)], 6)}
+            for k in (10, 50, 90)]
+    return pd.DataFrame(rows).astype({"q": np.int64})
+
+
+SQL_QTE = """
+WITH e AS (SELECT user_id % 2 AS arm, value FROM events),
+p AS (SELECT arm,
+             ROUND(quantile_cont(value, 0.10), 6) AS p10,
+             ROUND(quantile_cont(value, 0.50), 6) AS p50,
+             ROUND(quantile_cont(value, 0.90), 6) AS p90
+      FROM e GROUP BY 1),
+c AS (SELECT p10, p50, p90 FROM p WHERE arm = 0),
+t AS (SELECT p10, p50, p90 FROM p WHERE arm = 1)
+SELECT CAST(10 AS BIGINT) AS q, c.p10 AS control, t.p10 AS treat,
+       ROUND(t.p10 - c.p10, 6) AS qte FROM c, t
+UNION ALL
+SELECT CAST(50 AS BIGINT), c.p50, t.p50, ROUND(t.p50 - c.p50, 6)
+FROM c, t
+UNION ALL
+SELECT CAST(90 AS BIGINT), c.p90, t.p90, ROUND(t.p90 - c.p90, 6)
+FROM c, t
+ORDER BY 1
+"""
+
+
+def q_exact_heavy_hitters(sf_dir: str):
+    """Top-10 corpus words by EXACT count at bounded memory — the
+    sketch-then-verify pattern: pass 1's Misra-Gries summary (4096
+    counters) provably contains every word with frequency >
+    N/4097; pass 2 re-counts ONLY the ≤4096 candidates exactly
+    (broadcast membership, one more streaming pass), and the
+    certificate `provably_complete` = (10th exact count > N/4097)
+    turns the approximate sketch into an exact, PROVEN top-k without
+    ever shuffling the full vocabulary.  Ties break (count DESC, word
+    ASC) on both sides."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import sketches
+
+    docs = _read(sf_dir, "documents", ["text"])
+    mg = sketches.mg_word_summary(docs, text_col="text",
+                                  capacity=4096)
+    cand = set(mg["word"].to_pylist())
+    cref = ray.put(cand)
+    _state: dict = {}
+
+    def recount(t: pa.Table) -> pa.Table:
+        cs = _state.get("c")
+        if cs is None:
+            cs = _state["c"] = ray.get(cref)
+        flat = pc.list_flatten(pc.split_pattern(t["text"],
+                                                pattern=" "))
+        w = flat.to_numpy(zero_copy_only=False)
+        total = len(w)
+        mask = np.fromiter((x in cs for x in w), np.bool_, total)
+        g = pd.DataFrame({"word": w[mask], "n": 1}) \
+            .groupby("word", sort=False).sum().reset_index()
+        g = pd.concat([g, pd.DataFrame(
+            [{"word": "\x00total", "n": total}])], ignore_index=True)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        docs.map_batches(recount, batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    N = int(cnt.loc[cnt["word"] == "\x00total", "n"].iloc[0])
+    cnt = cnt[cnt["word"] != "\x00total"]
+    top = cnt.sort_values(["n", "word"],
+                          ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
+    proven = bool(float(top["n"].iloc[-1]) > N / 4097.0)
+    return pd.DataFrame({
+        "rnk": np.arange(1, len(top) + 1, dtype=np.int64),
+        "word": top["word"].to_numpy(),
+        "cnt": top["n"].to_numpy(np.int64),
+        "provably_complete": np.full(len(top), proven)})
+
+
+SQL_EXACT_HH = """
+WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w),
+nn AS (SELECT SUM(c) AS n FROM wc),
+top AS (SELECT w, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+        FROM wc)
+SELECT CAST(rn AS BIGINT) AS rnk, w AS word, c AS cnt,
+       (SELECT MIN(c) FROM top WHERE rn <= 10)
+         > (SELECT n FROM nn) / 4097.0 AS provably_complete
+FROM top WHERE rn <= 10 ORDER BY rn
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -20991,4 +21229,9 @@ def registry():
         "seasonal_residual_outliers": (q_seasonal_residual_outliers,
                                        SQL_SEASONAL_OUTLIERS),
         "anf_effective_diameter": (q_anf_effective_diameter, None),
+        "mmr_diversified_topk": (q_mmr_diversified_topk,
+                                 _sql_mmr_rounds(5)),
+        "quantile_treatment_effect": (q_quantile_treatment_effect,
+                                      SQL_QTE),
+        "exact_heavy_hitters": (q_exact_heavy_hitters, SQL_EXACT_HH),
     }

@@ -172,7 +172,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "brier_decomposition", "sorted_neighborhood_pairs",
        "interp_impute_value",
        # batch 55 (greedy set cover, seasonal outliers; ANF no-oracle)
-       "source_set_cover", "seasonal_residual_outliers"]
+       "source_set_cover", "seasonal_residual_outliers",
+       # batch 56 (MMR retrieval, QTE, sketch-verified exact top-k)
+       "mmr_diversified_topk", "quantile_treatment_effect",
+       "exact_heavy_hitters"]
 
 
 def _norm(v) -> str:
@@ -2765,3 +2768,57 @@ def test_anf_matches_exact_neighborhood_function():
         assert abs(nf[h] - exact[h]) / exact[h] < 0.15, (h, nf[h],
                                                          exact[h])
     assert (nf[1:] >= nf[:-1] * 0.98).all()
+
+
+def test_mmr_prefers_diverse_over_redundant(tmp_path):
+    """Candidates: A (rel .801), B (≈A, rel .800), C (diverse,
+    rel .799).  Raw top-2 is {A, B}; MMR must pick A then C."""
+    from prclz_ray.pipelines.queries import q_mmr_diversified_topk
+    vecs = [
+        [1.0, 0.0],            # vec 0: the query
+        [0.801, 0.5986],       # A — most relevant
+        [0.800, 0.6000],       # B — near-duplicate of A
+        [0.799, -0.6013],      # C — relevant but diverse
+    ]
+    norm = [list(np.asarray(v) / np.linalg.norm(v)) for v in vecs]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(4), type=pa.int64()),
+        "embedding": pa.array(norm, type=pa.list_(pa.float32()))}),
+        os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_mmr_diversified_topk(str(tmp_path))
+    assert out["vec_id"].tolist()[:2] == [1, 3]   # A then C, not B
+    assert len(out) == 3                          # 3 candidates only
+
+
+def test_qte_pure_location_shift(tmp_path):
+    """treat = control + 10 at every point ⇒ QTE exactly 10 at each
+    quantile."""
+    from prclz_ray.pipelines.queries import q_quantile_treatment_effect
+    ctrl = np.arange(1.0, 10.0)                  # users even → arm 0
+    ts = np.full(18, np.datetime64("2024-01-01", "us"))
+    pq.write_table(pa.table({
+        "user_id": pa.array([0] * 9 + [1] * 9, type=pa.int64()),
+        "value": pa.array(np.concatenate([ctrl, ctrl + 10.0]))}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_quantile_treatment_effect(str(tmp_path)).set_index("q")
+    assert out.loc[50, "control"] == 5.0
+    assert out.loc[50, "treat"] == 15.0
+    assert out.loc[10, "control"] == 1.8          # 1 + 0.8·(2−1)
+    assert (out["qte"] == 10.0).all()
+
+
+def test_exact_heavy_hitters_counts_and_certificate(tmp_path):
+    """Known word counts with a tie: exact counts, (count DESC, word
+    ASC) ties, and the completeness certificate must hold on a corpus
+    whose every word is in the MG summary."""
+    from prclz_ray.pipelines.queries import q_exact_heavy_hitters
+    docs = pa.table({"text": pa.array(
+        ["a a a a b b b c", "c c b z y x w v u t s r"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_exact_heavy_hitters(str(tmp_path))
+    assert out["word"].tolist()[:3] == ["a", "b", "c"]   # 4, 4, 3
+    assert out["cnt"].tolist()[:3] == [4, 4, 3]
+    assert out["word"].iloc[0] == "a"             # tie a/b → word ASC
+    assert bool(out["provably_complete"].iloc[0])
+    assert len(out) == 10
