@@ -20688,6 +20688,210 @@ FROM top WHERE rn <= 10 ORDER BY rn
 """
 
 
+def q_harmonic_centrality_pivots(sf_dir: str):
+    """Harmonic centrality (bounded 3-hop) for 5 pivot nodes: h(p) =
+    Σ_{d(p,v)≤3} 1/d — the centrality that, unlike closeness, stays
+    well-defined on disconnected graphs.  Per pivot one frontier-only
+    BFS (the shared bfs_hops kernel); hop-ring sizes n1/n2/n3 are
+    exact ints and the harmonic score is the one mirrored float
+    expression n1 + n2/2 + n3/3.  The twin unrolls five 3-round BFS
+    chains from the shared generator."""
+    import ray.data as rd
+
+    from ..stages import graph_ops
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        return pa.table({"src": pa.array(src),
+                         "dst": pa.array((src * 7919 + k * 104729) % n)})
+
+    e = docs.map_batches(edges, batch_format="pyarrow").materialize()
+    rows = []
+    for p in range(5):
+        seeds = rd.from_arrow(pa.table({"v": pa.array([p],
+                                                      type=pa.int64())}))
+        t = relational.ds_to_table(
+            graph_ops.bfs_hops(e, seeds, rounds=3,
+                               approx_num_nodes=n)).to_pandas()
+        hc = t["hops"].value_counts()
+        n1, n2, n3 = (int(hc.get(1, 0)), int(hc.get(2, 0)),
+                      int(hc.get(3, 0)))
+        rows.append({"pv": p, "n1": n1, "n2": n2, "n3": n3,
+                     "harmonic": round(n1 + n2 / 2.0 + n3 / 3.0, 6)})
+    return pd.DataFrame(rows).astype({
+        "pv": np.int64, "n1": np.int64, "n2": np.int64,
+        "n3": np.int64})
+
+
+def _sql_harmonic_pivots() -> str:
+    chains = ",\n".join(
+        _sql_bfs_rounds(f"doc_id = {p}", "src", "dst", 3, p=f"h{p}_")
+        for p in range(5))
+    union = "\nUNION ALL ".join(
+        f"SELECT {p} AS pv, v, hops FROM h{p}_3" for p in range(5))
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7919 + k.k * 104729) % nn.n AS dst
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS k) k, nn),
+{chains},
+u AS ({union})
+SELECT CAST(pv AS BIGINT) AS pv,
+       CAST(SUM(CASE WHEN hops = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN hops = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(SUM(CASE WHEN hops = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       ROUND(SUM(CASE WHEN hops = 1 THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN hops = 2 THEN 1 ELSE 0 END) / 2.0
+             + SUM(CASE WHEN hops = 3 THEN 1 ELSE 0 END) / 3.0, 6)
+         AS harmonic
+FROM u GROUP BY pv ORDER BY pv
+"""
+
+
+def q_item_item_recs(sf_dir: str):
+    """Item-item collaborative filtering: top-3 recommendations for 5
+    target parts by co-purchase cosine c/√(nᵢ·nⱼ) over order baskets —
+    the classic Amazon-style recommender expressed as counts.  The
+    distinct (order, part) reduce runs once; only orders containing a
+    TARGET join back (targets broadcast as a 5-key filter, never a
+    parts×parts blow-up); nᵢ·nⱼ stays an exact int < 2⁵³ so the one
+    mirrored sqrt-division orders identically on both sides."""
+    from ray.data.aggregate import Count, Sum
+
+    TGT = (1, 2, 3, 4, 5)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dpair(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "p": t["l_partkey"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    op = li.map_batches(dpair, batch_format="pyarrow") \
+        .groupby(["o", "p"]).aggregate(Count()) \
+        .select_columns(["o", "p"]).materialize()
+    ni = relational.ds_to_table(
+        op.groupby("p").aggregate(Count())).to_pandas() \
+        .rename(columns={"count()": "n"})
+    tgt_orders = op.filter(
+        expr=f"p in {list(TGT)}").map_batches(
+        lambda t: pa.table({"o": t["o"], "tgt": t["p"]}),
+        batch_format="pyarrow")
+    j = relational.bucketed_hash_join(tgt_orders, op, on="o")
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "tgt": t["tgt"].to_numpy(zero_copy_only=False),
+            "rec": t["p"].to_numpy(zero_copy_only=False), "c": 1})
+        df = df[df["tgt"] != df["rec"]]
+        g = df.groupby(["tgt", "rec"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cc = relational.ds_to_table(
+        j.map_batches(cc_partial, batch_format="pyarrow")
+        .groupby(["tgt", "rec"]).aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    nmap = ni.set_index("p")["n"]
+    cc["sim"] = cc["c"].to_numpy(np.int64) / np.sqrt(
+        (cc["tgt"].map(nmap).to_numpy(np.int64)
+         * cc["rec"].map(nmap).to_numpy(np.int64)).astype(np.float64))
+    out_rows = []
+    for tgt, g in cc.groupby("tgt"):
+        g = g.sort_values(["sim", "rec"],
+                          ascending=[False, True]).head(3)
+        for i, r in enumerate(g.itertuples(), start=1):
+            out_rows.append({"part": int(tgt), "rnk": i,
+                             "rec": int(r.rec), "n_cooc": int(r.c),
+                             "sim": round(float(r.sim), 6)})
+    return pd.DataFrame(out_rows).astype({
+        "part": np.int64, "rnk": np.int64, "rec": np.int64,
+        "n_cooc": np.int64})
+
+
+SQL_ITEM_RECS = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+ni AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY 1),
+t AS (SELECT o, p AS tgt FROM op WHERE p IN (1, 2, 3, 4, 5)),
+cc AS (SELECT t.tgt, op.p AS rec, CAST(COUNT(*) AS BIGINT) AS c
+       FROM t JOIN op USING (o) WHERE op.p <> t.tgt GROUP BY 1, 2),
+s AS (SELECT cc.tgt, cc.rec, cc.c,
+             cc.c / sqrt(CAST(a.n * b.n AS DOUBLE)) AS sim
+      FROM cc JOIN ni a ON a.p = cc.tgt JOIN ni b ON b.p = cc.rec),
+r AS (SELECT tgt, rec, c, sim,
+             ROW_NUMBER() OVER (PARTITION BY tgt
+                                ORDER BY sim DESC, rec) AS rnk
+      FROM s)
+SELECT tgt AS part, CAST(rnk AS BIGINT) AS rnk, rec,
+       c AS n_cooc, ROUND(sim, 6) AS sim
+FROM r WHERE rnk <= 3 ORDER BY 1, 2
+"""
+
+
+def q_blocking_recall_compare(sf_dir: str):
+    """Head-to-head blocking-strategy evaluation: SymSpell
+    deletion-variant blocking vs sorted-neighborhood, measured on the
+    KNOWN ground truth (every clean record k has a ≤1-edit dirty twin
+    k+10⁶ by construction) — candidate volume vs true-match recall,
+    the tradeoff every entity-resolution deployment tunes.  Reuses
+    both pipelines verbatim; counts are exact, recall the one
+    mirrored division."""
+    fuzzy_pairs = relational.ds_to_table(
+        q_fuzzy_match_pairs(sf_dir)).to_pandas()
+    snm = q_sorted_neighborhood_pairs(sf_dir)
+    import pyarrow.parquet as pqt
+    n_true = pqt.read_metadata(
+        f"{sf_dir}/part.parquet").num_rows
+    rows = []
+    for method, df in (("fuzzy_block", fuzzy_pairs),
+                       ("sorted_neighborhood", snm)):
+        found = int((df["b"].to_numpy(np.int64)
+                     == df["a"].to_numpy(np.int64) + 1000000).sum())
+        rows.append({"method": method, "n_pairs": len(df),
+                     "n_true_found": found, "n_true_total": n_true,
+                     "recall": round(found / float(n_true), 6)})
+    return pd.DataFrame(rows).astype({
+        "n_pairs": np.int64, "n_true_found": np.int64,
+        "n_true_total": np.int64})
+
+
+SQL_BLOCKING_RECALL = SQL_FUZZY_BASE + """,
+u AS (SELECT id, nm FROM clean UNION ALL SELECT id, nm FROM dirty),
+r AS (SELECT id, nm, ROW_NUMBER() OVER (ORDER BY nm, id) AS rn FROM u),
+cand AS (SELECT r1.id AS ia, r2.id AS ib, r1.nm AS na, r2.nm AS nb
+         FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3),
+snm AS (SELECT LEAST(ia, ib) AS a, GREATEST(ia, ib) AS b FROM cand
+        WHERE levenshtein(na, nb) <= 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM clean)
+SELECT 'fuzzy_block' AS method,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+        WHERE b = a + 1000000) AS n_true_found,
+       tot.n AS n_true_total,
+       ROUND((SELECT COUNT(*) FROM pairs WHERE b = a + 1000000)
+             / CAST(tot.n AS DOUBLE), 6) AS recall
+FROM tot
+UNION ALL
+SELECT 'sorted_neighborhood',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM snm),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM snm
+        WHERE b = a + 1000000),
+       tot.n,
+       ROUND((SELECT COUNT(*) FROM snm WHERE b = a + 1000000)
+             / CAST(tot.n AS DOUBLE), 6)
+FROM tot
+ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -21234,4 +21438,9 @@ def registry():
         "quantile_treatment_effect": (q_quantile_treatment_effect,
                                       SQL_QTE),
         "exact_heavy_hitters": (q_exact_heavy_hitters, SQL_EXACT_HH),
+        "harmonic_centrality_pivots": (q_harmonic_centrality_pivots,
+                                       _sql_harmonic_pivots()),
+        "item_item_recs": (q_item_item_recs, SQL_ITEM_RECS),
+        "blocking_recall_compare": (q_blocking_recall_compare,
+                                    SQL_BLOCKING_RECALL),
     }

@@ -94,7 +94,7 @@ def test_fuzzy_queries_match_duckdb_oracle_sf0001():
 
     expc = con.execute(SQL_FUZZY_CLUSTERS).df() \
         .sort_values("node").reset_index(drop=True)
-    gotc = q_fuzzy_entity_clusters(sf).to_pandas() \
+    gotc = q_fuzzy_entity_clusters(sf) \
         .sort_values("node").reset_index(drop=True)
     assert gotc["node"].tolist() == expc["node"].tolist()
     assert gotc["label"].tolist() == expc["label"].tolist()

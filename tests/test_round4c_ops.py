@@ -175,7 +175,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "source_set_cover", "seasonal_residual_outliers",
        # batch 56 (MMR retrieval, QTE, sketch-verified exact top-k)
        "mmr_diversified_topk", "quantile_treatment_effect",
-       "exact_heavy_hitters"]
+       "exact_heavy_hitters",
+       # batch 57 (harmonic centrality, item-item CF, blocking eval)
+       "harmonic_centrality_pivots", "item_item_recs",
+       "blocking_recall_compare"]
 
 
 def _norm(v) -> str:
@@ -2822,3 +2825,64 @@ def test_exact_heavy_hitters_counts_and_certificate(tmp_path):
     assert out["word"].iloc[0] == "a"             # tie a/b → word ASC
     assert bool(out["provably_complete"].iloc[0])
     assert len(out) == 10
+
+
+def test_harmonic_matches_dense_bfs(tmp_path):
+    """Per-pivot harmonic scores on a 10-node formula graph must equal
+    the dense-BFS reference exactly."""
+    from prclz_ray.pipelines.queries import q_harmonic_centrality_pivots
+    n = 10
+    pq.write_table(pa.table({"doc_id": pa.array(range(n),
+                                                type=pa.int64())}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_harmonic_centrality_pivots(str(tmp_path)).set_index("pv")
+    src = np.repeat(np.arange(n, dtype=np.int64), 3)
+    k = np.tile(np.array([1, 2, 3], dtype=np.int64), n)
+    dst = (src * 7919 + k * 104729) % n
+    adj = np.zeros((n, n), dtype=bool)
+    adj[src, dst] = True
+    for p in range(5):
+        d = np.full(n, 99, np.int64)
+        d[p] = 0
+        front = np.zeros(n, bool)
+        front[p] = True
+        for h in (1, 2, 3):
+            nxt = adj[front].any(axis=0) & (d == 99)
+            d[nxt] = h
+            front = nxt
+        n1, n2, n3 = int((d == 1).sum()), int((d == 2).sum()), \
+            int((d == 3).sum())
+        assert (int(out.loc[p, "n1"]), int(out.loc[p, "n2"]),
+                int(out.loc[p, "n3"])) == (n1, n2, n3)
+        assert out.loc[p, "harmonic"] == round(
+            n1 + n2 / 2.0 + n3 / 3.0, 6)
+
+
+def test_item_recs_known_baskets(tmp_path):
+    """Baskets {1,10,11}, {1,10}, {10,11}: part 1 must recommend 10
+    (cosine 2/√6) over 11 (cosine 1/2), with exact co-counts."""
+    from prclz_ray.pipelines.queries import q_item_item_recs
+    o = [1, 1, 1, 2, 2, 3, 3]
+    p = [1, 10, 11, 1, 10, 10, 11]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(o, type=pa.int64()),
+        "l_partkey": pa.array(p, type=pa.int64())}),
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_item_item_recs(str(tmp_path))
+    g = out[out["part"] == 1].reset_index(drop=True)
+    assert g["rec"].tolist() == [10, 11]
+    assert g["n_cooc"].tolist() == [2, 1]
+    assert g["sim"].iloc[0] == round(2 / np.sqrt(6.0), 6)
+    assert g["sim"].iloc[1] == 0.5
+
+
+def test_blocking_recall_symspell_complete():
+    """SymSpell d=1 blocking is recall-COMPLETE for edit distance 1,
+    so its measured recall must be exactly 1.0; sorted-neighborhood
+    (rank window 3) can only be ≤ it."""
+    from prclz_ray.pipelines.queries import q_blocking_recall_compare
+    out = q_blocking_recall_compare(SF).set_index("method")
+    assert out.loc["fuzzy_block", "recall"] == 1.0
+    assert out.loc["sorted_neighborhood", "recall"] <= 1.0
+    assert int(out.loc["sorted_neighborhood", "n_true_found"]) > 0
+    assert (out["n_true_total"] == out["n_true_total"].iloc[0]).all()
