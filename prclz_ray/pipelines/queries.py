@@ -20892,6 +20892,199 @@ ORDER BY 1
 """
 
 
+def q_getis_ord_hotspots(sf_dir: str):
+    """Getis-Ord Gi* hotspot statistic over the 10×10 customer grid —
+    THE local spatial statistic behind every 'crime/demand hotspot'
+    map (Moran's I says clustering exists; Gi* says WHERE).  Cell
+    counts reduce distributedly to the grid-bounded table (empties
+    count as 0 over the fixed n = 100 study area); the per-cell 3×3
+    neighborhood sums, W, T = Σx and SS = Σx² are exact ints, and Gi*
+    is ONE mirrored float expression of them.  Hotspots flag at the
+    one-sided 5 % normal critical value 1.645."""
+    from ray.data.aggregate import Sum
+
+    G, CELL = 10, 100
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cx = ((k * 7919) % 1000) // CELL
+        cy = ((k * 104729) % 1000) // CELL
+        g = pd.DataFrame({"cell": cx * G + cy, "pn": 1}) \
+            .groupby("cell", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        cust.map_batches(cells, batch_format="pyarrow")
+        .groupby("cell").aggregate(Sum("pn", alias_name="c"))
+    ).to_pandas()
+    dense = np.zeros(G * G, dtype=np.int64)
+    dense[cnt["cell"].to_numpy(np.int64)] = cnt["c"].to_numpy(np.int64)
+    x = dense.reshape(G, G)
+    T, SS, n = int(dense.sum()), int((dense ** 2).sum()), G * G
+    rows = []
+    for cx in range(G):
+        for cy in range(G):
+            x0, x1 = max(0, cx - 1), min(G, cx + 2)
+            y0, y1 = max(0, cy - 1), min(G, cy + 2)
+            sn = int(x[x0:x1, y0:y1].sum())
+            w = (x1 - x0) * (y1 - y0)
+            gi = (sn - w * T / 100.0) / (
+                np.sqrt(SS / 100.0 - (T / 100.0) * (T / 100.0))
+                * np.sqrt((100.0 * w - w * w) / 99.0))
+            rows.append({"cell": cx * G + cy, "cnt": int(x[cx, cy]),
+                         "w": w, "sum_nbhd": sn,
+                         "gi": np.round(gi, 6),
+                         "is_hotspot": bool(gi > 1.645)})
+    return pd.DataFrame(rows).astype({
+        "cell": np.int64, "cnt": np.int64, "w": np.int64,
+        "sum_nbhd": np.int64})
+
+
+SQL_GETIS_ORD = """
+WITH pts AS (SELECT ((c_custkey * 7919) % 1000) // 100 AS cx,
+                    ((c_custkey * 104729) % 1000) // 100 AS cy
+             FROM customer),
+cc AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pts GROUP BY 1, 2),
+grid AS (SELECT gx.i AS cx, gy.i AS cy
+         FROM (SELECT unnest(generate_series(0, 9)) AS i) gx,
+              (SELECT unnest(generate_series(0, 9)) AS i) gy),
+dense AS (SELECT g.cx, g.cy, COALESCE(cc.c, 0) AS c
+          FROM grid g LEFT JOIN cc USING (cx, cy)),
+tot AS (SELECT SUM(c) AS t, SUM(c * c) AS ss FROM dense),
+nb AS (SELECT a.cx, a.cy, a.c,
+              CAST(SUM(b.c) AS BIGINT) AS sn,
+              CAST(COUNT(*) AS BIGINT) AS w
+       FROM dense a JOIN dense b
+         ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       GROUP BY 1, 2, 3)
+SELECT CAST(cx * 10 + cy AS BIGINT) AS cell, c AS cnt, w,
+       sn AS sum_nbhd,
+       ROUND((sn - w * tot.t / 100.0)
+             / (sqrt(tot.ss / 100.0 - (tot.t / 100.0) * (tot.t / 100.0))
+                * sqrt((100.0 * w - w * w) / 99.0)), 6) AS gi,
+       (sn - w * tot.t / 100.0)
+         / (sqrt(tot.ss / 100.0 - (tot.t / 100.0) * (tot.t / 100.0))
+            * sqrt((100.0 * w - w * w) / 99.0)) > 1.645 AS is_hotspot
+FROM nb, tot ORDER BY cell
+"""
+
+
+def q_rolling_origin_backtest(sf_dir: str):
+    """Rolling-origin backtest of the 7-day seasonal-naive forecaster:
+    14 consecutive origins, horizons h = 1..7, MAE per horizon — the
+    out-of-sample evaluation protocol (one train/test split lies;
+    rolling origins don't).  Forecast ŷ(o+h) = y(o+h−7) on the
+    gap-filled calendar; per-horizon Σ|err| stays exact cents from the
+    shared daily reduce, the MAE is one mirrored division."""
+    d = _daily_revenue_cents(sf_dir)
+    days = d["day"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[days - lo] = d["rev"].to_numpy(np.int64)
+    origins = np.arange(hi - 20, hi - 6)          # 14 origins
+    rows = []
+    for h in range(1, 8):
+        t = origins + h                           # target days
+        err = np.abs(dense[t - lo] - dense[t - 7 - lo])
+        rows.append({"h": h, "n_origins": len(origins),
+                     "sum_abs_err_cents": int(err.sum()),
+                     "mae": round(float(err.sum()) / len(origins), 4)})
+    return pd.DataFrame(rows).astype({
+        "h": np.int64, "n_origins": np.int64,
+        "sum_abs_err_cents": np.int64})
+
+
+SQL_ROLLING_ORIGIN = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                    AS rev
+           FROM orders GROUP BY 1),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+f AS (SELECT cal.day, COALESCE(d.rev, 0) AS x
+      FROM cal LEFT JOIN d USING (day)),
+o AS (SELECT unnest(generate_series(b.hi - 20, b.hi - 7)) AS org
+      FROM b),
+hs AS (SELECT unnest(generate_series(1, 7)) AS h),
+e AS (SELECT hs.h, ABS(ft.x - fp.x) AS err
+      FROM o CROSS JOIN hs
+      JOIN f ft ON ft.day = o.org + hs.h
+      JOIN f fp ON fp.day = o.org + hs.h - 7)
+SELECT CAST(h AS BIGINT) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_origins,
+       CAST(SUM(err) AS BIGINT) AS sum_abs_err_cents,
+       ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 4) AS mae
+FROM e GROUP BY h ORDER BY h
+"""
+
+
+def q_ivm_join_view_nation(sf_dir: str):
+    """Incremental maintenance of a JOIN view — the step past
+    aggregate-only IVM: V = Γ_nation(orders ⋈ customer) maintained as
+    base-aggregate ⊕ delta-aggregate, where the 'overnight base' is
+    even orderkeys and the 'morning inserts' are odd ones.  Each side
+    runs its own bucketed join with per-bucket cents pre-aggregation
+    (the delta leg joins ONLY the delta fact rows against the
+    dimension — the whole point: maintenance cost scales with the
+    delta, not the base); the merge is one exact-int add.  The oracle
+    recomputes the full join, proving merge ≡ recompute."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: pa.table({
+            "o_custkey": t["c_custkey"],
+            "nation": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    def leg(parity: int):
+        def par(t: pa.Table) -> pa.Table:     # vectorized: Ray's
+            ok = t["o_orderkey"].to_numpy(    # filter-expr can't do %
+                zero_copy_only=False) % 2 == parity
+            return t.filter(pa.array(ok))
+
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_totalprice"]) \
+            .map_batches(par, batch_format="pyarrow")
+
+        def combine(t: pa.Table) -> pa.Table:
+            cents = np.round(t["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            g = pd.DataFrame({
+                "nation": t["nation"].to_numpy(zero_copy_only=False),
+                "n": 1, "cents": cents}) \
+                .groupby("nation", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return relational.ds_to_table(
+            relational.bucketed_hash_join(
+                orders, cust, on="o_custkey", combine=combine)
+            .groupby("nation").aggregate(
+                Sum("n", alias_name="n"),
+                Sum("cents", alias_name="cents"))
+        ).to_pandas().set_index("nation")
+
+    base, delta = leg(0), leg(1)
+    merged = base.add(delta, fill_value=0).reset_index() \
+        .sort_values("nation").reset_index(drop=True)
+    return merged.astype({"nation": np.int64, "n": np.int64,
+                          "cents": np.int64})
+
+
+SQL_IVM_JOIN = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -21443,4 +21636,9 @@ def registry():
         "item_item_recs": (q_item_item_recs, SQL_ITEM_RECS),
         "blocking_recall_compare": (q_blocking_recall_compare,
                                     SQL_BLOCKING_RECALL),
+        "getis_ord_hotspots": (q_getis_ord_hotspots, SQL_GETIS_ORD),
+        "rolling_origin_backtest": (q_rolling_origin_backtest,
+                                    SQL_ROLLING_ORIGIN),
+        "ivm_join_view_nation": (q_ivm_join_view_nation,
+                                 SQL_IVM_JOIN),
     }

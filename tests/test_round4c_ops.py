@@ -178,7 +178,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "exact_heavy_hitters",
        # batch 57 (harmonic centrality, item-item CF, blocking eval)
        "harmonic_centrality_pivots", "item_item_recs",
-       "blocking_recall_compare"]
+       "blocking_recall_compare",
+       # batch 58 (Getis-Ord Gi*, rolling-origin backtest, join IVM)
+       "getis_ord_hotspots", "rolling_origin_backtest",
+       "ivm_join_view_nation"]
 
 
 def _norm(v) -> str:
@@ -2886,3 +2889,63 @@ def test_blocking_recall_symspell_complete():
     assert out.loc["sorted_neighborhood", "recall"] <= 1.0
     assert int(out.loc["sorted_neighborhood", "n_true_found"]) > 0
     assert (out["n_true_total"] == out["n_true_total"].iloc[0]).all()
+
+
+def test_getis_ord_concentrated_mass(tmp_path):
+    """All customers hash into one cell ⇒ that cell (and only its
+    neighborhood) flags hot; corner cells carry w = 4, interior 9."""
+    from prclz_ray.pipelines.queries import q_getis_ord_hotspots
+    keys = [k for k in range(1, 20000)
+            if ((k * 7919) % 1000) // 100 == 5
+            and ((k * 104729) % 1000) // 100 == 5][:20]
+    assert len(keys) == 20
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys, type=pa.int64())}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_getis_ord_hotspots(str(tmp_path)).set_index("cell")
+    assert len(out) == 100
+    assert bool(out.loc[55, "is_hotspot"])
+    assert int(out.loc[55, "cnt"]) == 20
+    assert not bool(out.loc[0, "is_hotspot"])     # far corner cold
+    assert int(out.loc[0, "w"]) == 4              # corner nbhd
+    assert int(out.loc[55, "w"]) == 9             # interior nbhd
+    # hot cells are exactly cell 55's 3x3 neighborhood
+    hot = set(out.index[out["is_hotspot"]])
+    assert hot == {44, 45, 46, 54, 55, 56, 64, 65, 66}
+
+
+def test_rolling_origin_perfect_weekly_series(tmp_path):
+    """A perfectly 7-periodic revenue series backtests to MAE 0 at
+    every horizon."""
+    from prclz_ray.pipelines.queries import q_rolling_origin_backtest
+    days = np.arange(20000, 20000 + 98)
+    vals = 100.0 + 7.0 * (days % 7)
+    ts = (days * 86_400_000_000).astype("datetime64[us]")
+    pq.write_table(pa.table({"o_orderdate": pa.array(ts),
+                             "o_totalprice": pa.array(vals)}),
+                   os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_rolling_origin_backtest(str(tmp_path))
+    assert len(out) == 7
+    assert (out["sum_abs_err_cents"] == 0).all()
+    assert (out["mae"] == 0.0).all()
+    assert (out["n_origins"] == 14).all()
+
+
+def test_ivm_join_merge_equals_recompute(tmp_path):
+    """Base ⊕ delta must equal the full-join recompute on a crafted
+    parity split (2 nations, even+odd orderkeys)."""
+    from prclz_ray.pipelines.queries import q_ivm_join_view_nation
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_nationkey": pa.array([7, 9], type=pa.int64())}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([2, 3, 4, 5], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_ivm_join_view_nation(str(tmp_path)).set_index("nation")
+    assert int(out.loc[7, "n"]) == 2
+    assert int(out.loc[7, "cents"]) == 3000       # 10 + 20
+    assert int(out.loc[9, "n"]) == 2
+    assert int(out.loc[9, "cents"]) == 7000       # 30 + 40
