@@ -21085,6 +21085,323 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_logrank_test_retention(sf_dir: str):
+    """Log-rank test between the custkey-parity arms on the
+    Kaplan-Meier lifetime scheme (duration = first→last order day,
+    churn iff the last order is ≥90 days before the horizon) — the
+    standard significance test for 'did the treatment change
+    retention', which comparing two KM curves by eye cannot give.
+    One (duration × arm) count reduce bounded by distinct durations;
+    at-risk counts are suffix sums, O−E and the hypergeometric
+    variance fold per event time with mirrored float terms, χ² is the
+    one squared ratio."""
+    from ray.data.aggregate import Max, Sum
+
+    ev = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        g = pd.DataFrame({"o_custkey":
+                          t["o_custkey"].to_numpy(zero_copy_only=False),
+                          "pf": day, "pl": day}) \
+            .groupby("o_custkey", sort=False) \
+            .agg(pf=("pf", "min"), pl=("pl", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Min
+    per_cust = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Min("pf", alias_name="f"),
+                                        Max("pl", alias_name="l"))
+    mx = int(_read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        lambda t: pa.table({"d": pa.array(
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64))}),
+        batch_format="pyarrow").aggregate(Max("d", alias_name="m"))["m"])
+
+    def to_counts(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t["l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arm = (t["o_custkey"].to_numpy(zero_copy_only=False)
+               % 2).astype(np.int64)
+        g = pd.DataFrame({"t": l - f, "arm": arm,
+                          "pd_": ((mx - l) >= 90).astype(np.int64),
+                          "pc_": 1}) \
+            .groupby(["t", "arm"], sort=False) \
+            .agg(pd_=("pd_", "sum"), pc_=("pc_", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        per_cust.map_batches(to_counts, batch_format="pyarrow")
+        .groupby(["t", "arm"]).aggregate(Sum("pd_", alias_name="d"),
+                                         Sum("pc_", alias_name="c"))
+    ).to_pandas()
+    ts = np.sort(cnt["t"].unique())
+    piv_d = cnt.pivot_table(index="t", columns="arm", values="d",
+                            fill_value=0, aggfunc="sum") \
+        .reindex(ts, fill_value=0).reindex(columns=[0, 1], fill_value=0)
+    piv_c = cnt.pivot_table(index="t", columns="arm", values="c",
+                            fill_value=0, aggfunc="sum") \
+        .reindex(ts, fill_value=0).reindex(columns=[0, 1], fill_value=0)
+    # at-risk = customers with duration >= t (suffix sums, exact)
+    n0 = piv_c[0].to_numpy(np.int64)[::-1].cumsum()[::-1]
+    n1 = piv_c[1].to_numpy(np.int64)[::-1].cumsum()[::-1]
+    d0, d1 = (piv_d[0].to_numpy(np.int64), piv_d[1].to_numpy(np.int64))
+    dt, nt = d0 + d1, n0 + n1
+    ev_m = dt > 0
+    o1 = int(d1[ev_m].sum())
+    e1 = float(sum(int(a) * int(b) / int(c)
+                   for a, b, c in zip(n1[ev_m], dt[ev_m], nt[ev_m])))
+    var = float(sum(
+        int(a) * int(b) * int(c) * (int(d) - int(c))
+        / (int(d) * int(d) * (int(d) - 1))
+        for a, b, c, d in zip(n0[ev_m], n1[ev_m], dt[ev_m], nt[ev_m])
+        if d > 1))
+    chi2 = (o1 - e1) * (o1 - e1) / var if var > 0 else 0.0
+    return pd.DataFrame([{
+        "n_arm0": int(piv_c[0].sum()), "n_arm1": int(piv_c[1].sum()),
+        "obs1": o1, "exp1": np.round(e1, 6),
+        "var": np.round(var, 6), "chi2": np.round(chi2, 6)}]) \
+        .astype({"n_arm0": np.int64, "n_arm1": np.int64,
+                 "obs1": np.int64})
+
+
+SQL_LOGRANK = """
+WITH pc AS (SELECT o_custkey,
+                   MIN(epoch_us(o_orderdate) // 86400000000) AS f,
+                   MAX(epoch_us(o_orderdate) // 86400000000) AS l
+            FROM orders GROUP BY 1),
+hz AS (SELECT MAX(l) AS mx FROM pc),
+obs AS (SELECT l - f AS t, o_custkey % 2 AS arm,
+               CASE WHEN hz.mx - l >= 90 THEN 1 ELSE 0 END AS d
+        FROM pc, hz),
+g AS (SELECT t, arm, CAST(SUM(d) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM obs GROUP BY 1, 2),
+ts AS (SELECT DISTINCT t FROM g),
+cells AS (SELECT ts.t, a.arm,
+                 COALESCE(g.d, 0) AS d, COALESCE(g.c, 0) AS c
+          FROM ts CROSS JOIN (SELECT unnest([0, 1]) AS arm) a
+          LEFT JOIN g ON g.t = ts.t AND g.arm = a.arm),
+ar AS (SELECT t, arm, d,
+              SUM(c) OVER (PARTITION BY arm ORDER BY t DESC
+                           ROWS UNBOUNDED PRECEDING) AS n
+       FROM cells),
+w AS (SELECT a0.t, a0.d AS d0, a1.d AS d1, a0.n AS n0, a1.n AS n1
+      FROM ar a0 JOIN ar a1 ON a0.t = a1.t
+      WHERE a0.arm = 0 AND a1.arm = 1 AND a0.d + a1.d > 0)
+SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cells WHERE arm = 0)
+         AS n_arm0,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM cells WHERE arm = 1)
+         AS n_arm1,
+       CAST(SUM(d1) AS BIGINT) AS obs1,
+       ROUND(SUM(n1 * (d0 + d1) / CAST(n0 + n1 AS DOUBLE)), 6)
+         AS exp1,
+       ROUND(SUM(CASE WHEN n0 + n1 > 1 THEN
+                 n0 * n1 * (d0 + d1)
+                 * ((n0 + n1) - (d0 + d1))
+                 / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1)
+                    * ((n0 + n1) - 1))
+                 ELSE 0 END), 6) AS var,
+       ROUND((SUM(d1) - SUM(n1 * (d0 + d1)
+                            / CAST(n0 + n1 AS DOUBLE)))
+             * (SUM(d1) - SUM(n1 * (d0 + d1)
+                              / CAST(n0 + n1 AS DOUBLE)))
+             / SUM(CASE WHEN n0 + n1 > 1 THEN
+                   n0 * n1 * (d0 + d1) * ((n0 + n1) - (d0 + d1))
+                   / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1)
+                      * ((n0 + n1) - 1))
+                   ELSE 0 END), 6) AS chi2
+FROM w
+"""
+
+
+_CDC_P, _CDC_W, _CDC_MASK = 1099511628211, 8, 64
+
+
+def q_cdc_chunking_stats(sf_dir: str):
+    """Content-defined chunking (the rsync/backup-dedup primitive):
+    cut after every 8-byte window whose FNV rolling hash ≡ 0 mod 64
+    (avg chunk ≈64 B) — boundaries depend only on LOCAL content, so an
+    insertion reshifts one chunk, not every fixed-width block.  The
+    corpus-wide report (chunks, distinct chunks, dup ratio, mean
+    length) folds from per-batch chunk partials through ONE
+    chunk-identity groupby; the twin replays the identical byte-level
+    polynomial (the fingerprint twin's ring-homomorphism trick) in
+    HUGEINT.  Chunk identity here is the chunk content itself —
+    the 100-TB path would ship 16-byte digests instead (noted, not
+    needed for the bounded fixtures)."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)      # implicit via uint64 wrap
+
+    def chunks_of(bts: bytes) -> list[bytes]:
+        b = np.frombuffer(bts, dtype=np.uint8).astype(np.uint64)
+        n = len(b)
+        if n < _CDC_W:
+            return [bts] if n else []
+        nw = n - _CDC_W + 1
+        h = np.zeros(nw, dtype=np.uint64)
+        p = np.uint64(_CDC_P)
+        with np.errstate(over="ignore"):
+            for j in range(_CDC_W):
+                h = h * p + b[j:j + nw]
+        cuts = np.flatnonzero(h % np.uint64(_CDC_MASK) == 0) + _CDC_W
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+        return [bts[s:e] for s, e in zip(starts, ends) if e > s]
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for txt in t["text"].to_pylist():
+            for ch in chunks_of(txt.encode()):
+                if ch in agg:
+                    agg[ch] += 1
+                else:
+                    agg[ch] = 1
+        return pa.table({
+            "ch": pa.array(list(agg.keys()), type=pa.binary()),
+            "ln": pa.array([len(c) for c in agg],
+                           type=pa.int64()),
+            "c": pa.array(list(agg.values()), type=pa.int64())})
+
+    red = relational.ds_to_table(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("ch").aggregate(Sum("c", alias_name="c"))
+        .map_batches(lambda t: pa.table({
+            "nd": pa.array([t.num_rows], type=pa.int64()),
+            "nc": pa.array([int(np.sum(
+                t["c"].to_numpy(zero_copy_only=False)))],
+                type=pa.int64()),
+            "tb": pa.array([int(np.sum(
+                pc.binary_length(t["ch"]).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                * t["c"].to_numpy(zero_copy_only=False)))],
+                type=pa.int64())}), batch_format="pyarrow")
+    ).to_pandas().sum()
+    nd, nch, tb = (int(red["nd"]), int(red["nc"]), int(red["tb"]))
+    return pd.DataFrame([{
+        "n_chunks": nch, "n_distinct": nd, "total_bytes": tb,
+        "dup_ratio": np.round(1.0 - nd / nch, 6),
+        "mean_len": np.round(tb / nch, 4)}]) \
+        .astype({"n_chunks": np.int64, "n_distinct": np.int64,
+                 "total_bytes": np.int64})
+
+
+def _sql_cdc_stats() -> str:
+    M = 1 << 64
+    pows = [pow(_CDC_P, _CDC_W - 1 - j, M) for j in range(_CDC_W)]
+    terms = [f"(CAST(byte AS HUGEINT) * {pows[0]}) % {M}"] + [
+        f"(CAST(lead(byte, {j}) OVER win AS HUGEINT) * {pows[j]}) % {M}"
+        for j in range(1, _CDC_W)]
+    terms_sql = "\n      + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx,
+         CAST('0x' || substr(hex(encode(text)),
+                             2 * CAST(i AS INT) - 1, 2) AS INT) AS byte
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1,
+                 octet_length(encode(text)))) AS i
+        FROM documents)),
+w AS (
+  SELECT doc_id, i, n, hx,
+    ( {terms_sql}
+    ) % {M} AS h
+  FROM b
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+cuts AS (SELECT doc_id, i + {_CDC_W - 1} AS cut
+         FROM w WHERE i <= n - {_CDC_W - 1} AND h % {_CDC_MASK} = 0),
+dn AS (SELECT DISTINCT doc_id, n, hx FROM b WHERE n > 0),
+starts AS (SELECT doc_id, 0 AS st FROM dn
+           UNION ALL SELECT doc_id, cut FROM cuts WHERE cut <
+             (SELECT n FROM dn d WHERE d.doc_id = cuts.doc_id)),
+ch AS (SELECT s.doc_id,
+              substr(dn.hx, 2 * s.st + 1,
+                     2 * (COALESCE(LEAD(s.st) OVER
+                            (PARTITION BY s.doc_id ORDER BY s.st),
+                          dn.n) - s.st)) AS chunk,
+              COALESCE(LEAD(s.st) OVER
+                         (PARTITION BY s.doc_id ORDER BY s.st),
+                       dn.n) - s.st AS ln
+       FROM starts s JOIN dn USING (doc_id)),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+               CAST(COUNT(DISTINCT chunk) AS BIGINT) AS nd,
+               CAST(SUM(ln) AS BIGINT) AS tb
+        FROM ch WHERE ln > 0)
+SELECT nc AS n_chunks, nd AS n_distinct, tb AS total_bytes,
+       ROUND(1.0 - nd / CAST(nc AS DOUBLE), 6) AS dup_ratio,
+       ROUND(CAST(tb AS DOUBLE) / nc, 4) AS mean_len
+FROM agg
+"""
+
+
+def q_mutual_nn_pairs(sf_dir: str):
+    """Mutual nearest neighbours over the embedding table: pairs
+    (i, j) where each is the other's top-1 cosine neighbour — the MNN
+    anchor-pairing primitive behind batch-effect correction and
+    cross-lingual alignment (one-directional NN gives hubs; mutuality
+    filters them).  One streaming pass computes every vector's NN
+    against the broadcast matrix (per-batch matmul, exact ties to the
+    smaller id); the mutuality close is a self-join on the tiny
+    (n × 2) NN table."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tbl = relational.ds_to_table(emb)
+    ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids_all)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in tbl["embedding"].to_pylist()])[order]
+    ids_all = ids_all[order]
+    mref = ray.put((ids_all, mat / np.linalg.norm(
+        mat, axis=1, keepdims=True)))
+    _st: dict = {}
+
+    def nn(t: pa.Table) -> pa.Table:
+        st = _st.get("m")
+        if st is None:
+            st = _st["m"] = ray.get(mref)
+        cand_ids, cm = st
+        ids = t["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cm.T
+        sims[np.arange(len(ids)),
+             np.searchsorted(cand_ids, ids)] = -np.inf  # exclude self
+        best = np.argmax(sims, axis=1)   # first max = smallest id
+        return pa.table({"src": pa.array(ids),
+                         "nn": pa.array(cand_ids[best])})
+
+    nnt = relational.ds_to_table(
+        emb.map_batches(nn, batch_format="pyarrow")).to_pandas()
+    m = nnt.set_index("src")["nn"]
+    a = nnt["src"].to_numpy(np.int64)
+    b = nnt["nn"].to_numpy(np.int64)
+    mutual = (m.reindex(b).to_numpy() == a) & (a < b)
+    out = pd.DataFrame({"a": a[mutual], "b": b[mutual]}) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return out.astype({"a": np.int64, "b": np.int64})
+
+
+SQL_MUTUAL_NN = """
+WITH nnq AS (
+  SELECT a.vec_id AS src, b.vec_id AS nn,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding,
+                                             b.embedding) DESC,
+                      b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+n1 AS (SELECT src, nn FROM nnq WHERE rn = 1)
+SELECT x.src AS a, x.nn AS b
+FROM n1 x JOIN n1 y ON y.src = x.nn AND y.nn = x.src
+WHERE x.src < x.nn ORDER BY 1, 2
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -21641,4 +21958,9 @@ def registry():
                                     SQL_ROLLING_ORIGIN),
         "ivm_join_view_nation": (q_ivm_join_view_nation,
                                  SQL_IVM_JOIN),
+        "logrank_test_retention": (q_logrank_test_retention,
+                                   SQL_LOGRANK),
+        "cdc_chunking_stats": (q_cdc_chunking_stats,
+                               _sql_cdc_stats()),
+        "mutual_nn_pairs": (q_mutual_nn_pairs, SQL_MUTUAL_NN),
     }

@@ -181,7 +181,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "blocking_recall_compare",
        # batch 58 (Getis-Ord Gi*, rolling-origin backtest, join IVM)
        "getis_ord_hotspots", "rolling_origin_backtest",
-       "ivm_join_view_nation"]
+       "ivm_join_view_nation",
+       # batch 59 (log-rank test, CDC chunking, mutual NN)
+       "logrank_test_retention", "cdc_chunking_stats",
+       "mutual_nn_pairs"]
 
 
 def _norm(v) -> str:
@@ -2949,3 +2952,71 @@ def test_ivm_join_merge_equals_recompute(tmp_path):
     assert int(out.loc[7, "cents"]) == 3000       # 10 + 20
     assert int(out.loc[9, "n"]) == 2
     assert int(out.loc[9, "cents"]) == 7000       # 30 + 40
+
+
+def test_logrank_identical_arms_chi2_zero(tmp_path):
+    """Arms with IDENTICAL duration/churn profiles ⇒ O = E exactly and
+    χ² = 0 (the null the test must not reject by construction)."""
+    from prclz_ray.pipelines.queries import q_logrank_test_retention
+    day = lambda d: np.datetime64("2020-01-01", "us") \
+        + np.timedelta64(d * 86_400_000_000, "us")
+    rows = []                       # (custkey, order day)
+    for c, f, l in [(1, 0, 10), (2, 0, 10),      # churn at t=10
+                    (3, 0, 100), (4, 0, 100),    # churn at t=100
+                    (5, 200, 200), (6, 200, 200)]:  # censored @hz
+        rows += [(c, f), (c, l)]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "o_orderdate": pa.array([day(r[1]) for r in rows])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_logrank_test_retention(str(tmp_path)).iloc[0]
+    assert int(out["n_arm0"]) == 3 and int(out["n_arm1"]) == 3
+    assert int(out["obs1"]) == 2
+    assert float(out["exp1"]) == 2.0
+    assert float(out["chi2"]) == 0.0
+
+
+def test_cdc_conservation_and_short_doc(tmp_path):
+    """total_bytes must conserve the corpus byte count; a doc shorter
+    than the window is one whole chunk; identical docs dedup fully."""
+    from prclz_ray.pipelines.queries import q_cdc_chunking_stats
+    long = "the quick brown fox jumps over the lazy dog " * 20
+    docs = pa.table({"text": pa.array([long, long, "tiny"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_cdc_chunking_stats(str(tmp_path)).iloc[0]
+    want_bytes = 2 * len(long.encode()) + len(b"tiny")
+    assert int(out["total_bytes"]) == want_bytes
+    assert float(out["dup_ratio"]) > 0.4
+    # duplicating a doc must add chunks but ZERO new distinct ones
+    os.makedirs(os.path.join(str(tmp_path), "one"))
+    pq.write_table(pa.table({"text": pa.array([long])}),
+                   os.path.join(str(tmp_path), "one",
+                                "documents.parquet"))
+    one = q_cdc_chunking_stats(os.path.join(str(tmp_path),
+                                            "one")).iloc[0]
+    os.makedirs(os.path.join(str(tmp_path), "two"))
+    pq.write_table(pa.table({"text": pa.array([long, long])}),
+                   os.path.join(str(tmp_path), "two",
+                                "documents.parquet"))
+    two = q_cdc_chunking_stats(os.path.join(str(tmp_path),
+                                            "two")).iloc[0]
+    assert int(two["n_distinct"]) == int(one["n_distinct"])
+    assert int(two["n_chunks"]) == 2 * int(one["n_chunks"])
+
+
+def test_mutual_nn_excludes_asymmetric(tmp_path):
+    """v0↔v1 are mutual NNs; v2 points at v0 but v0 points at v1, so
+    v2 must be excluded; v3 is far from everything."""
+    from prclz_ray.pipelines.queries import q_mutual_nn_pairs
+    vecs = [[1.0, 0.0], [0.999, 0.0447], [0.97, 0.243],
+            [0.0, 1.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(4), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32()))}),
+        os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_mutual_nn_pairs(str(tmp_path))
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs
+    assert all(2 not in p or p == (2, 3) for p in pairs)
+    assert (0, 2) not in pairs and (1, 2) not in pairs
