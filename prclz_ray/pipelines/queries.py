@@ -21402,6 +21402,193 @@ WHERE x.src < x.nn ORDER BY 1, 2
 """
 
 
+#: business-day partial-week table: _BD_W[dow0][r] = weekdays among
+#: the r days FOLLOWING a day whose (epoch_day + 3) % 7 is dow0
+#: (0 = Monday … 6 = Sunday); shared verbatim by the SQL generator.
+_BD_W = [[sum(1 for o in range(1, r + 1) if (d + o) % 7 < 5)
+          for r in range(7)] for d in range(7)]
+
+
+def q_business_days_to_ship(sf_dir: str):
+    """Promised lead time in BUSINESS days per order priority — the
+    calendar-intelligence histogram (5 calendar days Fri→Wed ≠ 5
+    days Mon→Fri on an SLA): promise span s = o_orderkey % 28 days
+    from o_orderdate, business days = (s//7)·5 + W[dow₀][s%7] with W
+    the shared 7×7 partial-week table — a PURE integer formula, no
+    calendar explode, identical CASE chain in the twin.  One
+    (priority × bd)-bounded count reduce."""
+    from ray.data.aggregate import Sum
+
+    W = np.array(_BD_W, dtype=np.int64)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        s = okey % 28
+        dow0 = (day + 3) % 7
+        bd = (s // 7) * 5 + W[dow0, s % 7]
+        g = pd.DataFrame({
+            "priority": t["o_orderpriority"].to_numpy(
+                zero_copy_only=False),
+            "bd": bd, "n": 1}) \
+            .groupby(["priority", "bd"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["priority", "bd"]).aggregate(Sum("n",
+                                                   alias_name="n"))
+    ).to_pandas().sort_values(["priority", "bd"]) \
+        .reset_index(drop=True)
+    return out.astype({"bd": np.int64, "n": np.int64})
+
+
+def _sql_business_days() -> str:
+    w_case = " ".join(
+        f"WHEN dow0 = {d} AND pr = {r} THEN {_BD_W[d][r]}"
+        for d in range(7) for r in range(7))
+    return f"""
+WITH o AS (SELECT o_orderpriority AS priority,
+                  o_orderkey % 28 AS s,
+                  (epoch_us(o_orderdate) // 86400000000 + 3) % 7
+                    AS dow0
+           FROM orders),
+b AS (SELECT priority, s // 7 * 5 +
+             (CASE {w_case} ELSE 0 END) AS bd
+      FROM (SELECT priority, s, dow0, s % 7 AS pr FROM o))
+SELECT priority, CAST(bd AS BIGINT) AS bd,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_deterministic_random_walks(sf_dir: str):
+    """Node2vec-style walk corpus over the link graph with
+    DETERMINISTIC next-step choice (edge k = 1 + hash(node, step) % 3
+    of the node's three formula out-edges) — the reproducible walk
+    generator a distributed embedding trainer needs (seeded walks =
+    re-runnable training data).  Walks start at every 50th doc and
+    take 3 steps; each step is one vectorized map over the walk
+    frontier (the graph is a FORMULA, so steps need no edge shuffle
+    at all — the degenerate-best case of the walk join).  The twin
+    unrolls the same three steps as column expressions."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def walk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v0 = d[d % 50 == 0]
+        cols = {"start": v0, "v0": v0}
+        cur = v0
+        for step in range(1, 4):
+            k = 1 + (cur * 2654435761 + step * 40503) % 3
+            cur = (cur * 7919 + k * 104729) % n
+            cols[f"v{step}"] = cur
+        return pa.table({c: pa.array(v) for c, v in cols.items()})
+
+    out = relational.ds_to_table(
+        docs.map_batches(walk, batch_format="pyarrow")
+    ).to_pandas().sort_values("start").reset_index(drop=True)
+    return out.astype({c: np.int64 for c in out.columns})
+
+
+SQL_RANDOM_WALKS = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+w0 AS (SELECT doc_id AS start, doc_id AS v0 FROM documents
+       WHERE doc_id % 50 = 0),
+w1 AS (SELECT start, v0,
+              (v0 * 7919 + (1 + (v0 * 2654435761 + 1 * 40503) % 3)
+               * 104729) % nn.n AS v1
+       FROM w0, nn),
+w2 AS (SELECT start, v0, v1,
+              (v1 * 7919 + (1 + (v1 * 2654435761 + 2 * 40503) % 3)
+               * 104729) % nn.n AS v2
+       FROM w1, nn),
+w3 AS (SELECT start, v0, v1, v2,
+              (v2 * 7919 + (1 + (v2 * 2654435761 + 3 * 40503) % 3)
+               * 104729) % nn.n AS v3
+       FROM w2, nn)
+SELECT start, v0, v1, v2, v3 FROM w3 ORDER BY start
+"""
+
+
+def q_cohort_ltv_curve(sf_dir: str):
+    """Cumulative lifetime value per monthly cohort and cohort age —
+    the unit-economics curve (retention says WHO came back; LTV says
+    what they were WORTH).  Per-customer first-order month from one
+    reduce, revenue cents fold into (cohort, age)-bounded cells
+    through a bucketed join, cumulative over age runs on the tiny
+    pivot — exact cents end to end."""
+    from ray.data.aggregate import Min, Sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        m = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        g = pd.DataFrame({"o_custkey": t["o_custkey"].to_numpy(
+            zero_copy_only=False), "pm": m}) \
+            .groupby("o_custkey", sort=False).min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    first = orders.map_batches(per_cust, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Min("pm", alias_name="cohort"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        m = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        coh = t["cohort"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"cohort": coh, "age": m - coh,
+                          "cents": cents, "n": 1}) \
+            .groupby(["cohort", "age"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = relational.ds_to_table(
+        relational.bucketed_hash_join(orders, first, on="o_custkey",
+                                      combine=combine)
+        .groupby(["cohort", "age"]).aggregate(
+            Sum("cents", alias_name="cents"),
+            Sum("n", alias_name="n_orders"))
+    ).to_pandas().sort_values(["cohort", "age"]).reset_index(drop=True)
+    cells["cum_cents"] = cells.groupby("cohort")["cents"].cumsum()
+    cells["cohort"] = cells["cohort"].to_numpy(np.int64) \
+        .astype("datetime64[M]").astype("datetime64[us]")
+    return cells[["cohort", "age", "n_orders", "cents",
+                  "cum_cents"]].astype({
+                      "age": np.int64, "n_orders": np.int64,
+                      "cents": np.int64, "cum_cents": np.int64})
+
+
+SQL_COHORT_LTV = """
+WITH f AS (SELECT o_custkey,
+                  MIN(date_trunc('month', o_orderdate)) AS cohort
+           FROM orders GROUP BY 1),
+c AS (SELECT f.cohort,
+             (EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate))
+             - (EXTRACT(year FROM f.cohort) * 12
+                + EXTRACT(month FROM f.cohort)) AS age,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN f USING (o_custkey)),
+g AS (SELECT cohort, age, CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM c GROUP BY 1, 2)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort, CAST(age AS BIGINT) AS age,
+       n_orders, cents,
+       CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cents
+FROM g ORDER BY 1, 2
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -21963,4 +22150,9 @@ def registry():
         "cdc_chunking_stats": (q_cdc_chunking_stats,
                                _sql_cdc_stats()),
         "mutual_nn_pairs": (q_mutual_nn_pairs, SQL_MUTUAL_NN),
+        "business_days_to_ship": (q_business_days_to_ship,
+                                  _sql_business_days()),
+        "deterministic_random_walks": (q_deterministic_random_walks,
+                                       SQL_RANDOM_WALKS),
+        "cohort_ltv_curve": (q_cohort_ltv_curve, SQL_COHORT_LTV),
     }

@@ -184,7 +184,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "ivm_join_view_nation",
        # batch 59 (log-rank test, CDC chunking, mutual NN)
        "logrank_test_retention", "cdc_chunking_stats",
-       "mutual_nn_pairs"]
+       "mutual_nn_pairs",
+       # batch 60 (business days, deterministic walks, cohort LTV)
+       "business_days_to_ship", "deterministic_random_walks",
+       "cohort_ltv_curve"]
 
 
 def _norm(v) -> str:
@@ -3020,3 +3023,54 @@ def test_mutual_nn_excludes_asymmetric(tmp_path):
     assert (0, 1) in pairs
     assert all(2 not in p or p == (2, 3) for p in pairs)
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_business_days_friday_span5(tmp_path):
+    """A 5-calendar-day promise starting Friday spans the weekend:
+    exactly 3 business days (Mon/Tue/Wed)."""
+    from prclz_ray.pipelines.queries import q_business_days_to_ship
+    friday = np.datetime64("2024-01-05", "us")     # a Friday
+    monday = np.datetime64("2024-01-08", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([5, 28 + 5], type=pa.int64()),  # s=5
+        "o_orderdate": pa.array([friday, monday]),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_business_days_to_ship(str(tmp_path)).set_index("priority")
+    assert int(out.loc["1-URGENT", "bd"]) == 3     # Fri + 5 → 3 bd
+    assert int(out.loc["2-HIGH", "bd"]) == 4       # Tue..Sat → 4 bd
+
+
+def test_walks_follow_formula_graph(tmp_path):
+    """Every emitted walk must follow the hash-chosen formula edge at
+    each step (recomputed independently here)."""
+    from prclz_ray.pipelines.queries import q_deterministic_random_walks
+    n = 200
+    pq.write_table(pa.table({"doc_id": pa.array(range(n),
+                                                type=pa.int64())}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_deterministic_random_walks(str(tmp_path))
+    assert len(out) == 4                           # 0, 50, 100, 150
+    cur = out["v0"].to_numpy(np.int64)
+    for step in (1, 2, 3):
+        k = 1 + (cur * 2654435761 + step * 40503) % 3
+        cur = (cur * 7919 + k * 104729) % n
+        assert (out[f"v{step}"].to_numpy(np.int64) == cur).all()
+        assert ((cur >= 0) & (cur < n)).all()
+
+
+def test_cohort_ltv_cumulative(tmp_path):
+    """One Jan-cohort customer buying $100 in Jan and $50 in Mar:
+    ages 0 and 2, cumulative 10000 then 15000 cents."""
+    from prclz_ray.pipelines.queries import q_cohort_ltv_curve
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([7, 7], type=pa.int64()),
+        "o_orderdate": pa.array(np.array(
+            ["2024-01-15", "2024-03-02"], dtype="datetime64[us]")),
+        "o_totalprice": pa.array([100.0, 50.0])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_cohort_ltv_curve(str(tmp_path))
+    assert out["age"].tolist() == [0, 2]
+    assert out["cents"].tolist() == [10000, 5000]
+    assert out["cum_cents"].tolist() == [10000, 15000]
+    assert (out["cohort"] == np.datetime64("2024-01-01", "us")).all()
