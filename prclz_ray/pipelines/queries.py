@@ -5114,7 +5114,8 @@ def _doc_logreg_scored(sf_dir: str):
             pc.split_pattern(batch["text"], pattern=" ")) \
             .to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
         lbl = (nch > 297).astype(np.int64)
-        return pa.table({"x1": pa.array(x1), "x2": pa.array(x2),
+        return pa.table({"doc_id": batch["doc_id"],
+                         "x1": pa.array(x1), "x2": pa.array(x2),
                          "label": pa.array(lbl)})
 
     return ml.logreg_score(docs.map_batches(feats,
@@ -21589,6 +21590,182 @@ FROM g ORDER BY 1, 2
 """
 
 
+def q_conformal_threshold_fpr(sf_dir: str):
+    """Split-conformal decision threshold for the shared logreg doc
+    scorer: calibrate on the NEGATIVE even-doc_id docs (threshold =
+    the ⌈(n+1)(1−α)⌉-th smallest calibration score, α = 0.1 — the
+    distribution-free guarantee P(FP) ≤ α under exchangeability),
+    then measure the realized false-positive rate on the held-out odd
+    negatives.  Scores are 6-dp ints, so the order statistic and all
+    counts are exact; the FPR is the one mirrored division.  The twin
+    selects the k-th order statistic via the ROW_NUMBER pivot
+    (correlated OFFSET is unsupported)."""
+    from ray.data.aggregate import Sum
+
+    scored = _doc_logreg_scored(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s6 = np.round(t["score"].to_numpy(zero_copy_only=False)
+                      * 1e6).astype(np.int64)
+        lbl = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        neg = lbl == 0
+        cal = neg & (did % 2 == 0)
+        ev = neg & (did % 2 == 1)
+        g = pd.DataFrame({"s6": s6, "cal": cal.astype(np.int64),
+                          "ev": ev.astype(np.int64)})
+        g = g[cal | ev].groupby("s6", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dist = relational.ds_to_table(
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("s6").aggregate(Sum("cal", alias_name="cal"),
+                                 Sum("ev", alias_name="ev"))
+    ).to_pandas().sort_values("s6").reset_index(drop=True)
+    n_cal = int(dist["cal"].sum())
+    k = min(n_cal, -(-((n_cal + 1) * 9) // 10))    # ceil 0.9(n+1)
+    cum = dist["cal"].cumsum()
+    thr = int(dist.loc[cum >= k, "s6"].iloc[0])
+    n_ev = int(dist["ev"].sum())
+    fp = int(dist.loc[dist["s6"] > thr, "ev"].sum())
+    return pd.DataFrame([{
+        "n_cal": n_cal, "k": k, "thr_s6": thr, "n_eval_neg": n_ev,
+        "fp": fp, "fpr": round(fp / float(n_ev), 6)}]).astype({
+            "n_cal": np.int64, "k": np.int64, "thr_s6": np.int64,
+            "n_eval_neg": np.int64, "fp": np.int64})
+
+
+SQL_CONFORMAL = """
+WITH f AS (
+  SELECT doc_id, n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) AS wl,
+         CASE WHEN n_chars > 297 THEN 1 ELSE 0 END AS label
+  FROM documents),
+s AS (SELECT doc_id,
+             CAST(ROUND(ROUND(1.0 / (1.0 + exp(-(0.25 + 0.8 * x1
+                   - 0.5 * (wl / 100.0)))), 6) * 1000000) AS BIGINT)
+               AS s6,
+             label FROM f),
+cal AS (SELECT s6 FROM s WHERE label = 0 AND doc_id % 2 = 0),
+ev AS (SELECT s6 FROM s WHERE label = 0 AND doc_id % 2 = 1),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+kk AS (SELECT LEAST(n, CAST(CEIL((n + 1) * 0.9) AS BIGINT)) AS k,
+              n FROM nc),
+rk AS (SELECT s6, ROW_NUMBER() OVER (ORDER BY s6) AS rn FROM cal),
+th AS (SELECT MAX(CASE WHEN rn = kk.k THEN s6 END) AS thr
+       FROM rk, kk GROUP BY kk.k)
+SELECT kk.n AS n_cal, kk.k AS k, CAST(th.thr AS BIGINT) AS thr_s6,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS n_eval_neg,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
+        WHERE s6 > th.thr) AS fp,
+       ROUND((SELECT COUNT(*) FROM ev WHERE s6 > th.thr)
+             / CAST((SELECT COUNT(*) FROM ev) AS DOUBLE), 6) AS fpr
+FROM kk, th
+"""
+
+
+def q_selectivity_independence_audit(sf_dir: str):
+    """Query-optimizer cardinality audit: for every
+    (l_returnflag × l_linestatus) conjunction, the ACTUAL row count
+    vs the independence-assumption estimate n·p(a)·p(b) — the error a
+    learned-cardinality model exists to fix; ratio > 1 means the
+    optimizer under-estimates the conjunction.  One (flag × status)
+    bounded count reduce gives actuals AND both marginals; expected
+    and ratio are the mirrored float expressions."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "flag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "status": t["l_linestatus"].to_numpy(
+                zero_copy_only=False), "n": 1}) \
+            .groupby(["flag", "status"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = relational.ds_to_table(
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["flag", "status"]).aggregate(Sum("n",
+                                                   alias_name="n"))
+    ).to_pandas()
+    N = int(cnt["n"].sum())
+    mf = cnt.groupby("flag")["n"].sum()
+    ms = cnt.groupby("status")["n"].sum()
+    cnt["expected"] = np.round(
+        cnt["flag"].map(mf).to_numpy(np.float64)
+        * cnt["status"].map(ms).to_numpy(np.int64) / N, 4)
+    cnt["ratio"] = np.round(
+        cnt["n"].to_numpy(np.int64)
+        / (cnt["flag"].map(mf).to_numpy(np.float64)
+           * cnt["status"].map(ms).to_numpy(np.int64) / N), 6)
+    out = cnt.sort_values(["flag", "status"]).reset_index(drop=True) \
+        .rename(columns={"n": "actual"})
+    return out.astype({"actual": np.int64})
+
+
+SQL_SELECTIVITY = """
+WITH c AS (SELECT l_returnflag AS flag, l_linestatus AS status,
+                  CAST(COUNT(*) AS BIGINT) AS actual
+           FROM lineitem GROUP BY 1, 2),
+nn AS (SELECT SUM(actual) AS n FROM c),
+mf AS (SELECT flag, SUM(actual) AS n FROM c GROUP BY 1),
+ms AS (SELECT status, SUM(actual) AS n FROM c GROUP BY 1)
+SELECT c.flag, c.status, c.actual,
+       ROUND(CAST(mf.n AS DOUBLE) * ms.n / nn.n, 4) AS expected,
+       ROUND(c.actual / (CAST(mf.n AS DOUBLE) * ms.n / nn.n), 6)
+         AS ratio
+FROM c JOIN mf USING (flag) JOIN ms USING (status), nn
+ORDER BY 1, 2
+"""
+
+
+def q_er_transitivity_audit(sf_dir: str):
+    """Entity-resolution transitivity audit: inside each fuzzy
+    cluster, how many record pairs are IMPLIED by the clustering
+    (ΣC(size,2)) vs DIRECTLY verified (edit distance ≤ 1)?  The gap
+    is the chain-merge risk every ER deployment monitors — a cluster
+    glued by A~B~C with A≁C may be an over-merge.  Reuses the
+    memoized cluster labels and the pair pipeline; the twin composes
+    the identical recursive closure."""
+    lbl = _fuzzy_cluster_labels(sf_dir)
+    sizes = lbl.groupby("label")["node"].size()
+    implied = int((sizes * (sizes - 1) // 2).sum())
+    n_clusters = int((sizes > 1).sum())
+    direct = int(relational.ds_to_table(
+        q_fuzzy_match_pairs(sf_dir)).num_rows)
+    return pd.DataFrame([{
+        "n_clusters": n_clusters, "implied_pairs": implied,
+        "direct_pairs": direct,
+        "transitive_only": implied - direct,
+        "violation_ratio": round((implied - direct) / float(implied),
+                                 6)}]).astype({
+            "n_clusters": np.int64, "implied_pairs": np.int64,
+            "direct_pairs": np.int64, "transitive_only": np.int64})
+
+
+SQL_ER_TRANSITIVITY = SQL_FUZZY_CLUSTERS.replace(
+    "SELECT node, MIN(lbl) AS label FROM (", """, labels AS (
+SELECT node, MIN(lbl) AS label FROM (""") + """
+),
+sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS s
+       FROM labels GROUP BY label)
+SELECT CAST(SUM(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clusters,
+       CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS implied_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS direct_pairs,
+       CAST(SUM(s * (s - 1) // 2)
+            - (SELECT COUNT(*) FROM pairs) AS BIGINT)
+         AS transitive_only,
+       ROUND((SUM(s * (s - 1) // 2)
+              - (SELECT COUNT(*) FROM pairs))
+             / CAST(SUM(s * (s - 1) // 2) AS DOUBLE), 6)
+         AS violation_ratio
+FROM sz
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -22155,4 +22332,10 @@ def registry():
         "deterministic_random_walks": (q_deterministic_random_walks,
                                        SQL_RANDOM_WALKS),
         "cohort_ltv_curve": (q_cohort_ltv_curve, SQL_COHORT_LTV),
+        "conformal_threshold_fpr": (q_conformal_threshold_fpr,
+                                    SQL_CONFORMAL),
+        "selectivity_independence_audit": (
+            q_selectivity_independence_audit, SQL_SELECTIVITY),
+        "er_transitivity_audit": (q_er_transitivity_audit,
+                                  SQL_ER_TRANSITIVITY),
     }

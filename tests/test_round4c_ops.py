@@ -187,7 +187,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "mutual_nn_pairs",
        # batch 60 (business days, deterministic walks, cohort LTV)
        "business_days_to_ship", "deterministic_random_walks",
-       "cohort_ltv_curve"]
+       "cohort_ltv_curve",
+       # batch 61 (conformal threshold, selectivity audit, ER audit)
+       "conformal_threshold_fpr", "selectivity_independence_audit",
+       "er_transitivity_audit"]
 
 
 def _norm(v) -> str:
@@ -3074,3 +3077,54 @@ def test_cohort_ltv_cumulative(tmp_path):
     assert out["cents"].tolist() == [10000, 5000]
     assert out["cum_cents"].tolist() == [10000, 15000]
     assert (out["cohort"] == np.datetime64("2024-01-01", "us")).all()
+
+
+def test_conformal_crafted_order_statistic(tmp_path):
+    """9 even-id calibration negatives with increasing scores and 10
+    odd-id eval negatives: k = ⌈10·0.9⌉ = 9 ⇒ threshold = the largest
+    calibration score, and exactly the one higher-scoring odd doc is
+    a false positive (FPR 0.1)."""
+    from prclz_ray.pipelines.queries import q_conformal_threshold_fpr
+    ids, chars = [], []
+    for i, nc in enumerate(range(10, 100, 10)):    # evens 0..16
+        ids.append(2 * i)
+        chars.append(nc)
+    for i, nc in enumerate(range(10, 110, 10)):    # odds 1..19
+        ids.append(2 * i + 1)
+        chars.append(nc)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(["x"] * len(ids)),
+        "n_chars": pa.array(chars, type=pa.int64())}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_conformal_threshold_fpr(str(tmp_path)).iloc[0]
+    assert int(out["n_cal"]) == 9 and int(out["k"]) == 9
+    assert int(out["n_eval_neg"]) == 10
+    assert int(out["fp"]) == 1                     # only n_chars=100
+    assert float(out["fpr"]) == 0.1
+
+
+def test_selectivity_independent_data_ratio_one(tmp_path):
+    """Perfectly independent flag × status counts ⇒ every ratio is
+    exactly 1 and expected == actual."""
+    from prclz_ray.pipelines.queries import \
+        q_selectivity_independence_audit
+    flags = ["A"] * 6 + ["R"] * 6
+    stats = (["O"] * 4 + ["F"] * 2) * 2
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flags),
+        "l_linestatus": pa.array(stats)}),
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_selectivity_independence_audit(str(tmp_path))
+    assert (out["ratio"] == 1.0).all()
+    assert (out["expected"] == out["actual"].astype(float)).all()
+    assert int(out["actual"].sum()) == 12
+
+
+def test_er_transitivity_bounds():
+    from prclz_ray.pipelines.queries import q_er_transitivity_audit
+    out = q_er_transitivity_audit(SF).iloc[0]
+    assert int(out["implied_pairs"]) >= int(out["direct_pairs"])
+    assert 0.0 <= float(out["violation_ratio"]) <= 1.0
+    assert int(out["transitive_only"]) == \
+        int(out["implied_pairs"]) - int(out["direct_pairs"])
