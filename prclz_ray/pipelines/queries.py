@@ -21766,6 +21766,225 @@ FROM sz
 """
 
 
+def q_ransac_price_line(sf_dir: str):
+    """Deterministic RANSAC line fit of extended price on quantity:
+    candidate lines come from 5 DATA-DRIVEN point pairs (the first 10
+    rows with l_orderkey % 100 = 1 ∧ l_linenumber = 1 in orderkey
+    order, paired consecutively — reproducible, no RNG), the winner
+    maximizes inliers |resid| ≤ $5 over the WHOLE table.  Slopes and
+    residuals derive from exact cents ints through identical float
+    ops on both sides, so the inlier comparisons cannot flip; one
+    streaming inlier-count pass scores all candidates at once."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice"])
+    seed_t = relational.ds_to_table(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice"],
+              filter=(pads.field("l_linenumber") == 1))
+    ).to_pandas()
+    seed_t = seed_t[seed_t["l_orderkey"] % 100 == 1] \
+        .sort_values("l_orderkey").head(10).reset_index(drop=True)
+    cands = []
+    for c in range(len(seed_t) // 2):
+        p1, p2 = seed_t.iloc[2 * c], seed_t.iloc[2 * c + 1]
+        x1, y1 = float(p1["l_quantity"]), round(
+            float(p1["l_extendedprice"]) * 100.0)
+        x2, y2 = float(p2["l_quantity"]), round(
+            float(p2["l_extendedprice"]) * 100.0)
+        if x1 == x2:
+            continue
+        cands.append((c + 1, x1, y1, (y2 - y1) / (x2 - x1)))
+
+    def count_inliers(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0)
+        rows = {"cand": [], "inl": []}
+        for cid, x1, y1, slope in cands:
+            resid = y - (y1 + slope * (x - x1))
+            rows["cand"].append(cid)
+            rows["inl"].append(int((np.abs(resid) <= 500.0).sum()))
+        return pa.table({"cand": pa.array(rows["cand"],
+                                          type=pa.int64()),
+                         "inl": pa.array(rows["inl"],
+                                         type=pa.int64())})
+
+    inl = relational.ds_to_table(
+        li.map_batches(count_inliers, batch_format="pyarrow")
+        .groupby("cand").aggregate(Sum("inl", alias_name="inliers"))
+    ).to_pandas().set_index("cand")["inliers"]
+    best = max(cands, key=lambda c: (int(inl[c[0]]), -c[0]))[0]
+    out = pd.DataFrame([{
+        "cand": cid, "slope": np.round(slope, 6),
+        "inliers": int(inl[cid]), "is_best": bool(cid == best)}
+        for cid, x1, y1, slope in cands])
+    return out.astype({"cand": np.int64, "inliers": np.int64})
+
+
+SQL_RANSAC = """
+WITH seed AS (
+  SELECT l_quantity AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey) AS rn
+  FROM lineitem
+  WHERE l_orderkey % 100 = 1 AND l_linenumber = 1
+  QUALIFY rn <= 10),
+cand AS (
+  SELECT CAST((a.rn + 1) // 2 AS BIGINT) AS cand,
+         a.x AS x1, a.y AS y1,
+         (b.y - a.y) / (b.x - a.x) AS slope
+  FROM seed a JOIN seed b ON b.rn = a.rn + 1
+  WHERE a.rn % 2 = 1 AND a.x <> b.x),
+inl AS (
+  SELECT c.cand, c.slope,
+         CAST(SUM(CASE WHEN ABS(
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             - (c.y1 + c.slope * (l.l_quantity - c.x1)))
+             <= 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS inliers
+  FROM cand c CROSS JOIN lineitem l GROUP BY 1, 2),
+best AS (SELECT cand FROM inl ORDER BY inliers DESC, cand LIMIT 1)
+SELECT i.cand, ROUND(i.slope, 6) AS slope, i.inliers,
+       i.cand = (SELECT cand FROM best) AS is_best
+FROM inl i ORDER BY i.cand
+"""
+
+
+def q_boolean_and_search(sf_dir: str):
+    """Conjunctive boolean retrieval: documents containing ALL of
+    {'window', 'merge', 'spark'} — the posting-list intersection
+    behind every search AND-query.  Per batch each doc emits its
+    matched-term count from three vectorized substring-token tests;
+    the intersection is `matched = 3`, never a 3-way join.  Output is
+    the matching doc ids plus per-term document frequencies."""
+    TERMS = ("window", "merge", "spark")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def match(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], pattern=" ")
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        row = np.repeat(np.arange(len(lens)), lens)
+        hits = []
+        for term in TERMS:
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            h = np.zeros(len(lens), dtype=bool)
+            np.logical_or.at(h, row, eq)     # per-doc ANY, vectorized
+            hits.append(h.astype(np.int64))
+        m = np.stack(hits)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_terms": pa.array(m.sum(axis=0)),
+            "h0": pa.array(m[0]), "h1": pa.array(m[1]),
+            "h2": pa.array(m[2])})
+
+    scored = docs.map_batches(match, batch_format="pyarrow") \
+        .materialize()
+    from ray.data.aggregate import Sum
+    dfs = scored.aggregate(Sum("h0"), Sum("h1"), Sum("h2"))
+    hit_ids = relational.ds_to_table(
+        scored.filter(expr="n_terms == 3")
+        .select_columns(["doc_id"])).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    hit_ids["df_window"] = int(dfs["sum(h0)"])
+    hit_ids["df_merge"] = int(dfs["sum(h1)"])
+    hit_ids["df_spark"] = int(dfs["sum(h2)"])
+    return hit_ids.astype({c: np.int64 for c in hit_ids.columns})
+
+
+SQL_BOOLEAN_AND = """
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split(text, ' ')) AS w
+             FROM documents),
+hit AS (SELECT doc_id,
+               MAX(CASE WHEN w = 'window' THEN 1 ELSE 0 END) AS h0,
+               MAX(CASE WHEN w = 'merge' THEN 1 ELSE 0 END) AS h1,
+               MAX(CASE WHEN w = 'spark' THEN 1 ELSE 0 END) AS h2
+        FROM tok GROUP BY 1),
+dfs AS (SELECT CAST(SUM(h0) AS BIGINT) AS d0,
+               CAST(SUM(h1) AS BIGINT) AS d1,
+               CAST(SUM(h2) AS BIGINT) AS d2 FROM hit)
+SELECT doc_id, d0 AS df_window, d1 AS df_merge, d2 AS df_spark
+FROM hit, dfs WHERE h0 + h1 + h2 = 3 ORDER BY doc_id
+"""
+
+
+def q_snapshot_aggregate_diff(sf_dir: str):
+    """Semantic diff between two time-travel snapshots: monthly
+    revenue AS OF manifest v1 vs v2 with per-month deltas — the
+    'what changed since yesterday's snapshot' report a lakehouse
+    answers from manifests alone (no row diffing).  Reuses the
+    time-travel fixture (v1 = early half, v2 = everything); months
+    present only in v2 surface as pure additions.  Exact cents."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    q_time_travel_read(sf_dir)              # ensure fixture exists
+    root = _fingerprint_cache_dir(sf_dir, "orders", "timetravel")
+
+    def monthly(files: list[str]):
+        ds = rd.read_parquet([os.path.join(root, f) for f in files])
+
+        def part(t: pa.Table) -> pa.Table:
+            m = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[M]").astype(np.int64)
+            cents = np.round(t["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            g = pd.DataFrame({"m": m, "c": cents}) \
+                .groupby("m", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return relational.ds_to_table(
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("m").aggregate(Sum("c", alias_name="c"))
+        ).to_pandas().set_index("m")["c"]
+
+    with open(os.path.join(root, "manifest-v1.json")) as fh:
+        v1_files = json.load(fh)["files"]
+    with open(os.path.join(root, "manifest-v2.json")) as fh:
+        v2_files = json.load(fh)["files"]
+    a, b = monthly(v1_files), monthly(v2_files)
+    months = sorted(set(a.index) | set(b.index))
+    out = pd.DataFrame({
+        "month": np.array(months, dtype=np.int64)
+        .astype("datetime64[M]").astype("datetime64[us]"),
+        "cents_v1": [int(a.get(m, 0)) for m in months],
+        "cents_v2": [int(b.get(m, 0)) for m in months]})
+    out["delta"] = out["cents_v2"] - out["cents_v1"]
+    out = out[out["delta"] != 0].reset_index(drop=True)
+    return out.astype({"cents_v1": np.int64, "cents_v2": np.int64,
+                       "delta": np.int64})
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  date_trunc('month', o_orderdate) AS month,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+b AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS mid FROM d),
+v1 AS (SELECT month, CAST(SUM(c) AS BIGINT) AS c FROM d, b
+       WHERE day <= mid GROUP BY 1),
+v2 AS (SELECT month, CAST(SUM(c) AS BIGINT) AS c FROM d GROUP BY 1)
+SELECT CAST(v2.month AS TIMESTAMP) AS month,
+       COALESCE(v1.c, 0) AS cents_v1, v2.c AS cents_v2,
+       v2.c - COALESCE(v1.c, 0) AS delta
+FROM v2 LEFT JOIN v1 USING (month)
+WHERE v2.c - COALESCE(v1.c, 0) <> 0
+ORDER BY month
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -22338,4 +22557,8 @@ def registry():
             q_selectivity_independence_audit, SQL_SELECTIVITY),
         "er_transitivity_audit": (q_er_transitivity_audit,
                                   SQL_ER_TRANSITIVITY),
+        "ransac_price_line": (q_ransac_price_line, SQL_RANSAC),
+        "boolean_and_search": (q_boolean_and_search, SQL_BOOLEAN_AND),
+        "snapshot_aggregate_diff": (q_snapshot_aggregate_diff,
+                                    SQL_SNAPSHOT_DIFF),
     }

@@ -190,7 +190,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "cohort_ltv_curve",
        # batch 61 (conformal threshold, selectivity audit, ER audit)
        "conformal_threshold_fpr", "selectivity_independence_audit",
-       "er_transitivity_audit"]
+       "er_transitivity_audit",
+       # batch 62 (RANSAC line, boolean AND search, snapshot diff)
+       "ransac_price_line", "boolean_and_search",
+       "snapshot_aggregate_diff"]
 
 
 def _norm(v) -> str:
@@ -3128,3 +3131,55 @@ def test_er_transitivity_bounds():
     assert 0.0 <= float(out["violation_ratio"]) <= 1.0
     assert int(out["transitive_only"]) == \
         int(out["implied_pairs"]) - int(out["direct_pairs"])
+
+
+def test_ransac_picks_inlier_line(tmp_path):
+    """Candidate 1 comes from two on-line seeds (y = 100x cents),
+    candidate 2 from two far outliers: the on-line candidate must win
+    with every on-line point as an inlier."""
+    from prclz_ray.pipelines.queries import q_ransac_price_line
+    ok = [1, 101, 201, 301] + list(range(2, 10))
+    ln = [1, 1, 1, 1] + [1] * 8
+    qty = [10.0, 20.0, 5.0, 6.0] + [float(k) for k in range(2, 10)]
+    # price dollars: on-line rows y = qty (slope 100 c/unit); rows
+    # 201/301 are wild outliers that also define candidate 2
+    price = [10.0, 20.0, 500.0, 90.0] + [float(k) for k in range(2, 10)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, type=pa.int64()),
+        "l_linenumber": pa.array(ln, type=pa.int32()),
+        "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(price)}),
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_ransac_price_line(str(tmp_path)).set_index("cand")
+    assert bool(out.loc[1, "is_best"])
+    assert int(out.loc[1, "inliers"]) == 10        # all on-line rows
+    assert float(out.loc[1, "slope"]) == 100.0
+    assert int(out.loc[2, "inliers"]) < 10
+
+
+def test_boolean_and_requires_all_terms(tmp_path):
+    from prclz_ray.pipelines.queries import q_boolean_and_search
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "the window merge spark pipeline",
+            "window merge only here",
+            "spark window no third-term merge_x"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_boolean_and_search(str(tmp_path))
+    assert out["doc_id"].tolist() == [1]
+    assert int(out["df_window"].iloc[0]) == 3
+    assert int(out["df_merge"].iloc[0]) == 2       # merge_x ≠ merge
+    assert int(out["df_spark"].iloc[0]) == 2
+
+
+def test_snapshot_diff_additive_only():
+    """v2 ⊇ v1 by construction, so every delta is positive and
+    delta = cents_v2 − cents_v1 exactly."""
+    from prclz_ray.pipelines.queries import q_snapshot_aggregate_diff
+    out = q_snapshot_aggregate_diff(SF)
+    assert len(out) > 0
+    assert (out["delta"] > 0).all()
+    assert (out["cents_v2"] >= out["cents_v1"]).all()
+    assert (out["delta"] == out["cents_v2"] - out["cents_v1"]).all()
