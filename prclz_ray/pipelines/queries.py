@@ -21985,6 +21985,258 @@ ORDER BY month
 """
 
 
+def q_cross_source_dup_matrix(sf_dir: str):
+    """Cross-source duplication matrix: which crawls copy which —
+    exact Jaccard ≥ 0.8 near-dup pairs (the recall-complete AllPairs
+    kernel) rolled up to (source, source) counts via two bucketed
+    joins of the pair list against the doc→source map (never a
+    corpus-sized broadcast).  The inter-source cells are the mixing
+    diagnostic; the diagonal is within-crawl redundancy."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .repartition(32)
+    pairs = dd.allpairs_jaccard(docs, key_col="doc_id",
+                                text_col="text",
+                                jaccard_threshold=0.8, shingle_k=5)
+    smap = _read(sf_dir, "documents", ["doc_id", "source"])
+    j1 = relational.bucketed_hash_join(
+        pairs.map_batches(lambda t: pa.table(
+            {"doc_id": t["a"], "b": t["b"]}),
+            batch_format="pyarrow"),
+        smap, on="doc_id").map_batches(
+        lambda t: pa.table({"doc_id": t["b"], "sa": t["source"]}),
+        batch_format="pyarrow")
+    j2 = relational.bucketed_hash_join(j1, smap, on="doc_id")
+
+    def cell(t: pa.Table) -> pa.Table:
+        sa = t["sa"].to_numpy(zero_copy_only=False)
+        sb = t["source"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        g = pd.DataFrame({"s1": lo, "s2": hi, "n": 1}) \
+            .groupby(["s1", "s2"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = relational.ds_to_table(
+        j2.map_batches(cell, batch_format="pyarrow")
+        .groupby(["s1", "s2"]).aggregate(Sum("n", alias_name="n"))
+    ).to_pandas().sort_values(["s1", "s2"]).reset_index(drop=True)
+    return out.astype({"n": np.int64})
+
+
+SQL_CROSS_SOURCE_DUP = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+        FROM documents)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ni
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+p AS (SELECT i.a, i.b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a
+      JOIN sizes sb ON sb.doc_id = i.b
+      WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8)
+SELECT LEAST(da.source, db.source) AS s1,
+       GREATEST(da.source, db.source) AS s2,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p JOIN documents da ON da.doc_id = p.a
+       JOIN documents db ON db.doc_id = p.b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_corr_matrix_lineitem(sf_dir: str):
+    """Full Pearson correlation matrix of four line-item measures
+    (quantity, dollar price, discount %, tax %) from ONE streaming
+    pass: every power sum and all six cross sums fold as exact ints
+    (dollar quantization bounds Σprice² under int64 to ~10⁹ rows; the
+    twin's HUGEINT has no bound), the finish evaluates each r with
+    arbitrary-precision numerators cast to double exactly once —
+    computing 6 correlations for the price of one table scan is the
+    point."""
+    from ray.data.aggregate import Sum
+
+    COLS = ("qty", "price", "disc", "tax")
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount",
+                "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = {"qty": np.round(t["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64),
+             "price": np.round(t["l_extendedprice"].to_numpy(
+                 zero_copy_only=False)).astype(np.int64),
+             "disc": np.round(t["l_discount"].to_numpy(
+                 zero_copy_only=False) * 100.0).astype(np.int64),
+             "tax": np.round(t["l_tax"].to_numpy(
+                 zero_copy_only=False) * 100.0).astype(np.int64)}
+        row = {"n": np.array([len(v["qty"])], dtype=np.int64)}
+        for i, a in enumerate(COLS):
+            row[f"s_{a}"] = np.array([v[a].sum()])
+            for b in COLS[i:]:
+                row[f"s_{a}_{b}"] = np.array([(v[a] * v[b]).sum()])
+        return pa.table({k: pa.array(x) for k, x in row.items()})
+
+    aggs = [Sum("n", alias_name="n")]
+    for i, a in enumerate(COLS):
+        aggs.append(Sum(f"s_{a}", alias_name=f"s_{a}"))
+        for b in COLS[i:]:
+            aggs.append(Sum(f"s_{a}_{b}", alias_name=f"s_{a}_{b}"))
+    tot = li.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(*aggs)
+    n = int(tot["n"])
+    s = {a: int(tot[f"s_{a}"]) for a in COLS}
+    ss = {}
+    for i, a in enumerate(COLS):
+        for b in COLS[i:]:
+            ss[(a, b)] = int(tot[f"s_{a}_{b}"])
+    rows = []
+    for i, a in enumerate(COLS):
+        for b in COLS[i + 1:]:
+            num = n * ss[(a, b)] - s[a] * s[b]
+            va = n * ss[(a, a)] - s[a] * s[a]
+            vb = n * ss[(b, b)] - s[b] * s[b]
+            rows.append({
+                "x": a, "y": b,
+                "r": np.round(float(num)
+                              / (np.sqrt(float(va))
+                                 * np.sqrt(float(vb))), 6)})
+    return pd.DataFrame(rows).sort_values(["x", "y"]) \
+        .reset_index(drop=True)
+
+
+SQL_CORR_MATRIX = """
+WITH q AS (SELECT CAST(ROUND(l_quantity) AS HUGEINT) AS qty,
+                  CAST(ROUND(l_extendedprice) AS HUGEINT) AS price,
+                  CAST(ROUND(l_discount * 100) AS HUGEINT) AS disc,
+                  CAST(ROUND(l_tax * 100) AS HUGEINT) AS tax
+           FROM lineitem),
+t AS (SELECT COUNT(*) AS n,
+             SUM(qty) AS s_qty, SUM(price) AS s_price,
+             SUM(disc) AS s_disc, SUM(tax) AS s_tax,
+             SUM(qty * qty) AS s_qty_qty,
+             SUM(qty * price) AS s_qty_price,
+             SUM(qty * disc) AS s_qty_disc,
+             SUM(qty * tax) AS s_qty_tax,
+             SUM(price * price) AS s_price_price,
+             SUM(price * disc) AS s_price_disc,
+             SUM(price * tax) AS s_price_tax,
+             SUM(disc * disc) AS s_disc_disc,
+             SUM(disc * tax) AS s_disc_tax,
+             SUM(tax * tax) AS s_tax_tax
+      FROM q)
+SELECT x, y, ROUND(CAST(num AS DOUBLE)
+                   / (sqrt(CAST(va AS DOUBLE))
+                      * sqrt(CAST(vb AS DOUBLE))), 6) AS r
+FROM (
+  SELECT 'qty' AS x, 'disc' AS y,
+         n * s_qty_disc - s_qty * s_disc AS num,
+         n * s_qty_qty - s_qty * s_qty AS va,
+         n * s_disc_disc - s_disc * s_disc AS vb FROM t
+  UNION ALL SELECT 'disc', 'tax',
+         n * s_disc_tax - s_disc * s_tax,
+         n * s_disc_disc - s_disc * s_disc,
+         n * s_tax_tax - s_tax * s_tax FROM t
+  UNION ALL SELECT 'price', 'disc',
+         n * s_price_disc - s_price * s_disc,
+         n * s_price_price - s_price * s_price,
+         n * s_disc_disc - s_disc * s_disc FROM t
+  UNION ALL SELECT 'price', 'tax',
+         n * s_price_tax - s_price * s_tax,
+         n * s_price_price - s_price * s_price,
+         n * s_tax_tax - s_tax * s_tax FROM t
+  UNION ALL SELECT 'qty', 'price',
+         n * s_qty_price - s_qty * s_price,
+         n * s_qty_qty - s_qty * s_qty,
+         n * s_price_price - s_price * s_price FROM t
+  UNION ALL SELECT 'qty', 'tax',
+         n * s_qty_tax - s_qty * s_tax,
+         n * s_qty_qty - s_qty * s_qty,
+         n * s_tax_tax - s_tax * s_tax FROM t)
+ORDER BY x, y
+"""
+
+
+def q_triangle_null_model(sf_dir: str):
+    """Observed triangles vs the configuration-model expectation
+    E[T] ≈ (Σd(d−1) / Σd)³ / 6 — the null-model ratio that says
+    whether the link graph's clustering is real structure or just a
+    degree-sequence artifact.  Degree moments fold exactly over the
+    undirected simple graph (the same LEAST/GREATEST dedup the
+    triangle kernel uses); the observed count reuses the
+    degree-ordered O(m^1.5) kernel; the ratio is the one mirrored
+    float expression."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import graph_ops
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.repeat(d, 3)
+        k = np.tile(np.array([1, 2, 3], dtype=np.int64), len(d))
+        return pa.table({"src": pa.array(src),
+                         "dst": pa.array((src * 7919 + k * 104729) % n)})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    tri = int(graph_ops.triangle_count(e))
+    und = graph_ops._normalize_undirected(e, "src", "dst")
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            t["ea"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["eb"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        g, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(g),
+                         "c": pa.array(c.astype(np.int64))})
+
+    degs = relational.ds_to_table(
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("c", alias_name="d"))
+    ).to_pandas()["d"].to_numpy(np.int64)
+    m1 = int(degs.sum())
+    m2 = int((degs * (degs - 1)).sum())
+    expected = (m2 / float(m1)) ** 3 / 6.0
+    return pd.DataFrame([{
+        "n_triangles": tri, "sum_deg": m1, "sum_deg2": m2,
+        "expected": np.round(expected, 4),
+        "ratio": np.round(tri / expected, 4)}]).astype({
+            "n_triangles": np.int64, "sum_deg": np.int64,
+            "sum_deg2": np.int64})
+
+
+SQL_TRIANGLE_NULL = """
+WITH raw AS (
+  SELECT doc_id AS src,
+         (doc_id * 7919 + k * 104729)
+           % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(k)),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+       FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+       GROUP BY v),
+mm AS (SELECT CAST(SUM(d) AS BIGINT) AS m1,
+              CAST(SUM(d * (d - 1)) AS BIGINT) AS m2 FROM dg)
+SELECT tri.t AS n_triangles, mm.m1 AS sum_deg, mm.m2 AS sum_deg2,
+       ROUND(pow(mm.m2 / CAST(mm.m1 AS DOUBLE), 3) / 6.0, 4)
+         AS expected,
+       ROUND(tri.t / (pow(mm.m2 / CAST(mm.m1 AS DOUBLE), 3) / 6.0), 4)
+         AS ratio
+FROM tri, mm
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -22561,4 +22813,10 @@ def registry():
         "boolean_and_search": (q_boolean_and_search, SQL_BOOLEAN_AND),
         "snapshot_aggregate_diff": (q_snapshot_aggregate_diff,
                                     SQL_SNAPSHOT_DIFF),
+        "cross_source_dup_matrix": (q_cross_source_dup_matrix,
+                                    SQL_CROSS_SOURCE_DUP),
+        "corr_matrix_lineitem": (q_corr_matrix_lineitem,
+                                 SQL_CORR_MATRIX),
+        "triangle_null_model": (q_triangle_null_model,
+                                SQL_TRIANGLE_NULL),
     }

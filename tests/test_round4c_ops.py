@@ -193,7 +193,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "er_transitivity_audit",
        # batch 62 (RANSAC line, boolean AND search, snapshot diff)
        "ransac_price_line", "boolean_and_search",
-       "snapshot_aggregate_diff"]
+       "snapshot_aggregate_diff",
+       # batch 63 (cross-source dups, corr matrix, triangle null)
+       "cross_source_dup_matrix", "corr_matrix_lineitem",
+       "triangle_null_model"]
 
 
 def _norm(v) -> str:
@@ -3183,3 +3186,45 @@ def test_snapshot_diff_additive_only():
     assert (out["delta"] > 0).all()
     assert (out["cents_v2"] >= out["cents_v1"]).all()
     assert (out["delta"] == out["cents_v2"] - out["cents_v1"]).all()
+
+
+def test_corr_matrix_perfect_and_zero(tmp_path):
+    """qty == price exactly ⇒ r = 1; a constant column has zero
+    variance (r undefined ⇒ NaN on both sides, dropped from asserts);
+    an alternating anti-correlated pair ⇒ r = −1."""
+    from prclz_ray.pipelines.queries import q_corr_matrix_lineitem
+    qty = [1.0, 2.0, 3.0, 4.0]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(qty),            # == qty → r 1
+        "l_discount": pa.array([0.04, 0.03, 0.02, 0.01]),  # anti
+        "l_tax": pa.array([0.02, 0.02, 0.02, 0.02])}),     # const
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_corr_matrix_lineitem(str(tmp_path)) \
+        .set_index(["x", "y"])
+    assert out.loc[("qty", "price"), "r"] == 1.0
+    assert out.loc[("qty", "disc"), "r"] == -1.0
+    assert np.isnan(out.loc[("qty", "tax"), "r"])
+
+
+def test_cross_source_dup_matrix_pairs_conserved():
+    """Σ matrix cells == total near-dup pairs, and sources are
+    canonically ordered (s1 <= s2)."""
+    from prclz_ray.pipelines.queries import (q_cross_source_dup_matrix,
+                                             q_jaccard_threshold_pairs)
+    from prclz_ray.stages import relational
+    out = q_cross_source_dup_matrix(SF)
+    total = relational.ds_to_table(q_jaccard_threshold_pairs(SF)) \
+        .num_rows
+    assert int(out["n"].sum()) == total
+    assert (out["s1"] <= out["s2"]).all()
+
+
+def test_triangle_null_ratio_consistency():
+    from prclz_ray.pipelines.queries import q_triangle_null_model
+    out = q_triangle_null_model(SF).iloc[0]
+    expected = (int(out["sum_deg2"]) / float(int(out["sum_deg"]))) \
+        ** 3 / 6.0
+    assert abs(float(out["expected"]) - expected) < 1e-3
+    assert float(out["ratio"]) > 0
+    assert int(out["sum_deg"]) % 2 == 0            # handshake lemma
