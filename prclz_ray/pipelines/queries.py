@@ -22237,6 +22237,228 @@ FROM tri, mm
 """
 
 
+def q_secondary_index_lookup(sf_dir: str):
+    """Secondary-index point lookup on a NON-clustered column — the
+    layout-free complement to hash bucketing: orders stay physically
+    range-split by o_orderkey (16 files), a sidecar inverted index
+    (custkey → file) is built in one distributed per-file distinct
+    pass, and an equality probe on o_custkey reads the index (pruned
+    at the read) then opens ONLY the listed files.  files_opened is
+    mirrorable because the file of a row is the value-range formula
+    (o_orderkey − 1) // ⌈max/16⌉ on both sides; the probe key is
+    MAX(o_custkey)."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ray.data.aggregate import Max
+
+    root = _fingerprint_cache_dir(sf_dir, "orders", "secindex")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    mx = int(orders.aggregate(Max("o_orderkey", alias_name="m"))["m"])
+    per = -(-mx // 16)                         # ceil(max/16)
+    if not os.path.isdir(root):
+        tmp = f"{root}.tmp-{uuid.uuid4().hex}"
+        os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
+        t = relational.ds_to_table(orders)
+        f = (t["o_orderkey"].to_numpy(zero_copy_only=False)
+             .astype(np.int64) - 1) // per
+        for ff in np.unique(f):
+            pq_.write_table(t.filter(pa.array(f == ff)),
+                            os.path.join(tmp, "data",
+                                         f"part={ff}.parquet"))
+        # distributed index build: per-file distinct custkeys
+        def per_file(t2: pa.Table) -> pa.Table:
+            fk = (t2["o_orderkey"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64) - 1) // per
+            g = pd.DataFrame({"o_custkey": t2["o_custkey"].to_numpy(
+                zero_copy_only=False), "f": fk}).drop_duplicates()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Count
+        idx = relational.ds_to_table(
+            orders.map_batches(per_file, batch_format="pyarrow")
+            .groupby(["o_custkey", "f"]).aggregate(Count()))
+        pq_.write_table(idx.select(["o_custkey", "f"]),
+                        os.path.join(tmp, "index.parquet"))
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    probe = int(orders.aggregate(Max("o_custkey", alias_name="m"))["m"])
+    hits = rd.read_parquet(os.path.join(root, "index.parquet"),
+                           filter=(pads.field("o_custkey") == probe))
+    files = sorted(int(f) for f in relational.ds_to_table(
+        hits)["f"].to_pylist())
+    ds = rd.read_parquet(
+        [os.path.join(root, "data", f"part={f}.parquet")
+         for f in files],
+        filter=(pads.field("o_custkey") == probe))
+    t = relational.ds_to_table(ds)
+    cents = int(np.sum(np.round(
+        t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0)
+        .astype(np.int64)))
+    return pd.DataFrame([{
+        "probe_custkey": probe, "files_opened": len(files),
+        "n_orders": t.num_rows, "cents": cents}]).astype({
+            "probe_custkey": np.int64, "files_opened": np.int64,
+            "n_orders": np.int64, "cents": np.int64})
+
+
+SQL_SECONDARY_INDEX = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m,
+                   MAX(o_custkey) AS probe FROM orders),
+per AS (SELECT -((-m) // 16) AS p, probe FROM mx),
+hit AS (SELECT o.*, (o.o_orderkey - 1) // per.p AS f
+        FROM orders o, per WHERE o.o_custkey = per.probe)
+SELECT (SELECT probe FROM per) AS probe_custkey,
+       CAST(COUNT(DISTINCT f) AS BIGINT) AS files_opened,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM hit
+"""
+
+
+def q_codec_comparison_report(sf_dir: str):
+    """Physical-design codec bake-off: the orders table written three
+    times (uncompressed, snappy, zstd) through the DISTRIBUTED parquet
+    writer, with on-disk bytes and compression ratios — the
+    storage-tuning report every lakehouse team runs before picking a
+    table default.  No SQL oracle (byte sizes are codec/build
+    specific); pytest pins the ratio ordering and the row-count
+    roundtrip."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    orders = _read(sf_dir, "orders", None)
+    base = f"/tmp/prclz_codec_{uuid.uuid4().hex}"
+    rows_in = orders.count()
+    out_rows = []
+    sizes = {}
+    try:
+        for codec in ("none", "snappy", "zstd"):
+            d = os.path.join(base, codec)
+            orders.write_parquet(d, compression=codec)
+            sizes[codec] = sum(
+                os.path.getsize(f)
+                for f in glob.glob(os.path.join(d, "*.parquet")))
+            rows_back = rd.read_parquet(d).count()
+            out_rows.append({"codec": codec, "bytes": sizes[codec],
+                             "rows": rows_back})
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = pd.DataFrame(out_rows)
+    out["ratio_vs_none"] = np.round(
+        out["bytes"] / float(sizes["none"]), 4)
+    assert (out["rows"] == rows_in).all()
+    return out.astype({"bytes": np.int64, "rows": np.int64})
+
+
+def q_shingle_novelty_by_source(sf_dir: str):
+    """Shingle novelty per source: of each source's distinct 5-gram
+    slots, how many are FIRST INTRODUCTIONS (global min doc_id owns
+    the shingle) — the marginal-diversity curve that says which crawl
+    still adds new content and which only repeats the corpus.  One
+    (shingle → min doc) reduce over the shared u64 polynomial, first
+    counts ride a bucketed join back to the doc→source map; ratios
+    are the one mirrored division per source."""
+    from ray.data.aggregate import Min, Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, gs, tot = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            hs = _shingle_set_u64(txt)
+            gs.append(hs)
+            ids.append(np.full(len(hs), did, dtype=np.int64))
+            tot.append(len(hs))
+        gall = (np.concatenate(gs) if gs
+                else np.zeros(0, np.uint64)).view(np.int64)
+        return pa.table({          # int64 REINTERPRET: the groupby
+            "g": pa.array(gall),   # only needs equality, and pandas
+            "doc_id": pa.array(    # blocks choke on u64 > 2^63
+                np.concatenate(ids) if ids else np.zeros(0, np.int64))})
+
+    intro = docs.map_batches(explode, batch_format="pyarrow") \
+        .groupby("g").aggregate(Min("doc_id", alias_name="doc_id")) \
+        .map_batches(lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "fi": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow")
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        rows = [(did, len(_shingle_set_u64(txt)))
+                for did, txt in zip(t["doc_id"].to_pylist(),
+                                    t["text"].to_pylist())]
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ns": pa.array([r[1] for r in rows], type=pa.int64())})
+
+    totals = docs.map_batches(tot_partial, batch_format="pyarrow")
+    smap = _read(sf_dir, "documents", ["doc_id", "source"])
+    j1 = relational.bucketed_hash_join(totals, smap, on="doc_id")
+    j2 = relational.bucketed_hash_join(intro, smap, on="doc_id")
+
+    def agg(ds, col):
+        def p(t: pa.Table) -> pa.Table:
+            g = pd.DataFrame({
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                col: t[col].to_numpy(zero_copy_only=False)}) \
+                .groupby("source", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+        return relational.ds_to_table(
+            ds.map_batches(p, batch_format="pyarrow")
+            .groupby("source").aggregate(Sum(col, alias_name=col))
+        ).to_pandas().set_index("source")[col]
+
+    ts, fs = agg(j1, "ns"), agg(j2, "fi")
+    srcs = sorted(ts.index)
+    out = pd.DataFrame({
+        "source": srcs,
+        "n_shingle_slots": [int(ts[s]) for s in srcs],
+        "n_introduced": [int(fs.get(s, 0)) for s in srcs]})
+    out["novelty"] = np.round(
+        out["n_introduced"] / out["n_shingle_slots"].astype(
+            np.float64), 6)
+    return out.astype({"n_shingle_slots": np.int64,
+                       "n_introduced": np.int64})
+
+
+SQL_SHINGLE_NOVELTY = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+        FROM documents)),
+intro AS (SELECT g, MIN(doc_id) AS doc_id FROM sh GROUP BY g),
+fi AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS fi
+       FROM intro GROUP BY 1),
+ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns
+       FROM sh GROUP BY 1),
+per AS (SELECT d.source, SUM(ns.ns) AS slots,
+               SUM(COALESCE(fi.fi, 0)) AS fsum FROM documents d
+        JOIN ns USING (doc_id) LEFT JOIN fi USING (doc_id)
+        GROUP BY 1)
+SELECT source, CAST(slots AS BIGINT) AS n_shingle_slots,
+       CAST(fsum AS BIGINT) AS n_introduced,
+       ROUND(fsum / CAST(slots AS DOUBLE), 6) AS novelty
+FROM per ORDER BY source
+"""
+
+
 def registry():
     """name → (ray_callable, oracle_sql | None)"""
     return {
@@ -22819,4 +23041,9 @@ def registry():
                                  SQL_CORR_MATRIX),
         "triangle_null_model": (q_triangle_null_model,
                                 SQL_TRIANGLE_NULL),
+        "secondary_index_lookup": (q_secondary_index_lookup,
+                                   SQL_SECONDARY_INDEX),
+        "codec_comparison_report": (q_codec_comparison_report, None),
+        "shingle_novelty_by_source": (q_shingle_novelty_by_source,
+                                      SQL_SHINGLE_NOVELTY),
     }

@@ -196,7 +196,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "snapshot_aggregate_diff",
        # batch 63 (cross-source dups, corr matrix, triangle null)
        "cross_source_dup_matrix", "corr_matrix_lineitem",
-       "triangle_null_model"]
+       "triangle_null_model",
+       # batch 64 (secondary index, codec report no-oracle, novelty)
+       "secondary_index_lookup", "shingle_novelty_by_source"]
 
 
 def _norm(v) -> str:
@@ -3228,3 +3230,41 @@ def test_triangle_null_ratio_consistency():
     assert abs(float(out["expected"]) - expected) < 1e-3
     assert float(out["ratio"]) > 0
     assert int(out["sum_deg"]) % 2 == 0            # handshake lemma
+
+
+def test_secondary_index_prunes_files():
+    from prclz_ray.pipelines.queries import q_secondary_index_lookup
+    out = q_secondary_index_lookup(SF).iloc[0]
+    assert 1 <= int(out["files_opened"]) < 16      # the index bites
+    assert int(out["n_orders"]) >= 1
+    assert int(out["files_opened"]) <= int(out["n_orders"])
+
+
+def test_codec_report_orders_and_roundtrip():
+    from prclz_ray.pipelines.queries import q_codec_comparison_report
+    out = q_codec_comparison_report(SF).set_index("codec")
+    assert float(out.loc["none", "ratio_vs_none"]) == 1.0
+    assert float(out.loc["zstd", "ratio_vs_none"]) < 1.0
+    assert float(out.loc["snappy", "ratio_vs_none"]) <= 1.0
+    assert (out["rows"] == out["rows"].iloc[0]).all()
+
+
+def test_novelty_copy_introduces_nothing(tmp_path):
+    """A verbatim copy (higher doc_id) introduces ZERO shingles; the
+    original and a fresh doc introduce all of theirs."""
+    from prclz_ray.pipelines.queries import q_shingle_novelty_by_source
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    fresh = "zyxwvuts-QWERTYUIOP-147258369-qqq"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([base, base, fresh]),
+        "source": pa.array(["a", "b", "c"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_shingle_novelty_by_source(str(tmp_path)) \
+        .set_index("source")
+    assert out.loc["a", "novelty"] == 1.0
+    assert out.loc["b", "novelty"] == 0.0          # pure copy
+    assert out.loc["c", "novelty"] == 1.0
+    assert int(out.loc["a", "n_shingle_slots"]) == \
+        int(out.loc["b", "n_shingle_slots"])
