@@ -198,7 +198,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "cross_source_dup_matrix", "corr_matrix_lineitem",
        "triangle_null_model",
        # batch 64 (secondary index, codec report no-oracle, novelty)
-       "secondary_index_lookup", "shingle_novelty_by_source"]
+       "secondary_index_lookup", "shingle_novelty_by_source",
+       # batch 65 (nDCG@10 eval, distance-band join, Theil index)
+       "ndcg_at_10_by_source", "distance_band_pairs",
+       "theil_index_nation"]
 
 
 def _norm(v) -> str:
@@ -3268,3 +3271,66 @@ def test_novelty_copy_introduces_nothing(tmp_path):
     assert out.loc["c", "novelty"] == 1.0
     assert int(out.loc["a", "n_shingle_slots"]) == \
         int(out.loc["b", "n_shingle_slots"])
+
+
+def test_distance_band_matches_bruteforce():
+    """Independent brute-force check of the grid-bucketed band join:
+    every qualifying pair, no dupes, no misses, exact d2.  sf0.01:
+    sf0.001's 150 lattice points yield an empty band."""
+    from prclz_ray.pipelines.queries import q_distance_band_pairs
+    SF01 = SF.replace("sf0.001", "sf0.01")
+    k = pq.read_table(os.path.join(SF01, "customer.parquet"),
+                      columns=["c_custkey"])["c_custkey"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    x, y = (k * 7919) % 1000, (k * 104729) % 1000
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    m = (d2 <= 225) & (k[:, None] < k[None, :])
+    i, j = np.nonzero(m)
+    want = sorted(zip(k[i], k[j], d2[i, j]))
+    out = q_distance_band_pairs(SF01)
+    got = sorted(zip(out["k_a"].astype(int), out["k_b"].astype(int),
+                     out["d2"].astype(int)))
+    assert got == want and len(got) > 0
+
+
+def test_ndcg_perfect_and_degraded(tmp_path):
+    """Length ranking == ideal ranking -> nDCG exactly 1; inverted
+    ranking -> the hand-computed degraded value."""
+    from prclz_ray.pipelines.queries import q_ndcg_at_10_by_source
+    # source a: rel (doc_id%4) = 3,2,1 ranked by n_chars in the SAME
+    # order; source b: identical rels, n_chars order INVERTED
+    docs = pa.table({
+        "doc_id": pa.array([3, 2, 1, 7, 6, 5], type=pa.int64()),
+        "n_chars": pa.array([30, 20, 10, 10, 20, 30],
+                            type=pa.int64()),
+        "source": pa.array(["a"] * 3 + ["b"] * 3),
+        "text": pa.array(["x"] * 6), "lang": pa.array(["en"] * 6)})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_ndcg_at_10_by_source(str(tmp_path)).set_index("source")
+    assert float(out.loc["a", "ndcg10"]) == 1.0
+    gains = {3: 7.0, 2: 3.0, 1: 1.0}
+    disc = [np.log2(r + 1) for r in (1, 2, 3)]
+    idcg = gains[3] / disc[0] + gains[2] / disc[1] + gains[1] / disc[2]
+    dcg_b = gains[1] / disc[0] + gains[2] / disc[1] + gains[3] / disc[2]
+    assert float(out.loc["b", "ndcg10"]) == round(dcg_b / idcg, 6)
+    assert float(out.loc["b", "ndcg10"]) < 1.0
+
+
+def test_theil_equal_revenue_is_zero(tmp_path):
+    """All customers in a nation earning identically -> T = 0 exactly
+    (x*n/X == 1.0 in floating point when X = n*x exactly)."""
+    from prclz_ray.pipelines.queries import q_theil_index_nation
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_totalprice": pa.array([100.0] * 4)}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 7, 7], type=pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_theil_index_nation(d)
+    assert list(out["n_nationkey"]) == [0, 7]
+    assert (out["theil_t"] == 0.0).all()
+    assert (out["revenue_cents"] == 20000).all()
