@@ -201,7 +201,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "secondary_index_lookup", "shingle_novelty_by_source",
        # batch 65 (nDCG@10 eval, distance-band join, Theil index)
        "ndcg_at_10_by_source", "distance_band_pairs",
-       "theil_index_nation"]
+       "theil_index_nation",
+       # batch 66 (SPRT sequential test, t-closeness, Nelson-Aalen)
+       "sprt_purchase_rate", "t_closeness_audit",
+       "nelson_aalen_hazard"]
 
 
 def _norm(v) -> str:
@@ -3334,3 +3337,75 @@ def test_theil_equal_revenue_is_zero(tmp_path):
     assert list(out["n_nationkey"]) == [0, 7]
     assert (out["theil_t"] == 0.0).all()
     assert (out["revenue_cents"] == 20000).all()
+
+
+def test_sprt_crossings_hand_computed(tmp_path):
+    """All-purchase stream crosses the upper bound at exactly
+    ceil(A/c1) = 6 trials; all-view crosses the lower at 24; a
+    3-trial stream is still 'continue'."""
+    from prclz_ray.pipelines.queries import q_sprt_purchase_rate
+
+    def write(n, types, d):
+        ts = pa.array(np.arange(n) * 1_000_000,
+                      type=pa.timestamp("us"))
+        pq.write_table(pa.table({
+            "ts": ts,
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(types)}),
+            os.path.join(d, "events.parquet"))
+
+    d1 = str(tmp_path / "a"); os.makedirs(d1)
+    write(10, ["purchase"] * 10, d1)
+    out = q_sprt_purchase_rate(d1)
+    assert out["decision"].iloc[0] == "accept_h1"
+    assert int(out["n_trials"].iloc[0]) == 6
+    assert int(out["n_conversions"].iloc[0]) == 6
+
+    d2 = str(tmp_path / "b"); os.makedirs(d2)
+    write(30, ["view"] * 30, d2)
+    out = q_sprt_purchase_rate(d2)
+    assert out["decision"].iloc[0] == "accept_h0"
+    assert int(out["n_trials"].iloc[0]) == 24
+
+    d3 = str(tmp_path / "c"); os.makedirs(d3)
+    write(3, ["view"] * 3, d3)
+    out = q_sprt_purchase_rate(d3)
+    assert out["decision"].iloc[0] == "continue"
+    assert int(out["n_trials"].iloc[0]) == 3
+
+
+def test_t_closeness_identical_distribution_zero(tmp_path):
+    """Groups whose band distribution equals the global one have
+    t = 0 exactly."""
+    from prclz_ray.pipelines.queries import q_t_closeness_audit
+    bals = [100.0, 2000.0, 5000.0, 9000.0]
+    pq.write_table(pa.table({
+        "c_mktsegment": pa.array(["A"] * 4 + ["B"] * 4),
+        "c_nationkey": pa.array([0] * 4 + [1] * 4, type=pa.int32()),
+        "c_acctbal": pa.array(bals * 2)}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_t_closeness_audit(str(tmp_path))
+    assert len(out) == 2
+    assert (out["t_emd"] == 0.0).all()
+    assert (out["n_rows"] == 4).all()
+
+
+def test_nelson_aalen_crafted_hazard(tmp_path):
+    """4 customers: durations 10,10,20 churned + one duration-0
+    censored at the horizon -> H(10)=2/3, H(20)=2/3+1."""
+    from prclz_ray.pipelines.queries import q_nelson_aalen_hazard
+    day = np.datetime64("2024-01-01", "us")
+    rows = [(1, 0), (1, 10), (2, 0), (2, 10), (3, 0), (3, 20),
+            (4, 200)]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "o_orderdate": pa.array(
+            [day + np.timedelta64(r[1] * 86_400_000_000, "us")
+             for r in rows], type=pa.timestamp("us"))}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_nelson_aalen_hazard(str(tmp_path))
+    assert list(out["t_days"]) == [10, 20]
+    assert list(out["at_risk"]) == [3, 1]
+    assert list(out["events"]) == [2, 1]
+    assert list(out["cum_hazard"]) == [round(2 / 3, 6),
+                                       round(2 / 3 + 1.0, 6)]
