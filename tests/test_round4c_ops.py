@@ -204,7 +204,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "theil_index_nation",
        # batch 66 (SPRT sequential test, t-closeness, Nelson-Aalen)
        "sprt_purchase_rate", "t_closeness_audit",
-       "nelson_aalen_hazard"]
+       "nelson_aalen_hazard",
+       # batch 67 (FIFO attribution, D'Hondt seats, LOF outliers)
+       "fifo_click_attribution", "dhondt_apportionment",
+       "lof_outliers"]
 
 
 def _norm(v) -> str:
@@ -3409,3 +3412,96 @@ def test_nelson_aalen_crafted_hazard(tmp_path):
     assert list(out["events"]) == [2, 1]
     assert list(out["cum_hazard"]) == [round(2 / 3, 6),
                                        round(2 / 3 + 1.0, 6)]
+
+
+def test_fifo_closed_form_vs_greedy_simulation(tmp_path):
+    """The Lindley closed form min(m, m+min(ck-k)) must equal the
+    sequential greedy FIFO matcher on adversarial orderings."""
+    from prclz_ray.pipelines.queries import q_fifo_click_attribution
+    seqs = {
+        1: "PCCPPCP",      # purchase-before-click goes unmatched
+        2: "CCCC",         # clicks only
+        3: "PPPP",         # purchases only
+        4: "CPCPCP",       # perfectly interleaved
+        5: "PPCCCCPP",     # burst then drain
+    }
+    rows, eid = [], 0
+    for uid, s in seqs.items():
+        for ch in s:
+            rows.append((uid, eid,
+                         "click" if ch == "C" else "purchase"))
+            eid += 1
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.arange(len(rows)) * 1_000_000,
+                       type=pa.timestamp("us")),
+        "event_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows])}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_fifo_click_attribution(str(tmp_path)).set_index("user_id")
+    for uid, s in seqs.items():
+        avail = matched = 0
+        for ch in s:
+            if ch == "C":
+                avail += 1
+            elif avail > 0:
+                avail -= 1
+                matched += 1
+        assert int(out.loc[uid, "n_matched"]) == matched, (uid, s)
+        assert int(out.loc[uid, "n_clicks"]) == s.count("C")
+        assert int(out.loc[uid, "n_purchases"]) == s.count("P")
+
+
+def test_dhondt_matches_greedy_allocator(tmp_path):
+    """Quotient-ranking output == the textbook sequential highest-
+    averages loop, and seats sum to exactly 100."""
+    from prclz_ray.pipelines.queries import q_dhondt_apportionment
+    d = str(tmp_path)
+    # three nations, revenue 4:2:1
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2], type=pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([400.0, 200.0, 100.0])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_dhondt_apportionment(d).set_index("n_nationkey")
+    assert int(out["seats"].sum()) == 100
+    rev = {0: 40000, 1: 20000, 2: 10000}
+    seats = {0: 0, 1: 0, 2: 0}
+    for _ in range(100):
+        best = max(rev, key=lambda n: (rev[n] / (seats[n] + 1), -n))
+        seats[best] += 1
+    for n in rev:
+        assert int(out.loc[n, "seats"]) == seats[n]
+
+
+def test_lof_matches_bruteforce():
+    """Independent O(n^2) LOF recompute at sf0.001 (150 points) —
+    same deterministic (d2, key) 5-NN definition."""
+    from prclz_ray.pipelines.queries import q_lof_outliers
+    k = pq.read_table(os.path.join(SF, "customer.parquet"),
+                      columns=["c_custkey"])["c_custkey"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    k = k[k <= 1000]
+    x, y = (k * 7919) % 1000, (k * 104729) % 1000
+    n = len(k)
+    nbrs, kdist = {}, {}
+    for i in range(n):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        order = sorted((int(d2[j]), int(k[j]))
+                       for j in range(n) if j != i)[:5]
+        nbrs[int(k[i])] = order
+        kdist[int(k[i])] = order[-1][0]
+    lrd = {}
+    for ki, order in nbrs.items():
+        lrd[ki] = 5.0 / float(sum(max(kdist[kb], d) for d, kb in order))
+    lof = {ki: round(sum(lrd[kb] for _, kb in order) / 5.0 / lrd[ki], 6)
+           for ki, order in nbrs.items()}
+    want = sorted(lof.items(), key=lambda t: (-t[1], t[0]))[:20]
+    out = q_lof_outliers(SF)
+    got = list(zip(out["c_custkey"].astype(int),
+                   out["lof"].astype(float)))
+    assert got == [(a, b) for a, b in want]
+    assert max(b for _, b in got) > 1.0   # some density contrast
