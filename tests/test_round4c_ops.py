@@ -207,7 +207,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "nelson_aalen_hazard",
        # batch 67 (FIFO attribution, D'Hondt seats, LOF outliers)
        "fifo_click_attribution", "dhondt_apportionment",
-       "lof_outliers"]
+       "lof_outliers",
+       # batch 68 (Ripley's K, one-way ANOVA, decile lift)
+       "ripleys_k", "anova_value_by_type", "lift_curve_deciles"]
 
 
 def _norm(v) -> str:
@@ -3505,3 +3507,57 @@ def test_lof_matches_bruteforce():
                    out["lof"].astype(float)))
     assert got == [(a, b) for a, b in want]
     assert max(b for _, b in got) > 1.0   # some density contrast
+
+
+def test_ripleys_k_consistency_with_band_join():
+    """K at r=15 must count exactly 2x the unordered band-join pairs;
+    K monotone in r; L = sqrt(K/pi)."""
+    from prclz_ray.pipelines.queries import (q_distance_band_pairs,
+                                             q_ripleys_k)
+    SF01 = SF.replace("sf0.001", "sf0.01")
+    out = q_ripleys_k(SF01).set_index("r")
+    band = q_distance_band_pairs(SF01)
+    assert int(out.loc[15, "n_pairs"]) == 2 * len(band)
+    assert out["n_pairs"].is_monotonic_increasing
+    k, l = out["k_hat"].to_numpy(), out["l_hat"].to_numpy()
+    assert np.allclose(l, np.sqrt(k / np.pi), atol=1e-5)
+
+
+def test_anova_hand_computed_f(tmp_path):
+    """Two groups, means 2 and 6, within-var 1 -> F = 8, eta^2 = 0.8;
+    equal group means -> F = 0."""
+    from prclz_ray.pipelines.queries import q_anova_value_by_type
+    d1 = str(tmp_path / "a"); os.makedirs(d1)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["A", "A", "B", "B"]),
+        "value": pa.array([0.01, 0.03, 0.05, 0.07])}),
+        os.path.join(d1, "events.parquet"))
+    out = q_anova_value_by_type(d1)
+    assert float(out["f_stat"].iloc[0]) == 8.0
+    assert float(out["eta_sq"].iloc[0]) == 0.8
+    d2 = str(tmp_path / "b"); os.makedirs(d2)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["A", "A", "B", "B"]),
+        "value": pa.array([0.01, 0.03, 0.02, 0.02])}),
+        os.path.join(d2, "events.parquet"))
+    out = q_anova_value_by_type(d2)
+    assert float(out["f_stat"].iloc[0]) == 0.0
+
+
+def test_lift_deciles_exact_split_not_ntile(tmp_path):
+    """n=12 docs: exact rank-decile split interleaves the remainder
+    (sizes 2,1,1,1,1,2,1,1,1,1) where NTILE would front-load (2,2,...).
+    Conservation: positives and rows sum to totals."""
+    from prclz_ray.pipelines.queries import q_lift_curve_deciles
+    n = 12
+    texts = ["w " * (i + 1) for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "n_chars": pa.array(np.arange(100, 100 + 40 * n, 40,
+                                      dtype=np.int64))}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_lift_curve_deciles(str(tmp_path))
+    assert list(out["n_rows"]) == [2, 1, 1, 1, 1, 2, 1, 1, 1, 1]
+    assert int(out["n_rows"].sum()) == n
+    assert list(out["decile"]) == list(range(10))
