@@ -209,7 +209,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "fifo_click_attribution", "dhondt_apportionment",
        "lof_outliers",
        # batch 68 (Ripley's K, one-way ANOVA, decile lift)
-       "ripleys_k", "anova_value_by_type", "lift_curve_deciles"]
+       "ripleys_k", "anova_value_by_type", "lift_curve_deciles",
+       # batch 69 (Dirichlet QL retrieval, boxplot, entropy rate)
+       "dirichlet_ql_retrieval", "boxplot_stats_nation",
+       "transition_entropy_rate"]
 
 
 def _norm(v) -> str:
@@ -3561,3 +3564,60 @@ def test_lift_deciles_exact_split_not_ntile(tmp_path):
     assert list(out["n_rows"]) == [2, 1, 1, 1, 1, 2, 1, 1, 1, 1]
     assert int(out["n_rows"].sum()) == n
     assert list(out["decile"]) == list(range(10))
+
+
+def test_dirichlet_ql_ranks_tf_over_absence(tmp_path):
+    """A doc containing the query terms outranks an equal-length doc
+    without them; smoothing keeps absent-term scores finite."""
+    from prclz_ray.pipelines.queries import q_dirichlet_ql_retrieval
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["window merge spark x y z",
+                          "a b c d e f",
+                          "window window merge spark q r"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_dirichlet_ql_retrieval(str(tmp_path))
+    assert len(out) == 3                    # finite for all docs
+    assert list(out["doc_id"])[:2] == [3, 1]   # tf=2 beats tf=1
+    assert int(out["doc_id"].iloc[-1]) == 2    # no terms ranks last
+    assert np.isfinite(out["score"]).all()
+
+
+def test_boxplot_known_distribution(tmp_path):
+    """9 values 10..90: Q1=30, med=50, Q3=70, IQR=40; fence hi=130 so
+    an added 999 outlier is counted and whisker_hi stays 90."""
+    from prclz_ray.pipelines.queries import q_boxplot_stats_nation
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0,
+            999.0]
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([0] * 10, type=pa.int32()),
+        "c_acctbal": pa.array(vals)}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_boxplot_stats_nation(str(tmp_path)).iloc[0]
+    # n=10: pos(.25)=2.25 -> 30+0.25*10=32.5; med=55; q3=77.5
+    assert float(out["q1"]) == 32.5
+    assert float(out["median"]) == 55.0
+    assert float(out["q3"]) == 77.5
+    assert int(out["n_outliers"]) == 1
+    assert float(out["whisker_hi"]) == 90.0
+    assert float(out["whisker_lo"]) == 10.0
+
+
+def test_transition_entropy_deterministic_chain_zero(tmp_path):
+    """A deterministic A->B->A->B chain has zero conditional entropy;
+    contribs sum to the rate (also zero here)."""
+    from prclz_ray.pipelines.queries import q_transition_entropy_rate
+    n = 20
+    types = ["A" if i % 2 == 0 else "B" for i in range(n)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([1] * n, type=pa.int64()),
+        "ts": pa.array(np.arange(n) * 1_000_000,
+                       type=pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "event_type": pa.array(types)}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_transition_entropy_rate(str(tmp_path))
+    assert (out["h_cond"] == 0.0).all()
+    assert (out["contrib"] == 0.0).all()
+    assert int(out["n_out"].sum()) == n - 1
