@@ -212,7 +212,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "ripleys_k", "anova_value_by_type", "lift_curve_deciles",
        # batch 69 (Dirichlet QL retrieval, boxplot, entropy rate)
        "dirichlet_ql_retrieval", "boxplot_stats_nation",
-       "transition_entropy_rate"]
+       "transition_entropy_rate",
+       # batch 70 (Wilson CI, widest path, ECE reliability)
+       "wilson_ci_english_share", "widest_path_links",
+       "ece_calibration"]
 
 
 def _norm(v) -> str:
@@ -3621,3 +3624,59 @@ def test_transition_entropy_deterministic_chain_zero(tmp_path):
     assert (out["h_cond"] == 0.0).all()
     assert (out["contrib"] == 0.0).all()
     assert int(out["n_out"].sum()) == n - 1
+
+
+def test_wilson_ci_hand_computed(tmp_path):
+    """n=4, 1 English: Wilson bounds match the closed form computed
+    independently here; interval is inside [0,1] and contains p."""
+    from prclz_ray.pipelines.queries import q_wilson_ci_english_share
+    pq.write_table(pa.table({
+        "source": pa.array(["s"] * 4),
+        "lang": pa.array(["en", "fr", "de", "fr"])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_wilson_ci_english_share(str(tmp_path)).iloc[0]
+    n, p, z = 4.0, 0.25, 1.96
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    margin = z * np.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    assert float(out["ci_lo"]) == round((center - margin) / denom, 6)
+    assert float(out["ci_hi"]) == round((center + margin) / denom, 6)
+    assert 0.0 <= out["ci_lo"] <= 0.25 <= out["ci_hi"] <= 1.0
+
+
+def test_widest_path_matches_dense_bsp():
+    """Independent dense max-min BSP over the same formula graph at
+    sf0.001; seeds stay at the capacity ceiling 9."""
+    from prclz_ray.pipelines.queries import q_widest_path_links
+    n = pq.read_metadata(
+        os.path.join(SF, "documents.parquet")).num_rows
+    src = np.repeat(np.arange(n, dtype=np.int64), 3)
+    k = np.tile(np.array([1, 2, 3], dtype=np.int64), n)
+    dst = (src * 7919 + k * 104729) % n
+    cap = 1 + (src * 31 + dst * 17) % 9
+    w = np.full(n, -1, dtype=np.int64)
+    w[np.arange(0, n, 101)] = 9
+    for _ in range(3):
+        cand = np.minimum(w[src], cap)
+        nw = w.copy()
+        np.maximum.at(nw, dst, cand)
+        w = nw
+    out = q_widest_path_links(SF)
+    got = dict(zip(out["doc_id"].astype(int), out["width"].astype(int)))
+    want = {i: int(w[i]) for i in range(n) if w[i] >= 0}
+    assert got == want
+    for s in range(0, n, 101):
+        assert got[s] == 9
+
+
+def test_ece_bin_consistency():
+    """conf lies inside its bin, rows conserve, wgap <= bin mass."""
+    from prclz_ray.pipelines.queries import q_ece_calibration
+    out = q_ece_calibration(SF)
+    n_docs = pq.read_metadata(
+        os.path.join(SF, "documents.parquet")).num_rows
+    assert int(out["n_rows"].sum()) == n_docs
+    for _, r in out.iterrows():
+        lo, hi = r["bin"] / 100.0, (r["bin"] + 1) / 100.0
+        assert lo - 1e-9 <= r["conf"] <= hi + 1e-9
+        assert r["wgap"] <= r["n_rows"] / n_docs + 1e-9
