@@ -215,7 +215,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "transition_entropy_rate",
        # batch 70 (Wilson CI, widest path, ECE reliability)
        "wilson_ci_english_share", "widest_path_links",
-       "ece_calibration"]
+       "ece_calibration",
+       # batch 71 (hull diameter, Hill tail index, modularity)
+       "point_diameter_nation", "hill_tail_index",
+       "modularity_formula_partition"]
 
 
 def _norm(v) -> str:
@@ -3680,3 +3683,62 @@ def test_ece_bin_consistency():
         lo, hi = r["bin"] / 100.0, (r["bin"] + 1) / 100.0
         assert lo - 1e-9 <= r["conf"] <= hi + 1e-9
         assert r["wgap"] <= r["n_rows"] / n_docs + 1e-9
+
+
+def test_point_diameter_hull_equals_bruteforce(tmp_path):
+    """Hull-restricted diameter == full O(n^2) max, including a
+    coincident-points nation and a collinear nation."""
+    from prclz_ray.pipelines.queries import q_point_diameter_nation
+    # keys chosen so nation 3 gets keys {7, 1007} (coincident coords
+    # mod 1000) plus 13; nation 4 is a 2-point group
+    keys = {0: [1, 2, 3, 4, 5, 6], 3: [7, 1007, 13], 4: [21, 22]}
+    ck, cn = [], []
+    for nat, ks in keys.items():
+        ck += ks; cn += [nat] * len(ks)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(ck, type=pa.int64()),
+        "c_nationkey": pa.array(cn, type=pa.int32())}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_point_diameter_nation(str(tmp_path)).set_index(
+        "n_nationkey")
+    for nat, ks in keys.items():
+        k = np.array(ks, dtype=np.int64)
+        x, y = (k * 7919) % 1000, (k * 104729) % 1000
+        d2 = (x[:, None] - x[None, :]) ** 2 \
+            + (y[:, None] - y[None, :]) ** 2
+        best = int(d2.max())
+        assert int(out.loc[nat, "d2"]) == best
+        i, j = np.nonzero(d2 == best)
+        pairs = [(int(k[a]), int(k[b])) for a, b in zip(i, j)
+                 if k[a] < k[b]]
+        assert (int(out.loc[nat, "ka"]),
+                int(out.loc[nat, "kb"])) == min(pairs)
+
+
+def test_hill_pareto_recovers_alpha(tmp_path):
+    """Exact Pareto(alpha=2) quantile sample: the Hill estimate over
+    the top-100 must land near 2 (finite-sample bias tolerated)."""
+    from prclz_ray.pipelines.queries import q_hill_tail_index
+    n = 2000
+    u = (np.arange(1, n + 1)) / (n + 1.0)
+    x = 10.0 / np.sqrt(u)            # Pareto(xm=10, alpha=2)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_totalprice": pa.array(np.round(x, 2))}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_hill_tail_index(str(tmp_path))
+    assert 1.6 < float(out["alpha"].iloc[0]) < 2.4
+    assert float(out["hill_h"].iloc[0]) > 0
+
+
+def test_modularity_contribs_and_null_bounds():
+    """Sum of contribs is Q in [-1, 1]; within-edges and degrees
+    conserve the total edge count."""
+    from prclz_ray.pipelines.queries import (
+        q_modularity_formula_partition)
+    out = q_modularity_formula_partition(SF)
+    m = int(out["out_deg"].sum())
+    assert int(out["in_deg"].sum()) == m
+    assert int(out["e_within"].sum()) <= m
+    q = float(out["q_contrib"].sum())
+    assert -1.0 <= q <= 1.0
