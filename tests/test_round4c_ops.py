@@ -218,7 +218,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "ece_calibration",
        # batch 71 (hull diameter, Hill tail index, modularity)
        "point_diameter_nation", "hill_tail_index",
-       "modularity_formula_partition"]
+       "modularity_formula_partition",
+       # batch 72 (MRR@10, unique-prefix index, monetary-unit sample)
+       "mrr_at_10_by_source", "unique_prefix_lengths",
+       "monetary_unit_sample"]
 
 
 def _norm(v) -> str:
@@ -3742,3 +3745,60 @@ def test_modularity_contribs_and_null_bounds():
     assert int(out["e_within"].sum()) <= m
     q = float(out["q_contrib"].sum())
     assert -1.0 <= q <= 1.0
+
+
+def test_mrr_rank_positions(tmp_path):
+    """First relevant (doc_id%4==3) at rank 3 -> rr=1/3; a source
+    with no relevant doc in the top 10 -> 0."""
+    from prclz_ray.pipelines.queries import q_mrr_at_10_by_source
+    # source a: ranks by n_chars desc = doc_ids 8,4,3,... -> first
+    # rel (id 3) at rank 3.  source b: ids 1,2 only (rel: none).
+    docs = pa.table({
+        "doc_id": pa.array([8, 4, 3, 1, 2], type=pa.int64()),
+        "n_chars": pa.array([50, 40, 30, 50, 40], type=pa.int64()),
+        "source": pa.array(["a", "a", "a", "b", "b"])})
+    pq.write_table(docs, os.path.join(str(tmp_path),
+                                      "documents.parquet"))
+    out = q_mrr_at_10_by_source(str(tmp_path)).set_index("source")
+    assert int(out.loc["a", "first_rel_rank"]) == 3
+    assert float(out.loc["a", "rr"]) == round(1 / 3, 6)
+    assert int(out.loc["b", "first_rel_rank"]) == 0
+    assert float(out.loc["b", "rr"]) == 0.0
+
+
+def test_unique_prefix_crafted_and_cross_bucket(tmp_path):
+    """Hand-computed UPLs incl. a prefix-of-another name and a pair
+    that spans two 15-char buckets (stitch path)."""
+    from prclz_ray.pipelines.queries import q_unique_prefix_lengths
+    names = ["a", "ab", "abc", "zzz",
+             "PREFIXAAAAAAAA1s", "PREFIXAAAAAAAA2t"]
+    pq.write_table(pa.table({"c_name": pa.array(names)}),
+                   os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_unique_prefix_lengths(str(tmp_path))
+    got = dict(zip(out["upl"].astype(int), out["n"].astype(int)))
+    # a:1, ab:2, abc:3, zzz:1, PREFIX..1s:15, PREFIX..2t:15
+    assert got == {1: 2, 2: 1, 3: 1, 15: 2}
+
+
+def test_mus_conservation_and_bruteforce():
+    """Selected units sum to floor(total/J); any order worth >= J
+    cents is always selected; selection set matches a single-pass
+    numpy recompute."""
+    from prclz_ray.pipelines.queries import q_monetary_unit_sample
+    out = q_monetary_unit_sample(SF)
+    t = pq.read_table(os.path.join(SF, "orders.parquet"),
+                      columns=["o_orderkey", "o_totalprice"])
+    ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+    cents = np.round(t["o_totalprice"].to_numpy(
+        zero_copy_only=False) * 100).astype(np.int64)
+    o = np.argsort(ok)
+    ok, cents = ok[o], cents[o]
+    total = int(cents.sum())
+    J = max(total // 400, 1)
+    cum = np.cumsum(cents)
+    prev = cum - cents
+    keep = cum // J > prev // J
+    assert list(out["o_orderkey"]) == list(ok[keep])
+    assert int(out["units"].sum()) == total // J
+    big = set(ok[cents >= J])
+    assert big <= set(out["o_orderkey"])
