@@ -221,7 +221,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "modularity_formula_partition",
        # batch 72 (MRR@10, unique-prefix index, monetary-unit sample)
        "mrr_at_10_by_source", "unique_prefix_lengths",
-       "monetary_unit_sample"]
+       "monetary_unit_sample",
+       # batch 73 (growth accounting, ABC-XYZ, Good-Turing)
+       "growth_accounting_monthly", "abc_xyz_matrix",
+       "good_turing_unseen_mass"]
 
 
 def _norm(v) -> str:
@@ -3802,3 +3805,71 @@ def test_mus_conservation_and_bruteforce():
     assert int(out["units"].sum()) == total // J
     big = set(ok[cents >= J])
     assert big <= set(out["o_orderkey"])
+
+
+def test_growth_accounting_new_vs_returning(tmp_path):
+    """Cust 1 orders Jan+Feb, cust 2 only Feb: Jan = 1 new; Feb =
+    1 new (cust2) + 1 returning (cust1); revenue splits follow."""
+    from prclz_ray.pipelines.queries import q_growth_accounting_monthly
+    ts = [np.datetime64("2024-01-05", "us"),
+          np.datetime64("2024-02-10", "us"),
+          np.datetime64("2024-02-15", "us")]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(ts, type=pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_growth_accounting_monthly(str(tmp_path)) \
+        .set_index("month")
+    assert int(out.loc["2024-01", "n_new_customers"]) == 1
+    assert int(out.loc["2024-01", "n_returning_customers"]) == 0
+    assert float(out.loc["2024-01", "new_rev"]) == 10.0
+    assert int(out.loc["2024-02", "n_new_customers"]) == 1
+    assert int(out.loc["2024-02", "n_returning_customers"]) == 1
+    assert float(out.loc["2024-02", "new_rev"]) == 30.0
+    assert float(out.loc["2024-02", "ret_rev"]) == 20.0
+
+
+def test_abc_xyz_crafted_classes(tmp_path):
+    """70/20/10 revenue split -> A/B/C under the registry's integer
+    cumulative rule; steady/bursty/two-week demand -> X/Z/Y."""
+    from prclz_ray.pipelines.queries import q_abc_xyz_matrix
+    rows = []
+    # part 1: qty 10 in each of 4 weeks, 70% of revenue -> A, X
+    for wkday in (0, 7, 14, 21):
+        rows.append((1, 1.75, 10.0, wkday))
+    # part 2: qty 10 in ONE week, 20% of revenue -> B, Z
+    rows.append((2, 2.0, 10.0, 0))
+    # part 3: qty 5 in two of 4 weeks, 10% of revenue -> C, Y
+    rows.append((3, 0.5, 5.0, 0))
+    rows.append((3, 0.5, 5.0, 7))
+    base = np.datetime64("2024-01-01", "us")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows]),
+        "l_quantity": pa.array([r[2] for r in rows]),
+        "l_shipdate": pa.array(
+            [base + np.timedelta64(r[3] * 86_400_000_000, "us")
+             for r in rows], type=pa.timestamp("us"))}),
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_abc_xyz_matrix(str(tmp_path))
+    got = {(r["abc_class"], r["xyz_class"]): int(r["n_parts"])
+           for _, r in out.iterrows()}
+    # part 2: W=4, S=10, SS=100 -> W*SS - S^2 = 300 > 100 -> Z
+    # part 3: W=4, S=10, SS=50  -> 100 <= 100 -> Y (not X: 400>100)
+    assert got == {("A", "X"): 1, ("B", "Z"): 1, ("C", "Y"): 1}
+
+
+def test_good_turing_hand_computed(tmp_path):
+    """'a a b c': S1=2, S2=1, N=4 -> P0=0.5, r*1 = 2*1/2 = 1."""
+    from prclz_ray.pipelines.queries import q_good_turing_unseen_mass
+    pq.write_table(pa.table({
+        "source": pa.array(["s"]),
+        "text": pa.array(["a a b c"])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_good_turing_unseen_mass(str(tmp_path)).iloc[0]
+    assert int(out["n_tokens"]) == 4
+    assert int(out["s1"]) == 2
+    assert float(out["p0"]) == 0.5
+    assert float(out["rstar1"]) == 1.0
+    assert float(out["rstar2"]) == 0.0
