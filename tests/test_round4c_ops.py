@@ -224,7 +224,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "monetary_unit_sample",
        # batch 73 (growth accounting, ABC-XYZ, Good-Turing)
        "growth_accounting_monthly", "abc_xyz_matrix",
-       "good_turing_unseen_mass"]
+       "good_turing_unseen_mass",
+       # batch 74 (Burrows Delta, sort-merge join, histogram estimate)
+       "burrows_delta_sources", "sortmerge_join_nation",
+       "histogram_join_estimate"]
 
 
 def _norm(v) -> str:
@@ -3873,3 +3876,54 @@ def test_good_turing_hand_computed(tmp_path):
     assert float(out["p0"]) == 0.5
     assert float(out["rstar1"]) == 1.0
     assert float(out["rstar2"]) == 0.0
+
+
+def test_burrows_delta_identical_profiles_zero(tmp_path):
+    """Two sources with byte-identical text have z-profiles equal ->
+    Delta = 0; a divergent third source scores higher."""
+    from prclz_ray.pipelines.queries import q_burrows_delta_sources
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    other = "completely different vocabulary here entirely " * 5
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "b", "c"]),
+        "text": pa.array([base, base, other])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_burrows_delta_sources(str(tmp_path))
+    assert (out["src_a"].iloc[0], out["src_b"].iloc[0]) == ("a", "b")
+    assert float(out["delta"].iloc[0]) == 0.0
+    assert (out["delta"].iloc[1:] > 0).all()
+
+
+def test_sortmerge_join_inner_semantics(tmp_path):
+    """Dangling order custkey drops (inner join); totals equal an
+    independent pandas merge."""
+    from prclz_ray.pipelines.queries import q_sortmerge_join_nation
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 7], type=pa.int32())}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 2, 3, 99], type=pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_sortmerge_join_nation(str(tmp_path)).set_index(
+        "n_nationkey")
+    assert int(out.loc[0, "n_orders"]) == 3
+    assert int(out.loc[0, "revenue_c"]) == 6000
+    assert int(out.loc[7, "n_orders"]) == 1
+    assert int(out["n_orders"].sum()) == 4      # dangling 99 dropped
+
+
+def test_histogram_estimate_uniform_is_exact(tmp_path):
+    """Dense singleton buckets (width 1) make the uniformity estimate
+    exact: ratio == 1."""
+    from prclz_ray.pipelines.queries import q_histogram_join_estimate
+    keys = np.arange(64, dtype=np.int64)
+    pq.write_table(pa.table({"c_custkey": pa.array(keys)}),
+                   os.path.join(str(tmp_path), "customer.parquet"))
+    pq.write_table(pa.table({"o_custkey": pa.array(keys)}),
+                   os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_histogram_join_estimate(str(tmp_path)).iloc[0]
+    assert float(out["est_rows"]) == 64.0
+    assert int(out["actual_rows"]) == 64
+    assert float(out["ratio"]) == 1.0
