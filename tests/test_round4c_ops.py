@@ -230,7 +230,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "histogram_join_estimate",
        # batch 75 (Fisher index, shift-share, raster focal smooth)
        "fisher_price_index", "shift_share_nation",
-       "raster_focal_smooth"]
+       "raster_focal_smooth",
+       # batch 76 (Theil's U, DDA line rasterize, knn(k) curve)
+       "uncertainty_coefficient", "line_rasterize_dda",
+       "avg_neighbor_degree"]
 
 
 def _norm(v) -> str:
@@ -3989,3 +3992,66 @@ def test_raster_focal_single_point_kernel(tmp_path):
     assert int(out.loc[(2, 2), "num"]) == 0
     assert float(out.loc[(0, 0), "smooth"]) == 0.25
     assert int(out["num"].sum()) == 4 + 2 + 2 + 1   # clipped kernel
+
+
+def test_uncertainty_perfect_dependence(tmp_path):
+    """Language fully determined by source -> U = 1 both ways,
+    MI = H(lang) = H(source) = ln 2."""
+    from prclz_ray.pipelines.queries import q_uncertainty_coefficient
+    pq.write_table(pa.table({
+        "lang": pa.array(["en", "en", "fr", "fr"]),
+        "source": pa.array(["s1", "s1", "s2", "s2"])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_uncertainty_coefficient(str(tmp_path)).iloc[0]
+    ln2 = round(np.log(2.0), 6)
+    assert float(out["h_lang"]) == ln2
+    assert float(out["mi"]) == ln2
+    assert float(out["u_lang_given_source"]) == 1.0
+    assert float(out["u_source_given_lang"]) == 1.0
+
+
+def test_line_dda_fraction_recompute(tmp_path):
+    """Exact Fraction recompute of the DDA trace for 3 segments;
+    endpoint cells always present."""
+    from fractions import Fraction
+
+    from prclz_ray.pipelines.queries import q_line_rasterize_dda
+    keys = [0, 5, 42]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys, type=pa.int64())}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_line_rasterize_dda(str(tmp_path))
+    got = {}
+    for _, r in out.iterrows():
+        got.setdefault((int(r["px"]), int(r["py"])), 0)
+        got[(int(r["px"]), int(r["py"]))] += int(r["n_segments"])
+    want = {}
+    for k in keys:
+        x0, y0 = (k * 7919) % 1000, (k * 104729) % 1000
+        x1 = ((k + 1) * 7919) % 1000
+        y1 = ((k + 1) * 104729) % 1000
+        n = max(abs(x1 - x0), abs(y1 - y0), 1)
+        cells = set()
+        for t in range(n + 1):
+            px = int(Fraction(x0 * n + (x1 - x0) * t, n) / 50)
+            py = int(Fraction(y0 * n + (y1 - y0) * t, n) / 50)
+            cells.add((px, py))
+        assert (x0 // 50, y0 // 50) in cells
+        assert (x1 // 50, y1 // 50) in cells
+        for c in cells:
+            want[c] = want.get(c, 0) + 1
+    assert got == want
+
+
+def test_avg_neighbor_degree_conservation():
+    """Edge count conserves 3 per doc; curve values bounded by the
+    in-degree range."""
+    from prclz_ray.pipelines.queries import q_avg_neighbor_degree
+    out = q_avg_neighbor_degree(SF)
+    n_docs = pq.read_metadata(
+        os.path.join(SF, "documents.parquet")).num_rows
+    assert int(out["n_edges"].sum()) == 3 * n_docs
+    assert len(out) > 1                  # quadratic hash: non-const
+    lo, hi = 0, out["in_degree"].max()
+    assert ((out["avg_nbr_in_degree"] >= lo)
+            & (out["avg_nbr_in_degree"] <= max(hi, 3 * n_docs))).all()
