@@ -233,7 +233,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "raster_focal_smooth",
        # batch 76 (Theil's U, DDA line rasterize, knn(k) curve)
        "uncertainty_coefficient", "line_rasterize_dda",
-       "avg_neighbor_degree"]
+       "avg_neighbor_degree",
+       # batch 77 (Mahalanobis, max-F1 threshold, NRR)
+       "mahalanobis_outliers", "max_f1_threshold",
+       "net_revenue_retention"]
 
 
 def _norm(v) -> str:
@@ -4055,3 +4058,73 @@ def test_avg_neighbor_degree_conservation():
     lo, hi = 0, out["in_degree"].max()
     assert ((out["avg_nbr_in_degree"] >= lo)
             & (out["avg_nbr_in_degree"] <= max(hi, 3 * n_docs))).all()
+
+
+def test_mahalanobis_matches_numpy_recompute():
+    """Full numpy recompute at sf0.001 (same half-away int fold)."""
+    from prclz_ray.pipelines.queries import q_mahalanobis_outliers
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet"),
+                      columns=["l_orderkey", "l_linenumber",
+                               "l_quantity", "l_extendedprice",
+                               "l_discount", "l_tax"])
+    v = {"qty": np.floor(t["l_quantity"].to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64),
+         "price": np.floor(t["l_extendedprice"].to_numpy(
+             zero_copy_only=False) + 0.5).astype(np.int64),
+         "disc": np.floor(t["l_discount"].to_numpy(
+             zero_copy_only=False) * 100 + 0.5).astype(np.int64),
+         "tax": np.floor(t["l_tax"].to_numpy(
+             zero_copy_only=False) * 100 + 0.5).astype(np.int64)}
+    n = t.num_rows
+    d2 = np.zeros(n)
+    for c in ("qty", "price", "disc", "tax"):
+        mu = float(v[c].sum()) / n
+        sd = np.sqrt(float((v[c] * v[c]).sum()) / n - mu * mu)
+        z = (v[c].astype(np.float64) - mu) / sd
+        d2 = d2 + z * z
+    df = pd.DataFrame({
+        "ok": t["l_orderkey"].to_numpy(zero_copy_only=False),
+        "ln": t["l_linenumber"].to_numpy(zero_copy_only=False),
+        "d2": np.round(d2, 6)})
+    want = df.sort_values(["d2", "ok", "ln"],
+                          ascending=[False, True, True]).head(20)
+    out = q_mahalanobis_outliers(SF)
+    assert list(out["l_orderkey"]) == list(want["ok"])
+    assert list(out["d2"]) == list(want["d2"])
+
+
+def test_max_f1_perfect_separator(tmp_path):
+    """Scores aligned with labels -> the optimum threshold reaches
+    F1 = 1 with zero errors."""
+    from prclz_ray.pipelines.queries import q_max_f1_threshold
+    n_chars = [400, 380, 360, 100, 120, 140]   # >297 = positive
+    texts = ["w", "w", "w", "w w w w w w w w", "w w w w w w w w",
+             "w w w w w w w w"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+        "text": pa.array(texts)}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_max_f1_threshold(str(tmp_path)).iloc[0]
+    assert float(out["f1"]) == 1.0
+    assert int(out["tp"]) == 3
+    assert int(out["fp"]) == 0 and int(out["fn"]) == 0
+
+
+def test_nrr_expansion_and_churn(tmp_path):
+    """Cust A 100->110 (expansion), cust B 100->gone (churn):
+    NRR = 110/200 = 0.55."""
+    from prclz_ray.pipelines.queries import q_net_revenue_retention
+    ts = [np.datetime64("2024-01-05", "us"),
+          np.datetime64("2024-02-05", "us"),
+          np.datetime64("2024-01-10", "us")]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array(ts, type=pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 110.0, 100.0])}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_net_revenue_retention(str(tmp_path))
+    assert list(out["month"]) == ["2024-01"]     # feb has no m+1
+    assert int(out["base_rev_c"].iloc[0]) == 20000
+    assert int(out["retained_rev_c"].iloc[0]) == 11000
+    assert float(out["nrr"].iloc[0]) == 0.55
