@@ -236,7 +236,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "avg_neighbor_degree",
        # batch 77 (Mahalanobis, max-F1 threshold, NRR)
        "mahalanobis_outliers", "max_f1_threshold",
-       "net_revenue_retention"]
+       "net_revenue_retention",
+       # batch 78 (partial corr, burstiness, travel distance)
+       "partial_correlation", "term_burstiness",
+       "daily_travel_distance"]
 
 
 def _norm(v) -> str:
@@ -4128,3 +4131,65 @@ def test_nrr_expansion_and_churn(tmp_path):
     assert int(out["base_rev_c"].iloc[0]) == 20000
     assert int(out["retained_rev_c"].iloc[0]) == 11000
     assert float(out["nrr"].iloc[0]) == 0.55
+
+
+def test_partial_correlation_removes_confounder(tmp_path):
+    """x and y each exactly equal to z (plus nothing) -> rxy = 1 but
+    rxy given z is undefined; instead test a crafted case where x,y
+    correlate ONLY through z: partial ~ 0 while raw r is strong."""
+    from prclz_ray.pipelines.queries import q_partial_correlation
+    rng = np.arange(40)
+    z = rng % 10                      # confounder
+    x = z * 2 + (rng % 2)             # x = f(z) + tiny noise
+    y = z * 3 + ((rng // 2) % 2)      # y = g(z) + independent noise
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(x.astype(np.float64)),
+        "l_extendedprice": pa.array(y.astype(np.float64)),
+        "l_discount": pa.array(z.astype(np.float64) / 100.0)}),
+        os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_partial_correlation(str(tmp_path)).iloc[0]
+    assert float(out["r_qty_price"]) > 0.9
+    assert abs(float(out["partial_r"])) < 0.2
+
+
+def test_burstiness_clumped_vs_scattered(tmp_path):
+    """A word with all occurrences in ONE doc is maximally bursty
+    (ratio ~ df/expected small); a once-per-doc word is ratio > 1
+    territory (df == tf beats the Poisson expectation)."""
+    from prclz_ray.pipelines.queries import q_term_burstiness
+    docs = ["clump " * 30 + "filler", "spread filler", "spread x",
+            "spread y", "spread z"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "text": pa.array(docs)}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_term_burstiness(str(tmp_path)).set_index("word")
+    assert int(out.loc["clump", "df"]) == 1
+    assert float(out.loc["clump", "burst_ratio"]) < 0.3
+    assert int(out.loc["spread", "df"]) == 4
+    assert float(out.loc["spread", "burst_ratio"]) > 1.0
+
+
+def test_travel_distance_pythagorean(tmp_path):
+    """Crafted event ids with known hashed point hops; per-day legs
+    reset across days and users."""
+    from prclz_ray.pipelines.queries import q_daily_travel_distance
+    ids = [0, 1, 2, 1000]
+    ts = [np.datetime64("2024-01-01T00:00:00", "us"),
+          np.datetime64("2024-01-01T01:00:00", "us"),
+          np.datetime64("2024-01-02T00:00:00", "us"),
+          np.datetime64("2024-01-01T02:00:00", "us")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_id": pa.array(ids, type=pa.int64())}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_daily_travel_distance(str(tmp_path))
+    # user 1 day 0: one leg (id 0 -> id 1); day 1 has a single event
+    # (no legs -> no row); user 2: single event -> no row
+    assert len(out) == 1
+    x0, y0 = 0, 0
+    x1, y1 = 7919 % 1000, 104729 % 1000
+    want = round(np.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2), 6)
+    assert float(out["dist"].iloc[0]) == want
+    assert int(out["n_legs"].iloc[0]) == 1
