@@ -239,7 +239,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "net_revenue_retention",
        # batch 78 (partial corr, burstiness, travel distance)
        "partial_correlation", "term_burstiness",
-       "daily_travel_distance"]
+       "daily_travel_distance",
+       # batch 79 (KW test, Adamic-Adar, CVaR)
+       "kruskal_wallis_value", "adamic_adar_links",
+       "cvar_daily_revenue"]
 
 
 def _norm(v) -> str:
@@ -4193,3 +4196,92 @@ def test_travel_distance_pythagorean(tmp_path):
     want = round(np.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2), 6)
     assert float(out["dist"].iloc[0]) == want
     assert int(out["n_legs"].iloc[0]) == 1
+
+
+def test_kruskal_wallis_hand_computed(tmp_path):
+    """Two groups A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7,
+    H = 12/(4·5)·(9/2+49/2) − 3·5 = 2.4 exactly; no ties so
+    h_adj == h."""
+    from prclz_ray.pipelines.queries import q_kruskal_wallis_value
+    pq.write_table(pa.table({
+        "event_type": pa.array(["A", "A", "B", "B"]),
+        "value": pa.array([0.01, 0.02, 0.03, 0.04])}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_kruskal_wallis_value(str(tmp_path)).set_index("event_type")
+    assert int(out.loc["A", "dr2"]) == 2 * 3   # doubled rank sum
+    assert int(out.loc["B", "dr2"]) == 2 * 7
+    assert float(out.loc["A", "h"]) == 2.4
+    assert float(out.loc["A", "h_adj"]) == 2.4
+    assert float(out.loc["A", "mean_rank"]) == 1.5
+    assert float(out.loc["B", "mean_rank"]) == 3.5
+
+
+def test_kruskal_wallis_identical_multisets_h_zero(tmp_path):
+    """Groups with IDENTICAL value multisets have equal mean ranks,
+    so H collapses to 3(N+1) − 3(N+1) = exactly 0 — ties included."""
+    from prclz_ray.pipelines.queries import q_kruskal_wallis_value
+    vals = [0.10, 0.20, 0.20, 0.30]
+    pq.write_table(pa.table({
+        "event_type": pa.array(["A"] * 4 + ["B"] * 4 + ["C"] * 4),
+        "value": pa.array(vals * 3)}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = q_kruskal_wallis_value(str(tmp_path))
+    assert (out["h"] == 0.0).all()
+    assert (out["h_adj"] == 0.0).all()
+    # all mean ranks equal (N+1)/2 = 6.5
+    assert (out["mean_rank"] == 6.5).all()
+
+
+def test_adamic_adar_hub_discount(tmp_path):
+    """Path graph 0-1-2 plus hub 9 connected to 0,2,4,6: pairs (0,2)
+    share neighbors {1, 9}, pair (4, 6) shares only the hub {9}.
+    aa(0,2) = 1/ln(2) + 1/ln(4) > aa(4,6) = 1/ln(4), and the
+    cn-tied pairs through the hub rank below the low-degree
+    common-neighbor pair — the discount cn counting can't express.
+    Exercised through the REAL distributed kernel by writing a
+    documents table whose formula graph is overridden is impossible,
+    so this golden recomputes from the kernel's own edge list at
+    sf0.001 instead: every returned aa must equal the brute-force
+    Σ 1/ln(deg(w)) over that pair's common neighbors."""
+    from prclz_ray.pipelines.queries import (_synthetic_links,
+                                             q_adamic_adar_links)
+    from prclz_ray.stages import relational
+    from prclz_ray.stages.graph_ops import _normalize_undirected
+    sf = "/root/testdata/sf0.001"
+    out = q_adamic_adar_links(sf)
+    assert len(out) == 25
+    # brute-force reference over the same undirected edge set
+    edges, _ = _synthetic_links(sf)
+    und = relational.ds_to_table(
+        _normalize_undirected(edges, "src", "dst")).to_pandas()
+    from collections import defaultdict
+    nbr = defaultdict(set)
+    for a, b in zip(und["ea"], und["eb"]):
+        nbr[int(a)].add(int(b))
+        nbr[int(b)].add(int(a))
+    for _, r in out.iterrows():
+        a, b = int(r["a"]), int(r["b"])
+        assert b not in nbr[a]            # non-edge contract
+        cn = nbr[a] & nbr[b]
+        assert len(cn) == int(r["cn"])
+        aa = sum(1.0 / np.log(len(nbr[w])) for w in sorted(cn))
+        assert abs(float(r["aa"]) - aa) < 1e-6
+
+
+def test_cvar_forty_days_k2(tmp_path):
+    """40 distinct days => k = 2; the two worst days are known, so
+    VaR = 2nd-smallest daily total and ES = their mean."""
+    from prclz_ray.pipelines.queries import q_cvar_daily_revenue
+    days = [np.datetime64("2024-01-01", "us") + np.timedelta64(i, "D")
+            for i in range(40)]
+    # day 0 -> 10.00, day 1 -> 20.00, others 100.00 + i
+    prices = [10.0, 20.0] + [100.0 + i for i in range(2, 40)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_cvar_daily_revenue(str(tmp_path))
+    assert int(out["n_days"].iloc[0]) == 40
+    assert int(out["k"].iloc[0]) == 2
+    assert float(out["var_daily"].iloc[0]) == 20.0
+    assert float(out["es_daily"].iloc[0]) == 15.0
