@@ -242,7 +242,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "daily_travel_distance",
        # batch 79 (KW test, Adamic-Adar, CVaR)
        "kruskal_wallis_value", "adamic_adar_links",
-       "cvar_daily_revenue"]
+       "cvar_daily_revenue",
+       # batch 80 (isotonic PAV, hexbin, Soundex)
+       "isotonic_calibration", "hexbin_points",
+       "soundex_top_codes"]
 
 
 def _norm(v) -> str:
@@ -4285,3 +4288,79 @@ def test_cvar_forty_days_k2(tmp_path):
     assert int(out["k"].iloc[0]) == 2
     assert float(out["var_daily"].iloc[0]) == 20.0
     assert float(out["es_daily"].iloc[0]) == 15.0
+
+
+def test_isotonic_pools_violating_bins(tmp_path):
+    """Two docs: lower-score doc is positive, higher-score doc is
+    negative — raw rates [1, 0] violate monotonicity, so PAV pools
+    both bins to the weighted average 0.5."""
+    from prclz_ray.pipelines.queries import q_isotonic_calibration
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([" ".join(["w"] * 60), "w"]),
+        "n_chars": pa.array([500, 290], type=pa.int64())}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_isotonic_calibration(str(tmp_path))
+    assert len(out) == 2
+    assert list(out["rate"]) == [1.0, 0.0]
+    assert list(out["iso_rate"]) == [0.5, 0.5]
+    # fitted values are always monotone nondecreasing in bin order
+    assert (np.diff(out["iso_rate"].to_numpy()) >= 0).all()
+
+
+def test_isotonic_monotone_on_fixture():
+    from prclz_ray.pipelines.queries import q_isotonic_calibration
+    out = q_isotonic_calibration("/root/testdata/sf0.001")
+    assert (np.diff(out["iso_rate"].to_numpy()) >= -1e-12).all()
+    # pooling preserves the weighted mean (PAV invariant)
+    w = out["n_rows"].to_numpy(np.float64)
+    assert float((out["iso_rate"] * w).sum()) == pytest.approx(
+        float(out["pos"].sum()), abs=1e-3)
+
+
+def test_hexbin_assign_tie_and_nearest_center():
+    from prclz_ray.pipelines.queries import _hexbin_assign
+    # (75, 129) is exactly midway between A-center (50, 86) and
+    # B-center (100, 172): d² = 2474 both — tie resolves to grid A
+    g, i, j = _hexbin_assign(np.array([75]), np.array([129]))
+    assert (g[0], i[0], j[0]) == ("A", 0, 0)
+    # brute force: the chosen center must be a global nearest center
+    rng = np.arange(1, 2000, 97)          # odd doubled coords
+    xs, ys = np.meshgrid(rng, rng)
+    xs, ys = xs.ravel(), ys.ravel()
+    g, i, j = _hexbin_assign(xs, ys)
+    cx = np.where(g == "A", i * 100 + 50, i * 100 + 100)
+    cy = np.where(g == "A", j * 172 + 86, j * 172 + 172)
+    got = (xs - cx) ** 2 + (ys - cy) ** 2
+    # all candidate centers of both lattices in a covering window
+    ca = [(a * 100 + 50, b * 172 + 86) for a in range(-1, 21)
+          for b in range(-1, 13)]
+    cb = [(a * 100 + 100, b * 172 + 172) for a in range(-2, 21)
+          for b in range(-2, 13)]
+    allc = np.array(ca + cb)
+    d2 = (xs[:, None] - allc[None, :, 0]) ** 2 \
+        + (ys[:, None] - allc[None, :, 1]) ** 2
+    assert (got == d2.min(axis=1)).all()
+
+
+def test_soundex_classic_codes():
+    from prclz_ray.pipelines.queries import _soundex_codes
+    got = _soundex_codes(pd.Series(
+        ["Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",
+         "Honeyman", "a", "42", "o'brien"]))
+    assert list(got) == ["R163", "R163", "A261", "T522", "P236",
+                         "H555", "A000", "", "O165"]
+
+
+def test_soundex_end_to_end_blocking(tmp_path):
+    from prclz_ray.pipelines.queries import q_soundex_top_codes
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["Robert Rupert robert Ashcraft"])}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_soundex_top_codes(str(tmp_path)).set_index("code")
+    # Robert / Rupert / robert are three DISTINCT words, one block
+    assert int(out.loc["R163", "n_words"]) == 3
+    assert int(out.loc["R163", "n_tokens"]) == 3
+    assert out.loc["R163", "example"] == "Robert"
+    assert int(out.loc["A261", "n_words"]) == 1
