@@ -254,3 +254,66 @@ def blocked_fuzzy_pairs(left_ds, right_ds, id_col: str = "id",
     pairs = rows.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("_shard").map_groups(shard, batch_format="pandas")
     return _dedupe_pairs(pairs)
+
+
+def batch_damerau_levenshtein(a_list, b_list) -> np.ndarray:
+    """UNRESTRICTED Damerau-Levenshtein (Lowrance-Wagner) for n (a, b)
+    pairs at once — transpositions may have edits between them, so
+    CA→ABC = 2, matching DuckDB ``damerau_levenshtein`` exactly (the
+    simpler OSA variant gives 3 there and would hash-mismatch).
+
+    The DP keeps the FULL matrix (the transposition term reaches back
+    to d[da[b_j]−1, db−1], which the two-row trick can't serve) plus a
+    per-(pair, symbol) last-match-row table over the pairs' joint
+    alphabet; both i and j loops run over max-length ≤ ~tens for name
+    data, each step O(pairs) numpy work with no per-pair Python."""
+    n = len(a_list)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    la = np.fromiter((len(s) for s in a_list), dtype=np.int32, count=n)
+    lb = np.fromiter((len(s) for s in b_list), dtype=np.int32, count=n)
+    ma, mb = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(ma, 1)), dtype=np.uint32)
+    B = np.zeros((n, max(mb, 1)), dtype=np.uint32)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(b_list):
+        if s:
+            B[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)
+    # dense joint alphabet (padding 0 maps to symbol 0; real
+    # codepoints are ≥ 1 so padding never aliases a live character)
+    vocab = np.unique(np.concatenate([A.ravel(), B.ravel()]))
+    Am = np.searchsorted(vocab, A)
+    Bm = np.searchsorted(vocab, B)
+    V = len(vocab)
+
+    M = ma + mb + 1                       # "impossible" border value
+    d = np.zeros((n, ma + 2, mb + 2), dtype=np.int32)
+    d[:, 0, :] = M
+    d[:, :, 0] = M
+    d[:, 1, 1:] = np.arange(mb + 1, dtype=np.int32)
+    d[:, 1:, 1] = np.arange(ma + 1, dtype=np.int32)
+    da = np.zeros((n, V), dtype=np.int32)
+    rows = np.arange(n)
+    for i in range(1, ma + 1):
+        db = np.zeros(n, dtype=np.int32)
+        ai = A[:, i - 1]
+        for j in range(1, mb + 1):
+            k = da[rows, Bm[:, j - 1]]
+            ell = db
+            eq = (ai == B[:, j - 1]) & (i <= la) & (j <= lb)
+            cost = (~eq).astype(np.int32)
+            sub = d[:, i, j] + cost
+            ins = d[:, i + 1, j] + 1
+            dele = d[:, i, j + 1] + 1
+            trans = d[rows, k, ell] + (i - k - 1) + 1 + (j - ell - 1)
+            d[:, i + 1, j + 1] = np.minimum(
+                np.minimum(sub, ins), np.minimum(dele, trans))
+            db = np.where(eq, j, db)
+        # freeze the last-match table for pairs already past len(a)
+        upd = i <= la
+        da[rows[upd], Am[upd, i - 1]] = i
+    return d[rows, la + 1, lb + 1].astype(np.int32)

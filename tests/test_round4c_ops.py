@@ -245,7 +245,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "cvar_daily_revenue",
        # batch 80 (isotonic PAV, hexbin, Soundex)
        "isotonic_calibration", "hexbin_points",
-       "soundex_top_codes"]
+       "soundex_top_codes",
+       # batch 81 (IDW, Ljung-Box, full Damerau-Levenshtein)
+       "idw_surface_acctbal", "ljung_box_revenue",
+       "dl_nearest_name"]
 
 
 def _norm(v) -> str:
@@ -4364,3 +4367,81 @@ def test_soundex_end_to_end_blocking(tmp_path):
     assert int(out.loc["R163", "n_tokens"]) == 3
     assert out.loc["R163", "example"] == "Robert"
     assert int(out.loc["A261", "n_words"]) == 1
+
+
+def test_idw_single_point_constant_surface(tmp_path):
+    """One customer point: every target's IDW value equals that
+    point's acctbal exactly (num = v·w, den = w)."""
+    from prclz_ray.pipelines.queries import q_idw_surface_acctbal
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_acctbal": pa.array([123.45])}),
+        os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_idw_surface_acctbal(str(tmp_path))
+    assert len(out) == 25
+    assert (out["idw_acctbal"] == 123.45).all()
+
+
+def test_idw_hilo_recombination_exact():
+    """The per-term hi/lo int64 split must recombine exactly for
+    negative cents × large weights (arithmetic shift floors)."""
+    # max-magnitude real term: |cents| ≤ 1e6, w ≤ 5e11 ⇒ |t| ≤ 5e17
+    t = [-1_000_000 * 500_000_000_000, 7, -1]
+    t64 = np.array([int(x) for x in t], dtype=np.int64)
+    hi, lo = t64 >> 32, t64 & 0xFFFFFFFF
+    assert int(hi.sum()) * (1 << 32) + int(lo.sum()) \
+        == sum(int(x) for x in t)
+
+
+def test_ljung_box_alternating_series(tmp_path):
+    """14 alternating days: mean-centered ±100 ⇒ ρ₁ = −13/14 and
+    Q₁ = n(n+2)ρ₁²/(n−1) exactly."""
+    from prclz_ray.pipelines.queries import q_ljung_box_revenue
+    days = [np.datetime64("2024-01-01", "us") + np.timedelta64(i, "D")
+            for i in range(14)]
+    prices = [1.0 if i % 2 == 0 else 3.0 for i in range(14)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_ljung_box_revenue(str(tmp_path)).set_index("k")
+    n = 14
+    rho1 = -13.0 / 14.0
+    assert float(out.loc[1, "rho"]) == round(rho1, 6)
+    assert float(out.loc[1, "q"]) == round(
+        float(n) * (n + 2) * (rho1 * rho1 / (n - 1)), 6)
+    # even lags of a period-2 series correlate positively
+    assert float(out.loc[2, "rho"]) > 0.8
+
+
+def test_dl_kernel_unrestricted_vs_duckdb():
+    """CA→ABC = 2 separates unrestricted DL from OSA (=3); fuzz a
+    deterministic sample against DuckDB's damerau_levenshtein."""
+    import duckdb
+
+    from prclz_ray.stages.fuzzy import batch_damerau_levenshtein
+    rng = np.random.RandomState(11)
+    al = ["CA", "ab", "abcd", "", "x", "same"]
+    bl = ["ABC", "ba", "acbd", "abc", "", "same"]
+    for _ in range(200):
+        al.append("".join(rng.choice(list("abcde"),
+                                     rng.randint(0, 9))))
+        bl.append("".join(rng.choice(list("abcde"),
+                                     rng.randint(0, 9))))
+    got = batch_damerau_levenshtein(al, bl)
+    assert list(got[:6]) == [2, 1, 1, 3, 1, 0]
+    con = duckdb.connect()
+    for a, b, g in zip(al, bl, got):
+        w = con.execute("SELECT damerau_levenshtein(?, ?)",
+                        [a, b]).fetchone()[0]
+        assert int(g) == int(w), (a, b, int(g), w)
+
+
+def test_dl_nearest_probe_recovers_base():
+    """Each probe is one edit from its base name, so best_d ≤ 1; the
+    transposition probes (p % 3 == 0) must find d ≤ 1 even though
+    two substitutions would be needed without the transposition op."""
+    from prclz_ray.pipelines.queries import q_dl_nearest_name
+    out = q_dl_nearest_name("/root/testdata/sf0.001")
+    assert len(out) == 20
+    assert (out["best_d"] <= 1).all()
