@@ -248,7 +248,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "soundex_top_codes",
        # batch 81 (IDW, Ljung-Box, full Damerau-Levenshtein)
        "idw_surface_acctbal", "ljung_box_revenue",
-       "dl_nearest_name"]
+       "dl_nearest_name",
+       # batch 82 (Cramer's V, hyperplane LSH, periodogram)
+       "cramers_v_lang_source", "lsh_hyperplane_pairs",
+       "periodogram_revenue"]
 
 
 def _norm(v) -> str:
@@ -4445,3 +4448,89 @@ def test_dl_nearest_probe_recovers_base():
     out = q_dl_nearest_name("/root/testdata/sf0.001")
     assert len(out) == 20
     assert (out["best_d"] <= 1).all()
+
+
+def test_cramers_v_perfect_and_independent(tmp_path):
+    from prclz_ray.pipelines.queries import q_cramers_v_lang_source
+    d = str(tmp_path)
+    # perfect dependence: each lang pairs with exactly one source
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "lang": pa.array((["en"] * 10 + ["fr"] * 10) * 2),
+        "source": pa.array((["cc"] * 10 + ["ws"] * 10) * 2)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_cramers_v_lang_source(d)
+    assert float(out["v"].iloc[0]) == 1.0
+    # square perfect table: φ²′/(r′−1) = (1−1/(n−1))/(1−1/(n−1)) — the
+    # correction cancels exactly, so perfect association stays 1
+    assert float(out["v_corrected"].iloc[0]) == 1.0
+    # on weak real-fixture association the correction strictly shrinks
+    real = q_cramers_v_lang_source("/root/testdata/sf0.001")
+    assert float(real["v_corrected"].iloc[0]) < float(real["v"].iloc[0])
+    # exact independence: counts factorize (product design)
+    langs, srcs = [], []
+    for la, rep_l in (("en", 2), ("fr", 1)):
+        for so, rep_s in (("cc", 3), ("ws", 1)):
+            for _ in range(rep_l * rep_s):
+                langs.append(la)
+                srcs.append(so)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(langs)), type=pa.int64()),
+        "lang": pa.array(langs), "source": pa.array(srcs)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_cramers_v_lang_source(d)
+    assert float(out["chi2"].iloc[0]) == 0.0
+    assert float(out["v_corrected"].iloc[0]) == 0.0
+
+
+def test_lsh_bucket_agreement_and_candidate_semantics():
+    """Every returned pair must share its stated bucket, and the
+    bucket must equal the sign pattern of the quantized hyperplane
+    dots recomputed independently."""
+    import pyarrow.parquet as pqt
+
+    from prclz_ray.pipelines.queries import (_LSH_PLANES,
+                                             q_lsh_hyperplane_pairs)
+    out = q_lsh_hyperplane_pairs("/root/testdata/sf0.001")
+    assert len(out) == 20
+    t = pqt.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    import numpy as _np
+    m = _np.vstack(t["embedding"].to_pylist()).astype(_np.float64)
+    q = _np.round(m * 1_000_000.0).astype(_np.int64)
+    bits = (q @ _LSH_PLANES > 0).astype(_np.int64)
+    bucket = bits @ (1 << _np.arange(8, dtype=_np.int64))
+    ids = t["vec_id"].to_numpy()
+    bmap = dict(zip(ids.tolist(), bucket.tolist()))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for _, r in out.iterrows():
+        assert bmap[int(r["va"])] == int(r["bucket"])
+        assert bmap[int(r["vb"])] == int(r["bucket"])
+        qa, qb = q[idx[int(r["va"])]], q[idx[int(r["vb"])]]
+        cos = float(qa @ qb) / _np.sqrt(float(qa @ qa) * float(qb @ qb))
+        assert abs(float(r["cos"]) - cos) < 2e-6
+    # descending cos order
+    assert (np.diff(out["cos"].to_numpy()) <= 1e-12).all()
+
+
+def test_periodogram_weekly_sinusoid_and_constant(tmp_path):
+    from prclz_ray.pipelines.queries import q_periodogram_revenue
+    d = str(tmp_path)
+    days = [np.datetime64("2024-01-01", "us") + np.timedelta64(i, "D")
+            for i in range(70)]
+    prices = [round(100.0 + 50.0 * np.cos(2 * np.pi * i / 7.0), 2)
+              for i in range(70)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_periodogram_revenue(d).set_index("period")
+    # the 7-day line dominates and recovers the amplitude ~50
+    assert abs(float(out.loc[7, "amp"]) - 50.0) < 1.0
+    assert float(out.loc[7, "amp"]) > 5 * float(out.drop(7)["amp"].max())
+    # constant series: X_t = n·x − S ≡ 0 ⇒ every amplitude EXACTLY 0
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0] * 70)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_periodogram_revenue(d)
+    assert (out["amp"] == 0.0).all()
