@@ -251,7 +251,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "dl_nearest_name",
        # batch 82 (Cramer's V, hyperplane LSH, periodogram)
        "cramers_v_lang_source", "lsh_hyperplane_pairs",
-       "periodogram_revenue"]
+       "periodogram_revenue",
+       # batch 83 (Hilbert index, Granger causality, average precision)
+       "hilbert_index_points", "granger_orders_revenue",
+       "average_precision_doc_score"]
 
 
 def _norm(v) -> str:
@@ -4534,3 +4537,118 @@ def test_periodogram_weekly_sinusoid_and_constant(tmp_path):
         os.path.join(d, "orders.parquet"))
     out = q_periodogram_revenue(d)
     assert (out["amp"] == 0.0).all()
+
+
+def test_hilbert_bijection_adjacency_and_orientation():
+    """A true Hilbert curve is certified by two properties the twin
+    can't check: the 32×32 transform is a bijection onto 0..1023 and
+    EVERY consecutive pair of indices maps to Manhattan-adjacent
+    cells (Z-order fails the second).  Order-1 pins the orientation."""
+    from prclz_ray.pipelines.queries import _hilbert_d
+    n = 32
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    xs = xs.ravel().astype(np.int64)
+    ys = ys.ravel().astype(np.int64)
+    d = _hilbert_d(xs, ys, n)
+    assert sorted(d.tolist()) == list(range(n * n))
+    order = np.argsort(d)
+    md = np.abs(np.diff(xs[order])) + np.abs(np.diff(ys[order]))
+    assert (md == 1).all()
+    d1 = _hilbert_d(np.array([0, 0, 1, 1]), np.array([0, 1, 0, 1]), 2)
+    assert d1.tolist() == [0, 1, 3, 2]
+
+
+def test_hilbert_index_conservation():
+    from prclz_ray.pipelines.queries import q_hilbert_index_points
+    out = q_hilbert_index_points(SF).to_pandas()
+    n_cust = len(pq.read_table(os.path.join(SF, "customer.parquet"),
+                               columns=["c_custkey"]))
+    assert int(out["cnt"].sum()) == n_cust
+    assert out["hcell"].between(0, 1023).all()
+    assert out["hcell"].is_unique
+
+
+def test_granger_helper_matches_numpy_ols():
+    """Independent recompute: the exact-int closed form must agree
+    with numpy lstsq SSEs on an arbitrary fixed series."""
+    from prclz_ray.pipelines.queries import _granger_lag1
+    rng = np.random.RandomState(7)
+    x = rng.randint(1, 50, size=60).astype(np.int64)
+    noise = rng.randint(-20, 21, size=60).astype(np.int64)
+    y = np.empty(60, dtype=np.int64)
+    y[0] = 500
+    for t in range(1, 60):
+        y[t] = (6 * y[t - 1]) // 10 + 30 * x[t - 1] + noise[t]
+    got = _granger_lag1(y.tolist(), x.tolist())
+    yv = y[1:].astype(np.float64)
+    A1 = np.column_stack([np.ones(59), y[:-1]]).astype(np.float64)
+    A2 = np.column_stack([np.ones(59), y[:-1], x[:-1]]).astype(np.float64)
+    sse_r = float(np.sum((yv - A1 @ np.linalg.lstsq(A1, yv, rcond=None)[0]) ** 2))
+    sse_u = float(np.sum((yv - A2 @ np.linalg.lstsq(A2, yv, rcond=None)[0]) ** 2))
+    f_ref = (sse_r - sse_u) * (59 - 3) / sse_u
+    assert abs(got["f_lag1"] - f_ref) < 1e-3 * max(1.0, abs(f_ref))
+    syy = float(np.sum((yv - yv.mean()) ** 2))
+    assert abs(got["r2_unrestricted"] - (1.0 - sse_u / syy)) < 1e-6
+    assert got["r2_unrestricted"] >= got["r2_restricted"] - 1e-12
+    # the count signal was built in: it must be detected
+    assert got["f_lag1"] > 10.0
+
+
+def test_granger_crafted_count_signal(tmp_path):
+    """Revenue tomorrow ≈ 1000·(orders today): the exogenous lag
+    carries nearly all the information, so F is large and R²_u ≫
+    R²_r."""
+    from prclz_ray.pipelines.queries import q_granger_orders_revenue
+    d = str(tmp_path)
+    counts = [1, 2, 4, 5, 2, 1, 5, 4, 2, 5] * 4
+    days, prices = [], []
+    for i, c in enumerate(counts):
+        prev = counts[i - 1] if i > 0 else 3
+        tot = 1000.0 * prev + (i % 7) * 0.25   # near-exact, not exact
+        for j in range(c):
+            days.append(np.datetime64("2024-01-01", "us")
+                        + np.timedelta64(i, "D"))
+            prices.append(round(tot / c, 2) if j else
+                          round(tot - round(tot / c, 2) * (c - 1), 2))
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_granger_orders_revenue(d)
+    assert float(out["f_lag1"].iloc[0]) > 50.0
+    assert float(out["r2_unrestricted"].iloc[0]) \
+        > float(out["r2_restricted"].iloc[0]) + 0.5
+
+
+def test_average_precision_perfect_and_bruteforce(tmp_path):
+    """Perfectly separated scores ⇒ AP exactly 1; on the real fixture
+    the distributed two-phase result matches a single-machine
+    brute-force recompute of Σ tp/k under the same total order."""
+    from prclz_ray.pipelines.queries import q_average_precision_doc_score
+    d = str(tmp_path)
+    n_chars = [400] * 10 + [200] * 30          # positives score higher
+    texts = ["w " * 19 + "w"] * 40              # same word count = 20
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": pa.array(texts),
+        "n_chars": pa.array(n_chars, type=pa.int64())}),
+        os.path.join(d, "documents.parquet"))
+    out = q_average_precision_doc_score(d)
+    assert int(out["n_pos"].iloc[0]) == 10
+    assert float(out["ap"].iloc[0]) == 1.0
+    # brute force on the real fixture
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text", "n_chars"]).to_pandas()
+    x1 = t["n_chars"].to_numpy(np.float64) / 1000.0
+    x2 = np.array([len(s.split(" ")) for s in t["text"]],
+                  dtype=np.float64) / 100.0
+    score = np.round(1.0 / (1.0 + np.exp(-(0.25 + 0.8 * x1 - 0.5 * x2))), 6)
+    lab = (t["n_chars"].to_numpy(np.int64) > 297).astype(np.int64)
+    order = np.lexsort((t["doc_id"].to_numpy(np.int64), -score))
+    ls = lab[order]
+    k = np.arange(1, len(ls) + 1)
+    tp = np.cumsum(ls)
+    ap_bf = float(np.sum(tp[ls == 1] / k[ls == 1])) / int(ls.sum())
+    got = q_average_precision_doc_score(SF)
+    assert abs(float(got["ap"].iloc[0]) - ap_bf) < 2e-6
+    assert int(got["n_pos"].iloc[0]) == int(ls.sum())
