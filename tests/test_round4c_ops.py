@@ -254,7 +254,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "periodogram_revenue",
        # batch 83 (Hilbert index, Granger causality, average precision)
        "hilbert_index_points", "granger_orders_revenue",
-       "average_precision_doc_score"]
+       "average_precision_doc_score",
+       # batch 84 (Durbin-Watson, join-order cost, JSD source matrix)
+       "durbin_watson_revenue", "join_order_cost_compare",
+       "jsd_source_divergence"]
 
 
 def _norm(v) -> str:
@@ -4652,3 +4655,80 @@ def test_average_precision_perfect_and_bruteforce(tmp_path):
     got = q_average_precision_doc_score(SF)
     assert abs(float(got["ap"].iloc[0]) - ap_bf) < 2e-6
     assert int(got["n_pos"].iloc[0]) == int(ls.sum())
+
+
+def test_durbin_watson_alternating_and_smooth(tmp_path):
+    """Alternating residuals drive DW toward 4, a slow smooth wave
+    toward 0; an independent np.polyfit recompute must agree."""
+    from prclz_ray.pipelines.queries import q_durbin_watson_revenue
+    d = str(tmp_path)
+    days = [np.datetime64("2024-01-01", "us") + np.timedelta64(i, "D")
+            for i in range(60)]
+    alt = [round(1000.0 + 10.0 * i + (500.0 if i % 2 == 0 else -500.0), 2)
+           for i in range(60)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(alt)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_durbin_watson_revenue(d)
+    assert float(out["dw"].iloc[0]) > 3.0
+    # independent recompute via np.polyfit (different solver path)
+    y = np.array([round(v * 100) for v in alt], dtype=np.float64)
+    t = np.arange(60, dtype=np.float64)
+    b, a = np.polyfit(t, y, 1)
+    e = y - a - b * t
+    dw_ref = float(np.sum(np.diff(e) ** 2) / np.sum(e * e))
+    assert abs(float(out["dw"].iloc[0]) - dw_ref) < 1e-5
+    # slow wave: strong positive serial correlation
+    smooth = [round(1000.0 + 800.0 * np.sin(2 * np.pi * i / 30.0), 2)
+              for i in range(60)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(smooth)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_durbin_watson_revenue(d)
+    assert float(out["dw"].iloc[0]) < 1.0
+
+
+def test_join_order_cost_internal_consistency():
+    """Both 3-way plans must report the SAME actual cardinality (the
+    join result doesn't depend on order — only the estimate does),
+    q-error ≥ 1 by construction, and the base-join actuals must obey
+    containment (filtered chain ⊆ each base join)."""
+    from prclz_ray.pipelines.queries import q_join_order_cost_compare
+    out = q_join_order_cost_compare(SF).set_index("plan")
+    assert int(out.loc["co_then_l", "act_rows"]) \
+        == int(out.loc["c_then_ol", "act_rows"])
+    assert (out["q_err"] >= 1.0 - 1e-12).all()
+    assert int(out.loc["co_then_l", "act_rows"]) \
+        <= int(out.loc["ol", "act_rows"])
+    assert int(out.loc["co", "act_rows"]) > 0
+    # the reported q-error must be exactly the max est/act ratio
+    for _, r in out.iterrows():
+        qe = max(float(r["est_rows"]) / r["act_rows"],
+                 float(r["act_rows"]) / r["est_rows"])
+        assert abs(float(r["q_err"]) - round(qe, 6)) < 1e-12
+
+
+def test_jsd_identical_and_disjoint(tmp_path):
+    """Identical unigram distributions ⇒ JSD exactly 0 (p==q makes
+    every ln term exactly ln 1 = 0); disjoint vocabularies ⇒ ln 2."""
+    from prclz_ray.pipelines.queries import q_jsd_source_divergence
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "source": pa.array(["a"] * 5 + ["b"] * 5),
+        "text": pa.array(["x y z w v"] * 10)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_jsd_source_divergence(d)
+    assert len(out) == 1
+    assert float(out["jsd"].iloc[0]) == 0.0
+    pq.write_table(pa.table({
+        "source": pa.array(["a"] * 5 + ["b"] * 5),
+        "text": pa.array(["x y z"] * 5 + ["u v w"] * 5)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_jsd_source_divergence(d)
+    assert abs(float(out["jsd"].iloc[0]) - np.log(2.0)) < 1e-6
+    # bounds on the real fixture
+    real = q_jsd_source_divergence(SF)
+    assert (real["jsd"] >= 0).all()
+    assert (real["jsd"] <= np.log(2.0) + 1e-9).all()
