@@ -257,7 +257,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "average_precision_doc_score",
        # batch 84 (Durbin-Watson, join-order cost, JSD source matrix)
        "durbin_watson_revenue", "join_order_cost_compare",
-       "jsd_source_divergence"]
+       "jsd_source_divergence",
+       # batch 85 (Clark-Evans, runs test, McNemar)
+       "clark_evans_index", "runs_test_revenue", "mcnemar_langid"]
 
 
 def _norm(v) -> str:
@@ -4732,3 +4734,80 @@ def test_jsd_identical_and_disjoint(tmp_path):
     real = q_jsd_source_divergence(SF)
     assert (real["jsd"] >= 0).all()
     assert (real["jsd"] <= np.log(2.0) + 1e-9).all()
+
+
+def test_clark_evans_bruteforce_and_bounds():
+    """The grid-accelerated NN kernel must agree with an O(n²) numpy
+    brute force, and the derived statistics must satisfy the closed
+    forms and the theoretical range (0, 2.1491]."""
+    from prclz_ray.pipelines.queries import (_customer_nn_d2,
+                                             q_clark_evans_index)
+    d2 = _customer_nn_d2(SF)
+    t = pq.read_table(os.path.join(SF, "customer.parquet"),
+                      columns=["c_custkey"])
+    k = t["c_custkey"].to_numpy().astype(np.int64)
+    x = (k * 7919) % 1000
+    y = (k * 104729) % 1000
+    dd = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    np.fill_diagonal(dd, np.iinfo(np.int64).max)
+    # same-key duplicates must also be excluded, mirroring a.k <> b.k
+    same = k[:, None] == k[None, :]
+    dd[same] = np.iinfo(np.int64).max
+    assert (d2 == dd.min(axis=1)).all()
+    out = q_clark_evans_index(SF)
+    n = int(out["n"].iloc[0])
+    assert n == len(k)
+    d_obs = float(np.sum(np.sqrt(dd.min(axis=1)))) / n
+    assert abs(float(out["d_obs"].iloc[0]) - d_obs) < 1e-5
+    r = float(out["r_ce"].iloc[0])
+    assert 0.0 < r <= 2.1492
+    assert abs(r - d_obs / (0.5 / np.sqrt(n / 1e6))) < 1e-5
+
+
+def test_runs_test_alternating_and_blocks(tmp_path):
+    from prclz_ray.pipelines.queries import q_runs_test_revenue
+    d = str(tmp_path)
+    days = [np.datetime64("2024-01-01", "us") + np.timedelta64(i, "D")
+            for i in range(10)]
+    # alternating above/below the median ⇒ runs = n, z strongly > 0
+    alt = [100.0 if i % 2 == 0 else 500.0 for i in range(10)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(alt)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_runs_test_revenue(d)
+    assert int(out["runs"].iloc[0]) == 10
+    assert float(out["z"].iloc[0]) > 2.0
+    # two blocks ⇒ runs = 2; hand-computed z = (2−6)/σ with
+    # n1=n0=5: σ² = 50·40/900
+    blocks = [100.0] * 5 + [500.0] * 5
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(blocks)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_runs_test_revenue(d)
+    assert int(out["runs"].iloc[0]) == 2
+    assert int(out["n_above"].iloc[0]) == 5
+    z_ref = (2 - 6.0) / np.sqrt(50.0 * 40.0 / 900.0)
+    assert abs(float(out["z"].iloc[0]) - round(z_ref, 6)) < 1e-9
+
+
+def test_mcnemar_conservation_and_margin():
+    """The 2×2 table must partition the corpus, χ² must equal
+    (b−c)²/(b+c), and the heuristic margin (n_both+b)/N must equal an
+    independent single-machine recompute of LangId accuracy."""
+    from prclz_ray.pipelines.queries import q_mcnemar_langid
+    from prclz_ray.stages import text as tstages
+    out = q_mcnemar_langid(SF)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"]).to_pandas()
+    total = int(out[["n_both", "b", "c", "n_neither"]].sum(axis=1).iloc[0])
+    assert total == len(t)
+    b = int(out["b"].iloc[0])
+    c = int(out["c"].iloc[0])
+    if b + c:
+        assert abs(float(out["chi2_mcnemar"].iloc[0])
+                   - round((b - c) ** 2 / (b + c), 6)) < 1e-12
+    pred = tstages.LangId()(t.copy())
+    heur_correct = int((pred["lang_pred"] == pred["lang"]).sum())
+    assert int(out["n_both"].iloc[0]) + b == heur_correct
