@@ -259,7 +259,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "durbin_watson_revenue", "join_order_cost_compare",
        "jsd_source_divergence",
        # batch 85 (Clark-Evans, runs test, McNemar)
-       "clark_evans_index", "runs_test_revenue", "mcnemar_langid"]
+       "clark_evans_index", "runs_test_revenue", "mcnemar_langid",
+       # batch 86 (Katz centrality, WoE encoding, Cook's distance)
+       "katz_centrality_links", "woe_encoding_segment",
+       "cooks_distance_days"]
 
 
 def _norm(v) -> str:
@@ -4811,3 +4814,76 @@ def test_mcnemar_conservation_and_margin():
     pred = tstages.LangId()(t.copy())
     heur_correct = int((pred["lang_pred"] == pred["lang"]).sum())
     assert int(out["n_both"].iloc[0]) + b == heur_correct
+
+
+def test_katz_dense_recompute():
+    """Independent dense recompute: adjacency-matrix powers must
+    reproduce the BSP walk counts and the exact dyadic score."""
+    from prclz_ray.pipelines.queries import q_katz_centrality_links
+    out = q_katz_centrality_links(SF)
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id"])
+    n = len(t)
+    A = np.zeros((n, n), dtype=np.int64)
+    for k in (1, 2, 3):
+        src = np.arange(n, dtype=np.int64)
+        dst = (src * 7919 + k * 104729) % n
+        np.add.at(A, (src, dst), 1)
+    ones = np.ones(n, dtype=np.int64)
+    w1 = ones @ A
+    w2 = w1 @ A
+    w3 = w2 @ A
+    k64 = 16 * w1 + 4 * w2 + w3
+    top = sorted(range(n), key=lambda i: (-k64[i], i))[:25]
+    assert out["doc_id"].tolist() == top
+    for col, ref in (("w1", w1), ("w2", w2), ("w3", w3)):
+        assert out[col].tolist() == [int(ref[i]) for i in top]
+    assert (out["katz"].to_numpy()
+            == np.array([k64[i] / 64.0 for i in top])).all()
+
+
+def test_woe_antisymmetry_and_exact_zero(tmp_path):
+    from prclz_ray.pipelines.queries import q_woe_encoding_segment
+    d = str(tmp_path)
+    # A: 3 pos / 1 neg; B: 1 pos / 3 neg → woe_A = ln(7/3) = −woe_B
+    seg = ["A"] * 4 + ["B"] * 4
+    bal = [10.0, 10.0, 10.0, -5.0, 10.0, -5.0, -5.0, -5.0]
+    pq.write_table(pa.table({"c_mktsegment": pa.array(seg),
+                             "c_acctbal": pa.array(bal)}),
+                   os.path.join(d, "customer.parquet"))
+    out = q_woe_encoding_segment(d).set_index("segment")
+    ref = round(np.log(7.0 / 3.0), 6)
+    assert float(out.loc["A", "woe"]) == ref
+    assert float(out.loc["B", "woe"]) == -ref
+    assert float(out.loc["A", "iv_term"]) > 0
+    assert float(out.loc["B", "iv_term"]) > 0
+    # equal pos/neg in every segment with tp == tn ⇒ WoE exactly 0
+    seg = ["A"] * 4 + ["B"] * 6
+    bal = [10.0, 10.0, -5.0, -5.0] + [10.0] * 3 + [-5.0] * 3
+    pq.write_table(pa.table({"c_mktsegment": pa.array(seg),
+                             "c_acctbal": pa.array(bal)}),
+                   os.path.join(d, "customer.parquet"))
+    out = q_woe_encoding_segment(d)
+    assert (out["woe"] == 0.0).all()
+    assert (out["iv_term"] == 0.0).all()
+
+
+def test_cooks_distance_planted_outlier(tmp_path):
+    """A massive spike on the last (max-leverage) day must dominate
+    Cook's distance; leverage respects the h ≥ 1/n floor."""
+    from prclz_ray.pipelines.queries import q_cooks_distance_days
+    d = str(tmp_path)
+    days = [np.datetime64("2024-01-01", "us") + np.timedelta64(i, "D")
+            for i in range(40)]
+    prices = [round(100.0 + 2.0 * i, 2) for i in range(39)] + [5000.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days, type=pa.timestamp("us")),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_cooks_distance_days(d)
+    lo = (np.datetime64("2024-01-01", "us").astype("datetime64[D]")
+          .astype(np.int64))
+    assert int(out["day"].iloc[0]) == int(lo) + 39
+    assert float(out["d_cook"].iloc[0]) > 10 * float(out["d_cook"].iloc[1])
+    assert (out["leverage"] >= round(1.0 / 40, 6) - 1e-9).all()
+    assert (out["d_cook"] >= 0).all()
