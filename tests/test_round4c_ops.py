@@ -262,7 +262,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "clark_evans_index", "runs_test_revenue", "mcnemar_langid",
        # batch 86 (Katz centrality, WoE encoding, Cook's distance)
        "katz_centrality_links", "woe_encoding_segment",
-       "cooks_distance_days"]
+       "cooks_distance_days",
+       # batch 87 (PACF, KMV sketch, MinHash fidelity)
+       "pacf_daily_revenue", "kmv_distinct_users",
+       "minhash_jaccard_fidelity"]
 
 
 def _norm(v) -> str:
@@ -4887,3 +4890,71 @@ def test_cooks_distance_planted_outlier(tmp_path):
     assert float(out["d_cook"].iloc[0]) > 10 * float(out["d_cook"].iloc[1])
     assert (out["leverage"] >= round(1.0 / 40, 6) - 1e-9).all()
     assert (out["d_cook"] >= 0).all()
+
+
+def test_pacf_yule_walker_recompute():
+    """Independent solver path: PACF(k) must equal the last Yule-
+    Walker coefficient from np.linalg.solve on the Toeplitz system —
+    a completely different algorithm from Durbin-Levinson."""
+    from prclz_ray.pipelines.queries import (_pacf_phi,
+                                             q_pacf_daily_revenue)
+    out = q_pacf_daily_revenue(SF)
+    t = pq.read_table(os.path.join(SF, "orders.parquet"),
+                      columns=["o_orderdate", "o_totalprice"]).to_pandas()
+    day = t["o_orderdate"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64) // 86_400_000_000
+    cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame({"d": day, "c": cents}).groupby("d")["c"].sum()
+    lo, hi = int(g.index.min()), int(g.index.max())
+    s = np.zeros(hi - lo + 1, dtype=np.float64)
+    s[g.index.to_numpy() - lo] = g.to_numpy()
+    x = s - s.mean()
+    den = float(np.sum(x * x))
+    r = [1.0] + [float(np.sum(x[:-k] * x[k:])) / den for k in range(1, 6)]
+    for k in range(1, 6):
+        T = np.array([[r[abs(i - j)] for j in range(k)]
+                      for i in range(k)])
+        rhs = np.array(r[1:k + 1])
+        phi_k = np.linalg.solve(T, rhs)[-1]
+        assert abs(float(out["pacf"].iloc[k - 1]) - phi_k) < 1e-5, k
+    # φ11 must equal ρ1 exactly in the recursion helper
+    assert _pacf_phi([1.0, 0.3, 0.1, 0.0, 0.0, 0.0])[0] == 0.3
+
+
+def test_kmv_exact_below_k_and_error_bound(tmp_path):
+    from prclz_ray.pipelines.queries import q_kmv_distinct_users
+    d = str(tmp_path)
+    # 100 distinct users < k=256 ⇒ the sketch degenerates to exact
+    pq.write_table(pa.table({"user_id": pa.array(
+        [i % 100 for i in range(1000)], type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_kmv_distinct_users(d)
+    assert int(out["exact"].iloc[0]) == 100
+    assert float(out["est"].iloc[0]) == 100.0
+    assert float(out["rel_err"].iloc[0]) == 0.0
+    # real fixture: k=256 ⇒ ~1/√k relative error regime
+    real = q_kmv_distinct_users(SF)
+    assert float(real["rel_err"].iloc[0]) < 0.2
+
+
+def test_minhash_fidelity_unbiasedness_and_identity(tmp_path):
+    """A verbatim-duplicate pair must report n_match = 64 and
+    j_exact = 1; across the real sample the mean |j_est − j_exact|
+    must sit inside the binomial error regime (≪ the LSH threshold
+    gap)."""
+    from prclz_ray.pipelines.queries import q_minhash_jaccard_fidelity
+    d = str(tmp_path)
+    texts = [f"document body {i} " + "lorem ipsum dolor sit amet " * 4
+             for i in range(250)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(500), type=pa.int64()),
+        "text": pa.array(texts + texts)}),   # i and i+250 identical
+        os.path.join(d, "documents.parquet"))
+    out = q_minhash_jaccard_fidelity(d)
+    assert len(out) == 250
+    assert (out["n_match"] == 64).all()
+    assert (out["j_exact"] == 1.0).all()
+    assert (out["j_est"] == 1.0).all()
+    real = q_minhash_jaccard_fidelity(SF)
+    err = (real["j_est"] - real["j_exact"]).abs()
+    assert float(err.mean()) < 0.08     # E|err| ≈ √(j(1−j)/64) ≤ 0.0625
