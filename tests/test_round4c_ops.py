@@ -265,7 +265,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "cooks_distance_days",
        # batch 87 (PACF, KMV sketch, MinHash fidelity)
        "pacf_daily_revenue", "kmv_distinct_users",
-       "minhash_jaccard_fidelity"]
+       "minhash_jaccard_fidelity",
+       # batch 88 (footprint compactness, Weiszfeld median, k-d tree)
+       "footprint_compactness_nation", "weiszfeld_median_nation",
+       "kdtree_cell_counts"]
 
 
 def _norm(v) -> str:
@@ -4958,3 +4961,77 @@ def test_minhash_fidelity_unbiasedness_and_identity(tmp_path):
     real = q_minhash_jaccard_fidelity(SF)
     err = (real["j_est"] - real["j_exact"]).abs()
     assert float(err.mean()) < 0.08     # E|err| ≈ √(j(1−j)/64) ≤ 0.0625
+
+
+def test_footprint_compactness_single_cell_and_line(tmp_path):
+    """One occupied cell ⇒ PP exactly the square's π/4; an n-cell
+    straight line strictly shrinks PP; PP ∈ (0, π/4]."""
+    from prclz_ray.pipelines.queries import q_footprint_compactness_nation
+    d = str(tmp_path)
+    # custkey=1000 → x=(7919000)%1000=0, y=0 → nat 0, cell (0,0)
+    pq.write_table(pa.table({"c_custkey": pa.array([1000],
+                                                   type=pa.int64())}),
+                   os.path.join(d, "customer.parquet"))
+    out = q_footprint_compactness_nation(d)
+    assert len(out) == 1
+    assert int(out["n_cells"].iloc[0]) == 1
+    assert int(out["perimeter"].iloc[0]) == 80
+    assert float(out["pp"].iloc[0]) == round(np.pi / 4.0, 6)
+    real = q_footprint_compactness_nation(SF)
+    assert (real["pp"] > 0).all()
+    assert (real["pp"] <= round(np.pi / 4.0, 6) + 1e-9).all()
+    # a 3-cell vertical line: keys 1/643/285 land on cells (45, 36..38)
+    # of nation 19; A=1200, P=20·(12−4)=160 ⇒ PP = 4π·1200/160²
+    pq.write_table(pa.table({"c_custkey": pa.array(
+        [1, 285, 643], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_footprint_compactness_nation(d)
+    assert int(out["n_cells"].iloc[0]) == 3
+    assert float(out["pp"].iloc[0]) \
+        == round(4.0 * np.pi * 1200 / (160.0 * 160.0), 6)
+
+
+def test_weiszfeld_decreases_objective_and_beats_mean():
+    """Each Weiszfeld iterate must not increase Σ|p − g| (it is a
+    descent method), so the 3-iteration output beats the centroid."""
+    from prclz_ray.pipelines.queries import q_weiszfeld_median_nation
+    out = q_weiszfeld_median_nation(SF).set_index("n_nationkey")
+    t = pq.read_table(os.path.join(SF, "customer.parquet"),
+                      columns=["c_custkey"])
+    k = t["c_custkey"].to_numpy().astype(np.int64)
+    x = (k * 7919) % 1000
+    y = (k * 104729) % 1000
+    nat = (x // 200) + 5 * (y // 200)
+    for n in np.unique(nat):
+        m = nat == n
+        gx, gy = float(out.loc[int(n), "gx"]), float(out.loc[int(n), "gy"])
+        cost_w = np.sum(np.sqrt((x[m] - gx) ** 2 + (y[m] - gy) ** 2))
+        mx, my = x[m].mean(), y[m].mean()
+        cost_c = np.sum(np.sqrt((x[m] - mx) ** 2 + (y[m] - my) ** 2))
+        assert cost_w <= cost_c + 1e-6, n
+        # and the median must sit inside the nation's bounding box
+        assert x[m].min() - 1 <= gx <= x[m].max() + 1
+        assert y[m].min() - 1 <= gy <= y[m].max() + 1
+
+
+def test_kdtree_balance_and_conservation():
+    """Median splits must conserve the row count and keep every cell
+    within the tie-slack of perfect balance (ties on the median value
+    all fall to the ≤ side, so slack = the median's multiplicity)."""
+    from prclz_ray.pipelines.queries import q_kdtree_cell_counts
+    out = q_kdtree_cell_counts(SF)
+    t = pq.read_table(os.path.join(SF, "customer.parquet"),
+                      columns=["c_custkey"])
+    k = t["c_custkey"].to_numpy().astype(np.int64)
+    n = len(k)
+    assert int(out["n"].sum()) == n
+    assert len(out) == 4
+    x = (k * 7919) % 1000
+    medx = int(out["x_split"].iloc[0])
+    nl = int(np.sum(x <= medx))
+    got_l = int(out.loc[out["cell"].str.startswith("lx"), "n"].sum())
+    assert got_l == nl
+    # left side holds at least half the rows (ties go left) and the
+    # smaller side is within the median-multiplicity slack
+    assert nl >= n // 2
+    assert nl - int(np.sum(x == medx)) <= (n + 1) // 2
