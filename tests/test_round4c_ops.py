@@ -268,7 +268,10 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "minhash_jaccard_fidelity",
        # batch 88 (footprint compactness, Weiszfeld median, k-d tree)
        "footprint_compactness_nation", "weiszfeld_median_nation",
-       "kdtree_cell_counts"]
+       "kdtree_cell_counts",
+       # batch 89 (quantile-sketch fidelity, split leakage, encoding advisor)
+       "quantile_sketch_fidelity", "split_leakage_pairs",
+       "encoding_advisor_orders"]
 
 
 def _norm(v) -> str:
@@ -5035,3 +5038,79 @@ def test_kdtree_balance_and_conservation():
     # smaller side is within the median-multiplicity slack
     assert nl >= n // 2
     assert nl - int(np.sum(x == medx)) <= (n + 1) // 2
+
+
+def test_quantile_sketch_fidelity_bound_and_side():
+    """The HDR bin lower bound can only UNDERestimate, and the 1.02
+    geometric edge spacing caps the relative error at ~2 % (plus the
+    one-cent ceil quantization)."""
+    from prclz_ray.pipelines.queries import (_HDR_EDGES,
+                                             q_quantile_sketch_fidelity)
+    out = q_quantile_sketch_fidelity(SF)
+    assert len(out) == 3
+    assert (out["est"] <= out["exact"] + 1e-9).all()
+    assert (out["rel_err"] <= 0.021).all()
+    e = np.array(_HDR_EDGES)
+    assert (np.diff(e) > 0).all()
+    assert e[0] == 1
+
+
+def test_split_leakage_conservation_and_crafted(tmp_path):
+    """Σ cells must equal the total near-dup pair count, and a crafted
+    duplicate planted across train/test must surface as leakage."""
+    from prclz_ray.pipelines.queries import (q_jaccard_threshold_pairs,
+                                             q_split_leakage_pairs)
+    out = q_split_leakage_pairs(SF)
+    total_pairs = len(q_jaccard_threshold_pairs(SF).to_pandas())
+    assert int(out["n"].sum()) == total_pairs
+    assert (out["split_lo"] <= out["split_hi"]).all()
+    # find one train and one test doc id under the split hash
+    def split_of(did: int) -> str:
+        h = ((did + 1) * 11400714819323198485) % (1 << 64) % 1000000
+        return "train" if h < 800000 else ("val" if h < 900000
+                                           else "test")
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    test_id = next(i for i in range(1000) if split_of(i) == "test")
+    d = str(tmp_path)
+    body = "the quick brown fox jumps over the lazy dog " * 8
+    filler = [f"unique filler document number {i} with its own words "
+              * 6 for i in range(6)]
+    ids = [train_id, test_id] + [2000 + i for i in range(6)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([body, body] + filler)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_split_leakage_pairs(d)
+    row = out[(out["split_lo"] == "test") & (out["split_hi"] == "train")]
+    assert len(row) == 1 and int(row["n"].iloc[0]) >= 1
+
+
+def test_encoding_advisor_rule_branches(tmp_path):
+    """Crafted columns must hit all three rule branches, and the run
+    count must match a direct numpy recompute in orderkey order."""
+    from prclz_ray.pipelines.queries import q_encoding_advisor_orders
+    d = str(tmp_path)
+    n = 2400
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    status = np.array(["O"] * n)                       # ndv 1 → dict
+    prio = np.array([f"P{i % 3}" for i in range(n)])   # ndv 3 → dict
+    cust = keys.copy()                                 # ndv n → plain
+    price = np.repeat(np.arange(300, dtype=np.int64) * 7 + 1000, 8) \
+        / 100.0                                        # 300 runs of 8 → rle
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(keys),
+        "o_orderstatus": pa.array(status),
+        "o_orderpriority": pa.array(prio),
+        "o_custkey": pa.array(cust),
+        "o_totalprice": pa.array(price)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_encoding_advisor_orders(d).set_index("col")
+    assert out.loc["o_orderstatus", "encoding"] == "dict"
+    assert int(out.loc["o_orderstatus", "n_runs"]) == 1
+    assert out.loc["o_orderpriority", "encoding"] == "dict"
+    assert int(out.loc["o_orderpriority", "n_runs"]) == n
+    assert out.loc["o_custkey", "encoding"] == "plain"
+    assert int(out.loc["o_custkey", "ndv"]) == n
+    assert out.loc["o_cents", "encoding"] == "rle"
+    assert int(out.loc["o_cents", "n_runs"]) == 300
+    assert int(out.loc["o_cents", "ndv"]) == 300
