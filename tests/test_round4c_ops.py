@@ -271,7 +271,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "kdtree_cell_counts",
        # batch 89 (quantile-sketch fidelity, split leakage, encoding advisor)
        "quantile_sketch_fidelity", "split_leakage_pairs",
-       "encoding_advisor_orders"]
+       "encoding_advisor_orders",
+       # batch 89 (trend test, lexical richness, effect sizes)
+       "mann_kendall_revenue", "yules_k_sources", "effect_size_value"]
 
 
 def _norm(v) -> str:
@@ -5114,3 +5116,82 @@ def test_encoding_advisor_rule_branches(tmp_path):
     assert out.loc["o_cents", "encoding"] == "rle"
     assert int(out.loc["o_cents", "n_runs"]) == 300
     assert int(out.loc["o_cents", "ndv"]) == 300
+
+
+def test_mann_kendall_monotone_and_constant(tmp_path):
+    """A strictly increasing series must hit the exact maximum
+    S = n(n-1)/2 with the no-tie variance, and an all-tied constant
+    series must degenerate to S=0 / var18=0 / z=0 (not a NaN)."""
+    from prclz_ray.pipelines.queries import q_mann_kendall_revenue
+    d = str(tmp_path)
+    n = 30
+    days = pd.to_datetime("2020-01-01") + pd.to_timedelta(
+        np.arange(n), unit="D")
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days.values.astype("datetime64[us]")),
+        "o_totalprice": pa.array((np.arange(n) + 1) * 1.0)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_mann_kendall_revenue(d)
+    assert int(out["n"].iloc[0]) == n
+    s = int(out["s_stat"].iloc[0])
+    assert s == n * (n - 1) // 2
+    var18 = int(out["var18"].iloc[0])
+    assert var18 == n * (n - 1) * (2 * n + 5)
+    import math
+    assert float(out["z"].iloc[0]) == round(
+        (s - 1) / math.sqrt(var18 / 18.0), 6)
+
+    d2 = str(tmp_path / "const")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(days.values.astype("datetime64[us]")),
+        "o_totalprice": pa.array(np.full(n, 5.0))}),
+        os.path.join(d2, "orders.parquet"))
+    out = q_mann_kendall_revenue(d2)
+    assert int(out["s_stat"].iloc[0]) == 0
+    assert int(out["var18"].iloc[0]) == 0
+    assert float(out["z"].iloc[0]) == 0.0
+
+
+def test_yules_k_hand_values(tmp_path):
+    """'a a b c' gives K = 10^4*(6-4)/16 = 1250 exactly; an all-hapax
+    doc gives K = 0 exactly (sum c^2 == N when every count is 1)."""
+    from prclz_ray.pipelines.queries import q_yules_k_sources
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "source": pa.array(["s1", "s2"]),
+        "text": pa.array(["a a b c", "x y z"])}),
+        os.path.join(d, "documents.parquet"))
+    out = q_yules_k_sources(d).set_index("source")
+    assert int(out.loc["s1", "n_tokens"]) == 4
+    assert int(out.loc["s1", "vocab"]) == 3
+    assert float(out.loc["s1", "yules_k"]) == 1250.0
+    assert int(out.loc["s2", "vocab"]) == 3
+    assert float(out.loc["s2", "yules_k"]) == 0.0
+
+
+def test_effect_size_hand_values(tmp_path):
+    """click=[1,2,3] vs purchase=[4,5,6] dollars: pooled var = glass
+    var = 10000 cents^2, d = -300/100 = -3, g = d*(1-3/15) = -2.4,
+    glass = -3; equal samples give exactly 0 everywhere."""
+    from prclz_ray.pipelines.queries import q_effect_size_value
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["click"] * 3 + ["purchase"] * 3),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])}),
+        os.path.join(d, "events.parquet"))
+    out = q_effect_size_value(d)
+    assert float(out["cohens_d"].iloc[0]) == -3.0
+    assert float(out["hedges_g"].iloc[0]) == -2.4
+    assert float(out["glass_delta"].iloc[0]) == -3.0
+
+    d2 = str(tmp_path / "eq")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["click"] * 3 + ["purchase"] * 3),
+        "value": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0])}),
+        os.path.join(d2, "events.parquet"))
+    out = q_effect_size_value(d2)
+    assert float(out["cohens_d"].iloc[0]) == 0.0
+    assert float(out["hedges_g"].iloc[0]) == 0.0
+    assert float(out["glass_delta"].iloc[0]) == 0.0
