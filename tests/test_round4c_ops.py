@@ -273,7 +273,9 @@ NEW = ["benford_leading_digit", "hhi_nation_revenue",
        "quantile_sketch_fidelity", "split_leakage_pairs",
        "encoding_advisor_orders",
        # batch 89 (trend test, lexical richness, effect sizes)
-       "mann_kendall_revenue", "yules_k_sources", "effect_size_value"]
+       "mann_kendall_revenue", "yules_k_sources", "effect_size_value",
+       # batch 90 (OD matrix, AMS F2 sketch, Hausdorff)
+       "od_matrix_daily", "ams_f2_sketch", "hausdorff_nation_pairs"]
 
 
 def _norm(v) -> str:
@@ -5195,3 +5197,63 @@ def test_effect_size_hand_values(tmp_path):
     assert float(out["cohens_d"].iloc[0]) == 0.0
     assert float(out["hedges_g"].iloc[0]) == 0.0
     assert float(out["glass_delta"].iloc[0]) == 0.0
+
+
+def test_od_matrix_first_last_semantics(tmp_path):
+    """User 7, day 0 with events at hours 0,1,3: origin is the hour-0
+    cell (31*7+0)%25=17, destination the hour-3 cell 20; a
+    single-event day lands on the diagonal; sum(n) = #(user,day)
+    groups."""
+    from prclz_ray.pipelines.queries import q_od_matrix_daily
+    d = str(tmp_path)
+    hours = np.array([0, 1, 3, 25], dtype=np.int64)
+    ts = pa.array((hours * 3_600_000_000).astype("datetime64[us]"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "ts": ts,
+        "user_id": pa.array([7, 7, 7, 7], type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_od_matrix_daily(d)
+    got = {(int(r.o_cell), int(r.d_cell)): int(r.n)
+           for r in out.itertuples(index=False)}
+    assert got == {(17, 20): 1, (17, 17): 1}
+    assert int(out["n"].sum()) == 2
+
+
+def test_ams_f2_single_user_exact(tmp_path):
+    """One user means every sketch is Z_j = ±n, so the estimate is
+    EXACTLY n² = F2 and the realized relative error is 0."""
+    from prclz_ray.pipelines.queries import q_ams_f2_sketch
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "user_id": pa.array([7] * 5, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_ams_f2_sketch(d)
+    assert int(out["n_events"].iloc[0]) == 5
+    assert int(out["f2_exact"].iloc[0]) == 25
+    assert float(out["est"].iloc[0]) == 25.0
+    assert float(out["rel_err"].iloc[0]) == 0.0
+
+
+def test_hausdorff_identity_and_asymmetry(tmp_path):
+    """custkeys k and k+1000 map to the SAME point (7919·1000 and
+    104729·1000 are both ≡ 0 mod 1000), so nation 1 = {1001,1002} is
+    point-identical to nation 0 = {1,2} ⇒ Hausdorff exactly 0; nation
+    2 = {2001, 5} shares one point with nation 0 but adds a far one ⇒
+    hand-computed directed distances 80002 / 94018."""
+    from prclz_ray.pipelines.queries import q_hausdorff_nation_pairs
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 1001, 1002, 2001, 5],
+                              type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 1, 2, 2],
+                                type=pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_hausdorff_nation_pairs(d).set_index(["n_a", "n_b"])
+    assert int(out.loc[(0, 1), "d2_hausdorff"]) == 0
+    assert int(out.loc[(0, 2), "d2_ab"]) == 80002
+    assert int(out.loc[(0, 2), "d2_ba"]) == 94018
+    assert int(out.loc[(0, 2), "d2_hausdorff"]) == 94018
+    # nation 1 is point-identical to nation 0 ⇒ same row vs nation 2
+    assert int(out.loc[(1, 2), "d2_ab"]) == 80002
+    assert int(out.loc[(1, 2), "d2_ba"]) == 94018
