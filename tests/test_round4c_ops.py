@@ -5257,3 +5257,290 @@ def test_hausdorff_identity_and_asymmetry(tmp_path):
     # nation 1 is point-identical to nation 0 ⇒ same row vs nation 2
     assert int(out.loc[(1, 2), "d2_ab"]) == 80002
     assert int(out.loc[(1, 2), "d2_ba"]) == 94018
+
+
+def test_ari_langid_perfect_and_degraded(tmp_path):
+    """Perfectly separable corpus (English stopwords vs French
+    stopwords, labels matching) ⇒ ARI exactly 1.0; an all-English
+    corpus with half-'fr' labels degrades ARI to the hand-derivable
+    pair-count value (pred collapses to one cluster ⇒ sij = sa,
+    sb = C(n,2))."""
+    from prclz_ray.pipelines.queries import q_ari_langid
+    d = str(tmp_path / "sep")
+    os.makedirs(d)
+    en = "the and of to a in is it that for"
+    fr = "le la et les des un une est dans pour"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "lang": pa.array(["en"] * 4 + ["fr"] * 4),
+        "text": pa.array([en] * 4 + [fr] * 4)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_ari_langid(d)
+    assert int(out["n_docs"].iloc[0]) == 8
+    assert float(out["ari"].iloc[0]) == 1.0
+
+    d2 = str(tmp_path / "col")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "lang": pa.array(["en"] * 3 + ["fr"] * 3),
+        "text": pa.array([en] * 6)}),
+        os.path.join(d2, "documents.parquet"))
+    out = q_ari_langid(d2)
+    # confusion: (en,en,3),(fr,en,3); sij = 3+3, sa = 3+3, sb = C(6,2)
+    sij, sa, sb, sn = 6, 6, 15, 15
+    exp = sa * sb / sn
+    want = round((sij - exp) / ((sa + sb) / 2 - exp), 6)
+    assert int(out["pairs_both"].iloc[0]) == sij
+    assert int(out["pairs_pred"].iloc[0]) == sb
+    assert float(out["ari"].iloc[0]) == want
+
+
+def test_std_ellipse_degenerate_and_reference(tmp_path):
+    """A single-point nation has zero dispersion (θ = 0, both σ = 0);
+    a multi-point nation must match an independent numpy
+    population-covariance eigen reference within float tolerance."""
+    import math
+    from prclz_ray.pipelines.queries import q_std_ellipse_nation
+    d = str(tmp_path)
+    keys = np.array([1, 2, 3, 4, 5, 7], dtype=np.int64)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys),
+        "c_nationkey": pa.array([0, 1, 1, 1, 1, 1],
+                                type=pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_std_ellipse_nation(d).set_index("nationkey")
+    assert int(out.loc[0, "n_pts"]) == 1
+    assert float(out.loc[0, "theta_rad"]) == 0.0
+    assert float(out.loc[0, "sigma_major"]) == 0.0
+    assert float(out.loc[0, "sigma_minor"]) == 0.0
+
+    ks = keys[1:]
+    x = (ks * 7919) % 1000
+    y = (ks * 104729) % 1000
+    mx, my = x.mean(), y.mean()
+    cov = np.cov(np.stack([x, y]), bias=True)
+    evals = np.linalg.eigvalsh(cov)
+    assert float(out.loc[1, "mean_x"]) == pytest.approx(mx, abs=1e-6)
+    assert float(out.loc[1, "mean_y"]) == pytest.approx(my, abs=1e-6)
+    assert float(out.loc[1, "sigma_major"]) == pytest.approx(
+        math.sqrt(evals[1]), abs=1e-5)
+    assert float(out.loc[1, "sigma_minor"]) == pytest.approx(
+        math.sqrt(evals[0]), abs=1e-5)
+    # orientation axis variance equals the major eigenvalue
+    th = float(out.loc[1, "theta_rad"])
+    v_th = (math.cos(th) ** 2 * cov[0, 0]
+            + 2 * math.sin(th) * math.cos(th) * cov[0, 1]
+            + math.sin(th) ** 2 * cov[1, 1])
+    assert v_th == pytest.approx(max(evals), abs=1e-5)
+
+
+def test_rich_club_brute_force(tmp_path):
+    """φ(k) from the distributed histograms must equal a brute-force
+    python-set reference on the same 40-doc formula graph at every k,
+    and φ is bounded in [0, 1]."""
+    from prclz_ray.pipelines.queries import q_rich_club_links
+    d = str(tmp_path)
+    n = 40
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64))}),
+        os.path.join(d, "documents.parquet"))
+    out = q_rich_club_links(d)
+
+    edges = set()
+    for s in range(n):
+        for k in (1, 2, 3):
+            t = (s * s * 31 + k * 104729) % n
+            if s != t:
+                edges.add((min(s, t), max(s, t)))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    maxd = max(deg.values())
+    want = {}
+    for k in range(1, maxd):
+        nodes = [v for v, dv in deg.items() if dv > k]
+        if len(nodes) < 2:
+            continue
+        ek = sum(1 for a, b in edges if deg[a] > k and deg[b] > k)
+        want[k] = (len(nodes), ek,
+                   round(2.0 * ek / (len(nodes) * (len(nodes) - 1)), 6))
+    got = {int(r.k): (int(r.n_nodes), int(r.n_edges), float(r.phi))
+           for r in out.itertuples(index=False)}
+    assert got == want
+    assert all(0.0 <= v[2] <= 1.0 for v in got.values())
+
+
+def test_dsir_single_word_docs_exact(tmp_path):
+    """Two-word vocab, hand-derived smoothed log-ratios: an 'aa'-only
+    doc scores n·δ_aa exactly (integer nano units), and the per-token
+    trunc division matches DuckDB's // toward-zero semantics on
+    negative totals."""
+    import math
+    from prclz_ray.pipelines.queries import q_importance_weights_dsir
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "lang": pa.array(["en", "fr"]),
+        "text": pa.array(["aa aa aa", "bb bb"])}),
+        os.path.join(d, "documents.parquet"))
+    out = q_importance_weights_dsir(d).set_index("doc_id")
+    # c_all: aa=3, bb=2; c_en: aa=3, bb=0; S=5, T=3, V=2
+    d_aa = math.floor((math.log(4.0 / 5) - math.log(4.0 / 7))
+                      * 1e9 + 0.5)
+    d_bb = math.floor((math.log(1.0 / 5) - math.log(3.0 / 7))
+                      * 1e9 + 0.5)
+    assert int(out.loc[0, "llr_nano"]) == 3 * d_aa
+    assert int(out.loc[1, "llr_nano"]) == 2 * d_bb
+    assert int(out.loc[0, "n_tokens"]) == 3
+    # trunc toward zero, not floor
+    want = int(np.sign(2 * d_bb)) * (abs(2 * d_bb) // 2)
+    assert int(out.loc[1, "llr_nano_per_token"]) == want
+    assert int(out.loc[0, "llr_nano"]) > 0 > int(out.loc[1, "llr_nano"])
+
+
+def test_atkinson_equal_and_unequal(tmp_path):
+    """Equal per-customer revenues ⇒ A₂ ≈ 0 (up to the atto-reciprocal
+    quantization, < 1e-6 ⇒ rounds to exactly 0); an unequal nation
+    matches the hand-derived 1 − n²·1e18/(Σq·Σv)."""
+    from prclz_ray.pipelines.queries import q_atkinson_index_nation
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_totalprice": pa.array([100.0, 100.0, 100.0, 300.0])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 1], type=pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_atkinson_index_nation(d).set_index("nationkey")
+    assert float(out.loc[0, "atkinson2"]) == 0.0
+    sv = 10000 + 30000
+    sq = 10 ** 18 // 10000 + 10 ** 18 // 30000
+    want = round(1.0 - (2.0 * 2.0 * 1e18) / (float(sq) * float(sv)), 6)
+    assert float(out.loc[1, "atkinson2"]) == want
+    assert int(out.loc[1, "revenue_cents"]) == sv
+    assert int(out.loc[1, "recip_atto"]) == sq
+
+
+def test_croston_reference_and_single_day(tmp_path):
+    """Two demand days (sizes 4 then 10 newest-first, gap 3) give the
+    hand-computed truncated-EWMA z = (10 + 4·0.5)/1.5 = 8, p = 3,
+    forecast 8/3; a single-demand-day part has NULL interval and
+    forecast."""
+    from prclz_ray.pipelines.queries import q_croston_forecast_parts
+    d = str(tmp_path)
+    day0 = np.datetime64("1995-01-10", "us")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([7, 7, 9], type=pa.int64()),
+        "l_quantity": pa.array([4.0, 10.0, 5.0]),
+        "l_shipdate": pa.array([day0, day0 + np.timedelta64(3, "D")
+                                .astype("timedelta64[us]"),
+                                day0])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_croston_forecast_parts(d).set_index("p_partkey")
+    assert int(out.loc[7, "n_demand_days"]) == 2
+    assert float(out.loc[7, "z_size"]) == 8.0
+    assert float(out.loc[7, "p_interval"]) == 3.0
+    assert float(out.loc[7, "croston_forecast"]) == round(8.0 / 3.0, 6)
+    assert int(out.loc[9, "n_demand_days"]) == 1
+    assert float(out.loc[9, "z_size"]) == 5.0
+    assert np.isnan(out.loc[9, "p_interval"])
+    assert np.isnan(out.loc[9, "croston_forecast"])
+
+
+def test_bloom_fpr_crafted_negative_and_member(tmp_path):
+    """Members pass trivially (never counted as probes); a crafted
+    click-only user probes the filter and the realized FPR matches an
+    independent numpy reconstruction of the same seeded positions."""
+    from prclz_ray.pipelines.queries import (_bloom_seeds,
+                                             q_bloom_fpr_audit)
+    d = str(tmp_path)
+    users = np.arange(1, 401, dtype=np.int64)
+    et = np.where(users % 2 == 0, "purchase", "click")
+    pq.write_table(pa.table({
+        "user_id": pa.array(users),
+        "event_type": pa.array(et.astype(object))}),
+        os.path.join(d, "events.parquet"))
+    out = q_bloom_fpr_audit(d)
+    assert int(out["n_members"].iloc[0]) == 200
+    assert int(out["n_probes"].iloc[0]) == 200
+
+    seeds = np.array(_bloom_seeds(), dtype=np.uint64)
+    mem = users[users % 2 == 0].astype(np.uint64) + np.uint64(1)
+    pos = np.stack([(mem * s) >> np.uint64(50) for s in seeds], axis=1)
+    bits = np.unique(pos)
+    assert int(out["bits_set"].iloc[0]) == len(bits)
+    pro = users[users % 2 == 1].astype(np.uint64) + np.uint64(1)
+    ppos = np.stack([(pro * s) >> np.uint64(50) for s in seeds], axis=1)
+    fp = int(np.isin(ppos.astype(np.int64),
+                     bits.astype(np.int64)).all(axis=1).sum())
+    assert int(out["false_pos"].iloc[0]) == fp
+    assert float(out["fpr"].iloc[0]) == round(fp / 200, 6)
+
+
+def test_v_measure_perfect_and_collapsed(tmp_path):
+    """Perfect separation ⇒ h = c = v = 1; prediction collapsed to one
+    cluster ⇒ homogeneity 0 (nano-quantized), completeness 1 (H(K|C)
+    = 0), v = 0."""
+    from prclz_ray.pipelines.queries import q_v_measure_langid
+    en = "the and of to a in is it that for"
+    fr = "le la et les des un une est dans pour"
+    d = str(tmp_path / "sep")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "lang": pa.array(["en"] * 4 + ["fr"] * 4),
+        "text": pa.array([en] * 4 + [fr] * 4)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_v_measure_langid(d)
+    assert float(out["homogeneity"].iloc[0]) == 1.0
+    assert float(out["completeness"].iloc[0]) == 1.0
+    assert float(out["v_measure"].iloc[0]) == 1.0
+
+    d2 = str(tmp_path / "col")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "lang": pa.array(["en"] * 3 + ["fr"] * 3),
+        "text": pa.array([en] * 6)}),
+        os.path.join(d2, "documents.parquet"))
+    out = q_v_measure_langid(d2)
+    # pred all 'en': H(C|K) = H(C) > 0 => hom 0; H(K|C) = 0 => com 1
+    assert float(out["homogeneity"].iloc[0]) == 0.0
+    assert float(out["completeness"].iloc[0]) == 1.0
+    assert float(out["v_measure"].iloc[0]) == 0.0
+    assert int(out["hk_nano"].iloc[0]) == 0
+
+
+def test_semivariogram_two_cell_golden(tmp_path):
+    """Revenue only in nations 0 and 1 (lag d²=1): that pair
+    contributes (v0−v1)²/2 at d²=1; pairs of empty cells contribute 0,
+    so γ(d²) is hand-derivable for every lag; pair counts must sum to
+    C(25,2) = 300."""
+    from prclz_ray.pipelines.queries import (
+        q_semivariogram_nation_revenue)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2], type=pa.int64()),
+        "o_totalprice": pa.array([100.0, 40.0])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1], type=pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_semivariogram_nation_revenue(d).set_index("d2")
+    assert int(out["n_pairs"].sum()) == 300
+    v0, v1 = 10000, 4000
+    # d2=1: 40 pairs, only (0,1) nonzero
+    assert float(out.loc[1, "gamma"]) == round(
+        (v0 - v1) ** 2 / (2 * int(out.loc[1, "n_pairs"])), 6)
+    # a lag where neither 0 nor 1 pairs with the other: d2=2 pairs are
+    # diagonal; (0,1) not among them but (0,6),(1,5),(1,7)... involve
+    # one nonzero cell each: (v-0)^2 contributions
+    n2 = int(out.loc[2, "n_pairs"])
+    # nation 0 at (0,0): d2=2 partner (1,1)=6; nation 1 at (1,0):
+    # partners (0,1)=5 and (2,1)=7 => 3 nonzero pairs
+    num2 = v0 ** 2 + v1 ** 2 + v1 ** 2
+    assert float(out.loc[2, "gamma"]) == round(num2 / (2 * n2), 6)
