@@ -5533,9 +5533,13 @@ def test_semivariogram_two_cell_golden(tmp_path):
     out = q_semivariogram_nation_revenue(d).set_index("d2")
     assert int(out["n_pairs"].sum()) == 300
     v0, v1 = 10000, 4000
-    # d2=1: 40 pairs, only (0,1) nonzero
+    # d2=1 (40 rook pairs): (0,1) contributes (v0-v1)^2; pairs of a
+    # nonzero cell with an empty neighbor contribute v^2 each —
+    # nation 0 at (0,0) has empty neighbor cell 5, nation 1 at (1,0)
+    # has empty neighbors cells 2 and 6
+    num1 = (v0 - v1) ** 2 + v0 ** 2 + 2 * v1 ** 2
     assert float(out.loc[1, "gamma"]) == round(
-        (v0 - v1) ** 2 / (2 * int(out.loc[1, "n_pairs"])), 6)
+        num1 / (2 * int(out.loc[1, "n_pairs"])), 6)
     # a lag where neither 0 nor 1 pairs with the other: d2=2 pairs are
     # diagonal; (0,1) not among them but (0,6),(1,5),(1,7)... involve
     # one nonzero cell each: (v-0)^2 contributions
