@@ -5548,3 +5548,93 @@ def test_semivariogram_two_cell_golden(tmp_path):
     # partners (0,1)=5 and (2,1)=7 => 3 nonzero pairs
     num2 = v0 ** 2 + v1 ** 2 + v1 ** 2
     assert float(out.loc[2, "gamma"]) == round(num2 / (2 * n2), 6)
+
+
+def test_unimax_waterfilling_golden(tmp_path):
+    """Hand-built corpus: token counts 2/4/100 with B = 2·106 = 212,
+    C = 3.  Ascending scan: lang a (3·2·3=18 < 212 ⇒ capped, 6),
+    lang b (3·4·2=24 < 206 ⇒ capped, 12), lang c (3·100·1=300 ≥ 194
+    ⇒ uncapped, gets 212−18 = 194).  Epochs: 3, 3, 1.94."""
+    from prclz_ray.pipelines.queries import q_unimax_token_budget
+    d = str(tmp_path)
+    texts = {"aa": "w " * 1 + "w",          # 2 tokens
+             "bb": "w " * 3 + "w",          # 4 tokens
+             "cc": "w " * 99 + "w"}         # 100 tokens
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "lang": pa.array(["aa", "bb", "cc"]),
+        "text": pa.array([texts["aa"], texts["bb"], texts["cc"]])}),
+        os.path.join(d, "documents.parquet"))
+    out = q_unimax_token_budget(d).set_index("lang")
+    assert int(out.loc["aa", "tokens"]) == 2
+    assert bool(out.loc["aa", "capped"]) is True
+    assert float(out.loc["aa", "alloc_tokens"]) == 6.0
+    assert float(out.loc["aa", "epochs"]) == 3.0
+    assert bool(out.loc["bb", "capped"]) is True
+    assert float(out.loc["bb", "alloc_tokens"]) == 12.0
+    assert bool(out.loc["cc", "capped"]) is False
+    assert float(out.loc["cc", "alloc_tokens"]) == 194.0
+    assert float(out.loc["cc", "epochs"]) == 1.94
+
+
+def test_friedman_consistent_and_tied(tmp_path):
+    """One priority strictly dominant in every one of 3 complete
+    months ⇒ ranks are identical per month and χ² hits the no-tie
+    hand value; months missing a priority are excluded from the
+    blocks."""
+    from prclz_ray.pipelines.queries import q_friedman_priority_months
+    d = str(tmp_path)
+    dates, prios, prices = [], [], []
+    base = np.datetime64("1995-01-15", "us")
+    for m in range(3):
+        for p in range(5):
+            dates.append(base + np.timedelta64(31 * m, "D")
+                         .astype("timedelta64[us]"))
+            prios.append(f"{p+1}-P")
+            prices.append(float(100 * (p + 1)))
+    # an extra incomplete month (only 2 priorities) must be dropped
+    for p in range(2):
+        dates.append(base + np.timedelta64(200, "D")
+                     .astype("timedelta64[us]"))
+        prios.append(f"{p+1}-P")
+        prices.append(50.0)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(dates),
+        "o_orderpriority": pa.array(prios),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_friedman_priority_months(d)
+    assert int(out["n_months"].iloc[0]) == 3
+    # per month ranks 1..5 => R_j = 3j => R2_j = 6j; sum (6j)^2
+    s2 = sum((6 * j) ** 2 for j in range(1, 6))
+    assert int(out["sum_r2_sq"].iloc[0]) == s2
+    chi2 = 3 * s2 / (3 * 5 * 6) - 3.0 * 3 * 6
+    # perfectly consistent ranking saturates at n*(k-1) = 12
+    assert float(out["chi2"].iloc[0]) == round(chi2, 6)
+    assert abs(chi2 - 12.0) < 1e-9
+
+
+def test_flow_accumulation_monotone_ramp(tmp_path):
+    """A single customer pins one high cell; empty cells are flat
+    (elevation 0, no strictly-lower neighbor ⇒ pits with acc 1); the
+    peak flows to its first-in-order neighbor and that neighbor
+    accumulates 2."""
+    from prclz_ray.pipelines.queries import q_flow_accumulation_grid
+    d = str(tmp_path)
+    # custkey 1: px = 7919%1000 = 919 -> cx 28; py = 104729%1000 =
+    # 729 -> cy 22 -> cell 22*32+28 = 732
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_acctbal": pa.array([500.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_flow_accumulation_grid(d).set_index("cell")
+    assert len(out) == 1024
+    assert int(out.loc[732, "elevation"]) == 50000
+    # first D8 neighbor in order is (-1,-1): cell 21*32+27 = 699
+    assert int(out.loc[732, "down_cell"]) == 699
+    assert int(out.loc[699, "flow_acc"]) == 2
+    assert int(out.loc[732, "flow_acc"]) == 1
+    assert out.loc[0, "down_cell"] is None or \
+        np.isnan(out.loc[0, "down_cell"])
+    assert int(out.loc[0, "flow_acc"]) == 1
+    assert int(out["flow_acc"].sum()) >= 1024
