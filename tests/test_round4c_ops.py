@@ -5638,3 +5638,89 @@ def test_flow_accumulation_monotone_ramp(tmp_path):
         np.isnan(out.loc[0, "down_cell"])
     assert int(out.loc[0, "flow_acc"]) == 1
     assert int(out["flow_acc"].sum()) >= 1024
+
+
+def test_shapley_single_channel_and_conservation(tmp_path):
+    """Converted users touched only by 'click' give click the whole
+    credit (φ·24 = 24·n) and all other channels 0; with two channels
+    each appearing alone plus one joint user, φ splits the joint
+    user's credit equally — and Σφ·24 always equals
+    24·(v(full) − v(∅))."""
+    from prclz_ray.pipelines.queries import q_shapley_attribution
+    d = str(tmp_path / "solo")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["click", "purchase",
+                                "click", "purchase"])}),
+        os.path.join(d, "events.parquet"))
+    out = q_shapley_attribution(d).set_index("channel")
+    assert int(out.loc["click", "phi_24"]) == 48
+    assert float(out.loc["click", "phi"]) == 2.0
+    for ch in ("error", "signup", "view"):
+        assert int(out.loc[ch, "phi_24"]) == 0
+
+    d2 = str(tmp_path / "joint")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3, 3, 3],
+                            type=pa.int64()),
+        "event_type": pa.array(["click", "purchase",
+                                "view", "purchase",
+                                "click", "view", "purchase"])}),
+        os.path.join(d2, "events.parquet"))
+    out = q_shapley_attribution(d2).set_index("channel")
+    # user1: click alone (24), user2: view alone (24), user3 joint
+    # click+view: split 12/12
+    assert int(out.loc["click", "phi_24"]) == 36
+    assert int(out.loc["view", "phi_24"]) == 36
+    assert int(out["phi_24"].sum()) == 72
+
+
+def test_capture_recapture_golden(tmp_path):
+    """10 click users, 5 purchase users, overlap 2, population 13:
+    Chapman = 11·6/3 − 1 = 21."""
+    from prclz_ray.pipelines.queries import q_capture_recapture_users
+    d = str(tmp_path)
+    uids, ets = [], []
+    for u in range(1, 11):
+        uids.append(u); ets.append("click")
+    for u in [1, 2, 11, 12, 13]:
+        uids.append(u); ets.append("purchase")
+    pq.write_table(pa.table({
+        "user_id": pa.array(uids, type=pa.int64()),
+        "event_type": pa.array(ets)}),
+        os.path.join(d, "events.parquet"))
+    out = q_capture_recapture_users(d)
+    assert int(out["n_click"].iloc[0]) == 10
+    assert int(out["n_purchase"].iloc[0]) == 5
+    assert int(out["n_both"].iloc[0]) == 2
+    assert int(out["n_true"].iloc[0]) == 13
+    assert float(out["chapman_est"].iloc[0]) == 21.0
+    assert float(out["rel_err"].iloc[0]) == round(8 / 13, 6)
+
+
+def test_theta_sketch_degenerate_exact(tmp_path):
+    """Below k distinct hashes the sketch degenerates to exact
+    counting: est_union = |A∪B|, est_inter = |A∩B| (hash level ==
+    user level here), jaccard exact, errors 0."""
+    from prclz_ray.pipelines.queries import q_theta_sketch_set_ops
+    d = str(tmp_path)
+    uids, ets = [], []
+    for u in range(1, 31):
+        uids.append(u); ets.append("click")
+    for u in range(21, 41):
+        uids.append(u); ets.append("purchase")
+    pq.write_table(pa.table({
+        "user_id": pa.array(uids, type=pa.int64()),
+        "event_type": pa.array(ets)}),
+        os.path.join(d, "events.parquet"))
+    out = q_theta_sketch_set_ops(d)
+    assert int(out["exact_union"].iloc[0]) == 40
+    assert int(out["exact_inter"].iloc[0]) == 10
+    assert float(out["est_union"].iloc[0]) == 40.0
+    assert float(out["est_inter"].iloc[0]) == 10.0
+    assert int(out["c_both"].iloc[0]) == 10
+    assert float(out["jaccard_est"].iloc[0]) == 0.25
+    assert float(out["err_union"].iloc[0]) == 0.0
+    assert float(out["err_inter"].iloc[0]) == 0.0
