@@ -5724,3 +5724,127 @@ def test_theta_sketch_degenerate_exact(tmp_path):
     assert float(out["jaccard_est"].iloc[0]) == 0.25
     assert float(out["err_union"].iloc[0]) == 0.0
     assert float(out["err_inter"].iloc[0]) == 0.0
+
+
+def test_viewshed_single_peak_all_visible(tmp_path):
+    """One peak on an otherwise flat raster: every cell is visible
+    (the sight line from the peak is always above the zero plain) and
+    the observer is the peak with 0 blockers."""
+    from prclz_ray.pipelines.queries import q_viewshed_grid
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_acctbal": pa.array([500.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_viewshed_grid(d)
+    assert len(out) == 1024
+    assert bool(out["visible"].all())
+    peak = out.set_index("cell").loc[732]
+    assert int(peak["elevation"]) == 50000
+    assert int(peak["n_blockers"]) == 0
+
+
+def test_viewshed_wall_blocks(tmp_path):
+    """A ridge cell between observer and a far cell on the same row
+    blocks it: custkeys chosen so three cells land on row 22 (cy=22)
+    with the observer highest, a mid wall, and a low far cell behind
+    the wall."""
+    from prclz_ray.pipelines.queries import q_viewshed_grid
+    import numpy as np
+    # find custkeys mapping to specific cells: cx=(k*7919%1000)//32,
+    # cy=(k*104729%1000)//32
+    need = {}
+    for k in range(1, 200000):
+        cx = ((k * 7919) % 1000) // 32
+        cy = ((k * 104729) % 1000) // 32
+        # the (7919k, 104729k) lattice only reaches certain cx on a
+        # given row; 0/11/21 are reachable on row 22
+        if cy == 22 and cx in (0, 11, 21) and (cy, cx) not in need:
+            need[(cy, cx)] = k
+        if len(need) == 3:
+            break
+    assert len(need) == 3
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([need[(22, 0)], need[(22, 11)],
+                               need[(22, 21)]], type=pa.int64()),
+        "c_acctbal": pa.array([1000.0, 500.0, 10.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_viewshed_grid(d).set_index("cell")
+    obs = 22 * 32 + 0
+    wall = 22 * 32 + 11
+    far = 22 * 32 + 21
+    assert int(out.loc[obs, "elevation"]) == 100000
+    assert bool(out.loc[wall, "visible"])  # nothing between is higher
+    # sight line obs(100000) -> far(1000), steps=21; at the wall
+    # (s=11): (50000-100000)*21 = -1050000 > (1000-100000)*11 =
+    # -1089000 => the wall pokes above the line => blocked
+    assert not bool(out.loc[far, "visible"])
+    assert int(out.loc[far, "n_blockers"]) >= 1
+
+
+def test_eb_shrinkage_pulls_toward_mean(tmp_path):
+    """Two extreme small sources and two large moderate ones: the
+    shrunken rate of every source lies strictly between its raw rate
+    and the prior mean (the EB contraction property), and a
+    zero-variance corpus leaves rates untouched."""
+    from prclz_ray.pipelines.queries import q_eb_shrunk_rate_by_source
+    d = str(tmp_path / "var")
+    os.makedirs(d)
+    srcs, langs = [], []
+    for _ in range(4):            # s1: 4 docs, all en (raw 1.0)
+        srcs.append("s1"); langs.append("en")
+    for _ in range(4):            # s2: 4 docs, none en (raw 0.0)
+        srcs.append("s2"); langs.append("fr")
+    for i in range(100):          # s3: 100 docs, half en
+        srcs.append("s3"); langs.append("en" if i % 2 == 0 else "fr")
+    for i in range(100):          # s4: 100 docs, half en
+        srcs.append("s4"); langs.append("en" if i % 2 == 0 else "fr")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(srcs), dtype=np.int64)),
+        "source": pa.array(srcs), "lang": pa.array(langs)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_eb_shrunk_rate_by_source(d).set_index("source")
+    assert float(out.loc["s1", "raw_rate"]) == 1.0
+    assert 0.5 < float(out.loc["s1", "shrunk_rate"]) < 1.0
+    assert 0.0 < float(out.loc["s2", "shrunk_rate"]) < 0.5
+    # big sources barely move
+    assert abs(float(out.loc["s3", "shrunk_rate"]) - 0.5) < 0.05
+
+    d2 = str(tmp_path / "flat")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "source": pa.array(["a", "a", "b", "b"]),
+        "lang": pa.array(["en", "fr", "en", "fr"])}),
+        os.path.join(d2, "documents.parquet"))
+    out = q_eb_shrunk_rate_by_source(d2).set_index("source")
+    assert float(out.loc["a", "shrunk_rate"]) == 0.5
+    assert float(out.loc["b", "shrunk_rate"]) == 0.5
+
+
+def test_rendezvous_only_removed_shard_moves(tmp_path):
+    """The HRW invariant: removing shard 0 moves EXACTLY the
+    documents assigned to shard 0 (moved_share = 1.0 there, 0.0
+    everywhere else), and assignments match an independent numpy
+    argmax reconstruction."""
+    from prclz_ray.pipelines.queries import (_rendezvous_seeds,
+                                             q_rendezvous_shard_stability)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(500, dtype=np.int64))}),
+        os.path.join(d, "documents.parquet"))
+    out = q_rendezvous_shard_stability(d).set_index("shard")
+    seeds = np.array(_rendezvous_seeds(), dtype=np.uint64)
+    dd = np.arange(500, dtype=np.uint64) + np.uint64(1)
+    w = np.stack([dd * s for s in seeds], axis=1)
+    full = np.argmax(w, axis=1)
+    for j in range(8):
+        nj = int((full == j).sum())
+        if nj == 0:
+            assert j not in out.index
+            continue
+        assert int(out.loc[j, "n_docs"]) == nj
+        want = 1.0 if j == 0 else 0.0
+        assert float(out.loc[j, "moved_share"]) == want
+    assert int(out["n_moved"].sum()) == int(out.loc[0, "n_docs"])
