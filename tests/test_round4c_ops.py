@@ -5848,3 +5848,76 @@ def test_rendezvous_only_removed_shard_moves(tmp_path):
         want = 1.0 if j == 0 else 0.0
         assert float(out.loc[j, "moved_share"]) == want
     assert int(out["n_moved"].sum()) == int(out.loc[0, "n_docs"])
+
+
+def test_randomized_response_exact_reconstruction(tmp_path):
+    """The flips are deterministic, so n_reported equals an
+    independent numpy reconstruction and the estimator identity
+    p_est = 2·(p_obs − 1/4) holds exactly."""
+    from prclz_ray.pipelines.queries import (_RR_SEED,
+                                             q_randomized_response_rate)
+    d = str(tmp_path)
+    users = np.arange(1, 201, dtype=np.int64)
+    et = np.where(users % 4 == 0, "purchase", "click")
+    pq.write_table(pa.table({
+        "user_id": pa.array(users),
+        "event_type": pa.array(et.astype(object))}),
+        os.path.join(d, "events.parquet"))
+    out = q_randomized_response_rate(d)
+    assert int(out["n_users"].iloc[0]) == 200
+    assert int(out["n_true_purchase"].iloc[0]) == 50
+    u = users.astype(np.uint64) + np.uint64(1)
+    flip = ((u * np.uint64(_RR_SEED)) >> np.uint64(62) == 0) \
+        .astype(np.int64)
+    b = (users % 4 == 0).astype(np.int64)
+    nr = int((b ^ flip).sum())
+    assert int(out["n_reported"].iloc[0]) == nr
+    p_obs = nr / 200
+    assert float(out["p_est"].iloc[0]) == round((p_obs - 0.25) * 2, 6)
+    assert float(out["p_true"].iloc[0]) == 0.25
+
+
+def test_lexicon_filter_crafted_counts(tmp_path):
+    """Hand-crafted docs: hits count word-boundary matches only
+    ('bigger' does not match 'big'), and the flag threshold is >= 3
+    hits."""
+    from prclz_ray.pipelines.queries import q_toxicity_lexicon_filter
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "source": pa.array(["s1", "s1", "s2"]),
+        "text": pa.array([
+            "slow dup big extra",          # 3 hits -> flagged
+            "bigger duplicate slowly",     # 0 hits (boundaries)
+            "slow slow"])}),               # 2 hits -> not flagged
+        os.path.join(d, "documents.parquet"))
+    out = q_toxicity_lexicon_filter(d).set_index("source")
+    assert int(out.loc["s1", "total_hits"]) == 3
+    assert int(out.loc["s1", "n_flagged"]) == 1
+    assert float(out.loc["s1", "flag_rate"]) == 0.5
+    assert int(out.loc["s2", "total_hits"]) == 2
+    assert int(out.loc["s2", "n_flagged"]) == 0
+
+
+def test_sortkey_advisor_clustered_vs_shuffled(tmp_path):
+    """A column equal to the blocking key scores ~1/B in ppm (each
+    block covers 1/16 of the domain) while a bit-reversed permutation
+    of the same values scores ~10^6 (every block spans the whole
+    domain)."""
+    from prclz_ray.pipelines.queries import q_sortkey_advisor_lineitem
+    d = str(tmp_path)
+    n = 4096
+    ok = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(12):
+        rev |= ((ok >> b) & 1) << (11 - b)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok),
+        "l_partkey": pa.array(ok * 2),      # perfectly co-clustered
+        "l_suppkey": pa.array(rev),         # anti-clustered
+        "l_extendedprice": pa.array(ok.astype(np.float64))}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_sortkey_advisor_lineitem(d).set_index("column")
+    assert int(out.loc["l_orderkey", "score_ppm"]) < 70000
+    assert int(out.loc["l_partkey", "score_ppm"]) < 70000
+    assert int(out.loc["l_suppkey", "score_ppm"]) > 900000
