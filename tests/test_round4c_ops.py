@@ -5921,3 +5921,75 @@ def test_sortkey_advisor_clustered_vs_shuffled(tmp_path):
     assert int(out.loc["l_orderkey", "score_ppm"]) < 70000
     assert int(out.loc["l_partkey", "score_ppm"]) < 70000
     assert int(out.loc["l_suppkey", "score_ppm"]) > 900000
+
+
+def test_lsh_planner_monotonicity_and_bounds(tmp_path=None):
+    """On the real sf0.001 sample: recall is non-increasing in rows
+    per band (r=1 ⇒ candidate iff ANY position agrees ⊇ every other
+    scheme's candidates), precision non-decreasing where defined, and
+    (64,1) has recall 1.0 unless there are no dups."""
+    from prclz_ray.pipelines.queries import q_lsh_param_planner
+    out = q_lsh_param_planner("/root/testdata/sf0.001") \
+        .sort_values("rows_per_band").reset_index(drop=True)
+    assert len(out) == 7
+    nc = out["n_candidates"].to_numpy()
+    assert (np.diff(nc) <= 0).all()      # stricter rule, fewer cands
+    rec = out["recall"].to_numpy(np.float64)
+    if int(out["n_dups"].iloc[0]) > 0:
+        assert (np.diff(rec[~np.isnan(rec)]) <= 1e-12).all()
+        assert rec[0] == 1.0 or nc[0] < 250
+
+
+def test_emerging_hotspots_crafted_trend(tmp_path):
+    """A single nation with strictly growing monthly revenue makes
+    its own cell and every rook neighbor 'rising' (the neighborhood
+    sum inherits the trend), while far cells stay flat."""
+    from prclz_ray.pipelines.queries import q_emerging_hotspots
+    d = str(tmp_path)
+    dates, prices = [], []
+    base = np.datetime64("1995-01-15", "us")
+    for m in range(6):
+        dates.append(base + np.timedelta64(31 * m, "D")
+                     .astype("timedelta64[us]"))
+        prices.append(float(100 * (m + 1)))
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(dates),
+        "o_custkey": pa.array([1] * 6, type=pa.int64()),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_nationkey": pa.array([12], type=pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_emerging_hotspots(d).set_index("cell")
+    nm = int(out["n_months"].iloc[0])
+    smax = nm * (nm - 1) // 2
+    for c in (12, 11, 13, 7, 17):
+        assert out.loc[c, "trend"] == "rising"
+        assert int(out.loc[c, "mk_s"]) == smax
+    assert out.loc[0, "trend"] == "flat"
+    assert int(out.loc[0, "mk_s"]) == 0
+    assert int(out.loc[12, "n_neighbors"]) == 4
+    assert int(out.loc[0, "n_neighbors"]) == 2
+
+
+def test_headtail_breaks_heavy_tail(tmp_path):
+    """A pareto-ish crafted set recurses: 80 values of 100, 15 of
+    1000, 5 of 10000 — level-0 mean 730 keeps {1000,10000} (20 % <
+    40 % ⇒ recurse), level-1 mean 3250 keeps {10000} (25 % < 40 % ⇒
+    recurse), level 2 is all-equal (head empty ⇒ stop): exactly 3
+    levels with hand-computable means."""
+    from prclz_ray.pipelines.queries import q_headtail_breaks_acctbal
+    d = str(tmp_path)
+    vals = [100.0] * 80 + [1000.0] * 15 + [10000.0] * 5
+    pq.write_table(pa.table({
+        "c_acctbal": pa.array(vals)}),
+        os.path.join(d, "customer.parquet"))
+    out = q_headtail_breaks_acctbal(d)
+    assert len(out) == 3
+    assert int(out.loc[0, "n_values"]) == 100
+    assert float(out.loc[0, "mean_cents"]) == 73000.0
+    assert int(out.loc[1, "n_values"]) == 20
+    assert float(out.loc[1, "mean_cents"]) == 325000.0
+    assert int(out.loc[2, "n_values"]) == 5
+    assert float(out.loc[2, "mean_cents"]) == 1000000.0
