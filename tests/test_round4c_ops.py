@@ -5993,3 +5993,83 @@ def test_headtail_breaks_heavy_tail(tmp_path):
     assert float(out.loc[1, "mean_cents"]) == 325000.0
     assert int(out.loc[2, "n_values"]) == 5
     assert float(out.loc[2, "mean_cents"]) == 1000000.0
+
+
+def test_cross_k_two_point_golden(tmp_path):
+    """One AUTOMOBILE and one BUILDING customer at known hash points:
+    the ordered cross-pair count flips from 0 to 1 exactly at the
+    radius that covers their integer distance, and k12_hat =
+    A·pairs/(n1·n2)."""
+    from prclz_ray.pipelines.queries import q_cross_k_segments
+    # custkeys 1,2: p1=(919,729), p2=(838,458) -> d2=6561+73441 far
+    # (>25), so craft via k and k+1000 (identical points, d=0)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 1001], type=pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE", "BUILDING"])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_cross_k_segments(d).set_index("r")
+    for r in (5, 10, 15, 20, 25):
+        assert int(out.loc[r, "n_pairs"]) == 1     # coincident pair
+        assert float(out.loc[r, "k12_hat"]) == 1000000.0
+
+
+def test_majority_filter_smooths_lone_cell(tmp_path):
+    """A lone MACHINERY cell with two BUILDING neighbors flips to
+    BUILDING under the 3×3 mode (vote 2 vs 1); the lattice-isolated
+    cell (0,0) keeps its own mode.  (The (7919k, 104729k) hash
+    lattice reaches only 200 of the 400 cells and admits no full
+    plus shape — custkeys 234/160/308 realize center (0,11) with
+    neighbors (0,12) and (1,10), and k=1000 lands alone at
+    (0,0).)"""
+    from prclz_ray.pipelines.queries import q_raster_majority_filter
+    keys = [234, 160, 308, 1000]
+    segs = ["MACHINERY", "BUILDING", "BUILDING", "FURNITURE"]
+    for k, want in zip(keys, [(0, 11), (0, 12), (1, 10), (0, 0)]):
+        cx = ((k * 7919) % 1000) // 50
+        cy = ((k * 104729) % 1000) // 50
+        assert (cx, cy) == want
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys, type=pa.int64()),
+        "c_mktsegment": pa.array(segs)}),
+        os.path.join(d, "customer.parquet"))
+    out = q_raster_majority_filter(d).set_index("cell")
+    center = 11 * 20 + 0
+    assert out.loc[center, "raw_mode"] == "MACHINERY"
+    assert out.loc[center, "smooth_mode"] == "BUILDING"
+    assert bool(out.loc[center, "changed"])
+    lone = 0 * 20 + 0
+    assert out.loc[lone, "smooth_mode"] == "FURNITURE"
+    assert not bool(out.loc[lone, "changed"])
+
+
+def test_knn_classifier_separable_labels(tmp_path):
+    """Labels that follow position perfectly (nation = geometric
+    grid cell of the point) classify almost perfectly; labels
+    assigned randomly-by-parity classify poorly — the op must
+    separate the two regimes."""
+    from prclz_ray.pipelines.queries import q_knn_classifier_eval
+    d = str(tmp_path / "geo")
+    os.makedirs(d)
+    ks = np.arange(1, 401, dtype=np.int64)
+    x = (ks * 7919) % 1000
+    y = (ks * 104729) % 1000
+    nat_geo = (x // 200) + 5 * (y // 200)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(ks),
+        "c_nationkey": pa.array(nat_geo.astype(np.int32))}),
+        os.path.join(d, "customer.parquet"))
+    out = q_knn_classifier_eval(d)
+    acc_geo = out["n_correct"].sum() / out["n_points"].sum()
+    assert acc_geo > 0.75
+
+    d2 = str(tmp_path / "par")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(ks),
+        "c_nationkey": pa.array((ks % 25).astype(np.int32))}),
+        os.path.join(d2, "customer.parquet"))
+    out2 = q_knn_classifier_eval(d2)
+    acc_par = out2["n_correct"].sum() / out2["n_points"].sum()
+    assert acc_par < acc_geo
