@@ -6144,3 +6144,91 @@ def test_erlang_c_reference_values(tmp_path):
     assert out.loc[1, "p_wait"] is None or \
         np.isnan(out.loc[1, "p_wait"])
     assert float(out.loc[2, "p_wait"]) == round(1 / 3, 6)
+
+
+def test_pmedian_greedy_brute_force(tmp_path=None):
+    """The 3 greedy picks on sf0.001 must match an independent numpy
+    brute-force greedy (same tiebreak), and total cost must be
+    non-increasing across steps."""
+    from prclz_ray.pipelines.queries import q_greedy_pmedian_cells
+    import pyarrow.parquet as pq2
+    out = q_greedy_pmedian_cells("/root/testdata/sf0.001")
+    k = pq2.read_table("/root/testdata/sf0.001/customer.parquet",
+                       columns=["c_custkey"])["c_custkey"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    x = (k * 7919) % 1000
+    y = (k * 104729) % 1000
+    centers = [(100 + 200 * (c % 5), 100 + 200 * (c // 5))
+               for c in range(25)]
+    d2 = np.stack([(x - cx) ** 2 + (y - cy) ** 2
+                   for cx, cy in centers])     # 25 x n
+    best = np.full(len(k), np.iinfo(np.int64).max // 2)
+    chosen = []
+    for step in range(3):
+        costs = [(int(np.minimum(best, d2[c]).sum()), c)
+                 for c in range(25) if c not in chosen]
+        cost, c = min(costs)
+        assert int(out.loc[step, "chosen_cell"]) == c
+        assert int(out.loc[step, "total_cost"]) == cost
+        chosen.append(c)
+        best = np.minimum(best, d2[c])
+    tc = out["total_cost"].to_numpy()
+    assert (np.diff(tc) <= 0).all()
+
+
+def test_demand_classification_quadrants(tmp_path):
+    """Crafted parts hit all four Syntetos-Boylan quadrants exactly:
+    steady daily demand of equal size => smooth; every-3-days equal
+    size => intermittent; daily wildly-varying size => erratic;
+    sparse AND varying => lumpy; single-day => insufficient."""
+    from prclz_ray.pipelines.queries import q_demand_classification_parts
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    rows_pk, rows_q, rows_d = [], [], []
+
+    def add(pk, days, qtys):
+        for dy, q in zip(days, qtys):
+            rows_pk.append(pk)
+            rows_d.append(base + np.timedelta64(dy, "D")
+                          .astype("timedelta64[us]"))
+            rows_q.append(float(q))
+
+    add(1, range(10), [5] * 10)                    # smooth
+    add(2, [0, 3, 6, 9, 12], [5] * 5)              # intermittent
+    add(3, range(10), [1, 20, 1, 20, 1, 20, 1, 20, 1, 20])  # erratic
+    add(4, [0, 3, 6, 9, 12], [1, 30, 1, 30, 1])    # lumpy
+    add(5, [0], [7])                               # insufficient
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(rows_pk, type=pa.int64()),
+        "l_quantity": pa.array(rows_q),
+        "l_shipdate": pa.array(rows_d)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_demand_classification_parts(d).set_index("p_partkey")
+    assert out.loc[1, "pattern"] == "smooth"
+    assert out.loc[2, "pattern"] == "intermittent"
+    assert float(out.loc[2, "adi"]) == 3.0
+    assert out.loc[3, "pattern"] == "erratic"
+    assert out.loc[4, "pattern"] == "lumpy"
+    assert out.loc[5, "pattern"] == "insufficient"
+    assert out.loc[5, "adi"] is None or np.isnan(out.loc[5, "adi"])
+
+
+def test_poisson_bootstrap_multiplicity_moments(tmp_path):
+    """The deterministic multiplicities reproduce Poisson(1) moments
+    (mean weight per replicate ~ n·1), and the SE is positive and
+    near s/√n for a spread-out corpus."""
+    from prclz_ray.pipelines.queries import q_poisson_bootstrap_lengths
+    d = str(tmp_path)
+    n = 2000
+    lens = (np.arange(n, dtype=np.int64) % 500) + 10
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "n_chars": pa.array(lens)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_poisson_bootstrap_lengths(d)
+    assert int(out["n_docs"].iloc[0]) == n
+    mean = float(out["mean_len"].iloc[0])
+    assert mean == round(float(lens.sum()) / n, 6)
+    se = float(out["boot_se"].iloc[0])
+    sd = float(lens.std())
+    assert 0.3 * sd / np.sqrt(n) < se < 3.0 * sd / np.sqrt(n)
