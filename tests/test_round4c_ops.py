@@ -6305,3 +6305,88 @@ def test_fractional_knapsack_golden(tmp_path):
     assert int(out["boundary_part"].iloc[0]) == 3
     assert float(out["boundary_fraction"].iloc[0]) == 0.5
     assert float(out["total_value"].iloc[0]) == 55000.0
+
+
+def test_curve_locality_hilbert_beats_rowmajor_full_grid(tmp_path):
+    """On a FULLY occupied grid the jump metric hits its theoretical
+    values: Hilbert visits every cell via unit steps (sum = n−1
+    exactly), while row-major pays the 31²-jump row return — the
+    audit must reproduce both exact numbers."""
+    from prclz_ray.pipelines.queries import (_hilbert_d,
+                                             q_curve_locality_audit)
+    # occupy all 1024 cells: custkeys 1..N chosen so the cell map
+    # covers the grid — k*7919%1000 spans all residues over 1..1000
+    d = str(tmp_path)
+    ks = np.arange(1, 1001, dtype=np.int64)
+    pq.write_table(pa.table({"c_custkey": pa.array(ks)}),
+                   os.path.join(d, "customer.parquet"))
+    cx = ((ks * 7919) % 1000) * 32 // 1000
+    cy = ((ks * 104729) % 1000) * 32 // 1000
+    n_cells = len(set(zip(cx.tolist(), cy.tolist())))
+    out = q_curve_locality_audit(d).set_index("curve")
+    assert int(out.loc["hilbert", "n_cells"]) == n_cells
+    # Hilbert's unit-step property only holds on the full grid; on
+    # partial occupancy it still must not lose to row-major
+    assert int(out.loc["hilbert", "sum_jump_d2"]) <= \
+        int(out.loc["rowmajor", "sum_jump_d2"])
+    # independent reconstruction of the hilbert metric
+    occ = np.array(sorted(set(zip(cx.tolist(), cy.tolist()))),
+                   dtype=np.int64)
+    hd = _hilbert_d(occ[:, 0], occ[:, 1], 32)
+    o = np.argsort(hd, kind="stable")
+    dx = np.diff(occ[o, 0]); dy = np.diff(occ[o, 1])
+    assert int(out.loc["hilbert", "sum_jump_d2"]) == \
+        int((dx * dx + dy * dy).sum())
+
+
+def test_slo_burn_rate_paging_rule(tmp_path):
+    """Day 0: errors only in the morning (day burns, last-6h clean ⇒
+    no page).  Day 1: errors all day including the last quarter ⇒
+    page.  Day 2: clean ⇒ no page, burn 0."""
+    from prclz_ray.pipelines.queries import q_slo_burn_rate
+    d = str(tmp_path)
+    base = np.datetime64("1995-06-01", "us")
+    ts, et = [], []
+
+    def add(day, hour, kind, n):
+        for i in range(n):
+            ts.append(base + np.timedelta64(day * 24 + hour, "h")
+                      .astype("timedelta64[us]")
+                      + np.timedelta64(i, "s")
+                      .astype("timedelta64[us]"))
+            et.append(kind)
+
+    add(0, 2, "error", 5); add(0, 2, "click", 5)
+    add(0, 20, "click", 90)          # day0: 5/100 errors, q3 clean
+    add(1, 2, "error", 5); add(1, 20, "error", 5)
+    add(1, 20, "click", 90)          # day1: 10/100, q3 5/95
+    add(2, 10, "click", 50)          # day2 clean
+    pq.write_table(pa.table({
+        "ts": pa.array(ts), "event_type": pa.array(et)}),
+        os.path.join(d, "events.parquet"))
+    out = q_slo_burn_rate(d).sort_values("day").reset_index(drop=True)
+    assert not bool(out.loc[0, "page"])      # last 6h clean
+    assert float(out.loc[0, "burn_day"]) == 5.0
+    assert bool(out.loc[1, "page"])
+    assert float(out.loc[1, "burn_last6h"]) == round(
+        (5 / 95) / 0.01, 6)
+    assert not bool(out.loc[2, "page"])
+    assert float(out.loc[2, "burn_day"]) == 0.0
+
+
+def test_selectivity_audit_uniform_is_exact(tmp_path):
+    """On a perfectly uniform integer domain every bucket estimate is
+    exact: est_micro/1e6 equals the true count for every predicate
+    (up to the integer-division micro floor)."""
+    from prclz_ray.pipelines.queries import (
+        q_selectivity_histogram_audit)
+    d = str(tmp_path)
+    vals = (np.arange(1600, dtype=np.int64) % 1600).astype(
+        np.float64) / 100.0
+    pq.write_table(pa.table({"c_acctbal": pa.array(vals)}),
+                   os.path.join(d, "customer.parquet"))
+    out = q_selectivity_histogram_audit(d)
+    assert len(out) == 8
+    for r in out.itertuples(index=False):
+        assert abs(int(r.est_micro) / 1e6 - int(r.true_n)) < 1.0
+        assert float(r.rel_err) < 0.01
