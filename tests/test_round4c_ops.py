@@ -6390,3 +6390,70 @@ def test_selectivity_audit_uniform_is_exact(tmp_path):
     for r in out.itertuples(index=False):
         assert abs(int(r.est_micro) / 1e6 - int(r.true_n)) < 1.0
         assert float(r.rel_err) < 0.01
+
+
+def test_quadrat_uniform_vs_concentrated(tmp_path):
+    """All points in one quadrat maximizes χ² (hand value
+    n·(25−1)... exactly num = (25n−n)² + 24·n² = n²·(576+24)), while
+    a perfectly even 25-way split gives χ² = 0."""
+    from prclz_ray.pipelines.queries import q_quadrat_test_csr
+    d = str(tmp_path / "conc")
+    os.makedirs(d)
+    # custkeys k and k+1000·j share the same point => same quadrat
+    ks = 1 + 1000 * np.arange(10, dtype=np.int64)
+    pq.write_table(pa.table({"c_custkey": pa.array(ks)}),
+                   os.path.join(d, "customer.parquet"))
+    out = q_quadrat_test_csr(d)
+    n = 10
+    num = (25 * n - n) ** 2 + 24 * n * n
+    assert int(out["chi2_num"].iloc[0]) == num
+    assert float(out["chi2"].iloc[0]) == round(num / (25 * n), 6)
+
+
+def test_dorfman_textbook_optimum(tmp_path):
+    """p = 0.01 (1 error in 100) gives the textbook optimal pool size
+    k = 11 with E[tests]/item ≈ 0.196; pooling always beats
+    individual testing at this rate (cost < 1 for all k)."""
+    from prclz_ray.pipelines.queries import q_dorfman_pooling_plan
+    d = str(tmp_path)
+    et = ["error"] + ["click"] * 99
+    pq.write_table(pa.table({"event_type": pa.array(et)}),
+                   os.path.join(d, "events.parquet"))
+    out = q_dorfman_pooling_plan(d)
+    opt = out[out["is_optimal"]]
+    assert len(opt) == 1
+    assert int(opt["pool_size"].iloc[0]) == 11
+    assert (out["tests_per_item"] < 1.0).all()
+    k = 11
+    want = 1 / k + 1 - (1 - 0.01) ** k
+    assert float(opt["tests_per_item"].iloc[0]) == round(want, 6)
+
+
+def test_gorilla_regular_stream_compresses(tmp_path):
+    """A perfectly regular per-user stream (constant inter-arrival)
+    costs 64 + 36 + (n−2)·1 bits exactly; an irregular stream pays
+    the bucketed dod costs — both hand-computable."""
+    from prclz_ray.pipelines.queries import q_gorilla_encoding_estimate
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    ts, uid, eid = [], [], []
+    for i in range(50):                      # user 1: every 60 s
+        ts.append(base + np.timedelta64(60 * i, "s")
+                  .astype("timedelta64[us]"))
+        uid.append(1); eid.append(i)
+    # user 2: gaps 10, 110, 110+500 => dod values 100, 500
+    for i, off in enumerate([0, 10, 120, 730]):
+        ts.append(base + np.timedelta64(off, "s")
+                  .astype("timedelta64[us]"))
+        uid.append(2); eid.append(100 + i)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid, type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(uid, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_gorilla_encoding_estimate(d)
+    # user1: 64 + 36 + 48*1; user2: 64 + 36 + dod(100->12 bits,
+    # 500->16 bits)
+    want = (64 + 36 + 48) + (64 + 36 + 12 + 16)
+    assert int(out["encoded_bits"].iloc[0]) == want
+    assert int(out["n_events"].iloc[0]) == 54
