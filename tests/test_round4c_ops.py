@@ -6457,3 +6457,83 @@ def test_gorilla_regular_stream_compresses(tmp_path):
     want = (64 + 36 + 48) + (64 + 36 + 12 + 16)
     assert int(out["encoded_bits"].iloc[0]) == want
     assert int(out["n_events"].iloc[0]) == 54
+
+
+def test_bakeoff_constant_series_all_zero_mae(tmp_path):
+    """A constant daily series makes every method's MAE exactly 0
+    except nothing — all four methods predict the constant, so all
+    MAEs are 0 and skill ratios are NaN/NULL-free... naive MAE 0
+    means skill is NaN; craft instead a ramp: naive errs by the step
+    daily, snaive by 7 steps, and ses/mean land between."""
+    from prclz_ray.pipelines.queries import q_forecast_method_bakeoff
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    days = np.arange(60, dtype=np.int64)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array((days + 1).astype(np.float64))}),
+        os.path.join(d, "orders.parquet"))
+    out = q_forecast_method_bakeoff(d).set_index("method")
+    # ramp of 100 cents/day: naive error = 100 every day
+    assert float(out.loc["naive", "mae_cents"]) == 100.0
+    assert float(out.loc["snaive", "mae_cents"]) == 700.0
+    assert float(out.loc["snaive", "skill_vs_naive"]) == 7.0
+    # SES16 lags a ramp by a fixed amount: weighted mean lag =
+    # sum_{j=1..15} j*2^-j + 16*2^-15 steps
+    lag = sum(j * 0.5 ** j for j in range(1, 16)) + 16 * 0.5 ** 15
+    assert float(out.loc["ses16", "mae_cents"]) == round(
+        100 * lag, 6)
+
+
+def test_design_effect_identical_clusters_zero_icc(tmp_path):
+    """Clusters with identical composition have zero between-cluster
+    variance ⇒ ICC = −1/(b̄−1) (the balanced-design floor: cluster
+    sampling HELPS) and DEFF = 0; strongly separated clusters push
+    ICC → 1 and DEFF toward b̄."""
+    from prclz_ray.pipelines.queries import q_design_effect_nations
+    d = str(tmp_path / "same")
+    os.makedirs(d)
+    nk = np.repeat(np.arange(5, dtype=np.int32), 4)
+    vals = np.tile(np.array([100.0, 200.0, 100.0, 200.0]), 5)
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array(nk), "c_acctbal": pa.array(vals)}),
+        os.path.join(d, "customer.parquet"))
+    out = q_design_effect_nations(d)
+    assert int(out["ssb"].iloc[0]) <= 1          # floor residue only
+    assert abs(float(out["icc"].iloc[0]) + 1.0 / 3.0) < 1e-5
+    assert abs(float(out["deff"].iloc[0])) < 1e-5
+
+    d2 = str(tmp_path / "sep")
+    os.makedirs(d2)
+    vals2 = np.repeat(np.array([100.0, 500.0, 900.0, 1300.0,
+                                1700.0]), 4)
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array(nk), "c_acctbal": pa.array(vals2)}),
+        os.path.join(d2, "customer.parquet"))
+    out2 = q_design_effect_nations(d2)
+    assert float(out2["icc"].iloc[0]) > 0.9
+    assert float(out2["deff"].iloc[0]) > 3.0
+
+
+def test_areal_interpolation_mass_conservation(tmp_path):
+    """Overlap areas per target cell must equal the cell's own area
+    (mass conservation), the 9 cells tile the 1000×1000 frame, and a
+    single-nation corpus routes its value to exactly the cells
+    overlapping that nation's rect with hand-computed weights."""
+    from prclz_ray.pipelines.queries import (
+        q_areal_interpolation_supergrid)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([0], type=pa.int32()),
+        "c_acctbal": pa.array([400.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_areal_interpolation_supergrid(d).set_index("cell")
+    areas = out["overlap_area"]
+    assert int(areas.sum()) == 1000 * 1000
+    # nation 0 rect [0,200)x[0,200) lies inside supercell 0
+    # ([0,334)x[0,334)) entirely
+    assert int(out.loc[0, "value_num"]) == 40000 * 40000
+    assert float(out.loc[0, "value"]) == 40000.0
+    assert int(out["value_num"].sum()) == 40000 * 40000
