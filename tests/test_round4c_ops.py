@@ -6537,3 +6537,80 @@ def test_areal_interpolation_mass_conservation(tmp_path):
     assert int(out.loc[0, "value_num"]) == 40000 * 40000
     assert float(out.loc[0, "value"]) == 40000.0
     assert int(out["value_num"].sum()) == 40000 * 40000
+
+
+def test_slope_aspect_single_peak(tmp_path):
+    """A single peak at cell (28,22): the cell to its west has
+    dzx = e_peak − 0 > 0 pointing east ⇒ downhill aspect 'W'...
+    gradient points TOWARD the peak, downhill is AWAY: west
+    neighbor's east-cell is the peak so dzx>0, gx=−dzx<0 ⇒ 'W';
+    the peak itself is flat (both neighbors zero); border cells are
+    NULL."""
+    from prclz_ray.pipelines.queries import q_slope_aspect_grid
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_acctbal": pa.array([500.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_slope_aspect_grid(d).set_index("cell")
+    peak = 22 * 32 + 28
+    west = peak - 1
+    east = peak + 1
+    assert out.loc[peak, "aspect"] == "flat"
+    assert int(out.loc[peak, "slope2"]) == 0
+    assert out.loc[west, "aspect"] == "W"
+    assert int(out.loc[west, "slope2"]) == 50000 ** 2
+    assert out.loc[east, "aspect"] == "E"
+    assert out.loc[0, "slope2"] is None or \
+        np.isnan(out.loc[0, "slope2"])
+
+
+def test_bernoulli_cusum_shift_detection(tmp_path):
+    """Clean days decay the statistic to 0; a run of 10%-error days
+    accumulates positive increments and crosses the LLR-5 alarm
+    exactly when the hand-computed integer walk does."""
+    from prclz_ray.pipelines.queries import (_BCUSUM_H, _BCUSUM_L0,
+                                             _BCUSUM_L1,
+                                             q_bernoulli_cusum_errors)
+    d = str(tmp_path)
+    base = np.datetime64("1995-06-01", "us")
+    ts, et = [], []
+    for day in range(10):
+        err = 10 if day >= 5 else 0        # clean, then 10% errors
+        for i in range(100):
+            ts.append(base + np.timedelta64(day * 24, "h")
+                      .astype("timedelta64[us]")
+                      + np.timedelta64(i, "m")
+                      .astype("timedelta64[us]"))
+            et.append("error" if i < err else "click")
+    pq.write_table(pa.table({
+        "ts": pa.array(ts), "event_type": pa.array(et)}),
+        os.path.join(d, "events.parquet"))
+    out = q_bernoulli_cusum_errors(d).sort_values("day") \
+        .reset_index(drop=True)
+    assert (out.loc[:4, "state_nano"] == 0).all()
+    inc_bad = 10 * _BCUSUM_L1 + 90 * _BCUSUM_L0
+    state = 0
+    for i in range(5, 10):
+        state = max(0, state + inc_bad)
+        assert int(out.loc[i, "state_nano"]) == state
+        assert bool(out.loc[i, "alarm"]) == (state >= _BCUSUM_H)
+    assert bool(out["alarm"].any())
+
+
+def test_textrank_hub_word_wins(tmp_path):
+    """A word co-occurring with every other word (the hub of a star
+    graph) must out-rank the leaves."""
+    from prclz_ray.pipelines.queries import q_textrank_keywords
+    d = str(tmp_path)
+    # 'hub' adjacent to each leaf in its own doc => star graph
+    texts = [f"hub leaf{i}" for i in range(8)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "text": pa.array(texts)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_textrank_keywords(d)
+    assert out["word"].iloc[0] == "hub"
+    assert float(out["pagerank"].iloc[0]) > \
+        float(out["pagerank"].iloc[1])
+    assert len(out) == 9
