@@ -6614,3 +6614,85 @@ def test_textrank_hub_word_wins(tmp_path):
     assert float(out["pagerank"].iloc[0]) > \
         float(out["pagerank"].iloc[1])
     assert len(out) == 9
+
+
+def test_second_price_clearing_rules(tmp_path):
+    """Two bids: winner is the higher, pays the lower (rent = gap);
+    a tie at the top resolves to the smaller orderkey and pays the
+    SAME price (rent 0); a single bid pays itself."""
+    from prclz_ray.pipelines.queries import q_second_price_auction_parts
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 5, 4, 9], type=pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1, 1, 1], type=pa.int32()),
+        "l_partkey": pa.array([7, 7, 8, 8, 9], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 80.0, 50.0, 50.0,
+                                     33.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_second_price_auction_parts(d).set_index("p_partkey")
+    assert int(out.loc[7, "winner_orderkey"]) == 1
+    assert int(out.loc[7, "pay_cents"]) == 8000
+    assert int(out.loc[7, "rent_cents"]) == 2000
+    assert int(out.loc[8, "winner_orderkey"]) == 4    # tie -> min ok
+    assert int(out.loc[8, "pay_cents"]) == 5000
+    assert int(out.loc[8, "rent_cents"]) == 0
+    assert int(out.loc[9, "pay_cents"]) == 3300
+    assert int(out.loc[9, "n_bids"]) == 1
+
+
+def test_percolation_scan_monotone_and_crafted(tmp_path):
+    """Active count and largest cluster shrink as the threshold
+    rises; a crafted two-cell adjacent active pair at the top
+    threshold forms one component of size 2."""
+    from prclz_ray.pipelines.queries import (
+        q_percolation_components_scan)
+    # custkeys mapping to adjacent cells (22,28)->(22,29)? use the
+    # known lattice: cell of k=1 is (28,22); find a rook neighbor
+    need = None
+    for k in range(2, 300000):
+        cx = ((k * 7919) % 1000) // 32
+        cy = ((k * 104729) % 1000) // 32
+        if (abs(cx - 28) + abs(cy - 22)) == 1:
+            need = k
+            break
+    assert need is not None
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, need], type=pa.int64()),
+        "c_acctbal": pa.array([900.0, 900.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_percolation_components_scan(d).set_index(
+        "threshold_cents")
+    assert int(out.loc[80000, "n_active"]) == 2
+    assert int(out.loc[80000, "n_components"]) == 1
+    assert int(out.loc[80000, "largest_cluster"]) == 2
+    assert float(out.loc[80000, "largest_share"]) == 1.0
+    assert (out["n_active"].diff().dropna() <= 0).all()
+
+
+def test_lorenz_asymmetry_shapes(tmp_path):
+    """Equal revenues sit exactly at S = 1 (everyone AT the mean:
+    F2 = n, L2 = S ⇒ ½ + ½); one giant among equals pushes S
+    above... the giant pulls the mean ABOVE the crowd: many small
+    values below the mean ⇒ F(μ) large, L(μ) small — compute the
+    exact expectation by hand."""
+    from prclz_ray.pipelines.queries import q_lorenz_asymmetry_nation
+    d = str(tmp_path / "eq")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_totalprice": pa.array([50.0] * 4)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_lorenz_asymmetry_nation(d)
+    assert float(out["lorenz_asymmetry"].iloc[0]) == 1.0
+
+    d2 = str(tmp_path / "giant")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_totalprice": pa.array([10.0, 10.0, 10.0, 970.0])}),
+        os.path.join(d2, "orders.parquet"))
+    out = q_lorenz_asymmetry_nation(d2)
+    # mean 250: three below (F2=6), value share below = 3000/100000
+    want = 6 / 8 + (2 * 3000) / (2 * 100000)
+    assert float(out["lorenz_asymmetry"].iloc[0]) == round(want, 6)
