@@ -6696,3 +6696,74 @@ def test_lorenz_asymmetry_shapes(tmp_path):
     # mean 250: three below (F2=6), value share below = 3000/100000
     want = 6 / 8 + (2 * 3000) / (2 * 100000)
     assert float(out["lorenz_asymmetry"].iloc[0]) == round(want, 6)
+
+
+def test_radiation_uniform_masses_golden(tmp_path):
+    """One user commuting between two fixed cells daily creates a
+    two-cell OD world: for pair (i,j) with s_ij = 0 the prediction
+    reduces to m_i·m_i·m_j/((m_i)(m_i+m_j))·... — hand-compute from
+    the actual masses the op reports."""
+    from prclz_ray.pipelines.queries import q_radiation_model_flows
+    d = str(tmp_path)
+    hours = np.array([0, 3], dtype=np.int64)   # user 7: cells 17, 20
+    ts = pa.array((hours * 3_600_000_000).astype("datetime64[us]"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1], type=pa.int64()),
+        "ts": ts, "user_id": pa.array([7, 7], type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_radiation_model_flows(d)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.o_cell), int(r.d_cell)) == (17, 20)
+    mi, mj, s = int(r.mass_o), int(r.mass_d), int(r.s_ij)
+    want = (mi * mi * mj) / ((mi + s) * (mi + mj + s))
+    assert float(r.predicted) == round(want, 6)
+    assert int(r.observed) == 1
+
+
+def test_siegel_resists_outliers(tmp_path):
+    """A clean 100-cents/day ramp with two wild outlier days: the
+    repeated median still reports exactly 100 cents/day (nano units
+    10^11) where a mean-based slope would be dragged."""
+    from prclz_ray.pipelines.queries import q_siegel_slope_revenue
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    days = np.arange(31, dtype=np.int64)
+    prices = (days + 1).astype(np.float64)       # +100 cents/day
+    prices[10] = 5000.0
+    prices[20] = 0.01
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_siegel_slope_revenue(d)
+    assert int(out["siegel_slope_nano"].iloc[0]) == 100 * 10 ** 9
+    assert float(out["siegel_slope"].iloc[0]) == 100.0
+
+
+def test_popularity_baseline_crafted_split(tmp_path):
+    """Train period dominated by parts 1–10, test period buys parts
+    1–5 and 90–94: hit rate is exactly 1/2; the top-10 tiebreak
+    keeps the smaller partkey."""
+    from prclz_ray.pipelines.queries import q_popularity_baseline_hitrate
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    pk, dt = [], []
+    for p in range(1, 11):              # train: 10 popular parts x3
+        for _ in range(3):
+            pk.append(p)
+            dt.append(base)
+    for p in list(range(1, 6)) + list(range(90, 95)):
+        pk.append(p)
+        dt.append(base + np.timedelta64(99, "D")
+                  .astype("timedelta64[us]"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(pk, type=pa.int64()),
+        "l_shipdate": pa.array(dt)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_popularity_baseline_hitrate(d)
+    assert int(out["n_test"].iloc[0]) == 10
+    assert int(out["n_hits"].iloc[0]) == 5
+    assert float(out["hit_rate"].iloc[0]) == 0.5
