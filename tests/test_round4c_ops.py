@@ -6767,3 +6767,75 @@ def test_popularity_baseline_crafted_split(tmp_path):
     assert int(out["n_test"].iloc[0]) == 10
     assert int(out["n_hits"].iloc[0]) == 5
     assert float(out["hit_rate"].iloc[0]) == 0.5
+
+
+def test_join_discovery_finds_fk(tmp_path=None):
+    """On the real catalog the true FKs surface: orders.o_custkey is
+    fully contained in customer.c_custkey (containment exactly 1.0),
+    and lineitem.l_partkey in part.p_partkey."""
+    from prclz_ray.pipelines.queries import q_join_discovery_scan
+    out = q_join_discovery_scan("/root/testdata/sf0.001")
+    ix = out.set_index(["col_a", "col_b"])
+    key = ("customer.c_custkey", "orders.o_custkey")
+    row = ix.loc[key]
+    # containment_a is |A∩B|/|A| for the lexicographically first col
+    assert int(row["n_common"]) > 0
+    pk = ix.loc[("lineitem.l_partkey", "part.p_partkey")]
+    assert int(pk["n_common"]) == int(pk["ndv_a"])  # every FK matched
+
+
+def test_fd_audit_exact_and_violated(tmp_path):
+    """A crafted table where x=1 maps to two y values (3 rows, max
+    group 2 ⇒ g3 = 1) while the key-FD holds with 0 violations."""
+    from prclz_ray.pipelines.queries import q_fd_violation_audit
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderpriority": pa.array(["A", "A", "B"]),
+        "o_orderstatus": pa.array(["O", "F", "O"])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1], type=pa.int64()),
+        "l_returnflag": pa.array(["N"]),
+        "l_partkey": pa.array([5], type=pa.int64()),
+        "l_suppkey": pa.array([2], type=pa.int64())}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_fd_violation_audit(d).set_index("fd")
+    assert int(out.loc["orders: o_custkey -> o_orderpriority",
+                       "g3_violations"]) == 1
+    assert int(out.loc["orders: o_orderkey -> o_orderstatus",
+                       "g3_violations"]) == 0
+    assert float(out.loc["orders: o_custkey -> o_orderpriority",
+                         "violation_rate"]) == round(1 / 3, 6)
+
+
+def test_peak_prominence_crafted_topography(tmp_path):
+    """Two peaks separated by a valley: the higher peak's prominence
+    reaches the window floors; the lower peak's prominence is its
+    height above the SADDLE toward the higher peak — hand-computed
+    cents."""
+    from prclz_ray.pipelines.queries import q_peak_prominence_revenue
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    # series (cents): 100, 1000, 300, 700, 100  (days 0..4)
+    prices = [1.0, 10.0, 3.0, 7.0, 1.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(i, "D").astype("timedelta64[us]")
+            for i in range(5)]),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_peak_prominence_revenue(d).set_index("day")
+    abs0 = int((np.datetime64("1995-01-01") -
+                np.datetime64("1970-01-01"))
+               // np.timedelta64(1, "D"))
+    big = out.loc[abs0 + 1]
+    small = out.loc[abs0 + 3]
+    assert int(big["height_cents"]) == 1000
+    # big peak: lmin=100 (left edge), rmin=100 (right edge floor):
+    # prom = 1000 - max(100,100) = 900
+    assert int(big["prominence_cents"]) == 900
+    # small peak 700: higher ground left at 1000; saddle min 300;
+    # right edge floor 100: prom = 700 - max(300, 100) = 400
+    assert int(small["prominence_cents"]) == 400
