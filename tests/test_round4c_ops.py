@@ -6839,3 +6839,103 @@ def test_peak_prominence_crafted_topography(tmp_path):
     # small peak 700: higher ground left at 1000; saddle min 300;
     # right edge floor 100: prom = 700 - max(300, 100) = 400
     assert int(small["prominence_cents"]) == 400
+
+
+def test_kpss_stationary_vs_trending(tmp_path):
+    """A flat (stationary) series gives tiny η; a strong linear
+    trend pushes η far above the 0.463 critical value — the test
+    must separate the regimes."""
+    from prclz_ray.pipelines.queries import q_kpss_level_revenue
+    base = np.datetime64("1995-01-01", "us")
+    d1 = str(tmp_path / "flat")
+    os.makedirs(d1)
+    days = np.arange(60, dtype=np.int64)
+    flat = np.where(days % 2 == 0, 100.0, 101.0)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array(flat)}),
+        os.path.join(d1, "orders.parquet"))
+    out1 = q_kpss_level_revenue(d1)
+    assert float(out1["kpss_eta"].iloc[0]) < 0.2
+    assert not bool(out1["reject_stationarity_05"].iloc[0])
+
+    d2 = str(tmp_path / "trend")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array((days + 1).astype(np.float64))}),
+        os.path.join(d2, "orders.parquet"))
+    out2 = q_kpss_level_revenue(d2)
+    assert float(out2["kpss_eta"].iloc[0]) > 0.463
+    assert bool(out2["reject_stationarity_05"].iloc[0])
+
+
+def test_nn_matching_exact_pairing(tmp_path):
+    """Two treated customers with hand-placed covariates match their
+    nearest controls (tie resolves to the SMALLER control value):
+    ATT = mean of the two outcome gaps exactly."""
+    from prclz_ray.pipelines.queries import q_nn_matching_att
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "BUILDING",
+                                  "AUTOMOBILE", "MACHINERY"]),
+        "c_acctbal": pa.array([100.0, 200.0, 90.0, 210.0])}),
+        os.path.join(d, "customer.parquet"))
+    # orders: treated 1 has 5, treated 2 has 1; controls 3 has 2,
+    # 4 has 4
+    ok, ck = [], []
+    oid = 0
+    for cust, cnt in [(1, 5), (2, 1), (3, 2), (4, 4)]:
+        for _ in range(cnt):
+            oid += 1
+            ok.append(oid)
+            ck.append(cust)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ck, type=pa.int64()),
+        "o_orderkey": pa.array(ok, type=pa.int64())}),
+        os.path.join(d, "orders.parquet"))
+    out = q_nn_matching_att(d)
+    # treated 1 (v=10000) -> control 3 (9000, diff 1000) vs 4
+    # (21000): match 3 (outcome 2): gap 5-2=3
+    # treated 2 (v=20000) -> 3 diff 11000, 4 diff 1000: match 4
+    # (outcome 4): gap 1-4=-3
+    assert int(out["att_num"].iloc[0]) == 0
+    assert float(out["att"].iloc[0]) == 0.0
+    assert int(out["n_treated"].iloc[0]) == 2
+
+
+def test_gw_mean_local_dominance(tmp_path):
+    """A high-balance customer near center 0 and a low one near
+    center 24: the weighted means at those centers bend toward
+    their local customer, and an exact two-point hand computation
+    matches."""
+    from prclz_ray.pipelines.queries import q_gw_mean_acctbal_cells
+    d = str(tmp_path)
+    # custkey 1 -> (919, 729); find a key near center 0 (100,100)
+    best, bk = None, None
+    for k in range(1, 5000):
+        x = (k * 7919) % 1000
+        y = (k * 104729) % 1000
+        d2 = (x - 100) ** 2 + (y - 100) ** 2
+        if best is None or d2 < best:
+            best, bk = d2, k
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([bk, 1], type=pa.int64()),
+        "c_acctbal": pa.array([1000.0, 10.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_gw_mean_acctbal_cells(d).set_index("cell")
+    # exact reconstruction at center 0
+    xs = np.array([(bk * 7919) % 1000, (1 * 7919) % 1000])
+    ys = np.array([(bk * 104729) % 1000, (1 * 104729) % 1000])
+    vs = np.array([100000, 1000])
+    d2 = (xs - 100) ** 2 + (ys - 100) ** 2
+    w = 10 ** 6 // (1 + d2)
+    want = round(float((w * vs).sum()) / float(w.sum()), 6)
+    assert float(out.loc[0, "gw_mean_cents"]) == want
+    assert float(out.loc[0, "gw_mean_cents"]) > \
+        float(out.loc[19, "gw_mean_cents"])
