@@ -7020,3 +7020,83 @@ def test_fairness_audit_biased_classifier_surface(tmp_path):
     assert float(out.loc["sA", "tpr_en"]) == 1.0
     assert out.loc["sB", "tpr_en"] is None or \
         np.isnan(out.loc["sB", "tpr_en"])
+
+
+def test_secretary_crafted_streams(tmp_path):
+    """Customer A's maximum arrives after the 37% window and beats
+    the skipped best ⇒ success; customer B's maximum is IN the
+    skipped window ⇒ the rule settles for the last order and fails."""
+    from prclz_ray.pipelines.queries import q_secretary_rule_replay
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    ok, ck, dt, tp = [], [], [], []
+
+    def add(cust, prices):
+        for i, p in enumerate(prices):
+            ok.append(len(ok) + 1)
+            ck.append(cust)
+            dt.append(base + np.timedelta64(i, "D")
+                      .astype("timedelta64[us]"))
+            tp.append(float(p))
+
+    add(1, [50, 30, 40, 90, 60])   # k=1, skip [50]; first >50 is 90
+    add(2, [90, 30, 40, 50, 60])   # k=1, skip [90]; none beat ⇒ 60
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ok, type=pa.int64()),
+        "o_custkey": pa.array(ck, type=pa.int64()),
+        "o_orderdate": pa.array(dt),
+        "o_totalprice": pa.array(tp)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_secretary_rule_replay(d)
+    assert int(out["n_customers"].iloc[0]) == 2
+    assert int(out["n_success"].iloc[0]) == 1
+    assert float(out["success_rate"].iloc[0]) == 0.5
+
+
+def test_clustered_se_exceeds_under_cluster_shift(tmp_path):
+    """Residuals perfectly correlated within clusters (each supplier
+    cluster has its own intercept shift) make the clustered SE
+    strictly positive; a perfectly linear noiseless relation gives
+    SE exactly 0."""
+    from prclz_ray.pipelines.queries import q_clustered_se_slope
+    d1 = str(tmp_path / "clean")
+    os.makedirs(d1)
+    n = 100
+    sk = np.arange(n, dtype=np.int64)
+    x = (sk % 10 + 1).astype(np.float64)
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array(sk),
+        "l_quantity": pa.array(x),
+        "l_extendedprice": pa.array(x * 7.0)}),
+        os.path.join(d1, "lineitem.parquet"))
+    out = q_clustered_se_slope(d1)
+    assert float(out["slope"].iloc[0]) == 7.0
+    assert float(out["clustered_se"].iloc[0]) == 0.0
+
+    d2 = str(tmp_path / "shift")
+    os.makedirs(d2)
+    shift = (sk % 25).astype(np.float64) * 3.0
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array(sk),
+        "l_quantity": pa.array(x),
+        "l_extendedprice": pa.array(x * 7.0 + shift)}),
+        os.path.join(d2, "lineitem.parquet"))
+    out2 = q_clustered_se_slope(d2)
+    assert float(out2["clustered_se"].iloc[0]) > 0.0
+
+
+def test_ab_planner_scaling_law(tmp_path):
+    """Halving the effect size quadruples the required n (up to the
+    ceil): the 1% requirement is ~4x the 2% and ~25x the 5%."""
+    from prclz_ray.pipelines.queries import q_ab_sample_size_planner
+    d = str(tmp_path)
+    vals = ((np.arange(1000) % 100) + 50).astype(np.float64)
+    pq.write_table(pa.table({"value": pa.array(vals)}),
+                   os.path.join(d, "events.parquet"))
+    out = q_ab_sample_size_planner(d).set_index("rel_effect_pct")
+    n1 = int(out.loc[1, "n_per_arm"])
+    n2 = int(out.loc[2, "n_per_arm"])
+    n5 = int(out.loc[5, "n_per_arm"])
+    assert abs(n1 / n2 - 4.0) < 0.01
+    assert abs(n1 / n5 - 25.0) < 0.1
+    assert n1 > n2 > n5 > 0
