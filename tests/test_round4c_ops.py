@@ -7070,8 +7070,10 @@ def test_clustered_se_exceeds_under_cluster_shift(tmp_path):
         "l_extendedprice": pa.array(x * 7.0)}),
         os.path.join(d1, "lineitem.parquet"))
     out = q_clustered_se_slope(d1)
-    assert float(out["slope"].iloc[0]) == 7.0
+    assert float(out["slope"].iloc[0]) == 700.0   # cents per unit
     assert float(out["clustered_se"].iloc[0]) == 0.0
+    assert out["t_stat"].iloc[0] is None or \
+        np.isnan(out["t_stat"].iloc[0])
 
     d2 = str(tmp_path / "shift")
     os.makedirs(d2)
