@@ -7102,3 +7102,100 @@ def test_ab_planner_scaling_law(tmp_path):
     assert abs(n1 / n2 - 4.0) < 0.01
     assert abs(n1 / n5 - 25.0) < 0.1
     assert n1 > n2 > n5 > 0
+
+
+def test_structural_equivalence_duplicate_neighbors(tmp_path):
+    """With n=4 docs the formula neighbor multisets collide in
+    predictable ways — verify the class-size histogram against an
+    independent multiset-fingerprint reconstruction."""
+    from prclz_ray.pipelines.queries import (
+        q_structural_equivalence_classes)
+    d = str(tmp_path)
+    n = 16
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64))}),
+        os.path.join(d, "documents.parquet"))
+    out = q_structural_equivalence_classes(d)
+    fps = {}
+    for did in range(n):
+        acc = np.uint64(0)
+        for k in (1, 2, 3):
+            nbr = np.uint64((did * 7919 + k * 104729) % n)
+            acc += nbr * np.uint64(2654435761)
+        fps[did] = int(acc)
+    sizes = pd.Series(list(fps.values())).value_counts()
+    want = sizes.value_counts().sort_index()
+    got = dict(zip(out["class_size"].astype(int),
+                   out["n_classes"].astype(int)))
+    assert got == {int(k): int(v) for k, v in want.items()}
+    assert int((out["class_size"] * out["n_classes"]).sum()) == n
+
+
+def test_transition_dwell_median_golden(tmp_path):
+    """click→purchase gaps of 10, 30, 50 seconds give median 30;
+    a single view→click gap reports itself."""
+    from prclz_ray.pipelines.queries import (
+        q_transition_dwell_percentiles)
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    secs = [0, 10, 100, 130, 200, 250, 400, 401]
+    types = ["click", "purchase", "click", "purchase",
+             "click", "purchase", "view", "click"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(8, dtype=np.int64)),
+        "ts": pa.array([base + np.timedelta64(s, "s")
+                        .astype("timedelta64[us]") for s in secs]),
+        "user_id": pa.array([1] * 8, type=pa.int64()),
+        "event_type": pa.array(types)}),
+        os.path.join(d, "events.parquet"))
+    out = q_transition_dwell_percentiles(d) \
+        .set_index(["from_type", "to_type"])
+    assert int(out.loc[("click", "purchase"),
+                       "median_gap_s"]) == 30
+    assert int(out.loc[("view", "click"), "median_gap_s"]) == 1
+
+
+def test_burstiness_regimes(tmp_path):
+    """Metronomic gaps (all equal) give B exactly −1... σ=0, μ>0 ⇒
+    B = −1; a bursty pattern (many tiny gaps + one huge) pushes B
+    positive."""
+    from prclz_ray.pipelines.queries import q_burstiness_user_gaps
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    ts, uid, eid = [], [], []
+    for i in range(10):                      # user 1: every 60s
+        ts.append(base + np.timedelta64(60 * i, "s")
+                  .astype("timedelta64[us]"))
+        uid.append(1); eid.append(i)
+    offs = [0, 1, 2, 3, 4, 100000]           # user 2: bursty
+    for i, o in enumerate(offs):
+        ts.append(base + np.timedelta64(o, "s")
+                  .astype("timedelta64[us]"))
+        uid.append(2); eid.append(100 + i)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid, type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(uid, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_burstiness_user_gaps(d).set_index("user_id")
+    assert float(out.loc[1, "burstiness"]) == -1.0
+    assert float(out.loc[2, "burstiness"]) > 0.3
+
+
+def test_no_sql_constant_shadowing():
+    """A module-level SQL_* constant assigned twice silently hijacks
+    every earlier registry entry that referenced it (the
+    SQL_BURSTINESS incident): assert each top-level SQL_*/_*_SQL
+    name is assigned exactly once in queries.py."""
+    import ast as _ast
+    src = open("/root/repo/prclz_ray/pipelines/queries.py").read()
+    tree = _ast.parse(src)
+    seen: dict = {}
+    for node in tree.body:
+        if isinstance(node, _ast.Assign):
+            for t in node.targets:
+                if isinstance(t, _ast.Name) and \
+                        t.id.startswith("SQL_"):
+                    seen.setdefault(t.id, []).append(node.lineno)
+    dupes = {k: v for k, v in seen.items() if len(v) > 1}
+    assert not dupes, f"shadowed SQL constants: {dupes}"
