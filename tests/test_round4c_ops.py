@@ -7199,3 +7199,75 @@ def test_no_sql_constant_shadowing():
                     seen.setdefault(t.id, []).append(node.lineno)
     dupes = {k: v for k, v in seen.items() if len(v) > 1}
     assert not dupes, f"shadowed SQL constants: {dupes}"
+
+
+def test_trend_surface_exact_plane(tmp_path=None):
+    """On sf0.001 the fit must satisfy the normal-equation identity
+    checked independently via numpy lstsq within tolerance, and a
+    perfectly planar synthetic surface recovers its coefficients
+    with R² = 1 — here we check the identity on real data."""
+    from prclz_ray.pipelines.queries import q_trend_surface_plane
+    out = q_trend_surface_plane("/root/testdata/sf0.001")
+    import pyarrow.parquet as pq2
+    k = pq2.read_table("/root/testdata/sf0.001/customer.parquet",
+                       columns=["c_custkey", "c_acctbal"])
+    kk = k["c_custkey"].to_numpy(zero_copy_only=False)
+    bal = k["c_acctbal"].to_numpy(zero_copy_only=False)
+    cx = ((kk * 7919) % 1000) // 32
+    cy = ((kk * 104729) % 1000) // 32
+    cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+    z = np.zeros(1024)
+    np.add.at(z, cy * 32 + cx, cents)
+    X = np.stack([np.ones(1024), np.arange(1024) % 32,
+                  np.arange(1024) // 32], axis=1)
+    coef, *_ = np.linalg.lstsq(X, z, rcond=None)
+    assert abs(float(out["intercept"].iloc[0]) - coef[0]) < 1e-3
+    assert abs(float(out["slope_x"].iloc[0]) - coef[1]) < 1e-3
+    assert abs(float(out["slope_y"].iloc[0]) - coef[2]) < 1e-3
+    assert 0.0 <= float(out["r2"].iloc[0]) <= 1.0 or \
+        float(out["r2"].iloc[0]) > -0.01
+
+
+def test_attack_robustness_monotone(tmp_path):
+    """Removing hubs can only shrink the giant component share of
+    an initially connected-ish graph's node count; k=0 reproduces
+    the baseline CC structure."""
+    from prclz_ray.pipelines.queries import q_attack_robustness_links
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(64, dtype=np.int64))}),
+        os.path.join(d, "documents.parquet"))
+    out = q_attack_robustness_links(d).set_index("k_removed")
+    assert int(out.loc[0, "n_alive"]) == 64
+    assert int(out.loc[5, "n_alive"]) == 59
+    assert int(out.loc[0, "giant_size"]) >= \
+        int(out.loc[20, "giant_size"])
+    assert (out["giant_size"] <= out["n_alive"]).all()
+
+
+def test_ar_aging_buckets_exact(tmp_path):
+    """Open orders at crafted ages land in their exact buckets;
+    closed orders never appear; empty buckets report zeros."""
+    from prclz_ray.pipelines.queries import q_ar_aging_report
+    d = str(tmp_path)
+    base = np.datetime64("1995-06-01", "us")
+    ages = [0, 30, 31, 95]
+    status = ["O", "O", "O", "O"]
+    dates = [base - np.timedelta64(a, "D").astype("timedelta64[us]")
+             for a in ages]
+    # a closed order NEWER than everything sets the snapshot
+    dates.append(base)
+    status.append("F")
+    prices = [10.0, 20.0, 30.0, 40.0, 99.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(dates),
+        "o_orderstatus": pa.array(status),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_ar_aging_report(d).set_index("bucket")
+    assert int(out.loc["0-30", "n_open_orders"]) == 2
+    assert int(out.loc["0-30", "value_cents"]) == 3000
+    assert int(out.loc["31-60", "n_open_orders"]) == 1
+    assert int(out.loc["61-90", "n_open_orders"]) == 0
+    assert int(out.loc["90+", "n_open_orders"]) == 1
+    assert int(out.loc["90+", "value_cents"]) == 4000
