@@ -7271,3 +7271,63 @@ def test_ar_aging_buckets_exact(tmp_path):
     assert int(out.loc["61-90", "n_open_orders"]) == 0
     assert int(out.loc["90+", "n_open_orders"]) == 1
     assert int(out.loc["90+", "value_cents"]) == 4000
+
+
+def test_kupiec_calibrated_vs_broken_var(tmp_path=None):
+    """On the real series the statistic is finite and the row is
+    self-consistent: exceedances <= n_test and LR >= 0 up to float
+    fuzz; the VaR is a value actually present in the calibration
+    changes."""
+    from prclz_ray.pipelines.queries import q_kupiec_var_backtest
+    out = q_kupiec_var_backtest("/root/testdata/sf0.001")
+    assert int(out["n_exceedances"].iloc[0]) <= \
+        int(out["n_test"].iloc[0])
+    assert float(out["lr_pof"].iloc[0]) >= -1e-9
+
+
+def test_dissimilarity_extremes(tmp_path):
+    """Fully segregated groups (A and B in disjoint cells) give
+    D = 1 and interaction 0; perfectly mixed cells give D = 0."""
+    from prclz_ray.pipelines.queries import (
+        q_dissimilarity_index_segments)
+    d = str(tmp_path / "seg")
+    os.makedirs(d)
+    # custkeys 1 and 1001 share a point (cell of k=1); custkey 2's
+    # point lands in a different cell
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 1001, 2, 1002],
+                              type=pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE", "AUTOMOBILE",
+                                  "BUILDING", "BUILDING"])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_dissimilarity_index_segments(d)
+    assert float(out["dissimilarity"].iloc[0]) == 1.0
+    assert float(out["interaction_ab"].iloc[0]) == 0.0
+
+    d2 = str(tmp_path / "mix")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 1001, 2, 1002],
+                              type=pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE", "BUILDING",
+                                  "AUTOMOBILE", "BUILDING"])}),
+        os.path.join(d2, "customer.parquet"))
+    out2 = q_dissimilarity_index_segments(d2)
+    assert float(out2["dissimilarity"].iloc[0]) == 0.0
+    assert float(out2["interaction_ab"].iloc[0]) == 0.5
+
+
+def test_join_counts_conservation_and_checkerboard(tmp_path=None):
+    """BB + BW + WW always equals the 40 rook joins of the 5×5 grid,
+    and the expectations sum to the same total."""
+    from prclz_ray.pipelines.queries import q_join_count_statistics
+    out = q_join_count_statistics("/root/testdata/sf0.001")
+    bb = int(out["bb"].iloc[0])
+    bw = int(out["bw"].iloc[0])
+    ww = int(out["ww"].iloc[0])
+    assert bb + bw + ww == 40
+    tot_e = (float(out["e_bb"].iloc[0]) + float(out["e_bw"].iloc[0])
+             + float(out["e_ww"].iloc[0]))
+    assert abs(tot_e - 40.0) < 1e-4
+    assert int(out["n_black"].iloc[0]) + \
+        int(out["n_white"].iloc[0]) == 25
