@@ -7331,3 +7331,61 @@ def test_join_counts_conservation_and_checkerboard(tmp_path=None):
     assert abs(tot_e - 40.0) < 1e-4
     assert int(out["n_black"].iloc[0]) + \
         int(out["n_white"].iloc[0]) == 25
+
+
+def test_price_dispersion_flags(tmp_path):
+    """One part with identical prices has CV exactly 0 (no
+    violation); a wildly dispersed part flags — and the flag uses
+    the integer cross-multiplication, not the float CV."""
+    from prclz_ray.pipelines.queries import q_price_dispersion_parts
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([50.0, 50.0, 50.0,
+                                     10.0, 90.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_price_dispersion_parts(d).set_index("p_partkey")
+    assert float(out.loc[1, "cv"]) == 0.0
+    assert not bool(out.loc[1, "violates_lop"])
+    # part 2: n=2, s=10000, q=1000000*... cents 1000, 9000:
+    # var_num = 2*(1e6+81e6) - 1e8 = 64e6; CV = 8000/10000 = 0.8
+    assert float(out.loc[2, "cv"]) == 0.8
+    assert bool(out.loc[2, "violates_lop"])
+
+
+def test_cross_nn_coincident_twin(tmp_path):
+    """A coincident AUTOMOBILE/BUILDING pair gives both directions a
+    median NN d² of exactly 0 when those are the only points."""
+    from prclz_ray.pipelines.queries import q_cross_nn_median_d2
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 1001], type=pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE", "BUILDING"])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_cross_nn_median_d2(d).set_index("direction")
+    assert int(out.loc["AUTOMOBILE->BUILDING", "median_nn_d2"]) == 0
+    assert int(out.loc["BUILDING->AUTOMOBILE", "median_nn_d2"]) == 0
+
+
+def test_lifecycle_audit_crafted_violations(tmp_path):
+    """An F-order with an open lineitem violates rule 1; an O-order
+    with only finished lineitems violates rule 2; clean orders
+    don't."""
+    from prclz_ray.pipelines.queries import (
+        q_lifecycle_consistency_audit)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "O", "O"])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4],
+                               type=pa.int64()),
+        "l_linestatus": pa.array(["F", "O", "F", "O", "F"])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_lifecycle_consistency_audit(d).set_index("rule")
+    assert int(out.loc["F_order_all_lines_F", "n_checked"]) == 2
+    assert int(out.loc["F_order_all_lines_F", "n_violations"]) == 1
+    assert int(out.loc["O_order_has_open_line", "n_checked"]) == 2
+    assert int(out.loc["O_order_has_open_line",
+                       "n_violations"]) == 1
