@@ -7389,3 +7389,66 @@ def test_lifecycle_audit_crafted_violations(tmp_path):
     assert int(out.loc["O_order_has_open_line", "n_checked"]) == 2
     assert int(out.loc["O_order_has_open_line",
                        "n_violations"]) == 1
+
+
+def test_centroid_drift_identical_halves(tmp_path):
+    """Labels whose two halves contain IDENTICAL vectors have drift
+    exactly 0; a label whose halves are shifted by a constant vector
+    drifts by exactly that constant's norm."""
+    from prclz_ray.pipelines.queries import q_embedding_centroid_drift
+    d = str(tmp_path)
+    dim = 4
+    vecs, vids, labs = [], [], []
+    base = [0.5, -0.25, 1.0, 0.125]
+    for i in range(8):                       # label 0: same vector
+        vids.append(i * 2)                   # even AND odd ids
+        vecs.append(base)
+        labs.append(0)
+        vids.append(i * 2 + 1)
+        vecs.append(base)
+        labs.append(0)
+    for i in range(4):                       # label 1: halves differ
+        vids.append(100 + i * 2)             # even half: base
+        vecs.append(base)
+        labs.append(1)
+        vids.append(100 + i * 2 + 1)         # odd half: base + 1 in d0
+        vecs.append([base[0] + 1.0] + base[1:])
+        labs.append(1)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(vids, type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array(labs, type=pa.int32())}),
+        os.path.join(d, "embeddings.parquet"))
+    out = q_embedding_centroid_drift(d).set_index("label")
+    assert float(out.loc[0, "centroid_drift"]) == 0.0
+    assert abs(float(out.loc[1, "centroid_drift"]) - 1.0) < 1e-5
+
+
+def test_filtered_ann_bounds(tmp_path=None):
+    """On sf0.001 the audit is self-consistent: hits <= k, recall in
+    [0, 1], and the filtered population is large enough to fill k."""
+    from prclz_ray.pipelines.queries import q_filtered_ann_audit
+    out = q_filtered_ann_audit("/root/testdata/sf0.001")
+    assert 0 <= int(out["n_hits"].iloc[0]) <= 10
+    r = float(out["recall_postfilter"].iloc[0])
+    assert 0.0 <= r <= 1.0
+    assert int(out["n_filtered"].iloc[0]) >= 10
+
+
+def test_bray_curtis_identical_and_disjoint(tmp_path):
+    """Identical word distributions give BC exactly 0; disjoint
+    vocabularies give BC exactly 1 — and the top-5 ordering puts the
+    identical pair first."""
+    from prclz_ray.pipelines.queries import q_bray_curtis_sources
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+        "source": pa.array(["s1", "s2", "s3"]),
+        "text": pa.array(["a a b", "a a b", "x y z"])}),
+        os.path.join(d, "documents.parquet"))
+    out = q_bray_curtis_sources(d)
+    first = out.iloc[0]
+    assert (first["source_a"], first["source_b"]) == ("s1", "s2")
+    assert float(first["bray_curtis"]) == 0.0
+    rest = out[(out["source_a"] == "s1") & (out["source_b"] == "s3")]
+    assert float(rest["bray_curtis"].iloc[0]) == 1.0
