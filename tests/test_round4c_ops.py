@@ -7452,3 +7452,68 @@ def test_bray_curtis_identical_and_disjoint(tmp_path):
     assert float(first["bray_curtis"]) == 0.0
     rest = out[(out["source_a"] == "s1") & (out["source_b"] == "s3")]
     assert float(rest["bray_curtis"].iloc[0]) == 1.0
+
+
+def test_borda_and_condorcet_crafted(tmp_path):
+    """Three parts where one dominates every criterion: it takes
+    Borda score 3 (rank 1 everywhere) and IS a Condorcet winner."""
+    from prclz_ray.pipelines.queries import q_rank_aggregation_parts
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_name": pa.array(["aaaaaaaaaa", "bbb", "cc"]),
+        "p_size": pa.array([50, 20, 10], type=pa.int32()),
+        "p_retailprice": pa.array([900.0, 500.0, 100.0])}),
+        os.path.join(d, "part.parquet"))
+    out = q_rank_aggregation_parts(d)
+    top = out.iloc[0]
+    assert int(top["p_partkey"]) == 1
+    assert int(top["borda_score"]) == 3
+    assert bool(top["winner_is_condorcet"])
+
+
+def test_lindley_walk_golden(tmp_path):
+    """Arrivals every 30 s against a 60-s server build queue
+    linearly: W = 30, 60, 90 — exact integer walk; a sparse user
+    (gaps 120 s) never waits; a single-event user reports 0 waits
+    and NULL mean."""
+    from prclz_ray.pipelines.queries import q_lindley_waiting_times
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    ts, uid, eid = [], [], []
+    for i in range(4):                       # user 1: every 30s
+        ts.append(base + np.timedelta64(30 * i, "s")
+                  .astype("timedelta64[us]"))
+        uid.append(1); eid.append(i)
+    for i in range(3):                       # user 2: every 120s
+        ts.append(base + np.timedelta64(120 * i, "s")
+                  .astype("timedelta64[us]"))
+        uid.append(2); eid.append(10 + i)
+    ts.append(base); uid.append(3); eid.append(20)   # lone event
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid, type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(uid, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_lindley_waiting_times(d).set_index("user_id")
+    assert int(out.loc[1, "total_wait_s"]) == 30 + 60 + 90
+    assert int(out.loc[1, "max_wait_s"]) == 90
+    assert float(out.loc[1, "mean_wait_s"]) == 60.0
+    assert int(out.loc[2, "total_wait_s"]) == 0
+    assert int(out.loc[3, "n_waits"]) == 0
+    assert np.isnan(out.loc[3, "mean_wait_s"])
+
+
+def test_good_toulmin_alternating_sum(tmp_path):
+    """f1=2, f2=1, f3=1 gives GT estimate 2 − 1 + 1 = 2 exactly."""
+    from prclz_ray.pipelines.queries import q_good_toulmin_doubling
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["a b c c d d d"])}),
+        os.path.join(d, "documents.parquet"))
+    out = q_good_toulmin_doubling(d)
+    assert int(out["vocab_observed"].iloc[0]) == 4
+    assert int(out["f1_singletons"].iloc[0]) == 2
+    assert int(out["gt_new_types_on_doubling"].iloc[0]) == 2
+    assert float(out["singleton_share"].iloc[0]) == 0.5
