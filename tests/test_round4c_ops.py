@@ -7517,3 +7517,78 @@ def test_good_toulmin_alternating_sum(tmp_path):
     assert int(out["f1_singletons"].iloc[0]) == 2
     assert int(out["gt_new_types_on_doubling"].iloc[0]) == 2
     assert float(out["singleton_share"].iloc[0]) == 0.5
+
+
+def test_newey_west_iid_vs_persistent(tmp_path):
+    """An alternating (negatively autocorrelated) series has NW SE
+    BELOW the naive; a persistent blocky series inflates it — both
+    regimes must separate, and inflation is exactly 1 when lags are
+    zero-covariance."""
+    from prclz_ray.pipelines.queries import q_newey_west_se_revenue
+    base = np.datetime64("1995-01-01", "us")
+    days = np.arange(64, dtype=np.int64)
+    d1 = str(tmp_path / "alt")
+    os.makedirs(d1)
+    alt = np.where(days % 2 == 0, 100.0, 200.0)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array(alt)}),
+        os.path.join(d1, "orders.parquet"))
+    out1 = q_newey_west_se_revenue(d1)
+    assert float(out1["inflation"].iloc[0]) < 1.0
+
+    d2 = str(tmp_path / "block")
+    os.makedirs(d2)
+    blocky = np.where((days // 16) % 2 == 0, 100.0, 200.0)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array(blocky)}),
+        os.path.join(d2, "orders.parquet"))
+    out2 = q_newey_west_se_revenue(d2)
+    assert float(out2["inflation"].iloc[0]) > 1.5
+
+
+def test_p_chart_flags_spike_day(tmp_path):
+    """Twenty clean days plus one 50%-error day: only the spike day
+    flags out of control."""
+    from prclz_ray.pipelines.queries import q_p_chart_errors
+    d = str(tmp_path)
+    base = np.datetime64("1995-06-01", "us")
+    ts, et = [], []
+    for day in range(21):
+        err = 50 if day == 20 else 1
+        for i in range(100):
+            ts.append(base + np.timedelta64(day * 24, "h")
+                      .astype("timedelta64[us]")
+                      + np.timedelta64(i, "m")
+                      .astype("timedelta64[us]"))
+            et.append("error" if i < err else "click")
+    pq.write_table(pa.table({
+        "ts": pa.array(ts), "event_type": pa.array(et)}),
+        os.path.join(d, "events.parquet"))
+    out = q_p_chart_errors(d).sort_values("day") \
+        .reset_index(drop=True)
+    assert bool(out.loc[20, "out_of_control"])
+    assert not out.loc[:19, "out_of_control"].any()
+
+
+def test_mean_center_shift_coincident_zero(tmp_path):
+    """Coincident populations (the k/k+1000 twin trick) shift by
+    exactly 0; moving one member moves the center by the
+    hand-computed amount."""
+    from prclz_ray.pipelines.queries import (
+        q_mean_center_shift_segments)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 1001, 1002],
+                              type=pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE", "AUTOMOBILE",
+                                  "BUILDING", "BUILDING"])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_mean_center_shift_segments(d)
+    assert int(out["shift_num"].iloc[0]) == 0
+    assert float(out["center_shift"].iloc[0]) == 0.0
