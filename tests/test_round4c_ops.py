@@ -7592,3 +7592,88 @@ def test_mean_center_shift_coincident_zero(tmp_path):
     out = q_mean_center_shift_segments(d)
     assert int(out["shift_num"].iloc[0]) == 0
     assert float(out["center_shift"].iloc[0]) == 0.0
+
+
+def test_bowtie_partition_conservation(tmp_path):
+    """The four bow-tie parts always partition the node set; on a
+    small graph the core from pivot 0 must equal an independent
+    forward∩backward reachability reconstruction."""
+    from prclz_ray.pipelines.queries import (
+        q_bowtie_decomposition_links)
+    d = str(tmp_path)
+    n = 32
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64))}),
+        os.path.join(d, "documents.parquet"))
+    out = q_bowtie_decomposition_links(d).set_index("component")
+    assert int(out["n_nodes"].sum()) == n
+    fwd, bwd = {}, {}
+    for s in range(n):
+        for k in (1, 2, 3):
+            t = (s * 7919 + k * 104729) % n
+            fwd.setdefault(s, []).append(t)
+            bwd.setdefault(t, []).append(s)
+
+    def flood(st, adj):
+        seen = set(st)
+        stk = list(st)
+        while stk:
+            v = stk.pop()
+            for w in adj.get(v, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stk.append(w)
+        return seen
+
+    core = flood([0], fwd) & flood([0], bwd)
+    assert int(out.loc["core_scc", "n_nodes"]) == len(core)
+
+
+def test_rate_changepoint_exact_split(tmp_path):
+    """5 days at 10 events then 5 days at 100: the argmax split is
+    exactly at the boundary with hand-checkable rates."""
+    from prclz_ray.pipelines.queries import q_rate_changepoint_day
+    d = str(tmp_path)
+    base = np.datetime64("1995-06-01", "us")
+    ts = []
+    for day in range(10):
+        cnt = 10 if day < 5 else 100
+        for i in range(cnt):
+            ts.append(base + np.timedelta64(day * 24, "h")
+                      .astype("timedelta64[us]")
+                      + np.timedelta64(i, "m")
+                      .astype("timedelta64[us]"))
+    pq.write_table(pa.table({"ts": pa.array(ts)}),
+                   os.path.join(d, "events.parquet"))
+    out = q_rate_changepoint_day(d)
+    abs0 = int((np.datetime64("1995-06-01")
+                - np.datetime64("1970-01-01"))
+               // np.timedelta64(1, "D"))
+    assert int(out["split_day"].iloc[0]) == abs0 + 5
+    assert float(out["rate_before"].iloc[0]) == 10.0
+    assert float(out["rate_after"].iloc[0]) == 100.0
+    assert float(out["llr_gain"].iloc[0]) > 0
+
+
+def test_neyman_allocation_budget_and_proportionality(tmp_path):
+    """Allocations sum exactly to the budget; a stratum with double
+    the spread gets roughly double the allocation of an equal-size
+    stratum."""
+    from prclz_ray.pipelines.queries import q_neyman_allocation_nations
+    d = str(tmp_path)
+    nk, bal = [], []
+    for i in range(100):                     # nation 0: spread 1x
+        nk.append(0)
+        bal.append(100.0 + (i % 2) * 10.0)
+    for i in range(100):                     # nation 1: spread 2x
+        nk.append(1)
+        bal.append(100.0 + (i % 2) * 20.0)
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array(nk, type=pa.int32()),
+        "c_acctbal": pa.array(bal)}),
+        os.path.join(d, "customer.parquet"))
+    out = q_neyman_allocation_nations(d).set_index("nationkey")
+    assert int(out["allocation"].sum()) == 1000
+    a0 = int(out.loc[0, "allocation"])
+    a1 = int(out.loc[1, "allocation"])
+    assert abs(a1 - 2 * a0) <= 2
