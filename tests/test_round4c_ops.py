@@ -7677,3 +7677,96 @@ def test_neyman_allocation_budget_and_proportionality(tmp_path):
     a0 = int(out.loc[0, "allocation"])
     a1 = int(out.loc[1, "allocation"])
     assert abs(a1 - 2 * a0) <= 2
+
+
+def test_energy_distance_identical_and_shifted(tmp_path):
+    """Identical distributions give E exactly 0; disjoint shifted
+    distributions give the hand-computable positive value."""
+    from prclz_ray.pipelines.queries import q_energy_distance_value
+    d = str(tmp_path / "same")
+    os.makedirs(d)
+    et = ["click"] * 4 + ["purchase"] * 4
+    vals = [1.0, 2.0, 3.0, 4.0] * 2
+    pq.write_table(pa.table({
+        "event_type": pa.array(et), "value": pa.array(vals)}),
+        os.path.join(d, "events.parquet"))
+    out = q_energy_distance_value(d)
+    assert float(out["energy_distance"].iloc[0]) == 0.0
+
+    d2 = str(tmp_path / "shift")
+    os.makedirs(d2)
+    vals2 = [1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0]
+    pq.write_table(pa.table({
+        "event_type": pa.array(et), "value": pa.array(vals2)}),
+        os.path.join(d2, "events.parquet"))
+    out2 = q_energy_distance_value(d2)
+    # all |x−y| = 100 cents, within-sample diffs 0: E = 2*100 = 200
+    assert int(out2["cross_abs_sum"].iloc[0]) == 16 * 100
+    assert float(out2["energy_distance"].iloc[0]) == 200.0
+
+
+def test_chronotype_outlier_user(tmp_path):
+    """Nine users active at hour 9 and one night owl at hour 3: the
+    owl tops the divergence list with the exact TV numerator."""
+    from prclz_ray.pipelines.queries import (
+        q_chronotype_divergence_users)
+    d = str(tmp_path)
+    base = np.datetime64("1995-06-01", "us")
+    ts, uid = [], []
+    for u in range(1, 10):
+        for i in range(10):
+            ts.append(base + np.timedelta64(9, "h")
+                      .astype("timedelta64[us]")
+                      + np.timedelta64(i, "m")
+                      .astype("timedelta64[us]"))
+            uid.append(u)
+    for i in range(10):
+        ts.append(base + np.timedelta64(3, "h")
+                  .astype("timedelta64[us]")
+                  + np.timedelta64(i, "m")
+                  .astype("timedelta64[us]"))
+        uid.append(99)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(uid, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_chronotype_divergence_users(d)
+    assert int(out["user_id"].iloc[0]) == 99
+    # owl: N=100, nu=10; hour3: |10*100-10*10|=900; hour9:
+    # |0*100-90*10|=900 => num=1800, tv=1800/2000=0.9
+    assert int(out["tv_num"].iloc[0]) == 1800
+    assert float(out["tv_distance"].iloc[0]) == 0.9
+
+
+def test_peak_concurrency_overlap_golden(tmp_path):
+    """Three users with overlapping single sessions: two overlap in
+    [t2, t3], the third is disjoint ⇒ peak 2 at the exact instant
+    the second session opens; back-to-back sessions of one user
+    never double-count."""
+    from prclz_ray.pipelines.queries import (
+        q_peak_concurrency_sessions)
+    d = str(tmp_path)
+    base = np.datetime64("1995-06-01", "us")
+
+    def t(h):
+        return base + np.timedelta64(h, "h").astype("timedelta64[us]")
+
+    ts = [t(0), t(1),            # user 1 session [0h,1h]
+          t(0) + np.timedelta64(30, "m").astype("timedelta64[us]"),
+          # user 2 session starts 0h30 (overlaps user 1)
+          t(30), t(31)]          # user 3 disjoint much later
+    uid = [1, 1, 2, 3, 3]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(uid, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    out = q_peak_concurrency_sessions(d)
+    assert int(out["n_sessions"].iloc[0]) == 3
+    assert int(out["peak_concurrency"].iloc[0]) == 2
+    want_t = int((t(0) + np.timedelta64(30, "m")
+                  .astype("timedelta64[us]") - np.datetime64(
+                      "1970-01-01", "us")).astype(np.int64)
+                 // 1_000_000)
+    assert int(out["peak_at_epoch_s"].iloc[0]) == want_t
