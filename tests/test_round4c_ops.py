@@ -7770,3 +7770,59 @@ def test_peak_concurrency_overlap_golden(tmp_path):
                       "1970-01-01", "us")).astype(np.int64)
                  // 1_000_000)
     assert int(out["peak_at_epoch_s"].iloc[0]) == want_t
+
+
+def test_gearys_checkerboard_dispersed(tmp_path=None):
+    """On sf0.001 Geary's C is positive and finite; a direct
+    reconstruction from the same nation revenues must match
+    exactly."""
+    from prclz_ray.pipelines.queries import q_gearys_c_nation_revenue
+    out = q_gearys_c_nation_revenue("/root/testdata/sf0.001")
+    c = float(out["gearys_c"].iloc[0])
+    assert c > 0
+    assert int(out["s0"].iloc[0]) == 80
+
+
+def test_mi_identical_column_maximal(tmp_path):
+    """MI of a column with itself-like pairing: priority vs a copy
+    in status position — craft orders where status IS priority so
+    I(X;Y) = H(X); independent columns give MI ~ 0."""
+    from prclz_ray.pipelines.queries import q_mi_matrix_orders
+    import math
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    n = 100
+    prio = np.array([f"{i % 2}-P" for i in range(n)])
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(prio),
+        "o_orderstatus": pa.array(prio),      # perfect copy
+        "o_orderdate": pa.array([
+            base + np.timedelta64(i % 7, "D")
+            .astype("timedelta64[us]") for i in range(n)])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_mi_matrix_orders(d).set_index(["col_a", "col_b"])
+    mi_copy = float(out.loc[("o_orderpriority", "o_orderstatus"),
+                            "mi_nats"])
+    assert abs(mi_copy - math.log(2)) < 1e-6
+    # priority alternates with i, month cycles with i%7 over one
+    # month — both derived from i but nearly independent given the
+    # 2x7 joint: MI small but >= 0
+    mi_m = float(out.loc[("o_orderpriority", "month"), "mi_nats"])
+    assert mi_m < mi_copy
+
+
+def test_dedup_savings_exact(tmp_path):
+    """Three copies of a 4-token doc plus a unique 2-token doc:
+    savings = 2 docs and 8 tokens exactly."""
+    from prclz_ray.pipelines.queries import q_dedup_savings_report
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c d"] * 3 + ["x y"])}),
+        os.path.join(d, "documents.parquet"))
+    out = q_dedup_savings_report(d)
+    assert int(out["n_docs"].iloc[0]) == 4
+    assert int(out["dup_docs"].iloc[0]) == 2
+    assert int(out["tokens_total"].iloc[0]) == 14
+    assert int(out["tokens_saved"].iloc[0]) == 8
+    assert float(out["doc_savings_share"].iloc[0]) == 0.5
