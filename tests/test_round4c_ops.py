@@ -7826,3 +7826,56 @@ def test_dedup_savings_exact(tmp_path):
     assert int(out["tokens_total"].iloc[0]) == 14
     assert int(out["tokens_saved"].iloc[0]) == 8
     assert float(out["doc_savings_share"].iloc[0]) == 0.5
+
+
+def test_qn_and_hl_reference(tmp_path):
+    """Hand-checkable nation: values 10, 20, 40, 80 dollars.  Qn:
+    n=4, h=3, k=3; sorted pairwise |diffs| (cents) = [1000, 2000,
+    3000, 4000, 6000, 7000] ⇒ 3rd = 3000.  HL: 10 Walsh sums sorted;
+    lower median (5th) of [2000,3000,4000,5000,6000,9000,10000,
+    8000?...] — compute independently."""
+    from prclz_ray.pipelines.queries import (q_hodges_lehmann_acctbal,
+                                             q_qn_scale_by_nation)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_nationkey": pa.array([0, 0, 0, 0], type=pa.int32()),
+        "c_acctbal": pa.array([10.0, 20.0, 40.0, 80.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_qn_scale_by_nation(d)
+    assert int(out["qn_raw_cents"].iloc[0]) == 3000
+    assert float(out["qn_scale"].iloc[0]) == round(
+        2.2219 * 3000, 6)
+    v = np.array([1000, 2000, 4000, 8000])
+    sums = sorted(int(v[i] + v[j]) for i in range(4)
+                  for j in range(i, 4))
+    want2 = sums[(len(sums) - 1) // 2]
+    out2 = q_hodges_lehmann_acctbal(d)
+    assert int(out2["walsh_median2_cents"].iloc[0]) == want2
+    assert float(out2["hodges_lehmann"].iloc[0]) == want2 / 2
+
+
+def test_segment_mix_mono_vs_mixed(tmp_path):
+    """A cell with one segment has entropy 0 (mix 0); a perfectly
+    5-way-mixed cell hits mix_share exactly 1 up to nano
+    quantization."""
+    from prclz_ray.pipelines.queries import (
+        q_segment_mix_entropy_cells)
+    d = str(tmp_path)
+    # cell of custkey 1 (nat 19); 5 coincident customers via +1000k
+    keys = [1 + 1000 * i for i in range(5)]
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+    keys += [2 + 1000 * i for i in range(4)]
+    segs += ["BUILDING"] * 4
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys, type=pa.int64()),
+        "c_mktsegment": pa.array(segs)}),
+        os.path.join(d, "customer.parquet"))
+    out = q_segment_mix_entropy_cells(d).set_index("cell")
+    # custkey 1: x=919,y=729 -> cell (919//200)+5*(729//200)=4+15=19
+    # custkey 2: x=838,y=458 -> cell 4+5*2=14
+    assert abs(float(out.loc[19, "mix_share"]) - 1.0) < 1e-6
+    assert int(out.loc[19, "n_segments"]) == 5
+    assert float(out.loc[14, "mix_share"]) == 0.0
+    assert int(out.loc[14, "n_segments"]) == 1
