@@ -7879,3 +7879,93 @@ def test_segment_mix_mono_vs_mixed(tmp_path):
     assert int(out.loc[19, "n_segments"]) == 5
     assert float(out.loc[14, "mix_share"]) == 0.0
     assert int(out.loc[14, "n_segments"]) == 1
+
+
+def test_label_assortativity_extremes(tmp_path):
+    """All-one-language documents give sum_ab = E² (denominator 0 ⇒
+    undefined — craft MIXED langs instead): perfect within-language
+    linking... the formula graph fixes edges, so verify instead via
+    independent mixing-matrix reconstruction on a small corpus."""
+    from prclz_ray.pipelines.queries import (
+        q_label_assortativity_links)
+    d = str(tmp_path)
+    n = 40
+    langs = np.array(["en" if i % 2 == 0 else "fr"
+                      for i in range(n)])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(langs),
+        "text": pa.array(["x"] * n)}),
+        os.path.join(d, "documents.parquet"))
+    out = q_label_assortativity_links(d)
+    mix = {}
+    for s in range(n):
+        for k in (1, 2, 3):
+            t = (s * 7919 + k * 104729) % n
+            key = (langs[s], langs[t])
+            mix[key] = mix.get(key, 0) + 1
+    E = sum(mix.values())
+    tr = sum(v for (a, b), v in mix.items() if a == b)
+    row = {}
+    col = {}
+    for (a, b), v in mix.items():
+        row[a] = row.get(a, 0) + v
+        col[b] = col.get(b, 0) + v
+    ab = sum(row.get(l, 0) * col.get(l, 0)
+             for l in set(row) | set(col))
+    want = round((E * tr - ab) / (E * E - ab), 6)
+    assert int(out["n_edges"].iloc[0]) == E
+    assert float(out["assortativity"].iloc[0]) == want
+
+
+def test_isotropy_identical_vs_symmetric(tmp_path):
+    """Identical vectors give mean pairwise dot = ‖q‖² exactly and a
+    centered mean of 0; an antipodal pair gives a negative raw
+    mean."""
+    from prclz_ray.pipelines.queries import q_embedding_isotropy_audit
+    d = str(tmp_path / "same")
+    os.makedirs(d)
+    v = [0.5, -0.25, 1.0, 0.125]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array([v] * 4, type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 4, type=pa.int32())}),
+        os.path.join(d, "embeddings.parquet"))
+    out = q_embedding_isotropy_audit(d)
+    q = np.floor(np.array(v) * 1000 + 0.5).astype(int)
+    want = int((q * q).sum())
+    assert float(out["mean_pair_dot"].iloc[0]) == float(want)
+    assert float(out["mean_pair_dot_centered"].iloc[0]) == 0.0
+
+    d2 = str(tmp_path / "anti")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([v, [-x for x in v]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0], type=pa.int32())}),
+        os.path.join(d2, "embeddings.parquet"))
+    out2 = q_embedding_isotropy_audit(d2)
+    assert float(out2["mean_pair_dot"].iloc[0]) < 0
+
+
+def test_theil_decomposition_additivity(tmp_path):
+    """Groups with identical internal distributions but different
+    means put ALL inequality between groups (within ≈ 0); the
+    reported components sum to the total within nano-floor
+    tolerance."""
+    from prclz_ray.pipelines.queries import (
+        q_theil_decomposition_types)
+    d = str(tmp_path)
+    et = ["click"] * 4 + ["purchase"] * 4
+    vals = [10.0] * 4 + [90.0] * 4
+    pq.write_table(pa.table({
+        "event_type": pa.array(et), "value": pa.array(vals)}),
+        os.path.join(d, "events.parquet"))
+    out = q_theil_decomposition_types(d)
+    tw = float(out["theil_within"].iloc[0])
+    tb = float(out["theil_between"].iloc[0])
+    tt = float(out["theil_total"].iloc[0])
+    assert tw == 0.0
+    assert abs(tb - tt) < 1e-6
+    assert float(out["between_share"].iloc[0]) == 1.0
