@@ -7969,3 +7969,71 @@ def test_theil_decomposition_additivity(tmp_path):
     assert tw == 0.0
     assert abs(tb - tt) < 1e-6
     assert float(out["between_share"].iloc[0]) == 1.0
+
+
+def test_carrying_cost_exact(tmp_path):
+    """One order of $100 open 3 days (order day + 2-day-later last
+    ship) contributes exactly 30000 cent-days; a same-day order
+    contributes value × 1."""
+    from prclz_ray.pipelines.queries import q_carrying_cost_orders
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([base, base]),
+        "o_totalprice": pa.array([100.0, 50.0])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_shipdate": pa.array([
+            base + np.timedelta64(1, "D").astype("timedelta64[us]"),
+            base + np.timedelta64(2, "D").astype("timedelta64[us]"),
+            base])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_carrying_cost_orders(d)
+    assert int(out["cent_days"].iloc[0]) == 10000 * 3 + 5000 * 1
+    assert int(out["window_days"].iloc[0]) == 3
+
+
+def test_sign_test_balanced_and_growth(tmp_path):
+    """A strict daily ramp makes every week-over-week difference
+    positive ⇒ S⁺ = m and z = (m−1)/√m exactly."""
+    from prclz_ray.pipelines.queries import q_sign_test_weekly
+    import math
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    days = np.arange(28, dtype=np.int64)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array((days + 1).astype(np.float64))}),
+        os.path.join(d, "orders.parquet"))
+    out = q_sign_test_weekly(d)
+    m = 21
+    assert int(out["n_nonzero"].iloc[0]) == m
+    assert int(out["n_positive"].iloc[0]) == m
+    want = round((2 * m - m - 1) / math.sqrt(m), 6)
+    assert float(out["z_sign"].iloc[0]) == want
+
+
+def test_colocation_quotient_segregated(tmp_path):
+    """Two tight same-segment pairs far apart: every NN stays within
+    its own segment ⇒ both CLQs are exactly 0 (complete
+    avoidance)."""
+    from prclz_ray.pipelines.queries import (
+        q_colocation_quotient_segments)
+    d = str(tmp_path)
+    # coincident same-segment twins: (1, 1001) AUTOMOBILE,
+    # (2, 1002) BUILDING — NN of each is its twin (d2=0)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 1001, 2, 1002],
+                              type=pa.int64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE", "AUTOMOBILE",
+                                  "BUILDING", "BUILDING"])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_colocation_quotient_segments(d)
+    assert int(out["a_nn_in_b"].iloc[0]) == 0
+    assert int(out["b_nn_in_a"].iloc[0]) == 0
+    assert float(out["clq_ab"].iloc[0]) == 0.0
+    assert float(out["clq_ba"].iloc[0]) == 0.0
