@@ -125,6 +125,14 @@ BENCH_QUERIES = [
     "source_cosine_similarity",
     "golden_record_entities",
     "temporal_reachability_links",
+    # round-4K representatives (one per new family)
+    "lsh_param_planner",
+    "viewshed_grid",
+    "energy_distance_value",
+    "join_discovery_scan",
+    "second_price_auction_parts",
+    "croston_forecast_parts",
+    "shapley_attribution",
 ]
 
 
