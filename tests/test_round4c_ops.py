@@ -8037,3 +8037,65 @@ def test_colocation_quotient_segregated(tmp_path):
     assert int(out["b_nn_in_a"].iloc[0]) == 0
     assert float(out["clq_ab"].iloc[0]) == 0.0
     assert float(out["clq_ba"].iloc[0]) == 0.0
+
+
+def test_quadrant_correlation_perfect_monotone(tmp_path):
+    """A strictly increasing relation gives β exactly 1; an
+    anti-monotone one gives −1."""
+    from prclz_ray.pipelines.queries import (
+        q_quadrant_correlation_qty_price)
+    d = str(tmp_path / "up")
+    os.makedirs(d)
+    x = np.arange(1, 21, dtype=np.float64)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(x),
+        "l_extendedprice": pa.array(x * 3.0)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_quadrant_correlation_qty_price(d)
+    assert float(out["blomqvist_beta"].iloc[0]) == 1.0
+
+    d2 = str(tmp_path / "down")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(x),
+        "l_extendedprice": pa.array((22.0 - x) * 3.0)}),
+        os.path.join(d2, "lineitem.parquet"))
+    out2 = q_quadrant_correlation_qty_price(d2)
+    assert float(out2["blomqvist_beta"].iloc[0]) == -1.0
+
+
+def test_hashring_vnodes_improve_balance(tmp_path):
+    """With 8 vnodes per shard the max/min imbalance must beat the
+    1-vnode ring on the same corpus, and loads conserve the doc
+    count in both configs."""
+    from prclz_ray.pipelines.queries import q_hashring_balance_audit
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(2000, dtype=np.int64))}),
+        os.path.join(d, "documents.parquet"))
+    out = q_hashring_balance_audit(d).set_index("config")
+    assert int(out.loc["v1", "n_docs"]) == 2000
+    assert int(out.loc["v8", "n_docs"]) == 2000
+    assert float(out.loc["v8", "imbalance"]) < \
+        float(out.loc["v1", "imbalance"])
+    assert int(out.loc["v8", "var_num"]) < \
+        int(out.loc["v1", "var_num"])
+
+
+def test_median_of_means_resists_poisoning(tmp_path):
+    """A corpus where one hash bucket is poisoned with huge values:
+    the plain mean shifts far above the bulk while the MoM estimate
+    stays at the bulk level."""
+    from prclz_ray.pipelines.queries import q_median_of_means_value
+    d = str(tmp_path)
+    n = 3200
+    eid = np.arange(1, n + 1, dtype=np.int64)
+    h = ((eid.astype(np.uint64) + np.uint64(1))
+         * np.uint64(0xC2B2AE3D27D4EB4F | 1)) >> np.uint64(60)
+    vals = np.where(h == 3, 100000.0, 10.0)   # poison one bucket
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid), "value": pa.array(vals)}),
+        os.path.join(d, "events.parquet"))
+    out = q_median_of_means_value(d)
+    assert float(out["mom_mean_cents"].iloc[0]) == 1000.0
+    assert float(out["plain_mean_cents"].iloc[0]) > 10000.0
