@@ -2,7 +2,7 @@
 # Probe-gated scaling campaign: wait for a quiet host window (CPU spin
 # ratio AND memory-bandwidth ratio near idle), then run bench.py
 # --scaling.  Stops after a run achieves efficiency >= 0.8 or after
-# MAX_TRIES gated attempts.  Respects /tmp/graft_claude_busy (foreground
+# MAX_TRIES gated attempts.  Respects /tmp/graft_fg_busy (foreground
 # work lockfile) and writes its own /tmp/graft_scaling_running marker.
 cd /root/repo
 OUT_DIR=/tmp/scaling_watch
@@ -10,7 +10,7 @@ mkdir -p "$OUT_DIR"
 MAX_TRIES=${MAX_TRIES:-12}
 tries=0
 while [ "$tries" -lt "$MAX_TRIES" ]; do
-  if [ -f /tmp/graft_claude_busy ]; then sleep 120; continue; fi
+  if [ -f /tmp/graft_fg_busy ]; then sleep 120; continue; fi
   probe=$(python scripts/hostprobe.py 2>/dev/null)
   echo "$(date +%T) probe $probe" >> "$OUT_DIR/log"
   r=$(echo "$probe" | python -c "import sys,json;print(json.load(sys.stdin)['ratio'])")
