@@ -8099,3 +8099,81 @@ def test_median_of_means_resists_poisoning(tmp_path):
     out = q_median_of_means_value(d)
     assert float(out["mom_mean_cents"].iloc[0]) == 1000.0
     assert float(out["plain_mean_cents"].iloc[0]) > 10000.0
+
+
+def test_von_neumann_regimes(tmp_path):
+    """Alternating series pushes η toward 4; a strict ramp drives it
+    near 0 (trending flag set)."""
+    from prclz_ray.pipelines.queries import q_von_neumann_ratio_revenue
+    base = np.datetime64("1995-01-01", "us")
+    days = np.arange(60, dtype=np.int64)
+    d1 = str(tmp_path / "alt")
+    os.makedirs(d1)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array(
+            np.where(days % 2 == 0, 100.0, 200.0))}),
+        os.path.join(d1, "orders.parquet"))
+    out1 = q_von_neumann_ratio_revenue(d1)
+    assert float(out1["von_neumann_eta"].iloc[0]) > 3.5
+    assert not bool(out1["trending"].iloc[0])
+
+    d2 = str(tmp_path / "ramp")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([
+            base + np.timedelta64(int(x), "D")
+            .astype("timedelta64[us]") for x in days]),
+        "o_totalprice": pa.array((days + 1).astype(np.float64))}),
+        os.path.join(d2, "orders.parquet"))
+    out2 = q_von_neumann_ratio_revenue(d2)
+    assert float(out2["von_neumann_eta"].iloc[0]) < 0.1
+    assert bool(out2["trending"].iloc[0])
+
+
+def test_birthday_collisions_reconstruction(tmp_path):
+    """Observed collisions equal an independent numpy hash
+    reconstruction, and the expected value follows n(n−1)/2^25."""
+    from prclz_ray.pipelines.queries import q_birthday_collision_audit
+    d = str(tmp_path)
+    n = 20000
+    eid = np.arange(1, n + 1, dtype=np.int64)
+    pq.write_table(pa.table({"event_id": pa.array(eid)}),
+                   os.path.join(d, "events.parquet"))
+    out = q_birthday_collision_audit(d)
+    h = ((eid.astype(np.uint64) + np.uint64(1))
+         * np.uint64(0x9E3779B97F4A7C15 | 1)) >> np.uint64(40)
+    want = n - len(np.unique(h))
+    assert int(out["n_collisions"].iloc[0]) == want
+    assert float(out["expected_collisions"].iloc[0]) == round(
+        n * (n - 1) / (1 << 25), 6)
+
+
+def test_weekend_shift_crafted(tmp_path):
+    """A Saturday-only user flags shifted_up with a positive z; a
+    Monday-only user the opposite.  1995-01-07 was a Saturday."""
+    from prclz_ray.pipelines.queries import q_weekend_shift_users
+    d = str(tmp_path)
+    sat = np.datetime64("1995-01-07", "us")
+    mon = np.datetime64("1995-01-09", "us")
+    ts, uid = [], []
+    for i in range(10):
+        ts.append(sat + np.timedelta64(i, "m")
+                  .astype("timedelta64[us]"))
+        uid.append(1)
+        ts.append(mon + np.timedelta64(i, "m")
+                  .astype("timedelta64[us]"))
+        uid.append(2)
+    pq.write_table(pa.table({
+        "user_id": pa.array(uid, type=pa.int64()),
+        "ts": pa.array(ts)}),
+        os.path.join(d, "events.parquet"))
+    out = q_weekend_shift_users(d).set_index("user_id")
+    assert int(out.loc[1, "n_weekend"]) == 10
+    assert bool(out.loc[1, "shifted_up"])
+    assert float(out.loc[1, "z_binomial"]) > 0
+    assert int(out.loc[2, "n_weekend"]) == 0
+    assert not bool(out.loc[2, "shifted_up"])
+    assert float(out.loc[2, "z_binomial"]) < 0
