@@ -3,6 +3,14 @@ at the given sf, run its oracle_sql in DuckDB, compare row count + sorted
 column names + order-insensitive value hash.
 
 Usage: python scripts/check_queries.py [sf_dir] [query ...]
+       python scripts/check_queries.py [sf_dir] --shards 4 --json out.json
+
+--shards K fans the registry out over K subprocesses (each with its own
+isolated Ray session and DuckDB connection, round-robin over the query
+list so long/short queries interleave) and merges the per-shard JSON —
+the full 600+-query sweep drops from ~35 min serial to the longest
+shard's wall time.  Per-shard Ray sessions default to 8 CPUs so 4
+shards saturate a 32-CPU host without oversubscribing.
 """
 import hashlib
 import sys
@@ -43,6 +51,67 @@ def _norm(v) -> str:
     return str(v)
 
 
+def run_sharded(sf_dir, only, n_shards, json_path):
+    """Parent of --shards mode: split the query list round-robin across
+    n_shards subprocesses (each owns its own Ray session), merge JSONs."""
+    import json
+    import os
+    import subprocess
+    import tempfile
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+    names = [n for n in entrymod.queries() if not only or n in only]
+    shards = [names[i::n_shards] for i in range(n_shards)]
+    shards = [s for s in shards if s]
+    t0 = time.time()
+    procs, paths = [], []
+    for i, shard in enumerate(shards):
+        fd, p = tempfile.mkstemp(prefix=f"cq_shard{i}_", suffix=".json")
+        os.close(fd)
+        paths.append(p)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), sf_dir,
+             *shard, "--json", p],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            env={**os.environ, "RAY_GRAFT_CPUS": os.environ.get(
+                "CHECK_SHARD_CPUS", "8")}))
+    merged, n_pass, n_fail = {}, 0, 0
+    for i, (pr, p) in enumerate(zip(procs, paths)):
+        out, _ = pr.communicate()
+        for line in out.splitlines():
+            if line.startswith(("PASS ", "FAIL ", "ok?  ")):
+                print(line)
+        try:
+            with open(p) as f:
+                res = json.load(f)["queries"]
+        except Exception as e:
+            print(f"FAIL <shard {i}>: unreadable result ({e})")
+            res = {q: {"status": "fail", "err": "shard crashed"}
+                   for q in shards[i]}
+        for q, row in res.items():
+            merged[q] = row
+            if row["status"] == "fail":
+                n_fail += 1
+            else:
+                n_pass += 1
+        os.unlink(p)
+    # queries a crashed shard never reported on
+    for i, shard in enumerate(shards):
+        for q in shard:
+            if q not in merged:
+                merged[q] = {"status": "fail", "err": "shard died early"}
+                n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail "
+          f"({len(shards)} shards, {time.time() - t0:.0f}s wall)")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_fail": n_fail, "shards": len(shards),
+                       "queries": merged}, f, indent=1)
+    sys.exit(1 if n_fail else 0)
+
+
 def main():
     args = sys.argv[1:]
     json_path = None
@@ -50,13 +119,23 @@ def main():
         i = args.index("--json")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
+    n_shards = 0
+    if "--shards" in args:
+        i = args.index("--shards")
+        n_shards = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if n_shards > 1:
+        run_sharded(sf_dir, only, n_shards, json_path)
+        return
     results = {}
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        import os
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
