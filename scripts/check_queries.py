@@ -73,7 +73,8 @@ def run_sharded(sf_dir, only, n_shards, json_path):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), sf_dir,
              *shard, "--json", p],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            stdout=subprocess.PIPE,
+            stderr=open(p + ".stderr", "w"), text=True,
             env={**os.environ, "RAY_GRAFT_CPUS": os.environ.get(
                 "CHECK_SHARD_CPUS", "8")}))
     merged, n_pass, n_fail = {}, 0, 0
@@ -86,7 +87,14 @@ def run_sharded(sf_dir, only, n_shards, json_path):
             with open(p) as f:
                 res = json.load(f)["queries"]
         except Exception as e:
-            print(f"FAIL <shard {i}>: unreadable result ({e})")
+            tail = ""
+            try:
+                with open(p + ".stderr") as sf:
+                    tail = sf.read()[-2000:]
+            except OSError:
+                pass
+            print(f"FAIL <shard {i}>: unreadable result ({e})\n"
+                  f"--- shard {i} stderr tail ---\n{tail}")
             res = {q: {"status": "fail", "err": "shard crashed"}
                    for q in shards[i]}
         for q, row in res.items():

@@ -1,0 +1,97 @@
+"""Round-4M operator batches (session 3 of round 4): spatial statistics
+(LISA, Knox, Huff) and the families that follow.
+
+Each op is driver-gate verified (rows+schema+hash vs DuckDB) at sf0.001
+AND sf0.01 before its commit; these tests pin the semantic regimes the
+hash sweep can't see — crafted cluster layouts, exact pair counts,
+sign/quadrant assignments on engineered fixtures."""
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _cell(u: int) -> int:
+    return 5 * (((u * 104729) % 1000) // 200) \
+        + ((u * 7919) % 1000) // 200
+
+
+def test_lisa_island_quadrants(tmp_path):
+    """All revenue concentrated on the center cell (nk 12): the island
+    is High-surrounded-by-Low (HL, negative LISA), its rook neighbours
+    are LH, and far corners are Low-near-Low (LL, POSITIVE lisa —
+    spatially clustered lows count as positive local association)."""
+    from prclz_ray.pipelines.queries import q_local_morans_i_cells
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_nationkey": pa.array([12], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_totalprice": pa.array([100.0])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_local_morans_i_cells(d).set_index("nk")
+    assert out.loc[12, "quadrant"] == "HL"
+    assert float(out.loc[12, "lisa"]) < 0
+    for nb in (7, 11, 13, 17):
+        assert out.loc[nb, "quadrant"] == "LH"
+    assert out.loc[0, "quadrant"] == "LL"
+    assert float(out.loc[0, "lisa"]) > 0
+    assert int(out.loc[12, "n_neighbors"]) == 4
+    assert int(out.loc[0, "n_neighbors"]) == 2
+
+
+def test_knox_exact_pair_counts(tmp_path):
+    """Two users in different cells, each with 2 events ≤3 days apart,
+    100 days between users: X = Ns = Nt = 2 (only the within-user
+    pairs are close in space OR time), N = C(4,2) = 6, and the
+    interaction z is positive (close-in-space pairs are also
+    close-in-time)."""
+    from prclz_ray.pipelines.queries import q_knox_spacetime_events
+    ua, ub = 1, 2
+    assert _cell(ua) != _cell(ub)
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "user_id": pa.array([ua, ua, ub, ub], type=pa.int64()),
+        "ts": pa.array([base, base + day,
+                        base + 100 * day, base + 101 * day])}),
+        os.path.join(d, "events.parquet"))
+    out = q_knox_spacetime_events(d).iloc[0]
+    assert int(out["n_events"]) == 4
+    assert int(out["x_knox"]) == 2
+    assert int(out["ns_space"]) == 2
+    assert int(out["nt_time"]) == 2
+    assert int(out["n_pairs"]) == 6
+    assert abs(float(out["e_knox"]) - 4.0 / 6.0) < 1e-6
+    assert float(out["z_knox"]) > 0
+
+
+def test_huff_nearest_store_wins(tmp_path):
+    """Equal attractiveness (one supplier per mod-5 class): a single
+    customer's highest Huff share goes to the store with the smallest
+    squared distance, and shares sum to 1 within quantization."""
+    from prclz_ray.pipelines.queries import q_huff_model_stores
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([0, 1, 2, 3, 4], type=pa.int64())}),
+        os.path.join(d, "supplier.parquet"))
+    ck = 7
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([ck], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    px = (ck * 7919) % 1000 + 0.5
+    py = (ck * 104729) % 1000 + 0.5
+    d2 = [(px - (100 + 200 * j)) ** 2 + (py - (100 + 200 * j)) ** 2
+          for j in range(5)]
+    out = q_huff_model_stores(d)
+    assert list(out["attractiveness"]) == [1] * 5
+    shares = out.set_index("store")["market_share"]
+    assert abs(shares.sum() - 1.0) < 1e-6
+    assert int(shares.idxmax()) == int(np.argmin(d2))
+    # n=1 customer → expected captured customers equals the share
+    assert np.allclose(out["expected_customers"], out["market_share"])
