@@ -95,3 +95,94 @@ def test_huff_nearest_store_wins(tmp_path):
     assert int(shares.idxmax()) == int(np.argmin(d2))
     # n=1 customer → expected captured customers equals the share
     assert np.allclose(out["expected_customers"], out["market_share"])
+
+
+def _orders_tbl(d, prios, prices):
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(prios),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_jonckheere_monotone_extremes(tmp_path):
+    """Values strictly increasing along the priority ladder → every
+    cross-group pair agrees: 2U = 2·Σnᵢnⱼ and z > 0; reversed →
+    2U = 0 and z < 0."""
+    from prclz_ray.pipelines.queries import q_jonckheere_terpstra_priority
+    names = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"]
+    d = str(tmp_path / "up")
+    os.makedirs(d)
+    _orders_tbl(d, [n for n in names for _ in range(3)],
+                [float(g + 1) for g in range(5) for _ in range(3)])
+    up = q_jonckheere_terpstra_priority(d).iloc[0]
+    assert int(up["u_doubled"]) == 2 * int(up["e_doubled"])
+    assert float(up["z_jt"]) > 0
+    d2 = str(tmp_path / "down")
+    os.makedirs(d2)
+    _orders_tbl(d2, [n for n in names for _ in range(3)],
+                [float(5 - g) for g in range(5) for _ in range(3)])
+    down = q_jonckheere_terpstra_priority(d2).iloc[0]
+    assert int(down["u_doubled"]) == 0
+    assert float(down["z_jt"]) < 0
+
+
+def test_cochran_armitage_flat_is_zero(tmp_path):
+    """A perfectly flat error rate (1 error in 4 events every hour)
+    gives A = N·Σtr − R·Σtn EXACTLY zero; a ramp (errors only in the
+    late hours) gives z > 0."""
+    from prclz_ray.pipelines.queries import q_cochran_armitage_errors
+    base = np.datetime64("1995-01-01", "us")
+    hour = np.timedelta64(3600, "s").astype("timedelta64[us]")
+    ts, et = [], []
+    for h in range(24):
+        for i in range(4):
+            ts.append(base + h * hour)
+            et.append("error" if i == 0 else "click")
+    d = str(tmp_path / "flat")
+    os.makedirs(d)
+    pq.write_table(pa.table({"ts": pa.array(ts),
+                             "event_type": pa.array(et)}),
+                   os.path.join(d, "events.parquet"))
+    flat = q_cochran_armitage_errors(d).iloc[0]
+    assert int(flat["a_num"]) == 0
+    ts2, et2 = [], []
+    for h in range(24):
+        for i in range(4):
+            ts2.append(base + h * hour)
+            et2.append("error" if (h >= 12 and i == 0) else "click")
+    d2 = str(tmp_path / "ramp")
+    os.makedirs(d2)
+    pq.write_table(pa.table({"ts": pa.array(ts2),
+                             "event_type": pa.array(et2)}),
+                   os.path.join(d2, "events.parquet"))
+    ramp = q_cochran_armitage_errors(d2).iloc[0]
+    assert int(ramp["a_num"]) > 0
+    assert float(ramp["z_trend"]) > 0
+
+
+def test_cliffs_delta_extremes(tmp_path):
+    """Disjoint supports (every purchase above every click) → δ = 1,
+    'large'; identical distributions → δ = 0, 'negligible' with all
+    pairs tied."""
+    from prclz_ray.pipelines.queries import q_cliffs_delta_value
+    d = str(tmp_path / "disjoint")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["purchase"] * 4 + ["click"] * 5),
+        "value": pa.array([10.0] * 4 + [5.0] * 5)}),
+        os.path.join(d, "events.parquet"))
+    out = q_cliffs_delta_value(d).iloc[0]
+    assert int(out["n_gt"]) == 20 and int(out["n_lt"]) == 0
+    assert float(out["delta"]) == 1.0
+    assert out["magnitude"] == "large"
+    d2 = str(tmp_path / "same")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["purchase"] * 3 + ["click"] * 3),
+        "value": pa.array([7.0] * 6)}),
+        os.path.join(d2, "events.parquet"))
+    same = q_cliffs_delta_value(d2).iloc[0]
+    assert int(same["n_tie"]) == 9
+    assert float(same["delta"]) == 0.0
+    assert same["magnitude"] == "negligible"
