@@ -186,3 +186,53 @@ def test_cliffs_delta_extremes(tmp_path):
     assert int(same["n_tie"]) == 9
     assert float(same["delta"]) == 0.0
     assert same["magnitude"] == "negligible"
+
+
+def _docs_tbl(d, texts, langs):
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts), "lang": pa.array(langs)}),
+        os.path.join(d, "documents.parquet"))
+
+
+def test_interrater_perfect_agreement(tmp_path):
+    """Long unambiguous docs (classifier right, weak rater copies it):
+    all three raters agree on every item → Fleiss κ = 1 and
+    Krippendorff α = 1 exactly, and Cochran's Q picks up that the
+    always-'en' majority judge differs (Q = 4 on the crafted 2+2
+    panel: G = (4,4,2), ΣL² = 26)."""
+    from prclz_ray.pipelines.queries import (
+        q_cochran_q_langid, q_fleiss_kappa_langid,
+        q_krippendorff_alpha_langid)
+    d = str(tmp_path)
+    en = ("that and for it is of " * 12).strip()
+    de = ("der das den mit nicht ist " * 10).strip()
+    assert len(en) >= 200 and len(de) >= 200
+    _docs_tbl(d, [en, en, de, de], ["en", "en", "de", "de"])
+    fk = q_fleiss_kappa_langid(d).iloc[0]
+    assert float(fk["po"]) == 1.0
+    assert float(fk["kappa"]) == 1.0
+    ka = q_krippendorff_alpha_langid(d).iloc[0]
+    assert float(ka["d_obs"]) == 0.0
+    assert float(ka["alpha"]) == 1.0
+    cq = q_cochran_q_langid(d).iloc[0]
+    assert (int(cq["g_langid"]), int(cq["g_weak"]),
+            int(cq["g_majority"])) == (4, 4, 2)
+    assert float(cq["q_cochran"]) == 4.0
+
+
+def test_interrater_weak_rater_penalty(tmp_path):
+    """SHORT non-English docs flip the weak rater to 'en': agreement
+    drops below perfect and α < κ-fixture values; the weak judge's
+    correct count falls behind the classifier's."""
+    from prclz_ray.pipelines.queries import (
+        q_cochran_q_langid, q_fleiss_kappa_langid)
+    d = str(tmp_path)
+    de_short = "der das den mit nicht ist"
+    en = ("that and for it is of " * 12).strip()
+    _docs_tbl(d, [en, de_short, de_short, de_short],
+              ["en", "de", "de", "de"])
+    fk = q_fleiss_kappa_langid(d).iloc[0]
+    assert float(fk["po"]) < 1.0
+    cq = q_cochran_q_langid(d).iloc[0]
+    assert int(cq["g_weak"]) < int(cq["g_langid"])
