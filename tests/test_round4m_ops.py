@@ -236,3 +236,62 @@ def test_interrater_weak_rater_penalty(tmp_path):
     assert float(fk["po"]) < 1.0
     cq = q_cochran_q_langid(d).iloc[0]
     assert int(cq["g_weak"]) < int(cq["g_langid"])
+
+
+def _orders_days(d, prices):
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([base + i * day
+                                 for i in range(len(prices))]),
+        "o_totalprice": pa.array([float(p) for p in prices])}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_permutation_entropy_regimes(tmp_path):
+    """A strict ramp has ONE ordinal pattern (H = 0 exactly); a 2-cycle
+    alternation has two equiprobable patterns (H = ln 2, norm
+    ln2/ln6) — dynamics the value histogram can't distinguish."""
+    from prclz_ray.pipelines.queries import q_permutation_entropy_revenue
+    d = str(tmp_path / "ramp")
+    os.makedirs(d)
+    _orders_days(d, range(10, 30))
+    ramp = q_permutation_entropy_revenue(d).iloc[0]
+    assert int(ramp["c012"]) == 18 and float(ramp["h_nat"]) == 0.0
+    d2 = str(tmp_path / "alt")
+    os.makedirs(d2)
+    _orders_days(d2, [10, 30] * 10)
+    alt = q_permutation_entropy_revenue(d2).iloc[0]
+    assert int(alt["c021"]) == 9 and int(alt["c102"]) == 9
+    assert abs(float(alt["h_norm"]) - np.log(2) / np.log(6)) < 1e-5
+
+
+def test_turning_points_extremes(tmp_path):
+    """Monotone ramp → zero turning points (z < 0, trending);
+    alternation → every interior day turns (z > 0)."""
+    from prclz_ray.pipelines.queries import q_turning_points_revenue
+    d = str(tmp_path / "ramp")
+    os.makedirs(d)
+    _orders_days(d, range(10, 40))
+    ramp = q_turning_points_revenue(d).iloc[0]
+    assert int(ramp["n_turning"]) == 0 and float(ramp["z_turning"]) < 0
+    d2 = str(tmp_path / "alt")
+    os.makedirs(d2)
+    _orders_days(d2, [10, 30] * 15)
+    alt = q_turning_points_revenue(d2).iloc[0]
+    assert int(alt["n_turning"]) == 28
+    assert float(alt["z_turning"]) > 0
+
+
+def test_foster_stuart_ramp_records(tmp_path):
+    """A strict up-ramp makes every post-first day an upper record and
+    none a lower record: D = n−1 and z > 0; the mirrored-integer
+    harmonic variance is shared with the twin."""
+    from prclz_ray.pipelines.queries import q_foster_stuart_records
+    d = str(tmp_path)
+    _orders_days(d, range(10, 35))
+    out = q_foster_stuart_records(d).iloc[0]
+    assert int(out["n_up_records"]) == 24
+    assert int(out["n_down_records"]) == 0
+    assert int(out["d_stat"]) == 24
+    assert float(out["z_records"]) > 0
