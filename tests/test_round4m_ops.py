@@ -295,3 +295,64 @@ def test_foster_stuart_ramp_records(tmp_path):
     assert int(out["n_down_records"]) == 0
     assert int(out["d_stat"]) == 24
     assert float(out["z_records"]) > 0
+
+
+def test_iv_equals_ols_when_instrument_is_x(tmp_path):
+    """On a noiseless y = 3·x line ANY instrument correlated with x
+    recovers the same slope: cov(z,y) = 300·cov(z,x), so β_IV = 300 =
+    β_OLS exactly (z here is x censored at 5 — correlated but not
+    collinear, keeping the first-stage F finite)."""
+    from prclz_ray.pipelines.queries import q_iv_2sls_quantity
+    d = str(tmp_path)
+    q = list(range(1, 11))
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([float(v) for v in q]),
+        "l_extendedprice": pa.array([3.0 * v for v in q]),
+        "l_discount": pa.array([min(v, 5) / 100.0 for v in q])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_iv_2sls_quantity(d).iloc[0]
+    assert float(out["beta_iv"]) == 300.0
+    assert float(out["beta_ols"]) == 300.0
+    assert float(out["first_stage_f"]) > 10
+
+
+def test_rdd_step_function_jump(tmp_path):
+    """A pure step in discount at qty 25 (5 bp below, 10 bp at/above,
+    flat within each side) recovers fits of exactly 5 and 10 and
+    τ = 5."""
+    from prclz_ray.pipelines.queries import q_rdd_quantity_cutoff
+    d = str(tmp_path)
+    qty = list(range(15, 35))
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([float(v) for v in qty]),
+        "l_discount": pa.array([0.05 if v < 25 else 0.10
+                                for v in qty])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_rdd_quantity_cutoff(d).iloc[0]
+    assert int(out["n_left"]) == 10 and int(out["n_right"]) == 10
+    assert float(out["fit_left"]) == 5.0
+    assert float(out["fit_right"]) == 10.0
+    assert float(out["tau"]) == 5.0
+
+
+def test_oaxaca_pure_composition_gap(tmp_path):
+    """Both segments share the exact line y = 1000·x cents; BUILDING
+    customers simply order at higher priorities.  The entire gap is
+    composition: explained = gap, unexplained = 0."""
+    from prclz_ray.pipelines.queries import q_oaxaca_value_by_segment
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "BUILDING",
+                                  "AUTOMOBILE", "AUTOMOBILE"])}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderpriority": pa.array(["4-NOT SPECIFIED", "5-LOW",
+                                     "1-URGENT", "2-HIGH"]),
+        "o_totalprice": pa.array([40.0, 50.0, 10.0, 20.0])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_oaxaca_value_by_segment(d).iloc[0]
+    assert float(out["gap_cents"]) == 3000.0
+    assert float(out["explained"]) == 3000.0
+    assert float(out["unexplained"]) == 0.0
