@@ -356,3 +356,78 @@ def test_oaxaca_pure_composition_gap(tmp_path):
     assert float(out["gap_cents"]) == 3000.0
     assert float(out["explained"]) == 3000.0
     assert float(out["unexplained"]) == 0.0
+
+
+def test_eoq_closed_form(tmp_path):
+    """One brand, two 10.00 parts, demand 50: EOQ = √(2·50·10000·10·2
+    / 2000) = √10000 = 100 exactly."""
+    from prclz_ray.pipelines.queries import q_eoq_parts_by_brand
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], type=pa.int64()),
+        "p_brand": pa.array(["Brand#11", "Brand#11"]),
+        "p_retailprice": pa.array([10.0, 10.0])}),
+        os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2], type=pa.int64()),
+        "l_quantity": pa.array([30.0, 20.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_eoq_parts_by_brand(d).iloc[0]
+    assert int(out["annual_demand"]) == 50
+    assert float(out["eoq_units"]) == 100.0
+
+
+def test_newsvendor_exact_order_stat(tmp_path):
+    """Daily demands 1..8 → k = ⌈0.75·8⌉ = 6 and the stock level is
+    the 6th smallest daily total: exactly 6 units."""
+    from prclz_ray.pipelines.queries import q_newsvendor_daily_demand
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([base + i * day for i in range(8)]),
+        "l_quantity": pa.array([float(i + 1) for i in range(8)])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_newsvendor_daily_demand(d).iloc[0]
+    assert int(out["n_days"]) == 8
+    assert int(out["k_rank"]) == 6
+    assert int(out["q_star"]) == 6
+
+
+def test_chain_ladder_projects_censored_origin(tmp_path):
+    """Five monthly origins, diagonal cut at max−3 keeps Jan (sees lag
+    0+1, cum 10000→20000) and Feb (lag 0 only).  f₀ = 2 from Jan's
+    development; Feb's ultimate doubles its latest (IBNR = latest),
+    Jan is developed flat (f₁..₃ default to 1, IBNR = 0)."""
+    from prclz_ray.pipelines.queries import q_chain_ladder_orders
+    d = str(tmp_path)
+    odates, okeys = [], []
+    for k, mo in enumerate(["01", "02", "03", "04", "05"]):
+        odates.append(np.datetime64(f"1995-{mo}-10", "us"))
+        okeys.append(k + 1)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(okeys, type=pa.int64()),
+        "o_orderdate": pa.array(odates)}),
+        os.path.join(d, "orders.parquet"))
+    lk, sd, ep, dc = [], [], [], []
+    for k, mo in enumerate(["01", "02", "03", "04", "05"]):
+        for lag in (0, 1):
+            ship_m = int(mo) + lag
+            lk.append(k + 1)
+            sd.append(np.datetime64(f"1995-{ship_m:02d}-20", "us"))
+            ep.append(1.0)
+            dc.append(0.0)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lk, type=pa.int64()),
+        "l_shipdate": pa.array(sd),
+        "l_extendedprice": pa.array(ep),
+        "l_discount": pa.array(dc)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_chain_ladder_orders(d).set_index("origin_month")
+    assert len(out) == 2
+    jan, feb = sorted(out.index)
+    assert int(out.loc[jan, "latest_e4"]) == 20000
+    assert float(out.loc[jan, "ibnr_e4"]) == 0.0
+    assert int(out.loc[feb, "latest_e4"]) == 10000
+    assert float(out.loc[feb, "ultimate_e4"]) == 20000.0
+    assert float(out.loc[feb, "ibnr_e4"]) == 10000.0
