@@ -431,3 +431,58 @@ def test_chain_ladder_projects_censored_origin(tmp_path):
     assert int(out.loc[feb, "latest_e4"]) == 10000
     assert float(out.loc[feb, "ultimate_e4"]) == 20000.0
     assert float(out.loc[feb, "ibnr_e4"]) == 10000.0
+
+
+def test_jaro_winkler_textbook_pairs(tmp_path):
+    """The textbook pairs land exactly: MARTHA/MARHTA → 0.961111,
+    DWAYNE/DUANE → 0.84 (half-split pairing 0↔2, 1↔3)."""
+    from prclz_ray.pipelines.queries import q_jaro_winkler_part_pairs
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "p_name": pa.array(["MARTHA", "DWAYNE", "MARHTA", "DUANE"])}),
+        os.path.join(d, "part.parquet"))
+    out = q_jaro_winkler_part_pairs(d).set_index("a")
+    assert float(out.loc[0, "jw_sim"]) == 0.961111
+    assert float(out.loc[1, "jw_sim"]) == 0.84
+
+
+def test_mattr_regimes(tmp_path):
+    """All-same 60-token doc → every window has 1 type (MATTR = 0.02);
+    all-distinct 60-token doc → MATTR = 1; a 3-token short doc uses a
+    single full-width window (2 types / 3 tokens)."""
+    from prclz_ray.pipelines.queries import q_mattr_lexical_diversity
+    d = str(tmp_path)
+    same = " ".join(["tok"] * 60)
+    dist = " ".join(f"w{i}" for i in range(60))
+    short = "a b a"
+    _docs_tbl(d, [same, dist, short], ["en", "en", "en"])
+    out = q_mattr_lexical_diversity(d).set_index("doc_id")
+    assert float(out.loc[0, "mattr"]) == 0.02
+    assert int(out.loc[0, "n_windows"]) == 11
+    assert float(out.loc[1, "mattr"]) == 1.0
+    assert int(out.loc[2, "n_tokens"]) == 3
+    assert float(out.loc[2, "mattr"]) == 0.666667
+
+
+def test_lru_stack_distance_exact(tmp_path):
+    """Sequence A B A C A: both re-references sit at stack distance 1 —
+    misses in a size-1 cache, hits at 2 and 4; first touches are
+    compulsory misses everywhere."""
+    from prclz_ray.pipelines.queries import q_lru_stack_distance
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    sec = np.timedelta64(1, "s").astype("timedelta64[us]")
+    types = ["A", "B", "A", "C", "A"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(5)), type=pa.int64()),
+        "ts": pa.array([base + i * sec for i in range(5)]),
+        "user_id": pa.array([1] * 5, type=pa.int64()),
+        "event_type": pa.array(types)}),
+        os.path.join(d, "events.parquet"))
+    out = q_lru_stack_distance(d).set_index("capacity")
+    assert int(out.loc[1, "n_hits"]) == 0
+    assert int(out.loc[2, "n_hits"]) == 2
+    assert int(out.loc[4, "n_hits"]) == 2
+    assert int(out.loc[2, "n_accesses"]) == 5
+    assert float(out.loc[2, "hit_rate"]) == 0.4
