@@ -486,3 +486,104 @@ def test_lru_stack_distance_exact(tmp_path):
     assert int(out.loc[4, "n_hits"]) == 2
     assert int(out.loc[2, "n_accesses"]) == 5
     assert float(out.loc[2, "hit_rate"]) == 0.4
+
+
+def _toy_docs(d, n):
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(["en"] * n)}),
+        os.path.join(d, "documents.parquet"))
+
+
+def _toy_adj(n):
+    adj = [set() for _ in range(n)]
+    for s in range(n):
+        for k in (1, 2, 3):
+            t = (s * 7919 + k * 104729) % n
+            if t != s:
+                adj[s].add(t)
+                adj[t].add(s)
+    return adj
+
+
+def test_graph_diameter_independent_bfs(tmp_path):
+    """Diameter/radius/center on a 40-node instance match a from-
+    scratch BFS reconstruction (different code path, no CSR)."""
+    from collections import deque
+    from prclz_ray.pipelines.queries import q_graph_diameter_links
+    d = str(tmp_path)
+    n = 40
+    _toy_docs(d, n)
+    adj = _toy_adj(n)
+    eccs = []
+    for s in range(n):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        eccs.append(max(dist.values()))
+    out = q_graph_diameter_links(d).iloc[0]
+    assert int(out["diameter"]) == max(eccs)
+    assert int(out["radius"]) == min(eccs)
+    assert int(out["n_center"]) == sum(e == min(eccs) for e in eccs)
+
+
+def test_closeness_independent_reconstruction(tmp_path):
+    """Wasserman–Faust closeness on the 40-node instance equals the
+    brute-force (r−1)²/((n−1)·Σd) for every node."""
+    from collections import deque
+    from prclz_ray.pipelines.queries import (
+        _APSP_CACHE, q_closeness_centrality_links)
+    _APSP_CACHE.clear()
+    d = str(tmp_path)
+    n = 40
+    _toy_docs(d, n)
+    adj = _toy_adj(n)
+    out = q_closeness_centrality_links(d).set_index("node")
+    for s in range(n):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        r = len(dist)
+        sd = sum(dist.values())
+        want = ((r - 1) ** 2) / ((n - 1) * sd) if sd else 0.0
+        assert abs(float(out.loc[s, "closeness"]) - want) < 1e-6
+        assert int(out.loc[s, "sum_dist"]) == sd
+
+
+def test_resource_allocation_independent(tmp_path):
+    """Top RA pair on the 40-node instance matches a brute-force
+    Σ⌊1e9/deg⌋ over common neighbors of non-edges, including the
+    integer tie-break ordering."""
+    from prclz_ray.pipelines.queries import (
+        _APSP_CACHE, q_resource_allocation_links)
+    _APSP_CACHE.clear()
+    d = str(tmp_path)
+    n = 40
+    _toy_docs(d, n)
+    adj = _toy_adj(n)
+    deg = [len(a) for a in adj]
+    scores = {}
+    for u in range(n):
+        for v in range(u + 1, n):
+            if v in adj[u]:
+                continue
+            cn = adj[u] & adj[v]
+            if cn:
+                scores[(u, v)] = sum(10 ** 9 // deg[w] for w in cn)
+    want = sorted(scores.items(),
+                  key=lambda kv: (-kv[1], kv[0]))[:25]
+    out = q_resource_allocation_links(d)
+    got = list(zip(zip(out["a"], out["b"]), out["ra9"]))
+    assert [(tuple(map(int, k)), int(v)) for k, v in got] == \
+        [((a, b), s) for (a, b), s in want]
