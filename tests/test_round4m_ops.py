@@ -587,3 +587,45 @@ def test_resource_allocation_independent(tmp_path):
     got = list(zip(zip(out["a"], out["b"]), out["ra9"]))
     assert [(tuple(map(int, k)), int(v)) for k, v in got] == \
         [((a, b), s) for (a, b), s in want]
+
+
+def _seat_fixture(d, cents):
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, len(cents) + 1)),
+                              type=pa.int64()),
+        "c_nationkey": pa.array(list(range(len(cents))),
+                                type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(list(range(1, len(cents) + 1)),
+                              type=pa.int64()),
+        "o_totalprice": pa.array([c / 100.0 for c in cents])}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_sainte_lague_and_hh_equal_split(tmp_path):
+    """Three equal parties: both divisor methods split 100 as
+    34/33/33 with the extra seat falling to the lowest nation key by
+    the deterministic tie-break."""
+    from prclz_ray.pipelines.queries import (
+        q_huntington_hill_apportionment, q_sainte_lague_apportionment)
+    d = str(tmp_path)
+    _seat_fixture(d, [500, 500, 500])
+    sl = q_sainte_lague_apportionment(d)
+    assert list(sl["seats"]) == [34, 33, 33]
+    hh = q_huntington_hill_apportionment(d)
+    assert list(hh["seats"]) == [34, 33, 33]
+    assert int(sl["seats"].sum()) == 100
+
+
+def test_hamilton_alabama_paradox_instance(tmp_path):
+    """Revenues (3, 457, 273) are a genuine Alabama-paradox instance:
+    the house growing 100→101 takes nation 0 from 1 seat to 0 — pure
+    integer arithmetic, not rounding."""
+    from prclz_ray.pipelines.queries import q_hamilton_alabama_paradox
+    d = str(tmp_path)
+    _seat_fixture(d, [3, 457, 273])
+    out = q_hamilton_alabama_paradox(d).set_index("n_nationkey")
+    assert list(out["seats_100"]) == [1, 62, 37]
+    assert list(out["seats_101"]) == [0, 63, 38]
+    assert list(out["alabama_paradox"]) == [True, False, False]
