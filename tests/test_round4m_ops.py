@@ -629,3 +629,52 @@ def test_hamilton_alabama_paradox_instance(tmp_path):
     assert list(out["seats_100"]) == [1, 62, 37]
     assert list(out["seats_101"]) == [0, 63, 38]
     assert list(out["alabama_paradox"]) == [True, False, False]
+
+
+def test_western_electric_rule4_run(tmp_path):
+    """A long alternating base keeps runs short; appending 8
+    consecutive high days triggers rule 4 on the 8th day of the run
+    (and the flagged day carries rule4=True)."""
+    from prclz_ray.pipelines.queries import q_western_electric_rules
+    d = str(tmp_path)
+    vals = [100, 102] * 20 + [103] * 8
+    _orders_days(d, vals)
+    out = q_western_electric_rules(d)
+    r4 = out[out["rule4"]]
+    assert len(r4) >= 1
+    # the trailing 102 (index 39, above the run-lifted mean 101.33)
+    # joins the high run, so 8-in-a-row completes at index 46
+    base_day = int(np.datetime64("1995-01-01").astype(int))
+    assert int(r4["day"].iloc[0]) - base_day == 46
+
+
+def test_cpk_symmetric_process(tmp_path):
+    """An in-spec alternating process has zero out-of-spec days and
+    Cpk = (0.4/0.9)·Cp·... — with band [0.6μ, 1.5μ], Cp/Cpk =
+    (0.9/6)/(0.4/3) = 1.125 exactly as a ratio of the two mirrored
+    chains."""
+    from prclz_ray.pipelines.queries import q_cpk_daily_revenue
+    d = str(tmp_path)
+    _orders_days(d, [99, 101] * 15)
+    out = q_cpk_daily_revenue(d).iloc[0]
+    assert int(out["n_below_lsl"]) == 0
+    assert int(out["n_above_usl"]) == 0
+    assert abs(float(out["cp"]) / float(out["cpk"]) - 1.125) < 1e-3
+
+
+def test_page_hinkley_detects_level_shift(tmp_path):
+    """A flat series never alarms (PH stays 0); a mid-series level
+    shift drives the cumulative deviation past 5σ·n and alarms."""
+    from prclz_ray.pipelines.queries import q_page_hinkley_revenue
+    d = str(tmp_path / "flat")
+    os.makedirs(d)
+    _orders_days(d, [100] * 30)
+    flat = q_page_hinkley_revenue(d).iloc[0]
+    assert int(flat["n_alarms"]) == 0
+    assert int(flat["max_phn"]) == 0
+    d2 = str(tmp_path / "shift")
+    os.makedirs(d2)
+    _orders_days(d2, [100] * 30 + [200] * 30)
+    shift = q_page_hinkley_revenue(d2).iloc[0]
+    assert int(shift["n_alarms"]) > 0
+    assert int(shift["first_alarm_day"]) > 0
