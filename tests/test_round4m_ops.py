@@ -678,3 +678,55 @@ def test_page_hinkley_detects_level_shift(tmp_path):
     shift = q_page_hinkley_revenue(d2).iloc[0]
     assert int(shift["n_alarms"]) > 0
     assert int(shift["first_alarm_day"]) > 0
+
+
+def test_rsi_regimes(tmp_path):
+    """A monotone up-ramp pins RSI at exactly 100 (no losses in any
+    window); a flat series pins the 50 convention on integer zeros;
+    alternating ±equal steps pins exactly 50 by symmetry."""
+    from prclz_ray.pipelines.queries import q_rsi14_daily_revenue
+    d = str(tmp_path / "up")
+    os.makedirs(d)
+    _orders_days(d, range(100, 130))
+    up = q_rsi14_daily_revenue(d)
+    assert (up["rsi"] == 100.0).all()
+    d2 = str(tmp_path / "flat")
+    os.makedirs(d2)
+    _orders_days(d2, [100] * 30)
+    flat = q_rsi14_daily_revenue(d2)
+    assert (flat["rsi"] == 50.0).all()
+    assert (flat["gain14"] == 0).all()
+    d3 = str(tmp_path / "alt")
+    os.makedirs(d3)
+    _orders_days(d3, [100, 102] * 15)
+    alt = q_rsi14_daily_revenue(d3)
+    assert (alt["rsi"] == 50.0).all()
+
+
+def test_sortino_sentinel_on_upside_only(tmp_path):
+    """A strictly rising series has zero downside: sortino reports the
+    −1 sentinel while sharpe stays finite."""
+    from prclz_ray.pipelines.queries import q_sharpe_sortino_revenue
+    d = str(tmp_path)
+    _orders_days(d, [100 + 3 * i + (i % 2) for i in range(20)])
+    out = q_sharpe_sortino_revenue(d).iloc[0]
+    assert float(out["sortino"]) == -1.0
+    assert float(out["sharpe"]) > 0
+
+
+def test_ulcer_zero_without_drawdown(tmp_path):
+    """Monotone growth never goes under water: UI and max_dd are
+    exactly 0 (integer nano-sum 0); a single 50% dip from peak 200
+    pins max_dd at exactly 50%."""
+    from prclz_ray.pipelines.queries import q_ulcer_index_revenue
+    d = str(tmp_path / "up")
+    os.makedirs(d)
+    _orders_days(d, range(100, 120))
+    up = q_ulcer_index_revenue(d).iloc[0]
+    assert int(up["dd2_sum_e9"]) == 0
+    assert float(up["ulcer_index"]) == 0.0
+    d2 = str(tmp_path / "dip")
+    os.makedirs(d2)
+    _orders_days(d2, [200, 100, 200])
+    dip = q_ulcer_index_revenue(d2).iloc[0]
+    assert float(dip["max_dd_pct"]) == 50.0
