@@ -730,3 +730,34 @@ def test_ulcer_zero_without_drawdown(tmp_path):
     _orders_days(d2, [200, 100, 200])
     dip = q_ulcer_index_revenue(d2).iloc[0]
     assert float(dip["max_dd_pct"]) == 50.0
+
+
+def test_terrain_family_single_peak(tmp_path):
+    """One customer lifts corner cell 0 of an otherwise flat DEM:
+    every interior cell shades at the exact flat-ground constant
+    333333 (cos² = 1/3 of the NW light), TWI is NULL on zero slope
+    with unit flow accumulation, and the basins are 1023 singletons
+    plus the peak draining into cell 1 (size-2 basin, D8 first-in-
+    order tiebreak)."""
+    from prclz_ray.pipelines.queries import (
+        q_d8_basin_sizes, q_hillshade_grid, q_twi_grid)
+    d = str(tmp_path)
+    # custkey 1000 maps to cell (0, 0) under the shared point hash
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1000], type=pa.int64()),
+        "c_acctbal": pa.array([77.0])}),
+        os.path.join(d, "customer.parquet"))
+    hs = q_hillshade_grid(d).set_index("cell")
+    interior = [c for c in range(1024)
+                if c % 32 not in (0, 31) and c // 32 not in (0, 31)]
+    assert (hs.loc[interior, "shade_e6"] == 333333).all()
+    assert hs.loc[0, "shade_e6"] != hs.loc[0, "shade_e6"] \
+        or pd.isna(hs.loc[0, "shade_e6"])
+    twi = q_twi_grid(d).set_index("cell")
+    assert (twi.loc[interior, "flow_acc"] == 1).all()
+    assert twi.loc[interior, "twi"].isna().all()
+    basins = q_d8_basin_sizes(d)
+    assert len(basins) == 1023
+    assert int(basins["n_cells"].max()) == 2
+    two = basins[basins["n_cells"] == 2]
+    assert int(two["sink_cell"].iloc[0]) == 1
