@@ -761,3 +761,59 @@ def test_terrain_family_single_peak(tmp_path):
     assert int(basins["n_cells"].max()) == 2
     two = basins[basins["n_cells"] == 2]
     assert int(two["sink_cell"].iloc[0]) == 1
+
+
+def _cp_events(d, clicks, purchases):
+    pq.write_table(pa.table({
+        "event_type": pa.array(["click"] * len(clicks)
+                               + ["purchase"] * len(purchases)),
+        "value": pa.array([float(v) for v in clicks]
+                          + [float(v) for v in purchases])}),
+        os.path.join(d, "events.parquet"))
+
+
+def test_mood_median_clean_split(tmp_path):
+    """Purchases all above / clicks all below the pooled median: the
+    2×2 is diagonal and χ² = N exactly (the maximal association)."""
+    from prclz_ray.pipelines.queries import q_mood_median_test
+    d = str(tmp_path)
+    _cp_events(d, [1, 2, 3, 4], [10, 11, 12, 13])
+    out = q_mood_median_test(d).iloc[0]
+    assert int(out["n_purch_above"]) == 4
+    assert int(out["n_click_above"]) == 0
+    assert float(out["chi2"]) == 8.0
+
+
+def test_ansari_bradley_spread_detection(tmp_path):
+    """Purchases hugging the center vs clicks at the extremes: the
+    purchase AB score (center ranks score HIGH) exceeds its null
+    expectation → z > 0; swapping roles flips the sign."""
+    from prclz_ray.pipelines.queries import q_ansari_bradley_scale
+    d = str(tmp_path / "tight")
+    os.makedirs(d)
+    _cp_events(d, [1, 2, 19, 20], [9, 10, 11, 12])
+    out = q_ansari_bradley_scale(d).iloc[0]
+    assert 4 * int(out["ab_score"]) > int(out["e4_null"])
+    assert float(out["z_ab"]) > 0
+    d2 = str(tmp_path / "wide")
+    os.makedirs(d2)
+    _cp_events(d2, [9, 10, 11, 12], [1, 2, 19, 20])
+    out2 = q_ansari_bradley_scale(d2).iloc[0]
+    assert float(out2["z_ab"]) < 0
+
+
+def test_cvm_zero_for_identical(tmp_path):
+    """Identical click and purchase distributions give t_num = 0 (the
+    cleared integer) and T = 0; disjoint supports give a large T."""
+    from prclz_ray.pipelines.queries import q_cramer_von_mises_2samp
+    d = str(tmp_path / "same")
+    os.makedirs(d)
+    _cp_events(d, [5, 6, 7], [5, 6, 7])
+    same = q_cramer_von_mises_2samp(d).iloc[0]
+    assert int(same["t_num"]) == 0
+    assert float(same["cvm_t"]) == 0.0
+    d2 = str(tmp_path / "far")
+    os.makedirs(d2)
+    _cp_events(d2, [1, 2, 3], [11, 12, 13])
+    far = q_cramer_von_mises_2samp(d2).iloc[0]
+    assert float(far["cvm_t"]) > 0.3
