@@ -77,7 +77,7 @@ def run_sharded(sf_dir, only, n_shards, json_path):
             stderr=open(p + ".stderr", "w"), text=True,
             env={**os.environ, "RAY_GRAFT_CPUS": os.environ.get(
                 "CHECK_SHARD_CPUS", "8")}))
-    merged, n_pass, n_fail = {}, 0, 0
+    merged, crashed = {}, []
     for i, (pr, p) in enumerate(zip(procs, paths)):
         out, _ = pr.communicate()
         for line in out.splitlines():
@@ -87,29 +87,45 @@ def run_sharded(sf_dir, only, n_shards, json_path):
             with open(p) as f:
                 res = json.load(f)["queries"]
         except Exception as e:
-            tail = ""
-            try:
-                with open(p + ".stderr") as sf:
-                    tail = sf.read()[-2000:]
-            except OSError:
-                pass
-            print(f"FAIL <shard {i}>: unreadable result ({e})\n"
-                  f"--- shard {i} stderr tail ---\n{tail}")
-            res = {q: {"status": "fail", "err": "shard crashed"}
-                   for q in shards[i]}
-        for q, row in res.items():
-            merged[q] = row
-            if row["status"] == "fail":
-                n_fail += 1
-            else:
-                n_pass += 1
-        os.unlink(p)
-    # queries a crashed shard never reported on
-    for i, shard in enumerate(shards):
-        for q in shard:
+            print(f"RETRY <shard {i}>: crashed before writing its "
+                  f"result ({e}) — queuing its queries for a serial "
+                  f"retry pass")
+            crashed.extend(shards[i])
+            res = {}
+        merged.update(res)
+        if os.path.exists(p):
+            os.unlink(p)
+    # one serial retry for queries whose shard died (Ray core-worker
+    # crashes under concurrent local clusters are rare but real)
+    crashed += [q for i, shard in enumerate(shards) for q in shard
+                if q not in merged and q not in crashed]
+    if crashed:
+        fd, p = tempfile.mkstemp(prefix="cq_retry_", suffix=".json")
+        os.close(fd)
+        pr = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), sf_dir,
+             *crashed, "--json", p],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True,
+            env={**os.environ, "RAY_GRAFT_CPUS": os.environ.get(
+                "CHECK_SHARD_CPUS", "8")})
+        out, _ = pr.communicate()
+        for line in out.splitlines():
+            if line.startswith(("PASS ", "FAIL ", "ok?  ")):
+                print(line)
+        try:
+            with open(p) as f:
+                merged.update(json.load(f)["queries"])
+            os.unlink(p)
+        except Exception as e:
+            print(f"FAIL <retry shard>: unreadable result ({e})")
+        for q in crashed:
             if q not in merged:
-                merged[q] = {"status": "fail", "err": "shard died early"}
-                n_fail += 1
+                merged[q] = {"status": "fail",
+                             "err": "shard crashed twice"}
+    n_pass = sum(1 for r in merged.values()
+                 if r["status"] != "fail")
+    n_fail = len(merged) - n_pass
     print(f"\n{n_pass} pass, {n_fail} fail "
           f"({len(shards)} shards, {time.time() - t0:.0f}s wall)")
     if json_path:

@@ -817,3 +817,65 @@ def test_cvm_zero_for_identical(tmp_path):
     _cp_events(d2, [1, 2, 3], [11, 12, 13])
     far = q_cramer_von_mises_2samp(d2).iloc[0]
     assert float(far["cvm_t"]) > 0.3
+
+
+def test_tornqvist_uniform_doubling(tmp_path):
+    """Every part's unit price exactly doubles year-over-year with
+    unchanged baskets: the Törnqvist index is 2 (weights sum to 1,
+    each log-relative ln 2)."""
+    from prclz_ray.pipelines.queries import q_tornqvist_price_index
+    d = str(tmp_path)
+    y0 = np.datetime64("1994-06-01", "us")
+    y1 = np.datetime64("1995-06-01", "us")
+    pk, ep, qt, sd = [], [], [], []
+    for p, price in ((1, 10.0), (2, 30.0)):
+        pk += [p, p]
+        ep += [price, 2 * price]
+        qt += [1.0, 1.0]
+        sd += [y0, y1]
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(pk, type=pa.int64()),
+        "l_extendedprice": pa.array(ep),
+        "l_quantity": pa.array(qt),
+        "l_shipdate": pa.array(sd)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_tornqvist_price_index(d).iloc[0]
+    assert int(out["n_parts"]) == 2
+    assert abs(float(out["tornqvist"]) - 2.0) < 1e-5
+
+
+def test_erlang_b_known_value(tmp_path):
+    """Offered load a = 2 Erlang (10 events over 5 days): B(1) = 2/3,
+    B(2) = 2·(2/3)/(2+4/3) = 0.4 — the textbook loss recursion."""
+    from prclz_ray.pipelines.queries import q_erlang_b_blocking
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    ts = [base + (i % 5) * day for i in range(10)]
+    pq.write_table(pa.table({"ts": pa.array(ts)}),
+                   os.path.join(d, "events.parquet"))
+    out = q_erlang_b_blocking(d).set_index("servers")
+    assert abs(float(out.loc[1, "erlang_b"]) - 2 / 3) < 1e-6
+    assert abs(float(out.loc[2, "erlang_b"]) - 0.4) < 1e-6
+
+
+def test_kish_neff_extremes(tmp_path):
+    """Equal weights → n_eff = n and deff = 1 exactly; one dominant
+    customer collapses n_eff toward 1."""
+    from prclz_ray.pipelines.queries import q_kish_neff_customers
+    d = str(tmp_path / "eq")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], type=pa.int64())}),
+        os.path.join(d, "orders.parquet"))
+    eq = q_kish_neff_customers(d).iloc[0]
+    assert float(eq["n_eff"]) == 4.0
+    assert float(eq["deff"]) == 1.0
+    d2 = str(tmp_path / "skew")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1] * 97 + [2, 3, 4],
+                              type=pa.int64())}),
+        os.path.join(d2, "orders.parquet"))
+    sk = q_kish_neff_customers(d2).iloc[0]
+    assert float(sk["n_eff"]) < 1.2
