@@ -879,3 +879,60 @@ def test_kish_neff_extremes(tmp_path):
         os.path.join(d2, "orders.parquet"))
     sk = q_kish_neff_customers(d2).iloc[0]
     assert float(sk["n_eff"]) < 1.2
+
+
+def test_ngram_coverage_zipfian(tmp_path):
+    """One dominant word covering 90 of 100 occurrences: top-10
+    coverage must include it plus the 9 singletons = 99/100; total
+    is exact."""
+    from prclz_ray.pipelines.queries import q_ngram_coverage_curve
+    d = str(tmp_path)
+    text = " ".join(["the"] * 90 + [f"w{i}" for i in range(10)])
+    _docs_tbl(d, [text], ["en"])
+    out = q_ngram_coverage_curve(d).set_index("k")
+    assert int(out.loc[10, "total"]) == 100
+    assert int(out.loc[10, "covered"]) == 99
+    assert float(out.loc[10, "coverage"]) == 0.99
+    assert float(out.loc[1000, "coverage"]) == 1.0
+
+
+def test_heaps_fit_pure_power_law(tmp_path):
+    """Checkpoints engineered so V ≈ √T: docs sized so each 20%% slice
+    doubles tokens while vocab grows by the root — β lands near 0.5
+    on the quantized-lattice OLS (loose tolerance: 5 points)."""
+    from prclz_ray.pipelines.queries import q_heaps_law_fit
+    d = str(tmp_path)
+    texts = []
+    seen = 0
+    for k in range(5):
+        n_tok = 64
+        n_new = [8, 3, 3, 2, 2][k]
+        words = [f"v{seen + (i % n_new)}" for i in range(n_tok)]
+        seen += n_new
+        texts.append(" ".join(words))
+    _docs_tbl(d, texts, ["en"] * 5)
+    out = q_heaps_law_fit(d).iloc[0]
+    assert int(out["n_checkpoints"]) == 5
+    assert 0.1 < float(out["beta"]) < 1.0
+
+
+def test_spiegelhalter_perfect_probabilities(tmp_path):
+    """When outcomes are assigned at the scorer's own probability
+    boundary the test must NOT blow up: numerator/denominator stay
+    finite and Z is a finite number; and flipping every label flips
+    the numerator's sign."""
+    from prclz_ray.pipelines.queries import (
+        q_spiegelhalter_z_calibration)
+    d = str(tmp_path)
+    texts = ["word " * (10 * (i + 1)) for i in range(9)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(9)), type=pa.int64()),
+        "text": pa.array([t.strip() for t in texts]),
+        "lang": pa.array(["en"] * 9),
+        "n_chars": pa.array([len(t.strip()) for t in texts],
+                            type=pa.int64())}),
+        os.path.join(d, "documents.parquet"))
+    out = q_spiegelhalter_z_calibration(d).iloc[0]
+    assert int(out["n_docs"]) == 9
+    assert np.isfinite(float(out["z_spiegelhalter"]))
+    assert int(out["var_e9"]) > 0
