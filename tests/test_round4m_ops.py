@@ -936,3 +936,93 @@ def test_spiegelhalter_perfect_probabilities(tmp_path):
     assert int(out["n_docs"]) == 9
     assert np.isfinite(float(out["z_spiegelhalter"]))
     assert int(out["var_e9"]) > 0
+
+
+def test_pcf_rings_sum_to_k_counts(tmp_path):
+    """PCF ring pair counts must recompose Ripley's cumulative counts
+    exactly (they share the cell-replicated histogram kernel); a
+    two-point fixture at distance 7 puts its ordered pairs entirely
+    in the (5,10] ring."""
+    from prclz_ray.pipelines.queries import (
+        q_pair_correlation_function, q_ripleys_k)
+    d = str(tmp_path)
+    # custkeys 1 and 322 sit at squared distance 82 on the lattice —
+    # inside the (5, 10] ring (the x-coordinate pins k mod 1000, so y
+    # is determined: pairs must be FOUND, not crafted)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 322], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    pcf = q_pair_correlation_function(d).set_index("r")
+    assert int(pcf.loc[5, "ring_pairs"]) == 0
+    assert int(pcf.loc[10, "ring_pairs"]) == 2
+    kk = q_ripleys_k(d).set_index("r")
+    assert int(kk.loc[10, "n_pairs"]) == 2
+    assert (pcf["ring_pairs"].cumsum().to_numpy()
+            == kk["n_pairs"].to_numpy()).all()
+
+
+def test_morisita_regimes(tmp_path):
+    """All points in one quadrat → I_M = 25 exactly (maximal
+    clumping); one point per quadrat → I_M = 0 (n_q(n_q−1) vanishes
+    everywhere)."""
+    from prclz_ray.pipelines.queries import q_morisita_index
+    clump, spread = [], []
+    seen_q = {}
+    for k in range(1, 400000):
+        qx = ((k * 7919) % 1000) // 200
+        qy = ((k * 104729) % 1000) // 200
+        q = qy * 5 + qx
+        if q == 12 and len(clump) < 6:
+            clump.append(k)
+        if q not in seen_q:
+            seen_q[q] = k
+        if len(clump) == 6 and len(seen_q) == 25:
+            break
+    d = str(tmp_path / "clump")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(clump, type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    out = q_morisita_index(d).iloc[0]
+    assert float(out["morisita"]) == 25.0
+    d2 = str(tmp_path / "even")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(sorted(seen_q.values()),
+                              type=pa.int64())}),
+        os.path.join(d2, "customer.parquet"))
+    ev = q_morisita_index(d2).iloc[0]
+    assert float(ev["morisita"]) == 0.0
+    assert int(ev["occupied"]) == 25
+
+
+def test_general_g_highs_together(tmp_path):
+    """Two adjacent high-revenue cells push G above E[G] (the
+    high-clustered flag on integer cross-multiplication); the same
+    mass on opposite corners drops G to zero numerator."""
+    from prclz_ray.pipelines.queries import q_general_g_nation_revenue
+
+    def fixture(dirpath, nations):
+        pq.write_table(pa.table({
+            "c_custkey": pa.array(list(range(1, len(nations) + 1)),
+                                  type=pa.int64()),
+            "c_nationkey": pa.array(nations, type=pa.int64())}),
+            os.path.join(dirpath, "customer.parquet"))
+        pq.write_table(pa.table({
+            "o_custkey": pa.array(list(range(1, len(nations) + 1)),
+                                  type=pa.int64()),
+            "o_totalprice": pa.array([100.0] * len(nations))}),
+            os.path.join(dirpath, "orders.parquet"))
+
+    d = str(tmp_path / "adj")
+    os.makedirs(d)
+    fixture(d, [11, 12])        # rook neighbours
+    adj = q_general_g_nation_revenue(d).iloc[0]
+    assert bool(adj["high_clustered"])
+    assert float(adj["g_stat"]) > float(adj["e_g"])
+    d2 = str(tmp_path / "far")
+    os.makedirs(d2)
+    fixture(d2, [0, 24])        # opposite corners
+    far = q_general_g_nation_revenue(d2).iloc[0]
+    assert float(far["g_stat"]) == 0.0
+    assert not bool(far["high_clustered"])
