@@ -1026,3 +1026,42 @@ def test_general_g_highs_together(tmp_path):
     far = q_general_g_nation_revenue(d2).iloc[0]
     assert float(far["g_stat"]) == 0.0
     assert not bool(far["high_clustered"])
+
+
+def test_multiple_testing_family(tmp_path):
+    """One loud nation among five quiet ones: all three procedures
+    reject exactly it (Holm ⊇ Bonferroni containment holds row-wise),
+    Fisher's panel statistic sees it, and the A&S erf approximation
+    tracks math.erfc to ≤2e-7."""
+    import math
+    from prclz_ray.pipelines.queries import (
+        _nation_z_pvalues, q_bh_fdr_nations, q_fisher_combined_nations,
+        q_holm_bonferroni_nations)
+    d = str(tmp_path)
+    nk, bal = [], []
+    ck = 1
+    for nation in range(5):
+        for _ in range(30):
+            nk.append(nation)
+            bal.append(500.0 if nation == 0 else 100.0
+                       + (ck % 7) * 2.0)
+            ck += 1
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, len(nk) + 1)),
+                              type=pa.int64()),
+        "c_nationkey": pa.array(nk, type=pa.int64()),
+        "c_acctbal": pa.array(bal)}),
+        os.path.join(d, "customer.parquet"))
+    pv = _nation_z_pvalues(d)
+    for z, p in zip(pv["z"], pv["p"]):
+        assert abs(p - math.erfc(abs(z) / math.sqrt(2))) < 2e-7
+    bh = q_bh_fdr_nations(d).set_index("nk")
+    assert bool(bh.loc[0, "bh_reject"])
+    hb = q_holm_bonferroni_nations(d).set_index("nk")
+    assert bool(hb.loc[0, "holm_reject"])
+    # step-down dominates single-step: every Bonferroni rejection is
+    # a Holm rejection
+    assert (~hb["bonf_reject"] | hb["holm_reject"]).all()
+    fc = q_fisher_combined_nations(d).iloc[0]
+    assert int(fc["n_p_below_05"]) >= 1
+    assert float(fc["fisher_x"]) > 2 * int(fc["m_tests"])
