@@ -1065,3 +1065,71 @@ def test_multiple_testing_family(tmp_path):
     fc = q_fisher_combined_nations(d).iloc[0]
     assert int(fc["n_p_below_05"]) >= 1
     assert float(fc["fisher_x"]) > 2 * int(fc["m_tests"])
+
+
+def _ev_stream(d, rows):
+    """rows: list of (user, sec_offset, type, value)."""
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    sec = np.timedelta64(1, "s").astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))),
+                             type=pa.int64()),
+        "ts": pa.array([base + r[1] * sec for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([float(r[3]) for r in rows])}),
+        os.path.join(d, "events.parquet"))
+
+
+def test_inspection_paradox_regimes(tmp_path):
+    """Equal gaps → ratio exactly 1 (no paradox); a 1s+99s gap pair
+    → ratio = 2·(1+9801)/10000 = 1.9604 exactly — the dashboard
+    lie, quantified."""
+    from prclz_ray.pipelines.queries import q_inspection_paradox_gaps
+    d = str(tmp_path / "eq")
+    os.makedirs(d)
+    _ev_stream(d, [(1, 0, "click", 1), (1, 10, "click", 1),
+                   (1, 20, "click", 1)])
+    eq = q_inspection_paradox_gaps(d).iloc[0]
+    assert float(eq["paradox_ratio"]) == 1.0
+    d2 = str(tmp_path / "skew")
+    os.makedirs(d2)
+    _ev_stream(d2, [(1, 0, "click", 1), (1, 1, "click", 1),
+                    (1, 100, "click", 1)])
+    sk = q_inspection_paradox_gaps(d2).iloc[0]
+    assert int(sk["sum_gap"]) == 100
+    assert float(sk["paradox_ratio"]) == 1.9604
+
+
+def test_pk_wait_deterministic_service(tmp_path):
+    """Deterministic 1 s services: E[S²] = E[S]² so the M/D/1 value
+    W_q = λ/(2(1−ρ)) follows the closed form computed from the same
+    λ = n/span definition the op uses (11 arrivals over 20 s)."""
+    from prclz_ray.pipelines.queries import q_pollaczek_khinchine_wait
+    d = str(tmp_path)
+    rows = [(1, 2 * i, "purchase", 1.0) for i in range(11)]
+    _ev_stream(d, rows)
+    out = q_pollaczek_khinchine_wait(d).iloc[0]
+    lam = 11.0 / 20.0
+    assert float(out["rho"]) == round(lam, 6)
+    assert float(out["es_sec"]) == 1.0
+    assert abs(float(out["wq_sec"])
+               - lam / (2 * (1 - lam))) < 1e-6
+
+
+def test_mtbf_mttr_crafted_episodes(tmp_path):
+    """Two 2-error episodes 100 s apart (starts), each spanning 5 s:
+    MTTR = 2 events / 5 s exactly, MTBF = 100 s; a healthy tail of
+    clicks doesn't perturb the counts."""
+    from prclz_ray.pipelines.queries import q_mtbf_mttr_errors
+    d = str(tmp_path)
+    rows = [(1, 0, "error", 1), (1, 5, "error", 1),
+            (1, 50, "click", 1),
+            (1, 100, "error", 1), (1, 105, "error", 1),
+            (1, 200, "click", 1)]
+    _ev_stream(d, rows)
+    out = q_mtbf_mttr_errors(d).iloc[0]
+    assert int(out["n_episodes"]) == 2
+    assert float(out["mttr_events"]) == 2.0
+    assert float(out["mttr_span_sec"]) == 5.0
+    assert float(out["mtbf_sec"]) == 100.0
