@@ -1133,3 +1133,44 @@ def test_mtbf_mttr_crafted_episodes(tmp_path):
     assert float(out["mttr_events"]) == 2.0
     assert float(out["mttr_span_sec"]) == 5.0
     assert float(out["mtbf_sec"]) == 100.0
+
+
+def test_mobility_family_crafted(tmp_path):
+    """A user pinned to one cell (events on days d, d+25, d+50 — the
+    mod-25 cycle) has rg = 0, entropy 0, and all jumps in the '0'
+    band; a user alternating between two cells 1 apart has rg = 0.5
+    exactly and H = ln 2."""
+    from prclz_ray.pipelines.queries import (
+        q_jump_length_bands, q_location_entropy_users,
+        q_radius_of_gyration_users)
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    ts, uid, eid = [], [], []
+    for i in range(4):                    # user 1: same cell forever
+        ts.append(base + 25 * i * day)
+        uid.append(1)
+        eid.append(len(eid))
+    # user 50: days d and d+1 differ by one cell step; alternate via
+    # the 25-cycle so exactly two cells are visited
+    for i in range(4):
+        ts.append(base + (i % 2) * day + 25 * (i // 2) * day)
+        uid.append(50)
+        eid.append(len(eid))
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid, type=pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(uid, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    rg = q_radius_of_gyration_users(d).set_index("user_id")
+    assert float(rg.loc[1, "rg"]) == 0.0
+    ent = q_location_entropy_users(d).set_index("user_id")
+    assert float(ent.loc[1, "h_nat"]) == 0.0
+    assert int(ent.loc[1, "n_cells"]) == 1
+    assert int(ent.loc[50, "n_cells"]) == 2
+    assert abs(float(ent.loc[50, "h_nat"]) - np.log(2)) < 1e-5
+    # user 50 visits two cells with equal counts → rg = 0.5·d where
+    # the two cells are adjacent on the lattice ⇒ rg ∈ {0.5, ...}
+    assert float(rg.loc[50, "rg"]) > 0
+    bands = q_jump_length_bands(d).set_index("band")
+    assert int(bands.loc["0", "n_jumps"]) >= 3
