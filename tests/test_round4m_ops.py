@@ -1174,3 +1174,71 @@ def test_mobility_family_crafted(tmp_path):
     assert float(rg.loc[50, "rg"]) > 0
     bands = q_jump_length_bands(d).set_index("band")
     assert int(bands.loc["0", "n_jumps"]) >= 3
+
+
+def test_wilcoxon_signed_rank_balance(tmp_path):
+    """A perfectly antisymmetric diff set (+k and −k in pairs) puts
+    2W⁺ exactly at its null m(m+1)/2 → z = 0; all-positive diffs
+    drive z > 0."""
+    from prclz_ray.pipelines.queries import q_wilcoxon_signed_rank_weekly
+    d = str(tmp_path / "sym")
+    os.makedirs(d)
+    # 14-day pattern: week2 = week1 + (+10,-10,+20,-20,+30,-30, 0)
+    wk1 = [100, 100, 100, 100, 100, 100, 100]
+    wk2 = [110, 90, 120, 80, 130, 70, 100]
+    _orders_days(d, wk1 + wk2)
+    out = q_wilcoxon_signed_rank_weekly(d).iloc[0]
+    assert int(out["n_nonzero"]) == 6
+    assert int(out["w2_plus"]) == int(out["e2_null"])
+    assert float(out["z_wilcoxon"]) == 0.0
+    d2 = str(tmp_path / "up")
+    os.makedirs(d2)
+    _orders_days(d2, wk1 + [110, 120, 130, 140, 150, 160, 170])
+    up = q_wilcoxon_signed_rank_weekly(d2).iloc[0]
+    assert float(up["z_wilcoxon"]) > 0
+
+
+def test_kendalls_w_and_footrule_extremes(tmp_path):
+    """Three perfectly concordant rankings (price, size, demand all
+    increasing in partkey) give W = 1 and footrule similarity = 1;
+    reversing the demand ranking drops both."""
+    from prclz_ray.pipelines.queries import (
+        q_kendalls_w_parts, q_spearman_footrule_parts)
+    d = str(tmp_path / "agree")
+    os.makedirs(d)
+    n = 8
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(1, n + 1)),
+                              type=pa.int64()),
+        "p_retailprice": pa.array([10.0 * i for i in range(1, n + 1)]),
+        "p_size": pa.array(list(range(1, n + 1)), type=pa.int64())}),
+        os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(list(range(1, n + 1)),
+                              type=pa.int64()),
+        "l_quantity": pa.array([float(i) for i in range(1, n + 1)])}),
+        os.path.join(d, "lineitem.parquet"))
+    w = q_kendalls_w_parts(d).iloc[0]
+    assert float(w["kendalls_w"]) == 1.0
+    f = q_spearman_footrule_parts(d).iloc[0]
+    assert int(f["footrule_d"]) == 0
+    assert float(f["similarity"]) == 1.0
+    d2 = str(tmp_path / "discord")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(1, n + 1)),
+                              type=pa.int64()),
+        "p_retailprice": pa.array([10.0 * i for i in range(1, n + 1)]),
+        "p_size": pa.array(list(range(1, n + 1)), type=pa.int64())}),
+        os.path.join(d2, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(list(range(1, n + 1)),
+                              type=pa.int64()),
+        "l_quantity": pa.array([float(n + 1 - i)
+                                for i in range(1, n + 1)])}),
+        os.path.join(d2, "lineitem.parquet"))
+    w2 = q_kendalls_w_parts(d2).iloc[0]
+    assert float(w2["kendalls_w"]) < 1.0
+    f2 = q_spearman_footrule_parts(d2).iloc[0]
+    assert int(f2["footrule_d"]) == n * n // 2
+    assert float(f2["similarity"]) == 0.0
