@@ -1242,3 +1242,31 @@ def test_kendalls_w_and_footrule_extremes(tmp_path):
     f2 = q_spearman_footrule_parts(d2).iloc[0]
     assert int(f2["footrule_d"]) == n * n // 2
     assert float(f2["similarity"]) == 0.0
+
+
+def test_accessibility_family_crafted(tmp_path):
+    """One facility at the customer's own point: nearest-d² median 0,
+    nobody underserved; 2SFCA gives that nation exactly cap/demand
+    accessibility; the Voronoi population lands on the nearest
+    facility with the suppkey tiebreak."""
+    from prclz_ray.pipelines.queries import (
+        q_nearest_facility_distance, q_two_step_fca,
+        q_voronoi_service_population)
+    d = str(tmp_path)
+    # facility = supplier 3 at the same lattice point as customer 3
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([3], type=pa.int64())}),
+        os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([3], type=pa.int64()),
+        "c_nationkey": pa.array([7], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    nf = q_nearest_facility_distance(d).iloc[0]
+    assert int(nf["median_d2"]) == 0
+    assert int(nf["n_underserved"]) == 0
+    fca = q_two_step_fca(d).set_index("nk")
+    cap = 1 + 3 % 3                        # = 1
+    assert abs(float(fca.loc[7, "mean_access"]) - cap / 1.0) < 1e-6
+    vor = q_voronoi_service_population(d).set_index("sk")
+    assert int(vor.loc[3, "service_pop"]) == 1
+    assert float(vor.loc[3, "pressure"]) == 1.0
