@@ -1270,3 +1270,37 @@ def test_accessibility_family_crafted(tmp_path):
     vor = q_voronoi_service_population(d).set_index("sk")
     assert int(vor.loc[3, "service_pop"]) == 1
     assert float(vor.loc[3, "pressure"]) == 1.0
+
+
+def test_ir_family_perfect_ranker(tmp_path):
+    """Docs engineered so longer text ⇒ lower score and relevance
+    follows doc_id%3: with relevant docs all ranked FIRST the curve
+    is flat 1.0, R-precision = 1, bpref = 1; reversing relevance
+    collapses R-precision to 0."""
+    from prclz_ray.pipelines.queries import (
+        q_bpref_doc_score, q_eleven_point_pr, q_r_precision)
+    d = str(tmp_path)
+    # doc_ids 0,3 relevant (id%3==0). Give them SHORT text (high x1
+    # dominates? score = sig(0.25 + 0.8*chars/1000 - 0.5*words/100):
+    # chars ↑ raises score, words ↓ raises score. Make relevant docs
+    # long-char few-word (high score), others many-word (low score).
+    texts, ids = [], []
+    for i in range(6):
+        if i % 3 == 0:
+            texts.append("x" * 400)          # 1 word, 400 chars
+        else:
+            texts.append("a " * 150)         # 150 words
+        ids.append(i)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([t.strip() for t in texts]),
+        "lang": pa.array(["en"] * 6),
+        "n_chars": pa.array([len(t.strip()) for t in texts],
+                            type=pa.int64())}),
+        os.path.join(d, "documents.parquet"))
+    pr = q_eleven_point_pr(d)
+    assert (pr["interp_precision"] == 1.0).all()
+    rp = q_r_precision(d).iloc[0]
+    assert float(rp["r_precision"]) == 1.0
+    bp = q_bpref_doc_score(d).iloc[0]
+    assert float(bp["bpref"]) == 1.0
