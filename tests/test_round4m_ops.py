@@ -1304,3 +1304,52 @@ def test_ir_family_perfect_ranker(tmp_path):
     assert float(rp["r_precision"]) == 1.0
     bp = q_bpref_doc_score(d).iloc[0]
     assert float(bp["bpref"]) == 1.0
+
+
+def test_benford_second_digit_uniform_vs_benford(tmp_path):
+    """Prices crafted as 10,11,...,99 dollars (uniform second digit)
+    are FAR from the Benford second-digit law — every digit observed
+    9 times, χ² > 0 — and the digit extraction is exact at the
+    power-of-ten boundary (1000 cents → second digit 0)."""
+    from prclz_ray.pipelines.queries import q_benford_second_digit
+    d = str(tmp_path)
+    _orders_tbl(d, ["1-URGENT"] * 90,
+                [float(v) for v in range(10, 100)])
+    out = q_benford_second_digit(d)
+    assert (out["observed"] == 9).all()
+    assert float(out["chi2"].iloc[0]) > 0
+
+
+def test_hurst_regimes(tmp_path):
+    """A persistent ramp drives H toward 1 (R grows ~linearly in n);
+    an alternating series is strongly anti-persistent with H near
+    0."""
+    from prclz_ray.pipelines.queries import q_hurst_rs_revenue
+    d = str(tmp_path / "ramp")
+    os.makedirs(d)
+    _orders_days(d, range(100, 228))
+    ramp = q_hurst_rs_revenue(d).iloc[0]
+    assert float(ramp["hurst"]) > 0.85
+    d2 = str(tmp_path / "alt")
+    os.makedirs(d2)
+    _orders_days(d2, [100, 200] * 64)
+    alt = q_hurst_rs_revenue(d2).iloc[0]
+    assert float(alt["hurst"]) < 0.3
+
+
+def test_gini_vocab_extremes(tmp_path):
+    """A perfectly uniform vocabulary has Gini 0 exactly; one word
+    owning 96 of 100 tokens pushes Gini near 1."""
+    from prclz_ray.pipelines.queries import q_gini_vocab_frequencies
+    d = str(tmp_path / "uni")
+    os.makedirs(d)
+    _docs_tbl(d, [" ".join(f"w{i}" for i in range(20))], ["en"])
+    uni = q_gini_vocab_frequencies(d).iloc[0]
+    assert int(uni["gini_num"]) == 0
+    assert float(uni["gini"]) == 0.0
+    d2 = str(tmp_path / "head")
+    os.makedirs(d2)
+    _docs_tbl(d2, [" ".join(["the"] * 96 + ["a", "b", "c", "d"])],
+              ["en"])
+    hd = q_gini_vocab_frequencies(d2).iloc[0]
+    assert float(hd["gini"]) > 0.7
