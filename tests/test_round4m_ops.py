@@ -1353,3 +1353,58 @@ def test_gini_vocab_extremes(tmp_path):
               ["en"])
     hd = q_gini_vocab_frequencies(d2).iloc[0]
     assert float(hd["gini"]) > 0.7
+
+
+def _orders_lifetimes(d, custs):
+    """custs: list of (custkey, first_day, last_day, n_mid_orders)."""
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    ck, od = [], []
+    for c, f, l, nm in custs:
+        ck.append(c)
+        od.append(base + f * day)
+        for i in range(nm):
+            ck.append(c)
+            od.append(base + (f + i + 1) * day)
+        if l > f:
+            ck.append(c)
+            od.append(base + l * day)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ck, type=pa.int64()),
+        "o_orderdate": pa.array(od)}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_survival_family_crafted(tmp_path):
+    """Four customers: two churn (lifetimes 10 and 30; one low-
+    engagement, one engaged), two censored at the horizon.  CIF
+    splits causes without exceeding 1 − S; RMST at τ = 180 integrates
+    exactly the crafted steps; the life table's half-censoring
+    hazard is the cleared 2d/(2n−c)."""
+    from prclz_ray.pipelines.queries import (
+        q_aalen_johansen_cif, q_life_table_retention,
+        q_rmst_retention)
+    d = str(tmp_path)
+    # horizon = day 400 (customer 4's last order); churned iff
+    # horizon − last ≥ 90
+    _orders_lifetimes(d, [
+        (1, 0, 10, 1),       # lifetime 10, 3 orders  → low churn
+        (2, 0, 30, 3),       # lifetime 30, 5 orders  → engaged churn
+        (3, 300, 395, 0),    # lifetime 95, censored
+        (4, 250, 400, 0)])   # lifetime 150, censored
+    cif = q_aalen_johansen_cif(d).set_index("t_days")
+    assert int(cif.loc[10, "d_low"]) == 1
+    assert float(cif.loc[10, "cif_low"]) == 0.25
+    assert int(cif.loc[30, "d_engaged"]) == 1
+    # S(10−)=1 → cif_low jumps 1/4; S(30−)=3/4 → cif_engaged = 1/4·1
+    assert abs(float(cif.loc[30, "cif_engaged"]) - 0.25) < 1e-6
+    rm = q_rmst_retention(d).iloc[0]
+    # S=1 on [0,10), 3/4 on [10,30), then drops to 3/4·(1−1/3)=1/2?
+    # at t=30 r=3 d=1 → S=3/4·2/3=1/2 on [30,95), after censors S
+    # stays 1/2 until 150, then (r=1,d=0) — area:
+    # 10 + 20·0.75 + 65·0.5 + 55·0.5 + 30·0.5 = 10+15+75 = 100
+    assert abs(float(rm["rmst_days"]) - 100.0) < 1e-5
+    lt = q_life_table_retention(d).set_index("band")
+    # band 0 (days 0-29): enters 4, churn d=1 (t=10), censored 0
+    assert int(lt.loc[0, "n_enter"]) == 4
+    assert float(lt.loc[0, "q_hazard"]) == 0.25
