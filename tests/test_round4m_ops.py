@@ -1408,3 +1408,36 @@ def test_survival_family_crafted(tmp_path):
     # band 0 (days 0-29): enters 4, churn d=1 (t=10), censored 0
     assert int(lt.loc[0, "n_enter"]) == 4
     assert float(lt.loc[0, "q_hazard"]) == 0.25
+
+
+def test_regression_diagnostics_family(tmp_path):
+    """A clean single line has Chow F ≈ 0 (split SSRs recompose the
+    pooled) and tiny BP; a slope break at mid-sample blows up Chow F;
+    heteroskedastic late-half noise flips BP's variance_grows and
+    shifts the CUSUMSQ excursion late."""
+    from prclz_ray.pipelines.queries import (
+        q_breusch_pagan_revenue, q_chow_test_revenue,
+        q_cusum_squares_revenue)
+    d = str(tmp_path / "line")
+    os.makedirs(d)
+    _orders_days(d, [100 + 2 * i for i in range(60)])
+    line = q_chow_test_revenue(d).iloc[0]
+    assert abs(float(line["f_chow"])) < 1e-3
+    d2 = str(tmp_path / "brk")
+    os.makedirs(d2)
+    # small ±1 wiggle keeps the segment SSRs nonzero (an exact line
+    # per half hits the mirrored 0/0 sentinel instead)
+    _orders_days(d2, [100 + 2 * i + (i % 2) for i in range(30)]
+                 + [160 + 20 * i + (i % 2) for i in range(30)])
+    brk = q_chow_test_revenue(d2).iloc[0]
+    assert float(brk["f_chow"]) > 10
+    d3 = str(tmp_path / "het")
+    os.makedirs(d3)
+    vals = [100 for _ in range(30)] \
+        + [100 + (80 if i % 2 else -50) for i in range(30)]
+    _orders_days(d3, vals)
+    bp = q_breusch_pagan_revenue(d3).iloc[0]
+    assert bool(bp["variance_grows"])
+    cs = q_cusum_squares_revenue(d3).iloc[0]
+    assert int(cs["argmax_t"]) <= 32   # flat-half deficit peaks at the boundary
+    assert float(cs["max_excursion"]) > 0.3
