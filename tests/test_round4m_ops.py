@@ -1441,3 +1441,37 @@ def test_regression_diagnostics_family(tmp_path):
     cs = q_cusum_squares_revenue(d3).iloc[0]
     assert int(cs["argmax_t"]) <= 32   # flat-half deficit peaks at the boundary
     assert float(cs["max_excursion"]) > 0.3
+
+
+def test_market_design_family(tmp_path):
+    """Uniform-price: 150 bids 1..150 dollars, K=100 → price = the
+    101st highest = 50.00, revenue exact; McAfee: crossing books
+    yield k*, k*−1 trades and the (k*+1)-pair midpoint (doubled);
+    Shapley–Shubik: weights (5,3,2) with quota 5 give the textbook
+    (4,1,1)/6 split — raw weight shares mislead, the index doesn't."""
+    from prclz_ray.pipelines.queries import (
+        q_mcafee_double_auction, q_shapley_shubik_power,
+        q_uniform_price_auction)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(1, 151)), type=pa.int64()),
+        "p_retailprice": pa.array([float(i)
+                                   for i in range(1, 151)])}),
+        os.path.join(d, "part.parquet"))
+    up = q_uniform_price_auction(d).iloc[0]
+    assert int(up["clearing_price_c"]) == 5000
+    assert int(up["lowest_winning_bid_c"]) == 5100
+    assert int(up["revenue_c"]) == 500000
+    # buyers 10,9,8; sellers 1,2,30 → k*=2 (b2=9≥s2=2; b3=8<s3=30),
+    # price2 = b3+s3 = 800+3000, trades 1
+    _cp_events(d, [1, 2, 30], [10, 9, 8])
+    ma = q_mcafee_double_auction(d).iloc[0]
+    assert int(ma["k_efficient"]) == 2
+    assert int(ma["n_trades"]) == 1
+    assert int(ma["price2_c"]) == 3800
+    # nations 0,1,2 with revenue 5,3,2 cents
+    _seat_fixture(d, [5, 3, 2])
+    ss = q_shapley_shubik_power(d).set_index("n_nationkey")
+    assert int(ss.loc[0, "n_pivotal"]) == 4
+    assert int(ss.loc[1, "n_pivotal"]) == 1
+    assert int(ss.loc[2, "n_pivotal"]) == 1
