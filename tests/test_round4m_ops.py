@@ -1475,3 +1475,34 @@ def test_market_design_family(tmp_path):
     assert int(ss.loc[0, "n_pivotal"]) == 4
     assert int(ss.loc[1, "n_pivotal"]) == 1
     assert int(ss.loc[2, "n_pivotal"]) == 1
+
+
+def test_off_policy_family_uniform_log(tmp_path):
+    """A crafted log where the policy matches exactly the 10-dollar
+    events and never the 2-dollar ones: replay = 10.00 exactly, IPS
+    = 5·matched/N, and with a perfectly-specified per-arm model the
+    DR correction is 0 and DR = the model value."""
+    from prclz_ray.pipelines.queries import (
+        q_doubly_robust_policy, q_ips_off_policy,
+        q_policy_replay_eval)
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    hour = np.timedelta64(3600, "s").astype("timedelta64[us]")
+    # hour 0 → arm 0 = click. Log: at hour 0, 2 click events (match,
+    # 10.00) and 2 purchase events (no match, 2.00)
+    ts = [base, base, base, base]
+    et = ["click", "click", "purchase", "purchase"]
+    val = [10.0, 10.0, 2.0, 2.0]
+    pq.write_table(pa.table({
+        "ts": pa.array(ts), "event_type": pa.array(et),
+        "value": pa.array(val)}),
+        os.path.join(d, "events.parquet"))
+    rp = q_policy_replay_eval(d).iloc[0]
+    assert int(rp["n_matched"]) == 2
+    assert float(rp["replay_value"]) == 1000.0
+    ips = q_ips_off_policy(d).iloc[0]
+    # 5·2000 cents / 4 events
+    assert float(ips["ips_value"]) == 2500.0
+    dr = q_doubly_robust_policy(d).iloc[0]
+    # q̂(click)=1000 exactly → correction = 5·(2000 − 2·1000)/4 = 0
+    assert float(dr["correction"]) == 0.0
