@@ -1506,3 +1506,41 @@ def test_off_policy_family_uniform_log(tmp_path):
     dr = q_doubly_robust_policy(d).iloc[0]
     # q̂(click)=1000 exactly → correction = 5·(2000 − 2·1000)/4 = 0
     assert float(dr["correction"]) == 0.0
+
+
+def test_encoding_family_crafted(tmp_path):
+    """Dense consecutive orderkeys delta-encode at 1 byte each (plus
+    the varint of the first key) → ratio near 8; a dense user-id
+    chunk ≥4096 goes BITMAP while a sparse one stays ARRAY; perfectly
+    regular heartbeats cost exactly 1 bit per delta-of-delta."""
+    from prclz_ray.pipelines.queries import (
+        q_delta_varint_estimate, q_gorilla_timestamp_bits,
+        q_roaring_container_census)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, 1001)),
+                               type=pa.int64())}),
+        os.path.join(d, "orders.parquet"))
+    dv = q_delta_varint_estimate(d).iloc[0]
+    assert int(dv["varint_bytes"]) == 1000   # 999 ones + 1-byte first
+    assert float(dv["ratio"]) == 8.0
+    ids = list(range(5000)) + [65536 * 3 + v for v in range(10)]
+    pq.write_table(pa.table({
+        "user_id": pa.array(ids, type=pa.int64())}),
+        os.path.join(d, "events_roaring.parquet"))
+    os.replace(os.path.join(d, "events_roaring.parquet"),
+               os.path.join(d, "events.parquet"))
+    rc = q_roaring_container_census(d).iloc[0]
+    assert int(rc["bitmap_containers"]) == 1
+    assert int(rc["array_containers"]) == 1
+    assert int(rc["roaring_bytes"]) == 8192 + 20
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    sec = np.timedelta64(60, "s").astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(50)), type=pa.int64()),
+        "ts": pa.array([base + i * sec for i in range(50)]),
+        "user_id": pa.array([1] * 50, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    gb = q_gorilla_timestamp_bits(d).iloc[0]
+    assert int(gb["n_dod"]) == 48
+    assert float(gb["bits_per_sample"]) == 1.0
