@@ -1544,3 +1544,26 @@ def test_encoding_family_crafted(tmp_path):
     gb = q_gorilla_timestamp_bits(d).iloc[0]
     assert int(gb["n_dod"]) == 48
     assert float(gb["bits_per_sample"]) == 1.0
+
+
+def test_outlier_tests_family(tmp_path):
+    """One planted 10× balance: Grubbs names exactly that custkey
+    (integer argmax), Dixon's top-Q is the exact gap/range rational,
+    and both Tukey counts flag only the plant."""
+    from prclz_ray.pipelines.queries import (
+        q_dixon_q_acctbal, q_grubbs_acctbal, q_tukey_fences_acctbal)
+    d = str(tmp_path)
+    bal = [100.0 + (i % 5) for i in range(20)] + [1000.0]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 22)), type=pa.int64()),
+        "c_acctbal": pa.array(bal)}),
+        os.path.join(d, "customer.parquet"))
+    gr = q_grubbs_acctbal(d).iloc[0]
+    assert int(gr["outlier_custkey"]) == 21
+    assert float(gr["g_stat"]) > 4
+    dx = q_dixon_q_acctbal(d).iloc[0]
+    # top gap = 100000−10400, range = 100000−10000
+    assert float(dx["q_top"]) == round(89600 / 90000, 6)
+    tk = q_tukey_fences_acctbal(d).iloc[0]
+    assert int(tk["n_mild_out"]) == 1
+    assert int(tk["n_extreme_out"]) == 1
