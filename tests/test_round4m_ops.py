@@ -1567,3 +1567,52 @@ def test_outlier_tests_family(tmp_path):
     tk = q_tukey_fences_acctbal(d).iloc[0]
     assert int(tk["n_mild_out"]) == 1
     assert int(tk["n_extreme_out"]) == 1
+
+
+def test_sequential_ab_family(tmp_path):
+    """A rigged 90/10 split trips the SRM alarm exactly at the
+    integer-cleared 3.841 threshold; a huge fake effect crosses the
+    O'F boundary by the final look; a dead-flat test reports
+    near-zero conditional power (futile) at the first look."""
+    from prclz_ray.pipelines.queries import (
+        q_conditional_power_futility, q_obrien_fleming_looks,
+        q_srm_check)
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    ts, uid, et = [], [], []
+    for dd in range(10):
+        for i in range(90):              # arm 0 (even ids)
+            ts.append(base + dd * day)
+            uid.append(2 * i)
+            et.append("purchase" if i < 45 else "view")
+        for i in range(10):              # arm 1 (odd ids)
+            ts.append(base + dd * day)
+            uid.append(2 * i + 1)
+            et.append("view")
+    pq.write_table(pa.table({
+        "ts": pa.array(ts),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "event_type": pa.array(et)}),
+        os.path.join(d, "events.parquet"))
+    srm = q_srm_check(d).iloc[0]
+    assert bool(srm["srm_alarm"])
+    obf = q_obrien_fleming_looks(d)
+    assert bool(obf["crossed"].iloc[-1])
+    # flat test: both arms identical
+    ts2, uid2, et2 = [], [], []
+    for dd in range(10):
+        for i in range(40):
+            ts2.append(base + dd * day)
+            uid2.append(i)
+            # i%8 in {0,1} puts one purchase on EACH parity per
+            # octet — a truly flat test (i%4==0 was all-even)
+            et2.append("purchase" if i % 8 in (0, 1) else "view")
+    pq.write_table(pa.table({
+        "ts": pa.array(ts2),
+        "user_id": pa.array(uid2, type=pa.int64()),
+        "event_type": pa.array(et2)}),
+        os.path.join(d, "events.parquet"))
+    cp = q_conditional_power_futility(d)
+    assert bool(cp["futile"].iloc[0])
+    assert float(cp["cond_power"].iloc[-1]) in (0.0, 1.0)
