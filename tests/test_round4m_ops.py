@@ -1616,3 +1616,39 @@ def test_sequential_ab_family(tmp_path):
     cp = q_conditional_power_futility(d)
     assert bool(cp["futile"].iloc[0])
     assert float(cp["cond_power"].iloc[-1]) in (0.0, 1.0)
+
+
+def test_spatial_model_family(tmp_path):
+    """One customer in an interior DEM cell: the KDE hotspot is that
+    cell with density exactly 6 (kernel center weight) and its ring
+    cells score 4/1; spatial lag of a single hot nation spreads
+    revenue/4 to rook neighbors; bivariate I is NEGATIVE for a lone
+    coincident spike (the hot cell neighbors only poor cells — the
+    cross-statistic reads neighborhoods, not coincidence)."""
+    from prclz_ray.pipelines.queries import (
+        q_bivariate_morans_i, q_kde_hotspots_grid,
+        q_spatial_lag_cells)
+    d = str(tmp_path)
+    # custkey 16 maps to an interior grid cell under the /32 hash
+    k = 16
+    cx = ((k * 7919) % 1000) // 32
+    cy = ((k * 104729) % 1000) // 32
+    assert 0 < cx < 31 and 0 < cy < 31
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([k], type=pa.int64()),
+        "c_nationkey": pa.array([12], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([k], type=pa.int64()),
+        "o_totalprice": pa.array([100.0])}),
+        os.path.join(d, "orders.parquet"))
+    kd = q_kde_hotspots_grid(d)
+    assert int(kd["cell"].iloc[0]) == cy * 32 + cx
+    assert int(kd["kde_density"].iloc[0]) == 6
+    assert set(kd["kde_density"].iloc[1:]) <= {4, 1}
+    sl = q_spatial_lag_cells(d).set_index("nk")
+    assert float(sl.loc[11, "wx"]) == 2500.0   # 10000/4 neighbors
+    assert float(sl.loc[12, "wx"]) == 0.0
+    bi = q_bivariate_morans_i(d).iloc[0]
+    assert not bool(bi["positive_cross"])
+    assert float(bi["bivariate_i"]) < 0
