@@ -1652,3 +1652,50 @@ def test_spatial_model_family(tmp_path):
     bi = q_bivariate_morans_i(d).iloc[0]
     assert not bool(bi["positive_cross"])
     assert float(bi["bivariate_i"]) < 0
+
+
+def test_mobility_anchor_family(tmp_path):
+    """A user spending 3 days in one cell and 2 in an adjacent one
+    anchors home/work exactly (count ties deterministic); the commute
+    histogram puts them in the 1-2 band; and a big-capacity far
+    facility steals the customer under the power diagram but not the
+    plain one."""
+    from prclz_ray.pipelines.queries import (
+        q_commute_distance_histogram, q_home_work_inference,
+        q_power_voronoi_assignment)
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01T08:00:00", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    u = 1
+    # days 0..4: cells (31·1+d)%25 — days 0,25,50 hit one cell etc.
+    # craft: 3 events on day 0 and 2 on day 1 → two adjacent cells
+    ts = [base, base, base, base + day, base + day]
+    pq.write_table(pa.table({
+        "ts": pa.array(ts),
+        "user_id": pa.array([u] * 5, type=pa.int64())}),
+        os.path.join(d, "events.parquet"))
+    c0 = (31 * u + int(ts[0].astype("datetime64[D]")
+                       .astype(int))) % 25
+    hw = q_home_work_inference(d).iloc[0]
+    assert int(hw["home_cell"]) == c0
+    assert int(hw["home_visits"]) == 3
+    assert int(hw["work_visits"]) == 2
+    ch = q_commute_distance_histogram(d).set_index("band")
+    assert int(ch.loc["1-2", "n_users"]) == 1
+    assert int(ch.loc["single_cell", "n_users"]) == 0
+    # power diagram: customer 3 sits AT supplier 3 (cap 1); supplier
+    # 9 (cap 1+9%3=1)... craft caps via suppkeys: sk=5 → cap 3
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([3, 5], type=pa.int64())}),
+        os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([3], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    pv = q_power_voronoi_assignment(d).set_index("sk")
+    assert int(pv.loc[3, "plain_pop"]) == 1     # coincident point
+    # capacity 3 facility (sk=5) pulls iff d² − 40000·3 < 0 − 40000·1
+    k3x, k3y = (3 * 7919) % 1000, (3 * 104729) % 1000
+    k5x, k5y = (5 * 7919) % 1000, (5 * 104729) % 1000
+    d2 = (k3x - k5x) ** 2 + (k3y - k5y) ** 2
+    expect_steal = d2 - 40000 * 3 < -40000 * 1
+    assert (int(pv.loc[5, "power_pop"]) == 1) == expect_steal
