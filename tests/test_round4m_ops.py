@@ -1699,3 +1699,39 @@ def test_mobility_anchor_family(tmp_path):
     d2 = (k3x - k5x) ** 2 + (k3y - k5y) ** 2
     expect_steal = d2 - 40000 * 3 < -40000 * 1
     assert (int(pv.loc[5, "power_pop"]) == 1) == expect_steal
+
+
+def test_sampling_estimators_family(tmp_path):
+    """Priority sampling with k ≥ population returns the EXACT total
+    (τ = 0, every weight kept); the German tank estimate on serials
+    1..N with the full population sampled returns N exactly; charm
+    audit counts .99 endings precisely."""
+    from prclz_ray.pipelines.queries import (
+        q_charm_pricing_audit, q_german_tank_orderkeys,
+        q_priority_sampling_total)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, 21)), type=pa.int64()),
+        "o_totalprice": pa.array([10.0] * 20)}),
+        os.path.join(d, "orders.parquet"))
+    ps = q_priority_sampling_total(d).iloc[0]
+    assert int(ps["estimate_e3"]) == int(ps["true_total_c"]) * 1000
+    assert float(ps["rel_error"]) == 0.0
+    # sample = hash%20==0 keys among 1..2000; k observed, max m
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, 2001)),
+                               type=pa.int64()),
+        "o_totalprice": pa.array([10.0] * 2000)}),
+        os.path.join(d, "orders.parquet"))
+    gt = q_german_tank_orderkeys(d).iloc[0]
+    assert int(gt["true_max"]) == 2000
+    assert int(gt["k_observed"]) > 50
+    assert abs(float(gt["n_hat"]) - 2000) / 2000 < 0.05
+    pq.write_table(pa.table({
+        "p_brand": pa.array(["B#1"] * 4),
+        "p_retailprice": pa.array([9.99, 19.99, 5.00, 7.23])}),
+        os.path.join(d, "part.parquet"))
+    ch = q_charm_pricing_audit(d).iloc[0]
+    assert int(ch["n_p99"]) == 2
+    assert int(ch["n_p00"]) == 1
+    assert float(ch["lift99"]) == 50.0
