@@ -1735,3 +1735,30 @@ def test_sampling_estimators_family(tmp_path):
     assert int(ch["n_p99"]) == 2
     assert int(ch["n_p00"]) == 1
     assert float(ch["lift99"]) == 50.0
+
+
+def test_forecast_eval_family(tmp_path):
+    """A 7-periodic series makes the seasonal-naive PERFECT (e₇ = 0):
+    DM is positive (naive1 loses) and the loss sum pins the sign; a
+    pure ramp gives constant naive error → zero MAD deviation,
+    tracking signal exactly n; Theil's U earns the trend model its
+    keep on that ramp."""
+    from prclz_ray.pipelines.queries import (
+        q_diebold_mariano_naive, q_theil_u_revenue,
+        q_tracking_signal_naive)
+    d = str(tmp_path / "per")
+    os.makedirs(d)
+    _orders_days(d, [100, 120, 90, 110, 130, 95, 105] * 6)
+    dm = q_diebold_mariano_naive(d).iloc[0]
+    assert int(dm["d_sum_m"]) >= 0
+    assert not bool(dm["naive1_wins"])
+    d2 = str(tmp_path / "ramp")
+    os.makedirs(d2)
+    _orders_days(d2, [100 + 10 * i for i in range(40)])
+    ts = q_tracking_signal_naive(d2).iloc[0]
+    # every naive error is +1000 cents: TS = Σe/(Σ|e|/n) = n
+    assert float(ts["tracking_signal"]) == 39.0
+    assert bool(ts["alarm"])
+    tu = q_theil_u_revenue(d2).iloc[0]
+    assert bool(tu["model_earns_keep"])
+    assert float(tu["theil_u2"]) < 0.2
