@@ -1762,3 +1762,36 @@ def test_forecast_eval_family(tmp_path):
     tu = q_theil_u_revenue(d2).iloc[0]
     assert bool(tu["model_earns_keep"])
     assert float(tu["theil_u2"]) < 0.2
+
+
+def test_distribution_drift_family(tmp_path):
+    """Kuiper sees a symmetric crossing KS half-misses: click below
+    AND above purchase support makes BOTH D⁺ and D⁻ positive; the QQ
+    profile pins a pure location shift as a CONSTANT gap at every
+    decile; MAUP variance inflates as the grid coarsens over a
+    clustered pattern."""
+    from prclz_ray.pipelines.queries import (
+        q_kuiper_two_sample, q_maup_sensitivity_audit,
+        q_qq_decile_drift)
+    d = str(tmp_path)
+    _cp_events(d, [1, 2, 9, 10], [5, 6, 7, 8])
+    ku = q_kuiper_two_sample(d).iloc[0]
+    assert int(ku["d_plus_num"]) > 0
+    assert int(ku["d_minus_num"]) > 0
+    d2 = str(tmp_path / "shift")
+    os.makedirs(d2)
+    _cp_events(d2, list(range(1, 11)), [v + 3 for v in range(1, 11)])
+    qq = q_qq_decile_drift(d2)
+    assert (qq["gap_c"] == 300).all()
+    d3 = str(tmp_path / "maup")
+    os.makedirs(d3)
+    # clustered: many customers, one dense pocket (custkeys chosen
+    # freely — the hash spreads them; clustering emerges at coarse
+    # levels through aggregation regardless)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 400)),
+                              type=pa.int64())}),
+        os.path.join(d3, "customer.parquet"))
+    mp = q_maup_sensitivity_audit(d3).set_index("resolution")
+    assert int(mp.loc[8, "total"]) == int(mp.loc[32, "total"])
+    assert float(mp.loc[8, "var_inflation"]) > 1.0
