@@ -1824,3 +1824,48 @@ def test_evt_family_crafted(tmp_path):
     gb = q_gumbel_block_maxima(d).iloc[0]
     assert int(gb["n_blocks"]) >= 2
     assert 10000 < float(gb["mu_location"]) < 30000
+
+
+def test_variance_components_family(tmp_path):
+    """Identical balances within each nation but different across →
+    MSW = 0 and ICC = 1 exactly, η² = 1; perfectly concordant part
+    rankings → Cronbach's α = 1 (items are affine copies)."""
+    from prclz_ray.pipelines.queries import (
+        q_anova_effect_sizes_nation, q_cronbach_alpha_parts,
+        q_icc_acctbal_nation)
+    d = str(tmp_path)
+    nk, bal = [], []
+    for nation, v in ((0, 100.0), (1, 200.0), (2, 300.0)):
+        for _ in range(6):
+            nk.append(nation)
+            bal.append(v)
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array(nk, type=pa.int64()),
+        "c_acctbal": pa.array(bal)}),
+        os.path.join(d, "customer.parquet"))
+    icc = q_icc_acctbal_nation(d).iloc[0]
+    assert float(icc["msw"]) == 0.0
+    assert float(icc["icc1"]) == 1.0
+    es = q_anova_effect_sizes_nation(d).iloc[0]
+    assert float(es["eta_sq"]) == 1.0
+    # η² ≥ ω² with EQUALITY iff MSW = 0 — the strict flag is False
+    # here, exactly as the algebra says
+    assert float(es["omega_sq"]) == 1.0
+    assert not bool(es["eta_exceeds_omega"])
+    n = 8
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(1, n + 1)),
+                              type=pa.int64()),
+        "p_retailprice": pa.array([10.0 * i
+                                   for i in range(1, n + 1)]),
+        "p_size": pa.array(list(range(1, n + 1)),
+                           type=pa.int64())}),
+        os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(list(range(1, n + 1)),
+                              type=pa.int64()),
+        "l_quantity": pa.array([float(i)
+                                for i in range(1, n + 1)])}),
+        os.path.join(d, "lineitem.parquet"))
+    ca = q_cronbach_alpha_parts(d).iloc[0]
+    assert float(ca["cronbach_alpha"]) == 1.0
