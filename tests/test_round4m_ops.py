@@ -1869,3 +1869,28 @@ def test_variance_components_family(tmp_path):
         os.path.join(d, "lineitem.parquet"))
     ca = q_cronbach_alpha_parts(d).iloc[0]
     assert float(ca["cronbach_alpha"]) == 1.0
+
+
+def test_supply_chain_family(tmp_path):
+    """Constant demand 10/day with S = 20, s = 10: the position
+    cycles 20→10 (no order, strict <) →0 (order) — 15 orders over 30
+    days, never a stockout; the quantile ladder on constant demand
+    pins every service level at the constant with safety stock
+    exactly 0."""
+    from prclz_ray.pipelines.queries import (
+        q_inventory_policy_replay, q_safety_stock_ladder)
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([base + i * day for i in range(30)]),
+        "l_quantity": pa.array([10.0] * 30)}),
+        os.path.join(d, "lineitem.parquet"))
+    rp = q_inventory_policy_replay(d).iloc[0]
+    assert int(rp["s_upto"]) == 20
+    assert int(rp["n_stockout_days"]) == 0
+    assert int(rp["total_shortfall"]) == 0
+    assert int(rp["n_orders"]) == 15     # every other day hits 0 < s
+    ss = q_safety_stock_ladder(d)
+    assert (ss["demand_q"] == 10).all()
+    assert (ss["safety_stock"] == 0.0).all()
