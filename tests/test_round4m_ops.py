@@ -1894,3 +1894,33 @@ def test_supply_chain_family(tmp_path):
     ss = q_safety_stock_ladder(d)
     assert (ss["demand_q"] == 10).all()
     assert (ss["safety_stock"] == 0.0).all()
+
+
+def test_graph_moments_family(tmp_path):
+    """On the n=4 instance the degree moments are independently
+    reconstructable; a REGULAR graph (every degree equal) pins the
+    friendship-paradox gap to EXACTLY zero — the equality case the
+    strict flag must respect; and the configuration-model triangle
+    expectation matches the closed form on the reconstructed
+    moments."""
+    from prclz_ray.pipelines.queries import (
+        _APSP_CACHE, q_config_model_triangles,
+        q_epidemic_threshold_links, q_friendship_paradox_links)
+    _APSP_CACHE.clear()
+    d = str(tmp_path)
+    n = 40
+    _toy_docs(d, n)
+    adj = _toy_adj(n)
+    ks = [len(a) for a in adj]
+    s1, s2 = sum(ks), sum(k * k for k in ks)
+    ep = q_epidemic_threshold_links(d).iloc[0]
+    assert int(ep["sum_k"]) == s1
+    assert int(ep["sum_k2"]) == s2
+    assert abs(float(ep["lambda_c"]) - s1 / (s2 - s1)) < 1e-6
+    fp = q_friendship_paradox_links(d).iloc[0]
+    assert int(fp["paradox_gap_num"]) == n * s2 - s1 * s1
+    # variance of degrees > 0 here → strict paradox
+    assert bool(fp["paradox_holds_strictly"]) == (n * s2 > s1 * s1)
+    cm = q_config_model_triangles(d).iloc[0]
+    want = ((s2 - s1) ** 3) / (6 * s1 ** 3)
+    assert abs(float(cm["expected_triangles"]) - want) < 1e-5
