@@ -1924,3 +1924,29 @@ def test_graph_moments_family(tmp_path):
     cm = q_config_model_triangles(d).iloc[0]
     want = ((s2 - s1) ** 3) / (6 * s1 ** 3)
     assert abs(float(cm["expected_triangles"]) - want) < 1e-5
+
+
+def test_retrieval_scoring_family(tmp_path):
+    """A doc that is nothing but the query terms tops all three
+    rankers: coordination pins (3 terms, tf exact), JM and pivoted
+    both rank it first with integer score keys; a term-free doc
+    never enters the coordination top above a matching one."""
+    from prclz_ray.pipelines.queries import (
+        q_coordination_matching, q_jm_smoothing_retrieval,
+        q_pivoted_length_retrieval)
+    d = str(tmp_path)
+    texts = ["join merge sort join merge sort",
+             "join alpha beta gamma delta eps",
+             "alpha beta gamma delta epsilon zeta"]
+    _docs_tbl(d, texts, ["en"] * 3)
+    cm = q_coordination_matching(d)
+    assert int(cm["doc_id"].iloc[0]) == 0
+    assert int(cm["n_terms_matched"].iloc[0]) == 3
+    assert int(cm["total_tf"].iloc[0]) == 6
+    assert int(cm["n_docs_full_match"].iloc[0]) == 1
+    jm = q_jm_smoothing_retrieval(d)
+    assert int(jm["doc_id"].iloc[0]) == 0
+    pv = q_pivoted_length_retrieval(d)
+    assert int(pv["doc_id"].iloc[0]) == 0
+    # the all-query doc's pivoted score strictly beats the 1-term doc
+    assert int(pv["score9"].iloc[0]) > int(pv["score9"].iloc[1])
