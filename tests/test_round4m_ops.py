@@ -1950,3 +1950,37 @@ def test_retrieval_scoring_family(tmp_path):
     assert int(pv["doc_id"].iloc[0]) == 0
     # the all-query doc's pivoted score strictly beats the 1-term doc
     assert int(pv["score9"].iloc[0]) > int(pv["score9"].iloc[1])
+
+
+def test_inequality_ratio_family(tmp_path):
+    """Perfect equality pins Pietra = 0 exactly (the |n·c − S| sum
+    vanishes) and both ratios at their size-determined constants;
+    one customer holding everything sends Palma and S80/S20 to their
+    max while Pietra → (n−1)/n·... stays < 1."""
+    from prclz_ray.pipelines.queries import (
+        q_palma_ratio_revenue, q_pietra_index_revenue,
+        q_s80_s20_revenue)
+    d = str(tmp_path / "eq")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(list(range(1, 11)), type=pa.int64()),
+        "o_totalprice": pa.array([100.0] * 10)}),
+        os.path.join(d, "orders.parquet"))
+    pi = q_pietra_index_revenue(d).iloc[0]
+    assert int(pi["abs_dev_num"]) == 0
+    assert float(pi["pietra"]) == 0.0
+    pm = q_palma_ratio_revenue(d).iloc[0]
+    # equal shares: top-1 sum / bottom-4 sum = 1/4
+    assert float(pm["palma"]) == 0.25
+    s8 = q_s80_s20_revenue(d).iloc[0]
+    assert float(s8["s80_s20"]) == 1.0   # 2 vs 2 equal customers
+    d2 = str(tmp_path / "onepct")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(list(range(1, 11)), type=pa.int64()),
+        "o_totalprice": pa.array([1.0] * 9 + [10000.0])}),
+        os.path.join(d2, "orders.parquet"))
+    pm2 = q_palma_ratio_revenue(d2).iloc[0]
+    assert float(pm2["palma"]) > 1000
+    pi2 = q_pietra_index_revenue(d2).iloc[0]
+    assert 0.85 < float(pi2["pietra"]) < 1.0
