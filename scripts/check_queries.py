@@ -87,14 +87,27 @@ def run_sharded(sf_dir, only, n_shards, json_path):
             with open(p) as f:
                 res = json.load(f)["queries"]
         except Exception as e:
-            print(f"RETRY <shard {i}>: crashed before writing its "
-                  f"result ({e}) — queuing its queries for a serial "
-                  f"retry pass")
-            crashed.extend(shards[i])
+            # per-QUERY retry queue (round-4 deferred #3): a crashed
+            # shard's completed queries survive in its progress JSONL,
+            # so only the genuinely unfinished tail re-runs serially
             res = {}
+            try:
+                with open(p + ".progress") as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        res[rec["name"]] = rec["result"]
+            except Exception:
+                pass
+            lost = [q for q in shards[i] if q not in res]
+            print(f"RETRY <shard {i}>: crashed before writing its "
+                  f"result ({e}) — {len(res)} queries recovered from "
+                  f"its progress log, {len(lost)} queued for a serial "
+                  f"retry pass")
+            crashed.extend(lost)
         merged.update(res)
-        if os.path.exists(p):
-            os.unlink(p)
+        for ext in ("", ".progress"):
+            if os.path.exists(p + ext):
+                os.unlink(p + ext)
     # one serial retry for queries whose shard died (Ray core-worker
     # crashes under concurrent local clusters are rare but real)
     crashed += [q for i, shard in enumerate(shards) for q in shard
@@ -172,6 +185,19 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    # incremental progress log: one JSONL line per completed query, so
+    # a parent sharding over this process can recover finished work if
+    # the Ray session dies mid-shard (round-4 deferred #3)
+    import json as _json
+    prog = open(json_path + ".progress", "w") if json_path else None
+
+    def _record(name, result):
+        results[name] = result
+        if prog is not None:
+            prog.write(_json.dumps({"name": name, "result": result})
+                       + "\n")
+            prog.flush()
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -181,22 +207,22 @@ def main():
             mine = to_df(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
-            results[name] = {"status": "fail",
-                             "err": f"{type(e).__name__}: {e}"}
+            _record(name, {"status": "fail",
+                           "err": f"{type(e).__name__}: {e}"})
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows={len(mine)} cols={sorted(mine.columns)} ({dt:.1f}s, rows-only)")
-            results[name] = {"status": "no_oracle", "rows": len(mine),
-                             "sec": round(dt, 2)}
+            _record(name, {"status": "no_oracle", "rows": len(mine),
+                           "sec": round(dt, 2)})
             n_pass += 1
             continue
         try:
             orc = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
-            results[name] = {"status": "fail", "err": f"oracle: {e}"}
+            _record(name, {"status": "fail", "err": f"oracle: {e}"})
             n_fail += 1
             continue
         problems = []
@@ -208,13 +234,13 @@ def main():
             problems.append("value hash mismatch")
         if problems:
             print(f"FAIL {name}: {', '.join(problems)} ({dt:.1f}s)")
-            results[name] = {"status": "fail",
-                             "err": ", ".join(problems)}
+            _record(name, {"status": "fail",
+                           "err": ", ".join(problems)})
             n_fail += 1
         else:
             print(f"PASS {name}: rows={len(mine)} ({dt:.1f}s)")
-            results[name] = {"status": "pass", "rows": len(mine),
-                             "sec": round(dt, 2)}
+            _record(name, {"status": "pass", "rows": len(mine),
+                           "sec": round(dt, 2)})
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     if json_path:
