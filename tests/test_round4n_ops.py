@@ -1,0 +1,180 @@
+"""Round-4N operator batches (session 4 of round 4).
+
+Each op is driver-gate verified (rows+schema+hash vs DuckDB) at sf0.001
+AND sf0.01 before its commit; these tests pin the semantic regimes the
+hash sweep can't see — identical-sample zeros, monotone-trend extremes,
+crafted spread contrasts — on engineered fixtures."""
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _events_table(d, types, values, users=None, ts=None):
+    n = len(types)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), type=pa.int64()),
+        "user_id": pa.array(users or [1] * n, type=pa.int64()),
+        "event_type": pa.array(types),
+        "ts": pa.array(ts or list(range(n)), type=pa.int64()),
+        "value": pa.array(values, type=pa.float64())}),
+        os.path.join(d, "events.parquet"))
+
+
+def test_anderson_darling_identical_samples_zero(tmp_path):
+    """Byte-identical click and purchase value multisets make every
+    per-value term vanish exactly (N·G_ij = n_i·H_j when the side
+    shares are proportional), so a2_nano == 0 — the AD analogue of
+    the CvM op's equal-distribution pin."""
+    from prclz_ray.pipelines.queries import q_anderson_darling_2samp
+    d = str(tmp_path)
+    vals = [1.0, 2.0, 2.0, 5.0, 9.0]
+    _events_table(d, ["click"] * 5 + ["purchase"] * 5, vals + vals)
+    out = q_anderson_darling_2samp(d).iloc[0]
+    assert int(out["n_click"]) == 5
+    assert int(out["n_purchase"]) == 5
+    assert int(out["a2_nano"]) == 0
+
+
+def test_anderson_darling_matches_direct_midrank(tmp_path):
+    """Cross-check the cleared-integer chain against a direct float
+    implementation of Scholz–Stephens A²_akN (midrank/tie-adjusted,
+    k = 2) on a small unequal sample — and separated samples must
+    score strictly higher than interleaved ones."""
+    from prclz_ray.pipelines.queries import q_anderson_darling_2samp
+
+    def direct(x, y):
+        xs, ys = np.asarray(x, float), np.asarray(y, float)
+        z = np.unique(np.concatenate([xs, ys]))
+        n_, m_ = len(xs), len(ys)
+        nn = n_ + m_
+        a2 = 0.0
+        for ni, s in ((n_, xs), (m_, ys)):
+            for v in z:
+                lj = (np.concatenate([xs, ys]) == v).sum()
+                cj = (np.concatenate([xs, ys]) <= v).sum()
+                bj = cj - lj / 2.0
+                cij = (s <= v).sum()
+                lij = (s == v).sum()
+                mij = cij - lij / 2.0
+                dj = bj * (nn - bj) - nn * lj / 4.0
+                if dj == 0:
+                    continue
+                a2 += ((nn - 1) / nn) * (lj / nn) \
+                    * (nn * mij - ni * bj) ** 2 / (ni * dj)
+        return a2
+
+    d = str(tmp_path / "a")
+    os.makedirs(d)
+    cl = [1.0, 2.0, 3.0, 3.0, 7.0]
+    pu = [2.0, 6.0, 8.0]
+    _events_table(d, ["click"] * 5 + ["purchase"] * 3, cl + pu)
+    got = q_anderson_darling_2samp(d).iloc[0]
+    want = direct(cl, pu)
+    assert abs(float(got["ad_a2"]) - want) < 1e-6
+
+    d2 = str(tmp_path / "b")
+    os.makedirs(d2)
+    _events_table(d2, ["click"] * 4 + ["purchase"] * 4,
+                  [1.0, 2.0, 3.0, 4.0, 50.0, 60.0, 70.0, 80.0])
+    sep = q_anderson_darling_2samp(d2).iloc[0]
+    assert float(sep["ad_a2"]) > float(got["ad_a2"])
+
+
+def _orders_table(d, months_prices):
+    """months_prices: list of (iso_date, priority, price)."""
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(len(months_prices))),
+                               type=pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64(m + "T00:00:00", "us")
+             for m, _, _ in months_prices]),
+        "o_orderpriority": pa.array([p for _, p, _ in months_prices]),
+        "o_totalprice": pa.array([v for _, _, v in months_prices])}),
+        os.path.join(d, "orders.parquet"))
+
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW"]
+
+
+def test_pages_trend_perfect_monotone(tmp_path):
+    """Revenue rising strictly with the 1→5 priority order in every
+    month maximizes L: R2_j = 2·b·j so L2 = 2b·Σj² = 110b, and
+    z = (L2 − 90b)/√(100b) = 2√b exactly.  The reversed order mirrors
+    to the minimum 2b·Σ j(6−j) = 70b and z = −2√b."""
+    from prclz_ray.pipelines.queries import q_pages_trend_test
+    d = str(tmp_path / "up")
+    os.makedirs(d)
+    rows = []
+    for m in ("1995-01-01", "1995-02-01", "1995-03-01", "1995-04-01"):
+        for j, p in enumerate(_PRIOS):
+            rows.append((m, p, 100.0 * (j + 1)))
+    _orders_table(d, rows)
+    out = q_pages_trend_test(d).iloc[0]
+    b = 4
+    assert int(out["n_months"]) == b
+    assert int(out["page_l2"]) == 110 * b
+    assert abs(float(out["z"]) - 2.0 * np.sqrt(b)) < 1e-6
+
+    d2 = str(tmp_path / "down")
+    os.makedirs(d2)
+    rows = []
+    for m in ("1995-01-01", "1995-02-01", "1995-03-01", "1995-04-01"):
+        for j, p in enumerate(_PRIOS):
+            rows.append((m, p, 100.0 * (5 - j)))
+    _orders_table(d2, rows)
+    out2 = q_pages_trend_test(d2).iloc[0]
+    assert int(out2["page_l2"]) == 70 * b
+    assert abs(float(out2["z"]) + 2.0 * np.sqrt(b)) < 1e-6
+
+
+def test_pages_incomplete_months_dropped(tmp_path):
+    """A month missing a priority is excluded from the blocks, same
+    as the Friedman op's contract."""
+    from prclz_ray.pipelines.queries import q_pages_trend_test
+    d = str(tmp_path)
+    rows = [("1995-01-01", p, 100.0 * (j + 1))
+            for j, p in enumerate(_PRIOS)]
+    rows += [("1995-02-01", p, 50.0) for p in _PRIOS[:4]]  # incomplete
+    _orders_table(d, rows)
+    out = q_pages_trend_test(d).iloc[0]
+    assert int(out["n_months"]) == 1
+
+
+def _customer_table(d, nations, balances):
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(len(nations))),
+                              type=pa.int64()),
+        "c_nationkey": pa.array(nations, type=pa.int64()),
+        "c_acctbal": pa.array(balances, type=pa.float64())}),
+        os.path.join(d, "customer.parquet"))
+
+
+def test_brown_forsythe_equal_spread_zero(tmp_path):
+    """Two nations with identical deviation multisets around their
+    (different) medians: the group mean absolute deviations coincide,
+    BSS = 0 exactly, so W = 0 — location shifts alone cannot trigger
+    the scale test (the whole point of the median center)."""
+    from prclz_ray.pipelines.queries import q_brown_forsythe_nations
+    d = str(tmp_path)
+    _customer_table(d, [0] * 5 + [1] * 5,
+                    [10.0, 11.0, 12.0, 13.0, 14.0,
+                     50.0, 51.0, 52.0, 53.0, 54.0])
+    out = q_brown_forsythe_nations(d).iloc[0]
+    assert int(out["k_groups"]) == 2
+    assert float(out["bf_w"]) == 0.0
+
+
+def test_brown_forsythe_detects_spread(tmp_path):
+    """One tight nation vs one 1000×-wider nation: W must blow well
+    past the F(1,18) 1% critical value (~8.3)."""
+    from prclz_ray.pipelines.queries import q_brown_forsythe_nations
+    d = str(tmp_path)
+    tight = [100.0 + 0.01 * i for i in range(10)]
+    wide = [100.0 + 10.0 * i for i in range(10)]
+    _customer_table(d, [0] * 10 + [1] * 10, tight + wide)
+    out = q_brown_forsythe_nations(d).iloc[0]
+    assert float(out["bf_w"]) > 20.0
