@@ -178,3 +178,56 @@ def test_brown_forsythe_detects_spread(tmp_path):
     _customer_table(d, [0] * 10 + [1] * 10, tight + wide)
     out = q_brown_forsythe_nations(d).iloc[0]
     assert float(out["bf_w"]) > 20.0
+
+
+def _emb_table(d, vecs):
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(len(vecs))), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float64()))}),
+        os.path.join(d, "embeddings.parquet"))
+
+
+def test_cluster_validity_identical_points(tmp_path):
+    """Three exact copies of seed centroid 0 and three of centroid 1:
+    zero within-cluster scatter pins sigma = 0 and r_db = 0 for both
+    clusters, and every point sits ON its empirical mean so the
+    simplified silhouette is exactly 1."""
+    from prclz_ray.pipelines.queries import (
+        _SEM_DIM, _SEM_K, _SEM_SEED, q_davies_bouldin_clusters,
+        q_silhouette_simplified)
+    from prclz_ray.stages.similarity import fixed_centroids
+    C = fixed_centroids(_SEM_K, _SEM_DIM, _SEM_SEED)
+    d = str(tmp_path)
+    _emb_table(d, [C[0]] * 3 + [C[1]] * 3)
+    db = q_davies_bouldin_clusters(d)
+    assert sorted(db["cluster"].tolist()) == [0, 1]
+    assert (db["sigma"] == 0.0).all()
+    assert (db["r_db"] == 0.0).all()
+    sil = q_silhouette_simplified(d)
+    assert (sil["mean_ssil"] == 1.0).all()
+    assert sil["n_points"].tolist() == [3, 3]
+
+
+def test_cluster_validity_scaled_blobs(tmp_path):
+    """Points c and 2c share the cosine direction, so both land in
+    cluster c with empirical mean 1.5c and RMS radius exactly 0.5
+    (unit centroids); the two blobs are far apart so CH is large,
+    r_db < 1 and the silhouette is strongly positive."""
+    from prclz_ray.pipelines.queries import (
+        _SEM_DIM, _SEM_K, _SEM_SEED, q_calinski_harabasz,
+        q_davies_bouldin_clusters, q_silhouette_simplified)
+    from prclz_ray.stages.similarity import fixed_centroids
+    C = fixed_centroids(_SEM_K, _SEM_DIM, _SEM_SEED)
+    d = str(tmp_path)
+    _emb_table(d, [C[0], 2 * C[0], C[1], 2 * C[1]])
+    ch = q_calinski_harabasz(d).iloc[0]
+    assert int(ch["n_points"]) == 4
+    assert int(ch["k_clusters"]) == 2
+    assert float(ch["wss"]) > 0
+    assert float(ch["ch_index"]) > 1.0
+    db = q_davies_bouldin_clusters(d)
+    assert np.allclose(db["sigma"].to_numpy(), 0.5, atol=1e-6)
+    assert (db["r_db"] < 1.0).all()
+    sil = q_silhouette_simplified(d)
+    assert (sil["mean_ssil"] > 0.5).all()
