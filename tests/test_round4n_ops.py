@@ -231,3 +231,78 @@ def test_cluster_validity_scaled_blobs(tmp_path):
     assert (db["r_db"] < 1.0).all()
     sil = q_silhouette_simplified(d)
     assert (sil["mean_ssil"] > 0.5).all()
+
+
+def _ts_events(d, secs_of_day, values=None):
+    """Events at given seconds-of-day on 2024-01-01, timestamp[us]."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    n = len(secs_of_day)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), type=pa.int64()),
+        "user_id": pa.array([1] * n, type=pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "ts": pa.array([base + np.timedelta64(int(s) * 1_000_000,
+                                              "us")
+                        for s in secs_of_day]),
+        "value": pa.array(values or [1.0] * n, type=pa.float64())}),
+        os.path.join(d, "events.parquet"))
+
+
+def test_rayleigh_point_mass_and_uniform(tmp_path):
+    """Every event at midnight: cos quantizes to exactly 1e6, sin to
+    0, so rbar == 1.0 and the mean direction is hour 0.  One event
+    per minute over the full cycle: the resultant collapses to the
+    quantization residue, rbar ≈ 0."""
+    from prclz_ray.pipelines.queries import q_rayleigh_test_minutes
+    d = str(tmp_path / "mass")
+    os.makedirs(d)
+    _ts_events(d, [0] * 8)
+    out = q_rayleigh_test_minutes(d).iloc[0]
+    assert float(out["rbar"]) == 1.0
+    assert float(out["rayleigh_z"]) == 8.0
+    assert float(out["mean_dir_hour"]) == 0.0
+
+    d2 = str(tmp_path / "unif")
+    os.makedirs(d2)
+    _ts_events(d2, [60 * m for m in range(1440)])
+    out2 = q_rayleigh_test_minutes(d2).iloc[0]
+    assert float(out2["rbar"]) < 0.001
+
+
+def test_circlin_corr_detects_daily_value_cycle(tmp_path):
+    """Values following cos(minute angle) give a circular-linear R²
+    near 1; the same values against a plain linear minute index
+    would wrap-break at midnight — the reason the op exists."""
+    import math
+    from prclz_ray.pipelines.queries import q_circlin_corr_minutes
+    d = str(tmp_path)
+    secs = [60 * m for m in range(0, 1440, 7)]
+    vals = [100.0 + 50.0 * math.cos(2 * math.pi * (s // 60) / 1440.0)
+            for s in secs]
+    _ts_events(d, secs, vals)
+    out = q_circlin_corr_minutes(d).iloc[0]
+    assert float(out["r2_circlin"]) > 0.95
+    assert abs(float(out["r_xs"])) < 0.3
+    assert float(out["r_xc"]) > 0.97
+
+
+def test_rao_spacing_regular_vs_point_mass(tmp_path):
+    """Four perfectly evenly spaced events: every gap equals λ so
+    u2n == 0 exactly.  Four events at ONE second: three zero-gaps
+    plus the full-circle wrap gives u_seconds = (n−1)·86400/n =
+    64800 and u_degrees = 270."""
+    from prclz_ray.pipelines.queries import q_rao_spacing_seconds
+    d = str(tmp_path / "even")
+    os.makedirs(d)
+    _ts_events(d, [0, 21600, 43200, 64800])
+    out = q_rao_spacing_seconds(d).iloc[0]
+    assert int(out["u2n"]) == 0
+    assert float(out["u_seconds"]) == 0.0
+
+    d2 = str(tmp_path / "mass")
+    os.makedirs(d2)
+    _ts_events(d2, [100] * 4)
+    out2 = q_rao_spacing_seconds(d2).iloc[0]
+    assert int(out2["n_distinct_seconds"]) == 1
+    assert float(out2["u_seconds"]) == 64800.0
+    assert float(out2["u_degrees"]) == 270.0
