@@ -306,3 +306,104 @@ def test_rao_spacing_regular_vs_point_mass(tmp_path):
     assert int(out2["n_distinct_seconds"]) == 1
     assert float(out2["u_seconds"]) == 64800.0
     assert float(out2["u_degrees"]) == 270.0
+
+
+def _epi_tables(d, custs, order_counts):
+    """custs: list of (nation, segment, acctbal); order_counts[i] =
+    orders for customer i (custkey = i + 1)."""
+    n = len(custs)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, n + 1)), type=pa.int64()),
+        "c_nationkey": pa.array([c[0] for c in custs],
+                                type=pa.int64()),
+        "c_mktsegment": pa.array([c[1] for c in custs]),
+        "c_acctbal": pa.array([c[2] for c in custs],
+                              type=pa.float64())}),
+        os.path.join(d, "customer.parquet"))
+    oc = []
+    for i, k in enumerate(order_counts):
+        oc += [i + 1] * k
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(oc, type=pa.int64())}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_cmh_no_association_within_strata(tmp_path):
+    """ad = bc inside every stratum: each a − E_k clears to exactly 0
+    so chi2 == 0 and the MH odds ratio == 1 — the
+    controlled-for-confounder null the pooled 2×2 can't certify."""
+    from prclz_ray.pipelines.queries import q_cmh_test_segments
+    d = str(tmp_path)
+    custs, orders = [], []
+
+    def add(seg, pos, freq, k):
+        for _ in range(k):
+            custs.append((0, seg, 100.0 if pos else -100.0))
+            orders.append(12 if freq else 1)
+    # stratum A: 4/4/4/4 (ad=16=bc); stratum B: 1/2/2/4 (ad=4=bc)
+    add("AUTO", 1, 1, 4); add("AUTO", 1, 0, 4)
+    add("AUTO", 0, 1, 4); add("AUTO", 0, 0, 4)
+    add("BLDG", 1, 1, 1); add("BLDG", 1, 0, 2)
+    add("BLDG", 0, 1, 2); add("BLDG", 0, 0, 4)
+    _epi_tables(d, custs, orders)
+    out = q_cmh_test_segments(d).iloc[0]
+    assert int(out["k_strata"]) == 2
+    assert float(out["chi2_cmh"]) == 0.0
+    assert float(out["or_mh"]) == 1.0
+
+
+def test_cmh_detects_association(tmp_path):
+    """a=5,b=1,c=1,d=5 in both strata: OR_MH = Σ(ad/N)/Σ(bc/N) = 25
+    exactly and χ² is large."""
+    from prclz_ray.pipelines.queries import q_cmh_test_segments
+    d = str(tmp_path)
+    custs, orders = [], []
+    for seg in ("AUTO", "BLDG"):
+        for _ in range(5):
+            custs.append((0, seg, 100.0)); orders.append(12)
+        custs.append((0, seg, 100.0)); orders.append(1)
+        custs.append((0, seg, -100.0)); orders.append(12)
+        for _ in range(5):
+            custs.append((0, seg, -100.0)); orders.append(1)
+    _epi_tables(d, custs, orders)
+    out = q_cmh_test_segments(d).iloc[0]
+    assert float(out["or_mh"]) == 25.0
+    assert float(out["chi2_cmh"]) > 5.0
+
+
+def test_smr_identical_nations_unity(tmp_path):
+    """Two nations with the same composition and the same rates:
+    expected == observed so SMR == 1 for both; tripling one nation's
+    frequent buyers pushes its SMR above 1 and the other's below."""
+    from prclz_ray.pipelines.queries import q_smr_nation_ordering
+    d = str(tmp_path)
+    custs, orders = [], []
+    for nat in (0, 1):
+        for _ in range(3):
+            custs.append((nat, "AUTO", 100.0)); orders.append(12)
+        for _ in range(3):
+            custs.append((nat, "AUTO", 100.0)); orders.append(1)
+    _epi_tables(d, custs, orders)
+    out = q_smr_nation_ordering(d)
+    assert (out["smr"] == 1.0).all()
+
+
+def test_direct_standardization_removes_composition(tmp_path):
+    """Segment A is all-frequent, segment B never: nation 0 (3A+1B,
+    crude 0.75) and nation 1 (1A+3B, crude 0.25) both standardize to
+    exactly 0.5 under the global half-A half-B standard — the
+    age-adjustment property verbatim."""
+    from prclz_ray.pipelines.queries import q_direct_std_rates_nation
+    d = str(tmp_path)
+    custs, orders = [], []
+    for nat, na, nb in ((0, 3, 1), (1, 1, 3)):
+        for _ in range(na):
+            custs.append((nat, "SEGA", 100.0)); orders.append(12)
+        for _ in range(nb):
+            custs.append((nat, "SEGB", 100.0)); orders.append(1)
+    _epi_tables(d, custs, orders)
+    out = q_direct_std_rates_nation(d).set_index("g")
+    assert float(out.loc[0, "crude_rate"]) == 0.75
+    assert float(out.loc[1, "crude_rate"]) == 0.25
+    assert float(out.loc[0, "std_rate"]) == 0.5
+    assert float(out.loc[1, "std_rate"]) == 0.5
