@@ -407,3 +407,45 @@ def test_direct_standardization_removes_composition(tmp_path):
     assert float(out.loc[1, "crude_rate"]) == 0.25
     assert float(out.loc[0, "std_rate"]) == 0.5
     assert float(out.loc[1, "std_rate"]) == 0.5
+
+
+def _docs_table(d, sources, texts):
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "source": pa.array(sources),
+        "text": pa.array(texts)}),
+        os.path.join(d, "documents.parquet"))
+
+
+def test_lexical_richness_family(tmp_path):
+    """Hand-counted spectrum: 'a a a b b c' has N=6 V=3 V1=1 V2=1 —
+    Honoré, Sichel and Brunet all verify against the closed forms;
+    the all-hapax source returns NULL Honoré by convention; a
+    repetitive source scores HIGHER Brunet W (poorer vocabulary)
+    than a diverse one of the same length."""
+    import math
+    from prclz_ray.pipelines.queries import (
+        q_brunet_w_sources, q_honore_r_sources, q_sichel_s_sources)
+    d = str(tmp_path)
+    _docs_table(d, ["s1", "s2", "s3", "s3"],
+                ["a a a b b c",          # s1: spectrum above
+                 "x y z",                # s2: all hapax -> NULL Honore
+                 "w w w w",              # s3 doc 1
+                 "w w w w"])             # s3: N=8 V=1
+    hr = q_honore_r_sources(d).set_index("source")
+    assert int(hr.loc["s1", "n_tokens"]) == 6
+    assert int(hr.loc["s1", "vocab"]) == 3
+    assert int(hr.loc["s1", "hapax"]) == 1
+    want = 100.0 * math.log(6) / (1.0 - 1 / 3)
+    assert abs(float(hr.loc["s1", "honore_r"]) - want) < 1e-6
+    assert pd.isna(hr.loc["s2", "honore_r"])
+    si = q_sichel_s_sources(d).set_index("source")
+    assert abs(float(si.loc["s1", "sichel_s"]) - 1 / 3) < 1e-6
+    assert int(si.loc["s3", "dis_legomena"]) == 0
+    bw = q_brunet_w_sources(d).set_index("source")
+    w1 = math.pow(6, math.pow(3, -0.165))
+    assert abs(float(bw.loc["s1", "brunet_w"]) - w1) < 1e-6
+    # same token count, poorer vocab => higher W
+    assert float(bw.loc["s3", "brunet_w"]) \
+        > math.pow(8, math.pow(8, -0.165)) - 1e-9
