@@ -449,3 +449,76 @@ def test_lexical_richness_family(tmp_path):
     # same token count, poorer vocab => higher W
     assert float(bw.loc["s3", "brunet_w"]) \
         > math.pow(8, math.pow(8, -0.165)) - 1e-9
+
+
+def test_myerson_reserve_argmax_and_ties(tmp_path):
+    """[10,10,6,4]¢: r=10 earns 20 > 18 > 16, reserve 10.  [3,1,1]¢:
+    r=3 and r=1 both earn 3 — the tie breaks to the LOWEST reserve
+    (sell more at equal revenue)."""
+    from prclz_ray.pipelines.queries import q_myerson_reserve_brands
+    d = str(tmp_path)
+    prices = [0.10, 0.10, 0.06, 0.04, 0.03, 0.01, 0.01]
+    brands = ["B1"] * 4 + ["B2"] * 3
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(len(prices))),
+                              type=pa.int64()),
+        "p_brand": pa.array(brands),
+        "p_retailprice": pa.array(prices, type=pa.float64())}),
+        os.path.join(d, "part.parquet"))
+    out = q_myerson_reserve_brands(d).set_index("p_brand")
+    assert int(out.loc["B1", "reserve_cents"]) == 10
+    assert int(out.loc["B1", "revenue_cents"]) == 20
+    assert int(out.loc["B1", "n_sold"]) == 2
+    assert int(out.loc["B2", "reserve_cents"]) == 1
+    assert int(out.loc["B2", "revenue_cents"]) == 3
+    assert int(out.loc["B2", "n_sold"]) == 3
+
+
+def test_littlewood_half_ratio_median(tmp_path):
+    """Urgent fare 200, low fare 100 → critical ratio exactly 0.5, so
+    the protection level is the empirical median of daily urgent
+    demand: counts [1,2,3,4] → y* = 2."""
+    from prclz_ray.pipelines.queries import q_littlewood_protection
+    d = str(tmp_path)
+    rows = []
+    for day, n_urg in enumerate([1, 2, 3, 4]):
+        date = np.datetime64(f"1995-01-0{day + 1}T00:00:00", "us")
+        for _ in range(n_urg):
+            rows.append((date, "1-URGENT", 200.0))
+        rows.append((date, "5-LOW", 100.0))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(len(rows))),
+                               type=pa.int64()),
+        "o_orderdate": pa.array([r[0] for r in rows]),
+        "o_orderpriority": pa.array([r[1] for r in rows]),
+        "o_totalprice": pa.array([r[2] for r in rows])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_littlewood_protection(d).iloc[0]
+    assert float(out["critical_ratio"]) == 0.5
+    assert int(out["protection_level"]) == 2
+    assert float(out["p1_cents"]) == 20000.0
+    assert float(out["p2_cents"]) == 10000.0
+
+
+def test_banzhaf_textbook_50_30_10_10(tmp_path):
+    """Weights (50,30,10,10), majority quota: the big player is
+    critical in 7 of 10 swings, every small player in exactly 1 —
+    Banzhaf (0.7, 0.1, 0.1, 0.1) despite weight shares
+    (0.5, 0.3, 0.1, 0.1): the power/weight gap the index exists to
+    expose."""
+    from prclz_ray.pipelines.queries import q_banzhaf_power_nations
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2, 3], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_totalprice": pa.array([0.50, 0.30, 0.10, 0.10])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_banzhaf_power_nations(d).set_index("n_nationkey")
+    assert out.loc[0, "n_critical"] == 7
+    assert float(out.loc[0, "banzhaf"]) == 0.7
+    for nk in (1, 2, 3):
+        assert out.loc[nk, "n_critical"] == 1
+        assert float(out.loc[nk, "banzhaf"]) == 0.1
