@@ -522,3 +522,86 @@ def test_banzhaf_textbook_50_30_10_10(tmp_path):
     for nk in (1, 2, 3):
         assert out.loc[nk, "n_critical"] == 1
         assert float(out.loc[nk, "banzhaf"]) == 0.1
+
+
+def test_weibull_mrr_two_point_exact(tmp_path):
+    """Two orders with first-ship latencies 3 and 10 days: γ = 2, so
+    x = (ln 1, ln 8) and the slope collapses to (y2−y1)/ln 8 with
+    Bernard ranks F = (0.7/2.4, 1.7/2.4) — hand-computable."""
+    import math
+    from prclz_ray.pipelines.queries import q_weibull_mrr_latency
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([base, base])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], type=pa.int64()),
+        "l_shipdate": pa.array([
+            base + np.timedelta64(3 * 86_400_000_000, "us"),
+            base + np.timedelta64(10 * 86_400_000_000, "us")])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_weibull_mrr_latency(d).iloc[0]
+    assert int(out["gamma_days"]) == 2
+    y1 = math.log(-math.log(1.0 - 0.7 / 2.4))
+    y2 = math.log(-math.log(1.0 - 1.7 / 2.4))
+    want = (y2 - y1) / math.log(8)
+    assert abs(float(out["shape_beta"]) - want) < 1e-5
+
+
+def test_crow_amsaa_two_point_and_flag(tmp_path):
+    """Errors: 1 on day d, 3 more a week later → points (t, N) =
+    (1, 1), (8, 4): β = ln4/ln8 = 2/3 < 1 → improving."""
+    import math
+    from prclz_ray.pipelines.queries import q_crow_amsaa_errors
+    d = str(tmp_path)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [base] + [base + np.timedelta64(7 * 86_400_000_000, "us")] * 3
+    n = len(ts)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), type=pa.int64()),
+        "user_id": pa.array([1] * n, type=pa.int64()),
+        "event_type": pa.array(["error"] * n),
+        "ts": pa.array(ts),
+        "value": pa.array([0.0] * n)}),
+        os.path.join(d, "events.parquet"))
+    out = q_crow_amsaa_errors(d).iloc[0]
+    assert int(out["n_error_days"]) == 2
+    assert int(out["n_errors"]) == 4
+    assert abs(float(out["beta_growth"])
+               - math.log(4) / math.log(8)) < 1e-5
+    assert bool(out["improving"])
+
+
+def test_bass_exact_quadratic_recovery(tmp_path):
+    """Adoptions (2, 3, 1) on consecutive days: the unique quadratic
+    through (C, S) = (0,2), (2,3), (5,1) is a=2, b=29/30, c=−7/30 —
+    the Cramer solve recovers it exactly and the structural m/p/q
+    follow the stated root chain."""
+    import math
+    from prclz_ray.pipelines.queries import q_bass_diffusion_users
+    d = str(tmp_path)
+    base = np.datetime64("1995-06-01T00:00:00", "us")
+    rows = []
+    ck = 1
+    for off, cnt in ((0, 2), (1, 3), (2, 1)):
+        for _ in range(cnt):
+            rows.append((ck, base + np.timedelta64(
+                off * 86_400_000_000, "us")))
+            ck += 1
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_bass_diffusion_users(d).iloc[0]
+    assert int(out["n_days"]) == 3
+    assert int(out["n_adopters"]) == 6
+    assert abs(float(out["coef_a"]) - 2.0) < 1e-6
+    assert abs(float(out["coef_b"]) - 29.0 / 30.0) < 1e-6
+    assert abs(float(out["coef_c"]) + 7.0 / 30.0) < 1e-6
+    ca, cb, cc = 2.0, 29.0 / 30.0, -7.0 / 30.0
+    mp = (-cb - math.sqrt(cb * cb - 4 * ca * cc)) / (2 * cc)
+    assert abs(float(out["m_potential"]) - mp) < 1e-4
+    assert abs(float(out["p_innovation"]) - ca / mp) < 1e-4
+    assert abs(float(out["q_imitation"]) + cc * mp) < 1e-4
