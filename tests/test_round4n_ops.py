@@ -605,3 +605,37 @@ def test_bass_exact_quadratic_recovery(tmp_path):
     assert abs(float(out["m_potential"]) - mp) < 1e-4
     assert abs(float(out["p_innovation"]) - ca / mp) < 1e-4
     assert abs(float(out["q_imitation"]) + cc * mp) < 1e-4
+
+
+def test_dem_derivative_family_single_island(tmp_path):
+    """One customer (custkey 1, $100) lands at hash cell 732 — an
+    interior island on a flat plain: curvature there is convex with
+    laplacian exactly −4e, its east neighbor concave; TRI at the
+    island is √(8e²); TPI reads ridge at the island, valley beside
+    it, slope far away; border cells are NULL everywhere."""
+    import math
+    from prclz_ray.pipelines.queries import (
+        q_curvature_grid, q_tpi_landforms, q_tri_grid)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_acctbal": pa.array([100.0])}),
+        os.path.join(d, "customer.parquet"))
+    h = ((1 * 104729) % 1000 // 32) * 32 + ((1 * 7919) % 1000) // 32
+    assert h == 732
+    cv = q_curvature_grid(d).set_index("cell")
+    assert int(cv.loc[h, "laplacian"]) == -40000
+    assert cv.loc[h, "curv_class"] == "convex"
+    assert int(cv.loc[h + 1, "laplacian"]) == 10000
+    assert cv.loc[h + 1, "curv_class"] == "concave"
+    assert cv.loc[0, "curv_class"] is None
+    tr = q_tri_grid(d).set_index("cell")
+    assert int(tr.loc[h, "tri2"]) == 8 * 10000 * 10000
+    assert abs(float(tr.loc[h, "tri"])
+               - math.sqrt(8.0) * 10000) < 1e-5
+    assert int(tr.loc[h + 1, "tri2"]) == 10000 * 10000
+    tp = q_tpi_landforms(d).set_index("cell")
+    assert int(tp.loc[h, "tpi8"]) == 80000
+    assert tp.loc[h, "landform"] == "ridge"
+    assert tp.loc[h + 1, "landform"] == "valley"
+    assert tp.loc[100, "landform"] == "slope"
