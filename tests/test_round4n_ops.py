@@ -639,3 +639,80 @@ def test_dem_derivative_family_single_island(tmp_path):
     assert tp.loc[h, "landform"] == "ridge"
     assert tp.loc[h + 1, "landform"] == "valley"
     assert tp.loc[100, "landform"] == "slope"
+
+
+def _daily_orders(d, prices):
+    """One order per consecutive day with the given totalprice."""
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    n = len(prices)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(n)), type=pa.int64()),
+        "o_orderdate": pa.array([
+            base + np.timedelta64(i * 86_400_000_000, "us")
+            for i in range(n)]),
+        "o_totalprice": pa.array(prices, type=pa.float64())}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_sampen_constant_series_closed_form(tmp_path):
+    """Constant revenue: σ = 0 so r = 0 and EVERY template matches —
+    A/B collapses to (n−3)/(n−1) exactly, so SampEn = −ln(7/9) at
+    n = 10; a spiky series scores strictly higher."""
+    import math
+    from prclz_ray.pipelines.queries import q_sample_entropy_revenue
+    d = str(tmp_path / "const")
+    os.makedirs(d)
+    _daily_orders(d, [100.0] * 10)
+    out = q_sample_entropy_revenue(d).iloc[0]
+    n = 10
+    assert int(out["b_pairs"]) == (n - 1) * (n - 2) // 2
+    assert int(out["a_pairs"]) == (n - 2) * (n - 3) // 2
+    assert abs(float(out["sampen"]) + math.log(7 / 9)) < 1e-6
+
+    d2 = str(tmp_path / "spiky")
+    os.makedirs(d2)
+    _daily_orders(d2, [100.0, 900.0, 150.0, 800.0, 120.0,
+                       950.0, 110.0, 700.0, 130.0, 850.0])
+    out2 = q_sample_entropy_revenue(d2).iloc[0]
+    assert float(out2["sampen"]) > float(out["sampen"])
+
+
+def test_spectral_entropy_tone_vs_delta(tmp_path):
+    """A clean weekly cycle concentrates periodogram power (low
+    entropy); a single-day delta spreads it nearly flat (high
+    entropy)."""
+    import math
+    from prclz_ray.pipelines.queries import q_spectral_entropy_revenue
+    d = str(tmp_path / "tone")
+    os.makedirs(d)
+    prices = [100.0 + 50.0 * math.cos(2 * math.pi * i / 7.0)
+              for i in range(70)]
+    _daily_orders(d, prices)
+    tone = q_spectral_entropy_revenue(d).iloc[0]
+    d2 = str(tmp_path / "delta")
+    os.makedirs(d2)
+    _daily_orders(d2, [100.0] * 35 + [5000.0] + [100.0] * 34)
+    delta = q_spectral_entropy_revenue(d2).iloc[0]
+    assert float(tone["spectral_entropy"]) < 0.5
+    assert float(delta["spectral_entropy"]) > 0.8
+    assert float(delta["spectral_entropy"]) \
+        > float(tone["spectral_entropy"])
+
+
+def test_higuchi_line_vs_jagged(tmp_path):
+    """A straight ramp has curve length L(k) ∝ 1/k, so FD ≈ 1; a
+    hash-jagged series is rougher — FD well above the ramp's."""
+    from prclz_ray.pipelines.queries import q_higuchi_fd_revenue
+    d = str(tmp_path / "ramp")
+    os.makedirs(d)
+    _daily_orders(d, [100.0 + 10.0 * i for i in range(64)])
+    ramp = q_higuchi_fd_revenue(d).iloc[0]
+    assert abs(float(ramp["higuchi_fd"]) - 1.0) < 0.02
+    d2 = str(tmp_path / "jag")
+    os.makedirs(d2)
+    _daily_orders(d2, [100.0 + ((i * 7919) % 997) for i in range(64)])
+    jag = q_higuchi_fd_revenue(d2).iloc[0]
+    # the modular sequence is quasi-periodic, not white — FD ~1.28,
+    # well above the ramp's 1.0 but below a true-noise 2
+    assert float(jag["higuchi_fd"]) > 1.2
+    assert float(jag["higuchi_fd"]) > float(ramp["higuchi_fd"]) + 0.2
