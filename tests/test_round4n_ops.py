@@ -716,3 +716,79 @@ def test_higuchi_line_vs_jagged(tmp_path):
     # well above the ramp's 1.0 but below a true-noise 2
     assert float(jag["higuchi_fd"]) > 1.2
     assert float(jag["higuchi_fd"]) > float(ramp["higuchi_fd"]) + 0.2
+
+
+def test_taylors_law_collinear_types(tmp_path):
+    """Three event types engineered onto the Var = Mean² line over a
+    two-day calendar: (mean, var) = (1,1), (2,4), (½,¼) — all
+    collinear in log-log with slope exactly 2 (the clustered
+    regime), intercept 0."""
+    from prclz_ray.pipelines.queries import q_taylors_law_events
+    d = str(tmp_path)
+    types = ["X"] * 2 + ["Y"] * 4 + ["Z"]
+    secs = [0] * 6 + [86400]
+    _ts_events(d, secs, [1.0] * 7)
+    # overwrite with per-type labels
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(7)), type=pa.int64()),
+        "user_id": pa.array([1] * 7, type=pa.int64()),
+        "event_type": pa.array(types),
+        "ts": pa.array([base + np.timedelta64(s * 1_000_000, "us")
+                        for s in secs]),
+        "value": pa.array([1.0] * 7)}),
+        os.path.join(d, "events.parquet"))
+    out = q_taylors_law_events(d).iloc[0]
+    assert int(out["n_days"]) == 2
+    assert int(out["k_types"]) == 3
+    assert abs(float(out["slope_b"]) - 2.0) < 1e-6
+    assert abs(float(out["intercept_ln_a"])) < 1e-6
+
+
+def test_gibrat_size_independent_growth(tmp_path):
+    """Both customers double: growth is constant so the slope on
+    ln size is exactly 0 (Gibrat holds) and r is NULL (zero growth
+    variance).  A mean-reverting fixture turns the slope negative."""
+    from prclz_ray.pipelines.queries import q_gibrat_law_customers
+    d = str(tmp_path / "gibrat")
+    os.makedirs(d)
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    late = np.datetime64("1996-12-30T00:00:00", "us")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([base, base, late, late]),
+        "o_totalprice": pa.array([100.0, 200.0, 200.0, 400.0])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_gibrat_law_customers(d).iloc[0]
+    assert int(out["n_customers"]) == 2
+    assert float(out["slope"]) == 0.0
+    assert pd.isna(out["pearson_r"])
+
+    d2 = str(tmp_path / "revert")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([base, base, late, late]),
+        "o_totalprice": pa.array([100.0, 10000.0, 400.0, 10000.0])}),
+        os.path.join(d2, "orders.parquet"))
+    out2 = q_gibrat_law_customers(d2).iloc[0]
+    assert float(out2["slope"]) < -0.1
+
+
+def test_james_stein_full_shrink_to_grand_mean(tmp_path):
+    """Four nations with (nearly) equal means but large within-group
+    spread: S tiny, v̄ large → the positive-part factor clamps to 0
+    and every JS mean collapses to the grand mean exactly."""
+    from prclz_ray.pipelines.queries import q_james_stein_nations
+    d = str(tmp_path)
+    nations, bals = [], []
+    for nk in range(4):
+        eps = 0.01 * nk
+        nations += [nk, nk]
+        bals += [100.0 + eps - 90.0, 100.0 + eps + 90.0]
+    _customer_table(d, nations, bals)
+    out = q_james_stein_nations(d)
+    assert len(out) == 4
+    js = out["js_mean"].to_numpy()
+    assert np.allclose(js, js[0])
+    assert not np.allclose(out["raw_mean"].to_numpy(), js[0])
