@@ -792,3 +792,49 @@ def test_james_stein_full_shrink_to_grand_mean(tmp_path):
     js = out["js_mean"].to_numpy()
     assert np.allclose(js, js[0])
     assert not np.allclose(out["raw_mean"].to_numpy(), js[0])
+
+
+def test_two_stage_limits_bracket_jm_and_dirichlet(tmp_path):
+    """On a matching-doc corpus the two-stage scorer produces valid
+    integer keys and ranks the term-dense doc first, like its two
+    parents."""
+    from prclz_ray.pipelines.queries import q_two_stage_retrieval
+    d = str(tmp_path)
+    _docs_table(d, ["s"] * 3,
+                ["join merge sort join",      # dense
+                 "join filler filler filler filler filler",
+                 "nothing relevant here at all"])
+    out = q_two_stage_retrieval(d)
+    assert int(out.iloc[0]["doc_id"]) == 0
+    assert out["score9"].is_monotonic_decreasing
+
+
+def test_ranker_tau_perfect_agreement(tmp_path):
+    """Docs whose JM and pivoted orderings coincide give τ-b = 1 on
+    the strictly-ordered pairs."""
+    from prclz_ray.pipelines.queries import q_ranker_agreement_tau
+    d = str(tmp_path)
+    _docs_table(d, ["s"] * 3,
+                ["join join join merge sort",
+                 "join merge filler filler filler",
+                 "filler filler filler filler filler filler"])
+    out = q_ranker_agreement_tau(d).iloc[0]
+    assert int(out["n_docs"]) == 3
+    assert int(out["discordant"]) == 0
+    assert float(out["tau_b"]) == 1.0
+
+
+def test_rake_textbook_scoring(tmp_path):
+    """'deep learning' as a repeated 2-word phrase between stopword
+    delimiters: deg(deep) = deg(learning) = 4 over freq 2 → each
+    word scores 2, the phrase 4 — strictly above the lone 'systems'
+    (score 1)."""
+    from prclz_ray.pipelines.queries import q_rake_keywords
+    d = str(tmp_path)
+    _docs_table(d, ["s"] * 2,
+                ["deep learning is the deep learning",
+                 "systems and the"])
+    out = q_rake_keywords(d).set_index("phrase")
+    assert int(out.loc["deep learning", "n_occurrences"]) == 2
+    assert float(out.loc["deep learning", "rake_score"]) == 4.0
+    assert float(out.loc["systems", "rake_score"]) == 1.0
