@@ -838,3 +838,79 @@ def test_rake_textbook_scoring(tmp_path):
     assert int(out.loc["deep learning", "n_occurrences"]) == 2
     assert float(out.loc["deep learning", "rake_score"]) == 4.0
     assert float(out.loc["systems", "rake_score"]) == 1.0
+
+
+def _cust_keys(d, keys):
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys, type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+
+
+def _keys_for_cells(wanted, limit=200000):
+    """Find custkeys hashing to the wanted cells."""
+    out = {}
+    k = 1
+    while wanted - set(out) and k < limit:
+        cell = (((k * 104729) % 1000) // 32) * 32 \
+            + ((k * 7919) % 1000) // 32
+        if cell in wanted and cell not in out:
+            out[cell] = k
+        k += 1
+    return out
+
+
+def test_boxcount_single_point_fd_zero(tmp_path):
+    """One occupied cell: N(s) = 1 at every scale → FD exactly 0;
+    filling every hash-REACHABLE cell (311 of 1024 — the custkey
+    hash only visits 311 residues) gives a spread-out mass with FD
+    strictly between 1 and 2."""
+    from prclz_ray.pipelines.queries import q_boxcount_fd_cells
+    d = str(tmp_path / "one")
+    os.makedirs(d)
+    _cust_keys(d, [1])
+    out = q_boxcount_fd_cells(d).iloc[0]
+    assert [int(out[c]) for c in ("n1", "n2", "n4", "n8", "n16")] \
+        == [1, 1, 1, 1, 1]
+    assert float(out["boxcount_fd"]) == 0.0
+
+    d2 = str(tmp_path / "full")
+    os.makedirs(d2)
+    _cust_keys(d2, list(range(1, 1001)))
+    out2 = q_boxcount_fd_cells(d2).iloc[0]
+    assert int(out2["n1"]) == 311
+    assert int(out2["n16"]) == 4
+    assert 1.0 < float(out2["boxcount_fd"]) < 2.0
+
+
+def test_lacunarity_single_point_pins_box_count(tmp_path):
+    """A single occupied cell is maximal gappiness: one box carries
+    all the mass, so Λ(r) = B = (32/r)² exactly — [1024, 256, 64,
+    16]."""
+    from prclz_ray.pipelines.queries import q_lacunarity_cells
+    d = str(tmp_path)
+    _cust_keys(d, [1])
+    out = q_lacunarity_cells(d)
+    assert out["lacunarity"].tolist() == [1024.0, 256.0, 64.0, 16.0]
+
+
+def test_mantel_distance_tracks_revenue(tmp_path):
+    """Three nations on one grid row (reachable cells 704, 705, 708)
+    with revenue proportional to column: distance and revenue gap
+    are exactly proportional → Mantel r = 1."""
+    from prclz_ray.pipelines.queries import q_mantel_cells_revenue
+    d = str(tmp_path)
+    m = _keys_for_cells({704, 705, 708})
+    assert len(m) == 3
+    ks = [m[704], m[705], m[708]]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(ks, type=pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    # revenue proportional to the cell column (cx = 0, 1, 4)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ks, type=pa.int64()),
+        "o_totalprice": pa.array([100.0, 200.0, 500.0])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_mantel_cells_revenue(d).iloc[0]
+    assert int(out["n_pairs"]) == 3
+    assert float(out["mantel_r"]) == 1.0
