@@ -914,3 +914,70 @@ def test_mantel_distance_tracks_revenue(tmp_path):
     out = q_mantel_cells_revenue(d).iloc[0]
     assert int(out["n_pairs"]) == 3
     assert float(out["mantel_r"]) == 1.0
+
+
+def test_kingman_deterministic_arrivals(tmp_path):
+    """Purchases every 10 s with constant value: both SCVs are
+    exactly 0, so the Kingman wait is exactly 0 — a D/D/1 queue
+    never waits below saturation."""
+    from prclz_ray.pipelines.queries import q_kingman_vut_wait
+    d = str(tmp_path)
+    _ts_events(d, [10 * i for i in range(20)], [5.0] * 20)
+    # _ts_events writes clicks; rewrite types to purchase
+    t = pq.read_table(os.path.join(d, "events.parquet"))
+    t = t.set_column(t.schema.get_field_index("event_type"),
+                     "event_type", pa.array(["purchase"] * 20))
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = q_kingman_vut_wait(d).iloc[0]
+    assert float(out["ca2"]) == 0.0
+    assert float(out["cs2"]) == 0.0
+    assert float(out["wq_kingman_sec"]) == 0.0
+
+
+def test_littles_law_identity_and_values(tmp_path):
+    """Two users with one 100 s session each, offset 50 s: horizon
+    150 s, sweep area = 200 s-session = Σ durations (identity gap
+    0), L = 4/3."""
+    from prclz_ray.pipelines.queries import q_littles_law_sessions
+    d = str(tmp_path)
+    secs = [0, 50, 100] + [50, 100, 150]
+    users = [1, 1, 1, 2, 2, 2]
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(6)), type=pa.int64()),
+        "user_id": pa.array(users, type=pa.int64()),
+        "event_type": pa.array(["click"] * 6),
+        "ts": pa.array([base + np.timedelta64(s * 1_000_000, "us")
+                        for s in secs]),
+        "value": pa.array([1.0] * 6)}),
+        os.path.join(d, "events.parquet"))
+    out = q_littles_law_sessions(d).iloc[0]
+    assert int(out["n_sessions"]) == 2
+    assert int(out["identity_gap"]) == 0
+    assert int(out["sum_duration_sec"]) == 200
+    assert abs(float(out["l_time_avg"]) - 4.0 / 3.0) < 1e-6
+
+
+def test_jain_fairness_extremes(tmp_path):
+    """Orderkeys spread over many values give a high Jain index;
+    many copies of ONE key give exactly J = 1/64 (all mass on one
+    bucket) with cv = √63."""
+    import math
+    from prclz_ray.pipelines.queries import q_jain_fairness_buckets
+    d = str(tmp_path / "even")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(list(range(1, 6401)),
+                               type=pa.int64())}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_jain_fairness_buckets(d).iloc[0]
+    assert float(out["jain_index"]) > 0.9
+
+    d2 = str(tmp_path / "skew")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([7] * 640, type=pa.int64())}),
+        os.path.join(d2, "lineitem.parquet"))
+    out2 = q_jain_fairness_buckets(d2).iloc[0]
+    assert abs(float(out2["jain_index"]) - 1.0 / 64.0) < 1e-6
+    assert abs(float(out2["cv"]) - math.sqrt(63.0)) < 1e-6
