@@ -981,3 +981,66 @@ def test_jain_fairness_extremes(tmp_path):
     out2 = q_jain_fairness_buckets(d2).iloc[0]
     assert abs(float(out2["jain_index"]) - 1.0 / 64.0) < 1e-6
     assert abs(float(out2["cv"]) - math.sqrt(63.0)) < 1e-6
+
+
+def test_bloom_advisor_closed_form(tmp_path):
+    """1000 distinct keys at 1% FPR: m = 1000·9.585… ≈ 9585 bits,
+    k = 7 — the textbook numbers."""
+    import math
+    from prclz_ray.pipelines.queries import q_bloom_size_advisor
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(list(range(1000)) * 2,
+                              type=pa.int64())}),
+        os.path.join(d, "orders.parquet"))
+    out = q_bloom_size_advisor(d).set_index("target_fpr")
+    m = -1000 * math.log(0.01) / (math.log(2.0) ** 2)
+    assert int(out.loc[0.01, "n_keys"]) == 1000
+    assert int(out.loc[0.01, "bits"]) == int(np.floor(m + 0.5))
+    assert int(out.loc[0.01, "n_hashes"]) == 7
+    assert int(out.loc[0.0001, "n_hashes"]) == 13
+
+
+def test_capm_beta_market_decomposition(tmp_path):
+    """Type A IS half the market every day (beta 1 at half scale…):
+    with A = 2·day and B = day cents patterns, market = 3·day; A's
+    beta = 2/3 and B's = 1/3 exactly, betas sum to 1, both R² = 1
+    (perfect co-movement)."""
+    from prclz_ray.pipelines.queries import q_capm_beta_types
+    d = str(tmp_path)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    for day in range(5):
+        ts = base + np.timedelta64(day * 86_400_000_000, "us")
+        rows.append(("A", ts, 2.0 * (day + 1)))
+        rows.append(("B", ts, 1.0 * (day + 1)))
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))),
+                             type=pa.int64()),
+        "user_id": pa.array([1] * len(rows), type=pa.int64()),
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows]),
+        "value": pa.array([r[2] for r in rows])}),
+        os.path.join(d, "events.parquet"))
+    out = q_capm_beta_types(d).set_index("event_type")
+    assert abs(float(out.loc["A", "beta"]) - 2.0 / 3.0) < 1e-6
+    assert abs(float(out.loc["B", "beta"]) - 1.0 / 3.0) < 1e-6
+    assert float(out.loc["A", "r2"]) == 1.0
+    assert float(out.loc["B", "r2"]) == 1.0
+
+
+def test_vwap_hand_computed(tmp_path):
+    """Two fills on one day: 10 units at $2 + 30 units at $4 →
+    VWAP = 140/40 = $3.50 exactly."""
+    from prclz_ray.pipelines.queries import q_vwap_daily_lineitem
+    d = str(tmp_path)
+    base = np.datetime64("1995-03-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([base, base]),
+        "l_extendedprice": pa.array([20.0, 120.0]),
+        "l_quantity": pa.array([10.0, 30.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_vwap_daily_lineitem(d).iloc[0]
+    assert int(out["total_qty"]) == 40
+    assert int(out["notional_cents"]) == 14000
+    assert float(out["vwap"]) == 3.5
