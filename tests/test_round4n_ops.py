@@ -1044,3 +1044,74 @@ def test_vwap_hand_computed(tmp_path):
     assert int(out["total_qty"]) == 40
     assert int(out["notional_cents"]) == 14000
     assert float(out["vwap"]) == 3.5
+
+
+def test_bornhuetter_ferguson_mature_origin_no_ibnr(tmp_path):
+    """An origin observed through lag 4 has CDF = 1 so BF adds
+    nothing: bf_ultimate == latest and bf_ibnr == 0 exactly; a
+    censored origin gets strictly positive IBNR when factors
+    exceed 1."""
+    from prclz_ray.pipelines.queries import q_bornhuetter_ferguson
+    d = str(tmp_path)
+    rows = []
+    ok = 1
+    # 8 origin months, each order ships half now, half next month
+    for m in range(8):
+        date = np.datetime64(f"1995-{m + 1:02d}-15T00:00:00", "us")
+        rows.append((ok, date))
+        ok += 1
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows],
+                               type=pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows])}),
+        os.path.join(d, "orders.parquet"))
+    li = []
+    for k, date in rows:
+        li.append((k, date, 100.0, 0.0))
+        li.append((k, date + np.timedelta64(32 * 86_400_000_000,
+                                            "us"), 100.0, 0.0))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], type=pa.int64()),
+        "l_shipdate": pa.array([r[1] for r in li]),
+        "l_extendedprice": pa.array([r[2] for r in li]),
+        "l_discount": pa.array([r[3] for r in li])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_bornhuetter_ferguson(d).set_index("origin_month")
+    mature = out[out["dev_observed"] == 4]
+    assert len(mature) > 0
+    assert (mature["cdf"] == 1.0).all()
+    assert (mature["bf_ibnr_e4"] == 0.0).all()
+    green = out[out["dev_observed"] == 0]
+    assert (green["bf_ibnr_e4"] > 0).all()
+
+
+def test_craigs_zeta_exclusive_marker(tmp_path):
+    """A word in every A doc and no B doc scores ζ = 2 exactly and
+    ranks first; a word in every doc of both sides scores ζ = 1."""
+    from prclz_ray.pipelines.queries import q_craigs_zeta_sources
+    d = str(tmp_path)
+    _docs_table(d, ["A", "A", "A", "B", "B"],
+                ["alpha common x", "alpha common y", "alpha common z",
+                 "common p", "common q"])
+    out = q_craigs_zeta_sources(d).set_index("word")
+    assert float(out.loc["alpha", "zeta"]) == 2.0
+    assert out.index[0] == "alpha"
+    assert float(out.loc["common", "zeta"]) == 1.0
+
+
+def test_fightin_words_direction_and_symmetry(tmp_path):
+    """A word heavily overused by side A lands on side 'a' with a
+    positive z; the mirrored word lands on 'b' negative — and the
+    engineered symmetric corpus gives them equal-magnitude
+    z-scores."""
+    from prclz_ray.pipelines.queries import q_fightin_words_sources
+    d = str(tmp_path)
+    a_docs = ["aaa bbb ccc ddd eee"] * 3 + ["xxx xxx xxx xxx xxx"]
+    b_docs = ["aaa bbb ccc ddd eee"] * 3 + ["yyy yyy yyy yyy yyy"]
+    _docs_table(d, ["A"] * 4 + ["B"] * 4, a_docs + b_docs)
+    out = q_fightin_words_sources(d)
+    x = out[out["word"] == "xxx"].iloc[0]
+    y = out[out["word"] == "yyy"].iloc[0]
+    assert x["side"] == "a" and float(x["zscore"]) > 0
+    assert y["side"] == "b" and float(y["zscore"]) < 0
+    assert abs(float(x["zscore"]) + float(y["zscore"])) < 1e-6
