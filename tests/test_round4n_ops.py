@@ -1115,3 +1115,88 @@ def test_fightin_words_direction_and_symmetry(tmp_path):
     assert x["side"] == "a" and float(x["zscore"]) > 0
     assert y["side"] == "b" and float(y["zscore"]) < 0
     assert abs(float(x["zscore"]) + float(y["zscore"])) < 1e-6
+
+
+def test_raking_balanced_table_weights_one(tmp_path):
+    """A perfectly balanced 2×2 table already satisfies uniform
+    margins: every IPF weight is exactly 1 and each row margin is
+    exactly 1/2."""
+    from prclz_ray.pipelines.queries import q_raking_ipf_weights
+    d = str(tmp_path)
+    custs, orders = [], []
+    for nk in (0, 1):
+        for seg in ("SEGA", "SEGB"):
+            for _ in range(5):
+                custs.append((nk, seg, 100.0))
+                orders.append(1)
+    _epi_tables(d, custs, orders)
+    out = q_raking_ipf_weights(d)
+    assert len(out) == 4
+    assert (out["weight"] == 1.0).all()
+    assert (out["row_margin"] == 0.5).all()
+
+
+def test_raking_corrects_skewed_rows(tmp_path):
+    """One nation over-sampled 3:1: after raking its cells carry
+    weight < 1 and the under-sampled nation's > 1, with both row
+    margins pulled to ~1/2."""
+    from prclz_ray.pipelines.queries import q_raking_ipf_weights
+    d = str(tmp_path)
+    custs, orders = [], []
+    for seg in ("SEGA", "SEGB"):
+        for _ in range(9):
+            custs.append((0, seg, 100.0)); orders.append(1)
+        for _ in range(3):
+            custs.append((1, seg, 100.0)); orders.append(1)
+    _epi_tables(d, custs, orders)
+    out = q_raking_ipf_weights(d)
+    w0 = out[out["g"] == 0]["weight"]
+    w1 = out[out["g"] == 1]["weight"]
+    assert (w0 < 1.0).all()
+    assert (w1 > 1.0).all()
+    rm = out.groupby("g")["row_margin"].first()
+    assert np.allclose(rm.to_numpy(), 0.5, atol=1e-6)
+
+
+def test_stratified_att_hand_computed(tmp_path):
+    """Stratum A: treated rate 1.0 vs control 0.0 (effect 1);
+    stratum B: 0.5 vs 0.5 (effect 0); treated counts 2 and 2 →
+    ATT = 0.5 exactly.  A stratum with no controls is dropped and
+    its treated count surfaces in the overlap diagnostic."""
+    from prclz_ray.pipelines.queries import q_stratified_att_segments
+    d = str(tmp_path)
+    custs, orders = [], []
+    # stratum A
+    custs += [(0, "SA", 100.0)] * 2; orders += [12, 12]
+    custs += [(0, "SA", -100.0)] * 2; orders += [1, 1]
+    # stratum B
+    custs += [(0, "SB", 100.0)] * 2; orders += [12, 1]
+    custs += [(0, "SB", -100.0)] * 2; orders += [12, 1]
+    # stratum C: treated only -> dropped
+    custs += [(0, "SC", 100.0)] * 3; orders += [12, 12, 12]
+    _epi_tables(d, custs, orders)
+    out = q_stratified_att_segments(d).iloc[0]
+    assert int(out["n_strata"]) == 2
+    assert int(out["n_treated"]) == 4
+    assert int(out["n_treated_unsupported"]) == 3
+    assert float(out["att"]) == 0.5
+
+
+def test_price_elasticity_exact_powerlaw(tmp_path):
+    """Parts lying exactly on q = 1000·price⁻²: the log-log OLS
+    recovers elasticity −2 (to quantization)."""
+    from prclz_ray.pipelines.queries import q_price_elasticity_parts
+    d = str(tmp_path)
+    rows = []
+    for pk, price, qty in ((1, 1.0, 1000), (2, 2.0, 250),
+                           (3, 4.0, 62), (4, 10.0, 10)):
+        # one lineitem per part: extendedprice = price*qty
+        rows.append((pk, price * qty, float(qty)))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows]),
+        "l_quantity": pa.array([r[2] for r in rows])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_price_elasticity_parts(d).iloc[0]
+    assert int(out["n_parts"]) == 4
+    assert abs(float(out["elasticity"]) + 2.0) < 0.02
