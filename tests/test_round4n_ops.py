@@ -1200,3 +1200,67 @@ def test_price_elasticity_exact_powerlaw(tmp_path):
     out = q_price_elasticity_parts(d).iloc[0]
     assert int(out["n_parts"]) == 4
     assert abs(float(out["elasticity"]) + 2.0) < 0.02
+
+
+def _li_disc_tax(d, pairs):
+    pq.write_table(pa.table({
+        "l_discount": pa.array([p[0] for p in pairs]),
+        "l_tax": pa.array([p[1] for p in pairs])}),
+        os.path.join(d, "lineitem.parquet"))
+
+
+def test_gamma_vs_somers_on_tied_grid(tmp_path):
+    """Perfect monotone grid with ties: C = 1·1 pairs only along the
+    diagonal — γ = 1 exactly (ties ignored) while Somers' D sits
+    strictly below 1 (tied pairs in its denominator): the
+    three-measures-disagree lesson in one fixture."""
+    from prclz_ray.pipelines.queries import (
+        q_goodman_kruskal_gamma, q_somers_d_discount_tax)
+    d = str(tmp_path)
+    # two per cell on a monotone diagonal + within-cell ties
+    pairs = [(0.01, 0.01)] * 2 + [(0.02, 0.02)] * 2 \
+        + [(0.03, 0.03)] * 2
+    _li_disc_tax(d, pairs)
+    ga = q_goodman_kruskal_gamma(d).iloc[0]
+    assert int(ga["disc"]) == 0
+    assert float(ga["gamma"]) == 1.0
+    so = q_somers_d_discount_tax(d).iloc[0]
+    # on this symmetric-tie grid D equals gamma (12 concordant over
+    # n0 - n1 = 12); an asymmetric-tie fixture splits them:
+    assert float(so["somers_d_yx"]) == 1.0
+    d2 = str(tmp_path / "b")
+    os.makedirs(d2)
+    # (2,2)-(2,3) tie in x and (2,3)-(3,3) tie in y: C=4 D=0,
+    # gamma = 1 but D_yx = 4/(6-1) = 0.8
+    pairs2 = [(0.01, 0.01), (0.02, 0.02), (0.02, 0.03),
+              (0.03, 0.03)]
+    _li_disc_tax(d2, pairs2)
+    ga2 = q_goodman_kruskal_gamma(d2).iloc[0]
+    so2 = q_somers_d_discount_tax(d2).iloc[0]
+    assert float(ga2["gamma"]) == 1.0
+    assert float(so2["somers_d_yx"]) == 0.8
+    assert float(so2["somers_d_xy"]) == 0.8
+
+
+def test_brunner_munzel_symmetric_zero(tmp_path):
+    """Identical click and purchase multisets: p̂ = ½ exactly and
+    the BM statistic is 0; shifting purchases up makes p̂ > ½ and
+    W > 0."""
+    from prclz_ray.pipelines.queries import q_brunner_munzel_value
+    d = str(tmp_path / "sym")
+    os.makedirs(d)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    _events_table(d, ["click"] * 5 + ["purchase"] * 5, vals + vals)
+    out = q_brunner_munzel_value(d).iloc[0]
+    assert float(out["p_hat"]) == 0.5
+    assert float(out["bm_w"]) == 0.0
+
+    d2 = str(tmp_path / "shift")
+    os.makedirs(d2)
+    _events_table(d2, ["click"] * 5 + ["purchase"] * 5,
+                  vals + [v + 10.0 for v in vals])
+    out2 = q_brunner_munzel_value(d2).iloc[0]
+    assert float(out2["p_hat"]) == 1.0
+    # complete separation degenerates the rank variances -> NULL by
+    # the stated guard
+    assert pd.isna(out2["bm_w"])
