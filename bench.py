@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "second_price_auction_parts",
     "croston_forecast_parts",
     "shapley_attribution",
+    # round-4N representatives: bucketed-join reserving triangle,
+    # heavy-tie rank statistics, per-rank Weibull plot regression
+    "bornhuetter_ferguson",
+    "brunner_munzel_value",
+    "weibull_mrr_latency",
 ]
 
 

@@ -1264,3 +1264,93 @@ def test_brunner_munzel_symmetric_zero(tmp_path):
     # complete separation degenerates the rank variances -> NULL by
     # the stated guard
     assert pd.isna(out2["bm_w"])
+
+
+def test_imr_constant_series_zero_ranges(tmp_path):
+    """Constant daily revenue: every moving range is 0 so M̄R = 0,
+    the limits collapse onto x̄ and nothing is out of control."""
+    from prclz_ray.pipelines.queries import q_imr_chart_revenue
+    d = str(tmp_path)
+    _daily_orders(d, [100.0] * 12)
+    out = q_imr_chart_revenue(d).iloc[0]
+    assert float(out["mrbar_c"]) == 0.0
+    assert float(out["ucl_x_c"]) == float(out["lcl_x_c"]) == 10000.0
+    assert int(out["n_x_ooc"]) == 0
+    assert int(out["n_mr_ooc"]) == 0
+
+
+def test_imr_detects_spike(tmp_path):
+    """One 100× day in an otherwise flat series trips both the
+    individuals and the moving-range charts."""
+    from prclz_ray.pipelines.queries import q_imr_chart_revenue
+    d = str(tmp_path)
+    _daily_orders(d, [100.0] * 10 + [10000.0] + [100.0] * 10)
+    out = q_imr_chart_revenue(d).iloc[0]
+    assert int(out["n_x_ooc"]) >= 1
+    assert int(out["n_mr_ooc"]) >= 1
+
+
+def test_c_chart_poisson_limits(tmp_path):
+    """Four errors every day for 9 days: c̄ = 4, UCL = 4 + 3·2 = 10,
+    LCL = 0 (clamped), nothing out; a 20-error day lands above."""
+    from prclz_ray.pipelines.queries import q_c_chart_errors
+    d = str(tmp_path)
+    secs, types = [], []
+    for day in range(9):
+        for i in range(4):
+            secs.append(day * 86400 + i)
+            types.append("error")
+        secs.append(day * 86400 + 100)
+        types.append("click")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    n = len(secs)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), type=pa.int64()),
+        "user_id": pa.array([1] * n, type=pa.int64()),
+        "event_type": pa.array(types),
+        "ts": pa.array([base + np.timedelta64(s * 1_000_000, "us")
+                        for s in secs]),
+        "value": pa.array([1.0] * n)}),
+        os.path.join(d, "events.parquet"))
+    out = q_c_chart_errors(d).iloc[0]
+    assert float(out["cbar"]) == 4.0
+    assert float(out["ucl"]) == 10.0
+    assert float(out["lcl"]) == 0.0
+    assert int(out["n_above_ucl"]) == 0
+
+
+def test_aitchison_constant_composition_zero(tmp_path):
+    """Revenue shares identical in every month (composition is
+    constant on the simplex): every log-ratio is constant across
+    months so the Aitchison total variance is exactly 0 — even
+    though the absolute LEVELS double (the lesson: totvar is
+    scale-free)."""
+    from prclz_ray.pipelines.queries import (
+        q_aitchison_variation_segments)
+    d = str(tmp_path)
+    custs, orders_n = [], []
+    ck = 1
+    rows_o = []
+    for m, scale in ((1, 1.0), (2, 2.0), (3, 4.0)):
+        date = np.datetime64(f"1995-{m:02d}-10T00:00:00", "us")
+        for seg, share in (("SEGA", 100.0), ("SEGB", 300.0)):
+            custs.append((0, seg, 100.0))
+            rows_o.append((ck, date, share * scale))
+            ck += 1
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, len(custs) + 1)),
+                              type=pa.int64()),
+        "c_nationkey": pa.array([c[0] for c in custs],
+                                type=pa.int64()),
+        "c_mktsegment": pa.array([c[1] for c in custs]),
+        "c_acctbal": pa.array([c[2] for c in custs])}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows_o],
+                              type=pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows_o]),
+        "o_totalprice": pa.array([r[2] for r in rows_o])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_aitchison_variation_segments(d).iloc[0]
+    assert int(out["n_months"]) == 3
+    assert float(out["total_variance"]) == 0.0
