@@ -1354,3 +1354,52 @@ def test_aitchison_constant_composition_zero(tmp_path):
     out = q_aitchison_variation_segments(d).iloc[0]
     assert int(out["n_months"]) == 3
     assert float(out["total_variance"]) == 0.0
+
+
+def test_fellegi_sunter_pattern_census(tmp_path):
+    """One brand block with 3 parts: (T1,1), (T1,1), (T1,2) → pairs:
+    both-agree 1 (the two identical), type-only 2, size-only 0,
+    neither 0 — and both-agree carries the largest weight."""
+    from prclz_ray.pipelines.queries import q_fellegi_sunter_weights
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_brand": pa.array(["B1"] * 3),
+        "p_type": pa.array(["T1", "T1", "T1"]),
+        "p_size": pa.array([1, 1, 2], type=pa.int64())}),
+        os.path.join(d, "part.parquet"))
+    out = q_fellegi_sunter_weights(d).set_index("pattern")
+    assert int(out.loc["both_agree", "n_pairs"]) == 1
+    assert int(out.loc["type_only", "n_pairs"]) == 2
+    assert int(out.loc["size_only", "n_pairs"]) == 0
+    assert int(out.loc["neither", "n_pairs"]) == 0
+    assert float(out.loc["both_agree", "weight"]) \
+        > float(out.loc["type_only", "weight"])
+
+
+def test_pps_systematic_proportional_hits(tmp_path):
+    """One whale holding 60% of revenue among 5 customers must win
+    a 60%-proportional share of the 20 skip points (12 hits); the
+    sample covers exactly the containment intervals."""
+    from prclz_ray.pipelines.queries import q_pps_systematic_customers
+    d = str(tmp_path)
+    ck = [1, 2, 3, 4, 5]
+    rev = [10.0, 10.0, 60.0, 10.0, 10.0]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ck, type=pa.int64()),
+        "o_totalprice": pa.array(rev)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_pps_systematic_customers(d).set_index("c_custkey")
+    assert int(out.loc[3, "n_hits"]) == 12
+    assert int(out["n_hits"].sum()) == 20
+
+
+def test_chao1_matches_spectrum(tmp_path):
+    """'a a a b b c': V=3 V1=1 V2=1 → Chao1 = 3.5 exactly; an
+    all-hapax source uses the bias-corrected branch:
+    V + V1(V1−1)/2 = 3 + 3 = 6."""
+    from prclz_ray.pipelines.queries import q_chao1_richness_sources
+    d = str(tmp_path)
+    _docs_table(d, ["s1", "s2"], ["a a a b b c", "x y z"])
+    out = q_chao1_richness_sources(d).set_index("source")
+    assert float(out.loc["s1", "chao1"]) == 3.5
+    assert float(out.loc["s2", "chao1"]) == 6.0
