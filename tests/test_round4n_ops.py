@@ -1403,3 +1403,76 @@ def test_chao1_matches_spectrum(tmp_path):
     out = q_chao1_richness_sources(d).set_index("source")
     assert float(out.loc["s1", "chao1"]) == 3.5
     assert float(out.loc["s2", "chao1"]) == 6.0
+
+
+def test_mediation_full_mediation_fixture(tmp_path):
+    """Y built EXACTLY as 10·M with M correlated with X: the direct
+    path c′ clears to 0 and b to 10 — full mediation; the total
+    effect equals a·b (+0) so indirect_ab == c_total."""
+    from prclz_ray.pipelines.queries import q_mediation_sobel_customers
+    d = str(tmp_path)
+    # X (acctbal dollars) drives M (orders) noisily; Y = orders*10$
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    ms = [1, 3, 2, 4, 5, 4, 6, 7]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 9)), type=pa.int64()),
+        "c_acctbal": pa.array(xs)}),
+        os.path.join(d, "customer.parquet"))
+    ok, dates, prices = [], [], []
+    for i, m in enumerate(ms):
+        for _ in range(m):
+            ok.append(i + 1)
+            prices.append(10.0)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ok, type=pa.int64()),
+        "o_totalprice": pa.array(prices)}),
+        os.path.join(d, "orders.parquet"))
+    out = q_mediation_sobel_customers(d).iloc[0]
+    assert abs(float(out["c_prime"])) < 1e-9
+    assert abs(float(out["b_path"]) - 1000.0) < 1e-6  # cents per order
+    assert abs(float(out["indirect_ab"])
+               - float(out["c_total"])) < 1e-6
+    assert float(out["sobel_z"]) > 2.0
+
+
+def test_ridge_shrinks_toward_zero(tmp_path):
+    """On exact y = 100·q data, OLS slope would be 100; ridge with
+    λ = 1000 lands strictly between 0 and 100 (shrinkage), and the
+    intercept compensates."""
+    from prclz_ray.pipelines.queries import q_ridge_price_model
+    d = str(tmp_path)
+    q = [1.0, 2.0, 3.0, 4.0, 5.0]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(q),
+        "l_discount": pa.array([0.0, 0.01, 0.02, 0.03, 0.04]),
+        "l_extendedprice": pa.array([v * 1.0 for v in q])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_ridge_price_model(d).iloc[0]
+    assert 0.0 < float(out["beta_qty"]) < 100.0
+
+
+def test_smd_balanced_vs_shifted(tmp_path):
+    """Identical order-count distributions in both arms pin SMD = 0;
+    shifting the treated arm up makes it strictly positive."""
+    from prclz_ray.pipelines.queries import q_smd_balance_segments
+    d = str(tmp_path / "bal")
+    os.makedirs(d)
+    custs, orders = [], []
+    for pos in (1, 0):
+        bal = 100.0 if pos else -100.0
+        for cnt in (1, 2, 3):
+            custs.append((0, "SEGA", bal)); orders.append(cnt)
+    _epi_tables(d, custs, orders)
+    out = q_smd_balance_segments(d)
+    assert (out["smd"] == 0.0).all()
+
+    d2 = str(tmp_path / "shift")
+    os.makedirs(d2)
+    custs, orders = [], []
+    for cnt in (5, 6, 7):
+        custs.append((0, "SEGA", 100.0)); orders.append(cnt)
+    for cnt in (1, 2, 3):
+        custs.append((0, "SEGA", -100.0)); orders.append(cnt)
+    _epi_tables(d2, custs, orders)
+    out2 = q_smd_balance_segments(d2)
+    assert (out2["smd"] == 4.0).all()
