@@ -1476,3 +1476,58 @@ def test_smd_balanced_vs_shifted(tmp_path):
     _epi_tables(d2, custs, orders)
     out2 = q_smd_balance_segments(d2)
     assert (out2["smd"] == 4.0).all()
+
+
+def test_walsh_between_laspeyres_paasche(tmp_path):
+    """Doubling both prices with shifted quantities: every price
+    relative is 2 so Walsh = 2 exactly (all superlative indices
+    agree on a uniform inflation)."""
+    from prclz_ray.pipelines.queries import q_walsh_price_index
+    d = str(tmp_path)
+    y0 = np.datetime64("1994-06-01T00:00:00", "us")
+    y1 = np.datetime64("1997-06-01T00:00:00", "us")
+    rows = [
+        (1, y0, 10.0, 10.0), (1, y1, 40.0, 20.0),   # p 1 -> 2
+        (2, y0, 60.0, 20.0), (2, y1, 60.0, 10.0)]   # p 3 -> 6
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "l_shipdate": pa.array([r[1] for r in rows]),
+        "l_extendedprice": pa.array([r[2] for r in rows]),
+        "l_quantity": pa.array([r[3] for r in rows])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_walsh_price_index(d).iloc[0]
+    assert int(out["n_parts"]) == 2
+    assert abs(float(out["walsh"]) - 2.0) < 1e-6
+
+
+def test_hill_numbers_ordering_and_uniform(tmp_path):
+    """Uniform 4-word source: D0 = D1 = D2 = 4 exactly; a skewed
+    source obeys the strict D0 > D1 > D2 ladder."""
+    from prclz_ray.pipelines.queries import q_hill_numbers_sources
+    d = str(tmp_path)
+    _docs_table(d, ["u", "s"],
+                ["a b c d", "a a a a a a b c d"])
+    out = q_hill_numbers_sources(d).set_index("source")
+    assert int(out.loc["u", "d0_richness"]) == 4
+    assert abs(float(out.loc["u", "d1_exp_shannon"]) - 4.0) < 1e-5
+    assert abs(float(out.loc["u", "d2_inv_simpson"]) - 4.0) < 1e-6
+    s = out.loc["s"]
+    assert int(s["d0_richness"]) == 4
+    assert float(s["d1_exp_shannon"]) < 4.0
+    assert float(s["d2_inv_simpson"]) < float(s["d1_exp_shannon"])
+
+
+def test_burts_constraint_star_vs_clique(tmp_path):
+    """In the 3-out synthetic graph the op runs end-to-end with the
+    invariants: constraint positive, effective size ≤ degree, and a
+    node whose neighbors are all pairwise unconnected has effective
+    size == degree exactly."""
+    from prclz_ray.pipelines.queries import q_burts_constraint_links
+    d = str(tmp_path)
+    _docs_table(d, ["x"] * 12, ["t"] * 12)
+    out = q_burts_constraint_links(d)
+    assert (out["burt_constraint"] > 0).all()
+    assert (out["eff_size"] <= out["degree"] + 1e-9).all()
+    iso = out[out["n_neighbor_edges"] == 0]
+    if len(iso):
+        assert np.allclose(iso["eff_size"], iso["degree"])
