@@ -1531,3 +1531,65 @@ def test_burts_constraint_star_vs_clique(tmp_path):
     iso = out[out["n_neighbor_edges"] == 0]
     if len(iso):
         assert np.allclose(iso["eff_size"], iso["degree"])
+
+
+def test_holt_winters_pure_seasonal_signal(tmp_path):
+    """A stationary weekly pattern: forecasts reproduce the pattern
+    (h and h+7 forecasts nearly equal, trend ~ 0) and track the
+    high/low days in the right order."""
+    from prclz_ray.pipelines.queries import q_holt_winters_additive
+    d = str(tmp_path)
+    pattern = [100.0, 100.0, 100.0, 100.0, 100.0, 300.0, 50.0]
+    _daily_orders(d, pattern * 8)
+    out = q_holt_winters_additive(d).set_index("h")
+    f = out["forecast"]
+    # day-6-of-week forecast must exceed day-7-of-week forecast
+    vals = f.to_numpy()
+    assert vals.max() > vals.min() + 10000  # cents: pattern survives
+    # position of max matches the 300-dollar weekday phase
+    assert int(np.argmax(vals)) == int(np.argmax(
+        np.array(pattern * 2)[len(pattern) * 8 % 7:][:7]))
+
+
+def test_theta_on_pure_trend_recovers_line(tmp_path):
+    """On an exact linear ramp the theta line equals the ramp itself,
+    SES converges toward the recent level, and the h-step forecasts
+    continue the line to within a tight band."""
+    from prclz_ray.pipelines.queries import q_theta_method_forecast
+    d = str(tmp_path)
+    _daily_orders(d, [100.0 + 10.0 * i for i in range(60)])
+    out = q_theta_method_forecast(d).set_index("h")
+    # on a ramp SES of the theta line converges to x_n − slope, so
+    # fc(1) = ½(x_{n+1}) + ½(x_n − slope) = x_n exactly, and each
+    # further step adds b/2 — the theta method's documented damping
+    assert abs(float(out.loc[1, "forecast"]) - 69000.0) < 60.0
+    diffs = np.diff(out["forecast"].to_numpy())
+    assert np.all(np.abs(diffs - 500.0) < 5.0)
+
+
+def test_variance_ratio_iid_vs_trend(tmp_path):
+    """Alternating increments (+,-,+,-) are strongly mean-reverting:
+    VR(2) ≈ 0; a constant-increment ramp has zero 1-period variance…
+    so use a noisy-trend fixture instead: momentum pushes VR(2)
+    above 1."""
+    from prclz_ray.pipelines.queries import q_variance_ratio_revenue
+    d = str(tmp_path / "rev")
+    os.makedirs(d)
+    vals = [100.0 + (10.0 if i % 2 == 0 else -10.0) * 5
+            for i in range(64)]
+    _daily_orders(d, vals)
+    out = q_variance_ratio_revenue(d).set_index("q")
+    assert float(out.loc[2, "vr"]) < 0.2
+    assert float(out.loc[2, "z_homo"]) < -3.0
+
+    d2 = str(tmp_path / "mom")
+    os.makedirs(d2)
+    # long up-down swings: 16 days up then 16 down, repeated
+    vals2 = []
+    lv = 100.0
+    for i in range(64):
+        lv += 20.0 if (i // 16) % 2 == 0 else -20.0
+        vals2.append(lv)
+    _daily_orders(d2, vals2)
+    out2 = q_variance_ratio_revenue(d2).set_index("q")
+    assert float(out2.loc[8, "vr"]) > 1.5
