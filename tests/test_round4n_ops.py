@@ -1593,3 +1593,86 @@ def test_variance_ratio_iid_vs_trend(tmp_path):
     _daily_orders(d2, vals2)
     out2 = q_variance_ratio_revenue(d2).set_index("q")
     assert float(out2.loc[8, "vr"]) > 1.5
+
+
+def _ballot_tables(d, nation_seg_rev):
+    """nation_seg_rev: list of (nation, segment, revenue_dollars) —
+    one customer per (nation, segment) with one order."""
+    custs, orders = [], []
+    ck = 1
+    for nk, seg, rv in nation_seg_rev:
+        custs.append((ck, nk, seg))
+        orders.append((ck, rv))
+        ck += 1
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([c[0] for c in custs],
+                              type=pa.int64()),
+        "c_nationkey": pa.array([c[1] for c in custs],
+                                type=pa.int64()),
+        "c_mktsegment": pa.array([c[2] for c in custs])}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([o[0] for o in orders],
+                              type=pa.int64()),
+        "o_totalprice": pa.array([o[1] for o in orders])}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_borda_condorcet_paradox(tmp_path):
+    """Rock-paper-scissors ballots (A>B>C, B>C>A, C>A>B): every
+    candidate wins exactly one pairwise duel, Borda ties at 3, and
+    NO Condorcet winner exists — the paradox the op exists to
+    expose."""
+    from prclz_ray.pipelines.queries import q_borda_condorcet_segments
+    d = str(tmp_path)
+    _ballot_tables(d, [
+        (0, "A", 300.0), (0, "B", 200.0), (0, "C", 100.0),
+        (1, "B", 300.0), (1, "C", 200.0), (1, "A", 100.0),
+        (2, "C", 300.0), (2, "A", 200.0), (2, "B", 100.0)])
+    out = q_borda_condorcet_segments(d)
+    assert (out["borda"] == 3).all()
+    assert (out["pairwise_wins"] == 1).all()
+    assert not out["condorcet_winner"].any()
+
+
+def test_kemeny_unanimous_consensus(tmp_path):
+    """Two identical ballots over five segments: the Kemeny-optimal
+    order is the consensus with cost exactly 0."""
+    from prclz_ray.pipelines.queries import q_kemeny_rank_segments
+    d = str(tmp_path)
+    rows = []
+    for nk in (0, 1):
+        for i, seg in enumerate(["S1", "S2", "S3", "S4", "S5"]):
+            rows.append((nk, seg, 500.0 - 100.0 * i))
+    _ballot_tables(d, rows)
+    out = q_kemeny_rank_segments(d)
+    assert out["segment"].tolist() == ["S1", "S2", "S3", "S4", "S5"]
+    assert (out["kemeny_cost"] == 0).all()
+
+
+def test_gale_shapley_contested_supplier(tmp_path):
+    """Both nations' means sit nearest supplier 10 (bal 100); the
+    supplier prefers the richer nation 1, so nation 0 settles for
+    its second choice — deferred acceptance resolving a conflict
+    exactly as the 1962 proof says.  And the outcome admits no
+    blocking pair."""
+    from prclz_ray.pipelines.queries import q_gale_shapley_matching
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1], type=pa.int64()),
+        "c_acctbal": pa.array([100.0, 110.0])}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2], type=pa.int64()),
+        "o_totalprice": pa.array([100.0, 900.0])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 20], type=pa.int64()),
+        "s_acctbal": pa.array([100.0, 500.0])}),
+        os.path.join(d, "supplier.parquet"))
+    out = q_gale_shapley_matching(d).set_index("n_nationkey")
+    assert int(out.loc[1, "s_suppkey"]) == 10   # richer nation wins
+    assert int(out.loc[1, "pref_rank_nation"]) == 1
+    assert int(out.loc[0, "s_suppkey"]) == 20
+    assert int(out.loc[0, "pref_rank_nation"]) == 2
