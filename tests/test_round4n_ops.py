@@ -1676,3 +1676,52 @@ def test_gale_shapley_contested_supplier(tmp_path):
     assert int(out.loc[1, "pref_rank_nation"]) == 1
     assert int(out.loc[0, "s_suppkey"]) == 20
     assert int(out.loc[0, "pref_rank_nation"]) == 2
+
+
+def test_win_ratio_hierarchy_hand_counted(tmp_path):
+    """2 treated (frequent 12-order, casual 3) vs 2 control
+    (frequent 12, casual 1): hand pairs — T1 beats C2, ties C1 on
+    level then ties count; T2 loses to C1, beats C2 on count —
+    wins 2, losses 1, ties 1 → WR = 2."""
+    from prclz_ray.pipelines.queries import q_win_ratio_customers
+    d = str(tmp_path)
+    custs, orders = [], []
+    for bal, cnt in ((100.0, 12), (100.0, 3),
+                     (-100.0, 12), (-100.0, 1)):
+        custs.append((0, "S", bal)); orders.append(cnt)
+    _epi_tables(d, custs, orders)
+    out = q_win_ratio_customers(d).iloc[0]
+    assert int(out["wins"]) == 2
+    assert int(out["losses"]) == 1
+    assert int(out["ties"]) == 1
+    assert float(out["win_ratio"]) == 2.0
+
+
+def test_mrl_and_ttt_exponential_vs_uniform(tmp_path):
+    """Uniform lifetimes 0..90 (churned and not, by construction):
+    MRL decreases with t (wear-out side) and the scaled TTT curve
+    sits above the diagonal at interior deciles — the two aging
+    diagnostics agreeing on the same panel."""
+    from prclz_ray.pipelines.queries import (
+        q_mean_residual_life, q_ttt_transform_lifetimes)
+    d = str(tmp_path)
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    rows = []
+    ck = 1
+    for life in range(0, 91, 10):
+        rows.append((ck, base))
+        rows.append((ck, base + np.timedelta64(
+            life * 86_400_000_000, "us")))
+        ck += 1
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows],
+                              type=pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows])}),
+        os.path.join(d, "orders.parquet"))
+    mrl = q_mean_residual_life(d)
+    v = mrl["mrl_days"].to_numpy()
+    assert v[0] > v[-1]          # decreasing on uniform
+    ttt = q_ttt_transform_lifetimes(d)
+    phis = ttt.set_index("decile")["phi"]
+    assert float(phis.loc[10]) == 1.0
+    assert float(phis.loc[5]) > 0.5   # above the diagonal
