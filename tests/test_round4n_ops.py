@@ -1725,3 +1725,51 @@ def test_mrl_and_ttt_exponential_vs_uniform(tmp_path):
     phis = ttt.set_index("decile")["phi"]
     assert float(phis.loc[10]) == 1.0
     assert float(phis.loc[5]) > 0.5   # above the diagonal
+
+
+def test_agreement_family_identical_and_shifted(tmp_path):
+    """Texts without punctuation make the two token measures
+    identical: CCC = 1, bias = 0 with zero-width limits, PB slope 1
+    intercept 0.  Adding one trailing punctuation mark per doc
+    shifts the regex count by exactly +1: CCC < 1, bias = −1, PB
+    slope stays 1 with intercept +1 (a pure location offset, which
+    is exactly what BA/CCC punish and Pearson ignores)."""
+    from prclz_ray.pipelines.queries import (
+        q_bland_altman_tokens, q_lin_ccc_tokens,
+        q_passing_bablok_tokens)
+    d = str(tmp_path / "same")
+    os.makedirs(d)
+    texts = [("w " * (i + 2)).strip() for i in range(6)]
+    _docs_table(d, ["s"] * 6, texts)
+    ccc = q_lin_ccc_tokens(d).iloc[0]
+    assert float(ccc["ccc"]) == 1.0
+    assert float(ccc["pearson_r"]) == 1.0
+    ba = q_bland_altman_tokens(d).iloc[0]
+    assert float(ba["bias"]) == 0.0
+    assert float(ba["sd_diff"]) == 0.0
+    pb = q_passing_bablok_tokens(d).iloc[0]
+    assert float(pb["slope"]) == 1.0
+    assert float(pb["intercept"]) == 0.0
+
+    d2 = str(tmp_path / "shift")
+    os.makedirs(d2)
+    _docs_table(d2, ["s"] * 6, [t + " !" for t in texts])
+    ccc2 = q_lin_ccc_tokens(d2).iloc[0]
+    ba2 = q_bland_altman_tokens(d2).iloc[0]
+    pb2 = q_passing_bablok_tokens(d2).iloc[0]
+    # ws counts +1 ('!' is a token), regex counts +1 too... craft
+    # instead with attached punctuation: 'w!' is ONE ws token but
+    # TWO regex tokens
+    d3 = str(tmp_path / "attached")
+    os.makedirs(d3)
+    _docs_table(d3, ["s"] * 6, [t + " w!" for t in texts])
+    ccc3 = q_lin_ccc_tokens(d3).iloc[0]
+    ba3 = q_bland_altman_tokens(d3).iloc[0]
+    pb3 = q_passing_bablok_tokens(d3).iloc[0]
+    assert float(ba3["bias"]) == -1.0
+    assert float(ba3["sd_diff"]) == 0.0
+    assert float(ccc3["pearson_r"]) == 1.0
+    assert float(ccc3["ccc"]) < 1.0
+    assert float(pb3["slope"]) == 1.0
+    # intercept is in y-units: y = x + 1, so +1 (bias = x−y = −1)
+    assert float(pb3["intercept"]) == 1.0
