@@ -1773,3 +1773,72 @@ def test_agreement_family_identical_and_shifted(tmp_path):
     assert float(pb3["slope"]) == 1.0
     # intercept is in y-units: y = x + 1, so +1 (bias = x−y = −1)
     assert float(pb3["intercept"]) == 1.0
+
+
+def test_readability_lix_hand_counts(tmp_path):
+    """'simple words here. another sentence here!' → 6 words, 2
+    sentences, long words = {'another', 'sentence'} (both ≥7
+    chars): LIX = 3 + 100/3; RIX = 1 — hand-verified; the harder
+    source scores higher LIX."""
+    from prclz_ray.pipelines.queries import q_readability_lix_ari
+    d = str(tmp_path)
+    _docs_table(d, ["easy", "hard"],
+                ["simple words here. another sentence here!",
+                 "extraordinarily complicated terminological "
+                 "constructions proliferate. incomprehensibility "
+                 "increases dramatically!"])
+    out = q_readability_lix_ari(d).set_index("source")
+    e = out.loc["easy"]
+    assert int(e["n_words"]) == 6
+    assert int(e["n_sentences"]) == 2
+    assert abs(float(e["lix"]) - (3.0 + 100.0 / 3.0)) < 1e-5
+    assert abs(float(e["rix"]) - 1.0) < 1e-9
+    assert float(out.loc["hard", "lix"]) > float(e["lix"])
+
+
+def test_mm1k_loss_monotone_in_buffer(tmp_path):
+    """Fixed load: a bigger buffer always loses less, and with
+    ρ < 1 the loss vanishes as K grows; throughput approaches λ."""
+    from prclz_ray.pipelines.queries import q_mm1k_loss_probability
+    d = str(tmp_path)
+    # 20 purchases over 190 s, each 5 s of work: rho = 10/19 < 1
+    _ts_events(d, [10 * i for i in range(20)], [5.0] * 20)
+    t = pq.read_table(os.path.join(d, "events.parquet"))
+    t = t.set_column(t.schema.get_field_index("event_type"),
+                     "event_type", pa.array(["purchase"] * 20))
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = q_mm1k_loss_probability(d).set_index("k_buffer")
+    pl = out["p_loss"]
+    assert float(pl.loc[5]) > float(pl.loc[10]) > float(pl.loc[20])
+    assert float(pl.loc[20]) < 1e-4
+    lam = 20.0 / 190.0
+    assert abs(float(out.loc[20, "throughput_per_sec"]) - lam) \
+        < 1e-3
+
+
+def test_gravity_decay_runs_and_signs(tmp_path):
+    """On the synthetic trajectory panel the calibration runs
+    end-to-end; the normalized flow ratio is finite and the
+    intercept negative (T ≤ O·D always)."""
+    from prclz_ray.pipelines.queries import q_gravity_decay_fit
+    d = str(tmp_path)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    eid = 0
+    for u in range(1, 7):
+        for day in range(3):
+            for hh in (1, 9):
+                rows.append((eid, u, base + np.timedelta64(
+                    (day * 24 + hh) * 3_600_000_000, "us")))
+                eid += 1
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "ts": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows))}),
+        os.path.join(d, "events.parquet"))
+    out = q_gravity_decay_fit(d).iloc[0]
+    assert int(out["n_od_pairs"]) >= 3
+    assert float(out["k_intercept"]) < 0
+    assert np.isfinite(float(out["gamma_decay"]))
