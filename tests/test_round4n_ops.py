@@ -1842,3 +1842,68 @@ def test_gravity_decay_runs_and_signs(tmp_path):
     assert int(out["n_od_pairs"]) >= 3
     assert float(out["k_intercept"]) < 0
     assert np.isfinite(float(out["gamma_decay"]))
+
+
+def test_zip_moments_poisson_vs_inflated(tmp_path):
+    """Constant 2-a-day errors: variance < mean·(…) → the degenerate
+    guard reports plain Poisson (π = 0, λ = mean).  Adding a run of
+    zero days inflates: π̂ > 0 and λ̂ > the raw mean."""
+    from prclz_ray.pipelines.queries import q_zip_moment_errors
+
+    def write(d, counts):
+        secs, types = [], []
+        for day, k in enumerate(counts):
+            for i in range(k):
+                secs.append(day * 86400 + i)
+                types.append("error")
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        n = len(secs)
+        pq.write_table(pa.table({
+            "event_id": pa.array(list(range(n)), type=pa.int64()),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(types),
+            "ts": pa.array([base + np.timedelta64(
+                s * 1_000_000, "us") for s in secs]),
+            "value": pa.array([1.0] * n)}),
+            os.path.join(d, "events.parquet"))
+
+    d = str(tmp_path / "flat")
+    os.makedirs(d)
+    write(d, [2] * 10)
+    out = q_zip_moment_errors(d).iloc[0]
+    assert float(out["pi_zero_hat"]) == 0.0
+    assert float(out["lambda_hat"]) == 2.0
+
+    d2 = str(tmp_path / "zip")
+    os.makedirs(d2)
+    write(d2, [4, 0, 4, 0, 4, 0, 4, 0])  # half the days silent
+    out2 = q_zip_moment_errors(d2).iloc[0]
+    # calendar ends at the last ERROR day, so n=7 with 3 zero days:
+    # pi-hat = 1 - m/lambda = 0.238...
+    assert float(out2["pi_zero_hat"]) > 0.2
+    assert float(out2["lambda_hat"]) > float(out2["mean_c"])
+
+
+def test_rarefaction_uniform_saturates(tmp_path):
+    """A 4-word source with 50 copies each (N=200): at m=100 nearly
+    every word is expected (E[S] ≈ 4); rarefaction never exceeds
+    the true vocabulary."""
+    from prclz_ray.pipelines.queries import q_rarefaction_sources
+    d = str(tmp_path)
+    _docs_table(d, ["u"], [("a b c d " * 50).strip()])
+    out = q_rarefaction_sources(d)
+    r100 = out[out["m"] == 100].iloc[0]
+    assert float(r100["expected_vocab"]) > 3.99
+    assert float(r100["expected_vocab"]) <= 4.0
+
+
+def test_ace_vs_chao1_rare_tail(tmp_path):
+    """Hand spectrum 'a a a b b c': all words rare, F1=1 < N_rare=6:
+    coverage = 5/6 and ACE follows the closed form — strictly above
+    the observed vocabulary (unseen mass implies unseen words)."""
+    from prclz_ray.pipelines.queries import q_ace_richness_sources
+    d = str(tmp_path)
+    _docs_table(d, ["s1"], ["a a a b b c"])
+    out = q_ace_richness_sources(d).iloc[0]
+    assert abs(float(out["coverage"]) - 5.0 / 6.0) < 1e-6
+    assert float(out["ace"]) > 3.0
