@@ -1907,3 +1907,56 @@ def test_ace_vs_chao1_rare_tail(tmp_path):
     out = q_ace_richness_sources(d).iloc[0]
     assert abs(float(out["coverage"]) - 5.0 / 6.0) < 1e-6
     assert float(out["ace"]) > 3.0
+
+
+def test_seasonal_mk_sees_through_weekly_cycle(tmp_path):
+    """A strong weekly cycle with NO within-weekday trend: plain MK
+    pair counts are dominated by the cycle but seasonal MK compares
+    only like weekdays — S = 0 exactly and z = 0."""
+    from prclz_ray.pipelines.queries import q_seasonal_mann_kendall
+    d = str(tmp_path / "cyc")
+    os.makedirs(d)
+    pattern = [100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0]
+    _daily_orders(d, pattern * 6)
+    out = q_seasonal_mann_kendall(d).iloc[0]
+    assert int(out["s_stat"]) == 0
+    assert float(out["z"]) == 0.0
+
+    d2 = str(tmp_path / "trend")
+    os.makedirs(d2)
+    _daily_orders(d2, [p + 10.0 * w for w in range(6)
+                       for p in pattern])
+    out2 = q_seasonal_mann_kendall(d2).iloc[0]
+    # rising within every weekday: S = 7 * C(6,2) = 105 exactly
+    assert int(out2["s_stat"]) == 105
+    assert float(out2["z"]) > 3.0
+
+
+def test_pettitt_locates_level_shift(tmp_path):
+    """30 low days then 30 high days: the Pettitt break lands at the
+    boundary (index 29) with K = 30·30 = 900 exactly."""
+    from prclz_ray.pipelines.queries import q_pettitt_changepoint
+    d = str(tmp_path)
+    _daily_orders(d, [100.0] * 30 + [500.0] * 30)
+    out = q_pettitt_changepoint(d).iloc[0]
+    assert int(out["k_stat"]) == 900
+    assert int(out["break_day_idx"]) == 29
+    assert float(out["p_approx"]) < 0.01
+
+
+def test_buishand_constant_zero_range(tmp_path):
+    """Constant revenue: every partial sum of deviations is exactly
+    0, so the n-scaled range is 0; the same level shift that trips
+    Pettitt produces a large rescaled range."""
+    from prclz_ray.pipelines.queries import q_buishand_range_revenue
+    d = str(tmp_path / "const")
+    os.makedirs(d)
+    _daily_orders(d, [100.0] * 20)
+    out = q_buishand_range_revenue(d).iloc[0]
+    assert int(out["range_nscaled"]) == 0
+
+    d2 = str(tmp_path / "shift")
+    os.makedirs(d2)
+    _daily_orders(d2, [100.0] * 30 + [500.0] * 30)
+    out2 = q_buishand_range_revenue(d2).iloc[0]
+    assert float(out2["rescaled_range"]) > 3.0
