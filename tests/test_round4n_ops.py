@@ -1960,3 +1960,46 @@ def test_buishand_constant_zero_range(tmp_path):
     _daily_orders(d2, [100.0] * 30 + [500.0] * 30)
     out2 = q_buishand_range_revenue(d2).iloc[0]
     assert float(out2["rescaled_range"]) > 3.0
+
+
+def test_rank_size_exact_zipf(tmp_path):
+    """Revenues 1200/600/400/300 = 1200/r: a perfect rank-size
+    economy — q = 1 to quantization and the intercept is
+    ln(120000 cents)."""
+    import math
+    from prclz_ray.pipelines.queries import q_rank_size_rule_nations
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2, 3], type=pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_totalprice": pa.array([1200.0, 600.0, 400.0, 300.0])}),
+        os.path.join(d, "orders.parquet"))
+    out = q_rank_size_rule_nations(d).iloc[0]
+    assert abs(float(out["zipf_q"]) - 1.0) < 1e-5
+    assert abs(float(out["ln_leader"]) - math.log(120000.0)) < 1e-5
+
+
+def test_lq_and_krugman_specialized_economy(tmp_path):
+    """Nation 0 sells only SEGA, nation 1 only SEGB (equal sizes):
+    LQ = 2 exactly for both held cells, and Krugman K = 2 exactly
+    for both nations (completely disjoint mixes — the index's
+    maximum)."""
+    from prclz_ray.pipelines.queries import (
+        q_krugman_specialization, q_location_quotient_segments)
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1], type=pa.int64()),
+        "c_mktsegment": pa.array(["SEGA", "SEGB"])}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2], type=pa.int64()),
+        "o_totalprice": pa.array([100.0, 100.0])}),
+        os.path.join(d, "orders.parquet"))
+    lq = q_location_quotient_segments(d)
+    assert (lq["lq"] == 2.0).all()
+    kk = q_krugman_specialization(d)
+    assert (kk["krugman_k"] == 2.0).all()
