@@ -2012,9 +2012,12 @@ def test_one_rule_perfect_feature_wins(tmp_path):
     from prclz_ray.pipelines.queries import q_one_rule_classifier
     d = str(tmp_path)
     custs, orders = [], []
-    for i in range(8):
+    # 3 nations so nation does NOT inherit the parity split (the
+    # first fixture used i%4, which preserves parity and made
+    # nation a perfect separator too — caught by the test run)
+    for i in range(12):
         seg = "SFREQ" if i % 2 == 0 else "SCAS"
-        custs.append((i % 4, seg, 100.0))
+        custs.append((i % 3, seg, 100.0))
         orders.append(12 if i % 2 == 0 else 1)
     _epi_tables(d, custs, orders)
     out = q_one_rule_classifier(d).set_index("feature")
