@@ -2045,3 +2045,22 @@ def test_hosmer_lemeshow_runs_with_bins(tmp_path):
     out = q_hosmer_lemeshow_score("/root/testdata/sf0.001").iloc[0]
     assert int(out["n_bins_used"]) >= 1
     assert float(out["hl_chi2"]) >= 0.0
+
+
+def test_multiple_testing_containment_and_pi0(tmp_path):
+    """On the real sf0.001 panel the structural facts hold: BY
+    rejections ⊆ BH rejections (the harmonic penalty), Storey's π̂₀
+    ∈ [0, 1] with the exact above-λ count, and Simes' global p is a
+    valid single number in [0, 1] at a real argmin rank."""
+    from prclz_ray.pipelines.queries import (
+        q_benjamini_yekutieli_nations, q_simes_global_nations,
+        q_storey_pi0_nations)
+    d = "/root/testdata/sf0.001"
+    by = q_benjamini_yekutieli_nations(d)
+    assert (~by["by_reject"] | by["bh_reject"]).all()  # BY ⊆ BH
+    st = q_storey_pi0_nations(d).iloc[0]
+    assert 0.0 <= float(st["pi0_hat"]) <= 1.0
+    assert 0 <= int(st["n_p_above_half"]) <= int(st["m_tests"])
+    si = q_simes_global_nations(d).iloc[0]
+    assert 0.0 <= float(si["simes_p"]) <= 1.0
+    assert 1 <= int(si["argmin_rank"]) <= int(si["m_tests"])
