@@ -2064,3 +2064,61 @@ def test_multiple_testing_containment_and_pi0(tmp_path):
     si = q_simes_global_nations(d).iloc[0]
     assert 0.0 <= float(si["simes_p"]) <= 1.0
     assert 1 <= int(si["argmin_rank"]) <= int(si["m_tests"])
+
+
+def test_effective_rank_isotropic_vs_collapsed(tmp_path):
+    """Vectors along ONE direction give PR = 1 exactly; an isotropic
+    pair of orthogonal directions doubles it."""
+    from prclz_ray.pipelines.queries import (
+        _SEM_DIM, q_effective_rank_embeddings)
+    d = str(tmp_path / "line")
+    os.makedirs(d)
+    base = np.zeros(_SEM_DIM)
+    base[0] = 1.0
+    _emb_table(d, [base * (i + 1) for i in range(6)])
+    out = q_effective_rank_embeddings(d).iloc[0]
+    assert abs(float(out["effective_rank"]) - 1.0) < 1e-6
+
+    d2 = str(tmp_path / "plane")
+    os.makedirs(d2)
+    e0 = np.zeros(_SEM_DIM); e0[0] = 1.0
+    e1 = np.zeros(_SEM_DIM); e1[1] = 1.0
+    _emb_table(d2, [e0, -e0, e1, -e1])
+    out2 = q_effective_rank_embeddings(d2).iloc[0]
+    assert abs(float(out2["effective_rank"]) - 2.0) < 1e-6
+
+
+def test_umass_coherence_co_vs_never(tmp_path):
+    """Ten words always co-occurring in every doc score coherence
+    Σln((D+1)/D) > 0; splitting them into two disjoint five-word
+    cliques drives the cross-pair terms to ln(1/D) < 0 — strictly
+    lower."""
+    from prclz_ray.pipelines.queries import q_umass_coherence_top_words
+    words = [f"w{i}" for i in range(10)]
+    d = str(tmp_path / "co")
+    os.makedirs(d)
+    _docs_table(d, ["s"] * 4, [" ".join(words)] * 4)
+    hi = q_umass_coherence_top_words(d).iloc[0]
+    assert float(hi["umass_coherence"]) > 0
+
+    d2 = str(tmp_path / "split")
+    os.makedirs(d2)
+    _docs_table(d2, ["s"] * 4,
+                [" ".join(words[:5]), " ".join(words[5:])] * 2)
+    lo = q_umass_coherence_top_words(d2).iloc[0]
+    assert float(lo["umass_coherence"]) \
+        < float(hi["umass_coherence"])
+
+
+def test_juilland_even_vs_bursty(tmp_path):
+    """A word spread evenly over 4 sources pins D = 1 exactly; the
+    same total concentrated in one source drops D far below."""
+    from prclz_ray.pipelines.queries import q_juilland_d_top_words
+    d = str(tmp_path)
+    texts = ["even even burst", "even even x",
+             "even even y", "even even z"]
+    texts[0] = "even even burst burst burst burst burst burst"
+    _docs_table(d, ["a", "b", "c", "d"], texts)
+    out = q_juilland_d_top_words(d).set_index("word")
+    assert float(out.loc["even", "juilland_d"]) == 1.0
+    assert float(out.loc["burst", "juilland_d"]) < 0.5
