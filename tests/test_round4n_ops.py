@@ -2122,3 +2122,53 @@ def test_juilland_even_vs_bursty(tmp_path):
     out = q_juilland_d_top_words(d).set_index("word")
     assert float(out.loc["even", "juilland_d"]) == 1.0
     assert float(out.loc["burst", "juilland_d"]) < 0.5
+
+
+def test_meta_analysis_homogeneous_studies(tmp_path):
+    """Nations drawn identical (same composition, same values):
+    every effect equals the pool so Q = 0, τ² = 0, I² = 0, and
+    fixed = random pooled exactly; every leave-one-out shift is 0."""
+    from prclz_ray.pipelines.queries import (
+        q_dersimonian_laird_nations, q_loo_meta_nations)
+    d = str(tmp_path)
+    nations, bals = [], []
+    for nk in range(4):
+        nations += [nk] * 4
+        bals += [100.0, 200.0, 300.0, 400.0]
+    _customer_table(d, nations, bals)
+    out = q_dersimonian_laird_nations(d).iloc[0]
+    assert float(out["q_het"]) == 0.0
+    assert float(out["tau2"]) == 0.0
+    assert float(out["i2"]) == 0.0
+    assert float(out["pooled_fixed"]) == float(out["pooled_random"])
+    loo = q_loo_meta_nations(d)
+    assert (loo["shift"] == 0.0).all()
+
+
+def test_dl_heterogeneous_widens(tmp_path):
+    """One deviant nation: Q blows up, τ² > 0, and the random-effects
+    pool sits strictly between fixed-effects and the deviant's own
+    mean (the definitional DL behavior); Egger's slope regression
+    still runs with finite outputs."""
+    from prclz_ray.pipelines.queries import (
+        q_dersimonian_laird_nations, q_eggers_test_nations)
+    d = str(tmp_path)
+    nations, bals = [], []
+    for nk in range(3):
+        nations += [nk] * 5
+        bals += [100.0, 110.0, 120.0, 130.0, 140.0]
+    # the deviant nation gets FEWER, NOISIER customers: with equal
+    # within-variances FE and RE pool identically (weights
+    # proportional — the first fixture proved it at exactly 320 vs
+    # 320), so unequal sampling variance is what separates them
+    nations += [3] * 3
+    bals += [800.0, 900.0, 1000.0]
+    _customer_table(d, nations, bals)
+    out = q_dersimonian_laird_nations(d).iloc[0]
+    assert float(out["tau2"]) > 0
+    assert float(out["i2"]) > 0.9
+    assert float(out["pooled_random"]) > float(out["pooled_fixed"])
+    eg = q_eggers_test_nations(d).iloc[0]
+    # 4 points can fit near-perfectly: t is finite or NULL by the
+    # stated zero-SE guard
+    assert np.isfinite(float(eg["intercept_bias"]))
