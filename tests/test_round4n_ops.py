@@ -2172,3 +2172,82 @@ def test_dl_heterogeneous_widens(tmp_path):
     # 4 points can fit near-perfectly: t is finite or NULL by the
     # stated zero-SE guard
     assert np.isfinite(float(eg["intercept_bias"]))
+
+
+def test_vif_orthogonal_vs_collinear(tmp_path):
+    """Independent regressors pin VIF near 1 (no alarm); a near-copy
+    pair drives it past the folk 10 with the alarm raised."""
+    from prclz_ray.pipelines.queries import q_vif_price_regressors
+    d = str(tmp_path / "orth")
+    os.makedirs(d)
+    q = [float(i % 5 + 1) for i in range(20)]
+    disc = [0.01 * ((i * 7) % 10) for i in range(20)]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(q), "l_discount": pa.array(disc)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_vif_price_regressors(d).iloc[0]
+    assert float(out["vif"]) < 3.0
+    assert not bool(out["collinear_alarm"])
+
+    d2 = str(tmp_path / "coll")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([float(i) for i in range(1, 21)]),
+        "l_discount": pa.array([0.01 * i for i in range(1, 21)])}),
+        os.path.join(d2, "lineitem.parquet"))
+    out2 = q_vif_price_regressors(d2).iloc[0]
+    assert bool(out2["collinear_alarm"])
+
+
+def test_reset_linear_vs_quadratic(tmp_path):
+    """Exactly linear data passes RESET (F ≈ 0); a strong quadratic
+    makes the added ŷ² term soak up variance — F large."""
+    from prclz_ray.pipelines.queries import q_ramsey_reset_price
+
+    def write(d, ys):
+        pq.write_table(pa.table({
+            "l_quantity": pa.array([float(i) for i in
+                                    range(1, len(ys) + 1)]),
+            "l_extendedprice": pa.array(ys)}),
+            os.path.join(d, "lineitem.parquet"))
+
+    d = str(tmp_path / "lin")
+    os.makedirs(d)
+    write(d, [100.0 + 10.0 * i for i in range(1, 31)])
+    lin = q_ramsey_reset_price(d).iloc[0]
+    assert float(lin["reset_f"]) < 1.0
+
+    d2 = str(tmp_path / "quad")
+    os.makedirs(d2)
+    write(d2, [10.0 * i * i for i in range(1, 31)])
+    quad = q_ramsey_reset_price(d2).iloc[0]
+    assert float(quad["reset_f"]) > 100.0
+
+
+def test_goldfeld_quandt_fanning_residuals(tmp_path):
+    """Homoskedastic alternating residuals keep F near 1; residual
+    spread growing with x drives F well above (the fanning pattern
+    the test exists for)."""
+    from prclz_ray.pipelines.queries import q_goldfeld_quandt_price
+
+    def write(d, ys, xs):
+        pq.write_table(pa.table({
+            "l_quantity": pa.array(xs),
+            "l_extendedprice": pa.array(ys)}),
+            os.path.join(d, "lineitem.parquet"))
+
+    xs = [float(i) for i in range(1, 41)]
+    d = str(tmp_path / "homo")
+    os.makedirs(d)
+    write(d, [100.0 + 10.0 * x + (5.0 if i % 2 == 0 else -5.0)
+              for i, x in enumerate(xs)], xs)
+    homo = q_goldfeld_quandt_price(d).iloc[0]
+    assert 0.2 < float(homo["gq_f"]) < 5.0
+
+    d2 = str(tmp_path / "fan")
+    os.makedirs(d2)
+    write(d2, [100.0 + 10.0 * x
+               + (x if i % 2 == 0 else -x) * 3.0
+               for i, x in enumerate(xs)], xs)
+    fan = q_goldfeld_quandt_price(d2).iloc[0]
+    assert float(fan["gq_f"]) > 10.0
