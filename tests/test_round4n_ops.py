@@ -2251,3 +2251,64 @@ def test_goldfeld_quandt_fanning_residuals(tmp_path):
                for i, x in enumerate(xs)], xs)
     fan = q_goldfeld_quandt_price(d2).iloc[0]
     assert float(fan["gq_f"]) > 10.0
+
+
+def test_dunn_separated_group_flags(tmp_path):
+    """Three types: two interleaved, one far above — only the pairs
+    involving the separated type go Bonferroni-significant."""
+    from prclz_ray.pipelines.queries import q_dunns_posthoc_value
+    d = str(tmp_path)
+    types = ["a"] * 10 + ["b"] * 10 + ["hi"] * 10
+    vals = [float(1 + (i % 10)) for i in range(10)] \
+        + [float(1.5 + (i % 10)) for i in range(10)] \
+        + [float(100 + i) for i in range(10)]
+    _events_table(d, types, vals)
+    out = q_dunns_posthoc_value(d)
+    sep = out[(out["type_a"] == "hi") | (out["type_b"] == "hi")]
+    assert sep["bonf_signif"].all()
+    ab = out[(out["type_a"] == "a") & (out["type_b"] == "b")]
+    assert not ab["bonf_signif"].any()
+
+
+def test_cucconi_identical_zero_and_scale_shift(tmp_path):
+    """Identical multisets tie every value, and under midranks the
+    two squared-rank sums coincide: U = V exactly (not the untied
+    U = −V mirror) and C stays tiny; a pure SCALE change — which
+    Mann–Whitney alone misses — blows C up."""
+    from prclz_ray.pipelines.queries import q_cucconi_test_value
+    d = str(tmp_path / "same")
+    os.makedirs(d)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    _events_table(d, ["click"] * 6 + ["purchase"] * 6, vals + vals)
+    out = q_cucconi_test_value(d).iloc[0]
+    assert float(out["u_stat"]) == float(out["v_stat"])
+    assert float(out["cucconi_c"]) < 1.0
+
+    d2 = str(tmp_path / "scale")
+    os.makedirs(d2)
+    wide = [-20.0, -10.0, 3.0, 4.0, 17.0, 27.0]
+    _events_table(d2, ["click"] * 6 + ["purchase"] * 6, vals + wide)
+    out2 = q_cucconi_test_value(d2).iloc[0]
+    assert float(out2["cucconi_c"]) > float(out["cucconi_c"])
+
+
+def test_quade_weights_high_stakes_months(tmp_path):
+    """Priorities ordered consistently in every month: Quade's F is
+    large and finite (the A = B degenerate would be division by
+    zero; consistent-but-noisy ranks keep A > B)."""
+    from prclz_ray.pipelines.queries import q_quade_priority_months
+    d = str(tmp_path)
+    rows = []
+    months = ["1995-01-01", "1995-02-01", "1995-03-01",
+              "1995-04-01", "1995-05-01"]
+    for mi, m in enumerate(months):
+        for j, p in enumerate(_PRIOS):
+            # mostly monotone with one swap in month 0
+            v = 100.0 * (j + 1) * (mi + 1)
+            if mi == 0 and j in (0, 1):
+                v = 100.0 * (2 - j)
+            rows.append((m, p, v))
+    _orders_table(d, rows)
+    out = q_quade_priority_months(d).iloc[0]
+    assert int(out["n_months"]) == 5
+    assert float(out["quade_f"]) > 1.0
