@@ -2312,3 +2312,67 @@ def test_quade_weights_high_stakes_months(tmp_path):
     out = q_quade_priority_months(d).iloc[0]
     assert int(out["n_months"]) == 5
     assert float(out["quade_f"]) > 1.0
+
+
+def _survival_orders(d, lives):
+    """lives: list of (custkey, first_day, last_day) day offsets."""
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    rows = []
+    for ck, f, l in lives:
+        rows.append((ck, base + np.timedelta64(f * 86_400_000_000,
+                                               "us")))
+        rows.append((ck, base + np.timedelta64(l * 86_400_000_000,
+                                               "us")))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows],
+                              type=pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows])}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_weighted_logrank_family_identical_arms(tmp_path):
+    """Arms with identical lifetime multisets: every O−E term is 0
+    so Gehan's integer numerator, Tarone–Ware's and χ² are all
+    exactly 0 — the three weightings agree on the null."""
+    from prclz_ray.pipelines.queries import (
+        q_gehan_breslow_retention, q_tarone_ware_retention)
+    d = str(tmp_path)
+    lives = []
+    for i, life in enumerate([10, 20, 30, 40]):
+        lives.append((2 * i, 0, life))        # arm 0
+        lives.append((2 * i + 1, 0, life))    # arm 1
+    _survival_orders(d, lives)
+    ge = q_gehan_breslow_retention(d).iloc[0]
+    assert int(ge["num"]) == 0
+    assert float(ge["chi2"]) == 0.0
+    tw = q_tarone_ware_retention(d).iloc[0]
+    assert float(tw["num"]) == 0.0
+    assert float(tw["chi2"]) == 0.0
+
+
+def test_harrells_c_perfect_and_reversed(tmp_path):
+    """Balances ordered WITH lifetimes give C = 1 exactly; reversed
+    balances give C = 0 — and only event-anchored pairs count."""
+    from prclz_ray.pipelines.queries import q_harrells_c_retention
+    d = str(tmp_path / "good")
+    os.makedirs(d)
+    lives = [(1, 0, 10), (2, 0, 20), (3, 0, 30), (4, 0, 200)]
+    _survival_orders(d, lives)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0])}),
+        os.path.join(d, "customer.parquet"))
+    out = q_harrells_c_retention(d).iloc[0]
+    # custs 1-3 churned (last orders >=90d before horizon 200)
+    assert int(out["n_comparable"]) == 3 + 2 + 1
+    assert float(out["c_index"]) == 1.0
+
+    d2 = str(tmp_path / "bad")
+    os.makedirs(d2)
+    _survival_orders(d2, lives)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_acctbal": pa.array([40.0, 30.0, 20.0, 10.0])}),
+        os.path.join(d2, "customer.parquet"))
+    out2 = q_harrells_c_retention(d2).iloc[0]
+    assert float(out2["c_index"]) == 0.0
