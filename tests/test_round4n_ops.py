@@ -2376,3 +2376,59 @@ def test_harrells_c_perfect_and_reversed(tmp_path):
         os.path.join(d2, "customer.parquet"))
     out2 = q_harrells_c_retention(d2).iloc[0]
     assert float(out2["c_index"]) == 0.0
+
+
+def test_box_cox_prefers_log_for_lognormal(tmp_path):
+    """A geometric (log-normal-ish) series picks λ = 0 (the log),
+    and an already-linear additive series picks λ = 1 — the 1964
+    recommendation machinery working both ways."""
+    from prclz_ray.pipelines.queries import q_box_cox_scan_revenue
+    d = str(tmp_path / "geo")
+    os.makedirs(d)
+    _daily_orders(d, [100.0 * (1.35 ** (i % 12)) for i in range(48)])
+    out = q_box_cox_scan_revenue(d)
+    best = out[out["is_best"]]["lambda_grid"].iloc[0]
+    assert best == 0.0
+
+    d2 = str(tmp_path / "lin")
+    os.makedirs(d2)
+    _daily_orders(d2, [100.0 + 3.0 * (i % 12) for i in range(48)])
+    out2 = q_box_cox_scan_revenue(d2)
+    best2 = out2[out2["is_best"]]["lambda_grid"].iloc[0]
+    assert best2 >= 0.5
+
+
+def test_rosner_unmasks_outlier_pair(tmp_path):
+    """Two extreme points close together mask each other for a
+    single-outlier test; ESD's remove-and-retest pulls BOTH in the
+    first two rounds."""
+    from prclz_ray.pipelines.queries import q_rosner_esd_acctbal
+    d = str(tmp_path)
+    bals = [100.0 + i for i in range(20)] + [5000.0, 5001.0]
+    _customer_table(d, [0] * len(bals), bals)
+    out = q_rosner_esd_acctbal(d)
+    assert set(out.head(2)["outlier_cents"]) == {500000, 500100}
+    assert float(out.iloc[0]["r_stat"]) > 2.5
+    assert float(out.iloc[1]["r_stat"]) > float(
+        out.iloc[2]["r_stat"])
+
+
+def test_lilliefors_uniform_vs_normalish(tmp_path):
+    """A uniform grid sits near the fitted normal (D ≈ 0.06); a
+    hard-skewed geometric sample departs far more — the ordering
+    the CDF test exists to detect (a first draft compared a coarse
+    binomial lattice, whose STEP gaps dominate — discreteness, not
+    shape)."""
+    from prclz_ray.pipelines.queries import q_lilliefors_acctbal
+    d = str(tmp_path / "unif")
+    os.makedirs(d)
+    _customer_table(d, [0] * 100,
+                    [float(i) for i in range(1, 101)])
+    u = q_lilliefors_acctbal(d).iloc[0]
+    assert float(u["lilliefors_d"]) < 0.1
+    d2 = str(tmp_path / "skew")
+    os.makedirs(d2)
+    _customer_table(d2, [0] * 60,
+                    [1.0 * (1.3 ** i) for i in range(60)])
+    s = q_lilliefors_acctbal(d2).iloc[0]
+    assert float(s["lilliefors_d"]) > float(u["lilliefors_d"])
