@@ -2475,3 +2475,64 @@ def test_dependence_family_independence_and_nonlinear(tmp_path):
     assert float(hd["hoeffding_d"]) > float(hd3["hoeffding_d"])
     bb3 = q_blomqvist_beta_cells(d3).iloc[0]
     assert float(bb3["blomqvist_beta"]) == 0.0
+
+
+def test_gmd_two_point_and_normal_ratio(tmp_path):
+    """Two customers at 0 and 100 dollars: GMD = the one gap,
+    10000 cents exactly; on a near-uniform grid the GMD/sd ratio
+    sits near the uniform value 2·(n+1)/(3n)·√3/2… just pin it
+    between the extremes 1 and 1.2."""
+    from prclz_ray.pipelines.queries import (
+        q_gini_mean_difference_acctbal)
+    d = str(tmp_path / "two")
+    os.makedirs(d)
+    _customer_table(d, [0, 0], [0.0, 100.0])
+    out = q_gini_mean_difference_acctbal(d).iloc[0]
+    assert float(out["gmd_cents"]) == 10000.0
+
+    d2 = str(tmp_path / "grid")
+    os.makedirs(d2)
+    _customer_table(d2, [0] * 50, [float(i) for i in range(50)])
+    out2 = q_gini_mean_difference_acctbal(d2).iloc[0]
+    assert 1.0 < float(out2["gmd_over_sd"]) < 1.25
+
+
+def test_cox_stuart_monotone_and_flat(tmp_path):
+    """A strict ramp: every pair rises — n_plus = n/2, z > 3; a
+    constant series ties every pair — z = 0 exactly."""
+    from prclz_ray.pipelines.queries import q_cox_stuart_revenue
+    d = str(tmp_path / "ramp")
+    os.makedirs(d)
+    _daily_orders(d, [100.0 + i for i in range(30)])
+    out = q_cox_stuart_revenue(d).iloc[0]
+    assert int(out["n_plus"]) == 15
+    assert int(out["n_minus"]) == 0
+    assert float(out["z"]) > 3.0
+
+    d2 = str(tmp_path / "flat")
+    os.makedirs(d2)
+    _daily_orders(d2, [100.0] * 30)
+    out2 = q_cox_stuart_revenue(d2).iloc[0]
+    assert int(out2["n_ties"]) == 15
+    assert float(out2["z"]) == 0.0
+
+
+def test_longest_run_engineered_streak(tmp_path):
+    """Alternating high/low except one 6-day high stretch: the
+    longest above-median run is exactly 6 at the engineered start."""
+    from prclz_ray.pipelines.queries import q_longest_run_above_median
+    d = str(tmp_path)
+    # lows must be the MAJORITY or the type-1 median lands on the
+    # high mode and strict-above empties (the first fixture's
+    # longest_run == 0 taught that)
+    vals = []
+    for i in range(40):
+        if 20 <= i < 26:
+            vals.append(500.0)
+        else:
+            vals.append(500.0 if i % 3 == 0 else 100.0)
+    _daily_orders(d, vals)
+    out = q_longest_run_above_median(d).iloc[0]
+    assert int(out["median_cents"]) == 10000
+    assert int(out["longest_run"]) == 6
+    assert int(out["run_start_day_idx"]) == 20
