@@ -369,3 +369,305 @@ def read_parquet_union_by_name(files):
     return rd.from_arrow(pa.table({"file": pa.array(files)})) \
         .repartition(max(len(files), 1)) \
         .map_batches(load, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- ESRI shapefile
+
+# Minimal shapefile codec (reference ingests zipped shapefiles via
+# geopandas/fiona, ``scripts/split-buildings/split_buildings.py:85-161``;
+# this is the stdlib-decodable slice of that surface: .shp geometry
+# records of type Point/PolyLine/Polygon/MultiPoint + .dbf attributes,
+# plus the .shx index on write).  Cluster-side representation is WKB,
+# as everywhere; the shapefile exists only at the boundary.
+
+_SHP_NULL, _SHP_POINT, _SHP_POLYLINE, _SHP_POLYGON, _SHP_MULTIPOINT = \
+    0, 1, 3, 5, 8
+
+
+def _shp_geom(shape_type: int, body: bytes):
+    """One .shp record body → engine geometry WKB (or None)."""
+    import struct
+
+    from ..geom.core import shoelace_area
+    from ..geom.predicates import point_in_ring
+
+    if shape_type == _SHP_NULL:
+        return None
+    if shape_type == _SHP_POINT:
+        x, y = struct.unpack_from("<dd", body, 0)
+        return wkb.point(x, y)
+    if shape_type == _SHP_MULTIPOINT:
+        (n,) = struct.unpack_from("<i", body, 32)
+        pts = np.frombuffer(body, dtype="<f8", count=2 * n,
+                            offset=36).reshape(n, 2)
+        return wkb.multipoint(pts)
+    if shape_type in (_SHP_POLYLINE, _SHP_POLYGON):
+        nparts, npts = struct.unpack_from("<ii", body, 32)
+        parts = list(struct.unpack_from(f"<{nparts}i", body, 40))
+        coords = np.frombuffer(body, dtype="<f8", count=2 * npts,
+                               offset=40 + 4 * nparts).reshape(npts, 2)
+        rings = [coords[a:b] for a, b in
+                 zip(parts, parts[1:] + [npts])]
+        if shape_type == _SHP_POLYLINE:
+            if len(rings) == 1:
+                return wkb.linestring(rings[0])
+            return wkb.multilinestring(rings)
+        # polygon: ESRI outer rings are CLOCKWISE (shoelace < 0),
+        # holes counter-clockwise; assign each hole to the outer
+        # ring containing its first vertex
+        outers = [r[::-1] for r in rings if shoelace_area(r) < 0]
+        holes = [r[::-1] for r in rings if shoelace_area(r) >= 0]
+        if not outers:                     # tolerate wrong winding
+            outers, holes = [h[::-1] for h in holes], []
+        # normalized to the engine's convention: exterior CCW, holes CW
+        if len(outers) == 1:
+            return wkb.polygon([outers[0]] + holes)
+        polys = [[o] for o in outers]
+        for h in holes:
+            hx, hy = h[0]
+            for p in polys:
+                if point_in_ring(hx, hy, p[0]):
+                    p.append(h)
+                    break
+        return wkb.multipolygon(polys)
+    raise ValueError(f"unsupported shapefile shape type {shape_type}")
+
+
+def _read_dbf(path: str) -> dict:
+    """dBASE III attribute table → {column: list} (C/N/F/L types)."""
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    nrec, hdrlen, reclen = struct.unpack_from("<IHH", raw, 4)
+    fields = []
+    off = 32
+    while raw[off] != 0x0D:
+        name = raw[off:off + 11].split(b"\0")[0].decode("ascii")
+        ftype = chr(raw[off + 11])
+        flen = raw[off + 16]
+        fields.append((name, ftype, flen))
+        off += 32
+    cols: dict = {name: [] for name, _, _ in fields}
+    for i in range(nrec):
+        base = hdrlen + i * reclen
+        if raw[base:base + 1] == b"*":      # deleted row
+            continue
+        p = base + 1
+        for name, ftype, flen in fields:
+            s = raw[p:p + flen].decode("ascii", "replace").strip()
+            p += flen
+            if ftype in ("N", "F"):
+                if not s:
+                    cols[name].append(None)
+                elif ("." in s or "e" in s or "E" in s):
+                    cols[name].append(float(s))
+                else:
+                    cols[name].append(int(s))
+            elif ftype == "L":
+                cols[name].append(s in ("T", "t", "Y", "y"))
+            else:
+                cols[name].append(s)
+    return cols
+
+
+def read_shapefile(paths):
+    """Shapefile source: block-parallel over the file list (one task
+    per .shp, same shape as ``read_orc``) — each task parses its .shp
+    records + sibling .dbf attributes into one Arrow block with a
+    ``geometry: binary`` (WKB) column."""
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files = sorted(p[:-4] if p.endswith(".shp") else p for p in paths)
+
+    def load(t: pa.Table) -> pa.Table:
+        import struct
+        out = []
+        for base in t["base"].to_pylist():
+            with open(base + ".shp", "rb") as f:
+                raw = f.read()
+            (code,) = struct.unpack_from(">i", raw, 0)
+            assert code == 9994, f"not a shapefile: {base}.shp"
+            geoms = []
+            off = 100
+            while off < len(raw):
+                _, clen = struct.unpack_from(">ii", raw, off)
+                (stype,) = struct.unpack_from("<i", raw, off + 8)
+                geoms.append(_shp_geom(stype,
+                                       raw[off + 12:off + 8 + 2 * clen]))
+                off += 8 + 2 * clen
+            cols = {}
+            if os.path.exists(base + ".dbf"):
+                cols = _read_dbf(base + ".dbf")
+            if os.path.exists(base + ".names.json"):
+                # sidecar written by write_shapefile for names the
+                # 10-char DBF limit truncated
+                with open(base + ".names.json") as fh:
+                    longnames = json.load(fh)
+                cols = {longnames.get(k, k): v
+                        for k, v in cols.items()}
+            cols["geometry"] = geoms
+            out.append(pa.table({
+                k: pa.array(v, type=pa.binary())
+                if k == "geometry" else pa.array(v)
+                for k, v in cols.items()}))
+        return pa.concat_tables(out) if out else pa.table({})
+
+    return rd.from_arrow(pa.table({"base": pa.array(files)})) \
+        .repartition(max(len(files), 1)) \
+        .map_batches(load, batch_format="pyarrow")
+
+
+def _ring_cw(r: np.ndarray) -> np.ndarray:
+    from ..geom.core import ensure_closed, shoelace_area
+    r = ensure_closed(np.asarray(r, dtype=np.float64))
+    return r[::-1] if shoelace_area(r) > 0 else r
+
+
+def _shp_body(geom_wkb: bytes):
+    """WKB → (esri shape type, record body bytes)."""
+    import struct
+
+    if geom_wkb is None:
+        return _SHP_NULL, b""
+    kind, val = wkb.decode(geom_wkb)
+    if kind == wkb.POINT:
+        return _SHP_POINT, struct.pack("<dd", float(val[0]),
+                                       float(val[1]))
+    if kind == wkb.MULTIPOINT:
+        pts = np.asarray(val, dtype="<f8")
+        bb = (pts[:, 0].min(), pts[:, 1].min(),
+              pts[:, 0].max(), pts[:, 1].max())
+        return _SHP_MULTIPOINT, (struct.pack("<4d", *bb)
+                                 + struct.pack("<i", len(pts))
+                                 + pts.tobytes())
+    if kind in (wkb.LINESTRING, wkb.MULTILINESTRING):
+        lines = [val] if kind == wkb.LINESTRING else list(val)
+        stype = _SHP_POLYLINE
+        rings = [np.asarray(ln, dtype="<f8") for ln in lines]
+    else:
+        polys = [val] if kind == wkb.POLYGON else list(val)
+        stype = _SHP_POLYGON
+        rings = []
+        for rs in polys:
+            # outer CW, holes CCW per ESRI spec
+            rings.append(_ring_cw(rs[0]).astype("<f8"))
+            for h in rs[1:]:
+                rings.append(_ring_cw(h)[::-1].astype("<f8"))
+    allpts = np.concatenate(rings)
+    bb = (allpts[:, 0].min(), allpts[:, 1].min(),
+          allpts[:, 0].max(), allpts[:, 1].max())
+    parts, acc = [], 0
+    for r in rings:
+        parts.append(acc)
+        acc += len(r)
+    body = (struct.pack("<4d", *bb)
+            + struct.pack("<ii", len(rings), acc)
+            + struct.pack(f"<{len(parts)}i", *parts)
+            + np.ascontiguousarray(allpts).tobytes())
+    return stype, body
+
+
+def _write_dbf(path: str, tbl: pa.Table, skip=("geometry",)):
+    import struct
+
+    fields = []        # (name, type, len, dec, values-as-strings)
+    for name in tbl.column_names:
+        if name in skip:
+            continue
+        col = tbl[name]
+        t = col.type
+        if pa.types.is_integer(t):
+            vals = [("" if v is None else str(v))
+                    for v in col.to_pylist()]
+            fields.append((name[:10], "N", 19, 0, vals))
+        elif pa.types.is_floating(t):
+            vals = [("" if v is None or v != v else f"{v:.17g}")
+                    for v in col.to_pylist()]
+            fields.append((name[:10], "N", 30, 15, vals))
+        elif pa.types.is_boolean(t):
+            vals = [("" if v is None else ("T" if v else "F"))
+                    for v in col.to_pylist()]
+            fields.append((name[:10], "L", 1, 0, vals))
+        else:
+            vals = [("" if v is None else str(v))
+                    for v in col.to_pylist()]
+            w = min(max([len(v.encode()) for v in vals] + [1]), 254)
+            fields.append((name[:10], "C", w, 0, vals))
+    nrec = tbl.num_rows
+    hdrlen = 32 + 32 * len(fields) + 1
+    reclen = 1 + sum(f[2] for f in fields)
+    buf = bytearray()
+    buf += struct.pack("<B3BIHH", 0x03, 26, 8, 21, nrec, hdrlen,
+                       reclen)
+    buf += b"\0" * 20
+    for name, ftype, flen, dec, _ in fields:
+        buf += struct.pack("<11sc4xBB14x", name.encode("ascii"),
+                           ftype.encode("ascii"), flen, dec)
+    buf += b"\x0D"
+    for i in range(nrec):
+        buf += b" "
+        for name, ftype, flen, dec, vals in fields:
+            s = vals[i]
+            if ftype in ("N", "F"):
+                buf += s.rjust(flen)[:flen].encode("ascii")
+            else:
+                buf += s.ljust(flen)[:flen].encode("ascii", "replace")
+    buf += b"\x1A"
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
+def write_shapefile(ds, base_path: str, geometry_col: str = "geometry"):
+    """Shapefile sink (boundary codec for SMALL per-partition exports,
+    like ``write_geojson``): writes ``base_path``.shp/.shx/.dbf.  All
+    geometries must map to one ESRI type class (shapefiles are
+    single-type by format)."""
+    import struct
+
+    from ..stages.relational import ds_to_table
+
+    tbl = ds if isinstance(ds, pa.Table) else ds_to_table(ds)
+    geoms = tbl[geometry_col].to_pylist()
+    bodies = [_shp_body(g) for g in geoms]
+    stypes = {s for s, _ in bodies if s != _SHP_NULL}
+    assert len(stypes) <= 1, f"mixed shapefile types {stypes}"
+    stype = stypes.pop() if stypes else _SHP_NULL
+    rec_bufs, shx, off = [], [], 50      # offsets in 16-bit words
+    for i, (s, body) in enumerate(bodies):
+        content = struct.pack("<i", s) + body
+        clen = len(content) // 2
+        rec_bufs.append(struct.pack(">ii", i + 1, clen) + content)
+        shx.append(struct.pack(">ii", off, clen))
+        off += 4 + clen
+    allpts = [np.asarray(wkb.coords(g)) for g in geoms
+              if g is not None]
+    if allpts:
+        cat = np.concatenate(allpts)
+        bb = (cat[:, 0].min(), cat[:, 1].min(),
+              cat[:, 0].max(), cat[:, 1].max())
+    else:
+        bb = (0.0, 0.0, 0.0, 0.0)
+
+    def header(total_words: int) -> bytes:
+        return (struct.pack(">i20xi", 9994, total_words)
+                + struct.pack("<ii", 1000, stype)
+                + struct.pack("<4d", *bb) + b"\0" * 32)
+
+    with open(base_path + ".shp", "wb") as f:
+        f.write(header(off))
+        for r in rec_bufs:
+            f.write(r)
+    with open(base_path + ".shx", "wb") as f:
+        f.write(header(50 + 4 * len(shx)))
+        for r in shx:
+            f.write(r)
+    _write_dbf(base_path + ".dbf", tbl, skip=(geometry_col,))
+    truncated = {n[:10]: n for n in tbl.column_names
+                 if n != geometry_col and len(n) > 10}
+    if truncated:
+        with open(base_path + ".names.json", "w") as f:
+            json.dump(truncated, f)
+    return base_path

@@ -116,7 +116,10 @@ class BufferedLineDifference(BlockExtractionMethod):
         return out
 
 
-DEFAULT_EXTRACTION_METHOD = IntersectionPolygonization
+# Matches the reference default (``blocks/_methods.py:109`` picks
+# BufferedLineDifference); IntersectionPolygonization remains the
+# documented-equal alternative, selectable via the strategy arg / CLI.
+DEFAULT_EXTRACTION_METHOD = BufferedLineDifference
 
 
 def extract_blocks(regions_ds, lines_ds, method: BlockExtractionMethod | None = None,

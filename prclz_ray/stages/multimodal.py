@@ -1,13 +1,14 @@
 """Multimodal column stages: opaque ``binary`` payloads + typed metadata.
 
 Decode is REAL for the formats decodable with stdlib + numpy alone —
-uncompressed 24/32-bit BMP, PCM16 WAV (stdlib struct parsing), and
-8-bit non-interlaced RGB/RGBA PNG (stdlib zlib inflate + unfilter).
-Codec-bound formats (JPEG, MP3, H.264 video) have no decoder in this
-container and keep an explicitly-marked deterministic digest fallback; the
-Ray-side plumbing — schema, actor-pool signature, small batch sizing for
-wide binary rows, payload dropped immediately after decode — is identical
-for both paths.
+uncompressed 24/32-bit BMP, PCM16 WAV (stdlib struct parsing), 8-bit
+non-interlaced RGB/RGBA PNG (stdlib zlib inflate + unfilter), and
+baseline sequential JFIF JPEG (in-repo numpy huffman + IDCT codec,
+sampling factors ≤ 2).  Still-codec-bound formats (progressive JPEG,
+MP3, H.264 video) keep an explicitly-marked deterministic digest
+fallback; the Ray-side plumbing — schema, actor-pool signature, small
+batch sizing for wide binary rows, payload dropped immediately after
+decode — is identical for both paths.
 """
 from __future__ import annotations
 
@@ -157,6 +158,455 @@ def decode_png(buf: bytes) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+# ------------------------------------------------------- baseline JPEG
+
+# Pure-numpy baseline JFIF codec (ITU-T T.81 Annex K tables; public
+# spec).  Encoder: 4:4:4, standard quant + huffman tables — exists so
+# the decode path exercises REAL compressed files without any imaging
+# library in the container.  Decoder: baseline sequential DCT (SOF0),
+# 8-bit, sampling factors 1-2 (covers 4:4:4 / 4:2:2 / 4:2:0), restart
+# markers, byte unstuffing.  Progressive / arithmetic / 12-bit files
+# raise and fall back to the flagged digest path in MediaDecoder.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+    92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+    100, 103, 99], dtype=np.int32)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int32)
+
+# Annex K huffman tables: (BITS counts per length 1..16, HUFFVAL)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)))
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)))
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+     0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+     0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+     0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+     0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+     0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+     0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+     0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+     0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+     0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+     0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+     0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+     0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+     0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+     0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+     0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+     0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+     0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return (0.5 * c[:, None]
+            * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16))
+
+
+_DCT = _dct_matrix()
+
+
+def _huff_encode_table(bits, vals):
+    """(counts-per-length, symbols) → {symbol: (code, length)}."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(counts, symbols) → {(length, code): symbol}."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)      # byte stuffing
+            self.n -= 8
+
+    def flush(self):
+        if self.n:
+            self.put(0x7F, 8 - self.n)     # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (size, amplitude bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(rgb: np.ndarray) -> bytes:
+    """Baseline JFIF from (h, w, 3) uint8 — 4:4:4, Annex K tables."""
+    h, w = rgb.shape[:2]
+    f = rgb[:, :, :3].astype(np.float32)
+    y = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2])
+    cb = (-0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1]
+          + 0.5 * f[:, :, 2] + 128.0)
+    cr = (0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1]
+          - 0.081312 * f[:, :, 2] + 128.0)
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    planes = []
+    for p in (y, cb, cr):
+        pad = np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
+        planes.append(pad - 128.0)
+    qt = [_QUANT_LUMA, _QUANT_CHROMA]
+    dc_tabs = [_huff_encode_table(*_HUFF_DC_LUMA),
+               _huff_encode_table(*_HUFF_DC_CHROMA)]
+    ac_tabs = [_huff_encode_table(*_HUFF_AC_LUMA),
+               _huff_encode_table(*_HUFF_AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                blk = planes[ci][by * 8:by * 8 + 8,
+                                 bx * 8:bx * 8 + 8]
+                coef = _DCT @ blk @ _DCT.T
+                q = np.round(coef.ravel() / qt[ti]).astype(np.int64)
+                zz = q[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size, bits_v = _magnitude(diff)
+                code, ln = dc_tabs[ti][size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(bits_v, size)
+                run = 0
+                last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 \
+                    if np.any(zz[1:]) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[ti][0xF0]   # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    size, bits_v = _magnitude(v)
+                    code, ln = ac_tabs[ti][(run << 4) | size]
+                    bw.put(code, ln)
+                    bw.put(bits_v, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tabs[ti][0x00]       # EOB
+                    bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(_QUANT_LUMA[_ZIGZAG]
+                                       .astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(_QUANT_CHROMA[_ZIGZAG]
+                                       .astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, ti in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, ti)
+    out += seg(0xFFC0, sof)
+    for cls, tid, (bits, vals) in ((0, 0, _HUFF_DC_LUMA),
+                                   (1, 0, _HUFF_AC_LUMA),
+                                   (0, 1, _HUFF_DC_CHROMA),
+                                   (1, 1, _HUFF_AC_CHROMA)):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid])
+                   + bytes(bits) + bytes(vals))
+    sos = struct.pack(">B", 3)
+    for cid, ti in ((1, 0), (2, 1), (3, 1)):
+        sos += struct.pack(">BB", cid, (ti << 4) | ti)
+    sos += b"\x00\x3F\x00"
+    out += seg(0xFFDA, sos)
+    out += bw.buf
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment with 0xFF00
+    unstuffing; RST markers reset via ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            if self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0
+                self.n += 8
+                continue
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break                   # restart marker: stop fill
+                else:
+                    break                   # EOI or other marker
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+    def huff(self, table: dict) -> int:
+        self._fill()
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | ((self.acc >> (self.n - 1)) & 1)
+            self.n -= 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+            if self.n == 0:
+                self._fill()
+        raise ValueError("bad huffman stream")
+
+    def sync_restart(self):
+        """Skip to just past the next RSTn marker, discarding pad bits."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.d):
+            if self.d[self.pos] == 0xFF and \
+                    0xD0 <= self.d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from a baseline sequential JFIF (SOF0, 8-bit,
+    component sampling factors ≤ 2, optional restart intervals)."""
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    qts: dict = {}
+    dc_tabs: dict = {}
+    ac_tabs: dict = {}
+    comps = None
+    hw = None
+    dri = 0
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        body = buf[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:                       # DQT
+            o = 0
+            while o < len(body):
+                prec = body[o] >> 4
+                tid = body[o] & 0x0F
+                if prec:
+                    tab = np.frombuffer(body, dtype=">u2", count=64,
+                                        offset=o + 1).astype(np.int32)
+                    o += 129
+                else:
+                    tab = np.frombuffer(body, dtype=np.uint8, count=64,
+                                        offset=o + 1).astype(np.int32)
+                    o += 65
+                dq = np.zeros(64, dtype=np.int32)
+                dq[_ZIGZAG] = tab
+                qts[tid] = dq
+        elif marker == 0xC0:                     # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * i)
+                comps.append({"id": cid, "h": samp >> 4,
+                              "v": samp & 0x0F, "tq": tq})
+            hw = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/etc)")
+        elif marker == 0xC4:                     # DHT
+            o = 0
+            while o < len(body):
+                cls = body[o] >> 4
+                tid = body[o] & 0x0F
+                bits = list(body[o + 1:o + 17])
+                nsym = sum(bits)
+                vals = list(body[o + 17:o + 17 + nsym])
+                tab = _huff_decode_table(bits, vals)
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
+                o += 17 + nsym
+        elif marker == 0xDD:                     # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:                     # SOS
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = struct.unpack_from(">BB", body, 1 + 2 * i)
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            data_pos = pos + 2 + ln
+            return _decode_scan(buf, data_pos, hw, comps, scan,
+                                qts, dc_tabs, ac_tabs, dri)
+        pos += 2 + ln
+    raise ValueError("no SOS marker")
+
+
+def _decode_scan(buf, pos, hw, comps, scan, qts, dc_tabs, ac_tabs,
+                 dri):
+    h, w = hw
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        pw = mcux * 8 * c["h"]
+        ph = mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float32))
+    br = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    idct = _DCT.T
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_i and mcu_i % dri == 0:
+                br.sync_restart()
+                pred = [0] * len(comps)
+            for ci, (c, td, ta) in enumerate(scan):
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = br.huff(dc_tabs[td])
+                        if s:
+                            diff = _extend(br.bits(s), s)
+                        else:
+                            diff = 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(ac_tabs[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break              # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        dq = np.zeros(64, dtype=np.float32)
+                        dq[_ZIGZAG] = zz * qts[c["tq"]][_ZIGZAG]
+                        blk = idct @ dq.reshape(8, 8) @ _DCT
+                        py0 = (my * c["v"] + v) * 8
+                        px0 = (mx * c["h"] + hh) * 8
+                        planes[ci][py0:py0 + 8, px0:px0 + 8] = blk
+            mcu_i += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        ry = vmax // c["v"]
+        rx = hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255) \
+        .astype(np.uint8)
+
+
 def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
     """Nearest-neighbor resize (the brief's image-resize op) — pure numpy
     index maps, no per-pixel loop."""
@@ -168,13 +618,18 @@ def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
 
 # ------------------------------------------------------- synth (real files)
 
-def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+def synth_media_table(n: int = 64, seed: int = 5,
+                      jpeg_every: int = 0) -> pa.Table:
     """Deterministic media rows with REAL payloads: BMP images, PCM16 WAV
     audio; video stays an opaque pseudo-payload (no pure-python video
-    container exists — decode for it is the documented digest fallback)."""
+    container exists — decode for it is the documented digest fallback).
+    ``jpeg_every=k`` swaps every k-th image payload for a REAL baseline
+    JFIF from the in-repo encoder (default off so fixture-pinned goldens
+    keep their BMP bytes)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     ids, kk, payloads, w, h, d = [], [], [], [], [], []
+    n_img = 0
     for i in range(n):
         kind = kinds[i % 3]
         ids.append(f"m{i:05d}")
@@ -182,7 +637,11 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
         if kind == "image":
             iw, ih = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             px = rng.integers(0, 256, (ih, iw, 3), dtype=np.uint8)
-            payloads.append(encode_bmp(px))
+            if jpeg_every and n_img % jpeg_every == 0:
+                payloads.append(encode_jpeg(px))
+            else:
+                payloads.append(encode_bmp(px))
+            n_img += 1
             w.append(iw); h.append(ih); d.append(0)
         elif kind == "audio":
             ms = int(rng.integers(100, 2000))
@@ -251,6 +710,11 @@ class MediaDecoder:
             return self._audio_features(*decode_wav(payload)), True
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return self._image_features(decode_png(payload)), True
+        if payload[:2] == b"\xFF\xD8":
+            try:                 # progressive/12-bit/arithmetic fall
+                return self._image_features(decode_jpeg(payload)), True
+            except Exception:    # back to the flagged digest path
+                return self._fallback(payload), False
         return self._fallback(payload), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:

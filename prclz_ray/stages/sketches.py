@@ -27,6 +27,40 @@ def _hash_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pd.util.hash_array(vals).astype(np.uint64)
 
 
+def _hash_u64_duckdb(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """DuckDB's 64-bit integer hash (the murmur-style finalizer behind
+    SQL ``hash(x)``), bit-exact with DuckDB — sketch ops built on it
+    carry FULL value-level SQL oracles instead of rows-only checks."""
+    x = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    M = np.uint64(0xd6e8feb86659fd93)
+    x = x ^ (x >> np.uint64(32))
+    x = x * M
+    x = x ^ (x >> np.uint64(32))
+    x = x * M
+    x = x ^ (x >> np.uint64(32))
+    return x
+
+
+def _estimate_exact(hist, p: int) -> float:
+    """HLL estimate from a register-value histogram with the harmonic
+    sum kept as an EXACT integer S = Σ count_k · 2^(64−k) (absent
+    registers are k = 0), so the float chain is reproducible
+    term-for-term by a SQL twin (same literal order of operations)."""
+    import math
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / float(m))
+    S = 0
+    for k, c in enumerate(hist):
+        if c:
+            S += int(c) << (64 - k)
+    est = alpha * float(m) * float(m) \
+        * 18446744073709551616.0 / float(S)
+    zeros = int(hist[0]) if len(hist) else 0
+    if est <= 2.5 * float(m) and zeros > 0:
+        est = float(m) * math.log(float(m) / zeros)
+    return est
+
+
 def _registers_for(h: np.ndarray, p: int) -> np.ndarray:
     m = 1 << p
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
@@ -118,16 +152,23 @@ def bloom_semi_join(big_ds, keys_ds, on: str, num_buckets: int = 32,
                               num_buckets=num_buckets)
 
 
-def approx_distinct(ds, key_col: str, p: int = 14) -> pa.Table:
+def approx_distinct(ds, key_col: str, p: int = 14,
+                    hasher: str = "pandas") -> pa.Table:
     """Approximate COUNT(DISTINCT key_col) over a Dataset.
 
     One pass: per-BLOCK sketch rows (``batch_size=None`` so each block
     folds to exactly one 2^p-byte row), driver max-merges the #blocks
     sketches.  Returns a one-row arrow table
     ``(approx_distinct: int64, registers_nonzero: int64)``; the estimate
-    is rounded to int (deterministic — see module docstring)."""
+    is rounded to int (deterministic — see module docstring).
+
+    ``hasher="duckdb"`` switches to DuckDB's own integer hash and the
+    exact-integer harmonic sum, making the whole estimate reproducible
+    by a value-level SQL twin (see queries.SQL_HLL_USERS)."""
+    hash_fn = _hash_u64_duckdb if hasher == "duckdb" else _hash_u64
+
     def block_sketch(batch: pa.Table) -> pa.Table:
-        regs = _registers_for(_hash_u64(batch[key_col]), p)
+        regs = _registers_for(hash_fn(batch[key_col]), p)
         return pa.table({"regs": pa.array([regs.tobytes()],
                                           type=pa.binary())})
 
@@ -138,8 +179,13 @@ def approx_distinct(ds, key_col: str, p: int = 14) -> pa.Table:
         for buf in b["regs"].to_pylist():
             np.maximum(merged, np.frombuffer(buf, dtype=np.uint8),
                        out=merged)
+    if hasher == "duckdb":
+        est = _estimate_exact(np.bincount(
+            merged.astype(np.int64)).tolist(), p)
+    else:
+        est = _estimate(merged, p)
     return pa.table({
-        "approx_distinct": pa.array([int(round(_estimate(merged, p)))],
+        "approx_distinct": pa.array([int(round(est))],
                                     type=pa.int64()),
         "registers_nonzero": pa.array(
             [int(np.count_nonzero(merged))], type=pa.int64()),
@@ -257,7 +303,8 @@ def grouped_approx_quantiles(ds, key_col: str, val_col: str,
 
 
 def grouped_approx_distinct(ds, group_col: str, key_col: str,
-                            p: int = 14) -> "object":
+                            p: int = 14,
+                            hasher: str = "pandas") -> "object":
     """Per-group approximate COUNT(DISTINCT key): HLL in SPARSE register
     form — each batch emits (group, register, rho) rows already
     max-collapsed arrow-side (≤ one row per register the batch touched,
@@ -266,9 +313,10 @@ def grouped_approx_distinct(ds, group_col: str, key_col: str,
     V = m − n_present feeds the linear-counting regime).  Max-merge is
     associative ⇒ partition-invariant; error ≈ 1.04/√(2^p)."""
     from ray.data.aggregate import Max
+    hash_fn = _hash_u64_duckdb if hasher == "duckdb" else _hash_u64
 
     def partial(t: pa.Table) -> pa.Table:
-        h = _hash_u64(t[key_col])
+        h = hash_fn(t[key_col])
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rem = h & np.uint64((1 << (64 - p)) - 1)
         _, exp = np.frexp(rem.astype(np.float64))
@@ -290,13 +338,19 @@ def grouped_approx_distinct(ds, group_col: str, key_col: str,
         alpha = 0.7213 / (1 + 1.079 / m)
         groups, ests, nz = [], [], []
         for gk, g in df.groupby(group_col, sort=False):
-            rho = g["rho"].to_numpy(dtype=np.float64)
+            rho = g["rho"].to_numpy(dtype=np.int64)
             n_present = len(rho)
-            s = np.sum(2.0 ** -rho) + (m - n_present)  # absent regs = 2^0
-            est = alpha * m * m / s
-            zeros = int(m) - n_present
-            if est <= 2.5 * m and zeros > 0:
-                est = m * np.log(m / zeros)
+            if hasher == "duckdb":
+                hist = np.bincount(rho, minlength=1)
+                hist[0] += (1 << p) - n_present  # absent regs
+                est = _estimate_exact(hist.tolist(), p)
+            else:
+                s = np.sum(2.0 ** -rho.astype(np.float64)) \
+                    + (m - n_present)              # absent regs = 2^0
+                est = alpha * m * m / s
+                zeros = int(m) - n_present
+                if est <= 2.5 * m and zeros > 0:
+                    est = m * np.log(m / zeros)
             groups.append(gk)
             ests.append(int(round(est)))
             nz.append(n_present)

@@ -51,6 +51,11 @@ def _norm(v) -> str:
     return str(v)
 
 
+def _repo_root() -> str:
+    import os
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def run_sharded(sf_dir, only, n_shards, json_path):
     """Parent of --shards mode: split the query list round-robin across
     n_shards subprocesses (each owns its own Ray session), merge JSONs."""
@@ -59,27 +64,30 @@ def run_sharded(sf_dir, only, n_shards, json_path):
     import subprocess
     import tempfile
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _repo_root())
     import __ray_entry__ as entrymod
     names = [n for n in entrymod.queries() if not only or n in only]
     shards = [names[i::n_shards] for i in range(n_shards)]
     shards = [s for s in shards if s]
     t0 = time.time()
-    procs, paths = [], []
+    procs, paths, errfiles = [], [], []
     for i, shard in enumerate(shards):
         fd, p = tempfile.mkstemp(prefix=f"cq_shard{i}_", suffix=".json")
         os.close(fd)
         paths.append(p)
+        ef = open(p + ".stderr", "w")
+        errfiles.append(ef)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), sf_dir,
              *shard, "--json", p],
             stdout=subprocess.PIPE,
-            stderr=open(p + ".stderr", "w"), text=True,
+            stderr=ef, text=True,
             env={**os.environ, "RAY_GRAFT_CPUS": os.environ.get(
                 "CHECK_SHARD_CPUS", "8")}))
     merged, crashed = {}, []
     for i, (pr, p) in enumerate(zip(procs, paths)):
         out, _ = pr.communicate()
+        errfiles[i].close()
         for line in out.splitlines():
             if line.startswith(("PASS ", "FAIL ", "ok?  ")):
                 print(line)
@@ -105,7 +113,7 @@ def run_sharded(sf_dir, only, n_shards, json_path):
                   f"retry pass")
             crashed.extend(lost)
         merged.update(res)
-        for ext in ("", ".progress"):
+        for ext in ("", ".progress", ".stderr"):
             if os.path.exists(p + ext):
                 os.unlink(p + ext)
     # one serial retry for queries whose shard died (Ray core-worker
@@ -176,7 +184,7 @@ def main():
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _repo_root())
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -245,9 +253,16 @@ def main():
     print(f"\n{n_pass} pass, {n_fail} fail")
     if json_path:
         import json
+        import os
         with open(json_path, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
                        "n_fail": n_fail, "queries": results}, f, indent=1)
+        if prog is not None:
+            prog.close()
+            # the progress log only matters if this process dies
+            # mid-run; a completed run cleans up after itself
+            if os.path.exists(json_path + ".progress"):
+                os.unlink(json_path + ".progress")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 

@@ -47,3 +47,64 @@ def test_buffered_no_roads_returns_region():
     out = BufferedLineDifference(epsilon=1e-3).extract(rring, [])
     assert len(out) == 1
     assert abs(abs(shoelace_area(out[0])) - abs(shoelace_area(rring))) < 1e-9
+
+
+# --- DJI golden: buffered strategy on the reference's own geometry ------
+# The reference ships only the block OUTPUTS (example_data/blocks/.../
+# blocks_DJI.1.1_1.csv), each ε-inset by its buffered-difference run, so
+# the original road arrangement is not reconstructible exactly.  The
+# golden instead exercises BufferedLineDifference on the reference's own
+# real-world polygons (concave, collinear runs, 80-180 vertices): cut
+# each with a bbox-spanning cross of chords and check (a) strategy parity
+# with IntersectionPolygonization on face count, (b) the polygonized
+# faces tile the region exactly, (c) the buffered deficit is the ε-strip
+# of the cuts — the defining property of region − buffer(lines, ε)
+# (reference blocks/_methods.py:17-40, ε=5e-6).
+
+DJI_BLOCKS = ("/root/reference/example_data/blocks/Africa/DJI/"
+              "blocks_DJI.1.1_1.csv")
+
+
+def _dji_rings():
+    import pandas as pd
+
+    df = pd.read_csv(DJI_BLOCKS)
+
+    def parse(w):
+        ring = w[w.index("((") + 2:].split(")")[0]
+        return np.array([[float(x) for x in p.split()]
+                         for p in ring.split(",")])
+
+    rings = {b: parse(w) for b, w in zip(df["block_id"], df["geometry"])}
+    cand = sorted(rings.items(),
+                  key=lambda kv: -abs(shoelace_area(kv[1])))
+    return [kv for kv in cand if len(kv[1]) < 200][:3]
+
+
+def test_buffered_dji_golden():
+    eps = 5e-6
+    for bid, r in _dji_rings():
+        minx, miny = r.min(axis=0)
+        maxx, maxy = r.max(axis=0)
+        cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+        lines = [np.array([[cx, miny - 1e-4], [cx, maxy + 1e-4]]),
+                 np.array([[minx - 1e-4, cy], [maxx + 1e-4, cy]])]
+        ip = IntersectionPolygonization().extract(r, lines)
+        bl = BufferedLineDifference(epsilon=eps).extract(r, lines)
+        assert len(ip) == len(bl) >= 3, bid
+        a_reg = abs(shoelace_area(r))
+        a_ip = sum(abs(shoelace_area(f)) for f in ip)
+        a_bl = sum(abs(shoelace_area(f)) for f in bl)
+        # polygonized faces tile the region exactly
+        assert abs(a_ip - a_reg) < 1e-11 + 1e-8 * a_reg, bid
+        # buffered faces lose exactly the ε-strip of the cuts
+        deficit = a_ip - a_bl
+        strip_ub = ((maxx - minx) + (maxy - miny) + 4e-4) * 2 * eps * 2
+        assert 0 < deficit < strip_ub, (bid, deficit, strip_ub)
+
+
+def test_default_strategy_matches_reference():
+    from prclz_ray.stages.blocks import (DEFAULT_EXTRACTION_METHOD,
+                                         BufferedLineDifference as B)
+    # reference default: blocks/_methods.py:109
+    assert DEFAULT_EXTRACTION_METHOD is B

@@ -153,3 +153,79 @@ def test_ipc_roundtrip_content_identity():
         .sort_values("a").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df.sort_values("a")
                                   .reset_index(drop=True))
+
+
+# ------------------------------------------------------- ESRI shapefile
+
+def test_shapefile_point_roundtrip(tmp_path):
+    base = str(tmp_path / "pts")
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "long_column_name_x": pa.array(["alpha", "beta", "gamma"]),
+        "score": pa.array([1.5, -2.25, 3.141592653589793]),
+        "flag": pa.array([True, False, True]),
+        "geometry": pa.array([wkb.point(1.0, 2.0),
+                              wkb.point(-3.5, 4.25),
+                              wkb.point(0.0, 0.0)],
+                             type=pa.binary())})
+    codecs.write_shapefile(tbl, base)
+    assert os.path.exists(base + ".shp")
+    assert os.path.exists(base + ".shx")
+    assert os.path.exists(base + ".dbf")
+    back = codecs.read_shapefile(base + ".shp").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # sidecar restores the >10-char name the DBF header truncated
+    assert list(back["long_column_name_x"]) == ["alpha", "beta",
+                                                "gamma"]
+    assert list(back["score"]) == [1.5, -2.25, 3.141592653589793]
+    assert list(back["flag"]) == [True, False, True]
+    xs, ys = wkb.points_xy(list(back["geometry"]))
+    assert list(xs) == [1.0, -3.5, 0.0]
+    assert list(ys) == [2.0, 4.25, 0.0]
+
+
+def test_shapefile_polygon_hole_and_line_roundtrip(tmp_path):
+    from prclz_ray.geom.core import shoelace_area
+
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                     dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+                    dtype=float)
+    base = str(tmp_path / "poly")
+    codecs.write_shapefile(pa.table({
+        "bid": pa.array([7], type=pa.int64()),
+        "geometry": pa.array([wkb.polygon([outer, hole])],
+                             type=pa.binary())}), base)
+    b = codecs.read_shapefile(base + ".shp").to_pandas()
+    kind, rings = wkb.decode(b["geometry"][0])
+    assert kind == wkb.POLYGON and len(rings) == 2
+    # engine convention restored: exterior CCW (+), hole CW (−)
+    assert shoelace_area(np.asarray(rings[0])) == 100.0
+    assert shoelace_area(np.asarray(rings[1])) == -4.0
+
+    line = np.array([[0, 0], [5, 5], [10, 0]], dtype=float)
+    lbase = str(tmp_path / "line")
+    codecs.write_shapefile(pa.table({
+        "lid": pa.array([1], type=pa.int64()),
+        "geometry": pa.array([wkb.linestring(line)],
+                             type=pa.binary())}), lbase)
+    lb = codecs.read_shapefile(lbase + ".shp").to_pandas()
+    k2, coords = wkb.decode(lb["geometry"][0])
+    assert k2 == wkb.LINESTRING
+    assert np.array_equal(np.asarray(coords), line)
+
+
+def test_shapefile_multipolygon_roundtrip(tmp_path):
+    a = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    c = np.array([[5, 5], [8, 5], [8, 8], [5, 8], [5, 5]], dtype=float)
+    h = np.array([[6, 6], [7, 6], [7, 7], [6, 7], [6, 6]], dtype=float)
+    base = str(tmp_path / "mp")
+    codecs.write_shapefile(pa.table({
+        "gid": pa.array([1], type=pa.int64()),
+        "geometry": pa.array([wkb.multipolygon([[a], [c, h]])],
+                             type=pa.binary())}), base)
+    b = codecs.read_shapefile(base + ".shp").to_pandas()
+    kind, polys = wkb.decode(b["geometry"][0])
+    assert kind == wkb.MULTIPOLYGON and len(polys) == 2
+    n_rings = sorted(len(p) for p in polys)
+    assert n_rings == [1, 2]       # the hole landed on its parent

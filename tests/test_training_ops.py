@@ -1448,3 +1448,38 @@ def test_trimmed_mean_exact_int_rounding():
         Q._read = orig
     assert int(out["n_kept"].iloc[0]) == 8
     assert int(out["trimmed_mean_micro"].iloc[0]) == 45000
+
+
+def test_jpeg_roundtrip_and_decode_stage():
+    """Baseline JFIF codec is REAL (numpy huffman + IDCT): smooth
+    images round-trip within quantization error, flat images exactly;
+    the decode stage flags JPEG payloads decoded=True end-to-end."""
+    from prclz_ray.stages import multimodal as M
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 4) % 256, (yy * 4) % 256,
+                    ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    buf = M.encode_jpeg(img)
+    assert buf[:2] == b"\xFF\xD8" and buf[-2:] == b"\xFF\xD9"
+    out = M.decode_jpeg(buf)
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 4.0
+
+    flat = np.full((24, 24, 3), 128, dtype=np.uint8)
+    assert np.array_equal(M.decode_jpeg(M.encode_jpeg(flat)), flat)
+
+    # decode stage: every other image a REAL JPEG, all images decode
+    tbl = M.synth_media_table(24, jpeg_every=2)
+    assert any(bytes(p)[:2] == b"\xFF\xD8"
+               for p in tbl["payload"].to_pylist())
+    out2 = M.decode_pipeline(rd.from_arrow(tbl),
+                             batch_size=8).to_pandas()
+    assert bool(out2.groupby("kind")["decoded"].all()["image"])
+    # non-baseline variants take the flagged fallback, not a crash
+    import struct
+    prog = buf.replace(struct.pack(">H", 0xFFC0),
+                       struct.pack(">H", 0xFFC2), 1)
+    dec = M.MediaDecoder()
+    _, ok = dec._decode(prog)
+    assert ok is False
