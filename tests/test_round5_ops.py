@@ -1,0 +1,203 @@
+"""Round-5 operator fixtures: the scale-test triple completion
+(Bartlett normal-theory, Fligner-Killeen normal-scores rank) and the
+Theta-method forecast.  Fixture style follows test_round4n_ops: tiny
+hand-built parquet tables with exactly-derivable statistics."""
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _customer_table(d, nations, balances):
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(len(nations))),
+                              type=pa.int64()),
+        "c_nationkey": pa.array(nations, type=pa.int64()),
+        "c_acctbal": pa.array(balances, type=pa.float64())}),
+        os.path.join(d, "customer.parquet"))
+
+
+def _orders_table(d, dates_prices):
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(len(dates_prices))),
+                               type=pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64(m + "T00:00:00", "us")
+             for m, _ in dates_prices]),
+        "o_totalprice": pa.array([v for _, v in dates_prices])}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_bartlett_equal_variances_zero(tmp_path):
+    """Two nations with IDENTICAL value multisets (shifted location):
+    group variances equal, so every ln sᵢ² equals ln Sp² and the χ²
+    numerator cancels exactly — chi2 = 0.  A location shift alone
+    cannot trigger the scale test."""
+    from prclz_ray.pipelines.queries import q_bartlett_nations
+    d = str(tmp_path)
+    _customer_table(d, [0] * 4 + [1] * 4,
+                    [0.0, 10.0, 20.0, 30.0,
+                     100.0, 110.0, 120.0, 130.0])
+    out = q_bartlett_nations(d).iloc[0]
+    assert int(out["k_groups"]) == 2
+    assert float(out["bartlett_chi2"]) == 0.0
+    assert float(out["correction_c"]) > 1.0
+
+
+def test_bartlett_unequal_variances_positive(tmp_path):
+    """One tight nation vs one 100x-spread nation: chi2 far from 0."""
+    from prclz_ray.pipelines.queries import q_bartlett_nations
+    d = str(tmp_path)
+    _customer_table(d, [0] * 4 + [1] * 4,
+                    [0.0, 1.0, 2.0, 3.0,
+                     0.0, 100.0, 200.0, 300.0])
+    out = q_bartlett_nations(d).iloc[0]
+    assert float(out["bartlett_chi2"]) > 10.0
+
+
+def test_fligner_killeen_identical_groups_zero(tmp_path):
+    """Identical deviation multisets in both nations: the per-group
+    mean normal scores coincide with the pooled mean, so X2 = 0."""
+    from prclz_ray.pipelines.queries import q_fligner_killeen_nations
+    d = str(tmp_path)
+    _customer_table(d, [0] * 5 + [1] * 5,
+                    [0.0, 10.0, 20.0, 30.0, 40.0,
+                     500.0, 510.0, 520.0, 530.0, 540.0])
+    out = q_fligner_killeen_nations(d).iloc[0]
+    assert int(out["k_groups"]) == 2
+    assert abs(float(out["fk_x2"])) < 1e-9
+
+
+def test_fligner_killeen_scale_shift_detected(tmp_path):
+    """A pure 50x scale difference (medians both inside their groups):
+    FK must light up while staying finite; and the all-tied guard
+    reports NULL."""
+    import pandas as pd
+
+    from prclz_ray.pipelines.queries import q_fligner_killeen_nations
+    d = str(tmp_path / "a")
+    os.makedirs(d)
+    _customer_table(d, [0] * 6 + [1] * 6,
+                    [0.0, 1.0, 2.0, 3.0, 4.0, 5.0,
+                     0.0, 50.0, 100.0, 150.0, 200.0, 250.0])
+    out = q_fligner_killeen_nations(d).iloc[0]
+    assert float(out["fk_x2"]) > 2.0
+
+    # all-tied data: every score identical, so the numerator is 0 —
+    # fk_x2 is exactly 0.0 (or NULL if the quantized V2 hits <= 0;
+    # both engines share the same mirrored chain either way)
+    d2 = str(tmp_path / "tied")
+    os.makedirs(d2)
+    _customer_table(d2, [0] * 3 + [1] * 3, [5.0] * 6)
+    out2 = q_fligner_killeen_nations(d2).iloc[0]
+    assert pd.isna(out2["fk_x2"]) or float(out2["fk_x2"]) == 0.0
+
+
+def test_theta_forecast_linear_ramp(tmp_path):
+    """Revenue rising exactly 100 cents/day over 8 days: the OLS slope
+    is exactly 100; SES(alpha=1/2) lags the last value by a computable
+    dyadic amount; the h-step forecasts step by b/2 = 50 cents."""
+    from prclz_ray.pipelines.queries import q_theta_forecast_revenue
+    d = str(tmp_path)
+    _orders_table(d, [(f"1995-01-{i + 1:02d}", 1.0 * (i + 1))
+                      for i in range(8)])
+    out = q_theta_forecast_revenue(d).iloc[0]
+    assert int(out["n_days"]) == 8
+    assert float(out["slope_cents_per_day"]) == 100.0
+    # SES level of 100..800: l = sum y_j w_j; exact dyadic value
+    w = np.where(np.arange(8) == 0, 0.5 ** 7,
+                 0.5 ** (8 - np.arange(8)))
+    exp_l = float((np.arange(1, 9) * 100.0 * w).sum())
+    assert abs(float(out["ses_level_cents"]) - exp_l) < 1e-6
+    assert abs(float(out["f4"]) - float(out["f1"]) - 150.0) < 1e-6
+    assert float(out["f7"]) > float(out["f1"])
+
+
+def _lineitem_table(d, orders_parts):
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([o for o, _ in orders_parts],
+                               type=pa.int64()),
+        "l_partkey": pa.array([p for _, p in orders_parts],
+                              type=pa.int64()),
+        "l_linenumber": pa.array(
+            list(range(1, len(orders_parts) + 1)), type=pa.int64())}),
+        os.path.join(d, "lineitem.parquet"))
+
+
+def _events_table(d, rows):
+    """rows: list of (user_id, ts_iso, event_type, value)."""
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))), type=pa.int64()),
+        "ts": pa.array([np.datetime64(t + "T00:00:00", "us")
+                        for _, t, _, _ in rows]),
+        "user_id": pa.array([u for u, _, _, _ in rows],
+                            type=pa.int64()),
+        "event_type": pa.array([e for _, _, e, _ in rows]),
+        "value": pa.array([v for _, _, _, v in rows],
+                          type=pa.float64())}),
+        os.path.join(d, "events.parquet"))
+
+
+def test_association_rules_perfect_confidence(tmp_path):
+    """Part 2 appears ONLY alongside part 1 (3 baskets of {1,2}),
+    part 1 also appears alone (2 baskets): rule 2→1 has confidence
+    exactly 1 and lift = n_orders/n_1 = 6/5; rule 1→2 has confidence
+    3/5."""
+    from prclz_ray.pipelines.queries import q_association_rules_parts
+    d = str(tmp_path)
+    baskets = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2),
+               (4, 1), (5, 1), (6, 99)]
+    _lineitem_table(d, baskets)
+    out = q_association_rules_parts(d)
+    r21 = out[(out.antecedent == 2) & (out.consequent == 1)].iloc[0]
+    assert float(r21["confidence"]) == 1.0
+    assert float(r21["lift"]) == round(6 / 5, 6)
+    r12 = out[(out.antecedent == 1) & (out.consequent == 2)].iloc[0]
+    assert float(r12["confidence"]) == 0.6
+
+
+def test_mann_whitney_separated_and_identical(tmp_path):
+    """Clicks all strictly below purchases: U_click = 0 (no purchase
+    precedes any click... i.e. every comparison favors purchase), z
+    strongly negative.  Identical value multisets: U = n1·n2/2
+    exactly and z = 0."""
+    from prclz_ray.pipelines.queries import q_mann_whitney_value
+    d = str(tmp_path / "sep")
+    os.makedirs(d)
+    rows = [(1, "1995-01-01", "click", float(v))
+            for v in (1, 2, 3, 4, 5)] + \
+           [(1, "1995-01-01", "purchase", float(v))
+            for v in (10, 11, 12, 13, 14)]
+    _events_table(d, rows)
+    out = q_mann_whitney_value(d).iloc[0]
+    assert float(out["u_click"]) == 0.0
+    assert float(out["z"]) < -2.0
+
+    d2 = str(tmp_path / "same")
+    os.makedirs(d2)
+    rows2 = [(1, "1995-01-01", "click", float(v))
+             for v in (1, 2, 3)] + \
+            [(1, "1995-01-01", "purchase", float(v))
+             for v in (1, 2, 3)]
+    _events_table(d2, rows2)
+    out2 = q_mann_whitney_value(d2).iloc[0]
+    assert float(out2["u_click"]) == 4.5      # n1 n2 / 2
+    assert float(out2["z"]) == 0.0
+
+
+def test_markov_stationary_two_state_cycle(tmp_path):
+    """One user alternating a→b→a→b…: P is the swap matrix, and an
+    EVEN number of power iterations returns the uniform start, odd
+    swaps it — from uniform both give exactly (0.5, 0.5), the true
+    stationary vector."""
+    from prclz_ray.pipelines.queries import q_markov_stationary_events
+    d = str(tmp_path)
+    rows = []
+    for i in range(10):
+        rows.append((1, f"1995-01-{i + 1:02d}",
+                     "a" if i % 2 == 0 else "b", 1.0))
+    _events_table(d, rows)
+    out = q_markov_stationary_events(d)
+    assert list(out["state"]) == ["a", "b"]
+    assert list(out["pi3"]) == [0.5, 0.5]
