@@ -138,6 +138,11 @@ BENCH_QUERIES = [
     "bornhuetter_ferguson",
     "brunner_munzel_value",
     "weibull_mrr_latency",
+    # round-5 representatives: basket rules (pair kernel + rule
+    # metrics), two-sample ECDF gap, format-roundtrip geometry parity
+    "association_rules_parts",
+    "ks_two_sample_value",
+    "shapefile_source_stats",
 ]
 
 

@@ -201,3 +201,75 @@ def test_markov_stationary_two_state_cycle(tmp_path):
     out = q_markov_stationary_events(d)
     assert list(out["state"]) == ["a", "b"]
     assert list(out["pi3"]) == [0.5, 0.5]
+
+
+def test_ks_two_sample_exact_separation(tmp_path):
+    """Disjoint supports: at the boundary F_click = 1, F_purchase = 0,
+    so D = 1 exactly (numerator = n1*n2).  Identical multisets: D = 0."""
+    from prclz_ray.pipelines.queries import q_ks_two_sample_value
+    d = str(tmp_path / "sep")
+    os.makedirs(d)
+    rows = [(1, "1995-01-01", "click", float(v)) for v in (1, 2, 3)] \
+        + [(1, "1995-01-01", "purchase", float(v))
+           for v in (10, 11, 12, 13)]
+    _events_table(d, rows)
+    out = q_ks_two_sample_value(d).iloc[0]
+    assert int(out["d_numerator"]) == 12       # n1*n2
+    assert float(out["ks_d"]) == 1.0
+
+    d2 = str(tmp_path / "same")
+    os.makedirs(d2)
+    rows2 = [(1, "1995-01-01", g, float(v))
+             for g in ("click", "purchase") for v in (1, 2, 3)]
+    _events_table(d2, rows2)
+    out2 = q_ks_two_sample_value(d2).iloc[0]
+    assert float(out2["ks_d"]) == 0.0
+
+
+def test_tukey_hsd_one_shifted_nation(tmp_path):
+    """Three nations, two identical and one shifted by a constant:
+    the two pairs involving the shifted nation share the same q (equal
+    n and equal mean gap), the identical pair has q = 0 — and the
+    shifted pairs rank first."""
+    from prclz_ray.pipelines.queries import q_tukey_hsd_nations
+    d = str(tmp_path)
+    _customer_table(d, [0] * 4 + [1] * 4 + [2] * 4,
+                    [0.0, 1.0, 2.0, 3.0,
+                     0.0, 1.0, 2.0, 3.0,
+                     100.0, 101.0, 102.0, 103.0])
+    out = q_tukey_hsd_nations(d)
+    top2 = out.head(2)
+    assert set(map(tuple, top2[["nation_a", "nation_b"]]
+                   .to_numpy())) == {(0, 2), (1, 2)}
+    assert float(top2["q_stat"].iloc[0]) \
+        == float(top2["q_stat"].iloc[1])
+    z = out[(out.nation_a == 0) & (out.nation_b == 1)]
+    assert float(z["q_stat"].iloc[0]) == 0.0
+
+
+def test_divergence_panel_extremes(tmp_path):
+    """Identical histograms: TV = JSD = 0 and Hellinger = 0.  Widely
+    disjoint supports (separate bins): TV = 1, Hellinger = 1,
+    JSD = ln 2."""
+    import math
+
+    from prclz_ray.pipelines.queries import q_divergence_panel_value
+    d = str(tmp_path / "same")
+    os.makedirs(d)
+    rows = [(1, "1995-01-01", g, float(v))
+            for g in ("click", "purchase") for v in (1, 2, 3, 4)]
+    _events_table(d, rows)
+    out = q_divergence_panel_value(d).iloc[0]
+    assert float(out["total_variation"]) == 0.0
+    assert float(out["hellinger"]) == 0.0
+    assert float(out["jsd_nats"]) == 0.0
+
+    d2 = str(tmp_path / "disj")
+    os.makedirs(d2)
+    rows2 = [(1, "1995-01-01", "click", 1.0),
+             (1, "1995-01-01", "purchase", 1000.0)]
+    _events_table(d2, rows2)
+    out2 = q_divergence_panel_value(d2).iloc[0]
+    assert float(out2["total_variation"]) == 1.0
+    assert float(out2["hellinger"]) == 1.0
+    assert abs(float(out2["jsd_nats"]) - math.log(2.0)) < 1e-6
