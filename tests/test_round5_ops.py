@@ -273,3 +273,97 @@ def test_divergence_panel_extremes(tmp_path):
     assert float(out2["total_variation"]) == 1.0
     assert float(out2["hellinger"]) == 1.0
     assert abs(float(out2["jsd_nats"]) - math.log(2.0)) < 1e-6
+
+
+def _customer_seg_table(d, nations, segments):
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(len(nations))),
+                              type=pa.int64()),
+        "c_nationkey": pa.array(nations, type=pa.int64()),
+        "c_mktsegment": pa.array(segments)}),
+        os.path.join(d, "customer.parquet"))
+
+
+def test_g_test_independent_and_dependent(tmp_path):
+    """A product table (every nation has the same segment mix):
+    O = E in every cell so G = 0 exactly.  A diagonal table (each
+    nation locked to its own segment): G = 2·N·ln(k) for k nations
+    of equal size — pinned from the closed form."""
+    import math
+
+    from prclz_ray.pipelines.queries import q_g_test_nation_segment
+    d = str(tmp_path / "ind")
+    os.makedirs(d)
+    nations, segs = [], []
+    for nk in (0, 1):
+        for sg in ("A", "B"):
+            for _ in range(3):
+                nations.append(nk)
+                segs.append(sg)
+    _customer_seg_table(d, nations, segs)
+    out = q_g_test_nation_segment(d).iloc[0]
+    assert float(out["g_stat"]) == 0.0
+    assert int(out["dof"]) == 1
+
+    d2 = str(tmp_path / "diag")
+    os.makedirs(d2)
+    _customer_seg_table(d2, [0] * 4 + [1] * 4,
+                        ["A"] * 4 + ["B"] * 4)
+    out2 = q_g_test_nation_segment(d2).iloc[0]
+    assert abs(float(out2["g_stat"]) - 2 * 8 * math.log(2)) < 1e-6
+
+
+def test_beta_binomial_shrinkage_pulls_small_samples(tmp_path):
+    """A 1/1 user (raw rate 1.0) must rank BELOW a 90/100 user after
+    shrinkage toward the corpus prior — the whole point of EB."""
+    from prclz_ray.pipelines.queries import (
+        q_beta_binomial_shrinkage_users)
+    d = str(tmp_path)
+    rows = []
+    # 20 background users with ~30% purchase rate over 10 events
+    for u in range(20):
+        for i in range(10):
+            rows.append((u, "1995-01-01",
+                         "purchase" if i < 3 + (u % 3) else "click",
+                         1.0))
+    # the fluke: 1 event, 1 purchase
+    rows.append((100, "1995-01-01", "purchase", 1.0))
+    # the real signal: 90 purchases in 100 events
+    for i in range(100):
+        rows.append((200, "1995-01-01",
+                     "purchase" if i < 90 else "click", 1.0))
+    _events_table(d, rows)
+    out = q_beta_binomial_shrinkage_users(d)
+    assert float(out["alpha"].iloc[0]) > 0
+    top = int(out["user_id"].iloc[0])
+    assert top == 200
+    fluke = out[out["user_id"] == 100]
+    if len(fluke):
+        assert float(fluke["shrunk_rate"].iloc[0]) \
+            < float(out[out["user_id"] == 200]
+                    ["shrunk_rate"].iloc[0])
+
+
+def test_huber_location_resists_outlier(tmp_path):
+    """A cluster at ~100 dollars plus one 100000-dollar outlier: the
+    mean flies to ~4k, the Huber estimate stays inside the cluster's
+    span (the 1.345-MAD psi caps the outlier's pull)."""
+    from prclz_ray.pipelines.queries import q_huber_location_acctbal
+    d = str(tmp_path)
+    vals = [98.0, 99.0, 100.0, 100.0, 101.0, 102.0, 99.5, 100.5,
+            101.5, 98.5, 99.25, 100.75, 97.0, 103.0, 96.5, 103.5,
+            95.0, 105.0, 94.0, 106.0, 93.0, 107.0, 92.0, 108.0,
+            100000.0]
+    _customer_table(d, [0] * len(vals), vals)
+    out = q_huber_location_acctbal(d).iloc[0]
+    mu = float(out["huber_mu_cents"]) / 100.0
+    assert 92.0 < mu < 120.0
+    assert int(out["median_cents"]) == 10000
+
+    # majority-tied guard: MAD = 0 reports the median itself
+    d2 = str(tmp_path / "tied")
+    os.makedirs(d2)
+    _customer_table(d2, [0] * 5, [7.0] * 4 + [9.0])
+    out2 = q_huber_location_acctbal(d2).iloc[0]
+    assert int(out2["mad_cents"]) == 0
+    assert float(out2["huber_mu_cents"]) == 700.0
