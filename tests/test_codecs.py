@@ -229,3 +229,60 @@ def test_shapefile_multipolygon_roundtrip(tmp_path):
     assert kind == wkb.MULTIPOLYGON and len(polys) == 2
     n_rings = sorted(len(p) for p in polys)
     assert n_rings == [1, 2]       # the hole landed on its parent
+
+
+# ---------------------------------------------------------- OSM PBF
+
+def test_osm_pbf_roundtrip_filter_and_coords(tmp_path):
+    """In-repo PBF writer → reader roundtrip on REAL wire format
+    (varint framing, zlib blobs, dense-node delta streams): the
+    reference's extract filter keeps highway/waterway/coastline ways
+    and drops buildings; coordinates survive the 1e-7 granularity
+    exactly for 1e-3-grid inputs."""
+    from prclz_ray.io import osmpbf
+
+    nodes = {1: (43.10, 11.50), 2: (43.11, 11.51),
+             3: (43.12, 11.52), 4: (43.13, 11.50)}
+    ways = [(100, {"highway": "primary", "name": "Main St"},
+             [1, 2, 3]),
+            (101, {"natural": "coastline"}, [3, 4]),
+            (102, {"building": "yes"}, [1, 4]),
+            (103, {"waterway": "river"}, [2, 4])]
+    p = str(tmp_path / "t.osm.pbf")
+    osmpbf.write_osm_pbf(p, nodes, ways)
+    df = osmpbf.read_osm_pbf(p).to_pandas() \
+        .sort_values("osm_id").reset_index(drop=True)
+    assert list(df["osm_id"]) == ["100", "101", "103"]  # 102 dropped
+    assert df.loc[0, "highway"] == "primary"
+    assert df.loc[0, "name"] == "Main St"
+    assert df.loc[1, "natural"] == "coastline"
+    assert df.loc[2, "waterway"] == "river"
+    k, coords = wkb.decode(df.loc[0, "geometry"])
+    assert k == wkb.LINESTRING
+    assert np.allclose(np.asarray(coords),
+                       [[43.10, 11.50], [43.11, 11.51],
+                        [43.12, 11.52]], atol=1e-7)
+
+    # uncompressed blob variant parses identically
+    p2 = str(tmp_path / "raw.osm.pbf")
+    osmpbf.write_osm_pbf(p2, nodes, ways, compress=False)
+    df2 = osmpbf.read_osm_pbf(p2).to_pandas()
+    assert len(df2) == 3
+
+
+def test_osm_pbf_negative_coords_and_delta(tmp_path):
+    """Zigzag delta coding must survive negative and descending
+    coordinates (southern/western hemispheres)."""
+    from prclz_ray.io import osmpbf
+
+    nodes = {10: (-122.4194, 37.7749), 11: (-122.4180, 37.7740),
+             12: (-0.1278, -51.5074)}
+    ways = [(7, {"highway": "residential"}, [12, 10, 11])]
+    p = str(tmp_path / "neg.osm.pbf")
+    osmpbf.write_osm_pbf(p, nodes, ways)
+    df = osmpbf.read_osm_pbf(p).to_pandas()
+    _, coords = wkb.decode(df.loc[0, "geometry"])
+    assert np.allclose(np.asarray(coords),
+                       [[-0.1278, -51.5074],
+                        [-122.4194, 37.7749],
+                        [-122.4180, 37.7740]], atol=1e-7)
