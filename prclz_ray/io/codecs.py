@@ -435,10 +435,13 @@ def _shp_geom(shape_type: int, body: bytes):
 
 def _read_dbf(path: str) -> dict:
     """dBASE III attribute table → {column: list} (C/N/F/L types)."""
+    with open(path, "rb") as f:
+        return _read_dbf_bytes(f.read())
+
+
+def _read_dbf_bytes(raw: bytes) -> dict:
     import struct
 
-    with open(path, "rb") as f:
-        raw = f.read()
     nrec, hdrlen, reclen = struct.unpack_from("<IHH", raw, 4)
     fields = []
     off = 32
@@ -471,48 +474,78 @@ def _read_dbf(path: str) -> dict:
     return cols
 
 
+def _shp_table(shp_raw: bytes, dbf_raw: bytes | None,
+               names_raw: bytes | None) -> pa.Table:
+    """Parse one shapefile unit (raw .shp + optional .dbf +
+    optional names-sidecar bytes) into an Arrow block."""
+    import struct
+
+    (code,) = struct.unpack_from(">i", shp_raw, 0)
+    assert code == 9994, "not a shapefile"
+    geoms = []
+    off = 100
+    while off < len(shp_raw):
+        _, clen = struct.unpack_from(">ii", shp_raw, off)
+        (stype,) = struct.unpack_from("<i", shp_raw, off + 8)
+        geoms.append(_shp_geom(stype,
+                               shp_raw[off + 12:off + 8 + 2 * clen]))
+        off += 8 + 2 * clen
+    cols = {}
+    if dbf_raw is not None:
+        cols = _read_dbf_bytes(dbf_raw)
+    if names_raw is not None:
+        # sidecar written by write_shapefile for names the 10-char
+        # DBF limit truncated
+        longnames = json.loads(names_raw)
+        cols = {longnames.get(k, k): v for k, v in cols.items()}
+    cols["geometry"] = geoms
+    return pa.table({
+        k: pa.array(v, type=pa.binary())
+        if k == "geometry" else pa.array(v)
+        for k, v in cols.items()})
+
+
 def read_shapefile(paths):
     """Shapefile source: block-parallel over the file list (one task
-    per .shp, same shape as ``read_orc``) — each task parses its .shp
-    records + sibling .dbf attributes into one Arrow block with a
-    ``geometry: binary`` (WKB) column."""
+    per .shp or .zip, same shape as ``read_orc``) — each task parses
+    its .shp records + sibling .dbf attributes into one Arrow block
+    with a ``geometry: binary`` (WKB) column.  A ``.zip`` path is the
+    reference's shapefile-in-zip input
+    (``scripts/split-buildings/split_buildings.py:85-161``): every
+    ``.shp`` member inside is parsed with its in-archive siblings."""
     import ray.data as rd
 
     if isinstance(paths, str):
         paths = [paths]
     files = sorted(p[:-4] if p.endswith(".shp") else p for p in paths)
 
+    def _read_opt(path):
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return f.read()
+        return None
+
     def load(t: pa.Table) -> pa.Table:
-        import struct
         out = []
         for base in t["base"].to_pylist():
-            with open(base + ".shp", "rb") as f:
-                raw = f.read()
-            (code,) = struct.unpack_from(">i", raw, 0)
-            assert code == 9994, f"not a shapefile: {base}.shp"
-            geoms = []
-            off = 100
-            while off < len(raw):
-                _, clen = struct.unpack_from(">ii", raw, off)
-                (stype,) = struct.unpack_from("<i", raw, off + 8)
-                geoms.append(_shp_geom(stype,
-                                       raw[off + 12:off + 8 + 2 * clen]))
-                off += 8 + 2 * clen
-            cols = {}
-            if os.path.exists(base + ".dbf"):
-                cols = _read_dbf(base + ".dbf")
-            if os.path.exists(base + ".names.json"):
-                # sidecar written by write_shapefile for names the
-                # 10-char DBF limit truncated
-                with open(base + ".names.json") as fh:
-                    longnames = json.load(fh)
-                cols = {longnames.get(k, k): v
-                        for k, v in cols.items()}
-            cols["geometry"] = geoms
-            out.append(pa.table({
-                k: pa.array(v, type=pa.binary())
-                if k == "geometry" else pa.array(v)
-                for k, v in cols.items()}))
+            if base.endswith(".zip"):
+                import zipfile
+                with zipfile.ZipFile(base) as zf:
+                    names = set(zf.namelist())
+                    for m in sorted(names):
+                        if not m.endswith(".shp"):
+                            continue
+                        stem = m[:-4]
+                        dbf = zf.read(stem + ".dbf") \
+                            if stem + ".dbf" in names else None
+                        side = zf.read(stem + ".names.json") \
+                            if stem + ".names.json" in names else None
+                        out.append(_shp_table(zf.read(m), dbf, side))
+            else:
+                out.append(_shp_table(
+                    open(base + ".shp", "rb").read(),
+                    _read_opt(base + ".dbf"),
+                    _read_opt(base + ".names.json")))
         return pa.concat_tables(out) if out else pa.table({})
 
     return rd.from_arrow(pa.table({"base": pa.array(files)})) \

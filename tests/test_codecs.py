@@ -286,3 +286,31 @@ def test_osm_pbf_negative_coords_and_delta(tmp_path):
                        [[-0.1278, -51.5074],
                         [-122.4194, 37.7749],
                         [-122.4180, 37.7740]], atol=1e-7)
+
+
+def test_shapefile_in_zip(tmp_path):
+    """The reference's shapefile-in-zip input: .shp/.dbf members parse
+    straight from the archive, multiple shapefiles per zip concat."""
+    import zipfile
+
+    base1 = str(tmp_path / "a")
+    codecs.write_shapefile(pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "geometry": pa.array([wkb.point(1.0, 2.0),
+                              wkb.point(3.0, 4.0)],
+                             type=pa.binary())}), base1)
+    base2 = str(tmp_path / "b")
+    codecs.write_shapefile(pa.table({
+        "id": pa.array([7], type=pa.int64()),
+        "geometry": pa.array([wkb.point(9.0, 9.0)],
+                             type=pa.binary())}), base2)
+    zp = str(tmp_path / "both.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for b in (base1, base2):
+            for ext in (".shp", ".shx", ".dbf"):
+                zf.write(b + ext, os.path.basename(b) + ext)
+    df = codecs.read_shapefile(zp).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(df["id"]) == [1, 2, 7]
+    xs, ys = wkb.points_xy(list(df["geometry"]))
+    assert list(xs) == [1.0, 3.0, 9.0]
