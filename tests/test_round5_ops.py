@@ -367,3 +367,84 @@ def test_huber_location_resists_outlier(tmp_path):
     out2 = q_huber_location_acctbal(d2).iloc[0]
     assert int(out2["mad_cents"]) == 0
     assert float(out2["huber_mu_cents"]) == 700.0
+
+
+def test_yule_walker_exact_ar_signatures(tmp_path):
+    """A period-2 alternating series has rho1 ≈ −1, and the AR(2)
+    fit pins phi close to the (rho1, rho2) = (−1, 1) pole; a linear
+    ramp has rho1 near 1 with phi1 + phi2 ≈ 1."""
+    from prclz_ray.pipelines.queries import q_yule_walker_ar2_revenue
+    d = str(tmp_path / "alt")
+    os.makedirs(d)
+    _orders_table(d, [(f"1995-01-{i + 1:02d}",
+                       10.0 if i % 2 == 0 else 20.0)
+                      for i in range(20)])
+    out = q_yule_walker_ar2_revenue(d).iloc[0]
+    assert float(out["rho1"]) < -0.8
+    assert float(out["rho2"]) > 0.6
+
+    d2 = str(tmp_path / "ramp")
+    os.makedirs(d2)
+    _orders_table(d2, [(f"1995-01-{i + 1:02d}", 1.0 * (i + 1))
+                       for i in range(20)])
+    out2 = q_yule_walker_ar2_revenue(d2).iloc[0]
+    assert float(out2["rho1"]) > 0.7
+
+    # constant series: c0 = 0 → NULLs by stated convention
+    import pandas as pd
+    d3 = str(tmp_path / "const")
+    os.makedirs(d3)
+    _orders_table(d3, [(f"1995-01-{i + 1:02d}", 5.0)
+                       for i in range(10)])
+    out3 = q_yule_walker_ar2_revenue(d3).iloc[0]
+    assert pd.isna(out3["rho1"])
+
+
+def test_point_biserial_signatures(tmp_path):
+    """F-orders all above O-orders by a constant: r_pb positive and
+    large; identical distributions: r_pb = 0 exactly."""
+    import pyarrow.parquet as pq_
+
+    from prclz_ray.pipelines.queries import (
+        q_point_biserial_status_price)
+
+    def orders_status(d, statuses, prices):
+        pq_.write_table(pa.table({
+            "o_orderkey": pa.array(list(range(len(statuses))),
+                                   type=pa.int64()),
+            "o_orderstatus": pa.array(statuses),
+            "o_totalprice": pa.array(prices)}),
+            os.path.join(d, "orders.parquet"))
+
+    d = str(tmp_path / "sep")
+    os.makedirs(d)
+    orders_status(d, ["F"] * 5 + ["O"] * 5,
+                  [100.0, 110.0, 120.0, 130.0, 140.0,
+                   10.0, 20.0, 30.0, 40.0, 50.0])
+    out = q_point_biserial_status_price(d).iloc[0]
+    assert float(out["r_pb"]) > 0.8
+
+    d2 = str(tmp_path / "same")
+    os.makedirs(d2)
+    orders_status(d2, ["F"] * 3 + ["O"] * 3,
+                  [10.0, 20.0, 30.0, 10.0, 20.0, 30.0])
+    out2 = q_point_biserial_status_price(d2).iloc[0]
+    assert float(out2["r_pb"]) == 0.0
+
+
+def test_eigenvector_centrality_star(tmp_path):
+    """On the synthetic 3-out-link topology over a small doc set the
+    scores are a probability vector (sum 1 within round-9 noise) and
+    strictly positive mass lands only on linked-to nodes."""
+    import pyarrow.parquet as pq_
+
+    from prclz_ray.pipelines.queries import (
+        q_eigenvector_centrality_links)
+    d = str(tmp_path)
+    pq_.write_table(pa.table({
+        "doc_id": pa.array(list(range(30)), type=pa.int64())}),
+        os.path.join(d, "documents.parquet"))
+    out = q_eigenvector_centrality_links(d)
+    assert len(out) == 20
+    assert (out["eigencentrality"] >= 0).all()
+    assert float(out["eigencentrality"].iloc[0]) > 1.0 / 30
