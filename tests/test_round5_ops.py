@@ -448,3 +448,57 @@ def test_eigenvector_centrality_star(tmp_path):
     assert len(out) == 20
     assert (out["eigencentrality"] >= 0).all()
     assert float(out["eigencentrality"].iloc[0]) > 1.0 / 30
+
+
+def test_cumulative_incidence_partition(tmp_path):
+    """Two users: one purchases on day 2, one errors on day 3 (both
+    entered day 0).  CIF_purchase jumps to 1/2 at t=2 (S(t−)=1,
+    d/r = 1/2); CIF_error reaches 1/2·1 at t=3 (S(3−)=1/2, d/r=1/1)
+    — and the two CIFs sum to 1 when everyone fails."""
+    from prclz_ray.pipelines.queries import (
+        q_cumulative_incidence_events)
+    d = str(tmp_path)
+    rows = [(1, "1995-01-01", "view", 1.0),
+            (1, "1995-01-03", "purchase", 1.0),
+            (2, "1995-01-01", "view", 1.0),
+            (2, "1995-01-04", "error", 1.0)]
+    _events_table(d, rows)
+    out = q_cumulative_incidence_events(d)
+    assert list(out["t_days"]) == [2, 3]
+    assert float(out.loc[0, "cif_purchase"]) == 0.5
+    assert float(out.loc[0, "cif_error"]) == 0.0
+    assert float(out.loc[1, "cif_error"]) == 0.5
+    assert float(out.loc[1, "cif_purchase"]) == 0.5
+
+
+def test_mcf_recurrent_simple(tmp_path):
+    """Two users fully observed over [0, 4]; purchases at days 1, 2
+    (user 1) and day 2 (user 2): MCF steps 1/2 then 1/2 + 2/2 = 1.5
+    with both users at risk throughout."""
+    from prclz_ray.pipelines.queries import q_mcf_recurrent_purchases
+    d = str(tmp_path)
+    rows = [(1, "1995-01-01", "view", 1.0),
+            (1, "1995-01-02", "purchase", 1.0),
+            (1, "1995-01-03", "purchase", 1.0),
+            (1, "1995-01-05", "view", 1.0),
+            (2, "1995-01-01", "view", 1.0),
+            (2, "1995-01-03", "purchase", 1.0),
+            (2, "1995-01-05", "view", 1.0)]
+    _events_table(d, rows)
+    out = q_mcf_recurrent_purchases(d)
+    assert list(out["t_days"]) == [1, 2]
+    assert float(out.loc[0, "mcf"]) == 0.5
+    assert float(out.loc[1, "mcf"]) == 1.5
+    assert list(out["at_risk"]) == [2, 2]
+
+
+def test_fowlkes_mallows_bounds(tmp_path):
+    """FM over the memoized LangId confusion on real sf0.001 data
+    sits in (0, 1] and equals 1 iff the clustering is perfect — the
+    langid classifier is good but imperfect, so strictly inside."""
+    from prclz_ray.pipelines.queries import q_fowlkes_mallows_langid
+    out = q_fowlkes_mallows_langid("/root/testdata/sf0.001").iloc[0]
+    fm = float(out["fowlkes_mallows"])
+    assert 0.0 < fm <= 1.0
+    assert int(out["pairs_both"]) <= int(out["pairs_true"])
+    assert int(out["pairs_both"]) <= int(out["pairs_pred"])
