@@ -502,3 +502,45 @@ def test_fowlkes_mallows_bounds(tmp_path):
     assert 0.0 < fm <= 1.0
     assert int(out["pairs_both"]) <= int(out["pairs_true"])
     assert int(out["pairs_both"]) <= int(out["pairs_pred"])
+
+
+def _lineitem_qty_table(d, rows):
+    """rows: list of (orderkey, linenumber, quantity, price)."""
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in rows],
+                                 type=pa.int64()),
+        "l_quantity": pa.array([float(r[2]) for r in rows]),
+        "l_extendedprice": pa.array([float(r[3]) for r in rows])}),
+        os.path.join(d, "lineitem.parquet"))
+
+
+def test_horvitz_thompson_unbiased_shape(tmp_path):
+    """With every row forced into the sample (quantity 100 ⇒ π = 1
+    under h % 1000 < 10·q), HT equals the true total EXACTLY."""
+    from prclz_ray.pipelines.queries import q_horvitz_thompson_lineitem
+    d = str(tmp_path)
+    _lineitem_qty_table(d, [(i, 1, 100, 10.0 * (i + 1))
+                            for i in range(20)])
+    out = q_horvitz_thompson_lineitem(d).iloc[0]
+    assert int(out["n_sampled"]) == 20
+    assert float(out["ht_estimate_cents"]) \
+        == float(out["true_total_cents"])
+    assert float(out["rel_err"]) == 0.0
+
+
+def test_ratio_estimator_exact_under_proportionality(tmp_path):
+    """y exactly proportional to x (price = 2·quantity dollars):
+    the ratio estimator reproduces the true total EXACTLY whatever
+    rows the hash sample picked — the defining property; GREG
+    (fitting the same line) matches it."""
+    from prclz_ray.pipelines.queries import (
+        q_ratio_regression_estimators)
+    d = str(tmp_path)
+    _lineitem_qty_table(d, [(i, 1, (i % 7) + 1, 2.0 * ((i % 7) + 1))
+                            for i in range(200)])
+    out = q_ratio_regression_estimators(d).iloc[0]
+    assert int(out["n_sampled"]) > 0
+    assert float(out["ratio_rel_err"]) == 0.0
+    # GREG fits a perfect line through the same points
+    assert float(out["greg_rel_err"]) < 1e-9
