@@ -544,3 +544,80 @@ def test_ratio_estimator_exact_under_proportionality(tmp_path):
     assert float(out["ratio_rel_err"]) == 0.0
     # GREG fits a perfect line through the same points
     assert float(out["greg_rel_err"]) < 1e-9
+
+
+def _orders_epi_table(d, rows):
+    """rows: list of (iso_date, priority, status)."""
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(len(rows))),
+                               type=pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64(m + "T00:00:00", "us")
+             for m, _, _ in rows]),
+        "o_orderpriority": pa.array([p for _, p, _ in rows]),
+        "o_orderstatus": pa.array([s for _, _, s in rows])}),
+        os.path.join(d, "orders.parquet"))
+
+
+def test_epi_2x2_null_and_signal(tmp_path):
+    """Outcome independent of exposure (same F-rate both arms):
+    OR = RR = 1 and RD = 0 exactly, CIs straddling the null.  A
+    strong association pushes OR and RR far above 1."""
+    from prclz_ray.pipelines.queries import q_epi_2x2_orders
+    d = str(tmp_path / "null")
+    os.makedirs(d)
+    rows = []
+    for pr in ("1-URGENT", "5-LOW"):
+        for st, k in (("F", 4), ("O", 4)):
+            rows += [("1995-02-01", pr, st)] * k
+    _orders_epi_table(d, rows)
+    out = q_epi_2x2_orders(d).iloc[0]
+    assert float(out["odds_ratio"]) == 1.0
+    assert float(out["relative_risk"]) == 1.0
+    assert float(out["risk_diff"]) == 0.0
+    assert float(out["or_lo"]) < 1.0 < float(out["or_hi"])
+
+    d2 = str(tmp_path / "sig")
+    os.makedirs(d2)
+    rows2 = [("1995-02-01", "1-URGENT", "F")] * 9 \
+        + [("1995-02-01", "1-URGENT", "O")] * 1 \
+        + [("1995-02-01", "5-LOW", "F")] * 1 \
+        + [("1995-02-01", "5-LOW", "O")] * 9
+    _orders_epi_table(d2, rows2)
+    out2 = q_epi_2x2_orders(d2).iloc[0]
+    assert float(out2["odds_ratio"]) == 81.0
+    assert float(out2["relative_risk"]) == 9.0
+
+
+def test_breslow_day_homogeneous_zero(tmp_path):
+    """Two years with the IDENTICAL 2×2 table: the common OR fits
+    both strata perfectly, observed = expected in each, BD χ² ≈ 0."""
+    from prclz_ray.pipelines.queries import q_breslow_day_orders
+    d = str(tmp_path)
+    rows = []
+    for y in ("1994", "1995"):
+        rows += [(f"{y}-02-01", "1-URGENT", "F")] * 6
+        rows += [(f"{y}-02-01", "1-URGENT", "O")] * 2
+        rows += [(f"{y}-02-01", "5-LOW", "F")] * 3
+        rows += [(f"{y}-02-01", "5-LOW", "O")] * 5
+    _orders_epi_table(d, rows)
+    out = q_breslow_day_orders(d).iloc[0]
+    assert int(out["k_strata"]) == 2
+    assert abs(float(out["bd_chi2"])) < 1e-4
+    assert abs(float(out["or_mh"]) - 5.0) < 0.01   # (6*5)/(2*3)
+
+
+def test_peto_null_is_one(tmp_path):
+    """Independence in every stratum: O = E, so Σ(O−E) = 0 and the
+    Peto OR is exactly 1."""
+    from prclz_ray.pipelines.queries import q_peto_log_odds_orders
+    d = str(tmp_path)
+    rows = []
+    for y in ("1994", "1995"):
+        for pr in ("1-URGENT", "5-LOW"):
+            for st, k in (("F", 5), ("O", 5)):
+                rows += [(f"{y}-02-01", pr, st)] * k
+    _orders_epi_table(d, rows)
+    out = q_peto_log_odds_orders(d).iloc[0]
+    assert float(out["sum_o_minus_e"]) == 0.0
+    assert float(out["peto_or"]) == 1.0
